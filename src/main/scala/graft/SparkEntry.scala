@@ -1,13 +1,220 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{EventQueries, Relational, TextQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a DuckDB twin in [[oracleSql]] with
+  * IDENTICAL column names and types (the driver sorts columns by name and
+  * hash-compares values). Determinism rules in FIXTURES.md: total explicit
+  * ordering per query, exact-integer aggregation for anything float-summed.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.revenueByNation(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 / §7.4. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational surface (SURVEY §7.3) ---
+    "q_pricing_summary" -> (Relational.pricingSummary _),
+    "q_revenue_by_nation" -> (Relational.revenueByNation _),
+    "q_customers_with_orders" -> (Relational.customersWithOrders _),
+    "q_customers_without_orders" -> (Relational.customersWithoutOrders _),
+    "q_top_orders" -> (Relational.topOrders _),
+    "q_top_suppliers_per_nation" -> (Relational.topSuppliersPerNation _),
+    "q_active_custkeys" -> (Relational.activeCustkeys _),
+    "q_orders_rollup" -> (Relational.ordersRollup _),
+    // --- text operators (SURVEY §2.2, §7.4) ---
+    "q_clean_text" -> (TextQueries.cleanText _),
+    "q_token_estimate" -> (TextQueries.tokenEstimate _),
+    "q_fingerprint" -> (TextQueries.fingerprint _),
+    "q_dedup_exact" -> (TextQueries.dedupExact _),
+    "q_lang_stats" -> (TextQueries.langStats _),
+    "q_sentence_explode" -> (TextQueries.sentenceExplode _),
+    // --- event/transcript operators (SURVEY §2.3, §2.5) ---
+    "q_distinct_actors" -> (EventQueries.distinctActors _),
+    "q_span" -> (EventQueries.span _),
+    "q_format_hms" -> (EventQueries.formatHms _),
+    "q_run_groups" -> (EventQueries.runGroups _),
+    "q_run_merge" -> (EventQueries.runMerge _),
+    "q_interval_agg" -> (EventQueries.intervalAgg _),
+    "q_sessionize" -> (EventQueries.sessionize _),
+    "q_chunk_prefix" -> (EventQueries.chunkPrefix _),
+    "q_mock_summarize" -> (EventQueries.mockSummarize _),
+    "q_tree_concat" -> (EventQueries.treeConcat _),
+    "q_cost_rollup" -> (EventQueries.costRollup _)
+  )
+
+  /** DuckDB oracle SQL, column-name- and type-aligned with [[queries]]. */
+  def oracleSql: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_customers_with_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q_top_suppliers_per_nation" ->
+      """SELECT s_nationkey, rnk, s_suppkey, s_name FROM (
+        | SELECT s_nationkey, s_suppkey, s_name,
+        |  row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+        | FROM supplier) WHERE rnk <= 3
+        |ORDER BY s_nationkey, rnk""".stripMargin,
+    "q_active_custkeys" ->
+      """SELECT custkey FROM (
+        | SELECT o_custkey AS custkey FROM orders
+        | INTERSECT
+        | SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0)
+        |ORDER BY custkey""".stripMargin,
+    "q_orders_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_clean_text" ->
+      """SELECT doc_id,
+        | regexp_replace(trim(regexp_replace(text || '  trailing.Tail  end', '\s+', ' ', 'g')), '([.!?])([A-Za-z])', '\1 \2', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_estimate" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+        |      ELSE greatest(1, CAST(floor(length(text)/4) AS INTEGER)) END AS INTEGER) AS n_tokens_est,
+        | CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS n_tokens_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(substr(text, 1, 50)) AS dup_key,
+        | min(doc_id) AS keep_doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY dup_key""".stripMargin,
+    "q_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | round(avg(n_chars), 2) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sentence_explode" ->
+      """SELECT doc_id, trim(s) AS sentence FROM (
+        | SELECT doc_id, unnest(string_split_regex(text || '. tail one. tail two! done?', '[.!?]+\s+')) AS s
+        | FROM documents)
+        |WHERE length(trim(s)) > 0 ORDER BY doc_id, sentence""".stripMargin,
+    "q_distinct_actors" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q_span" ->
+      """SELECT CAST(floor((epoch_ms(max(ts)) - epoch_ms(min(ts)))/1000) AS BIGINT) AS span_sec,
+        | count(*) AS n_events, min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM events""".stripMargin,
+    "q_format_hms" ->
+      """SELECT event_id,
+        | CASE WHEN h > 0 THEN printf('%02d:%02d:%02d', h, m, s)
+        |      ELSE printf('%02d:%02d', m, s) END AS hms
+        |FROM (SELECT event_id,
+        |  CAST(floor(value*1000) AS BIGINT) // 3600 AS h,
+        |  (CAST(floor(value*1000) AS BIGINT) % 3600) // 60 AS m,
+        |  CAST(floor(value*1000) AS BIGINT) % 60 AS s
+        | FROM events) ORDER BY event_id""".stripMargin,
+    "q_run_groups" ->
+      """SELECT event_id,
+        | CAST(sum(chg) OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        |FROM (SELECT event_id, ts,
+        |  CASE WHEN event_type = lag(event_type) OVER (ORDER BY ts, event_id) THEN 0 ELSE 1 END AS chg
+        | FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "q_run_merge" ->
+      """WITH runs AS (
+        | SELECT *, CAST(sum(chg) OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        | FROM (SELECT *, CASE WHEN event_type = lag(event_type) OVER (ORDER BY ts, event_id) THEN 0 ELSE 1 END AS chg FROM events))
+        |SELECT run_id, min(event_id) AS first_event, max(event_id) AS last_event,
+        | count(*) AS n_events, min(event_type) AS event_type,
+        | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents,
+        | string_agg(props, ' | ' ORDER BY event_id) AS merged_props
+        |FROM runs GROUP BY run_id ORDER BY run_id""".stripMargin,
+    "q_interval_agg" ->
+      """SELECT CAST(floor(epoch_ms(ts)/3600000) AS BIGINT) AS hour_id,
+        | count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents,
+        | string_agg(event_type, ',' ORDER BY event_id) AS types_seq
+        |FROM events GROUP BY 1 ORDER BY hour_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, ts, epoch_ms(ts) AS ms,
+        |  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        | FROM events)
+        |SELECT event_id, user_id,
+        | CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM e ORDER BY event_id""".stripMargin,
+    "q_chunk_prefix" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+        |       ELSE greatest(1, CAST(floor(length(text)/4) AS INTEGER)) END AS INTEGER) AS n_tok
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        | FROM t)
+        |SELECT doc_id, n_tok, CAST(floor((cum_tok - n_tok)/500) AS BIGINT) AS chunk_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_mock_summarize" ->
+      """SELECT chunk_id,
+        | 'SUMMARY[' || chunk_id || ']: events=' || n_events || ', speakers=' || speakers AS summary
+        |FROM (SELECT CAST(floor(epoch_ms(ts)/3600000) AS BIGINT) AS chunk_id,
+        |  count(*) AS n_events,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS speakers
+        | FROM events GROUP BY 1)
+        |ORDER BY chunk_id""".stripMargin,
+    "q_tree_concat" ->
+      """WITH level1 AS (
+        | SELECT CAST(floor(doc_id/10) AS BIGINT) AS batch_id, count(*) AS n_docs,
+        |  string_agg('D' || doc_id, ' ' ORDER BY doc_id) AS batch_summary
+        | FROM documents GROUP BY 1)
+        |SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+        | string_agg('B' || batch_id || '(' || batch_summary || ')', ' | ' ORDER BY batch_id) AS final_summary
+        |FROM level1""".stripMargin,
+    "q_cost_rollup" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+        |       ELSE greatest(1, CAST(floor(length(text)/4) AS INTEGER)) END AS prompt_tokens
+        | FROM documents),
+        |t2 AS (SELECT doc_id, prompt_tokens,
+        |  greatest(1, CAST(floor(prompt_tokens/4) AS INTEGER)) AS completion_tokens,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'gpt-4'
+        |       WHEN doc_id % 3 = 1 THEN 'gpt-3.5-turbo'
+        |       ELSE 'claude-3-sonnet' END AS model
+        | FROM t)
+        |SELECT model, count(*) AS n_requests,
+        | CAST(sum(prompt_tokens) AS BIGINT) AS sum_prompt_tokens,
+        | CAST(sum(completion_tokens) AS BIGINT) AS sum_completion_tokens,
+        | CAST(sum(CASE WHEN model = 'gpt-4' THEN prompt_tokens*30000 + completion_tokens*60000
+        |               WHEN model = 'gpt-3.5-turbo' THEN prompt_tokens*1000 + completion_tokens*2000
+        |               ELSE prompt_tokens*3000 + completion_tokens*15000 END) AS BIGINT) AS total_cost_nanousd
+        |FROM t2 GROUP BY model ORDER BY model""".stripMargin
+  )
 }

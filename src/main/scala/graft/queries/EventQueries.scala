@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.text.TextFunctions
+
+/** Event-stream query surface: the `events` table plays the role of
+  * transcript segments (`ts`≈start, `event_type`≈speaker, `props` payload —
+  * FIXTURES.md §3), so these are the oracle-checkable faces of the
+  * reference's order-dependent operators: A1 run detection, A2 run merge,
+  * A3 interval aggregation, plus sessionization and the C1/A6/A7 relaxations.
+  *
+  * Scale notes: the global-order windows (runs, chunk prefix) are the
+  * PARITY shape — single transcript, modest row count, one partition, same
+  * as the reference's sequential fold. The scalable variants partition by a
+  * natural key (user_id for sessionization; document for per-doc folds) and
+  * are what a 100 TB corpus would use: millions of independent transcripts,
+  * each small — `groupBy(transcript).flatMapGroups`, embarrassingly
+  * parallel. Both shapes are kept (SURVEY.md §7.5.3).
+  */
+object EventQueries {
+  import Tables._
+
+  /** Ordered string_agg: collect (key, value) structs, sort by key, join.
+    * The Spark twin of DuckDB's `string_agg(v, sep ORDER BY k)`. */
+  def orderedStringAgg(key: Column, value: Column, sep: String): Column =
+    array_join(
+      transform(
+        array_sort(collect_list(struct(key.as("k"), value.as("v")))),
+        x => x.getField("v")
+      ),
+      sep
+    )
+
+  /** Millisecond epoch — exact integer on both engines (DuckDB
+    * `epoch_ms`), immune to ns-vs-us truncation drift of double epochs. */
+  private def epochMs(c: Column): Column = unix_millis(c)
+
+  /** A4: distinct actors (speakers), sorted. */
+  def distinctActors(s: SparkSession, d: String): DataFrame =
+    events(s, d).select("event_type").distinct().orderBy("event_type")
+
+  /** A5: stream span in whole seconds + bounds. */
+  def span(s: SparkSession, d: String): DataFrame =
+    events(s, d).agg(
+      ((max(epochMs(col("ts"))) - min(epochMs(col("ts")))) / 1000)
+        .cast("long")
+        .as("span_sec"),
+      count(lit(1)).as("n_events"),
+      min(col("event_id")).as("first_event"),
+      max(col("event_id")).as("last_event")
+    )
+
+  /** F3: HH:MM:SS / MM:SS rendering (hour omitted when zero —
+    * /root/reference/preprocessor.py:91-107). `value*1000` manufactures
+    * spans that cross the hour boundary so both branches execute. */
+  def formatHms(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        TextFunctions.formatHmsCol(col("value") * 1000).as("hms")
+      )
+      .orderBy("event_id")
+
+  private def withRuns(s: SparkSession, d: String): DataFrame = {
+    // Parity-mode global order (single transcript semantics).
+    val w = Window.orderBy("ts", "event_id")
+    events(s, d)
+      .withColumn(
+        "chg",
+        when(col("event_type") === lag("event_type", 1).over(w), 0)
+          .otherwise(1)
+      )
+      .withColumn(
+        "run_id",
+        sum("chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+      )
+  }
+
+  /** A1 (uncapped): consecutive same-type run detection via
+    * lag + cumulative sum (/root/reference/preprocessor.py:109-165). */
+  def runGroups(s: SparkSession, d: String): DataFrame =
+    withRuns(s, d).select("event_id", "run_id").orderBy("event_id")
+
+  /** A2: per-run merge — bounds, count, exact value total, ordered payload
+    * join (/root/reference/preprocessor.py:167-215). */
+  def runMerge(s: SparkSession, d: String): DataFrame =
+    withRuns(s, d)
+      .groupBy("run_id")
+      .agg(
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"),
+        count(lit(1)).as("n_events"),
+        min(col("event_type")).as("event_type"),
+        sum(cents(col("value"))).as("value_cents"),
+        orderedStringAgg(col("event_id"), col("props"), " | ")
+          .as("merged_props")
+      )
+      .orderBy("run_id")
+
+  /** A3: tumbling 1-hour interval aggregation
+    * (/root/reference/preprocessor.py:217-324). Bucket arithmetic instead
+    * of raw timestamps keeps the oracle hash precision-safe. */
+  def intervalAgg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn(
+        "hour_id",
+        floor(epochMs(col("ts")) / lit(3600000L)).cast("long")
+      )
+      .groupBy("hour_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(cents(col("value"))).as("value_cents"),
+        orderedStringAgg(col("event_id"), col("event_type"), ",")
+          .as("types_seq")
+      )
+      .orderBy("hour_id")
+
+  /** Gap-based sessionization (30 min), partitioned by user — the SCALABLE
+    * shape of A1: independent per-key state, no global order. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .withColumn("prev_ms", lag(epochMs(col("ts")), 1).over(w))
+      .withColumn(
+        "new_sess",
+        when(
+          col("prev_ms").isNull ||
+            (epochMs(col("ts")) - col("prev_ms")) > 1800000L,
+          1
+        ).otherwise(0)
+      )
+      .withColumn(
+        "session_id",
+        sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+      )
+      .select("event_id", "user_id", "session_id")
+      .orderBy("event_id")
+  }
+
+  /** C1 relaxed: prefix-sum token bucketing of documents into chunks
+    * (budget 500) — the SQL-expressible relaxation of the greedy fold
+    * (SURVEY.md §7.4 q_chunk_prefix; exact greedy is Scala-golden-tested). */
+  def chunkPrefix(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("doc_id")
+    documents(s, d)
+      .withColumn("n_tok", TextFunctions.estimateTokensCol(col("text")))
+      .withColumn(
+        "cum_tok",
+        sum("n_tok").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+      )
+      .withColumn(
+        "chunk_id",
+        floor((col("cum_tok") - col("n_tok")) / lit(500)).cast("long")
+      )
+      .select("doc_id", "n_tok", "chunk_id")
+      .orderBy("doc_id")
+  }
+
+  /** M1+M4: deterministic mock summarize per hour-chunk — a pure string
+    * function of the chunk's content, the reference's no-API-key path
+    * (/root/reference/llm_executor.py:411-432). */
+  def mockSummarize(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn(
+        "chunk_id",
+        floor(epochMs(col("ts")) / lit(3600000L)).cast("long")
+      )
+      .groupBy("chunk_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("speakers")
+      )
+      .select(
+        col("chunk_id"),
+        concat(
+          lit("SUMMARY["),
+          col("chunk_id"),
+          lit("]: events="),
+          col("n_events"),
+          lit(", speakers="),
+          col("speakers")
+        ).as("summary")
+      )
+      .orderBy("chunk_id")
+
+  /** A6/A7 skeleton: two-level ordered reduce of per-doc tokens into batch
+    * summaries into one final row (/root/reference/result_aggregator.py:288-355). */
+  def treeConcat(s: SparkSession, d: String): DataFrame = {
+    val level1 = documents(s, d)
+      .withColumn("batch_id", floor(col("doc_id") / 10).cast("long"))
+      .groupBy("batch_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        orderedStringAgg(
+          col("doc_id"),
+          concat(lit("D"), col("doc_id")),
+          " "
+        ).as("batch_summary")
+      )
+    level1
+      .agg(
+        sum(col("n_docs")).as("total_docs"),
+        orderedStringAgg(
+          col("batch_id"),
+          concat(
+            lit("B"),
+            col("batch_id"),
+            lit("("),
+            col("batch_summary"),
+            lit(")")
+          ),
+          " | "
+        ).as("final_summary")
+      )
+  }
+
+  /** A10: usage/cost accounting with the reference's hard-coded per-model
+    * rates, in exact integer nano-dollars
+    * (/root/reference/llm_executor.py:308-317, :394-400). */
+  def costRollup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("prompt_tokens", TextFunctions.estimateTokensCol(col("text")))
+      .withColumn(
+        "completion_tokens",
+        greatest(lit(1), (col("prompt_tokens") / 4).cast("int"))
+      )
+      .withColumn(
+        "model",
+        when(col("doc_id") % 3 === 0, "gpt-4")
+          .when(col("doc_id") % 3 === 1, "gpt-3.5-turbo")
+          .otherwise("claude-3-sonnet")
+      )
+    // nano-$ per token: gpt-4 30000/60000; gpt-3.5 1000/2000;
+    // claude-3-sonnet 3000/15000 ($3/$15 per 1M).
+    val cost = when(col("model") === "gpt-4",
+      col("prompt_tokens") * 30000L + col("completion_tokens") * 60000L)
+      .when(col("model") === "gpt-3.5-turbo",
+        col("prompt_tokens") * 1000L + col("completion_tokens") * 2000L)
+      .otherwise(
+        col("prompt_tokens") * 3000L + col("completion_tokens") * 15000L)
+    docs
+      .withColumn("cost_nanousd", cost)
+      .groupBy("model")
+      .agg(
+        count(lit(1)).as("n_requests"),
+        sum(col("prompt_tokens").cast("long")).as("sum_prompt_tokens"),
+        sum(col("completion_tokens").cast("long")).as("sum_completion_tokens"),
+        sum(col("cost_nanousd")).as("total_cost_nanousd")
+      )
+      .orderBy("model")
+  }
+}

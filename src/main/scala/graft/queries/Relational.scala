@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational query surface (SURVEY.md §7.3): the reference exercises no
+  * joins/set-ops (§2.6), but the engine's query layer supports the standard
+  * relational algebra via Spark built-ins. Each query here has a DuckDB
+  * oracle twin in [[graft.SparkEntry.oracleSql]].
+  *
+  * Scale notes (100 TB design intent, tested at sf≤0.1):
+  *   - dimension tables (region/nation/customer/supplier/part) are broadcast
+  *     explicitly — at 1000 executors a shuffle join on lineitem×nation would
+  *     be pure waste;
+  *   - aggregations are partial-agg friendly (sum/count over cents), so
+  *     map-side combine cuts the shuffle to |groups|×partitions;
+  *   - top-N uses Spark's TakeOrderedAndProject (orderBy+limit), which ships
+  *     only N rows per partition to the driver-side merge.
+  */
+object Relational {
+  import Tables._
+
+  /** TPC-H Q1-style pricing summary: the canonical partial-agg shape. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_cents"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q5-style revenue rollup across the full dimension chain.
+    * Dimensions broadcast; only lineitem⋈orders shuffles (both huge at
+    * scale — that join co-partitions on the order key). */
+  def revenueByNation(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val o = orders(s, d)
+    val c = customer(s, d)
+    val n = nation(s, d)
+    val r = region(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left-semi join: customers that have at least one order. */
+  def customersWithOrders(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def customersWithoutOrders(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Top-100 orders by total price — TakeOrderedAndProject shape. */
+  def topOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** Per-nation top-3 suppliers by account balance (window rank). */
+  def topSuppliersPerNation(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("s_nationkey")
+      .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+    supplier(s, d)
+      // row_number is IntegerType in Spark but BIGINT in DuckDB — cast for
+      // schema parity with the oracle.
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("s_nationkey", "rnk", "s_suppkey", "s_name")
+      .orderBy("s_nationkey", "rnk")
+  }
+
+  /** Set op: custkeys that both placed an order and hold positive balance. */
+  def activeCustkeys(s: SparkSession, d: String): DataFrame = {
+    val withOrders = orders(s, d).select(col("o_custkey").as("custkey"))
+    val positive = customer(s, d)
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("custkey"))
+    withOrders.intersect(positive).orderBy("custkey")
+  }
+
+  /** Grouping-sets rollup: order counts by (status, priority) hierarchy.
+    * Null grouping keys from ROLLUP are made deterministic via coalesce. */
+  def ordersRollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents")
+      )
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"),
+        col("total_cents")
+      )
+      .orderBy("status", "priority")
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** Document/text query surface: the oracle-checkable faces of the
+  * reference's scalar text operators (SURVEY.md §2.2) plus the
+  * training-data-pipeline text analysis extensions. All expressions are
+  * pure `org.apache.spark.sql.functions` chains — whole-stage codegen'd,
+  * fully pushdown-friendly (the parquet scan reads only the referenced
+  * columns).
+  */
+object TextQueries {
+  import Tables._
+
+  /** F2(a,c) portable clean_text over a deliberately dirtied input (the
+    * synthetic corpus is already clean, so the query manufactures the
+    * whitespace runs / missing-space-after-punctuation cases that the
+    * cleaning regexes exist for; /root/reference/preprocessor.py:69-89). */
+  def cleanText(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFunctions
+          .cleanTextPortableCol(
+            concat(col("text"), lit("  trailing.Tail  end"))
+          )
+          .as("clean_text")
+      )
+      .orderBy("doc_id")
+
+  /** A9 token estimator (chars/4, min 1 —
+    * /root/reference/llm_executor.py:389-397). */
+  def tokenEstimate(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFunctions.estimateTokensCol(col("text")).as("n_tokens_est"),
+        TextFunctions.countTokensCol(col("text")).as("n_tokens_word")
+      )
+      .orderBy("doc_id")
+
+  /** Document fingerprint: md5 over normalized text (exact-dedup anchor). */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFunctions.fingerprintCol(col("text")).as("fingerprint")
+      )
+      .orderBy("doc_id")
+
+  /** Exact dedup on a 50-char-prefix key (the full texts are all distinct in
+    * the synthetic corpus; the prefix key manufactures real duplicate
+    * groups). At scale this is the hash-groupBy dedup shape: one shuffle on
+    * the fingerprint, min() as the keeper policy. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(substring(col("text"), 1, 50)).as("dup_key"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_dups")
+      )
+      .orderBy("dup_key")
+
+  /** Per-language corpus stats (counts + exact integer sums → stable avg). */
+  def langStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        round(avg(col("n_chars")), 2).as("avg_chars")
+      )
+      .orderBy("lang")
+
+  /** M3 sentence explode via the portable (RE2-safe, no-lookbehind) split
+    * pattern; ordered by (doc_id, sentence) for a deterministic total order
+    * even when a document repeats a sentence. */
+  def sentenceExplode(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        explode(
+          split(
+            concat(col("text"), lit(". tail one. tail two! done?")),
+            TextFunctions.PortableSentenceSplit
+          )
+        ).as("sentence")
+      )
+      .filter(length(trim(col("sentence"))) > 0)
+      .select(col("doc_id"), trim(col("sentence")).as("sentence"))
+      .orderBy("doc_id", "sentence")
+}
