@@ -1,0 +1,196 @@
+package graft.app
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.agg.SummaryReduce
+import graft.chunk.Chunker
+import graft.llm.{LlmConfig, Prompts, SummarizeMap}
+import graft.model.{ProcessedChunk, SummaryResult}
+import graft.prep.Preprocess
+import graft.text.TextFunctions
+
+/** The facade mirroring the reference's `TranscriptSummarizer`
+  * (/root/reference/main.py:51-257): preprocess → chunk → LLM map →
+  * reduce, with the same knobs, as one lazy Spark pipeline.
+  */
+object Summarizer {
+
+  case class Config(
+      llm: LlmConfig = LlmConfig(),
+      prep: Preprocess.PrepConfig = Preprocess.PrepConfig(),
+      chunk: Chunker.ChunkConfig = Chunker.ChunkConfig(),
+      map: SummarizeMap.MapConfig = SummarizeMap.MapConfig(),
+      agg: SummaryReduce.AggConfig = SummaryReduce.AggConfig()
+  )
+
+  case class Output(
+      result: SummaryResult,
+      processedChunks: Dataset[ProcessedChunk]
+  )
+
+  def summarizePath(
+      spark: SparkSession,
+      inputPath: String,
+      cfg: Config = Config()
+  ): Output = {
+    val t0 = System.nanoTime()
+    val raw = Preprocess.loadTranscript(spark, inputPath)
+    val nSegments = raw.count()
+
+    val processed = Preprocess.run(spark, raw, cfg.prep)
+    val chunks = Chunker.run(spark, processed, cfg.chunk)
+    val mapped =
+      SummarizeMap.run(spark, chunks, cfg.llm, cfg.map).cache()
+    val nChunks = mapped.count()
+
+    // Metadata assembled like /root/reference/main.py:219-231.
+    val (durSec, durFmt) = Preprocess.transcriptDuration(processed)
+    val speakers = Preprocess.extractSpeakers(processed)
+    val metadata = cfg.agg.metadata ++ Seq(
+      "Transcript Duration" -> durFmt,
+      "Number of Speakers" -> speakers.size.toString,
+      "Speakers" -> speakers.mkString(", "),
+      "Number of Segments" -> nSegments.toString,
+      "Number of Chunks" -> nChunks.toString
+    )
+    val agg = SummaryReduce.aggregate(
+      spark, mapped, cfg.llm, cfg.agg.copy(metadata = metadata))
+
+    import org.apache.spark.sql.functions._
+    val usage = mapped
+      .agg(
+        sum(col("tokensUsed").cast("long")).as("t"),
+        sum(col("cost")).as("c"))
+      .head()
+    val mapTokens = if (usage.isNullAt(0)) 0L else usage.getLong(0)
+    val mapCost = if (usage.isNullAt(1)) 0.0 else usage.getDouble(1)
+
+    Output(
+      SummaryResult(
+        summary = agg.summary,
+        processingTimeSec = (System.nanoTime() - t0) / 1e9,
+        tokensUsed = mapTokens + agg.tokensUsed,
+        cost = mapCost + agg.cost,
+        segments = nSegments,
+        chunks = nChunks,
+        provider = cfg.llm.provider,
+        model = cfg.llm.model
+      ),
+      mapped
+    )
+  }
+
+  /** S5: intermediate-chunk sink (/root/reference/main.py:177-201) —
+    * project the 5 reported fields and write JSON. */
+  def saveChunks(chunks: Dataset[ProcessedChunk], path: String): Unit = {
+    chunks
+      .orderBy("chunkIndex")
+      .selectExpr(
+        "chunkIndex as chunk_index",
+        "startTime as start_time",
+        "endTime as end_time",
+        "summary",
+        "tokensUsed as tokens_used")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .json(path)
+  }
+
+  /** S4: summary sink (single row — plain JVM write like the reference). */
+  def saveSummary(summary: String, path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, summary)
+  }
+
+  /** S6: report sink (/root/reference/main.py:392-397). */
+  def saveReport(result: SummaryResult, path: String): Unit = {
+    def esc(s: String) = graft.llm.MiniJson.esc(s)
+    val json =
+      s"""{"processing_time_sec":${result.processingTimeSec},""" +
+        s""""tokens_used":${result.tokensUsed},"cost":${result.cost},""" +
+        s""""segments":${result.segments},"chunks":${result.chunks},""" +
+        s""""provider":"${esc(result.provider)}","model":"${esc(result.model)}"}"""
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, json)
+  }
+}
+
+/** CLI mirroring the reference's argparse surface
+  * (/root/reference/main.py:406-477). */
+object Main {
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val key = a.drop(2)
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          m(key) = args(i + 1); i += 2
+        } else { m(key) = "true"; i += 1 }
+      } else i += 1
+    }
+    m.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val input = opts.getOrElse("input",
+      sys.error("--input <transcript.json> is required"))
+    val spark = SparkSession.builder()
+      .master(opts.getOrElse("master", "local[*]"))
+      .appName("graft-summarizer")
+      .config("spark.sql.shuffle.partitions",
+        opts.getOrElse("shuffle-partitions", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      def readFile(p: String): String =
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8").trim
+      val cfg = Summarizer.Config(
+        llm = LlmConfig(
+          provider = opts.getOrElse("provider", "mock"),
+          model = opts.getOrElse("model", "mock-model"),
+          apiKey = sys.env.get("OPENAI_API_KEY").orElse(sys.env.get("ANTHROPIC_API_KEY")),
+          maxTokens = opts.getOrElse("max-response-tokens", "1000").toInt
+        ),
+        prep = Preprocess.PrepConfig(
+          mergeSameSpeaker = !opts.contains("no-merge"),
+          maxSegmentDuration =
+            opts.get("max-segment-duration").map(_.toDouble).orElse(Some(120.0)),
+          preserveTimestamps = !opts.contains("no-timestamps"),
+          timeIntervalSeconds = opts.get("time-interval").map(_.toDouble),
+          limitSegments = opts.get("limit-segments").map(_.toInt)
+        ),
+        chunk = Chunker.ChunkConfig(
+          maxTokensPerChunk = opts.getOrElse("max-tokens-per-chunk", "4000").toInt
+        ),
+        map = SummarizeMap.MapConfig(
+          promptTemplate = opts.get("prompt-file").map(readFile)
+            .map(Prompts.ensureTranscriptPlaceholder)
+            .getOrElse(Prompts.defaultMapPrompt),
+          systemPrompt = opts.get("system-prompt-file").map(readFile),
+          concurrency = opts.getOrElse("max-concurrent", "5").toInt
+        ),
+        agg = SummaryReduce.AggConfig(
+          hierarchical = opts.contains("hierarchical"),
+          promptTemplate = opts.get("aggregator-prompt-file").map(readFile)
+        )
+      )
+      val out = Summarizer.summarizePath(spark, input, cfg)
+      opts.get("save-chunks").foreach(p => Summarizer.saveChunks(out.processedChunks, p))
+      opts.get("report").foreach(p => Summarizer.saveReport(out.result, p))
+      opts.get("output") match {
+        case Some(p) => Summarizer.saveSummary(out.result.summary, p)
+        case None    => println(out.result.summary)
+      }
+      println(
+        f"\n[graft] segments=${out.result.segments} chunks=${out.result.chunks} " +
+          f"tokens=${out.result.tokensUsed} cost=$$${out.result.cost}%.4f " +
+          f"time=${out.result.processingTimeSec}%.1fs")
+    } finally spark.stop()
+  }
+}
