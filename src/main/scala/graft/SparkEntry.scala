@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventQueries, Relational, TextQueries}
+import graft.queries.{EventQueries, PipelineQueries, Relational, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,7 +45,16 @@ object SparkEntry {
     "q_chunk_prefix" -> (EventQueries.chunkPrefix _),
     "q_mock_summarize" -> (EventQueries.mockSummarize _),
     "q_tree_concat" -> (EventQueries.treeConcat _),
-    "q_cost_rollup" -> (EventQueries.costRollup _)
+    "q_cost_rollup" -> (EventQueries.costRollup _),
+    // --- training-data pipeline extensions (dedup/similarity/analysis) ---
+    "q_dedup_minhash" -> (PipelineQueries.dedupMinhash _),
+    "q_simhash" -> (PipelineQueries.simhashValues _),
+    "q_dedup_simhash" -> (PipelineQueries.dedupSimhash _),
+    "q_ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
+    "q_sim_topk" -> (PipelineQueries.simTopK _),
+    "q_sim_topk_lsh" -> (PipelineQueries.simTopKLsh _),
+    "q_lang_id" -> (PipelineQueries.langId _),
+    "q_quality_score" -> (PipelineQueries.qualityScore _)
   )
 
   /** DuckDB oracle SQL, column-name- and type-aligned with [[queries]]. */
@@ -215,6 +224,14 @@ object SparkEntry {
         | CAST(sum(CASE WHEN model = 'gpt-4' THEN prompt_tokens*30000 + completion_tokens*60000
         |               WHEN model = 'gpt-3.5-turbo' THEN prompt_tokens*1000 + completion_tokens*2000
         |               ELSE prompt_tokens*3000 + completion_tokens*15000 END) AS BIGINT) AS total_cost_nanousd
-        |FROM t2 GROUP BY model ORDER BY model""".stripMargin
+        |FROM t2 GROUP BY model ORDER BY model""".stripMargin,
+    "q_dedup_minhash" -> PipelineQueries.minhashOracle,
+    "q_simhash" -> PipelineQueries.simhashOracle,
+    "q_dedup_simhash" -> PipelineQueries.simhashPairsOracle,
+    "q_ngram_jaccard" -> PipelineQueries.ngramJaccardOracle,
+    "q_sim_topk" -> PipelineQueries.simTopKOracle,
+    "q_sim_topk_lsh" -> PipelineQueries.simTopKLshOracle,
+    "q_lang_id" -> PipelineQueries.langIdOracle,
+    "q_quality_score" -> PipelineQueries.qualityOracle
   )
 }

@@ -1,0 +1,258 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard. All are pure
+  * DataFrame/Column plans (whole-stage codegen'd, no UDFs) and all are
+  * engine-portable: the hash primitives are md5-derived so every operator
+  * has a DuckDB oracle twin.
+  *
+  * Scale design (100 TB corpora):
+  *   - exact dedup is one shuffle on the fingerprint — the minimum possible;
+  *   - MinHash/LSH shuffles (doc, band-signature) pairs, never doc×doc:
+  *     candidate generation is a self-join on the band bucket, so cost is
+  *     Σ bucket² not n² — the standard web-scale near-dup shape;
+  *   - SimHash candidate blocking uses the pigeonhole principle (k-bit
+  *     hamming ball split across k+1 bands) — again a bucket join;
+  *   - all-pairs n-gram Jaccard is intentionally BLOCKED (lang + length
+  *     band) because unblocked n² does not survive any scale-up; the
+  *     unblocked form exists only for tests.
+  */
+object Dedup {
+
+  /** Words of a lowercased text, split on whitespace runs. */
+  def words(text: Column): Column =
+    split(lower(text), "\\s+")
+
+  /** Word n-gram shingles (default 3), '_'-joined. Empty when the text has
+    * fewer than n words (guarded: Spark's `sequence` would happily generate
+    * a DESCENDING range and fabricate shingles). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(w) - (n - 1)),
+          i => {
+            val pieces = (0 until n)
+              .map(k => element_at(w, (i + lit(k)).cast("int")))
+            concat(pieces.flatMap(p => Seq(p, lit("_"))).dropRight(1): _*)
+          }
+        )
+      )
+  }
+
+  /** 32-bit integer hash of a string via the first 8 hex chars of md5 —
+    * deliberately md5-based so DuckDB computes the identical value
+    * (`CAST('0x' || substr(md5(x),1,8) AS BIGINT)`). */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  // -------------------------------------------------------------------------
+  // Exact dedup
+  // -------------------------------------------------------------------------
+
+  /** Exact dedup on a normalized-text fingerprint: one hash shuffle,
+    * min(id) keeper policy. Returns (fingerprint, keep_id, n_dups). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(
+        graft.text.TextFunctions.fingerprintCol(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  // -------------------------------------------------------------------------
+  // MinHash + LSH
+  // -------------------------------------------------------------------------
+
+  /** Per-doc MinHash signature values. Permutation i is simulated by
+    * md5(i ':' shingle) and the signature is the lexicographic MIN of the
+    * hex digest — equivalent to a random permutation min, and portable
+    * (string min exists everywhere). Returns (id, sig_0 … sig_{k-1}). */
+  def minhashSignature(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int
+  ): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("shingle"))
+      .distinct()
+    val sigAggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"sig_$i"))
+    sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand =
+    * numHashes), bucket-join on (band index, band hash). The self-join is
+    * on the band bucket — the only shuffle key — so the plan never
+    * materializes doc×doc. Returns distinct (id_a, id_b), id_a < id_b. */
+  def lshCandidates(
+      signatures: DataFrame,
+      bands: Int,
+      rowsPerBand: Int
+  ): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(cols: _*)).as("bh"))
+    }
+    val banded = signatures
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs over distinct shingle
+    * sets. Intersections come from a join on the shingle (shuffle on
+    * shingle, co-partitioned); set sizes are a cheap pre-agg. */
+  def jaccardVerify(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      candidates: DataFrame,
+      threshold: Double
+  ): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val a = sh.as("sa")
+    val b = sh.as("sb")
+    val inter = a
+      .join(b, col("sa.shingle") === col("sb.shingle") &&
+          col("sa.id") < col("sb.id"))
+      .groupBy(col("sa.id").as("id_a"), col("sb.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    candidates
+      .join(inter, Seq("id_a", "id_b"))
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        round(col("n_inter") / (col("size_a") + col("size_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signature → banded candidates →
+    * exact Jaccard ≥ threshold. */
+  def minhashDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = minhashSignature(df, idCol, textCol, numHashes)
+    val cands = lshCandidates(sigs, bands, numHashes / bands)
+    jaccardVerify(df, idCol, textCol, cands, threshold)
+  }
+
+  // -------------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------------
+
+  /** 32-bit SimHash over word multiset: per bit, sum ±1 weighted by word
+    * occurrences; bit set when the sum is positive. Pure explode + two
+    * aggregations — no UDF, fully partial-agg friendly. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = df.select(
+      col(idCol).as("id"),
+      explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("hv", hash32(col("word")))
+    val bits = w
+      .select(col("id"), col("hv"), explode(sequence(lit(0), lit(31))).as("j"))
+      .withColumn(
+        "v",
+        when(expr("shiftright(hv, j) & 1") === 1, 1).otherwise(-1))
+    bits
+      .groupBy("id", "j")
+      .agg(sum(col("v")).as("s"))
+      .groupBy("id")
+      .agg(
+        sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+          .otherwise(0L))
+          .cast("long")
+          .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a hamming radius, candidate-blocked by
+    * the pigeonhole principle: split 32 bits into `blocks` bands — any pair
+    * within hamming ≤ blocks-1 shares at least one exact band. Join on the
+    * band value, verify with bit_count(xor). */
+  def simhashDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 4
+  ): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    val width = 32 / blocks
+    val bandCols = (0 until blocks).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftright(simhash, ${b * width}) & ${(1L << width) - 1}")
+          .as("bv"))
+    }
+    val banded = sh
+      .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band").as("band"),
+        col("bb.bv").as("bv"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // -------------------------------------------------------------------------
+  // Blocked n-gram Jaccard
+  // -------------------------------------------------------------------------
+
+  /** Exact n-gram Jaccard over pairs restricted to a blocking key (the
+    * scalable discipline: n² only within blocks). */
+  def ngramJaccardBlocked(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: Column,
+      threshold: Double,
+      n: Int = 3
+  ): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), blockCol.as("blk"),
+        explode(shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val a = sh.as("sa")
+    val b = sh.as("sb")
+    a.join(b, col("sa.blk") === col("sb.blk") &&
+        col("sa.shingle") === col("sb.shingle") && col("sa.id") < col("sb.id"))
+      .groupBy(col("sa.id").as("id_a"), col("sb.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        round(col("n_inter") / (col("size_a") + col("size_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.textanalysis.TextAnalysis
+
+/** Training-data-pipeline query surface: dedup (MinHash-LSH, SimHash,
+  * blocked n-gram Jaccard), similarity search (exact + LSH-bucketed cosine
+  * top-k), language ID and quality scoring. Spark plans come from the
+  * library modules; the DuckDB oracle SQL for the parameter-heavy
+  * operators is GENERATED from the same parameters (stopword lists, LSH
+  * hyperplanes, band layout), so the two engines cannot drift.
+  */
+object PipelineQueries {
+  import Tables._
+
+  val MinhashHashes = 8
+  val MinhashBands = 4
+  val MinhashThreshold = 0.2
+  val SimhashMaxHamming = 3
+  val SimhashBlocks = 4
+  val JaccardThreshold = 0.1
+  val TopK = 5
+  val NumQueries = 10
+  val LshBits = 4
+  val Dims = 64
+
+  // --- Spark sides ---------------------------------------------------------
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .minhashDuplicates(documents(s, d), "doc_id", "text",
+        MinhashHashes, MinhashBands, MinhashThreshold)
+      .orderBy("id_a", "id_b")
+
+  def simhashValues(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .simhash(documents(s, d), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .simhashDuplicates(documents(s, d), "doc_id", "text",
+        SimhashMaxHamming, SimhashBlocks)
+      .orderBy("id_a", "id_b")
+
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .ngramJaccardBlocked(documents(s, d), "doc_id", "text", col("lang"),
+        JaccardThreshold)
+      .orderBy("id_a", "id_b")
+
+  def simTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity
+      .cosineTopK(emb, emb.filter(col("vec_id") < NumQueries), TopK)
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  def simTopKLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity
+      .cosineTopKLsh(emb, emb.filter(col("vec_id") < NumQueries), TopK,
+        Dims, LshBits)
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  def langId(s: SparkSession, d: String): DataFrame =
+    TextAnalysis
+      .langId(documents(s, d), "text")
+      .select(
+        Seq(col("doc_id")) ++
+          TextAnalysis.stopwords.map { case (l, _) => col(s"s_$l") } ++
+          Seq(col("predicted"),
+            (col("predicted") === col("lang")).as("correct")): _*
+      )
+      .orderBy("doc_id")
+
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  // --- generated DuckDB oracle SQL ----------------------------------------
+
+  /** Distinct word-3-gram shingles per doc (DuckDB list comprehension). */
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, s AS shingle FROM (
+      |    SELECT doc_id, unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]) AS s
+      |    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents)))""".stripMargin
+
+  def minhashOracle: String = {
+    val sigCols = (0 until MinhashHashes)
+      .map(i => s"min(md5('$i:' || shingle)) AS sig_$i")
+      .mkString(", ")
+    val rows = MinhashHashes / MinhashBands
+    val bandSelects = (0 until MinhashBands)
+      .map { b =>
+        val cat = (0 until rows).map(r => s"sig_${b * rows + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sig"
+      }
+      .mkString("\n  UNION ALL ")
+    s"""WITH $shinglesCte,
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT c.id_a AS id_a, c.id_b AS id_b,
+       |  round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+       |FROM cand c
+       |JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+       |JOIN sizes sa ON sa.doc_id = c.id_a
+       |JOIN sizes sb ON sb.doc_id = c.id_b
+       |WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= $MinhashThreshold
+       |ORDER BY c.id_a, c.id_b""".stripMargin
+  }
+
+  private val simhashCte =
+    """sim AS (
+      |  SELECT doc_id, CAST(sum(CASE WHEN sv > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM (
+      |    SELECT doc_id, j, sum(v) AS sv FROM (
+      |      SELECT doc_id, j, CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END AS v
+      |      FROM (SELECT doc_id, CAST(('0x' || substr(md5(word),1,8)) AS BIGINT) AS hv
+      |            FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+      |            WHERE word <> '')
+      |      CROSS JOIN (SELECT unnest(range(0,32)) AS j))
+      |    GROUP BY doc_id, j)
+      |  GROUP BY doc_id)""".stripMargin
+
+  def simhashOracle: String =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin
+
+  def simhashPairsOracle: String = {
+    val width = 32 / SimhashBlocks
+    val mask = (1L << width) - 1
+    s"""WITH $simhashCte,
+       |banded AS (
+       |  SELECT doc_id, simhash, b AS band, (simhash >> (b * $width)) & $mask AS bv
+       |  FROM sim CROSS JOIN (SELECT unnest(range(0, $SimhashBlocks)) AS b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= $SimhashMaxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  def ngramJaccardOracle: String =
+    s"""WITH shl AS (
+       |  SELECT DISTINCT doc_id, blk, s AS shingle FROM (
+       |    SELECT doc_id, lang AS blk, unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]) AS s
+       |    FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS w FROM documents))),
+       |sizes AS (SELECT doc_id, count(*) AS set_size FROM shl GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |  FROM shl a JOIN shl b
+       |    ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= $JaccardThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private def topKOracle(bucketJoin: Boolean): String = {
+    val bucketSql = Similarity.lshBucketSql(
+      "embedding", Dims, LshBits, (c, i) => s"$c[$i]")
+    val (extraCol, joinCond) =
+      if (bucketJoin)
+        (s", $bucketSql AS bucket",
+          "n.bucket = q.bucket AND vec_id <> q_vec_id")
+      else ("", "vec_id <> q_vec_id")
+    s"""WITH c AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb$extraCol
+       |  FROM embeddings),
+       |n AS (SELECT *, sqrt(list_dot_product(emb, emb)) AS nrm FROM c),
+       |q AS (SELECT vec_id AS q_vec_id, emb AS q_emb, nrm AS q_nrm${if (bucketJoin) ", bucket" else ""}
+       |      FROM n WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q_vec_id, vec_id,
+       |    round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 6) AS score
+       |  FROM n JOIN q ON $joinCond),
+       |r AS (SELECT q_vec_id, vec_id, score,
+       |        row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id ASC) AS rnk
+       |      FROM scored)
+       |SELECT q_vec_id, rnk, vec_id, score FROM r WHERE rnk <= $TopK
+       |ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
+  def simTopKOracle: String = topKOracle(bucketJoin = false)
+  def simTopKLshOracle: String = topKOracle(bucketJoin = true)
+
+  def langIdOracle: String = {
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val scoreCols = langs
+      .map { l =>
+        val pat = TextAnalysis.stopwordPattern(l)
+        s"CAST(len(regexp_extract_all(lower(text), '$pat')) AS BIGINT) AS s_$l"
+      }
+      .mkString(",\n  ")
+    val caseChain = langs.init
+      .map { l =>
+        val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }
+      .mkString("\n    ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |  $scoreCols
+       |  FROM documents)
+       |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+       |  CASE $caseChain ELSE '${langs.last}' END AS predicted,
+       |  (CASE $caseChain ELSE '${langs.last}' END) = lang AS correct
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  def qualityOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS DOUBLE) AS n_chars,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_words,
+      |    CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it)\b')) AS DOUBLE) AS n_stop
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END AS length_ok,
+      |    CASE WHEN (CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0 END) >= 3
+      |          AND (CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0 END) <= 12
+      |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END AS shape_ok,
+      |    CASE WHEN n_chars > 0 AND n_punct / n_chars <= 0.1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END AS punct_ok,
+      |    CASE WHEN n_words > 0 AND n_stop / n_words >= 0.05 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END AS stop_ok
+      |  FROM m)
+      |SELECT doc_id,
+      |  round(length_ok * CAST(0.3 AS DOUBLE) + shape_ok * CAST(0.3 AS DOUBLE)
+      |      + punct_ok * CAST(0.2 AS DOUBLE) + stop_ok * CAST(0.2 AS DOUBLE), 6) AS quality
+      |FROM f ORDER BY doc_id""".stripMargin
+}

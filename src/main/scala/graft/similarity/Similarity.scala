@@ -1,0 +1,128 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the exact baseline: queries × corpus dot
+  * products as a broadcast nested loop (queries are always the small side),
+  * ranked per query with a window — Spark turns that into
+  * BroadcastNestedLoopJoin + partial top-k, which scales linearly in the
+  * corpus and never shuffles the corpus itself.
+  *
+  * The scale path is LSH bucketing (random hyperplanes): each vector maps
+  * to an `nBits`-bit sign signature; candidates share a bucket, so the join
+  * key is the bucket id and cost is Σ bucket² — the embedding analog of
+  * MinHash banding. Hyperplanes are pseudo-random but DETERMINISTIC,
+  * derived from md5(plane:dim), so results are reproducible and
+  * engine-portable (no RNG state).
+  *
+  * All scoring happens on double-cast arrays with a sequential left fold,
+  * matching DuckDB's `list_dot_product` accumulation order bit-for-bit.
+  * Expressions are higher-order SQL functions (zip_with/aggregate/
+  * transform) — codegen-adjacent builtins, no UDFs.
+  */
+object Similarity {
+
+  /** SQL for a sequential-fold dot product of two double-array columns. */
+  def dotSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  private def toDoubleSql(c: String): String =
+    s"transform($c, x -> CAST(x AS DOUBLE))"
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors by cosine (self-match excluded). Output:
+    * (q_vec_id, rnk, vec_id, score). */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(
+      col("vec_id"),
+      expr(toDoubleSql("embedding")).as("emb"))
+      .withColumn("nrm", expr(s"sqrt(${dotSql("emb", "emb")})"))
+    val q = queries.select(
+      col("vec_id").as("q_vec_id"),
+      expr(toDoubleSql("embedding")).as("q_emb"))
+      .withColumn("q_nrm", expr(s"sqrt(${dotSql("q_emb", "q_emb")})"))
+    val scored = c
+      .join(broadcast(q), col("vec_id") =!= col("q_vec_id"))
+      .withColumn(
+        "score",
+        round(expr(dotSql("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    val w = Window
+      .partitionBy("q_vec_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_vec_id", "rnk", "vec_id", "score")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived value in [-0.5, 0.5). */
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val h = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s"$plane:$dim".getBytes("UTF-8"))
+    val v = java.nio.ByteBuffer.wrap(h).getInt(0) & 0xffffffffL
+    v.toDouble / 4294967296.0 - 0.5
+  }
+
+  /** Sign-LSH bucket id over an embedding column name: nBits hyperplane
+    * sign bits packed into a BIGINT. Generated as a flat SQL expression so
+    * the same formula can be handed to the DuckDB oracle — `indexFn`
+    * abstracts the one syntax difference (Spark `element_at(c, i)` is
+    * 1-based; DuckDB uses 1-based `c[i]`). */
+  def lshBucketSql(
+      emb: String,
+      dims: Int,
+      nBits: Int,
+      indexFn: (String, Int) => String = (c, i) => s"element_at($c, $i)"
+  ): String = {
+    val bitExprs = (0 until nBits).map { p =>
+      val terms = (0 until dims)
+        .map(d => s"CAST(${indexFn(emb, d + 1)} AS DOUBLE) * (${planeComponent(p, d)})")
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }
+    bitExprs.mkString("(", " + ", ")")
+  }
+
+  /** Approximate cosine top-k: candidates restricted to the query's LSH
+    * bucket, then scored exactly. Trades recall for a Σ bucket² cost that
+    * survives corpus scale-up; `nBits` tunes bucket granularity. */
+  def cosineTopKLsh(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dims: Int,
+      nBits: Int = 8
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = lshBucketSql("embedding", dims, nBits)
+    val c = corpus.select(
+      col("vec_id"),
+      expr(toDoubleSql("embedding")).as("emb"),
+      expr(bucket).as("bucket"))
+      .withColumn("nrm", expr(s"sqrt(${dotSql("emb", "emb")})"))
+    val q = queries.select(
+      col("vec_id").as("q_vec_id"),
+      expr(toDoubleSql("embedding")).as("q_emb"),
+      expr(bucket).as("bucket"))
+      .withColumn("q_nrm", expr(s"sqrt(${dotSql("q_emb", "q_emb")})"))
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .withColumn(
+        "score",
+        round(expr(dotSql("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    val w = Window
+      .partitionBy("q_vec_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_vec_id", "rnk", "vec_id", "score")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.dedup
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Planted-duplicate sanity for the dedup operators. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    // near-dup of 0: one word changed
+    (1L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    // unrelated
+    (3L, "completely different content about databases and distributed query engines"),
+    (4L, "spark catalyst optimizer rewrites logical plans into efficient physical plans")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses exact duplicates to the min id") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    val dupGroup = groups.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 0L)
+    assert(groups.length == 4)
+  }
+
+  test("minhash LSH finds the planted near-dup pair and skips unrelated") {
+    val pairs = Dedup
+      .minhashDuplicates(docs, "doc_id", "text", numHashes = 8, bands = 4,
+        threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    // 0-1 near-dup, 0-2 exact, 1-2 near-dup must all surface.
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs.contains((1L, 2L)))
+    // Unrelated docs never pair with the fox docs.
+    assert(!pairs.exists { case (a, b) => b >= 3L || a >= 3L })
+  }
+
+  test("exact duplicates have jaccard 1.0") {
+    val pairs = Dedup
+      .minhashDuplicates(docs, "doc_id", "text", 8, 4, 0.5)
+      .filter(col("id_a") === 0 && col("id_b") === 2)
+      .collect()
+    assert(pairs.length == 1 && pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash of identical texts is identical; near-dups are close") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(0L) == sh(2L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(3L)))
+  }
+
+  test("simhashDuplicates surfaces the exact-dup pair at hamming 0") {
+    val pairs = Dedup
+      .simhashDuplicates(docs, "doc_id", "text", maxHamming = 3, blocks = 4)
+      .collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Long]("hamming")))
+      .toMap
+    assert(pairs.get((0L, 2L)).contains(0L))
+  }
+
+  test("blocked ngram jaccard respects the block") {
+    val blocked = Seq(
+      (0L, "a", "one two three four five six"),
+      (1L, "a", "one two three four five seven"),
+      (2L, "b", "one two three four five six")
+    ).toDF("doc_id", "blk", "text")
+    val pairs = Dedup
+      .ngramJaccardBlocked(blocked, "doc_id", "text", col("blk"), 0.1)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    // 0-1 share block "a"; 0-2 identical text but different block → excluded.
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("shingles guard: fewer words than n yields no shingles") {
+    val tiny = Seq((0L, "only two")).toDF("doc_id", "text")
+    val sh = tiny.select(explode(Dedup.shingles(col("text"), 3)))
+    assert(sh.count() == 0)
+  }
+}
