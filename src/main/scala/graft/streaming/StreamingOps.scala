@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variants of the batch operators (SURVEY.md §2.6
+  * streaming row, §7.5.6 — net-new design; the reference is pure batch).
+  *
+  * A3's fixed time-interval aggregation becomes `window(ts, …)`; A1's
+  * consecutive-merge analog becomes `session_window` / custom
+  * `flatMapGroupsWithState`. Watermarks bound state: the reference never
+  * handles late data (its input is a complete file), so the policy here is
+  * the standard one — accept lateness up to the watermark, drop beyond.
+  *
+  * The `events` parquet carries TIMESTAMP(NANOS) which Spark's parquet
+  * reader rejects; the stream reads `ts` as raw nanos (LongType schema)
+  * and rebuilds a µs timestamp, same as the batch path in
+  * [[graft.queries.Tables.events]].
+  */
+object StreamingOps {
+
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (read via nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** Streaming source over a directory of events parquet files. The
+    * file-stream source requires a DIRECTORY and ingests every file in it
+    * — so the contract is a dedicated events drop-directory (standard
+    * file-source practice). Pointing it at a directory of mixed tables
+    * would silently yield null columns. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** A3 as a streaming tumbling window: per (window, event_type) counts and
+    * exact value cents, 1-hour windows, 30-min watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  /** A1's gap-merge analog as a built-in session window: 30-minute gap per
+    * user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  case class UserRunState(runCount: Long, lastType: Option[String])
+  case class RunChange(userId: Long, runIndex: Long, eventType: String)
+
+  /** Custom keyed state (the mapGroupsWithState surface): per-user
+    * consecutive event-type run detection — the streaming twin of the
+    * batch lag+cumsum run operator. Emits one row per run change. */
+  def runDetection(
+      spark: SparkSession,
+      events: DataFrame
+  ): Dataset[RunChange] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunState, RunChange](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId, rows, state) =>
+          // Micro-batch rows for one key, ordered by event time; state
+          // carries the last seen type across batches.
+          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          var st = state.getOption.getOrElse(UserRunState(0L, None))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RunChange]
+          for ((_, _, tpe) <- sorted) {
+            if (!st.lastType.contains(tpe)) {
+              st = UserRunState(st.runCount + 1, Some(tpe))
+              out += RunChange(userId, st.runCount, tpe)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

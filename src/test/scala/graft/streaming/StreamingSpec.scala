@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Streaming variants vs their batch twins: the static events parquet is
+  * replayed through each streaming query into a memory sink, then compared
+  * against the batch aggregation of the same data. */
+class StreamingSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The file-stream source needs a directory holding only events files —
+    * stage one with a symlink to the read-only test parquet. */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    d.toString
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String) = {
+    val q = df.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling window matches the batch aggregation") {
+    val stream = StreamingOps.readEvents(spark, streamDir)
+    // Append mode only emits windows the watermark has passed; the last
+    // window stays open, so compare on the emitted prefix.
+    val got = runToMemory(StreamingOps.tumblingCounts(stream), "tumbling")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3)))
+      .toMap
+    val batch = graft.queries.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("vc"))
+      .select(col("window.start"), col("event_type"), col("n"), col("vc"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.nonEmpty, "watermark should have closed most windows")
+    got.foreach { case (k, v) =>
+      assert(batch(k) == v, s"window $k: stream=$v batch=${batch(k)}")
+    }
+  }
+
+  test("streaming session window produces per-user sessions") {
+    val stream = StreamingOps.readEvents(spark, streamDir)
+    val got = runToMemory(StreamingOps.sessionCounts(stream), "sessions")
+    assert(got.count() > 0)
+    // Every user's emitted session event total ≤ its batch event total.
+    val perUser = got.groupBy("user_id").agg(sum("n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchTotals = graft.queries.Tables.events(spark, dir)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perUser.foreach { case (u, n) => assert(n <= batchTotals(u)) }
+  }
+
+  test("stateful run detection matches batch lag-based runs per user") {
+    import spark.implicits._
+    val stream = StreamingOps.readEvents(spark, streamDir)
+    val got = runToMemory(
+      StreamingOps.runDetection(spark, stream).toDF, "runs")
+    // Batch twin: per-user type-change count via lag.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val batchRuns = graft.queries.Tables.events(spark, dir)
+      .withColumn("chg",
+        when(col("event_type") === lag("event_type", 1).over(w), 0)
+          .otherwise(1))
+      .groupBy("user_id").agg(sum("chg").as("n_runs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotRuns = got.groupBy("userId").agg(max("runIndex").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotRuns.nonEmpty)
+    gotRuns.foreach { case (u, n) =>
+      assert(n == batchRuns(u), s"user $u: stream=$n batch=${batchRuns(u)}")
+    }
+  }
+}
