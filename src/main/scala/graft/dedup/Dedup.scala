@@ -26,11 +26,14 @@ object Dedup {
   def words(text: Column): Column =
     split(lower(text), "\\s+")
 
-  /** Word n-gram shingles (default 3), '_'-joined. Empty when the text has
-    * fewer than n words (guarded: Spark's `sequence` would happily generate
-    * a DESCENDING range and fabricate shingles). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = words(text)
+  /** Word n-gram shingles (default 3), '_'-joined, over an already
+    * MATERIALIZED words-array column. Taking the array column (not the
+    * text) is a 10× win: handing `split(text)` directly to the transform
+    * lambda makes Catalyst inline the split into every element_at call —
+    * n re-splits of the full text per shingle. Empty when the text has
+    * fewer than n words (guarded: Spark's `sequence` would happily
+    * generate a DESCENDING range and fabricate shingles). */
+  def shinglesOfWords(w: Column, n: Int = 3): Column =
     when(size(w) < n, array().cast("array<string>"))
       .otherwise(
         transform(
@@ -42,7 +45,19 @@ object Dedup {
           }
         )
       )
-  }
+
+  /** Distinct (id, shingle) rows — the shared first stage of every
+    * shingle-based dedup. Projects the words array in its own select so
+    * the split evaluates once per row. */
+  def shingleRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3
+  ): DataFrame =
+    df.select(col(idCol).as("id"), words(col(textCol)).as("w"))
+      .select(col("id"), explode(shinglesOfWords(col("w"), n)).as("shingle"))
+      .distinct()
 
   /** 32-bit integer hash of a string via the first 8 hex chars of md5 —
     * deliberately md5-based so DuckDB computes the identical value
@@ -75,9 +90,7 @@ object Dedup {
       textCol: String,
       numHashes: Int
   ): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("shingle"))
-      .distinct()
+    val sh = shingleRows(df, idCol, textCol)
     val sigAggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"sig_$i"))
     sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
@@ -108,8 +121,10 @@ object Dedup {
   }
 
   /** Exact Jaccard verification of candidate pairs over distinct shingle
-    * sets. Intersections come from a join on the shingle (shuffle on
-    * shingle, co-partitioned); set sizes are a cheap pre-agg. */
+    * sets. The intersection count is computed ONLY for candidate pairs —
+    * expand candidates with id_a's shingles, then hash-join on
+    * (id_b, shingle) — never as an all-docs shingle self-join, which at
+    * corpus scale degenerates into every pair sharing a stopword shingle. */
   def jaccardVerify(
       df: DataFrame,
       idCol: String,
@@ -117,19 +132,15 @@ object Dedup {
       candidates: DataFrame,
       threshold: Double
   ): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("shingle"))
-      .distinct()
+    val sh = shingleRows(df, idCol, textCol)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
-    val a = sh.as("sa")
-    val b = sh.as("sb")
-    val inter = a
-      .join(b, col("sa.shingle") === col("sb.shingle") &&
-          col("sa.id") < col("sb.id"))
-      .groupBy(col("sa.id").as("id_a"), col("sb.id").as("id_b"))
+    val inter = candidates
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_inter"))
-    candidates
-      .join(inter, Seq("id_a", "id_b"))
+    inter
       .join(sizes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("id", "id_b")
@@ -142,7 +153,11 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: signature → banded candidates →
-    * exact Jaccard ≥ threshold. */
+    * exact Jaccard ≥ threshold. The shingle set feeds three consumers
+    * (signatures, intersection sides a and b), so it is persisted for the
+    * life of the returned plan — recomputing the explode+distinct per
+    * consumer triples the dominant cost. Spark evicts it LRU; callers
+    * running many dedup passes can `spark.catalog.clearCache()`. */
   def minhashDuplicates(
       df: DataFrame,
       idCol: String,
@@ -152,9 +167,29 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = minhashSignature(df, idCol, textCol, numHashes)
+    val sh = shingleRows(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigAggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"sig_$i"))
+    val sigs = sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
     val cands = lshCandidates(sigs, bands, numHashes / bands)
-    jaccardVerify(df, idCol, textCol, cands, threshold)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val inter = cands
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        round(col("n_inter") / (col("size_a") + col("size_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   // -------------------------------------------------------------------------
@@ -236,7 +271,9 @@ object Dedup {
   ): DataFrame = {
     val sh = df
       .select(col(idCol).as("id"), blockCol.as("blk"),
-        explode(shingles(col(textCol), n)).as("shingle"))
+        words(col(textCol)).as("w"))
+      .select(col("id"), col("blk"),
+        explode(shinglesOfWords(col("w"), n)).as("shingle"))
       .distinct()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
     val a = sh.as("sa")

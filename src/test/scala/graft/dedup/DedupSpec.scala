@@ -84,7 +84,7 @@ class DedupSpec extends SparkSuite {
 
   test("shingles guard: fewer words than n yields no shingles") {
     val tiny = Seq((0L, "only two")).toDF("doc_id", "text")
-    val sh = tiny.select(explode(Dedup.shingles(col("text"), 3)))
+    val sh = Dedup.shingleRows(tiny, "doc_id", "text", 3)
     assert(sh.count() == 0)
   }
 }
