@@ -54,7 +54,8 @@ object SparkEntry {
     "q_sim_topk" -> (PipelineQueries.simTopK _),
     "q_sim_topk_lsh" -> (PipelineQueries.simTopKLsh _),
     "q_lang_id" -> (PipelineQueries.langId _),
-    "q_quality_score" -> (PipelineQueries.qualityScore _)
+    "q_quality_score" -> (PipelineQueries.qualityScore _),
+    "q_rolling_fingerprint" -> (PipelineQueries.rollingFingerprint _)
   )
 
   /** DuckDB oracle SQL, column-name- and type-aligned with [[queries]]. */
@@ -232,6 +233,7 @@ object SparkEntry {
     "q_sim_topk" -> PipelineQueries.simTopKOracle,
     "q_sim_topk_lsh" -> PipelineQueries.simTopKLshOracle,
     "q_lang_id" -> PipelineQueries.langIdOracle,
-    "q_quality_score" -> PipelineQueries.qualityOracle
+    "q_quality_score" -> PipelineQueries.qualityOracle,
+    "q_rolling_fingerprint" -> PipelineQueries.rollingFingerprintOracle
   )
 }

@@ -79,6 +79,32 @@ object PipelineQueries {
       )
       .orderBy("doc_id")
 
+  /** Winnowing fingerprint via the custom codegen Expression. */
+  def rollingFingerprint(s: SparkSession, d: String): DataFrame = {
+    graft.functions.RollingHashMin.register(s)
+    documents(s, d)
+      .filter(length(col("text")) >= graft.functions.RollingHashMin.DefaultWindow)
+      .selectExpr("doc_id", "rolling_fingerprint(text) AS fingerprint")
+      .orderBy("doc_id")
+  }
+
+  /** Termwise DuckDB twin of the rolling hash: h_i = Σ_j c[i+j]·B^(w-1-j)
+    * mod M with the powers precomputed from the same constants. */
+  def rollingFingerprintOracle: String = {
+    import graft.functions.RollingHashMin.{DefaultBase => B, DefaultMod => M, DefaultWindow => W}
+    val terms = (0 until W)
+      .map { j =>
+        val p = graft.functions.RollingHashMin.powMod(B, W - 1 - j, M)
+        s"ord(substr(text, i + $j, 1)) * $p"
+      }
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST(min(h) AS BIGINT) AS fingerprint FROM (
+       |  SELECT doc_id,
+       |    unnest([($terms) % $M for i in range(1, length(text) - ${W - 2})]) AS h
+       |  FROM documents WHERE length(text) >= $W)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def qualityScore(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(
