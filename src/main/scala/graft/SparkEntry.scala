@@ -55,7 +55,8 @@ object SparkEntry {
     "q_sim_topk_lsh" -> (PipelineQueries.simTopKLsh _),
     "q_lang_id" -> (PipelineQueries.langId _),
     "q_quality_score" -> (PipelineQueries.qualityScore _),
-    "q_rolling_fingerprint" -> (PipelineQueries.rollingFingerprint _)
+    "q_rolling_fingerprint" -> (PipelineQueries.rollingFingerprint _),
+    "q_dedup_cosine" -> (PipelineQueries.cosineDuplicates _)
   )
 
   /** DuckDB oracle SQL, column-name- and type-aligned with [[queries]]. */
@@ -234,6 +235,7 @@ object SparkEntry {
     "q_sim_topk_lsh" -> PipelineQueries.simTopKLshOracle,
     "q_lang_id" -> PipelineQueries.langIdOracle,
     "q_quality_score" -> PipelineQueries.qualityOracle,
-    "q_rolling_fingerprint" -> PipelineQueries.rollingFingerprintOracle
+    "q_rolling_fingerprint" -> PipelineQueries.rollingFingerprintOracle,
+    "q_dedup_cosine" -> PipelineQueries.cosineDuplicatesOracle
   )
 }

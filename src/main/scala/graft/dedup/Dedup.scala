@@ -197,28 +197,27 @@ object Dedup {
   // -------------------------------------------------------------------------
 
   /** 32-bit SimHash over word multiset: per bit, sum ±1 weighted by word
-    * occurrences; bit set when the sum is positive. Pure explode + two
-    * aggregations — no UDF, fully partial-agg friendly. */
+    * occurrences; bit set when the sum is positive. The 32 bit-sums are 32
+    * conditional aggregates over the word rows — NOT a 32× bit-explode:
+    * partial aggregation reduces each doc to one 32-column row map-side,
+    * so the shuffle carries |docs| compact rows instead of
+    * |words|×32 exploded ones. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = df.select(
       col(idCol).as("id"),
       explode(words(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .withColumn("hv", hash32(col("word")))
-    val bits = w
-      .select(col("id"), col("hv"), explode(sequence(lit(0), lit(31))).as("j"))
-      .withColumn(
-        "v",
-        when(expr("shiftright(hv, j) & 1") === 1, 1).otherwise(-1))
-    bits
-      .groupBy("id", "j")
-      .agg(sum(col("v")).as("s"))
-      .groupBy("id")
-      .agg(
-        sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-          .otherwise(0L))
-          .cast("long")
-          .as("simhash"))
+    val bitAggs = (0 until 32).map { j =>
+      sum(when(expr(s"shiftright(hv, $j) & 1") === 1, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val assembled = (0 until 32)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    w.groupBy("id")
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"), assembled.cast("long").as("simhash"))
   }
 
   /** SimHash near-dup pairs within a hamming radius, candidate-blocked by

@@ -79,6 +79,29 @@ object PipelineQueries {
       )
       .orderBy("doc_id")
 
+  val CosineDupThreshold = 0.4
+
+  def cosineDuplicates(s: SparkSession, d: String): DataFrame =
+    Similarity
+      .cosineDuplicates(embeddings(s, d), CosineDupThreshold, Dims, LshBits)
+      .orderBy("id_a", "id_b")
+
+  def cosineDuplicatesOracle: String = {
+    val bucketSql = Similarity.lshBucketSql(
+      "embedding", Dims, LshBits, (c, i) => s"$c[$i]")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       |    $bucketSql AS bucket
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb, bucket, sqrt(list_dot_product(emb, emb)) AS nrm FROM v),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS score
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT DISTINCT id_a, id_b, score FROM pairs
+       |WHERE score >= $CosineDupThreshold ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Winnowing fingerprint via the custom codegen Expression. */
   def rollingFingerprint(s: SparkSession, d: String): DataFrame = {
     graft.functions.RollingHashMin.register(s)

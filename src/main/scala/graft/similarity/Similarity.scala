@@ -89,6 +89,36 @@ object Similarity {
     bitExprs.mkString("(", " + ", ")")
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates share an LSH
+    * bucket (self-join on the bucket id — Σ bucket², never n²), verified
+    * with the exact cosine ≥ threshold. The embedding analog of
+    * MinHash-banded near-dup detection. */
+  def cosineDuplicates(
+      corpus: DataFrame,
+      threshold: Double,
+      dims: Int,
+      nBits: Int = 4
+  ): DataFrame = {
+    val bucket = lshBucketSql("embedding", dims, nBits)
+    val v = corpus.select(
+      col("vec_id"),
+      expr(toDoubleSql("embedding")).as("emb"),
+      expr(bucket).as("bucket"))
+      .withColumn("nrm", expr(s"sqrt(${dotSql("emb", "emb")})"))
+    val a = v.select(col("vec_id").as("id_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"), col("bucket"))
+    val b = v.select(col("vec_id").as("id_b"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn(
+        "score",
+        round(expr(dotSql("emb_a", "emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+      .distinct()
+  }
+
   /** Approximate cosine top-k: candidates restricted to the query's LSH
     * bucket, then scored exactly. Trades recall for a Σ bucket² cost that
     * survives corpus scale-up; `nBits` tunes bucket granularity. */
