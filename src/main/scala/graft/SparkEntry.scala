@@ -42,6 +42,7 @@ object SparkEntry {
     "q_run_merge" -> (EventQueries.runMerge _),
     "q_interval_agg" -> (EventQueries.intervalAgg _),
     "q_sessionize" -> (EventQueries.sessionize _),
+    "q_asof_attribution" -> (EventQueries.asofAttribution _),
     "q_chunk_prefix" -> (EventQueries.chunkPrefix _),
     "q_mock_summarize" -> (EventQueries.mockSummarize _),
     "q_tree_concat" -> (EventQueries.treeConcat _),
@@ -183,6 +184,23 @@ object SparkEntry {
         | CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM e ORDER BY event_id""".stripMargin,
+    "q_asof_attribution" ->
+      """WITH u AS (
+        | SELECT user_id, ts, event_id, 1 AS side,
+        |  CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS BIGINT) AS view_ms
+        | FROM events WHERE event_type = 'click'
+        | UNION ALL
+        | SELECT user_id, ts, event_id, 0, event_id, epoch_ms(ts)
+        | FROM events WHERE event_type = 'view'),
+        |m AS (SELECT user_id, ts, event_id, side,
+        |  last_value(view_id IGNORE NULLS) OVER w AS view_event_id,
+        |  last_value(view_ms IGNORE NULLS) OVER w AS view_ms
+        | FROM u
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, view_event_id,
+        | epoch_ms(ts) - view_ms AS gap_ms
+        |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin,
     "q_chunk_prefix" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(CASE WHEN text IS NULL OR length(text) = 0 THEN 0

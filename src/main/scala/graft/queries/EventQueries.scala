@@ -224,6 +224,29 @@ object EventQueries {
       )
   }
 
+  /** As-of join (attribution shape): each click matched to the latest
+    * view at-or-before it by the same user — the [[graft.operators.AsOfJoin]]
+    * union-window operator, oracle-checked against the same algorithm in
+    * DuckDB. */
+  def asofAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        col("event_id").as("view_event_id"),
+        unix_millis(col("ts")).as("view_ms"))
+    graft.operators.AsOfJoin
+      .asOf(clicks, views, Seq("user_id"), "ts", "ts", "event_id",
+        Seq("view_event_id", "view_ms"))
+      .select(
+        col("event_id"), col("user_id"),
+        col("asof_view_event_id").as("view_event_id"),
+        (unix_millis(col("ts")) - col("asof_view_ms")).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
   /** A10: usage/cost accounting with the reference's hard-coded per-model
     * rates, in exact integer nano-dollars
     * (/root/reference/llm_executor.py:308-317, :394-400). */
