@@ -36,7 +36,9 @@ object Summarizer {
     val raw = Preprocess.loadTranscript(spark, inputPath)
     val nSegments = raw.count()
 
-    val processed = Preprocess.run(spark, raw, cfg.prep)
+    // Three consumers below (chunking, duration, speakers) — cache the
+    // preprocessed transcript instead of re-running load+fold per action.
+    val processed = Preprocess.run(spark, raw, cfg.prep).cache()
     val chunks = Chunker.run(spark, processed, cfg.chunk)
     val mapped =
       SummarizeMap.run(spark, chunks, cfg.llm, cfg.map).cache()
@@ -151,12 +153,23 @@ object Main {
       def readFile(p: String): String =
         new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8").trim
       val cfg = Summarizer.Config(
-        llm = LlmConfig(
-          provider = opts.getOrElse("provider", "mock"),
-          model = opts.getOrElse("model", "mock-model"),
-          apiKey = sys.env.get("OPENAI_API_KEY").orElse(sys.env.get("ANTHROPIC_API_KEY")),
-          maxTokens = opts.getOrElse("max-response-tokens", "1000").toInt
-        ),
+        llm = {
+          val provider = opts.getOrElse("provider", "mock")
+          // Key selection is per provider (the reference picks the matching
+          // env var and falls back to mock when absent,
+          // /root/reference/llm_executor.py:104-106).
+          val key = provider.toLowerCase match {
+            case "openai"    => sys.env.get("OPENAI_API_KEY")
+            case "anthropic" => sys.env.get("ANTHROPIC_API_KEY")
+            case _           => None
+          }
+          LlmConfig(
+            provider = provider,
+            model = opts.getOrElse("model", "mock-model"),
+            apiKey = key,
+            maxTokens = opts.getOrElse("max-response-tokens", "1000").toInt
+          )
+        },
         prep = Preprocess.PrepConfig(
           mergeSameSpeaker = !opts.contains("no-merge"),
           maxSegmentDuration =
@@ -176,7 +189,9 @@ object Main {
           concurrency = opts.getOrElse("max-concurrent", "5").toInt
         ),
         agg = SummaryReduce.AggConfig(
-          hierarchical = opts.contains("hierarchical"),
+          // Hierarchical is the reference's DEFAULT, disabled via
+          // --no-hierarchical (/root/reference/main.py:351,446).
+          hierarchical = !opts.contains("no-hierarchical"),
           promptTemplate = opts.get("aggregator-prompt-file").map(readFile)
         )
       )

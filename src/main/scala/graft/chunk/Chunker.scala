@@ -20,9 +20,12 @@ object Chunker {
       maxTokensPerChunk: Int = 4000,
       contextTokens: Int = 150,
       addContext: Boolean = true,
-      /** Reference declares overlap_tokens=200 but never applies it (dead
-        * config, /root/reference/big_chunkeroosky.py:26,40). The engine
-        * implements it for real behind this flag; default off = parity. */
+      /** Inter-chunk overlap: when a chunk closes on the token budget, the
+        * trailing segments up to this many tokens are re-seeded into the
+        * next chunk for summary continuity. The reference declares
+        * overlap_tokens=200 but never applies it (dead config,
+        * /root/reference/big_chunkeroosky.py:26,40); here it is
+        * implemented for real. Default off = parity. */
       overlapTokens: Int = 0
   ) {
     def effectiveMax: Int = maxTokensPerChunk - contextTokens
@@ -43,6 +46,10 @@ object Chunker {
     var startTime = 0.0
     var endTime = 0.0
     var speakers = scala.collection.mutable.SortedSet.empty[String]
+    // (segment, rendered text, tokens) of the current chunk — kept so a
+    // budget-break can carry an overlap tail into the next chunk.
+    var items = scala.collection.mutable.ArrayBuffer.empty[(SegmentTimestamp, String, Int)]
+    var lastItems: Seq[(SegmentTimestamp, String, Int)] = Seq.empty
 
     def nonEmpty: Boolean = segs.nonEmpty
 
@@ -53,9 +60,29 @@ object Chunker {
       startTime = start
       endTime = start
       speakers = scala.collection.mutable.SortedSet.empty[String]
+      items = scala.collection.mutable.ArrayBuffer.empty
+    }
+
+    /** Reset for the next chunk, re-seeding the trailing items of the
+      * just-finished chunk up to the overlap budget (capped at half the
+      * chunk budget so a chunk can never consist solely of overlap). */
+    def resetWithOverlap(start: Double): Unit = {
+      val budget = math.min(cfg.overlapTokens, cfg.effectiveMax / 2)
+      val tail =
+        if (budget <= 0) Seq.empty
+        else {
+          var total = 0
+          lastItems.reverse.takeWhile { case (_, _, t) =>
+            total += t; total <= budget
+          }.reverse
+        }
+      reset(start)
+      tail.foreach { case (seg, txt, tok) => add(seg, txt, tok) }
+      tail.headOption.foreach(h => startTime = h._1.start)
     }
 
     def add(seg: SegmentTimestamp, renderedText: String, tokenCount: Int): Unit = {
+      items += ((seg, renderedText, tokenCount))
       segs += seg
       if (text.nonEmpty) text.append("\n\n")
       text.append(renderedText)
@@ -87,6 +114,7 @@ object Chunker {
       val withContext =
         if (cfg.addContext) contextHeader(idx, startTime, endTime, speakerList, position) + "\n\n" + body
         else body
+      lastItems = items.toSeq
       chunks += Chunk(
         segments = segs.toSeq,
         text = body,
@@ -138,13 +166,13 @@ object Chunker {
       val segTokens = TextFunctions.estimateTokens(rendered)
       if (b.tokens + segTokens > cfg.effectiveMax && b.nonEmpty) {
         b.finish()
-        b.reset(segment.start)
+        b.resetWithOverlap(segment.start)
       }
       if (segTokens > cfg.effectiveMax) {
         for (sub <- splitLargeSegment(segment, cfg)) {
           if (b.tokens > 0 && b.tokens + sub.tokens > cfg.effectiveMax) {
             b.finish()
-            b.reset(sub.seg.start)
+            b.resetWithOverlap(sub.seg.start)
           }
           b.add(sub.seg, sub.text, sub.tokens)
         }

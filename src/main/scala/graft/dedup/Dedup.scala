@@ -89,12 +89,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       numHashes: Int
-  ): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol)
-    val sigAggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"sig_$i"))
-    sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
-  }
+  ): DataFrame =
+    signatureOfShingles(shingleRows(df, idCol, textCol), numHashes)
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand =
     * numHashes), bucket-join on (band index, band hash). The self-join is
@@ -120,19 +116,17 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard verification of candidate pairs over distinct shingle
-    * sets. The intersection count is computed ONLY for candidate pairs —
-    * expand candidates with id_a's shingles, then hash-join on
-    * (id_b, shingle) — never as an all-docs shingle self-join, which at
-    * corpus scale degenerates into every pair sharing a stopword shingle. */
-  def jaccardVerify(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
+  /** Exact Jaccard verification of candidate pairs over a precomputed
+    * distinct (id, shingle) set. The intersection count is computed ONLY
+    * for candidate pairs — expand candidates with id_a's shingles, then
+    * hash-join on (id_b, shingle) — never as an all-docs shingle
+    * self-join, which at corpus scale degenerates into every pair sharing
+    * a stopword shingle. */
+  def jaccardVerifyShingles(
+      sh: DataFrame,
       candidates: DataFrame,
       threshold: Double
   ): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
     val inter = candidates
       .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
@@ -152,6 +146,22 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  def jaccardVerify(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      candidates: DataFrame,
+      threshold: Double
+  ): DataFrame =
+    jaccardVerifyShingles(shingleRows(df, idCol, textCol), candidates, threshold)
+
+  /** Signature aggregation over a precomputed shingle set. */
+  private def signatureOfShingles(sh: DataFrame, numHashes: Int): DataFrame = {
+    val sigAggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"sig_$i"))
+    sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
   /** Full MinHash-LSH near-dup pipeline: signature → banded candidates →
     * exact Jaccard ≥ threshold. The shingle set feeds three consumers
     * (signatures, intersection sides a and b), so it is persisted for the
@@ -169,27 +179,9 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sh = shingleRows(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigAggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"sig_$i"))
-    val sigs = sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+    val sigs = signatureOfShingles(sh, numHashes)
     val cands = lshCandidates(sigs, bands, numHashes / bands)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
-    val inter = cands
-      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingle")),
-        Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
-      .withColumn(
-        "jaccard",
-        round(col("n_inter") / (col("size_a") + col("size_b") - col("n_inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    jaccardVerifyShingles(sh, cands, threshold)
   }
 
   // -------------------------------------------------------------------------

@@ -127,10 +127,17 @@ object Multimodal {
       codec: MediaCodec = StubCodec
   ): Dataset[MediaItem] = {
     import items.sparkSession.implicits._
+    // Frame ids live in a 2^20 sub-space per media id — enforce the bound
+    // instead of silently colliding with the next item's range.
+    val frameBits = 20
     items.flatMap { item =>
-      codec.sampleFrames(item, everyMs).zipWithIndex.map { case (frame, i) =>
+      val frames = codec.sampleFrames(item, everyMs)
+      require(frames.size < (1 << frameBits),
+        s"media ${item.mediaId}: ${frames.size} frames exceeds the " +
+          s"2^$frameBits id sub-space; raise everyMs")
+      frames.zipWithIndex.map { case (frame, i) =>
         MediaItem(
-          item.mediaId * 100000L + i,
+          (item.mediaId << frameBits) + i,
           frame,
           item.meta.copy(kind = "frame", durationMs = 0))
       }

@@ -42,6 +42,11 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val leftPayload =
       leftCols.filterNot(c => keys.contains(c) || c == tieBreak || c == leftTs)
+    // The right values travel as ONE struct so the carried match is always
+    // a single right ROW — per-column last(ignoreNulls) would tear values
+    // from different right rows whenever an individual value is null.
+    val rvStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(v => right.schema(v).copy(name = v)))
     // side 0 = right, side 1 = left: at equal ts the right row sorts first,
     // so a same-timestamp right row IS matched (inclusive <=).
     val taggedLeft = left
@@ -49,9 +54,8 @@ object AsOfJoin {
         keys.map(col) ++ Seq(
           col(leftTs).as("__ts"), lit(1).as("__side"),
           col(tieBreak).as("__tie")) ++
-          leftPayload.map(col) ++
-          rightVals.map(v =>
-            lit(null).cast(right.schema(v).dataType).as(s"__rv_$v")): _*
+          leftPayload.map(col) :+
+          lit(null).cast(rvStructType).as("__rv"): _*
       )
     val taggedRight = right
       .select(
@@ -59,24 +63,21 @@ object AsOfJoin {
           col(rightTs).as("__ts"), lit(0).as("__side"),
           col(tieBreak).as("__tie")) ++
           leftPayload.map(c =>
-            lit(null).cast(left.schema(c).dataType).as(c)) ++
-          rightVals.map(v => col(v).as(s"__rv_$v")): _*
+            lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(rightVals.map(v => col(v).as(v)): _*).as("__rv"): _*
       )
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      (df, v) =>
-        df.withColumn(s"asof_$v",
-          last(col(s"__rv_$v"), ignoreNulls = true).over(w))
-    }
-    carried
+    taggedLeft
+      .unionByName(taggedRight)
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(
         keys.map(col) ++ Seq(col("__ts").as(leftTs), col("__tie").as(tieBreak)) ++
           leftPayload.map(col) ++
-          rightVals.map(v => col(s"asof_$v")): _*
+          rightVals.map(v => col(s"__asof.$v").as(s"asof_$v")): _*
       )
   }
 }

@@ -83,7 +83,11 @@ object TextFunctions {
   // -------------------------------------------------------------------------
 
   def estimateTokens(s: String): Int =
-    if (s == null || s.isEmpty) 0 else math.max(1, s.length / 4)
+    // codePointCount, not String.length: Spark's length() counts code
+    // points, and the two implementations must agree on astral chars
+    // (emoji etc.) for chunk budgets and the oracle to stay coherent.
+    if (s == null || s.isEmpty) 0
+    else math.max(1, s.codePointCount(0, s.length) / 4)
 
   def estimateTokensCol(c: Column): Column =
     when(c.isNull || length(c) === 0, lit(0))

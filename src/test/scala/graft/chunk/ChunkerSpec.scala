@@ -96,6 +96,24 @@ class ChunkerSpec extends SparkSuite {
     assert(chunks.forall(c => componentStarts.contains(c.startTime)))
   }
 
+  test("overlapTokens seeds each new chunk with the previous tail") {
+    val segs = (0 until 20).map(i => seg(i * 10, i * 10 + 9, "SPK", "x" * 40, i.toLong))
+    val noOverlap = Chunker.chunkLocal(segs, smallCfg)
+    val overlapped = Chunker.chunkLocal(segs, smallCfg.copy(overlapTokens = 30))
+    assert(overlapped.size >= noOverlap.size)
+    // Every later chunk begins with segments repeated from its predecessor.
+    overlapped.sliding(2).foreach {
+      case Seq(prev, next) =>
+        val prevStarts = prev.segments.map(_.start).toSet
+        assert(prevStarts.contains(next.segments.head.start),
+          s"chunk ${next.chunkIndex} does not start inside chunk ${prev.chunkIndex}")
+      case _ => ()
+    }
+    // Parity default: zero overlap keeps chunks disjoint.
+    val flat = noOverlap.flatMap(_.segments)
+    assert(flat.size == segs.size)
+  }
+
   test("Spark surface matches the local fold") {
     import spark.implicits._
     val raw = Preprocess.loadTranscript(spark, resourcePath("mini_multi_speaker.json"))
