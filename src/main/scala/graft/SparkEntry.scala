@@ -27,6 +27,10 @@ object SparkEntry {
     "q_top_suppliers_per_nation" -> (Relational.topSuppliersPerNation _),
     "q_active_custkeys" -> (Relational.activeCustkeys _),
     "q_orders_rollup" -> (Relational.ordersRollup _),
+    "q_shipping_priority" -> (Relational.shippingPriority _),
+    "q_big_customers" -> (Relational.bigCustomers _),
+    "q_value_percentiles" -> (Relational.valuePercentiles _),
+    "q_value_histogram" -> (Relational.valueHistogram _),
     // --- text operators (SURVEY §2.2, §7.4) ---
     "q_clean_text" -> (TextQueries.cleanText _),
     "q_token_estimate" -> (TextQueries.tokenEstimate _),
@@ -111,6 +115,28 @@ object SparkEntry {
         | CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_shipping_priority" ->
+      """SELECT l_orderkey,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q_big_customers" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+    "q_value_percentiles" ->
+      """SELECT event_type, count(*) AS n_events,
+        | round(quantile_cont(value, 0.5), 4) AS median_value,
+        | round(quantile_cont(value, 0.9), 4) AS p90_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_value_histogram" ->
+      """SELECT CAST(floor(value/5) AS BIGINT) AS bucket, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_clean_text" ->
       """SELECT doc_id,
         | regexp_replace(trim(regexp_replace(text || '  trailing.Tail  end', '\s+', ' ', 'g')), '([.!?])([A-Za-z])', '\1 \2', 'g') AS clean_text

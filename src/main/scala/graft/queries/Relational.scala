@@ -106,6 +106,51 @@ object Relational {
     withOrders.intersect(positive).orderBy("custkey")
   }
 
+  /** TPC-H Q3 shape: revenue per order within one market segment, top-10.
+    * Dimension filter pushes into the broadcast side; the big-side join
+    * co-partitions on the order key; top-N is TakeOrderedAndProject. */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d)
+    val li = lineitem(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** GROUP BY + HAVING: customers with many orders. */
+  def bigCustomers(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .filter(col("n_orders") >= 15)
+      .orderBy("o_custkey")
+
+  /** Exact interpolated percentiles per event type (statistical aggregate
+    * family; order-insensitive so hash-safe after rounding). */
+  def valuePercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(expr("percentile(value, 0.5)"), 4).as("median_value"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90_value"))
+      .orderBy("event_type")
+
+  /** Fixed-width value histogram — the bucketed-distribution shape. */
+  def valueHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(floor(col("value") / 5).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("bucket")
+
   /** Grouping-sets rollup: order counts by (status, priority) hierarchy.
     * Null grouping keys from ROLLUP are made deterministic via coalesce. */
   def ordersRollup(s: SparkSession, d: String): DataFrame =
