@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.SparkSuite
+import graft.SparkEntry
+
+/** Physical-plan regression guards: the scale properties the query surface
+  * is designed around must survive refactors — filters reach the parquet
+  * scan, projections prune columns, dimensions broadcast, top-N never
+  * globally sorts. (Wall-clock benchmarks are noise-prone on shared
+  * hardware; plan shape is the stable signal.) */
+class PlanSpec extends SparkSuite {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  test("pricing summary pushes the date filter into the parquet scan") {
+    val p = plan("q_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
+    // Column pruning: only the 6 referenced lineitem columns are read.
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"))
+  }
+
+  test("revenue by nation broadcasts every dimension") {
+    val p = plan("q_revenue_by_nation")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("top-N orders uses TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_top_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("cosine top-k broadcasts queries and never shuffles the corpus") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // The only exchanges are for the per-query window rank + final order,
+    // downstream of scoring — the corpus rows are scored in the scan stage.
+    val idx = p.indexOf("BroadcastNestedLoopJoin")
+    val below = p.substring(idx)
+    assert(!below.contains("Exchange hashpartitioning(vec_id"))
+  }
+
+  test("semi/anti joins stay joins (no subquery materialization)") {
+    assert(plan("q_customers_with_orders").contains("LeftSemi"))
+    assert(plan("q_customers_without_orders").contains("LeftAnti"))
+  }
+
+  test("lsh candidate join is an equi-join on the band bucket") {
+    val p = plan("q_dedup_minhash")
+    // Banded candidates join with hash equi-join machinery, never a
+    // cartesian/nested-loop product over documents.
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+}
