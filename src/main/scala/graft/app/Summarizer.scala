@@ -186,7 +186,8 @@ object Main {
             .map(Prompts.ensureTranscriptPlaceholder)
             .getOrElse(Prompts.defaultMapPrompt),
           systemPrompt = opts.get("system-prompt-file").map(readFile),
-          concurrency = opts.getOrElse("max-concurrent", "5").toInt
+          concurrency = opts.getOrElse("max-concurrent", "5").toInt,
+          requestsPerTask = opts.getOrElse("requests-per-task", "1").toInt
         ),
         agg = SummaryReduce.AggConfig(
           // Hierarchical is the reference's DEFAULT, disabled via

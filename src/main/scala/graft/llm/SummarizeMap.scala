@@ -25,7 +25,11 @@ object SummarizeMap {
       systemPrompt: Option[String] = None,
       summaryType: String = "comprehensive",
       concurrency: Int = 5,
-      useContextText: Boolean = true
+      useContextText: Boolean = true,
+      /** In-flight requests per task. 1 = sequential (parity with one
+        * request per semaphore slot); >1 overlaps the HTTP wait inside a
+        * partition — total in-flight = concurrency × this. */
+      requestsPerTask: Int = 1
   )
 
   def run(
@@ -40,20 +44,58 @@ object SummarizeMap {
     val summaryType = cfg.summaryType
     val useContext = cfg.useContextText
     val parts = math.max(1, cfg.concurrency)
+    val perTask = math.max(1, cfg.requestsPerTask)
     chunks
       .repartition(parts)
       .mapPartitions { it =>
         // One client per partition (per task): connection reuse without
-        // sharing mutable state across threads.
+        // sharing mutable state across threads. The LLM call is pure I/O
+        // wait, so overlapping `perTask` requests on a small pool is the
+        // JVM analog of the reference's asyncio semaphore
+        // (/root/reference/llm_executor.py:132-147).
         val client = LlmClient.forConfig(llmCfg)
-        it.map { chunk =>
+        val process: Chunk => ProcessedChunk = { chunk =>
           val body = if (useContext) chunk.textWithContext else chunk.text
           val user = Prompts.fill(
             Prompts.fill(template, "transcript", body),
             "summary_type",
             summaryType
           )
-          client.completeWithRetry(system, user) match {
+          toProcessed(chunk, client.completeWithRetry(system, user))
+        }
+        if (perTask == 1) it.map(process)
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(perTask)
+          val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+          val out = it
+            .grouped(perTask)
+            .flatMap { batch =>
+              val futures = batch.map(c =>
+                pool.submit(new java.util.concurrent.Callable[ProcessedChunk] {
+                  override def call(): ProcessedChunk = process(c)
+                }))
+              futures.map(_.get())
+            }
+          // Shut the pool down when the iterator is exhausted.
+          new Iterator[ProcessedChunk] {
+            override def hasNext: Boolean = {
+              val h = out.hasNext
+              if (!h && done.compareAndSet(false, true)) pool.shutdown()
+              h
+            }
+            override def next(): ProcessedChunk = out.next()
+          }
+        }
+      }
+      .orderBy("chunkIndex")
+      .as[ProcessedChunk]
+  }
+
+  private def toProcessed(
+      chunk: Chunk,
+      result: Either[String, LlmResponse]
+  ): ProcessedChunk =
+    result match {
             case Right(r) =>
               ProcessedChunk(
                 chunkIndex = chunk.chunkIndex,
@@ -90,10 +132,5 @@ object SummarizeMap {
                 cost = 0.0,
                 error = Some(err)
               )
-          }
-        }
-      }
-      .orderBy("chunkIndex")
-      .as[ProcessedChunk]
-  }
+    }
 }

@@ -65,6 +65,21 @@ class PipelineSpec extends SparkSuite {
     assert(out.result.tokensUsed > out.result.chunks * 100 + 100)
   }
 
+  test("intra-partition concurrency produces identical results") {
+    import graft.llm.{LlmConfig, SummarizeMap}
+    import graft.chunk.Chunker
+    import graft.prep.Preprocess
+    val raw = Preprocess.loadTranscript(spark, resourcePath("mini_multi_speaker.json"))
+    val prepped = Preprocess.run(spark, raw)
+    val chunks = Chunker.run(spark, prepped,
+      Chunker.ChunkConfig(maxTokensPerChunk = 300, contextTokens = 50))
+    def summaries(requestsPerTask: Int): Seq[(Int, String)] =
+      SummarizeMap.run(spark, chunks, LlmConfig(),
+          SummarizeMap.MapConfig(concurrency = 2, requestsPerTask = requestsPerTask))
+        .collect().map(c => c.chunkIndex -> c.summary).toSeq.sortBy(_._1)
+    assert(summaries(4) == summaries(1))
+  }
+
   test("mock reduce output is a pure function of its inputs") {
     val client = new MockLlmClient(LlmConfig())
     val r1 = SummaryReduce.singleReduce(
