@@ -45,10 +45,12 @@ object Summarizer {
     val nChunks = mapped.count()
 
     // Metadata assembled like /root/reference/main.py:219-231.
-    val (durSec, durFmt) = Preprocess.transcriptDuration(processed)
+    val (durSec, _) = Preprocess.transcriptDuration(processed)
     val speakers = Preprocess.extractSpeakers(processed)
     val metadata = cfg.agg.metadata ++ Seq(
-      "Transcript Duration" -> durFmt,
+      // Duration is rendered in h/m/s words in the metadata block
+      // (/root/reference/main.py:229,324-332), not HH:MM:SS.
+      "Transcript Duration" -> TextFunctions.formatDurationWords(durSec),
       "Number of Speakers" -> speakers.size.toString,
       "Speakers" -> speakers.mkString(", "),
       "Number of Segments" -> nSegments.toString,

@@ -74,6 +74,17 @@ object TextFunctions {
       .otherwise(format_string("%02d:%02d", m, s))
   }
 
+  /** h/m/s-words duration rendering used in summary metadata
+    * (/root/reference/main.py:324-332): "7h 22m 41s", hour omitted when
+    * zero → "22m 41s". */
+  def formatDurationWords(seconds: Double): String = {
+    val total = math.floor(seconds).toLong
+    val h = total / 3600
+    val m = (total % 3600) / 60
+    val s = total % 60
+    if (h > 0) s"${h}h ${m}m ${s}s" else s"${m}m ${s}s"
+  }
+
   // -------------------------------------------------------------------------
   // A9 token estimator. tiktoken `cl100k_base` has no offline JVM twin, so
   // the engine's canonical counter is the reference's own fallback estimator:

@@ -50,6 +50,12 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(formatHms(26561.26) == "07:22:41")
   }
 
+  test("formatDurationWords renders h/m/s words, hour omitted when zero") {
+    assert(formatDurationWords(26561.26) == "7h 22m 41s")
+    assert(formatDurationWords(125.0) == "2m 5s")
+    assert(formatDurationWords(0.0) == "0m 0s")
+  }
+
   test("estimateTokens is chars/4 with floor 1") {
     assert(estimateTokens("") == 0)
     assert(estimateTokens("abc") == 1)
