@@ -67,6 +67,9 @@ object Summarizer {
       .head()
     val mapTokens = if (usage.isNullAt(0)) 0L else usage.getLong(0)
     val mapCost = if (usage.isNullAt(1)) 0.0 else usage.getDouble(1)
+    // All consumers of the preprocessed transcript have run; only the
+    // mapped chunks (returned to the caller) stay cached.
+    processed.unpersist()
 
     Output(
       SummaryResult(
