@@ -29,6 +29,28 @@ class ReferenceTranscriptSpec extends SparkSuite {
     assert(chunks.last.endTime <= 26562.0)
   }
 
+  test("chunk boundaries are pinned (golden) and match the reference's sample") {
+    assume(new java.io.File(path).exists())
+    val raw = Preprocess.loadTranscript(spark, path)
+    val prepped = Preprocess.run(spark, raw)
+    val chunks = Chunker.run(spark, prepped).collect().sortBy(_.chunkIndex)
+    // The reference's README records its first chunk as covering
+    // 0.0-992.4 s (/root/reference/README.md:145-158). Our chars/4
+    // estimator yields different token COUNTS than tiktoken, yet the
+    // greedy fold lands on the identical first boundary — structural
+    // parity, not coincidence.
+    assert(chunks.head.startTime == 0.0 && chunks.head.endTime == 992.4)
+    // Full-boundary golden pin: any change to cleaning, merging, token
+    // estimation, or the fold moves this hash.
+    val descriptor = chunks
+      .map(c => s"${c.chunkIndex}:${c.tokenCount}:${c.startTime}:${c.endTime}")
+      .mkString("|")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(descriptor.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(chunks.length == 23)
+    assert(md == "8d9b1701987e1f24ed517ef6b6c914dc")
+  }
+
   test("per-transcript corpus path matches the single-transcript path") {
     assume(new java.io.File(path).exists())
     import spark.implicits._

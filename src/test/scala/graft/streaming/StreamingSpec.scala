@@ -70,6 +70,26 @@ class StreamingSpec extends SparkSuite {
     perUser.foreach { case (u, n) => assert(n <= batchTotals(u)) }
   }
 
+  test("stream-static join enriches streaming events with a dimension") {
+    import org.apache.spark.sql.functions._
+    val stream = StreamingOps.readEvents(spark, streamDir)
+    // Static dimension: per-type weighting table (broadcast into each
+    // micro-batch — the standard stream-static enrichment shape).
+    import spark.implicits._
+    val dim = Seq(("click", 3.0), ("view", 1.0), ("purchase", 10.0))
+      .toDF("event_type", "weight")
+    val joined = stream
+      .join(broadcast(dim), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        (col("value") * col("weight")).as("weighted"))
+    val got = runToMemory(joined, "enriched")
+    val n = got.count()
+    val batchN = graft.queries.Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view", "purchase")).count()
+    assert(n == batchN)
+    assert(got.filter(col("weighted").isNull).count() == 0)
+  }
+
   test("stateful run detection matches batch lag-based runs per user") {
     import spark.implicits._
     val stream = StreamingOps.readEvents(spark, streamDir)
