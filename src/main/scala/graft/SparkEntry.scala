@@ -61,7 +61,9 @@ object SparkEntry {
     "q_lang_id" -> (PipelineQueries.langId _),
     "q_quality_score" -> (PipelineQueries.qualityScore _),
     "q_rolling_fingerprint" -> (PipelineQueries.rollingFingerprint _),
-    "q_dedup_cosine" -> (PipelineQueries.cosineDuplicates _)
+    "q_dedup_cosine" -> (PipelineQueries.cosineDuplicates _),
+    "q_minhash_signatures" -> (PipelineQueries.minhashSignatures _),
+    "q_curation_verdict" -> (PipelineQueries.curationVerdict _)
   )
 
   /** DuckDB oracle SQL, column-name- and type-aligned with [[queries]]. */
@@ -280,6 +282,8 @@ object SparkEntry {
     "q_lang_id" -> PipelineQueries.langIdOracle,
     "q_quality_score" -> PipelineQueries.qualityOracle,
     "q_rolling_fingerprint" -> PipelineQueries.rollingFingerprintOracle,
-    "q_dedup_cosine" -> PipelineQueries.cosineDuplicatesOracle
+    "q_dedup_cosine" -> PipelineQueries.cosineDuplicatesOracle,
+    "q_minhash_signatures" -> PipelineQueries.minhashSignaturesOracle,
+    "q_curation_verdict" -> PipelineQueries.curationVerdictOracle
   )
 }

@@ -79,6 +79,68 @@ object PipelineQueries {
       )
       .orderBy("doc_id")
 
+  /** Raw MinHash signatures — the dedup internals as their own checkable
+    * surface. */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .minhashSignature(documents(s, d), "doc_id", "text", MinhashHashes)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  def minhashSignaturesOracle: String = {
+    val sigCols = (0 until MinhashHashes)
+      .map(i => s"min(md5('$i:' || shingle)) AS sig_$i")
+      .mkString(", ")
+    s"""WITH $shinglesCte
+       |SELECT doc_id, $sigCols FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** The composed curation verdict: quality gate + exact-dup gate in one
+    * pass — the per-document keep/drop decision a training-data pipeline
+    * actually ships. Joins are a single broadcast-size aggregate back
+    * onto the corpus (the dup-group keeper map). */
+  def curationVerdict(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val keepers = docs
+      .groupBy(md5(substring(col("text"), 1, 50)).as("dup_key"))
+      .agg(min(col("doc_id")).as("keep_doc_id"))
+    docs
+      .withColumn("dup_key", md5(substring(col("text"), 1, 50)))
+      .join(keepers, Seq("dup_key"))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("is_canonical", col("doc_id") === col("keep_doc_id"))
+      .withColumn("keep", col("is_canonical") && col("quality") >= 0.7)
+      .select("doc_id", "quality", "is_canonical", "keep")
+      .orderBy("doc_id")
+  }
+
+  def curationVerdictOracle: String = {
+    // Reuse the quality formula body from qualityOracle's CTEs.
+    s"""WITH m AS (
+       |  SELECT doc_id, md5(substr(text, 1, 50)) AS dup_key,
+       |    CAST(length(text) AS DOUBLE) AS n_chars,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_words,
+       |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it)\\b')) AS DOUBLE) AS n_stop
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, dup_key,
+       |    round(
+       |      (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+       |    + (CASE WHEN (CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0 END) >= 3
+       |         AND (CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0 END) <= 12
+       |        THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+       |    + (CASE WHEN n_chars > 0 AND n_punct / n_chars <= 0.1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+       |    + (CASE WHEN n_words > 0 AND n_stop / n_words >= 0.05 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.2 AS DOUBLE), 6) AS quality
+       |  FROM m),
+       |k AS (SELECT dup_key, min(doc_id) AS keep_doc_id FROM m GROUP BY dup_key)
+       |SELECT q.doc_id AS doc_id, q.quality AS quality,
+       |  (q.doc_id = k.keep_doc_id) AS is_canonical,
+       |  ((q.doc_id = k.keep_doc_id) AND q.quality >= 0.7) AS keep
+       |FROM q JOIN k ON q.dup_key = k.dup_key
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
   val CosineDupThreshold = 0.4
 
   def cosineDuplicates(s: SparkSession, d: String): DataFrame =
