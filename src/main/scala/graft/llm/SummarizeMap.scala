@@ -65,7 +65,21 @@ object SummarizeMap {
         }
         if (perTask == 1) it.map(process)
         else {
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(perTask)
+          // Daemon threads + a task-completion hook: if a downstream
+          // operator stops early (limit/take/exception) the iterator is
+          // never drained, so shutdown-on-exhaustion alone would leak the
+          // pool for the executor's lifetime.
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            perTask,
+            (r: Runnable) => {
+              val t = new Thread(r)
+              t.setDaemon(true)
+              t
+            }
+          )
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => pool.shutdownNow())
+          )
           val done = new java.util.concurrent.atomic.AtomicBoolean(false)
           val out = it
             .grouped(perTask)

@@ -16,8 +16,12 @@ object Skew {
     * commutative-monoid aggregate; exposed for the common count+sum shape.
     *
     * The salt is `monotonically_increasing_id % salts` — run-dependent,
-    * but the final re-aggregation makes the RESULT deterministic; only
-    * the partial split varies.
+    * but the final re-aggregation makes the RESULT deterministic for
+    * exact aggregates (counts, integer/decimal sums). Floating-point sum
+    * columns are NOT bit-deterministic here: the salt-dependent partial
+    * grouping changes summation order, so low bits can differ run-to-run.
+    * Route float sums through exact integer cents (`round(x*100)::long`,
+    * the repo-wide convention) when bit-stable output matters.
     */
   def saltedCountSum(
       df: DataFrame,

@@ -63,12 +63,16 @@ object Ivf {
     import spark.implicits._
     // Rank cells per query on the driver — centroids are tiny.
     val centroids = index.centroids
+    // Cast to array<double> first so float- and double-typed embedding
+    // columns both decode (build() is type-agnostic; the typed collect
+    // otherwise pins one runtime type).
     val qVecs = queries
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
+      .select(
+        col("vec_id").cast("long"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .as[(Long, Array[Double])]
       .collect()
-    val probes: Seq[(Long, Int)] = qVecs.toSeq.flatMap { case (qid, emb) =>
-      val e = emb.map(_.toDouble)
+    val probes: Seq[(Long, Int)] = qVecs.toSeq.flatMap { case (qid, e) =>
       centroids
         .map { case (cell, c) =>
           var d = 0.0
