@@ -65,6 +65,11 @@ object Dedup {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** 60-bit integer hash: first 15 hex chars of md5, as a positive long.
+    * DuckDB twin: `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   // -------------------------------------------------------------------------
   // Exact dedup
   // -------------------------------------------------------------------------
@@ -81,9 +86,13 @@ object Dedup {
   // -------------------------------------------------------------------------
 
   /** Per-doc MinHash signature values. Permutation i is simulated by
-    * md5(i ':' shingle) and the signature is the lexicographic MIN of the
-    * hex digest — equivalent to a random permutation min, and portable
-    * (string min exists everywhere). Returns (id, sig_0 … sig_{k-1}). */
+    * hash60(i ':' shingle) and the signature is the MIN of that 60-bit
+    * integer — equivalent to a random permutation min, and portable
+    * (md5-derived, so DuckDB computes the identical longs). Integer mins
+    * beat the hex-string mins they replaced twice over at corpus scale:
+    * the partial agg compares longs instead of 32-char strings, and the
+    * signature shuffle carries 8 bytes per hash instead of ~40.
+    * Returns (id, sig_0 … sig_{k-1}) with long sig columns. */
   def minhashSignature(
       df: DataFrame,
       idCol: String,
@@ -102,7 +111,11 @@ object Dedup {
       rowsPerBand: Int
   ): DataFrame = {
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      // Explicit ':'-separated string render of the long sigs: unambiguous
+      // (no concatenation collisions) and byte-identical to the DuckDB twin.
+      val cols = (0 until rowsPerBand).flatMap(r =>
+        Seq(col(s"sig_${b * rowsPerBand + r}").cast("string"), lit(":")))
+        .dropRight(1)
       struct(lit(b).as("band"), md5(concat(cols: _*)).as("bh"))
     }
     val banded = signatures
@@ -158,7 +171,7 @@ object Dedup {
   /** Signature aggregation over a precomputed shingle set. */
   private def signatureOfShingles(sh: DataFrame, numHashes: Int): DataFrame = {
     val sigAggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"sig_$i"))
+      min(hash60(concat(lit(s"$i:"), col("shingle")))).as(s"sig_$i"))
     sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
   }
 

@@ -89,7 +89,8 @@ object PipelineQueries {
 
   def minhashSignaturesOracle: String = {
     val sigCols = (0 until MinhashHashes)
-      .map(i => s"min(md5('$i:' || shingle)) AS sig_$i")
+      .map(i =>
+        s"min(CAST('0x' || substr(md5('$i:' || shingle),1,15) AS BIGINT)) AS sig_$i")
       .mkString(", ")
     s"""WITH $shinglesCte
        |SELECT doc_id, $sigCols FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -208,12 +209,15 @@ object PipelineQueries {
 
   def minhashOracle: String = {
     val sigCols = (0 until MinhashHashes)
-      .map(i => s"min(md5('$i:' || shingle)) AS sig_$i")
+      .map(i =>
+        s"min(CAST('0x' || substr(md5('$i:' || shingle),1,15) AS BIGINT)) AS sig_$i")
       .mkString(", ")
     val rows = MinhashHashes / MinhashBands
     val bandSelects = (0 until MinhashBands)
       .map { b =>
-        val cat = (0 until rows).map(r => s"sig_${b * rows + r}").mkString(" || ")
+        val cat = (0 until rows)
+          .map(r => s"CAST(sig_${b * rows + r} AS VARCHAR)")
+          .mkString(" || ':' || ")
         s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sig"
       }
       .mkString("\n  UNION ALL ")
