@@ -63,7 +63,14 @@ object SparkEntry {
     "q_rolling_fingerprint" -> (PipelineQueries.rollingFingerprint _),
     "q_dedup_cosine" -> (PipelineQueries.cosineDuplicates _),
     "q_minhash_signatures" -> (PipelineQueries.minhashSignatures _),
-    "q_curation_verdict" -> (PipelineQueries.curationVerdict _)
+    "q_curation_verdict" -> (PipelineQueries.curationVerdict _),
+    "q_lang_centroid" -> (PipelineQueries.langCentroid _),
+    // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
+    "q_setop_funnel" -> (EventQueries.setopFunnel _),
+    "q_orders_cube" -> (Relational.ordersCube _),
+    "q_vocab_topk" -> (TextQueries.vocabTopK _),
+    "q_sample_hash" -> (TextQueries.sampleHash _),
+    "q_token_bpe" -> (TextQueries.tokenBpe _)
   )
 
   /** DuckDB oracle SQL, column-name- and type-aligned with [[queries]]. */
@@ -284,6 +291,37 @@ object SparkEntry {
     "q_rolling_fingerprint" -> PipelineQueries.rollingFingerprintOracle,
     "q_dedup_cosine" -> PipelineQueries.cosineDuplicatesOracle,
     "q_minhash_signatures" -> PipelineQueries.minhashSignaturesOracle,
-    "q_curation_verdict" -> PipelineQueries.curationVerdictOracle
+    "q_curation_verdict" -> PipelineQueries.curationVerdictOracle,
+    "q_lang_centroid" -> PipelineQueries.langCentroidOracle,
+    "q_setop_funnel" ->
+      """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        |c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id FROM (
+        | (SELECT user_id FROM v INTERSECT SELECT user_id FROM c)
+        | EXCEPT SELECT user_id FROM p)
+        |ORDER BY user_id""".stripMargin,
+    "q_orders_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_vocab_topk" ->
+      """SELECT word, count(*) AS df FROM (
+        | SELECT DISTINCT doc_id, word FROM (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |  FROM documents)
+        | WHERE word <> '')
+        |GROUP BY word ORDER BY df DESC, word ASC LIMIT 50""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 20 = 0
+        |ORDER BY doc_id""".stripMargin,
+    "q_token_bpe" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

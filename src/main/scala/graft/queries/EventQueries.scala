@@ -247,6 +247,21 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** Set-operation funnel: users who viewed AND clicked but never
+    * purchased — INTERSECT + EXCEPT over per-type user sets. Spark plans
+    * set ops as aggregates/anti-joins on already-distinct inputs, so at
+    * scale this is three partial-agg distincts + two shuffle-free-ish
+    * joins on the same key. */
+  def setopFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    def usersOf(t: String): DataFrame =
+      ev.filter(col("event_type") === t).select("user_id").distinct()
+    usersOf("view")
+      .intersect(usersOf("click"))
+      .except(usersOf("purchase"))
+      .orderBy("user_id")
+  }
+
   /** A10: usage/cost accounting with the reference's hard-coded per-model
     * rates, in exact integer nano-dollars
     * (/root/reference/llm_executor.py:308-317, :394-400). */

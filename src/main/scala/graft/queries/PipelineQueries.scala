@@ -191,6 +191,46 @@ object PipelineQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-language embedding centroid: documents ⋈ embeddings on the doc
+    * key, element-wise mean per (lang, dim). The float values go through
+    * exact integer micro-units before summation so the result is
+    * independent of summation order (the repo-wide float-agg convention).
+    * At scale: posexplode emits |docs|×dims narrow rows, the aggregate is
+    * partial-agg friendly, and the output is |langs|×dims — tiny. */
+  def langCentroid(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("lang"))
+    val emb = embeddings(s, d).select(
+      col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "v"))
+    )
+    emb
+      .join(docs, emb("vec_id") === docs("doc_id"))
+      .withColumn(
+        "v_micro",
+        round(col("v").cast("double") * 1e6, 0).cast("long")
+      )
+      .groupBy(col("lang"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v_micro")).as("sum_micro"))
+      .select(
+        col("lang"),
+        col("dim"),
+        round(col("sum_micro") / lit(1e6) / col("n"), 6).as("centroid_v")
+      )
+      .orderBy("lang", "dim")
+  }
+
+  def langCentroidOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+      |  FROM embeddings),
+      |j AS (
+      |  SELECT d.lang AS lang, CAST(e.dim AS BIGINT) AS dim,
+      |    CAST(round(CAST(v AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS v_micro
+      |  FROM e JOIN documents d ON d.doc_id = e.vec_id)
+      |SELECT lang, dim,
+      |  round(CAST(CAST(sum(v_micro) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) AS centroid_v
+      |FROM j GROUP BY lang, dim ORDER BY lang, dim""".stripMargin
+
   def qualityScore(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(

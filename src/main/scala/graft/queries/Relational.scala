@@ -151,6 +151,25 @@ object Relational {
       .agg(count(lit(1)).as("n_events"))
       .orderBy("bucket")
 
+  /** Full CUBE over (status, priority): all four grouping sets, the
+    * generalization of [[ordersRollup]]. Spark expands the cube into
+    * grouping sets before the aggregate — still one shuffle, with
+    * partial aggs per set. */
+  def ordersCube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents")
+      )
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"),
+        col("total_cents")
+      )
+      .orderBy("status", "priority")
+
   /** Grouping-sets rollup: order counts by (status, priority) hierarchy.
     * Null grouping keys from ROLLUP are made deterministic via coalesce. */
   def ordersRollup(s: SparkSession, d: String): DataFrame =

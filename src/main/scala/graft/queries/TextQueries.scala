@@ -74,6 +74,57 @@ object TextQueries {
       )
       .orderBy("lang")
 
+  /** Vocabulary building: top-50 words by document frequency — the
+    * classic map-reduce over a corpus (explode → distinct per doc →
+    * count → top-N). At scale: the distinct and the count are both
+    * partial-agg friendly; top-N is TakeOrderedAndProject (only 50 rows
+    * per partition reach the driver-side merge). */
+  def vocabTopK(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("word")
+      )
+      .filter(col("word") =!= "")
+      .distinct()
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("word").asc)
+      .limit(50)
+
+  /** Deterministic hash sampling (5% = 1-in-20 on an md5-derived hash of
+    * the key): the scalable reproducible-sampling primitive for corpus
+    * pipelines — a pure filter, no shuffle, no RNG state, stable across
+    * runs/partitionings/engines (unlike `df.sample`). */
+  def sampleHash(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(
+        graft.dedup.Dedup
+          .hash32(concat(lit("sample:"), col("doc_id").cast("string")))
+          % 20 === 0
+      )
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, punctuation
+    * runs — each with an optional leading space (the GPT-2 pre-tokenizer
+    * shape, minus the RE2-incompatible lookahead). ASCII classes keep it
+    * byte-identical across java.util.regex and RE2. */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** Subword-style token counting via [[BpePattern]] — the second
+    * estimator family next to chars/4 and whitespace words (SURVEY §2.3
+    * A9). */
+  def tokenBpe(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long")
+          .as("n_bpe")
+      )
+      .orderBy("doc_id")
+
   /** M3 sentence explode via the portable (RE2-safe, no-lookbehind) split
     * pattern; ordered by (doc_id, sentence) for a deterministic total order
     * even when a document repeats a sentence. */
