@@ -67,6 +67,22 @@ object StreamingOps {
         col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup — the training-data-pipeline op: first
+    * occurrence per key wins, later duplicates dropped. State is bounded
+    * by the watermark (`dropDuplicatesWithinWatermark`): a duplicate
+    * arriving within the watermark horizon of its first occurrence is
+    * dropped; state for keys older than the horizon is evicted, which is
+    * the only way dedup state survives an unbounded stream. Batch twin:
+    * `groupBy(key).agg(min_by(...))`. */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String] = Seq("user_id", "event_type")
+  ): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark(keyCols)
+      .select("event_id", "user_id", "event_type", "ts")
+
   case class UserRunState(runCount: Long, lastType: Option[String])
   case class RunChange(userId: Long, runIndex: Long, eventType: String)
 

@@ -90,6 +90,18 @@ class StreamingSpec extends SparkSuite {
     assert(got.filter(col("weighted").isNull).count() == 0)
   }
 
+  test("streaming dedup emits exactly one row per key") {
+    val stream = StreamingOps.readEvents(spark, streamDir)
+    val got = runToMemory(StreamingOps.dedupStream(stream), "deduped")
+    val batchDistinct = graft.queries.Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct().count()
+    assert(got.count() == batchDistinct)
+    // No key appears twice in the output.
+    assert(
+      got.groupBy("user_id", "event_type").count()
+        .filter(col("count") > 1).count() == 0)
+  }
+
   test("stateful run detection matches batch lag-based runs per user") {
     import spark.implicits._
     val stream = StreamingOps.readEvents(spark, streamDir)
