@@ -67,6 +67,8 @@ object SparkEntry {
     "q_lang_centroid" -> (PipelineQueries.langCentroid _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
+    "q_skew_agg" -> (EventQueries.skewAgg _),
+    "q_corr_stats" -> (EventQueries.corrStats _),
     "q_orders_cube" -> (Relational.ordersCube _),
     "q_vocab_topk" -> (TextQueries.vocabTopK _),
     "q_sample_hash" -> (TextQueries.sampleHash _),
@@ -301,6 +303,25 @@ object SparkEntry {
         | (SELECT user_id FROM v INTERSECT SELECT user_id FROM c)
         | EXCEPT SELECT user_id FROM p)
         |ORDER BY user_id""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_corr_stats" ->
+      """WITH s AS (
+        | SELECT event_type, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy
+        | FROM (SELECT event_type,
+        |   CAST(round(value*100,0) AS BIGINT) AS x, user_id AS y FROM events)
+        | GROUP BY event_type)
+        |SELECT event_type, n,
+        | round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |   / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+        |  AS corr_value_user
+        |FROM s ORDER BY event_type""".stripMargin,
     "q_orders_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,

@@ -262,6 +262,61 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Salted two-phase aggregation, oracle-checked against the plain
+    * GROUP BY it must equal: the [[graft.operators.Skew]] hot-key
+    * mitigation as a first-class checkable query (exact integer cents, so
+    * the salt-dependent partial grouping cannot affect the result). */
+  def skewAgg(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew
+      .saltedCountSum(
+        events(s, d).withColumn("value_cents", cents(col("value"))),
+        Seq("event_type"),
+        Seq("value_cents"),
+        salts = 16
+      )
+      .select(
+        col("event_type"),
+        col("n"),
+        col("sum_value_cents").as("value_cents")
+      )
+      .orderBy("event_type")
+
+  /** Pearson correlation per event type WITHOUT float-order sensitivity:
+    * the five sufficient statistics are exact integer sums (cents ×
+    * user_id), and the correlation is derived from them in double — the
+    * same IEEE operations on the same exact integers in both engines, so
+    * the hash matches. The built-in `corr()` would stream doubles in
+    * partition order and drift in the low bits. */
+  def corrStats(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("x", cents(col("value")))
+      .withColumn("y", col("user_id"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy")
+      )
+      .select(
+        col("event_type"),
+        col("n"),
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt(
+              (col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                (col("n").cast("double") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))
+            ),
+          6
+        ).as("corr_value_user")
+      )
+      .orderBy("event_type")
+
   /** A10: usage/cost accounting with the reference's hard-coded per-model
     * rates, in exact integer nano-dollars
     * (/root/reference/llm_executor.py:308-317, :394-400). */
