@@ -68,6 +68,7 @@ object SparkEntry {
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
+    "q_range_interval" -> (EventQueries.rangeInterval _),
     "q_corr_stats" -> (EventQueries.corrStats _),
     "q_orders_cube" -> (Relational.ordersCube _),
     "q_vocab_topk" -> (TextQueries.vocabTopK _),
@@ -303,6 +304,20 @@ object SparkEntry {
         | (SELECT user_id FROM v INTERSECT SELECT user_id FROM c)
         | EXCEPT SELECT user_id FROM p)
         |ORDER BY user_id""".stripMargin,
+    "q_range_interval" ->
+      """WITH ev AS (
+        | SELECT user_id, value, epoch_ms(ts) AS start_ms,
+        |  epoch_ms(ts) + CAST(round(value*1000,0) AS BIGINT) AS end_ms
+        | FROM events),
+        |b AS (SELECT CAST(floor(min(start_ms)/3600000) AS BIGINT) AS h0,
+        |             CAST(floor(max(start_ms)/3600000) AS BIGINT) AS h1 FROM ev),
+        |h2 AS (SELECT hour_id, hour_id*3600000 AS hs, (hour_id+1)*3600000 AS he
+        |       FROM (SELECT unnest(range(h0, h1+1)) AS hour_id FROM b))
+        |SELECT hour_id, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM ev JOIN h2
+        | ON (hs <= start_ms AND start_ms < he) OR (start_ms <= hs AND end_ms > hs)
+        |GROUP BY hour_id ORDER BY hour_id""".stripMargin,
     "q_skew_agg" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents

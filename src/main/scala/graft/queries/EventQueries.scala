@@ -120,6 +120,43 @@ object EventQueries {
       )
       .orderBy("hour_id")
 
+  /** A3's span-duplication variant as a TRUE range/interval join
+    * (/root/reference/preprocessor.py:243-288): each event spans
+    * [ts, ts + value seconds] and is assigned to EVERY hour interval it
+    * overlaps, with the reference's exact overlap predicate — spanning
+    * events are duplicated across intervals. The generated hour dimension
+    * is tiny and broadcast, so the non-equi join is a
+    * BroadcastNestedLoopJoin against a handful of rows — the right
+    * physical shape at any corpus scale (never an all-pairs shuffle). */
+  def rangeInterval(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("start_ms", epochMs(col("ts")))
+      .withColumn(
+        "end_ms",
+        col("start_ms") + round(col("value") * 1000, 0).cast("long")
+      )
+    val hours = ev
+      .agg(
+        floor(min(col("start_ms")) / lit(3600000L)).cast("long").as("h0"),
+        floor(max(col("start_ms")) / lit(3600000L)).cast("long").as("h1")
+      )
+      .select(explode(sequence(col("h0"), col("h1"))).as("hour_id"))
+      .withColumn("hs", col("hour_id") * 3600000L)
+      .withColumn("he", (col("hour_id") + 1) * 3600000L)
+    ev.join(
+        broadcast(hours),
+        (col("hs") <= col("start_ms") && col("start_ms") < col("he")) ||
+          (col("start_ms") <= col("hs") && col("end_ms") > col("hs"))
+      )
+      .groupBy("hour_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(cents(col("value"))).as("value_cents")
+      )
+      .orderBy("hour_id")
+  }
+
   /** Gap-based sessionization (30 min), partitioned by user — the SCALABLE
     * shape of A1: independent per-key state, no global order. */
   def sessionize(s: SparkSession, d: String): DataFrame = {

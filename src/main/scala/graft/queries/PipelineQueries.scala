@@ -101,13 +101,14 @@ object PipelineQueries {
     * actually ships. Joins are a single broadcast-size aggregate back
     * onto the corpus (the dup-group keeper map). */
   def curationVerdict(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val keepers = docs
-      .groupBy(md5(substring(col("text"), 1, 50)).as("dup_key"))
-      .agg(min(col("doc_id")).as("keep_doc_id"))
-    docs
+    // Window-min over the dup key: ONE shuffle and one corpus scan,
+    // versus the aggregate-then-join-back formulation (two scans, two
+    // shuffles) it replaced — the keeper id is just min(doc_id) over the
+    // dup-key partition.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("dup_key")
+    documents(s, d)
       .withColumn("dup_key", md5(substring(col("text"), 1, 50)))
-      .join(keepers, Seq("dup_key"))
+      .withColumn("keep_doc_id", min(col("doc_id")).over(w))
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .withColumn("is_canonical", col("doc_id") === col("keep_doc_id"))
       .withColumn("keep", col("is_canonical") && col("quality") >= 0.7)
