@@ -225,6 +225,44 @@ object Dedup {
       .select(col("id"), assembled.cast("long").as("simhash"))
   }
 
+  /** [[simhash]] as a pure per-row projection: the doc id is unique per
+    * input row, so grouping exploded words back by id is a shuffle the
+    * operator never needed — the 32 bit-sums fold over the word-hash
+    * array in place (zero exchanges in the plan). HOF lambdas are
+    * CodegenFallback, so whether this beats the fully-codegen'd
+    * explode+hashAggregate is an empirical question per Spark version —
+    * measured at parity on Spark 4.1/local[32] (tools.ProfileDedup: the
+    * interpreted lambdas give back what the saved shuffle gains), so
+    * [[simhash]] stays the default; on a real cluster where the shuffle
+    * costs network rather than memory bandwidth, this variant wins. */
+  def simhashNoShuffle(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hvs = df
+      .select(col(idCol).as("id"), words(col(textCol)).as("w"))
+      // Materialize the hash array in its own projection: handing the
+      // expression to 32 aggregate() lambdas would re-inline the md5 per
+      // lambda (the Catalyst re-inlining pitfall).
+      .select(
+        col("id"),
+        transform(
+          filter(col("w"), w => w =!= ""),
+          w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+        ).as("hv")
+      )
+    val n = size(col("hv")).cast("long")
+    val bitSet = (0 until 32).map { j =>
+      val cnt = aggregate(
+        col("hv"),
+        lit(0L),
+        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L))
+      )
+      // sum(±1) > 0  ⇔  2·(set-bit count) > word count
+      when(cnt * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }
+    hvs
+      .filter(size(col("hv")) > 0)
+      .select(col("id"), bitSet.reduce(_ + _).cast("long").as("simhash"))
+  }
+
   /** SimHash near-dup pairs within a hamming radius, candidate-blocked by
     * the pigeonhole principle: split 32 bits into `blocks` bands — any pair
     * within hamming ≤ blocks-1 shares at least one exact band. Join on the

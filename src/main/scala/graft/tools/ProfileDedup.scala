@@ -51,6 +51,14 @@ object ProfileDedup {
     // simhash stages
     val sim = Dedup.simhash(docs, "doc_id", "text")
     time("simhash values noop")(noop(sim))
+    time("simhash explode+agg x3")((1 to 3).foreach(_ => noop(sim)))
+    val simNs = Dedup.simhashNoShuffle(docs, "doc_id", "text")
+    time("simhash no-shuffle x3")((1 to 3).foreach(_ => noop(simNs)))
+    val diff = sim.withColumnRenamed("simhash", "a")
+      .join(simNs.withColumnRenamed("simhash", "b"), Seq("id"), "full")
+      .filter(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+      .count()
+    println(s"  simhash variants diff rows = $diff")
     time("full q_dedup_simhash")(noop(PipelineQueries.dedupSimhash(spark, d)))
 
     // ngram jaccard

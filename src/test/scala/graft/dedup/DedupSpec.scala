@@ -25,6 +25,18 @@ class DedupSpec extends SparkSuite {
     assert(groups.length == 4)
   }
 
+  test("simhashNoShuffle equals the explode+agg simhash") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Dedup.simhash(docs, "doc_id", "text")
+      .withColumnRenamed("simhash", "a")
+    val b = Dedup.simhashNoShuffle(docs, "doc_id", "text")
+      .withColumnRenamed("simhash", "b")
+    val diff = a.join(b, Seq("id"), "full")
+      .filter(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("minhash LSH finds the planted near-dup pair and skips unrelated") {
     val pairs = Dedup
       .minhashDuplicates(docs, "doc_id", "text", numHashes = 8, bands = 4,
