@@ -56,4 +56,32 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("range-interval join broadcasts the generated hour dimension") {
+    val p = plan("q_range_interval")
+    // Non-equi overlap predicate against a tiny generated dimension: the
+    // only sane physical shape is broadcast-nested-loop, never a shuffled
+    // product of the fact table.
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("hash sampling is a pure pushed filter — no exchange") {
+    val p = plan("q_sample_hash")
+    // One scan, one filter, the final presentation sort — nothing else.
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"sampling should only shuffle for the final sort, got $exchanges exchanges:\n$p")
+  }
+
+  test("vocab top-N ends in TakeOrderedAndProject") {
+    assert(plan("q_vocab_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("curation verdict is a single-shuffle window plan") {
+    val p = plan("q_curation_verdict")
+    // Window-min over dup_key: one hash exchange (plus the final sort),
+    // and the corpus parquet is scanned exactly once.
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single documents scan, got $scans")
+  }
 }
