@@ -65,6 +65,7 @@ object SparkEntry {
     "q_minhash_signatures" -> (PipelineQueries.minhashSignatures _),
     "q_curation_verdict" -> (PipelineQueries.curationVerdict _),
     "q_lang_centroid" -> (PipelineQueries.langCentroid _),
+    "q_ivf_topk" -> (PipelineQueries.ivfTopK _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
@@ -296,6 +297,7 @@ object SparkEntry {
     "q_minhash_signatures" -> PipelineQueries.minhashSignaturesOracle,
     "q_curation_verdict" -> PipelineQueries.curationVerdictOracle,
     "q_lang_centroid" -> PipelineQueries.langCentroidOracle,
+    "q_ivf_topk" -> PipelineQueries.ivfTopKOracle,
     "q_setop_funnel" ->
       """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
         |c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),

@@ -143,6 +143,54 @@ object PipelineQueries {
        |ORDER BY q.doc_id""".stripMargin
   }
 
+  val IvfCentroidIds: Seq[Long] = (0 until 8).map(_ * 37L)
+  val IvfNProbe = 2
+
+  /** Declarative IVF-Flat ANN over the embeddings table with fixed
+    * deterministic centroids — the oracle-checkable face of
+    * [[graft.similarity.Ivf]] (the k-means build is seed-dependent and
+    * only equality-tested). */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    graft.similarity.Ivf
+      .fixedTopK(emb, emb.filter(col("vec_id") < NumQueries),
+        IvfCentroidIds, IvfNProbe, TopK)
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  def ivfTopKOracle: String = {
+    val ids = IvfCentroidIds.mkString(", ")
+    s"""WITH c0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, emb AS cemb
+       |  FROM c0 WHERE vec_id IN ($ids)),
+       |asg AS (
+       |  SELECT vec_id, emb, cell, sqrt(list_dot_product(emb, emb)) AS nrm FROM (
+       |    SELECT a.vec_id, a.emb, c.cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_dot_product(a.emb, a.emb) - 2 * list_dot_product(a.emb, c.cemb) + list_dot_product(c.cemb, c.cemb) ASC,
+       |        c.cell ASC) AS rn
+       |    FROM c0 a CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_vec_id, q_emb, cell, sqrt(list_dot_product(q_emb, q_emb)) AS q_nrm FROM (
+       |    SELECT a.vec_id AS q_vec_id, a.emb AS q_emb, c.cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_dot_product(a.emb, a.emb) - 2 * list_dot_product(a.emb, c.cemb) + list_dot_product(c.cemb, c.cemb) ASC,
+       |        c.cell ASC) AS rn
+       |    FROM c0 a CROSS JOIN cent c WHERE a.vec_id < $NumQueries) WHERE rn <= $IvfNProbe),
+       |scored AS (
+       |  SELECT p.q_vec_id, s.vec_id,
+       |    round(list_dot_product(s.emb, p.q_emb) / (s.nrm * p.q_nrm), 6) AS score
+       |  FROM asg s JOIN probes p ON s.cell = p.cell AND s.vec_id <> p.q_vec_id)
+       |SELECT q_vec_id, CAST(rnk AS BIGINT) AS rnk, vec_id, score FROM (
+       |  SELECT q_vec_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $TopK
+       |ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
   val CosineDupThreshold = 0.4
 
   def cosineDuplicates(s: SparkSession, d: String): DataFrame =

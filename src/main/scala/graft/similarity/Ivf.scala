@@ -50,6 +50,71 @@ object Ivf {
     IvfIndex(assigned, centroids)
   }
 
+  /** Fully-declarative IVF-Flat with FIXED centroids: `centroidIds` names
+    * corpus vectors that serve as cell centroids (cells numbered by
+    * centroid id order). Assignment, probing and scoring are all plain
+    * DataFrame plans over broadcast centroid tables — no MLlib, no
+    * driver-side collect — so the whole search is oracle-checkable in any
+    * SQL engine (the k-means [[build]] path is seed-dependent and is not).
+    * Deterministic: L2 distances come from the same sequential-fold dot
+    * products both engines use; ties break on cell / vec id.
+    *
+    * Scale shape: |corpus|×K assignment rows against a broadcast K-row
+    * centroid table (the standard IVF assign cost), then candidates are
+    * only the probed cells' members — ~ nProbe/K of brute force. */
+  def fixedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroidIds: Seq[Long],
+      nProbe: Int,
+      k: Int
+  ): DataFrame = {
+    val dot = Similarity.dotSql _
+    val c0 = corpus.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val cent = c0
+      .filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      .withColumn(
+        "cell",
+        (row_number().over(Window.orderBy("cid")) - 1).cast("long"))
+      .select("cell", "cemb")
+    // L2 distance as |a|^2 - 2ab + |c|^2 from the shared fold-dot-product.
+    def nearestCells(src: DataFrame, idAs: String, embAs: String, keep: Int) =
+      src
+        .crossJoin(broadcast(cent))
+        .withColumn(
+          "dist",
+          expr(s"${dot("emb", "emb")} - 2 * ${dot("emb", "cemb")} + ${dot("cemb", "cemb")}"))
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)))
+        .filter(col("rn") <= keep)
+        .select(col("vec_id").as(idAs), col("emb").as(embAs), col("cell"))
+    val asg = nearestCells(c0, "vec_id", "emb", 1)
+      .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
+    val probes = nearestCells(
+      queries.select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
+      "q_vec_id", "q_emb", nProbe)
+      .withColumn("q_nrm", expr(s"sqrt(${dot("q_emb", "q_emb")})"))
+    val w = Window
+      .partitionBy("q_vec_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    asg
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .withColumn(
+        "score",
+        round(expr(Similarity.dotSql("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_vec_id", "rnk", "vec_id", "score")
+  }
+
   /** Cosine top-k probing the query's nProbe nearest cells. Queries are
     * few (broadcast); the corpus is filtered to probed cells BEFORE any
     * scoring, so work is ~ (nProbe / nLists) of brute force. */

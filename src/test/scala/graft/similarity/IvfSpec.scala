@@ -43,6 +43,19 @@ class IvfSpec extends SparkSuite {
     assert(hits >= 1, s"recall@1 hits=$hits")
   }
 
+  test("fixed-centroid IVF probing all cells equals exact brute force") {
+    val ids = (0 until 8).map(_ * 37L)
+    val ivf = Ivf.fixedTopK(emb, queries, ids, nProbe = 8, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val exact = Similarity.cosineTopK(emb, queries, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(ivf == exact)
+  }
+
   test("cell assignment is total and deterministic for a fixed seed") {
     val a = Ivf.build(emb, nLists = 8).assigned
       .select("vec_id", "cell").collect()
