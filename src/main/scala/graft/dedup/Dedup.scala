@@ -168,10 +168,19 @@ object Dedup {
   ): DataFrame =
     jaccardVerifyShingles(shingleRows(df, idCol, textCol), candidates, threshold)
 
-  /** Signature aggregation over a precomputed shingle set. */
+  /** Signature aggregation over a precomputed shingle set. Each md5 digest
+    * (32 hex chars) yields TWO 60-bit hashes — chars 1-15 and 16-30 — so
+    * k signatures cost k/2 md5 calls per shingle (Catalyst's
+    * subexpression elimination computes each seeded digest once). md5
+    * bits are independent, so sliced halves are as good as separate
+    * permutations; the digest stage dominates MinHash at corpus scale, so
+    * this is a direct 2× on the dominant term. */
   private def signatureOfShingles(sh: DataFrame, numHashes: Int): DataFrame = {
-    val sigAggs = (0 until numHashes).map(i =>
-      min(hash60(concat(lit(s"$i:"), col("shingle")))).as(s"sig_$i"))
+    val sigAggs = (0 until numHashes).map { i =>
+      val digest = md5(concat(lit(s"${i / 2}:"), col("shingle")))
+      min(conv(substring(digest, 1 + 15 * (i % 2), 15), 16, 10).cast("long"))
+        .as(s"sig_$i")
+    }
     sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
   }
 

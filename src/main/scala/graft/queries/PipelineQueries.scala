@@ -90,7 +90,7 @@ object PipelineQueries {
   def minhashSignaturesOracle: String = {
     val sigCols = (0 until MinhashHashes)
       .map(i =>
-        s"min(CAST('0x' || substr(md5('$i:' || shingle),1,15) AS BIGINT)) AS sig_$i")
+        s"min(CAST('0x' || substr(md5('${i / 2}:' || shingle),${1 + 15 * (i % 2)},15) AS BIGINT)) AS sig_$i")
       .mkString(", ")
     s"""WITH $shinglesCte
        |SELECT doc_id, $sigCols FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -299,7 +299,7 @@ object PipelineQueries {
   def minhashOracle: String = {
     val sigCols = (0 until MinhashHashes)
       .map(i =>
-        s"min(CAST('0x' || substr(md5('$i:' || shingle),1,15) AS BIGINT)) AS sig_$i")
+        s"min(CAST('0x' || substr(md5('${i / 2}:' || shingle),${1 + 15 * (i % 2)},15) AS BIGINT)) AS sig_$i")
       .mkString(", ")
     val rows = MinhashHashes / MinhashBands
     val bandSelects = (0 until MinhashBands)

@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.queries.Tables
+
+/** Scale-stress harness (dev tool): replicates the sf0.1 corpus N× with a
+  * one-token perturbation per replica (making each replica a NEAR-dup of
+  * its source, the realistic dedup workload), then runs the dedup and
+  * vocab pipelines end-to-end. The point is to observe that cost grows
+  * linearly in corpus size (shingling, signatures) and in Σ dup-group²
+  * (candidate verification) — the scaling the operators were designed
+  * for — rather than to produce a polished benchmark number.
+  */
+object ScaleStress {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[stress] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "8").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    val reps = spark.range(replicas).select(col("id").as("rep"))
+    val corpus = base
+      .crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" replica"), col("rep")))
+          .as("text"),
+        col("lang"))
+      .persist()
+    println(s"[stress] corpus rows = ${corpus.count()} (${replicas}x sf0.1)")
+
+    time("exact dedup")(noop(Dedup.exactGroups(corpus, "doc_id", "text")))
+    time("minhash signatures")(
+      noop(Dedup.minhashSignature(corpus, "doc_id", "text", 8)))
+    time("minhash near-dup e2e")(
+      noop(Dedup.minhashDuplicates(corpus, "doc_id", "text", 8, 4, 0.5)))
+    time("simhash values")(noop(Dedup.simhash(corpus, "doc_id", "text")))
+    time("simhash near-dup e2e")(
+      noop(Dedup.simhashDuplicates(corpus, "doc_id", "text", 3, 4)))
+    time("vocab top-50")(
+      noop(
+        corpus
+          .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
+          .filter(col("word") =!= "")
+          .distinct()
+          .groupBy("word")
+          .agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("word").asc)
+          .limit(50)))
+    corpus.unpersist()
+    spark.stop()
+  }
+}
