@@ -56,6 +56,26 @@ object Prompts {
   def positionPrefix(startFmt: String, endFmt: String, summary: String): String =
     s"[Time: $startFmt - $endFmt]\n$summary"
 
+  /** F11: defensive greeting scrubber
+    * (/root/reference/test_direct_aggregation.py:146-167): when the reply
+    * opens with a greeting, drop leading lines until the first non-empty
+    * line that is not itself a greeting. A reply that never produces such
+    * a line is returned unchanged (the reference only prints the cleaned
+    * lines when non-empty). */
+  def scrubGreeting(summary: String): String = {
+    val lower = summary.toLowerCase
+    if (!lower.startsWith("hello") && !lower.startsWith("hi")) summary
+    else {
+      val greetings = Seq("hello", "hi", "hey")
+      val lines = summary.split("\n", -1)
+      val kept = lines.dropWhile { line =>
+        line.trim.isEmpty ||
+        greetings.exists(g => line.toLowerCase.startsWith(g))
+      }
+      if (kept.isEmpty) summary else kept.mkString("\n")
+    }
+  }
+
   val reduceSystemDefault: String =
     """You are a professional transcript summarizer. Your ONLY job is to create a structured summary that
       |combines information from multiple transcript segment summaries.

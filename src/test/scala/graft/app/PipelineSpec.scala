@@ -110,6 +110,16 @@ class PipelineSpec extends SparkSuite {
     assert(SummaryReduce.batchSize(small, cfg) == 1)
   }
 
+  test("greeting scrubber drops leading greeting lines only") {
+    assert(Prompts.scrubGreeting("Hello there!\n\nHi again,\n# Summary\nBody")
+      == "# Summary\nBody")
+    assert(Prompts.scrubGreeting("# Summary\nHello inline stays")
+      == "# Summary\nHello inline stays")
+    // All-greeting reply returned unchanged (reference keeps the original
+    // when nothing survives the scrub).
+    assert(Prompts.scrubGreeting("Hey!\nHi!") == "Hey!\nHi!")
+  }
+
   test("prompt fill is literal (no crash on stray braces)") {
     val t = "Summarize {transcript} with {weird} braces {}"
     val filled = Prompts.fill(t, "transcript", "BODY")
