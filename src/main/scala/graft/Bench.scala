@@ -33,10 +33,11 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // Failed queries are excluded from the per-query map AND the total,
+    // and listed explicitly — a fail-fast timing must not read as a fast
+    // success, and the map's values always sum to `value`.
+    val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // Failed queries are excluded from the total and listed explicitly so a
-    // silently failing query can't make the benchmark look complete.
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum

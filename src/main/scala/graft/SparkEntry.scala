@@ -334,10 +334,13 @@ object SparkEntry {
         |   CAST(round(value*100,0) AS BIGINT) AS x, user_id AS y FROM events)
         | GROUP BY event_type)
         |SELECT event_type, n,
-        | round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        | CASE WHEN sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |            * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) = 0
+        |  THEN NULL
+        |  ELSE round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
         |   / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
         |        * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
-        |  AS corr_value_user
+        |  END AS corr_value_user
         |FROM s ORDER BY event_type""".stripMargin,
     "q_orders_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -59,7 +59,11 @@ object SummaryReduce {
         Prompts.reduceUserDefault(metadataStr, framed)
     }
     client.completeWithRetry(system, user) match {
-      case Right(r)  => r
+      case Right(r) =>
+        // F11 defensive post-filter: strip a leading greeting the model
+        // emitted despite the system prompt's instruction
+        // (/root/reference/test_direct_aggregation.py:146-167).
+        r.copy(content = Prompts.scrubGreeting(r.content))
       case Left(err) =>
         graft.llm.LlmResponse(
           s"[Error aggregating summaries: $err]", 0, 0, 0.0,

@@ -67,8 +67,13 @@ object Dedup {
 
   /** 60-bit integer hash: first 15 hex chars of md5, as a positive long.
     * DuckDB twin: `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`. */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash60(c: Column): Column = md5Slice60(c, 0)
+
+  /** 60-bit hash from md5 hex chars [1+15·part, 15+15·part] (part 0 or 1)
+    * — one digest yields two independent hashes. DuckDB twin:
+    * `CAST('0x' || substr(md5(x), 1+15*part, 15) AS BIGINT)`. */
+  private[graft] def md5Slice60(c: Column, part: Int): Column =
+    conv(substring(md5(c), 1 + 15 * part, 15), 16, 10).cast("long")
 
   // -------------------------------------------------------------------------
   // Exact dedup
@@ -177,8 +182,7 @@ object Dedup {
     * this is a direct 2× on the dominant term. */
   private def signatureOfShingles(sh: DataFrame, numHashes: Int): DataFrame = {
     val sigAggs = (0 until numHashes).map { i =>
-      val digest = md5(concat(lit(s"${i / 2}:"), col("shingle")))
-      min(conv(substring(digest, 1 + 15 * (i % 2), 15), 16, 10).cast("long"))
+      min(md5Slice60(concat(lit(s"${i / 2}:"), col("shingle")), i % 2))
         .as(s"sig_$i")
     }
     sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
@@ -252,10 +256,7 @@ object Dedup {
       // lambda (the Catalyst re-inlining pitfall).
       .select(
         col("id"),
-        transform(
-          filter(col("w"), w => w =!= ""),
-          w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")
-        ).as("hv")
+        transform(filter(col("w"), w => w =!= ""), w => hash32(w)).as("hv")
       )
     val n = size(col("hv")).cast("long")
     val bitSet = (0 until 32).map { j =>

@@ -101,7 +101,11 @@ class MockLlmClient(val config: LlmConfig) extends LlmClient {
   override def complete(systemPrompt: String, userPrompt: String): LlmResponse = {
     val digest = java.security.MessageDigest.getInstance("MD5")
     val h = digest
-      .digest((systemPrompt + " " + userPrompt).getBytes("UTF-8"))
+      // U+0001 separator: cannot occur in prompts (so the (system, user)
+      // encoding is unambiguous — a space would let "sys A"+"x" collide
+      // with "sys"+"A x") and is not a NUL (git's binary detection
+      // triggers only on NUL bytes).
+      .digest((systemPrompt + "\u0001" + userPrompt).getBytes("UTF-8"))
       .map("%02x".format(_))
       .mkString
       .take(12)

@@ -337,20 +337,31 @@ object EventQueries {
         sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy")
       )
+      .withColumn(
+        "denom",
+        sqrt(
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))
+        )
+      )
       .select(
         col("event_type"),
         col("n"),
-        round(
-          (col("n").cast("double") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) /
-            sqrt(
-              (col("n").cast("double") * col("sxx").cast("double") -
-                col("sx").cast("double") * col("sx").cast("double")) *
-                (col("n").cast("double") * col("syy").cast("double") -
-                  col("sy").cast("double") * col("sy").cast("double"))
-            ),
-          6
-        ).as("corr_value_user")
+        // Guard the degenerate groups (single row / constant column):
+        // denom is exactly 0 there, where Spark's divide yields NULL but
+        // DuckDB's IEEE mode yields NaN — pin both engines to NULL.
+        when(col("denom") === 0, lit(null).cast("double"))
+          .otherwise(
+            round(
+              (col("n").cast("double") * col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double")) /
+                col("denom"),
+              6
+            )
+          )
+          .as("corr_value_user")
       )
       .orderBy("event_type")
 

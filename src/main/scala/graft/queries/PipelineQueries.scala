@@ -248,12 +248,12 @@ object PipelineQueries {
     * partial-agg friendly, and the output is |langs|×dims — tiny. */
   def langCentroid(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("lang"))
-    val emb = embeddings(s, d).select(
-      col("vec_id"),
-      posexplode(col("embedding")).as(Seq("pos", "v"))
-    )
+    // Join on the doc key FIRST, then explode: the join processes
+    // |embeddings| rows instead of |embeddings|×dims.
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
     emb
       .join(docs, emb("vec_id") === docs("doc_id"))
+      .select(col("lang"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn(
         "v_micro",
         round(col("v").cast("double") * 1e6, 0).cast("long")

@@ -12,23 +12,30 @@ class RepoHygieneSpec extends AnyFunSuite {
 
   private def scalaSources(root: String): Seq[Path] = {
     val p = Paths.get(root)
-    if (!Files.exists(p)) Seq.empty
-    else
-      Files
-        .walk(p)
+    // Fail loudly rather than pass vacuously if the test cwd ever changes.
+    assert(Files.exists(p), s"source root $p not found — test must run from the repo root")
+    val stream = Files.walk(p)
+    try
+      stream
         .iterator()
         .asScala
         .filter(f => f.toString.endsWith(".scala") && Files.isRegularFile(f))
         .toSeq
+    finally stream.close()
   }
 
-  test("no NUL bytes in any Scala source") {
-    val offenders = scalaSources("src").filter { f =>
-      Files.readAllBytes(f).contains(0.toByte)
+  test("no NUL or control bytes in any Scala source") {
+    val sources = scalaSources("src")
+    assert(sources.nonEmpty, "no Scala sources found — scan is vacuous")
+    // Forbid all C0 controls except \t \n \r: NUL flips git to binary
+    // mode; the rest are invisible in editors and diffs.
+    val allowed = Set(9.toByte, 10.toByte, 13.toByte)
+    val offenders = sources.filter { f =>
+      Files.readAllBytes(f).exists(b => b >= 0 && b < 32 && !allowed(b))
     }
     assert(
       offenders.isEmpty,
-      s"NUL byte(s) found in: ${offenders.mkString(", ")} — git will treat these as binary"
+      s"control byte(s) found in: ${offenders.mkString(", ")}"
     )
   }
 }
