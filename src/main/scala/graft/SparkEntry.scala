@@ -74,7 +74,11 @@ object SparkEntry {
     "q_orders_cube" -> (Relational.ordersCube _),
     "q_vocab_topk" -> (TextQueries.vocabTopK _),
     "q_sample_hash" -> (TextQueries.sampleHash _),
-    "q_token_bpe" -> (TextQueries.tokenBpe _)
+    "q_token_bpe" -> (TextQueries.tokenBpe _),
+    "q_dup_clusters" -> (PipelineQueries.dupClusters _),
+    "q_word_repetition" -> (TextQueries.wordRepetition _),
+    "q_redact_pii" -> (TextQueries.redactPii _),
+    "q_split_assign" -> (TextQueries.splitAssign _)
   )
 
   /** DuckDB oracle SQL, column-name- and type-aligned with [[queries]]. */
@@ -363,6 +367,42 @@ object SparkEntry {
     "q_token_bpe" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dup_clusters" -> PipelineQueries.dupClustersOracle,
+    "q_word_repetition" ->
+      """WITH cnt AS (
+        |  SELECT doc_id, word, count(*) AS freq FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY doc_id, word),
+        |r AS (
+        |  SELECT doc_id, word, freq,
+        |    CAST(sum(freq) OVER (PARTITION BY doc_id) AS BIGINT) AS n_words,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY freq DESC, word ASC) AS rn
+        |  FROM cnt)
+        |SELECT doc_id, n_words, word AS top_word, freq AS top_freq,
+        |  round(freq / n_words, 6) AS top_ratio
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_redact_pii" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or 555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(dirty, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_split_assign" ->
+      """SELECT lang,
+        | CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS n_docs
+        |FROM (SELECT lang,
+        |  CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 100 AS h
+        | FROM documents)
+        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
   )
 }

@@ -211,6 +211,71 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // Duplicate clustering (connected components)
+  // -------------------------------------------------------------------------
+
+  /** Connected components over an undirected pair list (id_a, id_b):
+    * every node gets the MINIMUM id reachable from it as its component
+    * label — the step that turns near-dup PAIRS into keep/drop CLUSTERS
+    * (keep the min id per component, drop the rest).
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the min of its own label and its neighbors' labels; iteration
+    * stops when a round changes nothing. Rounds needed = graph diameter
+    * (dup clusters are near-cliques from band joins, so 2-3 rounds in
+    * practice); `maxIter` bounds the worst case. Each round is one
+    * self-contained shuffle on node id — at corpus scale this is the
+    * standard large-scale CC recipe (label propagation; the
+    * small-star/large-star variant reduces round count to O(log n) for
+    * pathological chains but costs more per round).
+    *
+    * Returns (id, component). Deterministic: min is order-insensitive. */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 10
+  ): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("component"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // Neighbor labels: for each node, min over its neighbors' current
+      // labels (edges ⋈ labels on the neighbor side), folded with its own.
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") < col("old"))
+        .limit(1)
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  // -------------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------------
 

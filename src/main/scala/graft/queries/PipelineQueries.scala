@@ -296,7 +296,10 @@ object PipelineQueries {
       |    SELECT doc_id, unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]) AS s
       |    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents)))""".stripMargin
 
-  def minhashOracle: String = {
+  /** Shared CTE chain ending in `pairs(id_a, id_b, jaccard)` — used by
+    * both the pair query and the cluster query so the two oracles cannot
+    * drift. */
+  private def minhashPairsCtes: String = {
     val sigCols = (0 until MinhashHashes)
       .map(i =>
         s"min(CAST('0x' || substr(md5('${i / 2}:' || shingle),${1 + 15 * (i % 2)},15) AS BIGINT)) AS sig_$i")
@@ -310,7 +313,7 @@ object PipelineQueries {
         s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sig"
       }
       .mkString("\n  UNION ALL ")
-    s"""WITH $shinglesCte,
+    s"""$shinglesCte,
        |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
        |banded AS (
        |  $bandSelects),
@@ -321,16 +324,45 @@ object PipelineQueries {
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT c.id_a AS id_a, c.id_b AS id_b,
-       |  round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
-       |FROM cand c
-       |JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
-       |JOIN sizes sa ON sa.doc_id = c.id_a
-       |JOIN sizes sb ON sb.doc_id = c.id_b
-       |WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= $MinhashThreshold
-       |ORDER BY c.id_a, c.id_b""".stripMargin
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT c.id_a AS id_a, c.id_b AS id_b,
+       |    round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+       |  FROM cand c
+       |  JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+       |  JOIN sizes sa ON sa.doc_id = c.id_a
+       |  JOIN sizes sb ON sb.doc_id = c.id_b
+       |  WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= $MinhashThreshold)""".stripMargin
   }
+
+  def minhashOracle: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  /** Duplicate clusters: connected components over the minhash near-dup
+    * pairs — iterative min-label propagation on the Spark side, a
+    * recursive transitive-closure CTE on the DuckDB side; both converge
+    * to min-id-per-component, so results match exactly. */
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup
+      .minhashDuplicates(documents(s, d), "doc_id", "text",
+        MinhashHashes, MinhashBands, MinhashThreshold)
+      .select("id_a", "id_b")
+    Dedup.connectedComponents(pairs).orderBy("id")
+  }
+
+  def dupClustersOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r)
+       |SELECT id, least(id, min(r)) AS component
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   private val simhashCte =
     """sim AS (

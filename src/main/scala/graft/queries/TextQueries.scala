@@ -125,6 +125,81 @@ object TextQueries {
       )
       .orderBy("doc_id")
 
+  /** Word-repetition stats (Gopher-style repetition quality signal): per
+    * doc, the most frequent word's share of all words. High top-word
+    * ratios flag template/boilerplate documents in a curation pipeline.
+    * Ties break to the lexicographically smallest word. */
+  def wordRepetition(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = documents(s, d)
+      .select(
+        col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("freq"))
+    cnt
+      .withColumn(
+        "n_words",
+        sum(col("freq")).over(Window.partitionBy("doc_id")))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("freq").desc, col("word").asc)))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("word").as("top_word"),
+        col("freq").as("top_freq"),
+        round(col("freq") / col("n_words"), 6).as("top_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction: scrub emails and phone-shaped tokens. The synthetic
+    * corpus contains none, so the query plants one of each (derived from
+    * doc_id) and then redacts — exercising the full
+    * detect-count-replace path a curation pipeline runs. Pure per-row
+    * projection: no shuffle, scales embarrassingly. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b555-[0-9]{4}\\b"
+
+  def redactPii(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn(
+        "dirty",
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("dirty"), lit(EmailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("dirty"), lit(PhonePattern), lit(0)))
+          .cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("dirty"), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
+
+  /** Deterministic train/val/test split assignment (hash mod 100:
+    * 80/10/10) — reproducible across runs, partitionings and engines,
+    * reported as per-(lang, split) counts. */
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn(
+        "h",
+        graft.dedup.Dedup
+          .hash32(concat(lit("split:"), col("doc_id").cast("string"))) % 100)
+      .withColumn(
+        "split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split")
+
   /** M3 sentence explode via the portable (RE2-safe, no-lookbehind) split
     * pattern; ordered by (doc_id, sentence) for a deterministic total order
     * even when a document repeats a sentence. */

@@ -25,6 +25,20 @@ class DedupSpec extends SparkSuite {
     assert(groups.length == 4)
   }
 
+  test("connected components labels every node with its component min") {
+    import spark.implicits._
+    // Path 1-2-3-4 (diameter 3: needs >1 propagation round), pair 7-6,
+    // and 9-8 + 8-5 sharing node 8.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 6L), (9L, 8L), (8L, 5L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      6L -> 6L, 7L -> 6L,
+      5L -> 5L, 8L -> 5L, 9L -> 5L))
+  }
+
   test("simhashNoShuffle equals the explode+agg simhash") {
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Dedup.simhash(docs, "doc_id", "text")
