@@ -48,7 +48,12 @@ object Dedup {
 
   /** Distinct (id, shingle) rows — the shared first stage of every
     * shingle-based dedup. Projects the words array in its own select so
-    * the split evaluates once per row. */
+    * the split evaluates once per row. Shingles are hashed to 60-bit
+    * longs BEFORE the distinct: the dominant dedup shuffle then carries
+    * an 8-byte key instead of a ~30-byte string, and every downstream
+    * digest gets a short fixed-width input. Collisions (~2^-60 per
+    * shingle pair) are identical in both engines, so oracle hashes still
+    * match exactly. */
   def shingleRows(
       df: DataFrame,
       idCol: String,
@@ -56,7 +61,8 @@ object Dedup {
       n: Int = 3
   ): DataFrame =
     df.select(col(idCol).as("id"), words(col(textCol)).as("w"))
-      .select(col("id"), explode(shinglesOfWords(col("w"), n)).as("shingle"))
+      .select(col("id"), explode(shinglesOfWords(col("w"), n)).as("shingle_s"))
+      .select(col("id"), hash60(col("shingle_s")).as("shingle"))
       .distinct()
 
   /** 32-bit integer hash of a string via the first 8 hex chars of md5 —
@@ -182,7 +188,8 @@ object Dedup {
     * this is a direct 2× on the dominant term. */
   private def signatureOfShingles(sh: DataFrame, numHashes: Int): DataFrame = {
     val sigAggs = (0 until numHashes).map { i =>
-      min(md5Slice60(concat(lit(s"${i / 2}:"), col("shingle")), i % 2))
+      min(md5Slice60(
+        concat(lit(s"${i / 2}:"), col("shingle").cast("string")), i % 2))
         .as(s"sig_$i")
     }
     sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
@@ -390,7 +397,8 @@ object Dedup {
       .select(col(idCol).as("id"), blockCol.as("blk"),
         words(col(textCol)).as("w"))
       .select(col("id"), col("blk"),
-        explode(shinglesOfWords(col("w"), n)).as("shingle"))
+        explode(shinglesOfWords(col("w"), n)).as("shingle_s"))
+      .select(col("id"), col("blk"), hash60(col("shingle_s")).as("shingle"))
       .distinct()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
     val a = sh.as("sa")

@@ -90,7 +90,7 @@ object PipelineQueries {
   def minhashSignaturesOracle: String = {
     val sigCols = (0 until MinhashHashes)
       .map(i =>
-        s"min(CAST('0x' || substr(md5('${i / 2}:' || shingle),${1 + 15 * (i % 2)},15) AS BIGINT)) AS sig_$i")
+        s"min(CAST('0x' || substr(md5('${i / 2}:' || CAST(shingle AS VARCHAR)),${1 + 15 * (i % 2)},15) AS BIGINT)) AS sig_$i")
       .mkString(", ")
     s"""WITH $shinglesCte
        |SELECT doc_id, $sigCols FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -289,10 +289,11 @@ object PipelineQueries {
 
   // --- generated DuckDB oracle SQL ----------------------------------------
 
-  /** Distinct word-3-gram shingles per doc (DuckDB list comprehension). */
+  /** Distinct word-3-gram shingles per doc, hashed to 60-bit longs (same
+    * early-hash as Dedup.shingleRows; DuckDB list comprehension). */
   private val shinglesCte =
     """sh AS (
-      |  SELECT DISTINCT doc_id, s AS shingle FROM (
+      |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS shingle FROM (
       |    SELECT doc_id, unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]) AS s
       |    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents)))""".stripMargin
 
@@ -302,7 +303,7 @@ object PipelineQueries {
   private def minhashPairsCtes: String = {
     val sigCols = (0 until MinhashHashes)
       .map(i =>
-        s"min(CAST('0x' || substr(md5('${i / 2}:' || shingle),${1 + 15 * (i % 2)},15) AS BIGINT)) AS sig_$i")
+        s"min(CAST('0x' || substr(md5('${i / 2}:' || CAST(shingle AS VARCHAR)),${1 + 15 * (i % 2)},15) AS BIGINT)) AS sig_$i")
       .mkString(", ")
     val rows = MinhashHashes / MinhashBands
     val bandSelects = (0 until MinhashBands)
@@ -400,7 +401,7 @@ object PipelineQueries {
 
   def ngramJaccardOracle: String =
     s"""WITH shl AS (
-       |  SELECT DISTINCT doc_id, blk, s AS shingle FROM (
+       |  SELECT DISTINCT doc_id, blk, CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS shingle FROM (
        |    SELECT doc_id, lang AS blk, unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]) AS s
        |    FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS w FROM documents))),
        |sizes AS (SELECT doc_id, count(*) AS set_size FROM shl GROUP BY doc_id),

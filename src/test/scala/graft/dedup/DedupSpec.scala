@@ -52,8 +52,15 @@ class DedupSpec extends SparkSuite {
   }
 
   test("minhash LSH finds the planted near-dup pair and skips unrelated") {
+    // bands == numHashes (1 row per band) maximizes candidate recall:
+    // a Jaccard-0.6 pair collides in a band with p=0.6 per hash, so with
+    // 8 single-row bands a miss needs all 8 to fail (p≈0.07%) — and the
+    // fixed hash family makes the outcome deterministic either way. The
+    // 2-rows-per-band layout the pipeline defaults to is precision-tuned
+    // and may legitimately miss a 0.6 pair; candidate recall mechanics,
+    // not band tuning, are what this test pins.
     val pairs = Dedup
-      .minhashDuplicates(docs, "doc_id", "text", numHashes = 8, bands = 4,
+      .minhashDuplicates(docs, "doc_id", "text", numHashes = 8, bands = 8,
         threshold = 0.5)
       .collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
