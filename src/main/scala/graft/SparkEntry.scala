@@ -78,7 +78,8 @@ object SparkEntry {
     "q_dup_clusters" -> (PipelineQueries.dupClusters _),
     "q_word_repetition" -> (TextQueries.wordRepetition _),
     "q_redact_pii" -> (TextQueries.redactPii _),
-    "q_split_assign" -> (TextQueries.splitAssign _)
+    "q_split_assign" -> (TextQueries.splitAssign _),
+    "q_token_ids" -> (TextQueries.tokenIds _)
   )
 
   /** DuckDB oracle SQL, column-name- and type-aligned with [[queries]]. */
@@ -396,6 +397,23 @@ object SparkEntry {
         |    regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
         |FROM d ORDER BY doc_id""".stripMargin,
+    "q_token_ids" ->
+      """WITH tok AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok FROM (
+        |    SELECT doc_id, regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+') AS l
+        |    FROM documents)),
+        |vocab AS (
+        |  SELECT tok, tid FROM (
+        |    SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) - 1 AS BIGINT) AS tid
+        |    FROM (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok))
+        |  WHERE tid < 256),
+        |enc AS (
+        |  SELECT t.doc_id, t.pos, coalesce(v.tid, -1) AS tid
+        |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+        |  string_agg(CAST(tid AS VARCHAR), '_' ORDER BY pos) AS token_ids
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_split_assign" ->
       """SELECT lang,
         | CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,

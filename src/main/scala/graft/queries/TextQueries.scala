@@ -200,6 +200,45 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "split")
 
+  /** Dictionary token-id encoding — the text→ids transformation every
+    * training pipeline ends with: build a frequency-ranked vocab of
+    * BPE-ish tokens, broadcast it, and rewrite each document as its
+    * ordered id sequence (unknown → -1). At scale the vocab is a small
+    * broadcast dictionary (here top-256) and the encode is a map-side
+    * join — the corpus never shuffles for the lookup; the only wide op is
+    * the per-doc sequence reassembly. */
+  val VocabSize = 256
+
+  def tokenIds(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(
+        col("doc_id"),
+        posexplode(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .as(Seq("pos", "tok")))
+    val vocab = tok
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("tok"),
+        (row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("tok").asc)) - 1)
+          .cast("long")
+          .as("tid"))
+      .filter(col("tid") < VocabSize)
+    tok
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("tid", coalesce(col("tid"), lit(-1L)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === -1L, 1L).otherwise(0L)).as("n_unk"),
+        graft.queries.EventQueries
+          .orderedStringAgg(col("pos"), col("tid").cast("string"), "_")
+          .as("token_ids"))
+      .orderBy("doc_id")
+  }
+
   /** M3 sentence explode via the portable (RE2-safe, no-lookbehind) split
     * pattern; ordered by (doc_id, sentence) for a deterministic total order
     * even when a document repeats a sentence. */
