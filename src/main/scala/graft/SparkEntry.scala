@@ -69,6 +69,7 @@ object SparkEntry {
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
+    "q_hll_distinct" -> (EventQueries.hllDistinct _),
     "q_range_interval" -> (EventQueries.rangeInterval _),
     "q_corr_stats" -> (EventQueries.corrStats _),
     "q_orders_cube" -> (Relational.ordersCube _),
@@ -311,6 +312,36 @@ object SparkEntry {
         | (SELECT user_id FROM v INTERSECT SELECT user_id FROM c)
         | EXCEPT SELECT user_id FROM p)
         |ORDER BY user_id""".stripMargin,
+    "q_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15) AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv % 64 AS reg,
+        |    CASE WHEN hv // 64 = 0 THEN 55 ELSE 55 - length(bin(hv // 64)) END AS rank
+        |  FROM h),
+        |mx AS (SELECT event_type, reg, max(rank) AS mr FROM r GROUP BY 1, 2),
+        |regs AS (
+        |  SELECT e.event_type, g.reg, coalesce(mx.mr, 0) AS mr
+        |  FROM (SELECT DISTINCT event_type FROM events) e
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS reg) g
+        |  LEFT JOIN mx ON mx.event_type = e.event_type AND mx.reg = g.reg),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(1 AS BIGINT) << (55 - mr)) AS BIGINT) AS s,
+        |    CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        |  FROM regs GROUP BY event_type),
+        |est AS (
+        |  SELECT event_type, zeros,
+        |    CAST(0.709 AS DOUBLE) * 64.0 * 64.0 * 36028797018963968.0 / s AS raw
+        |  FROM agg),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+        |SELECT ex.event_type AS event_type, ex.n_exact AS n_exact,
+        |  round(CASE WHEN raw <= 160.0 AND zeros > 0
+        |             THEN 64.0 * ln(64.0 / zeros) ELSE raw END, 4) AS n_approx
+        |FROM ex JOIN est ON ex.event_type = est.event_type
+        |ORDER BY event_type""".stripMargin,
     "q_range_interval" ->
       """WITH ev AS (
         | SELECT user_id, value, epoch_ms(ts) AS start_ms,

@@ -138,5 +138,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         (exprs: Seq[Expression]) => RollingHashMin(exprs.head)
       )
     )
+    e.injectFunction(
+      (
+        new org.apache.spark.sql.catalyst.FunctionIdentifier("hll_distinct"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[HllDistinct].getName, "hll_distinct"),
+        (exprs: Seq[Expression]) => HllDistinct(exprs.head)
+      )
+    )
   }
 }

@@ -299,6 +299,21 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Distinct users per event type through the custom HLL sketch
+    * aggregate ([[graft.functions.HllDistinct]]): 64 bytes of state per
+    * group at any cardinality, exact countDistinct alongside for error
+    * context. The estimate is bit-deterministic (md5 registers,
+    * integer-exact harmonic sum), so the DuckDB oracle reproduces it. */
+  def hllDistinct(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HllDistinct.register(s)
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        round(expr("hll_distinct(user_id)"), 4).as("n_approx"))
+      .orderBy("event_type")
+  }
+
   /** Salted two-phase aggregation, oracle-checked against the plain
     * GROUP BY it must equal: the [[graft.operators.Skew]] hot-key
     * mitigation as a first-class checkable query (exact integer cents, so
