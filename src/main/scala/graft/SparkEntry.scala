@@ -70,6 +70,7 @@ object SparkEntry {
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
     "q_hll_distinct" -> (EventQueries.hllDistinct _),
+    "q_topk_heap" -> (EventQueries.topkHeap _),
     "q_range_interval" -> (EventQueries.rangeInterval _),
     "q_corr_stats" -> (EventQueries.corrStats _),
     "q_orders_cube" -> (Relational.ordersCube _),
@@ -312,6 +313,14 @@ object SparkEntry {
         | (SELECT user_id FROM v INTERSECT SELECT user_id FROM c)
         | EXCEPT SELECT user_id FROM p)
         |ORDER BY user_id""".stripMargin,
+    "q_topk_heap" ->
+      """SELECT event_type, rnk, event_id, value_cents FROM (
+        | SELECT event_type, event_id,
+        |  CAST(round(value*100,0) AS BIGINT) AS value_cents,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY CAST(round(value*100,0) AS BIGINT) DESC, event_id ASC) AS rnk
+        | FROM events)
+        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
     "q_hll_distinct" ->
       """WITH h AS (
         |  SELECT event_type,

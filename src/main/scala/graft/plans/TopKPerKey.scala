@@ -1,0 +1,210 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow,
+  SortOrder, UnsafeProjection
+}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, UnspecifiedDistribution
+}
+import org.apache.spark.sql.types.LongType
+
+/** Distributed top-k-per-key as a WHOLE custom operator — logical node,
+  * planner strategy, and a two-phase physical operator, registered through
+  * `SparkSessionExtensions` (SURVEY.md §4.3's "(c)" extension path,
+  * exercised on the one operator where the built-in plan is structurally
+  * wasteful).
+  *
+  * The built-in formulation (`row_number().over(partitionBy(key).orderBy
+  * (ord))` then `filter(rank <= k)`) SORTS every key's entire row group
+  * just to discard all but k rows, and ships EVERY row through the
+  * shuffle first. This operator keeps a bounded heap of k rows per key:
+  *
+  *   - partial phase (before the shuffle, combiner-style): each input
+  *     partition retains at most k rows per key — shuffle volume drops
+  *     from |rows| to ≤ k·|keys|·|partitions|, the same asymptotic win
+  *     map-side combine gives hash aggregation;
+  *   - final phase (after clustering by key): re-heap the ≤ k·|partitions|
+  *     survivors per key, emit in order with an appended `rnk` column.
+  *
+  * Heap cost is O(n log k) vs the sort's O(n log n) — and k is a constant
+  * (5, 100) while n is a 100 TB corpus. Determinism: the ordering is a
+  * total order supplied by the caller (ord column + tiebreak), identical
+  * to the window formulation, so results hash-match the same SQL oracle.
+  */
+object TopKPerKey {
+
+  /** Public surface: top-k rows per key group, ranked 1..k by `ordering`
+    * (a total order — include a tiebreak). Output = child columns + `rnk`
+    * (LongType). */
+  def topK(
+      df: DataFrame,
+      keys: Seq[Column],
+      ordering: Seq[Column],
+      k: Int
+  ): DataFrame = {
+    val spark = df.sparkSession
+    register(spark)
+    val analyzed = df.queryExecution.analyzed
+    val keyExprs = keys.map(c => resolve(df, c))
+    val sortOrders = ordering.map { c =>
+      GraftSqlBridge.expr(c) match {
+        case so: SortOrder => so.copy(child = resolveExpr(df, so.child))
+        case e             => SortOrder(resolveExpr(df, e), org.apache.spark.sql.catalyst.expressions.Ascending)
+      }
+    }
+    ofRows(spark, TopKPerKeyPlan(keyExprs, sortOrders, k, analyzed))
+  }
+
+  private def resolve(df: DataFrame, c: Column): Expression =
+    resolveExpr(df, GraftSqlBridge.expr(c))
+
+  /** Resolve a possibly-unresolved column expression against the frame's
+    * analyzed output (named columns only — enough for this operator). */
+  private def resolveExpr(df: DataFrame, e: Expression): Expression = e match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      df.queryExecution.analyzed.output
+        .find(a => a.name == u.name || u.nameParts.lastOption.contains(a.name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"column ${u.name} not found in ${df.queryExecution.analyzed.output.map(_.name)}"))
+    case other if other.resolved => other
+    case other =>
+      other.mapChildren(resolveExpr(df, _))
+  }
+
+  private def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    GraftSqlBridge.ofRows(spark, plan)
+
+  @volatile private var registered = Set.empty[String]
+
+  /** Idempotently inject the planner strategy into this session. */
+  def register(spark: SparkSession): Unit = synchronized {
+    val id = spark.sessionState.toString
+    if (!registered.contains(id)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+      registered += id
+    }
+  }
+}
+
+/** Logical node: opaque unary operator; `rnk` appended to the child
+  * schema. */
+case class TopKPerKeyPlan(
+    keys: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan,
+    // In the parameter list (not a body val) so optimizer copies preserve
+    // the exprId — downstream references bind to THIS attribute.
+    rankAttr: AttributeReference =
+      AttributeReference("rnk", LongType, nullable = false)()
+) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: TopKPerKeyPlan =>
+      val partial = TopKPerKeyExec(
+        p.keys, p.ordering, p.k, planLater(p.child),
+        rankAttr = None)
+      TopKPerKeyExec(
+        p.keys, p.ordering, p.k, partial, rankAttr = Some(p.rankAttr)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical operator; `rankAttr = None` is the pre-shuffle partial pass
+  * (emits surviving rows unranked, no required distribution), `Some` is
+  * the final pass (requires clustering by key, emits ranked rows). */
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan,
+    rankAttr: Option[AttributeReference]
+) extends org.apache.spark.sql.execution.UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output ++ rankAttr.toSeq
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (rankAttr.isDefined) Seq(ClusteredDistribution(keys))
+    else Seq(UnspecifiedDistribution)
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val sortOrders = ordering
+    val kk = k
+    val emitRank = rankAttr.isDefined
+    val childOutput = child.output
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val rowProj = UnsafeProjection.create(
+        childOutput.map(a => a: Expression), childOutput)
+      // Total-order comparator from the caller's SortOrder list (codegen'd).
+      val ord = GenerateOrdering.generate(sortOrders, childOutput)
+      // Heap keeps the k SMALLEST under `ord` ... we want the k FIRST in
+      // sort order, i.e. the k minimal rows; evict the current maximum.
+      val heaps = new java.util.HashMap[
+        org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+        java.util.PriorityQueue[InternalRow]]()
+      val reverse = ord.reversed()
+      while (it.hasNext) {
+        val row = it.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kk + 1, reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kk) heap.add(rowProj(row).copy())
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(rowProj(row).copy())
+        }
+      }
+      val entries = heaps.entrySet().iterator()
+      val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+      val joined = new JoinedRow
+      val outProj =
+        if (emitRank)
+          UnsafeProjection.create(
+            (childOutput ++ rankAttr.toSeq).map(a => a: Expression),
+            childOutput ++ rankAttr.toSeq)
+        else null
+      while (entries.hasNext) {
+        val e = entries.next()
+        val arr = new Array[InternalRow](e.getValue.size)
+        var i = arr.length - 1
+        // Poll gives worst-first; fill backwards for best-first order.
+        while (i >= 0) { arr(i) = e.getValue.poll(); i -= 1 }
+        var r = 0
+        while (r < arr.length) {
+          if (emitRank) {
+            val rankRow = new GenericInternalRow(Array[Any]((r + 1).toLong))
+            out += outProj(joined(arr(r), rankRow)).copy()
+          } else out += arr(r)
+          r += 1
+        }
+      }
+      out.iterator
+    }
+  }
+}

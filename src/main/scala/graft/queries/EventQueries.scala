@@ -314,6 +314,24 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Top-3 events by value per type through the custom
+    * [[graft.plans.TopKPerKey]] operator (partial bounded heaps → one
+    * key-clustered exchange → final heaps, no sort anywhere), oracle-
+    * checked against the row_number window formulation it replaces. */
+  def topkHeap(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("value_cents", cents(col("value")))
+      .select("event_type", "event_id", "value_cents")
+    graft.plans.TopKPerKey
+      .topK(
+        ev,
+        keys = Seq(col("event_type")),
+        ordering = Seq(col("value_cents").desc, col("event_id").asc),
+        k = 3)
+      .select("event_type", "rnk", "event_id", "value_cents")
+      .orderBy("event_type", "rnk")
+  }
+
   /** Salted two-phase aggregation, oracle-checked against the plain
     * GROUP BY it must equal: the [[graft.operators.Skew]] hot-key
     * mitigation as a first-class checkable query (exact integer cents, so
