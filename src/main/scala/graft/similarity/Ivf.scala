@@ -101,18 +101,13 @@ object Ivf {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
       "q_vec_id", "q_emb", nProbe)
       .withColumn("q_nrm", expr(s"sqrt(${dot("q_emb", "q_emb")})"))
-    val w = Window
-      .partitionBy("q_vec_id")
-      .orderBy(col("score").desc, col("vec_id").asc)
-    asg
+    val scored = asg
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_vec_id"))
       .withColumn(
         "score",
         round(expr(Similarity.dotSql("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("q_vec_id", "rnk", "vec_id", "score")
+    Similarity.rankTopK(scored, k)
   }
 
   /** Cosine top-k probing the query's nProbe nearest cells. Queries are
@@ -167,14 +162,8 @@ object Ivf {
         "score",
         round(expr(Similarity.dotSql("emb", "q_emb")) /
           (col("nrm") * col("q_nrm")), 6))
-    val w = Window
-      .partitionBy("q_vec_id")
-      .orderBy(col("score").desc, col("vec_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("q_vec_id", "rnk", "vec_id", "score")
-      // A vector can sit in several probed cells' result sets only once:
-      // (q, vec) pairs are unique because cell is functional on vec.
+    // A vector can sit in several probed cells' result sets only once:
+    // (q, vec) pairs are unique because cell is functional on vec.
+    Similarity.rankTopK(scored, k)
   }
 }

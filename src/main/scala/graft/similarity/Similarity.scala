@@ -34,9 +34,12 @@ object Similarity {
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors by cosine (self-match excluded). Output:
-    * (q_vec_id, rnk, vec_id, score). */
+    * (q_vec_id, rnk, vec_id, score).
+    *
+    * Ranking runs through [[rankTopK]] (the custom bounded-heap
+    * operator): the embedding arrays are projected away BEFORE ranking,
+    * so the heap/shuffle carries (q_vec_id, vec_id, score) triples only. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = corpus.select(
       col("vec_id"),
       expr(toDoubleSql("embedding")).as("emb"))
@@ -50,14 +53,21 @@ object Similarity {
       .withColumn(
         "score",
         round(expr(dotSql("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
-    val w = Window
-      .partitionBy("q_vec_id")
-      .orderBy(col("score").desc, col("vec_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("q_vec_id", "rnk", "vec_id", "score")
+    rankTopK(scored, k)
   }
+
+  /** Shared ranking tail of every top-k search: per-query bounded-heap
+    * rank (identical total order to `row_number() OVER (PARTITION BY
+    * q_vec_id ORDER BY score DESC, vec_id ASC)` — the SQL the oracles
+    * use), narrow columns only. */
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.TopKPerKey
+      .topK(
+        scored.select("q_vec_id", "vec_id", "score"),
+        keys = Seq(col("q_vec_id")),
+        ordering = Seq(col("score").desc, col("vec_id").asc),
+        k = k)
+      .select("q_vec_id", "rnk", "vec_id", "score")
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * md5-derived value in [-0.5, 0.5). */
@@ -129,7 +139,6 @@ object Similarity {
       dims: Int,
       nBits: Int = 8
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bucket = lshBucketSql("embedding", dims, nBits)
     val c = corpus.select(
       col("vec_id"),
@@ -147,12 +156,6 @@ object Similarity {
       .withColumn(
         "score",
         round(expr(dotSql("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
-    val w = Window
-      .partitionBy("q_vec_id")
-      .orderBy(col("score").desc, col("vec_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("q_vec_id", "rnk", "vec_id", "score")
+    rankTopK(scored, k)
   }
 }
