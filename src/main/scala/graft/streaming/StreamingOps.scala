@@ -83,6 +83,37 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(keyCols)
       .select("event_id", "user_id", "event_type", "ts")
 
+  /** Stream-stream interval join (the attribution shape of
+    * [[graft.queries.EventQueries.asofAttribution]] under continuous
+    * ingestion): each click joins the same user's views from the
+    * preceding hour. Watermarks on BOTH sides bound the join state —
+    * Spark retains view rows only until `click watermark > view.ts + 1h`,
+    * which is what makes an unbounded two-stream join feasible at all. */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(
+        col("event_id").as("view_event_id"),
+        col("user_id").as("view_user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "30 minutes")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("click_event_id"),
+        col("user_id").as("click_user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    clicks.join(
+      views,
+      col("click_user_id") === col("view_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(
+        col("click_event_id"), col("click_user_id"),
+        col("view_event_id"), col("click_ts"), col("view_ts"))
+  }
+
   case class UserRunState(runCount: Long, lastType: Option[String])
   case class RunChange(userId: Long, runIndex: Long, eventType: String)
 

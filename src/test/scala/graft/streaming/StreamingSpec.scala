@@ -102,6 +102,34 @@ class StreamingSpec extends SparkSuite {
         .filter(col("count") > 1).count() == 0)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val stream = StreamingOps.readEvents(spark, streamDir)
+    val got = runToMemory(StreamingOps.clickViewJoin(stream), "ssjoin")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toSet
+    val ev = graft.queries.Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_event_id"),
+        col("user_id").as("vu"), col("ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_event_id"),
+        col("user_id").as("cu"), col("ts").as("click_ts"))
+    val batch = clicks.join(views,
+      col("cu") === col("vu") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select("click_event_id", "view_event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got.nonEmpty)
+    // Append-mode emission is watermark-gated, so the stream output is a
+    // subset; on a single replayed file it should be the full set.
+    assert(got.subsetOf(batch))
+    assert(got.size >= batch.size / 2, s"stream=${got.size} batch=${batch.size}")
+  }
+
   test("stateful run detection matches batch lag-based runs per user") {
     import spark.implicits._
     val stream = StreamingOps.readEvents(spark, streamDir)
