@@ -71,9 +71,11 @@ object SparkEntry {
     "q_skew_agg" -> (EventQueries.skewAgg _),
     "q_hll_distinct" -> (EventQueries.hllDistinct _),
     "q_topk_heap" -> (EventQueries.topkHeap _),
+    "q_json_extract" -> (EventQueries.jsonExtract _),
     "q_range_interval" -> (EventQueries.rangeInterval _),
     "q_corr_stats" -> (EventQueries.corrStats _),
     "q_orders_cube" -> (Relational.ordersCube _),
+    "q_orders_grouping_sets" -> (Relational.ordersGroupingSets _),
     "q_vocab_topk" -> (TextQueries.vocabTopK _),
     "q_sample_hash" -> (TextQueries.sampleHash _),
     "q_token_bpe" -> (TextQueries.tokenBpe _),
@@ -313,6 +315,12 @@ object SparkEntry {
         | (SELECT user_id FROM v INTERSECT SELECT user_id FROM c)
         | EXCEPT SELECT user_id FROM p)
         |ORDER BY user_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        | CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_topk_heap" ->
       """SELECT event_type, rnk, event_id, value_cents FROM (
         | SELECT event_type, event_id,
@@ -393,6 +401,13 @@ object SparkEntry {
         | count(*) AS n_orders,
         | CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_orders_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY status, priority""".stripMargin,
     "q_vocab_topk" ->
       """SELECT word, count(*) AS df FROM (

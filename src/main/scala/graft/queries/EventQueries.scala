@@ -332,6 +332,21 @@ object EventQueries {
       .orderBy("event_type", "rnk")
   }
 
+  /** JSON payload extraction (the scalar JSON function family —
+    * SURVEY §2.6): pull `$.k` out of the props JSON per event, aggregate
+    * per type. `get_json_object` is codegen'd; the extraction runs in the
+    * scan stage. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   /** Salted two-phase aggregation, oracle-checked against the plain
     * GROUP BY it must equal: the [[graft.operators.Skew]] hot-key
     * mitigation as a first-class checkable query (exact integer cents, so

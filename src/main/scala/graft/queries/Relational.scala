@@ -170,6 +170,25 @@ object Relational {
       )
       .orderBy("status", "priority")
 
+  /** Explicit GROUPING SETS ((status), (priority)) — two independent
+    * one-dimension aggregates in one pass over the data (the third member
+    * of the rollup/cube family, via Spark 4's groupingSets API). */
+  def ordersGroupingSets(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"),
+        col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"),
+        col("total_cents"))
+      .orderBy("status", "priority")
+
   /** Grouping-sets rollup: order counts by (status, priority) hierarchy.
     * Null grouping keys from ROLLUP are made deterministic via coalesce. */
   def ordersRollup(s: SparkSession, d: String): DataFrame =
