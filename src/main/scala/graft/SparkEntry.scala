@@ -72,6 +72,10 @@ object SparkEntry {
     "q_hll_distinct" -> (EventQueries.hllDistinct _),
     "q_topk_heap" -> (EventQueries.topkHeap _),
     "q_json_extract" -> (EventQueries.jsonExtract _),
+    "q_window_family" -> (EventQueries.windowFamily _),
+    "q_time_breakdown" -> (EventQueries.timeBreakdown _),
+    "q_pivot" -> (EventQueries.pivotCounts _),
+    "q_except_all" -> (EventQueries.exceptAllTypes _),
     "q_range_interval" -> (EventQueries.rangeInterval _),
     "q_corr_stats" -> (EventQueries.corrStats _),
     "q_orders_cube" -> (Relational.ordersCube _),
@@ -315,6 +319,38 @@ object SparkEntry {
         | (SELECT user_id FROM v INTERSECT SELECT user_id FROM c)
         | EXCEPT SELECT user_id FROM p)
         |ORDER BY user_id""".stripMargin,
+    "q_window_family" ->
+      """SELECT event_id, event_type, value_cents,
+        | lag(value_cents, 1) OVER w AS prev_cents,
+        | lead(value_cents, 1) OVER w AS next_cents,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | round(cume_dist() OVER w, 6) AS cume
+        |FROM (SELECT event_id, event_type,
+        |  CAST(round(value*100,0) AS BIGINT) AS value_cents FROM events)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_time_breakdown" ->
+      """SELECT CAST(date_part('year', ts) AS BIGINT) AS y,
+        | CAST(date_part('month', ts) AS BIGINT) AS m,
+        | CAST(date_part('day', ts) AS BIGINT) AS day,
+        | CAST(date_part('hour', ts) AS BIGINT) AS h,
+        | count(*) AS n_events
+        |FROM events GROUP BY 1, 2, 3, 4 ORDER BY y, m, day, h""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (event_type = 'click') AS n_click,
+        | count(*) FILTER (event_type = 'error') AS n_error,
+        | count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        | count(*) FILTER (event_type = 'signup') AS n_signup,
+        | count(*) FILTER (event_type = 'view') AS n_view
+        |FROM events WHERE user_id < 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_except_all" ->
+      """SELECT event_type, count(*) AS n FROM (
+        | SELECT event_type FROM events WHERE user_id % 3 = 0
+        | EXCEPT ALL
+        | SELECT event_type FROM events WHERE user_id % 3 = 1)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -332,6 +332,69 @@ object EventQueries {
       .orderBy("event_type", "rnk")
   }
 
+  /** The analytic-window family beyond rank: lag, lead, ntile,
+    * cume_dist per event-type partition — every value exact or derived
+    * from exact integers (cume_dist is a ratio of counts; rounded). */
+  def windowFamily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+    events(s, d)
+      .withColumn("value_cents", cents(col("value")))
+      .select(
+        col("event_id"),
+        col("event_type"),
+        col("value_cents"),
+        lag("value_cents", 1).over(w).as("prev_cents"),
+        lead("value_cents", 1).over(w).as("next_cents"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("event_id")
+  }
+
+  /** Date-part breakdown (the date/time scalar family): per
+    * (year, month, day-of-month, hour) counts. Session timezone is UTC
+    * on both engines, so parts agree. */
+  def timeBreakdown(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        dayofmonth(col("ts")).cast("long").as("day"),
+        hour(col("ts")).cast("long").as("h"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("y", "m", "day", "h")
+
+  /** Pivot: per-user event counts spread into one column per event type
+    * (the groupBy().pivot() API; the oracle uses portable conditional
+    * aggregation). Restricted to the first 50 users for output size. */
+  def pivotCounts(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("user_id") < 50)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(
+        col("user_id"),
+        col("click").as("n_click"),
+        col("error").as("n_error"),
+        col("purchase").as("n_purchase"),
+        col("signup").as("n_signup"),
+        col("view").as("n_view"))
+      .orderBy("user_id")
+
+  /** Bag-semantics set ops (exceptAll/intersectAll — multiplicity
+    * preserved, unlike the distinct forms in [[setopFunnel]]): event
+    * types of user 1's events EXCEPT ALL user 2's, with counts. */
+  def exceptAllTypes(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    ev.filter(col("user_id") % 3 === 0)
+      .select("event_type")
+      .exceptAll(ev.filter(col("user_id") % 3 === 1).select("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   /** JSON payload extraction (the scalar JSON function family —
     * SURVEY §2.6): pull `$.k` out of the props JSON per event, aggregate
     * per type. `get_json_object` is codegen'd; the extraction runs in the
