@@ -34,7 +34,10 @@ object Summarizer {
   ): Output = {
     val t0 = System.nanoTime()
     val raw = Preprocess.loadTranscript(spark, inputPath)
-    val nSegments = raw.count()
+    // Reported segment count is POST-limit, like the reference's
+    // `segments[:limit]` then `len(segments)` (main.py:130-135, :253).
+    val nSegments = cfg.prep.limitSegments
+      .fold(raw.count())(l => math.min(raw.count(), l.toLong))
 
     // Three consumers below (chunking, duration, speakers) — cache the
     // preprocessed transcript instead of re-running load+fold per action.
@@ -88,19 +91,27 @@ object Summarizer {
 
   /** S5: intermediate-chunk sink (/root/reference/main.py:177-201) —
     * project the 5 reported fields and write JSON. */
+  /** S5: intermediate-chunk sink — ONE json file
+    * `{timestamp, chunks:[{chunk_index,start_time,end_time,summary,
+    * tokens_used}]}` exactly like the reference (main.py:177-201, sample
+    * README.md:145-158). Chunk count == LLM-call count (small by
+    * construction), so a driver-side write is the right shape; a Spark
+    * directory write here would break the reference's file contract. */
   def saveChunks(chunks: Dataset[ProcessedChunk], path: String): Unit = {
-    chunks
-      .orderBy("chunkIndex")
-      .selectExpr(
-        "chunkIndex as chunk_index",
-        "startTime as start_time",
-        "endTime as end_time",
-        "summary",
-        "tokensUsed as tokens_used")
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .json(path)
+    import graft.llm.MiniJson.esc
+    val rows = chunks.orderBy("chunkIndex").collect()
+    val body = rows
+      .map(c =>
+        s"""{"chunk_index":${c.chunkIndex},"start_time":${c.startTime},""" +
+          s""""end_time":${c.endTime},"summary":"${esc(c.summary)}",""" +
+          s""""tokens_used":${c.tokensUsed}}""")
+      .mkString(",")
+    val ts = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME
+      .format(java.time.LocalDateTime.now())
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(
+      p, s"""{"timestamp":"$ts","chunks":[$body]}""")
   }
 
   /** S4: summary sink (single row — plain JVM write like the reference). */
