@@ -89,8 +89,6 @@ object Summarizer {
     )
   }
 
-  /** S5: intermediate-chunk sink (/root/reference/main.py:177-201) —
-    * project the 5 reported fields and write JSON. */
   /** S5: intermediate-chunk sink — ONE json file
     * `{timestamp, chunks:[{chunk_index,start_time,end_time,summary,
     * tokens_used}]}` exactly like the reference (main.py:177-201, sample
@@ -110,6 +108,26 @@ object Summarizer {
       .format(java.time.LocalDateTime.now())
     val p = java.nio.file.Paths.get(path)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    // Migration path: an earlier build's Spark writer left a DIRECTORY of
+    // part files at this path. Remove it only when it is recognizably a
+    // Spark output dir — anything else is not ours to delete.
+    if (java.nio.file.Files.isDirectory(p)) {
+      val entries = java.nio.file.Files.list(p).iterator()
+      val sparkOutput = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+      var foreign = false
+      while (entries.hasNext) {
+        val f = entries.next()
+        val n = f.getFileName.toString
+        if (n.startsWith("part-") || n == "_SUCCESS" || n.endsWith(".crc"))
+          sparkOutput += f
+        else foreign = true
+      }
+      if (foreign)
+        throw new IllegalArgumentException(
+          s"$path is a directory with non-Spark-output contents; refusing to overwrite")
+      sparkOutput.foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.delete(p)
+    }
     java.nio.file.Files.writeString(
       p, s"""{"timestamp":"$ts","chunks":[$body]}""")
   }

@@ -239,7 +239,7 @@ object Dedup {
     * Returns (id, component). Deterministic: min is order-insensitive. */
   def connectedComponents(
       pairs: DataFrame,
-      maxIter: Int = 10
+      maxIter: Int = 50
   ): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs
@@ -278,8 +278,21 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // Non-convergence must be LOUD: silently returning partial labels
+    // would split clusters (and diverge from the exact transitive-closure
+    // oracle). Diameter ≤ maxIter holds for any real dup graph; a miss
+    // means maxIter was set too low for a pathological chain.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — graph diameter exceeds maxIter")
+    // Cut lineage and hand back an uncached frame: localCheckpoint blocks
+    // are reclaimed by the ContextCleaner once the result is unreferenced,
+    // whereas returning the persisted `labels` directly would pin its
+    // cache entry for the session's lifetime.
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    labels
+    out
   }
 
   // -------------------------------------------------------------------------

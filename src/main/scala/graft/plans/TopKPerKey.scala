@@ -49,6 +49,7 @@ object TopKPerKey {
       ordering: Seq[Column],
       k: Int
   ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
     register(spark)
     val analyzed = df.queryExecution.analyzed

@@ -383,8 +383,9 @@ object EventQueries {
       .orderBy("user_id")
 
   /** Bag-semantics set ops (exceptAll/intersectAll — multiplicity
-    * preserved, unlike the distinct forms in [[setopFunnel]]): event
-    * types of user 1's events EXCEPT ALL user 2's, with counts. */
+    * preserved, unlike the distinct forms in [[setopFunnel]]): the
+    * user_id%3==0 cohort's event-type bag EXCEPT ALL the %3==1 cohort's,
+    * with surviving multiplicities. */
   def exceptAllTypes(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
     ev.filter(col("user_id") % 3 === 0)

@@ -215,9 +215,13 @@ object TextQueries {
         col("doc_id"),
         posexplode(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
           .as(Seq("pos", "tok")))
+    // Top-N first (TakeOrderedAndProject — no global single-partition
+    // window over the whole vocabulary), then rank only the survivors.
     val vocab = tok
       .groupBy("tok")
       .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(VocabSize)
       .select(
         col("tok"),
         (row_number().over(
@@ -225,7 +229,6 @@ object TextQueries {
             .orderBy(col("cnt").desc, col("tok").asc)) - 1)
           .cast("long")
           .as("tid"))
-      .filter(col("tid") < VocabSize)
     tok
       .join(broadcast(vocab), Seq("tok"), "left")
       .withColumn("tid", coalesce(col("tid"), lit(-1L)))
