@@ -241,17 +241,22 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 50
   ): DataFrame = {
-    val spark = pairs.sparkSession
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Every round MUST cut lineage (localCheckpoint), not merely persist:
+    // the round-N plan references round-N-1 twice (next-labels join +
+    // convergence check), so an uncut logical plan doubles per round and
+    // planning/explain work goes exponential — persist caches DATA but
+    // not the plan. Checkpoint blocks are reclaimed by the ContextCleaner
+    // once a round's frame is unreferenced, so nothing stays pinned.
     var labels = edges
       .groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("component"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -267,17 +272,17 @@ object Dedup {
           col("id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next
         .join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") < col("old"))
         .limit(1)
         .count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     // Non-convergence must be LOUD: silently returning partial labels
     // would split clusters (and diverge from the exact transitive-closure
     // oracle). Diameter ≤ maxIter holds for any real dup graph; a miss
@@ -285,14 +290,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — graph diameter exceeds maxIter")
-    // Cut lineage and hand back an uncached frame: localCheckpoint blocks
-    // are reclaimed by the ContextCleaner once the result is unreferenced,
-    // whereas returning the persisted `labels` directly would pin its
-    // cache entry for the session's lifetime.
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
-    edges.unpersist()
-    out
+    labels
   }
 
   // -------------------------------------------------------------------------

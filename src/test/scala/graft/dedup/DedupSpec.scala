@@ -39,6 +39,14 @@ class DedupSpec extends SparkSuite {
       5L -> 5L, 8L -> 5L, 9L -> 5L))
   }
 
+  test("connected components converges on a 13-node chain (diameter 12)") {
+    import spark.implicits._
+    val pairs = (1L until 13L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 13 && got.values.forall(_ == 1L))
+  }
+
   test("simhashNoShuffle equals the explode+agg simhash") {
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Dedup.simhash(docs, "doc_id", "text")
