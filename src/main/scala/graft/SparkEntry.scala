@@ -72,6 +72,7 @@ object SparkEntry {
     "q_hll_distinct" -> (EventQueries.hllDistinct _),
     "q_topk_heap" -> (EventQueries.topkHeap _),
     "q_json_extract" -> (EventQueries.jsonExtract _),
+    "q_cms_freq" -> (EventQueries.cmsFreq _),
     "q_window_family" -> (EventQueries.windowFamily _),
     "q_time_breakdown" -> (EventQueries.timeBreakdown _),
     "q_pivot" -> (EventQueries.pivotCounts _),
@@ -351,6 +352,25 @@ object SparkEntry {
         | EXCEPT ALL
         | SELECT event_type FROM events WHERE user_id % 3 = 1)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_cms_freq" ->
+      """WITH rb AS (
+        |  SELECT hrow,
+        |    CAST('0x' || substr(md5('cms' || hrow || ':' || event_type),1,8) AS BIGINT) % 32 AS bucket,
+        |    event_type
+        |  FROM events CROSS JOIN (SELECT unnest(range(0,4)) AS hrow)),
+        |sketch AS (SELECT hrow, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
+        |ib AS (
+        |  SELECT DISTINCT event_type, hrow,
+        |    CAST('0x' || substr(md5('cms' || hrow || ':' || event_type),1,8) AS BIGINT) % 32 AS bucket
+        |  FROM events CROSS JOIN (SELECT unnest(range(0,4)) AS hrow)),
+        |est AS (
+        |  SELECT ib.event_type, CAST(min(cnt) AS BIGINT) AS n_cms
+        |  FROM ib JOIN sketch ON ib.hrow = sketch.hrow AND ib.bucket = sketch.bucket
+        |  GROUP BY ib.event_type),
+        |ex AS (SELECT event_type, count(*) AS n_exact FROM events GROUP BY 1)
+        |SELECT ex.event_type AS event_type, n_exact, n_cms
+        |FROM ex JOIN est ON ex.event_type = est.event_type
+        |ORDER BY event_type""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

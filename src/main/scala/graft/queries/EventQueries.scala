@@ -396,6 +396,51 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Count-min frequency sketch, fully declarative: d=4 md5-derived hash
+    * rows × w=32 buckets of EXACT integer counts (mergeable by elementwise
+    * sum — the shuffle carries ≤ d·w rows however large the stream), then
+    * per-item estimate = min over rows of its bucket count. Deterministic
+    * by construction, so the estimate column hash-matches the oracle;
+    * exact counts sit alongside for the error envelope (estimate ≥ exact,
+    * always). */
+  def cmsFreq(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val depth = 4
+    val width = 32
+    // Sketch table: (row, bucket) → count, built in one pass via explode
+    // of the d bucket assignments per event.
+    val rowCols = (0 until depth).map { r =>
+      struct(
+        lit(r).as("hrow"),
+        (graft.dedup.Dedup.hash32(
+          concat(lit(s"cms$r:"), col("event_type"))) % width).as("bucket"))
+    }
+    val sketch = ev
+      .select(explode(array(rowCols: _*)).as("rb"))
+      .groupBy(col("rb.hrow").as("hrow"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // Estimates for the 5 known items: min over the d rows' buckets.
+    val items = ev.select(col("event_type")).distinct()
+    val itemBuckets = items.select(
+      col("event_type"),
+      explode(array((0 until depth).map { r =>
+        struct(
+          lit(r).as("hrow"),
+          (graft.dedup.Dedup.hash32(
+            concat(lit(s"cms$r:"), col("event_type"))) % width).as("bucket"))
+      }: _*)).as("rb"))
+      .select(col("event_type"), col("rb.hrow").as("hrow"),
+        col("rb.bucket").as("bucket"))
+    val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+    itemBuckets
+      .join(sketch, Seq("hrow", "bucket"))
+      .groupBy("event_type")
+      .agg(min(col("cnt")).as("n_cms"))
+      .join(exact, Seq("event_type"))
+      .select("event_type", "n_exact", "n_cms")
+      .orderBy("event_type")
+  }
+
   /** JSON payload extraction (the scalar JSON function family —
     * SURVEY §2.6): pull `$.k` out of the props JSON per event, aggregate
     * per type. `get_json_object` is codegen'd; the extraction runs in the
