@@ -129,9 +129,14 @@ object Dedup {
         .dropRight(1)
       struct(lit(b).as("band"), md5(concat(cols: _*)).as("bh"))
     }
+    // Both self-join sides hang off the signature aggregation (the
+    // md5-heavy dominant stage); materialize the banded rows once so the
+    // join reads checkpointed blocks instead of recomputing the subtree
+    // per side (ReuseExchange is not guaranteed to fire across a join).
     val banded = signatures
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .localCheckpoint(true)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -197,10 +202,14 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: signature → banded candidates →
     * exact Jaccard ≥ threshold. The shingle set feeds three consumers
-    * (signatures, intersection sides a and b), so it is persisted for the
-    * life of the returned plan — recomputing the explode+distinct per
-    * consumer triples the dominant cost. Spark evicts it LRU; callers
-    * running many dedup passes can `spark.catalog.clearCache()`. */
+    * (signatures, intersection sides a and b), so it is materialized ONCE
+    * via an eager `localCheckpoint` — recomputing the explode+distinct per
+    * consumer triples the dominant cost. Unlike `persist`, checkpoint
+    * blocks are reclaimed by the ContextCleaner as soon as the returned
+    * frame is unreferenced, so a long-lived session running many dedup
+    * passes doesn't accumulate pinned cache (round-2 bench showed one
+    * leaked shingle cache taxing every later query). Eager: calling this
+    * runs the shingle job immediately. */
   def minhashDuplicates(
       df: DataFrame,
       idCol: String,
@@ -210,8 +219,7 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sh = shingleRows(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shingleRows(df, idCol, textCol).localCheckpoint(true)
     val sigs = signatureOfShingles(sh, numHashes)
     val cands = lshCandidates(sigs, bands, numHashes / bands)
     jaccardVerifyShingles(sh, cands, threshold)
@@ -241,9 +249,16 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 50
   ): DataFrame = {
+    // Symmetrize with ONE pass over `pairs` (explode of a 2-struct array),
+    // not a union of two selects: the union form plants the pairs subtree
+    // twice in the plan, so a caller handing in an expensive near-dup
+    // pipeline (minhash band join + Jaccard verify) would compute it twice
+    // before the persist materializes anything.
     val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Every round MUST cut lineage (localCheckpoint), not merely persist:
@@ -374,10 +389,16 @@ object Dedup {
         expr(s"shiftright(simhash, ${b * width}) & ${(1L << width) - 1}")
           .as("bv"))
     }
+    // Materialize the banded simhashes once: without this, both sides of
+    // the band self-join recompute the md5-per-word + 32-aggregate simhash
+    // subtree (measured 118 s vs 3.5 s for the signature alone at sf0.1).
+    // Eager localCheckpoint = compute once, blocks auto-reclaimed when the
+    // returned frame is dropped.
     val banded = sh
       .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band").as("band"),
         col("bb.bv").as("bv"))
+      .localCheckpoint(true)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -404,6 +425,7 @@ object Dedup {
       threshold: Double,
       n: Int = 3
   ): DataFrame = {
+    // Three consumers (sizes, join sides a and b) — materialize once.
     val sh = df
       .select(col(idCol).as("id"), blockCol.as("blk"),
         words(col(textCol)).as("w"))
@@ -411,6 +433,7 @@ object Dedup {
         explode(shinglesOfWords(col("w"), n)).as("shingle_s"))
       .select(col("id"), col("blk"), hash60(col("shingle_s")).as("shingle"))
       .distinct()
+      .localCheckpoint(true)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
     val a = sh.as("sa")
     val b = sh.as("sb")
