@@ -44,6 +44,8 @@ object SparkEntry {
     "q_format_hms" -> (EventQueries.formatHms _),
     "q_run_groups" -> (EventQueries.runGroups _),
     "q_run_merge" -> (EventQueries.runMerge _),
+    "q_run_groups_keyed" -> (EventQueries.runGroupsKeyed _),
+    "q_run_merge_keyed" -> (EventQueries.runMergeKeyed _),
     "q_interval_agg" -> (EventQueries.intervalAgg _),
     "q_sessionize" -> (EventQueries.sessionize _),
     "q_asof_attribution" -> (EventQueries.asofAttribution _),
@@ -64,6 +66,7 @@ object SparkEntry {
     "q_dedup_cosine" -> (PipelineQueries.cosineDuplicates _),
     "q_minhash_signatures" -> (PipelineQueries.minhashSignatures _),
     "q_curation_verdict" -> (PipelineQueries.curationVerdict _),
+    "q_media_features" -> (PipelineQueries.mediaFeatures _),
     "q_lang_centroid" -> (PipelineQueries.langCentroid _),
     "q_ivf_topk" -> (PipelineQueries.ivfTopK _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
@@ -223,6 +226,22 @@ object SparkEntry {
         | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents,
         | string_agg(props, ' | ' ORDER BY event_id) AS merged_props
         |FROM runs GROUP BY run_id ORDER BY run_id""".stripMargin,
+    "q_run_groups_keyed" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_seq
+        |FROM (SELECT event_id, user_id, ts,
+        |  CASE WHEN event_type = lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) THEN 0 ELSE 1 END AS chg
+        | FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "q_run_merge_keyed" ->
+      """WITH runs AS (
+        | SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_seq
+        | FROM (SELECT *, CASE WHEN event_type = lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) THEN 0 ELSE 1 END AS chg FROM events))
+        |SELECT user_id, run_seq, min(event_id) AS first_event, max(event_id) AS last_event,
+        | count(*) AS n_events, min(event_type) AS event_type,
+        | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents,
+        | string_agg(props, ' | ' ORDER BY event_id) AS merged_props
+        |FROM runs GROUP BY user_id, run_seq ORDER BY user_id, run_seq""".stripMargin,
     "q_interval_agg" ->
       """SELECT CAST(floor(epoch_ms(ts)/3600000) AS BIGINT) AS hour_id,
         | count(*) AS n_events, count(DISTINCT user_id) AS n_users,
@@ -310,6 +329,7 @@ object SparkEntry {
     "q_dedup_cosine" -> PipelineQueries.cosineDuplicatesOracle,
     "q_minhash_signatures" -> PipelineQueries.minhashSignaturesOracle,
     "q_curation_verdict" -> PipelineQueries.curationVerdictOracle,
+    "q_media_features" -> PipelineQueries.mediaFeaturesOracle,
     "q_lang_centroid" -> PipelineQueries.langCentroidOracle,
     "q_ivf_topk" -> PipelineQueries.ivfTopKOracle,
     "q_setop_funnel" ->

@@ -106,6 +106,10 @@ object Multimodal {
             entropy -= p * math.log(p) / math.log(2)
           }
         }
+        // floor-rounding (not rint): floor is exact on doubles, so an
+        // oracle engine that reproduces the same IEEE term sequence gets
+        // the identical 6-decimal value — rint (half-to-even) vs SQL
+        // round (half-away) could disagree on exact .5 boundaries.
         val thumb = codec.resize(decoded, 8, 8)
         val thumbHash = java.security.MessageDigest
           .getInstance("MD5")
@@ -114,7 +118,7 @@ object Multimodal {
           .mkString
         MediaFeatures(
           item.mediaId, item.meta.kind, decoded.length.toLong,
-          math.rint(entropy * 1e6) / 1e6, hist.toSeq, thumbHash)
+          math.floor(entropy * 1e6) / 1e6, hist.toSeq, thumbHash)
       }
     }
   }

@@ -101,6 +101,50 @@ object EventQueries {
       )
       .orderBy("run_id")
 
+  private def withRunsKeyed(s: SparkSession, d: String): DataFrame = {
+    // The SCALABLE run-detection shape: the reference's merge semantics are
+    // per-transcript anyway (/root/reference/preprocessor.py:109-165 — one
+    // file = one stream), so the window partitions on the stream key and
+    // every key's runs compute independently — one hash shuffle, no global
+    // order, no single-partition WindowExec at any corpus size.
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .withColumn(
+        "chg",
+        when(col("event_type") === lag("event_type", 1).over(w), 0)
+          .otherwise(1)
+      )
+      .withColumn(
+        "run_seq",
+        sum("chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+      )
+  }
+
+  /** A1 at scale: per-key consecutive same-type run detection. `run_seq`
+    * restarts per user — (user_id, run_seq) is the run identity. */
+  def runGroupsKeyed(s: SparkSession, d: String): DataFrame =
+    withRunsKeyed(s, d)
+      .select("event_id", "user_id", "run_seq")
+      .orderBy("event_id")
+
+  /** A2 at scale: per-key run merge — same aggregates as [[runMerge]],
+    * grouped on the composite (user_id, run_seq) run identity. */
+  def runMergeKeyed(s: SparkSession, d: String): DataFrame =
+    withRunsKeyed(s, d)
+      .groupBy("user_id", "run_seq")
+      .agg(
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"),
+        count(lit(1)).as("n_events"),
+        min(col("event_type")).as("event_type"),
+        sum(cents(col("value"))).as("value_cents"),
+        orderedStringAgg(col("event_id"), col("props"), " | ")
+          .as("merged_props")
+      )
+      .orderBy("user_id", "run_seq")
+
   /** A3: tumbling 1-hour interval aggregation
     * (/root/reference/preprocessor.py:217-324). Bucket arithmetic instead
     * of raw timestamps keeps the oracle hash precision-safe. */

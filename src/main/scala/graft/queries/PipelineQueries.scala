@@ -470,6 +470,70 @@ object PipelineQueries {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Multimodal feature extraction as a checkable query: the typed
+    * `mapPartitions` path ([[Multimodal.extractFeatures]]) over the
+    * documents-as-blobs corpus. Every output is a pure function of the
+    * UTF-8 bytes — and the synthetic documents are pure ASCII (verified
+    * at every SF), so the DuckDB twin can walk CHARACTERS as bytes. */
+  def mediaFeatures(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .extractFeatures(graft.multimodal.Multimodal.mediaFromDocuments(s, d))
+      .toDF()
+      .select(
+        col("mediaId").as("doc_id"),
+        col("kind"),
+        col("nBytes").as("n_bytes"),
+        concat_ws(",", col("histogram").cast("array<string>")).as("hist"),
+        col("byteEntropy").as("entropy"),
+        col("thumbnailHash").as("thumb_hash"))
+      .orderBy("doc_id")
+
+  /** Generated twin of the Scala byte walk. Float parity: the entropy
+    * terms are subtracted LEFT-TO-RIGHT in bucket order with ln(p)/ln(2),
+    * exactly the Scala fold's IEEE op sequence (fl(-a-b) = -fl(a+b), so
+    * the sign flip is exact); the 6-decimal floor is exact on doubles.
+    * The thumbnail subsample mirrors `(i * (len/64.0)).toInt` with
+    * floor-cast (DuckDB CAST(DOUBLE AS BIGINT) ROUNDS — floor first). */
+  def mediaFeaturesOracle: String = {
+    val histCols = (0 until 16)
+      .map(b => s"CAST(sum(CASE WHEN b = $b THEN 1 ELSE 0 END) AS BIGINT) AS h$b")
+      .mkString(",\n       |    ")
+    val histStr = (0 until 16).map(b => s"CAST(h$b AS VARCHAR)").mkString(" || ',' || ")
+    val entropyTerms = (0 until 16)
+      .map { b =>
+        s"(CASE WHEN h$b > 0 THEN ((CAST(h$b AS DOUBLE) / nd) * ln(CAST(h$b AS DOUBLE) / nd)) / ln(CAST(2 AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END)"
+      }
+      .mkString("\n       |      - ")
+    val thumbChars = (0 until 64)
+      .map(i =>
+        s"substr(text, CAST(floor(CAST($i AS DOUBLE) * (CAST(length(text) AS DOUBLE) / CAST(64 AS DOUBLE))) AS BIGINT) + 1, 1)")
+      .mkString("\n       |      || ")
+    s"""WITH ch AS (
+       |  SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) // 16 AS b
+       |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)),
+       |h AS (
+       |  SELECT doc_id,
+       |    $histCols
+       |  FROM ch GROUP BY doc_id),
+       |e AS (
+       |  SELECT doc_id,
+       |    CAST(0 AS DOUBLE)
+       |      - $entropyTerms AS ent
+       |  FROM (SELECT *, CAST(h0+h1+h2+h3+h4+h5+h6+h7+h8+h9+h10+h11+h12+h13+h14+h15 AS DOUBLE) AS nd FROM h))
+       |SELECT d.doc_id,
+       |  CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+       |       WHEN d.doc_id % 3 = 1 THEN 'audio'
+       |       ELSE 'video' END AS kind,
+       |  CAST(length(d.text) AS BIGINT) AS n_bytes,
+       |  $histStr AS hist,
+       |  floor(e.ent * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS entropy,
+       |  CASE WHEN length(d.text) <= 64 THEN md5(d.text)
+       |       ELSE md5($thumbChars)
+       |  END AS thumb_hash
+       |FROM documents d JOIN h ON d.doc_id = h.doc_id JOIN e ON d.doc_id = e.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def qualityOracle: String =
     """WITH m AS (
       |  SELECT doc_id,
