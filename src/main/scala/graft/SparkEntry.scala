@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventQueries, PipelineQueries, Relational, TextQueries}
+import graft.queries.{EventQueries, PipelineQueries, Relational, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -67,6 +67,8 @@ object SparkEntry {
     "q_minhash_signatures" -> (PipelineQueries.minhashSignatures _),
     "q_curation_verdict" -> (PipelineQueries.curationVerdict _),
     "q_media_features" -> (PipelineQueries.mediaFeatures _),
+    "q_stream_hourly" -> (StreamingQueries.streamHourly _),
+    "q_stream_dedup_keys" -> (StreamingQueries.streamDedupKeys _),
     "q_lang_centroid" -> (PipelineQueries.langCentroid _),
     "q_ivf_topk" -> (PipelineQueries.ivfTopK _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
@@ -330,6 +332,8 @@ object SparkEntry {
     "q_minhash_signatures" -> PipelineQueries.minhashSignaturesOracle,
     "q_curation_verdict" -> PipelineQueries.curationVerdictOracle,
     "q_media_features" -> PipelineQueries.mediaFeaturesOracle,
+    "q_stream_hourly" -> StreamingQueries.streamHourlyOracle,
+    "q_stream_dedup_keys" -> StreamingQueries.streamDedupKeysOracle,
     "q_lang_centroid" -> PipelineQueries.langCentroidOracle,
     "q_ivf_topk" -> PipelineQueries.ivfTopKOracle,
     "q_setop_funnel" ->

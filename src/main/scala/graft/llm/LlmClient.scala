@@ -31,7 +31,13 @@ case class LlmConfig(
     maxTokens: Int = 1000,
     timeoutSec: Int = 60,
     maxRetries: Int = 3,
-    retryDelaySec: Int = 5
+    retryDelaySec: Int = 5,
+    /** Override the provider base URL (contract tests point this at a
+      * local stub server; None = the provider's public endpoint). */
+    endpoint: Option[String] = None,
+    /** Anthropic API version header value — public API documentation
+      * constant, kept in config rather than inline. */
+    anthropicVersion: String = "2023-06-01"
 )
 
 trait LlmClient extends Serializable {
@@ -179,7 +185,8 @@ class OpenAiClient(val config: LlmConfig) extends LlmClient {
         s"""{"role":"system","content":"${esc(systemPrompt)}"},""" +
         s"""{"role":"user","content":"${esc(userPrompt)}"}]}"""
     val req = HttpRequest.newBuilder()
-      .uri(URI.create("https://api.openai.com/v1/chat/completions"))
+      .uri(URI.create(config.endpoint.getOrElse("https://api.openai.com") +
+        "/v1/chat/completions"))
       .timeout(Duration.ofSeconds(config.timeoutSec))
       .header("Content-Type", "application/json")
       .header("Authorization", s"Bearer ${config.apiKey.getOrElse("")}")
@@ -212,11 +219,12 @@ class AnthropicClient(val config: LlmConfig) extends LlmClient {
         s""""temperature":${config.temperature},"system":"${esc(systemPrompt)}",""" +
         s""""messages":[{"role":"user","content":"${esc(userPrompt)}"}]}"""
     val req = HttpRequest.newBuilder()
-      .uri(URI.create("https://api.anthropic.com/v1/messages"))
+      .uri(URI.create(config.endpoint.getOrElse("https://api.anthropic.com") +
+        "/v1/messages"))
       .timeout(Duration.ofSeconds(config.timeoutSec))
       .header("Content-Type", "application/json")
       .header("x-api-key", config.apiKey.getOrElse(""))
-      .header("anthropic-version", "2023-06-01")
+      .header("anthropic-version", config.anthropicVersion)
       .POST(HttpRequest.BodyPublishers.ofString(body))
       .build()
     val resp = http.send(req, HttpResponse.BodyHandlers.ofString())

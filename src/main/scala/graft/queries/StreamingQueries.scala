@@ -1,0 +1,111 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.StreamingOps
+
+/** The streaming runtime as a CHECKABLE surface: each query here starts a
+  * real Structured Streaming query (file source → stateful ops → sink),
+  * drains it with `Trigger.AvailableNow`, and returns the sink contents as
+  * a batch frame the driver hash-compares against a DuckDB oracle. This
+  * exercises the actual streaming engine (micro-batch planner, state
+  * store, watermark bookkeeping) — not the batch twin.
+  *
+  * Determinism discipline — a streaming result is only oracle-checkable
+  * if it cannot depend on micro-batch boundaries:
+  *   - the hourly aggregate runs in COMPLETE mode, so its final table is
+  *     the full-history aggregation no matter how the file source splits
+  *     batches (watermark still flows; complete mode just never drops
+  *     output rows);
+  *   - the dedup stream's RETAINED ROW for a key depends on arrival
+  *     order, so the query projects the retained KEY SET (distinct), which
+  *     is batching-invariant.
+  *
+  * The memory sink collects to the driver — it is the verification
+  * harness, sized for the test SFs. Production streams write
+  * parquet/Kafka sinks (same plans, different `format`).
+  */
+object StreamingQueries {
+
+  /** The file-stream source needs a DEDICATED directory (a mixed-table
+    * directory yields null columns), so the single events parquet file is
+    * copied to a per-sfDir temp dir once. */
+  private def eventsStreamDir(sfDir: String): String = {
+    val tag = java.lang.Long.toHexString(
+      java.util.Arrays.hashCode(sfDir.getBytes("UTF-8")).toLong & 0xffffffffL)
+    val dir = Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-stream-$tag", "events")
+    Files.createDirectories(dir)
+    val dst = dir.resolve("events.parquet")
+    if (!Files.exists(dst))
+      Files.copy(Paths.get(s"$sfDir/events.parquet"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Start `stream` against a memory sink, drain all available input, and
+    * return the sink table. AvailableNow processes everything then stops —
+    * the batch-job face of the streaming runtime. */
+  private def runToMemory(
+      spark: SparkSession,
+      stream: DataFrame,
+      mode: OutputMode,
+      name: String
+  ): DataFrame = {
+    // Unique per run: memory-sink query names must be unique among active
+    // queries, and a stale same-name temp view must never be read back.
+    val qn = s"${name}_${runSeq.incrementAndGet()}"
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(qn)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+  }
+
+  /** A3 through the streaming engine: 1-hour tumbling windows per event
+    * type ([[StreamingOps.tumblingCounts]]), complete mode. Hour identity
+    * is projected to an epoch-hour long for cross-engine hash parity. */
+  def streamHourly(s: SparkSession, d: String): DataFrame = {
+    val agg = StreamingOps.tumblingCounts(
+      StreamingOps.readEvents(s, eventsStreamDir(d)))
+    runToMemory(s, agg, OutputMode.Complete(), "graft_stream_hourly")
+      .select(
+        (unix_millis(col("window_start")) / lit(3600000L)).cast("long")
+          .as("hour_id"),
+        col("event_type"),
+        col("n_events"),
+        col("value_cents"))
+      .orderBy("hour_id", "event_type")
+  }
+
+  def streamHourlyOracle: String =
+    """SELECT CAST(floor(epoch_ms(ts)/3600000) AS BIGINT) AS hour_id,
+      | event_type, count(*) AS n_events,
+      | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1, 2 ORDER BY hour_id, event_type""".stripMargin
+
+  /** Streaming exact dedup ([[StreamingOps.dedupStream]], watermark-bounded
+    * state) — projected to the retained key set, which is invariant to
+    * micro-batch boundaries (see class doc). */
+  def streamDedupKeys(s: SparkSession, d: String): DataFrame = {
+    val kept = StreamingOps.dedupStream(
+      StreamingOps.readEvents(s, eventsStreamDir(d)))
+    runToMemory(s, kept, OutputMode.Append(), "graft_stream_dedup")
+      .select("user_id", "event_type")
+      .distinct()
+      .orderBy("user_id", "event_type")
+  }
+
+  def streamDedupKeysOracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+}

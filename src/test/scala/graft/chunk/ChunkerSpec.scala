@@ -101,12 +101,20 @@ class ChunkerSpec extends SparkSuite {
     val noOverlap = Chunker.chunkLocal(segs, smallCfg)
     val overlapped = Chunker.chunkLocal(segs, smallCfg.copy(overlapTokens = 30))
     assert(overlapped.size >= noOverlap.size)
-    // Every later chunk begins with segments repeated from its predecessor.
+    // Every later chunk begins with segments repeated from its predecessor,
+    // and the repeated (overlap) region never exceeds the overlap budget.
     overlapped.sliding(2).foreach {
       case Seq(prev, next) =>
         val prevStarts = prev.segments.map(_.start).toSet
         assert(prevStarts.contains(next.segments.head.start),
           s"chunk ${next.chunkIndex} does not start inside chunk ${prev.chunkIndex}")
+        val overlapTok = next.segments
+          .takeWhile(s => prevStarts.contains(s.start))
+          .map(s => graft.text.TextFunctions.estimateTokens(
+            s"[${graft.text.TextFunctions.formatHms(s.start)}] SPK: ${s.text}"))
+          .sum
+        assert(overlapTok <= 30,
+          s"chunk ${next.chunkIndex} overlap region $overlapTok tokens exceeds budget 30")
       case _ => ()
     }
     // Parity default: zero overlap keeps chunks disjoint.
