@@ -308,6 +308,92 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (the MapReduce CC recipe published by Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): converges in
+    * O(log n) rounds on ANY graph shape, where plain label propagation
+    * ([[connectedComponents]]) needs diameter rounds. Same contract:
+    * (id, component = min id reachable). Use this variant when the dup
+    * graph may contain long chains (e.g. near-dup "bridges" stringing
+    * many documents together); label propagation stays the default for
+    * band-join dup graphs, whose clusters are near-cliques (diameter 2-3)
+    * where it does less work per round.
+    *
+    *   - large-star: every node's strictly-larger neighbors re-attach to
+    *     the minimum of its closed neighborhood;
+    *   - small-star: every node's smaller-or-equal neighbors re-attach to
+    *     that minimum;
+    *   - fixed point = a star forest rooted at each component's min.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame =
+    ccStarWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponentsStar]] plus the round count (exposed for the
+    * convergence-rate spec). */
+  private[graft] def ccStarWithRounds(
+      pairs: DataFrame,
+      maxIter: Int
+  ): (DataFrame, Int) = {
+    // Canonical directed edge (u, v), u > v; self-pairs dropped. Same
+    // lineage discipline as connectedComponents: localCheckpoint every
+    // round — the plan would otherwise double per round.
+    var edges = pairs
+      .select(
+        greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // Large-star over the symmetric neighborhood: m = min(Γ(u) ∪ {u});
+      // emit (v, m) for v > u. Each undirected edge is emitted exactly
+      // once, from its smaller endpoint's reduction (v > u ≥ m, so the
+      // output is already canonical).
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mLarge = sym
+        .groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym
+        .join(mLarge, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // Small-star over canonical smaller-neighbors: m = min(Γ⁻(u));
+      // emit (u, m) and (v, m) for every other smaller neighbor.
+      val mSmall = large.groupBy("u").agg(min(col("v")).as("m"))
+      val withM = large.join(mSmall, Seq("u"))
+      val next = withM
+        .select(col("u"), col("m").as("v"))
+        .union(
+          withM
+            .filter(col("v") =!= col("m"))
+            .select(col("v").as("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val changed =
+        next.join(edges, Seq("u", "v"), "leftanti").limit(1).count() +
+          edges.join(next, Seq("u", "v"), "leftanti").limit(1).count()
+      edges = next
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    // Fixed point is a star forest: every leaf points at its root, roots
+    // appear only on the v side — label them with themselves.
+    val labels = edges
+      .select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+    (labels, iter)
+  }
+
   // -------------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------------

@@ -47,6 +47,29 @@ class DedupSpec extends SparkSuite {
     assert(got.size == 13 && got.values.forall(_ == 1L))
   }
 
+  test("star CC matches label propagation on a mixed component graph") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 6L), (9L, 8L), (8L, 5L))
+      .toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+  }
+
+  test("star CC converges in O(log n) rounds on a 1001-node chain") {
+    import spark.implicits._
+    // Diameter 1000: label propagation would need 1000 rounds; the
+    // alternating large-star/small-star recipe contracts the chain
+    // geometrically.
+    val pairs = (1L until 1001L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.ccStarWithRounds(pairs, maxIter = 30)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 1001 && got.values.forall(_ == 1L))
+    assert(rounds <= 15, s"took $rounds rounds — not O(log n)")
+  }
+
   test("simhashNoShuffle equals the explode+agg simhash") {
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Dedup.simhash(docs, "doc_id", "text")
