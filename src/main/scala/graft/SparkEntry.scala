@@ -67,6 +67,8 @@ object SparkEntry {
     "q_minhash_signatures" -> (PipelineQueries.minhashSignatures _),
     "q_curation_verdict" -> (PipelineQueries.curationVerdict _),
     "q_media_features" -> (PipelineQueries.mediaFeatures _),
+    "q_dedup_keeplist" -> (PipelineQueries.dedupKeeplist _),
+    "q_sim_topk_q8" -> (PipelineQueries.simTopKQ8 _),
     "q_stream_hourly" -> (StreamingQueries.streamHourly _),
     "q_stream_dedup_keys" -> (StreamingQueries.streamDedupKeys _),
     "q_lang_centroid" -> (PipelineQueries.langCentroid _),
@@ -332,6 +334,8 @@ object SparkEntry {
     "q_minhash_signatures" -> PipelineQueries.minhashSignaturesOracle,
     "q_curation_verdict" -> PipelineQueries.curationVerdictOracle,
     "q_media_features" -> PipelineQueries.mediaFeaturesOracle,
+    "q_dedup_keeplist" -> PipelineQueries.dedupKeeplistOracle,
+    "q_sim_topk_q8" -> PipelineQueries.simTopKQ8Oracle,
     "q_stream_hourly" -> StreamingQueries.streamHourlyOracle,
     "q_stream_dedup_keys" -> StreamingQueries.streamDedupKeysOracle,
     "q_lang_centroid" -> PipelineQueries.langCentroidOracle,

@@ -365,6 +365,76 @@ object PipelineQueries {
        |SELECT id, least(id, min(r)) AS component
        |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** The end-to-end fuzzy-dedup verb a corpus pipeline actually runs:
+    * near-dup pairs → components → keep min id per component → anti-join
+    * the drop list off the corpus. The drop list is a small fraction of
+    * the corpus by construction (only confirmed near-dups), so it
+    * broadcasts and the corpus is never shuffled — one scan, one
+    * broadcast anti-join at any scale. */
+  def dedupKeeplist(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup
+      .minhashDuplicates(documents(s, d), "doc_id", "text",
+        MinhashHashes, MinhashBands, MinhashThreshold)
+      .select("id_a", "id_b")
+    val drops = Dedup
+      .connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    documents(s, d)
+      .join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  def dedupKeeplistOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+       |cc AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Int8-quantized cosine top-k ([[Similarity.cosineTopKQ8]]): integer
+    * dot products are exact in doubles, so this oracle needs no
+    * accumulation-order discipline at all. */
+  def simTopKQ8(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity
+      .cosineTopKQ8(emb, emb.filter(col("vec_id") < NumQueries), TopK)
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  def simTopKQ8Oracle: String = {
+    // Same quantization formula, DuckDB list dialect.
+    val mx = "list_max(list_transform(emb, y -> abs(y)))"
+    val scale =
+      s"(CASE WHEN $mx = CAST(0 AS DOUBLE) THEN CAST(1 AS DOUBLE) ELSE CAST(127 AS DOUBLE) / $mx END)"
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id, list_transform(emb, x -> round(x * $scale, 0)) AS q
+       |  FROM v),
+       |n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM qv),
+       |scored AS (
+       |  SELECT b.vec_id AS q_vec_id, a.vec_id,
+       |    round(list_dot_product(a.q, b.q) / (a.nrm * b.nrm), 6) AS score_q8
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |  WHERE b.vec_id < $NumQueries)
+       |SELECT q_vec_id, CAST(rnk AS BIGINT) AS rnk, vec_id, score_q8 FROM (
+       |  SELECT q_vec_id, vec_id, score_q8,
+       |    row_number() OVER (PARTITION BY q_vec_id ORDER BY score_q8 DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $TopK
+       |ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
   private val simhashCte =
     """sim AS (
       |  SELECT doc_id, CAST(sum(CASE WHEN sv > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash

@@ -77,6 +77,36 @@ class PlanSpec extends SparkSuite {
     assert(plan("q_vocab_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("keyed run detection partitions its windows — never a global window") {
+    val p = plan("q_run_groups_keyed")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"expected user_id-partitioned window exchange:\n$p")
+    val m = plan("q_run_merge_keyed")
+    assert(m.contains("hashpartitioning(user_id"))
+  }
+
+  test("simhash band self-join reads the materialized banded frame, not parquet twice") {
+    val p = plan("q_dedup_simhash")
+    // The banded simhash frame is localCheckpoint'ed: both join sides must
+    // scan the checkpoint (ExistingRDD), and the md5-heavy simhash subtree
+    // (a parquet scan + explode + 32 aggregates) must be absent entirely.
+    assert(p.contains("ExistingRDD"), s"expected checkpoint scan:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"simhash subtree recomputed from parquet inside the join:\n$p")
+  }
+
+  test("minhash pipeline runs entirely off the checkpointed shingle set") {
+    val p = plan("q_dedup_minhash")
+    assert(p.contains("ExistingRDD"))
+    assert(!p.contains("Scan parquet"))
+  }
+
+  test("dedup keep-list is a broadcast anti-join — corpus never shuffled") {
+    val p = plan("q_dedup_keeplist")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("BroadcastHashJoin"), s"drop list must broadcast:\n$p")
+  }
+
   test("curation verdict is a single-shuffle window plan") {
     val p = plan("q_curation_verdict")
     // Window-min over dup_key: one hash exchange (plus the final sort),

@@ -48,6 +48,29 @@ class SimilaritySpec extends SparkSuite {
     assert(b(0L) != b(5L))
   }
 
+  test("int8-quantized top-k tracks exact cosine within quantization error") {
+    val exact = Similarity.cosineTopK(emb, emb, k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("score"))
+      .toMap
+    val q8 = Similarity.cosineTopKQ8(emb, emb, k = 3).collect()
+    assert(q8.nonEmpty)
+    q8.foreach { r =>
+      val key = (r.getAs[Long]("q_vec_id"), r.getAs[Long]("vec_id"))
+      val sq = r.getAs[Double]("score_q8")
+      assert(sq >= -1.0 - 1e-9 && sq <= 1.0 + 1e-9)
+      // Every q8 pair that also appears in the exact top-k scores within
+      // int8 quantization error (worst case ~1/127 per component pair).
+      exact.get(key).foreach(se =>
+        assert(math.abs(se - sq) < 0.02, s"$key exact=$se q8=$sq"))
+    }
+    // The planted nearest neighbor survives quantization at rank 1.
+    val top0 = q8.filter(_.getAs[Long]("q_vec_id") == 0L)
+      .minBy(_.getAs[Long]("rnk"))
+    assert(top0.getAs[Long]("vec_id") == 1L)
+  }
+
   test("cosineTopKLsh agrees with exact top-1 for in-bucket neighbors") {
     val lsh = Similarity
       .cosineTopKLsh(emb, emb.filter(col("vec_id") === 0), k = 1,
