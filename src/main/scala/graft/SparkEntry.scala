@@ -89,6 +89,7 @@ object SparkEntry {
     "q_orders_cube" -> (Relational.ordersCube _),
     "q_orders_grouping_sets" -> (Relational.ordersGroupingSets _),
     "q_vocab_topk" -> (TextQueries.vocabTopK _),
+    "q_tfidf_topk" -> ((s, d) => TextQueries.tfidfTopTerms(s, d)),
     "q_sample_hash" -> (TextQueries.sampleHash _),
     "q_token_bpe" -> (TextQueries.tokenBpe _),
     "q_dup_clusters" -> (PipelineQueries.dupClusters _),
@@ -334,6 +335,7 @@ object SparkEntry {
     "q_minhash_signatures" -> PipelineQueries.minhashSignaturesOracle,
     "q_curation_verdict" -> PipelineQueries.curationVerdictOracle,
     "q_media_features" -> PipelineQueries.mediaFeaturesOracle,
+    "q_tfidf_topk" -> TextQueries.tfidfTopTermsOracle(),
     "q_dedup_keeplist" -> PipelineQueries.dedupKeeplistOracle,
     "q_sim_topk_q8" -> PipelineQueries.simTopKQ8Oracle,
     "q_stream_hourly" -> StreamingQueries.streamHourlyOracle,

@@ -245,6 +245,56 @@ object TextQueries {
   /** M3 sentence explode via the portable (RE2-safe, no-lookbehind) split
     * pattern; ordered by (doc_id, sentence) for a deterministic total order
     * even when a document repeats a sentence. */
+  /** TF-IDF top terms per document — the classic corpus-characterization
+    * op, ranked with the engine's bounded-heap [[graft.plans.TopKPerKey]]
+    * operator (partial pre-shuffle heaps, never a full sort). The score is
+    * one multiply per (doc, term) — no float accumulation — so it is
+    * bit-deterministic in any engine. Scale shape: tf⋈df shuffles on the
+    * term (vocabulary-sized, not corpus-sized); the 1-row corpus count
+    * broadcasts. */
+  def tfidfTopTerms(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val w = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = w.groupBy("word").agg(countDistinct("doc_id").as("df"))
+    val n = w.agg(countDistinct("doc_id").as("n"))
+    val scored = tf
+      .join(df, Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf",
+        round(col("tf").cast("double") *
+          log(col("n").cast("double") / col("df").cast("double")), 6))
+    graft.plans.TopKPerKey
+      .topK(
+        scored.select("doc_id", "word", "tfidf"),
+        keys = Seq(col("doc_id")),
+        ordering = Seq(col("tfidf").desc, col("word").asc),
+        k = k)
+      .select("doc_id", "rnk", "word", "tfidf")
+      .orderBy("doc_id", "rnk")
+  }
+
+  def tfidfTopTermsOracle(k: Int = 5): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |  FROM documents),
+       |w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+       |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w2 GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS n FROM w2),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.word,
+       |    round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+       |  FROM tf JOIN df USING (word) CROSS JOIN n)
+       |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, word, tfidf FROM (
+       |  SELECT doc_id, word, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $k
+       |ORDER BY doc_id, rnk""".stripMargin
+
   def sentenceExplode(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(
