@@ -28,6 +28,7 @@ object SparkEntry {
     "q_active_custkeys" -> (Relational.activeCustkeys _),
     "q_orders_rollup" -> (Relational.ordersRollup _),
     "q_shipping_priority" -> (Relational.shippingPriority _),
+    "q_order_priority" -> (Relational.orderPriority _),
     "q_big_customers" -> (Relational.bigCustomers _),
     "q_value_percentiles" -> (Relational.valuePercentiles _),
     "q_value_histogram" -> (Relational.valueHistogram _),
@@ -76,6 +77,7 @@ object SparkEntry {
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
+    "q_skew_join" -> (EventQueries.skewJoin _),
     "q_hll_distinct" -> (EventQueries.hllDistinct _),
     "q_topk_heap" -> (EventQueries.topkHeap _),
     "q_json_extract" -> (EventQueries.jsonExtract _),
@@ -91,6 +93,7 @@ object SparkEntry {
     "q_vocab_topk" -> (TextQueries.vocabTopK _),
     "q_tfidf_topk" -> ((s, d) => TextQueries.tfidfTopTerms(s, d)),
     "q_sample_hash" -> (TextQueries.sampleHash _),
+    "q_stratified_sample" -> (TextQueries.stratifiedSample _),
     "q_token_bpe" -> (TextQueries.tokenBpe _),
     "q_dup_clusters" -> (PipelineQueries.dupClusters _),
     "q_word_repetition" -> (TextQueries.wordRepetition _),
@@ -336,6 +339,7 @@ object SparkEntry {
     "q_curation_verdict" -> PipelineQueries.curationVerdictOracle,
     "q_media_features" -> PipelineQueries.mediaFeaturesOracle,
     "q_tfidf_topk" -> TextQueries.tfidfTopTermsOracle(),
+    "q_stratified_sample" -> TextQueries.stratifiedSampleOracle,
     "q_dedup_keeplist" -> PipelineQueries.dedupKeeplistOracle,
     "q_sim_topk_q8" -> PipelineQueries.simTopKQ8Oracle,
     "q_stream_hourly" -> StreamingQueries.streamHourlyOracle,
@@ -463,6 +467,22 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_skew_join" ->
+      """WITH dim AS (
+        | SELECT event_type,
+        |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS type_total_cents
+        | FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n, min(d.type_total_cents) AS type_total_cents
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_corr_stats" ->
       """WITH s AS (
         | SELECT event_type, count(*) AS n,

@@ -519,6 +519,24 @@ object EventQueries {
       )
       .orderBy("event_type")
 
+  /** Salted-join correctness surface: [[graft.operators.Skew.saltedJoin]]
+    * (hot-key splitting — big side salted, small side replicated) must
+    * equal the plain inner join it replaces; the post-join aggregate makes
+    * the equality oracle-checkable with a small result. */
+  def skewJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("value_cents", cents(col("value")))
+    val dim = ev
+      .groupBy("event_type")
+      .agg(sum(col("value_cents")).as("type_total_cents"))
+    graft.operators.Skew
+      .saltedJoin(ev, dim, Seq("event_type"), salts = 8)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("type_total_cents")).as("type_total_cents"))
+      .orderBy("event_type")
+  }
+
   /** Pearson correlation per event type WITHOUT float-order sensitivity:
     * the five sufficient statistics are exact integer sums (cents ×
     * user_id), and the correlation is derived from them in double — the

@@ -36,6 +36,25 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** TPC-H Q4-style EXISTS aggregation: orders in a date window that have
+    * at least one returned line item, counted by priority. The EXISTS is a
+    * left-semi join against the FILTERED lineitem side — at scale the
+    * filter runs in lineitem's scan stage, and the semi join ships only
+    * order keys (no payload duplication, no row explosion from multi-line
+    * matches). */
+  def orderPriority(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val returned = lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(returned, o("o_orderkey") === returned("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
   /** TPC-H Q5-style revenue rollup across the full dimension chain.
     * Dimensions broadcast; only lineitem⋈orders shuffles (both huge at
     * scale — that join co-partitions on the order key). */

@@ -245,6 +245,37 @@ object TextQueries {
   /** M3 sentence explode via the portable (RE2-safe, no-lookbehind) split
     * pattern; ordered by (doc_id, sentence) for a deterministic total order
     * even when a document repeats a sentence. */
+  /** Per-language keep percentages for [[stratifiedSample]] — the single
+    * source for BOTH engines' predicates (langs not listed keep 10%). */
+  val StratRates: Seq[(String, Int)] = Seq("en" -> 50, "fr" -> 30)
+  val StratDefault = 10
+
+  /** Stratified deterministic downsampling: per-class keep rates applied
+    * via the engine's portable md5 hash — the class-balanced twin of the
+    * uniform `q_sample_hash`. A pure pushed filter: no shuffle, no RNG
+    * state, reproducible at any scale and stable under re-partitioning. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = expr(
+      "CAST(conv(substr(md5(concat('strat:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100")
+    val rate = StratRates.foldLeft(lit(StratDefault)) {
+      case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    documents(s, d)
+      .filter(bucket < rate)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  def stratifiedSampleOracle: String = {
+    val cases = StratRates
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+       |  < (CASE $cases ELSE $StratDefault END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** TF-IDF top terms per document — the classic corpus-characterization
     * op, ranked with the engine's bounded-heap [[graft.plans.TopKPerKey]]
     * operator (partial pre-shuffle heaps, never a full sort). The score is
