@@ -32,6 +32,7 @@ object SparkEntry {
     "q_big_customers" -> (Relational.bigCustomers _),
     "q_value_percentiles" -> (Relational.valuePercentiles _),
     "q_value_histogram" -> (Relational.valueHistogram _),
+    "q_bloom_prune" -> (Relational.bloomPrune _),
     // --- text operators (SURVEY §2.2, §7.4) ---
     "q_clean_text" -> (TextQueries.cleanText _),
     "q_token_estimate" -> (TextQueries.tokenEstimate _),
@@ -127,6 +128,18 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)
         |ORDER BY c_custkey""".stripMargin,
+    "q_bloom_prune" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_suppkey IN (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

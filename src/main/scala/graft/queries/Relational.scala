@@ -208,6 +208,36 @@ object Relational {
         col("total_cents"))
       .orderBy("status", "priority")
 
+  /** Bloom-pruned semi-join aggregate: revenue from line items supplied by
+    * EUROPE suppliers. The supplier key set is folded into a Bloom filter
+    * by a DISTRIBUTED aggregation ([[graft.functions.BloomBuildAgg]] —
+    * fixed 128 KiB merged on the driver, never the keys themselves), and
+    * the probe ([[graft.functions.BloomMightContain]], codegen'd) runs in
+    * lineitem's SCAN stage, so at 100 TB the shuffle toward the exactness
+    * semi-join carries only the ~matching fraction of the fact table. The
+    * semi-join then removes Bloom false positives — results are exact, the
+    * filter is pure pruning (same contract as Spark's own
+    * InjectRuntimeFilter, surfaced as an explicit operator). */
+  def bloomPrune(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Bloom.register(s)
+    val dim = supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey"))
+    val filterBytes = dim
+      .agg(call_function("bloom_agg", col("s_suppkey")))
+      .head().getAs[Array[Byte]](0)
+    val li = lineitem(s, d)
+      .filter(call_function("bloom_might_contain", col("l_suppkey"), lit(filterBytes)))
+    li.join(broadcast(dim), li("l_suppkey") === dim("s_suppkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(cents(col("l_extendedprice"))).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+  }
+
   /** Grouping-sets rollup: order counts by (status, priority) hierarchy.
     * Null grouping keys from ROLLUP are made deterministic via coalesce. */
   def ordersRollup(s: SparkSession, d: String): DataFrame =

@@ -57,6 +57,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bloom prune probes in the scan stage, below the semi-join") {
+    val p = plan("q_bloom_prune")
+    val joinIdx = p.indexOf("LeftSemi")
+    val probeIdx = p.indexOf("bloom_might_contain")
+    assert(joinIdx >= 0 && probeIdx >= 0)
+    // The probe filter must sit BELOW the exactness semi-join (later in
+    // the plan string = deeper in the tree): rows are dropped before any
+    // join machinery, which at 100 TB means before the shuffle.
+    assert(probeIdx > joinIdx, "bloom probe must be below the semi-join")
+    assert(p.contains("BroadcastHashJoin"), "exactness join should broadcast")
+  }
+
   test("range-interval join broadcasts the generated hour dimension") {
     val p = plan("q_range_interval")
     // Non-equi overlap predicate against a tiny generated dimension: the
