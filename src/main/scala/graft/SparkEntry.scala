@@ -75,6 +75,7 @@ object SparkEntry {
     "q_stream_dedup_keys" -> (StreamingQueries.streamDedupKeys _),
     "q_lang_centroid" -> (PipelineQueries.langCentroid _),
     "q_ivf_topk" -> (PipelineQueries.ivfTopK _),
+    "q_semantic_dedup" -> (PipelineQueries.semanticDedup _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
@@ -359,6 +360,7 @@ object SparkEntry {
     "q_stream_dedup_keys" -> StreamingQueries.streamDedupKeysOracle,
     "q_lang_centroid" -> PipelineQueries.langCentroidOracle,
     "q_ivf_topk" -> PipelineQueries.ivfTopKOracle,
+    "q_semantic_dedup" -> PipelineQueries.semanticDedupOracle,
     "q_setop_funnel" ->
       """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
         |c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),

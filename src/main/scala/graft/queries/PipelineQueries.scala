@@ -191,6 +191,42 @@ object PipelineQueries {
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
 
+  val SemDedupThreshold = 0.35
+
+  /** SemDeDup drop list over the embeddings table: cluster with the fixed
+    * IVF centroids, intra-cluster cosine pairs ≥ threshold, keep lowest id
+    * (see [[graft.similarity.Ivf.semanticDedup]]). */
+  def semanticDedup(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Ivf
+      .semanticDedup(embeddings(s, d), IvfCentroidIds, SemDedupThreshold)
+      .orderBy("vec_id")
+
+  def semanticDedupOracle: String = {
+    val ids = IvfCentroidIds.mkString(", ")
+    s"""WITH c0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, emb AS cemb
+       |  FROM c0 WHERE vec_id IN ($ids)),
+       |asg AS (
+       |  SELECT vec_id, emb, cell, sqrt(list_dot_product(emb, emb)) AS nrm FROM (
+       |    SELECT a.vec_id, a.emb, c.cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_dot_product(a.emb, a.emb) - 2 * list_dot_product(a.emb, c.cemb) + list_dot_product(c.cemb, c.cemb) ASC,
+       |        c.cell ASC) AS rn
+       |    FROM c0 a CROSS JOIN cent c) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT b.vec_id AS id_b, b.cell AS cell,
+       |    round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS score
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT id_b AS vec_id, cell, count(*) AS n_dups,
+       |  max(score) AS max_score
+       |FROM pairs WHERE score >= CAST($SemDedupThreshold AS DOUBLE)
+       |GROUP BY id_b, cell
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val CosineDupThreshold = 0.4
 
   def cosineDuplicates(s: SparkSession, d: String): DataFrame =

@@ -110,6 +110,65 @@ object Ivf {
     Similarity.rankTopK(scored, k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every embedding to its nearest coarse
+    * cluster, then compare pairs ONLY within a cluster — the n² work is
+    * Σ cell² instead of corpus², which is what makes embedding-level dedup
+    * tractable on a 100 TB corpus (the paper runs it on LAION at k=50000).
+    * Keep-lowest-id policy: the returned frame is the DROP list — every
+    * vector with at least one lower-id cluster-mate at cosine ≥ threshold,
+    * with its cell, duplicate count and best score.
+    *
+    * Fixed deterministic centroids (same contract as [[fixedTopK]]) keep
+    * the whole plan oracle-checkable; swapping in [[build]]'s k-means
+    * centroids changes nothing structural. The assignment frame feeds BOTH
+    * sides of the self-join, so it is materialized once via eager
+    * `localCheckpoint` (round-2 lesson: ReuseExchange is not guaranteed,
+    * and the K-way crossJoin + window subtree is the dominant cost). */
+  def semanticDedup(
+      corpus: DataFrame,
+      centroidIds: Seq[Long],
+      threshold: Double
+  ): DataFrame = {
+    val dot = Similarity.dotSql _
+    val c0 = corpus.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val cent = c0
+      .filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      .withColumn(
+        "cell",
+        (row_number().over(Window.orderBy("cid")) - 1).cast("long"))
+      .select("cell", "cemb")
+    val asg = c0
+      .crossJoin(broadcast(cent))
+      .withColumn(
+        "dist",
+        expr(s"${dot("emb", "emb")} - 2 * ${dot("emb", "cemb")} + ${dot("cemb", "cemb")}"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("rn") === 1)
+      .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
+      .select("vec_id", "emb", "nrm", "cell")
+      .localCheckpoint(true)
+    val a = asg.select(col("vec_id").as("id_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"), col("cell"))
+    val b = asg.select(col("vec_id").as("id_b"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn(
+        "score",
+        round(expr(dot("emb_a", "emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("score") >= threshold)
+      .groupBy(col("id_b"), col("cell"))
+      .agg(count(lit(1)).as("n_dups"), max(col("score")).as("max_score"))
+      .select(col("id_b").as("vec_id"), col("cell"), col("n_dups"), col("max_score"))
+  }
+
   /** Cosine top-k probing the query's nProbe nearest cells. Queries are
     * few (broadcast); the corpus is filtered to probed cells BEFORE any
     * scoring, so work is ~ (nProbe / nLists) of brute force. */

@@ -56,6 +56,37 @@ class IvfSpec extends SparkSuite {
     assert(ivf == exact)
   }
 
+  test("semantic dedup drops exactly the higher-id near-duplicates") {
+    import spark.implicits._
+    // Two well-separated clusters; ids 1/2 duplicate id 0, id 11 duplicates
+    // id 10. Centroids = one member of each cluster.
+    def v(x: Double, y: Double): Array[Float] =
+      Array.fill(4)(0f).updated(0, x.toFloat).updated(1, y.toFloat)
+    val rows = Seq(
+      (0L, v(1, 0)), (1L, v(1, 0.001)), (2L, v(0.999, 0)), (3L, v(0.6, 0.8)),
+      (10L, v(-1, 0)), (11L, v(-1, -0.001)), (12L, v(-0.6, -0.8)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val dropped = Ivf
+      .semanticDedup(corpus, centroidIds = Seq(0L, 10L), threshold = 0.99)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    // 1 and 2 each have one lower-id near-dup (0 and 0/1): 2 sees both.
+    assert(dropped.keySet == Set(1L, 2L, 11L))
+    assert(dropped(1L) == 1L && dropped(2L) == 2L && dropped(11L) == 1L)
+  }
+
+  test("semantic dedup never pairs across cells") {
+    import spark.implicits._
+    // Identical vectors in OPPOSITE clusters stay: dedup is intra-cell by
+    // construction (that is the SemDeDup cost contract, not a bug).
+    def v(x: Double): Array[Float] =
+      Array.fill(4)(0f).updated(0, x.toFloat)
+    val corpus = Seq((0L, v(1)), (1L, v(-1))).toDF("vec_id", "embedding")
+    val out = Ivf.semanticDedup(corpus, Seq(0L, 1L), threshold = 0.0)
+    assert(out.count() == 0)
+  }
+
   test("cell assignment is total and deterministic for a fixed seed") {
     val a = Ivf.build(emb, nLists = 8).assigned
       .select("vec_id", "cell").collect()
