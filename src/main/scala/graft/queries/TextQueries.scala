@@ -326,6 +326,81 @@ object TextQueries {
        |  FROM scored) WHERE rnk <= $k
        |ORDER BY doc_id, rnk""".stripMargin
 
+  /** BM25 relevance ranking (Robertson/Sparck Jones, k1=1.2, b=0.75) of
+    * documents against a fixed query-term set — the standard lexical
+    * retrieval scorer a training-data pipeline uses for quality/topic
+    * filtering at corpus scale.
+    *
+    * Scale shape: tokens are exploded ONCE; document length and tf both
+    * come off that projection with map-side partial aggs. Only
+    * query-term rows survive into the tf⋈df join (a |Q|-term vocabulary
+    * shuffle, effectively free), and corpus stats (N, avgdl) broadcast as
+    * a 1-row frame. Per-(doc,term) scores are rounded to integer MICROS
+    * before the final per-doc sum, so the double sum is order-insensitive
+    * and the result hash-stable in any engine (FIXTURES.md discipline). */
+  def bm25(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val k1 = BM25K1
+    val b = BM25B
+    val w = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val dl = w.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val qw = w.filter(col("word").isin(BM25Terms: _*))
+    val tf = qw.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = qw.groupBy("word").agg(countDistinct("doc_id").as("df"))
+    tf.join(df, Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "idf",
+        log((col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn(
+        "term_micro",
+        round(col("idf") * (col("tf").cast("double") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+          * 1e6, 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("term_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  val BM25Terms: Seq[String] = Seq("spark", "hash", "merge", "window")
+  val BM25K1 = 1.2
+  val BM25B = 0.75
+
+  def bm25Oracle(k: Int = 20): String = {
+    val terms = BM25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |  FROM documents),
+       |w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM w2 GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+       |qw AS (SELECT doc_id, word FROM w2 WHERE word IN ($terms)),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM qw GROUP BY 1, 2),
+       |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM qw GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(
+       |      ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (CAST(tf AS DOUBLE) * (CAST($BM25K1 AS DOUBLE) + 1))
+       |      / (tf + CAST($BM25K1 AS DOUBLE) * (1 - CAST($BM25B AS DOUBLE)
+       |         + CAST($BM25B AS DOUBLE) * CAST(dl.dl AS DOUBLE) / avgdl))
+       |      * 1e6, 0) AS BIGINT) AS term_micro
+       |  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats)
+       |SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro,
+       |  count(*) AS n_terms
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_micro DESC, doc_id ASC
+       |LIMIT $k""".stripMargin
+  }
+
   def sentenceExplode(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(
