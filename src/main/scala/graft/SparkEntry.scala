@@ -73,6 +73,7 @@ object SparkEntry {
     "q_sim_topk_q8" -> (PipelineQueries.simTopKQ8 _),
     "q_stream_hourly" -> (StreamingQueries.streamHourly _),
     "q_stream_dedup_keys" -> (StreamingQueries.streamDedupKeys _),
+    "q_stream_sessions" -> (StreamingQueries.streamSessions _),
     "q_lang_centroid" -> (PipelineQueries.langCentroid _),
     "q_ivf_topk" -> (PipelineQueries.ivfTopK _),
     "q_semantic_dedup" -> (PipelineQueries.semanticDedup _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "q_orders_grouping_sets" -> (Relational.ordersGroupingSets _),
     "q_vocab_topk" -> (TextQueries.vocabTopK _),
     "q_tfidf_topk" -> ((s, d) => TextQueries.tfidfTopTerms(s, d)),
+    "q_bm25" -> ((s, d) => TextQueries.bm25(s, d)),
     "q_sample_hash" -> (TextQueries.sampleHash _),
     "q_stratified_sample" -> (TextQueries.stratifiedSample _),
     "q_token_bpe" -> (TextQueries.tokenBpe _),
@@ -353,11 +355,13 @@ object SparkEntry {
     "q_curation_verdict" -> PipelineQueries.curationVerdictOracle,
     "q_media_features" -> PipelineQueries.mediaFeaturesOracle,
     "q_tfidf_topk" -> TextQueries.tfidfTopTermsOracle(),
+    "q_bm25" -> TextQueries.bm25Oracle(),
     "q_stratified_sample" -> TextQueries.stratifiedSampleOracle,
     "q_dedup_keeplist" -> PipelineQueries.dedupKeeplistOracle,
     "q_sim_topk_q8" -> PipelineQueries.simTopKQ8Oracle,
     "q_stream_hourly" -> StreamingQueries.streamHourlyOracle,
     "q_stream_dedup_keys" -> StreamingQueries.streamDedupKeysOracle,
+    "q_stream_sessions" -> StreamingQueries.streamSessionsOracle,
     "q_lang_centroid" -> PipelineQueries.langCentroidOracle,
     "q_ivf_topk" -> PipelineQueries.ivfTopKOracle,
     "q_semantic_dedup" -> PipelineQueries.semanticDedupOracle,

@@ -108,4 +108,34 @@ object StreamingQueries {
   def streamDedupKeysOracle: String =
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** Custom keyed state through the real streaming runtime:
+    * `flatMapGroupsWithState` gap sessionization
+    * ([[StreamingOps.gapSessions]]), drained with AvailableNow. Emits
+    * CLOSED sessions only — batching-invariant (see the op's doc) — so
+    * the DuckDB oracle is the batch gap/cumsum sessionizer minus each
+    * user's final session. */
+  def streamSessions(s: SparkSession, d: String): DataFrame = {
+    val sess = StreamingOps.gapSessions(
+      s, StreamingOps.readEvents(s, eventsStreamDir(d)))
+    runToMemory(s, sess.toDF(), OutputMode.Append(), "graft_stream_sessions")
+      .orderBy("user_id", "session_idx")
+  }
+
+  def streamSessionsOracle: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+      |g AS (SELECT user_id, ms,
+      |  CASE WHEN lag(ms) OVER w IS NULL
+      |         OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+      |s AS (SELECT user_id, ms,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+      |    ROWS UNBOUNDED PRECEDING) AS session_idx FROM g),
+      |agg AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  count(*) AS n_events, min(ms) AS start_ms, max(ms) AS end_ms
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id, session_idx, n_events, start_ms, end_ms FROM agg a
+      |WHERE session_idx < (SELECT max(session_idx) FROM agg b
+      |                     WHERE b.user_id = a.user_id)
+      |ORDER BY user_id, session_idx""".stripMargin
 }

@@ -114,6 +114,54 @@ object StreamingOps {
         col("view_event_id"), col("click_ts"), col("view_ts"))
   }
 
+  case class SessionState(start: Long, last: Long, n: Long, idx: Long)
+  case class ClosedSession(
+      user_id: Long, session_idx: Long, n_events: Long,
+      start_ms: Long, end_ms: Long)
+
+  /** Stateful gap sessionization via `flatMapGroupsWithState` — the
+    * hand-rolled-state twin of [[sessionCounts]]'s built-in
+    * `session_window`, and the streaming face of the batch
+    * `EventQueries.sessionize` (same 30-min gap). Per-user state is one
+    * fixed-size [[SessionState]]; a session is emitted when a LATER event
+    * closes it (gap > `gapMs`).
+    *
+    * Batching-invariance (what makes this oracle-checkable): only CLOSED
+    * sessions are emitted, and a session's membership is a pure function
+    * of the per-user event-time sequence — state carries across
+    * micro-batch boundaries, so where the source splits batches changes
+    * WHEN a row is emitted, never WHAT. Each user's final (never-closed)
+    * session is deliberately not emitted; the batch oracle drops it too.
+    * Event times are exact epoch-millis longs end to end (no float, no
+    * Timestamp round-trip). */
+  def gapSessions(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMs: Long = 1800000L
+  ): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId, rows, state) =>
+          val times = rows.map(_._2).toArray.sorted
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          for (t <- times) {
+            if (st == null) st = SessionState(t, t, 1L, 1L)
+            else if (t - st.last > gapMs) {
+              out += ClosedSession(userId, st.idx, st.n, st.start, st.last)
+              st = SessionState(t, t, 1L, st.idx + 1L)
+            } else st = st.copy(last = t, n = st.n + 1L)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   case class UserRunState(runCount: Long, lastType: Option[String])
   case class RunChange(userId: Long, runIndex: Long, eventType: String)
 

@@ -130,6 +130,82 @@ class StreamingSpec extends SparkSuite {
     assert(got.size >= batch.size / 2, s"stream=${got.size} batch=${batch.size}")
   }
 
+  test("gap sessions are invariant to micro-batch boundaries") {
+    import spark.implicits._
+    // Split events into 4 time-ordered files and force one file per
+    // micro-batch: sessions spanning a batch boundary must carry through
+    // state and come out identical to the single-batch run.
+    val split = java.nio.file.Files.createTempDirectory("events_split")
+    val stage = java.nio.file.Files.createTempDirectory("events_stage")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
+    val ev = graft.queries.Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+    val n = ev.count()
+    val parts = 4
+    (0 until parts).foreach { i =>
+      val lo = i * n / parts
+      val hi = (i + 1) * n / parts
+      ev.filter(col("rn") > lo && col("rn") <= hi)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/p$i")
+      // Move the part file into the (clean) source dir in time order —
+      // the file source processes files oldest-mtime-first.
+      val part = new java.io.File(s"$stage/p$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$split/events_$i.parquet"))
+    }
+    def read(dirPath: String, oneFilePerBatch: Boolean) = {
+      val base = spark.readStream
+        .schema(StreamingOps.eventsRawSchema)
+      val withOpt =
+        if (oneFilePerBatch) base.option("maxFilesPerTrigger", "1") else base
+      // The split files carry micros (written by a µs-precision Spark
+      // frame), not the raw nanos of the original parquet.
+      withOpt.parquet(dirPath)
+        .withColumn("ts", timestamp_micros(col("ts")))
+    }
+    val multi = runToMemory(
+      StreamingOps.gapSessions(spark, read(split.toString, true)).toDF,
+      "sess_multi").collect().map(_.toSeq).toSet
+    val single = runToMemory(
+      StreamingOps.gapSessions(spark, read(split.toString, false)).toDF,
+      "sess_single").collect().map(_.toSeq).toSet
+    assert(multi.nonEmpty)
+    assert(multi == single)
+  }
+
+  test("gap sessions match the batch sessionizer minus final open sessions") {
+    import spark.implicits._
+    val got = runToMemory(
+      StreamingOps.gapSessions(
+        spark, StreamingOps.readEvents(spark, streamDir)).toDF,
+      "sess_batchtwin")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ms")
+    val agg = graft.queries.Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("prev", lag("ms", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ms") - col("prev") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("idx", sum("new_s").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "idx")
+      .agg(count(lit(1)).as("n"), min("ms").as("lo"), max("ms").as("hi"))
+    val maxIdx = agg.groupBy("user_id").agg(max("idx").as("mx"))
+    val batch = agg.join(maxIdx, Seq("user_id"))
+      .filter(col("idx") < col("mx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == batch)
+  }
+
   test("stateful run detection matches batch lag-based runs per user") {
     import spark.implicits._
     val stream = StreamingOps.readEvents(spark, streamDir)
