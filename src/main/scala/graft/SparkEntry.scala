@@ -33,6 +33,7 @@ object SparkEntry {
     "q_value_percentiles" -> (Relational.valuePercentiles _),
     "q_value_histogram" -> (Relational.valueHistogram _),
     "q_bloom_prune" -> (Relational.bloomPrune _),
+    "q_topk_rewrite" -> (Relational.topkRewrite _),
     // --- text operators (SURVEY §2.2, §7.4) ---
     "q_clean_text" -> (TextQueries.cleanText _),
     "q_token_estimate" -> (TextQueries.tokenEstimate _),
@@ -131,6 +132,14 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)
         |ORDER BY c_custkey""".stripMargin,
+    "q_topk_rewrite" ->
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rnk, o_orderkey,
+        | CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t WHERE rn <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
     "q_bloom_prune" ->
       """SELECT l_returnflag,
         | CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents,

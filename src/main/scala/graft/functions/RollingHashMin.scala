@@ -146,5 +146,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         (exprs: Seq[Expression]) => HllDistinct(exprs.head)
       )
     )
+    // Whole-operator rewrite: window-rank-filter idiom → bounded-heap
+    // TopKPerKey (rule + the strategy that plans its logical node).
+    e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

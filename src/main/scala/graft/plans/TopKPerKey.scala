@@ -82,6 +82,27 @@ object TopKPerKey {
   private def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     GraftSqlBridge.ofRows(spark, plan)
 
+  /** Apply [[TopKRewrite]] to ONE frame's analyzed plan (strategy
+    * registered as a side effect). The deterministic, session-state-free
+    * face of the optimizer rule — query surfaces use this; SQL sessions
+    * get the same rule globally via `GraftExtensions` /
+    * [[registerRewrite]]. */
+  def viaRewrite(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    register(spark)
+    GraftSqlBridge.ofRows(spark, TopKRewrite(df.queryExecution.analyzed))
+  }
+
+  /** Inject [[TopKRewrite]] session-wide: every subsequent query in the
+    * session with the window-rank-filter idiom plans through the heap
+    * operator. */
+  def registerRewrite(spark: SparkSession): Unit = synchronized {
+    register(spark)
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewrite
+  }
+
   @volatile private var registered = Set.empty[String]
 
   /** Idempotently inject the planner strategy into this session. */

@@ -238,6 +238,25 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** The window-rank-filter idiom (top-3 orders per priority) routed
+    * through [[graft.plans.TopKRewrite]]: the query is WRITTEN as
+    * `row_number().over(...)` + `filter(rn <= 3)` and the optimizer rule
+    * replaces the Window with the bounded-heap TopKPerKey operator —
+    * users keep the SQL idiom, the engine swaps the physical shape
+    * (O(n log k) heaps, k·keys·parts shuffle rows instead of all rows).
+    * Output-identical by construction; the oracle is the window SQL. */
+  def topkRewrite(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val idiom = orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn").cast("long").as("rnk"),
+        col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+      .orderBy("o_orderpriority", "rnk")
+    graft.plans.TopKPerKey.viaRewrite(idiom)
+  }
+
   /** Grouping-sets rollup: order counts by (status, priority) hierarchy.
     * Null grouping keys from ROLLUP are made deterministic via coalesce. */
   def ordersRollup(s: SparkSession, d: String): DataFrame =
