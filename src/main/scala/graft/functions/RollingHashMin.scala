@@ -146,6 +146,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         (exprs: Seq[Expression]) => HllDistinct(exprs.head)
       )
     )
+    e.injectFunction(
+      (
+        new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DotProduct].getName, "graft_dot"),
+        (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))
+      )
+    )
     // Whole-operator rewrite: window-rank-filter idiom → bounded-heap
     // TopKPerKey (rule + the strategy that plans its logical node).
     e.injectOptimizerRule(_ => graft.plans.TopKRewrite)

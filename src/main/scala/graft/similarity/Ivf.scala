@@ -69,6 +69,7 @@ object Ivf {
       nProbe: Int,
       k: Int
   ): DataFrame = {
+    Similarity.ensureFunctions(corpus)
     val dot = Similarity.dotSql _
     val c0 = corpus.select(
       col("vec_id"),
@@ -130,6 +131,7 @@ object Ivf {
       centroidIds: Seq[Long],
       threshold: Double
   ): DataFrame = {
+    Similarity.ensureFunctions(corpus)
     val dot = Similarity.dotSql _
     val c0 = corpus.select(
       col("vec_id"),
@@ -180,6 +182,7 @@ object Ivf {
       nProbe: Int
   ): DataFrame = {
     import spark.implicits._
+    graft.functions.DotProduct.register(spark)
     // Rank cells per query on the driver — centroids are tiny.
     val centroids = index.centroids
     // Cast to array<double> first so float- and double-typed embedding

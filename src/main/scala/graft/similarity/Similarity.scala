@@ -20,14 +20,26 @@ import org.apache.spark.sql.functions._
   *
   * All scoring happens on double-cast arrays with a sequential left fold,
   * matching DuckDB's `list_dot_product` accumulation order bit-for-bit.
-  * Expressions are higher-order SQL functions (zip_with/aggregate/
-  * transform) — codegen-adjacent builtins, no UDFs.
+  * The dot product itself is the codegen [[graft.functions.DotProduct]]
+  * expression (`graft_dot`); the remaining array expressions are builtin
+  * higher-order functions — no UDFs anywhere.
   */
 object Similarity {
 
-  /** SQL for a sequential-fold dot product of two double-array columns. */
+  /** SQL for a sequential-fold dot product of two double-array columns.
+    * `graft_dot` is the codegen [[graft.functions.DotProduct]] expression —
+    * bit-identical (same left-to-right accumulation) to the HOF form
+    * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)` it
+    * replaced, but fused into whole-stage codegen instead of interpreted
+    * lambda dispatch (HOFs are CodegenFallback). Callers must ensure
+    * [[ensureFunctions]] ran on the session first. */
   def dotSql(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    s"graft_dot($a, $b)"
+
+  /** Idempotently register the custom scoring functions in the frame's
+    * session (sessions built via `GraftExtensions` already have them). */
+  private[similarity] def ensureFunctions(df: DataFrame): Unit =
+    graft.functions.DotProduct.register(df.sparkSession)
 
   private def toDoubleSql(c: String): String =
     s"transform($c, x -> CAST(x AS DOUBLE))"
@@ -40,6 +52,7 @@ object Similarity {
     * operator): the embedding arrays are projected away BEFORE ranking,
     * so the heap/shuffle carries (q_vec_id, vec_id, score) triples only. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    ensureFunctions(corpus)
     val c = corpus.select(
       col("vec_id"),
       expr(toDoubleSql("embedding")).as("emb"))
@@ -90,6 +103,7 @@ object Similarity {
     * Output: (q_vec_id, rnk, vec_id, score_q8) — cosine computed entirely
     * from the quantized dots. */
   def cosineTopKQ8(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    ensureFunctions(corpus)
     def prep(df: DataFrame, idAs: String, qAs: String, nrmAs: String) =
       df.select(col("vec_id").as(idAs),
           expr(toDoubleSql("embedding")).as("emb"))
@@ -146,6 +160,7 @@ object Similarity {
       dims: Int,
       nBits: Int = 4
   ): DataFrame = {
+    ensureFunctions(corpus)
     val bucket = lshBucketSql("embedding", dims, nBits)
     val v = corpus.select(
       col("vec_id"),
@@ -176,6 +191,7 @@ object Similarity {
       dims: Int,
       nBits: Int = 8
   ): DataFrame = {
+    ensureFunctions(corpus)
     val bucket = lshBucketSql("embedding", dims, nBits)
     val c = corpus.select(
       col("vec_id"),
