@@ -61,6 +61,8 @@ object SparkEntry {
     "q_simhash" -> (PipelineQueries.simhashValues _),
     "q_dedup_simhash" -> (PipelineQueries.dedupSimhash _),
     "q_ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
+    "q_decontaminate" -> (PipelineQueries.decontaminate _),
+    "q_incremental_dedup" -> (PipelineQueries.incrementalDedup _),
     "q_sim_topk" -> (PipelineQueries.simTopK _),
     "q_sim_topk_lsh" -> (PipelineQueries.simTopKLsh _),
     "q_lang_id" -> (PipelineQueries.langId _),
@@ -354,6 +356,8 @@ object SparkEntry {
     "q_simhash" -> PipelineQueries.simhashOracle,
     "q_dedup_simhash" -> PipelineQueries.simhashPairsOracle,
     "q_ngram_jaccard" -> PipelineQueries.ngramJaccardOracle,
+    "q_decontaminate" -> PipelineQueries.decontaminateOracle,
+    "q_incremental_dedup" -> PipelineQueries.incrementalDedupOracle,
     "q_sim_topk" -> PipelineQueries.simTopKOracle,
     "q_sim_topk_lsh" -> PipelineQueries.simTopKLshOracle,
     "q_lang_id" -> PipelineQueries.langIdOracle,

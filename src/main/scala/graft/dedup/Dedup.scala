@@ -498,6 +498,93 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // Benchmark decontamination
+  // -------------------------------------------------------------------------
+
+  /** Benchmark decontamination: flag corpus documents sharing word n-gram
+    * shingles with an evaluation/benchmark set — the standard
+    * training-data hygiene step (GPT-3 appendix C / PaLM-style n-gram
+    * overlap; they use 8-13-grams, `n` is a parameter here).
+    *
+    * Scale shape: eval suites are MBs while the corpus is TBs, so the
+    * bench shingle set is broadcast and the corpus side is ONE pass —
+    * a broadcast left join marking hits, then a single groupBy(doc).
+    * The corpus is never self-joined and never shuffled on the shingle;
+    * the only corpus-sized shuffle is the per-doc aggregation (and the
+    * shingle distinct inside [[shingleRows]]).
+    *
+    * Returns contaminated docs only (n_hits ≥ minHits):
+    * (id, n_shingles, n_hits, contamination = n_hits/n_shingles). */
+  def contamination(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minHits: Long = 1L
+  ): DataFrame = {
+    val docSh = shingleRows(docs, idCol, textCol, n)
+    val benchSh = shingleRows(bench, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    docSh
+      .join(broadcast(benchSh.withColumn("hit", lit(1))), Seq("shingle"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .withColumn(
+        "contamination", round(col("n_hits") / col("n_shingles"), 6))
+  }
+
+  // -------------------------------------------------------------------------
+  // Incremental (batch-vs-corpus) dedup
+  // -------------------------------------------------------------------------
+
+  /** Incremental exact dedup: classify a NEW batch of documents against an
+    * already-ingested corpus without re-deduplicating the corpus — the
+    * shape every continuously-ingesting training pipeline needs (the
+    * corpus is append-only; each delivery dedups against it, not with it).
+    *
+    * Verdict per batch row:
+    *   - `dup_corpus`: fingerprint already present in the corpus;
+    *   - `dup_batch`: new to the corpus, but a lower-id batch row has the
+    *     same fingerprint (intra-batch keeper policy = min id);
+    *   - `new`: first occurrence anywhere.
+    *
+    * Scale shape: the corpus side is reduced to DISTINCT fingerprints
+    * before the join (map-side partial distinct), then a fingerprint-keyed
+    * left join — the batch is never joined against corpus ROWS, only
+    * against its fingerprint set, and the corpus is read once. The
+    * intra-batch keeper is a fingerprint-partitioned min window (batch-
+    * sized, keyed shuffle). At 100 TB the corpus fingerprint set is the
+    * thing to pre-filter with [[graft.functions.Bloom]] (build once,
+    * probe each delivery) so most batch rows skip the join entirely. */
+  def incrementalExact(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val fp = graft.text.TextFunctions.fingerprintCol _
+    val b = batch.select(col(idCol).as("id"), fp(col(textCol)).as("fingerprint"))
+    val seen = corpus
+      .select(fp(col(textCol)).as("fingerprint"))
+      .distinct()
+      .withColumn("in_corpus", lit(1))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+    b.join(seen, Seq("fingerprint"), "left")
+      .withColumn("first_id", min(col("id")).over(w))
+      .select(
+        col("id"),
+        col("fingerprint"),
+        when(col("in_corpus") === 1, lit("dup_corpus"))
+          .when(col("id") > col("first_id"), lit("dup_batch"))
+          .otherwise(lit("new"))
+          .as("verdict"))
+  }
+
+  // -------------------------------------------------------------------------
   // Blocked n-gram Jaccard
   // -------------------------------------------------------------------------
 

@@ -47,6 +47,38 @@ object PipelineQueries {
         SimhashMaxHamming, SimhashBlocks)
       .orderBy("id_a", "id_b")
 
+  /** Modulus partitioning documents into held-out "benchmark" docs
+    * (doc_id % DecontamMod == 0) vs the training corpus (the rest). */
+  val DecontamMod = 13
+
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup
+      .contamination(
+        docs.filter(col("doc_id") % DecontamMod =!= 0),
+        docs.filter(col("doc_id") % DecontamMod === 0),
+        "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .select(col("doc_id"), col("n_shingles"),
+        col("n_hits").cast("long").as("n_hits"), col("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** Batch = doc_id % IncrementalMod == 0 arriving against the corpus of
+    * everything else. */
+  val IncrementalMod = 10
+
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup
+      .incrementalExact(
+        docs.filter(col("doc_id") % IncrementalMod =!= 0),
+        docs.filter(col("doc_id") % IncrementalMod === 0),
+        "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup
       .ngramJaccardBlocked(documents(s, d), "doc_id", "text", col("lang"),
@@ -504,6 +536,34 @@ object PipelineQueries {
        |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= $SimhashMaxHamming
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  def decontaminateOracle: String =
+    s"""WITH $shinglesCte,
+       |doc_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % $DecontamMod != 0),
+       |bench_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $DecontamMod = 0)
+       |SELECT d.doc_id, count(*) AS n_shingles,
+       | CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       | round(CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS contamination
+       |FROM doc_sh d LEFT JOIN bench_sh b ON d.shingle = b.shingle
+       |GROUP BY d.doc_id
+       |HAVING sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) >= 1
+       |ORDER BY doc_id""".stripMargin
+
+  def incrementalDedupOracle: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+       |  FROM documents),
+       |b AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % $IncrementalMod = 0),
+       |seen AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % $IncrementalMod != 0),
+       |firsts AS (SELECT fingerprint, min(doc_id) AS first_id FROM b GROUP BY fingerprint)
+       |SELECT b.doc_id, b.fingerprint,
+       |  CASE WHEN s.fingerprint IS NOT NULL THEN 'dup_corpus'
+       |       WHEN b.doc_id > f.first_id THEN 'dup_batch'
+       |       ELSE 'new' END AS verdict
+       |FROM b
+       |LEFT JOIN seen s ON b.fingerprint = s.fingerprint
+       |JOIN firsts f ON b.fingerprint = f.fingerprint
+       |ORDER BY doc_id""".stripMargin
 
   def ngramJaccardOracle: String =
     s"""WITH shl AS (

@@ -151,4 +151,42 @@ class DedupSpec extends SparkSuite {
     val sh = Dedup.shingleRows(tiny, "doc_id", "text", 3)
     assert(sh.count() == 0)
   }
+
+  test("contamination flags docs overlapping the benchmark set, with exact rates") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // shares shingles with bench doc 100
+      (1L, "totally unrelated training material here indeed"),
+      (2L, "alpha beta gamma nothing else shared")  // shares exactly 1 shingle
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_hits")))).toMap
+    // doc 0 is the bench text verbatim: all 4 3-gram shingles hit.
+    assert(out(0L) == ((4L, 4L)))
+    // doc 2 shares only "alpha_beta_gamma".
+    assert(out(2L) == ((4L, 1L)))
+    // doc 1 shares nothing → filtered out entirely.
+    assert(!out.contains(1L))
+  }
+
+  test("incrementalExact classifies dup_corpus / dup_batch / new") {
+    val corpus = Seq(
+      (0L, "existing document one"),
+      (1L, "existing document two")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Existing   document ONE"), // normalizes to corpus doc 0 → dup_corpus
+      (11L, "brand new arrival"),       // first of a batch pair → new
+      (12L, "brand NEW arrival"),       // same fingerprint, higher id → dup_batch
+      (13L, "unique snowflake")         // → new
+    ).toDF("doc_id", "text")
+    val verdicts = Dedup.incrementalExact(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("verdict"))
+      .toMap
+    assert(verdicts == Map(
+      10L -> "dup_corpus", 11L -> "new", 12L -> "dup_batch", 13L -> "new"))
+  }
 }
