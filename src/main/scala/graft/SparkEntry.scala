@@ -62,6 +62,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (PipelineQueries.dedupSimhash _),
     "q_ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
     "q_decontaminate" -> (PipelineQueries.decontaminate _),
+    "q_intradoc_dedup" -> (PipelineQueries.intraDocDedup _),
     "q_incremental_dedup" -> (PipelineQueries.incrementalDedup _),
     "q_sim_topk" -> (PipelineQueries.simTopK _),
     "q_sim_topk_lsh" -> (PipelineQueries.simTopKLsh _),
@@ -357,6 +358,7 @@ object SparkEntry {
     "q_dedup_simhash" -> PipelineQueries.simhashPairsOracle,
     "q_ngram_jaccard" -> PipelineQueries.ngramJaccardOracle,
     "q_decontaminate" -> PipelineQueries.decontaminateOracle,
+    "q_intradoc_dedup" -> PipelineQueries.intraDocDedupOracle,
     "q_incremental_dedup" -> PipelineQueries.incrementalDedupOracle,
     "q_sim_topk" -> PipelineQueries.simTopKOracle,
     "q_sim_topk_lsh" -> PipelineQueries.simTopKLshOracle,

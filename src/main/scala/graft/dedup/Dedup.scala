@@ -538,6 +538,53 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // Intra-document repetition removal
+  // -------------------------------------------------------------------------
+
+  /** Intra-document sentence dedup (the Gopher / RefinedWeb "repetition
+    * removal" step, applied at sentence granularity): drop every repeat of
+    * an already-seen sentence WITHIN a document, keeping first occurrences
+    * in their original order. Duplicated boilerplate sentences are the
+    * dominant intra-doc noise in web-scale corpora.
+    *
+    * Scale shape: zero document-level shuffling beyond one (doc, sentence)
+    * keyed window + one per-doc aggregation — each document's sentences
+    * stay together, work is linear in total sentence count, and documents
+    * never interact (embarrassingly parallel across the corpus).
+    *
+    * Returns (id, n_sentences, n_kept, clean_md5): counts before/after
+    * plus the md5 of the deduped text (first occurrences joined with
+    * ". " in position order) — the digest keeps the output narrow no
+    * matter how large the document is. */
+  def intraDocSentenceDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitRegex: String = graft.text.TextFunctions.PortableSentenceSplit
+  ): DataFrame = {
+    val sent = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), splitRegex)).as(Seq("pos", "raw")))
+      .select(col("id"), col("pos"), trim(col("raw")).as("sentence"))
+      .filter(length(col("sentence")) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id", "sentence")
+    sent
+      .withColumn("first_pos", min(col("pos")).over(w))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        countDistinct(col("sentence")).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("pos") === col("first_pos"),
+                struct(col("pos"), col("sentence"))))),
+            x => x.getField("sentence")),
+          ". ")).as("clean_md5"))
+  }
+
+  // -------------------------------------------------------------------------
   // Incremental (batch-vs-corpus) dedup
   // -------------------------------------------------------------------------
 

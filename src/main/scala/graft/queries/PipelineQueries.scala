@@ -64,6 +64,34 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Planted duplicate tail: guarantees every document exercises the
+    * removal path (synthetic texts may otherwise have no repeats). */
+  private val DupTail = ". tail dup. tail dup! unique end?"
+
+  def intraDocDedup(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .intraDocSentenceDedup(
+        documents(s, d).withColumn("text", concat(col("text"), lit(DupTail))),
+        "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  def intraDocDedupOracle: String =
+    s"""WITH s0 AS (
+       |  SELECT doc_id, string_split_regex(text || '$DupTail', '[.!?]+\\s+') AS arr
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, i AS pos, trim(arr[i]) AS sentence
+       |  FROM s0, LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i) r
+       |  WHERE length(trim(arr[i])) > 0),
+       |m AS (
+       |  SELECT *, min(pos) OVER (PARTITION BY doc_id, sentence) AS first_pos
+       |  FROM s)
+       |SELECT doc_id, count(*) AS n_sentences,
+       |  CAST(count(DISTINCT sentence) AS BIGINT) AS n_kept,
+       |  md5(string_agg(CASE WHEN pos = first_pos THEN sentence END, '. ' ORDER BY pos)) AS clean_md5
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Batch = doc_id % IncrementalMod == 0 arriving against the corpus of
     * everything else. */
   val IncrementalMod = 10

@@ -172,6 +172,24 @@ class DedupSpec extends SparkSuite {
     assert(!out.contains(1L))
   }
 
+  test("intraDocSentenceDedup keeps first occurrences in order") {
+    val d = Seq(
+      (0L, "alpha one. beta two. alpha one. gamma three! beta two? delta four"),
+      (1L, "no repeats here. all unique stuff")
+    ).toDF("doc_id", "text")
+    val out = Dedup.intraDocSentenceDedup(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_sentences") == 6)
+    assert(out(0L).getAs[Long]("n_kept") == 4)
+    // Deduped text = first occurrences joined in original order.
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha one. beta two. gamma three. delta four".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(0L).getAs[String]("clean_md5") == expect)
+    assert(out(1L).getAs[Long]("n_sentences") == 2)
+    assert(out(1L).getAs[Long]("n_kept") == 2)
+  }
+
   test("incrementalExact classifies dup_corpus / dup_batch / new") {
     val corpus = Seq(
       (0L, "existing document one"),
