@@ -90,6 +90,9 @@ object SparkEntry {
     "q_json_extract" -> (EventQueries.jsonExtract _),
     "q_cms_freq" -> (EventQueries.cmsFreq _),
     "q_window_family" -> (EventQueries.windowFamily _),
+    "q_range_frame" -> (EventQueries.rangeFrameSum _),
+    "q_full_outer" -> (Relational.fullOuterBalance _),
+    "q_unpivot" -> (Relational.unpivotMeasures _),
     "q_time_breakdown" -> (EventQueries.timeBreakdown _),
     "q_pivot" -> (EventQueries.pivotCounts _),
     "q_except_all" -> (EventQueries.exceptAllTypes _),
@@ -388,6 +391,39 @@ object SparkEntry {
         | (SELECT user_id FROM v INTERSECT SELECT user_id FROM c)
         | EXCEPT SELECT user_id FROM p)
         |ORDER BY user_id""".stripMargin,
+    "q_range_frame" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS ts_sec,
+        |  CAST(round(value*100,0) AS BIGINT) AS value_cents FROM events)
+        |SELECT event_id, user_id,
+        | CAST(sum(value_cents) OVER (PARTITION BY user_id ORDER BY ts_sec
+        |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_cents
+        |FROM e ORDER BY event_id""".stripMargin,
+    "q_full_outer" ->
+      """WITH act AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS spend_cents
+        |  FROM orders WHERE date_part('year', o_orderdate) = 1995 GROUP BY o_custkey),
+        |cust AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+        | coalesce(n_orders, 0) AS n_orders,
+        | coalesce(spend_cents, CAST(0 AS BIGINT)) AS spend_cents
+        |FROM cust FULL OUTER JOIN act ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_unpivot" ->
+      """WITH m AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(round(l_quantity*100,0) AS BIGINT) AS quantity,
+        |    CAST(round(l_extendedprice*100,0) AS BIGINT) AS extendedprice,
+        |    CAST(round(l_discount*100,0) AS BIGINT) AS discount,
+        |    CAST(round(l_tax*100,0) AS BIGINT) AS tax
+        |  FROM lineitem WHERE l_orderkey % 500 = 0)
+        |SELECT l_orderkey, l_linenumber, measure, value_cents FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, quantity AS value_cents FROM m
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice', extendedprice FROM m
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'discount', discount FROM m
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'tax', tax FROM m)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "q_window_family" ->
       """SELECT event_id, event_type, value_cents,
         | lag(value_cents, 1) OVER w AS prev_cents,

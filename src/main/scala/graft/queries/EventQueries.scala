@@ -394,6 +394,25 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** RANGE-frame analytic window: per user, the rolling sum of event
+    * value over the trailing hour (RANGE BETWEEN 3600 PRECEDING AND
+    * CURRENT ROW over epoch seconds). RANGE frames include all ties of
+    * the current order value, so the result is deterministic even when a
+    * user has same-second events. Keyed by user → partition-parallel;
+    * cents keep the sums exact in both engines. */
+  def rangeFrameSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_sec"))
+      .rangeBetween(-3600L, Window.currentRow)
+    events(s, d)
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .withColumn("value_cents", cents(col("value")))
+      .select(
+        col("event_id"), col("user_id"),
+        sum(col("value_cents")).over(w).as("hour_cents"))
+      .orderBy("event_id")
+  }
+
   /** Date-part breakdown (the date/time scalar family): per
     * (year, month, day-of-month, hour) counts. Session timezone is UTC
     * on both engines, so parts agree. */

@@ -257,6 +257,51 @@ object Relational {
     graft.plans.TopKPerKey.viaRewrite(idiom)
   }
 
+  /** Full outer join with nulls possible on BOTH sides: high-balance
+    * customers vs 1995 order activity per customer. Customers above the
+    * balance cut with no 1995 orders surface as order-null rows; custkeys
+    * with 1995 orders at or below the cut surface as customer-null rows.
+    * Scale: the orders side pre-aggregates to one row per custkey before
+    * the join (partial agg), so the full-outer shuffles |custkeys| rows,
+    * not |orders|. */
+  def fullOuterBalance(s: SparkSession, d: String): DataFrame = {
+    val act = orders(s, d)
+      .filter(year(col("o_orderdate")) === 1995)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("spend_cents"))
+    val cust = customer(s, d)
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_name"))
+    cust
+      .join(act, cust("c_custkey") === act("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend_cents"), lit(0L)).as("spend_cents"))
+      .orderBy("custkey")
+  }
+
+  /** Unpivot (melt) of the lineitem measures into (measure, value) rows —
+    * the `Dataset.unpivot` API face. Values go through exact cents so the
+    * long format is engine-portable. Scale: unpivot is a per-row flatMap
+    * (no shuffle); the expansion factor equals the measure count. */
+  def unpivotMeasures(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_orderkey") % 500 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_quantity")).as("quantity"),
+        cents(col("l_extendedprice")).as("extendedprice"),
+        cents(col("l_discount")).as("discount"),
+        cents(col("l_tax")).as("tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        "measure", "value_cents")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
   /** Grouping-sets rollup: order counts by (status, priority) hierarchy.
     * Null grouping keys from ROLLUP are made deterministic via coalesce. */
   def ordersRollup(s: SparkSession, d: String): DataFrame =
