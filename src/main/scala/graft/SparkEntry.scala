@@ -76,6 +76,7 @@ object SparkEntry {
     "q_dedup_keeplist" -> (PipelineQueries.dedupKeeplist _),
     "q_sim_topk_q8" -> (PipelineQueries.simTopKQ8 _),
     "q_stream_hourly" -> (StreamingQueries.streamHourly _),
+    "q_stream_join" -> (StreamingQueries.streamJoin _),
     "q_stream_dedup_keys" -> (StreamingQueries.streamDedupKeys _),
     "q_stream_sessions" -> (StreamingQueries.streamSessions _),
     "q_lang_centroid" -> (PipelineQueries.langCentroid _),
@@ -380,6 +381,7 @@ object SparkEntry {
     "q_stream_hourly" -> StreamingQueries.streamHourlyOracle,
     "q_stream_dedup_keys" -> StreamingQueries.streamDedupKeysOracle,
     "q_stream_sessions" -> StreamingQueries.streamSessionsOracle,
+    "q_stream_join" -> StreamingQueries.streamJoinOracle,
     "q_lang_centroid" -> PipelineQueries.langCentroidOracle,
     "q_ivf_topk" -> PipelineQueries.ivfTopKOracle,
     "q_semantic_dedup" -> PipelineQueries.semanticDedupOracle,

@@ -109,6 +109,34 @@ object StreamingQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Watermarked stream-stream interval join through the real runtime
+    * ([[StreamingOps.clickViewJoin]]): clicks joined to same-user views
+    * within the trailing hour. Batching-invariant for an inner interval
+    * join: Spark evicts join state only once a row is provably
+    * unmatchable under the time-bound condition, so micro-batch
+    * boundaries change when a pair is emitted, never whether. Timestamps
+    * are projected to epoch millis for cross-engine parity. */
+  def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val joined = StreamingOps.clickViewJoin(
+      StreamingOps.readEvents(s, eventsStreamDir(d)))
+    runToMemory(s, joined, OutputMode.Append(), "graft_stream_join")
+      .select(
+        col("click_event_id"), col("click_user_id"), col("view_event_id"),
+        unix_millis(col("click_ts")).as("click_ms"),
+        unix_millis(col("view_ts")).as("view_ms"))
+      .orderBy("click_event_id", "view_event_id")
+  }
+
+  def streamJoinOracle: String =
+    """WITH v AS (SELECT event_id AS view_event_id, user_id,
+      |  CAST(epoch_ms(ts) AS BIGINT) AS view_ms FROM events WHERE event_type = 'view'),
+      |c AS (SELECT event_id AS click_event_id, user_id,
+      |  CAST(epoch_ms(ts) AS BIGINT) AS click_ms FROM events WHERE event_type = 'click')
+      |SELECT click_event_id, c.user_id AS click_user_id, view_event_id, click_ms, view_ms
+      |FROM c JOIN v ON c.user_id = v.user_id
+      |  AND view_ms <= click_ms AND view_ms >= click_ms - 3600000
+      |ORDER BY click_event_id, view_event_id""".stripMargin
+
   /** Custom keyed state through the real streaming runtime:
     * `flatMapGroupsWithState` gap sessionization
     * ([[StreamingOps.gapSessions]]), drained with AvailableNow. Emits
