@@ -104,6 +104,7 @@ object SparkEntry {
     "q_vocab_topk" -> (TextQueries.vocabTopK _),
     "q_tfidf_topk" -> ((s, d) => TextQueries.tfidfTopTerms(s, d)),
     "q_bm25" -> ((s, d) => TextQueries.bm25(s, d)),
+    "q_lm_score" -> (TextQueries.lmScore _),
     "q_sample_hash" -> (TextQueries.sampleHash _),
     "q_stratified_sample" -> (TextQueries.stratifiedSample _),
     "q_token_bpe" -> (TextQueries.tokenBpe _),
@@ -375,6 +376,7 @@ object SparkEntry {
     "q_media_features" -> PipelineQueries.mediaFeaturesOracle,
     "q_tfidf_topk" -> TextQueries.tfidfTopTermsOracle(),
     "q_bm25" -> TextQueries.bm25Oracle(),
+    "q_lm_score" -> TextQueries.lmScoreOracle,
     "q_stratified_sample" -> TextQueries.stratifiedSampleOracle,
     "q_dedup_keeplist" -> PipelineQueries.dedupKeeplistOracle,
     "q_sim_topk_q8" -> PipelineQueries.simTopKQ8Oracle,

@@ -374,6 +374,64 @@ object TextQueries {
   val BM25K1 = 1.2
   val BM25B = 0.75
 
+  val LmVocabSize = 2000
+
+  /** Unigram language-model quality score — the perplexity-proxy filter of
+    * CCNet-style corpus curation (docs whose word distribution diverges
+    * from the corpus LM score high and get filtered/bucketed). Model:
+    * corpus unigram frequencies over a top-[[LmVocabSize]] vocabulary;
+    * OOV words take the count-1 smoothing floor. Per-doc output is the
+    * mean negative log-likelihood in integer micros (per-word micros are
+    * summed exactly, so the result is order-insensitive — same discipline
+    * as [[bm25]]) plus the OOV count.
+    *
+    * Scale shape: vocabulary is TakeOrdered top-N (never a global sort of
+    * the full vocabulary) and broadcast; the corpus makes ONE pass through
+    * a broadcast left join + per-doc aggregation. The only corpus-sized
+    * shuffles are the vocab count and the per-doc agg — both partial-agg
+    * friendly. */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val w = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val total = w.agg(count(lit(1)).as("n_total"))
+    val vocab = w.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(LmVocabSize)
+    w.join(broadcast(vocab), Seq("word"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "logp_micro",
+        round(log(coalesce(col("cnt"), lit(1L)).cast("double") /
+          col("n_total").cast("double")) * 1e6, 0).cast("long"))
+      .withColumn("oov", when(col("cnt").isNull, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("oov")).cast("long").as("n_oov"),
+        round((-sum(col("logp_micro"))).cast("double") / count(lit(1)), 0)
+          .cast("long").as("mean_nll_micro"))
+      .orderBy("doc_id")
+  }
+
+  def lmScoreOracle: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |  FROM documents),
+       |w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+       |total AS (SELECT count(*) AS n_total FROM w2),
+       |vocab AS (SELECT word, count(*) AS cnt FROM w2 GROUP BY 1
+       |  ORDER BY cnt DESC, word ASC LIMIT $LmVocabSize),
+       |pw AS (
+       |  SELECT doc_id,
+       |    CAST(round(ln(CAST(coalesce(cnt, 1) AS DOUBLE) / n_total) * 1e6, 0) AS BIGINT) AS logp_micro,
+       |    CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM w2 LEFT JOIN vocab USING (word) CROSS JOIN total)
+       |SELECT doc_id, count(*) AS n_words, CAST(sum(oov) AS BIGINT) AS n_oov,
+       |  CAST(round(CAST(-sum(logp_micro) AS DOUBLE) / count(*), 0) AS BIGINT) AS mean_nll_micro
+       |FROM pw GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def bm25Oracle(k: Int = 20): String = {
     val terms = BM25Terms.map(t => s"'$t'").mkString(", ")
     s"""WITH w AS (
