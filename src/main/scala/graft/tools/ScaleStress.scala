@@ -66,6 +66,18 @@ object ScaleStress {
           .agg(count(lit(1)).as("df"))
           .orderBy(col("df").desc, col("word").asc)
           .limit(50)))
+    // Round-3 additions: the corpus-curation family. Bench set (the part
+    // that must stay linear in corpus size): one broadcast-join pass each.
+    val benchDocs = corpus.filter(col("doc_id") % 13 === 0)
+    time("decontaminate")(
+      noop(Dedup.contamination(
+        corpus.filter(col("doc_id") % 13 =!= 0), benchDocs, "doc_id", "text")))
+    time("intra-doc sentence dedup")(
+      noop(Dedup.intraDocSentenceDedup(corpus, "doc_id", "text")))
+    time("incremental exact dedup")(
+      noop(Dedup.incrementalExact(
+        corpus.filter(col("doc_id") % 10 =!= 0),
+        corpus.filter(col("doc_id") % 10 === 0), "doc_id", "text")))
     corpus.unpersist()
     spark.stop()
   }
