@@ -64,6 +64,7 @@ object SparkEntry {
     "q_decontaminate" -> (PipelineQueries.decontaminate _),
     "q_intradoc_dedup" -> (PipelineQueries.intraDocDedup _),
     "q_incremental_dedup" -> (PipelineQueries.incrementalDedup _),
+    "q_incremental_minhash" -> (PipelineQueries.minhashIncrementalQ _),
     "q_sim_topk" -> (PipelineQueries.simTopK _),
     "q_sim_topk_lsh" -> (PipelineQueries.simTopKLsh _),
     "q_lang_id" -> (PipelineQueries.langId _),
@@ -365,6 +366,7 @@ object SparkEntry {
     "q_decontaminate" -> PipelineQueries.decontaminateOracle,
     "q_intradoc_dedup" -> PipelineQueries.intraDocDedupOracle,
     "q_incremental_dedup" -> PipelineQueries.incrementalDedupOracle,
+    "q_incremental_minhash" -> PipelineQueries.minhashIncrementalOracle,
     "q_sim_topk" -> PipelineQueries.simTopKOracle,
     "q_sim_topk_lsh" -> PipelineQueries.simTopKLshOracle,
     "q_lang_id" -> PipelineQueries.langIdOracle,

@@ -121,21 +121,11 @@ object Dedup {
       bands: Int,
       rowsPerBand: Int
   ): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      // Explicit ':'-separated string render of the long sigs: unambiguous
-      // (no concatenation collisions) and byte-identical to the DuckDB twin.
-      val cols = (0 until rowsPerBand).flatMap(r =>
-        Seq(col(s"sig_${b * rowsPerBand + r}").cast("string"), lit(":")))
-        .dropRight(1)
-      struct(lit(b).as("band"), md5(concat(cols: _*)).as("bh"))
-    }
     // Both self-join sides hang off the signature aggregation (the
     // md5-heavy dominant stage); materialize the banded rows once so the
     // join reads checkpointed blocks instead of recomputing the subtree
     // per side (ReuseExchange is not guaranteed to fire across a join).
-    val banded = signatures
-      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val banded = bandedSignatures(signatures, bands, rowsPerBand)
       .localCheckpoint(true)
     val a = banded.as("a")
     val b = banded.as("b")
@@ -143,6 +133,58 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
+
+  /** (id, band, bh) rows of a signature frame: each signature is split
+    * into `bands` bands whose values are md5 digests of the ':'-joined
+    * long sigs — an explicit string render, unambiguous (no concatenation
+    * collisions) and byte-identical to the DuckDB twin. */
+  private def bandedSignatures(
+      signatures: DataFrame,
+      bands: Int,
+      rowsPerBand: Int
+  ): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).flatMap(r =>
+        Seq(col(s"sig_${b * rowsPerBand + r}").cast("string"), lit(":")))
+        .dropRight(1)
+      struct(lit(b).as("band"), md5(concat(cols: _*)).as("bh"))
+    }
+    signatures
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Incremental MinHash near-dup: candidates between a NEW batch and the
+    * existing corpus only — the continuous-ingest companion of
+    * [[incrementalExact]] for near-duplicates. The band join crosses the
+    * two sides exclusively (never batch×batch or corpus×corpus), so each
+    * delivery costs |batch bands| ⋈ |corpus bands| bucket hits, and in a
+    * real pipeline the corpus's banded signatures are computed once at
+    * ingest and stored — only the batch side is fresh work per delivery.
+    * Returns (id_a = batch id, id_b = corpus id, jaccard ≥ threshold),
+    * exact-verified on the shingle sets like [[minhashDuplicates]]. */
+  def minhashIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bSh = shingleRows(batch, idCol, textCol).localCheckpoint(true)
+    val cSh = shingleRows(corpus, idCol, textCol).localCheckpoint(true)
+    val bBand = bandedSignatures(signatureOfShingles(bSh, numHashes), bands, rows)
+    val cBand = bandedSignatures(signatureOfShingles(cSh, numHashes), bands, rows)
+    val cands = bBand.as("a")
+      .join(cBand.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    jaccardVerifyShingles(bSh.union(cSh), cands, threshold)
   }
 
   /** Exact Jaccard verification of candidate pairs over a precomputed

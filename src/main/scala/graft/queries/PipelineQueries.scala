@@ -96,6 +96,19 @@ object PipelineQueries {
     * everything else. */
   val IncrementalMod = 10
 
+  /** Batch modulus for the incremental MinHash near-dup query. */
+  val MinhashIncMod = 7
+
+  def minhashIncrementalQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup
+      .minhashIncremental(
+        docs.filter(col("doc_id") % MinhashIncMod =!= 0),
+        docs.filter(col("doc_id") % MinhashIncMod === 0),
+        "doc_id", "text", MinhashHashes, MinhashBands, MinhashThreshold)
+      .orderBy("id_a", "id_b")
+  }
+
   def incrementalDedup(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     Dedup
@@ -435,6 +448,52 @@ object PipelineQueries {
   def minhashOracle: String =
     s"""WITH $minhashPairsCtes
        |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  private def sigColsSql: String =
+    (0 until MinhashHashes)
+      .map(i =>
+        s"min(CAST('0x' || substr(md5('${i / 2}:' || CAST(shingle AS VARCHAR)),${1 + 15 * (i % 2)},15) AS BIGINT)) AS sig_$i")
+      .mkString(", ")
+
+  private def bandSelectsSql(from: String): String = {
+    val rows = MinhashHashes / MinhashBands
+    (0 until MinhashBands)
+      .map { b =>
+        val cat = (0 until rows)
+          .map(r => s"CAST(sig_${b * rows + r} AS VARCHAR)")
+          .mkString(" || ':' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM $from"
+      }
+      .mkString("\n  UNION ALL ")
+  }
+
+  def minhashIncrementalOracle: String =
+    s"""WITH $shinglesCte,
+       |bsh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % $MinhashIncMod = 0),
+       |csh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % $MinhashIncMod != 0),
+       |bsig AS (SELECT doc_id, $sigColsSql FROM bsh GROUP BY doc_id),
+       |csig AS (SELECT doc_id, $sigColsSql FROM csh GROUP BY doc_id),
+       |bband AS (
+       |  ${bandSelectsSql("bsig")}),
+       |cband AS (
+       |  ${bandSelectsSql("csig")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bband a JOIN cband b ON a.band = b.band AND a.bh = b.bh),
+       |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT i.id_a, i.id_b,
+       |  round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.id_a
+       |JOIN sizes sb ON sb.doc_id = i.id_b
+       |WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= $MinhashThreshold
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Duplicate clusters: connected components over the minhash near-dup
     * pairs — iterative min-label propagation on the Spark side, a

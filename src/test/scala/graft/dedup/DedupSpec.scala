@@ -190,6 +190,27 @@ class DedupSpec extends SparkSuite {
     assert(out(1L).getAs[Long]("n_kept") == 2)
   }
 
+  test("minhashIncremental pairs batch docs with corpus near-dups only") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "completely different content about databases and distributed query engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of corpus doc 0 (one word changed)
+      (10L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+      // exact text of another BATCH doc — must NOT pair (batch×batch excluded)
+      (11L, "some fresh arrival text that matches nothing in the corpus at all"),
+      (12L, "some fresh arrival text that matches nothing in the corpus at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup
+      .minhashIncremental(corpus, batch, "doc_id", "text", 8, 8, 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    // Only batch→corpus pairs: 10-0 found; 11-12 (intra-batch) absent.
+    assert(pairs.contains((10L, 0L)))
+    assert(pairs.forall { case (a, b) => a >= 10L && b < 10L })
+  }
+
   test("incrementalExact classifies dup_corpus / dup_batch / new") {
     val corpus = Seq(
       (0L, "existing document one"),
