@@ -126,4 +126,41 @@ class PlanSpec extends SparkSuite {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans == 1, s"expected a single documents scan, got $scans")
   }
+
+  test("decontamination broadcasts the benchmark shingle set") {
+    val p = plan("q_decontaminate")
+    // The hit-marking join must be broadcast (eval sets are small); the
+    // corpus side must never sort-merge on the shingle.
+    assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("topk rewrite plans the heap operator, not a window") {
+    val p = plan("q_topk_rewrite")
+    assert(p.contains("TopKPerKey"))
+    assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"))
+  }
+
+  test("similarity scoring runs the codegen dot product, not HOF lambdas") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("graft_dot"), s"expected graft_dot in:\n$p")
+    assert(!p.contains("aggregate(zip_with"),
+      "HOF fold must be fully replaced by the codegen expression")
+  }
+
+  test("unpivot is a per-row expand — no exchange before the final sort") {
+    val p = plan("q_unpivot")
+    // Expand (the unpivot operator) must sit directly on the scan side;
+    // the only exchange is the rangepartitioning of the final orderBy.
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(p.contains("Expand"), s"expected Expand in:\n$p")
+    assert(exchanges <= 2, s"expected only the final sort exchange(s), got $exchanges:\n$p")
+  }
+
+  test("LM score vocabulary is TakeOrdered and broadcast") {
+    val p = plan("q_lm_score")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab top-N must never globally sort the vocabulary")
+    assert(p.contains("BroadcastHashJoin"), "vocab must broadcast")
+  }
 }
