@@ -626,6 +626,47 @@ object Dedup {
           ". ")).as("clean_md5"))
   }
 
+  /** Cross-document boilerplate detection (the ACROSS-docs line dedup of
+    * RefinedWeb-style cleaning, at sentence granularity): a sentence
+    * occurring in ≥ `minDocs` distinct documents is boilerplate (headers,
+    * footers, cookie banners, license blurbs). Returns per-doc
+    * (id, n_sentences, n_boiler, boiler_ratio).
+    *
+    * Scale shape: sentences are hashed to 60-bit longs BEFORE the
+    * document-frequency aggregation, so the corpus-wide shuffle carries
+    * 8-byte keys; the df side reduces to the (hash, df≥minDocs) flag set
+    * before joining back — at web scale that join is the standard
+    * sentence-hash shuffle join, and the flag set is a candidate for a
+    * Bloom pre-probe exactly like [[incrementalExact]]'s corpus side. */
+  def boilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Long = 3L,
+      splitRegex: String = graft.text.TextFunctions.PortableSentenceSplit
+  ): DataFrame = {
+    val sent = df
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), splitRegex)).as("raw"))
+      .select(col("id"), trim(col("raw")).as("s"))
+      .filter(length(col("s")) > 0)
+      .select(col("id"), hash60(col("s")).as("sh"))
+    val flagged = sent
+      .distinct()
+      .groupBy("sh")
+      .agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= minDocs)
+      .select(col("sh"), lit(1).as("boiler"))
+    sent
+      .join(flagged, Seq("sh"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        sum(coalesce(col("boiler"), lit(0))).cast("long").as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler") / col("n_sentences"), 6))
+  }
+
   // -------------------------------------------------------------------------
   // Incremental (batch-vs-corpus) dedup
   // -------------------------------------------------------------------------

@@ -190,6 +190,23 @@ class DedupSpec extends SparkSuite {
     assert(out(1L).getAs[Long]("n_kept") == 2)
   }
 
+  test("boilerplate flags sentences shared by >= minDocs documents") {
+    val d = Seq(
+      (0L, "unique alpha text. all rights reserved. visit our site"),
+      (1L, "different beta content. all rights reserved. visit our site"),
+      (2L, "gamma body here. all rights reserved. visit our site"),
+      (3L, "delta standalone document with nothing shared")
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplate(d, "doc_id", "text", minDocs = 3L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_sentences"), r.getAs[Long]("n_boiler")))).toMap
+    // "all rights reserved" and "visit our site" appear in 3 docs → boiler.
+    assert(out(0L) == ((3L, 2L)))
+    assert(out(1L) == ((3L, 2L)))
+    assert(out(2L) == ((3L, 2L)))
+    assert(out(3L) == ((1L, 0L)))
+  }
+
   test("minhashIncremental pairs batch docs with corpus near-dups only") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
