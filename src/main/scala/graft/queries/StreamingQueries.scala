@@ -51,7 +51,18 @@ object StreamingQueries {
 
   /** Start `stream` against a memory sink, drain all available input, and
     * return the sink table. AvailableNow processes everything then stops —
-    * the batch-job face of the streaming runtime. */
+    * the batch-job face of the streaming runtime.
+    *
+    * Stateful operators keep one state-store instance PER shuffle
+    * partition, each with its own commit/snapshot bookkeeping per
+    * micro-batch — a fixed per-partition tax that dominates small runs
+    * (and is why production streams size state partitions to throughput,
+    * not to the batch default). The session's shuffle-partition setting is
+    * lowered for the duration of the run (fresh checkpoint each run, so
+    * the state partitioning is free to differ per query) and restored
+    * after. */
+  private val StreamShufflePartitions = "8"
+
   private def runToMemory(
       spark: SparkSession,
       stream: DataFrame,
@@ -61,13 +72,18 @@ object StreamingQueries {
     // Unique per run: memory-sink query names must be unique among active
     // queries, and a stale same-name temp view must never be read back.
     val qn = s"${name}_${runSeq.incrementAndGet()}"
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(qn)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(qn)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(qn)
   }
 
