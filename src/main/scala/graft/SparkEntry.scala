@@ -107,6 +107,7 @@ object SparkEntry {
     "q_tfidf_topk" -> ((s, d) => TextQueries.tfidfTopTerms(s, d)),
     "q_bm25" -> ((s, d) => TextQueries.bm25(s, d)),
     "q_lm_score" -> (TextQueries.lmScore _),
+    "q_pack_docs" -> (TextQueries.packDocs _),
     "q_sample_hash" -> (TextQueries.sampleHash _),
     "q_stratified_sample" -> (TextQueries.stratifiedSample _),
     "q_token_bpe" -> (TextQueries.tokenBpe _),
@@ -381,6 +382,7 @@ object SparkEntry {
     "q_tfidf_topk" -> TextQueries.tfidfTopTermsOracle(),
     "q_bm25" -> TextQueries.bm25Oracle(),
     "q_lm_score" -> TextQueries.lmScoreOracle,
+    "q_pack_docs" -> TextQueries.packDocsOracle,
     "q_stratified_sample" -> TextQueries.stratifiedSampleOracle,
     "q_dedup_keeplist" -> PipelineQueries.dedupKeeplistOracle,
     "q_sim_topk_q8" -> PipelineQueries.simTopKQ8Oracle,

@@ -41,6 +41,45 @@ object TextQueries {
       )
       .orderBy("doc_id")
 
+  /** Token budget per packed training sequence (the reference's
+    * max-tokens-per-chunk default — big_chunkeroosky.py:25). */
+  val PackBudget = 4000L
+
+  /** Greedy sequence packing: assign documents to fixed-token-budget
+    * training sequences, per source, in doc_id order — the corpus-scale
+    * face of the reference's greedy chunk packer (same prefix-sum
+    * relaxation as `q_chunk_prefix`, but PARTITIONED by source, so the
+    * cumulative window is keyed and scales out instead of collapsing to
+    * one partition). bin = floor(tokens-before-this-doc / budget). */
+  def packDocs(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents(s, d)
+      .withColumn("n_tokens",
+        TextFunctions.estimateTokensCol(col("text")).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"cum_before div $PackBudget").as("bin"))
+      .orderBy("doc_id")
+  }
+
+  def packDocsOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+       |         ELSE greatest(1, CAST(floor(length(text)/4) AS INTEGER)) END AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens, cum_before // $PackBudget AS bin
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** Document fingerprint: md5 over normalized text (exact-dedup anchor). */
   def fingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d)
