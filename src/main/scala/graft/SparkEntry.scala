@@ -95,6 +95,7 @@ object SparkEntry {
     "q_cms_freq" -> (EventQueries.cmsFreq _),
     "q_window_family" -> (EventQueries.windowFamily _),
     "q_range_frame" -> (EventQueries.rangeFrameSum _),
+    "q_map_ops" -> (EventQueries.mapOps _),
     "q_full_outer" -> (Relational.fullOuterBalance _),
     "q_unpivot" -> (Relational.unpivotMeasures _),
     "q_time_breakdown" -> (EventQueries.timeBreakdown _),
@@ -403,6 +404,18 @@ object SparkEntry {
         | (SELECT user_id FROM v INTERSECT SELECT user_id FROM c)
         | EXCEPT SELECT user_id FROM p)
         |ORDER BY user_id""".stripMargin,
+    "q_map_ops" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        | CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_map_ops" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        | CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_range_frame" ->
       """WITH e AS (SELECT event_id, user_id,
         |  CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS ts_sec,

@@ -394,6 +394,27 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** Map-function family: per-user event-type counts assembled into a MAP
+    * column (map_from_entries over a sorted entry list — sorted so the
+    * map's internal order is deterministic), then consumed with
+    * element_at / map_keys. The map never leaves the plan — the projected
+    * scalars are the portable output, so the oracle computes them
+    * directly. */
+  def mapOps(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), col("n")))))
+        .as("m"))
+      .select(
+        col("user_id"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+        coalesce(element_at(col("m"), "view"), lit(0L)).as("n_view"),
+        size(map_keys(col("m"))).cast("long").as("n_types"))
+      .orderBy("user_id")
+
   /** RANGE-frame analytic window: per user, the rolling sum of event
     * value over the trailing hour (RANGE BETWEEN 3600 PRECEDING AND
     * CURRENT ROW over epoch seconds). RANGE frames include all ties of
