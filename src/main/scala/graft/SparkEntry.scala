@@ -64,6 +64,7 @@ object SparkEntry {
     "q_decontaminate" -> (PipelineQueries.decontaminate _),
     "q_intradoc_dedup" -> (PipelineQueries.intraDocDedup _),
     "q_boilerplate" -> (PipelineQueries.boilerplateQ _),
+    "q_curation_pipeline" -> (PipelineQueries.curationPipeline _),
     "q_incremental_dedup" -> (PipelineQueries.incrementalDedup _),
     "q_incremental_minhash" -> (PipelineQueries.minhashIncrementalQ _),
     "q_sim_topk" -> (PipelineQueries.simTopK _),
@@ -370,6 +371,7 @@ object SparkEntry {
     "q_decontaminate" -> PipelineQueries.decontaminateOracle,
     "q_intradoc_dedup" -> PipelineQueries.intraDocDedupOracle,
     "q_boilerplate" -> PipelineQueries.boilerplateOracle,
+    "q_curation_pipeline" -> PipelineQueries.curationPipelineOracle,
     "q_incremental_dedup" -> PipelineQueries.incrementalDedupOracle,
     "q_incremental_minhash" -> PipelineQueries.minhashIncrementalOracle,
     "q_sim_topk" -> PipelineQueries.simTopKOracle,

@@ -92,6 +92,74 @@ object PipelineQueries {
        |  md5(string_agg(CASE WHEN pos = first_pos THEN sentence END, '. ' ORDER BY pos)) AS clean_md5
        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** End-to-end corpus curation — the operators composed into the actual
+    * cleaning pipeline a training corpus goes through, as ONE DataFrame
+    * chain (one plan, one oracle): exact-dedup keep (min-id per
+    * fingerprint) → minimum-length filter → cross-doc boilerplate filter
+    * (ratio < 0.5 against corpus-wide sentence stats) → greedy per-lang
+    * sequence packing of the survivors. Every stage is keyed or broadcast;
+    * nothing global. Output: (doc_id, lang, n_tokens, bin). */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextFunctions
+    val docs = documents(s, d)
+    val fpW = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextFunctions.fingerprintCol(col("text")))
+    val keepExact = docs
+      .withColumn("keep_id", min(col("doc_id")).over(fpW))
+      .filter(col("doc_id") === col("keep_id") && col("n_chars") >= 200)
+    val boiler = Dedup.boilerplate(docs, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("boiler_ratio"))
+    val kept = keepExact
+      .join(boiler, Seq("doc_id"))
+      .filter(col("boiler_ratio") < 0.5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    kept
+      .withColumn("n_tokens",
+        TextFunctions.estimateTokensCol(col("text")).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cum_before div ${TextQueries.PackBudget}").as("bin"))
+      .orderBy("doc_id")
+  }
+
+  def curationPipelineOracle: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, lang, text, n_chars,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+       |  FROM documents),
+       |keepx AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY f) AS keep_id FROM fp)
+       |  WHERE doc_id = keep_id AND n_chars >= 200),
+       |sb0 AS (SELECT doc_id, trim(x) AS sent FROM (
+       |  SELECT doc_id, unnest(string_split_regex(text, '[.!?]+\\s+')) AS x
+       |  FROM documents)),
+       |sb AS (SELECT doc_id, CAST('0x' || substr(md5(sent),1,15) AS BIGINT) AS sh
+       |  FROM sb0 WHERE length(sent) > 0),
+       |flagged AS (SELECT sh FROM (
+       |    SELECT sh, count(DISTINCT doc_id) AS dfd FROM sb GROUP BY 1)
+       |  WHERE dfd >= 3),
+       |ratio AS (
+       |  SELECT doc_id,
+       |    round(CAST(sum(CASE WHEN f.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS br
+       |  FROM sb LEFT JOIN flagged f ON sb.sh = f.sh GROUP BY doc_id),
+       |kept AS (
+       |  SELECT k.doc_id, k.lang,
+       |    CAST(CASE WHEN k.text IS NULL OR length(k.text) = 0 THEN 0
+       |         ELSE greatest(1, CAST(floor(length(k.text)/4) AS INTEGER)) END AS BIGINT) AS n_tokens
+       |  FROM keepx k JOIN ratio r ON k.doc_id = r.doc_id
+       |  WHERE r.br < 0.5),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM kept)
+       |SELECT doc_id, lang, n_tokens, cum_before // ${TextQueries.PackBudget} AS bin
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** Planted footer: appended to every document so the boilerplate
     * detector always has corpus-wide repeated sentences to flag. */
   private val Footer = ". generated by example corp. all rights reserved?"
