@@ -63,22 +63,17 @@ object EventQueries {
       )
       .orderBy("event_id")
 
-  private def withRuns(s: SparkSession, d: String): DataFrame = {
-    // Parity-mode global order (single transcript semantics).
-    val w = Window.orderBy("ts", "event_id")
-    events(s, d)
-      .withColumn(
-        "chg",
-        when(col("event_type") === lag("event_type", 1).over(w), 0)
-          .otherwise(1)
-      )
-      .withColumn(
-        "run_id",
-        sum("chg").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-      )
-  }
+  private def withRuns(s: SparkSession, d: String): DataFrame =
+    // Parity-mode global order (single transcript semantics) — but
+    // computed hierarchically: per-day keyed windows + a bounded driver
+    // stitch (PrefixSum), never a single-partition global window. Output
+    // is bit-identical to sum(chg) OVER (ORDER BY ts, event_id).
+    graft.operators.PrefixSum.globalRunIds(
+      events(s, d),
+      bucket = to_date(col("ts")),
+      order = Seq(col("ts"), col("event_id")),
+      typ = col("event_type"),
+      out = "run_id")
 
   /** A1 (uncapped): consecutive same-type run detection via
     * lag + cumulative sum (/root/reference/preprocessor.py:109-165). */
@@ -228,23 +223,23 @@ object EventQueries {
   /** C1 relaxed: prefix-sum token bucketing of documents into chunks
     * (budget 500) — the SQL-expressible relaxation of the greedy fold
     * (SURVEY.md §7.4 q_chunk_prefix; exact greedy is Scala-golden-tested). */
-  def chunkPrefix(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy("doc_id")
-    documents(s, d)
-      .withColumn("n_tok", TextFunctions.estimateTokensCol(col("text")))
-      .withColumn(
-        "cum_tok",
-        sum("n_tok").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-      )
+  def chunkPrefix(s: SparkSession, d: String): DataFrame =
+    // Global prefix sum via the hierarchical PrefixSum operator (coarse
+    // doc_id div 1000 buckets → keyed local windows + bounded stitch) —
+    // identical output to sum(n_tok) OVER (ORDER BY doc_id), scalable plan.
+    graft.operators.PrefixSum.globalCumsum(
+        documents(s, d)
+          .withColumn("n_tok", TextFunctions.estimateTokensCol(col("text"))),
+        bucket = expr("doc_id div 1000"),
+        order = Seq(col("doc_id")),
+        value = col("n_tok"),
+        out = "cum_tok")
       .withColumn(
         "chunk_id",
         floor((col("cum_tok") - col("n_tok")) / lit(500)).cast("long")
       )
       .select("doc_id", "n_tok", "chunk_id")
       .orderBy("doc_id")
-  }
 
   /** M1+M4: deterministic mock summarize per hour-chunk — a pure string
     * function of the chunk's content, the reference's no-API-key path

@@ -255,19 +255,21 @@ object TextQueries {
         posexplode(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
           .as(Seq("pos", "tok")))
     // Top-N first (TakeOrderedAndProject — no global single-partition
-    // window over the whole vocabulary), then rank only the survivors.
-    val vocab = tok
+    // window over the whole vocabulary). Ranking the VocabSize survivors
+    // happens on the driver (bounded collect, the dictionary is broadcast
+    // back anyway) — no global row_number window at all.
+    val top = tok
       .groupBy("tok")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok").asc)
       .limit(VocabSize)
-      .select(
-        col("tok"),
-        (row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("cnt").desc, col("tok").asc)) - 1)
-          .cast("long")
-          .as("tid"))
+      .collect()
+    val vocab = {
+      import s.implicits._
+      top.zipWithIndex
+        .map { case (r, i) => (r.getAs[String]("tok"), i.toLong) }
+        .toSeq.toDF("tok", "tid")
+    }
     tok
       .join(broadcast(vocab), Seq("tok"), "left")
       .withColumn("tid", coalesce(col("tid"), lit(-1L)))

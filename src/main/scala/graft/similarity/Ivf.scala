@@ -74,13 +74,20 @@ object Ivf {
     val c0 = corpus.select(
       col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    // Cell numbering = rank of the centroid id in sorted order — known on
+    // the driver from the (K-sized) id list itself; a broadcast lookup
+    // replaces the global row_number window (same mapping, no
+    // single-partition WindowExec).
+    val cellOf = centroidIds.sorted.zipWithIndex
+      .map { case (cid, i) => (cid, i.toLong) }
+    val cellDf = {
+      val sp = corpus.sparkSession
+      import sp.implicits._
+      cellOf.toDF("vec_id", "cell")
+    }
     val cent = c0
-      .filter(col("vec_id").isin(centroidIds: _*))
-      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
-      .withColumn(
-        "cell",
-        (row_number().over(Window.orderBy("cid")) - 1).cast("long"))
-      .select("cell", "cemb")
+      .join(broadcast(cellDf), Seq("vec_id"))
+      .select(col("cell"), col("emb").as("cemb"))
     // L2 distance as |a|^2 - 2ab + |c|^2 from the shared fold-dot-product.
     def nearestCells(src: DataFrame, idAs: String, embAs: String, keep: Int) =
       src
@@ -136,13 +143,20 @@ object Ivf {
     val c0 = corpus.select(
       col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    // Cell numbering = rank of the centroid id in sorted order — known on
+    // the driver from the (K-sized) id list itself; a broadcast lookup
+    // replaces the global row_number window (same mapping, no
+    // single-partition WindowExec).
+    val cellOf = centroidIds.sorted.zipWithIndex
+      .map { case (cid, i) => (cid, i.toLong) }
+    val cellDf = {
+      val sp = corpus.sparkSession
+      import sp.implicits._
+      cellOf.toDF("vec_id", "cell")
+    }
     val cent = c0
-      .filter(col("vec_id").isin(centroidIds: _*))
-      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
-      .withColumn(
-        "cell",
-        (row_number().over(Window.orderBy("cid")) - 1).cast("long"))
-      .select("cell", "cemb")
+      .join(broadcast(cellDf), Seq("vec_id"))
+      .select(col("cell"), col("emb").as("cemb"))
     val asg = c0
       .crossJoin(broadcast(cent))
       .withColumn(

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PrefixSumSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("globalCumsum equals the global-window cumulative sum") {
+    val df = (1L to 500L).map(i => (i, (i * 7 % 13))).toDF("id", "v")
+    val want = df
+      .withColumn("cum", sum("v").over(
+        Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = PrefixSum
+      .globalCumsum(df, expr("id div 50"), Seq(col("id")), col("v"), "cum")
+      .select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("globalRunIds equals the global-window run numbering, incl. cross-bucket runs") {
+    // Types chosen so runs frequently SPAN the div-20 bucket boundary —
+    // the stitch-merge path must fire repeatedly.
+    val df = (1L to 300L).map { i =>
+      (i, s"t${(i / 7) % 3}") // runs of length 7 vs bucket length 20
+    }.toDF("id", "t")
+    val w = Window.orderBy("id")
+    val want = df
+      .withColumn("chg",
+        when(col("t") === lag("t", 1).over(w), 0L).otherwise(1L))
+      .withColumn("run", sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "run").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = PrefixSum
+      .globalRunIds(df, expr("id div 20"), Seq(col("id")), col("t"), "run")
+      .select("id", "run").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("plan has no unpartitioned window") {
+    val df = (1L to 100L).map(i => (i, i % 5)).toDF("id", "v")
+    val out = PrefixSum
+      .globalCumsum(df, expr("id div 10"), Seq(col("id")), col("v"), "cum")
+    val plan = out.queryExecution.executedPlan.toString
+    // Every Window line must carry a partition spec (the keyed local pass).
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(_.contains("__bucket")),
+      s"found unpartitioned window in:\n$plan")
+  }
+}
