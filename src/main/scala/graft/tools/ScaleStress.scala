@@ -78,6 +78,10 @@ object ScaleStress {
       noop(Dedup.incrementalExact(
         corpus.filter(col("doc_id") % 10 =!= 0),
         corpus.filter(col("doc_id") % 10 === 0), "doc_id", "text")))
+    time("global prefix sum (hierarchical)")(
+      noop(graft.operators.PrefixSum.globalCumsum(
+        corpus.withColumn("n", length(col("text")).cast("long")),
+        expr("doc_id div 1000"), Seq(col("doc_id")), col("n"), "cum")))
     corpus.unpersist()
     spark.stop()
   }

@@ -40,6 +40,39 @@ class PrefixSumSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("randomized equivalence with the global window (runs + cumsum)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      // Random run lengths, random bucket width, nulls sprinkled in.
+      val bucketWidth = rnd.nextInt(40) + 3
+      val rows = (1L to 400L).map { i =>
+        val t = if (rnd.nextInt(20) == 0) null
+          else s"t${rnd.nextInt(3)}"
+        (i, t, rnd.nextInt(9).toLong)
+      }
+      val df = rows.toDF("id", "t", "v")
+      val w = Window.orderBy("id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wantRun = df
+        .withColumn("chg",
+          when(col("t") === lag("t", 1).over(w), 0L).otherwise(1L))
+        .withColumn("run", sum("chg").over(cum))
+        .select("id", "run").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val gotRun = PrefixSum
+        .globalRunIds(df, expr(s"id div $bucketWidth"), Seq(col("id")),
+          col("t"), "run")
+        .select("id", "run").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(gotRun == wantRun, s"run mismatch (trial $trial, width $bucketWidth)")
+      val wantCum = df.withColumn("c", sum("v").over(cum))
+        .select("id", "c").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val gotCum = PrefixSum
+        .globalCumsum(df, expr(s"id div $bucketWidth"), Seq(col("id")),
+          col("v"), "c")
+        .select("id", "c").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(gotCum == wantCum, s"cumsum mismatch (trial $trial, width $bucketWidth)")
+    }
+  }
+
   test("plan has no unpartitioned window") {
     val df = (1L to 100L).map(i => (i, i % 5)).toDF("id", "v")
     val out = PrefixSum
