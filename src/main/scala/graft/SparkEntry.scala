@@ -67,6 +67,7 @@ object SparkEntry {
     "q_curation_pipeline" -> (PipelineQueries.curationPipeline _),
     "q_incremental_dedup" -> (PipelineQueries.incrementalDedup _),
     "q_incremental_minhash" -> (PipelineQueries.minhashIncrementalQ _),
+    "q_incremental_simhash" -> (PipelineQueries.simhashIncrementalQ _),
     "q_sim_topk" -> (PipelineQueries.simTopK _),
     "q_sim_topk_lsh" -> (PipelineQueries.simTopKLsh _),
     "q_lang_id" -> (PipelineQueries.langId _),
@@ -374,6 +375,7 @@ object SparkEntry {
     "q_curation_pipeline" -> PipelineQueries.curationPipelineOracle,
     "q_incremental_dedup" -> PipelineQueries.incrementalDedupOracle,
     "q_incremental_minhash" -> PipelineQueries.minhashIncrementalOracle,
+    "q_incremental_simhash" -> PipelineQueries.simhashIncrementalOracle,
     "q_sim_topk" -> PipelineQueries.simTopKOracle,
     "q_sim_topk_lsh" -> PipelineQueries.simTopKLshOracle,
     "q_lang_id" -> PipelineQueries.langIdOracle,

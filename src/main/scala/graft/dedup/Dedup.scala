@@ -510,27 +510,59 @@ object Dedup {
       maxHamming: Int = 3,
       blocks: Int = 4
   ): DataFrame = {
-    val sh = simhash(df, idCol, textCol)
+    // Materialize the banded simhashes once: without this, both sides of
+    // the band self-join recompute the md5-per-word + 32-aggregate simhash
+    // subtree (measured 118 s vs 3.5 s for the signature alone at sf0.1).
+    // Eager localCheckpoint = compute once, blocks auto-reclaimed when the
+    // returned frame is dropped.
+    val banded = simhashBanded(simhash(df, idCol, textCol), blocks)
+      .localCheckpoint(true)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** (id, simhash, band, bv) rows: the 32-bit simhash split into `blocks`
+    * pigeonhole bands. */
+  private def simhashBanded(sh: DataFrame, blocks: Int): DataFrame = {
     val width = 32 / blocks
     val bandCols = (0 until blocks).map { b =>
       struct(lit(b).as("band"),
         expr(s"shiftright(simhash, ${b * width}) & ${(1L << width) - 1}")
           .as("bv"))
     }
-    // Materialize the banded simhashes once: without this, both sides of
-    // the band self-join recompute the md5-per-word + 32-aggregate simhash
-    // subtree (measured 118 s vs 3.5 s for the signature alone at sf0.1).
-    // Eager localCheckpoint = compute once, blocks auto-reclaimed when the
-    // returned frame is dropped.
-    val banded = sh
-      .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+    sh.select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band").as("band"),
         col("bb.bv").as("bv"))
+  }
+
+  /** Incremental SimHash near-dup: hamming-ball candidates between a NEW
+    * batch and the existing corpus only — [[minhashIncremental]]'s
+    * companion for the SimHash family. Band join crosses the two sides
+    * exclusively; corpus bands are computable once at ingest. Returns
+    * (id_a = batch id, id_b = corpus id, hamming ≤ maxHamming). */
+  def simhashIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 4
+  ): DataFrame = {
+    val cB = simhashBanded(simhash(corpus, idCol, textCol), blocks)
       .localCheckpoint(true)
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-        col("a.id") < col("b.id"))
+    val bB = simhashBanded(simhash(batch, idCol, textCol), blocks)
+      .localCheckpoint(true)
+    bB.as("a")
+      .join(cB.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
       .distinct()

@@ -722,6 +722,36 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Batch modulus for the incremental SimHash near-dup query. */
+  val SimhashIncMod = 9
+
+  def simhashIncrementalQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup
+      .simhashIncremental(
+        docs.filter(col("doc_id") % SimhashIncMod =!= 0),
+        docs.filter(col("doc_id") % SimhashIncMod === 0),
+        "doc_id", "text", SimhashMaxHamming, SimhashBlocks)
+      .orderBy("id_a", "id_b")
+  }
+
+  def simhashIncrementalOracle: String = {
+    val width = 32 / SimhashBlocks
+    val mask = (1L << width) - 1
+    s"""WITH $simhashCte,
+       |banded AS (
+       |  SELECT doc_id, simhash, b AS band, (simhash >> (b * $width)) & $mask AS bv
+       |  FROM sim CROSS JOIN (SELECT unnest(range(0, $SimhashBlocks)) AS b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bv = b.bv
+       |  WHERE a.doc_id % $SimhashIncMod = 0 AND b.doc_id % $SimhashIncMod != 0)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= $SimhashMaxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def decontaminateOracle: String =
     s"""WITH $shinglesCte,
        |doc_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % $DecontamMod != 0),

@@ -261,6 +261,25 @@ class DedupSpec extends SparkSuite {
     assert(pairs.forall { case (a, b) => a >= 10L && b < 10L })
   }
 
+  test("simhashIncremental pairs batch docs with corpus near-dups only") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "completely different content about databases and distributed query engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "another new document"),
+      (12L, "another new document")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup
+      .simhashIncremental(corpus, batch, "doc_id", "text", 0, 4)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    // Exact text → hamming 0 pair (10, 0); identical batch pair 11-12 absent.
+    assert(pairs.contains((10L, 0L)))
+    assert(pairs.forall { case (a, b) => a >= 10L && b < 10L })
+  }
+
   test("incrementalExact classifies dup_corpus / dup_batch / new") {
     val corpus = Seq(
       (0L, "existing document one"),
