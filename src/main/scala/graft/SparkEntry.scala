@@ -414,12 +414,6 @@ object SparkEntry {
         | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
         | CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-    "q_map_ops" ->
-      """SELECT user_id,
-        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-        | CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_range_frame" ->
       """WITH e AS (SELECT event_id, user_id,
         |  CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS ts_sec,

@@ -184,7 +184,10 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    jaccardVerifyShingles(bSh.union(cSh), cands, threshold)
+    // Two-sided verify (batch ids against bSh, corpus ids against cSh):
+    // correct even if the two id spaces overlap — no union that would
+    // merge two documents' shingle sets under a shared id.
+    jaccardVerifyTwoSided(bSh, cSh, cands, threshold)
   }
 
   /** Exact Jaccard verification of candidate pairs over a precomputed
@@ -197,19 +200,32 @@ object Dedup {
       sh: DataFrame,
       candidates: DataFrame,
       threshold: Double
+  ): DataFrame = jaccardVerifyTwoSided(sh, sh, candidates, threshold)
+
+  /** [[jaccardVerifyShingles]] generalized to DIFFERENT shingle frames for
+    * the two pair sides (id_a resolved against `shA`, id_b against `shB`)
+    * — the incremental batch-vs-corpus verify, correct even when the two
+    * frames' id spaces overlap (no union, so a shared id never merges two
+    * documents' shingle sets). */
+  def jaccardVerifyTwoSided(
+      shA: DataFrame,
+      shB: DataFrame,
+      candidates: DataFrame,
+      threshold: Double
   ): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val sizesA = shA.groupBy("id").agg(count(lit(1)).as("size_a"))
+      .withColumnRenamed("id", "id_a")
+    val sizesB = shB.groupBy("id").agg(count(lit(1)).as("size_b"))
+      .withColumnRenamed("id", "id_b")
     val inter = candidates
-      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingle")),
+      .join(shA.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(shB.select(col("id").as("id_b"), col("shingle")),
         Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_inter"))
     inter
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
+      .join(sizesA, Seq("id_a"))
+      .join(sizesB, Seq("id_b"))
       .withColumn(
         "jaccard",
         round(col("n_inter") / (col("size_a") + col("size_b") - col("n_inter")), 6))
@@ -556,10 +572,11 @@ object Dedup {
       maxHamming: Int = 3,
       blocks: Int = 4
   ): DataFrame = {
+    // No checkpoint here, unlike the SELF-join in simhashDuplicates: each
+    // banded frame feeds exactly one join side, so there is no shared
+    // subtree to materialize — eager checkpoints would only add passes.
     val cB = simhashBanded(simhash(corpus, idCol, textCol), blocks)
-      .localCheckpoint(true)
     val bB = simhashBanded(simhash(batch, idCol, textCol), blocks)
-      .localCheckpoint(true)
     bB.as("a")
       .join(cB.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
@@ -729,9 +746,15 @@ object Dedup {
       textCol: String
   ): DataFrame = {
     val fp = graft.text.TextFunctions.fingerprintCol _
-    val b = batch.select(col(idCol).as("id"), fp(col(textCol)).as("fingerprint"))
+    // Null fingerprints (null text) are excluded: SQL null never equals
+    // null, so such rows can be neither dup_corpus nor dup_batch, and a
+    // fingerprint-partitioned window would wrongly group them together.
+    val b = batch
+      .select(col(idCol).as("id"), fp(col(textCol)).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
     val seen = corpus
       .select(fp(col(textCol)).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
       .distinct()
       .withColumn("in_corpus", lit(1))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")

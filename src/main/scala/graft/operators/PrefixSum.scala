@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
+  /** Null-safe stitch key for a bucket value: buckets join between the
+    * driver-computed offsets and the frame on this string key, and a null
+    * bucket (e.g. a null timestamp date) must neither NPE on the driver
+    * nor silently drop its rows in the join. */
+  private val NullBucketKey = "\u0000__null_bucket"
+  private def bucketKey(b: Any): String =
+    if (b == null) NullBucketKey else b.toString
+  private def bucketKeyCol(c: Column): Column =
+    coalesce(c.cast("string"), lit(NullBucketKey))
+
   /** Global cumulative sum of `value` along `order` (inclusive of the
     * current row), emitted as column `out`. `bucket` must be a
     * non-decreasing function of `order` (e.g. `to_date(ts)` when ordering
@@ -50,18 +60,19 @@ object PrefixSum {
     var acc = 0L
     val offsets = totals.map { r =>
       val off = acc
-      acc += r.getAs[Long]("__tot")
-      (r.get(0), off)
+      // All-null buckets contribute 0; a null bucket value (orderBy puts
+      // it first, matching the global window's nulls-first order) keys
+      // through the same sentinel used in the join below.
+      acc += (if (r.isNullAt(1)) 0L else r.getLong(1))
+      (bucketKey(r.get(0)), off)
     }.toSeq
     val spark = df.sparkSession
     import spark.implicits._
-    val offDf = offsets.map { case (b, o) => (b.toString, o) }
-      .toDF("__bucket_s", "__off")
+    val offDf = offsets.toDF("__bucket_s", "__off")
     withLocal
-      .join(broadcast(offDf),
-        col("__bucket").cast("string") === col("__bucket_s"))
+      .join(broadcast(offDf), bucketKeyCol(col("__bucket")) === col("__bucket_s"))
       .withColumn(out, col("__local") + col("__off"))
-      .drop("__bucket", "__bucket_s", "__v", "__local")
+      .drop("__bucket", "__bucket_s", "__v", "__local", "__off")
   }
 
   /** Global run numbering: consecutive rows (along `order`) with equal
@@ -110,14 +121,13 @@ object PrefixSum {
       val off = r
       r += k - merge
       prevLast = Some(row.get(3))
-      (row.get(0).toString, off, merge)
+      (bucketKey(row.get(0)), off, merge)
     }.toSeq
     val spark = df.sparkSession
     import spark.implicits._
     val offDf = stitched.toDF("__bucket_s", "__off", "__merge")
     withLocal
-      .join(broadcast(offDf),
-        col("__bucket").cast("string") === col("__bucket_s"))
+      .join(broadcast(offDf), bucketKeyCol(col("__bucket")) === col("__bucket_s"))
       .withColumn(out, col("__off") + col("__local_run") - col("__merge"))
       .drop("__bucket", "__bucket_s", "__t", "__ord", "__chg",
         "__local_run", "__off", "__merge")

@@ -397,6 +397,10 @@ object EventQueries {
     * directly. */
   def mapOps(s: SparkSession, d: String): DataFrame =
     events(s, d)
+      // Null types would be a null MAP KEY (runtime error in
+      // map_from_entries); dropping them matches the oracle, whose
+      // count(DISTINCT)/CASE aggregation ignores nulls anyway.
+      .filter(col("event_type").isNotNull)
       .groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n"))
       .groupBy("user_id")

@@ -874,7 +874,13 @@ object PipelineQueries {
     * oracle reproduces them with substr arithmetic — the frame-id packing
     * ((mediaId << 20) + i), slice bounds, and per-frame digests are all
     * checked. everyMs=1000 with durationMs = n_chars·10 gives
-    * max(1, n_chars/100) frames per doc. */
+    * max(1, n_chars/100) frames per doc.
+    *
+    * Parity caveat: the Spark side slices UTF-8 BYTES while the oracle's
+    * substr/length are per-character — equivalent only because the
+    * fixture corpus is ASCII (the same assumption mediaFeaturesOracle's
+    * ord()/substr() walk already relies on). A multi-byte corpus would
+    * need a DuckDB BLOB-slicing twin instead. */
   def frameSample(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal
       .sampleFrames(

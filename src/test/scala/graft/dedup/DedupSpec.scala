@@ -261,6 +261,26 @@ class DedupSpec extends SparkSuite {
     assert(pairs.forall { case (a, b) => a >= 10L && b < 10L })
   }
 
+  test("minhashIncremental is correct when batch and corpus SHARE an id") {
+    // Same id 0 on both sides, different documents: the two-sided verify
+    // must resolve id_a against the batch text and id_b against the
+    // corpus text — never a merged shingle set.
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (0L, "the quick brown fox jumps over the lazy cat near the river bank today")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .minhashIncremental(corpus, batch, "doc_id", "text", 8, 8, 0.3)
+      .collect()
+    assert(out.length == 1)
+    val j = out(0).getAs[Double]("jaccard")
+    // 12 shingles/side, 9 shared (one word changed in a 14-word text):
+    // 9 / (12 + 12 - 9) = 0.6
+    assert(j == 0.6, s"got $j")
+  }
+
   test("simhashIncremental pairs batch docs with corpus near-dups only") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),

@@ -73,6 +73,26 @@ class PrefixSumSpec extends SparkSuite {
     }
   }
 
+  test("null bucket values neither crash nor drop rows, and output schema is clean") {
+    val df = Seq(
+      (1L, null.asInstanceOf[java.lang.Long], 2L),
+      (2L, java.lang.Long.valueOf(10L), 3L),
+      (3L, java.lang.Long.valueOf(10L), 4L)
+    ).toDF("id", "b", "v")
+    val out = PrefixSum.globalCumsum(df, col("b"), Seq(col("id")), col("v"), "cum")
+    // Null bucket sorts first (matches the global window's nulls-first
+    // order): ids 1,2,3 → cumsums 2,5,9.
+    val got = out.select("id", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 5L, 3L -> 9L))
+    assert(out.columns.toSet == Set("id", "b", "v", "cum"),
+      s"internal columns leaked: ${out.columns.mkString(",")}")
+    val runs = PrefixSum.globalRunIds(df, col("b"), Seq(col("id")),
+      col("v") % 2, "run")
+    assert(runs.count() == 3)
+    assert(runs.columns.toSet == Set("id", "b", "v", "run"))
+  }
+
   test("plan has no unpartitioned window") {
     val df = (1L to 100L).map(i => (i, i % 5)).toDF("id", "v")
     val out = PrefixSum
