@@ -453,6 +453,48 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // Drop-list application
+  // -------------------------------------------------------------------------
+
+  /** Anti-join a dedup drop list off a corpus, scale-safely.
+    *
+    * A fuzzy-dedup drop list is O(duplicate documents) — on a web-scale
+    * crawl with 30–50% dup mass that is billions of ids, far past any
+    * broadcast threshold, so forcing `broadcast(drops)` ORs the driver at
+    * scale. Instead:
+    *   1. the drop ids fold into a FIXED-SIZE (128 KiB) Bloom filter via a
+    *      distributed aggregate ([[graft.functions.BloomBuildAgg]]) — the
+    *      driver receives the merged filter, never the ids;
+    *   2. definite keeps (`!bloom_might_contain`, the vast majority of the
+    *      corpus) pass straight through in the SCAN stage — no join, no
+    *      shuffle, for most of the data;
+    *   3. only Bloom-positive rows (true drops + ≲0.1% false positives)
+    *      enter a plain anti-join backstop whose broadcast-vs-shuffle
+    *      choice is left to Spark's size-threshold planning — never a
+    *      forced broadcast.
+    * Results are exact at any scale (Bloom's superset property only
+    * prunes the definite-keep branch). The corpus is scanned by both
+    * branches, but each scan is column-pruned and the probe is a codegen'd
+    * filter in the scan stage — two pruned scans beat one full-corpus
+    * shuffle by orders of magnitude at 100 TB.
+    */
+  def applyDropList(
+      corpus: DataFrame,
+      drops: DataFrame,
+      idCol: String
+  ): DataFrame = {
+    graft.functions.Bloom.register(corpus.sparkSession)
+    val filterBytes = drops
+      .agg(call_function("bloom_agg", col(idCol)))
+      .head().getAs[Array[Byte]](0)
+    val probe = call_function("bloom_might_contain", col(idCol), lit(filterBytes))
+    val maybe = corpus
+      .filter(probe)
+      .join(drops.select(col(idCol)), Seq(idCol), "left_anti")
+    corpus.filter(!probe).unionByName(maybe)
+  }
+
+  // -------------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------------
 
@@ -773,17 +815,37 @@ object Dedup {
   // Blocked n-gram Jaccard
   // -------------------------------------------------------------------------
 
+  /** Default per-block shingle document-frequency cap for
+    * [[ngramJaccardBlocked]] candidate generation: a shingle appearing in
+    * more than this many documents of one block contributes no candidate
+    * pairs. Bounds the posting-list self-join at df² per shingle —
+    * without it one hot shingle (a stopword trigram) inside one block
+    * produces |posting|² join rows, and block population grows linearly
+    * with the corpus, so the hot-key pair dominates the job at 100×. */
+  val DefaultShingleDfCap = 1000
+
   /** Exact n-gram Jaccard over pairs restricted to a blocking key (the
-    * scalable discipline: n² only within blocks). */
+    * scalable discipline: n² only within blocks).
+    *
+    * Candidate generation uses only shingles with per-block document
+    * frequency ≤ `maxShingleDf` (standard web-dedup practice), so the
+    * posting self-join is bounded at df·cap rows per shingle regardless
+    * of corpus size. VERIFICATION stays exact: the Jaccard of every
+    * surviving candidate pair is computed over the FULL shingle sets —
+    * the cap only limits recall to pairs sharing at least one sub-cap
+    * shingle, which true near-dups (many doc-specific shingles in
+    * common) always do. */
   def ngramJaccardBlocked(
       df: DataFrame,
       idCol: String,
       textCol: String,
       blockCol: Column,
       threshold: Double,
-      n: Int = 3
+      n: Int = 3,
+      maxShingleDf: Int = DefaultShingleDfCap
   ): DataFrame = {
-    // Three consumers (sizes, join sides a and b) — materialize once.
+    // Four consumers (sizes, df counts, posting join, verify) —
+    // materialize once.
     val sh = df
       .select(col(idCol).as("id"), blockCol.as("blk"),
         words(col(textCol)).as("w"))
@@ -792,21 +854,22 @@ object Dedup {
       .select(col("id"), col("blk"), hash60(col("shingle_s")).as("shingle"))
       .distinct()
       .localCheckpoint(true)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
-    val a = sh.as("sa")
-    val b = sh.as("sb")
-    a.join(b, col("sa.blk") === col("sb.blk") &&
-        col("sa.shingle") === col("sb.shingle") && col("sa.id") < col("sb.id"))
-      .groupBy(col("sa.id").as("id_a"), col("sb.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
-      .withColumn(
-        "jaccard",
-        round(col("n_inter") / (col("size_a") + col("size_b") - col("n_inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // Rare-shingle posting lists: one partial-agg count per (block,
+    // shingle), keep those at-or-under the cap. This is the term that
+    // keeps candidate generation linear in corpus size.
+    val rare = sh
+      .groupBy("blk", "shingle")
+      .agg(count(lit(1)).as("df_"))
+      .filter(col("df_") <= maxShingleDf)
+      .select("blk", "shingle")
+    val posting = sh.join(rare, Seq("blk", "shingle"))
+    val cands = posting.as("sa")
+      .join(posting.as("sb"),
+        col("sa.blk") === col("sb.blk") &&
+          col("sa.shingle") === col("sb.shingle") && col("sa.id") < col("sb.id"))
+      .select(col("sa.id").as("id_a"), col("sb.id").as("id_b"))
+      .distinct()
+    // Exact verify over the full (uncapped) shingle sets.
+    jaccardVerifyShingles(sh.select("id", "shingle"), cands, threshold)
   }
 }

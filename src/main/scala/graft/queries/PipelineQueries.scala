@@ -22,6 +22,12 @@ object PipelineQueries {
   val SimhashMaxHamming = 3
   val SimhashBlocks = 4
   val JaccardThreshold = 0.1
+
+  /** Per-block shingle df cap for n-gram Jaccard candidate generation
+    * (see [[Dedup.ngramJaccardBlocked]]) — small at test scale so the cap
+    * path is actually exercised; the oracle SQL applies the identical
+    * cap. */
+  val NgramDfCap = 50
   val TopK = 5
   val NumQueries = 10
   val LshBits = 4
@@ -221,7 +227,7 @@ object PipelineQueries {
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup
       .ngramJaccardBlocked(documents(s, d), "doc_id", "text", col("lang"),
-        JaccardThreshold)
+        JaccardThreshold, n = 3, maxShingleDf = NgramDfCap)
       .orderBy("id_a", "id_b")
 
   def simTopK(s: SparkSession, d: String): DataFrame = {
@@ -620,10 +626,13 @@ object PipelineQueries {
 
   /** The end-to-end fuzzy-dedup verb a corpus pipeline actually runs:
     * near-dup pairs → components → keep min id per component → anti-join
-    * the drop list off the corpus. The drop list is a small fraction of
-    * the corpus by construction (only confirmed near-dups), so it
-    * broadcasts and the corpus is never shuffled — one scan, one
-    * broadcast anti-join at any scale. */
+    * the drop list off the corpus. The drop list grows with corpus dup
+    * mass (30–50% of a web crawl), so it is applied via
+    * [[Dedup.applyDropList]]: a fixed-size Bloom filter passes definite
+    * keeps through in the scan stage with no shuffle, and only
+    * Bloom-positive rows reach the exactness anti-join — whose
+    * broadcast-vs-shuffle choice is left to Spark's size threshold, never
+    * forced. */
   def dedupKeeplist(s: SparkSession, d: String): DataFrame = {
     val pairs = Dedup
       .minhashDuplicates(documents(s, d), "doc_id", "text",
@@ -633,9 +642,9 @@ object PipelineQueries {
       .connectedComponents(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
-    documents(s, d)
-      .join(broadcast(drops), Seq("doc_id"), "left_anti")
-      .select("doc_id")
+      .localCheckpoint(true)
+    Dedup
+      .applyDropList(documents(s, d).select("doc_id"), drops, "doc_id")
       .orderBy("doc_id")
   }
 
@@ -786,10 +795,20 @@ object PipelineQueries {
        |    SELECT doc_id, lang AS blk, unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]) AS s
        |    FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS w FROM documents))),
        |sizes AS (SELECT doc_id, count(*) AS set_size FROM shl GROUP BY doc_id),
+       |rare AS (
+       |  SELECT blk, shingle FROM shl GROUP BY blk, shingle
+       |  HAVING count(*) <= $NgramDfCap),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM shl a
+       |  JOIN rare r ON r.blk = a.blk AND r.shingle = a.shingle
+       |  JOIN shl b
+       |    ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc_id < b.doc_id),
        |inter AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-       |  FROM shl a JOIN shl b
-       |    ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN shl a ON a.doc_id = c.id_a
+       |  JOIN shl b ON b.doc_id = c.id_b AND b.shingle = a.shingle
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b,
        |  round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard

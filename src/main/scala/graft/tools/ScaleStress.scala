@@ -56,6 +56,12 @@ object ScaleStress {
     time("simhash values")(noop(Dedup.simhash(corpus, "doc_id", "text")))
     time("simhash near-dup e2e")(
       noop(Dedup.simhashDuplicates(corpus, "doc_id", "text", 3, 4)))
+    // Round-4: df-capped blocked n-gram Jaccard — the cap bounds each
+    // (block, shingle) posting self-join at df², so this must stay
+    // near-linear in replicas even though every replica is a near-dup.
+    time("ngram jaccard (df-capped)")(
+      noop(Dedup.ngramJaccardBlocked(
+        corpus, "doc_id", "text", col("lang"), 0.5)))
     time("vocab top-50")(
       noop(
         corpus

@@ -113,10 +113,28 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Scan parquet"))
   }
 
-  test("dedup keep-list is a broadcast anti-join — corpus never shuffled") {
+  test("dedup keep-list: bloom probe passes keeps in the scan stage, anti-join never forced broadcast") {
     val p = plan("q_dedup_keeplist")
     assert(p.contains("LeftAnti"))
-    assert(p.contains("BroadcastHashJoin"), s"drop list must broadcast:\n$p")
+    // Definite keeps are passed by the negated bloom probe with no join:
+    // the probe must appear on BOTH branches of the union.
+    assert("bloom_might_contain".r.findAllIn(p).length >= 2,
+      s"bloom probe must gate both union branches:\n$p")
+    // At scale the drop list exceeds any broadcast threshold. With the
+    // threshold disabled the exactness anti-join must degrade to a
+    // shuffled join — a forced broadcast here ORs the driver at 100 TB.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = plan("q_dedup_keeplist")
+      val antiLines = q.linesIterator.filter(_.contains("LeftAnti")).toSeq
+      assert(antiLines.nonEmpty)
+      assert(antiLines.forall(l => !l.contains("Broadcast")),
+        s"anti-join must not broadcast beyond the threshold:\n$q")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 
   test("curation verdict is a single-shuffle window plan") {
