@@ -78,6 +78,7 @@ object SparkEntry {
     "q_curation_verdict" -> (PipelineQueries.curationVerdict _),
     "q_media_features" -> (PipelineQueries.mediaFeatures _),
     "q_frame_sample" -> (PipelineQueries.frameSample _),
+    "q_image_decode" -> (PipelineQueries.imageDecode _),
     "q_dedup_keeplist" -> (PipelineQueries.dedupKeeplist _),
     "q_sim_topk_q8" -> (PipelineQueries.simTopKQ8 _),
     "q_stream_hourly" -> (StreamingQueries.streamHourly _),
@@ -386,6 +387,7 @@ object SparkEntry {
     "q_curation_verdict" -> PipelineQueries.curationVerdictOracle,
     "q_media_features" -> PipelineQueries.mediaFeaturesOracle,
     "q_frame_sample" -> PipelineQueries.frameSampleOracle,
+    "q_image_decode" -> PipelineQueries.imageDecodeOracle,
     "q_tfidf_topk" -> TextQueries.tfidfTopTermsOracle(),
     "q_bm25" -> TextQueries.bm25Oracle(),
     "q_lm_score" -> TextQueries.lmScoreOracle,

@@ -148,6 +148,161 @@ object Multimodal {
     }
   }
 
+  // -------------------------------------------------------------------------
+  // Real image decode (javax.imageio — JVM built-in, no external libs)
+  // -------------------------------------------------------------------------
+
+  /** Per-image features from a REAL decode: dimensions, exact per-channel
+    * means, and an md5 over a deterministic 8×8 nearest-neighbor RGB
+    * thumbnail. `ok = false` rows carry undecodable blobs (corrupt bytes,
+    * unsupported container) — a curation pipeline filters or audits them
+    * rather than crashing the job. */
+  case class ImageFeatures(
+      mediaId: Long,
+      ok: Boolean,
+      width: Int,
+      height: Int,
+      meanR: Double,
+      meanG: Double,
+      meanB: Double,
+      thumbnailHash: String
+  )
+
+  /** `ImageIO` writes a disk-backed cache stream per encode/decode by
+    * default — pure overhead for in-memory executor batches. Disabled once
+    * per JVM. */
+  private lazy val imageIoInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL image decode over `javax.imageio` (PNG/JPEG/BMP/GIF readers ship
+    * with every JVM). Same scale discipline as [[extractFeatures]]: decode
+    * per partition, blob never shuffled, output is small fixed-width rows.
+    *
+    * Determinism: channel sums are exact integer arithmetic and the
+    * thumbnail is a manual nearest-neighbor sample (`sx = tx·w / 8`), not
+    * an AWT scaler — the same blob yields the identical row on any JVM.
+    * The 6-decimal mean uses floor (exact on doubles), matching the
+    * engine-portability discipline of every other float column. */
+  def imageFeatures(items: Dataset[MediaItem]): Dataset[ImageFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      imageIoInit
+      it.map { item =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(item.content))
+          catch { case _: java.io.IOException => null }
+        if (img == null)
+          ImageFeatures(item.mediaId, ok = false, -1, -1, 0.0, 0.0, 0.0, "")
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val p = row(x)
+              sr += (p >> 16) & 0xff
+              sg += (p >> 8) & 0xff
+              sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val side = 8
+          val thumb = new Array[Byte](side * side * 3)
+          var ty = 0
+          while (ty < side) {
+            val sy = ty * h / side
+            var tx = 0
+            while (tx < side) {
+              val p = img.getRGB(tx * w / side, sy)
+              val o = (ty * side + tx) * 3
+              thumb(o) = ((p >> 16) & 0xff).toByte
+              thumb(o + 1) = ((p >> 8) & 0xff).toByte
+              thumb(o + 2) = (p & 0xff).toByte
+              tx += 1
+            }
+            ty += 1
+          }
+          val hash = java.security.MessageDigest
+            .getInstance("MD5")
+            .digest(thumb)
+            .map("%02x".format(_))
+            .mkString
+          ImageFeatures(
+            item.mediaId, ok = true, w, h,
+            math.floor(sr.toDouble / n * 1e6) / 1e6,
+            math.floor(sg.toDouble / n * 1e6) / 1e6,
+            math.floor(sb.toDouble / n * 1e6) / 1e6,
+            hash)
+        }
+      }
+    }
+  }
+
+  /** Row-major interleaved RGB bytes → real PNG bytes. PNG is lossless on
+    * 8-bit RGB, so `imageFeatures ∘ encodePng` recovers the input pixels
+    * exactly — the property the synthetic-corpus oracle relies on. */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes, got ${rgb.length}")
+    imageIoInit
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0; var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic REAL-PNG corpus: per source row, dimensions
+    * `w = 8 + id % 9`, `h = 8 + id % 7` and pixel byte j =
+    * byte (j mod 16) of md5(text ++ ":" ++ (j div 16)) — an md5 chain any
+    * engine can recompute. Because PNG is lossless, decoding these blobs
+    * recovers exactly those bytes, which is what makes the REAL
+    * ImageIO decode path oracle-checkable end-to-end (`q_image_decode`):
+    * DuckDB re-derives the channel means straight from the md5 chain and
+    * must match the decoder's output bit-for-bit. */
+  def syntheticPngCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String
+  ): Dataset[MediaItem] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 7).toInt
+          val n = w * h * 3
+          val px = new Array[Byte](n)
+          var c = 0; var o = 0
+          while (o < n) {
+            val dg = md.digest((text + ":" + c).getBytes("UTF-8"))
+            var k = 0
+            while (k < 16 && o < n) { px(o) = dg(k); k += 1; o += 1 }
+            c += 1
+          }
+          MediaItem(id, encodePng(w, h, px), MediaMeta("image", w, h, 0L, "png"))
+        }
+      }
+  }
+
   /** Demo/test source: fabricate a binary corpus from the documents table
     * (UTF-8 bytes as the "blob"), with plausible metadata. Real
     * deployments read `binaryFile` sources or parquet with a binary

@@ -911,6 +911,48 @@ object PipelineQueries {
         md5(col("content")).as("frame_md5"))
       .orderBy("frame_id")
 
+  /** REAL image decode (javax.imageio) as an oracle-checked query. The
+    * corpus is [[graft.multimodal.Multimodal.syntheticPngCorpus]]: real
+    * PNG blobs whose pixel bytes are an md5 chain of the document text
+    * (byte j = byte (j mod 16) of md5(text ++ ":" ++ (j div 16)), w =
+    * 8 + id % 9, h = 8 + id % 7). PNG is lossless, so the decoder must
+    * recover exactly those bytes — DuckDB recomputes the channel means
+    * straight from the md5 chain, checking the encode→decode round trip
+    * and the mean arithmetic bit-for-bit. */
+  def imageDecode(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .imageFeatures(
+        graft.multimodal.Multimodal.syntheticPngCorpus(
+          documents(s, d).select("doc_id", "text"), "doc_id", "text"))
+      .toDF()
+      .select(
+        col("mediaId").as("media_id"),
+        col("width"),
+        col("height"),
+        col("meanR").as("mean_r"),
+        col("meanG").as("mean_g"),
+        col("meanB").as("mean_b"))
+      .orderBy("media_id")
+
+  def imageDecodeOracle: String =
+    """WITH px AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+      |    [CAST('0x' || substr(md5(text || ':' || CAST(j // 16 AS VARCHAR)), 1 + 2 * (j % 16), 2) AS BIGINT)
+      |       for j in range(0, (8 + doc_id % 9) * (8 + doc_id % 7) * 3)] AS b
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, w, h,
+      |    list_sum([b[j + 1] for j in range(0, len(b)) if j % 3 = 0]) AS sr,
+      |    list_sum([b[j + 1] for j in range(0, len(b)) if j % 3 = 1]) AS sg,
+      |    list_sum([b[j + 1] for j in range(0, len(b)) if j % 3 = 2]) AS sb
+      |  FROM px)
+      |SELECT doc_id AS media_id,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  floor(CAST(sr AS DOUBLE) / (w * h) * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS mean_r,
+      |  floor(CAST(sg AS DOUBLE) / (w * h) * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS mean_g,
+      |  floor(CAST(sb AS DOUBLE) / (w * h) * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS mean_b
+      |FROM s ORDER BY media_id""".stripMargin
+
   def frameSampleOracle: String =
     """WITH m AS (
       |  SELECT doc_id, text, length(text) AS len,
