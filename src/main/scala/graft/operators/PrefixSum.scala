@@ -36,7 +36,13 @@ object PrefixSum {
   /** Global cumulative sum of `value` along `order` (inclusive of the
     * current row), emitted as column `out`. `bucket` must be a
     * non-decreasing function of `order` (e.g. `to_date(ts)` when ordering
-    * by ts, or `id div 1000` when ordering by id). */
+    * by ts, or `id div 1000` when ordering by id).
+    *
+    * `value` must be integral (the driver fold accumulates exact longs —
+    * a non-long sum fails loudly below, never silently truncates). Nulls
+    * count as 0, i.e. this computes `sum(coalesce(value, 0)) OVER (ORDER
+    * BY order)` — identical to `sum(value) OVER` except on an all-null
+    * prefix, where SQL yields NULL and this yields 0. */
   def globalCumsum(
       df: DataFrame,
       bucket: Column,
@@ -48,8 +54,12 @@ object PrefixSum {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = df
       .withColumn("__bucket", bucket)
-      .withColumn("__v", value)
+      .withColumn("__v", coalesce(value, lit(0L)))
       .withColumn("__local", sum(col("__v")).over(local))
+    require(
+      withLocal.schema("__local").dataType == org.apache.spark.sql.types.LongType,
+      s"globalCumsum requires an integral value column; sum type is " +
+        s"${withLocal.schema("__local").dataType.simpleString}, not bigint")
     // Per-bucket totals: #buckets rows, collected and folded on the
     // driver (bounded by construction — buckets are coarse).
     val totals = withLocal

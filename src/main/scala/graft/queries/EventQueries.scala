@@ -395,11 +395,15 @@ object EventQueries {
     * element_at / map_keys. The map never leaves the plan — the projected
     * scalars are the portable output, so the oracle computes them
     * directly. */
-  def mapOps(s: SparkSession, d: String): DataFrame =
-    events(s, d)
-      // Null types would be a null MAP KEY (runtime error in
-      // map_from_entries); dropping them matches the oracle, whose
-      // count(DISTINCT)/CASE aggregation ignores nulls anyway.
+  def mapOps(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    // Null types would be a null MAP KEY (runtime error in
+    // map_from_entries), so the map is built over non-null types only —
+    // but the user set must come from ALL events, or a user whose events
+    // are all null-typed would vanish while the oracle (GROUP BY user_id
+    // over the full table) emits a zero row for them.
+    val allUsers = ev.groupBy("user_id").agg(count(lit(1)).as("__n_any"))
+    val typeMaps = ev
       .filter(col("event_type").isNotNull)
       .groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n"))
@@ -407,12 +411,16 @@ object EventQueries {
       .agg(map_from_entries(
         sort_array(collect_list(struct(col("event_type"), col("n")))))
         .as("m"))
+    allUsers
+      .join(typeMaps, Seq("user_id"), "left")
       .select(
         col("user_id"),
         coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
         coalesce(element_at(col("m"), "view"), lit(0L)).as("n_view"),
-        size(map_keys(col("m"))).cast("long").as("n_types"))
+        coalesce(size(map_keys(col("m"))).cast("long"), lit(0L))
+          .as("n_types"))
       .orderBy("user_id")
+  }
 
   /** RANGE-frame analytic window: per user, the rolling sum of event
     * value over the trailing hour (RANGE BETWEEN 3600 PRECEDING AND

@@ -35,15 +35,24 @@ object StreamingQueries {
     * directory yields null columns), so the single events parquet file is
     * copied to a per-sfDir temp dir once. */
   private def eventsStreamDir(sfDir: String): String = {
-    val tag = java.lang.Long.toHexString(
-      java.util.Arrays.hashCode(sfDir.getBytes("UTF-8")).toLong & 0xffffffffL)
+    // Key the cache dir by the FULL path (URL-encoded — collision-free),
+    // not a 32-bit hash, and refresh the copy whenever the source's
+    // size or mtime differs — regenerated test data at the same path must
+    // never be read stale.
+    val tag = java.net.URLEncoder.encode(sfDir, "UTF-8")
     val dir = Paths.get(
       sys.props("java.io.tmpdir"), s"graft-stream-$tag", "events")
     Files.createDirectories(dir)
+    val src = Paths.get(s"$sfDir/events.parquet")
     val dst = dir.resolve("events.parquet")
-    if (!Files.exists(dst))
-      Files.copy(Paths.get(s"$sfDir/events.parquet"), dst,
-        StandardCopyOption.REPLACE_EXISTING)
+    val fresh = Files.exists(dst) &&
+      Files.size(dst) == Files.size(src) &&
+      Files.getLastModifiedTime(dst) == Files.getLastModifiedTime(src)
+    if (!fresh)
+      // COPY_ATTRIBUTES carries the source mtime so the check above is
+      // a pure source-vs-copy comparison, not copy-time bookkeeping.
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.COPY_ATTRIBUTES)
     dir.toString
   }
 

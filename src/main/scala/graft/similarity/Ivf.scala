@@ -50,6 +50,23 @@ object Ivf {
     IvfIndex(assigned, centroids)
   }
 
+  /** Guard shared by [[fixedTopK]] / [[semanticDedup]]: a centroid id
+    * absent from the corpus would silently drop out of the
+    * centroid-lookup join and SHIFT every later cell's number relative to
+    * the oracle's row_number-over-present-rows. The K-sized isin
+    * predicate pushes to the parquet scan (row-group pruning), so this is
+    * a pruned probe, not a second full corpus pass. */
+  private def requireCentroidsResolve(
+      c0: DataFrame, centroidIds: Seq[Long]): Unit = {
+    val resolved =
+      c0.filter(col("vec_id").isInCollection(centroidIds)).count()
+    require(
+      resolved == centroidIds.size,
+      s"IVF: ${centroidIds.size - resolved} of ${centroidIds.size} " +
+        "centroid ids are missing from the corpus; cell numbering " +
+        "would diverge from the oracle")
+  }
+
   /** Fully-declarative IVF-Flat with FIXED centroids: `centroidIds` names
     * corpus vectors that serve as cell centroids (cells numbered by
     * centroid id order). Assignment, probing and scoring are all plain
@@ -88,6 +105,7 @@ object Ivf {
     val cent = c0
       .join(broadcast(cellDf), Seq("vec_id"))
       .select(col("cell"), col("emb").as("cemb"))
+    requireCentroidsResolve(c0, centroidIds)
     // L2 distance as |a|^2 - 2ab + |c|^2 from the shared fold-dot-product.
     def nearestCells(src: DataFrame, idAs: String, embAs: String, keep: Int) =
       src
@@ -157,6 +175,7 @@ object Ivf {
     val cent = c0
       .join(broadcast(cellDf), Seq("vec_id"))
       .select(col("cell"), col("emb").as("cemb"))
+    requireCentroidsResolve(c0, centroidIds)
     val asg = c0
       .crossJoin(broadcast(cent))
       .withColumn(

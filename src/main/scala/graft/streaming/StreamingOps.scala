@@ -133,7 +133,17 @@ object StreamingOps {
     * WHEN a row is emitted, never WHAT. Each user's final (never-closed)
     * session is deliberately not emitted; the batch oracle drops it too.
     * Event times are exact epoch-millis longs end to end (no float, no
-    * Timestamp round-trip). */
+    * Timestamp round-trip).
+    *
+    * HARD PRECONDITION — time-ordered source per user ACROSS batches:
+    * rows are sorted within a micro-batch, but an event older than the
+    * user's last-seen time arriving in a LATER batch could retroactively
+    * merge or reshape sessions that were already emitted, which no
+    * append-mode operator can undo. Such an event fails the query loudly
+    * (IllegalStateException) rather than silently emitting sessions that
+    * disagree with the batch twin. For genuinely out-of-order streams use
+    * [[sessionCounts]], whose watermarked `session_window` buffers and
+    * merges late events up to the watermark. */
   def gapSessions(
       spark: SparkSession,
       events: DataFrame,
@@ -152,6 +162,15 @@ object StreamingOps {
           val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
           for (t <- times) {
             if (st == null) st = SessionState(t, t, 1L, 1L)
+            else if (t < st.last)
+              // Cross-batch regression (within-batch rows are sorted):
+              // see the precondition in the scaladoc. Failing beats
+              // silently diverging from the batch oracle.
+              throw new IllegalStateException(
+                s"gapSessions requires a per-user time-ordered source " +
+                  s"across micro-batches: user $userId got event at $t " +
+                  s"ms after state.last=${st.last} ms. Use sessionCounts " +
+                  "(watermarked session_window) for out-of-order streams.")
             else if (t - st.last > gapMs) {
               out += ClosedSession(userId, st.idx, st.n, st.start, st.last)
               st = SessionState(t, t, 1L, st.idx + 1L)

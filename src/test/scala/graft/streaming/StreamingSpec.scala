@@ -176,6 +176,42 @@ class StreamingSpec extends SparkSuite {
     assert(multi == single)
   }
 
+  test("gap sessions fail loudly on a cross-batch time regression") {
+    import spark.implicits._
+    // Two files, LATER file carries EARLIER events for the same user —
+    // delivered one per batch this violates gapSessions' documented
+    // time-ordered-source precondition, which must abort the query, not
+    // silently emit sessions that diverge from the batch twin.
+    val d = java.nio.file.Files.createTempDirectory("events_ooo")
+    def writeFile(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("ooo_stage")
+      rows.toDF("event_id", "h")
+        .select(col("event_id"),
+          (col("h") * 3600L * 1000000L).as("ts"),
+          lit(7L).as("user_id"), lit("view").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, d.resolve(name))
+    }
+    writeFile("events_0.parquet", Seq((1L, 10L), (2L, 11L)))
+    writeFile("events_1.parquet", Seq((3L, 5L))) // back in time
+    val stream = spark.readStream
+      .schema(StreamingOps.eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(d.toString)
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runToMemory(StreamingOps.gapSessions(spark, stream).toDF, "sess_ooo")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.getMessage != null && c.getMessage.contains("time-ordered")),
+      s"expected the time-ordered precondition failure, got: $ex")
+  }
+
   test("gap sessions match the batch sessionizer minus final open sessions") {
     import spark.implicits._
     val got = runToMemory(
