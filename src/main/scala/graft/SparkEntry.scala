@@ -87,6 +87,7 @@ object SparkEntry {
     "q_stream_sessions" -> (StreamingQueries.streamSessions _),
     "q_lang_centroid" -> (PipelineQueries.langCentroid _),
     "q_ivf_topk" -> (PipelineQueries.ivfTopK _),
+    "q_kmeans_train" -> (PipelineQueries.kmeansTrain _),
     "q_semantic_dedup" -> (PipelineQueries.semanticDedup _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
@@ -120,7 +121,8 @@ object SparkEntry {
     "q_word_repetition" -> (TextQueries.wordRepetition _),
     "q_redact_pii" -> (TextQueries.redactPii _),
     "q_split_assign" -> (TextQueries.splitAssign _),
-    "q_token_ids" -> (TextQueries.tokenIds _)
+    "q_token_ids" -> (TextQueries.tokenIds _),
+    "q_token_bpe_merges" -> (TextQueries.tokenBpeMerges _)
   )
 
   /** DuckDB oracle SQL, column-name- and type-aligned with [[queries]]. */
@@ -401,6 +403,7 @@ object SparkEntry {
     "q_stream_join" -> StreamingQueries.streamJoinOracle,
     "q_lang_centroid" -> PipelineQueries.langCentroidOracle,
     "q_ivf_topk" -> PipelineQueries.ivfTopKOracle,
+    "q_kmeans_train" -> PipelineQueries.kmeansTrainOracle,
     "q_semantic_dedup" -> PipelineQueries.semanticDedupOracle,
     "q_setop_funnel" ->
       """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
@@ -625,6 +628,7 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_bpe_merges" -> TextQueries.tokenBpeMergesOracle,
     "q_dup_clusters" -> PipelineQueries.dupClustersOracle,
     "q_word_repetition" ->
       """WITH cnt AS (

@@ -368,6 +368,67 @@ object PipelineQueries {
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
 
+  val KmeansIters = 3
+
+  /** Trained k-means (integer Lloyd's, [[graft.similarity.Ivf.lloydInt]])
+    * over the embeddings table: per-cell member count, member-id sum and
+    * centroid checksum after [[KmeansIters]] exact-arithmetic iterations
+    * from the fixed seed vectors. This is the trained-quantizer path made
+    * hash-checkable — the MLlib seed-dependent build can't be. */
+  def kmeansTrain(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Ivf
+      .lloydInt(embeddings(s, d), IvfCentroidIds, KmeansIters)
+
+  /** DuckDB twin: the same Lloyd's iterations unrolled as CTEs — integer
+    * micros quantization, integer L2², truncating integer centroid means
+    * (`//` truncates exactly like Spark's `div`), empty cells keep their
+    * previous centroid. */
+  def kmeansTrainOracle: String = {
+    val ids = IvfCentroidIds.mkString(", ")
+    val dist =
+      "list_sum(list_transform(range(1, len(q.qe) + 1), i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, qe AS ce
+         |  FROM q WHERE vec_id IN ($ids))""".stripMargin)
+    for (i <- 1 to KmeansIters) {
+      sb.append(
+        s""",
+           |a$i AS (
+           |  SELECT vec_id, qe, cell FROM (
+           |    SELECT q.vec_id, q.qe, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY $dist ASC, c.cell ASC) AS rn
+           |    FROM q, c${i - 1} c) WHERE rn = 1),
+           |u$i AS (
+           |  SELECT cell, list(CAST(s // n AS BIGINT) ORDER BY pos) AS ce FROM (
+           |    SELECT cell, pos, sum(v) AS s, count(*) AS n FROM (
+           |      SELECT cell, unnest(range(1, len(qe) + 1)) AS pos, unnest(qe) AS v
+           |      FROM a$i)
+           |    GROUP BY cell, pos)
+           |  GROUP BY cell),
+           |c$i AS (
+           |  SELECT p.cell, COALESCE(u.ce, p.ce) AS ce
+           |  FROM c${i - 1} p LEFT JOIN u$i u ON p.cell = u.cell)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT c.cell,
+         |  CAST(COALESCE(st.n, 0) AS BIGINT) AS n_members,
+         |  CAST(COALESCE(st.id_sum, 0) AS BIGINT) AS id_sum,
+         |  CAST(list_sum(c.ce) AS BIGINT) AS centroid_sum
+         |FROM c$KmeansIters c LEFT JOIN (
+         |  SELECT cell, count(*) AS n, sum(vec_id) AS id_sum
+         |  FROM a$KmeansIters GROUP BY cell) st ON c.cell = st.cell
+         |ORDER BY c.cell""".stripMargin)
+    sb.toString
+  }
+
   val SemDedupThreshold = 0.35
 
   /** SemDeDup drop list over the embeddings table: cluster with the fixed

@@ -164,6 +164,49 @@ object TextQueries {
       )
       .orderBy("doc_id")
 
+  /** Real BPE token counting with the frozen learned merges table
+    * ([[graft.textanalysis.Bpe.MergesV1]]) — the upgrade over
+    * [[tokenBpe]]'s pre-tokenizer-only count. Scale shape: the iterative
+    * merge fold runs once per DISTINCT token type (Zipf: types ≪
+    * occurrences), then joins back to the per-(doc, token) counts — the
+    * corpus-wide path is one explode + two keyed aggs, no per-occurrence
+    * re-encoding. */
+  def tokenBpeMerges(s: SparkSession, d: String): DataFrame = {
+    import graft.textanalysis.Bpe
+    val tok = documents(s, d).select(
+      col("doc_id"),
+      explode(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .as("tok"))
+    val perDoc = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("n_occ"))
+    val types = perDoc.select("tok").distinct()
+      .withColumn(
+        "n_sub",
+        Bpe.subwordCount(Bpe.encodeExpr(col("tok"), Bpe.MergesV1)))
+    perDoc.join(types, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("n_occ")).as("n_tokens"),
+        sum(col("n_occ") * col("n_sub")).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[tokenBpeMerges]]: the IDENTICAL merge fold,
+    * generated from the same frozen merges table, applied per token
+    * occurrence (the oracle needs no distinct-type optimization). */
+  def tokenBpeMergesOracle: String = {
+    import graft.textanalysis.Bpe
+    val nSub = Bpe.oracleSubwordCountSql(
+      Bpe.oracleEncodeSql("tok", Bpe.MergesV1))
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '$BpePattern')) AS tok
+       |  FROM documents),
+       |enc AS (SELECT doc_id, $nSub AS n_sub FROM tok)
+       |SELECT doc_id,
+       | CAST(count(*) AS BIGINT) AS n_tokens,
+       | CAST(sum(n_sub) AS BIGINT) AS n_subwords
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Word-repetition stats (Gopher-style repetition quality signal): per
     * doc, the most frequent word's share of all words. High top-word
     * ratios flag template/boilerplate documents in a curation pipeline.

@@ -204,6 +204,96 @@ object Ivf {
       .select(col("id_b").as("vec_id"), col("cell"), col("n_dups"), col("max_score"))
   }
 
+  /** TRAINED k-means coarse quantizer as a fully ORACLE-CHECKABLE plan:
+    * Lloyd's iterations in exact 64-bit integer arithmetic. The MLlib
+    * [[build]] path is seed-dependent (k-means|| init, float math) and
+    * can never be hash-compared against another engine; this one can,
+    * because every step is deterministic and exact:
+    *
+    *   - embeddings quantized to integer micros
+    *     (`round(x*1e6)` — identical double in, identical long out in
+    *     any IEEE engine; exact .5 ties are impossible since k+0.5
+    *     micros is not a dyadic rational, so HALF_UP-vs-HALF_EVEN can
+    *     never disagree);
+    *   - L2² distances are integer sums (max |q|≈2e6 → diff² ≈ 4e12 ×
+    *     dims ≪ 2^63), ties break to the lowest cell;
+    *   - centroid update is the element-wise TRUNCATING integer mean
+    *     (`sum div n` — DuckDB's `//` truncates identically, verified);
+    *     a cell that loses every member keeps its previous centroid.
+    *
+    * Init = the quantized vectors of `centroidIds` (cells numbered by
+    * sorted id), so the whole run is a pure function of the corpus.
+    *
+    * Scale shape per iteration: one |corpus|×K broadcast cross join for
+    * assignment (the unavoidable Lloyd cost), one (cell, dim)-keyed
+    * partial-aggregating shuffle for the update (K×dims rows out), and a
+    * `localCheckpoint` on the K-row centroid table to cut lineage — the
+    * corpus itself is checkpointed ONCE and re-scanned from shuffle-safe
+    * storage every round. Iterations are a constant (coarse quantizers
+    * converge in a handful of rounds; production IVF trains on a sample
+    * anyway). */
+  def lloydInt(
+      corpus: DataFrame,
+      centroidIds: Seq[Long],
+      iters: Int
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = corpus.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+        .as("qe"))
+      .localCheckpoint(true)
+    requireCentroidsResolve(q.select(col("vec_id")), centroidIds)
+    val cellDf = centroidIds.sorted.zipWithIndex
+      .map { case (cid, i) => (cid, i.toLong) }
+      .toDF("vec_id", "cell")
+    var cent = q
+      .join(broadcast(cellDf), Seq("vec_id"))
+      .select(col("cell"), col("qe").as("ce"))
+      .localCheckpoint(true)
+    val distSql =
+      "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    var asg: DataFrame = null
+    for (_ <- 1 to iters) {
+      // min(struct(dist, cell, qe)): cell is unique per vec, so the
+      // struct order never reaches the array field — it just rides along
+      // to avoid a second join back to q.
+      asg = q.crossJoin(broadcast(cent))
+        .withColumn("dist", expr(distSql))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cell"), col("qe"))).as("m"))
+        .select(
+          col("vec_id"),
+          col("m.cell").as("cell"),
+          col("m.qe").as("qe"))
+        .localCheckpoint(true)
+      val updated = asg
+        .select(col("cell"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("pos"), expr("s div n").as("v"))))
+          .as("pv"))
+        .select(col("cell"), expr("transform(pv, p -> p.v)").as("ce_new"))
+      cent = cent
+        .join(updated, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("ce_new"), col("ce")).as("ce"))
+        .localCheckpoint(true)
+    }
+    val stats = asg.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("id_sum"))
+    cent
+      .join(stats, Seq("cell"), "left")
+      .select(
+        col("cell"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"),
+        expr("aggregate(ce, CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          .as("centroid_sum"))
+      .orderBy("cell")
+  }
+
   /** Cosine top-k probing the query's nProbe nearest cells. Queries are
     * few (broadcast); the corpus is filtered to probed cells BEFORE any
     * scoring, so work is ~ (nProbe / nLists) of brute force. */
