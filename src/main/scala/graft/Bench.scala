@@ -5,8 +5,31 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: every SparkEntry query, fully materialized (noop
   * sink — `.count()` would let Catalyst prune the projections away and
   * time a row count instead of the actual work). One JSON line on stdout.
+  *
+  * Regression guard: `tools/bench_budgets.json` pins a per-query budget
+  * (3× the round-3 medians at sf0.1). Budgets apply only to sf0.1 runs
+  * (other SFs have no calibrated numbers); breaches are always printed
+  * loudly and listed in the JSON, and fail the process (exit 2) when
+  * `SPARK_GRAFT_BENCH_ENFORCE=1` — round 2 shipped a silent 3× regression,
+  * this makes the next one impossible to miss.
+  *
+  * Output contract: the FULL result line (per-query map) is printed first;
+  * a COMPACT summary line (total + worst-5) is the LAST stdout line, so a
+  * tail-truncated capture still ends in a parseable headline.
   */
 object Bench {
+
+  /** Minimal flat-JSON number-map parser for the budgets file — the
+    * file is {"q_name": seconds, …}, written by tools/make_budgets.py;
+    * no JSON library ships with Spark's unmanaged classpath guarantees
+    * beyond Jackson, and a 10-line parser beats a Jackson ObjectMapper
+    * dependency on exact shading. */
+  private[graft] def parseBudgets(text: String): Map[String, Double] =
+    "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+      .findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -48,6 +71,31 @@ object Bench {
       System.gc()
       (name, elapsed, ok)
     }
+    // Budget check (sf0.1 only — the budgets were calibrated there). A
+    // query missing from the budgets file is NOT a breach (new queries
+    // land before their budgets do) but is listed so the file stays
+    // complete round over round.
+    val budgetsPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BUDGETS", "tools/bench_budgets.json")
+    val budgets: Map[String, Double] =
+      if (sfDir.contains("sf0.1") && new java.io.File(budgetsPath).isFile)
+        parseBudgets(new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(budgetsPath)), "UTF-8"))
+      else Map.empty
+    val breaches = results.collect {
+      case (k, v, true) if budgets.get(k).exists(v > _) =>
+        System.err.println(
+          f"[bench] BUDGET BREACH: $k took $v%.2f s, budget ${budgets(k)}%.2f s")
+        (k, v, budgets(k))
+    }
+    val unbudgeted =
+      if (budgets.isEmpty) Seq.empty
+      else results.collect { case (k, _, _) if !budgets.contains(k) => k }
+    if (unbudgeted.nonEmpty)
+      System.err.println(
+        s"[bench] no budget for: ${unbudgeted.mkString(", ")} — " +
+          "regenerate tools/bench_budgets.json (tools/make_budgets.py)")
     // Failed queries are excluded from the per-query map AND the total,
     // and listed explicitly — a fail-fast timing must not read as a fast
     // success, and the map's values always sum to `value`.
@@ -55,8 +103,22 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val breachJson = breaches
+      .map { case (k, v, b) => "\"" + k + "\":{\"sec\":" + v + ",\"budget\":" + b + "}" }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"breaches":$breachJson,"sf":"$sfDir"}""")
+    // Compact headline LAST: short enough to survive a tail-truncated
+    // stdout capture whole (the full line above lost 33 of 97 query keys
+    // to truncation in round 3's driver capture).
+    val worst5 = results.collect { case (k, v, true) => (k, v) }
+      .sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val nOk = results.count(_._3)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nOk,"worst5":$worst5,"failed":$failed,"n_breaches":${breaches.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (breaches.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_ENFORCE").contains("1"))
+      sys.exit(2)
   }
 }

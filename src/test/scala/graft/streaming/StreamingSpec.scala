@@ -176,6 +176,78 @@ class StreamingSpec extends SparkSuite {
     assert(multi == single)
   }
 
+  test("gap sessions recover from a checkpoint across a stop/restart") {
+    import spark.implicits._
+    // The durability half of streaming correctness: run half the input,
+    // STOP the query, restart from the same checkpoint with the rest of
+    // the input, and require the union of sink output to equal an
+    // uninterrupted run exactly once — flatMapGroupsWithState state
+    // (open sessions spanning the stop boundary) must come back from the
+    // state store, and the file sink's commit log must neither drop nor
+    // duplicate batches.
+    val stage = java.nio.file.Files.createTempDirectory("ckpt_stage")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
+    val ev = graft.queries.Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+    val n = ev.count()
+    val parts = 4
+    val partFiles = (0 until parts).map { i =>
+      val lo = i * n / parts
+      val hi = (i + 1) * n / parts
+      val pdir = s"$stage/p$i"
+      ev.filter(col("rn") > lo && col("rn") <= hi)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(pdir)
+      new java.io.File(pdir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+    }
+    def read(srcDir: java.nio.file.Path) = spark.readStream
+      .schema(StreamingOps.eventsRawSchema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(col("ts")))
+    def runTo(srcDir: java.nio.file.Path, outDir: String, ckptDir: String)
+        : Unit = {
+      val q = StreamingOps.gapSessions(spark, read(srcDir)).toDF
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    def copyIn(srcDir: java.nio.file.Path, idx: Range): Unit =
+      idx.foreach { i =>
+        java.nio.file.Files.copy(partFiles(i),
+          srcDir.resolve(s"events_$i.parquet"))
+      }
+    // Interrupted run: files 0-1, stop, add 2-3, restart same checkpoint.
+    val srcA = java.nio.file.Files.createTempDirectory("ckpt_srcA")
+    val outA = java.nio.file.Files.createTempDirectory("ckpt_outA").toString
+    val ckptA = java.nio.file.Files.createTempDirectory("ckpt_ckptA").toString
+    copyIn(srcA, 0 until 2)
+    runTo(srcA, outA, ckptA)
+    val phase1Rows = spark.read.parquet(outA).count()
+    copyIn(srcA, 2 until 4)
+    runTo(srcA, outA, ckptA)
+    // Uninterrupted reference: all 4 files, fresh checkpoint.
+    val srcB = java.nio.file.Files.createTempDirectory("ckpt_srcB")
+    val outB = java.nio.file.Files.createTempDirectory("ckpt_outB").toString
+    val ckptB = java.nio.file.Files.createTempDirectory("ckpt_ckptB").toString
+    copyIn(srcB, 0 until 4)
+    runTo(srcB, outB, ckptB)
+    def multiset(path: String) = spark.read.parquet(path)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val recovered = multiset(outA)
+    val single = multiset(outB)
+    assert(phase1Rows > 0, "phase 1 should already emit closed sessions")
+    assert(recovered.values.sum > phase1Rows,
+      "restart should emit additional sessions")
+    assert(recovered == single,
+      "restarted-run output must equal the uninterrupted run exactly once")
+  }
+
   test("gap sessions fail loudly on a cross-batch time regression") {
     import spark.implicits._
     // Two files, LATER file carries EARLIER events for the same user —
