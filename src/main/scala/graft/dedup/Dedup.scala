@@ -828,13 +828,20 @@ object Dedup {
     * scalable discipline: n² only within blocks).
     *
     * Candidate generation uses only shingles with per-block document
-    * frequency ≤ `maxShingleDf` (standard web-dedup practice), so the
-    * posting self-join is bounded at df·cap rows per shingle regardless
-    * of corpus size. VERIFICATION stays exact: the Jaccard of every
-    * surviving candidate pair is computed over the FULL shingle sets —
-    * the cap only limits recall to pairs sharing at least one sub-cap
-    * shingle, which true near-dups (many doc-specific shingles in
-    * common) always do. */
+    * frequency ≤ `maxShingleDf` (standard web-dedup practice). The
+    * posting lists are collected per (block, shingle) and pairs are
+    * EXPLODED map-side from each sub-cap list — ≤ cap²/2 pairs per
+    * shingle, zero self-join — and the explode directly yields each
+    * pair's rare-shingle intersection count, so the candidate pass and
+    * most of the verify pass are the same single aggregation.
+    *
+    * VERIFICATION stays exact over the FULL shingle sets: the few
+    * over-cap (hot) shingles are joined back only against the candidate
+    * pairs (candidate-bounded, never posting²) and added to the
+    * intersection. The cap therefore only limits RECALL to pairs sharing
+    * at least one sub-cap shingle — which true near-dups (many
+    * doc-specific shingles in common) always do — never the Jaccard
+    * value of a surviving pair. */
   def ngramJaccardBlocked(
       df: DataFrame,
       idCol: String,
@@ -844,32 +851,74 @@ object Dedup {
       n: Int = 3,
       maxShingleDf: Int = DefaultShingleDfCap
   ): DataFrame = {
-    // Four consumers (sizes, df counts, posting join, verify) —
-    // materialize once.
-    val sh = df
+    // ONE shuffle from the raw scan to deduped posting lists:
+    // collect_set absorbs the per-doc shingle dedup (a doc has exactly
+    // one blk, so (shingle, doc) hits exactly one list), replacing the
+    // separate distinct + checkpoint a naive pipeline would pay.
+    val lists = df
       .select(col(idCol).as("id"), blockCol.as("blk"),
         words(col(textCol)).as("w"))
       .select(col("id"), col("blk"),
         explode(shinglesOfWords(col("w"), n)).as("shingle_s"))
       .select(col("id"), col("blk"), hash60(col("shingle_s")).as("shingle"))
-      .distinct()
-      .localCheckpoint(true)
-    // Rare-shingle posting lists: one partial-agg count per (block,
-    // shingle), keep those at-or-under the cap. This is the term that
-    // keeps candidate generation linear in corpus size.
-    val rare = sh
       .groupBy("blk", "shingle")
-      .agg(count(lit(1)).as("df_"))
-      .filter(col("df_") <= maxShingleDf)
-      .select("blk", "shingle")
-    val posting = sh.join(rare, Seq("blk", "shingle"))
-    val cands = posting.as("sa")
-      .join(posting.as("sb"),
-        col("sa.blk") === col("sb.blk") &&
-          col("sa.shingle") === col("sb.shingle") && col("sa.id") < col("sb.id"))
-      .select(col("sa.id").as("id_a"), col("sb.id").as("id_b"))
-      .distinct()
-    // Exact verify over the full (uncapped) shingle sets.
-    jaccardVerifyShingles(sh.select("id", "shingle"), cands, threshold)
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .localCheckpoint(true)
+    // Cost-based gate, decided like an optimizer would but from REAL
+    // statistics: `lists` is already materialized, so asking whether any
+    // over-cap key exists is a cheap local scan. In the common no-hot
+    // case the whole correction subtree (two joins + an agg) vanishes
+    // from the plan and the rare counts are already exact.
+    val hasHot = !lists.filter(size(col("ids")) > maxShingleDf).isEmpty
+    // Sub-cap postings: all i<j pairs, map-side (ids sorted, so id_a <
+    // id_b by construction); count per pair = rare-shingle intersection.
+    // Checkpointed only when the hot correction adds a second consumer.
+    val rarePairs0 = lists
+      .filter(size(col("ids")) <= maxShingleDf)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> named_struct('id_a', x, 'id_b', y))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_rare"))
+    val rarePairs =
+      if (hasHot) rarePairs0.localCheckpoint(true) else rarePairs0
+    // Hot-shingle membership rows (linear in corpus; few distinct hot
+    // keys by construction), intersected candidate-bounded.
+    val withInter =
+      if (!hasHot) rarePairs.withColumn("n_inter", col("n_rare"))
+      else {
+        val hot = lists
+          .filter(size(col("ids")) > maxShingleDf)
+          .select(col("blk"), col("shingle"), explode(col("ids")).as("id"))
+        val hotInter = rarePairs
+          .select("id_a", "id_b")
+          .join(hot.select(col("id").as("id_a"), col("blk"), col("shingle")),
+            Seq("id_a"))
+          .join(hot.select(col("id").as("id_b"), col("blk"), col("shingle")),
+            Seq("id_b", "blk", "shingle"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("n_hot"))
+        rarePairs
+          .join(hotInter, Seq("id_a", "id_b"), "left")
+          .withColumn(
+            "n_inter", col("n_rare") + coalesce(col("n_hot"), lit(0L)))
+      }
+    // Exact per-doc distinct-shingle counts, read off the lists frame
+    // (each doc appears once per distinct shingle across all lists).
+    val sizes = lists
+      .select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("set_size"))
+    withInter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        round(col("n_inter") / (col("size_a") + col("size_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 }

@@ -40,6 +40,36 @@ class FormatsSpec extends SparkSuite {
       plan.contains("lang"), plan.take(400))
   }
 
+  test("two co-bucketed tables join with no exchange on either side") {
+    // The 100 TB co-located join: both sides bucketed on the join key
+    // with the same bucket count → sort-merge join reads bucket i
+    // against bucket i, zero shuffle of either table. This is the
+    // persisted-layout answer a recurring fact⋈fact join should use
+    // instead of paying its exchange every run.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumnRenamed("vec_id", "doc_id")
+    Formats.writeBucketed(docs, "docs_b", "doc_id", 4, sortCol = Some("doc_id"))
+    Formats.writeBucketed(emb, "emb_b", "doc_id", 4, sortCol = Some("doc_id"))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1") // force SMJ so the exchange question is real
+    try {
+      val joined = spark.table("docs_b")
+        .join(spark.table("emb_b"), Seq("doc_id"))
+        .select("doc_id", "lang", "label")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(600))
+      assert(joined.count() ==
+        docs.join(emb, Seq("doc_id")).count())
+    } finally {
+      spark.conf.set(key, prev)
+      spark.sql("DROP TABLE IF EXISTS docs_b")
+      spark.sql("DROP TABLE IF EXISTS emb_b")
+    }
+  }
+
   test("bucketed table removes the exchange from a bucketed-key aggregation") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     Formats.writeBucketed(docs, "docs_bucketed", "doc_id", 4,

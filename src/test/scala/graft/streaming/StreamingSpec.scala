@@ -176,6 +176,35 @@ class StreamingSpec extends SparkSuite {
     assert(multi == single)
   }
 
+  test("gap sessions run identically on the RocksDB state store") {
+    // The 100 TB state story: HDFS-backed in-memory state stores cap at
+    // executor heap; RocksDB spills keyed state to local disk and is the
+    // production choice for large/long-lived state. Same query, same
+    // answer — only the provider differs.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = runToMemory(
+        StreamingOps.gapSessions(
+          spark, StreamingOps.readEvents(spark, streamDir)).toDF,
+        "sess_rocks").collect().map(_.toSeq).toSet
+      spark.conf.unset(key) // default (HDFS-backed) provider
+      val base = runToMemory(
+        StreamingOps.gapSessions(
+          spark, StreamingOps.readEvents(spark, streamDir)).toDF,
+        "sess_hdfsstore").collect().map(_.toSeq).toSet
+      assert(got.nonEmpty)
+      assert(got == base)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("gap sessions recover from a checkpoint across a stop/restart") {
     import spark.implicits._
     // The durability half of streaming correctness: run half the input,
