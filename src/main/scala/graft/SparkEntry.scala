@@ -88,6 +88,7 @@ object SparkEntry {
     "q_lang_centroid" -> (PipelineQueries.langCentroid _),
     "q_ivf_topk" -> (PipelineQueries.ivfTopK _),
     "q_kmeans_train" -> (PipelineQueries.kmeansTrain _),
+    "q_dup_spans" -> (PipelineQueries.dupSpans _),
     "q_semantic_dedup" -> (PipelineQueries.semanticDedup _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
@@ -404,6 +405,7 @@ object SparkEntry {
     "q_lang_centroid" -> PipelineQueries.langCentroidOracle,
     "q_ivf_topk" -> PipelineQueries.ivfTopKOracle,
     "q_kmeans_train" -> PipelineQueries.kmeansTrainOracle,
+    "q_dup_spans" -> PipelineQueries.dupSpansOracle,
     "q_semantic_dedup" -> PipelineQueries.semanticDedupOracle,
     "q_setop_funnel" ->
       """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),

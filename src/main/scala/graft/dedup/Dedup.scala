@@ -758,6 +758,97 @@ object Dedup {
         round(col("n_boiler") / col("n_sentences"), 6))
   }
 
+  /** Positioned word n-gram windows over a MATERIALIZED words array:
+    * (0-based start position, '_'-joined window). The positional twin of
+    * [[shinglesOfWords]], for span-level operators that need to know
+    * WHERE a window sits, not just that it exists. */
+  def posShingles(w: Column, n: Int): Column =
+    when(size(w) < n, expr("CAST(array() AS array<struct<pos:int,s:string>>)"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(w) - (n - 1)),
+          i => {
+            val pieces = (0 until n)
+              .map(k => element_at(w, (i + lit(k)).cast("int")))
+            struct(
+              (i - 1).cast("int").as("pos"),
+              concat(pieces.flatMap(p => Seq(p, lit("_"))).dropRight(1): _*)
+                .as("s"))
+          }
+        )
+      )
+
+  /** Corpus-wide duplicate SPAN detection — the scalable face of exact
+    * substring deduplication (Lee et al. 2022, arXiv:2107.06499: ~50-token
+    * exact duplicates riddle web corpora and measurably hurt LMs; their
+    * exact tool is a single-machine suffix array, which has no distributed
+    * twin — fingerprinted fixed-width windows are the standard scale-out
+    * approximation). A window of `w` tokens is a duplicate span iff its
+    * fingerprint occurs in ≥ `minDocs` distinct documents. Per document,
+    * overlapping duplicate windows are merged by interval union
+    * (gaps-and-islands: a window opens a new island only when its start
+    * exceeds the running max end), so `dup_tokens` counts each duplicated
+    * token once no matter how many windows cover it.
+    *
+    * Scale shape: windows are hashed to 60-bit longs pre-shuffle; the df
+    * aggregation reduces to the (fingerprint ≥ minDocs) flag set before
+    * joining back (same discipline as [[boilerplate]]); the interval
+    * union is a doc_id-keyed window — partition-parallel, documents never
+    * interact after the flag join. */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8,
+      minDocs: Long = 2L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"), words(col(textCol)).as("wd"))
+    // Two consumers (df flags, join-back) — materialize once.
+    val spans = toks
+      .select(col("id"), explode(posShingles(col("wd"), w)).as("ps"))
+      .select(col("id"), col("ps.pos").as("pos"), hash60(col("ps.s")).as("fp"))
+      .localCheckpoint(true)
+    val dupFps = spans
+      .select("id", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= minDocs)
+      .select("fp")
+    val dup = spans.join(dupFps, Seq("fp"))
+    val ord = Window.partitionBy("id").orderBy("pos")
+    val islands = dup
+      .withColumn(
+        "prev_end",
+        max(col("pos") + w)
+          .over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn(
+        "opens",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn(
+        "island",
+        sum(col("opens")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("id", "island")
+      .agg(min(col("pos")).as("s"), max(col("pos") + w).as("e"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s")).as("dup_tokens"))
+    val dupCounts = dup.groupBy("id").agg(count(lit(1)).as("n_dup_spans"))
+    toks
+      .select(col("id"), size(col("wd")).cast("long").as("n_tokens"))
+      .join(dupCounts, Seq("id"), "left")
+      .join(islands, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 6)
+          .as("dup_ratio"))
+  }
+
   // -------------------------------------------------------------------------
   // Incremental (batch-vs-corpus) dedup
   // -------------------------------------------------------------------------

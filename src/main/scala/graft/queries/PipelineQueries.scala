@@ -368,6 +368,59 @@ object PipelineQueries {
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
 
+  val SpanW = 8
+  val SpanMinDocs = 2L
+
+  /** Duplicate-span detection over the documents table
+    * ([[graft.dedup.Dedup.duplicateSpans]]): per doc, how many of its
+    * 8-token windows appear verbatim in ≥2 documents, merged to an exact
+    * interval-union duplicated-token count. */
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup
+      .duplicateSpans(documents(s, d), "doc_id", "text", SpanW, SpanMinDocs)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  def dupSpansOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS wd
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    CAST('0x' || substr(md5(array_to_string(wd[i : i + $SpanW - 1], '_')), 1, 15) AS BIGINT) AS fp
+       |  FROM (SELECT doc_id, wd, unnest(range(1, greatest(len(wd) - $SpanW + 2, 1))) AS i FROM t)),
+       |flags AS (
+       |  SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM sp)
+       |  GROUP BY fp HAVING count(*) >= $SpanMinDocs),
+       |dup AS (SELECT sp.doc_id, sp.pos FROM sp JOIN flags USING (fp)),
+       |isl AS (
+       |  SELECT doc_id, island, min(pos) AS s, max(pos + $SpanW) AS e FROM (
+       |    SELECT doc_id, pos,
+       |      CAST(sum(opens) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+       |    FROM (
+       |      SELECT doc_id, pos,
+       |        CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS opens
+       |      FROM (
+       |        SELECT doc_id, pos,
+       |          max(pos + $SpanW) OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |        FROM dup)))
+       |  GROUP BY doc_id, island),
+       |isl_doc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_islands,
+       |    CAST(sum(e - s) AS BIGINT) AS dup_tokens
+       |  FROM isl GROUP BY doc_id),
+       |dc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans FROM dup GROUP BY doc_id)
+       |SELECT t.doc_id AS doc_id, CAST(len(t.wd) AS BIGINT) AS n_tokens,
+       |  COALESCE(dc.n_dup_spans, 0) AS n_dup_spans,
+       |  COALESCE(isl_doc.n_islands, 0) AS n_islands,
+       |  COALESCE(isl_doc.dup_tokens, 0) AS dup_tokens,
+       |  round(COALESCE(isl_doc.dup_tokens, 0) / CAST(len(t.wd) AS BIGINT), 6) AS dup_ratio
+       |FROM t LEFT JOIN dc ON t.doc_id = dc.doc_id
+       |LEFT JOIN isl_doc ON t.doc_id = isl_doc.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val KmeansIters = 3
 
   /** Trained k-means (integer Lloyd's, [[graft.similarity.Ivf.lloydInt]])

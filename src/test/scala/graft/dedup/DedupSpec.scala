@@ -146,6 +146,27 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("duplicate spans merge overlapping windows into interval unions") {
+    // Docs 0 and 1 share a 10-token run -> three 8-token duplicate
+    // windows each (pos p, p+1, p+2) that must merge to ONE island of
+    // exactly 10 tokens, not 24. Doc 2 shares nothing.
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"a1 a2 $shared b1 b2"),
+      (1L, s"c1 $shared d1 d2 d3"),
+      (2L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12 e13 e14")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", w = 8, minDocs = 2L)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_islands"),
+          r.getAs[Long]("dup_tokens")))
+      .toMap
+    assert(got(0L) == ((3L, 1L, 10L)))
+    assert(got(1L) == ((3L, 1L, 10L)))
+    assert(got(2L) == ((0L, 0L, 0L)))
+  }
+
   test("shingles guard: fewer words than n yields no shingles") {
     val tiny = Seq((0L, "only two")).toDF("doc_id", "text")
     val sh = Dedup.shingleRows(tiny, "doc_id", "text", 3)
