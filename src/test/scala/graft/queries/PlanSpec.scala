@@ -137,6 +137,43 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("duplicate spans: keyed windows only, span set materialized once") {
+    val p = plan("q_dup_spans")
+    // The interval-union windows are doc-keyed — a global (unkeyed)
+    // window would serialize the whole corpus through one partition.
+    assert(p.contains("hashpartitioning(id"), s"expected id-keyed window:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"no operator may demand a single partition:\n$p")
+    // The positioned-window frame is checkpointed: the df-flag side and
+    // the join-back side must both read it, not re-explode the corpus.
+    assert(p.contains("ExistingRDD"))
+  }
+
+  test("kmeans training's output plan reads checkpoints, never a product") {
+    // The assignment cross joins run EAGERLY inside lloydInt (each round
+    // is localCheckpoint'ed), so the returned frame's plan shows only the
+    // final K-row join — which must read the materialized rounds, touch
+    // nothing corpus-sized, and contain no product anywhere.
+    val p = plan("q_kmeans_train")
+    assert(p.contains("ExistingRDD"), s"expected checkpointed rounds:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Scan parquet"),
+      s"final join must not rescan the corpus:\n$p")
+  }
+
+  test("bpe merges encode runs per distinct token type, not per occurrence") {
+    val p = plan("q_token_bpe_merges")
+    // The merge fold is the result projection of the distinct-type
+    // aggregate (elided from the plan string), so the checkable shape is:
+    // a tok-keyed distinct shuffle, whose (small) output broadcasts back
+    // onto the per-(doc, tok) counts.
+    assert(p.contains("hashpartitioning(tok"),
+      s"expected the distinct-type shuffle on tok:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"encoded types must broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("curation verdict is a single-shuffle window plan") {
     val p = plan("q_curation_verdict")
     // Window-min over dup_key: one hash exchange (plus the final sort),
