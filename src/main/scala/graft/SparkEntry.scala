@@ -89,6 +89,8 @@ object SparkEntry {
     "q_ivf_topk" -> (PipelineQueries.ivfTopK _),
     "q_kmeans_train" -> (PipelineQueries.kmeansTrain _),
     "q_dup_spans" -> (PipelineQueries.dupSpans _),
+    "q_domain_quota" -> (TextQueries.domainQuota _),
+    "q_lm_bigram" -> (TextQueries.lmBigram _),
     "q_semantic_dedup" -> (PipelineQueries.semanticDedup _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
@@ -406,6 +408,8 @@ object SparkEntry {
     "q_ivf_topk" -> PipelineQueries.ivfTopKOracle,
     "q_kmeans_train" -> PipelineQueries.kmeansTrainOracle,
     "q_dup_spans" -> PipelineQueries.dupSpansOracle,
+    "q_domain_quota" -> TextQueries.domainQuotaOracle,
+    "q_lm_bigram" -> TextQueries.lmBigramOracle,
     "q_semantic_dedup" -> PipelineQueries.semanticDedupOracle,
     "q_setop_funnel" ->
       """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),

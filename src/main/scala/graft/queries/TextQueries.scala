@@ -360,6 +360,111 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Bigram LM scoring with add-one smoothing — the KenLM-shaped upgrade
+    * over [[lmScore]]'s unigram model (CCNet scores documents with a
+    * 5-gram KenLM; a corpus-trained bigram is the same mechanism at the
+    * order an offline SQL oracle can reproduce). Per transition:
+    * P(w2|w1) = (c(w1w2)+1) / (c(w1)+V); per doc: mean NLL in exact
+    * integer micros (ln of identical doubles in both engines, the same
+    * discipline BM25/lmScore already rely on).
+    *
+    * Scale shape: bigram rows join the bigram-count table on the bigram
+    * key and the unigram-count table on w1 — both keyed shuffles that
+    * AQE may broadcast when small; V is a broadcast scalar. Documents
+    * with fewer than two tokens have no transitions and no row (same in
+    * the oracle). At web scale the string join keys would be hashed to
+    * 60-bit longs pre-shuffle like every dedup key in this repo. */
+  def lmBigram(s: SparkSession, d: String): DataFrame = {
+    val clean = documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')").as("wd"))
+    val uni = clean
+      .select(explode(col("wd")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vTotal = uni.agg(count(lit(1)).as("v"))
+    val bigRows = clean
+      .filter(size(col("wd")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(wd) - 1), i -> named_struct(" +
+          "'w1', element_at(wd, CAST(i AS INT)), " +
+          "'bg', concat(element_at(wd, CAST(i AS INT)), '_', " +
+          "element_at(wd, CAST(i + 1 AS INT)))))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val big = bigRows.groupBy("bg").agg(count(lit(1)).as("c2"))
+    bigRows
+      .join(big, Seq("bg"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vTotal))
+      .withColumn(
+        "lp",
+        round(log((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")) * 1e6, 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round((-sum(col("lp"))).cast("double") / count(lit(1)), 0)
+          .cast("long").as("mean_nll_micro"))
+      .orderBy("doc_id")
+  }
+
+  def lmBigramOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS wd
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, wd[i] AS w1, wd[i] || '_' || wd[i+1] AS bg
+      |  FROM (SELECT doc_id, wd, unnest(range(1, greatest(len(wd), 1))) AS i FROM t)),
+      |uni AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(wd) AS w1 FROM t) GROUP BY 1),
+      |v AS (SELECT count(*) AS v FROM uni),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / (c1 + v)) * 1e6, 0) AS BIGINT) AS lp
+      |  FROM bg
+      |  JOIN (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1) big USING (bg)
+      |  JOIN uni USING (w1) CROSS JOIN v)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(round(CAST(-sum(lp) AS DOUBLE) / count(*), 0) AS BIGINT) AS mean_nll_micro
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val QuotaPerSource = 10
+
+  /** Per-domain quota sampling — the crawl-curation op that stops any
+    * single domain from dominating the training mix: keep at most
+    * [[QuotaPerSource]] documents per source, chosen by deterministic
+    * hash order (an unbiased, reproducible within-domain sample, same
+    * discipline as [[sampleHash]]). Runs on the custom
+    * [[graft.plans.TopKPerKey]] heap operator: the partial pass keeps
+    * ≤ k rows per (source, partition) BEFORE the shuffle, so a 100×
+    * over-quota domain ships k·partitions rows, not its whole corpus —
+    * the shape a row_number window cannot give you. */
+  def domainQuota(s: SparkSession, d: String): DataFrame = {
+    val hashed = documents(s, d)
+      .withColumn(
+        "h",
+        graft.dedup.Dedup
+          .hash60(concat(lit("quota:"), col("doc_id").cast("string"))))
+      .select("source", "doc_id", "h")
+    graft.plans.TopKPerKey
+      .topK(
+        hashed,
+        keys = Seq(col("source")),
+        ordering = Seq(col("h").asc, col("doc_id").asc),
+        k = QuotaPerSource)
+      .select("source", "rnk", "doc_id")
+      .orderBy("source", "rnk")
+  }
+
+  def domainQuotaOracle: String =
+    s"""SELECT source, rnk, doc_id FROM (
+       |  SELECT source, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY CAST('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+       |      doc_id ASC) AS BIGINT) AS rnk
+       |  FROM documents)
+       |WHERE rnk <= $QuotaPerSource
+       |ORDER BY source, rnk""".stripMargin
+
   /** TF-IDF top terms per document — the classic corpus-characterization
     * op, ranked with the engine's bounded-heap [[graft.plans.TopKPerKey]]
     * operator (partial pre-shuffle heaps, never a full sort). The score is
