@@ -91,6 +91,7 @@ object SparkEntry {
     "q_dup_spans" -> (PipelineQueries.dupSpans _),
     "q_domain_quota" -> (TextQueries.domainQuota _),
     "q_lm_bigram" -> (TextQueries.lmBigram _),
+    "q_audio_decode" -> (PipelineQueries.audioDecode _),
     "q_semantic_dedup" -> (PipelineQueries.semanticDedup _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
@@ -410,6 +411,7 @@ object SparkEntry {
     "q_dup_spans" -> PipelineQueries.dupSpansOracle,
     "q_domain_quota" -> TextQueries.domainQuotaOracle,
     "q_lm_bigram" -> TextQueries.lmBigramOracle,
+    "q_audio_decode" -> PipelineQueries.audioDecodeOracle,
     "q_semantic_dedup" -> PipelineQueries.semanticDedupOracle,
     "q_setop_funnel" ->
       """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),

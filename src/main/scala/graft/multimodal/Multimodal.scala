@@ -245,6 +245,129 @@ object Multimodal {
     }
   }
 
+  case class AudioFeatures(
+      mediaId: Long,
+      ok: Boolean,
+      sampleRate: Int,
+      channels: Int,
+      nSamples: Long,
+      maxAbs: Long,
+      sumSq: Long,
+      zeroCrossings: Long
+  )
+
+  /** REAL audio decode over `javax.sound.sampled` (the WAV reader ships
+    * with every JVM — no external codec). Same scale discipline as
+    * [[imageFeatures]]: decode per partition, blob never shuffled, output
+    * is small fixed-width rows; a non-audio or non-PCM16 blob yields an
+    * ok=false row, never a job failure.
+    *
+    * Every feature is exact integer arithmetic over the int16 samples
+    * (sum of squares, max amplitude, sign-change count), so the row is
+    * bit-deterministic on any JVM and reproducible by any engine that
+    * can see the same samples. */
+  def audioFeatures(items: Dataset[MediaItem]): Dataset[AudioFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { item =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(item.content))
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          ais.close()
+          if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            AudioFeatures(item.mediaId, ok = false, 0, 0, 0L, 0L, 0L, 0L)
+          else {
+            val be = fmt.isBigEndian
+            val n = bytes.length / 2
+            var sumSq = 0L; var maxAbs = 0L; var zc = 0L
+            var prevNonNeg = true; var first = true
+            var j = 0
+            while (j < n) {
+              val b0 = bytes(2 * j) & 0xff
+              val b1 = bytes(2 * j + 1) & 0xff
+              val raw = if (be) (b0 << 8) | b1 else (b1 << 8) | b0
+              val v = if (raw >= 32768) raw - 65536 else raw
+              sumSq += v.toLong * v
+              val a = math.abs(v.toLong); if (a > maxAbs) maxAbs = a
+              val nonNeg = v >= 0
+              if (!first && nonNeg != prevNonNeg) zc += 1
+              prevNonNeg = nonNeg; first = false
+              j += 1
+            }
+            AudioFeatures(item.mediaId, ok = true, fmt.getSampleRate.toInt,
+              fmt.getChannels, n.toLong, maxAbs, sumSq, zc)
+          }
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+              _: java.io.IOException =>
+            AudioFeatures(item.mediaId, ok = false, 0, 0, 0L, 0L, 0L, 0L)
+        }
+      }
+    }
+  }
+
+  /** int16 mono samples → real WAV bytes (PCM16 little-endian), via the
+    * JVM's own writer. WAV PCM is lossless, so `audioFeatures ∘ encodeWav`
+    * recovers the input samples exactly — the property the synthetic
+    * corpus oracle relies on. */
+  def encodeWav(sampleRate: Int, pcm: Array[Short]): Array[Byte] = {
+    val data = new Array[Byte](pcm.length * 2)
+    var i = 0
+    while (i < pcm.length) {
+      data(2 * i) = (pcm(i) & 0xff).toByte
+      data(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, pcm.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic REAL-WAV corpus: per source row, `n = 64 + id % 65` mono
+    * samples at `8000 + (id % 4) * 4000` Hz; sample j is the
+    * little-endian int16 at bytes 2·(j mod 8) of md5(text ++ ":" ++
+    * (j div 8)) — 8 samples per digest block, never straddling blocks, so
+    * any engine can recompute the exact sample sequence. WAV PCM being
+    * lossless makes the REAL decode path oracle-checkable end-to-end
+    * (`q_audio_decode`). */
+  def syntheticWavCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String
+  ): Dataset[MediaItem] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val n = (64 + id % 65).toInt
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val pcm = new Array[Short](n)
+          var j = 0
+          var dg: Array[Byte] = null
+          while (j < n) {
+            if (j % 8 == 0) dg = md.digest((text + ":" + (j / 8)).getBytes("UTF-8"))
+            val k = 2 * (j % 8)
+            val raw = (dg(k) & 0xff) | ((dg(k + 1) & 0xff) << 8)
+            pcm(j) = (if (raw >= 32768) raw - 65536 else raw).toShort
+            j += 1
+          }
+          MediaItem(id, encodeWav(rate, pcm),
+            MediaMeta("audio", 0, 0, n * 1000L / rate, "wav"))
+        }
+      }
+  }
+
   /** Row-major interleaved RGB bytes → real PNG bytes. PNG is lossless on
     * 8-bit RGB, so `imageFeatures ∘ encodePng` recovers the input pixels
     * exactly — the property the synthetic-corpus oracle relies on. */

@@ -1025,6 +1025,45 @@ object PipelineQueries {
         md5(col("content")).as("frame_md5"))
       .orderBy("frame_id")
 
+  /** REAL audio decode (javax.sound.sampled) as an oracle-checked query.
+    * The corpus is [[graft.multimodal.Multimodal.syntheticWavCorpus]]:
+    * real WAV blobs whose int16 samples are an md5 chain of the document
+    * text. WAV PCM is lossless, so the decoder must recover exactly those
+    * samples — DuckDB recomputes max amplitude, energy and zero-crossing
+    * count straight from the chain, checking the encode→decode round
+    * trip and every integer feature bit-for-bit. */
+  def audioDecode(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .audioFeatures(
+        graft.multimodal.Multimodal.syntheticWavCorpus(
+          documents(s, d).select("doc_id", "text"), "doc_id", "text"))
+      .toDF()
+      .select(
+        col("mediaId").as("media_id"),
+        col("sampleRate").as("sample_rate"),
+        col("nSamples").as("n_samples"),
+        col("maxAbs").as("max_abs"),
+        col("sumSq").as("sum_sq"),
+        col("zeroCrossings").as("zero_crossings"))
+      .orderBy("media_id")
+
+  def audioDecodeOracle: String =
+    """WITH sm AS (
+      |  SELECT doc_id, 64 + doc_id % 65 AS n,
+      |    [CASE WHEN v >= 32768 THEN v - 65536 ELSE v END FOR v IN
+      |      [CAST('0x' || substr(md5(text || ':' || CAST(j // 8 AS VARCHAR)), 1 + 4 * (j % 8), 2) AS BIGINT)
+      |       + 256 * CAST('0x' || substr(md5(text || ':' || CAST(j // 8 AS VARCHAR)), 3 + 4 * (j % 8), 2) AS BIGINT)
+      |       FOR j IN range(0, CAST(64 + doc_id % 65 AS BIGINT))]] AS s
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS max_abs,
+      |  CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sum_sq,
+      |  CAST(len(list_filter(range(2, CAST(n + 1 AS BIGINT)),
+      |    j -> (s[j] >= 0) <> (s[j - 1] >= 0))) AS BIGINT) AS zero_crossings
+      |FROM sm ORDER BY media_id""".stripMargin
+
   /** REAL image decode (javax.imageio) as an oracle-checked query. The
     * corpus is [[graft.multimodal.Multimodal.syntheticPngCorpus]]: real
     * PNG blobs whose pixel bytes are an md5 chain of the document text

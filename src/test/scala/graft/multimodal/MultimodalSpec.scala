@@ -115,4 +115,47 @@ class MultimodalSpec extends SparkSuite {
         s"means mismatch for $id: (${f.meanR},${f.meanG},${f.meanB}) vs ($r,$g,$b)")
     }
   }
+
+  test("wav encode -> audioFeatures recovers exact sample statistics") {
+    import spark.implicits._
+    // Known samples: max abs 300, sum of squares exact, 4 sign changes.
+    val pcm = Array[Short](100, -200, 300, -1, 50)
+    val items = Seq(
+      Multimodal.MediaItem(1L, Multimodal.encodeWav(16000, pcm),
+        Multimodal.MediaMeta("audio", 0, 0, 0L, "wav")),
+      // Garbage bytes must yield ok=false, not a failure.
+      Multimodal.MediaItem(2L, Array[Byte](1, 2, 3, 4),
+        Multimodal.MediaMeta("audio", 0, 0, 0L, "wav"))
+    ).toDS()
+    val feats = Multimodal.audioFeatures(items).collect().sortBy(_.mediaId)
+    val f = feats(0)
+    assert(f.ok && f.sampleRate == 16000 && f.channels == 1)
+    assert(f.nSamples == 5L)
+    assert(f.maxAbs == 300L)
+    assert(f.sumSq == pcm.map(v => v.toLong * v).sum)
+    assert(f.zeroCrossings == 4L) // +,-,+,-,+ alternates at every step
+    assert(!feats(1).ok)
+  }
+
+  test("synthetic wav corpus decodes to the documented md5-chain samples") {
+    import spark.implicits._
+    val docs = Seq((3L, "hello world")).toDF("doc_id", "text")
+    val f = Multimodal
+      .audioFeatures(Multimodal.syntheticWavCorpus(docs, "doc_id", "text"))
+      .collect().head
+    assert(f.ok)
+    assert(f.sampleRate == (8000 + (3 % 4) * 4000))
+    assert(f.nSamples == (64 + 3 % 65).toLong)
+    // Recompute from the chain directly.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = 64 + 3 % 65
+    val pcm = (0 until n).map { j =>
+      val dg = md.digest(("hello world:" + (j / 8)).getBytes("UTF-8"))
+      val k = 2 * (j % 8)
+      val raw = (dg(k) & 0xff) | ((dg(k + 1) & 0xff) << 8)
+      if (raw >= 32768) raw - 65536 else raw
+    }
+    assert(f.sumSq == pcm.map(v => v.toLong * v).sum)
+    assert(f.maxAbs == pcm.map(v => math.abs(v.toLong)).max)
+  }
 }
