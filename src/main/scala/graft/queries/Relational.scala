@@ -302,6 +302,46 @@ object Relational {
         "measure", "value_cents")
       .orderBy("l_orderkey", "l_linenumber", "measure")
 
+  /** Recursive CTE (`WITH RECURSIVE`, Spark 4.x): walk each document's
+    * ancestor chain in the implicit binary tree (parent of i = i div 2)
+    * and aggregate the chain — the iterative-query surface a batch
+    * engine needs for hierarchies (org charts, BOM rollups, path walks)
+    * without driver-side loops. Depth is logarithmic in the id space, so
+    * the recursion runs ~log₂(N) UNION ALL rounds — each a keyed,
+    * partition-parallel step.
+    *
+    * The graph-scale caveat (documented, not hidden): recursive CTEs
+    * re-shuffle the frontier each round, so corpus-scale TRANSITIVE
+    * CLOSURE belongs to the dedicated label-prop / large-star CC
+    * operators ([[graft.dedup.Dedup.connectedComponents]]); this surface
+    * is for bounded-depth hierarchy walks. */
+  def recursiveAncestors(s: SparkSession, d: String): DataFrame = {
+    documents(s, d).createOrReplaceTempView("graft_docs_rec")
+    s.sql(
+      """WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+        |  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM graft_docs_rec
+        |  UNION ALL
+        |  SELECT doc_id, anc_id div 2, depth + 1 FROM anc WHERE anc_id > 0
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_ancestors,
+        |  max(depth) AS depth,
+        |  CAST(sum(anc_id) AS BIGINT) AS anc_sum
+        |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  def recursiveAncestorsOracle: String =
+    """WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+      |  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, anc_id // 2, depth + 1 FROM anc WHERE anc_id > 0
+      |)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_ancestors,
+      |  max(depth) AS depth,
+      |  CAST(sum(anc_id) AS BIGINT) AS anc_sum
+      |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Grouping-sets rollup: order counts by (status, priority) hierarchy.
     * Null grouping keys from ROLLUP are made deterministic via coalesce. */
   def ordersRollup(s: SparkSession, d: String): DataFrame =
