@@ -88,6 +88,12 @@ object ScaleStress {
       noop(graft.operators.PrefixSum.globalCumsum(
         corpus.withColumn("n", length(col("text")).cast("long")),
         expr("doc_id div 1000"), Seq(col("doc_id")), col("n"), "cum")))
+    // Round-4: duplicate spans on a corpus where every replica shares
+    // almost every window with its source — the dense-duplication worst
+    // case for the interval-union pass; must stay linear in corpus size
+    // (flag join + doc-keyed windows, no pair blowup).
+    time("duplicate spans")(
+      noop(Dedup.duplicateSpans(corpus, "doc_id", "text")))
     corpus.unpersist()
     spark.stop()
   }
