@@ -302,6 +302,37 @@ object Relational {
         "measure", "value_cents")
       .orderBy("l_orderkey", "l_linenumber", "measure")
 
+  /** LATERAL correlated subquery (Spark 4.x `FROM t, LATERAL (...)`):
+    * per-nation top-2 suppliers by balance, as the correlated-limit
+    * formulation — the third face of per-key top-k next to the
+    * row_number window and the TopKPerKey heap operator. Catalyst plans
+    * the decorrelation; the oracle runs the identical SQL. */
+  def lateralTopSuppliers(s: SparkSession, d: String): DataFrame = {
+    nation(s, d).createOrReplaceTempView("graft_nation_lat")
+    supplier(s, d).createOrReplaceTempView("graft_supplier_lat")
+    s.sql(
+      """SELECT n.n_name AS nation, l.s_name AS supplier, l.bal_cents
+        |FROM graft_nation_lat n,
+        |LATERAL (
+        |  SELECT s_name, CAST(round(s_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        |  FROM graft_supplier_lat s
+        |  WHERE s.s_nationkey = n.n_nationkey
+        |  ORDER BY bal_cents DESC, s_name ASC LIMIT 2
+        |) l
+        |ORDER BY nation, l.bal_cents DESC, supplier""".stripMargin)
+  }
+
+  def lateralTopSuppliersOracle: String =
+    """SELECT n.n_name AS nation, l.s_name AS supplier, l.bal_cents
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT s_name, CAST(round(s_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      |  FROM supplier s
+      |  WHERE s.s_nationkey = n.n_nationkey
+      |  ORDER BY bal_cents DESC, s_name ASC LIMIT 2
+      |) l
+      |ORDER BY nation, l.bal_cents DESC, supplier""".stripMargin
+
   /** Recursive CTE (`WITH RECURSIVE`, Spark 4.x): walk each document's
     * ancestor chain in the implicit binary tree (parent of i = i div 2)
     * and aggregate the chain — the iterative-query surface a batch
