@@ -94,6 +94,7 @@ object SparkEntry {
     "q_audio_decode" -> (PipelineQueries.audioDecode _),
     "q_recursive_ancestors" -> (Relational.recursiveAncestors _),
     "q_lateral_topn" -> (Relational.lateralTopSuppliers _),
+    "q_session_window" -> (EventQueries.sessionWindowBatch _),
     "q_semantic_dedup" -> (PipelineQueries.semanticDedup _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
@@ -416,6 +417,7 @@ object SparkEntry {
     "q_audio_decode" -> PipelineQueries.audioDecodeOracle,
     "q_recursive_ancestors" -> Relational.recursiveAncestorsOracle,
     "q_lateral_topn" -> Relational.lateralTopSuppliersOracle,
+    "q_session_window" -> EventQueries.sessionWindowBatchOracle,
     "q_semantic_dedup" -> PipelineQueries.semanticDedupOracle,
     "q_setop_funnel" ->
       """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),

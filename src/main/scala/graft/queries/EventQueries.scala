@@ -220,6 +220,41 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** Built-in BATCH `session_window` (30-min gap) — the engine-native
+    * face of [[sessionize]]'s hand-rolled gaps-and-islands, and the
+    * batch twin of the streaming `session_window` run. Exact µs
+    * arithmetic end to end: Spark merges events whose gap is strictly
+    * under the duration (an event at exactly last+gap opens a NEW
+    * session), so the oracle breaks on `diff >= gap` in microseconds —
+    * a millisecond-rounded oracle could disagree on sub-ms boundaries. */
+  def sessionWindowBatch(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
+  def sessionWindowBatchOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |m AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM (SELECT user_id, us,
+      |          lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us FROM e)),
+      |s AS (
+      |  SELECT user_id, us,
+      |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM m)
+      |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
   /** C1 relaxed: prefix-sum token bucketing of documents into chunks
     * (budget 500) — the SQL-expressible relaxation of the greedy fold
     * (SURVEY.md §7.4 q_chunk_prefix; exact greedy is Scala-golden-tested). */
