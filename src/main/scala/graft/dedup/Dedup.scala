@@ -305,7 +305,8 @@ object Dedup {
     * Returns (id, component). Deterministic: min is order-insensitive. */
   def connectedComponents(
       pairs: DataFrame,
-      maxIter: Int = 50
+      maxIter: Int = 50,
+      driverEdgeLimit: Long = 2000000L
   ): DataFrame = {
     // Symmetrize with ONE pass over `pairs` (explode of a 2-struct array),
     // not a union of two selects: the union form plants the pairs subtree
@@ -319,6 +320,39 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Size-gated driver fast path, decided from a REAL count of the
+    // materialized edge set (the cost-based call an optimizer can't make
+    // for us). A dup-pair graph is CANDIDATE-sized, not corpus-sized —
+    // at the small/medium end the iterative loop's per-round fixed cost
+    // (two jobs per round) dwarfs the actual work, and a driver
+    // union-find over ≤ `driverEdgeLimit` edges (~32 MB at the default
+    // cap) answers in one collect. Web-scale dup graphs blow past the
+    // cap and take the distributed loop below; both paths produce the
+    // identical (id, min-id component) labeling, spec-pinned.
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && edges.count() <= driverEdgeLimit) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // Union by min id, so every root IS its component's min.
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val labels = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      edges.unpersist()
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return labels.toDF("id", "component")
+    }
     // Every round MUST cut lineage (localCheckpoint), not merely persist:
     // the round-N plan references round-N-1 twice (next-labels join +
     // convergence check), so an uncut logical plan doubles per round and

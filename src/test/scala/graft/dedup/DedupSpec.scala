@@ -42,9 +42,22 @@ class DedupSpec extends SparkSuite {
   test("connected components converges on a 13-node chain (diameter 12)") {
     import spark.implicits._
     val pairs = (1L until 13L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs)
+    // driverEdgeLimit = 0 forces the DISTRIBUTED label-prop loop — this
+    // test exists to pin the loop's convergence, not the fast path.
+    val got = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 13 && got.values.forall(_ == 1L))
+  }
+
+  test("driver union-find fast path equals the distributed loop") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 6L), (9L, 8L), (8L, 5L))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
   }
 
   test("star CC matches label propagation on a mixed component graph") {
