@@ -154,6 +154,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))
       )
     )
+    e.injectFunction(
+      (
+        new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_zorder"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[ZOrder].getName, "graft_zorder"),
+        (exprs: Seq[Expression]) => ZOrder(exprs.head, exprs(1))
+      )
+    )
     // Whole-operator rewrite: window-rank-filter idiom → bounded-heap
     // TopKPerKey (rule + the strategy that plans its logical node).
     e.injectOptimizerRule(_ => graft.plans.TopKRewrite)

@@ -424,6 +424,45 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** Z-order (Morton) layout key over (user_id, value_cents) — the
+    * custom codegen [[graft.functions.ZOrder]] expression exercised as a
+    * query: per event type, exact count / min / max / bit_xor of the
+    * interleaved key. bit_xor is order-insensitive, so the checksum pins
+    * every single z-value without any float or ordering discipline. In a
+    * real layout job the same expression feeds
+    * `sortWithinPartitions(col("z"))` before a bucketed/partitioned
+    * write, making parquet row-group min/max selective for box
+    * predicates on BOTH dimensions. */
+  def zorderStats(s: SparkSession, d: String): DataFrame = {
+    graft.functions.ZOrder.register(s)
+    events(s, d)
+      .filter(col("event_type").isNotNull)
+      .withColumn(
+        "z",
+        expr("graft_zorder(user_id & 2147483647, " +
+          "CAST(round(value * 100, 0) AS BIGINT) & 2147483647)"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min("z").as("z_min"),
+        max("z").as("z_max"),
+        expr("bit_xor(z)").as("z_xor"))
+      .orderBy("event_type")
+  }
+
+  def zorderStatsOracle: String = {
+    val z = graft.functions.ZOrder.oracleInterleaveSql(
+      "(user_id & 2147483647)",
+      "(CAST(round(value * 100, 0) AS BIGINT) & 2147483647)")
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       | CAST(min(z) AS BIGINT) AS z_min,
+       | CAST(max(z) AS BIGINT) AS z_max,
+       | CAST(bit_xor(z) AS BIGINT) AS z_xor
+       |FROM (SELECT event_type, $z AS z FROM events
+       |      WHERE event_type IS NOT NULL)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   /** Map-function family: per-user event-type counts assembled into a MAP
     * column (map_from_entries over a sorted entry list — sorted so the
     * map's internal order is deterministic), then consumed with
