@@ -191,4 +191,24 @@ object StreamingQueries {
       |WHERE session_idx < (SELECT max(session_idx) FROM agg b
       |                     WHERE b.user_id = a.user_id)
       |ORDER BY user_id, session_idx""".stripMargin
+
+  /** Stream-static enrichment through the real runtime
+    * ([[StreamingOps.staticEnrich]]): the events stream joined per batch
+    * to the static nation dimension (user_id % 25 → nationkey), complete
+    * mode — the stateless streaming join every enrichment pipeline
+    * starts with. */
+  def streamStaticEnrich(s: SparkSession, d: String): DataFrame = {
+    val dim = s.read.parquet(s"$d/nation.parquet")
+      .select("n_nationkey", "n_name")
+    val agg = StreamingOps.staticEnrich(
+      StreamingOps.readEvents(s, eventsStreamDir(d)), dim)
+    runToMemory(s, agg, OutputMode.Complete(), "graft_stream_enrich")
+      .orderBy("nation")
+  }
+
+  def streamStaticEnrichOracle: String =
+    """SELECT n.n_name AS nation, count(*) AS n_events,
+      | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+      |GROUP BY 1 ORDER BY nation""".stripMargin
 }

@@ -114,6 +114,22 @@ object StreamingOps {
         col("view_event_id"), col("click_ts"), col("view_ts"))
   }
 
+  /** Stream-static join: per-row enrichment of an unbounded stream with
+    * a (broadcastable) dimension table, aggregated per dimension row.
+    * The static side holds NO streaming state — it is re-planned into
+    * each micro-batch like any batch relation — which is why
+    * stream-static is always preferred over stream-stream when one side
+    * is a table. Complete-mode aggregation makes the final result
+    * batching-invariant (oracle-checkable). */
+  def staticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withColumn("nation_key", col("user_id") % 25)
+      .join(dim, col("nation_key") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+
   case class SessionState(start: Long, last: Long, n: Long, idx: Long)
   case class ClosedSession(
       user_id: Long, session_idx: Long, n_events: Long,
