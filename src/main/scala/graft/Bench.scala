@@ -113,7 +113,10 @@ object Bench {
     // to truncation in round 3's driver capture).
     val worst5 = results.collect { case (k, v, true) => (k, v) }
       .sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      // math.rint + Double.toString, NOT printf %.3f: printf is
+      // locale-sensitive (comma decimals under de_DE etc.) and would
+      // emit unparseable JSON in exactly the line meant to stay parseable.
+      .map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
     val nOk = results.count(_._3)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nOk,"worst5":$worst5,"failed":$failed,"n_breaches":${breaches.size},"sf":"$sfDir"}""")

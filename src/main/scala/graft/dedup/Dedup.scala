@@ -325,9 +325,12 @@ object Dedup {
     // for us). A dup-pair graph is CANDIDATE-sized, not corpus-sized —
     // at the small/medium end the iterative loop's per-round fixed cost
     // (two jobs per round) dwarfs the actual work, and a driver
-    // union-find over ≤ `driverEdgeLimit` edges (~32 MB at the default
-    // cap) answers in one collect. Web-scale dup graphs blow past the
-    // cap and take the distributed loop below; both paths produce the
+    // union-find over ≤ `driverEdgeLimit` edges answers in one pass.
+    // toLocalIterator streams partitions (never all rows at once) and the
+    // parent map holds ≤ 2·limit boxed entries (~150 MB at the default
+    // cap — sized for the standard 4g driver, not a minimal one; lower
+    // the cap on small drivers). Web-scale dup graphs blow past the cap
+    // and take the distributed loop below; both paths produce the
     // identical (id, min-id component) labeling, spec-pinned.
     val longIds = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
@@ -340,7 +343,7 @@ object Dedup {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.collect().foreach { row =>
+      edges.toLocalIterator().forEachRemaining { row =>
         val a = row.getLong(0); val b = row.getLong(1)
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val ra = find(a); val rb = find(b)
@@ -525,7 +528,11 @@ object Dedup {
     val maybe = corpus
       .filter(probe)
       .join(drops.select(col(idCol)), Seq(idCol), "left_anti")
-    corpus.filter(!probe).unionByName(maybe)
+    // A null id can never be on the drop list (anti-join semantics: null
+    // matches nothing), so null-id rows are definite keeps — routed with
+    // the bloom-negative branch, where a bare `!probe` (null) would
+    // silently drop them.
+    corpus.filter(col(idCol).isNull || !probe).unionByName(maybe)
   }
 
   // -------------------------------------------------------------------------
@@ -837,8 +844,12 @@ object Dedup {
       minDocs: Long = 2L
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // toks feeds BOTH the span explode and the final n_tokens join —
+    // checkpointed so the corpus is scanned and split exactly once (the
+    // md5-heavy spans frame below is separately materialized for ITS two
+    // consumers; re-deriving it from toks would re-hash every window).
     val toks = df.select(col(idCol).as("id"), words(col(textCol)).as("wd"))
-    // Two consumers (df flags, join-back) — materialize once.
+      .localCheckpoint(true)
     val spans = toks
       .select(col("id"), explode(posShingles(col("wd"), w)).as("ps"))
       .select(col("id"), col("ps.pos").as("pos"), hash60(col("ps.s")).as("fp"))

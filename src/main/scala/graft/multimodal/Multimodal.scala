@@ -189,9 +189,13 @@ object Multimodal {
       imageIoInit
       it.map { item =>
         val img =
+          // NonFatal, not just IOException: malformed-but-recognized
+          // containers make ImageIO plugin readers throw CMMException /
+          // IndexOutOfBounds / NegativeArraySize — a corrupt blob must
+          // become an ok=false row, never a job failure.
           try javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(item.content))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null)
           ImageFeatures(item.mediaId, ok = false, -1, -1, 0.0, 0.0, 0.0, "")
         else {
@@ -302,8 +306,9 @@ object Multimodal {
               fmt.getChannels, n.toLong, maxAbs, sumSq, zc)
           }
         } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException |
-              _: java.io.IOException =>
+          // NonFatal for the same reason as imageFeatures: a malformed
+          // WAV header can throw beyond the two documented exceptions.
+          case scala.util.control.NonFatal(_) =>
             AudioFeatures(item.mediaId, ok = false, 0, 0, 0L, 0L, 0L, 0L)
         }
       }

@@ -35,11 +35,14 @@ object StreamingQueries {
     * directory yields null columns), so the single events parquet file is
     * copied to a per-sfDir temp dir once. */
   private def eventsStreamDir(sfDir: String): String = {
-    // Key the cache dir by the FULL path (URL-encoded — collision-free),
-    // not a 32-bit hash, and refresh the copy whenever the source's
-    // size or mtime differs — regenerated test data at the same path must
-    // never be read stale.
-    val tag = java.net.URLEncoder.encode(sfDir, "UTF-8")
+    // Key the cache dir by a 128-bit digest of the FULL path
+    // (collision-safe, unlike the old 32-bit hash; fixed-length, unlike
+    // URL-encoding, which can blow past NAME_MAX on long paths), and
+    // refresh the copy whenever the source's size or mtime differs —
+    // regenerated test data at the same path must never be read stale.
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val dir = Paths.get(
       sys.props("java.io.tmpdir"), s"graft-stream-$tag", "events")
     Files.createDirectories(dir)

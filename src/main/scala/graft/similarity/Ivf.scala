@@ -237,6 +237,7 @@ object Ivf {
       centroidIds: Seq[Long],
       iters: Int
   ): DataFrame = {
+    require(iters >= 1, s"lloydInt needs at least one iteration, got $iters")
     val spark = corpus.sparkSession
     import spark.implicits._
     val q = corpus.select(
