@@ -315,6 +315,56 @@ object Multimodal {
     }
   }
 
+  case class ResizedImage(
+      mediaId: Long,
+      ok: Boolean,
+      width: Int,
+      height: Int,
+      content: Array[Byte]
+  )
+
+  /** REAL image resize: decode with ImageIO, nearest-neighbor sample to
+    * (w, h) — the SAME deterministic sampler as [[imageFeatures]]'s
+    * thumbnail (`sx = tx·srcW / w`), never an AWT scaler whose filtering
+    * varies by JVM — and re-encode as lossless PNG. Per partition, blob
+    * in / blob out, no shuffle; undecodable blobs yield ok=false with
+    * empty content. The resize-then-decode round trip is bit-exact
+    * (spec-pinned), which is what makes the op auditable at all. */
+  def resizeImages(
+      items: Dataset[MediaItem], w: Int, h: Int): Dataset[ResizedImage] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      imageIoInit
+      it.map { item =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(item.content))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null)
+          ResizedImage(item.mediaId, ok = false, -1, -1, Array.emptyByteArray)
+        else {
+          val sw = img.getWidth; val sh = img.getHeight
+          val rgb = new Array[Byte](w * h * 3)
+          var ty = 0
+          while (ty < h) {
+            val sy = ty * sh / h
+            var tx = 0
+            while (tx < w) {
+              val p = img.getRGB(tx * sw / w, sy)
+              val o = (ty * w + tx) * 3
+              rgb(o) = ((p >> 16) & 0xff).toByte
+              rgb(o + 1) = ((p >> 8) & 0xff).toByte
+              rgb(o + 2) = (p & 0xff).toByte
+              tx += 1
+            }
+            ty += 1
+          }
+          ResizedImage(item.mediaId, ok = true, w, h, encodePng(w, h, rgb))
+        }
+      }
+    }
+  }
+
   /** int16 mono samples → real WAV bytes (PCM16 little-endian), via the
     * JVM's own writer. WAV PCM is lossless, so `audioFeatures ∘ encodeWav`
     * recovers the input samples exactly — the property the synthetic

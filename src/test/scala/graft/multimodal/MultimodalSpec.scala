@@ -116,6 +116,31 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("resizeImages round-trips exact nearest-neighbor pixels") {
+    import spark.implicits._
+    val docs = Seq((3L, "hello world")).toDF("doc_id", "text")
+    val items = Multimodal.syntheticPngCorpus(docs, "doc_id", "text")
+    val resized = Multimodal.resizeImages(items, 4, 4).collect().head
+    assert(resized.ok && resized.width == 4 && resized.height == 4)
+    // Decode the resized PNG and compare every pixel against the same
+    // nearest-neighbor sample computed from the source image directly.
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(items.collect().head.content))
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.content))
+    for (ty <- 0 until 4; tx <- 0 until 4) {
+      val expected = src.getRGB(
+        tx * src.getWidth / 4, ty * src.getHeight / 4) & 0xffffff
+      assert((out.getRGB(tx, ty) & 0xffffff) == expected, s"($tx,$ty)")
+    }
+    // Garbage blobs degrade to ok=false, never a job failure.
+    val bad = Multimodal.resizeImages(
+      Seq(Multimodal.MediaItem(9L, Array[Byte](9, 9),
+        Multimodal.MediaMeta("image", 0, 0, 0L, "png"))).toDS(), 4, 4)
+      .collect().head
+    assert(!bad.ok && bad.content.isEmpty)
+  }
+
   test("wav encode -> audioFeatures recovers exact sample statistics") {
     import spark.implicits._
     // Known samples: max abs 300, sum of squares exact, 4 sign changes.

@@ -65,6 +65,34 @@ class BpeSpec extends SparkSuite {
     assert(got("abab") == 3L) // a + ba + b? no: a,b,a,b -> a,(ba),b
   }
 
+  test("property: expression encode equals reference on random corpora") {
+    import spark.implicits._
+    // Random corpora over an alphabet including the characters most
+    // likely to break a string-fold encoder: space, underscore (the
+    // trainer's own join char is NOT underscore — symbols are raw),
+    // quote, regex metachars.
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcXY '_.$*"
+    def randTok(): String =
+      (0 to rnd.nextInt(7))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (0 until 5).foreach { round =>
+      val corpus = (0 until 30).map(_ => (randTok(), 1L + rnd.nextInt(5)))
+      val merges = Bpe.trainMerges(corpus, 12)
+      val toks = (0 until 50).map(_ => randTok()).distinct
+      val got = toks.toDF("tok")
+        .withColumn("enc", Bpe.encodeExpr(col("tok"), merges))
+        .withColumn("n", Bpe.subwordCount(col("enc")))
+        .as[(String, String, Long)].collect()
+      got.foreach { case (tok, enc, n) =>
+        val ref = refEncode(tok, merges)
+        assert(enc == ref.map(s => Bpe.Sep + s + Bpe.Sep).mkString,
+          s"round $round token '$tok' merges $merges")
+        assert(n == ref.length.toLong)
+      }
+    }
+  }
+
   test("training on a tiny hand corpus produces the expected merges") {
     // "aa" x3, "ab" x1: pair (a,a) count 3 beats (a,b) count 1; after
     // merging, no adjacent pairs remain except inside "ab".
