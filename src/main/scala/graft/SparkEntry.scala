@@ -97,6 +97,7 @@ object SparkEntry {
     "q_session_window" -> (EventQueries.sessionWindowBatch _),
     "q_zorder" -> (EventQueries.zorderStats _),
     "q_stream_enrich" -> (StreamingQueries.streamStaticEnrich _),
+    "q_audio_segments" -> (PipelineQueries.audioSegments _),
     "q_semantic_dedup" -> (PipelineQueries.semanticDedup _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
@@ -422,6 +423,7 @@ object SparkEntry {
     "q_session_window" -> EventQueries.sessionWindowBatchOracle,
     "q_zorder" -> EventQueries.zorderStatsOracle,
     "q_stream_enrich" -> StreamingQueries.streamStaticEnrichOracle,
+    "q_audio_segments" -> PipelineQueries.audioSegmentsOracle,
     "q_semantic_dedup" -> PipelineQueries.semanticDedupOracle,
     "q_setop_funnel" ->
       """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),

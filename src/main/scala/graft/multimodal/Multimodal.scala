@@ -365,6 +365,68 @@ object Multimodal {
     }
   }
 
+  case class AudioSegment(
+      mediaId: Long,
+      segmentIdx: Int,
+      nSamples: Long,
+      maxAbs: Long,
+      sumSq: Long
+  )
+
+  /** Audio segmentation — the audio twin of video frame sampling: decode
+    * a WAV blob once, split its sample sequence into `nSegments` equal
+    * spans (boundary j·n/k, the same integer arithmetic as frame
+    * sampling), and emit per-segment exact integer statistics. flatMap
+    * shape: blob never shuffled, one small row per segment; undecodable
+    * or non-PCM16 blobs contribute zero rows (they are surfaced by
+    * [[audioFeatures]]' ok=false path, not silently here, so a pipeline
+    * composes `audioFeatures` for auditing with `segmentAudio` for
+    * features). */
+  def segmentAudio(
+      items: Dataset[MediaItem], nSegments: Int): Dataset[AudioSegment] = {
+    import items.sparkSession.implicits._
+    require(nSegments >= 1, s"need nSegments >= 1, got $nSegments")
+    items.flatMap { item =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(item.content))
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        ais.close()
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) Seq.empty
+        else {
+          val be = fmt.isBigEndian
+          val n = bytes.length / 2
+          def sample(j: Int): Int = {
+            val b0 = bytes(2 * j) & 0xff; val b1 = bytes(2 * j + 1) & 0xff
+            val raw = if (be) (b0 << 8) | b1 else (b1 << 8) | b0
+            if (raw >= 32768) raw - 65536 else raw
+          }
+          (0 until nSegments).flatMap { k =>
+            val lo = k.toLong * n / nSegments
+            val hi = (k + 1).toLong * n / nSegments
+            if (hi <= lo) Seq.empty
+            else {
+              var sumSq = 0L; var maxAbs = 0L
+              var j = lo.toInt
+              while (j < hi) {
+                val v = sample(j)
+                sumSq += v.toLong * v
+                val a = math.abs(v.toLong); if (a > maxAbs) maxAbs = a
+                j += 1
+              }
+              Seq(AudioSegment(item.mediaId, k, hi - lo, maxAbs, sumSq))
+            }
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => Seq.empty
+      }
+    }
+  }
+
   /** int16 mono samples → real WAV bytes (PCM16 little-endian), via the
     * JVM's own writer. WAV PCM is lossless, so `audioFeatures ∘ encodeWav`
     * recovers the input samples exactly — the property the synthetic

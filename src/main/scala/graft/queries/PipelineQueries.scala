@@ -1064,6 +1064,46 @@ object PipelineQueries {
       |    j -> (s[j] >= 0) <> (s[j - 1] >= 0))) AS BIGINT) AS zero_crossings
       |FROM sm ORDER BY media_id""".stripMargin
 
+  val AudioSegments = 4
+
+  /** Audio segmentation over the synthetic WAV corpus
+    * ([[graft.multimodal.Multimodal.segmentAudio]]): per blob, decode
+    * once, split into [[AudioSegments]] equal spans, exact integer stats
+    * per span — the audio twin of frame sampling, oracle-checked through
+    * the same md5-chain construction as `q_audio_decode`. */
+  def audioSegments(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .segmentAudio(
+        graft.multimodal.Multimodal.syntheticWavCorpus(
+          documents(s, d).select("doc_id", "text"), "doc_id", "text"),
+        AudioSegments)
+      .toDF()
+      .select(
+        col("mediaId").as("media_id"),
+        col("segmentIdx").as("segment_idx"),
+        col("nSamples").as("n_samples"),
+        col("maxAbs").as("max_abs"),
+        col("sumSq").as("sum_sq"))
+      .orderBy("media_id", "segment_idx")
+
+  def audioSegmentsOracle: String =
+    s"""WITH sm AS (
+       |  SELECT doc_id, 64 + doc_id % 65 AS n,
+       |    [CASE WHEN v >= 32768 THEN v - 65536 ELSE v END FOR v IN
+       |      [CAST('0x' || substr(md5(text || ':' || CAST(j // 8 AS VARCHAR)), 1 + 4 * (j % 8), 2) AS BIGINT)
+       |       + 256 * CAST('0x' || substr(md5(text || ':' || CAST(j // 8 AS VARCHAR)), 3 + 4 * (j % 8), 2) AS BIGINT)
+       |       FOR j IN range(0, CAST(64 + doc_id % 65 AS BIGINT))]] AS s
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id, k, (k * n) // $AudioSegments AS lo,
+       |    ((k + 1) * n) // $AudioSegments AS hi, s
+       |  FROM (SELECT doc_id, n, s, unnest(range(0, $AudioSegments)) AS k FROM sm))
+       |SELECT doc_id AS media_id, CAST(k AS INTEGER) AS segment_idx,
+       |  CAST(hi - lo AS BIGINT) AS n_samples,
+       |  CAST(list_max(list_transform(s[lo + 1 : hi], x -> abs(x))) AS BIGINT) AS max_abs,
+       |  CAST(list_sum(list_transform(s[lo + 1 : hi], x -> x * x)) AS BIGINT) AS sum_sq
+       |FROM seg WHERE hi > lo ORDER BY media_id, segment_idx""".stripMargin
+
   /** REAL image decode (javax.imageio) as an oracle-checked query. The
     * corpus is [[graft.multimodal.Multimodal.syntheticPngCorpus]]: real
     * PNG blobs whose pixel bytes are an md5 chain of the document text
