@@ -318,6 +318,11 @@ object Dedup {
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // Null ids carry no connectivity. Dropping them HERE keeps the two
+      // paths equivalent: the driver fast path's getLong would NPE on a
+      // null, while the distributed loop's joins would drop null-keyed
+      // edges silently — divergent behavior on the same input.
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Size-gated driver fast path, decided from a REAL count of the
@@ -493,46 +498,105 @@ object Dedup {
   // Drop-list application
   // -------------------------------------------------------------------------
 
+  /** Max Bloom size [[applyDropList]] will build: 2^27 bits = 16 MiB.
+    * The merged filter travels driver → every task as a literal, so it
+    * must stay broadcast-sized; at [[DropListBitsPerKey]] bits/key the cap
+    * covers ~13M drop ids before the Bloom branch stops paying. */
+  val DropListMaxBits: Int = 1 << 27
+
+  /** Target bits per drop id (k=5 double-hashing → ~1% FPR at 10). */
+  val DropListBitsPerKey: Int = 10
+
+  /** Filter size for a drop list of `nDrops` ids, or None when no filter
+    * of ≤ `maxBits` can prune usefully (a saturated Bloom answers "maybe"
+    * for every key: both branches still produce exact results, but the
+    * definite-keep scan prunes nothing and the extra corpus pass is pure
+    * waste — better to go straight to the anti-join). Power-of-two sized,
+    * floored at [[graft.functions.Bloom.DefaultNumBits]] so tiny drop
+    * lists keep the comfortable default. */
+  private[graft] def dropListBloomBits(
+      nDrops: Long,
+      bitsPerKey: Int = DropListBitsPerKey,
+      maxBits: Int = DropListMaxBits
+  ): Option[Int] = {
+    if (nDrops > maxBits.toLong / bitsPerKey) None
+    else {
+      val want = math.max(
+        graft.functions.Bloom.DefaultNumBits.toLong, nDrops * bitsPerKey)
+      var bits = graft.functions.Bloom.DefaultNumBits
+      while (bits < want && bits < maxBits) bits <<= 1
+      Some(bits)
+    }
+  }
+
   /** Anti-join a dedup drop list off a corpus, scale-safely.
     *
     * A fuzzy-dedup drop list is O(duplicate documents) — on a web-scale
     * crawl with 30–50% dup mass that is billions of ids, far past any
     * broadcast threshold, so forcing `broadcast(drops)` ORs the driver at
     * scale. Instead:
-    *   1. the drop ids fold into a FIXED-SIZE (128 KiB) Bloom filter via a
-    *      distributed aggregate ([[graft.functions.BloomBuildAgg]]) — the
-    *      driver receives the merged filter, never the ids;
-    *   2. definite keeps (`!bloom_might_contain`, the vast majority of the
+    *   1. the drop list is counted (one cheap keys-only job — callers
+    *      hand in a materialized drop list) and a Bloom filter is SIZED
+    *      FROM THAT COUNT ([[dropListBloomBits]]: ~10 bits/key, power of
+    *      two, capped at 16 MiB) — a fixed-size filter would saturate at
+    *      web-scale drop counts and prune nothing while still costing the
+    *      definite-keep scan;
+    *   2. the drop ids fold into that filter via a distributed aggregate
+    *      ([[graft.functions.BloomBuildAgg]]) — the driver receives the
+    *      merged filter, never the ids;
+    *   3. definite keeps (`!bloom_might_contain`, the vast majority of the
     *      corpus) pass straight through in the SCAN stage — no join, no
     *      shuffle, for most of the data;
-    *   3. only Bloom-positive rows (true drops + ≲0.1% false positives)
+    *   4. only Bloom-positive rows (true drops + ~1% false positives)
     *      enter a plain anti-join backstop whose broadcast-vs-shuffle
     *      choice is left to Spark's size-threshold planning — never a
     *      forced broadcast.
-    * Results are exact at any scale (Bloom's superset property only
-    * prunes the definite-keep branch). The corpus is scanned by both
-    * branches, but each scan is column-pruned and the probe is a codegen'd
-    * filter in the scan stage — two pruned scans beat one full-corpus
-    * shuffle by orders of magnitude at 100 TB.
+    * When the observed count exceeds what the capped filter can usefully
+    * distinguish, the Bloom branch is SKIPPED entirely and the whole
+    * corpus takes the single shuffled anti-join — one corpus scan beats
+    * two when the filter would answer "maybe" everywhere. Results are
+    * exact on every path (Bloom's superset property only prunes the
+    * definite-keep branch).
     */
   def applyDropList(
       corpus: DataFrame,
       drops: DataFrame,
       idCol: String
+  ): DataFrame =
+    applyDropListSized(corpus, drops, idCol, DropListBitsPerKey, DropListMaxBits)
+
+  /** [[applyDropList]] with the sizing knobs exposed — the spec drives
+    * `maxBits` down to force the saturation branch on test-sized data. */
+  private[graft] def applyDropListSized(
+      corpus: DataFrame,
+      drops: DataFrame,
+      idCol: String,
+      bitsPerKey: Int,
+      maxBits: Int
   ): DataFrame = {
-    graft.functions.Bloom.register(corpus.sparkSession)
-    val filterBytes = drops
-      .agg(call_function("bloom_agg", col(idCol)))
-      .head().getAs[Array[Byte]](0)
-    val probe = call_function("bloom_might_contain", col(idCol), lit(filterBytes))
-    val maybe = corpus
-      .filter(probe)
-      .join(drops.select(col(idCol)), Seq(idCol), "left_anti")
-    // A null id can never be on the drop list (anti-join semantics: null
-    // matches nothing), so null-id rows are definite keeps — routed with
-    // the bloom-negative branch, where a bare `!probe` (null) would
-    // silently drop them.
-    corpus.filter(col(idCol).isNull || !probe).unionByName(maybe)
+    val dropKeys = drops.select(col(idCol))
+    dropListBloomBits(dropKeys.count(), bitsPerKey, maxBits) match {
+      case None =>
+        // Saturation regime: the anti-join alone (Spark's planner picks
+        // broadcast vs shuffle from its own size stats; at this
+        // cardinality it will be a shuffled hash/SMJ anti-join).
+        corpus.join(dropKeys, Seq(idCol), "left_anti")
+      case Some(numBits) =>
+        graft.functions.Bloom.register(corpus.sparkSession)
+        val filterBytes = dropKeys
+          .agg(call_function("bloom_agg_sized", col(idCol), lit(numBits)))
+          .head().getAs[Array[Byte]](0)
+        val probe =
+          call_function("bloom_might_contain", col(idCol), lit(filterBytes))
+        val maybe = corpus
+          .filter(probe)
+          .join(dropKeys, Seq(idCol), "left_anti")
+        // A null id can never be on the drop list (anti-join semantics:
+        // null matches nothing), so null-id rows are definite keeps —
+        // routed with the bloom-negative branch, where a bare `!probe`
+        // (null) would silently drop them.
+        corpus.filter(col(idCol).isNull || !probe).unionByName(maybe)
+    }
   }
 
   // -------------------------------------------------------------------------

@@ -83,11 +83,22 @@ object Bloom {
     Array.fill(bytes.length / 8)(bb.getLong)
   }
 
-  /** Register both functions (idempotent). `bloom_agg(key)` →
-    * binary; `bloom_might_contain(key, filterBytes)` → boolean. */
+  /** Register the functions (idempotent). `bloom_agg(key)` →
+    * binary; `bloom_agg_sized(key, numBits)` → binary with an explicit
+    * power-of-two filter size (numBits must be a foldable int literal —
+    * it sizes the aggregation buffer, so it cannot vary per row);
+    * `bloom_might_contain(key, filterBytes)` → boolean. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_agg", exprs => BloomBuildAgg(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg_sized", exprs => BloomBuildAgg(exprs.head,
+        numBits = exprs(1).eval(null) match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long    => l.intValue()
+          case other => throw new IllegalArgumentException(
+            s"bloom_agg_sized numBits must be an int literal, got $other")
+        }), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain",
       exprs => BloomMightContain(exprs.head, exprs(1)), "built-in")

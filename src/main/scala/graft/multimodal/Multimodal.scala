@@ -280,7 +280,13 @@ object Multimodal {
           val fmt = ais.getFormat
           val bytes = ais.readAllBytes()
           ais.close()
+          // Mono-only, like the PCM16 gate: the loop below treats the byte
+          // stream as one flat sample sequence, so on stereo input
+          // nSamples would count frames×channels and zeroCrossings would
+          // count sign changes across interleaved L/R — wrong-but-plausible
+          // stats. Refuse (ok=false) rather than mislead.
           if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getChannels != 1 ||
             fmt.getEncoding !=
               javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
             AudioFeatures(item.mediaId, ok = false, 0, 0, 0L, 0L, 0L, 0L)
@@ -393,7 +399,10 @@ object Multimodal {
         val fmt = ais.getFormat
         val bytes = ais.readAllBytes()
         ais.close()
+        // Same mono gate as audioFeatures — interleaved stereo would make
+        // the per-span stats mix channels silently.
         if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getChannels != 1 ||
           fmt.getEncoding !=
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) Seq.empty
         else {

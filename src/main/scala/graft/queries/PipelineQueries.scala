@@ -742,11 +742,13 @@ object PipelineQueries {
     * near-dup pairs → components → keep min id per component → anti-join
     * the drop list off the corpus. The drop list grows with corpus dup
     * mass (30–50% of a web crawl), so it is applied via
-    * [[Dedup.applyDropList]]: a fixed-size Bloom filter passes definite
-    * keeps through in the scan stage with no shuffle, and only
-    * Bloom-positive rows reach the exactness anti-join — whose
-    * broadcast-vs-shuffle choice is left to Spark's size threshold, never
-    * forced. */
+    * [[Dedup.applyDropList]]: a Bloom filter SIZED FROM THE OBSERVED drop
+    * count (the localCheckpoint below materializes the list, so the count
+    * is a cheap cached-keys job) passes definite keeps through in the
+    * scan stage with no shuffle, and only Bloom-positive rows reach the
+    * exactness anti-join — whose broadcast-vs-shuffle choice is left to
+    * Spark's size threshold, never forced. Past the 16 MiB filter cap the
+    * Bloom branch is skipped for a single shuffled anti-join. */
   def dedupKeeplist(s: SparkSession, d: String): DataFrame = {
     val pairs = Dedup
       .minhashDuplicates(documents(s, d), "doc_id", "text",

@@ -48,9 +48,14 @@ object StreamingQueries {
     Files.createDirectories(dir)
     val src = Paths.get(s"$sfDir/events.parquet")
     val dst = dir.resolve("events.parquet")
+    // Millisecond-truncated mtime comparison: tmp filesystems may keep a
+    // coarser timestamp granularity than the source FS, so COPY_ATTRIBUTES
+    // truncates the nanos and an exact FileTime equality would be
+    // permanently false — re-copying the parquet on every call.
     val fresh = Files.exists(dst) &&
       Files.size(dst) == Files.size(src) &&
-      Files.getLastModifiedTime(dst) == Files.getLastModifiedTime(src)
+      Files.getLastModifiedTime(dst).toMillis ==
+        Files.getLastModifiedTime(src).toMillis
     if (!fresh)
       // COPY_ATTRIBUTES carries the source mtime so the check above is
       // a pure source-vs-copy comparison, not copy-time bookkeeping.

@@ -60,6 +60,62 @@ class DedupSpec extends SparkSuite {
     assert(fast == dist)
   }
 
+  test("null-id edges are dropped identically on both CC paths") {
+    import spark.implicits._
+    // A null id carries no connectivity; before the shared filter the
+    // driver fast path NPE'd on getLong while the distributed loop's
+    // joins dropped the edge silently — divergent paths, same input.
+    val pairs = Seq(
+      (Option(1L), Option(2L)), (Option(2L), Option(3L)),
+      (None: Option[Long], Option(9L)), (Option(9L), None: Option[Long]),
+      (Option(7L), Option(6L))
+    ).toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 6L -> 6L, 7L -> 6L)
+    val fast = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == expected)
+    assert(dist == expected)
+  }
+
+  test("drop-list bloom is sized from the observed drop count") {
+    import graft.functions.Bloom
+    // Tiny lists keep the comfortable default …
+    assert(Dedup.dropListBloomBits(0L).contains(Bloom.DefaultNumBits))
+    assert(Dedup.dropListBloomBits(1000L).contains(Bloom.DefaultNumBits))
+    // … a 1M-id list grows to the next power of two covering 10 bits/key …
+    assert(Dedup.dropListBloomBits(1000000L).contains(1 << 24))
+    // … and past maxBits/bitsPerKey the filter would saturate (FP → 1,
+    // zero pruning for an extra corpus scan) so no filter is built.
+    val cap = Dedup.DropListMaxBits.toLong / Dedup.DropListBitsPerKey
+    assert(Dedup.dropListBloomBits(cap).nonEmpty)
+    assert(Dedup.dropListBloomBits(cap + 1).isEmpty)
+  }
+
+  test("applyDropList picks bloom-gated vs plain anti-join by drop count") {
+    import spark.implicits._
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold a
+    // deterministic filter over a LocalTableScan away at optimization
+    // time and the probe would never appear in the executed plan string.
+    val corpus = spark.range(100).toDF("id")
+    val drops = Seq(3L, 5L, 7L).toDF("id")
+    val expected = (0L until 100L).filterNot(Set(3L, 5L, 7L))
+    val gated = Dedup.applyDropList(corpus, drops, "id")
+    assert(gated.queryExecution.executedPlan.toString
+      .contains("bloom_might_contain"),
+      "small drop list must take the bloom-gated path")
+    assert(gated.collect().map(_.getLong(0)).sorted.toSeq == expected)
+    // maxBits=16 makes even 3 drop ids "too many" (16/10 = 1) — the
+    // saturation branch must skip the bloom entirely and still be exact.
+    val plain = Dedup.applyDropListSized(
+      corpus, drops, "id", bitsPerKey = 10, maxBits = 16)
+    assert(!plain.queryExecution.executedPlan.toString
+      .contains("bloom_might_contain"),
+      "saturated regime must not build a useless filter")
+    assert(plain.collect().map(_.getLong(0)).sorted.toSeq == expected)
+  }
+
   test("star CC matches label propagation on a mixed component graph") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 6L), (9L, 8L), (8L, 5L))

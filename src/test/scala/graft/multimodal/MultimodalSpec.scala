@@ -162,6 +162,25 @@ class MultimodalSpec extends SparkSuite {
     assert(!feats(1).ok)
   }
 
+  test("stereo wav is refused (ok=false) instead of mixing channels") {
+    import spark.implicits._
+    // The flat-sample loop would count frames×channels and sign changes
+    // across interleaved L/R — wrong-but-plausible stats — so non-mono
+    // input must take the ok=false path, same as non-PCM16.
+    val frames = 8
+    val data = new Array[Byte](frames * 4) // 2 ch × 2 bytes, all zeros
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val items = Seq(Multimodal.MediaItem(1L, bos.toByteArray,
+      Multimodal.MediaMeta("audio", 0, 0, 0L, "wav"))).toDS()
+    assert(!Multimodal.audioFeatures(items).collect().head.ok)
+    assert(Multimodal.segmentAudio(items, 2).collect().isEmpty)
+  }
+
   test("synthetic wav corpus decodes to the documented md5-chain samples") {
     import spark.implicits._
     val docs = Seq((3L, "hello world")).toDF("doc_id", "text")
