@@ -77,7 +77,7 @@ object SparkEntry {
     "q_minhash_signatures" -> (PipelineQueries.minhashSignatures _),
     "q_curation_verdict" -> (PipelineQueries.curationVerdict _),
     "q_media_features" -> (PipelineQueries.mediaFeatures _),
-    "q_frame_sample" -> (PipelineQueries.frameSample _),
+    "q_frame_decode" -> (PipelineQueries.frameDecode _),
     "q_image_decode" -> (PipelineQueries.imageDecode _),
     "q_dedup_keeplist" -> (PipelineQueries.dedupKeeplist _),
     "q_sim_topk_q8" -> (PipelineQueries.simTopKQ8 _),
@@ -398,7 +398,7 @@ object SparkEntry {
     "q_minhash_signatures" -> PipelineQueries.minhashSignaturesOracle,
     "q_curation_verdict" -> PipelineQueries.curationVerdictOracle,
     "q_media_features" -> PipelineQueries.mediaFeaturesOracle,
-    "q_frame_sample" -> PipelineQueries.frameSampleOracle,
+    "q_frame_decode" -> PipelineQueries.frameDecodeOracle,
     "q_image_decode" -> PipelineQueries.imageDecodeOracle,
     "q_tfidf_topk" -> TextQueries.tfidfTopTermsOracle(),
     "q_bm25" -> TextQueries.bm25Oracle(),

@@ -552,6 +552,166 @@ object Multimodal {
       }
   }
 
+  // -------------------------------------------------------------------------
+  // Real multi-frame decode (animated GIF via javax.imageio — the one
+  // multi-frame container the JVM can decode offline)
+  // -------------------------------------------------------------------------
+
+  /** Per-frame features from a REAL multi-frame decode. Integer-only
+    * statistics (pixel sum / sum of squares over the 8-bit gray values),
+    * so the row is bit-deterministic on any JVM — no float-parity caveats
+    * at all. */
+  case class FrameFeatures(
+      mediaId: Long,
+      frameIdx: Int,
+      width: Int,
+      height: Int,
+      sumGray: Long,
+      sumSqGray: Long
+  )
+
+  /** Identity 256-entry grayscale palette (index v → RGB (v,v,v)). GIF is
+    * palette-indexed, so writing TYPE_BYTE_INDEXED pixels against this
+    * palette is LOSSLESS — the property that makes the multi-frame decode
+    * oracle-checkable, exactly like PNG for [[imageFeatures]] (an RGB
+    * source would be color-quantized by the writer and nothing would be
+    * bit-exact). */
+  private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** `nFrames` full-size grayscale frames (each `w*h` bytes, row-major) →
+    * real animated-GIF bytes via the JVM's own ImageIO sequence writer.
+    * Each frame is written as a complete image block (no inter-frame
+    * delta/disposal tricks), so `read(i)` on the decode side returns
+    * exactly frame i as encoded. */
+  def encodeAnimatedGif(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    imageIoInit
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { px =>
+      require(px.length == w * h, s"need ${w * h} bytes, got ${px.length}")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val raster = img.getRaster
+      var y = 0; var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, px(i) & 0xff); i += 1; x += 1 }
+        y += 1
+      }
+      // Interlacing OFF: the JDK writer defaults to interlaced frames and
+      // its interlace round trip is broken on small heights (rows come
+      // back permuted and the final pass is dropped — observed on
+      // JDK 17: a 5×4 frame loses its last row entirely). Non-progressive
+      // frames round-trip bit-exactly.
+      val p = writer.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), p)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame decode + frame sampling: every `stride`-th frame of
+    * each animated GIF (`ImageReader.getNumImages(true)` / `read(i)` —
+    * the JDK GIF plugin decodes every frame offline). Decode-once flatMap,
+    * the video twin of [[segmentAudio]]: the blob is read in its scan
+    * partition, never shuffled, and each sampled frame emits one small
+    * integer-stats row. Undecodable or single-image non-GIF blobs yield
+    * zero rows here and are audited via [[imageFeatures]]' ok=false path.
+    *
+    * This retires the stub-codec byte-slice sampling from the declared
+    * surface: frames here are real decoded rasters, bit-exact against the
+    * synthetic corpus oracle ([[syntheticGifCorpus]]). */
+  def gifFrames(
+      items: Dataset[MediaItem], stride: Int = 1): Dataset[FrameFeatures] = {
+    import items.sparkSession.implicits._
+    require(stride >= 1, s"need stride >= 1, got $stride")
+    items.flatMap { item =>
+      imageIoInit
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(item.content))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); Seq.empty }
+        else {
+          val reader = readers.next()
+          reader.setInput(iis)
+          try {
+            val n = reader.getNumImages(true)
+            (0 until n by stride).map { i =>
+              val img = reader.read(i)
+              val w = img.getWidth; val h = img.getHeight
+              var sum = 0L; var sumSq = 0L
+              val row = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, row, 0, w)
+                var x = 0
+                while (x < w) {
+                  val v = row(x) & 0xff
+                  sum += v; sumSq += v.toLong * v
+                  x += 1
+                }
+                y += 1
+              }
+              FrameFeatures(item.mediaId, i, w, h, sum, sumSq)
+            }
+          } finally { reader.dispose(); iis.close() }
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => Seq.empty
+      }
+    }
+  }
+
+  /** Synthetic REAL animated-GIF corpus: per source row, dimensions
+    * `w = 6 + id % 5`, `h = 6 + id % 3`, frame count `2 + id % 4`; frame
+    * f's pixel byte j is byte (j mod 16) of
+    * md5(text ++ ":" ++ f ++ ":" ++ (j div 16)) — an md5 chain any engine
+    * can recompute. Indexed-grayscale GIF is lossless, so decoding these
+    * blobs recovers exactly those bytes (`q_frame_decode`). */
+  def syntheticGifCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String
+  ): Dataset[MediaItem] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val w = (6 + id % 5).toInt
+          val h = (6 + id % 3).toInt
+          val nf = (2 + id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            val n = w * h
+            val px = new Array[Byte](n)
+            var c = 0; var o = 0
+            while (o < n) {
+              val dg = md.digest((s"$text:$f:$c").getBytes("UTF-8"))
+              var k = 0
+              while (k < 16 && o < n) { px(o) = dg(k); k += 1; o += 1 }
+              c += 1
+            }
+            px
+          }
+          MediaItem(id, encodeAnimatedGif(w, h, frames),
+            MediaMeta("video", w, h, nf * 100L, "gif"))
+        }
+      }
+  }
+
   /** Demo/test source: fabricate a binary corpus from the documents table
     * (UTF-8 bytes as the "blob"), with plausible metadata. Real
     * deployments read `binaryFile` sources or parquet with a binary

@@ -1004,28 +1004,37 @@ object PipelineQueries {
         col("thumbnailHash").as("thumb_hash"))
       .orderBy("doc_id")
 
-  /** Frame sampling through the real multimodal plumbing: stub "frames"
-    * are deterministic byte-range slices (StubCodec.sampleFrames), so the
-    * oracle reproduces them with substr arithmetic — the frame-id packing
-    * ((mediaId << 20) + i), slice bounds, and per-frame digests are all
-    * checked. everyMs=1000 with durationMs = n_chars·10 gives
-    * max(1, n_chars/100) frames per doc.
-    *
-    * Parity caveat: the Spark side slices UTF-8 BYTES while the oracle's
-    * substr/length are per-character — equivalent only because the
-    * fixture corpus is ASCII (the same assumption mediaFeaturesOracle's
-    * ord()/substr() walk already relies on). A multi-byte corpus would
-    * need a DuckDB BLOB-slicing twin instead. */
-  def frameSample(s: SparkSession, d: String): DataFrame =
+  /** Stride of the declared frame-sampling query: every 2nd frame — the
+    * query demonstrates SAMPLING a real multi-frame decode, not just
+    * decoding everything. */
+  val FrameStride = 2
+
+  /** REAL multi-frame video-style decode + frame sampling as an
+    * oracle-checked query (this replaced the round-4 stub-codec
+    * `q_frame_sample`). The corpus is
+    * [[graft.multimodal.Multimodal.syntheticGifCorpus]]: real animated
+    * GIFs whose grayscale frame pixels are an md5 chain of the document
+    * text (frame f, byte j = byte (j mod 16) of
+    * md5(text ++ ":" ++ f ++ ":" ++ (j div 16))). Indexed-grayscale GIF
+    * is lossless, so `gifFrames` must recover exactly those bytes —
+    * DuckDB recomputes the per-frame integer pixel sums straight from the
+    * chain, checking the encode→multi-frame-decode round trip bit-for-bit
+    * on every sampled frame. */
+  def frameDecode(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal
-      .sampleFrames(
-        graft.multimodal.Multimodal.mediaFromDocuments(s, d), everyMs = 1000L)
+      .gifFrames(
+        graft.multimodal.Multimodal.syntheticGifCorpus(
+          documents(s, d).select("doc_id", "text"), "doc_id", "text"),
+        stride = FrameStride)
       .toDF()
       .select(
-        col("mediaId").as("frame_id"),
-        length(col("content")).cast("long").as("n_bytes"),
-        md5(col("content")).as("frame_md5"))
-      .orderBy("frame_id")
+        col("mediaId").as("media_id"),
+        col("frameIdx").as("frame_idx"),
+        col("width"),
+        col("height"),
+        col("sumGray").as("sum_gray"),
+        col("sumSqGray").as("sum_sq_gray"))
+      .orderBy("media_id", "frame_idx")
 
   /** REAL audio decode (javax.sound.sampled) as an oracle-checked query.
     * The corpus is [[graft.multimodal.Multimodal.syntheticWavCorpus]]:
@@ -1148,19 +1157,21 @@ object PipelineQueries {
       |  floor(CAST(sb AS DOUBLE) / (w * h) * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS mean_b
       |FROM s ORDER BY media_id""".stripMargin
 
-  def frameSampleOracle: String =
-    """WITH m AS (
-      |  SELECT doc_id, text, length(text) AS len,
-      |    greatest(1, (n_chars * 10) // 1000) AS n
-      |  FROM documents),
-      |fr AS (SELECT doc_id, text, len, n, unnest(range(0, n)) AS i FROM m),
-      |sl AS (
-      |  SELECT doc_id * 1048576 + i AS frame_id,
-      |    substr(text, CAST(len * i // n AS BIGINT) + 1,
-      |      CAST(greatest(len * (i + 1) // n - len * i // n, 1) AS BIGINT)) AS fb
-      |  FROM fr)
-      |SELECT frame_id, CAST(length(fb) AS BIGINT) AS n_bytes, md5(fb) AS frame_md5
-      |FROM sl ORDER BY frame_id""".stripMargin
+  def frameDecodeOracle: String =
+    s"""WITH fr AS (
+       |  SELECT doc_id, text, 6 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+       |    unnest(range(0, 2 + doc_id % 4)) AS f
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, f, w, h,
+       |    [CAST('0x' || substr(md5(text || ':' || CAST(f AS VARCHAR) || ':' || CAST(j // 16 AS VARCHAR)), 1 + 2 * (j % 16), 2) AS BIGINT)
+       |     FOR j IN range(0, w * h)] AS b
+       |  FROM fr WHERE f % $FrameStride = 0)
+       |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+       |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  CAST(list_sum(b) AS BIGINT) AS sum_gray,
+       |  CAST(list_sum(list_transform(b, x -> x * x)) AS BIGINT) AS sum_sq_gray
+       |FROM px ORDER BY media_id, frame_idx""".stripMargin
 
   /** Generated twin of the Scala byte walk. Float parity: the entropy
     * terms are subtracted LEFT-TO-RIGHT in bucket order with ln(p)/ln(2),

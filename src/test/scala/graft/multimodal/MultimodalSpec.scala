@@ -141,6 +141,61 @@ class MultimodalSpec extends SparkSuite {
     assert(!bad.ok && bad.content.isEmpty)
   }
 
+  test("animated gif encode -> gifFrames recovers every frame exactly") {
+    import spark.implicits._
+    // Indexed-grayscale GIF is lossless, so the multi-frame decode must
+    // return the exact per-frame integer stats of the encoded pixels.
+    val w = 5; val h = 4
+    val frames = Seq(
+      Array.tabulate[Byte](w * h)(i => i.toByte),
+      Array.tabulate[Byte](w * h)(i => (255 - i).toByte),
+      Array.fill[Byte](w * h)(7.toByte))
+    val gif = Multimodal.encodeAnimatedGif(w, h, frames)
+    val items = Seq(Multimodal.MediaItem(1L, gif,
+      Multimodal.MediaMeta("video", w, h, 300L, "gif"))).toDS()
+    val got = Multimodal.gifFrames(items).collect().sortBy(_.frameIdx)
+    assert(got.length == 3)
+    got.zip(frames).zipWithIndex.foreach { case ((g, f), i) =>
+      val vals = f.map(_ & 0xff)
+      assert(g.frameIdx == i && g.width == w && g.height == h)
+      assert(g.sumGray == vals.map(_.toLong).sum, s"frame $i sum")
+      assert(g.sumSqGray == vals.map(v => v.toLong * v).sum, s"frame $i sumSq")
+    }
+    // stride=2 samples frames 0 and 2 only.
+    val sampled = Multimodal.gifFrames(items, stride = 2).collect()
+      .map(_.frameIdx).sorted
+    assert(sampled.toSeq == Seq(0, 2))
+    // Garbage blobs contribute zero rows, never a job failure.
+    val bad = Seq(Multimodal.MediaItem(2L, Array[Byte](1, 2, 3),
+      Multimodal.MediaMeta("video", 0, 0, 0L, "gif"))).toDS()
+    assert(Multimodal.gifFrames(bad).collect().isEmpty)
+  }
+
+  test("synthetic gif corpus decodes to the documented md5-chain frames") {
+    import spark.implicits._
+    val docs = Seq((3L, "hello world")).toDF("doc_id", "text")
+    val got = Multimodal
+      .gifFrames(Multimodal.syntheticGifCorpus(docs, "doc_id", "text"))
+      .collect().sortBy(_.frameIdx)
+    val w = 6 + 3 % 5; val h = 6 + 3 % 3; val nf = 2 + 3 % 4
+    assert(got.length == nf)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nf).foreach { f =>
+      val n = w * h
+      val px = new Array[Int](n)
+      var c = 0; var o = 0
+      while (o < n) {
+        val dg = md.digest(s"hello world:$f:$c".getBytes("UTF-8"))
+        var k = 0
+        while (k < 16 && o < n) { px(o) = dg(k) & 0xff; k += 1; o += 1 }
+        c += 1
+      }
+      assert(got(f).width == w && got(f).height == h)
+      assert(got(f).sumGray == px.map(_.toLong).sum, s"frame $f")
+      assert(got(f).sumSqGray == px.map(v => v.toLong * v).sum, s"frame $f")
+    }
+  }
+
   test("wav encode -> audioFeatures recovers exact sample statistics") {
     import spark.implicits._
     // Known samples: max abs 300, sum of squares exact, 4 sign changes.
