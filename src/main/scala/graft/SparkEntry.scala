@@ -132,7 +132,8 @@ object SparkEntry {
     "q_redact_pii" -> (TextQueries.redactPii _),
     "q_split_assign" -> (TextQueries.splitAssign _),
     "q_token_ids" -> (TextQueries.tokenIds _),
-    "q_token_bpe_merges" -> (TextQueries.tokenBpeMerges _)
+    "q_token_bpe_merges" -> (TextQueries.tokenBpeMerges _),
+    "q_token_bpe_512" -> (TextQueries.tokenBpe512 _)
   )
 
   /** DuckDB oracle SQL, column-name- and type-aligned with [[queries]]. */
@@ -649,6 +650,7 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_bpe_merges" -> TextQueries.tokenBpeMergesOracle,
+    "q_token_bpe_512" -> TextQueries.tokenBpe512Oracle,
     "q_dup_clusters" -> PipelineQueries.dupClustersOracle,
     "q_word_repetition" ->
       """WITH cnt AS (

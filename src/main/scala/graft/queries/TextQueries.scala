@@ -165,12 +165,16 @@ object TextQueries {
       .orderBy("doc_id")
 
   /** Real BPE token counting with the frozen learned merges table
-    * ([[graft.textanalysis.Bpe.MergesV1]]) — the upgrade over
-    * [[tokenBpe]]'s pre-tokenizer-only count. Scale shape: the iterative
-    * merge fold runs once per DISTINCT token type (Zipf: types ≪
-    * occurrences), then joins back to the per-(doc, token) counts — the
-    * corpus-wide path is one explode + two keyed aggs, no per-occurrence
-    * re-encoding. */
+    * ([[graft.textanalysis.Bpe.MergesWordFull]] — the full 127-merge
+    * saturation table the word corpus supports) — the upgrade over
+    * [[tokenBpe]]'s pre-tokenizer-only count. Scale shape: the merge fold
+    * runs once per DISTINCT token type (Zipf: types ≪ occurrences), then
+    * joins back to the per-(doc, token) counts — the corpus-wide path is
+    * one explode + two keyed aggs, no per-occurrence re-encoding. The
+    * table is past [[graft.textanalysis.Bpe.ExprMergeLimit]], so the
+    * per-type encode takes the scalable priority-merge `encodeLocal`
+    * path (broadcast ranks, `mapPartitions`) instead of a 127-deep
+    * chained-replace expression. */
   def tokenBpeMerges(s: SparkSession, d: String): DataFrame = {
     import graft.textanalysis.Bpe
     val tok = documents(s, d).select(
@@ -178,10 +182,8 @@ object TextQueries {
       explode(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
         .as("tok"))
     val perDoc = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("n_occ"))
-    val types = perDoc.select("tok").distinct()
-      .withColumn(
-        "n_sub",
-        Bpe.subwordCount(Bpe.encodeExpr(col("tok"), Bpe.MergesV1)))
+    val types = Bpe.subwordCountsForTypes(
+      perDoc.select("tok").distinct(), "tok", Bpe.MergesWordFull)
     perDoc.join(types, Seq("tok"))
       .groupBy("doc_id")
       .agg(
@@ -191,20 +193,66 @@ object TextQueries {
   }
 
   /** DuckDB oracle for [[tokenBpeMerges]]: the IDENTICAL merge fold,
-    * generated from the same frozen merges table, applied per token
-    * occurrence (the oracle needs no distinct-type optimization). */
+    * generated from the same frozen merges table, chunked into a CTE
+    * chain (16 merges per level) so expression nesting stays bounded, and
+    * applied per DISTINCT type exactly like the Spark side. */
   def tokenBpeMergesOracle: String = {
     import graft.textanalysis.Bpe
-    val nSub = Bpe.oracleSubwordCountSql(
-      Bpe.oracleEncodeSql("tok", Bpe.MergesV1))
+    val (ctes, last) = Bpe.oracleEncodeCtesSql("types", Bpe.MergesWordFull)
+    val nSub = Bpe.oracleSubwordCountSql("enc")
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(regexp_extract_all(text, '$BpePattern')) AS tok
        |  FROM documents),
-       |enc AS (SELECT doc_id, $nSub AS n_sub FROM tok)
+       |types AS (SELECT DISTINCT tok FROM tok),
+       |$ctes
+       |cnts AS (SELECT tok, $nSub AS n_sub FROM $last)
        |SELECT doc_id,
        | CAST(count(*) AS BIGINT) AS n_tokens,
        | CAST(sum(n_sub) AS BIGINT) AS n_subwords
-       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM tok JOIN cnts USING (tok)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Production-scale BPE: the 512-merge frozen table
+    * ([[graft.textanalysis.Bpe.Merges512Hex]]) over the high-entropy
+    * md5-hex chunk stream (the 61-word fixture vocabulary saturates
+    * word-level training at 127 merges, so a ≥512-merge table needs the
+    * derived stream — deterministic, so DuckDB recomputes it exactly).
+    * Same distinct-type + join-back shape as [[tokenBpeMerges]]; the
+    * encode is the priority-merge `encodeLocal` path — a 512-deep
+    * expression fold would blow codegen. */
+  def tokenBpe512(s: SparkSession, d: String): DataFrame = {
+    import graft.textanalysis.Bpe
+    val tok = Bpe.hexTokenStream(documents(s, d))
+    val perDoc = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("n_occ"))
+    val types = Bpe.subwordCountsForTypes(
+      perDoc.select("tok").distinct(), "tok", Bpe.Merges512Hex)
+    perDoc.join(types, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("n_occ")).as("n_tokens"),
+        sum(col("n_occ") * col("n_sub")).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[tokenBpe512]]: the identical 512-merge fold as
+    * a 32-level CTE chain over the recomputed hex stream. */
+  def tokenBpe512Oracle: String = {
+    import graft.textanalysis.Bpe
+    val chunks = (0 until Bpe.HexChunksPerDoc)
+      .map(i => s"md5(text || ':$i')").mkString(", ")
+    val (ctes, last) = Bpe.oracleEncodeCtesSql("types", Bpe.Merges512Hex)
+    val nSub = Bpe.oracleSubwordCountSql("enc")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest([$chunks]) AS tok FROM documents),
+       |types AS (SELECT DISTINCT tok FROM tok),
+       |$ctes
+       |cnts AS (SELECT tok, $nSub AS n_sub FROM $last)
+       |SELECT doc_id,
+       | CAST(count(*) AS BIGINT) AS n_tokens,
+       | CAST(sum(n_sub) AS BIGINT) AS n_subwords
+       |FROM tok JOIN cnts USING (tok)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Word-repetition stats (Gopher-style repetition quality signal): per

@@ -28,6 +28,87 @@ class BpeSpec extends SparkSuite {
     assert(Bpe.trainMergesFromCorpus(docs, 24) == Bpe.MergesV1)
   }
 
+  test("frozen MergesWordFull is the trainer's full saturation table") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    // Asking for 512 stops at saturation — every type a single symbol.
+    val trained = Bpe.trainMergesFromCorpus(docs, 512)
+    assert(trained == Bpe.MergesWordFull)
+    assert(trained.size == 127, s"saturation moved: ${trained.size}")
+  }
+
+  test("frozen Merges512Hex is what the trainer produces on the hex stream") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val trained = Bpe.trainMergesFromTokens(
+      Bpe.hexTokenStream(docs).select("tok"), 512)
+    assert(trained == Bpe.Merges512Hex)
+    assert(trained.size == 512)
+  }
+
+  test("every frozen table is training-consistent (encodeLocal precondition)") {
+    assert(Bpe.isTrainingConsistent(Bpe.MergesV1))
+    assert(Bpe.isTrainingConsistent(Bpe.MergesWordFull))
+    assert(Bpe.isTrainingConsistent(Bpe.Merges512Hex))
+    // A table whose input symbol was never produced is rejected.
+    assert(!Bpe.isTrainingConsistent(Seq(("ab", "c"))))
+  }
+
+  test("encodeLocal equals the sequential reference on all frozen tables") {
+    // Corpus word types under the word tables; hex types under the hex
+    // table — every (token, table) pair the declared queries encode.
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    import spark.implicits._
+    val wordToks = docs
+      .select(explode(regexp_extract_all(
+        col("text"),
+        lit(graft.queries.TextQueries.BpePattern), lit(0))).as("tok"))
+      .distinct().as[String].collect()
+    val hexToks = Bpe.hexTokenStream(docs)
+      .select("tok").distinct().as[String].collect()
+    for ((toks, merges) <- Seq(
+        (wordToks, Bpe.MergesV1),
+        (wordToks, Bpe.MergesWordFull),
+        (hexToks, Bpe.Merges512Hex))) {
+      val idx = merges.toIndexedSeq
+      val ranks = idx.zipWithIndex.toMap
+      toks.foreach { tok =>
+        assert(Bpe.encodeLocal(tok, idx, ranks) == refEncode(tok, merges),
+          s"token '$tok' (${merges.size} merges)")
+      }
+    }
+  }
+
+  test("subwordCountsForTypes picks the right path and both agree with the spec") {
+    import spark.implicits._
+    // A 512-deep chained-replace Column tree is not merely slow — the
+    // analyzer's ColumnNode conversion overflows the stack (verified),
+    // which is WHY tables past ExprMergeLimit must take the
+    // priority-merge path. Both paths are pinned here against the
+    // sequential reference encoder at the DataFrame level.
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(Bpe.Merges512Hex.size > Bpe.ExprMergeLimit)
+    assert(Bpe.MergesV1.size <= Bpe.ExprMergeLimit)
+    val hexTypes = Bpe.hexTokenStream(docs).select("tok").distinct().limit(64)
+    val viaTrie = Bpe.subwordCountsForTypes(hexTypes, "tok", Bpe.Merges512Hex)
+      .as[(String, Long)].collect().toMap
+    assert(viaTrie.nonEmpty)
+    viaTrie.foreach { case (tok, n) =>
+      assert(n == refEncode(tok, Bpe.Merges512Hex).length.toLong,
+        s"trie path, token '$tok'")
+    }
+    val wordTypes = docs
+      .select(explode(regexp_extract_all(
+        col("text"),
+        lit(graft.queries.TextQueries.BpePattern), lit(0))).as("tok"))
+      .distinct()
+    val viaExpr = Bpe.subwordCountsForTypes(wordTypes, "tok", Bpe.MergesV1)
+      .as[(String, Long)].collect().toMap
+    assert(viaExpr.nonEmpty)
+    viaExpr.foreach { case (tok, n) =>
+      assert(n == refEncode(tok, Bpe.MergesV1).length.toLong,
+        s"expression path, token '$tok'")
+    }
+  }
+
   test("expression encode equals the reference encoder on every corpus type") {
     import spark.implicits._
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
@@ -84,11 +165,17 @@ class BpeSpec extends SparkSuite {
         .withColumn("enc", Bpe.encodeExpr(col("tok"), merges))
         .withColumn("n", Bpe.subwordCount(col("enc")))
         .as[(String, String, Long)].collect()
+      val idx = merges.toIndexedSeq
+      val ranks = idx.zipWithIndex.toMap
       got.foreach { case (tok, enc, n) =>
         val ref = refEncode(tok, merges)
         assert(enc == ref.map(s => Bpe.Sep + s + Bpe.Sep).mkString,
           s"round $round token '$tok' merges $merges")
         assert(n == ref.length.toLong)
+        // Trained tables are training-consistent by construction, so the
+        // priority-merge encoder must agree too.
+        assert(Bpe.encodeLocal(tok, idx, ranks) == ref,
+          s"round $round token '$tok' encodeLocal vs ref")
       }
     }
   }
