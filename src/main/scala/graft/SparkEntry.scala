@@ -85,6 +85,7 @@ object SparkEntry {
     "q_stream_join" -> (StreamingQueries.streamJoin _),
     "q_stream_dedup_keys" -> (StreamingQueries.streamDedupKeys _),
     "q_stream_sessions" -> (StreamingQueries.streamSessions _),
+    "q_stream_sessions_ooo" -> (StreamingQueries.streamSessionsOoo _),
     "q_lang_centroid" -> (PipelineQueries.langCentroid _),
     "q_ivf_topk" -> (PipelineQueries.ivfTopK _),
     "q_kmeans_train" -> (PipelineQueries.kmeansTrain _),
@@ -411,6 +412,7 @@ object SparkEntry {
     "q_stream_hourly" -> StreamingQueries.streamHourlyOracle,
     "q_stream_dedup_keys" -> StreamingQueries.streamDedupKeysOracle,
     "q_stream_sessions" -> StreamingQueries.streamSessionsOracle,
+    "q_stream_sessions_ooo" -> StreamingQueries.streamSessionsOooOracle,
     "q_stream_join" -> StreamingQueries.streamJoinOracle,
     "q_lang_centroid" -> PipelineQueries.langCentroidOracle,
     "q_ivf_topk" -> PipelineQueries.ivfTopKOracle,

@@ -200,6 +200,41 @@ object StreamingQueries {
       |                     WHERE b.user_id = a.user_id)
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Out-of-order-tolerant sessionization through the real runtime
+    * ([[StreamingOps.gapSessionsBuffered]]): per-user event times buffer
+    * in state until the watermark passes them, then fold time-sorted;
+    * sessions close on a later complete event OR on watermark certainty
+    * (EventTimeTimeout). Emits exactly the sessions the FINAL watermark
+    * certifies — `end + gap < wm_final` — which the DuckDB oracle
+    * reproduces as a filter on the batch gap/cumsum sessionizer
+    * (`wm_final = max(ms) - 30min`; a fold-closed session's closing
+    * event t' is itself below wm_final and t' > end + gap, so both
+    * emission paths land in the same restriction). */
+  def streamSessionsOoo(s: SparkSession, d: String): DataFrame = {
+    val sess = StreamingOps.gapSessionsBuffered(
+      s, StreamingOps.readEvents(s, eventsStreamDir(d)))
+    runToMemory(
+      s, sess.toDF(), OutputMode.Append(), "graft_stream_sessions_ooo")
+      .orderBy("user_id", "session_idx")
+  }
+
+  def streamSessionsOooOracle: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+      |wm AS (SELECT max(ms) - 1800000 AS w FROM e),
+      |g AS (SELECT user_id, ms,
+      |  CASE WHEN lag(ms) OVER w IS NULL
+      |         OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+      |s AS (SELECT user_id, ms,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+      |    ROWS UNBOUNDED PRECEDING) AS session_idx FROM g),
+      |agg AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  count(*) AS n_events, min(ms) AS start_ms, max(ms) AS end_ms
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id, session_idx, n_events, start_ms, end_ms
+      |FROM agg, wm WHERE end_ms + 1800000 < w
+      |ORDER BY user_id, session_idx""".stripMargin
+
   /** Stream-static enrichment through the real runtime
     * ([[StreamingOps.staticEnrich]]): the events stream joined per batch
     * to the static nation dimension (user_id % 25 → nationkey), complete

@@ -197,6 +197,101 @@ object StreamingOps {
       }
   }
 
+  /** State for [[gapSessionsBuffered]]: event times not yet proven
+    * complete by the watermark, the currently open session (if any), and
+    * the next session index to assign. Size is bounded by the watermark:
+    * `pending` holds only events within the lateness horizon of the
+    * stream head, so state per user is O(events per horizon), not
+    * O(stream). */
+  case class BufferedSessions(
+      pending: Seq[Long],
+      open: Option[SessionState],
+      nextIdx: Long)
+
+  /** Out-of-order-tolerant gap sessionization — the watermark-buffered
+    * variant that removes [[gapSessions]]' hard time-ordered-source
+    * precondition. Events buffer in per-user state until the watermark
+    * passes them (no event below the watermark can arrive anymore —
+    * later ones are dropped by the engine, the standard lateness
+    * policy), then fold time-sorted through the same gap logic. A
+    * session closes and is emitted either when a later COMPLETE event
+    * exceeds the gap, or when the watermark itself proves no extension
+    * can arrive (`wm > last + gap`) — the latter driven by
+    * `EventTimeTimeout`, so a user with no further traffic still gets
+    * their final session emitted once the watermark passes it.
+    *
+    * Output equals the batch gap/cumsum sessionizer restricted to
+    * sessions the final watermark has certified (StreamingSpec pins this
+    * on a deliberately file-shuffled source — the exact input shape
+    * [[gapSessions]] refuses). Against an unbounded stream every session
+    * is eventually certified; in a finite run, sessions within the last
+    * `gap + delay` of the stream head stay pending (no watermark can
+    * certify them), which is inherent to correct out-of-order handling,
+    * not a defect. [[gapSessions]] remains the cheaper path for sources
+    * with a per-user time-ordered delivery guarantee (no buffer, no
+    * timeout bookkeeping). */
+  def gapSessionsBuffered(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMs: Long = 1800000L,
+      watermarkDelay: String = "30 minutes"
+  ): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      // Keep the RAW ts column through to the stateful operator: the
+      // event-time attribute must survive in its input schema for the
+      // engine's late-row filter to apply — projecting ts through
+      // unix_millis would strip the watermark metadata and let
+      // below-watermark stragglers into the fold.
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BufferedSessions, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(BufferedSessions(Nil, None, 1L))
+          // New rows are ≥ the previous batch's watermark (older ones were
+          // dropped by the engine), and everything folded so far is < that
+          // watermark — so folding the now-complete events after the open
+          // session can never regress time.
+          val all = (prev.pending ++ rows.map(_._2.getTime)).sorted
+          val (complete, still) = all.partition(_ < wm)
+          var st = prev.open.orNull
+          var nextIdx = prev.nextIdx
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          for (t <- complete) {
+            if (st == null) { st = SessionState(t, t, 1L, nextIdx) }
+            else if (t - st.last > gapMs) {
+              out += ClosedSession(userId, st.idx, st.n, st.start, st.last)
+              nextIdx = st.idx + 1L
+              st = SessionState(t, t, 1L, nextIdx)
+            } else st = st.copy(last = t, n = st.n + 1L)
+          }
+          // Watermark-certain close: any future event has ts ≥ wm, so
+          // wm > last + gap means nothing can extend this session.
+          if (st != null && st.last + gapMs < wm) {
+            out += ClosedSession(userId, st.idx, st.n, st.start, st.last)
+            nextIdx = st.idx + 1L
+            st = null
+          }
+          if (st == null && still.isEmpty && nextIdx == 1L) state.remove()
+          else {
+            state.update(BufferedSessions(still, Option(st), nextIdx))
+            // Earliest moment new information becomes actionable: a
+            // pending event completing, or the open session becoming
+            // watermark-certain. Must exceed the current watermark.
+            val candidates =
+              Option(st).map(_.last + gapMs + 1L).toSeq ++
+                (if (still.nonEmpty) Seq(still.min + 1L) else Nil)
+            if (candidates.nonEmpty)
+              state.setTimeoutTimestamp(math.max(candidates.min, wm + 1L))
+          }
+          out.iterator
+      }
+  }
+
   case class UserRunState(runCount: Long, lastType: Option[String])
   case class RunChange(userId: Long, runIndex: Long, eventType: String)
 

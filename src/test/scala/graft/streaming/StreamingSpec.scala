@@ -313,6 +313,106 @@ class StreamingSpec extends SparkSuite {
       s"expected the time-ordered precondition failure, got: $ex")
   }
 
+  test("buffered gap sessions: shuffled file order equals the batch sessionizer") {
+    import spark.implicits._
+    // The input shape gapSessions REFUSES: later files carry earlier
+    // events. The watermark-buffered variant must absorb it and emit
+    // exactly the batch gap/cumsum sessionization. Times in minutes;
+    // gap 30 min. Expected sessions —
+    //   u1: [0,10,20] [120,130] [600]   u2: [5] [50,60]
+    val mm = 60000L
+    // Times sit a day up from epoch 0: the watermark clamps at 0, and an
+    // event AT the clamp would be filtered as late before the state op.
+    val base = 24 * 60L
+    def ev(id: Long, user: Long, min: Long) = (id, user, (base + min) * mm)
+    val all = Seq(
+      ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 20), ev(4, 1, 120),
+      ev(5, 1, 130), ev(6, 1, 600),
+      ev(7, 2, 5), ev(8, 2, 50), ev(9, 2, 60))
+    // Shuffle across files: file 0 holds LATE-session events, earlier
+    // ones arrive in later files; a sentinel file pushes the final
+    // watermark past every session's certainty point (wm is global, so
+    // one sentinel row is enough): maxTs + delay + gap + margin.
+    val delayMin = 12 * 60L
+    val sentinel = ev(99, 999999L, 600 + delayMin + 30 + 10)
+    val files = Seq(
+      Seq(all(3), all(8)),            // u1@120, u2@60
+      Seq(all(0), all(1), all(6)),    // u1@0, u1@10, u2@5
+      Seq(all(4), all(2), all(7)),    // u1@130, u1@20, u2@50
+      Seq(all(5)),                    // u1@600
+      Seq(sentinel))
+    val d = java.nio.file.Files.createTempDirectory("events_buf")
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val stage = java.nio.file.Files.createTempDirectory("buf_stage")
+      rows.toDF("event_id", "user_id", "ms")
+        .select(col("event_id"), (col("ms") * 1000L).as("ts"),
+          col("user_id"), lit("view").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, d.resolve(s"events_$i.parquet"))
+    }
+    val stream = spark.readStream
+      .schema(StreamingOps.eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(d.toString)
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val got = runToMemory(
+      StreamingOps.gapSessionsBuffered(
+        spark, stream, watermarkDelay = s"$delayMin minutes").toDF,
+      "sess_buffered")
+      .collect()
+      .filter(_.getLong(0) != 999999L) // sentinel user never certifies
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    val expected = Set(
+      (1L, 1L, 3L, (base + 0L) * mm, (base + 20L) * mm),
+      (1L, 2L, 2L, (base + 120L) * mm, (base + 130L) * mm),
+      (1L, 3L, 1L, (base + 600L) * mm, (base + 600L) * mm),
+      (2L, 1L, 1L, (base + 5L) * mm, (base + 5L) * mm),
+      (2L, 2L, 2L, (base + 50L) * mm, (base + 60L) * mm))
+    assert(got == expected, s"got $got")
+  }
+
+  test("buffered gap sessions equal the certified batch sessions on the real corpus") {
+    // Exact contract on the real events table: buffered output ==
+    // the batch gap/cumsum sessionization restricted to sessions the
+    // FINAL watermark certifies (end + gap < wm_final). A session closed
+    // by a later event t' has end + gap < t' < wm_final, so fold-closed
+    // sessions are certified too — the restriction captures both
+    // emission paths exactly.
+    import spark.implicits._
+    val gapMs = 1800000L
+    val buffered = runToMemory(
+      StreamingOps.gapSessionsBuffered(
+        spark, StreamingOps.readEvents(spark, streamDir)).toDF,
+      "sess_buf_twin")
+      .collect().map(_.toSeq).toSet
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+    val wmFinal = ev.agg(max("ms")).head().getLong(0) - 1800000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ms")
+    val batch = ev
+      .withColumn("prev", lag("ms", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ms") - col("prev") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("idx", sum("new_s").over(
+        w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "idx")
+      .agg(count(lit(1)).as("n"), min("ms").as("lo"), max("ms").as("hi"))
+      .filter(col("hi") + gapMs < wmFinal)
+      .select("user_id", "idx", "n", "lo", "hi")
+      .collect().map(_.toSeq).toSet
+    assert(buffered.nonEmpty)
+    assert(buffered == batch,
+      s"only-buffered=${buffered -- batch} only-batch=${batch -- buffered}")
+  }
+
   test("gap sessions match the batch sessionizer minus final open sessions") {
     import spark.implicits._
     val got = runToMemory(
