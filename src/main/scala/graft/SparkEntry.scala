@@ -88,6 +88,7 @@ object SparkEntry {
     "q_stream_sessions_ooo" -> (StreamingQueries.streamSessionsOoo _),
     "q_lang_centroid" -> (PipelineQueries.langCentroid _),
     "q_ivf_topk" -> (PipelineQueries.ivfTopK _),
+    "q_ivf_trained_topk" -> (PipelineQueries.ivfTrainedTopK _),
     "q_kmeans_train" -> (PipelineQueries.kmeansTrain _),
     "q_dup_spans" -> (PipelineQueries.dupSpans _),
     "q_domain_quota" -> (TextQueries.domainQuota _),
@@ -416,6 +417,7 @@ object SparkEntry {
     "q_stream_join" -> StreamingQueries.streamJoinOracle,
     "q_lang_centroid" -> PipelineQueries.langCentroidOracle,
     "q_ivf_topk" -> PipelineQueries.ivfTopKOracle,
+    "q_ivf_trained_topk" -> PipelineQueries.ivfTrainedTopKOracle,
     "q_kmeans_train" -> PipelineQueries.kmeansTrainOracle,
     "q_dup_spans" -> PipelineQueries.dupSpansOracle,
     "q_domain_quota" -> TextQueries.domainQuotaOracle,

@@ -482,6 +482,83 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** End-to-end TRAINED IVF search ([[graft.similarity.Ivf.trainedTopK]]):
+    * integer Lloyd's training ([[KmeansIters]] iterations from the fixed
+    * seed vectors), trained-cell assignment and probing by exact integer
+    * distance, cosine scoring — the full composition a real user runs,
+    * hash-checked end to end (training was `q_kmeans_train`, fixed-centroid
+    * search was `q_ivf_topk`; this closes the composition gap). */
+  def ivfTrainedTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    graft.similarity.Ivf
+      .trainedTopK(emb, emb.filter(col("vec_id") < NumQueries),
+        IvfCentroidIds, KmeansIters, IvfNProbe, TopK)
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  /** DuckDB twin: the kmeans-train CTE chain (same as
+    * [[kmeansTrainOracle]]) composed with trained-assignment probing and
+    * cosine ranking. */
+  def ivfTrainedTopKOracle: String = {
+    val ids = IvfCentroidIds.mkString(", ")
+    val dist =
+      "list_sum(list_transform(range(1, len(q.qe) + 1), i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, qe AS ce
+         |  FROM q WHERE vec_id IN ($ids))""".stripMargin)
+    for (i <- 1 to KmeansIters) {
+      sb.append(
+        s""",
+           |a$i AS (
+           |  SELECT vec_id, qe, cell FROM (
+           |    SELECT q.vec_id, q.qe, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY $dist ASC, c.cell ASC) AS rn
+           |    FROM q, c${i - 1} c) WHERE rn = 1),
+           |u$i AS (
+           |  SELECT cell, list(CAST(s // n AS BIGINT) ORDER BY pos) AS ce FROM (
+           |    SELECT cell, pos, sum(v) AS s, count(*) AS n FROM (
+           |      SELECT cell, unnest(range(1, len(qe) + 1)) AS pos, unnest(qe) AS v
+           |      FROM a$i)
+           |    GROUP BY cell, pos)
+           |  GROUP BY cell),
+           |c$i AS (
+           |  SELECT p.cell, COALESCE(u.ce, p.ce) AS ce
+           |  FROM c${i - 1} p LEFT JOIN u$i u ON p.cell = u.cell)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |asg AS (
+         |  SELECT a.vec_id, a.cell, q.emb,
+         |    sqrt(list_dot_product(q.emb, q.emb)) AS nrm
+         |  FROM a$KmeansIters a JOIN q ON a.vec_id = q.vec_id),
+         |probes AS (
+         |  SELECT q_vec_id, q_emb, cell,
+         |    sqrt(list_dot_product(q_emb, q_emb)) AS q_nrm FROM (
+         |    SELECT q.vec_id AS q_vec_id, q.emb AS q_emb, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $dist ASC, c.cell ASC) AS rn
+         |    FROM q, c$KmeansIters c WHERE q.vec_id < $NumQueries)
+         |  WHERE rn <= $IvfNProbe),
+         |scored AS (
+         |  SELECT p.q_vec_id, s.vec_id,
+         |    round(list_dot_product(s.emb, p.q_emb) / (s.nrm * p.q_nrm), 6) AS score
+         |  FROM asg s JOIN probes p ON s.cell = p.cell AND s.vec_id <> p.q_vec_id)
+         |SELECT q_vec_id, CAST(rnk AS BIGINT) AS rnk, vec_id, score FROM (
+         |  SELECT q_vec_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM scored) WHERE rnk <= $TopK
+         |ORDER BY q_vec_id, rnk""".stripMargin)
+    sb.toString
+  }
+
   val SemDedupThreshold = 0.35
 
   /** SemDeDup drop list over the embeddings table: cluster with the fixed

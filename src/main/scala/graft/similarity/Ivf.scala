@@ -237,6 +237,35 @@ object Ivf {
       centroidIds: Seq[Long],
       iters: Int
   ): DataFrame = {
+    val (cent, asg) = lloydIntTrain(corpus, centroidIds, iters)
+    val stats = asg.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("id_sum"))
+    cent
+      .join(stats, Seq("cell"), "left")
+      .select(
+        col("cell"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"),
+        expr("aggregate(ce, CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          .as("centroid_sum"))
+      .orderBy("cell")
+  }
+
+  /** Integer-micros L2² between a `qe` vector column and a `ce` centroid
+    * column — the exact distance both Lloyd's and the trained search
+    * rank by. */
+  private val IntDistSql =
+    "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** The training loop of [[lloydInt]], exposed for composition: returns
+    * (final centroid table `(cell, ce)` in integer micros, final
+    * assignment `(vec_id, cell, qe)`). Both are localCheckpoint'ed K-row /
+    * corpus-row frames safe to reuse on both sides of a downstream plan. */
+  def lloydIntTrain(
+      corpus: DataFrame,
+      centroidIds: Seq[Long],
+      iters: Int
+  ): (DataFrame, DataFrame) = {
     require(iters >= 1, s"lloydInt needs at least one iteration, got $iters")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -253,8 +282,7 @@ object Ivf {
       .join(broadcast(cellDf), Seq("vec_id"))
       .select(col("cell"), col("qe").as("ce"))
       .localCheckpoint(true)
-    val distSql =
-      "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    val distSql = IntDistSql
     var asg: DataFrame = null
     for (_ <- 1 to iters) {
       // min(struct(dist, cell, qe)): cell is unique per vec, so the
@@ -282,17 +310,60 @@ object Ivf {
         .select(col("cell"), coalesce(col("ce_new"), col("ce")).as("ce"))
         .localCheckpoint(true)
     }
-    val stats = asg.groupBy("cell")
-      .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("id_sum"))
-    cent
-      .join(stats, Seq("cell"), "left")
-      .select(
-        col("cell"),
-        coalesce(col("n_members"), lit(0L)).as("n_members"),
-        coalesce(col("id_sum"), lit(0L)).as("id_sum"),
-        expr("aggregate(ce, CAST(0 AS BIGINT), (acc, v) -> acc + v)")
-          .as("centroid_sum"))
-      .orderBy("cell")
+    (cent, asg)
+  }
+
+  /** End-to-end TRAINED IVF search — the composition a real user runs:
+    * [[lloydIntTrain]]'s centroids feed cell assignment and probing, then
+    * candidates score with the exact cosine. Every step is deterministic
+    * (integer-micros distances for assignment/probing, the shared
+    * fold-dot-product for scoring, ties to the lowest cell / vec id), so
+    * the WHOLE pipeline — training included — is oracle-checkable, unlike
+    * the seed-dependent MLlib [[build]]+[[searchTopK]] pair it mirrors.
+    *
+    * Scale shape: training's final assignment is REUSED as the corpus
+    * cell map (no extra |corpus|×K pass — one equi-join back to the
+    * double embeddings for scoring); queries rank the K-row broadcast
+    * centroid table and probe `nProbe` cells, so scoring touches
+    * ~nProbe/K of the corpus. */
+  def trainedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroidIds: Seq[Long],
+      iters: Int,
+      nProbe: Int,
+      k: Int
+  ): DataFrame = {
+    Similarity.ensureFunctions(corpus)
+    val dot = Similarity.dotSql _
+    val (cent, asg) = lloydIntTrain(corpus, centroidIds, iters)
+    val c = corpus.select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .join(asg.select("vec_id", "cell"), Seq("vec_id"))
+      .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
+    val probes = queries.select(
+        col("vec_id").as("q_vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q_emb"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("qe"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", expr(IntDistSql))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("q_vec_id")
+            .orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("rn") <= nProbe)
+      .withColumn("q_nrm", expr(s"sqrt(${dot("q_emb", "q_emb")})"))
+      .select("q_vec_id", "q_emb", "q_nrm", "cell")
+    val scored = c
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .withColumn(
+        "score",
+        round(expr(dot("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    Similarity.rankTopK(scored, k)
   }
 
   /** Cosine top-k probing the query's nProbe nearest cells. Queries are

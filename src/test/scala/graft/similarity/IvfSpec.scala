@@ -43,6 +43,24 @@ class IvfSpec extends SparkSuite {
     assert(hits >= 1, s"recall@1 hits=$hits")
   }
 
+  test("trained IVF probing all cells equals exact brute force") {
+    // The composition query (q_ivf_trained_topk) with nProbe = K: after
+    // Lloyd's training the cells partition the corpus, so probing every
+    // cell must reproduce brute-force exactly — training can move
+    // boundaries, never lose vectors.
+    val centroidIds = (0 until 8).map(_ * 37L)
+    val ivf = Ivf.trainedTopK(
+      emb, queries, centroidIds, iters = 3, nProbe = 8, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val exact = Similarity.cosineTopK(emb, queries, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(ivf == exact)
+  }
+
   test("fixed-centroid IVF probing all cells equals exact brute force") {
     val ids = (0 until 8).map(_ * 37L)
     val ivf = Ivf.fixedTopK(emb, queries, ids, nProbe = 8, k = 3)
