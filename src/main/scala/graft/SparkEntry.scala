@@ -79,6 +79,7 @@ object SparkEntry {
     "q_media_features" -> (PipelineQueries.mediaFeatures _),
     "q_frame_decode" -> (PipelineQueries.frameDecode _),
     "q_image_decode" -> (PipelineQueries.imageDecode _),
+    "q_image_resize" -> (PipelineQueries.imageResize _),
     "q_dedup_keeplist" -> (PipelineQueries.dedupKeeplist _),
     "q_sim_topk_q8" -> (PipelineQueries.simTopKQ8 _),
     "q_stream_hourly" -> (StreamingQueries.streamHourly _),
@@ -403,6 +404,7 @@ object SparkEntry {
     "q_media_features" -> PipelineQueries.mediaFeaturesOracle,
     "q_frame_decode" -> PipelineQueries.frameDecodeOracle,
     "q_image_decode" -> PipelineQueries.imageDecodeOracle,
+    "q_image_resize" -> PipelineQueries.imageResizeOracle,
     "q_tfidf_topk" -> TextQueries.tfidfTopTermsOracle(),
     "q_bm25" -> TextQueries.bm25Oracle(),
     "q_lm_score" -> TextQueries.lmScoreOracle,

@@ -247,10 +247,28 @@ object Preprocess {
     }
   }
 
-  /** A4: unique sorted speakers (/root/reference/preprocessor.py:326-342). */
-  def extractSpeakers(ds: Dataset[ProcessedSegment]): Seq[String] = {
+  /** Cap on [[extractSpeakers]]' driver-side collect. Transcripts have a
+    * handful of speakers by nature; a corpus-scale misuse (millions of
+    * distinct "speakers") must fail loudly here, not OOM the driver. */
+  val MaxSpeakers = 100000
+
+  /** A4: unique sorted speakers (/root/reference/preprocessor.py:326-342).
+    * The collect is transcript-scale BY INTENT — guarded by
+    * [[MaxSpeakers]] (checked with a `limit(cap+1)` pre-pass, so the
+    * failing path never materializes more than cap+1 rows on the
+    * driver). For corpus-scale distinct-speaker analytics keep the result
+    * distributed: `ds.select("speaker").distinct()`. */
+  def extractSpeakers(
+      ds: Dataset[ProcessedSegment],
+      cap: Int = MaxSpeakers): Seq[String] = {
     import ds.sparkSession.implicits._
-    ds.select("speaker").distinct().as[String].collect().sorted.toSeq
+    val distinct = ds.select("speaker").distinct()
+    val probe = distinct.limit(cap + 1).count()
+    require(probe <= cap,
+      s"extractSpeakers found > $cap distinct speakers — this is " +
+        "a transcript-scale operator; use the distributed " +
+        "select(\"speaker\").distinct() frame for corpus-scale analytics")
+    distinct.as[String].collect().sorted.toSeq
   }
 
   /** A5: transcript duration (/root/reference/preprocessor.py:344-361). */

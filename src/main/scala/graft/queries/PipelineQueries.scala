@@ -1234,6 +1234,64 @@ object PipelineQueries {
       |  floor(CAST(sb AS DOUBLE) / (w * h) * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS mean_b
       |FROM s ORDER BY media_id""".stripMargin
 
+  /** Resize target of the declared resize query (4×4 — small enough that
+    * the oracle's per-pixel arithmetic stays a 16-element list op). */
+  val ResizeSide = 4
+
+  /** REAL image resize as an oracle-checked query: synthetic md5-chain
+    * PNGs → `resizeImages` (deterministic nearest-neighbor, lossless PNG
+    * re-encode) → `imageFeatures` channel means of the RESIZED pixels.
+    * The composition checks decode → resample → re-encode → decode
+    * bit-for-bit: DuckDB picks the same source pixels by the same
+    * `sx = tx·w // 4` integer arithmetic straight from the md5 chain. */
+  def imageResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mm = graft.multimodal.Multimodal
+    val resized = mm
+      .resizeImages(
+        mm.syntheticPngCorpus(
+          documents(s, d).select("doc_id", "text"), "doc_id", "text"),
+        ResizeSide, ResizeSide)
+      .filter(col("ok"))
+      .map(r => mm.MediaItem(
+        r.mediaId, r.content,
+        mm.MediaMeta("image", r.width, r.height, 0L, "png")))
+    mm.imageFeatures(resized)
+      .toDF()
+      .select(
+        col("mediaId").as("media_id"),
+        col("width"),
+        col("height"),
+        col("meanR").as("mean_r"),
+        col("meanG").as("mean_g"),
+        col("meanB").as("mean_b"))
+      .orderBy("media_id")
+  }
+
+  def imageResizeOracle: String = {
+    val n = ResizeSide * ResizeSide
+    // Source pixel of resized position t (= ty·side + tx):
+    // offset = ((ty·h // side)·w + (tx·w // side))·3, 1-indexed lists.
+    def chan(c: Int) =
+      s"b[(((t // $ResizeSide) * h // $ResizeSide) * w + ((t % $ResizeSide) * w // $ResizeSide)) * 3 + ${c + 1}]"
+    s"""WITH px AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+       |    [CAST('0x' || substr(md5(text || ':' || CAST(j // 16 AS VARCHAR)), 1 + 2 * (j % 16), 2) AS BIGINT)
+       |       FOR j IN range(0, (8 + doc_id % 9) * (8 + doc_id % 7) * 3)] AS b
+       |  FROM documents),
+       |rs AS (SELECT doc_id, w, h, b, unnest(range(0, $n)) AS t FROM px),
+       |ch AS (
+       |  SELECT doc_id, ${chan(0)} AS r, ${chan(1)} AS g, ${chan(2)} AS bl
+       |  FROM rs),
+       |s AS (SELECT doc_id, sum(r) AS sr, sum(g) AS sg, sum(bl) AS sb FROM ch GROUP BY doc_id)
+       |SELECT doc_id AS media_id,
+       |  CAST($ResizeSide AS INTEGER) AS width, CAST($ResizeSide AS INTEGER) AS height,
+       |  floor(CAST(sr AS DOUBLE) / $n * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS mean_r,
+       |  floor(CAST(sg AS DOUBLE) / $n * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS mean_g,
+       |  floor(CAST(sb AS DOUBLE) / $n * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS mean_b
+       |FROM s ORDER BY media_id""".stripMargin
+  }
+
   def frameDecodeOracle: String =
     s"""WITH fr AS (
        |  SELECT doc_id, text, 6 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,

@@ -108,6 +108,21 @@ class PreprocessSpec extends SparkSuite {
     }
   }
 
+  test("extractSpeakers collects transcript-scale sets and refuses corpus-scale ones") {
+    import spark.implicits._
+    val segs = Seq(
+      seg(0, 1, "B", "x", 0), seg(1, 2, "A", "y", 1), seg(2, 3, "C", "z", 2),
+      seg(3, 4, "A", "w", 3)).toDS()
+    assert(Preprocess.extractSpeakers(segs) == Seq("A", "B", "C"))
+    // A cap below the distinct count must fail loudly BEFORE collecting
+    // the full set — the guard against OOMing the driver on a
+    // corpus-scale misuse.
+    val ex = intercept[IllegalArgumentException] {
+      Preprocess.extractSpeakers(segs, cap = 2)
+    }
+    assert(ex.getMessage.contains("distinct speakers"))
+  }
+
   test("limitSegments is applied before preprocessing") {
     val raw = Preprocess.loadTranscript(spark, resourcePath("mini_multi_speaker.json"))
     val out = Preprocess.run(
