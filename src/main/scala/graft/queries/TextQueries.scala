@@ -175,21 +175,27 @@ object TextQueries {
     * per-type encode takes the scalable priority-merge `encodeLocal`
     * path (broadcast ranks, `mapPartitions`) instead of a 127-deep
     * chained-replace expression. */
-  def tokenBpeMerges(s: SparkSession, d: String): DataFrame = {
+  def tokenBpeMerges(s: SparkSession, d: String): DataFrame =
+    tokenBpeMergesDocs(documents(s, d),
+      graft.textanalysis.Bpe.MergesWordFull).orderBy("doc_id")
+
+  /** [[tokenBpeMerges]]'s core over an arbitrary documents frame and
+    * merges table (exposed for the ScaleStress harness). */
+  private[graft] def tokenBpeMergesDocs(
+      docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     import graft.textanalysis.Bpe
-    val tok = documents(s, d).select(
+    val tok = docs.select(
       col("doc_id"),
       explode(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
         .as("tok"))
     val perDoc = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("n_occ"))
     val types = Bpe.subwordCountsForTypes(
-      perDoc.select("tok").distinct(), "tok", Bpe.MergesWordFull)
+      perDoc.select("tok").distinct(), "tok", merges)
     perDoc.join(types, Seq("tok"))
       .groupBy("doc_id")
       .agg(
         sum(col("n_occ")).as("n_tokens"),
         sum(col("n_occ") * col("n_sub")).as("n_subwords"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB oracle for [[tokenBpeMerges]]: the IDENTICAL merge fold,
@@ -422,8 +428,13 @@ object TextQueries {
     * with fewer than two tokens have no transitions and no row (same in
     * the oracle). At web scale the string join keys would be hashed to
     * 60-bit longs pre-shuffle like every dedup key in this repo. */
-  def lmBigram(s: SparkSession, d: String): DataFrame = {
-    val clean = documents(s, d)
+  def lmBigram(s: SparkSession, d: String): DataFrame =
+    lmBigramDocs(documents(s, d)).orderBy("doc_id")
+
+  /** [[lmBigram]]'s core over an arbitrary documents frame (exposed for
+    * the ScaleStress harness). */
+  private[graft] def lmBigramDocs(docs: DataFrame): DataFrame = {
+    val clean = docs
       .select(col("doc_id"),
         expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')").as("wd"))
     val uni = clean
@@ -452,7 +463,6 @@ object TextQueries {
         count(lit(1)).as("n_bigrams"),
         round((-sum(col("lp"))).cast("double") / count(lit(1)), 0)
           .cast("long").as("mean_nll_micro"))
-      .orderBy("doc_id")
   }
 
   def lmBigramOracle: String =
@@ -486,8 +496,13 @@ object TextQueries {
     * ≤ k rows per (source, partition) BEFORE the shuffle, so a 100×
     * over-quota domain ships k·partitions rows, not its whole corpus —
     * the shape a row_number window cannot give you. */
-  def domainQuota(s: SparkSession, d: String): DataFrame = {
-    val hashed = documents(s, d)
+  def domainQuota(s: SparkSession, d: String): DataFrame =
+    domainQuotaDocs(documents(s, d)).orderBy("source", "rnk")
+
+  /** [[domainQuota]]'s core over an arbitrary documents frame (exposed
+    * for the ScaleStress harness). */
+  private[graft] def domainQuotaDocs(docs: DataFrame): DataFrame = {
+    val hashed = docs
       .withColumn(
         "h",
         graft.dedup.Dedup
@@ -500,7 +515,6 @@ object TextQueries {
         ordering = Seq(col("h").asc, col("doc_id").asc),
         k = QuotaPerSource)
       .select("source", "rnk", "doc_id")
-      .orderBy("source", "rnk")
   }
 
   def domainQuotaOracle: String =

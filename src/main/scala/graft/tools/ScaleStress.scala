@@ -44,7 +44,8 @@ object ScaleStress {
         when(col("rep") === 0, col("text"))
           .otherwise(concat(col("text"), lit(" replica"), col("rep")))
           .as("text"),
-        col("lang"))
+        col("lang"),
+        col("source"))
       .persist()
     println(s"[stress] corpus rows = ${corpus.count()} (${replicas}x sf0.1)")
 
@@ -94,6 +95,33 @@ object ScaleStress {
     // (flag join + doc-keyed windows, no pair blowup).
     time("duplicate spans")(
       noop(Dedup.duplicateSpans(corpus, "doc_id", "text")))
+    // Round-5 additions: the remaining round-4/5 operators whose scale
+    // claims were plan-shape reasoning only. Each must stay linear in
+    // corpus size: bigram LM is two vocabulary-keyed aggs + one
+    // vocabulary join; domain quota's TopKPerKey partial pass ships ≤ k
+    // rows per (source, partition); BPE encode cost is per DISTINCT
+    // token type (constant here — replicas add occurrences, not types),
+    // so only the explode + per-doc agg grows.
+    time("bigram LM")(
+      noop(graft.queries.TextQueries.lmBigramDocs(corpus)))
+    time("domain quota (TopKPerKey)")(
+      noop(graft.queries.TextQueries.domainQuotaDocs(corpus)))
+    time("bpe encode (127 merges, trie)")(
+      noop(graft.queries.TextQueries.tokenBpeMergesDocs(
+        corpus, graft.textanalysis.Bpe.MergesWordFull)))
+    time("bpe encode 512-merge hex (trie)") {
+      import graft.textanalysis.Bpe
+      val tok = Bpe.hexTokenStream(corpus)
+      val perDoc = tok.groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("n_occ"))
+      val types = Bpe.subwordCountsForTypes(
+        perDoc.select("tok").distinct(), "tok", Bpe.Merges512Hex)
+      noop(perDoc.join(types, Seq("tok"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("n_occ")).as("n_tokens"),
+          sum(col("n_occ") * col("n_sub")).as("n_subwords")))
+    }
     corpus.unpersist()
     spark.stop()
   }
