@@ -174,6 +174,38 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("bpe 512-merge encode keeps the distinct-type join-back shape") {
+    // Same contract as the 127-merge query, but through the
+    // priority-merge mapPartitions path: encode still runs per DISTINCT
+    // hex token (tok-keyed shuffle), the small encoded-type frame
+    // broadcasts back, and the object-path encode appears as a
+    // Serialize/Deserialize pair, never a product.
+    val p = plan("q_token_bpe_512")
+    assert(p.contains("hashpartitioning(tok"),
+      s"expected the distinct-type shuffle on tok:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"encoded types must broadcast back:\n$p")
+    assert(p.contains("SerializeFromObject"),
+      s"expected the mapPartitions trie-encode stage:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("trained IVF search reads checkpointed training, broadcasts probes") {
+    val p = plan("q_ivf_trained_topk")
+    // Training rounds ran eagerly (localCheckpoint) — the search plan
+    // must read them as materialized frames, join the corpus embeddings
+    // back by vec_id, and broadcast the (queries × nProbe)-row probe
+    // frame onto the cell-filtered corpus; ranking is the bounded heap.
+    assert(p.contains("ExistingRDD"), s"expected checkpointed training:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probes must broadcast onto the corpus:\n$p")
+    assert(p.contains("TopKPerKey"),
+      s"ranking must run on the bounded heap:\n$p")
+    // The only product is queries × K centroids (bounded by construction);
+    // nothing corpus-sized may appear under a nested-loop join.
+    assert(!p.contains("CartesianProduct"), s"unexpected product:\n$p")
+  }
+
   test("curation verdict is a single-shuffle window plan") {
     val p = plan("q_curation_verdict")
     // Window-min over dup_key: one hash exchange (plus the final sort),
