@@ -136,7 +136,9 @@ object SparkEntry {
     "q_split_assign" -> (TextQueries.splitAssign _),
     "q_token_ids" -> (TextQueries.tokenIds _),
     "q_token_bpe_merges" -> (TextQueries.tokenBpeMerges _),
-    "q_token_bpe_512" -> (TextQueries.tokenBpe512 _)
+    "q_token_bpe_512" -> (TextQueries.tokenBpe512 _),
+    "q_train_sequences" -> (TextQueries.trainSequences _),
+    "q_ccnet_buckets" -> (TextQueries.ccnetBuckets _)
   )
 
   /** DuckDB oracle SQL, column-name- and type-aligned with [[queries]]. */
@@ -657,6 +659,8 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_bpe_merges" -> TextQueries.tokenBpeMergesOracle,
     "q_token_bpe_512" -> TextQueries.tokenBpe512Oracle,
+    "q_train_sequences" -> TextQueries.trainSequencesOracle,
+    "q_ccnet_buckets" -> TextQueries.ccnetBucketsOracle,
     "q_dup_clusters" -> PipelineQueries.dupClustersOracle,
     "q_word_repetition" ->
       """WITH cnt AS (

@@ -666,6 +666,153 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Fixed training-sequence length for [[trainSequences]] (small enough
+    * that the fixture corpus yields many sequences per language). */
+  val TrainSeqLen = 64L
+
+  /** Document-terminator id: one past the dictionary range
+    * ([0, VocabSize) are real ids, −1 is unk). */
+  val EosId: Long = VocabSize.toLong
+
+  /** Contiguous training-sequence assembly — the LAST step of a training
+    * data pipeline: per language, documents are tokenized against the
+    * broadcast top-[[VocabSize]] dictionary (unk = −1), terminated with
+    * an EOS id, laid out as ONE contiguous token stream in doc_id order,
+    * and chunked into fixed [[TrainSeqLen]]-token sequences. Documents
+    * SPAN sequence boundaries — GPT-style pretraining batches —
+    * complementing [[packDocs]]' no-split greedy assignment. Output per
+    * (lang, seq_id): token count, doc-boundary count, and the exact
+    * integer checksum Σ tid·(pos_in_seq+1), so the complete layout is
+    * hash-checked, not just counted.
+    *
+    * Scale shape: the dictionary broadcasts; per-doc offsets come from a
+    * lang-KEYED window over per-doc token counts (one small row per doc,
+    * never a token-level global window); the placement join is
+    * doc-keyed; the final agg is (lang, seq)-keyed with map-side
+    * partials. */
+  def trainSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withN = documents(s, d).select(
+      col("doc_id"), col("lang"),
+      regexp_extract_all(col("text"), lit(BpePattern), lit(0)).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val tok = withN.select(
+      col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val top = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(VocabSize)
+      .collect()
+    val vocab = {
+      import s.implicits._
+      top.zipWithIndex
+        .map { case (r, i) => (r.getAs[String]("tok"), i.toLong) }
+        .toSeq.toDF("tok", "tid")
+    }
+    val ids = tok.join(broadcast(vocab), Seq("tok"), "left")
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("pos"),
+        coalesce(col("tid"), lit(-1L)).as("tid"))
+    val eos = withN.select(
+      col("doc_id"), col("n").as("pos"), lit(EosId).as("tid"))
+    val offs = withN.select(col("doc_id"), col("lang"), col("n"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum(col("n") + 1L).over(
+            Window.partitionBy("lang").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    ids.unionByName(eos)
+      .join(offs.select("doc_id", "lang", "off"), Seq("doc_id"))
+      .withColumn("gpos", col("off") + col("pos"))
+      .withColumn("seq_id", expr(s"gpos div $TrainSeqLen"))
+      .groupBy("lang", "seq_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === EosId, 1L).otherwise(0L)).as("n_doc_ends"),
+        sum(col("tid") * (expr(s"gpos % $TrainSeqLen") + lit(1L)))
+          .as("checksum"))
+      .orderBy("lang", "seq_id")
+  }
+
+  def trainSequencesOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, regexp_extract_all(text, '$BpePattern') AS l
+       |  FROM documents),
+       |tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok FROM t),
+       |vocab AS (
+       |  SELECT tok, tid FROM (
+       |    SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) - 1 AS BIGINT) AS tid
+       |    FROM (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok))
+       |  WHERE tid < $VocabSize),
+       |ids AS (
+       |  SELECT t2.doc_id, t2.pos, coalesce(v.tid, -1) AS tid
+       |  FROM tok t2 LEFT JOIN vocab v ON t2.tok = v.tok
+       |  UNION ALL
+       |  SELECT doc_id, len(l) AS pos, $EosId AS tid FROM t),
+       |offs AS (
+       |  SELECT doc_id, lang,
+       |    coalesce(sum(len(l) + 1) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM t),
+       |placed AS (
+       |  SELECT o.lang, (o.off + i.pos) // $TrainSeqLen AS seq_id, i.tid,
+       |    (o.off + i.pos) % $TrainSeqLen AS sp
+       |  FROM ids i JOIN offs o ON i.doc_id = o.doc_id)
+       |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+       |  count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN tid = $EosId THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_ends,
+       |  CAST(sum(tid * (sp + 1)) AS BIGINT) AS checksum
+       |FROM placed GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin
+
+  /** CCNet-style perplexity bucketing: per language, documents split
+    * into head/middle/tail terciles of the unigram-LM mean NLL
+    * (`ntile(3)` over a lang-KEYED window; ANSI ntile is
+    * engine-portable given the total (nll, doc_id) order) — the standard
+    * quality-stratification step before per-bucket sampling weights
+    * (CCNet, Wenzek et al. 2020). */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("mean_nll_micro").asc, col("doc_id").asc)
+    lmScore(s, d).select("doc_id", "mean_nll_micro")
+      .join(documents(s, d).select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("mean_nll_micro").as("min_nll_micro"),
+        max("mean_nll_micro").as("max_nll_micro"))
+      .orderBy("lang", "bucket")
+  }
+
+  def ccnetBucketsOracle: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |  FROM documents),
+       |w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+       |total AS (SELECT count(*) AS n_total FROM w2),
+       |vocab AS (SELECT word, count(*) AS cnt FROM w2 GROUP BY 1
+       |  ORDER BY cnt DESC, word ASC LIMIT $LmVocabSize),
+       |pw AS (
+       |  SELECT doc_id,
+       |    CAST(round(ln(CAST(coalesce(cnt, 1) AS DOUBLE) / n_total) * 1e6, 0) AS BIGINT) AS logp_micro
+       |  FROM w2 LEFT JOIN vocab USING (word) CROSS JOIN total),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(round(CAST(-sum(logp_micro) AS DOUBLE) / count(*), 0) AS BIGINT) AS nll
+       |  FROM pw GROUP BY doc_id),
+       |bk AS (
+       |  SELECT d.lang, sc.nll,
+       |    CAST(ntile(3) OVER (PARTITION BY d.lang
+       |      ORDER BY sc.nll ASC, sc.doc_id ASC) AS BIGINT) AS bucket
+       |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+       |SELECT lang, bucket, count(*) AS n_docs,
+       |  CAST(min(nll) AS BIGINT) AS min_nll_micro,
+       |  CAST(max(nll) AS BIGINT) AS max_nll_micro
+       |FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
   def lmScoreOracle: String =
     s"""WITH w AS (
        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
