@@ -626,8 +626,10 @@ object Multimodal {
     * the JDK GIF plugin decodes every frame offline). Decode-once flatMap,
     * the video twin of [[segmentAudio]]: the blob is read in its scan
     * partition, never shuffled, and each sampled frame emits one small
-    * integer-stats row. Undecodable or single-image non-GIF blobs yield
-    * zero rows here and are audited via [[imageFeatures]]' ok=false path.
+    * integer-stats row. Undecodable blobs yield zero rows here and are
+    * audited via [[imageFeatures]]' ok=false path; a single-image
+    * container (PNG/JPEG) decodes as a 1-frame stream and emits its one
+    * frame — consistent with a 1-frame GIF.
     *
     * This retires the stub-codec byte-slice sampling from the declared
     * surface: frames here are real decoded rasters, bit-exact against the

@@ -169,6 +169,15 @@ class MultimodalSpec extends SparkSuite {
     val bad = Seq(Multimodal.MediaItem(2L, Array[Byte](1, 2, 3),
       Multimodal.MediaMeta("video", 0, 0, 0L, "gif"))).toDS()
     assert(Multimodal.gifFrames(bad).collect().isEmpty)
+    // A single-image container decodes as a 1-frame stream.
+    val png = Seq(Multimodal.MediaItem(3L,
+      Multimodal.encodePng(2, 2, Array[Byte](1,2,3, 4,5,6, 7,8,9, 10,11,12)),
+      Multimodal.MediaMeta("image", 2, 2, 0L, "png"))).toDS()
+    val one = Multimodal.gifFrames(png).collect()
+    assert(one.length == 1 && one.head.frameIdx == 0)
+    // For an RGB container the stats read the low byte of getRGB (blue);
+    // grayscale GIFs have r=g=b so the distinction only shows here.
+    assert(one.head.sumGray == (3L + 6 + 9 + 12))
   }
 
   test("synthetic gif corpus decodes to the documented md5-chain frames") {
