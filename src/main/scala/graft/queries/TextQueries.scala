@@ -767,18 +767,56 @@ object TextQueries {
        |FROM placed GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin
 
   /** CCNet-style perplexity bucketing: per language, documents split
-    * into head/middle/tail terciles of the unigram-LM mean NLL
-    * (`ntile(3)` over a lang-KEYED window; ANSI ntile is
-    * engine-portable given the total (nll, doc_id) order) — the standard
-    * quality-stratification step before per-bucket sampling weights
-    * (CCNet, Wenzek et al. 2020). */
-  def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang")
-      .orderBy(col("mean_nll_micro").asc, col("doc_id").asc)
-    lmScore(s, d).select("doc_id", "mean_nll_micro")
-      .join(documents(s, d).select("doc_id", "lang"), Seq("doc_id"))
-      .withColumn("bucket", ntile(3).over(w).cast("long"))
+    * into head/middle/tail terciles of the unigram-LM mean NLL — the
+    * standard quality-stratification step before per-bucket sampling
+    * weights (CCNet, Wenzek et al. 2020).
+    *
+    * Scale shape: a `ntile(3) OVER (PARTITION BY lang ORDER BY nll)`
+    * window would sort each LANGUAGE in one task — with a handful of
+    * languages that is single-digit parallelism over the whole corpus,
+    * the coarse-key cousin of the single-partition-window scale killer.
+    * Instead ranks come from [[graft.operators.PrefixSum.globalCumsum]]
+    * over (lang, nll-range) buckets (keyed windows + a bounded driver
+    * stitch), per-language offsets from a #langs-sized driver fold, and
+    * the tercile from the closed-form ANSI-ntile formula
+    * `(rank−1)·k div n + 1` — bit-identical output
+    * (CcnetBucketsSpec pins it against the window ntile), linear plan. */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame =
+    ccnetBucketsFrom(
+      lmScore(s, d).select("doc_id", "mean_nll_micro")
+        .join(documents(s, d).select("doc_id", "lang"), Seq("doc_id")))
+
+  /** [[ccnetBuckets]]' core over a (doc_id, mean_nll_micro, lang) frame
+    * (exposed for the equality spec). */
+  private[graft] def ccnetBucketsFrom(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // Global rank along (lang, nll, doc_id) without a global or
+    // lang-keyed sort window: (lang, nll div 10000) is a non-decreasing
+    // coarse bucket of that order (nll values span ~1e5 micros per lang,
+    // so buckets stay O(langs × range/1e4) — driver-fold sized). The
+    // bucket is rendered as a zero-padded string so the driver stitch's
+    // lexicographic bucket order equals the numeric order (nll_micro is
+    // a negated log-likelihood — always ≥ 0, so padding is safe).
+    val ranked = graft.operators.PrefixSum.globalCumsum(
+      scored,
+      bucket = format_string(
+        "%s%020d", col("lang"), expr("mean_nll_micro div 10000")),
+      order = Seq(col("lang"), col("mean_nll_micro"), col("doc_id")),
+      value = lit(1L),
+      out = "grank")
+    // Per-language offset and size: #langs rows, exact driver fold.
+    val counts = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang").collect()
+    var acc = 0L
+    val offs = counts.map { r =>
+      val o = acc; acc += r.getLong(1)
+      (r.getString(0), o, r.getLong(1))
+    }.toSeq
+    val offDf = offs.toDF("lang", "lang_off", "n_lang")
+    ranked.join(broadcast(offDf), Seq("lang"))
+      .withColumn("rnk", col("grank") - col("lang_off"))
+      .withColumn("bucket", expr("(rnk - 1) * 3 div n_lang + 1"))
       .groupBy("lang", "bucket")
       .agg(
         count(lit(1)).as("n_docs"),
