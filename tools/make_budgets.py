@@ -21,6 +21,10 @@ def main() -> None:
         with open(path) as f:
             for line in f:
                 line = line.strip()
+                # sbt prefixes runMain stdout with "[info] " — accept
+                # raw captures without a separate sed pass.
+                if line.startswith("[info] "):
+                    line = line[len("[info] "):]
                 if not (line.startswith("{") and '"queries"' in line):
                     continue
                 try:
