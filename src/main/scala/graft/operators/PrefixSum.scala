@@ -33,6 +33,24 @@ object PrefixSum {
   private def bucketKeyCol(c: Column): Column =
     coalesce(c.cast("string"), lit(NullBucketKey))
 
+  /** The stitch joins the driver-side `Row.get(...).toString` key against
+    * the frame-side `cast(string)` — identical for atomic types, but a
+    * STRUCT bucket renders as `[a,1]` on the driver and `{a, 1}` in the
+    * cast, so every row would silently miss the join and the output would
+    * be EMPTY. Refuse composite buckets loudly; callers encode composite
+    * buckets as ordered strings instead (e.g. `format_string("%s%020d",
+    * …)`, see TextQueries.ccnetBucketsFrom). */
+  private def requireAtomicBucket(df: DataFrame): Unit = {
+    val dt = df.schema("__bucket").dataType
+    require(
+      !dt.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+        !dt.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        !dt.isInstanceOf[org.apache.spark.sql.types.MapType],
+      s"PrefixSum bucket must be an atomic type, got ${dt.simpleString}: " +
+        "composite buckets stringify differently on the driver and in the " +
+        "stitch join — encode them as one ordered string column")
+  }
+
   /** Global cumulative sum of `value` along `order` (inclusive of the
     * current row), emitted as column `out`. `bucket` must be a
     * non-decreasing function of `order` (e.g. `to_date(ts)` when ordering
@@ -56,6 +74,7 @@ object PrefixSum {
       .withColumn("__bucket", bucket)
       .withColumn("__v", coalesce(value, lit(0L)))
       .withColumn("__local", sum(col("__v")).over(local))
+    requireAtomicBucket(withLocal)
     require(
       withLocal.schema("__local").dataType == org.apache.spark.sql.types.LongType,
       s"globalCumsum requires an integral value column; sum type is " +
@@ -107,6 +126,7 @@ object PrefixSum {
         "__chg",
         when(col("__t") === lag(col("__t"), 1).over(w), 0L).otherwise(1L))
       .withColumn("__local_run", sum(col("__chg")).over(cum))
+    requireAtomicBucket(withLocal)
     val summaries = withLocal
       .groupBy("__bucket")
       .agg(

@@ -93,6 +93,27 @@ class PrefixSumSpec extends SparkSuite {
     assert(runs.columns.toSet == Set("id", "b", "v", "run"))
   }
 
+  test("composite (struct) buckets are refused loudly") {
+    // The driver stitch key is Row.toString ("[a,1]") while the join key
+    // is cast(string) ("{a, 1}") — a struct bucket would silently match
+    // nothing and return an EMPTY frame. The guard turns that data-loss
+    // bug into an immediate error; composite buckets must be encoded as
+    // one ordered string column.
+    val df = (1L to 10L).map(i => (i, i % 3)).toDF("id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      PrefixSum.globalCumsum(
+        df, struct(col("v"), expr("id div 5")), Seq(col("id")), lit(1L), "c")
+        .collect()
+    }
+    assert(ex.getMessage.contains("atomic"))
+    val ex2 = intercept[IllegalArgumentException] {
+      PrefixSum.globalRunIds(
+        df, struct(col("v")), Seq(col("id")), col("v"), "r")
+        .collect()
+    }
+    assert(ex2.getMessage.contains("atomic"))
+  }
+
   test("plan has no unpartitioned window") {
     val df = (1L to 100L).map(i => (i, i % 5)).toDF("id", "v")
     val out = PrefixSum
