@@ -801,7 +801,7 @@ object TextQueries {
     val ranked = graft.operators.PrefixSum.globalCumsum(
       scored,
       bucket = format_string(
-        "%s%020d", col("lang"), expr("mean_nll_micro div 10000")),
+        "%s\u0001%020d", col("lang"), expr("mean_nll_micro div 10000")),
       order = Seq(col("lang"), col("mean_nll_micro"), col("doc_id")),
       value = lit(1L),
       out = "grank")
