@@ -292,12 +292,19 @@ object StreamingOps {
       }
   }
 
-  case class UserRunState(runCount: Long, lastType: Option[String])
+  case class UserRunState(runCount: Long, lastType: Option[String], lastMs: Long)
   case class RunChange(userId: Long, runIndex: Long, eventType: String)
 
   /** Custom keyed state (the mapGroupsWithState surface): per-user
     * consecutive event-type run detection — the streaming twin of the
-    * batch lag+cumsum run operator. Emits one row per run change. */
+    * batch lag+cumsum run operator. Emits one row per run change.
+    *
+    * Same hard precondition as [[gapSessions]] (time-ordered source per
+    * user ACROSS micro-batches): a cross-batch regression could belong
+    * to the middle of an already-emitted run, which no append-mode
+    * operator can retract — so it fails loudly instead of silently
+    * renumbering runs away from the batch twin. (Within a batch, rows
+    * are sorted here.) */
   def runDetection(
       spark: SparkSession,
       events: DataFrame
@@ -313,13 +320,19 @@ object StreamingOps {
           // Micro-batch rows for one key, ordered by event time; state
           // carries the last seen type across batches.
           val sorted = rows.toSeq.sortBy(_._2.getTime)
-          var st = state.getOption.getOrElse(UserRunState(0L, None))
+          var st = state.getOption.getOrElse(UserRunState(0L, None, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[RunChange]
-          for ((_, _, tpe) <- sorted) {
+          for ((_, ts, tpe) <- sorted) {
+            val ms = ts.getTime
+            if (ms < st.lastMs)
+              throw new IllegalStateException(
+                s"runDetection requires a per-user time-ordered source " +
+                  s"across micro-batches: user $userId got event at $ms " +
+                  s"ms after state.last=${st.lastMs} ms.")
             if (!st.lastType.contains(tpe)) {
-              st = UserRunState(st.runCount + 1, Some(tpe))
+              st = UserRunState(st.runCount + 1, Some(tpe), ms)
               out += RunChange(userId, st.runCount, tpe)
-            }
+            } else st = st.copy(lastMs = ms)
           }
           state.update(st)
           out.iterator

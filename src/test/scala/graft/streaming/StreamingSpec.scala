@@ -277,6 +277,41 @@ class StreamingSpec extends SparkSuite {
       "restarted-run output must equal the uninterrupted run exactly once")
   }
 
+  test("run detection fails loudly on a cross-batch time regression") {
+    import spark.implicits._
+    // Same contract as gapSessions: a later batch carrying earlier
+    // events for a user could belong to the middle of an already-emitted
+    // run — refuse instead of silently renumbering.
+    val d = java.nio.file.Files.createTempDirectory("events_run_ooo")
+    def writeFile(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("runooo_stage")
+      rows.toDF("event_id", "h")
+        .select(col("event_id"),
+          (col("h") * 3600L * 1000000L).as("ts"),
+          lit(7L).as("user_id"), lit("view").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, d.resolve(name))
+    }
+    writeFile("events_0.parquet", Seq((1L, 10L), (2L, 11L)))
+    writeFile("events_1.parquet", Seq((3L, 5L))) // back in time
+    val stream = spark.readStream
+      .schema(StreamingOps.eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(d.toString)
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runToMemory(StreamingOps.runDetection(spark, stream).toDF, "run_ooo")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.getMessage != null && c.getMessage.contains("time-ordered")),
+      s"expected the time-ordered precondition failure, got: $ex")
+  }
+
   test("gap sessions fail loudly on a cross-batch time regression") {
     import spark.implicits._
     // Two files, LATER file carries EARLIER events for the same user —
