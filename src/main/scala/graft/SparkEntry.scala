@@ -81,6 +81,7 @@ object SparkEntry {
     "q_image_decode" -> (PipelineQueries.imageDecode _),
     "q_image_resize" -> (PipelineQueries.imageResize _),
     "q_dedup_keeplist" -> (PipelineQueries.dedupKeeplist _),
+    "q_leakage_safe_split" -> (PipelineQueries.leakageSafeSplit _),
     "q_sim_topk_q8" -> (PipelineQueries.simTopKQ8 _),
     "q_stream_hourly" -> (StreamingQueries.streamHourly _),
     "q_stream_join" -> (StreamingQueries.streamJoin _),
@@ -413,6 +414,7 @@ object SparkEntry {
     "q_pack_docs" -> TextQueries.packDocsOracle,
     "q_stratified_sample" -> TextQueries.stratifiedSampleOracle,
     "q_dedup_keeplist" -> PipelineQueries.dedupKeeplistOracle,
+    "q_leakage_safe_split" -> PipelineQueries.leakageSafeSplitOracle,
     "q_sim_topk_q8" -> PipelineQueries.simTopKQ8Oracle,
     "q_stream_hourly" -> StreamingQueries.streamHourlyOracle,
     "q_stream_dedup_keys" -> StreamingQueries.streamDedupKeysOracle,

@@ -856,6 +856,59 @@ object PipelineQueries {
        |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
        |ORDER BY doc_id""".stripMargin
 
+  /** Leakage-safe train/val/test split: hash the DUPLICATE-CLUSTER id,
+    * not the document id, so near-duplicates can never straddle the
+    * train/eval boundary (the standard eval-contamination failure of
+    * naive per-doc splitting). Composition: minhash near-dup pairs →
+    * connected components → group id = component min (own id for
+    * cluster-free docs) → 80/10/10 md5-hash split on the group id —
+    * every stage the scale-safe operator it reuses (band join, CC,
+    * pushed hash filter). Per-doc output so the oracle verifies the
+    * assignment row by row; same-group ⇒ same-split holds by
+    * construction on both engines. */
+  def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup
+      .minhashDuplicates(documents(s, d), "doc_id", "text",
+        MinhashHashes, MinhashBands, MinhashThreshold)
+      .select("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    documents(s, d).select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("component"), col("doc_id")))
+      .withColumn(
+        "h",
+        Dedup.hash32(concat(lit("gsplit:"), col("group_id").cast("string")))
+          % 100)
+      .withColumn(
+        "split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "group_id", "split")
+      .orderBy("doc_id")
+  }
+
+  def leakageSafeSplitOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+       |cc AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+       |g AS (
+       |  SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id)
+       |SELECT doc_id, group_id,
+       |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, group_id,
+       |  CAST('0x' || substr(md5('gsplit:' || CAST(group_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS h
+       |  FROM g)
+       |ORDER BY doc_id""".stripMargin
+
   /** Int8-quantized cosine top-k ([[Similarity.cosineTopKQ8]]): integer
     * dot products are exact in doubles, so this oracle needs no
     * accumulation-order discipline at all. */
