@@ -88,6 +88,7 @@ object SparkEntry {
     "q_stream_dedup_keys" -> (StreamingQueries.streamDedupKeys _),
     "q_stream_sessions" -> (StreamingQueries.streamSessions _),
     "q_stream_sessions_ooo" -> (StreamingQueries.streamSessionsOoo _),
+    "q_stream_runs" -> (StreamingQueries.streamRuns _),
     "q_lang_centroid" -> (PipelineQueries.langCentroid _),
     "q_ivf_topk" -> (PipelineQueries.ivfTopK _),
     "q_ivf_trained_topk" -> (PipelineQueries.ivfTrainedTopK _),
@@ -420,6 +421,7 @@ object SparkEntry {
     "q_stream_dedup_keys" -> StreamingQueries.streamDedupKeysOracle,
     "q_stream_sessions" -> StreamingQueries.streamSessionsOracle,
     "q_stream_sessions_ooo" -> StreamingQueries.streamSessionsOooOracle,
+    "q_stream_runs" -> StreamingQueries.streamRunsOracle,
     "q_stream_join" -> StreamingQueries.streamJoinOracle,
     "q_lang_centroid" -> PipelineQueries.langCentroidOracle,
     "q_ivf_topk" -> PipelineQueries.ivfTopKOracle,

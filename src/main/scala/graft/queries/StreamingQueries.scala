@@ -235,6 +235,37 @@ object StreamingQueries {
       |FROM agg, wm WHERE end_ms + 1800000 < w
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Stateful run detection through the real runtime
+    * ([[StreamingOps.runDetection]]): per-user consecutive event-type
+    * runs via mapGroupsWithState — one row per run CHANGE, state carries
+    * the last type and time across batches (cross-batch time regressions
+    * refuse loudly, same contract as gapSessions). Batching-invariant on
+    * a time-ordered source; the events fixture has unique per-user
+    * millisecond timestamps (verified at every SF), so the within-batch
+    * getTime sort is total and the run numbering deterministic. */
+  def streamRuns(s: SparkSession, d: String): DataFrame = {
+    val runs = StreamingOps.runDetection(
+      s, StreamingOps.readEvents(s, eventsStreamDir(d)))
+    runToMemory(s, runs.toDF(), OutputMode.Append(), "graft_stream_runs")
+      .select(
+        col("userId").as("user_id"),
+        col("runIndex").as("run_index"),
+        col("eventType").as("event_type"))
+      .orderBy("user_id", "run_index")
+  }
+
+  def streamRunsOracle: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+      |g AS (SELECT user_id, ms, event_type,
+      |  CASE WHEN lag(event_type) OVER w IS NULL
+      |         OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+      |r AS (SELECT user_id, event_type, chg,
+      |  sum(chg) OVER (PARTITION BY user_id ORDER BY ms
+      |    ROWS UNBOUNDED PRECEDING) AS run_index FROM g)
+      |SELECT user_id, CAST(run_index AS BIGINT) AS run_index, event_type
+      |FROM r WHERE chg = 1 ORDER BY user_id, run_index""".stripMargin
+
   /** Stream-static enrichment through the real runtime
     * ([[StreamingOps.staticEnrich]]): the events stream joined per batch
     * to the static nation dimension (user_id % 25 → nationkey), complete
