@@ -692,13 +692,24 @@ object TextQueries {
     * partials. */
   def trainSequences(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withN = documents(s, d).select(
+    // ONE tokenizing pass: the naive formulation re-ran the regex scan
+    // four times (vocab count, id encode, EOS counts, offsets) — at
+    // 100 TB that is four full passes over `text`. posexplode_outer
+    // keeps zero-token documents as a null row (they still need an EOS
+    // and an offset), and the eager localCheckpoint materializes the
+    // token stream once; every downstream branch reads the checkpoint
+    // (PlanSpec pins: no parquet rescan).
+    val tokAll = documents(s, d).select(
       col("doc_id"), col("lang"),
-      regexp_extract_all(col("text"), lit(BpePattern), lit(0)).as("toks"))
-      .withColumn("n", size(col("toks")).cast("long"))
-    val tok = withN.select(
-      col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
-    val top = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      posexplode_outer(
+        regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .as(Seq("pos", "tok")))
+      .localCheckpoint(true)
+    // count(tok) skips the null of an empty doc → n = 0 for it.
+    val nDoc = tokAll.groupBy("doc_id", "lang")
+      .agg(count(col("tok")).as("n"))
+    val realTok = tokAll.filter(col("tok").isNotNull)
+    val top = realTok.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok").asc)
       .limit(VocabSize)
       .collect()
@@ -708,14 +719,14 @@ object TextQueries {
         .map { case (r, i) => (r.getAs[String]("tok"), i.toLong) }
         .toSeq.toDF("tok", "tid")
     }
-    val ids = tok.join(broadcast(vocab), Seq("tok"), "left")
+    val ids = realTok.join(broadcast(vocab), Seq("tok"), "left")
       .select(
         col("doc_id"),
         col("pos").cast("long").as("pos"),
         coalesce(col("tid"), lit(-1L)).as("tid"))
-    val eos = withN.select(
+    val eos = nDoc.select(
       col("doc_id"), col("n").as("pos"), lit(EosId).as("tid"))
-    val offs = withN.select(col("doc_id"), col("lang"), col("n"))
+    val offs = nDoc
       .withColumn(
         "off",
         coalesce(

@@ -190,6 +190,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("training-sequence assembly tokenizes in ONE pass") {
+    val p = plan("q_train_sequences")
+    // The token stream is checkpointed once; vocab, id-encode, EOS and
+    // offset branches must all read it — a parquet scan in the final
+    // plan means the regex pass is being re-run per branch (4 full
+    // corpus scans at 100 TB).
+    assert(p.contains("ExistingRDD"), s"expected checkpointed tokens:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"tokenizing pass re-run from parquet:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"no operator may demand a single partition:\n$p")
+  }
+
   test("trained IVF search reads checkpointed training, broadcasts probes") {
     val p = plan("q_ivf_trained_topk")
     // Training rounds ran eagerly (localCheckpoint) — the search plan
