@@ -799,7 +799,13 @@ object TextQueries {
 
   /** [[ccnetBuckets]]' core over a (doc_id, mean_nll_micro, lang) frame
     * (exposed for the equality spec). */
-  private[graft] def ccnetBucketsFrom(scored: DataFrame): DataFrame = {
+  private[graft] def ccnetBucketsFrom(scoredIn: DataFrame): DataFrame = {
+    // The scored frame feeds THREE consumers (the prefix-sum's local
+    // windows, its per-bucket totals, and the per-lang counts) — without
+    // materialization the upstream pipeline (a full unigram-LM pass when
+    // called from ccnetBuckets) would recompute per consumer. Doc-level
+    // rows: checkpoint is corpus-row-count sized, tiny columns.
+    val scored = scoredIn.localCheckpoint(true)
     val spark = scored.sparkSession
     import spark.implicits._
     // Global rank along (lang, nll, doc_id) without a global or
