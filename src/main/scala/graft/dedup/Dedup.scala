@@ -574,7 +574,12 @@ object Dedup {
       bitsPerKey: Int,
       maxBits: Int
   ): DataFrame = {
-    val dropKeys = drops.select(col(idCol))
+    // The drop list feeds up to THREE jobs (the sizing count, the Bloom
+    // aggregate, the anti-join): checkpoint it here so the cost contract
+    // is enforced, not a scaladoc note — an unmaterialized upstream
+    // (e.g. a fresh minhash+CC pipeline) would otherwise execute in full
+    // per job. Id-only rows, so the materialization is |drops| × one key.
+    val dropKeys = drops.select(col(idCol)).localCheckpoint(true)
     dropListBloomBits(dropKeys.count(), bitsPerKey, maxBits) match {
       case None =>
         // Saturation regime: the anti-join alone (Spark's planner picks

@@ -790,17 +790,37 @@ object PipelineQueries {
        |WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= $MinhashThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Memo for [[dupComponents]], keyed by (session, data dir): the
+    * minhash band join + connected components is the shared prefix of
+    * THREE declared queries (dup clusters, keep-list, leakage-safe
+    * split) — without the memo a Verify/Bench run pays the most
+    * expensive pipeline in the surface three times for bit-identical
+    * results (the computation is deterministic: fixed hash family,
+    * min-label CC). The value is localCheckpoint'ed, so hits replay a
+    * materialized doc-count-sized frame. Keyed on the session INSTANCE:
+    * a new session (tests, restarts) recomputes; stale entries of
+    * stopped sessions only strand a tiny cached frame. */
+  private val ccMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  /** Near-dup pairs → connected components (id, component) over
+    * `documents(d)` — computed once per (session, dir), see [[ccMemo]]. */
+  private[graft] def dupComponents(s: SparkSession, d: String): DataFrame =
+    ccMemo.getOrElseUpdate((s, d), {
+      val pairs = Dedup
+        .minhashDuplicates(documents(s, d), "doc_id", "text",
+          MinhashHashes, MinhashBands, MinhashThreshold)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(pairs).localCheckpoint(true)
+    })
+
   /** Duplicate clusters: connected components over the minhash near-dup
     * pairs — iterative min-label propagation on the Spark side, a
     * recursive transitive-closure CTE on the DuckDB side; both converge
     * to min-id-per-component, so results match exactly. */
-  def dupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup
-      .minhashDuplicates(documents(s, d), "doc_id", "text",
-        MinhashHashes, MinhashBands, MinhashThreshold)
-      .select("id_a", "id_b")
-    Dedup.connectedComponents(pairs).orderBy("id")
-  }
+  def dupClusters(s: SparkSession, d: String): DataFrame =
+    dupComponents(s, d).orderBy("id")
 
   def dupClustersOracle: String =
     s"""WITH RECURSIVE $minhashPairsCtes,
@@ -825,17 +845,15 @@ object PipelineQueries {
     * scan stage with no shuffle, and only Bloom-positive rows reach the
     * exactness anti-join — whose broadcast-vs-shuffle choice is left to
     * Spark's size threshold, never forced. Past the 16 MiB filter cap the
-    * Bloom branch is skipped for a single shuffled anti-join. */
+    * Bloom branch is skipped for a single shuffled anti-join. The
+    * pairs+components prefix comes from [[dupComponents]] (shared with
+    * the cluster and leakage-split queries); applyDropList checkpoints
+    * the drop keys itself, so the count/Bloom/anti-join jobs replay a
+    * materialized list. */
   def dedupKeeplist(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup
-      .minhashDuplicates(documents(s, d), "doc_id", "text",
-        MinhashHashes, MinhashBands, MinhashThreshold)
-      .select("id_a", "id_b")
-    val drops = Dedup
-      .connectedComponents(pairs)
+    val drops = dupComponents(s, d)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
-      .localCheckpoint(true)
     Dedup
       .applyDropList(documents(s, d).select("doc_id"), drops, "doc_id")
       .orderBy("doc_id")
@@ -866,14 +884,17 @@ object PipelineQueries {
     * pushed hash filter). Per-doc output so the oracle verifies the
     * assignment row by row; same-group ⇒ same-split holds by
     * construction on both engines. */
-  def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup
-      .minhashDuplicates(documents(s, d), "doc_id", "text",
-        MinhashHashes, MinhashBands, MinhashThreshold)
-      .select("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs)
-      .withColumnRenamed("id", "doc_id")
-    documents(s, d).select("doc_id")
+  def leakageSafeSplit(s: SparkSession, d: String): DataFrame =
+    leakageSafeSplitFrom(
+      documents(s, d).select("doc_id"),
+      dupComponents(s, d).withColumnRenamed("id", "doc_id"))
+
+  /** [[leakageSafeSplit]]'s core over explicit (doc_id) and
+    * (doc_id, component) frames (exposed for ScaleStress, which feeds a
+    * replicated corpus rather than the memoized per-dir components). */
+  private[graft] def leakageSafeSplitFrom(
+      docIds: DataFrame, cc: DataFrame): DataFrame = {
+    docIds
       .join(cc, Seq("doc_id"), "left")
       .withColumn("group_id", coalesce(col("component"), col("doc_id")))
       .withColumn(

@@ -674,6 +674,24 @@ object TextQueries {
     * ([0, VocabSize) are real ids, −1 is unk). */
   val EosId: Long = VocabSize.toLong
 
+  /** Docs-per-bucket granularity for [[trainSequences]]' offset prefix
+    * sum: coarse enough that the bucket stitch stays a bounded driver
+    * fold (1 B docs/lang → ~15 k buckets/lang), fine enough that doc
+    * rows spread across many tasks at corpus scale. */
+  val TrainSeqDocBucket = 65536L
+
+  /** Session conf gating [[trainSequences]]' token-stream checkpoint
+    * (default true). The checkpoint trades ONE tokenizing scan plus a
+    * token-stream-sized executor-disk write (≈ bytes(text) × 2: per
+    * token an 8-byte doc_id, an 8-byte pos, the token bytes, and the
+    * lang code — measured 1.9× the parquet text column at sf0.1)
+    * against THREE full tokenizing scans of the corpus (per-doc counts,
+    * vocabulary, id-encode). At bench scale the checkpoint wins
+    * outright; at 100 TB the write is corpus-sized, so the re-scan
+    * alternative is one flag away rather than a rewrite. Both plans are
+    * pinned equal-output in PlanSpec. */
+  val TrainSeqCheckpointConf = "spark.graft.trainSequences.checkpointTokens"
+
   /** Contiguous training-sequence assembly — the LAST step of a training
     * data pipeline: per language, documents are tokenized against the
     * broadcast top-[[VocabSize]] dictionary (unk = −1), terminated with
@@ -685,40 +703,56 @@ object TextQueries {
     * integer checksum Σ tid·(pos_in_seq+1), so the complete layout is
     * hash-checked, not just counted.
     *
-    * Scale shape: the dictionary broadcasts; per-doc offsets come from a
-    * lang-KEYED window over per-doc token counts (one small row per doc,
-    * never a token-level global window); the placement join is
-    * doc-keyed; the final agg is (lang, seq)-keyed with map-side
-    * partials. */
-  def trainSequences(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * Scale shape: the dictionary broadcasts; per-doc offsets come from
+    * [[graft.operators.PrefixSum.globalCumsum]] over (lang, doc_id
+    * div [[TrainSeqDocBucket]]) buckets — NEVER a lang-keyed window,
+    * which would sort every doc row of one language in a single task
+    * (single-digit parallelism over the whole corpus with ~10
+    * languages, the coarse-key scale killer of SURVEY §9); the
+    * placement join is doc-keyed; the final agg is (lang, seq)-keyed
+    * with map-side partials. */
+  def trainSequences(s: SparkSession, d: String): DataFrame =
+    trainSequencesDocs(s, documents(s, d))
+
+  /** [[trainSequences]]' core over any (doc_id, lang, text) frame
+    * (exposed for ScaleStress). */
+  private[graft] def trainSequencesDocs(
+      s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
     // ONE tokenizing pass: the naive formulation re-ran the regex scan
     // four times (vocab count, id encode, EOS counts, offsets) — at
     // 100 TB that is four full passes over `text`. posexplode_outer
     // keeps zero-token documents as a null row (they still need an EOS
-    // and an offset), and the eager localCheckpoint materializes the
-    // token stream once; every downstream branch reads the checkpoint
-    // (PlanSpec pins: no parquet rescan).
-    val tokAll = documents(s, d).select(
+    // and an offset). The eager localCheckpoint materializes the token
+    // stream once and every downstream branch reads it (PlanSpec pins:
+    // no parquet rescan); [[TrainSeqCheckpointConf]]=false trades it
+    // back for three scans when a corpus-sized executor-disk write is
+    // the scarcer resource.
+    val tokRaw = docs.select(
       col("doc_id"), col("lang"),
       posexplode_outer(
         regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
         .as(Seq("pos", "tok")))
-      .localCheckpoint(true)
-    // count(tok) skips the null of an empty doc → n = 0 for it.
+    val tokAll =
+      if (s.conf.get(TrainSeqCheckpointConf, "true").toBoolean)
+        tokRaw.localCheckpoint(true)
+      else tokRaw
+    // count(tok) skips the null of an empty doc → n = 0 for it. One
+    // small row per doc, materialized because FOUR consumers read it
+    // (EOS rows, the offset cumsum's windows + totals, the per-lang
+    // fold, the placement join) — each would otherwise re-aggregate
+    // the token stream.
     val nDoc = tokAll.groupBy("doc_id", "lang")
       .agg(count(col("tok")).as("n"))
+      .localCheckpoint(true)
     val realTok = tokAll.filter(col("tok").isNotNull)
     val top = realTok.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok").asc)
       .limit(VocabSize)
       .collect()
-    val vocab = {
-      import s.implicits._
-      top.zipWithIndex
-        .map { case (r, i) => (r.getAs[String]("tok"), i.toLong) }
-        .toSeq.toDF("tok", "tid")
-    }
+    val vocab = top.zipWithIndex
+      .map { case (r, i) => (r.getAs[String]("tok"), i.toLong) }
+      .toSeq.toDF("tok", "tid")
     val ids = realTok.join(broadcast(vocab), Seq("tok"), "left")
       .select(
         col("doc_id"),
@@ -726,14 +760,33 @@ object TextQueries {
         coalesce(col("tid"), lit(-1L)).as("tid"))
     val eos = nDoc.select(
       col("doc_id"), col("n").as("pos"), lit(EosId).as("tid"))
-    val offs = nDoc
-      .withColumn(
-        "off",
-        coalesce(
-          sum(col("n") + 1L).over(
-            Window.partitionBy("lang").orderBy("doc_id")
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+    // Exclusive per-lang prefix of (n+1) WITHOUT a lang-keyed window:
+    //   off(doc) = gcum(doc) − (n+1) − langOff(lang)
+    // where gcum is the inclusive GLOBAL cumsum of (n+1) along
+    // (lang, doc_id) — hierarchical keyed windows + a bounded driver
+    // stitch (the exact shape ccnetBucketsFrom uses) — and langOff is a
+    // #langs-row driver fold. The bucket renders doc_id div N
+    // zero-padded so lexicographic bucket order equals the numeric
+    // (lang, doc_id) order (doc ids are non-negative; U+0001 sorts
+    // below every printable char, so no lang prefix collision).
+    val cum = graft.operators.PrefixSum.globalCumsum(
+      nDoc.withColumn("sz", col("n") + 1L),
+      bucket = format_string(
+        "%s\u0001%020d", col("lang"),
+        expr(s"doc_id div $TrainSeqDocBucket")),
+      order = Seq(col("lang"), col("doc_id")),
+      value = col("sz"),
+      out = "gcum")
+    val langTotals = nDoc.groupBy("lang")
+      .agg(sum(col("n") + 1L).as("t"))
+      .orderBy("lang").collect()
+    var accL = 0L
+    val langOffs = langTotals.map { r =>
+      val o = accL; accL += r.getLong(1); (r.getString(0), o)
+    }.toSeq
+    val offs = cum
+      .join(broadcast(langOffs.toDF("lang", "lang_off")), Seq("lang"))
+      .withColumn("off", col("gcum") - col("sz") - col("lang_off"))
     ids.unionByName(eos)
       .join(offs.select("doc_id", "lang", "off"), Seq("doc_id"))
       .withColumn("gpos", col("off") + col("pos"))

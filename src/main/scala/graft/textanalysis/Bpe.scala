@@ -932,11 +932,26 @@ object Bpe {
       val spark = types.sparkSession
       import spark.implicits._
       val idx = merges.toIndexedSeq
-      val bc = spark.sparkContext.broadcast((idx, idx.zipWithIndex.toMap))
+      val ranks = idx.zipWithIndex.toMap
+      // A duplicate pair would silently keep only its LAST rank here while
+      // encodeExpr applies it at both positions — the equality claimed by
+      // BpeSpec would break without a wrong-looking line of code. Refuse
+      // loudly instead (trainMerges never re-emits a pair, but the table
+      // is caller-supplied data).
+      require(ranks.size == idx.size,
+        s"merge table contains ${idx.size - ranks.size} duplicate pair(s); " +
+          "encodeLocal's rank map would drop all but the last occurrence")
+      val bc = spark.sparkContext.broadcast((idx, ranks))
       types.select(col(tokCol)).as[String]
         .mapPartitions { it =>
-          val (m, ranks) = bc.value
-          it.map(tok => (tok, encodeLocal(tok, m, ranks).length.toLong))
+          val (m, r) = bc.value
+          // Null tokens mirror the expression path exactly: null in,
+          // null n_sub out (tok.replace would NPE here otherwise, so the
+          // two paths would crash-or-not on merge-table SIZE).
+          it.map { tok =>
+            if (tok == null) (tok, null.asInstanceOf[java.lang.Long])
+            else (tok, java.lang.Long.valueOf(encodeLocal(tok, m, r).length.toLong))
+          }
         }
         .toDF(tokCol, "n_sub")
     }

@@ -201,6 +201,43 @@ class PlanSpec extends SparkSuite {
       s"tokenizing pass re-run from parquet:\n$p")
     assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
       s"no operator may demand a single partition:\n$p")
+    // Per-doc offsets must come from the hierarchical prefix sum, never
+    // a lang-PARTITIONED window (one task would sort every doc row of a
+    // language — single-digit parallelism at corpus scale).
+    assert(!p.contains("windowspecdefinition(lang#"),
+      s"per-doc offsets use a lang-keyed window:\n$p")
+  }
+
+  test("training sequences: re-scan mode (checkpoint off) matches the checkpointed plan's output") {
+    import graft.queries.TextQueries
+    val on = SparkEntry.queries("q_train_sequences")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set(TextQueries.TrainSeqCheckpointConf, "false")
+    try {
+      val q = SparkEntry.queries("q_train_sequences")(spark, d)
+      val p = q.queryExecution.executedPlan.toString
+      // With the checkpoint declined, the tokenizing scan is back in the
+      // plan (the documented trade: re-scan instead of a corpus-sized
+      // executor-disk write)…
+      assert(p.contains("Scan parquet"),
+        s"expected the re-scan plan without the token checkpoint:\n$p")
+      // …and the output is bit-identical.
+      assert(q.collect().map(_.toSeq).toSeq == on)
+    } finally spark.conf.unset(TextQueries.TrainSeqCheckpointConf)
+  }
+
+  test("keep-list and leakage split share ONE materialized components frame") {
+    // Both queries' pairs+CC prefix resolves through the (session, dir)
+    // memo: after either query plans, the other's plan reads the same
+    // checkpointed components (ExistingRDD) and re-runs NO minhash
+    // machinery — its only parquet scan is the corpus doc_id side.
+    val k = plan("q_dedup_keeplist")
+    assert(k.contains("ExistingRDD"), s"keep-list must read memoized CC:\n$k")
+    val l = plan("q_leakage_safe_split")
+    assert(l.contains("ExistingRDD"), s"split must read memoized CC:\n$l")
+    val scans = "Scan parquet".r.findAllIn(l).length
+    assert(scans == 1,
+      s"leakage split must only scan the corpus id column, got $scans scans:\n$l")
   }
 
   test("trained IVF search reads checkpointed training, broadcasts probes") {
