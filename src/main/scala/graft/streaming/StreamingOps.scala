@@ -252,10 +252,14 @@ object StreamingOps {
         (userId, rows, state) =>
           val wm = state.getCurrentWatermarkMs()
           val prev = state.getOption.getOrElse(BufferedSessions(Nil, None, 1L))
-          // New rows are ≥ the previous batch's watermark (older ones were
-          // dropped by the engine), and everything folded so far is < that
-          // watermark — so folding the now-complete events after the open
-          // session can never regress time.
+          // New rows are ≥ this batch's watermark (the engine's late
+          // filter uses the same value getCurrentWatermarkMs returns —
+          // note it lags one batch behind the data: batch k filters with
+          // the event-time stats committed through batch k−2, a property
+          // GapSessionsPropertySpec's oracle models exactly), and
+          // everything folded so far is < that watermark — so folding the
+          // now-complete events after the open session can never regress
+          // time.
           val all = (prev.pending ++ rows.map(_._2.getTime)).sorted
           val (complete, still) = all.partition(_ < wm)
           var st = prev.open.orNull
