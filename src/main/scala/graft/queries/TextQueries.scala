@@ -641,8 +641,13 @@ object TextQueries {
     * a broadcast left join + per-doc aggregation. The only corpus-sized
     * shuffles are the vocab count and the per-doc agg — both partial-agg
     * friendly. */
-  def lmScore(s: SparkSession, d: String): DataFrame = {
-    val w = documents(s, d)
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    lmScoreDocs(documents(s, d))
+
+  /** [[lmScore]]'s core over any (doc_id, text) frame (exposed for
+    * ScaleStress). */
+  private[graft] def lmScoreDocs(docs: DataFrame): DataFrame = {
+    val w = docs
       .select(col("doc_id"),
         explode(split(lower(col("text")), "\\s+")).as("word"))
       .filter(col("word") =!= "")

@@ -122,6 +122,106 @@ object ScaleStress {
           sum(col("n_occ")).as("n_tokens"),
           sum(col("n_occ") * col("n_sub")).as("n_subwords")))
     }
+    // Round-6 additions: the round-5 operators whose scale claims were
+    // plan-shape reasoning only, plus the trainSequences offset A/B.
+    // Each pipeline must stay near-linear in corpus size.
+    time("train sequences e2e")(
+      noop(graft.queries.TextQueries.trainSequencesDocs(spark, corpus)))
+    time("ccnet buckets e2e")(
+      noop(graft.queries.TextQueries.ccnetBucketsFrom(
+        graft.queries.TextQueries.lmScoreDocs(corpus)
+          .select("doc_id", "mean_nll_micro")
+          .join(corpus.select("doc_id", "lang"), Seq("doc_id")))))
+    time("leakage-safe split e2e") {
+      val pairs = Dedup
+        .minhashDuplicates(corpus, "doc_id", "text", 8, 4, 0.2)
+        .select("id_a", "id_b")
+      val cc = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      noop(graft.queries.PipelineQueries.leakageSafeSplitFrom(
+        corpus.select("doc_id"), cc))
+    }
+    // Offset-stage A/B at FIXED sizes (does not scale with replicas):
+    // the lang-keyed window sorts each language's doc rows in ONE task;
+    // the hierarchical prefix sum spreads the same work over
+    // (lang, id-range) buckets. The distribution matters: with EQUAL
+    // languages the window gets #langs-way parallelism and its smaller
+    // constant factor wins locally — the realistic shape is one
+    // dominant language (~95% here, like any web corpus), where the
+    // window's single sorting task is the critical path and grows
+    // super-linearly (sort spill) while the hierarchical path stays
+    // linear. Two sizes record the curve, not one point.
+    def syntheticNDoc(nRows: Long) = spark.range(nRows).select(
+      col("id").as("doc_id"),
+      when(col("id") % 20 === 0, concat(lit("l"), col("id") % 4))
+        .otherwise(lit("en")).as("lang"),
+      (col("id") % 997 + 1L).as("n"))
+    for (nRows <- Seq(20000000L, 50000000L)) {
+    time(f"doc offsets ${nRows / 1000000}%dM: lang window (anti-pattern)") {
+      import org.apache.spark.sql.expressions.Window
+      noop(syntheticNDoc(nRows).withColumn(
+        "off",
+        coalesce(
+          sum(col("n") + 1L).over(
+            Window.partitionBy("lang").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L))))
+    }
+    time(f"doc offsets ${nRows / 1000000}%dM: hierarchical prefix sum") {
+      val nDoc = syntheticNDoc(nRows).withColumn("sz", col("n") + 1L)
+      val cum = graft.operators.PrefixSum.globalCumsum(
+        nDoc,
+        bucket = format_string(
+          "%s\u0001%020d", col("lang"), expr("doc_id div 65536")),
+        order = Seq(col("lang"), col("doc_id")),
+        value = col("sz"),
+        out = "gcum")
+      val totals = nDoc.groupBy("lang").agg(sum(col("sz")).as("t"))
+        .orderBy("lang").collect()
+      var acc = 0L
+      val offs = totals.map { r =>
+        val o = acc; acc += r.getLong(1); (r.getString(0), o)
+      }.toSeq
+      import spark.implicits._
+      noop(cum
+        .join(broadcast(offs.toDF("lang", "lang_off")), Seq("lang"))
+        .withColumn("off", col("gcum") - col("sz") - col("lang_off")))
+    }
+    }
+    // Streaming OOO sessionizer throughput: replicas× the events table
+    // with per-replica user AND time offsets (a longer, wider stream in
+    // time order across files, disordered within), default 30-min
+    // lateness horizon, noop sink. Cost must track event count; state
+    // stays bounded by the horizon because the watermark advances with
+    // the replicated timeline.
+    time("gap sessions buffered (stream)") {
+      val ev = graft.queries.Tables.events(spark, "/root/testdata/sf0.1")
+      val bounds = ev.agg(
+        min(unix_millis(col("ts"))), max(unix_millis(col("ts")))).head()
+      val spanMs = bounds.getLong(1) - bounds.getLong(0) + 3600000L
+      val dir = java.nio.file.Files.createTempDirectory("stress_events")
+      (0 until replicas).foreach { r =>
+        ev.select(
+          col("event_id"),
+          ((unix_millis(col("ts")) + lit(r * spanMs)) * 1000L).as("ts"),
+          (col("user_id") + lit(r * 10000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+          .coalesce(1).write.mode("append").parquet(dir.toString)
+      }
+      val stream = spark.readStream
+        .schema(graft.streaming.StreamingOps.eventsRawSchema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(col("ts")))
+      val q = graft.streaming.StreamingOps
+        .gapSessionsBuffered(spark, stream).toDF
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("stress_ckpt").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     corpus.unpersist()
     spark.stop()
   }
