@@ -240,6 +240,18 @@ class PlanSpec extends SparkSuite {
       s"leakage split must only scan the corpus id column, got $scans scans:\n$l")
   }
 
+  test("dup-components memo is keyed per (session, dir), hit returns the same frame") {
+    // Same dir → the SAME cached instance (no recompute); different dir
+    // → a different frame with that dir's components, never a stale hit.
+    val a1 = PipelineQueries.dupComponents(spark, d)
+    val a2 = PipelineQueries.dupComponents(spark, d)
+    assert(a1 eq a2, "second lookup must hit the memo")
+    val b = PipelineQueries.dupComponents(spark, "/root/testdata/sf0.01")
+    assert(!(a1 eq b))
+    assert(a1.count() != b.count(),
+      "different corpora must yield different component sets")
+  }
+
   test("trained IVF search reads checkpointed training, broadcasts probes") {
     val p = plan("q_ivf_trained_topk")
     // Training rounds ran eagerly (localCheckpoint) — the search plan

@@ -109,6 +109,45 @@ class BpeSpec extends SparkSuite {
     }
   }
 
+  test("duplicate merge pairs are refused loudly on the trie path") {
+    import spark.implicits._
+    // encodeLocal's rank map keeps only the LAST rank of a duplicate
+    // pair while encodeExpr would apply it at both positions — the
+    // silent-divergence case must fail at call time instead. The table
+    // must exceed ExprMergeLimit to reach the trie path and stay
+    // training-consistent so the duplicate check is what fires.
+    val base = Bpe.Merges512Hex
+    assert(base.size > Bpe.ExprMergeLimit)
+    val dup = base :+ base.head
+    assert(Bpe.isTrainingConsistent(dup),
+      "fixture must reach the duplicate check, not the consistency one")
+    val types = Seq("ab", "cd").toDF("tok")
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.subwordCountsForTypes(types, "tok", dup)
+    }
+    assert(ex.getMessage.contains("duplicate"), ex.getMessage)
+  }
+
+  test("null tokens yield null n_sub on BOTH encode paths") {
+    import spark.implicits._
+    // The expression path propagates null through the merge fold; the
+    // mapPartitions path used to NPE in encodeLocal — the same frame
+    // must behave identically regardless of merge-table size.
+    val types = Seq(Some("2b"), None, Some("ff")).toDF("tok")
+    val small = Bpe.subwordCountsForTypes(types, "tok", Bpe.MergesV1)
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    val big = Bpe.subwordCountsForTypes(types, "tok", Bpe.Merges512Hex)
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(small.count(_._1 == null) == 1 && big.count(_._1 == null) == 1)
+    assert(small.filter(_._1 == null).forall(_._2 == null),
+      "expression path: null in, null n_sub out")
+    assert(big.filter(_._1 == null).forall(_._2 == null),
+      "trie path: null in, null n_sub out")
+    // Non-null tokens still encode on both paths.
+    assert(small.filter(_._1 != null).forall(_._2 != null))
+    assert(big.filter(_._1 != null).forall(_._2 != null))
+  }
+
   test("expression encode equals the reference encoder on every corpus type") {
     import spark.implicits._
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
