@@ -679,11 +679,15 @@ object TextQueries {
     * ([0, VocabSize) are real ids, −1 is unk). */
   val EosId: Long = VocabSize.toLong
 
-  /** Docs-per-bucket granularity for [[trainSequences]]' offset prefix
-    * sum: coarse enough that the bucket stitch stays a bounded driver
-    * fold (1 B docs/lang → ~15 k buckets/lang), fine enough that doc
-    * rows spread across many tasks at corpus scale. */
-  val TrainSeqDocBucket = 65536L
+  /** Target bucket-count bits for [[trainSequences]]' offset prefix sum:
+    * the id range is split into ≤ 2^12 = 4096 equal power-of-two-wide
+    * buckets — coarse enough that the stitch stays a bounded driver fold
+    * (≤ 4097 bucket values globally, × #langs worst case), fine enough
+    * that doc rows spread across many tasks at corpus scale. The width
+    * ADAPTS to the observed id range, so the shape holds for dense
+    * integer ids AND sparse/hashed 64-bit ids alike — a fixed divisor
+    * would give hashed ids one bucket per doc and explode the stitch. */
+  val TrainSeqBucketBits = 12
 
   /** Session conf gating [[trainSequences]]' token-stream checkpoint
     * (default true). The checkpoint trades ONE tokenizing scan plus a
@@ -709,8 +713,9 @@ object TextQueries {
     * hash-checked, not just counted.
     *
     * Scale shape: the dictionary broadcasts; per-doc offsets come from
-    * [[graft.operators.PrefixSum.globalCumsum]] over (lang, doc_id
-    * div [[TrainSeqDocBucket]]) buckets — NEVER a lang-keyed window,
+    * [[graft.operators.PrefixSum.globalCumsum]] over (lang, id-range)
+    * buckets sized adaptively from the observed id range (see
+    * [[TrainSeqBucketBits]]) — NEVER a lang-keyed window,
     * which would sort every doc row of one language in a single task
     * (single-digit parallelism over the whole corpus with ~10
     * languages, the coarse-key scale killer of SURVEY §9); the
@@ -770,15 +775,29 @@ object TextQueries {
     // where gcum is the inclusive GLOBAL cumsum of (n+1) along
     // (lang, doc_id) — hierarchical keyed windows + a bounded driver
     // stitch (the exact shape ccnetBucketsFrom uses) — and langOff is a
-    // #langs-row driver fold. The bucket renders doc_id div N
-    // zero-padded so lexicographic bucket order equals the numeric
-    // (lang, doc_id) order (doc ids are non-negative; U+0001 sorts
-    // below every printable char, so no lang prefix collision).
+    // #langs-row driver fold.
+    //
+    // Bucket construction: the observed id range (one tiny agg over the
+    // materialized doc-level frame) is split into <= 2^TrainSeqBucketBits
+    // power-of-two-wide buckets: shift FIRST (arithmetic shiftright is
+    // monotone in the signed id, and ANSI mode forbids the wrap-around
+    // subtract-first form), then rebase by the shifted min — both
+    // operands land within ~2^TrainSeqBucketBits of each other, so the
+    // subtraction can never overflow, for ANY Long id distribution
+    // (dense ints, sparse 64-bit hashes, negative ids). %020d of the
+    // small non-negative result zero-pads, so lexicographic bucket order
+    // equals the numeric (lang, doc_id) order (U+0001 sorts below every
+    // printable char, so no lang prefix collision).
+    val idBounds = nDoc.agg(
+      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    val minId = idBounds.getLong(0)
+    val range = BigInt(idBounds.getLong(1)) - BigInt(minId) // >= 0, < 2^64
+    val shift = math.max(0, range.bitLength - TrainSeqBucketBits)
     val cum = graft.operators.PrefixSum.globalCumsum(
       nDoc.withColumn("sz", col("n") + 1L),
       bucket = format_string(
         "%s\u0001%020d", col("lang"),
-        expr(s"doc_id div $TrainSeqDocBucket")),
+        shiftright(col("doc_id"), shift) - lit(minId >> shift)),
       order = Seq(col("lang"), col("doc_id")),
       value = col("sz"),
       out = "gcum")
