@@ -51,6 +51,30 @@ object PrefixSum {
         "stitch join — encode them as one ordered string column")
   }
 
+  /** Order-preserving, bounded-cardinality bucket of a long column for
+    * the hierarchical prefix ops: the OBSERVED range of `c` (one tiny
+    * agg — pass a materialized frame) is split into ≤ 2^bits
+    * power-of-two-wide buckets. Shift-then-rebase: arithmetic
+    * `shiftright` is monotone in the signed value, and after shifting
+    * both operands sit within ~2^bits of each other, so the rebase can
+    * never overflow under ANSI mode — correct for ANY Long distribution
+    * (dense ints, sparse 64-bit hashes, negative values). A fixed
+    * divisor gets this wrong twice: sparse ids → one bucket per row
+    * (unbounded stitch), narrow ranges → one bucket total (single-task
+    * window). Returns a non-negative value that zero-pads stably into
+    * `format_string("%s<sep>%020d", keyPrefix, bucket)` composites
+    * (call sites use U+0001 as the separator). */
+  def adaptiveRangeBucket(df: DataFrame, c: Column, bits: Int): Column = {
+    val b = df.agg(min(c), max(c)).head()
+    if (b.isNullAt(0)) lit(0L) // empty or all-null: one bucket
+    else {
+      val lo = b.getLong(0)
+      val range = BigInt(b.getLong(1)) - BigInt(lo) // ≥ 0, < 2^64
+      val shift = math.max(0, range.bitLength - bits)
+      shiftright(c, shift) - lit(lo >> shift)
+    }
+  }
+
   /** Global cumulative sum of `value` along `order` (inclusive of the
     * current row), emitted as column `out`. `bucket` must be a
     * non-decreasing function of `order` (e.g. `to_date(ts)` when ordering

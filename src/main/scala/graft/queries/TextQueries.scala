@@ -777,27 +777,20 @@ object TextQueries {
     // stitch (the exact shape ccnetBucketsFrom uses) — and langOff is a
     // #langs-row driver fold.
     //
-    // Bucket construction: the observed id range (one tiny agg over the
-    // materialized doc-level frame) is split into <= 2^TrainSeqBucketBits
-    // power-of-two-wide buckets: shift FIRST (arithmetic shiftright is
-    // monotone in the signed id, and ANSI mode forbids the wrap-around
-    // subtract-first form), then rebase by the shifted min — both
-    // operands land within ~2^TrainSeqBucketBits of each other, so the
-    // subtraction can never overflow, for ANY Long id distribution
-    // (dense ints, sparse 64-bit hashes, negative ids). %020d of the
-    // small non-negative result zero-pads, so lexicographic bucket order
-    // equals the numeric (lang, doc_id) order (U+0001 sorts below every
-    // printable char, so no lang prefix collision).
-    val idBounds = nDoc.agg(
-      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
-    val minId = idBounds.getLong(0)
-    val range = BigInt(idBounds.getLong(1)) - BigInt(minId) // >= 0, < 2^64
-    val shift = math.max(0, range.bitLength - TrainSeqBucketBits)
+    // Bucket: PrefixSum.adaptiveRangeBucket sizes <= 2^TrainSeqBucketBits
+    // power-of-two-wide id buckets from the range OBSERVED on the
+    // materialized doc-level frame — correct and bounded for dense ints,
+    // sparse 64-bit hashes, and negative ids alike (see the helper's
+    // scaladoc). %020d of the small non-negative result zero-pads, so
+    // lexicographic bucket order equals the numeric (lang, doc_id) order
+    // (U+0001 sorts below every printable char, so no lang prefix
+    // collision).
     val cum = graft.operators.PrefixSum.globalCumsum(
       nDoc.withColumn("sz", col("n") + 1L),
       bucket = format_string(
         "%s\u0001%020d", col("lang"),
-        shiftright(col("doc_id"), shift) - lit(minId >> shift)),
+        graft.operators.PrefixSum.adaptiveRangeBucket(
+          nDoc, col("doc_id"), TrainSeqBucketBits)),
       order = Seq(col("lang"), col("doc_id")),
       value = col("sz"),
       out = "gcum")
@@ -886,16 +879,23 @@ object TextQueries {
     val spark = scored.sparkSession
     import spark.implicits._
     // Global rank along (lang, nll, doc_id) without a global or
-    // lang-keyed sort window: (lang, nll div 10000) is a non-decreasing
-    // coarse bucket of that order (nll values span ~1e5 micros per lang,
-    // so buckets stay O(langs × range/1e4) — driver-fold sized). The
-    // bucket is rendered as a zero-padded string so the driver stitch's
-    // lexicographic bucket order equals the numeric order (nll_micro is
-    // a negated log-likelihood — always ≥ 0, so padding is safe).
+    // lang-keyed sort window: (lang, nll-range bucket) is a
+    // non-decreasing coarse bucket of that order. The bucket width
+    // adapts to the OBSERVED nll range (PrefixSum.adaptiveRangeBucket
+    // over the checkpointed scored frame, <= 2^12 buckets): a fixed
+    // 10k-micros band was driver-fold sized for the ~1e5-micros spread
+    // of this corpus, but a narrow-spread corpus would collapse to one
+    // bucket per language (single-task window) and a wide one would
+    // bloat the stitch. The bucket is rendered as a zero-padded string
+    // so the driver stitch's lexicographic bucket order equals the
+    // numeric order (the helper's result is always non-negative, so
+    // padding is safe).
     val ranked = graft.operators.PrefixSum.globalCumsum(
       scored,
       bucket = format_string(
-        "%s\u0001%020d", col("lang"), expr("mean_nll_micro div 10000")),
+        "%s\u0001%020d", col("lang"),
+        graft.operators.PrefixSum.adaptiveRangeBucket(
+          scored, col("mean_nll_micro"), 12)),
       order = Seq(col("lang"), col("mean_nll_micro"), col("doc_id")),
       value = lit(1L),
       out = "grank")

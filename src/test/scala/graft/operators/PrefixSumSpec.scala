@@ -114,6 +114,35 @@ class PrefixSumSpec extends SparkSuite {
     assert(ex2.getMessage.contains("atomic"))
   }
 
+  test("adaptiveRangeBucket: bounded, order-preserving, overflow-free on any Long spread") {
+    // Full signed-Long spread (hashed-id shape): bucket count must stay
+    // <= 2^bits + 1, values non-negative, and bucket order must follow
+    // value order.
+    val rnd = new scala.util.Random(7)
+    val vals = (Seq(Long.MinValue + 1, -1L, 0L, 1L, Long.MaxValue - 1) ++
+      Seq.fill(500)(rnd.nextLong())).distinct
+    val df = vals.toDF("v")
+    val b = PrefixSum.adaptiveRangeBucket(df, col("v"), 4)
+    val got = df.select(col("v"), b.as("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).distinct.length <= 17, "more than 2^4+1 buckets")
+    assert(got.forall(_._2 >= 0L), "bucket must zero-pad (non-negative)")
+    val sorted = got.sortBy(_._1)
+    assert(sorted.map(_._2).sliding(2).forall(w =>
+      w.length < 2 || w(0) <= w(1)),
+      "bucket must be monotone in the value")
+    // Narrow range: a fixed divisor would give ONE bucket; the adaptive
+    // width still splits it.
+    val narrow = (0L to 1000L).map(5000000L + _).toDF("v")
+    val nb = narrow
+      .select(PrefixSum.adaptiveRangeBucket(narrow, col("v"), 4).as("b"))
+      .collect().map(_.getLong(0)).distinct
+    assert(nb.length > 8, s"narrow range must still spread, got ${nb.length} buckets")
+    // Empty and all-null frames: one constant bucket, no crash.
+    assert(PrefixSum.adaptiveRangeBucket(
+      Seq.empty[Long].toDF("v"), col("v"), 4) != null)
+  }
+
   test("plan has no unpartitioned window") {
     val df = (1L to 100L).map(i => (i, i % 5)).toDF("id", "v")
     val out = PrefixSum
