@@ -260,12 +260,16 @@ object EventQueries {
     * (SURVEY.md §7.4 q_chunk_prefix; exact greedy is Scala-golden-tested). */
   def chunkPrefix(s: SparkSession, d: String): DataFrame =
     // Global prefix sum via the hierarchical PrefixSum operator (coarse
-    // doc_id div 1000 buckets → keyed local windows + bounded stitch) —
-    // identical output to sum(n_tok) OVER (ORDER BY doc_id), scalable plan.
+    // id-range buckets → keyed local windows + bounded stitch) —
+    // identical output to sum(n_tok) OVER (ORDER BY doc_id), scalable
+    // plan. The bucket adapts to the observed id range (the sizing agg
+    // reads only the parquet doc_id column), so sparse/hashed ids keep
+    // the stitch bounded instead of degenerating to one bucket per doc.
     graft.operators.PrefixSum.globalCumsum(
         documents(s, d)
           .withColumn("n_tok", TextFunctions.estimateTokensCol(col("text"))),
-        bucket = expr("doc_id div 1000"),
+        bucket = graft.operators.PrefixSum.adaptiveRangeBucket(
+          documents(s, d), col("doc_id"), 12),
         order = Seq(col("doc_id")),
         value = col("n_tok"),
         out = "cum_tok")
