@@ -88,7 +88,9 @@ object ScaleStress {
     time("global prefix sum (hierarchical)")(
       noop(graft.operators.PrefixSum.globalCumsum(
         corpus.withColumn("n", length(col("text")).cast("long")),
-        expr("doc_id div 1000"), Seq(col("doc_id")), col("n"), "cum")))
+        graft.operators.PrefixSum.adaptiveRangeBucket(
+          corpus, col("doc_id"), 12),
+        Seq(col("doc_id")), col("n"), "cum")))
     // Round-4: duplicate spans on a corpus where every replica shares
     // almost every window with its source — the dense-duplication worst
     // case for the interval-union pass; must stay linear in corpus size
