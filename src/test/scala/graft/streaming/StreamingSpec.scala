@@ -277,6 +277,79 @@ class StreamingSpec extends SparkSuite {
       "restarted-run output must equal the uninterrupted run exactly once")
   }
 
+  test("buffered gap sessions recover from a checkpoint across a stop/restart") {
+    import spark.implicits._
+    // Same durability contract as the ordered sessionizer's recovery
+    // test, for the operator with the most state to lose: the pending
+    // out-of-order buffer, the open session, and the next session index
+    // must all come back from the state store so the restarted run's
+    // union equals an uninterrupted run exactly once — including the
+    // emitted idx values, which would shift on any nextIdx reset. Rows
+    // are shuffled WITHIN each time-quartile part (the disorder the
+    // buffered variant exists for); parts stay time-ordered so the
+    // watermark never drops rows and both runs see the same event set.
+    val stage = java.nio.file.Files.createTempDirectory("bckpt_stage")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
+    val ev = graft.queries.Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+    val n = ev.count()
+    val parts = 4
+    val partFiles = (0 until parts).map { i =>
+      val lo = i * n / parts
+      val hi = (i + 1) * n / parts
+      val pdir = s"$stage/p$i"
+      ev.filter(col("rn") > lo && col("rn") <= hi)
+        .orderBy(md5(col("event_id").cast("string"))) // in-part shuffle
+        .select(col("event_id"), unix_micros(col("ts")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(pdir)
+      new java.io.File(pdir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+    }
+    def read(srcDir: java.nio.file.Path) = spark.readStream
+      .schema(StreamingOps.eventsRawSchema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(col("ts")))
+    def runTo(srcDir: java.nio.file.Path, outDir: String, ckptDir: String)
+        : Unit = {
+      val q = StreamingOps.gapSessionsBuffered(spark, read(srcDir)).toDF
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    def copyIn(srcDir: java.nio.file.Path, idx: Range): Unit =
+      idx.foreach { i =>
+        java.nio.file.Files.copy(partFiles(i),
+          srcDir.resolve(s"events_$i.parquet"))
+      }
+    val srcA = java.nio.file.Files.createTempDirectory("bckpt_srcA")
+    val outA = java.nio.file.Files.createTempDirectory("bckpt_outA").toString
+    val ckptA = java.nio.file.Files.createTempDirectory("bckpt_ckptA").toString
+    copyIn(srcA, 0 until 2)
+    runTo(srcA, outA, ckptA)
+    val phase1Rows = spark.read.parquet(outA).count()
+    copyIn(srcA, 2 until 4)
+    runTo(srcA, outA, ckptA)
+    val srcB = java.nio.file.Files.createTempDirectory("bckpt_srcB")
+    val outB = java.nio.file.Files.createTempDirectory("bckpt_outB").toString
+    val ckptB = java.nio.file.Files.createTempDirectory("bckpt_ckptB").toString
+    copyIn(srcB, 0 until 4)
+    runTo(srcB, outB, ckptB)
+    def multiset(path: String) = spark.read.parquet(path)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val recovered = multiset(outA)
+    val single = multiset(outB)
+    assert(phase1Rows > 0, "phase 1 should already emit certified sessions")
+    assert(recovered.values.sum > phase1Rows,
+      "restart should emit additional sessions")
+    assert(recovered == single,
+      "restarted-run output must equal the uninterrupted run exactly once")
+  }
+
   test("run detection fails loudly on a cross-batch time regression") {
     import spark.implicits._
     // Same contract as gapSessions: a later batch carrying earlier
