@@ -205,6 +205,35 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("buffered gap sessions run identically on the RocksDB state store") {
+    // The buffered variant carries the richest state (a Seq[Long]
+    // pending buffer + open session + next index) and registers
+    // event-time timeouts — all of it must round-trip through RocksDB's
+    // serialized store byte-identically to the HDFS-backed default.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = runToMemory(
+        StreamingOps.gapSessionsBuffered(
+          spark, StreamingOps.readEvents(spark, streamDir)).toDF,
+        "sess_buf_rocks").collect().map(_.toSeq).toSet
+      spark.conf.unset(key) // default (HDFS-backed) provider
+      val base = runToMemory(
+        StreamingOps.gapSessionsBuffered(
+          spark, StreamingOps.readEvents(spark, streamDir)).toDF,
+        "sess_buf_hdfsstore").collect().map(_.toSeq).toSet
+      assert(got.nonEmpty)
+      assert(got == base)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("gap sessions recover from a checkpoint across a stop/restart") {
     import spark.implicits._
     // The durability half of streaming correctness: run half the input,
