@@ -582,13 +582,18 @@ object TextQueries {
     * retrieval scorer a training-data pipeline uses for quality/topic
     * filtering at corpus scale.
     *
-    * Scale shape: tokens are exploded ONCE; document length and tf both
-    * come off that projection with map-side partial aggs. Only
-    * query-term rows survive into the tf⋈df join (a |Q|-term vocabulary
-    * shuffle, effectively free), and corpus stats (N, avgdl) broadcast as
-    * a 1-row frame. Per-(doc,term) scores are rounded to integer MICROS
-    * before the final per-doc sum, so the double sum is order-insensitive
-    * and the result hash-stable in any engine (FIXTURES.md discipline). */
+    * Scale shape: the token explode has FOUR consumers (doc length,
+    * corpus stats, tf, df) — left lazy, each would re-scan and
+    * re-explode the corpus text. Materializing the token stream itself
+    * would be a corpus-sized write (the trainSequences trade), so the
+    * two SMALL frames just past it are checkpointed instead: doc
+    * lengths (one row per doc) and the query-term rows (|Q| terms —
+    * a sliver of the corpus). Two text scans total, everything
+    * downstream replays bounded frames. Corpus stats (N, avgdl)
+    * broadcast as a 1-row frame. Per-(doc,term) scores are rounded to
+    * integer MICROS before the final per-doc sum, so the double sum is
+    * order-insensitive and the result hash-stable in any engine
+    * (FIXTURES.md discipline). */
   def bm25(s: SparkSession, d: String, k: Int = 20): DataFrame = {
     val k1 = BM25K1
     val b = BM25B
@@ -597,10 +602,12 @@ object TextQueries {
         explode(split(lower(col("text")), "\\s+")).as("word"))
       .filter(col("word") =!= "")
     val dl = w.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
     val stats = dl.agg(
       count(lit(1)).as("n"),
       avg(col("dl").cast("double")).as("avgdl"))
     val qw = w.filter(col("word").isin(BM25Terms: _*))
+      .localCheckpoint(true)
     val tf = qw.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = qw.groupBy("word").agg(countDistinct("doc_id").as("df"))
     tf.join(df, Seq("word"))

@@ -306,6 +306,17 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 2, s"expected only the final sort exchange(s), got $exchanges:\n$p")
   }
 
+  test("bm25 final plan replays checkpointed frames, never the text scan") {
+    // dl and the query-term rows are materialized (two text scans run
+    // eagerly at build time); the returned plan must read only those
+    // bounded frames — a parquet scan here means tf/df/stats re-explode
+    // the corpus per consumer.
+    val p = plan("q_bm25")
+    assert(p.contains("ExistingRDD"), s"expected checkpointed frames:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"corpus re-exploded inside the scoring join:\n$p")
+  }
+
   test("LM score vocabulary is TakeOrdered and broadcast") {
     val p = plan("q_lm_score")
     assert(p.contains("TakeOrderedAndProject"),
