@@ -40,14 +40,17 @@ object PrefixSum {
     * be EMPTY. Refuse composite buckets loudly; callers encode composite
     * buckets as ordered strings instead (e.g. `format_string("%s%020d",
     * …)`, see TextQueries.ccnetBucketsFrom). */
-  private def requireAtomicBucket(df: DataFrame): Unit = {
-    val dt = df.schema("__bucket").dataType
+  private def requireAtomicBucket(df: DataFrame): Unit =
+    requireAtomicCol(df, "__bucket")
+
+  private def requireAtomicCol(df: DataFrame, name: String): Unit = {
+    val dt = df.schema(name).dataType
     require(
       !dt.isInstanceOf[org.apache.spark.sql.types.StructType] &&
         !dt.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
         !dt.isInstanceOf[org.apache.spark.sql.types.MapType],
-      s"PrefixSum bucket must be an atomic type, got ${dt.simpleString}: " +
-        "composite buckets stringify differently on the driver and in the " +
+      s"PrefixSum $name must be an atomic type, got ${dt.simpleString}: " +
+        "composite keys stringify differently on the driver and in the " +
         "stitch join — encode them as one ordered string column")
   }
 
@@ -65,6 +68,12 @@ object PrefixSum {
     * `format_string("%s<sep>%020d", keyPrefix, bucket)` composites
     * (call sites use U+0001 as the separator). */
   def adaptiveRangeBucket(df: DataFrame, c: Column, bits: Int): Column = {
+    // bits=0 (or negative) with a 64-bit range would compute shift=64,
+    // which the JVM/Spark shiftright masks to 0 — silently one bucket
+    // per DISTINCT VALUE, turning the bounded driver stitch into an
+    // unbounded collect. Refuse loudly instead.
+    require(bits >= 1 && bits <= 63,
+      s"adaptiveRangeBucket bits must be in [1, 63], got $bits")
     val b = df.agg(min(c), max(c)).head()
     if (b.isNullAt(0)) lit(0L) // empty or all-null: one bucket
     else {
@@ -185,5 +194,122 @@ object PrefixSum {
       .withColumn(out, col("__off") + col("__local_run") - col("__merge"))
       .drop("__bucket", "__bucket_s", "__t", "__ord", "__chg",
         "__local_run", "__off", "__merge")
+  }
+
+  /** The per-PARTITION analytic-window primitives — 1-based row rank,
+    * lag(value, 1), lead(value, 1), and the partition row count — over
+    * `order` within `part`, WITHOUT a part-keyed window. A
+    * `Window.partitionBy(part)` with a coarse key (an event type, a
+    * language) sorts each key's entire history in ONE task — the same
+    * scale killer [[globalCumsum]] exists to avoid, just partitioned by
+    * a handful of values instead of one. Here the window is keyed by
+    * `(part, bucket)` (scales out with the bucket count), and one
+    * bounded driver fold over the per-(part, bucket) summaries stitches
+    * everything a downstream analytic needs:
+    *
+    *  - `rankOut`: bucket-local row_number + the cumulative count of
+    *    earlier buckets in the same part (resets at part changes);
+    *  - `countOut`: the part's total row count — with the rank this
+    *    yields ntile-k via the closed-form ANSI formula and cume_dist
+    *    via rank/count, with no further pass;
+    *  - `lagOut`/`leadOut`: bucket-local lag/lead, with each bucket's
+    *    FIRST row taking the previous same-part bucket's last value and
+    *    its LAST row the next same-part bucket's first value (null at
+    *    true part edges, exactly like the part-keyed window).
+    *
+    * `bucket` must be non-decreasing along `order` within each `part`
+    * (same contract as [[globalCumsum]]; [[adaptiveRangeBucket]] of the
+    * leading order column is the usual choice). `value` must be LongType
+    * so the driver rebuilds boundary values losslessly. Ranks treat rows
+    * as distinct (no peer handling): callers deriving cume_dist assume a
+    * unique `order` key and must document that. Output is bit-identical
+    * to the part-keyed window formulation; only the plan shape changes
+    * (WindowFamilySpec pins the equality on randomized frames). */
+  def partitionedAnalytics(
+      df: DataFrame,
+      part: Column,
+      bucket: Column,
+      order: Seq[Column],
+      value: Column,
+      rankOut: String,
+      lagOut: String,
+      leadOut: String,
+      countOut: String
+  ): DataFrame = {
+    val w = Window.partitionBy("__part", "__bucket").orderBy(order: _*)
+    val withLocal = df
+      .withColumn("__part", part)
+      .withColumn("__bucket", bucket)
+      .withColumn("__v", value)
+      .withColumn("__ord", struct(order: _*))
+      .withColumn("__lag", lag(col("__v"), 1).over(w))
+      .withColumn("__lead", lead(col("__v"), 1).over(w))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+    requireAtomicBucket(withLocal)
+    requireAtomicCol(withLocal, "__part")
+    require(
+      withLocal.schema("__v").dataType == org.apache.spark.sql.types.LongType,
+      s"partitionedAnalytics requires a bigint value column, got " +
+        withLocal.schema("__v").dataType.simpleString)
+    // Per-(part, bucket) summaries: #parts × #buckets rows, bounded by
+    // construction. Column pruning drops the Window node from this
+    // branch (count/min_by/max_by reference no window output), so the
+    // summary pass is a plain partial-agg scan.
+    val summaries = withLocal
+      .groupBy("__part", "__bucket")
+      .agg(
+        count(lit(1)).as("__bn"),
+        min_by(col("__v"), col("__ord")).as("__first"),
+        max_by(col("__v"), col("__ord")).as("__last"))
+      .orderBy("__part", "__bucket")
+      .collect()
+    val partTotals: Map[String, Long] = summaries
+      .groupBy(r => bucketKey(r.get(0)))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+    // Driver chain: rank offsets accumulate within a part and reset at
+    // part changes; boundary lag/lead values come from the ADJACENT
+    // summary row when (and only when) it belongs to the same part — a
+    // null boundary value stays null, which is also what the part-keyed
+    // window's lag/lead would have returned for a null neighbor value.
+    var off = 0L
+    var prevPart: String = null
+    val stitched = summaries.indices.map { i =>
+      val r = summaries(i)
+      val pk = bucketKey(r.get(0))
+      if (pk != prevPart) { off = 0L; prevPart = pk }
+      val o = off
+      off += r.getLong(2)
+      val prevLast =
+        if (i > 0 && bucketKey(summaries(i - 1).get(0)) == pk &&
+          !summaries(i - 1).isNullAt(4)) Some(summaries(i - 1).getLong(4))
+        else None
+      val nextFirst =
+        if (i + 1 < summaries.length &&
+          bucketKey(summaries(i + 1).get(0)) == pk &&
+          !summaries(i + 1).isNullAt(3)) Some(summaries(i + 1).getLong(3))
+        else None
+      (pk, bucketKey(r.get(1)), o, partTotals(pk), r.getLong(2),
+        prevLast, nextFirst)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = stitched.toDF(
+      "__part_s", "__bucket_s", "__off", "__pn", "__bsz", "__prev", "__next")
+    withLocal
+      .join(
+        broadcast(offDf),
+        bucketKeyCol(col("__part")) === col("__part_s") &&
+          bucketKeyCol(col("__bucket")) === col("__bucket_s"))
+      .withColumn(rankOut, col("__off") + col("__rn"))
+      .withColumn(countOut, col("__pn"))
+      // __rn (not __lag IS NULL) detects bucket edges: a null __lag can
+      // also mean "previous row's VALUE is null", which must stay null.
+      .withColumn(lagOut,
+        when(col("__rn") === 1L, col("__prev")).otherwise(col("__lag")))
+      .withColumn(leadOut,
+        when(col("__rn") === col("__bsz"), col("__next"))
+          .otherwise(col("__lead")))
+      .drop("__part", "__bucket", "__v", "__ord", "__lag", "__lead", "__rn",
+        "__part_s", "__bucket_s", "__off", "__pn", "__bsz", "__prev", "__next")
   }
 }

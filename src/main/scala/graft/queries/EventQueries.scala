@@ -412,20 +412,60 @@ object EventQueries {
 
   /** The analytic-window family beyond rank: lag, lead, ntile,
     * cume_dist per event-type partition — every value exact or derived
-    * from exact integers (cume_dist is a ratio of counts; rounded). */
-  def windowFamily(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("event_id")
-    events(s, d)
-      .withColumn("value_cents", cents(col("value")))
-      .select(
-        col("event_id"),
-        col("event_type"),
-        col("value_cents"),
-        lag("value_cents", 1).over(w).as("prev_cents"),
-        lead("value_cents", 1).over(w).as("next_cents"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        round(cume_dist().over(w), 6).as("cume"))
+    * from exact integers (cume_dist is a ratio of counts; rounded).
+    *
+    * Scale shape: `Window.partitionBy("event_type")` is a ~5-value key —
+    * each event type's ENTIRE history would sort in one task, the
+    * coarse-key scale killer ccnetBuckets and trainSequences eliminated.
+    * Instead ONE window keyed by (event_type, adaptive event_id-range
+    * bucket) computes local rank/lag/lead, and a bounded driver stitch
+    * ([[graft.operators.PrefixSum.partitionedAnalytics]]) supplies rank
+    * offsets, per-type counts, and boundary lag/lead values. quartile is
+    * the closed-form ANSI ntile(4) — n div 4 base size, the first
+    * n mod 4 buckets one larger (the exact rule Spark's NTile and
+    * DuckDB both implement) — and cume_dist is rank/count, valid
+    * because event_id is the table's unique key (no rank peers; the
+    * oracle re-checks by construction). Bit-identical to the window
+    * formulation (WindowFamilySpec); PlanSpec pins the absence of any
+    * event_type-keyed WindowExec. */
+  def windowFamily(s: SparkSession, d: String): DataFrame =
+    // Three column-pruned scans (bucket min/max, stitch summaries, the
+    // window pass) beat checkpointing a corpus-sized 3-column frame —
+    // the input is a raw parquet scan, not an expensive upstream.
+    windowFamilyFrom(
+      events(s, d)
+        .withColumn("value_cents", cents(col("value")))
+        .select("event_id", "event_type", "value_cents"))
       .orderBy("event_id")
+
+  /** [[windowFamily]]'s core over any (event_id, event_type,
+    * value_cents) frame with unique event_id (exposed for the
+    * WindowFamilySpec equality test and ScaleStress). */
+  private[graft] def windowFamilyFrom(ev: DataFrame): DataFrame = {
+    val bkt = graft.operators.PrefixSum.adaptiveRangeBucket(
+      ev, col("event_id"), 12)
+    graft.operators.PrefixSum
+      .partitionedAnalytics(
+        ev,
+        part = col("event_type"),
+        bucket = bkt,
+        order = Seq(col("event_id")),
+        value = col("value_cents"),
+        rankOut = "__rnk",
+        lagOut = "prev_cents",
+        leadOut = "next_cents",
+        countOut = "__n")
+      .withColumn("__q", expr("__n div 4"))
+      .withColumn("__rem", expr("__n % 4"))
+      .withColumn(
+        "quartile",
+        when(col("__rnk") <= col("__rem") * (col("__q") + 1L),
+          expr("(__rnk - 1) div (__q + 1) + 1"))
+          .otherwise(expr("__rem + (__rnk - __rem * (__q + 1) - 1) div __q + 1")))
+      .withColumn("cume",
+        round(col("__rnk").cast("double") / col("__n"), 6))
+      .select("event_id", "event_type", "value_cents", "prev_cents",
+        "next_cents", "quartile", "cume")
   }
 
   /** Z-order (Morton) layout key over (user_id, value_cents) — the

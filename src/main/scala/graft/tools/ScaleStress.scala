@@ -190,6 +190,33 @@ object ScaleStress {
         .withColumn("off", col("gcum") - col("sz") - col("lang_off")))
     }
     }
+    // Round-7: windowFamily A/B at FIXED sizes, same shape as the offset
+    // A/B above — lag/lead/ntile/cume over an event_type window sorts
+    // each type's entire history in ONE task (with a ~95%-dominant type,
+    // that single sort is the critical path and grows super-linearly),
+    // vs PrefixSum.partitionedAnalytics' (type, id-range)-bucket window
+    // + bounded stitch, which stays linear.
+    def syntheticEvents(nRows: Long) = spark.range(nRows).select(
+      col("id").as("event_id"),
+      when(col("id") % 20 === 0, concat(lit("t"), col("id") % 4))
+        .otherwise(lit("click")).as("event_type"),
+      (col("id") % 997).as("value_cents"))
+    for (nRows <- Seq(20000000L, 50000000L)) {
+      time(f"window family ${nRows / 1000000}%dM: event_type window (anti-pattern)") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("event_id")
+        noop(syntheticEvents(nRows).select(
+          col("event_id"), col("event_type"), col("value_cents"),
+          lag("value_cents", 1).over(w).as("prev_cents"),
+          lead("value_cents", 1).over(w).as("next_cents"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(cume_dist().over(w), 6).as("cume")))
+      }
+      time(f"window family ${nRows / 1000000}%dM: prefix-sum analytics") {
+        noop(graft.queries.EventQueries.windowFamilyFrom(
+          syntheticEvents(nRows)))
+      }
+    }
     // Streaming OOO sessionizer throughput: replicas× the events table
     // with per-replica user AND time offsets (a longer, wider stream in
     // time order across files, disordered within), default 30-min
