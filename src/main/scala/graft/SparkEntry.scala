@@ -104,6 +104,7 @@ object SparkEntry {
     "q_stream_enrich" -> (StreamingQueries.streamStaticEnrich _),
     "q_audio_segments" -> (PipelineQueries.audioSegments _),
     "q_semantic_dedup" -> (PipelineQueries.semanticDedup _),
+    "q_incremental_semantic" -> (PipelineQueries.semanticDedupIncrementalQ _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
@@ -127,6 +128,7 @@ object SparkEntry {
     "q_vocab_topk" -> (TextQueries.vocabTopK _),
     "q_tfidf_topk" -> ((s, d) => TextQueries.tfidfTopTerms(s, d)),
     "q_bm25" -> ((s, d) => TextQueries.bm25(s, d)),
+    "q_bm25_queries" -> ((s, d) => TextQueries.bm25Queries(s, d)),
     "q_lm_score" -> (TextQueries.lmScore _),
     "q_pack_docs" -> (TextQueries.packDocs _),
     "q_sample_hash" -> (TextQueries.sampleHash _),
@@ -411,6 +413,7 @@ object SparkEntry {
     "q_image_resize" -> PipelineQueries.imageResizeOracle,
     "q_tfidf_topk" -> TextQueries.tfidfTopTermsOracle(),
     "q_bm25" -> TextQueries.bm25Oracle(),
+    "q_bm25_queries" -> TextQueries.bm25QueriesOracle(),
     "q_lm_score" -> TextQueries.lmScoreOracle,
     "q_pack_docs" -> TextQueries.packDocsOracle,
     "q_stratified_sample" -> TextQueries.stratifiedSampleOracle,
@@ -438,6 +441,7 @@ object SparkEntry {
     "q_stream_enrich" -> StreamingQueries.streamStaticEnrichOracle,
     "q_audio_segments" -> PipelineQueries.audioSegmentsOracle,
     "q_semantic_dedup" -> PipelineQueries.semanticDedupOracle,
+    "q_incremental_semantic" -> PipelineQueries.semanticDedupIncrementalOracle,
     "q_setop_funnel" ->
       """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
         |c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),

@@ -595,6 +595,61 @@ object PipelineQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Batch residue for the incremental SemDeDup query: vec_id % 9 == 8 is
+    * the one residue class mod 9 that contains NO [[IvfCentroidIds]]
+    * centroid (ids are 0,37,…,259 ≡ 0..7 mod 9), so every centroid stays
+    * on the corpus side of the split. */
+  val SemIncMod = 9
+  val SemIncResidue = 8
+
+  /** Incremental SemDeDup drop list: the vec_id % 9 == 8 batch arriving
+    * against the corpus of everything else, batch×corpus pairs only
+    * (see [[graft.similarity.Ivf.semanticDedupIncremental]]). */
+  def semanticDedupIncrementalQ(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    graft.similarity.Ivf
+      .semanticDedupIncremental(
+        emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue),
+        emb.filter(col("vec_id") % SemIncMod === SemIncResidue),
+        IvfCentroidIds, SemDedupThreshold)
+      .orderBy("vec_id")
+  }
+
+  def semanticDedupIncrementalOracle: String = {
+    val ids = IvfCentroidIds.mkString(", ")
+    s"""WITH c0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings WHERE vec_id % $SemIncMod <> $SemIncResidue),
+       |b0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings WHERE vec_id % $SemIncMod = $SemIncResidue),
+       |cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, emb AS cemb
+       |  FROM c0 WHERE vec_id IN ($ids)),
+       |asgc AS (
+       |  SELECT vec_id, emb, cell, sqrt(list_dot_product(emb, emb)) AS nrm FROM (
+       |    SELECT a.vec_id, a.emb, c.cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_dot_product(a.emb, a.emb) - 2 * list_dot_product(a.emb, c.cemb) + list_dot_product(c.cemb, c.cemb) ASC,
+       |        c.cell ASC) AS rn
+       |    FROM c0 a CROSS JOIN cent c) WHERE rn = 1),
+       |asgb AS (
+       |  SELECT vec_id, emb, cell, sqrt(list_dot_product(emb, emb)) AS nrm FROM (
+       |    SELECT a.vec_id, a.emb, c.cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_dot_product(a.emb, a.emb) - 2 * list_dot_product(a.emb, c.cemb) + list_dot_product(c.cemb, c.cemb) ASC,
+       |        c.cell ASC) AS rn
+       |    FROM b0 a CROSS JOIN cent c) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT b.vec_id AS id_b, b.cell AS cell,
+       |    round(list_dot_product(c.emb, b.emb) / (c.nrm * b.nrm), 6) AS score
+       |  FROM asgb b JOIN asgc c ON b.cell = c.cell)
+       |SELECT id_b AS vec_id, cell, count(*) AS n_dups, max(score) AS max_score
+       |FROM pairs WHERE score >= CAST($SemDedupThreshold AS DOUBLE)
+       |GROUP BY id_b, cell
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val CosineDupThreshold = 0.4
 
   def cosineDuplicates(s: SparkSession, d: String): DataFrame =
@@ -805,15 +860,54 @@ object PipelineQueries {
       .empty[(SparkSession, String), DataFrame]
 
   /** Near-dup pairs → connected components (id, component) over
-    * `documents(d)` — computed once per (session, dir), see [[ccMemo]]. */
-  private[graft] def dupComponents(s: SparkSession, d: String): DataFrame =
-    ccMemo.getOrElseUpdate((s, d), {
+    * `documents(d)` — computed once per (session, dir), see [[ccMemo]].
+    *
+    * localCheckpoint is NOT fault-tolerant: an executor loss drops the
+    * materialized blocks AND the lineage (it is truncated by design), so
+    * a stale memo hit would fail every later caller unrecoverably. A
+    * hit therefore probes one partition first (`limit(1)` — one cached
+    * block, not a rescan) and on any Spark failure evicts and rebuilds
+    * from source — the pipeline is deterministic, so the rebuild is
+    * bit-identical. Data changed under the dir within one session is
+    * the caller's signal to send via [[invalidateDupComponents]]. */
+  private[graft] def dupComponents(s: SparkSession, d: String): DataFrame = {
+    val key = (s, d)
+    def build(): DataFrame = {
       val pairs = Dedup
         .minhashDuplicates(documents(s, d), "doc_id", "text",
           MinhashHashes, MinhashBands, MinhashThreshold)
         .select("id_a", "id_b")
       Dedup.connectedComponents(pairs).localCheckpoint(true)
-    })
+    }
+    ccMemo.get(key) match {
+      case Some(cached) =>
+        try { cached.limit(1).collect(); cached }
+        catch {
+          case _: org.apache.spark.SparkException =>
+            ccMemo.remove(key, cached)
+            ccMemo.getOrElseUpdate(key, build())
+        }
+      case None => ccMemo.getOrElseUpdate(key, build())
+    }
+  }
+
+  /** Evict [[ccMemo]]'s entry for (session, dir) — the hook a caller
+    * uses when the data under `d` changes mid-session (the memo cannot
+    * see writes; it keys on the path, not the content). */
+  private[graft] def invalidateDupComponents(
+      s: SparkSession, d: String): Unit =
+    ccMemo.remove((s, d))
+
+  /** Whether [[ccMemo]] is already primed for (session, dir) — lets the
+    * bench disclose which of the three sharing queries replayed the
+    * memoized frame instead of paying the build. */
+  private[graft] def dupComponentsPrimed(s: SparkSession, d: String): Boolean =
+    ccMemo.contains((s, d))
+
+  /** The declared query names that resolve through [[ccMemo]] — the
+    * bench's memo-hit disclosure set. */
+  private[graft] val CcMemoQueries: Set[String] =
+    Set("q_dup_clusters", "q_dedup_keeplist", "q_leakage_safe_split")
 
   /** Duplicate clusters: connected components over the minhash near-dup
     * pairs — iterative min-label propagation on the Spark side, a

@@ -586,14 +586,18 @@ object TextQueries {
     * corpus stats, tf, df) — left lazy, each would re-scan and
     * re-explode the corpus text. Materializing the token stream itself
     * would be a corpus-sized write (the trainSequences trade), so the
-    * two SMALL frames just past it are checkpointed instead: doc
-    * lengths (one row per doc) and the query-term rows (|Q| terms —
-    * a sliver of the corpus). Two text scans total, everything
-    * downstream replays bounded frames. Corpus stats (N, avgdl)
-    * broadcast as a 1-row frame. Per-(doc,term) scores are rounded to
-    * integer MICROS before the final per-doc sum, so the double sum is
-    * order-insensitive and the result hash-stable in any engine
-    * (FIXTURES.md discipline). */
+    * two frames just past it are checkpointed instead: doc lengths
+    * (one row per doc) and the query-term posting rows. The posting
+    * checkpoint is OCCURRENCE-sized — one row per occurrence of any
+    * query term corpus-wide, not |Q|-sized — so for frequent terms at
+    * 100 TB it is a large executor-disk write; [[Bm25CheckpointConf]]
+    * trades it back for a third text scan (tf and df each re-explode),
+    * same flag discipline as [[TrainSeqCheckpointConf]]. Two text scans
+    * total by default, everything downstream replays bounded frames.
+    * Corpus stats (N, avgdl) broadcast as a 1-row frame. Per-(doc,term)
+    * scores are rounded to integer MICROS before the final per-doc sum,
+    * so the double sum is order-insensitive and the result hash-stable
+    * in any engine (FIXTURES.md discipline). */
   def bm25(s: SparkSession, d: String, k: Int = 20): DataFrame = {
     val k1 = BM25K1
     val b = BM25B
@@ -606,8 +610,11 @@ object TextQueries {
     val stats = dl.agg(
       count(lit(1)).as("n"),
       avg(col("dl").cast("double")).as("avgdl"))
-    val qw = w.filter(col("word").isin(BM25Terms: _*))
-      .localCheckpoint(true)
+    val qwRaw = w.filter(col("word").isin(BM25Terms: _*))
+    val qw =
+      if (s.conf.get(Bm25CheckpointConf, "true").toBoolean)
+        qwRaw.localCheckpoint(true)
+      else qwRaw
     val tf = qw.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = qw.groupBy("word").agg(countDistinct("doc_id").as("df"))
     tf.join(df, Seq("word"))
@@ -631,6 +638,131 @@ object TextQueries {
   val BM25Terms: Seq[String] = Seq("spark", "hash", "merge", "window")
   val BM25K1 = 1.2
   val BM25B = 0.75
+
+  /** Session conf gating [[bm25]]/[[bm25Queries]]' query-term posting
+    * checkpoint (default true — see the scale-shape note on [[bm25]]). */
+  val Bm25CheckpointConf = "spark.graft.bm25.checkpointPostings"
+
+  /** Fixture query table for [[bm25Queries]]' oracle row: multi-term,
+    * duplicate-term (dedup'd by the DISTINCT), and fully-OOV (drops out
+    * of the inner joins on both engines) queries. */
+  val Bm25QueryFixture: Seq[(Long, String)] = Seq(
+    (1L, "spark window aggregate"),
+    (2L, "hash merge join hash"),
+    (3L, "slow scan filter column"),
+    (4L, "zzzunseen qqqabsent"))
+
+  /** Multi-query BM25 — [[bm25]] generalized from the fixed
+    * [[BM25Terms]] to a (query_id, qtext) QUERY TABLE: "score these N
+    * queries against the corpus", the first request a retrieval or
+    * curation user makes of a BM25 scorer. Terms are DISTINCT per query
+    * (bag-of-words BM25 with binary query term frequency); corpus
+    * statistics (dl, avgdl, df) are query-independent and computed once
+    * for all queries.
+    *
+    * Scale shape: one text scan feeds the checkpointed doc lengths, one
+    * more the query-term postings — the union of ALL queries' terms
+    * broadcast-joined into the explode so only matching occurrences
+    * survive the scan (checkpoint conf-gated, [[Bm25CheckpointConf]]).
+    * tf/df aggregate the postings once; the fan-out to (query, doc)
+    * pairs is a broadcast join against the exploded query-term table
+    * (MB-sized while queries are; Catalyst picks a shuffle join past
+    * the broadcast threshold, which is exactly right). Per-(query, doc)
+    * scores sum exact integer micros, and the per-query top-k rides
+    * [[graft.plans.TopKPerKey]]'s bounded pre-shuffle heaps — never a
+    * per-query global sort. */
+  def bm25Queries(
+      s: SparkSession,
+      d: String,
+      queries: Seq[(Long, String)] = Bm25QueryFixture,
+      k: Int = 10): DataFrame = {
+    import s.implicits._
+    val k1 = BM25K1
+    val b = BM25B
+    val qt = queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(split(lower(col("qtext")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+    val w = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val dl = w.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
+    val stats = dl.agg(
+      count(lit(1)).as("n"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val qwRaw = w.join(broadcast(qt.select("word").distinct()), Seq("word"))
+    val qw =
+      if (s.conf.get(Bm25CheckpointConf, "true").toBoolean)
+        qwRaw.localCheckpoint(true)
+      else qwRaw
+    val tf = qw.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = qw.groupBy("word").agg(countDistinct("doc_id").as("df"))
+    val per = tf.join(df, Seq("word"))
+      .join(broadcast(qt), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "idf",
+        log((col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn(
+        "term_micro",
+        round(col("idf") * (col("tf").cast("double") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+          * 1e6, 0).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("term_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+    graft.plans.TopKPerKey
+      .topK(
+        per,
+        keys = Seq(col("query_id")),
+        ordering = Seq(col("score_micro").desc, col("doc_id").asc),
+        k = k)
+      .select("query_id", "rnk", "doc_id", "score_micro", "n_terms")
+      .orderBy("query_id", "rnk")
+  }
+
+  def bm25QueriesOracle(k: Int = 10): String = {
+    val values = Bm25QueryFixture
+      .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    s"""WITH q(query_id, qtext) AS (VALUES $values),
+       |qt AS (SELECT DISTINCT query_id, word FROM (
+       |  SELECT query_id, unnest(string_split_regex(lower(qtext), '\\s+')) AS word
+       |  FROM q) WHERE word <> ''),
+       |w AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |  FROM documents),
+       |w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM w2 GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+       |qw AS (SELECT doc_id, word FROM w2 WHERE word IN (SELECT word FROM qt)),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM qw GROUP BY 1, 2),
+       |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM qw GROUP BY 1),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(round(
+       |      ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (CAST(tf AS DOUBLE) * (CAST($BM25K1 AS DOUBLE) + 1))
+       |      / (tf + CAST($BM25K1 AS DOUBLE) * (1 - CAST($BM25B AS DOUBLE)
+       |         + CAST($BM25B AS DOUBLE) * CAST(dl.dl AS DOUBLE) / avgdl))
+       |      * 1e6, 0) AS BIGINT) AS term_micro
+       |  FROM tf JOIN df USING (word) JOIN qt USING (word)
+       |    JOIN dl USING (doc_id) CROSS JOIN stats),
+       |per AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(sum(term_micro) AS BIGINT) AS score_micro,
+       |    count(*) AS n_terms
+       |  FROM scored GROUP BY 1, 2)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
+       |  doc_id, score_micro, n_terms
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_micro DESC, doc_id ASC) AS rnk FROM per)
+       |WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
 
   val LmVocabSize = 2000
 

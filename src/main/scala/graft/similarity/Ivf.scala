@@ -204,6 +204,78 @@ object Ivf {
       .select(col("id_b").as("vec_id"), col("cell"), col("n_dups"), col("max_score"))
   }
 
+  /** Incremental SemDeDup — the continuous-ingest companion of
+    * [[semanticDedup]], mirroring
+    * [[graft.dedup.Dedup.minhashIncremental]]'s batch×corpus discipline:
+    * a NEW batch of embeddings is compared against the existing corpus
+    * ONLY — never batch×batch, never corpus×corpus — inside shared
+    * coarse cells from the same fixed centroids (which live on the
+    * CORPUS side; a real pipeline trains them once and stores the
+    * corpus's cell assignment at ingest, so only the batch assignment
+    * is fresh work per delivery). The corpus is canonical, so there is
+    * no lowest-id keep policy here: ANY corpus cluster-mate at cosine ≥
+    * threshold drops the newcomer. Returns the batch drop list
+    * (vec_id, cell, n_dups, max_score).
+    *
+    * Scale shape: batch assignment is |batch|×K against the broadcast
+    * centroid table; the pair join is cell-keyed batch×corpus — Σ per
+    * cell |batch∩cell|·|corpus∩cell|, the incremental slice of
+    * SemDeDup's Σ cell². Correct even if the two id spaces overlap (two
+    * separate assignment frames, no union). IvfIncrementalSpec pins the
+    * batch×corpus-only pair generation behaviorally. */
+  def semanticDedupIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      centroidIds: Seq[Long],
+      threshold: Double
+  ): DataFrame = {
+    Similarity.ensureFunctions(corpus)
+    val dot = Similarity.dotSql _
+    def prep(df: DataFrame) = df.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val c0 = prep(corpus)
+    val cellOf = centroidIds.sorted.zipWithIndex
+      .map { case (cid, i) => (cid, i.toLong) }
+    val cellDf = {
+      val sp = corpus.sparkSession
+      import sp.implicits._
+      cellOf.toDF("vec_id", "cell")
+    }
+    val cent = c0
+      .join(broadcast(cellDf), Seq("vec_id"))
+      .select(col("cell"), col("emb").as("cemb"))
+    requireCentroidsResolve(c0, centroidIds)
+    def assign(src: DataFrame) = src
+      .crossJoin(broadcast(cent))
+      .withColumn(
+        "dist",
+        expr(s"${dot("emb", "emb")} - 2 * ${dot("emb", "cemb")} + ${dot("cemb", "cemb")}"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("rn") === 1)
+      .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
+      .select("vec_id", "emb", "nrm", "cell")
+    // Each assignment feeds exactly ONE side of one join — no shared
+    // subtree, so (unlike semanticDedup's self-join) no checkpoint.
+    val b = assign(prep(batch)).select(
+      col("vec_id").as("id_b"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"), col("cell"))
+    val c = assign(c0).select(
+      col("vec_id").as("id_c"), col("emb").as("emb_c"),
+      col("nrm").as("nrm_c"), col("cell"))
+    b.join(c, Seq("cell"))
+      .withColumn(
+        "score",
+        round(expr(dot("emb_b", "emb_c")) / (col("nrm_b") * col("nrm_c")), 6))
+      .filter(col("score") >= threshold)
+      .groupBy(col("id_b"), col("cell"))
+      .agg(count(lit(1)).as("n_dups"), max(col("score")).as("max_score"))
+      .select(col("id_b").as("vec_id"), col("cell"), col("n_dups"), col("max_score"))
+  }
+
   /** TRAINED k-means coarse quantizer as a fully ORACLE-CHECKABLE plan:
     * Lloyd's iterations in exact 64-bit integer arithmetic. The MLlib
     * [[build]] path is seed-dependent (k-means|| init, float math) and

@@ -231,6 +231,10 @@ class PlanSpec extends SparkSuite {
     // memo: after either query plans, the other's plan reads the same
     // checkpointed components (ExistingRDD) and re-runs NO minhash
     // machinery — its only parquet scan is the corpus doc_id side.
+    // Prime the memo explicitly so the assertions below hold under ANY
+    // suite/test ordering, not just when an earlier test planned one of
+    // the sharing queries first.
+    PipelineQueries.dupComponents(spark, d)
     val k = plan("q_dedup_keeplist")
     assert(k.contains("ExistingRDD"), s"keep-list must read memoized CC:\n$k")
     val l = plan("q_leakage_safe_split")
@@ -315,6 +319,40 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ExistingRDD"), s"expected checkpointed frames:\n$p")
     assert(!p.contains("Scan parquet"),
       s"corpus re-exploded inside the scoring join:\n$p")
+  }
+
+  test("bm25 query-table scoring replays checkpoints and broadcasts the query terms") {
+    // Same two-eager-scan contract as q_bm25, plus: the (query, doc)
+    // fan-out join against the exploded query-term table must be
+    // broadcast (queries are MB-scale), and the per-query ranking must
+    // ride the bounded heap, never a per-query sort window.
+    val p = plan("q_bm25_queries")
+    assert(p.contains("ExistingRDD"), s"expected checkpointed frames:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"corpus re-exploded inside the scoring join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term fan-out must broadcast:\n$p")
+    assert(p.contains("TopKPerKey"),
+      s"per-query ranking must run on the bounded heap:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"))
+  }
+
+  test("bm25: posting re-scan mode (checkpoint off) matches the checkpointed plan's output") {
+    import graft.queries.TextQueries
+    val on = SparkEntry.queries("q_bm25")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set(TextQueries.Bm25CheckpointConf, "false")
+    try {
+      val q = SparkEntry.queries("q_bm25")(spark, d)
+      val p = q.queryExecution.executedPlan.toString
+      // With the occurrence-sized posting checkpoint declined, the text
+      // scan is back in the plan (tf and df re-explode — the documented
+      // trade at 100 TB)…
+      assert(p.contains("Scan parquet"),
+        s"expected the re-scan plan without the posting checkpoint:\n$p")
+      // …and the output is bit-identical.
+      assert(q.collect().map(_.toSeq).toSeq == on)
+    } finally spark.conf.unset(TextQueries.Bm25CheckpointConf)
   }
 
   test("LM score vocabulary is TakeOrdered and broadcast") {
