@@ -53,6 +53,13 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
+      // Memo disclosure: the three dup-components-sharing queries are
+      // run-order dependent — whichever runs first pays the minhash+CC
+      // build, the others replay the memoized frame. Record which ones
+      // hit so per-query numbers (and budget re-baselines) stay
+      // interpretable.
+      val memoHit =
+        graft.queries.PipelineQueries.dupComponentsPrimed(spark, sfDir)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -61,6 +68,8 @@ object Bench {
           false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      val usedMemo = memoHit &&
+        graft.queries.PipelineQueries.CcMemoQueries.contains(name)
       // Isolation between queries: one query's persisted frames must not
       // tax the next (round-2 bench showed a leaked dedup cache slowing a
       // trivial DISTINCT 28×). clearCache drops CacheManager entries;
@@ -69,7 +78,7 @@ object Bench {
       // periodic-GC tick. Both run OUTSIDE the timed window.
       spark.catalog.clearCache()
       System.gc()
-      (name, elapsed, ok)
+      (name, elapsed, ok, usedMemo)
     }
     // Budget check (sf0.1 only — the budgets were calibrated there). A
     // query missing from the budgets file is NOT a breach (new queries
@@ -88,14 +97,14 @@ object Bench {
             java.nio.file.Paths.get(budgetsPath)), "UTF-8"))
       else Map.empty
     val breaches = results.collect {
-      case (k, v, true) if budgets.get(k).exists(v > _) =>
+      case (k, v, true, _) if budgets.get(k).exists(v > _) =>
         System.err.println(
           f"[bench] BUDGET BREACH: $k took $v%.2f s, budget ${budgets(k)}%.2f s")
         (k, v, budgets(k))
     }
     val unbudgeted =
       if (budgets.isEmpty) Seq.empty
-      else results.collect { case (k, _, _) if !budgets.contains(k) => k }
+      else results.collect { case (k, _, _, _) if !budgets.contains(k) => k }
     if (unbudgeted.nonEmpty)
       System.err.println(
         s"[bench] no budget for: ${unbudgeted.mkString(", ")} — " +
@@ -103,19 +112,24 @@ object Bench {
     // Failed queries are excluded from the per-query map AND the total,
     // and listed explicitly — a fail-fast timing must not read as a fast
     // success, and the map's values always sum to `value`.
-    val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, true, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    // Queries whose timed window replayed the memoized dup-components
+    // frame (built by an earlier query in this run) — their numbers are
+    // not standalone costs; budget re-baselines must keep the run order.
+    val memoHits = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val breachJson = breaches
       .map { case (k, v, b) => "\"" + k + "\":{\"sec\":" + v + ",\"budget\":" + b + "}" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"breaches":$breachJson,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"breaches":$breachJson,"memo_hits":$memoHits,"sf":"$sfDir"}""")
     // Compact headline LAST: short enough to survive a tail-truncated
     // stdout capture whole (the full line above lost 33 of 97 query keys
     // to truncation in round 3's driver capture).
-    val worst5 = results.collect { case (k, v, true) => (k, v) }
+    val worst5 = results.collect { case (k, v, true, _) => (k, v) }
       .sortBy(-_._2).take(5)
       // math.rint + Double.toString, NOT printf %.3f: printf is
       // locale-sensitive (comma decimals under de_DE etc.) and would
@@ -126,7 +140,7 @@ object Bench {
     // Distinct metric name: a consumer keying on "total" must never see two
     // records per run (the full line above is the "total" contract; this
     // headline is the truncation-proof summary).
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":$nOk,"worst5":$worst5,"failed":$failed,"n_breaches":${breaches.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":$nOk,"worst5":$worst5,"failed":$failed,"n_breaches":${breaches.size},"memo_hits":$memoHits,"sf":"$sfDir"}""")
     spark.stop()
     if (breaches.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_ENFORCE").contains("1"))
       sys.exit(2)

@@ -579,7 +579,25 @@ object Dedup {
     // is enforced, not a scaladoc note — an unmaterialized upstream
     // (e.g. a fresh minhash+CC pipeline) would otherwise execute in full
     // per job. Id-only rows, so the materialization is |drops| × one key.
-    val dropKeys = drops.select(col(idCol)).localCheckpoint(true)
+    // EXCEPT when the input already replays cheaply — narrow Project/
+    // Filter over materialized scans only (a caller-checkpointed or
+    // memoized frame, like dedupKeeplist's dupComponents memo): a second
+    // checkpoint there would just copy an id-only frame to executor disk
+    // to save three narrow re-projections of cached blocks
+    // (DedupSpec pins the single materialization).
+    def cheapReplay(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          cheapReplay(pr.child)
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          cheapReplay(f.child)
+        case _ => false
+      }
+    val keysRaw = drops.select(col(idCol))
+    val dropKeys =
+      if (cheapReplay(keysRaw.queryExecution.optimizedPlan)) keysRaw
+      else keysRaw.localCheckpoint(true)
     dropListBloomBits(dropKeys.count(), bitsPerKey, maxBits) match {
       case None =>
         // Saturation regime: the anti-join alone (Spark's planner picks

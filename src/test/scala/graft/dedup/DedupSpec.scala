@@ -116,6 +116,30 @@ class DedupSpec extends SparkSuite {
     assert(plain.collect().map(_.getLong(0)).sorted.toSeq == expected)
   }
 
+  test("applyDropList skips its checkpoint when the drop list already replays cheaply") {
+    import spark.implicits._
+    val corpus = spark.range(50).toDF("id")
+    // A caller-materialized drop source with narrow ops on top — the
+    // dedupKeeplist shape (dupComponents memo → filter → project).
+    val ckpt = spark.range(10).toDF("id")
+      .filter(col("id") % 3 === 0).localCheckpoint(true)
+    val drops = ckpt.filter(col("id") > 0)
+    val out = Dedup.applyDropList(corpus, drops, "id")
+    // The anti-join side must reuse the caller's materialized RDD — a
+    // second localCheckpoint would surface as a NEW LogicalRDD over a
+    // different RDD id (the double materialization this guards against).
+    val callerRdd = ckpt.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.head
+    val outRdds = out.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(outRdds.contains(callerRdd),
+      s"drop keys re-checkpointed: caller rdd $callerRdd not in $outRdds")
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 50L).filterNot(Set(3L, 6L, 9L)))
+  }
+
   test("star CC matches label propagation on a mixed component graph") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 6L), (9L, 8L), (8L, 5L))
