@@ -14,15 +14,26 @@ import graft.queries.Tables
   * for — rather than to produce a polished benchmark number.
   */
 object ScaleStress {
-  def time[A](label: String)(f: => A): A = {
-    val t0 = System.nanoTime()
-    val r = f
-    println(f"[stress] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-    r
-  }
+  /** Dev aid: SPARK_GRAFT_STRESS_ONLY=<substring> runs only the stages
+    * whose label contains it (skipped stages return null — stage groups
+    * share a prefix so dependent stages filter together). */
+  private val only: Option[String] = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+
+  def time[A](label: String)(f: => A): A =
+    if (only.exists(sel => !label.contains(sel))) null.asInstanceOf[A]
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
 
   def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** Shared CC frame for the memoized-trio stress stages below (built in
+    * one timed stage, replayed by three). */
+  private var trioCc: DataFrame = _
 
   def main(args: Array[String]): Unit = {
     val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "8").toInt
@@ -143,6 +154,31 @@ object ScaleStress {
       noop(graft.queries.PipelineQueries.leakageSafeSplitFrom(
         corpus.select("doc_id"), cc))
     }
+    // Round-7: the memoized three-query family END-TO-END through one
+    // shared CC build — the declared-surface shape (dupComponents memo →
+    // clusters + keep-list + leakage split). The build is paid once
+    // (checkpointed), the three consumers replay it; total must track
+    // the single minhash+CC cost, and each consumer's increment must be
+    // corpus-linear (anti-join / hash split / sort of a doc-keyed frame).
+    time("memoized trio: shared CC build") {
+      val pairs = Dedup
+        .minhashDuplicates(corpus, "doc_id", "text", 8, 4, 0.5)
+        .select("id_a", "id_b")
+      val cc = Dedup.connectedComponents(pairs).localCheckpoint(true)
+      trioCc = cc
+    }
+    time("memoized trio: clusters replay")(
+      noop(trioCc.orderBy("id")))
+    time("memoized trio: keep-list replay")(
+      noop(Dedup.applyDropList(
+        corpus.select("doc_id"),
+        trioCc.filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id")),
+        "doc_id")))
+    time("memoized trio: leakage-split replay")(
+      noop(graft.queries.PipelineQueries.leakageSafeSplitFrom(
+        corpus.select("doc_id"),
+        trioCc.withColumnRenamed("id", "doc_id"))))
     // Offset-stage A/B at FIXED sizes (does not scale with replicas):
     // the lang-keyed window sorts each language's doc rows in ONE task;
     // the hierarchical prefix sum spreads the same work over
