@@ -677,14 +677,25 @@ object TextQueries {
       queries: Seq[(Long, String)] = Bm25QueryFixture,
       k: Int = 10): DataFrame = {
     import s.implicits._
+    bm25QueriesDf(s, documents(s, d), queries.toDF("query_id", "qtext"), k)
+  }
+
+  /** [[bm25Queries]]' core over arbitrary (doc_id, text) corpus and
+    * (query_id, qtext) query FRAMES — the form a real user calls with a
+    * query table read from storage. */
+  def bm25QueriesDf(
+      s: SparkSession,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10): DataFrame = {
     val k1 = BM25K1
     val b = BM25B
-    val qt = queries.toDF("query_id", "qtext")
+    val qt = queries
       .select(col("query_id"),
         explode(split(lower(col("qtext")), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .distinct()
-    val w = documents(s, d)
+    val w = corpus
       .select(col("doc_id"),
         explode(split(lower(col("text")), "\\s+")).as("word"))
       .filter(col("word") =!= "")

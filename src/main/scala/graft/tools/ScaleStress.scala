@@ -154,6 +154,15 @@ object ScaleStress {
       noop(graft.queries.PipelineQueries.leakageSafeSplitFrom(
         corpus.select("doc_id"), cc))
     }
+    // Round-7: multi-query BM25 over the replicated corpus — must stay
+    // linear in corpus size (two text scans + postings aggs; the
+    // (query, doc) fan-out is bounded by |queries| × matched docs).
+    time("bm25 query table") {
+      import spark.implicits._
+      noop(graft.queries.TextQueries.bm25QueriesDf(
+        spark, corpus,
+        graft.queries.TextQueries.Bm25QueryFixture.toDF("query_id", "qtext")))
+    }
     // Round-7: the memoized three-query family END-TO-END through one
     // shared CC build — the declared-surface shape (dupComponents memo →
     // clusters + keep-list + leakage split). The build is paid once
