@@ -225,6 +225,13 @@ object PrefixSum {
     * unique `order` key and must document that. Output is bit-identical
     * to the part-keyed window formulation; only the plan shape changes
     * (WindowFamilySpec pins the equality on randomized frames). */
+  /** Cap on [[partitionedAnalytics]]' driver-stitch cardinality: with
+    * ≤ 2^12 range buckets this allows 256 partition-key values — far
+    * past any "coarse key" (event types, languages) while refusing a
+    * fine key (user ids) before it OOMs the driver. ~1 M summary rows
+    * × ~60 B ≈ 64 MB worst case. */
+  val MaxStitchRows: Int = 1 << 20
+
   def partitionedAnalytics(
       df: DataFrame,
       part: Column,
@@ -234,7 +241,8 @@ object PrefixSum {
       rankOut: String,
       lagOut: String,
       leadOut: String,
-      countOut: String
+      countOut: String,
+      maxStitch: Int = MaxStitchRows
   ): DataFrame = {
     val w = Window.partitionBy("__part", "__bucket").orderBy(order: _*)
     val withLocal = df
@@ -252,9 +260,14 @@ object PrefixSum {
       s"partitionedAnalytics requires a bigint value column, got " +
         withLocal.schema("__v").dataType.simpleString)
     // Per-(part, bucket) summaries: #parts × #buckets rows, bounded by
-    // construction. Column pruning drops the Window node from this
-    // branch (count/min_by/max_by reference no window output), so the
-    // summary pass is a plain partial-agg scan.
+    // construction WHEN part is coarse (the documented contract —
+    // buckets are ≤ 2^bits from adaptiveRangeBucket, but part
+    // cardinality is the caller's). A fine part key (a user id, a doc
+    // id) would turn this into an unbounded driver collect, so the
+    // fetch is capped and over-cap fails loudly instead of OOMing the
+    // driver. Column pruning drops the Window node from this branch
+    // (count/min_by/max_by reference no window output), so the summary
+    // pass is a plain partial-agg scan.
     val summaries = withLocal
       .groupBy("__part", "__bucket")
       .agg(
@@ -262,7 +275,12 @@ object PrefixSum {
         min_by(col("__v"), col("__ord")).as("__first"),
         max_by(col("__v"), col("__ord")).as("__last"))
       .orderBy("__part", "__bucket")
+      .limit(maxStitch + 1)
       .collect()
+    require(summaries.length <= maxStitch,
+      s"partitionedAnalytics stitch exceeds $maxStitch (part, bucket) " +
+        "rows — the partition key is too fine for a bounded driver " +
+        "stitch; use a keyed window directly for fine keys")
     val partTotals: Map[String, Long] = summaries
       .groupBy(r => bucketKey(r.get(0)))
       .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }

@@ -52,6 +52,30 @@ class WindowFamilySpec extends SparkSuite {
     }
   }
 
+  test("empty input yields an empty result") {
+    import spark.implicits._
+    val ev = Seq.empty[(Long, String, Long)]
+      .toDF("event_id", "event_type", "value_cents")
+    assert(EventQueries.windowFamilyFrom(ev).count() == 0L)
+  }
+
+  test("a too-fine partition key fails the bounded-stitch guard loudly") {
+    import spark.implicits._
+    val ev = (0L until 50L).map(i => (i, s"t$i", i))
+      .toDF("event_id", "event_type", "value_cents")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.PrefixSum.partitionedAnalytics(
+        ev,
+        part = col("event_type"),
+        bucket = col("event_id"), // one bucket per row: worst case
+        order = Seq(col("event_id")),
+        value = col("value_cents"),
+        rankOut = "r", lagOut = "lg", leadOut = "ld", countOut = "n",
+        maxStitch = 10)
+    }
+    assert(e.getMessage.contains("too fine"))
+  }
+
   test("plan has no event_type-keyed window and no single-partition exchange") {
     val ev = graft.queries.Tables
       .events(spark, "/root/testdata/sf0.001")
