@@ -105,6 +105,7 @@ object SparkEntry {
     "q_audio_segments" -> (PipelineQueries.audioSegments _),
     "q_semantic_dedup" -> (PipelineQueries.semanticDedup _),
     "q_incremental_semantic" -> (PipelineQueries.semanticDedupIncrementalQ _),
+    "q_incremental_ngram" -> (PipelineQueries.ngramJaccardIncrementalQ _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
@@ -442,6 +443,7 @@ object SparkEntry {
     "q_audio_segments" -> PipelineQueries.audioSegmentsOracle,
     "q_semantic_dedup" -> PipelineQueries.semanticDedupOracle,
     "q_incremental_semantic" -> PipelineQueries.semanticDedupIncrementalOracle,
+    "q_incremental_ngram" -> PipelineQueries.ngramJaccardIncrementalOracle,
     "q_setop_funnel" ->
       """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
         |c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),

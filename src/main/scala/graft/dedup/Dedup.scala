@@ -1144,4 +1144,68 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Distinct (id, blk, shingle) rows for the n-gram Jaccard family —
+    * word n-grams hashed to 60-bit longs BEFORE any shuffle (the same
+    * early-hash discipline as [[shingleRows]]). */
+  private def ngramShingleRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: Column,
+      n: Int
+  ): DataFrame = df
+    .select(col(idCol).as("id"), blockCol.as("blk"),
+      words(col(textCol)).as("w"))
+    .select(col("id"), col("blk"),
+      explode(shinglesOfWords(col("w"), n)).as("shingle_s"))
+    .select(col("id"), col("blk"), hash60(col("shingle_s")).as("shingle"))
+    .distinct()
+
+  /** Incremental df-capped n-gram Jaccard — the continuous-ingest
+    * companion of [[ngramJaccardBlocked]], completing the incremental
+    * family (exact, MinHash, SimHash, semantic, now n-gram): a NEW
+    * batch is compared against the existing corpus ONLY, never
+    * batch×batch or corpus×corpus. Candidates come from (block,
+    * shingle) postings where BOTH sides are under `maxShingleDf`
+    * (per-key pair work ≤ cap², and the cap bounds each side of the
+    * cross product — the cost model of a two-sided posting join);
+    * verification is exact over the full shingle sets via the shared
+    * candidate-bounded [[jaccardVerifyTwoSided]], so, as in the
+    * single-frame form, the cap limits only RECALL to pairs sharing a
+    * sub-cap shingle — never a surviving pair's Jaccard value. In a
+    * real pipeline the corpus posting lists are computed once at ingest
+    * and stored; only the batch side is fresh work per delivery.
+    * Returns (id_a = batch id, id_b = corpus id, jaccard ≥ threshold). */
+  def ngramJaccardIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: Column,
+      threshold: Double,
+      n: Int = 3,
+      maxShingleDf: Int = DefaultShingleDfCap
+  ): DataFrame = {
+    // Each side's shingle set feeds two consumers (its posting lists and
+    // its verify/size side) — checkpoint once, same as minhashIncremental.
+    val bSh = ngramShingleRows(batch, idCol, textCol, blockCol, n)
+      .localCheckpoint(true)
+    val cSh = ngramShingleRows(corpus, idCol, textCol, blockCol, n)
+      .localCheckpoint(true)
+    val bLists = bSh.groupBy("blk", "shingle")
+      .agg(collect_set(col("id")).as("ids_b"))
+    val cLists = cSh.groupBy("blk", "shingle")
+      .agg(collect_set(col("id")).as("ids_c"))
+    val cands = bLists
+      .join(cLists, Seq("blk", "shingle"))
+      .filter(size(col("ids_b")) <= maxShingleDf &&
+        size(col("ids_c")) <= maxShingleDf)
+      .select(explode(col("ids_b")).as("id_a"), col("ids_c"))
+      .select(col("id_a"), explode(col("ids_c")).as("id_b"))
+      .distinct()
+    jaccardVerifyTwoSided(
+      bSh.select("id", "shingle"), cSh.select("id", "shingle"),
+      cands, threshold)
+  }
 }

@@ -1150,11 +1150,16 @@ object PipelineQueries {
        |JOIN firsts f ON b.fingerprint = f.fingerprint
        |ORDER BY doc_id""".stripMargin
 
+  /** Shared word-3-gram (doc, block, shingle) CTE for the n-gram
+    * Jaccard oracles — blocked and incremental must hash identically. */
+  private val ngramShlCte: String =
+    """shl AS (
+      |  SELECT DISTINCT doc_id, blk, CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS shingle FROM (
+      |    SELECT doc_id, lang AS blk, unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]) AS s
+      |    FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS w FROM documents)))""".stripMargin
+
   def ngramJaccardOracle: String =
-    s"""WITH shl AS (
-       |  SELECT DISTINCT doc_id, blk, CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS shingle FROM (
-       |    SELECT doc_id, lang AS blk, unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]) AS s
-       |    FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS w FROM documents))),
+    s"""WITH $ngramShlCte,
        |sizes AS (SELECT doc_id, count(*) AS set_size FROM shl GROUP BY doc_id),
        |rare AS (
        |  SELECT blk, shingle FROM shl GROUP BY blk, shingle
@@ -1176,6 +1181,56 @@ object PipelineQueries {
        |FROM inter
        |JOIN sizes sa ON sa.doc_id = id_a
        |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= $JaccardThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Batch modulus for the incremental n-gram Jaccard query — 7 is the
+    * split under which the fixture corpus actually has cross-side
+    * near-dup pairs (mod 8/12 split every planted pair onto one side,
+    * making the oracle trivially empty). */
+  val NgramIncMod = 7
+
+  /** Incremental n-gram Jaccard: the doc_id % 7 == 0 batch against the
+    * corpus of everything else, batch×corpus pairs only (see
+    * [[Dedup.ngramJaccardIncremental]]). */
+  def ngramJaccardIncrementalQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup
+      .ngramJaccardIncremental(
+        docs.filter(col("doc_id") % NgramIncMod =!= 0),
+        docs.filter(col("doc_id") % NgramIncMod === 0),
+        "doc_id", "text", col("lang"), JaccardThreshold,
+        n = 3, maxShingleDf = NgramDfCap)
+      .orderBy("id_a", "id_b")
+  }
+
+  def ngramJaccardIncrementalOracle: String =
+    s"""WITH $ngramShlCte,
+       |bsh AS (SELECT * FROM shl WHERE doc_id % $NgramIncMod = 0),
+       |csh AS (SELECT * FROM shl WHERE doc_id % $NgramIncMod <> 0),
+       |bdf AS (SELECT blk, shingle, count(*) AS dfb FROM bsh GROUP BY 1, 2),
+       |cdf AS (SELECT blk, shingle, count(*) AS dfc FROM csh GROUP BY 1, 2),
+       |rare AS (
+       |  SELECT blk, shingle FROM bdf JOIN cdf USING (blk, shingle)
+       |  WHERE dfb <= $NgramDfCap AND dfc <= $NgramDfCap),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM rare r
+       |  JOIN bsh b ON b.blk = r.blk AND b.shingle = r.shingle
+       |  JOIN csh c ON c.blk = r.blk AND c.shingle = r.shingle),
+       |bsizes AS (SELECT doc_id, count(*) AS set_size FROM bsh GROUP BY 1),
+       |csizes AS (SELECT doc_id, count(*) AS set_size FROM csh GROUP BY 1),
+       |inter AS (
+       |  SELECT cd.id_a, cd.id_b, count(*) AS n_inter
+       |  FROM cand cd
+       |  JOIN bsh a ON a.doc_id = cd.id_a
+       |  JOIN csh b2 ON b2.doc_id = cd.id_b AND b2.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT i.id_a, i.id_b,
+       |  round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+       |FROM inter i
+       |JOIN bsizes sa ON sa.doc_id = i.id_a
+       |JOIN csizes sb ON sb.doc_id = i.id_b
        |WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= $JaccardThreshold
        |ORDER BY id_a, id_b""".stripMargin
 

@@ -140,6 +140,29 @@ class DedupSpec extends SparkSuite {
       (0L until 50L).filterNot(Set(3L, 6L, 9L)))
   }
 
+  test("incremental ngram Jaccard generates batch-vs-corpus pairs only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      // Identical corpus pair — must never pair up.
+      (2L, "alpha beta gamma delta epsilon zeta", "en"),
+      (3L, "one two three four five six seven", "en")
+    ).toDF("doc_id", "text", "lang")
+    val batch = Seq(
+      // Identical batch pair — must never pair up.
+      (10L, "red green blue cyan magenta yellow", "en"),
+      (11L, "red green blue cyan magenta yellow", "en"),
+      // Identical to corpus doc 3 → the one expected pair, jaccard 1.
+      (12L, "one two three four five six seven", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup
+      .ngramJaccardIncremental(
+        corpus, batch, "doc_id", "text", col("lang"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(out == Seq((12L, 3L, 1.0)))
+  }
+
   test("star CC matches label propagation on a mixed component graph") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 6L), (9L, 8L), (8L, 5L))
