@@ -379,6 +379,77 @@ class StreamingSpec extends SparkSuite {
       "restarted-run output must equal the uninterrupted run exactly once")
   }
 
+  test("run detection recovers from a checkpoint across a stop/restart") {
+    import spark.implicits._
+    // Completes the recovery matrix (ordered sessionizer ✓, buffered
+    // sessionizer ✓ + randomized fuzz, run detection ✗ → ✓): the
+    // mapGroupsWithState run state (last type, run count, last ms) must
+    // come back from the state store so the restarted run continues
+    // counting runs where it stopped — a state reset would both re-emit
+    // run 1 per user and renumber every later run. Parts are
+    // time-ordered quartiles (the operator's documented cross-batch
+    // ordering contract).
+    val stage = java.nio.file.Files.createTempDirectory("rckpt_stage")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
+    val ev = graft.queries.Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+    val n = ev.count()
+    val parts = 4
+    val partFiles = (0 until parts).map { i =>
+      val lo = i * n / parts
+      val hi = (i + 1) * n / parts
+      val pdir = s"$stage/p$i"
+      ev.filter(col("rn") > lo && col("rn") <= hi)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(pdir)
+      new java.io.File(pdir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+    }
+    def read(srcDir: java.nio.file.Path) = spark.readStream
+      .schema(StreamingOps.eventsRawSchema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(col("ts")))
+    def runTo(srcDir: java.nio.file.Path, outDir: String, ckptDir: String)
+        : Unit = {
+      val q = StreamingOps.runDetection(spark, read(srcDir)).toDF
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    def copyIn(srcDir: java.nio.file.Path, idx: Range): Unit =
+      idx.foreach { i =>
+        java.nio.file.Files.copy(partFiles(i),
+          srcDir.resolve(s"events_$i.parquet"))
+      }
+    val srcA = java.nio.file.Files.createTempDirectory("rckpt_srcA")
+    val outA = java.nio.file.Files.createTempDirectory("rckpt_outA").toString
+    val ckptA = java.nio.file.Files.createTempDirectory("rckpt_ckptA").toString
+    copyIn(srcA, 0 until 2)
+    runTo(srcA, outA, ckptA)
+    val phase1Rows = spark.read.parquet(outA).count()
+    copyIn(srcA, 2 until 4)
+    runTo(srcA, outA, ckptA)
+    val srcB = java.nio.file.Files.createTempDirectory("rckpt_srcB")
+    val outB = java.nio.file.Files.createTempDirectory("rckpt_outB").toString
+    val ckptB = java.nio.file.Files.createTempDirectory("rckpt_ckptB").toString
+    copyIn(srcB, 0 until 4)
+    runTo(srcB, outB, ckptB)
+    def multiset(path: String) = spark.read.parquet(path)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val recovered = multiset(outA)
+    val single = multiset(outB)
+    assert(phase1Rows > 0, "phase 1 should already emit run changes")
+    assert(recovered.values.sum > phase1Rows,
+      "restart should emit additional run changes")
+    assert(recovered == single,
+      "restarted-run output must equal the uninterrupted run exactly once")
+  }
+
   test("run detection fails loudly on a cross-batch time regression") {
     import spark.implicits._
     // Same contract as gapSessions: a later batch carrying earlier

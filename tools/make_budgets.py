@@ -8,6 +8,17 @@ Reads every line that parses as the Bench full-result JSON (has a
 writes budget = max(3 x median, 1.0) seconds — 3x covers this VM's
 documented run-to-run noise (~2x) with headroom; the 1 s floor keeps
 sub-100 ms queries from flapping on scheduler jitter.
+
+Caveats for re-baselining (see ADVICE round 6):
+- The queries listed in the bench JSON's "memo_hits" array replayed the
+  shared dup-components frame built by an EARLIER query in the same run
+  (alphabetical order: q_dedup_keeplist pays, q_dup_clusters and
+  q_leakage_safe_split replay). Their numbers are only meaningful under
+  the same run order — never budget them from a partial-run log where a
+  different query paid the build.
+- Keep budget re-baselines in their own commit with the measurement
+  context (machine, warmth, what else ran) in the message, and do NOT
+  loosen the budget of a query the same change set claims to speed up.
 """
 import json
 import statistics
