@@ -106,6 +106,12 @@ object SparkEntry {
     "q_semantic_dedup" -> (PipelineQueries.semanticDedup _),
     "q_incremental_semantic" -> (PipelineQueries.semanticDedupIncrementalQ _),
     "q_incremental_ngram" -> (PipelineQueries.ngramJaccardIncrementalQ _),
+    // --- round-7 widening: mixing, batching, mining, sliding/outer stream ---
+    "q_mix_weights" -> (TextQueries.mixWeights _),
+    "q_length_batches" -> (TextQueries.lengthBatches _),
+    "q_hard_negatives" -> (PipelineQueries.hardNegatives _),
+    "q_stream_sliding" -> (StreamingQueries.streamSliding _),
+    "q_stream_join_outer" -> (StreamingQueries.streamJoinOuter _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
@@ -444,6 +450,11 @@ object SparkEntry {
     "q_semantic_dedup" -> PipelineQueries.semanticDedupOracle,
     "q_incremental_semantic" -> PipelineQueries.semanticDedupIncrementalOracle,
     "q_incremental_ngram" -> PipelineQueries.ngramJaccardIncrementalOracle,
+    "q_mix_weights" -> TextQueries.mixWeightsOracle,
+    "q_length_batches" -> TextQueries.lengthBatchesOracle,
+    "q_hard_negatives" -> PipelineQueries.hardNegativesOracle,
+    "q_stream_sliding" -> StreamingQueries.streamSlidingOracle,
+    "q_stream_join_outer" -> StreamingQueries.streamJoinOuterOracle,
     "q_setop_funnel" ->
       """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
         |c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),

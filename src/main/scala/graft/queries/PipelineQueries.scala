@@ -1024,6 +1024,35 @@ object PipelineQueries {
        |  FROM g)
        |ORDER BY doc_id""".stripMargin
 
+  /** Contrastive hard-negative mining ([[Similarity.hardNegatives]]):
+    * per query vector, the top-k nearest CROSS-LABEL corpus vectors —
+    * the mining pass that turns an embedded corpus into contrastive
+    * training pairs. Same broadcast + bounded-heap plan as simTopK. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity
+      .hardNegatives(emb, emb.filter(col("vec_id") < NumQueries), TopK)
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  def hardNegativesOracle: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT *, sqrt(list_dot_product(emb, emb)) AS nrm FROM c),
+       |q AS (SELECT vec_id AS q_vec_id, label AS q_label, emb AS q_emb, nrm AS q_nrm
+       |      FROM n WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q_vec_id, vec_id, label,
+       |    round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 6) AS score
+       |  FROM n JOIN q ON label <> q_label),
+       |r AS (SELECT q_vec_id, vec_id, label, score,
+       |        row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id ASC) AS rnk
+       |      FROM scored)
+       |SELECT q_vec_id, CAST(rnk AS BIGINT) AS rnk, vec_id, label, score
+       |FROM r WHERE rnk <= $TopK
+       |ORDER BY q_vec_id, rnk""".stripMargin
+
   /** Int8-quantized cosine top-k ([[Similarity.cosineTopKQ8]]): integer
     * dot products are exact in doubles, so this oracle needs no
     * accumulation-order discipline at all. */

@@ -170,6 +170,89 @@ object StreamingQueries {
       |  AND view_ms <= click_ms AND view_ms >= click_ms - 3600000
       |ORDER BY click_event_id, view_event_id""".stripMargin
 
+  /** Sliding (hopping) windows through the real runtime
+    * ([[StreamingOps.slidingCounts]]): 1-hour windows every 30 minutes,
+    * complete mode (batching-invariant like [[streamHourly]]). Window
+    * identity projects to an epoch-half-hour hop id; the DuckDB twin
+    * expands each event into its len/hop = 2 member windows with a
+    * 2-row offset join — exactly the expansion the streaming planner
+    * does before the keyed aggregation. */
+  def streamSliding(s: SparkSession, d: String): DataFrame = {
+    val agg = StreamingOps.slidingCounts(
+      StreamingOps.readEvents(s, eventsStreamDir(d)))
+    runToMemory(s, agg, OutputMode.Complete(), "graft_stream_sliding")
+      .select(
+        (unix_millis(col("window_start")) / lit(1800000L)).cast("long")
+          .as("hop_id"),
+        col("event_type"),
+        col("n_events"),
+        col("value_cents"))
+      .orderBy("hop_id", "event_type")
+  }
+
+  def streamSlidingOracle: String =
+    """WITH offs AS (SELECT * FROM (VALUES (0), (1)) AS t(o)),
+      |e AS (SELECT CAST(floor(epoch_ms(ts)/1800000) AS BIGINT) AS hop,
+      |        event_type, CAST(round(value*100,0) AS BIGINT) AS cents
+      |      FROM events)
+      |SELECT e.hop - o AS hop_id, event_type, count(*) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS value_cents
+      |FROM e, offs GROUP BY 1, 2 ORDER BY hop_id, event_type""".stripMargin
+
+  /** LEFT OUTER stream-stream join through the real runtime
+    * ([[StreamingOps.clickViewJoinOuter]]): every click row appears,
+    * matched or null-extended. A null row only exists once the
+    * watermark PROVES no matching view can arrive, so the result is
+    * restricted to the resolved horizon — clicks more than
+    * (watermark delay + join bound) below the final watermark floor
+    * `min(max view ts, max click ts)` — where matched-vs-unmatched
+    * status is final regardless of micro-batch boundaries (the same
+    * watermark-restriction discipline as [[streamSessionsOoo]]).
+    * Unmatched view columns project to -1 sentinels: a nullable BIGINT
+    * round-trips as float in the compare harnesses, a sentinel stays
+    * exact. */
+  def streamJoinOuter(s: SparkSession, d: String): DataFrame = {
+    val joined = StreamingOps.clickViewJoinOuter(
+      StreamingOps.readEvents(s, eventsStreamDir(d)))
+    val out = runToMemory(
+      s, joined, OutputMode.Append(), "graft_stream_join_outer")
+    val mm = graft.queries.Tables.events(s, d)
+      .select(unix_millis(col("ts")).as("ms"), col("event_type"))
+      .groupBy()
+      .agg(
+        max(when(col("event_type") === "click", col("ms"))).as("mc"),
+        max(when(col("event_type") === "view", col("ms"))).as("mv"))
+      .head()
+    // 30-min watermark delay + 1-hour join bound below the final
+    // watermark floor: everything here is provably resolved AND evicted
+    // (emitted) by the final no-data flush batch.
+    val horizon = math.min(mm.getLong(0), mm.getLong(1)) -
+      1800000L - 3600000L
+    out
+      .select(
+        col("click_event_id"), col("click_user_id"),
+        coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"),
+        unix_millis(col("click_ts")).as("click_ms"),
+        coalesce(unix_millis(col("view_ts")), lit(-1L)).as("view_ms"))
+      .filter(col("click_ms") < horizon)
+      .orderBy("click_event_id", "view_event_id")
+  }
+
+  def streamJoinOuterOracle: String =
+    """WITH v AS (SELECT event_id AS view_event_id, user_id,
+      |  CAST(epoch_ms(ts) AS BIGINT) AS view_ms FROM events WHERE event_type = 'view'),
+      |c AS (SELECT event_id AS click_event_id, user_id AS click_user_id,
+      |  CAST(epoch_ms(ts) AS BIGINT) AS click_ms FROM events WHERE event_type = 'click'),
+      |wm AS (SELECT least((SELECT max(view_ms) FROM v),
+      |                    (SELECT max(click_ms) FROM c)) - 1800000 - 3600000 AS h)
+      |SELECT click_event_id, click_user_id,
+      |  coalesce(view_event_id, -1) AS view_event_id, click_ms,
+      |  coalesce(view_ms, -1) AS view_ms
+      |FROM c LEFT JOIN v ON c.click_user_id = v.user_id
+      |  AND view_ms <= click_ms AND view_ms >= click_ms - 3600000
+      |WHERE click_ms < (SELECT h FROM wm)
+      |ORDER BY click_event_id, view_event_id""".stripMargin
+
   /** Custom keyed state through the real streaming runtime:
     * `flatMapGroupsWithState` gap sessionization
     * ([[StreamingOps.gapSessions]]), drained with AvailableNow. Emits

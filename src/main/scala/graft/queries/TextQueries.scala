@@ -527,6 +527,126 @@ object TextQueries {
        |WHERE rnk <= $QuotaPerSource
        |ORDER BY source, rnk""".stripMargin
 
+  /** Temperature exponent for [[mixWeights]] is pinned at α = 1/2:
+    * `sqrt` is correctly rounded under IEEE 754 in BOTH engines (a
+    * general `pow(x, α)` is not), so the weights are bit-deterministic
+    * cross-engine with no tolerance games. */
+  val MixTemperature = 0.5
+
+  /** Temperature-based domain mixing weights — the sampling-mix step of
+    * every multi-domain training run (GPT-3/LLaMA-style): domain d is
+    * sampled ∝ n_d^α with α < 1, upweighting small domains relative to
+    * raw token share. Output per source: doc/token counts, the
+    * unnormalized score in exact integer micros, and the normalized
+    * sampling weight.
+    *
+    * Determinism discipline: tokens are the engine's canonical integer
+    * estimator (chars div 4 — the reference's documented fallback,
+    * llm_executor.py:389-397), the score is `round(1e6·sqrt(tokens))`
+    * (sqrt correctly rounded, multiply exact-input, round half-up —
+    * identical doubles in Spark and DuckDB), and normalization divides
+    * two EXACT integers (micros over summed micros), so no
+    * float-accumulation order exists anywhere. Scale shape: one
+    * partial-aggregated groupBy on the (tiny) domain key, a 1-row total
+    * broadcast back — the corpus shuffles nothing but its per-domain
+    * partial sums. */
+  def mixWeights(s: SparkSession, d: String): DataFrame = {
+    val per = documents(s, d)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(expr("n_chars div 4")).as("n_tokens"))
+      .withColumn(
+        "s_micros",
+        round(sqrt(col("n_tokens").cast("double")) * 1e6, 0).cast("long"))
+    val tot = per.agg(sum("s_micros").as("tot_micros"))
+    per
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "weight",
+        round(
+          col("s_micros").cast("double") / col("tot_micros").cast("double"),
+          6))
+      .select("source", "n_docs", "n_tokens", "s_micros", "weight")
+      .orderBy("source")
+  }
+
+  def mixWeightsOracle: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_chars // 4) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |s AS (SELECT *,
+      |  CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000, 0) AS BIGINT) AS s_micros
+      |  FROM per),
+      |t AS (SELECT CAST(sum(s_micros) AS BIGINT) AS tot FROM s)
+      |SELECT source, n_docs, n_tokens, s_micros,
+      |  round(CAST(s_micros AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight
+      |FROM s, t ORDER BY source""".stripMargin
+
+  /** Documents per length-grouped batch for [[lengthBatches]]. */
+  val LengthBatchSize = 32L
+
+  /** Length-grouped batching — the padding-efficiency step of sequence
+    * training: sort documents by length, cut consecutive runs of
+    * [[LengthBatchSize]] into batches, report per-batch fill/waste (a
+    * batch pads every member to its max length). Similar-length
+    * neighbors ⇒ minimal padding; the output quantifies exactly how
+    * much.
+    *
+    * The global length rank comes from [[graft.operators.PrefixSum
+    * .globalCumsum]] over adaptive n_chars-range buckets — the same
+    * hierarchical machinery as trainSequences/ccnetBuckets, so there is
+    * NO single-partition `row_number() OVER (ORDER BY length)` anywhere:
+    * per-bucket keyed windows + a ≤2^10-row driver stitch. The batch
+    * aggregation then shuffles (batch_id)-keyed partial aggs only.
+    * fill_micros is exact-integer-input arithmetic (sum·1e6 / n·max,
+    * both ≤ 2^53), deterministic cross-engine. */
+  def lengthBatches(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "n_chars")
+    val bucket =
+      graft.operators.PrefixSum.adaptiveRangeBucket(docs, col("n_chars"), 10)
+    graft.operators.PrefixSum
+      .globalCumsum(
+        docs, bucket, Seq(col("n_chars"), col("doc_id")), lit(1L), "rank")
+      .withColumn("batch_id", expr(s"(rank - 1) div $LengthBatchSize"))
+      .groupBy("batch_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_len"),
+        max("n_chars").as("max_len"),
+        sum("n_chars").as("sum_len"))
+      .withColumn(
+        "pad_waste", col("n_docs") * col("max_len") - col("sum_len"))
+      .withColumn(
+        "fill_micros",
+        when(col("n_docs") * col("max_len") === 0L, 1000000L)
+          .otherwise(round(
+            col("sum_len").cast("double") * 1e6 /
+              (col("n_docs") * col("max_len")).cast("double"),
+            0).cast("long")))
+      .select("batch_id", "n_docs", "min_len", "max_len", "sum_len",
+        "pad_waste", "fill_micros")
+      .orderBy("batch_id")
+  }
+
+  def lengthBatchesOracle: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, n_chars,
+       |    row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+       |  FROM documents),
+       |b AS (SELECT CAST((rn - 1) // $LengthBatchSize AS BIGINT) AS batch_id,
+       |        n_chars FROM r),
+       |a AS (SELECT batch_id, count(*) AS n_docs, min(n_chars) AS min_len,
+       |        max(n_chars) AS max_len, CAST(sum(n_chars) AS BIGINT) AS sum_len
+       |      FROM b GROUP BY 1)
+       |SELECT batch_id, n_docs, min_len, max_len, sum_len,
+       |  n_docs * max_len - sum_len AS pad_waste,
+       |  CASE WHEN n_docs * max_len = 0 THEN 1000000
+       |    ELSE CAST(round(CAST(sum_len AS DOUBLE) * 1000000 /
+       |      CAST(n_docs * max_len AS DOUBLE), 0) AS BIGINT) END AS fill_micros
+       |FROM a ORDER BY batch_id""".stripMargin
+
   /** TF-IDF top terms per document — the classic corpus-characterization
     * op, ranked with the engine's bounded-heap [[graft.plans.TopKPerKey]]
     * operator (partial pre-shuffle heaps, never a full sort). The score is

@@ -82,6 +82,47 @@ object Similarity {
         k = k)
       .select("q_vec_id", "rnk", "vec_id", "score")
 
+  /** Contrastive hard-negative mining: for each query vector, the k
+    * nearest corpus vectors whose LABEL DIFFERS from the query's — the
+    * standard mining step for contrastive/embedding training data
+    * (negatives that are semantically close but belong to another
+    * class). Output: (q_vec_id, rnk, vec_id, label, score).
+    *
+    * Plan shape is [[cosineTopK]]'s: queries broadcast against the
+    * corpus (BroadcastNestedLoopJoin — the label-mismatch predicate is
+    * non-equi by design, every cross-label pair must be scored), arrays
+    * projected away before the bounded-heap rank, so the shuffle
+    * carries (q_vec_id, vec_id, label, score) only. At 100 TB the
+    * label filter does not change the asymptotics (still |Q|·|C|
+    * dots); the IVF route composes the same way when |Q| grows —
+    * probe cells first, filter labels inside the cell. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = {
+    ensureFunctions(corpus)
+    val c = corpus.select(
+      col("vec_id"),
+      col("label"),
+      expr(toDoubleSql("embedding")).as("emb"))
+      .withColumn("nrm", expr(s"sqrt(${dotSql("emb", "emb")})"))
+    val q = queries.select(
+      col("vec_id").as("q_vec_id"),
+      col("label").as("q_label"),
+      expr(toDoubleSql("embedding")).as("q_emb"))
+      .withColumn("q_nrm", expr(s"sqrt(${dotSql("q_emb", "q_emb")})"))
+    val scored = c
+      .join(broadcast(q), col("label") =!= col("q_label"))
+      .withColumn(
+        "score",
+        round(expr(dotSql("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    graft.plans.TopKPerKey
+      .topK(
+        scored.select("q_vec_id", "vec_id", "label", "score"),
+        keys = Seq(col("q_vec_id")),
+        ordering = Seq(col("score").desc, col("vec_id").asc),
+        k = k)
+      .select("q_vec_id", "rnk", "vec_id", "label", "score")
+  }
+
   /** SQL for per-vector symmetric int8 quantization of a double-array
     * column: scale = 127 / max|x| (1 for the zero vector), components
     * rounded half-away — the same formula is handed to the oracle engine. */

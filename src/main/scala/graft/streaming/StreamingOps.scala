@@ -56,6 +56,27 @@ object StreamingOps {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("value_cents"))
 
+  /** Sliding (hopping) windows over the same aggregate: 1-hour windows
+    * every 30 minutes, so each event lands in exactly len/hop = 2
+    * windows. The streaming planner expands the row into its window
+    * memberships BEFORE the keyed aggregation — state is (window,
+    * event_type)-keyed partial aggs, 2× tumbling's, still
+    * watermark-evicted; there is never a per-event buffer. The
+    * trailing-hour-every-half-hour rate readout is the monitoring shape
+    * tumbling windows cannot express (a tumbling readout is only as
+    * fresh as its full window). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(
+        window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
   /** A1's gap-merge analog as a built-in session window: 30-minute gap per
     * user. */
   def sessionCounts(events: DataFrame): DataFrame =
@@ -109,6 +130,40 @@ object StreamingOps {
       col("click_user_id") === col("view_user_id") &&
         col("view_ts") <= col("click_ts") &&
         col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(
+        col("click_event_id"), col("click_user_id"),
+        col("view_event_id"), col("click_ts"), col("view_ts"))
+  }
+
+  /** LEFT OUTER stream-stream interval join: every click emits — with
+    * its matching trailing-hour views when they exist, with nulls when
+    * none do (the "unattributed conversion" face of [[clickViewJoin]]).
+    * The null row for an unmatched click is emitted only once the
+    * WATERMARK proves no qualifying view can still arrive (click state
+    * eviction), so rows near the end of a drained stream may never
+    * resolve — callers restrict to the resolved horizon; see
+    * [[graft.queries.StreamingQueries.streamJoinOuter]]. */
+  def clickViewJoinOuter(events: DataFrame): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(
+        col("event_id").as("view_event_id"),
+        col("user_id").as("view_user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "30 minutes")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("click_event_id"),
+        col("user_id").as("click_user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    clicks.join(
+      views,
+      col("click_user_id") === col("view_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
+      "leftOuter")
       .select(
         col("click_event_id"), col("click_user_id"),
         col("view_event_id"), col("click_ts"), col("view_ts"))

@@ -361,4 +361,39 @@ class PlanSpec extends SparkSuite {
       "vocab top-N must never globally sort the vocabulary")
     assert(p.contains("BroadcastHashJoin"), "vocab must broadcast")
   }
+
+  test("mix weights: pruned scan, domain-keyed partial agg, broadcast total") {
+    val p = plan("q_mix_weights")
+    // Only (source, n_chars) leave the parquet scan — never text.
+    assert(p.contains("n_chars") && !p.contains("text:string"),
+      s"scan must prune to (source, n_chars):\n$p")
+    // The 1-row grand total joins back by broadcast; the corpus side
+    // shuffles nothing but its per-domain partial sums.
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"total must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("length batches: rank is bucket-keyed prefix sum, no global sort window") {
+    val p = plan("q_length_batches")
+    // The length rank must come from the hierarchical prefix sum: a
+    // bucket-PARTITIONED window, never an unpartitioned (single-task)
+    // one, and no operator may demand a single partition.
+    assert(p.contains("windowspecdefinition(__bucket"),
+      s"expected the bucket-keyed prefix-sum window:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"no operator may demand a single partition:\n$p")
+  }
+
+  test("hard negatives: queries broadcast, ranking rides the bounded heap") {
+    val p = plan("q_hard_negatives")
+    // Label-mismatch scoring is a broadcast nested loop over the corpus
+    // (non-equi by design); the corpus itself is never hash-shuffled for
+    // the join, and ranking uses the heap operator, not a sort window.
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast:\n$p")
+    assert(p.contains("TopKPerKey"),
+      s"per-query ranking must run on the bounded heap:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"))
+  }
 }

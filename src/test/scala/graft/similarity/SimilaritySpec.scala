@@ -78,4 +78,22 @@ class SimilaritySpec extends SparkSuite {
       .collect()
     assert(lsh.length == 1 && lsh.head.getAs[Long]("vec_id") == 1L)
   }
+
+  test("hardNegatives mines nearest CROSS-label vectors only") {
+    val labeled = Seq(
+      (0L, vec(1, 0, 0, 0), 0),
+      (1L, vec(0.95, 0.05, 0, 0), 0), // nearest overall — but same label
+      (2L, vec(0.8, 0.2, 0, 0), 1), // nearest cross-label
+      (3L, vec(0, 1, 0, 0), 1),
+      (4L, vec(-1, 0, 0, 0), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .hardNegatives(labeled, labeled.filter(col("vec_id") === 0), k = 2)
+      .collect()
+      .sortBy(_.getAs[Long]("rnk"))
+    // The same-label near-duplicate (1) must be skipped; the mined
+    // negatives are the closest vectors from OTHER classes, in order.
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(2L, 3L))
+    assert(got.forall(_.getAs[Int]("label") != 0))
+  }
 }

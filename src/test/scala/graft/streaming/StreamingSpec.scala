@@ -672,4 +672,68 @@ class StreamingSpec extends SparkSuite {
       assert(n == batchRuns(u), s"user $u: stream=$n batch=${batchRuns(u)}")
     }
   }
+
+  test("sliding windows match the batch hopping aggregation exactly") {
+    val stream = StreamingOps.readEvents(spark, streamDir)
+    // Complete mode: the final table is the full-history hopping
+    // aggregation regardless of micro-batch boundaries.
+    val q = StreamingOps.slidingCounts(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("sliding")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_sliding").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))
+    val got = spark.table("sliding").collect().map(key).toMap
+    val batch = graft.queries.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("vc"))
+      .select(col("window.start"), col("event_type"), col("n"), col("vc"))
+      .collect().map(key).toMap
+    assert(got == batch)
+    // Sanity of the hop expansion itself: every event is counted in
+    // exactly len/hop = 2 windows.
+    val nEvents = graft.queries.Tables.events(spark, dir).count()
+    assert(got.values.map(_._1).sum == 2 * nEvents)
+  }
+
+  test("left-outer stream join null-extends exactly the unmatched resolved clicks") {
+    val got = graft.queries.StreamingQueries.streamJoinOuter(spark, dir)
+      .collect()
+    // Batch twin of the wrapper's resolved-horizon projection.
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_event_id"),
+        col("user_id").as("vu"), col("ms").as("view_ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_event_id"),
+        col("user_id").as("click_user_id"), col("ms").as("click_ms"))
+    val mm = ev.groupBy().agg(
+      max(when(col("event_type") === "click", col("ms"))).as("mc"),
+      max(when(col("event_type") === "view", col("ms"))).as("mv")).head()
+    val horizon = math.min(mm.getLong(0), mm.getLong(1)) - 5400000L
+    val twin = c
+      .join(v,
+        col("click_user_id") === col("vu") &&
+          col("view_ms") <= col("click_ms") &&
+          col("view_ms") >= col("click_ms") - 3600000L,
+        "left")
+      .filter(col("click_ms") < horizon)
+      .select(col("click_event_id"), col("click_user_id"),
+        coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"),
+        col("click_ms"),
+        coalesce(col("view_ms"), lit(-1L)).as("view_ms"))
+      .collect()
+    assert(got.map(_.toSeq).toSet == twin.map(_.toSeq).toSet)
+    // The outer path is genuinely exercised: unmatched clicks exist and
+    // carry the -1 sentinel.
+    assert(got.exists(_.getAs[Long]("view_event_id") == -1L))
+  }
 }
