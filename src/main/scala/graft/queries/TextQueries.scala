@@ -550,8 +550,13 @@ object TextQueries {
     * partial-aggregated groupBy on the (tiny) domain key, a 1-row total
     * broadcast back — the corpus shuffles nothing but its per-domain
     * partial sums. */
-  def mixWeights(s: SparkSession, d: String): DataFrame = {
-    val per = documents(s, d)
+  def mixWeights(s: SparkSession, d: String): DataFrame =
+    mixWeightsDocs(documents(s, d))
+
+  /** [[mixWeights]]' core over an arbitrary documents frame (exposed for
+    * the ScaleStress harness). Requires (source, n_chars). */
+  private[graft] def mixWeightsDocs(docs: DataFrame): DataFrame = {
+    val per = docs
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -602,8 +607,13 @@ object TextQueries {
     * aggregation then shuffles (batch_id)-keyed partial aggs only.
     * fill_micros is exact-integer-input arithmetic (sum·1e6 / n·max,
     * both ≤ 2^53), deterministic cross-engine. */
-  def lengthBatches(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select("doc_id", "n_chars")
+  def lengthBatches(s: SparkSession, d: String): DataFrame =
+    lengthBatchesDocs(documents(s, d))
+
+  /** [[lengthBatches]]' core over an arbitrary documents frame (exposed
+    * for the ScaleStress harness). Requires (doc_id, n_chars). */
+  private[graft] def lengthBatchesDocs(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select("doc_id", "n_chars")
     val bucket =
       graft.operators.PrefixSum.adaptiveRangeBucket(docs, col("n_chars"), 10)
     graft.operators.PrefixSum

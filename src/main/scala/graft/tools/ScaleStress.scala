@@ -163,6 +163,28 @@ object ScaleStress {
         spark, corpus,
         graft.queries.TextQueries.Bm25QueryFixture.toDF("query_id", "qtext")))
     }
+    // Round-7: the training-mix additions. mixWeights must stay linear
+    // (one pruned scan into domain-keyed partial sums); lengthBatches
+    // must stay linear with a bounded stitch (bucket-keyed prefix rank,
+    // never a global sort); hardNegatives is |Q|·|corpus| broadcast
+    // scoring — linear in corpus size at fixed query count.
+    time("trainmix: weights")(
+      noop(graft.queries.TextQueries.mixWeightsDocs(
+        corpus.withColumn("n_chars", length(col("text")).cast("long")))))
+    time("trainmix: length batches")(
+      noop(graft.queries.TextQueries.lengthBatchesDocs(
+        corpus.withColumn("n_chars", length(col("text")).cast("long")))))
+    time("trainmix: hard negatives") {
+      val embBase = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      val embCorpus = embBase
+        .crossJoin(reps)
+        .select(
+          (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+          col("embedding"),
+          col("label"))
+      noop(graft.similarity.Similarity.hardNegatives(
+        embCorpus, embBase.filter(col("vec_id") < 10), 5))
+    }
     // Round-7: the memoized three-query family END-TO-END through one
     // shared CC build — the declared-surface shape (dupComponents memo →
     // clusters + keep-list + leakage split). The build is paid once
