@@ -23,17 +23,41 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the legacy conf and
-    * rebuild a microsecond TimestampType column with integer division
-    * (`div`, not `/` — nanos ≈ 1.7e18 exceeds double's 2^53 exact-integer
-    * range, so float division would corrupt low bits). ts is monotone in
-    * event_id with no µs collisions in the test data, so the µs truncation
-    * cannot reorder anything relative to the ns-precision DuckDB oracle. */
+  /** Normalize an `events.ts` column to session-zoned microsecond
+    * TimestampType regardless of how the generator wrote the parquet —
+    * the physical layout has changed across test-data generations and
+    * the whole query surface must be layout-agnostic:
+    *
+    *  - TIMESTAMP(NANOS): vanilla Spark rejects it ([PARQUET_TYPE_ILLEGAL]);
+    *    read as raw nanos via the legacy conf (see [[events]]) and rebuild
+    *    µs with integer division (`div`, not `/` — nanos ≈ 1.7e18 exceeds
+    *    double's 2^53 exact-integer range, so float division would corrupt
+    *    low bits).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers
+    *    TimestampNTZType; cast to TimestampType. The session timezone is
+    *    pinned UTC everywhere (Verify/Bench/tests), so the cast
+    *    reinterprets the wall-clock value as the identical UTC instant —
+    *    bit-identical µs to what the nanos path produced, and downstream
+    *    `unix_millis`/`unix_micros`/`window` keep their LTZ input type.
+    *  - TimestampType already: pass through.
+    *
+    * DuckDB reads the same file natively on every layout (TIMESTAMP_NS or
+    * TIMESTAMP), so `epoch_ms`/`epoch_us` oracle arithmetic agrees. ts is
+    * monotone in event_id with no µs collisions in the test data, so any
+    * ns→µs truncation cannot reorder anything relative to the oracle. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
+    // Harmless for µs layouts; required before the scan for nanos ones.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(t(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -14,16 +14,21 @@ import org.apache.spark.sql.types._
   * handles late data (its input is a complete file), so the policy here is
   * the standard one — accept lateness up to the watermark, drop beyond.
   *
-  * The `events` parquet carries TIMESTAMP(NANOS) which Spark's parquet
-  * reader rejects; the stream reads `ts` as raw nanos (LongType schema)
-  * and rebuilds a µs timestamp, same as the batch path in
-  * [[graft.queries.Tables.events]].
+  * The `events` parquet's physical `ts` layout varies by test-data
+  * generation (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS)); the stream probes
+  * the files and normalizes through the same layout-agnostic path as the
+  * batch loader ([[graft.queries.Tables.normalizeEventTs]]).
   */
 object StreamingOps {
 
+  /** The long-`ts` raw events layout: what the spec/stress harnesses write
+    * when synthesizing drop-directory files (ts as epoch-long, rebuilt to
+    * a timestamp by the writer's own `timestamp_micros` call). Kept as the
+    * one shared schema literal for those writers; [[readEvents]] itself no
+    * longer assumes it — it probes the files actually present. */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (read via nanosAsLong)
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -34,13 +39,23 @@ object StreamingOps {
     * file-stream source requires a DIRECTORY and ingests every file in it
     * — so the contract is a dedicated events drop-directory (standard
     * file-source practice). Pointing it at a directory of mixed tables
-    * would silently yield null columns. */
+    * would silently yield null columns.
+    *
+    * The stream source needs a declared schema up front, but the physical
+    * `ts` layout varies across test-data generations (TIMESTAMP(NANOS)
+    * read as raw longs vs native TIMESTAMP(MICROS) — see
+    * [[graft.queries.Tables.normalizeEventTs]]). One driver-side batch
+    * schema probe of the same directory (footer-only, no data read)
+    * yields whatever Spark infers for the files actually present; the
+    * shared normalizer then rebuilds the session-zoned µs TimestampType
+    * column identically on either layout. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val probed = spark.read.parquet(dir).schema
+    graft.queries.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(probed)
+        .parquet(dir))
   }
 
   /** A3 as a streaming tumbling window: per (window, event_type) counts and
