@@ -112,6 +112,8 @@ object SparkEntry {
     "q_hard_negatives" -> (PipelineQueries.hardNegatives _),
     "q_stream_sliding" -> (StreamingQueries.streamSliding _),
     "q_stream_join_outer" -> (StreamingQueries.streamJoinOuter _),
+    // --- round-8 widening: corpus-scale mining, PQ, quality battery ---
+    "q_hard_negatives_ivf" -> (PipelineQueries.hardNegativesIvf _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
@@ -453,6 +455,7 @@ object SparkEntry {
     "q_mix_weights" -> TextQueries.mixWeightsOracle,
     "q_length_batches" -> TextQueries.lengthBatchesOracle,
     "q_hard_negatives" -> PipelineQueries.hardNegativesOracle,
+    "q_hard_negatives_ivf" -> PipelineQueries.hardNegativesIvfOracle,
     "q_stream_sliding" -> StreamingQueries.streamSlidingOracle,
     "q_stream_join_outer" -> StreamingQueries.streamJoinOuterOracle,
     "q_setop_funnel" ->

@@ -438,9 +438,15 @@ object Ivf {
     Similarity.rankTopK(scored, k)
   }
 
-  /** Cosine top-k probing the query's nProbe nearest cells. Queries are
-    * few (broadcast); the corpus is filtered to probed cells BEFORE any
-    * scoring, so work is ~ (nProbe / nLists) of brute force. */
+  /** Cosine top-k probing the query's nProbe nearest cells. The corpus is
+    * filtered to probed cells BEFORE any scoring, so work is
+    * ~ (nProbe / nLists) of brute force.
+    *
+    * Cell ranking is IN-PLAN (the K-row centroid table broadcasts under a
+    * crossJoin + per-query window, the same shape [[trainedTopK]] uses) —
+    * there is no driver-side collect of the query frame, so the entry
+    * point survives being handed a corpus-sized query table: the probe
+    * pass is |Q|×K against a broadcast K-row table, distributed. */
   def searchTopK(
       spark: SparkSession,
       index: IvfIndex,
@@ -450,49 +456,109 @@ object Ivf {
   ): DataFrame = {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)
-    // Rank cells per query on the driver — centroids are tiny.
-    val centroids = index.centroids
+    val dot = Similarity.dotSql _
+    // K rows, driver-held by construction (MLlib cluster centers).
+    val centDf = index.centroids.toSeq.toDF("cell", "cemb")
     // Cast to array<double> first so float- and double-typed embedding
-    // columns both decode (build() is type-agnostic; the typed collect
-    // otherwise pins one runtime type).
-    val qVecs = queries
+    // columns both decode (build() is type-agnostic).
+    val probes = queries
       .select(
-        col("vec_id").cast("long"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .as[(Long, Array[Double])]
-      .collect()
-    val probes: Seq[(Long, Int)] = qVecs.toSeq.flatMap { case (qid, e) =>
-      centroids
-        .map { case (cell, c) =>
-          var d = 0.0
-          var i = 0
-          while (i < e.length) { val x = e(i) - c(i); d += x * x; i += 1 }
-          (cell, d)
-        }
-        .sortBy { case (cell, d) => (d, cell) }
-        .take(nProbe)
-        .map { case (cell, _) => (qid, cell) }
-    }
-    val probeDf = probes.toDF("q_vec_id", "cell")
-    val q = queries.select(
-      col("vec_id").as("q_vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q_emb"))
-      .withColumn("q_nrm",
-        expr(s"sqrt(${Similarity.dotSql("q_emb", "q_emb")})"))
-      .join(broadcast(probeDf), Seq("q_vec_id"))
+        col("vec_id").cast("long").as("q_vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q_emb"))
+      .crossJoin(broadcast(centDf))
+      .withColumn(
+        "dist",
+        expr(s"${dot("q_emb", "q_emb")} - 2 * ${dot("q_emb", "cemb")} + ${dot("cemb", "cemb")}"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("q_vec_id").orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("rn") <= nProbe)
+      .withColumn("q_nrm", expr(s"sqrt(${dot("q_emb", "q_emb")})"))
+      .select("q_vec_id", "q_emb", "q_nrm", "cell")
     val c = index.assigned.select(
       col("vec_id"), col("cell"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-      .withColumn("nrm", expr(s"sqrt(${Similarity.dotSql("emb", "emb")})"))
+      .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
     val scored = c
-      .join(broadcast(q), Seq("cell"))
+      .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_vec_id"))
       .withColumn(
         "score",
-        round(expr(Similarity.dotSql("emb", "q_emb")) /
-          (col("nrm") * col("q_nrm")), 6))
+        round(expr(dot("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
     // A vector can sit in several probed cells' result sets only once:
     // (q, vec) pairs are unique because cell is functional on vec.
     Similarity.rankTopK(scored, k)
+  }
+
+  /** CORPUS-SCALE contrastive hard-negative mining: for EVERY anchor in
+    * the corpus, the k nearest cross-label vectors — restricted to the
+    * anchor's `nProbe` nearest trained IVF cells. This is the
+    * |Q| = |C| regime where [[Similarity.hardNegatives]]'s broadcast
+    * nested loop is impossible (the query side no longer fits in a
+    * broadcast and the dot count is corpus²): here candidate generation
+    * is a CELL-KEYED equi-join between two corpus-sized frames — no
+    * broadcast of either side, pairs ≈ (nProbe/K)·Σ cell·|corpus∩cell|
+    * instead of corpus² — the same blocked-pair discipline as
+    * [[semanticDedup]], composed with the cross-label filter and the
+    * bounded-heap rank.
+    *
+    * Cells come from [[lloydIntTrain]] (deterministic integer Lloyd's
+    * from the fixed seed vectors), so the WHOLE mining pass — training
+    * included — is oracle-checkable; probing uses the same exact integer
+    * distances, scoring the shared fold-dot cosine. With nProbe = K every
+    * anchor probes every cell and the result equals the exact
+    * [[Similarity.hardNegatives]] (IvfHardNegativesSpec pins this).
+    * Output: (q_vec_id, rnk, vec_id, label, score). */
+  def hardNegatives(
+      corpus: DataFrame,
+      centroidIds: Seq[Long],
+      iters: Int,
+      nProbe: Int,
+      k: Int
+  ): DataFrame = {
+    Similarity.ensureFunctions(corpus)
+    val dot = Similarity.dotSql _
+    val (cent, asg) = lloydIntTrain(corpus, centroidIds, iters)
+    val base = corpus.select(
+      col("vec_id"),
+      col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    // Candidates: the trained assignment (already one cell per vector).
+    val cand = base
+      .join(asg.select("vec_id", "cell"), Seq("vec_id"))
+      .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
+    // Anchors: every corpus vector probes its nProbe nearest trained
+    // cells by the same exact integer distance training ranked with.
+    val anchors = corpus.select(
+        col("vec_id").as("q_vec_id"),
+        col("label").as("q_label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q_emb"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("qe"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", expr(IntDistSql))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("q_vec_id").orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("rn") <= nProbe)
+      .withColumn("q_nrm", expr(s"sqrt(${dot("q_emb", "q_emb")})"))
+      .select("q_vec_id", "q_label", "q_emb", "q_nrm", "cell")
+    // Cell-keyed join of two corpus-sized frames — the scale move: a
+    // shuffle on `cell`, never a broadcast of a corpus-sized side.
+    val scored = cand
+      .join(anchors, Seq("cell"))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn(
+        "score",
+        round(expr(dot("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    graft.plans.TopKPerKey
+      .topK(
+        scored.select("q_vec_id", "vec_id", "label", "score"),
+        keys = Seq(col("q_vec_id")),
+        ordering = Seq(col("score").desc, col("vec_id").asc),
+        k = k)
+      .select("q_vec_id", "rnk", "vec_id", "label", "score")
   }
 }

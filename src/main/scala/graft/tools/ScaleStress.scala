@@ -185,6 +185,28 @@ object ScaleStress {
       noop(graft.similarity.Similarity.hardNegatives(
         embCorpus, embBase.filter(col("vec_id") < 10), 5))
     }
+    // Round-8: CORPUS-SCALE hard negatives (every vector an anchor) on
+    // trained IVF cells. Near-linearity needs bounded cell size, so the
+    // centroid count scales WITH the corpus (8 seeds per replica — the
+    // SemDeDup K∝N discipline): pairs ≈ |C| · nProbe · cell-size stays
+    // linear; the |C|×K integer assignment passes are the standard IVF
+    // coarse cost (broadcast K-row table, embarrassingly parallel).
+    // Replicas are shifted by +0.05·rep per dim so replica cells separate
+    // and seeds don't collapse onto duplicate centroids.
+    time("trainmix: hard negatives IVF (corpus anchors)") {
+      val embBase = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      val embCorpus = embBase
+        .crossJoin(reps)
+        .select(
+          (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) + CAST(rep AS DOUBLE) * 0.05)")
+            .as("embedding"),
+          col("label"))
+      val seeds = (0 until replicas).flatMap(rep =>
+        (0 until 8).map(r => rep * 10000000L + r * 37L))
+      noop(graft.similarity.Ivf.hardNegatives(
+        embCorpus, seeds, iters = 2, nProbe = 2, k = 5))
+    }
     // Round-7: the memoized three-query family END-TO-END through one
     // shared CC build — the declared-surface shape (dupComponents memo →
     // clusters + keep-list + leakage split). The build is paid once
