@@ -125,7 +125,22 @@ object Bench {
       .map { case (k, v, b) => "\"" + k + "\":{\"sec\":" + v + ",\"budget\":" + b + "}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true, _) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"breaches":$breachJson,"memo_hits":$memoHits,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"breaches":$breachJson,"memo_hits":$memoHits,"sf":"$sfDir"}"""
+    println(fullJson)
+    // The driver's stdout capture keeps only a ~2000-char tail, which
+    // truncates the per-query map once the surface passes ~50 queries —
+    // persist the complete result so per-query comparisons across rounds
+    // never depend on capture length. Best-effort: a read-only checkout
+    // must not fail the bench.
+    val outPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT", "tools/bench_last_run.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      fullJson.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     // Compact headline LAST: short enough to survive a tail-truncated
     // stdout capture whole (the full line above lost 33 of 97 query keys
     // to truncation in round 3's driver capture).

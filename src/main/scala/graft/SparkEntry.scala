@@ -114,6 +114,9 @@ object SparkEntry {
     "q_stream_join_outer" -> (StreamingQueries.streamJoinOuter _),
     // --- round-8 widening: corpus-scale mining, PQ, quality battery ---
     "q_hard_negatives_ivf" -> (PipelineQueries.hardNegativesIvf _),
+    "q_ivf_pq" -> (PipelineQueries.ivfPq _),
+    "q_gopher_filters" -> (PipelineQueries.gopherFiltersQ _),
+    "q_token_bpe_4k" -> (TextQueries.tokenBpe4k _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
@@ -456,6 +459,9 @@ object SparkEntry {
     "q_length_batches" -> TextQueries.lengthBatchesOracle,
     "q_hard_negatives" -> PipelineQueries.hardNegativesOracle,
     "q_hard_negatives_ivf" -> PipelineQueries.hardNegativesIvfOracle,
+    "q_ivf_pq" -> PipelineQueries.ivfPqOracle,
+    "q_gopher_filters" -> PipelineQueries.gopherFiltersOracle,
+    "q_token_bpe_4k" -> TextQueries.tokenBpe4kOracle,
     "q_stream_sliding" -> StreamingQueries.streamSlidingOracle,
     "q_stream_join_outer" -> StreamingQueries.streamJoinOuterOracle,
     "q_setop_funnel" ->

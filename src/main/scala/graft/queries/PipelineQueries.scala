@@ -1053,6 +1053,173 @@ object PipelineQueries {
        |FROM r WHERE rnk <= $TopK
        |ORDER BY q_vec_id, rnk""".stripMargin
 
+  /** Published quality-filter battery over the documents table
+    * ([[TextAnalysis.gopherFilters]]): the C4/Gopher rules as one verdict
+    * frame, composed with the existing [[TextAnalysis.qualityScore]]
+    * blend — `keep` = all Gopher rules AND quality ≥ 0.7. Exact-integer
+    * rule thresholds both engines. */
+  def gopherFiltersQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.gopherFilters(documents(s, d), "doc_id", "text")
+      .join(
+        documents(s, d).select(
+          col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+        Seq("doc_id"))
+      .withColumn("keep", col("pass_gopher") && col("quality") >= 0.7)
+      .orderBy("doc_id")
+
+  def gopherFiltersOracle: String = {
+    val stopSum = TextAnalysis.GopherStopwords
+      .map(w =>
+        s"(CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_word_chars,
+       |    CAST(len(regexp_extract_all(text, '(#|\\.\\.\\.|…)')) AS BIGINT) AS n_symbols,
+       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(string_split(text, chr(10)),
+       |      x -> regexp_matches(ltrim(x), '^[-*•]'))) AS BIGINT) AS n_bullet_lines,
+       |    CAST(len(list_filter(string_split(text, chr(10)),
+       |      x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$$'))) AS BIGINT) AS n_ellipsis_lines,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+       |    CAST($stopSum AS BIGINT) AS n_stopwords
+       |  FROM documents),
+       |qm AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS DOUBLE) AS n_chars,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_words,
+       |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it)\\b')) AS DOUBLE) AS n_stop
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    round(
+       |      (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+       |    + (CASE WHEN (CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0 END) >= 3
+       |         AND (CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0 END) <= 12
+       |        THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+       |    + (CASE WHEN n_chars > 0 AND n_punct / n_chars <= 0.1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+       |    + (CASE WHEN n_words > 0 AND n_stop / n_words >= 0.05 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.2 AS DOUBLE), 6) AS quality
+       |  FROM qm),
+       |r AS (
+       |  SELECT *,
+       |    (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       |    (n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10) AS r_mean_word_len,
+       |    (n_symbols * 10 <= n_words) AS r_symbol_ratio,
+       |    (n_bullet_lines * 10 <= n_lines * 9) AS r_bullet,
+       |    (n_ellipsis_lines * 10 <= n_lines * 3) AS r_ellipsis,
+       |    (n_alpha_words * 10 >= n_words * 8) AS r_alpha,
+       |    (n_stopwords >= ${TextAnalysis.GopherMinStopwords}) AS r_stopword
+       |  FROM m)
+       |SELECT r.doc_id, r.n_words, r.n_word_chars, r.n_symbols, r.n_lines,
+       |  r.n_bullet_lines, r.n_ellipsis_lines, r.n_alpha_words, r.n_stopwords,
+       |  r.r_word_count, r.r_mean_word_len, r.r_symbol_ratio, r.r_bullet,
+       |  r.r_ellipsis, r.r_alpha, r.r_stopword,
+       |  (r.r_word_count AND r.r_mean_word_len AND r.r_symbol_ratio
+       |    AND r.r_bullet AND r.r_ellipsis AND r.r_alpha AND r.r_stopword) AS pass_gopher,
+       |  q.quality,
+       |  ((r.r_word_count AND r.r_mean_word_len AND r.r_symbol_ratio
+       |    AND r.r_bullet AND r.r_ellipsis AND r.r_alpha AND r.r_stopword)
+       |    AND q.quality >= 0.7) AS keep
+       |FROM r JOIN q ON r.doc_id = q.doc_id
+       |ORDER BY r.doc_id""".stripMargin
+  }
+
+  val PqM = 4
+  val PqIters = 2
+  val EmbDims = 64
+
+  /** Product-quantized ANN ([[graft.similarity.Ivf.pqTopK]]): 4 subspaces
+    * of 16 dims, 8 codes each trained by the exact integer Lloyd's from
+    * the fixed seeds, asymmetric integer distance tables — the
+    * compressed-scan scale path, hash-checked end to end (training,
+    * encoding and scoring are all integer-exact). */
+  def ivfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    graft.similarity.Ivf
+      .pqTopK(emb, emb.filter(col("vec_id") < NumQueries),
+        IvfCentroidIds, EmbDims, PqM, PqIters, TopK)
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  /** DuckDB twin: per-subspace Lloyd CTE chains (sliced integer-micros
+    * vectors), a unioned codebook + code table, the |Q|·m·K ADC distance
+    * table, and the summed-lookup ranking. */
+  def ivfPqOracle: String = {
+    val ids = IvfCentroidIds.mkString(", ")
+    val subDim = EmbDims / PqM
+    val dist =
+      "list_sum(list_transform(range(1, len(q.qe) + 1), i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+         |  FROM embeddings)""".stripMargin)
+    for (s <- 0 until PqM) {
+      sb.append(
+        s""",
+           |p${s}q AS (
+           |  SELECT vec_id, list_slice(qe, ${s * subDim + 1}, ${(s + 1) * subDim}) AS qe
+           |  FROM q),
+           |p${s}c0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, qe AS ce
+           |  FROM p${s}q WHERE vec_id IN ($ids))""".stripMargin)
+      for (i <- 1 to PqIters) {
+        sb.append(
+          s""",
+             |p${s}a$i AS (
+             |  SELECT vec_id, qe, code FROM (
+             |    SELECT q.vec_id, q.qe, c.code,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY $dist ASC, c.code ASC) AS rn
+             |    FROM p${s}q q, p${s}c${i - 1} c) WHERE rn = 1),
+             |p${s}u$i AS (
+             |  SELECT code, list(CAST(s // n AS BIGINT) ORDER BY pos) AS ce FROM (
+             |    SELECT code, pos, sum(v) AS s, count(*) AS n FROM (
+             |      SELECT code, unnest(range(1, len(qe) + 1)) AS pos, unnest(qe) AS v
+             |      FROM p${s}a$i)
+             |    GROUP BY code, pos)
+             |  GROUP BY code),
+             |p${s}c$i AS (
+             |  SELECT p.code, COALESCE(u.ce, p.ce) AS ce
+             |  FROM p${s}c${i - 1} p LEFT JOIN p${s}u$i u ON p.code = u.code)""".stripMargin)
+      }
+    }
+    val encUnion = (0 until PqM)
+      .map(s => s"SELECT $s AS sub, vec_id, code FROM p${s}a$PqIters")
+      .mkString(" UNION ALL ")
+    val cbUnion = (0 until PqM)
+      .map(s => s"SELECT $s AS sub, code, ce FROM p${s}c$PqIters")
+      .mkString(" UNION ALL ")
+    sb.append(
+      s""",
+         |encoded AS ($encUnion),
+         |cb AS ($cbUnion),
+         |dtab AS (
+         |  SELECT q_vec_id, sub, code,
+         |    list_sum(list_transform(range(1, $subDim + 1), i -> (sq[i] - ce[i]) * (sq[i] - ce[i]))) AS d
+         |  FROM (
+         |    SELECT q.vec_id AS q_vec_id, cb.sub AS sub, cb.code AS code,
+         |      list_slice(q.qe, cb.sub * $subDim + 1, cb.sub * $subDim + $subDim) AS sq,
+         |      cb.ce AS ce
+         |    FROM q, cb WHERE q.vec_id < $NumQueries)),
+         |scored AS (
+         |  SELECT t.q_vec_id, e.vec_id, CAST(sum(t.d) AS BIGINT) AS adist
+         |  FROM encoded e JOIN dtab t
+         |    ON e.sub = t.sub AND e.code = t.code AND e.vec_id <> t.q_vec_id
+         |  GROUP BY t.q_vec_id, e.vec_id)
+         |SELECT q_vec_id, CAST(rnk AS BIGINT) AS rnk, vec_id, adist FROM (
+         |  SELECT q_vec_id, vec_id, adist,
+         |    row_number() OVER (PARTITION BY q_vec_id ORDER BY adist ASC, vec_id ASC) AS rnk
+         |  FROM scored) WHERE rnk <= $TopK
+         |ORDER BY q_vec_id, rnk""".stripMargin)
+    sb.toString
+  }
+
   val HardNegNProbe = 2
 
   /** CORPUS-SCALE hard-negative mining ([[graft.similarity.Ivf.hardNegatives]]):

@@ -47,6 +47,14 @@ object Tables {
     * ns→µs truncation cannot reorder anything relative to the oracle. */
   private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
+      // REPO-WIDE CONTRACT: a LongType ts is raw NANOSECONDS — the shape
+      // the legacy nanosAsLong conf produces from TIMESTAMP(NANOS)
+      // parquet, and the unit every synthetic drop-dir writer emits
+      // (millis × 1e6: ScaleStress and the gap-session property specs).
+      // A µs-long routed through here would come out 1000× in the past;
+      // there is no cheap runtime check (a magnitude probe would need a
+      // scan, impossible on a stream), so the unit is enforced by
+      // convention + the writers' code, documented here.
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>

@@ -261,6 +261,47 @@ object TextQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Realistic-vocabulary BPE: the 4096-merge table
+    * ([[graft.textanalysis.Bpe.Merges4kHex]], trained on the synthetic
+    * high-entropy stream) applied to the same md5-hex chunk stream as
+    * [[tokenBpe512]]. Same distinct-type + join-back shape; encode runs
+    * the priority-merge `encodeLocal` path, whose per-type cost depends
+    * on token LENGTH, not table size — the claim the 8× table-size jump
+    * from 512 exists to measure (ScaleStress has the A/B stage). */
+  def tokenBpe4k(s: SparkSession, d: String): DataFrame = {
+    import graft.textanalysis.Bpe
+    val tok = Bpe.hexTokenStream(documents(s, d))
+    val perDoc = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("n_occ"))
+    val types = Bpe.subwordCountsForTypes(
+      perDoc.select("tok").distinct(), "tok", Bpe.Merges4kHex)
+    perDoc.join(types, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("n_occ")).as("n_tokens"),
+        sum(col("n_occ") * col("n_sub")).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[tokenBpe4k]]: the identical 4096-merge fold as
+    * a 256-level CTE chain over the recomputed hex stream. */
+  def tokenBpe4kOracle: String = {
+    import graft.textanalysis.Bpe
+    val chunks = (0 until Bpe.HexChunksPerDoc)
+      .map(i => s"md5(text || ':$i')").mkString(", ")
+    val (ctes, last) = Bpe.oracleEncodeCtesSql("types", Bpe.Merges4kHex)
+    val nSub = Bpe.oracleSubwordCountSql("enc")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest([$chunks]) AS tok FROM documents),
+       |types AS (SELECT DISTINCT tok FROM tok),
+       |$ctes
+       |cnts AS (SELECT tok, $nSub AS n_sub FROM $last)
+       |SELECT doc_id,
+       | CAST(count(*) AS BIGINT) AS n_tokens,
+       | CAST(sum(n_sub) AS BIGINT) AS n_subwords
+       |FROM tok JOIN cnts USING (tok)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Word-repetition stats (Gopher-style repetition quality signal): per
     * doc, the most frequent word's share of all words. High top-word
     * ratios flag template/boilerplate documents in a curation pipeline.

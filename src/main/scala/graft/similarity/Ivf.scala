@@ -491,6 +491,76 @@ object Ivf {
     Similarity.rankTopK(scored, k)
   }
 
+  /** Product-quantized (PQ) approximate nearest-neighbor search — the
+    * compression step after int8 scalar quantization on the standard
+    * billion-vector path (IVF-PQ, Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector splits into
+    * `m` subspaces, each subspace trains its own K-code codebook, and a
+    * vector is stored as m SMALL CODES (here m·⌈log₂K⌉ bits ≈ 12 bytes
+    * for m=4·K=8 vs 256 bytes of float32 — the memory-bandwidth win that
+    * makes 100 TB ANN scans feasible). Query scoring is ASYMMETRIC
+    * (ADC): the query stays exact; per subspace a K-entry distance table
+    * is computed once, and a corpus vector's distance is the sum of m
+    * table lookups — no per-vector arithmetic beyond m adds.
+    *
+    * Everything is exact 64-bit integer arithmetic on micros-quantized
+    * values ([[lloydIntTrain]] per subspace for the codebooks, integer
+    * L2² for tables), so the WHOLE pipeline — training, encoding,
+    * scoring — is oracle-checkable, like [[trainedTopK]].
+    *
+    * Scale shape: per-subspace training/encoding is the |corpus|×K
+    * broadcast assignment ×m (standard PQ build cost); the search joins
+    * the corpus' (vec, sub, code) rows — m NARROW rows per vector, the
+    * embedding array itself never shuffles — against a broadcast
+    * |Q|·m·K distance table, then partial-aggregating sum + bounded-heap
+    * rank. Output: (q_vec_id, rnk, vec_id, adist) with adist the integer
+    * ADC distance. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroidIds: Seq[Long],
+      dims: Int,
+      m: Int,
+      iters: Int,
+      k: Int
+  ): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val subDim = dims / m
+    val subs = (0 until m).map { s =>
+      val subCorpus = corpus.select(
+        col("vec_id"),
+        expr(s"slice(embedding, ${s * subDim + 1}, $subDim)").as("embedding"))
+      val (cent, asg) = lloydIntTrain(subCorpus, centroidIds, iters)
+      (cent.select(lit(s).as("sub"), col("cell").as("code"), col("ce")),
+        asg.select(lit(s).as("sub"), col("vec_id"), col("cell").as("code")))
+    }
+    val codebook = subs.map(_._1).reduce(_.union(_))
+    val encoded = subs.map(_._2).reduce(_.union(_))
+    // Per-(query, subspace, code) integer distance table: |Q|·m·K rows.
+    val dtab = queries.select(
+        col("vec_id").as("q_vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("qe"))
+      .crossJoin(broadcast(codebook))
+      .withColumn("sq", expr(s"slice(qe, sub * $subDim + 1, $subDim)"))
+      .withColumn(
+        "d",
+        expr("aggregate(zip_with(sq, ce, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .select("q_vec_id", "sub", "code", "d")
+    val scored = encoded
+      .join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .groupBy("q_vec_id", "vec_id")
+      .agg(sum(col("d")).as("adist"))
+    graft.plans.TopKPerKey
+      .topK(
+        scored.select("q_vec_id", "vec_id", "adist"),
+        keys = Seq(col("q_vec_id")),
+        ordering = Seq(col("adist").asc, col("vec_id").asc),
+        k = k)
+      .select("q_vec_id", "rnk", "vec_id", "adist")
+  }
+
   /** CORPUS-SCALE contrastive hard-negative mining: for EVERY anchor in
     * the corpus, the k nearest cross-label vectors — restricted to the
     * anchor's `nProbe` nearest trained IVF cells. This is the

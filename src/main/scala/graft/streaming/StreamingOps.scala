@@ -26,6 +26,11 @@ object StreamingOps {
     * a timestamp by the writer's own `timestamp_micros` call). Kept as the
     * one shared schema literal for those writers; [[readEvents]] itself no
     * longer assumes it — it probes the files actually present. */
+  /** Declared events layout for drop directories that cannot be probed
+    * yet. `ts` is a LongType of raw NANOSECONDS — the one meaning a
+    * LongType ts has anywhere in this repo
+    * ([[graft.queries.Tables.normalizeEventTs]] divides by 1000; every
+    * synthetic writer multiplies millis by 1e6). */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -48,10 +53,29 @@ object StreamingOps {
     * schema probe of the same directory (footer-only, no data read)
     * yields whatever Spark infers for the files actually present; the
     * shared normalizer then rebuilds the session-zoned µs TimestampType
-    * column identically on either layout. */
+    * column identically on either layout.
+    *
+    * An EMPTY drop directory (no parquet yet — the normal state when a
+    * stream starts before its producer) cannot be probed; the declared
+    * [[eventsRawSchema]] (raw-NANOS-long `ts`, the repo-wide LongType
+    * contract) serves as the fallback so the stream still starts —
+    * restoring the documented drop-dir contract the probe alone broke.
+    *
+    * ONE LAYOUT PER DIRECTORY: the schema chosen at stream start is
+    * pinned for the stream's lifetime, so files dropped later with a
+    * DIFFERENT physical layout (µs vs ns) are read through the wrong
+    * declared schema — nulls or 1000×-scaled timestamps, not an error.
+    * Producers must not change layout mid-directory; every synthetic
+    * writer in this repo writes nanos-longs for exactly this reason. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val probed = spark.read.parquet(dir).schema
+    val probed =
+      try spark.read.parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("Unable to infer schema") =>
+          eventsRawSchema
+      }
     graft.queries.Tables.normalizeEventTs(
       spark.readStream
         .schema(probed)

@@ -829,6 +829,39 @@ object Bpe {
       explode(array((0 until HexChunksPerDoc).map(i =>
         md5(concat(col("text"), lit(s":$i")))): _*)).as("tok"))
 
+  /** Size of the realistic-vocabulary merge table: 4096 merges, the
+    * smallest power of two in the range of real sub-word vocabularies
+    * (production tokenizers run 32k–100k; the encoder's claimed
+    * O(token) scaling is already fully exercised at 4k — cost per
+    * distinct type depends on token length, not table size). */
+  val Merges4kCount = 4096
+
+  /** ≥4k-merge table trained at first use on a SYNTHETIC high-entropy
+    * stream: 500 md5-hex strings of `"bpe4k:i"` — a pure function of
+    * constants, so every JVM (and every engine recomputing the oracle
+    * SQL generated from it) sees the identical table. The fixture word
+    * corpus saturates at 128 merges and its md5-chunk stream was frozen
+    * at 512 ([[Merges512Hex]]); sustaining 4096 data-driven merges needs
+    * this wider stream (500 × 32 hex chars ≈ 16k initial symbol
+    * occurrences — merge capacity ~15.5k). Training is the same exact
+    * [[trainMerges]] the 127/512 tables came from, a few seconds of
+    * driver time paid once per JVM; a 4096-tuple source literal would
+    * flirt with the JVM method-size limit, which is why this one is
+    * computed, not frozen. Bpe4kSpec pins size, training-consistency and
+    * encoder equality. */
+  lazy val Merges4kHex: Seq[(String, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = (0 until 500).map { i =>
+      val h = md.digest(s"bpe4k:$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (h, 1L)
+    }
+    val m = trainMerges(counts, Merges4kCount)
+    require(m.size == Merges4kCount,
+      s"synthetic stream exhausted at ${m.size} merges")
+    m
+  }
+
   /** Encode `tok`: strip the reserved separator, wrap every character in
     * its own separator pair, fold the merges in learned order. The result
     * is the wrapped form: each subword sits between its own `⟂…⟂`. */

@@ -50,6 +50,87 @@ object TextAnalysis {
     scored.withColumn("predicted", predicted)
   }
 
+  /** The Gopher stopword-presence list (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1.2): a document must contain at
+    * least [[GopherMinStopwords]] of these to pass the battery's
+    * stopword rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopwords = 2
+
+  /** Published quality-filter battery — the C4 (Raffel et al. 2020) /
+    * Gopher (Rae et al. 2021) rule set users expect to toggle, composed
+    * as one verdict frame. Every rule is an EXACT INTEGER comparison
+    * (ratios are cross-multiplied: `n_sym * 10 <= n_words` instead of
+    * `n_sym / n_words <= 0.1`), so Spark and any oracle engine agree
+    * bit-for-bit with no float discipline needed.
+    *
+    * Rules (document passes when ALL hold):
+    *  - `r_word_count`: 50 ≤ word count ≤ 100000 (Gopher);
+    *  - `r_mean_word_len`: mean word length in [3, 10] characters
+    *    (Gopher), as n_word_chars between 3·n_words and 10·n_words;
+    *  - `r_symbol_ratio`: symbols (`#`, `...`, `…`) ≤ 0.1 of words
+    *    (Gopher symbol-to-word ratio);
+    *  - `r_bullet`: ≤ 90% of lines start with a bullet (`-`, `*`, `•`);
+    *  - `r_ellipsis`: ≤ 30% of lines end with an ellipsis;
+    *  - `r_alpha`: ≥ 80% of words contain an alphabetic character;
+    *  - `r_stopword`: ≥ 2 of the 8 [[GopherStopwords]] appear.
+    *
+    * All counts are builtin higher-order/regex expressions — codegen'd,
+    * no UDFs; the per-line rules run on `split(text, '\n')` arrays so the
+    * text is scanned once per rule family, never exploded. */
+  def gopherFilters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = split(trim(t), "\\s+")
+    val lines = split(t, "\n")
+    val nWords = size(words).cast("long")
+    val nWordChars =
+      length(regexp_replace(t, "\\s", "")).cast("long")
+    val nSym =
+      size(regexp_extract_all(t, lit("(#|\\.\\.\\.|…)"), lit(0))).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet =
+      size(expr(s"filter(split($textCol, '\\n'), x -> ltrim(x) rlike '^[-*•]')"))
+        .cast("long")
+    val nEllipsis =
+      size(expr(s"filter(split($textCol, '\\n'), x -> rtrim(x) rlike '(\\\\.\\\\.\\\\.|…)$$')"))
+        .cast("long")
+    val nAlphaWords =
+      size(expr(s"filter(split(trim($textCol), '\\\\s+'), x -> x rlike '[A-Za-z]')"))
+        .cast("long")
+    val nStop = GopherStopwords
+      .map(w => when(lower(t).rlike(s"\\b$w\\b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.select(
+        col(idCol),
+        nWords.as("n_words"),
+        nWordChars.as("n_word_chars"),
+        nSym.as("n_symbols"),
+        nLines.as("n_lines"),
+        nBullet.as("n_bullet_lines"),
+        nEllipsis.as("n_ellipsis_lines"),
+        nAlphaWords.as("n_alpha_words"),
+        nStop.as("n_stopwords"))
+      .withColumn("r_word_count",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("r_mean_word_len",
+        col("n_word_chars") >= col("n_words") * 3L &&
+          col("n_word_chars") <= col("n_words") * 10L)
+      .withColumn("r_symbol_ratio", col("n_symbols") * 10L <= col("n_words"))
+      .withColumn("r_bullet",
+        col("n_bullet_lines") * 10L <= col("n_lines") * 9L)
+      .withColumn("r_ellipsis",
+        col("n_ellipsis_lines") * 10L <= col("n_lines") * 3L)
+      .withColumn("r_alpha",
+        col("n_alpha_words") * 10L >= col("n_words") * 8L)
+      .withColumn("r_stopword",
+        col("n_stopwords") >= GopherMinStopwords.toLong)
+      .withColumn("pass_gopher",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_bullet") && col("r_ellipsis") &&
+          col("r_alpha") && col("r_stopword"))
+  }
+
   /** Quality score in [0,1]: blend of length band, word shape, punctuation
     * and stopword density — the standard cheap pre-filter for web-scale
     * corpora. Integer counts ratioed in double → deterministic. */

@@ -135,6 +135,27 @@ object ScaleStress {
           sum(col("n_occ")).as("n_tokens"),
           sum(col("n_occ") * col("n_sub")).as("n_subwords")))
     }
+    // Round-8: the 4096-merge realistic-vocabulary table over the same
+    // hex stream as the 512 stage above — the A/B that pins the
+    // encoder's O(token) claim: per-type cost depends on token length,
+    // not table size, so this stage must track the 512 one near-flat
+    // (same stream, 8x the merges).
+    time("bpe 4096-merge table train (driver, once per JVM)") {
+      graft.textanalysis.Bpe.Merges4kHex.size
+    }
+    time("bpe encode 4096-merge hex (rank scan)") {
+      import graft.textanalysis.Bpe
+      val tok = Bpe.hexTokenStream(corpus)
+      val perDoc = tok.groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("n_occ"))
+      val types = Bpe.subwordCountsForTypes(
+        perDoc.select("tok").distinct(), "tok", Bpe.Merges4kHex)
+      noop(perDoc.join(types, Seq("tok"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("n_occ")).as("n_tokens"),
+          sum(col("n_occ") * col("n_sub")).as("n_subwords")))
+    }
     // Round-6 additions: the round-5 operators whose scale claims were
     // plan-shape reasoning only, plus the trainSequences offset A/B.
     // Each pipeline must stay near-linear in corpus size.
@@ -319,18 +340,20 @@ object ScaleStress {
       val spanMs = bounds.getLong(1) - bounds.getLong(0) + 3600000L
       val dir = java.nio.file.Files.createTempDirectory("stress_events")
       (0 until replicas).foreach { r =>
+        // ts = raw NANOS-long (ms × 1e6): the repo-wide LongType unit
+        // (see Tables.normalizeEventTs).
         ev.select(
           col("event_id"),
-          ((unix_millis(col("ts")) + lit(r * spanMs)) * 1000L).as("ts"),
+          ((unix_millis(col("ts")) + lit(r * spanMs)) * 1000000L).as("ts"),
           (col("user_id") + lit(r * 10000000L)).as("user_id"),
           col("event_type"), col("value"), col("props"))
           .coalesce(1).write.mode("append").parquet(dir.toString)
       }
-      val stream = spark.readStream
-        .schema(graft.streaming.StreamingOps.eventsRawSchema)
-        .option("maxFilesPerTrigger", "2")
-        .parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(col("ts")))
+      val stream = Tables.normalizeEventTs(
+        spark.readStream
+          .schema(graft.streaming.StreamingOps.eventsRawSchema)
+          .option("maxFilesPerTrigger", "2")
+          .parquet(dir.toString))
       val q = graft.streaming.StreamingOps
         .gapSessionsBuffered(spark, stream).toDF
         .writeStream.outputMode("append").format("noop")

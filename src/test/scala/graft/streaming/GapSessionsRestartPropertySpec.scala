@@ -125,7 +125,9 @@ class GapSessionsRestartPropertySpec extends SparkSuite {
       rows.zipWithIndex
         .map { case ((u, t), ei) => (fi * 1000L + ei, u, (baseMin + t) * mm) }
         .toDF("event_id", "user_id", "ms")
-        .select(col("event_id"), (col("ms") * 1000L).as("ts"),
+        // ts = raw NANOS-long (ms × 1e6): the repo-wide LongType unit
+        // (see Tables.normalizeEventTs).
+        .select(col("event_id"), (col("ms") * 1000000L).as("ts"),
           col("user_id"), lit("view").as("event_type"),
           lit(1.0).as("value"), lit("{}").as("props"))
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
@@ -141,11 +143,11 @@ class GapSessionsRestartPropertySpec extends SparkSuite {
       dest.toFile.setLastModified(1700000000000L + fi * 2000L)
     }
     def runOnce(): Unit = {
-      val stream = spark.readStream
-        .schema(StreamingOps.eventsRawSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src.toString)
-        .withColumn("ts", timestamp_micros(col("ts")))
+      val stream = graft.queries.Tables.normalizeEventTs(
+        spark.readStream
+          .schema(StreamingOps.eventsRawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.toString))
       val q = StreamingOps
         .gapSessionsBuffered(spark, stream,
           watermarkDelay = s"${sc.delayMin * 60 + 30} seconds")

@@ -702,6 +702,114 @@ class StreamingSpec extends SparkSuite {
     assert(got.values.map(_._1).sum == 2 * nEvents)
   }
 
+  test("readEvents starts against an empty drop directory and picks up late files") {
+    // The drop-dir contract: a stream may start BEFORE its producer has
+    // written anything. The schema probe cannot infer from zero files, so
+    // readEvents falls back to the declared eventsRawSchema (nanos-long
+    // ts) — and files dropped later in that layout flow through with
+    // correct timestamps.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("events_empty_drop")
+    val stream = StreamingOps.readEvents(spark, d.toString)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("empty_drop")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_empty_drop").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("empty_drop").count() == 0)
+    // Producer arrives: one file in the declared nanos-long layout.
+    val ms = 1700000000000L
+    Seq((1L, ms * 1000000L, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(d.toString)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("empty_drop").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[java.sql.Timestamp]("ts").getTime == ms,
+      s"nanos-long ts decoded to ${rows.head.getAs[java.sql.Timestamp]("ts")}")
+  }
+
+  test("update-mode sliding windows through an idempotent foreachBatch sink are batching-invariant") {
+    // The PRODUCTION shape of slidingCounts: update mode (fresh rates as
+    // soon as a window updates, not only when it closes) into a
+    // foreachBatch upsert sink keyed by (window_start, event_type) —
+    // idempotent by construction, so a redelivered micro-batch must not
+    // change the final table. Complete mode (the oracle-checkable shape,
+    // test above) re-emits the whole table every batch; this variant
+    // ships only the updated keys.
+    import org.apache.spark.sql.Row
+    // Multi-file drop dir, time-ordered across files, so
+    // maxFilesPerTrigger=1 yields several real micro-batches and the
+    // watermark advances between them.
+    val d = java.nio.file.Files.createTempDirectory("events_sliding_files")
+    val ev = graft.queries.Tables.events(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val bucketed = ev.withColumn("bucket", ntile(4).over(w))
+    (1 to 4).foreach { b =>
+      bucketed.filter(col("bucket") === b).drop("bucket")
+        .coalesce(1).write.mode("append").parquet(d.toString)
+    }
+    val probed = spark.read.parquet(d.toString).schema
+    val stream = graft.queries.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(probed)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d.toString))
+    val once = new java.util.concurrent.ConcurrentHashMap[
+      (java.sql.Timestamp, String), (Long, Long)]()
+    val twice = new java.util.concurrent.ConcurrentHashMap[
+      (java.sql.Timestamp, String), (Long, Long)]()
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = StreamingOps.slidingCounts(stream).writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect()
+        if (rows.nonEmpty) nBatches.incrementAndGet()
+        def upsert(m: java.util.concurrent.ConcurrentHashMap[
+          (java.sql.Timestamp, String), (Long, Long)]): Unit =
+          rows.foreach { r: Row =>
+            m.put((r.getTimestamp(0), r.getString(1)),
+              (r.getLong(2), r.getLong(3)))
+          }
+        upsert(once)
+        // Simulated redelivery: the same batch applied again — the sink
+        // key makes the write idempotent.
+        upsert(twice); upsert(twice)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_sliding_upd").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(nBatches.get() >= 3,
+      s"expected several micro-batches, got ${nBatches.get()}")
+    import scala.jdk.CollectionConverters._
+    val got = once.asScala.toMap
+    // Redelivery changes nothing.
+    assert(twice.asScala.toMap == got)
+    // Batching-invariance: the accumulated upserts equal the one-shot
+    // batch hopping aggregation, key for key.
+    val batchAgg = graft.queries.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("vc"))
+      .select(col("window.start"), col("event_type"), col("n"), col("vc"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == batchAgg,
+      s"only-stream=${got.keySet -- batchAgg.keySet} " +
+        s"only-batch=${batchAgg.keySet -- got.keySet}")
+  }
+
   test("left-outer stream join null-extends exactly the unmatched resolved clicks") {
     val got = graft.queries.StreamingQueries.streamJoinOuter(spark, dir)
       .collect()
