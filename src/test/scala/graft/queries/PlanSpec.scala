@@ -396,4 +396,54 @@ class PlanSpec extends SparkSuite {
       s"per-query ranking must run on the bounded heap:\n$p")
     assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"))
   }
+
+  test("corpus-scale hard negatives: pairing is an equi-join on cell, never a label nested loop") {
+    val p = plan("q_hard_negatives_ivf")
+    // The whole point of the IVF route vs q_hard_negatives: with |Q|=|C|
+    // candidate pairing is a cell-keyed SHUFFLE equi-join of two
+    // corpus-sized frames (neither side broadcasts), with the label
+    // mismatch as a residual condition — never the label-predicate
+    // nested loop the broadcast path uses. The only nested-loop nodes
+    // allowed are the K-row centroid broadcasts (crossJoin(broadcast) —
+    // type Cross, no label condition).
+    assert("SortMergeJoin \\[cell|ShuffledHashJoin \\[cell".r
+      .findFirstIn(p).isDefined,
+      s"pairing must be a cell-keyed shuffle equi-join:\n$p")
+    assert(!"BroadcastNestedLoopJoin[^\\n]*label".r.findFirstIn(p).isDefined,
+      s"label scoring must never nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    assert(p.contains("TopKPerKey"),
+      s"per-anchor ranking must run on the bounded heap:\n$p")
+  }
+
+  test("ivf-pq: ADC scoring joins codes against the broadcast table, no arrays past encode") {
+    val p = plan("q_ivf_pq")
+    // The compression contract: after encoding, the search touches only
+    // (vec_id, sub, code) rows joined hash-equi against the broadcast
+    // |Q|·m·K distance table; the only nested-loop nodes are the K-row
+    // codebook broadcasts inside training/table building.
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[sub#".r
+      .findFirstIn(p).isDefined,
+      s"ADC lookup must be an equi-join on (sub, code):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    assert(p.contains("TopKPerKey"),
+      s"per-query ranking must run on the bounded heap:\n$p")
+    // The scoring rows that feed the distance aggregation are NARROW —
+    // (vec_id, q_vec_id, d) — the projection directly above the ADC join
+    // must carry no array column. (qe/ce exist only inside the broadcast
+    // table-build subtree and the checkpointed training stages.)
+    assert("Project \\[vec_id#\\d+L?, q_vec_id#\\d+L?, d#\\d+L?\\]".r
+      .findFirstIn(p).isDefined,
+      s"post-join scoring rows must be the narrow (vec_id, q_vec_id, d):\n$p")
+  }
+
+  test("gopher filters: line and word rules run on arrays, no explode") {
+    val p = plan("q_gopher_filters")
+    // Every rule is a higher-order expression over split() arrays — one
+    // row in, one row out. A Generate (explode) would multiply the 100 TB
+    // corpus by words-per-doc before aggregating it right back.
+    assert(!p.contains("Generate"),
+      s"the battery must not explode the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
