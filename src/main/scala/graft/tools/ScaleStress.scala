@@ -228,6 +228,37 @@ object ScaleStress {
       noop(graft.similarity.Ivf.hardNegatives(
         embCorpus, seeds, iters = 2, nProbe = 2, k = 5))
     }
+    // Round-8: SemDeDup at K∝N (same replica-shifted corpus and
+    // per-replica seeds as the mining stage): Σ cell² with bounded cells
+    // must stay near-linear in corpus size.
+    time("semantic dedup (K per replica)") {
+      val embBase = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      val embCorpus = embBase
+        .crossJoin(reps)
+        .select(
+          (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) + CAST(rep AS DOUBLE) * 0.05)")
+            .as("embedding"))
+      val seeds = (0 until replicas).flatMap(rep =>
+        (0 until 8).map(r => rep * 10000000L + r * 37L))
+      noop(graft.similarity.Ivf.semanticDedup(embCorpus, seeds, 0.35))
+    }
+    // Round-8: IVF-PQ search over the replicated corpus at a fixed query
+    // count — encode is m broadcast-assignment passes, search is m narrow
+    // code rows per vector against a broadcast distance table; both
+    // linear in corpus size.
+    time("ivf-pq topk (fixed queries)") {
+      val embBase = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      val embCorpus = embBase
+        .crossJoin(reps)
+        .select(
+          (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE) + CAST(rep AS DOUBLE) * 0.05)")
+            .as("embedding"))
+      noop(graft.similarity.Ivf.pqTopK(
+        embCorpus, embBase.filter(col("vec_id") < 10),
+        (0 until 8).map(_ * 37L), dims = 64, m = 4, iters = 2, k = 5))
+    }
     // Round-7: the memoized three-query family END-TO-END through one
     // shared CC build — the declared-surface shape (dupComponents memo →
     // clusters + keep-list + leakage split). The build is paid once
