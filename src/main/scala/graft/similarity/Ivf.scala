@@ -526,22 +526,72 @@ object Ivf {
   ): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val subDim = dims / m
-    val subs = (0 until m).map { s =>
-      val subCorpus = corpus.select(
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // ALL m subspace trainings run as ONE keyed plan — the subspace is
+    // just another grouping key. (An earlier form ran m separate
+    // lloydIntTrain pipelines: m× the corpus scans and checkpoint jobs
+    // for identical math; the join on `sub` below keeps the subspaces'
+    // Lloyd iterations exactly as independent as separate runs.)
+    val subStructs = (0 until m)
+      .map(s =>
+        s"struct(CAST($s AS INT) AS sub, slice(qe, ${s * subDim + 1}, $subDim) AS qe)")
+      .mkString(", ")
+    val q = corpus.select(
         col("vec_id"),
-        expr(s"slice(embedding, ${s * subDim + 1}, $subDim)").as("embedding"))
-      val (cent, asg) = lloydIntTrain(subCorpus, centroidIds, iters)
-      (cent.select(lit(s).as("sub"), col("cell").as("code"), col("ce")),
-        asg.select(lit(s).as("sub"), col("vec_id"), col("cell").as("code")))
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("qe"))
+      .select(col("vec_id"), expr(s"explode(array($subStructs))").as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.qe").as("qe"))
+      .localCheckpoint(true)
+    val cellDf = centroidIds.sorted.zipWithIndex
+      .map { case (cid, i) => (cid, i.toLong) }
+      .toDF("vec_id", "code")
+    var cent = q
+      .join(broadcast(cellDf), Seq("vec_id"))
+      .select(col("sub"), col("code"), col("qe").as("ce"))
+      .localCheckpoint(true)
+    // Same missing-seed guard as requireCentroidsResolve, on the m×K
+    // codebook frame the join just built.
+    val resolved = cent.count()
+    require(resolved == m.toLong * centroidIds.size,
+      s"IVF-PQ: ${m.toLong * centroidIds.size - resolved} of " +
+        s"${m * centroidIds.size} (sub, seed) codebook rows are missing " +
+        "from the corpus; code numbering would diverge from the oracle")
+    var asg: DataFrame = null
+    for (_ <- 1 to iters) {
+      // min(struct(dist, code, qe)): code is unique per (vec, sub), so
+      // the struct order never reaches the array field (the lloydIntTrain
+      // argument, keyed by (vec_id, sub) here).
+      asg = q.join(broadcast(cent), Seq("sub"))
+        .withColumn("dist", expr(IntDistSql))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist"), col("code"), col("qe"))).as("mn"))
+        .select(
+          col("vec_id"), col("sub"),
+          col("mn.code").as("code"), col("mn.qe").as("qe"))
+        .localCheckpoint(true)
+      val updated = asg
+        .select(col("sub"), col("code"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy("sub", "code", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .groupBy("sub", "code")
+        .agg(sort_array(collect_list(struct(col("pos"), expr("s div n").as("v"))))
+          .as("pv"))
+        .select(col("sub"), col("code"), expr("transform(pv, p -> p.v)").as("ce_new"))
+      cent = cent
+        .join(updated, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("ce_new"), col("ce")).as("ce"))
+        .localCheckpoint(true)
     }
-    val codebook = subs.map(_._1).reduce(_.union(_))
-    val encoded = subs.map(_._2).reduce(_.union(_))
+    val encoded = asg.select("vec_id", "sub", "code")
     // Per-(query, subspace, code) integer distance table: |Q|·m·K rows.
     val dtab = queries.select(
         col("vec_id").as("q_vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
           .as("qe"))
-      .crossJoin(broadcast(codebook))
+      .crossJoin(broadcast(cent))
       .withColumn("sq", expr(s"slice(qe, sub * $subDim + 1, $subDim)"))
       .withColumn(
         "d",
