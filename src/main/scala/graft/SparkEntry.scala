@@ -117,6 +117,7 @@ object SparkEntry {
     "q_ivf_pq" -> (PipelineQueries.ivfPq _),
     "q_gopher_filters" -> (PipelineQueries.gopherFiltersQ _),
     "q_token_bpe_4k" -> (TextQueries.tokenBpe4k _),
+    "q_hybrid_rrf" -> (TextQueries.hybridRrf _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
@@ -462,6 +463,7 @@ object SparkEntry {
     "q_ivf_pq" -> PipelineQueries.ivfPqOracle,
     "q_gopher_filters" -> PipelineQueries.gopherFiltersOracle,
     "q_token_bpe_4k" -> TextQueries.tokenBpe4kOracle,
+    "q_hybrid_rrf" -> TextQueries.hybridRrfOracle,
     "q_stream_sliding" -> StreamingQueries.streamSlidingOracle,
     "q_stream_join_outer" -> StreamingQueries.streamJoinOuterOracle,
     "q_setop_funnel" ->

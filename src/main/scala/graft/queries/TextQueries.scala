@@ -946,6 +946,126 @@ object TextQueries {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  val RrfK = 60
+  val RrfTopK = 10
+
+  /** HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    * the standard way to combine a lexical ranker (BM25) with a dense
+    * one (embedding cosine) without score calibration — each system
+    * contributes 1/(κ + rank) for the documents it ranked, κ = 60, and
+    * candidates absent from one list simply get that list's term as 0.
+    * Queries are the [[Bm25QueryFixture]] ids scored lexically by
+    * [[bm25QueriesDf]] and densely by the same-id embedding vectors
+    * (doc_id ↔ vec_id is the fixture correspondence); query 4's nonsense
+    * terms make it dense-only, exercising the one-sided path.
+    *
+    * Determinism: each contribution is `round(1e6 / (κ + rank))` — IEEE
+    * division is correctly rounded, so the rounded micros are
+    * bit-identical in any engine — and the fused score is a sum of two
+    * longs. Scale shape: both input lists are already top-k (bounded:
+    * |Q|·k rows each), so the fusion join, however written, is trivially
+    * small; all the heavy lifting happened inside the two rankers, each
+    * with its own scale story. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lex = bm25QueriesDf(
+      s, documents(s, d), Bm25QueryFixture.toDF("query_id", "qtext"), RrfTopK)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_lex"))
+    val emb = Tables.embeddings(s, d)
+    val qids = Bm25QueryFixture.map(_._1)
+    val dense = graft.similarity.Similarity
+      .cosineTopK(emb, emb.filter(col("vec_id").isInCollection(qids)), RrfTopK)
+      .select(col("q_vec_id").as("query_id"), col("vec_id").as("doc_id"),
+        col("rnk").as("rnk_dense"))
+    def contrib(rank: String) =
+      coalesce(
+        expr(s"CAST(round(1000000.0 / ($RrfK + $rank), 0) AS BIGINT)"),
+        lit(0L))
+    val fused = lex
+      .join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro", contrib("rnk_lex") + contrib("rnk_dense"))
+    graft.plans.TopKPerKey
+      .topK(
+        fused.select("query_id", "doc_id", "rnk_lex", "rnk_dense", "rrf_micro"),
+        keys = Seq(col("query_id")),
+        ordering = Seq(col("rrf_micro").desc, col("doc_id").asc),
+        k = RrfTopK)
+      .select(
+        col("query_id"), col("rnk"), col("doc_id"), col("rrf_micro"),
+        coalesce(col("rnk_lex"), lit(-1L)).as("rnk_lex"),
+        coalesce(col("rnk_dense"), lit(-1L)).as("rnk_dense"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** DuckDB twin: the BM25 CTE chain and the exact-cosine chain, each
+    * cut at top-k, full-outer fused with the same rounded-micros RRF. */
+  def hybridRrfOracle: String = {
+    val values = Bm25QueryFixture
+      .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    val qidList = Bm25QueryFixture.map(_._1).mkString(", ")
+    s"""WITH q(query_id, qtext) AS (VALUES $values),
+       |qt AS (SELECT DISTINCT query_id, word FROM (
+       |  SELECT query_id, unnest(string_split_regex(lower(qtext), '\\s+')) AS word
+       |  FROM q) WHERE word <> ''),
+       |w AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |  FROM documents),
+       |w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM w2 GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+       |qw AS (SELECT doc_id, word FROM w2 WHERE word IN (SELECT word FROM qt)),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM qw GROUP BY 1, 2),
+       |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM qw GROUP BY 1),
+       |lscored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(round(
+       |      ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (CAST(tf AS DOUBLE) * (CAST($BM25K1 AS DOUBLE) + 1))
+       |      / (tf + CAST($BM25K1 AS DOUBLE) * (1 - CAST($BM25B AS DOUBLE)
+       |         + CAST($BM25B AS DOUBLE) * CAST(dl.dl AS DOUBLE) / avgdl))
+       |      * 1e6, 0) AS BIGINT) AS term_micro
+       |  FROM tf JOIN df USING (word) JOIN qt USING (word)
+       |    JOIN dl USING (doc_id) CROSS JOIN stats),
+       |lper AS (
+       |  SELECT query_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro
+       |  FROM lscored GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rnk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id ASC) AS rnk FROM lper)
+       |  WHERE rnk <= $RrfTopK),
+       |ev AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |en AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM ev),
+       |dq AS (SELECT vec_id AS q_vec_id, emb AS q_emb, nrm AS q_nrm
+       |       FROM en WHERE vec_id IN ($qidList)),
+       |dscored AS (
+       |  SELECT dq.q_vec_id, en.vec_id,
+       |    round(list_dot_product(en.emb, dq.q_emb) / (en.nrm * dq.q_nrm), 6) AS score
+       |  FROM en JOIN dq ON en.vec_id <> dq.q_vec_id),
+       |dense AS (
+       |  SELECT q_vec_id AS query_id, vec_id AS doc_id, rnk FROM (
+       |    SELECT q_vec_id, vec_id, row_number() OVER (PARTITION BY q_vec_id
+       |      ORDER BY score DESC, vec_id ASC) AS rnk FROM dscored)
+       |  WHERE rnk <= $RrfTopK),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, de.query_id) AS query_id,
+       |    COALESCE(l.doc_id, de.doc_id) AS doc_id,
+       |    l.rnk AS rnk_lex, de.rnk AS rnk_dense,
+       |    COALESCE(CAST(round(1000000.0 / ($RrfK + l.rnk), 0) AS BIGINT), 0)
+       |    + COALESCE(CAST(round(1000000.0 / ($RrfK + de.rnk), 0) AS BIGINT), 0)
+       |      AS rrf_micro
+       |  FROM lex l FULL OUTER JOIN dense de
+       |    ON l.query_id = de.query_id AND l.doc_id = de.doc_id)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf_micro,
+       |  COALESCE(rnk_lex, -1) AS rnk_lex, COALESCE(rnk_dense, -1) AS rnk_dense
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_micro DESC, doc_id ASC) AS rnk FROM fused)
+       |WHERE rnk <= $RrfTopK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   val LmVocabSize = 2000
 
   /** Unigram language-model quality score — the perplexity-proxy filter of
