@@ -1128,6 +1128,111 @@ object PipelineQueries {
        |ORDER BY r.doc_id""".stripMargin
   }
 
+  /** The battery rules [[filterAttribution]] reports on: the seven
+    * Gopher/C4 flags plus the quality-blend threshold. */
+  private val AttributionRules = Seq(
+    "r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet",
+    "r_ellipsis", "r_alpha", "r_stopword", "r_quality")
+
+  /** Filter ATTRIBUTION over the curation battery — the observability
+    * readout every production pipeline wants before toggling a rule: per
+    * rule, how many documents fail it at all (`n_fail`) and how many fail
+    * ONLY it (`n_unique_fail` — the documents that rule alone removes;
+    * rules with high fail but zero unique-fail are redundant with the
+    * rest of the battery, rules with high unique-fail carry real
+    * selectivity). One corpus scan into a single 1-row aggregate (all
+    * counts partial-agg sums of boolean integers), then a `stack` to one
+    * row per rule — the per-rule frame never touches the corpus again. */
+  def filterAttribution(s: SparkSession, d: String): DataFrame = {
+    val flags = TextAnalysis.gopherFilters(documents(s, d), "doc_id", "text")
+      .join(
+        documents(s, d).select(
+          col("doc_id"),
+          (TextAnalysis.qualityScore(col("text")) >= 0.7).as("r_quality")),
+        Seq("doc_id"))
+    def failN(r: String) =
+      sum(when(!col(r), 1L).otherwise(0L)).as(s"f_$r")
+    def uniqueN(r: String) = {
+      val othersPass = AttributionRules.filter(_ != r)
+        .map(col(_)).reduce(_ && _)
+      sum(when(!col(r) && othersPass, 1L).otherwise(0L)).as(s"u_$r")
+    }
+    val agg = flags.agg(
+      count(lit(1)).as("n_docs"),
+      (AttributionRules.map(failN) ++ AttributionRules.map(uniqueN)): _*)
+    val stackArgs = AttributionRules
+      .map(r => s"'$r', f_$r, u_$r").mkString(", ")
+    agg.selectExpr(
+        "n_docs",
+        s"stack(${AttributionRules.size}, $stackArgs) AS (rule, n_fail, n_unique_fail)")
+      .select("rule", "n_fail", "n_unique_fail", "n_docs")
+      .orderBy("rule")
+  }
+
+  def filterAttributionOracle: String = {
+    // Reuse the gopher-battery m/r CTEs and the quality formula; one
+    // 1-row aggregate then one SELECT per rule, unioned.
+    val stopSum = TextAnalysis.GopherStopwords
+      .map(w =>
+        s"(CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    def others(r: String) = AttributionRules.filter(_ != r)
+      .mkString(" AND ")
+    val perRule = AttributionRules
+      .map(r =>
+        s"""SELECT '$r' AS rule,
+           |  CAST(sum(CASE WHEN NOT $r THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+           |  CAST(sum(CASE WHEN NOT $r AND ${others(r)} THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_fail,
+           |  CAST(count(*) AS BIGINT) AS n_docs
+           |FROM r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_word_chars,
+       |    CAST(len(regexp_extract_all(text, '(#|\\.\\.\\.|…)')) AS BIGINT) AS n_symbols,
+       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(string_split(text, chr(10)),
+       |      x -> regexp_matches(ltrim(x), '^[-*•]'))) AS BIGINT) AS n_bullet_lines,
+       |    CAST(len(list_filter(string_split(text, chr(10)),
+       |      x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$$'))) AS BIGINT) AS n_ellipsis_lines,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+       |    CAST($stopSum AS BIGINT) AS n_stopwords
+       |  FROM documents),
+       |qm AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS DOUBLE) AS n_chars,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_words,
+       |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it)\\b')) AS DOUBLE) AS n_stop
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    round(
+       |      (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+       |    + (CASE WHEN (CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0 END) >= 3
+       |         AND (CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0 END) <= 12
+       |        THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+       |    + (CASE WHEN n_chars > 0 AND n_punct / n_chars <= 0.1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+       |    + (CASE WHEN n_words > 0 AND n_stop / n_words >= 0.05 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.2 AS DOUBLE), 6) AS quality
+       |  FROM qm),
+       |r AS (
+       |  SELECT m.doc_id,
+       |    (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       |    (n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10) AS r_mean_word_len,
+       |    (n_symbols * 10 <= n_words) AS r_symbol_ratio,
+       |    (n_bullet_lines * 10 <= n_lines * 9) AS r_bullet,
+       |    (n_ellipsis_lines * 10 <= n_lines * 3) AS r_ellipsis,
+       |    (n_alpha_words * 10 >= n_words * 8) AS r_alpha,
+       |    (n_stopwords >= ${TextAnalysis.GopherMinStopwords}) AS r_stopword,
+       |    (q.quality >= 0.7) AS r_quality
+       |  FROM m JOIN q ON m.doc_id = q.doc_id)
+       |SELECT rule, n_fail, n_unique_fail, n_docs FROM (
+       |$perRule
+       |) ORDER BY rule""".stripMargin
+  }
+
   val PqM = 4
   val PqIters = 2
   val EmbDims = 64
