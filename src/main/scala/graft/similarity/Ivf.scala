@@ -444,9 +444,14 @@ object Ivf {
     *
     * Cell ranking is IN-PLAN (the K-row centroid table broadcasts under a
     * crossJoin + per-query window, the same shape [[trainedTopK]] uses) —
-    * there is no driver-side collect of the query frame, so the entry
-    * point survives being handed a corpus-sized query table: the probe
-    * pass is |Q|×K against a broadcast K-row table, distributed. */
+    * there is no driver-side collect of the query frame, so the probe
+    * pass is |Q|×K against a broadcast K-row table, distributed. The
+    * scoring join on `cell` carries no broadcast hint: for the intended
+    * few-queries use the optimizer broadcasts the |Q|·nProbe probe frame
+    * by its size statistics, and a larger query frame degrades to a
+    * cell-keyed shuffle join instead of a forced oversized broadcast
+    * (the |Q| = |C| mining regime has its own operator,
+    * [[hardNegatives]]). */
   def searchTopK(
       spark: SparkSession,
       index: IvfIndex,
@@ -481,7 +486,7 @@ object Ivf {
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
       .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
     val scored = c
-      .join(broadcast(probes), Seq("cell"))
+      .join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_vec_id"))
       .withColumn(
         "score",
