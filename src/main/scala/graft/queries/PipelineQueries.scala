@@ -1059,12 +1059,9 @@ object PipelineQueries {
     * blend — `keep` = all Gopher rules AND quality ≥ 0.7. Exact-integer
     * rule thresholds both engines. */
   def gopherFiltersQ(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.gopherFilters(documents(s, d), "doc_id", "text")
-      .join(
-        documents(s, d).select(
-          col("doc_id"),
-          TextAnalysis.qualityScore(col("text")).as("quality")),
-        Seq("doc_id"))
+    TextAnalysis.gopherFilters(
+        documents(s, d), "doc_id", "text",
+        extra = Seq(TextAnalysis.qualityScore(col("text")).as("quality")))
       .withColumn("keep", col("pass_gopher") && col("quality") >= 0.7)
       .orderBy("doc_id")
 
@@ -1144,12 +1141,9 @@ object PipelineQueries {
     * counts partial-agg sums of boolean integers), then a `stack` to one
     * row per rule — the per-rule frame never touches the corpus again. */
   def filterAttribution(s: SparkSession, d: String): DataFrame = {
-    val flags = TextAnalysis.gopherFilters(documents(s, d), "doc_id", "text")
-      .join(
-        documents(s, d).select(
-          col("doc_id"),
-          (TextAnalysis.qualityScore(col("text")) >= 0.7).as("r_quality")),
-        Seq("doc_id"))
+    val flags = TextAnalysis.gopherFilters(
+      documents(s, d), "doc_id", "text",
+      extra = Seq((TextAnalysis.qualityScore(col("text")) >= 0.7).as("r_quality")))
     def failN(r: String) =
       sum(when(!col(r), 1L).otherwise(0L)).as(s"f_$r")
     def uniqueN(r: String) = {

@@ -78,8 +78,13 @@ object TextAnalysis {
     *
     * All counts are builtin higher-order/regex expressions — codegen'd,
     * no UDFs; the per-line rules run on `split(text, '\n')` arrays so the
-    * text is scanned once per rule family, never exploded. */
-  def gopherFilters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * text is scanned once per rule family, never exploded. `extra` columns
+    * (e.g. another text-derived score) ride the SAME projection, so a
+    * caller composing the battery with other signals gets one corpus scan
+    * instead of a doc-keyed join of two. */
+  def gopherFilters(
+      df: DataFrame, idCol: String, textCol: String,
+      extra: Seq[Column] = Nil): DataFrame = {
     val t = col(textCol)
     val words = split(trim(t), "\\s+")
     val lines = split(t, "\n")
@@ -102,15 +107,16 @@ object TextAnalysis {
       .map(w => when(lower(t).rlike(s"\\b$w\\b"), 1L).otherwise(0L))
       .reduce(_ + _)
     df.select(
-        col(idCol),
-        nWords.as("n_words"),
-        nWordChars.as("n_word_chars"),
-        nSym.as("n_symbols"),
-        nLines.as("n_lines"),
-        nBullet.as("n_bullet_lines"),
-        nEllipsis.as("n_ellipsis_lines"),
-        nAlphaWords.as("n_alpha_words"),
-        nStop.as("n_stopwords"))
+        (Seq(
+          col(idCol),
+          nWords.as("n_words"),
+          nWordChars.as("n_word_chars"),
+          nSym.as("n_symbols"),
+          nLines.as("n_lines"),
+          nBullet.as("n_bullet_lines"),
+          nEllipsis.as("n_ellipsis_lines"),
+          nAlphaWords.as("n_alpha_words"),
+          nStop.as("n_stopwords")) ++ extra): _*)
       .withColumn("r_word_count",
         col("n_words") >= 50L && col("n_words") <= 100000L)
       .withColumn("r_mean_word_len",

@@ -437,13 +437,18 @@ class PlanSpec extends SparkSuite {
       s"post-join scoring rows must be the narrow (vec_id, q_vec_id, d):\n$p")
   }
 
-  test("gopher filters: line and word rules run on arrays, no explode") {
+  test("gopher filters: one scan, rules on arrays, no explode, no join") {
     val p = plan("q_gopher_filters")
     // Every rule is a higher-order expression over split() arrays — one
     // row in, one row out. A Generate (explode) would multiply the 100 TB
     // corpus by words-per-doc before aggregating it right back.
     assert(!p.contains("Generate"),
       s"the battery must not explode the corpus:\n$p")
+    // The quality blend rides the same projection as the battery counts
+    // — composing the two signals must never shuffle the corpus through
+    // a doc-keyed self-join.
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"battery + quality must be ONE scan, not a self-join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 }
