@@ -135,10 +135,11 @@ object Bench {
     // must not fail the bench.
     val outPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_OUT", "tools/bench_last_run.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath),
-      fullJson.getBytes("UTF-8"))
-    catch { case e: Throwable =>
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     // Compact headline LAST: short enough to survive a tail-truncated

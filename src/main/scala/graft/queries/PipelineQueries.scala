@@ -1065,12 +1065,17 @@ object PipelineQueries {
       .withColumn("keep", col("pass_gopher") && col("quality") >= 0.7)
       .orderBy("doc_id")
 
-  def gopherFiltersOracle: String = {
+  /** Shared CTE text for the battery oracles: `m` (integer counts per
+    * doc), then `qm`/`q` (the round-3 quality blend), then `r` (the rule
+    * flags over m's counts). One definition — [[gopherFiltersOracle]] and
+    * [[filterAttributionOracle]] must never drift from each other or from
+    * the Spark-side [[TextAnalysis.gopherFilters]]. */
+  private def gopherBatteryCtesSql: String = {
     val stopSum = TextAnalysis.GopherStopwords
       .map(w =>
         s"(CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH m AS (
+    s"""m AS (
        |  SELECT doc_id,
        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
        |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_word_chars,
@@ -1110,7 +1115,11 @@ object PipelineQueries {
        |    (n_ellipsis_lines * 10 <= n_lines * 3) AS r_ellipsis,
        |    (n_alpha_words * 10 >= n_words * 8) AS r_alpha,
        |    (n_stopwords >= ${TextAnalysis.GopherMinStopwords}) AS r_stopword
-       |  FROM m)
+       |  FROM m)""".stripMargin
+  }
+
+  def gopherFiltersOracle: String =
+    s"""WITH $gopherBatteryCtesSql
        |SELECT r.doc_id, r.n_words, r.n_word_chars, r.n_symbols, r.n_lines,
        |  r.n_bullet_lines, r.n_ellipsis_lines, r.n_alpha_words, r.n_stopwords,
        |  r.r_word_count, r.r_mean_word_len, r.r_symbol_ratio, r.r_bullet,
@@ -1123,7 +1132,6 @@ object PipelineQueries {
        |    AND q.quality >= 0.7) AS keep
        |FROM r JOIN q ON r.doc_id = q.doc_id
        |ORDER BY r.doc_id""".stripMargin
-  }
 
   /** The battery rules [[filterAttribution]] reports on: the seven
     * Gopher/C4 flags plus the quality-blend threshold. */
@@ -1164,12 +1172,8 @@ object PipelineQueries {
   }
 
   def filterAttributionOracle: String = {
-    // Reuse the gopher-battery m/r CTEs and the quality formula; one
-    // 1-row aggregate then one SELECT per rule, unioned.
-    val stopSum = TextAnalysis.GopherStopwords
-      .map(w =>
-        s"(CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END)")
-      .mkString(" + ")
+    // The shared battery CTEs plus the quality flag; one SELECT per rule
+    // over the flag frame, unioned.
     def others(r: String) = AttributionRules.filter(_ != r)
       .mkString(" AND ")
     val perRule = AttributionRules
@@ -1178,50 +1182,12 @@ object PipelineQueries {
            |  CAST(sum(CASE WHEN NOT $r THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
            |  CAST(sum(CASE WHEN NOT $r AND ${others(r)} THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_fail,
            |  CAST(count(*) AS BIGINT) AS n_docs
-           |FROM r""".stripMargin)
+           |FROM rq""".stripMargin)
       .mkString("\nUNION ALL\n")
-    s"""WITH m AS (
-       |  SELECT doc_id, text,
-       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
-       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_word_chars,
-       |    CAST(len(regexp_extract_all(text, '(#|\\.\\.\\.|…)')) AS BIGINT) AS n_symbols,
-       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-       |    CAST(len(list_filter(string_split(text, chr(10)),
-       |      x -> regexp_matches(ltrim(x), '^[-*•]'))) AS BIGINT) AS n_bullet_lines,
-       |    CAST(len(list_filter(string_split(text, chr(10)),
-       |      x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$$'))) AS BIGINT) AS n_ellipsis_lines,
-       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-       |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
-       |    CAST($stopSum AS BIGINT) AS n_stopwords
-       |  FROM documents),
-       |qm AS (
-       |  SELECT doc_id,
-       |    CAST(length(text) AS DOUBLE) AS n_chars,
-       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_words,
-       |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
-       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it)\\b')) AS DOUBLE) AS n_stop
-       |  FROM documents),
-       |q AS (
-       |  SELECT doc_id,
-       |    round(
-       |      (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
-       |    + (CASE WHEN (CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0 END) >= 3
-       |         AND (CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0 END) <= 12
-       |        THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
-       |    + (CASE WHEN n_chars > 0 AND n_punct / n_chars <= 0.1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
-       |    + (CASE WHEN n_words > 0 AND n_stop / n_words >= 0.05 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.2 AS DOUBLE), 6) AS quality
-       |  FROM qm),
-       |r AS (
-       |  SELECT m.doc_id,
-       |    (n_words >= 50 AND n_words <= 100000) AS r_word_count,
-       |    (n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10) AS r_mean_word_len,
-       |    (n_symbols * 10 <= n_words) AS r_symbol_ratio,
-       |    (n_bullet_lines * 10 <= n_lines * 9) AS r_bullet,
-       |    (n_ellipsis_lines * 10 <= n_lines * 3) AS r_ellipsis,
-       |    (n_alpha_words * 10 >= n_words * 8) AS r_alpha,
-       |    (n_stopwords >= ${TextAnalysis.GopherMinStopwords}) AS r_stopword,
-       |    (q.quality >= 0.7) AS r_quality
-       |  FROM m JOIN q ON m.doc_id = q.doc_id)
+    s"""WITH $gopherBatteryCtesSql,
+       |rq AS (
+       |  SELECT r.*, (q.quality >= 0.7) AS r_quality
+       |  FROM r JOIN q ON r.doc_id = q.doc_id)
        |SELECT rule, n_fail, n_unique_fail, n_docs FROM (
        |$perRule
        |) ORDER BY rule""".stripMargin

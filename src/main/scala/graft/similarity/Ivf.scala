@@ -471,9 +471,14 @@ object Ivf {
         col("vec_id").cast("long").as("q_vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q_emb"))
       .crossJoin(broadcast(centDf))
+      // Direct Σ(q−c)² — the same left-to-right fold the pre-round-8
+      // driver loop computed, NOT the cancellation-prone expanded
+      // |q|²−2qc+|c|² (which near-ties could rank differently). This
+      // entry point has no SQL oracle pinning the expanded form, so the
+      // numerically faithful distance wins.
       .withColumn(
         "dist",
-        expr(s"${dot("q_emb", "q_emb")} - 2 * ${dot("q_emb", "cemb")} + ${dot("cemb", "cemb")}"))
+        expr("aggregate(zip_with(q_emb, cemb, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
       .withColumn(
         "rn",
         row_number().over(
@@ -530,6 +535,7 @@ object Ivf {
       k: Int
   ): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    require(iters >= 1, s"pqTopK needs at least one training iteration, got $iters")
     val subDim = dims / m
     val spark = corpus.sparkSession
     import spark.implicits._

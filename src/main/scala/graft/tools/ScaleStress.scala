@@ -195,8 +195,23 @@ object ScaleStress {
     time("trainmix: length batches")(
       noop(graft.queries.TextQueries.lengthBatchesDocs(
         corpus.withColumn("n_chars", length(col("text")).cast("long")))))
+    val embBase = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    // ONE replica recipe for every embedding stage (changing the shift
+    // or seed spacing in one stage but not another would silently stress
+    // differently-shaped corpora and invalidate the A/B ratios):
+    // replicated ids, +0.05·rep per-dim shift so replica cells separate
+    // and per-replica seeds never collapse onto duplicate centroids,
+    // 8 seeds per replica (the SemDeDup K∝N discipline — bounded cells).
+    def replicatedEmb(withLabel: Boolean): DataFrame = {
+      val cols = Seq(
+        (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) + CAST(rep AS DOUBLE) * 0.05)")
+          .as("embedding")) ++ (if (withLabel) Seq(col("label")) else Nil)
+      embBase.crossJoin(reps).select(cols: _*)
+    }
+    val replicaSeeds: Seq[Long] = (0 until replicas).flatMap(rep =>
+      (0 until 8).map(r => rep * 10000000L + r * 37L))
     time("trainmix: hard negatives") {
-      val embBase = Tables.embeddings(spark, "/root/testdata/sf0.1")
       val embCorpus = embBase
         .crossJoin(reps)
         .select(
@@ -207,56 +222,27 @@ object ScaleStress {
         embCorpus, embBase.filter(col("vec_id") < 10), 5))
     }
     // Round-8: CORPUS-SCALE hard negatives (every vector an anchor) on
-    // trained IVF cells. Near-linearity needs bounded cell size, so the
-    // centroid count scales WITH the corpus (8 seeds per replica — the
-    // SemDeDup K∝N discipline): pairs ≈ |C| · nProbe · cell-size stays
+    // trained IVF cells. Near-linearity needs bounded cell size via the
+    // replica-scaled seed count: pairs ≈ |C| · nProbe · cell-size stays
     // linear; the |C|×K integer assignment passes are the standard IVF
     // coarse cost (broadcast K-row table, embarrassingly parallel).
-    // Replicas are shifted by +0.05·rep per dim so replica cells separate
-    // and seeds don't collapse onto duplicate centroids.
     time("trainmix: hard negatives IVF (corpus anchors)") {
-      val embBase = Tables.embeddings(spark, "/root/testdata/sf0.1")
-      val embCorpus = embBase
-        .crossJoin(reps)
-        .select(
-          (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE) + CAST(rep AS DOUBLE) * 0.05)")
-            .as("embedding"),
-          col("label"))
-      val seeds = (0 until replicas).flatMap(rep =>
-        (0 until 8).map(r => rep * 10000000L + r * 37L))
       noop(graft.similarity.Ivf.hardNegatives(
-        embCorpus, seeds, iters = 2, nProbe = 2, k = 5))
+        replicatedEmb(withLabel = true), replicaSeeds,
+        iters = 2, nProbe = 2, k = 5))
     }
-    // Round-8: SemDeDup at K∝N (same replica-shifted corpus and
-    // per-replica seeds as the mining stage): Σ cell² with bounded cells
-    // must stay near-linear in corpus size.
+    // Round-8: SemDeDup at K∝N (same replica corpus and seeds): Σ cell²
+    // with bounded cells must stay near-linear in corpus size.
     time("semantic dedup (K per replica)") {
-      val embBase = Tables.embeddings(spark, "/root/testdata/sf0.1")
-      val embCorpus = embBase
-        .crossJoin(reps)
-        .select(
-          (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE) + CAST(rep AS DOUBLE) * 0.05)")
-            .as("embedding"))
-      val seeds = (0 until replicas).flatMap(rep =>
-        (0 until 8).map(r => rep * 10000000L + r * 37L))
-      noop(graft.similarity.Ivf.semanticDedup(embCorpus, seeds, 0.35))
+      noop(graft.similarity.Ivf.semanticDedup(
+        replicatedEmb(withLabel = false), replicaSeeds, 0.35))
     }
     // Round-8: IVF-PQ search over the replicated corpus at a fixed query
-    // count — encode is m broadcast-assignment passes, search is m narrow
-    // code rows per vector against a broadcast distance table; both
-    // linear in corpus size.
+    // count — the keyed one-plan training + narrow code rows against a
+    // broadcast distance table; linear in corpus size.
     time("ivf-pq topk (fixed queries)") {
-      val embBase = Tables.embeddings(spark, "/root/testdata/sf0.1")
-      val embCorpus = embBase
-        .crossJoin(reps)
-        .select(
-          (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE) + CAST(rep AS DOUBLE) * 0.05)")
-            .as("embedding"))
       noop(graft.similarity.Ivf.pqTopK(
-        embCorpus, embBase.filter(col("vec_id") < 10),
+        replicatedEmb(withLabel = false), embBase.filter(col("vec_id") < 10),
         (0 until 8).map(_ * 37L), dims = 64, m = 4, iters = 2, k = 5))
     }
     // Round-7: the memoized three-query family END-TO-END through one

@@ -43,10 +43,10 @@ class RrfSpec extends SparkSuite {
         s"rrf_micro mismatch for query ${r.getLong(0)} doc ${r.getLong(2)}: " +
           s"${r.getLong(3)} != $expected")
     }
-    // And at least one candidate was ranked by BOTH systems somewhere
-    // (otherwise the fusion tested nothing).
-    assert(rows.exists(r => r.getLong(4) >= 1L && r.getLong(5) >= 1L) ||
-      rows.forall(_.getLong(4) == -1L) == false)
+    // Both systems contribute somewhere (a broken fusion join that
+    // never matched a key would make one side's ranks all-sentinel).
+    assert(rows.exists(_.getLong(4) >= 1L), "no lexical contribution at all")
+    assert(rows.exists(_.getLong(5) >= 1L), "no dense contribution at all")
   }
 
   test("ranking is by fused score descending with doc-id tie-break") {

@@ -753,8 +753,18 @@ class StreamingSpec extends SparkSuite {
     val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
     val bucketed = ev.withColumn("bucket", ntile(4).over(w))
     (1 to 4).foreach { b =>
+      val stage = java.nio.file.Files.createTempDirectory("sliding_stage")
       bucketed.filter(col("bucket") === b).drop("bucket")
-        .coalesce(1).write.mode("append").parquet(d.toString)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = d.resolve(f"events_$b%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      // Batch order = file order: the source lists by modification time,
+      // so pin strictly increasing mtimes — a same-millisecond tie would
+      // let a later time bucket process first and the watermark drop the
+      // earlier bucket's rows (the GapSessionsPropertySpec discipline).
+      dest.toFile.setLastModified(1700000000000L + b * 2000L)
     }
     val probed = spark.read.parquet(d.toString).schema
     val stream = graft.queries.Tables.normalizeEventTs(
