@@ -119,6 +119,7 @@ object SparkEntry {
     "q_token_bpe_4k" -> (TextQueries.tokenBpe4k _),
     "q_hybrid_rrf" -> (TextQueries.hybridRrf _),
     "q_filter_attribution" -> (PipelineQueries.filterAttribution _),
+    "q_contrastive_triplets" -> (PipelineQueries.contrastiveTriplets _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
@@ -466,6 +467,7 @@ object SparkEntry {
     "q_token_bpe_4k" -> TextQueries.tokenBpe4kOracle,
     "q_hybrid_rrf" -> TextQueries.hybridRrfOracle,
     "q_filter_attribution" -> PipelineQueries.filterAttributionOracle,
+    "q_contrastive_triplets" -> PipelineQueries.contrastiveTripletsOracle,
     "q_stream_sliding" -> StreamingQueries.streamSlidingOracle,
     "q_stream_join_outer" -> StreamingQueries.streamJoinOuterOracle,
     "q_setop_funnel" ->

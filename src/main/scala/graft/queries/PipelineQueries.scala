@@ -1362,6 +1362,86 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** Contrastive triplets ([[graft.similarity.Ivf.contrastiveTriplets]]):
+    * per corpus anchor, the nearest same-label positive and the
+    * [[TopK]] nearest cross-label negatives from its [[HardNegNProbe]]
+    * probed trained cells — the emitted training artifact that the
+    * mining pass exists for, one heap pass over (anchor, same-label?). */
+  def contrastiveTriplets(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Ivf
+      .contrastiveTriplets(embeddings(s, d), IvfCentroidIds, KmeansIters,
+        HardNegNProbe, TopK)
+      .orderBy("q_vec_id", "role", "rnk")
+
+  /** DuckDB twin: the hard-negatives chain without the label filter,
+    * ranked per (anchor, same-label?) with the pos side cut at 1. */
+  def contrastiveTripletsOracle: String = {
+    val ids = IvfCentroidIds.mkString(", ")
+    val dist =
+      "list_sum(list_transform(range(1, len(q.qe) + 1), i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH q AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, qe AS ce
+         |  FROM q WHERE vec_id IN ($ids))""".stripMargin)
+    for (i <- 1 to KmeansIters) {
+      sb.append(
+        s""",
+           |a$i AS (
+           |  SELECT vec_id, qe, cell FROM (
+           |    SELECT q.vec_id, q.qe, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY $dist ASC, c.cell ASC) AS rn
+           |    FROM q, c${i - 1} c) WHERE rn = 1),
+           |u$i AS (
+           |  SELECT cell, list(CAST(s // n AS BIGINT) ORDER BY pos) AS ce FROM (
+           |    SELECT cell, pos, sum(v) AS s, count(*) AS n FROM (
+           |      SELECT cell, unnest(range(1, len(qe) + 1)) AS pos, unnest(qe) AS v
+           |      FROM a$i)
+           |    GROUP BY cell, pos)
+           |  GROUP BY cell),
+           |c$i AS (
+           |  SELECT p.cell, COALESCE(u.ce, p.ce) AS ce
+           |  FROM c${i - 1} p LEFT JOIN u$i u ON p.cell = u.cell)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |asg AS (
+         |  SELECT a.vec_id, a.cell, q.emb, q.label,
+         |    sqrt(list_dot_product(q.emb, q.emb)) AS nrm
+         |  FROM a$KmeansIters a JOIN q ON a.vec_id = q.vec_id),
+         |probes AS (
+         |  SELECT q_vec_id, q_label, q_emb, cell,
+         |    sqrt(list_dot_product(q_emb, q_emb)) AS q_nrm FROM (
+         |    SELECT q.vec_id AS q_vec_id, q.label AS q_label, q.emb AS q_emb, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $dist ASC, c.cell ASC) AS rn
+         |    FROM q, c$KmeansIters c)
+         |  WHERE rn <= $HardNegNProbe),
+         |scored AS (
+         |  SELECT p.q_vec_id, s.vec_id, s.label,
+         |    (s.label = p.q_label) AS is_pos,
+         |    round(list_dot_product(s.emb, p.q_emb) / (s.nrm * p.q_nrm), 6) AS score
+         |  FROM asg s JOIN probes p ON s.cell = p.cell AND s.vec_id <> p.q_vec_id),
+         |ranked AS (
+         |  SELECT q_vec_id, is_pos, vec_id, label, score,
+         |    row_number() OVER (PARTITION BY q_vec_id, is_pos
+         |      ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT q_vec_id,
+         |  CASE WHEN is_pos THEN 'pos' ELSE 'neg' END AS role,
+         |  CAST(rnk AS BIGINT) AS rnk, vec_id, label, score
+         |FROM ranked
+         |WHERE (is_pos AND rnk = 1) OR ((NOT is_pos) AND rnk <= $TopK)
+         |ORDER BY q_vec_id, role, rnk""".stripMargin)
+    sb.toString
+  }
+
   /** Int8-quantized cosine top-k ([[Similarity.cosineTopKQ8]]): integer
     * dot products are exact in doubles, so this oracle needs no
     * accumulation-order discipline at all. */

@@ -622,6 +622,70 @@ object Ivf {
       .select("q_vec_id", "rnk", "vec_id", "adist")
   }
 
+  /** Contrastive TRIPLET mining — the training artifact a contrastive
+    * pipeline actually emits: for EVERY corpus anchor, its nearest
+    * SAME-label neighbor (the positive) and its `kNeg` nearest
+    * CROSS-label vectors (the negatives), all restricted to the anchor's
+    * `nProbe` trained IVF cells. Same cell-blocked pair discipline as
+    * [[hardNegatives]] — the one addition is that the pair stream ranks
+    * ONCE on the composite key (anchor, same-label?) through the bounded
+    * heap, so positives and negatives come out of a single pass with no
+    * second scoring subtree and no pair-sized checkpoint. Anchors whose
+    * probed cells hold no same-label mate simply emit no positive row
+    * (real pipelines drop those anchors).
+    * Output: (q_vec_id, role 'pos'|'neg', rnk, vec_id, label, score). */
+  def contrastiveTriplets(
+      corpus: DataFrame,
+      centroidIds: Seq[Long],
+      iters: Int,
+      nProbe: Int,
+      kNeg: Int
+  ): DataFrame = {
+    Similarity.ensureFunctions(corpus)
+    val dot = Similarity.dotSql _
+    val (cent, asg) = lloydIntTrain(corpus, centroidIds, iters)
+    val base = corpus.select(
+      col("vec_id"),
+      col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val cand = base
+      .join(asg.select("vec_id", "cell"), Seq("vec_id"))
+      .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
+    val anchors = corpus.select(
+        col("vec_id").as("q_vec_id"),
+        col("label").as("q_label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q_emb"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("qe"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", expr(IntDistSql))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("q_vec_id").orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("rn") <= nProbe)
+      .withColumn("q_nrm", expr(s"sqrt(${dot("q_emb", "q_emb")})"))
+      .select("q_vec_id", "q_label", "q_emb", "q_nrm", "cell")
+    val scored = cand
+      .join(anchors, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .withColumn(
+        "score",
+        round(expr(dot("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+      .withColumn("is_pos", col("label") === col("q_label"))
+    graft.plans.TopKPerKey
+      .topK(
+        scored.select("q_vec_id", "is_pos", "vec_id", "label", "score"),
+        keys = Seq(col("q_vec_id"), col("is_pos")),
+        ordering = Seq(col("score").desc, col("vec_id").asc),
+        k = kNeg)
+      .filter((col("is_pos") && col("rnk") === 1) || !col("is_pos"))
+      .select(
+        col("q_vec_id"),
+        when(col("is_pos"), lit("pos")).otherwise(lit("neg")).as("role"),
+        col("rnk"), col("vec_id"), col("label"), col("score"))
+  }
+
   /** CORPUS-SCALE contrastive hard-negative mining: for EVERY anchor in
     * the corpus, the k nearest cross-label vectors — restricted to the
     * anchor's `nProbe` nearest trained IVF cells. This is the
