@@ -231,6 +231,14 @@ object ScaleStress {
         replicatedEmb(withLabel = true), replicaSeeds,
         iters = 2, nProbe = 2, k = 5))
     }
+    // Round-8: triplet emission on the same cells — hardNegatives' pair
+    // stream plus the same-label split, one heap pass; must track the
+    // mining stage above (same pair generation, one extra boolean key).
+    time("trainmix: contrastive triplets (corpus anchors)") {
+      noop(graft.similarity.Ivf.contrastiveTriplets(
+        replicatedEmb(withLabel = true), replicaSeeds,
+        iters = 2, nProbe = 2, kNeg = 5))
+    }
     // Round-8: SemDeDup at K∝N (same replica corpus and seeds): Σ cell²
     // with bounded cells must stay near-linear in corpus size.
     time("semantic dedup (K per replica)") {
