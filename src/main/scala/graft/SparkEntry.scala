@@ -120,6 +120,7 @@ object SparkEntry {
     "q_hybrid_rrf" -> (TextQueries.hybridRrf _),
     "q_filter_attribution" -> (PipelineQueries.filterAttribution _),
     "q_contrastive_triplets" -> (PipelineQueries.contrastiveTriplets _),
+    "q_incremental_pq" -> (PipelineQueries.ivfPqIncremental _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
@@ -468,6 +469,7 @@ object SparkEntry {
     "q_hybrid_rrf" -> TextQueries.hybridRrfOracle,
     "q_filter_attribution" -> PipelineQueries.filterAttributionOracle,
     "q_contrastive_triplets" -> PipelineQueries.contrastiveTripletsOracle,
+    "q_incremental_pq" -> PipelineQueries.ivfPqIncrementalOracle,
     "q_stream_sliding" -> StreamingQueries.streamSlidingOracle,
     "q_stream_join_outer" -> StreamingQueries.streamJoinOuterOracle,
     "q_setop_funnel" ->

@@ -1210,10 +1210,14 @@ object PipelineQueries {
       .orderBy("q_vec_id", "rnk")
   }
 
-  /** DuckDB twin: per-subspace Lloyd CTE chains (sliced integer-micros
-    * vectors), a unioned codebook + code table, the |Q|·m·K ADC distance
-    * table, and the summed-lookup ranking. */
-  def ivfPqOracle: String = {
+  /** DuckDB twin of [[ivfPq]] / [[ivfPqIncremental]]: per-subspace Lloyd
+    * CTE chains (sliced integer-micros vectors) over the (possibly
+    * filtered) corpus, an optional frozen-codebook batch assignment per
+    * subspace, a unioned codebook + code table, the |Q|·m·K ADC distance
+    * table (queries always from the FULL table), and the summed-lookup
+    * ranking. */
+  private def pqOracleSql(
+      corpusWhere: String, batchWhere: Option[String]): String = {
     val ids = IvfCentroidIds.mkString(", ")
     val subDim = EmbDims / PqM
     val dist =
@@ -1223,7 +1227,19 @@ object PipelineQueries {
       s"""WITH q AS (
          |  SELECT vec_id,
          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+         |  FROM embeddings$corpusWhere),
+         |qall AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
          |  FROM embeddings)""".stripMargin)
+    batchWhere.foreach { bw =>
+      sb.append(
+        s""",
+           |bq AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+           |  FROM embeddings$bw)""".stripMargin)
+    }
     for (s <- 0 until PqM) {
       sb.append(
         s""",
@@ -1254,8 +1270,29 @@ object PipelineQueries {
              |  FROM p${s}c${i - 1} p LEFT JOIN p${s}u$i u ON p.code = u.code)""".stripMargin)
       }
     }
-    val encUnion = (0 until PqM)
-      .map(s => s"SELECT $s AS sub, vec_id, code FROM p${s}a$PqIters")
+    // Batch vectors encode against p{s}c{iters-1} — the codebook the
+    // FINAL training assignment ranked with (the `centPrev` convention
+    // of the Spark plan), never the post-update one.
+    if (batchWhere.isDefined) {
+      for (s <- 0 until PqM) {
+        sb.append(
+          s""",
+             |p${s}bq AS (
+             |  SELECT vec_id, list_slice(qe, ${s * subDim + 1}, ${(s + 1) * subDim}) AS qe
+             |  FROM bq),
+             |p${s}b AS (
+             |  SELECT vec_id, code FROM (
+             |    SELECT q.vec_id, c.code,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY $dist ASC, c.code ASC) AS rn
+             |    FROM p${s}bq q, p${s}c${PqIters - 1} c) WHERE rn = 1)""".stripMargin)
+      }
+    }
+    val encUnion = ((0 until PqM)
+      .map(s => s"SELECT $s AS sub, vec_id, code FROM p${s}a$PqIters") ++
+      (if (batchWhere.isDefined)
+        (0 until PqM).map(s => s"SELECT $s AS sub, vec_id, code FROM p${s}b")
+      else Nil))
       .mkString(" UNION ALL ")
     val cbUnion = (0 until PqM)
       .map(s => s"SELECT $s AS sub, code, ce FROM p${s}c$PqIters")
@@ -1271,7 +1308,7 @@ object PipelineQueries {
          |    SELECT q.vec_id AS q_vec_id, cb.sub AS sub, cb.code AS code,
          |      list_slice(q.qe, cb.sub * $subDim + 1, cb.sub * $subDim + $subDim) AS sq,
          |      cb.ce AS ce
-         |    FROM q, cb WHERE q.vec_id < $NumQueries)),
+         |    FROM qall q, cb WHERE q.vec_id < $NumQueries)),
          |scored AS (
          |  SELECT t.q_vec_id, e.vec_id, CAST(sum(t.d) AS BIGINT) AS adist
          |  FROM encoded e JOIN dtab t
@@ -1284,6 +1321,27 @@ object PipelineQueries {
          |ORDER BY q_vec_id, rnk""".stripMargin)
     sb.toString
   }
+
+  def ivfPqOracle: String = pqOracleSql("", None)
+
+  /** Incremental PQ ([[graft.similarity.Ivf.pqTopKIncremental]]): the
+    * vec_id % 9 == 8 batch encoded against codebooks trained on
+    * everything else (same residue split as [[semanticDedupIncrementalQ]]
+    * — all centroid seeds stay corpus-side), searched together. */
+  def ivfPqIncremental(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    graft.similarity.Ivf
+      .pqTopKIncremental(
+        emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue),
+        emb.filter(col("vec_id") % SemIncMod === SemIncResidue),
+        emb.filter(col("vec_id") < NumQueries),
+        IvfCentroidIds, EmbDims, PqM, PqIters, TopK)
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  def ivfPqIncrementalOracle: String = pqOracleSql(
+    s" WHERE vec_id % $SemIncMod <> $SemIncResidue",
+    Some(s" WHERE vec_id % $SemIncMod = $SemIncResidue"))
 
   val HardNegNProbe = 2
 

@@ -533,6 +533,39 @@ object Ivf {
       m: Int,
       iters: Int,
       k: Int
+  ): DataFrame =
+    pqPlan(corpus, None, queries, centroidIds, dims, m, iters, k)
+
+  /** INCREMENTAL PQ — the continuous-ingest flow ([[pqTopK]]'s companion,
+    * mirroring the batch×corpus discipline of
+    * [[semanticDedupIncremental]]): codebooks train on the CORPUS ONLY
+    * and stay FROZEN; the arriving batch is encoded against them with
+    * one |batch|×K broadcast assignment per subspace — the only fresh
+    * work per delivery (a real pipeline stores the corpus codes at
+    * ingest). The search then ranks over corpus ∪ batch codes. New
+    * vectors can never shift existing codes or scores: with an empty
+    * batch this is exactly [[pqTopK]] (PqIncrementalSpec pins both). */
+  def pqTopKIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      queries: DataFrame,
+      centroidIds: Seq[Long],
+      dims: Int,
+      m: Int,
+      iters: Int,
+      k: Int
+  ): DataFrame =
+    pqPlan(corpus, Some(batch), queries, centroidIds, dims, m, iters, k)
+
+  private def pqPlan(
+      corpus: DataFrame,
+      batch: Option[DataFrame],
+      queries: DataFrame,
+      centroidIds: Seq[Long],
+      dims: Int,
+      m: Int,
+      iters: Int,
+      k: Int
   ): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     require(iters >= 1, s"pqTopK needs at least one training iteration, got $iters")
@@ -570,7 +603,13 @@ object Ivf {
         s"${m * centroidIds.size} (sub, seed) codebook rows are missing " +
         "from the corpus; code numbering would diverge from the oracle")
     var asg: DataFrame = null
+    // The codebook the FINAL training assignment ranked against (the
+    // value of `cent` entering the last iteration) — batch vectors must
+    // encode against the same quantizer so an empty batch reproduces
+    // pqTopK exactly.
+    var centPrev: DataFrame = cent
     for (_ <- 1 to iters) {
+      centPrev = cent
       // min(struct(dist, code, qe)): code is unique per (vec, sub), so
       // the struct order never reaches the array field (the lloydIntTrain
       // argument, keyed by (vec_id, sub) here).
@@ -596,7 +635,26 @@ object Ivf {
           coalesce(col("ce_new"), col("ce")).as("ce"))
         .localCheckpoint(true)
     }
-    val encoded = asg.select("vec_id", "sub", "code")
+    val encodedTrain = asg.select("vec_id", "sub", "code")
+    val encoded = batch match {
+      case None => encodedTrain
+      case Some(b) =>
+        // Frozen-codebook batch encode: |batch|×K broadcast assignment
+        // per subspace against centPrev — the incremental slice of the
+        // PQ build cost; corpus codes are untouched.
+        val qb = b.select(
+            col("vec_id"),
+            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+              .as("qe"))
+          .select(col("vec_id"), expr(s"explode(array($subStructs))").as("sv"))
+          .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.qe").as("qe"))
+        val encB = qb.join(broadcast(centPrev), Seq("sub"))
+          .withColumn("dist", expr(IntDistSql))
+          .groupBy("vec_id", "sub")
+          .agg(min(struct(col("dist"), col("code"))).as("mn"))
+          .select(col("vec_id"), col("sub"), col("mn.code").as("code"))
+        encodedTrain.union(encB)
+    }
     // Per-(query, subspace, code) integer distance table: |Q|·m·K rows.
     val dtab = queries.select(
         col("vec_id").as("q_vec_id"),
