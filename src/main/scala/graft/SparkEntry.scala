@@ -121,6 +121,8 @@ object SparkEntry {
     "q_filter_attribution" -> (PipelineQueries.filterAttribution _),
     "q_contrastive_triplets" -> (PipelineQueries.contrastiveTriplets _),
     "q_incremental_pq" -> (PipelineQueries.ivfPqIncremental _),
+    "q_repetition_filters" -> (PipelineQueries.repetitionFiltersQ _),
+    "q_stream_dedup_corpus" -> (StreamingQueries.streamDedupCorpus _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
@@ -470,6 +472,8 @@ object SparkEntry {
     "q_filter_attribution" -> PipelineQueries.filterAttributionOracle,
     "q_contrastive_triplets" -> PipelineQueries.contrastiveTripletsOracle,
     "q_incremental_pq" -> PipelineQueries.ivfPqIncrementalOracle,
+    "q_repetition_filters" -> PipelineQueries.repetitionFiltersOracle,
+    "q_stream_dedup_corpus" -> StreamingQueries.streamDedupCorpusOracle,
     "q_stream_sliding" -> StreamingQueries.streamSlidingOracle,
     "q_stream_join_outer" -> StreamingQueries.streamJoinOuterOracle,
     "q_setop_funnel" ->

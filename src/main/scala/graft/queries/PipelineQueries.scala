@@ -1193,6 +1193,123 @@ object PipelineQueries {
        |) ORDER BY rule""".stripMargin
   }
 
+  /** Gram widths the declared repetition query runs (the operator
+    * supports the full Gopher set; the query bounds its explode factor —
+    * each n is one more pass over the token stream). */
+  val RepTopNs = Seq(2, 3, 4)
+  val RepDupNs = Seq(5, 10)
+
+  /** Gopher repetition battery over the documents table
+    * ([[graft.textanalysis.Repetition.repetitionFilters]]): duplicate-line
+    * fractions plus top-2/3/4-gram and duplicate-5/10-gram coverage, all
+    * exact-integer thresholds. */
+  def repetitionFiltersQ(s: SparkSession, d: String): DataFrame =
+    graft.textanalysis.Repetition
+      .repetitionFilters(documents(s, d), "doc_id", "text", RepTopNs, RepDupNs)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  def repetitionFiltersOracle: String = {
+    import graft.textanalysis.Repetition._
+    val allNs = (RepTopNs ++ RepDupNs).distinct.sorted
+    val gramUnion = allNs
+      .map(n =>
+        s"""  SELECT doc_id, $n AS n, i - 1 AS pos,
+           |    CAST('0x' || substr(md5(array_to_string(wd[i : i + $n - 1], '_')), 1, 15) AS BIGINT) AS fp
+           |  FROM (SELECT doc_id, wd, unnest(range(1, greatest(len(wd) - $n + 2, 1))) AS i FROM t)""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    val dupIn = RepDupNs.mkString(", ")
+    val topIn = RepTopNs.mkString(", ")
+    val topPivot = RepTopNs
+      .map(n => s"    max(CASE WHEN n = $n THEN top_cnt END) AS top${n}_cnt")
+      .mkString(",\n")
+    val dupPivot = RepDupNs
+      .map(n => s"    max(CASE WHEN n = $n THEN dt END) AS dup${n}_tokens")
+      .mkString(",\n")
+    val fCols = (RepTopNs.map(n => s"top${n}_cnt") ++
+      RepDupNs.map(n => s"dup${n}_tokens"))
+      .map(c => s"  COALESCE($c, 0) AS $c").mkString(",\n")
+    val topRules = RepTopNs
+      .map(n =>
+        s"  (top${n}_cnt * $n * 100 <= n_words * ${TopGramMaxPct(n)}) AS r_top$n")
+      .mkString(",\n")
+    val dupRules = RepDupNs
+      .map(n =>
+        s"  (dup${n}_tokens * 100 <= n_words * ${DupGramMaxPct(n)}) AS r_dup$n")
+      .mkString(",\n")
+    val passExpr = (Seq(
+      s"n_dup_lines * 100 <= n_lines * $DupLineMaxPct",
+      s"dup_line_chars * 100 <= n_chars * $DupLineCharMaxPct") ++
+      RepTopNs.map(n => s"top${n}_cnt * $n * 100 <= n_words * ${TopGramMaxPct(n)}") ++
+      RepDupNs.map(n => s"dup${n}_tokens * 100 <= n_words * ${DupGramMaxPct(n)}"))
+      .map(e => s"($e)").mkString(" AND ")
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |    string_split(text, chr(10)) AS ln,
+       |    string_split_regex(lower(text), '\\s+') AS wd
+       |  FROM documents),
+       |lc AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_lines,
+       |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END) AS BIGINT) AS dup_line_chars
+       |  FROM (
+       |    SELECT doc_id, line, count(*) AS cnt
+       |    FROM (SELECT doc_id, unnest(ln) AS line FROM t)
+       |    GROUP BY doc_id, line)
+       |  GROUP BY doc_id),
+       |g AS (
+       |$gramUnion),
+       |gc AS (
+       |  SELECT doc_id, n, pos, fp,
+       |    count(*) OVER (PARTITION BY doc_id, n, fp) AS cnt
+       |  FROM g),
+       |top AS (
+       |  SELECT doc_id,
+       |$topPivot
+       |  FROM (SELECT doc_id, n, CAST(max(cnt) AS BIGINT) AS top_cnt
+       |        FROM gc WHERE n IN ($topIn) GROUP BY doc_id, n)
+       |  GROUP BY doc_id),
+       |isl AS (
+       |  SELECT doc_id, n, island, min(pos) AS s, max(pos + n) AS e FROM (
+       |    SELECT doc_id, n, pos,
+       |      CAST(sum(opens) OVER (PARTITION BY doc_id, n ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+       |    FROM (
+       |      SELECT doc_id, n, pos,
+       |        CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS opens
+       |      FROM (
+       |        SELECT doc_id, n, pos,
+       |          max(pos + n) OVER (PARTITION BY doc_id, n ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |        FROM gc WHERE n IN ($dupIn) AND cnt >= 2)))
+       |  GROUP BY doc_id, n, island),
+       |dup AS (
+       |  SELECT doc_id,
+       |$dupPivot
+       |  FROM (SELECT doc_id, n, CAST(sum(e - s) AS BIGINT) AS dt
+       |        FROM isl GROUP BY doc_id, n)
+       |  GROUP BY doc_id),
+       |f AS (
+       |  SELECT t.doc_id AS doc_id, t.n_chars, CAST(len(t.ln) AS BIGINT) AS n_lines,
+       |  CAST(len(t.wd) AS BIGINT) AS n_words,
+       |  COALESCE(lc.n_dup_lines, 0) AS n_dup_lines,
+       |  COALESCE(lc.dup_line_chars, 0) AS dup_line_chars,
+       |$fCols
+       |  FROM t
+       |  LEFT JOIN lc ON t.doc_id = lc.doc_id
+       |  LEFT JOIN top ON t.doc_id = top.doc_id
+       |  LEFT JOIN dup ON t.doc_id = dup.doc_id)
+       |SELECT doc_id, n_chars, n_lines, n_words, n_dup_lines, dup_line_chars,
+       |  ${(RepTopNs.map(n => s"top${n}_cnt") ++ RepDupNs.map(n => s"dup${n}_tokens")).mkString(", ")},
+       |  (n_dup_lines * 100 <= n_lines * $DupLineMaxPct) AS r_dup_line,
+       |  (dup_line_chars * 100 <= n_chars * $DupLineCharMaxPct) AS r_dup_line_char,
+       |$topRules,
+       |$dupRules,
+       |  ($passExpr) AS pass_repetition
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val PqM = 4
   val PqIters = 2
   val EmbDims = 64

@@ -30,11 +30,12 @@ import graft.streaming.StreamingOps
   * parquet/Kafka sinks (same plans, different `format`).
   */
 object StreamingQueries {
+  import Tables.documents
 
   /** The file-stream source needs a DEDICATED directory (a mixed-table
-    * directory yields null columns), so the single events parquet file is
-    * copied to a per-sfDir temp dir once. */
-  private def eventsStreamDir(sfDir: String): String = {
+    * directory yields null columns), so the single per-table parquet file
+    * is copied to a per-(sfDir, table) temp dir once. */
+  private def tableStreamDir(sfDir: String, table: String): String = {
     // Key the cache dir by a 128-bit digest of the FULL path
     // (collision-safe, unlike the old 32-bit hash; fixed-length, unlike
     // URL-encoding, which can blow past NAME_MAX on long paths), and
@@ -44,10 +45,10 @@ object StreamingQueries {
       .digest(sfDir.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val dir = Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-stream-$tag", "events")
+      sys.props("java.io.tmpdir"), s"graft-stream-$tag", table)
     Files.createDirectories(dir)
-    val src = Paths.get(s"$sfDir/events.parquet")
-    val dst = dir.resolve("events.parquet")
+    val src = Paths.get(s"$sfDir/$table.parquet")
+    val dst = dir.resolve(s"$table.parquet")
     // Millisecond-truncated mtime comparison: tmp filesystems may keep a
     // coarser timestamp granularity than the source FS, so COPY_ATTRIBUTES
     // truncates the nanos and an exact FileTime equality would be
@@ -63,6 +64,12 @@ object StreamingQueries {
         StandardCopyOption.COPY_ATTRIBUTES)
     dir.toString
   }
+
+  private def eventsStreamDir(sfDir: String): String =
+    tableStreamDir(sfDir, "events")
+
+  private def docsStreamDir(sfDir: String): String =
+    tableStreamDir(sfDir, "documents")
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -368,4 +375,50 @@ object StreamingQueries {
       | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
       |GROUP BY 1 ORDER BY nation""".stripMargin
+
+  /** Streaming split: doc_id % 3 == 0 arrives on the stream; the rest is
+    * the already-ingested static corpus. */
+  val DocStreamMod = 3
+
+  /** STREAMING incremental dedup against a static corpus
+    * ([[StreamingOps.corpusDedupStream]] through the real runtime): the
+    * documents drop directory streams in, each arrival is fingerprinted
+    * by the canonical prefix key (`md5(substr(text,1,50))` — the same key
+    * as `q_dedup_exact`, chosen because the fixture has genuine prefix
+    * collisions, so BOTH verdict branches fire), stream-static joined to
+    * the corpus fingerprint set, and aggregated per fingerprint in
+    * complete mode. Batching-invariant by construction: counts, min-id
+    * keeper and the corpus flag do not depend on micro-batch boundaries. */
+  def streamDedupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val corpusFps = docs
+      .filter(col("doc_id") % DocStreamMod =!= 0)
+      .select(md5(substring(col("text"), 1, 50)).as("fingerprint"))
+      .distinct()
+      .withColumn("in_corpus", lit(1))
+    val arrivals = StreamingOps
+      .readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % DocStreamMod === 0)
+      .select(
+        col("doc_id"),
+        md5(substring(col("text"), 1, 50)).as("fingerprint"))
+    val verdicts = StreamingOps.corpusDedupStream(arrivals, corpusFps)
+    runToMemory(s, verdicts, OutputMode.Complete(), "graft_stream_dedup_corpus")
+      .orderBy("fingerprint")
+  }
+
+  def streamDedupCorpusOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, md5(substr(text, 1, 50)) AS fingerprint
+       |  FROM documents WHERE doc_id % $DocStreamMod = 0),
+       |seen AS (
+       |  SELECT DISTINCT md5(substr(text, 1, 50)) AS fingerprint
+       |  FROM documents WHERE doc_id % $DocStreamMod <> 0)
+       |SELECT b.fingerprint AS fingerprint,
+       |  CAST(count(*) AS BIGINT) AS n_arrivals,
+       |  CAST(min(b.doc_id) AS BIGINT) AS keep_id,
+       |  CASE WHEN count(seen.fingerprint) > 0 THEN 'dup_corpus' ELSE 'new' END AS verdict
+       |FROM b LEFT JOIN seen ON b.fingerprint = seen.fingerprint
+       |GROUP BY b.fingerprint
+       |ORDER BY fingerprint""".stripMargin
 }

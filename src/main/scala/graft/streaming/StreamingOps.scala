@@ -143,6 +143,67 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(keyCols)
       .select("event_id", "user_id", "event_type", "ts")
 
+  /** Declared documents layout for a docs drop directory that cannot be
+    * probed yet (same fallback contract as [[eventsRawSchema]]). */
+  val documentsRawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  /** Streaming source over a DOCUMENTS drop directory — the ingest face of
+    * the incremental-dedup family (same dedicated-directory and
+    * one-layout-per-directory contract as [[readEvents]]; no timestamp
+    * normalization needed, the table carries none). */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val probed =
+      try spark.read.parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("Unable to infer schema") =>
+          documentsRawSchema
+      }
+    spark.readStream.schema(probed).parquet(dir)
+  }
+
+  /** STREAMING incremental exact dedup ([[graft.dedup.Dedup.incrementalExact]]
+    * under continuous ingestion): every arriving document carries a
+    * caller-computed `fingerprint`; each micro-batch LEFT-joins the static
+    * corpus fingerprint set (stream-static joins are stateless — no
+    * watermark, no join state), then a running per-fingerprint aggregate
+    * tracks arrivals: `n_arrivals`, the min-id keeper, and the verdict
+    * (`dup_corpus` if the fingerprint was already in the corpus, else
+    * `new` — intra-stream repeats of a new fingerprint are visible as
+    * `n_arrivals > 1` with the keeper elected by min id, which is
+    * batching-invariant where a per-ROW verdict would not be).
+    *
+    * Scale shape: aggregation state is one row per DISTINCT arriving
+    * fingerprint — bounded by the ingest window, not the corpus. The
+    * corpus side enters only as its distinct fingerprint set; at 100 TB
+    * that set is a compact materialized table (and a
+    * [[graft.functions.Bloom]] prefilter lets most arrivals skip the join
+    * entirely — same discipline as the batch twin). */
+  def corpusDedupStream(
+      arrivals: DataFrame,
+      corpusFps: DataFrame
+  ): DataFrame =
+    arrivals
+      .join(corpusFps, Seq("fingerprint"), "left")
+      .groupBy("fingerprint")
+      .agg(
+        count(lit(1)).as("n_arrivals"),
+        min(col("doc_id")).as("keep_id"),
+        max(coalesce(col("in_corpus"), lit(0))).as("in_corpus"))
+      .select(
+        col("fingerprint"),
+        col("n_arrivals"),
+        col("keep_id"),
+        when(col("in_corpus") === 1, lit("dup_corpus"))
+          .otherwise(lit("new"))
+          .as("verdict"))
+
   /** Stream-stream interval join (the attribution shape of
     * [[graft.queries.EventQueries.asofAttribution]] under continuous
     * ingestion): each click joins the same user's views from the

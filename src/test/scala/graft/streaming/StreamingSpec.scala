@@ -854,4 +854,74 @@ class StreamingSpec extends SparkSuite {
     // carry the -1 sentinel.
     assert(got.exists(_.getAs[Long]("view_event_id") == -1L))
   }
+
+  test("readDocuments starts against an empty drop directory via the declared schema") {
+    val d = java.nio.file.Files.createTempDirectory("docs_empty_drop")
+    val stream = StreamingOps.readDocuments(spark, d.toString)
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  test("streaming corpus dedup is batching-invariant and matches the expected verdicts") {
+    import spark.implicits._
+    // Three drop files → three micro-batches under maxFilesPerTrigger=1;
+    // arrivals split a corpus-dup fingerprint ACROSS batches (100 and
+    // 104) and an intra-stream dup across batches (101 and 102), so the
+    // complete-mode aggregate must merge state across micro-batches.
+    val d = java.nio.file.Files.createTempDirectory("docs_drop")
+    val files = Seq(
+      Seq((100L, "shared corpus text"), (101L, "stream only alpha")),
+      Seq((102L, "stream only alpha"), (103L, "unique bravo")),
+      Seq((104L, "shared corpus text")))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val stage = java.nio.file.Files.createTempDirectory("docs_stage")
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = d.resolve(f"docs_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 2000L)
+    }
+    val corpus = Seq((1L, "shared corpus text"), (2L, "corpus only"))
+      .toDF("doc_id", "text")
+    val corpusFps = corpus
+      .select(md5(col("text")).as("fingerprint"))
+      .distinct()
+      .withColumn("in_corpus", lit(1))
+    def run(oneFilePerBatch: Boolean, name: String): Map[String, (Long, Long, String)] = {
+      val probed = spark.read.parquet(d.toString).schema
+      val base = spark.readStream.schema(probed)
+      val src =
+        (if (oneFilePerBatch) base.option("maxFilesPerTrigger", "1") else base)
+          .parquet(d.toString)
+      val arrivals = src
+        .select(col("doc_id"), md5(col("text")).as("fingerprint"))
+      val q = StreamingOps.corpusDedupStream(arrivals, corpusFps)
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+    }
+    val multi = run(oneFilePerBatch = true, "corpus_dedup_multi")
+    val single = run(oneFilePerBatch = false, "corpus_dedup_single")
+    assert(multi == single, "micro-batch boundaries changed the verdicts")
+    def fp(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(multi == Map(
+      fp("shared corpus text") -> ((2L, 100L, "dup_corpus")),
+      fp("stream only alpha") -> ((2L, 101L, "new")),
+      fp("unique bravo") -> ((1L, 103L, "new"))))
+  }
 }
