@@ -907,7 +907,8 @@ object PipelineQueries {
   /** The declared query names that resolve through [[ccMemo]] — the
     * bench's memo-hit disclosure set. */
   private[graft] val CcMemoQueries: Set[String] =
-    Set("q_dup_clusters", "q_dedup_keeplist", "q_leakage_safe_split")
+    Set("q_dup_clusters", "q_dedup_keeplist", "q_leakage_safe_split",
+      "q_quality_keeplist")
 
   /** Duplicate clusters: connected components over the minhash near-dup
     * pairs — iterative min-label propagation on the Spark side, a
@@ -967,6 +968,70 @@ object PipelineQueries {
        |SELECT doc_id FROM documents
        |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
        |ORDER BY doc_id""".stripMargin
+
+  /** QUALITY-AWARE near-dup keeper election: within each duplicate
+    * cluster keep the highest-[[TextAnalysis.qualityScore]] document
+    * (tie → min doc_id), not blindly the min id — the keeper policy real
+    * curation pipelines want, since near-duplicates routinely differ in
+    * boilerplate and truncation. Composition: the memoized
+    * [[dupComponents]] frame (band join + CC, shared with the trio) left-
+    * joined to a one-scan quality projection; the keeper is an argmin of
+    * `struct(-quality, doc_id)` per component — a component-keyed window
+    * over clusters that are small by construction (near-dup groups),
+    * never a corpus-wide sort. Per-doc output so the oracle verifies
+    * every election row by row. */
+  def qualityKeeplist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+      .select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    val cc = dupComponents(s, d).withColumnRenamed("id", "doc_id")
+    docs
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn(
+        "keeper_id",
+        min(struct((-col("quality")).as("nq"), col("doc_id").as("id")))
+          .over(Window.partitionBy("component"))
+          .getField("id"))
+      .select(
+        col("doc_id"),
+        col("component"),
+        col("quality"),
+        col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  def qualityKeeplistOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+       |cc AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+       |$qualityCtesSql,
+       |j AS (
+       |  SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component,
+       |    q.quality
+       |  FROM documents d
+       |  LEFT JOIN cc ON d.doc_id = cc.id
+       |  JOIN q ON d.doc_id = q.doc_id),
+       |k AS (
+       |  SELECT component, doc_id AS keeper_id FROM (
+       |    SELECT component, doc_id,
+       |      row_number() OVER (PARTITION BY component
+       |        ORDER BY quality DESC, doc_id ASC) AS rn
+       |    FROM j) WHERE rn = 1)
+       |SELECT j.doc_id, j.component, j.quality, k.keeper_id,
+       |  (j.doc_id = k.keeper_id) AS keep
+       |FROM j JOIN k ON j.component = k.component
+       |ORDER BY j.doc_id""".stripMargin
 
   /** Leakage-safe train/val/test split: hash the DUPLICATE-CLUSTER id,
     * not the document id, so near-duplicates can never straddle the
@@ -1089,7 +1154,25 @@ object PipelineQueries {
        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
        |    CAST($stopSum AS BIGINT) AS n_stopwords
        |  FROM documents),
-       |qm AS (
+       |$qualityCtesSql,
+       |r AS (
+       |  SELECT *,
+       |    (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       |    (n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10) AS r_mean_word_len,
+       |    (n_symbols * 10 <= n_words) AS r_symbol_ratio,
+       |    (n_bullet_lines * 10 <= n_lines * 9) AS r_bullet,
+       |    (n_ellipsis_lines * 10 <= n_lines * 3) AS r_ellipsis,
+       |    (n_alpha_words * 10 >= n_words * 8) AS r_alpha,
+       |    (n_stopwords >= ${TextAnalysis.GopherMinStopwords}) AS r_stopword
+       |  FROM m)""".stripMargin
+  }
+
+  /** The round-3 quality-blend CTEs (`qm` counts → `q` score) — shared by
+    * [[gopherBatteryCtesSql]] and [[qualityKeeplistOracle]] so the quality
+    * formula exists once on the oracle side, mirroring the single
+    * [[TextAnalysis.qualityScore]] on the Spark side. */
+  private def qualityCtesSql: String =
+    s"""qm AS (
        |  SELECT doc_id,
        |    CAST(length(text) AS DOUBLE) AS n_chars,
        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_words,
@@ -1105,18 +1188,7 @@ object PipelineQueries {
        |        THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
        |    + (CASE WHEN n_chars > 0 AND n_punct / n_chars <= 0.1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
        |    + (CASE WHEN n_words > 0 AND n_stop / n_words >= 0.05 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.2 AS DOUBLE), 6) AS quality
-       |  FROM qm),
-       |r AS (
-       |  SELECT *,
-       |    (n_words >= 50 AND n_words <= 100000) AS r_word_count,
-       |    (n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10) AS r_mean_word_len,
-       |    (n_symbols * 10 <= n_words) AS r_symbol_ratio,
-       |    (n_bullet_lines * 10 <= n_lines * 9) AS r_bullet,
-       |    (n_ellipsis_lines * 10 <= n_lines * 3) AS r_ellipsis,
-       |    (n_alpha_words * 10 >= n_words * 8) AS r_alpha,
-       |    (n_stopwords >= ${TextAnalysis.GopherMinStopwords}) AS r_stopword
-       |  FROM m)""".stripMargin
-  }
+       |  FROM qm)""".stripMargin
 
   def gopherFiltersOracle: String =
     s"""WITH $gopherBatteryCtesSql

@@ -59,6 +59,27 @@ object Repetition {
   val DupLineMaxPct = 30
   val DupLineCharMaxPct = 20
 
+  /** Width-tagged positional shingles: `struct(n, pos, s)` per gram, in
+    * ONE transform over an already-materialized words array (same
+    * discipline as [[Dedup.posShingles]] — n element_at calls per gram,
+    * never a nested array rebuild). */
+  private def taggedShingles(w: Column, n: Int): Column =
+    when(
+      size(w) < n,
+      expr("CAST(array() AS array<struct<n:int,pos:int,s:string>>)"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(w) - (n - 1)),
+          i => {
+            val pieces = (0 until n)
+              .map(k => element_at(w, (i + lit(k)).cast("int")))
+            struct(
+              lit(n).as("n"),
+              (i - 1).cast("int").as("pos"),
+              concat(pieces.flatMap(p => Seq(p, lit("_"))).dropRight(1): _*)
+                .as("s"))
+          }))
+
   /** Per-document repetition statistics + rule verdicts. `topNs` /
     * `dupNs` select which gram rules run (each n is one more explode of
     * the token stream — callers bound cost by choosing the subset they
@@ -73,7 +94,6 @@ object Repetition {
   ): DataFrame = {
     require(topNs.forall(TopGramMaxPct.contains), s"unsupported topNs $topNs")
     require(dupNs.forall(DupGramMaxPct.contains), s"unsupported dupNs $dupNs")
-    val allNs = (topNs ++ dupNs).distinct.sorted
 
     // One text scan: chars, lines array, words array — materialized once
     // for the line branch, the gram branch, and the final stats join.
@@ -100,37 +120,39 @@ object Repetition {
           when(col("cnt") >= 2, col("cnt") * length(col("line")).cast("long"))
             .otherwise(0L)).as("dup_line_chars"))
 
-    // All selected gram widths in ONE explode: (id, n, pos, fp) with the
-    // gram hashed to 60 bits pre-shuffle. Materialized once for both
-    // consumers.
-    val gramArrays = allNs.map { n =>
-      transform(
-        Dedup.posShingles(col("wd"), n),
-        ps =>
-          struct(
-            lit(n).as("n"),
-            ps.getField("pos").as("pos"),
-            ps.getField("s").as("s")))
-    }
-    val grams = base
-      .select(col("id"), explode(flatten(array(gramArrays: _*))).as("g"))
-      .select(
-        col("id"),
-        col("g.n").as("n"),
-        col("g.pos").as("pos"),
-        Dedup.hash60(col("g.s")).as("fp"))
-    val withCnt = grams
-      .withColumn(
-        "cnt",
-        count(lit(1)).over(Window.partitionBy("id", "n", "fp")))
-      .localCheckpoint(true)
+    // Each branch explodes ONLY its own widths — for the default
+    // (disjoint) configuration no gram is generated twice, and nothing
+    // gram-sized is ever materialized (an earlier all-widths
+    // localCheckpoint went super-linear under storage pressure at the
+    // 8× stress scale). Grams: (id, n, pos, fp), hashed to 60 bits
+    // pre-shuffle. Each width's array is built by a SINGLE transform
+    // over the materialized words column — nesting a transform over
+    // [[Dedup.posShingles]]'s output would make Catalyst inline the
+    // inner array construction into every element access (the
+    // shinglesOfWords pitfall, 20× here), turning gram generation
+    // O(G²) per document.
+    def gramRows(ns: Seq[Int]): DataFrame =
+      base
+        .select(
+          col("id"),
+          explode(
+            flatten(array(ns.map(n => taggedShingles(col("wd"), n)): _*)))
+            .as("g"))
+        .select(
+          col("id"),
+          col("g.n").as("n"),
+          col("g.pos").as("pos"),
+          Dedup.hash60(col("g.s")).as("fp"))
 
     // Top-gram counts: the max per-gram occurrence count per (doc, n).
-    // Only the count survives, so gram-identity tie-breaks are moot.
+    // Only the count survives, so gram-identity tie-breaks are moot —
+    // and no positions are needed, so this is pure partial-aggregable
+    // groupBy (map-side combine before the only shuffle).
     val topCols = topNs.map(n =>
       max(when(col("n") === n, col("top_cnt"))).as(s"top${n}_cnt"))
-    val topPivot = withCnt
-      .filter(col("n").isInCollection(topNs))
+    val topPivot = gramRows(topNs)
+      .groupBy("id", "n", "fp")
+      .agg(count(lit(1)).as("cnt"))
       .groupBy("id", "n")
       .agg(max(col("cnt")).as("top_cnt"))
       .groupBy("id")
@@ -138,12 +160,17 @@ object Repetition {
 
     // Duplicate-gram coverage: positions of grams with cnt ≥ 2, merged by
     // interval union per (doc, n) — the same gaps-and-islands shape as
-    // [[Dedup.duplicateSpans]], with the gram width as a column.
+    // [[Dedup.duplicateSpans]], with the gram width as a column. Only
+    // this branch needs position-preserving per-gram counts (a window,
+    // not a groupBy), and only over the dup widths.
     val dupCols = dupNs.map(n =>
       max(when(col("n") === n, col("dup_tokens"))).as(s"dup${n}_tokens"))
     val ord = Window.partitionBy("id", "n").orderBy("pos")
-    val dupPivot = withCnt
-      .filter(col("n").isInCollection(dupNs) && col("cnt") >= 2)
+    val dupPivot = gramRows(dupNs)
+      .withColumn(
+        "cnt",
+        count(lit(1)).over(Window.partitionBy("id", "n", "fp")))
+      .filter(col("cnt") >= 2)
       .withColumn(
         "prev_end",
         max(col("pos") + col("n"))

@@ -108,6 +108,14 @@ object ScaleStress {
     // (flag join + doc-keyed windows, no pair blowup).
     time("duplicate spans")(
       noop(Dedup.duplicateSpans(corpus, "doc_id", "text")))
+    // Round-8 tail: the Gopher repetition battery. Every shuffle key is
+    // doc-scoped ((id, n, fp) counts, (id, n) islands, (id, line)
+    // groups), so replicas never interact and cost must stay linear in
+    // corpus size even though every replica is internally repetitive in
+    // exactly the same way.
+    time("repetition battery")(
+      noop(graft.textanalysis.Repetition.repetitionFilters(
+        corpus, "doc_id", "text")))
     // Round-5 additions: the remaining round-4/5 operators whose scale
     // claims were plan-shape reasoning only. Each must stay linear in
     // corpus size: bigram LM is two vocabulary-keyed aggs + one
