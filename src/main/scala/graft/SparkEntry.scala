@@ -124,6 +124,7 @@ object SparkEntry {
     "q_repetition_filters" -> (PipelineQueries.repetitionFiltersQ _),
     "q_stream_dedup_corpus" -> (StreamingQueries.streamDedupCorpus _),
     "q_quality_keeplist" -> (PipelineQueries.qualityKeeplist _),
+    "q_curation_funnel" -> (PipelineQueries.curationFunnel _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
@@ -476,6 +477,7 @@ object SparkEntry {
     "q_repetition_filters" -> PipelineQueries.repetitionFiltersOracle,
     "q_stream_dedup_corpus" -> StreamingQueries.streamDedupCorpusOracle,
     "q_quality_keeplist" -> PipelineQueries.qualityKeeplistOracle,
+    "q_curation_funnel" -> PipelineQueries.curationFunnelOracle,
     "q_stream_sliding" -> StreamingQueries.streamSlidingOracle,
     "q_stream_join_outer" -> StreamingQueries.streamJoinOuterOracle,
     "q_setop_funnel" ->

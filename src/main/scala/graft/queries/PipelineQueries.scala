@@ -908,7 +908,7 @@ object PipelineQueries {
     * bench's memo-hit disclosure set. */
   private[graft] val CcMemoQueries: Set[String] =
     Set("q_dup_clusters", "q_dedup_keeplist", "q_leakage_safe_split",
-      "q_quality_keeplist")
+      "q_quality_keeplist", "q_curation_funnel")
 
   /** Duplicate clusters: connected components over the minhash near-dup
     * pairs — iterative min-label propagation on the Spark side, a
@@ -1205,6 +1205,134 @@ object PipelineQueries {
        |FROM r JOIN q ON r.doc_id = q.doc_id
        |ORDER BY r.doc_id""".stripMargin
 
+  /** CURATION FUNNEL — the end-to-end survivorship readout of the whole
+    * cleaning stack, stage by stage: how many documents survive (1) the
+    * C4/Gopher static battery + quality blend, then (2) the Gopher
+    * repetition battery, then (3) near-dup keeper election (the memoized
+    * CC drop list), then (4) the eval holdout + 3-gram decontamination
+    * filter. The numbers a pipeline owner looks at before/after touching
+    * any stage — n_surviving is monotonically non-increasing by
+    * construction.
+    *
+    * The battery is applied the way a MULTILINGUAL corpus applies it:
+    * Gopher's stopword rule is defined for English, so it gates only
+    * `lang = 'en'` documents (on a non-English doc the English stopword
+    * list is noise — Gopher itself filtered English); the structural
+    * rules and the quality blend gate every language.
+    *
+    * Scale shape: each verdict is the already-scale-audited operator it
+    * reuses; the funnel itself is doc-keyed joins of narrow flag frames
+    * into ONE 1-row aggregate (partial-agg boolean sums) and a stack —
+    * nothing new shuffles at corpus width. */
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val flags = TextAnalysis
+      .gopherFilters(docs, "doc_id", "text",
+        extra = Seq(
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          col("lang")))
+      .select(
+        col("doc_id"),
+        (col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_bullet") && col("r_ellipsis") &&
+          col("r_alpha") && (col("lang") =!= "en" || col("r_stopword")) &&
+          col("quality") >= 0.7).as("pass_q"))
+    val rep = graft.textanalysis.Repetition
+      .repetitionFilters(docs, "doc_id", "text", RepTopNs, RepDupNs)
+      .select(col("id").as("doc_id"), col("pass_repetition"))
+    val drops = dupComponents(s, d)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+      .withColumn("dropped", lit(1))
+    val contam = Dedup
+      .contamination(
+        docs.filter(col("doc_id") % DecontamMod =!= 0),
+        docs.filter(col("doc_id") % DecontamMod === 0),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"))
+      .withColumn("contam", lit(1))
+    val staged = docs
+      .select("doc_id")
+      .join(flags, Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
+      .join(drops, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("s1", col("pass_q"))
+      .withColumn("s2", col("s1") && col("pass_repetition"))
+      .withColumn("s3", col("s2") && col("dropped").isNull)
+      .withColumn(
+        "s4",
+        col("s3") && col("doc_id") % DecontamMod =!= 0 &&
+          col("contam").isNull)
+    def surv(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"n_$c")
+    staged
+      .agg(count(lit(1)).as("n_total"), surv("s1"), surv("s2"), surv("s3"),
+        surv("s4"))
+      .selectExpr(
+        """stack(5,
+          |  'total',      CAST(0 AS BIGINT), n_total,
+          |  'quality',    CAST(1 AS BIGINT), n_s1,
+          |  'repetition', CAST(2 AS BIGINT), n_s2,
+          |  'near_dedup', CAST(3 AS BIGINT), n_s3,
+          |  'decontam',   CAST(4 AS BIGINT), n_s4
+          |) AS (stage, stage_idx, n_surviving)""".stripMargin)
+      .orderBy("stage_idx")
+  }
+
+  def curationFunnelOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+       |cc AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+       |$gopherBatteryCtesSql,
+       |$repetitionCtesSql,
+       |gv AS (
+       |  SELECT r.doc_id,
+       |    (r.r_word_count AND r.r_mean_word_len AND r.r_symbol_ratio
+       |      AND r.r_bullet AND r.r_ellipsis AND r.r_alpha
+       |      AND (dl.lang <> 'en' OR r.r_stopword)
+       |      AND q.quality >= 0.7) AS pass_q
+       |  FROM r
+       |  JOIN q ON r.doc_id = q.doc_id
+       |  JOIN (SELECT doc_id, lang FROM documents) dl ON r.doc_id = dl.doc_id),
+       |rv AS (SELECT doc_id, ($repetitionPassSql) AS pass_repetition FROM f),
+       |dropped AS (SELECT id AS doc_id FROM cc WHERE id <> component),
+       |doc_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % $DecontamMod != 0),
+       |bench_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $DecontamMod = 0),
+       |contam AS (
+       |  SELECT DISTINCT d.doc_id
+       |  FROM doc_sh d JOIN bench_sh b ON d.shingle = b.shingle),
+       |staged AS (
+       |  SELECT dd.doc_id,
+       |    gv.pass_q AS s1,
+       |    (gv.pass_q AND rv.pass_repetition) AS s2,
+       |    (gv.pass_q AND rv.pass_repetition AND dr.doc_id IS NULL) AS s3,
+       |    (gv.pass_q AND rv.pass_repetition AND dr.doc_id IS NULL
+       |      AND dd.doc_id % $DecontamMod <> 0 AND ct.doc_id IS NULL) AS s4
+       |  FROM documents dd
+       |  JOIN gv ON dd.doc_id = gv.doc_id
+       |  JOIN rv ON dd.doc_id = rv.doc_id
+       |  LEFT JOIN dropped dr ON dd.doc_id = dr.doc_id
+       |  LEFT JOIN contam ct ON dd.doc_id = ct.doc_id)
+       |SELECT stage, stage_idx, n_surviving FROM (
+       |  SELECT 'total' AS stage, CAST(0 AS BIGINT) AS stage_idx,
+       |    CAST(count(*) AS BIGINT) AS n_surviving FROM staged
+       |  UNION ALL SELECT 'quality', CAST(1 AS BIGINT),
+       |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) FROM staged
+       |  UNION ALL SELECT 'repetition', CAST(2 AS BIGINT),
+       |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) FROM staged
+       |  UNION ALL SELECT 'near_dedup', CAST(3 AS BIGINT),
+       |    CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) FROM staged
+       |  UNION ALL SELECT 'decontam', CAST(4 AS BIGINT),
+       |    CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) FROM staged)
+       |ORDER BY stage_idx""".stripMargin
+
   /** The battery rules [[filterAttribution]] reports on: the seven
     * Gopher/C4 flags plus the quality-blend threshold. */
   private val AttributionRules = Seq(
@@ -1281,8 +1409,10 @@ object PipelineQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
-  def repetitionFiltersOracle: String = {
-    import graft.textanalysis.Repetition._
+  /** The repetition-battery CTE chain, ending in `f` (per-doc coalesced
+    * counts) — shared by [[repetitionFiltersOracle]] and
+    * [[curationFunnelOracle]]. */
+  private def repetitionCtesSql: String = {
     val allNs = (RepTopNs ++ RepDupNs).distinct.sorted
     val gramUnion = allNs
       .map(n =>
@@ -1301,21 +1431,7 @@ object PipelineQueries {
     val fCols = (RepTopNs.map(n => s"top${n}_cnt") ++
       RepDupNs.map(n => s"dup${n}_tokens"))
       .map(c => s"  COALESCE($c, 0) AS $c").mkString(",\n")
-    val topRules = RepTopNs
-      .map(n =>
-        s"  (top${n}_cnt * $n * 100 <= n_words * ${TopGramMaxPct(n)}) AS r_top$n")
-      .mkString(",\n")
-    val dupRules = RepDupNs
-      .map(n =>
-        s"  (dup${n}_tokens * 100 <= n_words * ${DupGramMaxPct(n)}) AS r_dup$n")
-      .mkString(",\n")
-    val passExpr = (Seq(
-      s"n_dup_lines * 100 <= n_lines * $DupLineMaxPct",
-      s"dup_line_chars * 100 <= n_chars * $DupLineCharMaxPct") ++
-      RepTopNs.map(n => s"top${n}_cnt * $n * 100 <= n_words * ${TopGramMaxPct(n)}") ++
-      RepDupNs.map(n => s"dup${n}_tokens * 100 <= n_words * ${DupGramMaxPct(n)}"))
-      .map(e => s"($e)").mkString(" AND ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
        |    string_split(text, chr(10)) AS ln,
        |    string_split_regex(lower(text), '\\s+') AS wd
@@ -1370,14 +1486,41 @@ object PipelineQueries {
        |  FROM t
        |  LEFT JOIN lc ON t.doc_id = lc.doc_id
        |  LEFT JOIN top ON t.doc_id = top.doc_id
-       |  LEFT JOIN dup ON t.doc_id = dup.doc_id)
+       |  LEFT JOIN dup ON t.doc_id = dup.doc_id)""".stripMargin
+  }
+
+  /** `pass_repetition` over the columns of [[repetitionCtesSql]]'s `f`
+    * frame — one definition for both consuming oracles. */
+  private def repetitionPassSql: String = {
+    import graft.textanalysis.Repetition._
+    (Seq(
+      s"n_dup_lines * 100 <= n_lines * $DupLineMaxPct",
+      s"dup_line_chars * 100 <= n_chars * $DupLineCharMaxPct") ++
+      RepTopNs.map(n =>
+        s"top${n}_cnt * $n * 100 <= n_words * ${TopGramMaxPct(n)}") ++
+      RepDupNs.map(n =>
+        s"dup${n}_tokens * 100 <= n_words * ${DupGramMaxPct(n)}"))
+      .map(e => s"($e)").mkString(" AND ")
+  }
+
+  def repetitionFiltersOracle: String = {
+    import graft.textanalysis.Repetition._
+    val topRules = RepTopNs
+      .map(n =>
+        s"  (top${n}_cnt * $n * 100 <= n_words * ${TopGramMaxPct(n)}) AS r_top$n")
+      .mkString(",\n")
+    val dupRules = RepDupNs
+      .map(n =>
+        s"  (dup${n}_tokens * 100 <= n_words * ${DupGramMaxPct(n)}) AS r_dup$n")
+      .mkString(",\n")
+    s"""WITH $repetitionCtesSql
        |SELECT doc_id, n_chars, n_lines, n_words, n_dup_lines, dup_line_chars,
        |  ${(RepTopNs.map(n => s"top${n}_cnt") ++ RepDupNs.map(n => s"dup${n}_tokens")).mkString(", ")},
        |  (n_dup_lines * 100 <= n_lines * $DupLineMaxPct) AS r_dup_line,
        |  (dup_line_chars * 100 <= n_chars * $DupLineCharMaxPct) AS r_dup_line_char,
        |$topRules,
        |$dupRules,
-       |  ($passExpr) AS pass_repetition
+       |  ($repetitionPassSql) AS pass_repetition
        |FROM f
        |ORDER BY doc_id""".stripMargin
   }

@@ -137,6 +137,27 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("repetition battery: doc-keyed shuffles only, never a product or global window") {
+    val p = plan("q_repetition_filters")
+    // Gram counts and interval unions are (id, n[, fp])-keyed — a global
+    // window would funnel every gram through one partition.
+    assert(p.contains("hashpartitioning(id"), s"expected id-keyed shuffle:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"no operator may demand a single partition:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    // Grams enter every shuffle as 60-bit longs: no shuffle carries the
+    // gram string (the concat feeds only the pre-shuffle md5 projection).
+    assert(!p.toLowerCase.contains("broadcastnestedloopjoin"))
+  }
+
+  test("curation funnel: flag joins only, no product, aggregation stays partial-first") {
+    val p = plan("q_curation_funnel")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    // The final 1-row aggregate must be fed by partial aggregation, not
+    // by a single-partition scan of per-doc rows.
+    assert(p.contains("partial"), s"expected partial aggregation:\n$p")
+  }
+
   test("duplicate spans: keyed windows only, span set materialized once") {
     val p = plan("q_dup_spans")
     // The interval-union windows are doc-keyed — a global (unkeyed)
