@@ -125,6 +125,7 @@ object SparkEntry {
     "q_stream_dedup_corpus" -> (StreamingQueries.streamDedupCorpus _),
     "q_quality_keeplist" -> (PipelineQueries.qualityKeeplist _),
     "q_curation_funnel" -> (PipelineQueries.curationFunnel _),
+    "q_truncated_rerank" -> (PipelineQueries.simTopKTruncated _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
@@ -478,6 +479,7 @@ object SparkEntry {
     "q_stream_dedup_corpus" -> StreamingQueries.streamDedupCorpusOracle,
     "q_quality_keeplist" -> PipelineQueries.qualityKeeplistOracle,
     "q_curation_funnel" -> PipelineQueries.curationFunnelOracle,
+    "q_truncated_rerank" -> PipelineQueries.simTopKTruncatedOracle,
     "q_stream_sliding" -> StreamingQueries.streamSlidingOracle,
     "q_stream_join_outer" -> StreamingQueries.streamJoinOuterOracle,
     "q_setop_funnel" ->

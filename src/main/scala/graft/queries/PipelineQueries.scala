@@ -2070,6 +2070,55 @@ object PipelineQueries {
   def simTopKOracle: String = topKOracle(bucketJoin = false)
   def simTopKLshOracle: String = topKOracle(bucketJoin = true)
 
+  /** Stage-1 prefix width and candidate pool of the truncated rerank. */
+  val TruncPrefixDims = 16
+  val TruncCandidates = 50
+
+  /** Two-stage truncated-dimension rerank
+    * ([[Similarity.cosineTopKTruncated]]): prefix-cosine candidate
+    * generation on the first 16 of 64 dims, exact full-dim rerank of the
+    * 50-candidate pool. */
+  def simTopKTruncated(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity
+      .cosineTopKTruncated(emb, emb.filter(col("vec_id") < NumQueries),
+        TopK, TruncPrefixDims, TruncCandidates)
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  def simTopKTruncatedOracle: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |cp AS (
+       |  SELECT vec_id, emb[1 : $TruncPrefixDims] AS p_emb FROM c),
+       |cpn AS (SELECT vec_id, p_emb, sqrt(list_dot_product(p_emb, p_emb)) AS p_nrm FROM cp),
+       |qp AS (SELECT vec_id AS q_vec_id, p_emb AS qp_emb, p_nrm AS qp_nrm
+       |       FROM cpn WHERE vec_id < $NumQueries),
+       |s1 AS (
+       |  SELECT q_vec_id, vec_id,
+       |    round(list_dot_product(p_emb, qp_emb) / (p_nrm * qp_nrm), 6) AS pscore
+       |  FROM cpn JOIN qp ON vec_id <> q_vec_id),
+       |cand AS (
+       |  SELECT q_vec_id, vec_id FROM (
+       |    SELECT q_vec_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_vec_id ORDER BY pscore DESC, vec_id ASC) AS crn
+       |    FROM s1) WHERE crn <= $TruncCandidates),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM c),
+       |q AS (SELECT vec_id AS q_vec_id, emb AS q_emb, nrm AS q_nrm
+       |      FROM n WHERE vec_id < $NumQueries),
+       |s2 AS (
+       |  SELECT cd.q_vec_id, cd.vec_id,
+       |    round(list_dot_product(n.emb, q.q_emb) / (n.nrm * q.q_nrm), 6) AS score
+       |  FROM cand cd
+       |  JOIN n ON cd.vec_id = n.vec_id
+       |  JOIN q ON cd.q_vec_id = q.q_vec_id)
+       |SELECT q_vec_id, rnk, vec_id, score FROM (
+       |  SELECT q_vec_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s2) WHERE rnk <= $TopK
+       |ORDER BY q_vec_id, rnk""".stripMargin
+
   def langIdOracle: String = {
     val langs = TextAnalysis.stopwords.map(_._1)
     val scoreCols = langs

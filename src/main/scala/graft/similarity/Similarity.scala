@@ -252,4 +252,70 @@ object Similarity {
         round(expr(dotSql("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
     rankTopK(scored, k)
   }
+
+  /** Two-stage TRUNCATED-DIMENSION rerank (the Matryoshka retrieval
+    * shape, Kusupati et al. 2022, arXiv:2205.13147): stage 1 scores
+    * every (query, corpus) pair on only the first `prefixDims`
+    * dimensions and keeps the top `candidates` per query by prefix
+    * cosine (tie → min vec_id, so the candidate SET is deterministic
+    * and engine-portable); stage 2 re-scores only those candidates with
+    * the exact full-dimension cosine. Output is [[cosineTopK]]'s shape.
+    *
+    * Scale rationale: the stage-1 scan does dims/prefixDims× less
+    * arithmetic per pair, and at 100 TB the prefix lives as its own
+    * narrow column (column pruning reads prefixDims·4 bytes per vector
+    * instead of the full embedding); stage 2 touches full vectors for
+    * only |Q|·candidates rows — a vec_id-keyed join, never a second
+    * corpus scan of pairs. Recall is governed by candidates/k and the
+    * mass the prefix carries (trained Matryoshka embeddings front-load
+    * it; AnnRecallSpec records the floor for raw random vectors). */
+  def cosineTopKTruncated(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      prefixDims: Int,
+      candidates: Int
+  ): DataFrame = {
+    require(candidates >= k, s"candidates $candidates < k $k")
+    ensureFunctions(corpus)
+    val c = corpus.select(
+      col("vec_id"),
+      expr(toDoubleSql("embedding")).as("emb"))
+    val cp = c
+      .withColumn("p_emb", slice(col("emb"), 1, prefixDims))
+      .withColumn("p_nrm", expr(s"sqrt(${dotSql("p_emb", "p_emb")})"))
+      .select("vec_id", "p_emb", "p_nrm")
+    val q = queries.select(
+      col("vec_id").as("q_vec_id"),
+      expr(toDoubleSql("embedding")).as("q_emb"))
+    val qp = q
+      .withColumn("qp_emb", slice(col("q_emb"), 1, prefixDims))
+      .withColumn("qp_nrm", expr(s"sqrt(${dotSql("qp_emb", "qp_emb")})"))
+      .select("q_vec_id", "qp_emb", "qp_nrm")
+    val cand = graft.plans.TopKPerKey
+      .topK(
+        cp.join(broadcast(qp), col("vec_id") =!= col("q_vec_id"))
+          .withColumn(
+            "pscore",
+            round(
+              expr(dotSql("p_emb", "qp_emb")) /
+                (col("p_nrm") * col("qp_nrm")), 6))
+          .select("q_vec_id", "vec_id", "pscore"),
+        keys = Seq(col("q_vec_id")),
+        ordering = Seq(col("pscore").desc, col("vec_id").asc),
+        k = candidates)
+      .select("q_vec_id", "vec_id")
+    val full = c
+      .withColumn("nrm", expr(s"sqrt(${dotSql("emb", "emb")})"))
+    val rescored = cand
+      .join(full, Seq("vec_id"))
+      .join(
+        broadcast(q.withColumn(
+          "q_nrm", expr(s"sqrt(${dotSql("q_emb", "q_emb")})"))),
+        Seq("q_vec_id"))
+      .withColumn(
+        "score",
+        round(expr(dotSql("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    rankTopK(rescored, k)
+  }
 }

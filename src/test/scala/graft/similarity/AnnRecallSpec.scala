@@ -63,6 +63,29 @@ class AnnRecallSpec extends SparkSuite {
     assert(r >= 0.40, f"trained-IVF recall@$K collapsed: $r%.3f")
   }
 
+  test("truncated-dim rerank recall@10 stays above its measured floor and beats stage 1 alone") {
+    // Prefix 16/64 on untrained near-uniform vectors carries only 1/4 of
+    // the mass — the worst case for Matryoshka-style truncation (trained
+    // MRL embeddings front-load variance). The candidate pool (50 ≫ k)
+    // is what buys recall back.
+    val r = recallAtK(retrieved(Similarity.cosineTopKTruncated(
+      emb, queries, K, prefixDims = 16, candidates = 50)))
+    info(f"recall@$K truncated(16/64, cand=50) = $r%.3f")
+    assert(r >= 0.30, f"truncated rerank recall@$K collapsed: $r%.3f")
+    // The exact rerank must add value over ranking by prefix score
+    // alone (candidates == k degenerates to stage 1 with no rerank).
+    val stage1Only = recallAtK(retrieved(Similarity.cosineTopKTruncated(
+      emb, queries, K, prefixDims = 16, candidates = K)))
+    info(f"recall@$K truncated stage1-only = $stage1Only%.3f")
+    assert(r >= stage1Only,
+      f"rerank lost recall vs raw prefix ranking: $r%.3f < $stage1Only%.3f")
+    // And a wider pool dominates a narrower one.
+    val wide = recallAtK(retrieved(Similarity.cosineTopKTruncated(
+      emb, queries, K, prefixDims = 16, candidates = 200)))
+    info(f"recall@$K truncated(cand=200) = $wide%.3f")
+    assert(wide >= r)
+  }
+
   test("product quantization recall@10 stays above its measured floor") {
     // Finer codebooks (8 subspaces × 16 codes) against the same
     // concentration-hard fixture. Measured values recorded by info().
