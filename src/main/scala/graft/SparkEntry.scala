@@ -126,6 +126,7 @@ object SparkEntry {
     "q_quality_keeplist" -> (PipelineQueries.qualityKeeplist _),
     "q_curation_funnel" -> (PipelineQueries.curationFunnel _),
     "q_truncated_rerank" -> (PipelineQueries.simTopKTruncated _),
+    "q_ivf_pq_probe" -> (PipelineQueries.ivfPqProbe _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
@@ -480,6 +481,7 @@ object SparkEntry {
     "q_quality_keeplist" -> PipelineQueries.qualityKeeplistOracle,
     "q_curation_funnel" -> PipelineQueries.curationFunnelOracle,
     "q_truncated_rerank" -> PipelineQueries.simTopKTruncatedOracle,
+    "q_ivf_pq_probe" -> PipelineQueries.ivfPqProbeOracle,
     "q_stream_sliding" -> StreamingQueries.streamSlidingOracle,
     "q_stream_join_outer" -> StreamingQueries.streamJoinOuterOracle,
     "q_setop_funnel" ->

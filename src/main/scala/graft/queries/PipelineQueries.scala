@@ -1549,7 +1549,8 @@ object PipelineQueries {
     * table (queries always from the FULL table), and the summed-lookup
     * ranking. */
   private def pqOracleSql(
-      corpusWhere: String, batchWhere: Option[String]): String = {
+      corpusWhere: String, batchWhere: Option[String],
+      probeNProbe: Option[Int] = None): String = {
     val ids = IvfCentroidIds.mkString(", ")
     val subDim = EmbDims / PqM
     val dist =
@@ -1629,10 +1630,71 @@ object PipelineQueries {
     val cbUnion = (0 until PqM)
       .map(s => s"SELECT $s AS sub, code, ce FROM p${s}c$PqIters")
       .mkString(" UNION ALL ")
+    // Coarse-quantizer chain + probe restriction (IVF-PQ composition):
+    // trains the full-dim integer Lloyd cells over the same corpus, the
+    // queries probe nProbe cells, and scoring is restricted to the
+    // candidate (query, vector) pairs of the probed inverted lists.
+    probeNProbe.foreach { _ =>
+      sb.append(
+        s""",
+           |k0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, qe AS ce
+           |  FROM q WHERE vec_id IN ($ids))""".stripMargin)
+      for (i <- 1 to PqIters) {
+        sb.append(
+          s""",
+             |ka$i AS (
+             |  SELECT vec_id, qe, cell FROM (
+             |    SELECT q.vec_id, q.qe, c.cell,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY $dist ASC, c.cell ASC) AS rn
+             |    FROM q, k${i - 1} c) WHERE rn = 1),
+             |ku$i AS (
+             |  SELECT cell, list(CAST(s // n AS BIGINT) ORDER BY pos) AS ce FROM (
+             |    SELECT cell, pos, sum(v) AS s, count(*) AS n FROM (
+             |      SELECT cell, unnest(range(1, len(qe) + 1)) AS pos, unnest(qe) AS v
+             |      FROM ka$i)
+             |    GROUP BY cell, pos)
+             |  GROUP BY cell),
+             |k$i AS (
+             |  SELECT p.cell, COALESCE(u.ce, p.ce) AS ce
+             |  FROM k${i - 1} p LEFT JOIN ku$i u ON p.cell = u.cell)""".stripMargin)
+      }
+    }
+    val probeCtes = probeNProbe
+      .map(np =>
+        s""",
+           |cpr AS (
+           |  SELECT q_vec_id, cell FROM (
+           |    SELECT q.vec_id AS q_vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY $dist ASC, c.cell ASC) AS rn
+           |    FROM qall q, k$PqIters c WHERE q.vec_id < $NumQueries)
+           |  WHERE rn <= $np),
+           |cand AS (
+           |  SELECT p.q_vec_id, a.vec_id
+           |  FROM ka$PqIters a JOIN cpr p
+           |    ON a.cell = p.cell AND a.vec_id <> p.q_vec_id)""".stripMargin)
+      .getOrElse("")
+    val scoredSql =
+      if (probeNProbe.isDefined)
+        s"""scored AS (
+           |  SELECT cd.q_vec_id, e.vec_id, CAST(sum(t.d) AS BIGINT) AS adist
+           |  FROM cand cd
+           |  JOIN encoded e ON cd.vec_id = e.vec_id
+           |  JOIN dtab t ON t.q_vec_id = cd.q_vec_id
+           |    AND e.sub = t.sub AND e.code = t.code
+           |  GROUP BY cd.q_vec_id, e.vec_id)""".stripMargin
+      else
+        s"""scored AS (
+           |  SELECT t.q_vec_id, e.vec_id, CAST(sum(t.d) AS BIGINT) AS adist
+           |  FROM encoded e JOIN dtab t
+           |    ON e.sub = t.sub AND e.code = t.code AND e.vec_id <> t.q_vec_id
+           |  GROUP BY t.q_vec_id, e.vec_id)""".stripMargin
     sb.append(
       s""",
          |encoded AS ($encUnion),
-         |cb AS ($cbUnion),
+         |cb AS ($cbUnion)$probeCtes,
          |dtab AS (
          |  SELECT q_vec_id, sub, code,
          |    list_sum(list_transform(range(1, $subDim + 1), i -> (sq[i] - ce[i]) * (sq[i] - ce[i]))) AS d
@@ -1641,11 +1703,7 @@ object PipelineQueries {
          |      list_slice(q.qe, cb.sub * $subDim + 1, cb.sub * $subDim + $subDim) AS sq,
          |      cb.ce AS ce
          |    FROM qall q, cb WHERE q.vec_id < $NumQueries)),
-         |scored AS (
-         |  SELECT t.q_vec_id, e.vec_id, CAST(sum(t.d) AS BIGINT) AS adist
-         |  FROM encoded e JOIN dtab t
-         |    ON e.sub = t.sub AND e.code = t.code AND e.vec_id <> t.q_vec_id
-         |  GROUP BY t.q_vec_id, e.vec_id)
+         |$scoredSql
          |SELECT q_vec_id, CAST(rnk AS BIGINT) AS rnk, vec_id, adist FROM (
          |  SELECT q_vec_id, vec_id, adist,
          |    row_number() OVER (PARTITION BY q_vec_id ORDER BY adist ASC, vec_id ASC) AS rnk
@@ -1655,6 +1713,21 @@ object PipelineQueries {
   }
 
   def ivfPqOracle: String = pqOracleSql("", None)
+
+  /** TRUE IVF-PQ ([[graft.similarity.Ivf.ivfPqProbeTopK]]): coarse
+    * trained cells restrict the ADC scan to nProbe inverted lists per
+    * query — the billion-vector composition, hash-checked end to end
+    * through BOTH trainings. */
+  def ivfPqProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    graft.similarity.Ivf
+      .ivfPqProbeTopK(emb, emb.filter(col("vec_id") < NumQueries),
+        IvfCentroidIds, IvfCentroidIds, EmbDims, PqM, PqIters, IvfNProbe,
+        TopK)
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  def ivfPqProbeOracle: String = pqOracleSql("", None, Some(IvfNProbe))
 
   /** Incremental PQ ([[graft.similarity.Ivf.pqTopKIncremental]]): the
     * vec_id % 9 == 8 batch encoded against codebooks trained on

@@ -557,16 +557,18 @@ object Ivf {
   ): DataFrame =
     pqPlan(corpus, Some(batch), queries, centroidIds, dims, m, iters, k)
 
-  private def pqPlan(
+  /** PQ training + corpus encoding, shared by [[pqPlan]] and
+    * [[ivfPqProbeTopK]]. Returns (final codebooks `(sub, code, ce)`,
+    * pre-final-iteration codebooks — the quantizer the final assignment
+    * ranked against, which frozen-batch encoding must reuse —, corpus
+    * codes `(vec_id, sub, code)`). */
+  private def pqTrain(
       corpus: DataFrame,
-      batch: Option[DataFrame],
-      queries: DataFrame,
       centroidIds: Seq[Long],
       dims: Int,
       m: Int,
-      iters: Int,
-      k: Int
-  ): DataFrame = {
+      iters: Int
+  ): (DataFrame, DataFrame, DataFrame) = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     require(iters >= 1, s"pqTopK needs at least one training iteration, got $iters")
     val subDim = dims / m
@@ -635,7 +637,26 @@ object Ivf {
           coalesce(col("ce_new"), col("ce")).as("ce"))
         .localCheckpoint(true)
     }
-    val encodedTrain = asg.select("vec_id", "sub", "code")
+    (cent, centPrev, asg.select("vec_id", "sub", "code"))
+  }
+
+  private def pqPlan(
+      corpus: DataFrame,
+      batch: Option[DataFrame],
+      queries: DataFrame,
+      centroidIds: Seq[Long],
+      dims: Int,
+      m: Int,
+      iters: Int,
+      k: Int
+  ): DataFrame = {
+    val subDim = dims / m
+    val subStructs = (0 until m)
+      .map(s =>
+        s"struct(CAST($s AS INT) AS sub, slice(qe, ${s * subDim + 1}, $subDim) AS qe)")
+      .mkString(", ")
+    val (cent, centPrev, encodedTrain) =
+      pqTrain(corpus, centroidIds, dims, m, iters)
     val encoded = batch match {
       case None => encodedTrain
       case Some(b) =>
@@ -655,8 +676,20 @@ object Ivf {
           .select(col("vec_id"), col("sub"), col("mn.code").as("code"))
         encodedTrain.union(encB)
     }
-    // Per-(query, subspace, code) integer distance table: |Q|·m·K rows.
-    val dtab = queries.select(
+    val dtab = pqDistTable(queries, cent, subDim)
+    val scored = encoded
+      .join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .groupBy("q_vec_id", "vec_id")
+      .agg(sum(col("d")).as("adist"))
+    rankAdc(scored, k)
+  }
+
+  /** Per-(query, subspace, code) integer ADC distance table: |Q|·m·K
+    * rows, built once and broadcast to the code scan. */
+  private def pqDistTable(
+      queries: DataFrame, cent: DataFrame, subDim: Int): DataFrame =
+    queries.select(
         col("vec_id").as("q_vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
           .as("qe"))
@@ -666,11 +699,8 @@ object Ivf {
         "d",
         expr("aggregate(zip_with(sq, ce, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
       .select("q_vec_id", "sub", "code", "d")
-    val scored = encoded
-      .join(broadcast(dtab), Seq("sub", "code"))
-      .filter(col("vec_id") =!= col("q_vec_id"))
-      .groupBy("q_vec_id", "vec_id")
-      .agg(sum(col("d")).as("adist"))
+
+  private def rankAdc(scored: DataFrame, k: Int): DataFrame =
     graft.plans.TopKPerKey
       .topK(
         scored.select("q_vec_id", "vec_id", "adist"),
@@ -678,6 +708,69 @@ object Ivf {
         ordering = Seq(col("adist").asc, col("vec_id").asc),
         k = k)
       .select("q_vec_id", "rnk", "vec_id", "adist")
+
+  /** TRUE IVF-PQ — the coarse quantizer and the product quantizer
+    * COMPOSED the way a billion-vector index runs them (Jégou et al.
+    * 2011, IVFADC without residual encoding): the coarse [[lloydIntTrain]]
+    * cells partition the corpus into inverted lists; a query probes its
+    * `nProbe` nearest cells (exact integer distance, same probe rule as
+    * [[trainedTopK]]) and ADC-scores ONLY the codes of vectors in those
+    * lists — the scan touches ~nProbe/K of the corpus codes, and each
+    * candidate costs m integer table lookups.
+    *
+    * The residual refinement (encode `vec − centroid` instead of `vec`)
+    * is deliberately omitted: it couples every code to its cell and
+    * buys accuracy only when cells are tight; the non-residual form
+    * keeps codes cell-independent (one global codebook — re-clustering
+    * cells never re-encodes the corpus) and is what the frozen-codebook
+    * incremental path ([[pqTopKIncremental]]) requires. Recall vs exact
+    * is quantified in AnnRecallSpec next to the unprobed [[pqTopK]].
+    *
+    * Scale shape: training is [[lloydIntTrain]] + [[pqTrain]] (each one
+    * keyed plan); the search is a cell-keyed join of the corpus cell map
+    * against the broadcast |Q|·nProbe probe frame, then the candidate
+    * pairs join the m-narrow code rows and the broadcast ADC table —
+    * the embedding arrays never enter the search shuffle, and no stage
+    * scans corpus × queries. */
+  def ivfPqProbeTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      coarseIds: Seq[Long],
+      pqIds: Seq[Long],
+      dims: Int,
+      m: Int,
+      iters: Int,
+      nProbe: Int,
+      k: Int
+  ): DataFrame = {
+    val subDim = dims / m
+    val (coarseCent, coarseAsg) = lloydIntTrain(corpus, coarseIds, iters)
+    val (pqCent, _, codes) = pqTrain(corpus, pqIds, dims, m, iters)
+    val probes = queries.select(
+        col("vec_id").as("q_vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("qe"))
+      .crossJoin(broadcast(coarseCent))
+      .withColumn("dist", expr(IntDistSql))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("q_vec_id")
+            .orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("rn") <= nProbe)
+      .select("q_vec_id", "cell")
+    val cellPairs = coarseAsg
+      .select("vec_id", "cell")
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .select("q_vec_id", "vec_id")
+    val dtab = pqDistTable(queries, pqCent, subDim)
+    val scored = codes
+      .join(cellPairs, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("q_vec_id", "sub", "code"))
+      .groupBy("q_vec_id", "vec_id")
+      .agg(sum(col("d")).as("adist"))
+    rankAdc(scored, k)
   }
 
   /** Contrastive TRIPLET mining — the training artifact a contrastive

@@ -96,6 +96,26 @@ class AnnRecallSpec extends SparkSuite {
     assert(r >= 0.20, f"pq recall@$K collapsed: $r%.3f")
   }
 
+  test("IVF-PQ with cell probing trades recall for the nProbe/K scan cut") {
+    val seeds16 = (0 until 16).map(_ * 31L)
+    val unprobed = recallAtK(retrieved(
+      Ivf.pqTopK(emb, queries, seeds16, dims = 64, m = 8, iters = 2, k = K)))
+    val probed = recallAtK(retrieved(Ivf.ivfPqProbeTopK(
+      emb, queries, coarseIds = centroidIds, pqIds = seeds16,
+      dims = 64, m = 8, iters = 2, nProbe = 2, k = K)))
+    info(f"recall@$K ivfpq(nProbe=2/8) = $probed%.3f vs unprobed pq = $unprobed%.3f")
+    // The probe restriction can only remove candidates, so probed recall
+    // is bounded by unprobed PQ recall — and must not collapse to zero.
+    assert(probed <= unprobed + 1e-9)
+    assert(probed >= 0.05, f"ivf-pq recall@$K collapsed: $probed%.3f")
+    // All cells probed == plain PQ (the restriction vanishes).
+    val allCells = recallAtK(retrieved(Ivf.ivfPqProbeTopK(
+      emb, queries, coarseIds = centroidIds, pqIds = seeds16,
+      dims = 64, m = 8, iters = 2, nProbe = centroidIds.size, k = K)))
+    assert(math.abs(allCells - unprobed) < 1e-9,
+      f"nProbe=K must equal unprobed PQ: $allCells%.3f vs $unprobed%.3f")
+  }
+
   test("PQ with all-vector queries ranks every anchor (shape sanity)") {
     // Small m·K codebook on 500 vectors: every query must still get
     // exactly K ranked rows 1..K (ADC never loses candidates — every
