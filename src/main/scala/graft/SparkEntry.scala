@@ -127,6 +127,8 @@ object SparkEntry {
     "q_curation_funnel" -> (PipelineQueries.curationFunnel _),
     "q_truncated_rerank" -> (PipelineQueries.simTopKTruncated _),
     "q_ivf_pq_probe" -> (PipelineQueries.ivfPqProbe _),
+    "q_dup_histogram" -> (PipelineQueries.dupHistogram _),
+    "q_token_fertility" -> (TextQueries.tokenFertility _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
@@ -482,6 +484,8 @@ object SparkEntry {
     "q_curation_funnel" -> PipelineQueries.curationFunnelOracle,
     "q_truncated_rerank" -> PipelineQueries.simTopKTruncatedOracle,
     "q_ivf_pq_probe" -> PipelineQueries.ivfPqProbeOracle,
+    "q_dup_histogram" -> PipelineQueries.dupHistogramOracle,
+    "q_token_fertility" -> TextQueries.tokenFertilityOracle,
     "q_stream_sliding" -> StreamingQueries.streamSlidingOracle,
     "q_stream_join_outer" -> StreamingQueries.streamJoinOuterOracle,
     "q_setop_funnel" ->

@@ -908,7 +908,7 @@ object PipelineQueries {
     * bench's memo-hit disclosure set. */
   private[graft] val CcMemoQueries: Set[String] =
     Set("q_dup_clusters", "q_dedup_keeplist", "q_leakage_safe_split",
-      "q_quality_keeplist", "q_curation_funnel")
+      "q_quality_keeplist", "q_curation_funnel", "q_dup_histogram")
 
   /** Duplicate clusters: connected components over the minhash near-dup
     * pairs — iterative min-label propagation on the Spark side, a
@@ -968,6 +968,50 @@ object PipelineQueries {
        |SELECT doc_id FROM documents
        |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
        |ORDER BY doc_id""".stripMargin
+
+  /** Near-dup CLUSTER-SIZE HISTOGRAM — the dedup observability readout
+    * (how much duplication mass the corpus carries, and in what shape:
+    * many pairs vs few giant clusters — giant clusters are the signal
+    * for template/mirror content and for CC hotspot risk). One groupBy
+    * over the memoized [[dupComponents]] frame to cluster sizes, one
+    * more to the histogram; singleton (cluster-free) documents are
+    * reported as size-1 mass so the histogram totals the corpus. */
+  def dupHistogram(s: SparkSession, d: String): DataFrame = {
+    val cc = dupComponents(s, d)
+    val total = documents(s, d).select(col("doc_id"))
+    val sizes = total
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    sizes
+      .groupBy("cluster_size")
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
+  def dupHistogramOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+       |cc AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+       |csz AS (
+       |  SELECT COALESCE(cc.component, d.doc_id) AS component,
+       |    CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+       |  GROUP BY 1)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+       |FROM csz GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin
 
   /** QUALITY-AWARE near-dup keeper election: within each duplicate
     * cluster keep the highest-[[TextAnalysis.qualityScore]] document

@@ -219,6 +219,65 @@ object TextQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Tokenizer FERTILITY by language — subword tokens emitted per
+    * pre-token, the number that prices a multilingual training mix
+    * (high-fertility languages cost proportionally more sequence length
+    * per document; real-world BPE fertility runs 2–4× higher on scripts
+    * the merges were not trained on). Reuses [[tokenBpeMergesDocs]]'s
+    * distinct-type encode + join-back, then one lang-keyed partial-agg
+    * rollup; the ratio is exact integer micros (`div`), engine-portable.
+    *
+    * Runs with a 16-merge PREFIX of the frozen table — an
+    * under-trained tokenizer, deliberately: the full 127-merge table
+    * saturates the fixture vocabulary (every word → 1 subword,
+    * fertility ≡ 1.0 for every language — measured, and exactly the
+    * degenerate readout this query exists to surface), while the prefix
+    * leaves languages differentially unmerged, which is the real-world
+    * situation fertility accounting prices. */
+  val FertilityMerges = 16
+
+  def tokenFertility(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    tokenBpeMergesDocs(docs,
+        graft.textanalysis.Bpe.MergesWordFull.take(FertilityMerges))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_subwords")).as("n_subwords"))
+      .withColumn(
+        "fertility_micros",
+        expr("(n_subwords * 1000000) div n_tokens"))
+      .orderBy("lang")
+  }
+
+  def tokenFertilityOracle: String = {
+    import graft.textanalysis.Bpe
+    val (ctes, last) = Bpe.oracleEncodeCtesSql(
+      "types", Bpe.MergesWordFull.take(FertilityMerges))
+    val nSub = Bpe.oracleSubwordCountSql("enc")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '$BpePattern')) AS tok
+       |  FROM documents),
+       |types AS (SELECT DISTINCT tok FROM tok),
+       |$ctes
+       |cnts AS (SELECT tok, $nSub AS n_sub FROM $last),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_sub) AS BIGINT) AS n_subwords
+       |  FROM tok JOIN cnts USING (tok)
+       |  GROUP BY doc_id)
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(p.n_subwords) AS BIGINT) AS n_subwords,
+       |  CAST(sum(p.n_subwords) * 1000000 // sum(p.n_tokens) AS BIGINT) AS fertility_micros
+       |FROM perdoc p JOIN documents d USING (doc_id)
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
+  }
+
   /** Production-scale BPE: the 512-merge frozen table
     * ([[graft.textanalysis.Bpe.Merges512Hex]]) over the high-entropy
     * md5-hex chunk stream (the 61-word fixture vocabulary saturates

@@ -261,6 +261,16 @@ object ScaleStress {
         replicatedEmb(withLabel = false), embBase.filter(col("vec_id") < 10),
         (0 until 8).map(_ * 37L), dims = 64, m = 4, iters = 2, k = 5))
     }
+    // Round-8 tail: TRUE IVF-PQ — probed inverted lists restrict the ADC
+    // join to ~nProbe/K of the code rows; the search increment over the
+    // unprobed stage above must shrink, not grow, with the probe cut
+    // (training cost is shared shape: one coarse + one PQ keyed plan).
+    time("ivf-pq probed (fixed queries)") {
+      noop(graft.similarity.Ivf.ivfPqProbeTopK(
+        replicatedEmb(withLabel = false), embBase.filter(col("vec_id") < 10),
+        (0 until 8).map(_ * 37L), (0 until 8).map(_ * 37L),
+        dims = 64, m = 4, iters = 2, nProbe = 2, k = 5))
+    }
     // Round-7: the memoized three-query family END-TO-END through one
     // shared CC build — the declared-surface shape (dupComponents memo →
     // clusters + keep-list + leakage split). The build is paid once
