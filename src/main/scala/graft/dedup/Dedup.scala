@@ -1208,4 +1208,105 @@ object Dedup {
       bSh.select("id", "shingle"), cSh.select("id", "shingle"),
       cands, threshold)
   }
+
+  // -------------------------------------------------------------------------
+  // Corpus-vs-corpus overlap
+  // -------------------------------------------------------------------------
+
+  /** Raw (non-distinct) 60-bit word-n-gram shingle stream of a corpus —
+    * the multiset feed for sketches whose aggregate is set-insensitive
+    * (min over a multiset == min over its distinct set), so no distinct
+    * shuffle is needed before sketching. */
+  private def rawShingles(
+      df: DataFrame,
+      textCol: String,
+      n: Int
+  ): DataFrame =
+    df.select(words(col(textCol)).as("w"))
+      .select(explode(shinglesOfWords(col("w"), n)).as("shingle_s"))
+      .select(hash60(col("shingle_s")).as("shingle"))
+
+  /** CORPUS-vs-CORPUS overlap — how much of two corpora's word-n-gram
+    * shingle space is shared, as one tiny summary row. The question a
+    * pipeline owner asks before mixing two sources (near-identical crawls
+    * waste epochs) or after splitting train/holdout (shared shingle mass
+    * is leakage surface). Two readouts:
+    *
+    *   - `jaccard_est_micros` — the MinHash bottom-1 sketch estimate:
+    *     for each of `numHashes` permutations (the same md5-slice
+    *     permutations as [[minhashSignature]], so the oracle computes
+    *     identical longs), the CORPUS-wide min of the permuted shingle
+    *     hash. P[min_A = min_B] = J(A,B), so the agreement fraction
+    *     estimates corpus Jaccard (std ≈ √(J(1−J)/H)). This is the
+    *     100 TB path: min() is a partial aggregate, so each corpus
+    *     collapses map-side to `numHashes` longs — NO corpus-wide
+    *     shuffle, and two corpora that never fit anywhere compare in
+    *     H·8 bytes. (If shingle duplication is extreme, distinct-first
+    *     then sketch trades one long-keyed shuffle for fewer md5s —
+    *     the aggregate is identical either way.)
+    *   - `jaccard_exact_micros` — the exact twin over the distinct
+    *     shingle sets: union the tagged streams, one groupBy on the
+    *     60-bit shingle key (max(flag) partial-aggs map-side), count
+    *     membership. One bounded shuffle of 8-byte keys; kept for
+    *     verification scale and small corpora — at 100 TB run the
+    *     sketch alone (`withExact = false`).
+    *
+    * Micros are `round(1e6·x)` of ratios of exact integers — correctly
+    * rounded IEEE division, engine-exact. Returns one row:
+    * (n_hashes, n_agree, jaccard_est_micros[, n_shingles_a,
+    * n_shingles_b, n_common, n_union, jaccard_exact_micros]). */
+  def corpusOverlap(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      textCol: String,
+      numHashes: Int = 32,
+      n: Int = 3,
+      withExact: Boolean = true
+  ): DataFrame = {
+    def sketch(src: DataFrame, pre: String) = {
+      val aggs = (0 until numHashes).map { i =>
+        min(md5Slice60(
+          concat(lit(s"${i / 2}:"), col("shingle").cast("string")), i % 2))
+          .as(s"$pre$i")
+      }
+      src.agg(aggs.head, aggs.tail: _*)
+    }
+    val shA = rawShingles(dfA, textCol, n)
+    val shB = rawShingles(dfB, textCol, n)
+    val est = sketch(shA, "ma_").crossJoin(sketch(shB, "mb_"))
+      .select(
+        lit(numHashes.toLong).as("n_hashes"),
+        (0 until numHashes)
+          .map(i =>
+            when(col(s"ma_$i") === col(s"mb_$i"), 1L).otherwise(0L))
+          .reduce(_ + _)
+          .as("n_agree"))
+      .withColumn(
+        "jaccard_est_micros",
+        round(col("n_agree").cast("double") * 1e6 /
+          col("n_hashes").cast("double"), 0).cast("long"))
+    if (!withExact) est
+    else {
+      val tagged = shA
+        .select(col("shingle"), lit(1L).as("in_a"), lit(0L).as("in_b"))
+        .unionByName(
+          shB.select(col("shingle"), lit(0L).as("in_a"), lit(1L).as("in_b")))
+      val ex = tagged
+        .groupBy("shingle")
+        .agg(max("in_a").as("a"), max("in_b").as("b"))
+        .agg(
+          sum("a").as("n_shingles_a"),
+          sum("b").as("n_shingles_b"),
+          sum(when(col("a") === 1L && col("b") === 1L, 1L).otherwise(0L))
+            .as("n_common"))
+        .withColumn(
+          "n_union",
+          col("n_shingles_a") + col("n_shingles_b") - col("n_common"))
+        .withColumn(
+          "jaccard_exact_micros",
+          round(col("n_common").cast("double") * 1e6 /
+            col("n_union").cast("double"), 0).cast("long"))
+      est.crossJoin(ex)
+    }
+  }
 }

@@ -799,6 +799,65 @@ object PipelineQueries {
     s"""WITH $minhashPairsCtes
        |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
 
+  /** Sketch width for [[corpusOverlap]] — 32 permutations puts the
+    * estimator's std at ≈ √(J(1−J)/32) ≤ 0.09, a readout-grade error
+    * bar; the oracle checks exact equality of the sketch itself, not
+    * the estimate's accuracy. */
+  val OverlapHashes = 32
+
+  /** Corpus-overlap readout ([[Dedup.corpusOverlap]]) between the
+    * training corpus and the [[DecontamMod]] held-out slice — the corpus-
+    * granularity companion of [[decontaminate]]'s per-doc readout: the
+    * MinHash bottom-1 sketch estimate of shingle-set Jaccard next to its
+    * exact twin, one summary row. */
+  def corpusOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup.corpusOverlap(
+      docs.filter(col("doc_id") % DecontamMod =!= 0),
+      docs.filter(col("doc_id") % DecontamMod === 0),
+      "text", OverlapHashes)
+  }
+
+  def corpusOverlapOracle: String = {
+    def rawSh(pred: String) =
+      s"""SELECT CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS shingle FROM (
+         |    SELECT unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]) AS s
+         |    FROM (SELECT string_split_regex(lower(text), '\\s+') AS w
+         |          FROM documents WHERE $pred))""".stripMargin
+    def mins(pre: String) =
+      (0 until OverlapHashes)
+        .map(i =>
+          s"min(CAST('0x' || substr(md5('${i / 2}:' || CAST(shingle AS VARCHAR)),${1 + 15 * (i % 2)},15) AS BIGINT)) AS $pre$i")
+        .mkString(", ")
+    val agree = (0 until OverlapHashes)
+      .map(i => s"CASE WHEN ska.ma_$i = skb.mb_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH shA AS (
+       |  ${rawSh(s"doc_id % $DecontamMod <> 0")}),
+       |shB AS (
+       |  ${rawSh(s"doc_id % $DecontamMod = 0")}),
+       |ska AS (SELECT ${mins("ma_")} FROM shA),
+       |skb AS (SELECT ${mins("mb_")} FROM shB),
+       |est AS (
+       |  SELECT CAST($OverlapHashes AS BIGINT) AS n_hashes,
+       |    CAST($agree AS BIGINT) AS n_agree
+       |  FROM ska, skb),
+       |ex AS (
+       |  SELECT CAST(sum(a) AS BIGINT) AS n_shingles_a,
+       |    CAST(sum(b) AS BIGINT) AS n_shingles_b,
+       |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+       |  FROM (SELECT shingle, max(in_a) AS a, max(in_b) AS b FROM (
+       |    SELECT shingle, 1 AS in_a, 0 AS in_b FROM shA
+       |    UNION ALL
+       |    SELECT shingle, 0 AS in_a, 1 AS in_b FROM shB) GROUP BY shingle))
+       |SELECT n_hashes, n_agree,
+       |  CAST(round(CAST(n_agree AS DOUBLE) * 1000000 / CAST(n_hashes AS DOUBLE), 0) AS BIGINT) AS jaccard_est_micros,
+       |  n_shingles_a, n_shingles_b, n_common,
+       |  n_shingles_a + n_shingles_b - n_common AS n_union,
+       |  CAST(round(CAST(n_common AS DOUBLE) * 1000000 / CAST(n_shingles_a + n_shingles_b - n_common AS DOUBLE), 0) AS BIGINT) AS jaccard_exact_micros
+       |FROM est, ex""".stripMargin
+  }
+
   private def sigColsSql: String =
     (0 until MinhashHashes)
       .map(i =>

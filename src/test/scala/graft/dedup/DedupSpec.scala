@@ -454,4 +454,53 @@ class DedupSpec extends SparkSuite {
     assert(verdicts == Map(
       10L -> "dup_corpus", 11L -> "new", 12L -> "dup_batch", 13L -> "new"))
   }
+
+  test("corpusOverlap: identical corpora estimate 1.0, exact twin agrees") {
+    val row = Dedup.corpusOverlap(docs, docs, "text", numHashes = 16)
+      .collect().head
+    assert(row.getAs[Long]("n_agree") == 16L)
+    assert(row.getAs[Long]("jaccard_est_micros") == 1000000L)
+    assert(row.getAs[Long]("jaccard_exact_micros") == 1000000L)
+    assert(row.getAs[Long]("n_common") == row.getAs[Long]("n_union"))
+    assert(row.getAs[Long]("n_shingles_a") == row.getAs[Long]("n_shingles_b"))
+  }
+
+  test("corpusOverlap: disjoint corpora are exactly 0; invariants hold") {
+    val a = docs.filter(col("doc_id") <= 2) // all share doc 0's shingles
+    val b = docs.filter(col("doc_id") === 4L)
+    val row = Dedup.corpusOverlap(a, b, "text", numHashes = 16).collect().head
+    assert(row.getAs[Long]("n_common") == 0L)
+    assert(row.getAs[Long]("jaccard_exact_micros") == 0L)
+    // With no shared shingles the per-hash mins can only collide on a
+    // ~2^-60 hash accident — the estimate must be 0 too.
+    assert(row.getAs[Long]("n_agree") == 0L)
+    assert(
+      row.getAs[Long]("n_union") ==
+        row.getAs[Long]("n_shingles_a") + row.getAs[Long]("n_shingles_b"))
+  }
+
+  test("corpusOverlap: exact Jaccard matches a hand-computed shingle count") {
+    // a = docs 0+2 (identical → one shingle set), b = doc 1 (one word
+    // changed at position 8 of 14 → trigrams 6,7,8 differ; 14 words →
+    // 12 trigrams per doc, 9 shared).
+    val a = docs.filter(col("doc_id") === 0L || col("doc_id") === 2L)
+    val b = docs.filter(col("doc_id") === 1L)
+    val row = Dedup.corpusOverlap(a, b, "text", numHashes = 16).collect().head
+    assert(row.getAs[Long]("n_shingles_a") == 12L)
+    assert(row.getAs[Long]("n_shingles_b") == 12L)
+    assert(row.getAs[Long]("n_common") == 9L)
+    assert(row.getAs[Long]("n_union") == 15L)
+    assert(row.getAs[Long]("jaccard_exact_micros") == 600000L)
+  }
+
+  test("corpusOverlap: withExact=false is sketch-only and matches full") {
+    val a = docs.filter(col("doc_id") <= 2)
+    val b = docs.filter(col("doc_id") >= 1)
+    val sk = Dedup.corpusOverlap(a, b, "text", 16, withExact = false)
+    assert(sk.columns.toSeq ==
+      Seq("n_hashes", "n_agree", "jaccard_est_micros"))
+    val full = Dedup.corpusOverlap(a, b, "text", 16).collect().head
+    val skRow = sk.collect().head
+    assert(skRow.getAs[Long]("n_agree") == full.getAs[Long]("n_agree"))
+  }
 }
