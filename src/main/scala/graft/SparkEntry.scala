@@ -106,6 +106,7 @@ object SparkEntry {
     "q_audio_segments" -> (PipelineQueries.audioSegments _),
     "q_semantic_dedup" -> (PipelineQueries.semanticDedup _),
     "q_incremental_semantic" -> (PipelineQueries.semanticDedupIncrementalQ _),
+    "q_cell_drift" -> (PipelineQueries.cellDrift _),
     "q_incremental_ngram" -> (PipelineQueries.ngramJaccardIncrementalQ _),
     // --- round-7 widening: mixing, batching, mining, sliding/outer stream ---
     "q_mix_weights" -> (TextQueries.mixWeights _),
@@ -468,6 +469,7 @@ object SparkEntry {
     "q_audio_segments" -> PipelineQueries.audioSegmentsOracle,
     "q_semantic_dedup" -> PipelineQueries.semanticDedupOracle,
     "q_incremental_semantic" -> PipelineQueries.semanticDedupIncrementalOracle,
+    "q_cell_drift" -> PipelineQueries.cellDriftOracle,
     "q_incremental_ngram" -> PipelineQueries.ngramJaccardIncrementalOracle,
     "q_mix_weights" -> TextQueries.mixWeightsOracle,
     "q_length_batches" -> TextQueries.lengthBatchesOracle,

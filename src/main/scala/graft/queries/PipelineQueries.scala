@@ -650,6 +650,98 @@ object PipelineQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** IVF cell-occupancy drift ([[graft.similarity.Ivf.cellDrift]]):
+    * the [[SemIncMod]] batch's embedding distribution vs the corpus the
+    * cells were trained on — the retrain-trigger readout for every
+    * frozen-artifact incremental operator (PQ codebooks, SemDeDup cells).
+    * Training is the exact integer Lloyd's from the fixed seeds, so the
+    * whole pass — training included — is hash-checked. */
+  def cellDrift(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    graft.similarity.Ivf.cellDrift(
+      emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue),
+      emb.filter(col("vec_id") % SemIncMod === SemIncResidue),
+      IvfCentroidIds, KmeansIters)
+  }
+
+  def cellDriftOracle: String = {
+    val ids = IvfCentroidIds.mkString(", ")
+    val dist =
+      "list_sum(list_transform(range(1, len(q.qe) + 1), i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+         |  FROM embeddings WHERE vec_id % $SemIncMod <> $SemIncResidue),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, qe AS ce
+         |  FROM q WHERE vec_id IN ($ids))""".stripMargin)
+    for (i <- 1 to KmeansIters) {
+      sb.append(
+        s""",
+           |a$i AS (
+           |  SELECT vec_id, qe, cell FROM (
+           |    SELECT q.vec_id, q.qe, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY $dist ASC, c.cell ASC) AS rn
+           |    FROM q, c${i - 1} c) WHERE rn = 1),
+           |u$i AS (
+           |  SELECT cell, list(CAST(s // n AS BIGINT) ORDER BY pos) AS ce FROM (
+           |    SELECT cell, pos, sum(v) AS s, count(*) AS n FROM (
+           |      SELECT cell, unnest(range(1, len(qe) + 1)) AS pos, unnest(qe) AS v
+           |      FROM a$i)
+           |    GROUP BY cell, pos)
+           |  GROUP BY cell),
+           |c$i AS (
+           |  SELECT p.cell, COALESCE(u.ce, p.ce) AS ce
+           |  FROM c${i - 1} p LEFT JOIN u$i u ON p.cell = u.cell)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |b AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+         |  FROM embeddings WHERE vec_id % $SemIncMod = $SemIncResidue),
+         |basg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT q.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $dist ASC, c.cell ASC) AS rn
+         |    FROM b q, c$KmeansIters c) WHERE rn = 1),
+         |casg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT q.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $dist ASC, c.cell ASC) AS rn
+         |    FROM q, c$KmeansIters c) WHERE rn = 1),
+         |nc AS (SELECT cell, count(*) AS n FROM casg GROUP BY cell),
+         |nb AS (SELECT cell, count(*) AS n FROM basg GROUP BY cell),
+         |j AS (
+         |  SELECT c.cell,
+         |    CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_corpus,
+         |    CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_batch
+         |  FROM c$KmeansIters c
+         |  LEFT JOIN nc ON c.cell = nc.cell
+         |  LEFT JOIN nb ON c.cell = nb.cell),
+         |t AS (
+         |  SELECT CAST(sum(n_corpus) AS BIGINT) AS tc,
+         |    CAST(sum(n_batch) AS BIGINT) AS tb FROM j),
+         |f AS (
+         |  SELECT j.cell, j.n_corpus, j.n_batch,
+         |    CASE WHEN t.tc = 0 THEN 0
+         |      ELSE CAST(round(CAST(j.n_corpus AS DOUBLE) * 1000000 / CAST(t.tc AS DOUBLE), 0) AS BIGINT)
+         |    END AS frac_corpus_micros,
+         |    CASE WHEN t.tb = 0 THEN 0
+         |      ELSE CAST(round(CAST(j.n_batch AS DOUBLE) * 1000000 / CAST(t.tb AS DOUBLE), 0) AS BIGINT)
+         |    END AS frac_batch_micros
+         |  FROM j, t)
+         |SELECT cell, n_corpus, n_batch, frac_corpus_micros, frac_batch_micros,
+         |  frac_batch_micros - frac_corpus_micros AS drift_micros
+         |FROM f ORDER BY cell""".stripMargin)
+    sb.toString
+  }
+
   val CosineDupThreshold = 0.4
 
   def cosineDuplicates(s: SparkSession, d: String): DataFrame =

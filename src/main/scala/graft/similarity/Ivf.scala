@@ -2,7 +2,7 @@ package graft.similarity
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -906,5 +906,74 @@ object Ivf {
         ordering = Seq(col("score").desc, col("vec_id").asc),
         k = k)
       .select("q_vec_id", "rnk", "vec_id", "label", "score")
+  }
+
+  /** EMBEDDING-DISTRIBUTION DRIFT between a corpus and an arriving batch,
+    * read through the corpus's own trained IVF cells — the monitoring
+    * companion of every frozen-artifact incremental operator here
+    * ([[pqTopKIncremental]], [[semanticDedupIncremental]]): those stay
+    * correct only while the batch distribution matches the corpus the
+    * cells/codebooks were trained on, and THIS is the readout that says
+    * when to retrain. Cells train on the CORPUS ONLY (exact integer
+    * Lloyd's from fixed seeds); the batch is assigned against the frozen
+    * centroids (|batch|×K broadcast, the same discipline as the other
+    * incremental paths). Per cell: member counts and occupancy fractions
+    * (integer micros of exact counts) for both sides, and the signed
+    * per-cell drift. Σ|drift|/2 over the rows is total-variation distance
+    * between the two occupancy histograms.
+    *
+    * Both sides are assigned against the SAME frozen final centroids —
+    * not training's last in-loop assignment (which ranks against the
+    * pre-update centroids): an identical batch must read as exactly zero
+    * drift, or the readout alarms on nothing.
+    *
+    * Scale shape: training is the already-audited [[lloydIntTrain]];
+    * each side's assignment is one broadcast-K map-side pass whose
+    * partial aggs collapse to ≤K rows before any shuffle. Nothing
+    * shuffles at corpus width. */
+  def cellDrift(
+      corpus: DataFrame,
+      batch: DataFrame,
+      centroidIds: Seq[Long],
+      iters: Int
+  ): DataFrame = {
+    val (cent, _) = lloydIntTrain(corpus, centroidIds, iters)
+    def occupancy(src: DataFrame, as: String) =
+      src
+        .select(
+          col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+            .as("qe"))
+        .crossJoin(broadcast(cent))
+        .withColumn("dist", expr(IntDistSql))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cell"))).as("m"))
+        .select(col("m.cell").as("cell"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as(as))
+    val nc = occupancy(corpus, "n_corpus")
+    val nb = occupancy(batch, "n_batch")
+    val j = cent
+      .select("cell")
+      .join(nc, Seq("cell"), "left")
+      .join(nb, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_corpus", "n_batch"))
+    val tot = j.agg(
+      sum("n_corpus").as("tot_corpus"), sum("n_batch").as("tot_batch"))
+    def fracMicros(n: Column, t: Column): Column =
+      when(t === 0L, 0L)
+        .otherwise(
+          round(n.cast("double") * 1e6 / t.cast("double"), 0).cast("long"))
+    j.crossJoin(broadcast(tot))
+      .withColumn(
+        "frac_corpus_micros", fracMicros(col("n_corpus"), col("tot_corpus")))
+      .withColumn(
+        "frac_batch_micros", fracMicros(col("n_batch"), col("tot_batch")))
+      .withColumn(
+        "drift_micros",
+        col("frac_batch_micros") - col("frac_corpus_micros"))
+      .select("cell", "n_corpus", "n_batch", "frac_corpus_micros",
+        "frac_batch_micros", "drift_micros")
+      .orderBy("cell")
   }
 }

@@ -115,4 +115,50 @@ class IvfSpec extends SparkSuite {
     assert(a == b)
     assert(a.size == emb.count())
   }
+
+  test("cellDrift: batch == corpus has zero drift everywhere") {
+    val seeds = Seq(0L, 17L, 34L, 51L)
+    val rows = Ivf.cellDrift(emb, emb, seeds, iters = 2).collect()
+    assert(rows.length == seeds.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_corpus") == r.getAs[Long]("n_batch"))
+      assert(r.getAs[Long]("drift_micros") == 0L)
+    }
+    assert(rows.map(_.getAs[Long]("n_corpus")).sum == emb.count())
+  }
+
+  test("cellDrift: fractions sum to ~1e6 per side; drift sums to ~0") {
+    val seeds = Seq(1L, 17L, 34L, 52L) // none ≡ 0 mod 3: all in the corpus
+    val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val rows = Ivf.cellDrift(corpus, batch, seeds, iters = 2).collect()
+    // round-to-nearest per cell: totals land within K/2 micros of 1e6.
+    val fc = rows.map(_.getAs[Long]("frac_corpus_micros")).sum
+    val fb = rows.map(_.getAs[Long]("frac_batch_micros")).sum
+    assert(math.abs(fc - 1000000L) <= seeds.length / 2 + 1)
+    assert(math.abs(fb - 1000000L) <= seeds.length / 2 + 1)
+    assert(math.abs(rows.map(_.getAs[Long]("drift_micros")).sum) <=
+      seeds.length + 2)
+    assert(rows.map(_.getAs[Long]("n_corpus")).sum == corpus.count())
+    assert(rows.map(_.getAs[Long]("n_batch")).sum == batch.count())
+  }
+
+  test("cellDrift: a shifted batch shows up as nonzero drift mass") {
+    import spark.implicits._
+    def v(x: Double): Array[Float] =
+      Array.fill(4)(0f).updated(0, x.toFloat)
+    // Corpus balanced across two well-separated cells; batch all on one.
+    val corpus = Seq(
+      (0L, v(1.0)), (1L, v(1.1)), (2L, v(-1.0)), (3L, v(-1.1))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq((10L, v(0.95)), (11L, v(1.05))).toDF("vec_id", "embedding")
+    val rows = Ivf.cellDrift(corpus, batch, Seq(0L, 2L), iters = 2)
+      .collect().map(r =>
+        r.getAs[Long]("cell") ->
+          (r.getAs[Long]("frac_corpus_micros"),
+            r.getAs[Long]("frac_batch_micros"),
+            r.getAs[Long]("drift_micros"))).toMap
+    assert(rows(0L) == ((500000L, 1000000L, 500000L)))
+    assert(rows(1L) == ((500000L, 0L, -500000L)))
+  }
 }
