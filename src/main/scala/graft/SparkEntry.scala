@@ -74,6 +74,7 @@ object SparkEntry {
     "q_lang_id" -> (PipelineQueries.langId _),
     "q_quality_score" -> (PipelineQueries.qualityScore _),
     "q_rolling_fingerprint" -> (PipelineQueries.rollingFingerprint _),
+    "q_unicode_nfc" -> (PipelineQueries.unicodeNfc _),
     "q_dedup_cosine" -> (PipelineQueries.cosineDuplicates _),
     "q_minhash_signatures" -> (PipelineQueries.minhashSignatures _),
     "q_curation_verdict" -> (PipelineQueries.curationVerdict _),
@@ -431,6 +432,7 @@ object SparkEntry {
     "q_lang_id" -> PipelineQueries.langIdOracle,
     "q_quality_score" -> PipelineQueries.qualityOracle,
     "q_rolling_fingerprint" -> PipelineQueries.rollingFingerprintOracle,
+    "q_unicode_nfc" -> PipelineQueries.unicodeNfcOracle,
     "q_dedup_cosine" -> PipelineQueries.cosineDuplicatesOracle,
     "q_minhash_signatures" -> PipelineQueries.minhashSignaturesOracle,
     "q_curation_verdict" -> PipelineQueries.curationVerdictOracle,

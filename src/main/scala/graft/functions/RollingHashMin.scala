@@ -140,6 +140,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     )
     e.injectFunction(
       (
+        new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[NfcNormalize].getName, "nfc_normalize"),
+        (exprs: Seq[Expression]) => NfcNormalize(exprs.head)
+      )
+    )
+    e.injectFunction(
+      (
         new org.apache.spark.sql.catalyst.FunctionIdentifier("hll_distinct"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[HllDistinct].getName, "hll_distinct"),

@@ -791,6 +791,40 @@ object PipelineQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic decomposed-Unicode suffix planted on every document:
+    * `e` + U+0301 COMBINING ACUTE and `A` + U+030A COMBINING RING — NFC
+    * composes both (→ é, Å), shrinking the codepoint count by exactly 2
+    * per document. The fixture text itself is ASCII (the expression's
+    * zero-allocation fast path), so without the plant the composition
+    * path would never execute. */
+  val NfcSuffix = " nfce\u0301A\u030A"
+
+  /** Unicode NFC normalization over the corpus via the codegen
+    * [[graft.functions.NfcNormalize]] Expression — the canonicalization
+    * step that must precede every hash-keyed text operator (exact dedup,
+    * shingles, BPE pre-tokens) on real multi-crawler corpora, where the
+    * same text arrives composed from one source and decomposed from
+    * another. The md5 of the normalized text pins the exact composed
+    * bytes against DuckDB's utf8proc `nfc_normalize`. */
+  def unicodeNfc(s: SparkSession, d: String): DataFrame = {
+    graft.functions.NfcNormalize.register(s)
+    documents(s, d)
+      .withColumn("t", concat(col("text"), lit(NfcSuffix)))
+      .selectExpr("doc_id", "length(t) AS len_raw",
+        "nfc_normalize(t) AS nfc")
+      .selectExpr("doc_id", "len_raw", "length(nfc) AS len_nfc",
+        "md5(nfc) AS nfc_md5")
+      .orderBy("doc_id")
+  }
+
+  def unicodeNfcOracle: String =
+    s"""SELECT doc_id,
+       |  CAST(length(t) AS INTEGER) AS len_raw,
+       |  CAST(length(nfc_normalize(t)) AS INTEGER) AS len_nfc,
+       |  md5(nfc_normalize(t)) AS nfc_md5
+       |FROM (SELECT doc_id, text || '$NfcSuffix' AS t FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   /** Per-language embedding centroid: documents ⋈ embeddings on the doc
     * key, element-wise mean per (lang, dim). The float values go through
     * exact integer micro-units before summation so the result is
