@@ -130,6 +130,7 @@ object SparkEntry {
     "q_curation_funnel" -> (PipelineQueries.curationFunnel _),
     "q_truncated_rerank" -> (PipelineQueries.simTopKTruncated _),
     "q_ivf_pq_probe" -> (PipelineQueries.ivfPqProbe _),
+    "q_ivf_pq_residual" -> (PipelineQueries.ivfPqResidual _),
     "q_dup_histogram" -> (PipelineQueries.dupHistogram _),
     "q_token_fertility" -> (TextQueries.tokenFertility _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
@@ -490,6 +491,7 @@ object SparkEntry {
     "q_curation_funnel" -> PipelineQueries.curationFunnelOracle,
     "q_truncated_rerank" -> PipelineQueries.simTopKTruncatedOracle,
     "q_ivf_pq_probe" -> PipelineQueries.ivfPqProbeOracle,
+    "q_ivf_pq_residual" -> PipelineQueries.ivfPqResidualOracle,
     "q_dup_histogram" -> PipelineQueries.dupHistogramOracle,
     "q_token_fertility" -> TextQueries.tokenFertilityOracle,
     "q_stream_sliding" -> StreamingQueries.streamSlidingOracle,

@@ -1943,6 +1943,155 @@ object PipelineQueries {
 
   def ivfPqOracle: String = pqOracleSql("", None)
 
+  /** DuckDB twin of [[graft.similarity.Ivf.ivfPqResidualTopK]] — the
+    * residual IVFADC: coarse chain → fresh frozen-centroid assignment →
+    * integer residuals → per-subspace Lloyd chains ON the residuals →
+    * per-(query, probed-cell) residual ADC tables. Both trainings and
+    * the fresh assignment are hash-checked end to end. */
+  private def pqResidualOracleSql: String = {
+    val ids = IvfCentroidIds.mkString(", ")
+    val subDim = EmbDims / PqM
+    val dist =
+      "list_sum(list_transform(range(1, len(q.qe) + 1), i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+         |  FROM embeddings),
+         |qall AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+         |  FROM embeddings),
+         |k0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, qe AS ce
+         |  FROM q WHERE vec_id IN ($ids))""".stripMargin)
+    for (i <- 1 to PqIters) {
+      sb.append(
+        s""",
+           |ka$i AS (
+           |  SELECT vec_id, qe, cell FROM (
+           |    SELECT q.vec_id, q.qe, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY $dist ASC, c.cell ASC) AS rn
+           |    FROM q, k${i - 1} c) WHERE rn = 1),
+           |ku$i AS (
+           |  SELECT cell, list(CAST(s // n AS BIGINT) ORDER BY pos) AS ce FROM (
+           |    SELECT cell, pos, sum(v) AS s, count(*) AS n FROM (
+           |      SELECT cell, unnest(range(1, len(qe) + 1)) AS pos, unnest(qe) AS v
+           |      FROM ka$i)
+           |    GROUP BY cell, pos)
+           |  GROUP BY cell),
+           |k$i AS (
+           |  SELECT p.cell, COALESCE(u.ce, p.ce) AS ce
+           |  FROM k${i - 1} p LEFT JOIN ku$i u ON p.cell = u.cell)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |kasg AS (
+         |  SELECT vec_id, qe, cell FROM (
+         |    SELECT q.vec_id, q.qe, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $dist ASC, c.cell ASC) AS rn
+         |    FROM q, k$PqIters c) WHERE rn = 1),
+         |rq AS (
+         |  SELECT a.vec_id,
+         |    list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] - c.ce[i]) AS qe
+         |  FROM kasg a JOIN k$PqIters c ON a.cell = c.cell)""".stripMargin)
+    for (s <- 0 until PqM) {
+      sb.append(
+        s""",
+           |p${s}q AS (
+           |  SELECT vec_id, list_slice(qe, ${s * subDim + 1}, ${(s + 1) * subDim}) AS qe
+           |  FROM rq),
+           |p${s}c0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, qe AS ce
+           |  FROM p${s}q WHERE vec_id IN ($ids))""".stripMargin)
+      for (i <- 1 to PqIters) {
+        sb.append(
+          s""",
+             |p${s}a$i AS (
+             |  SELECT vec_id, qe, code FROM (
+             |    SELECT q.vec_id, q.qe, c.code,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY $dist ASC, c.code ASC) AS rn
+             |    FROM p${s}q q, p${s}c${i - 1} c) WHERE rn = 1),
+             |p${s}u$i AS (
+             |  SELECT code, list(CAST(s // n AS BIGINT) ORDER BY pos) AS ce FROM (
+             |    SELECT code, pos, sum(v) AS s, count(*) AS n FROM (
+             |      SELECT code, unnest(range(1, len(qe) + 1)) AS pos, unnest(qe) AS v
+             |      FROM p${s}a$i)
+             |    GROUP BY code, pos)
+             |  GROUP BY code),
+             |p${s}c$i AS (
+             |  SELECT p.code, COALESCE(u.ce, p.ce) AS ce
+             |  FROM p${s}c${i - 1} p LEFT JOIN p${s}u$i u ON p.code = u.code)""".stripMargin)
+      }
+    }
+    val encUnion = (0 until PqM)
+      .map(s => s"SELECT $s AS sub, vec_id, code FROM p${s}a$PqIters")
+      .mkString(" UNION ALL ")
+    val cbUnion = (0 until PqM)
+      .map(s => s"SELECT $s AS sub, code, ce FROM p${s}c$PqIters")
+      .mkString(" UNION ALL ")
+    sb.append(
+      s""",
+         |encoded AS ($encUnion),
+         |cb AS ($cbUnion),
+         |cpr AS (
+         |  SELECT q_vec_id, cell FROM (
+         |    SELECT q.vec_id AS q_vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $dist ASC, c.cell ASC) AS rn
+         |    FROM qall q, k$PqIters c WHERE q.vec_id < $NumQueries)
+         |  WHERE rn <= $IvfNProbe),
+         |cand AS (
+         |  SELECT p.q_vec_id, a.vec_id, p.cell
+         |  FROM kasg a JOIN cpr p
+         |    ON a.cell = p.cell AND a.vec_id <> p.q_vec_id),
+         |qres AS (
+         |  SELECT p.q_vec_id, p.cell,
+         |    list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] - c.ce[i]) AS rqv
+         |  FROM cpr p
+         |  JOIN k$PqIters c ON p.cell = c.cell
+         |  JOIN qall q ON q.vec_id = p.q_vec_id),
+         |dtab AS (
+         |  SELECT q_vec_id, cell, sub, code,
+         |    list_sum(list_transform(range(1, $subDim + 1), i -> (sq[i] - ce[i]) * (sq[i] - ce[i]))) AS d
+         |  FROM (
+         |    SELECT r.q_vec_id, r.cell, cb.sub AS sub, cb.code AS code,
+         |      list_slice(r.rqv, cb.sub * $subDim + 1, cb.sub * $subDim + $subDim) AS sq,
+         |      cb.ce AS ce
+         |    FROM qres r, cb)),
+         |scored AS (
+         |  SELECT cd.q_vec_id, e.vec_id, CAST(sum(t.d) AS BIGINT) AS adist
+         |  FROM cand cd
+         |  JOIN encoded e ON cd.vec_id = e.vec_id
+         |  JOIN dtab t ON t.q_vec_id = cd.q_vec_id AND t.cell = cd.cell
+         |    AND e.sub = t.sub AND e.code = t.code
+         |  GROUP BY cd.q_vec_id, e.vec_id)
+         |SELECT q_vec_id, CAST(rnk AS BIGINT) AS rnk, vec_id, adist FROM (
+         |  SELECT q_vec_id, vec_id, adist,
+         |    row_number() OVER (PARTITION BY q_vec_id ORDER BY adist ASC, vec_id ASC) AS rnk
+         |  FROM scored) WHERE rnk <= $TopK
+         |ORDER BY q_vec_id, rnk""".stripMargin)
+    sb.toString
+  }
+
+  /** Residual IVFADC ([[graft.similarity.Ivf.ivfPqResidualTopK]]): PQ
+    * codes quantize `vec − coarse centroid`; per-(query, cell) residual
+    * ADC tables score only the probed inverted lists. */
+  def ivfPqResidual(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    graft.similarity.Ivf
+      .ivfPqResidualTopK(emb, emb.filter(col("vec_id") < NumQueries),
+        IvfCentroidIds, IvfCentroidIds, EmbDims, PqM, PqIters, IvfNProbe,
+        TopK)
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  def ivfPqResidualOracle: String = pqResidualOracleSql
+
   /** TRUE IVF-PQ ([[graft.similarity.Ivf.ivfPqProbeTopK]]): coarse
     * trained cells restrict the ADC scan to nProbe inverted lists per
     * query — the billion-vector composition, hash-checked end to end

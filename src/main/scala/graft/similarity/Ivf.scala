@@ -568,11 +568,28 @@ object Ivf {
       dims: Int,
       m: Int,
       iters: Int
+  ): (DataFrame, DataFrame, DataFrame) =
+    pqTrainOnMicros(
+      corpus.select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("qe")),
+      centroidIds, dims, m, iters)
+
+  /** [[pqTrain]]'s core over an already-micros `(vec_id, qe)` frame —
+    * exposed separately so [[ivfPqResidualTopK]] can train codebooks on
+    * RESIDUAL vectors (integer differences, not a float column). */
+  private def pqTrainOnMicros(
+      qm: DataFrame,
+      centroidIds: Seq[Long],
+      dims: Int,
+      m: Int,
+      iters: Int
   ): (DataFrame, DataFrame, DataFrame) = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     require(iters >= 1, s"pqTopK needs at least one training iteration, got $iters")
     val subDim = dims / m
-    val spark = corpus.sparkSession
+    val spark = qm.sparkSession
     import spark.implicits._
     // ALL m subspace trainings run as ONE keyed plan — the subspace is
     // just another grouping key. (An earlier form ran m separate
@@ -583,10 +600,7 @@ object Ivf {
       .map(s =>
         s"struct(CAST($s AS INT) AS sub, slice(qe, ${s * subDim + 1}, $subDim) AS qe)")
       .mkString(", ")
-    val q = corpus.select(
-        col("vec_id"),
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
-          .as("qe"))
+    val q = qm
       .select(col("vec_id"), expr(s"explode(array($subStructs))").as("sv"))
       .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.qe").as("qe"))
       .localCheckpoint(true)
@@ -719,12 +733,13 @@ object Ivf {
     * candidate costs m integer table lookups.
     *
     * The residual refinement (encode `vec − centroid` instead of `vec`)
-    * is deliberately omitted: it couples every code to its cell and
+    * is deliberately omitted HERE: it couples every code to its cell and
     * buys accuracy only when cells are tight; the non-residual form
     * keeps codes cell-independent (one global codebook — re-clustering
     * cells never re-encodes the corpus) and is what the frozen-codebook
-    * incremental path ([[pqTopKIncremental]]) requires. Recall vs exact
-    * is quantified in AnnRecallSpec next to the unprobed [[pqTopK]].
+    * incremental path ([[pqTopKIncremental]]) requires. The full
+    * residual composition exists as [[ivfPqResidualTopK]]; AnnRecallSpec
+    * quantifies both next to the unprobed [[pqTopK]].
     *
     * Scale shape: training is [[lloydIntTrain]] + [[pqTrain]] (each one
     * keyed plan); the search is a cell-keyed join of the corpus cell map
@@ -768,6 +783,95 @@ object Ivf {
     val scored = codes
       .join(cellPairs, Seq("vec_id"))
       .join(broadcast(dtab), Seq("q_vec_id", "sub", "code"))
+      .groupBy("q_vec_id", "vec_id")
+      .agg(sum(col("d")).as("adist"))
+    rankAdc(scored, k)
+  }
+
+  /** RESIDUAL IVF-PQ — the full IVFADC of Jégou et al. 2011: the product
+    * quantizer encodes each vector's RESIDUAL from its coarse centroid
+    * (`vec − centroid`), not the vector itself. Residuals concentrate
+    * around zero with far less variance than raw vectors, so the same
+    * m×K code budget quantizes them with lower distortion — the accuracy
+    * step up from [[ivfPqProbeTopK]]'s cell-independent codes, bought by
+    * coupling every code to its cell: re-clustering the coarse quantizer
+    * re-encodes the corpus, which is why the frozen-codebook incremental
+    * path stays on the non-residual form (the trade both scaladocs now
+    * document; AnnRecallSpec quantifies the recall gap on the fixture).
+    *
+    * The deployed quantizer is the FROZEN final coarse centroid table:
+    * inverted lists and residuals both come from a fresh assignment
+    * against it (not training's last in-loop assignment, which ranks
+    * against the pre-update centroids) — the same frozen-artifact
+    * discipline as [[cellDrift]].
+    *
+    * Asymmetric scoring: a query has one residual PER PROBED CELL
+    * (`query − that cell's centroid`), so the ADC table is keyed
+    * (query, cell, sub, code) — |Q|·nProbe·m·K rows, still a broadcast.
+    * Candidate pairs carry their inverted-list cell, and each candidate
+    * costs m table lookups exactly as in the non-residual form. The
+    * embedding arrays never enter the search shuffle. */
+  def ivfPqResidualTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      coarseIds: Seq[Long],
+      pqIds: Seq[Long],
+      dims: Int,
+      m: Int,
+      iters: Int,
+      nProbe: Int,
+      k: Int
+  ): DataFrame = {
+    val subDim = dims / m
+    val microsSql =
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+    val (coarseCent, _) = lloydIntTrain(corpus, coarseIds, iters)
+    // Fresh corpus assignment against the frozen final centroids; the
+    // checkpoint is reused by residual training AND the inverted lists.
+    val casg = corpus
+      .select(col("vec_id"), expr(microsSql).as("qe"))
+      .crossJoin(broadcast(coarseCent))
+      .withColumn("dist", expr(IntDistSql))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cell"), col("qe"))).as("mn"))
+      .select(
+        col("vec_id"), col("mn.cell").as("cell"), col("mn.qe").as("qe"))
+      .localCheckpoint(true)
+    val resid = casg
+      .join(broadcast(coarseCent), Seq("cell"))
+      .select(col("vec_id"), expr("zip_with(qe, ce, (x, y) -> x - y)").as("qe"))
+    val (pqCent, _, codes) = pqTrainOnMicros(resid, pqIds, dims, m, iters)
+    val probes = queries
+      .select(col("vec_id").as("q_vec_id"), expr(microsSql).as("qe"))
+      .crossJoin(broadcast(coarseCent))
+      .withColumn("dist", expr(IntDistSql))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("q_vec_id")
+            .orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("rn") <= nProbe)
+      .select("q_vec_id", "cell", "qe")
+    // Per-(query, probed cell) residual ADC table.
+    val dtab = probes
+      .join(broadcast(coarseCent), Seq("cell"))
+      .select(
+        col("q_vec_id"), col("cell"),
+        expr("zip_with(qe, ce, (x, y) -> x - y)").as("rq"))
+      .crossJoin(broadcast(pqCent))
+      .withColumn("sq", expr(s"slice(rq, sub * $subDim + 1, $subDim)"))
+      .withColumn(
+        "d",
+        expr("aggregate(zip_with(sq, ce, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .select("q_vec_id", "cell", "sub", "code", "d")
+    val cellPairs = casg
+      .select("vec_id", "cell")
+      .join(broadcast(probes.select("q_vec_id", "cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .select("q_vec_id", "vec_id", "cell")
+    val scored = codes
+      .join(cellPairs, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("q_vec_id", "cell", "sub", "code"))
       .groupBy("q_vec_id", "vec_id")
       .agg(sum(col("d")).as("adist"))
     rankAdc(scored, k)

@@ -116,6 +116,47 @@ class AnnRecallSpec extends SparkSuite {
       f"nProbe=K must equal unprobed PQ: $allCells%.3f vs $unprobed%.3f")
   }
 
+  test("residual IVF-PQ recall@10 is recorded and does not collapse") {
+    // The full IVFADC (codes quantize vec − coarse centroid). On
+    // TRAINED/clustered embeddings residuals shrink dramatically and
+    // residual PQ dominates; on this near-uniform fixture cells are
+    // wide, so the gain over non-residual codes is modest — the spec
+    // records both so the relationship is measured, not assumed.
+    val seeds16 = (0 until 16).map(_ * 31L)
+    val resid = recallAtK(retrieved(Ivf.ivfPqResidualTopK(
+      emb, queries, coarseIds = centroidIds, pqIds = seeds16,
+      dims = 64, m = 8, iters = 2, nProbe = 2, k = K)))
+    val plain = recallAtK(retrieved(Ivf.ivfPqProbeTopK(
+      emb, queries, coarseIds = centroidIds, pqIds = seeds16,
+      dims = 64, m = 8, iters = 2, nProbe = 2, k = K)))
+    info(f"recall@$K ivfpq-residual(nProbe=2/8) = $resid%.3f vs non-residual = $plain%.3f")
+    assert(resid >= 0.05, f"residual ivf-pq recall@$K collapsed: $resid%.3f")
+  }
+
+  test("residual IVF-PQ ranks are contiguous; widening the probe only improves the best ADC hit") {
+    val seeds16 = (0 until 16).map(_ * 31L)
+    def run(nProbe: Int) = Ivf.ivfPqResidualTopK(
+      emb, queries, coarseIds = centroidIds, pqIds = seeds16,
+      dims = 64, m = 8, iters = 2, nProbe = nProbe, k = K).collect()
+    val narrow = run(2)
+    narrow.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val rnks = rows.map(_.getAs[Long]("rnk")).sorted.toSeq
+      assert(rnks == (1L to rnks.size))
+    }
+    // A candidate's ADC distance depends only on its OWN cell's residual
+    // table, so probing more cells is a strict candidate-superset with
+    // unchanged scores: per query, the best (min) adist can only improve.
+    val wide = run(centroidIds.size)
+    def best(rows: Array[org.apache.spark.sql.Row]): Map[Long, Long] =
+      rows.filter(_.getAs[Long]("rnk") == 1L)
+        .map(r => r.getLong(0) -> r.getAs[Long]("adist")).toMap
+    val bn = best(narrow); val bw = best(wide)
+    bn.foreach { case (q, b2) =>
+      assert(bw(q) <= b2,
+        s"query $q: nProbe=8 best adist ${bw(q)} worse than nProbe=2 $b2")
+    }
+  }
+
   test("PQ with all-vector queries ranks every anchor (shape sanity)") {
     // Small m·K codebook on 500 vectors: every query must still get
     // exactly K ranked rows 1..K (ADC never loses candidates — every
