@@ -329,6 +329,17 @@ object Ivf {
   private val IntDistSql =
     "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
 
+  /** Map-side nearest-cell assignment: argmin over a broadcast `cents`
+    * array column of (cell, ce) structs, against the row's `qe` vector.
+    * `array_min` on (dist, cell) structs makes struct ordering the
+    * deterministic tie-break (lowest dist, then lowest cell) — the same
+    * rule as `min(struct(dist, cell))` after a crossJoin, with NO
+    * |rows|×K expansion and NO groupBy(vec_id) shuffle. */
+  private val NearestCellSql =
+    """array_min(transform(cents, c -> struct(
+      |  aggregate(zip_with(qe, c.ce, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS dist,
+      |  c.cell AS cell))).cell""".stripMargin
+
   /** The training loop of [[lloydInt]], exposed for composition: returns
     * (final centroid table `(cell, ce)` in integer micros, final
     * assignment `(vec_id, cell, qe)`). Both are localCheckpoint'ed K-row /
@@ -826,16 +837,16 @@ object Ivf {
     val microsSql =
       "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
     val (coarseCent, _) = lloydIntTrain(corpus, coarseIds, iters)
-    // Fresh corpus assignment against the frozen final centroids; the
-    // checkpoint is reused by residual training AND the inverted lists.
+    // Fresh corpus assignment against the frozen final centroids — the
+    // map-side array-argmin shape (see NearestCellSql): no |corpus|×K
+    // expansion, no groupBy(vec_id) shuffle. The checkpoint is reused by
+    // residual training AND the inverted lists.
+    val coarseArr = coarseCent.agg(
+      collect_list(struct(col("cell"), col("ce"))).as("cents"))
     val casg = corpus
       .select(col("vec_id"), expr(microsSql).as("qe"))
-      .crossJoin(broadcast(coarseCent))
-      .withColumn("dist", expr(IntDistSql))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("cell"), col("qe"))).as("mn"))
-      .select(
-        col("vec_id"), col("mn.cell").as("cell"), col("mn.qe").as("qe"))
+      .crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"), expr(NearestCellSql).as("cell"), col("qe"))
       .localCheckpoint(true)
     val resid = casg
       .join(broadcast(coarseCent), Seq("cell"))
@@ -1032,9 +1043,12 @@ object Ivf {
     * drift, or the readout alarms on nothing.
     *
     * Scale shape: training is the already-audited [[lloydIntTrain]];
-    * each side's assignment is one broadcast-K map-side pass whose
-    * partial aggs collapse to ≤K rows before any shuffle. Nothing
-    * shuffles at corpus width. */
+    * each side's assignment is one MAP-SIDE pass — the K centroids ride
+    * along as one broadcast array row and the argmin is `array_min` over
+    * (dist, cell) structs (struct ordering IS the tie-break), so no
+    * |corpus|×K row blowup and no `groupBy(vec_id)` shuffle exist at
+    * all; the only shuffle is the ≤K-key occupancy count, partial-agg'd
+    * map-side. Nothing shuffles at corpus width. */
   def cellDrift(
       corpus: DataFrame,
       batch: DataFrame,
@@ -1042,17 +1056,15 @@ object Ivf {
       iters: Int
   ): DataFrame = {
     val (cent, _) = lloydIntTrain(corpus, centroidIds, iters)
+    val centArr = cent.agg(
+      collect_list(struct(col("cell"), col("ce"))).as("cents"))
     def occupancy(src: DataFrame, as: String) =
       src
         .select(
-          col("vec_id"),
           expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
             .as("qe"))
-        .crossJoin(broadcast(cent))
-        .withColumn("dist", expr(IntDistSql))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cell"))).as("m"))
-        .select(col("m.cell").as("cell"))
+        .crossJoin(broadcast(centArr))
+        .select(expr(NearestCellSql).as("cell"))
         .groupBy("cell")
         .agg(count(lit(1)).as(as))
     val nc = occupancy(corpus, "n_corpus")

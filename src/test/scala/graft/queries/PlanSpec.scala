@@ -458,6 +458,58 @@ class PlanSpec extends SparkSuite {
       s"post-join scoring rows must be the narrow (vec_id, q_vec_id, d):\n$p")
   }
 
+  test("corpus overlap: the sketch path has NO hash shuffle at all") {
+    // min over a multiset == min over its set: the bottom-1 sketch needs
+    // neither distinct nor groupBy — each corpus must collapse map-side
+    // to H longs (partial 1-row agg, Exchange SinglePartition only).
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val p = graft.dedup.Dedup
+      .corpusOverlap(docs, docs, "text", numHashes = 8, withExact = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"),
+      s"sketch-only overlap must not hash-shuffle anything:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // The full query's only hash shuffle is the exact twin's 8-byte
+    // shingle-key groupBy.
+    val full = plan("q_corpus_overlap")
+    assert("hashpartitioning\\(shingle#".r.findAllIn(full).nonEmpty &&
+      !"hashpartitioning\\((?!shingle#)".r.findAllIn(full).exists(_ => true),
+      s"full overlap may shuffle only on the shingle key:\n$full")
+  }
+
+  test("cell drift: assignment is map-side array-argmin — no vec_id shuffle, no window") {
+    val p = plan("q_cell_drift")
+    // Training is checkpointed out of this plan; the readout itself must
+    // assign via the broadcast centroid ARRAY (no |corpus|×K row blowup,
+    // no groupBy(vec_id) regroup) and shuffle only on the ≤K cell key.
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"cell assignment must not shuffle on vec_id:\n$p")
+    assert(!p.contains("Window"), s"no window in the drift readout:\n$p")
+    assert(p.contains("array_min"),
+      s"assignment must be the array-argmin form:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("residual ivf-pq: ADC join keyed by (query, cell, sub, code), heap-ranked, no product") {
+    val p = plan("q_ivf_pq_residual")
+    assert("BroadcastHashJoin \\[q_vec_id#".r.findFirstIn(p).isDefined,
+      s"residual ADC lookup must be a broadcast equi-join on the (q_vec_id, cell, sub, code) key:\n$p")
+    assert(p.contains("TopKPerKey"),
+      s"per-query ranking must run on the bounded heap:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("unicode nfc: pruned two-column scan, expression in the projection") {
+    val p = plan("q_unicode_nfc")
+    assert(p.contains("nfc_normalize"),
+      s"the codegen expression must appear in the plan:\n$p")
+    assert("ReadSchema: struct<doc_id:bigint,text:string>".r
+      .findFirstIn(p).isDefined,
+      s"scan must read only (doc_id, text):\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"per-row normalize must not shuffle (range sort only):\n$p")
+  }
+
   test("gopher filters: one scan, rules on arrays, no explode, no join") {
     val p = plan("q_gopher_filters")
     // Every rule is a higher-order expression over split() arrays — one
