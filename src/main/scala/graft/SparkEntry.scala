@@ -126,6 +126,7 @@ object SparkEntry {
     "q_incremental_pq" -> (PipelineQueries.ivfPqIncremental _),
     "q_repetition_filters" -> (PipelineQueries.repetitionFiltersQ _),
     "q_stream_dedup_corpus" -> (StreamingQueries.streamDedupCorpus _),
+    "q_stream_cell_drift" -> (StreamingQueries.streamCellDrift _),
     "q_quality_keeplist" -> (PipelineQueries.qualityKeeplist _),
     "q_curation_funnel" -> (PipelineQueries.curationFunnel _),
     "q_truncated_rerank" -> (PipelineQueries.simTopKTruncated _),
@@ -487,6 +488,7 @@ object SparkEntry {
     "q_incremental_pq" -> PipelineQueries.ivfPqIncrementalOracle,
     "q_repetition_filters" -> PipelineQueries.repetitionFiltersOracle,
     "q_stream_dedup_corpus" -> StreamingQueries.streamDedupCorpusOracle,
+    "q_stream_cell_drift" -> StreamingQueries.streamCellDriftOracle,
     "q_quality_keeplist" -> PipelineQueries.qualityKeeplistOracle,
     "q_curation_funnel" -> PipelineQueries.curationFunnelOracle,
     "q_truncated_rerank" -> PipelineQueries.simTopKTruncatedOracle,

@@ -68,6 +68,9 @@ object StreamingQueries {
   private def eventsStreamDir(sfDir: String): String =
     tableStreamDir(sfDir, "events")
 
+  private def embeddingsStreamDir(sfDir: String): String =
+    tableStreamDir(sfDir, "embeddings")
+
   private def docsStreamDir(sfDir: String): String =
     tableStreamDir(sfDir, "documents")
 
@@ -406,6 +409,41 @@ object StreamingQueries {
     runToMemory(s, verdicts, OutputMode.Complete(), "graft_stream_dedup_corpus")
       .orderBy("fingerprint")
   }
+
+  /** STREAMING cell-occupancy drift ([[StreamingOps.cellOccupancyStream]]
+    * through the real runtime): the [[PipelineQueries.SemIncMod]] batch
+    * residue arrives on the embeddings drop stream, assigns map-side
+    * against the FROZEN corpus-trained centroids (embedded in the plan as
+    * a literal — stateless, ≤K rows of aggregation state), and the
+    * complete-mode counts feed the SAME drift arithmetic as the batch
+    * [[PipelineQueries.cellDrift]] — so q_stream_cell_drift and
+    * q_cell_drift share ONE oracle and can never drift apart. The K-row
+    * centroid collect is the frozen-artifact handoff a production
+    * monitor does once at deploy. */
+  def streamCellDrift(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{SemIncMod, SemIncResidue, IvfCentroidIds, KmeansIters}
+    val emb = Tables.embeddings(s, d)
+    val corpus = emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue)
+    val (cent, _) =
+      graft.similarity.Ivf.lloydIntTrain(corpus, IvfCentroidIds, KmeansIters)
+    val centRows = cent.orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    val arrivals = StreamingOps
+      .readEmbeddings(s, embeddingsStreamDir(d))
+      .filter(col("vec_id") % SemIncMod === SemIncResidue)
+    val nb = runToMemory(
+      s,
+      StreamingOps.cellOccupancyStream(arrivals, centRows),
+      OutputMode.Complete(), "graft_stream_cell_drift")
+    graft.similarity.Ivf.driftReadout(
+      cent,
+      graft.similarity.Ivf.occupancyAgainst(corpus, cent, "n_corpus"),
+      nb)
+  }
+
+  /** Same readout, same split, same training — the batch oracle IS the
+    * streaming oracle. */
+  def streamCellDriftOracle: String = PipelineQueries.cellDriftOracle
 
   def streamDedupCorpusOracle: String =
     s"""WITH b AS (

@@ -335,10 +335,22 @@ object Ivf {
     * deterministic tie-break (lowest dist, then lowest cell) — the same
     * rule as `min(struct(dist, cell))` after a crossJoin, with NO
     * |rows|×K expansion and NO groupBy(vec_id) shuffle. */
-  private val NearestCellSql =
+  private[graft] val NearestCellSql =
     """array_min(transform(cents, c -> struct(
       |  aggregate(zip_with(qe, c.ce, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS dist,
       |  c.cell AS cell))).cell""".stripMargin
+
+  /** Map-side top-`nProbe` probe cells (ascending (dist, cell) — the
+    * same order the window-rank form used): sort the K-element broadcast
+    * centroid array per row, slice, project the cells. Replaces the
+    * |anchors|×K crossJoin + `row_number` window — for corpus-sized
+    * anchor sets that window was the dominant shuffle+sort of the whole
+    * mining pass; this form emits |anchors|×nProbe rows with NO shuffle
+    * at all. */
+  private def probeCellsSql(nProbe: Int): String =
+    s"""transform(slice(array_sort(transform(cents, c -> struct(
+       |  aggregate(zip_with(qe, c.ce, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS dist,
+       |  c.cell AS cell))), 1, $nProbe), p -> p.cell)""".stripMargin
 
   /** The training loop of [[lloydInt]], exposed for composition: returns
     * (final centroid table `(cell, ce)` in integer micros, final
@@ -917,23 +929,23 @@ object Ivf {
     val cand = base
       .join(asg.select("vec_id", "cell"), Seq("vec_id"))
       .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
+    val centArr = cent.agg(
+      collect_list(struct(col("cell"), col("ce"))).as("cents"))
     val anchors = corpus.select(
         col("vec_id").as("q_vec_id"),
         col("label").as("q_label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q_emb"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
           .as("qe"))
-      .crossJoin(broadcast(cent))
-      .withColumn("dist", expr(IntDistSql))
-      .withColumn(
-        "rn",
-        row_number().over(
-          Window.partitionBy("q_vec_id").orderBy(col("dist").asc, col("cell").asc)))
-      .filter(col("rn") <= nProbe)
+      .crossJoin(broadcast(centArr))
       .withColumn("q_nrm", expr(s"sqrt(${dot("q_emb", "q_emb")})"))
-      .select("q_vec_id", "q_label", "q_emb", "q_nrm", "cell")
+      .select(col("q_vec_id"), col("q_label"), col("q_emb"), col("q_nrm"),
+        explode(expr(probeCellsSql(nProbe))).as("cell"))
+    // `merge` hint: at corpus scale NEITHER side of the cell join fits a
+    // broadcast — pin the shuffle equi-join so fixture-scale size
+    // estimates can't flip it to a broadcast of a corpus-sized frame.
     val scored = cand
-      .join(anchors, Seq("cell"))
+      .join(anchors.hint("merge"), Seq("cell"))
       .filter(col("vec_id") =!= col("q_vec_id"))
       .withColumn(
         "score",
@@ -990,26 +1002,28 @@ object Ivf {
       .join(asg.select("vec_id", "cell"), Seq("vec_id"))
       .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
     // Anchors: every corpus vector probes its nProbe nearest trained
-    // cells by the same exact integer distance training ranked with.
+    // cells by the same exact integer distance training ranked with —
+    // the MAP-SIDE array-sort form (probeCellsSql): no |corpus|×K
+    // crossJoin rows and no corpus-wide window shuffle+sort.
+    val centArr = cent.agg(
+      collect_list(struct(col("cell"), col("ce"))).as("cents"))
     val anchors = corpus.select(
         col("vec_id").as("q_vec_id"),
         col("label").as("q_label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q_emb"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
           .as("qe"))
-      .crossJoin(broadcast(cent))
-      .withColumn("dist", expr(IntDistSql))
-      .withColumn(
-        "rn",
-        row_number().over(
-          Window.partitionBy("q_vec_id").orderBy(col("dist").asc, col("cell").asc)))
-      .filter(col("rn") <= nProbe)
+      .crossJoin(broadcast(centArr))
       .withColumn("q_nrm", expr(s"sqrt(${dot("q_emb", "q_emb")})"))
-      .select("q_vec_id", "q_label", "q_emb", "q_nrm", "cell")
+      .select(col("q_vec_id"), col("q_label"), col("q_emb"), col("q_nrm"),
+        explode(expr(probeCellsSql(nProbe))).as("cell"))
     // Cell-keyed join of two corpus-sized frames — the scale move: a
     // shuffle on `cell`, never a broadcast of a corpus-sized side.
+    // `merge` hint: at corpus scale NEITHER side of the cell join fits a
+    // broadcast — pin the shuffle equi-join so fixture-scale size
+    // estimates can't flip it to a broadcast of a corpus-sized frame.
     val scored = cand
-      .join(anchors, Seq("cell"))
+      .join(anchors.hint("merge"), Seq("cell"))
       .filter(col("label") =!= col("q_label"))
       .withColumn(
         "score",
@@ -1056,19 +1070,34 @@ object Ivf {
       iters: Int
   ): DataFrame = {
     val (cent, _) = lloydIntTrain(corpus, centroidIds, iters)
+    driftReadout(cent,
+      occupancyAgainst(corpus, cent, "n_corpus"),
+      occupancyAgainst(batch, cent, "n_batch"))
+  }
+
+  /** Per-cell member counts of `src` (an `embedding` frame) against the
+    * frozen centroid table — the map-side array-argmin assignment (see
+    * [[NearestCellSql]]) followed by a ≤K-key count. */
+  private[graft] def occupancyAgainst(
+      src: DataFrame, cent: DataFrame, as: String): DataFrame = {
     val centArr = cent.agg(
       collect_list(struct(col("cell"), col("ce"))).as("cents"))
-    def occupancy(src: DataFrame, as: String) =
-      src
-        .select(
-          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
-            .as("qe"))
-        .crossJoin(broadcast(centArr))
-        .select(expr(NearestCellSql).as("cell"))
-        .groupBy("cell")
-        .agg(count(lit(1)).as(as))
-    val nc = occupancy(corpus, "n_corpus")
-    val nb = occupancy(batch, "n_batch")
+    src
+      .select(
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("qe"))
+      .crossJoin(broadcast(centArr))
+      .select(expr(NearestCellSql).as("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as(as))
+  }
+
+  /** [[cellDrift]]'s readout stage over two already-computed occupancy
+    * frames (`(cell, n_corpus)` / `(cell, n_batch)`) — exposed so the
+    * STREAMING monitor can feed its complete-mode counts through the
+    * identical drift arithmetic (one oracle for both faces). */
+  private[graft] def driftReadout(
+      cent: DataFrame, nc: DataFrame, nb: DataFrame): DataFrame = {
     val j = cent
       .select("cell")
       .join(nc, Seq("cell"), "left")

@@ -168,6 +168,63 @@ object StreamingOps {
     spark.readStream.schema(probed).parquet(dir)
   }
 
+  /** Declared embeddings layout for a drop directory that cannot be
+    * probed yet (same fallback contract as [[eventsRawSchema]]). */
+  val embeddingsRawSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)
+  ))
+
+  /** Streaming source over an EMBEDDINGS drop directory (same
+    * dedicated-directory and one-layout-per-directory contract as
+    * [[readEvents]]). */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val probed =
+      try spark.read.parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("Unable to infer schema") =>
+          embeddingsRawSchema
+      }
+    spark.readStream.schema(probed).parquet(dir)
+  }
+
+  /** STREAMING cell-occupancy counts — the continuous face of
+    * [[graft.similarity.Ivf.cellDrift]]'s batch side: every arriving
+    * embedding is assigned to its nearest FROZEN cell map-side (the
+    * K-row centroid artifact is embedded in the plan as a literal array,
+    * so assignment is a pure stateless per-row expression — no join, no
+    * lookup state), and a complete-mode per-cell count accumulates. The
+    * aggregation state is ≤K rows — independent of both corpus and
+    * ingest volume — and the counts are batching-invariant by
+    * construction. Feed the result through `Ivf.driftReadout` against
+    * the corpus occupancy for the full retrain-trigger readout.
+    *
+    * `cents` is the (cell → integer-micros centroid) artifact, K-sized
+    * by contract (the same frozen table every incremental operator
+    * holds); embedding it as a literal is deliberate — a stream restart
+    * with a RETRAINED table is a new query against new cells, never a
+    * silent mid-stream redefinition. */
+  def cellOccupancyStream(
+      arrivals: DataFrame,
+      cents: Seq[(Long, Seq[Long])]
+  ): DataFrame = {
+    val centsCol = array(cents.map { case (cell, ce) =>
+      struct(
+        lit(cell).as("cell"),
+        array(ce.map(v => lit(v)): _*).as("ce"))
+    }: _*)
+    arrivals
+      .select(
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("qe"))
+      .withColumn("cents", centsCol)
+      .select(expr(graft.similarity.Ivf.NearestCellSql).as("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_batch"))
+  }
+
   /** STREAMING incremental exact dedup ([[graft.dedup.Dedup.incrementalExact]]
     * under continuous ingestion): every arriving document carries a
     * caller-computed `fingerprint`; each micro-batch LEFT-joins the static

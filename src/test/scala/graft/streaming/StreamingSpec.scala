@@ -924,4 +924,61 @@ class StreamingSpec extends SparkSuite {
       fp("stream only alpha") -> ((2L, 101L, "new")),
       fp("unique bravo") -> ((1L, 103L, "new"))))
   }
+
+  test("readEmbeddings starts against an empty drop directory via the declared schema") {
+    val d = java.nio.file.Files.createTempDirectory("emb_empty_drop")
+    val stream = StreamingOps.readEmbeddings(spark, d.toString)
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.toSeq ==
+      Seq("vec_id", "embedding", "label"))
+  }
+
+  test("streaming cell occupancy is batching-invariant and assigns like the batch argmin") {
+    import spark.implicits._
+    // Two well-separated 4-dim cells; arrivals split across three drop
+    // files so complete-mode counts must merge across micro-batches.
+    def v(x: Double): Array[Float] =
+      Array.fill(4)(0f).updated(0, x.toFloat)
+    val cents: Seq[(Long, Seq[Long])] = Seq(
+      0L -> Seq(1000000L, 0L, 0L, 0L),
+      1L -> Seq(-1000000L, 0L, 0L, 0L))
+    val d = java.nio.file.Files.createTempDirectory("emb_drop")
+    val files = Seq(
+      Seq((10L, v(0.9)), (11L, v(-0.8))),
+      Seq((12L, v(1.1))),
+      Seq((13L, v(-1.2)), (14L, v(0.99))))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val stage = java.nio.file.Files.createTempDirectory("emb_stage")
+      rows.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = d.resolve(f"emb_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 2000L)
+    }
+    def run(oneFilePerBatch: Boolean, name: String): Map[Long, Long] = {
+      val probed = spark.read.parquet(d.toString).schema
+      val base = spark.readStream.schema(probed)
+      val src =
+        (if (oneFilePerBatch) base.option("maxFilesPerTrigger", "1") else base)
+          .parquet(d.toString)
+      val q = StreamingOps.cellOccupancyStream(src, cents)
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val multi = run(oneFilePerBatch = true, "cell_occ_multi")
+    val single = run(oneFilePerBatch = false, "cell_occ_single")
+    assert(multi == single, "micro-batch boundaries changed the counts")
+    assert(multi == Map(0L -> 3L, 1L -> 2L))
+  }
 }
