@@ -81,6 +81,7 @@ object SparkEntry {
     "q_media_features" -> (PipelineQueries.mediaFeatures _),
     "q_frame_decode" -> (PipelineQueries.frameDecode _),
     "q_image_decode" -> (PipelineQueries.imageDecode _),
+    "q_image_phash" -> (PipelineQueries.imagePhash _),
     "q_image_resize" -> (PipelineQueries.imageResize _),
     "q_dedup_keeplist" -> (PipelineQueries.dedupKeeplist _),
     "q_leakage_safe_split" -> (PipelineQueries.leakageSafeSplit _),
@@ -441,6 +442,7 @@ object SparkEntry {
     "q_media_features" -> PipelineQueries.mediaFeaturesOracle,
     "q_frame_decode" -> PipelineQueries.frameDecodeOracle,
     "q_image_decode" -> PipelineQueries.imageDecodeOracle,
+    "q_image_phash" -> PipelineQueries.imagePhashOracle,
     "q_image_resize" -> PipelineQueries.imageResizeOracle,
     "q_tfidf_topk" -> TextQueries.tfidfTopTermsOracle(),
     "q_bm25" -> TextQueries.bm25Oracle(),

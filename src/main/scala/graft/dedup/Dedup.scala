@@ -695,14 +695,33 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       blocks: Int = 4
+  ): DataFrame =
+    hammingPairs(simhash(df, idCol, textCol), 32, maxHamming, blocks)
+
+  /** Hamming-ball pair finder over ANY (id, simhash) frame of ≤63-bit
+    * integer hashes — the shared engine of [[simhashDuplicates]] (32-bit
+    * text simhashes) and the image perceptual-hash dedup (56-bit dHashes,
+    * [[graft.multimodal.Multimodal.imageDHash]]). Pigeonhole banding:
+    * split into `blocks` bit-bands; any pair within `maxHamming ≤
+    * blocks − 1` bits collides on at least one untouched band, so the
+    * band self-join is EXACT (finds every such pair, never a recall
+    * trade). The only shuffle key is (band, band-value) — Σ bucket²
+    * pairs, never corpus².
+    *
+    * The banded frame is materialized once (both sides of the self-join;
+    * eager localCheckpoint — round-2 lesson: without it the signature
+    * subtree recomputes per side, measured 118 s vs 3.5 s at sf0.1 for
+    * the text simhash). */
+  def hammingPairs(
+      sh: DataFrame,
+      bits: Int,
+      maxHamming: Int,
+      blocks: Int
   ): DataFrame = {
-    // Materialize the banded simhashes once: without this, both sides of
-    // the band self-join recompute the md5-per-word + 32-aggregate simhash
-    // subtree (measured 118 s vs 3.5 s for the signature alone at sf0.1).
-    // Eager localCheckpoint = compute once, blocks auto-reclaimed when the
-    // returned frame is dropped.
-    val banded = simhashBanded(simhash(df, idCol, textCol), blocks)
-      .localCheckpoint(true)
+    require(bits % blocks == 0, s"blocks=$blocks must divide bits=$bits")
+    require(maxHamming < blocks,
+      s"pigeonhole needs maxHamming < blocks, got $maxHamming/$blocks")
+    val banded = simhashBanded(sh, bits, blocks).localCheckpoint(true)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -715,10 +734,10 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** (id, simhash, band, bv) rows: the 32-bit simhash split into `blocks`
+  /** (id, simhash, band, bv) rows: a `bits`-wide hash split into `blocks`
     * pigeonhole bands. */
-  private def simhashBanded(sh: DataFrame, blocks: Int): DataFrame = {
-    val width = 32 / blocks
+  private def simhashBanded(sh: DataFrame, bits: Int, blocks: Int): DataFrame = {
+    val width = bits / blocks
     val bandCols = (0 until blocks).map { b =>
       struct(lit(b).as("band"),
         expr(s"shiftright(simhash, ${b * width}) & ${(1L << width) - 1}")
@@ -745,8 +764,8 @@ object Dedup {
     // No checkpoint here, unlike the SELF-join in simhashDuplicates: each
     // banded frame feeds exactly one join side, so there is no shared
     // subtree to materialize — eager checkpoints would only add passes.
-    val cB = simhashBanded(simhash(corpus, idCol, textCol), blocks)
-    val bB = simhashBanded(simhash(batch, idCol, textCol), blocks)
+    val cB = simhashBanded(simhash(corpus, idCol, textCol), 32, blocks)
+    val bB = simhashBanded(simhash(batch, idCol, textCol), 32, blocks)
     bB.as("a")
       .join(cB.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))

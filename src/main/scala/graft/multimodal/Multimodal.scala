@@ -528,7 +528,8 @@ object Multimodal {
   def syntheticPngCorpus(
       df: DataFrame,
       idCol: String,
-      textCol: String
+      textCol: String,
+      brightnessDelta: Int = 0
   ): Dataset[MediaItem] = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long"), col(textCol))
@@ -544,12 +545,84 @@ object Multimodal {
           while (o < n) {
             val dg = md.digest((text + ":" + c).getBytes("UTF-8"))
             var k = 0
-            while (k < 16 && o < n) { px(o) = dg(k); k += 1; o += 1 }
+            while (k < 16 && o < n) {
+              // brightnessDelta: a uniform clamped shift of every channel
+              // — the near-dup perturbation for the perceptual-hash tests
+              // (dHash is invariant to it except where the 255 clamp
+              // breaks uniformity). Delta 0 reproduces the original bytes.
+              val v = math.min((dg(k) & 0xff) + brightnessDelta, 255)
+              px(o) = v.toByte
+              k += 1; o += 1
+            }
             c += 1
           }
           MediaItem(id, encodePng(w, h, px), MediaMeta("image", w, h, 0L, "png"))
         }
       }
+  }
+
+  /** Perceptual difference-hash (dHash) from a REAL decode: sample an
+    * `8×8` grid of integer-weighted grayscale values (nearest-neighbor,
+    * `sx = tx·w / 8` — the same integer resample rule as [[resizeImages]])
+    * and emit one bit per horizontal neighbor comparison — 7 bits × 8
+    * rows = a 56-bit hash (56, not 64, so the pack always fits a
+    * non-negative BIGINT in every engine). Gray = 299·R + 587·G + 114·B
+    * (integer ITU-R 601 weights, undivided — comparisons are
+    * scale-invariant, so the division would only lose information).
+    *
+    * dHash is the standard cheap image near-dup signature: invariant to
+    * uniform brightness shift and to any resample that preserves the
+    * neighbor ordering; two visually-identical images land within a few
+    * bits, so the text-side hamming machinery ([[graft.dedup.Dedup]])
+    * clusters images exactly like simhashes. Per-partition codec; the
+    * blob never shuffles. */
+  case class ImageHash(mediaId: Long, ok: Boolean, phash: Long)
+
+  def imageDHash(items: Dataset[MediaItem]): Dataset[ImageHash] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      imageIoInit
+      it.map { item =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(item.content))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) ImageHash(item.mediaId, ok = false, 0L)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val side = 8
+          val g = new Array[Long](side * side)
+          var ty = 0
+          while (ty < side) {
+            val sy = ty * h / side
+            var tx = 0
+            while (tx < side) {
+              val p = img.getRGB(tx * w / side, sy)
+              g(ty * side + tx) =
+                299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+                  114L * (p & 0xff)
+              tx += 1
+            }
+            ty += 1
+          }
+          var hash = 0L
+          var bit = 0
+          ty = 0
+          while (ty < side) {
+            var tx = 0
+            while (tx < side - 1) {
+              if (g(ty * side + tx) > g(ty * side + tx + 1))
+                hash |= 1L << bit
+              bit += 1
+              tx += 1
+            }
+            ty += 1
+          }
+          ImageHash(item.mediaId, ok = true, hash)
+        }
+      }
+    }
   }
 
   // -------------------------------------------------------------------------

@@ -2765,6 +2765,72 @@ object PipelineQueries {
       |  floor(CAST(sb AS DOUBLE) / (w * h) * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS mean_b
       |FROM s ORDER BY media_id""".stripMargin
 
+  /** Twin-id offset / hamming budget / band count for the perceptual-hash
+    * image dedup. 56-bit dHash in 7 bands of 8 bits: pigeonhole makes the
+    * band join EXACT for hamming ≤ 6. */
+  val PhashTwinOffset = 1000000L
+  val PhashMaxHamming = 6
+  val PhashBlocks = 7
+
+  /** IMAGE near-dup dedup via perceptual dHash
+    * ([[graft.multimodal.Multimodal.imageDHash]] +
+    * [[Dedup.hammingPairs]]): the corpus is every synthetic PNG plus a
+    * brightness-shifted twin (+4 per channel, clamped — the perturbation
+    * dHash is designed to shrug off), decoded for REAL, hashed to 56
+    * bits, and paired through the same pigeonhole banding the text
+    * simhash uses. Twins land at hamming 0 except where the 255 clamp
+    * breaks shift-uniformity — deterministically, so the oracle computes
+    * the identical pair set from the md5 pixel chain without any image
+    * codec. */
+  def imagePhash(s: SparkSession, d: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    import s.implicits._
+    val docs = documents(s, d).select("doc_id", "text")
+    val originals = mm.syntheticPngCorpus(docs, "doc_id", "text")
+    val twins = mm
+      .syntheticPngCorpus(docs, "doc_id", "text", brightnessDelta = 4)
+      .map(m => m.copy(mediaId = m.mediaId + PhashTwinOffset))
+    val hashes = mm.imageDHash(originals.union(twins))
+      .toDF()
+      .filter(col("ok"))
+      .select(col("mediaId").as("id"), col("phash").as("simhash"))
+    Dedup.hammingPairs(hashes, 56, PhashMaxHamming, PhashBlocks)
+      .orderBy("id_a", "id_b")
+  }
+
+  def imagePhashOracle: String = {
+    // Grayscale sample at 8×8 grid position (tx, ty) = idx % 8, idx // 8:
+    // nearest-neighbor source pixel (tx·w // 8, ty·h // 8), row-major RGB.
+    def off = "((((idx // 8) * h) // 8) * w + (((idx % 8) * w) // 8)) * 3"
+    s"""WITH chain AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+       |    [CAST('0x' || substr(md5(text || ':' || CAST(j // 16 AS VARCHAR)), 1 + 2 * (j % 16), 2) AS BIGINT)
+       |      for j in range(0, (8 + doc_id % 9) * (8 + doc_id % 7) * 3)] AS b
+       |  FROM documents),
+       |imgs AS (
+       |  SELECT doc_id AS id, w, h, b FROM chain
+       |  UNION ALL
+       |  SELECT doc_id + $PhashTwinOffset AS id, w, h,
+       |    list_transform(b, v -> least(v + 4, 255)) AS b
+       |  FROM chain),
+       |g AS (
+       |  SELECT id,
+       |    [299 * b[$off + 1] + 587 * b[$off + 2] + 114 * b[$off + 3]
+       |      for idx in range(0, 64)] AS gv
+       |  FROM imgs),
+       |ph AS (
+       |  SELECT id, list_sum(
+       |    [CASE WHEN gv[(idx // 7) * 8 + (idx % 7) + 1] > gv[(idx // 7) * 8 + (idx % 7) + 2]
+       |       THEN (CAST(1 AS BIGINT) << idx) ELSE CAST(0 AS BIGINT) END
+       |     for idx in range(0, 56)]) AS phash
+       |  FROM g)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM ph a JOIN ph b ON a.id < b.id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Resize target of the declared resize query (4×4 — small enough that
     * the oracle's per-pixel arithmetic stays a 16-element list op). */
   val ResizeSide = 4

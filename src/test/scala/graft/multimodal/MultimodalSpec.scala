@@ -266,4 +266,82 @@ class MultimodalSpec extends SparkSuite {
     assert(f.sumSq == pcm.map(v => v.toLong * v).sum)
     assert(f.maxAbs == pcm.map(v => math.abs(v.toLong)).max)
   }
+
+  /** Reference dHash straight from a raw RGB byte array — the naive twin
+    * of the decode-based implementation. */
+  private def refDHash(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    def gray(tx: Int, ty: Int): Long = {
+      val o = ((ty * h / 8) * w + (tx * w / 8)) * 3
+      299L * (rgb(o) & 0xff) + 587L * (rgb(o + 1) & 0xff) +
+        114L * (rgb(o + 2) & 0xff)
+    }
+    var hash = 0L; var bit = 0
+    for (ty <- 0 until 8; tx <- 0 until 7) {
+      if (gray(tx, ty) > gray(tx + 1, ty)) hash |= 1L << bit
+      bit += 1
+    }
+    hash
+  }
+
+  test("imageDHash matches the raw-pixel reference through a real decode") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val items = (0L until 6L).map { id =>
+      val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
+      val rgb = Array.fill((w * h * 3))(rnd.nextInt(256).toByte)
+      (id, w, h, rgb)
+    }
+    val ds = spark.createDataset(items.map { case (id, w, h, rgb) =>
+      Multimodal.MediaItem(id, Multimodal.encodePng(w, h, rgb),
+        Multimodal.MediaMeta("image", w, h, 0L, "png"))
+    })
+    val got = Multimodal.imageDHash(ds).collect()
+      .map(r => r.mediaId -> r.phash).toMap
+    items.foreach { case (id, w, h, rgb) =>
+      assert(got(id) == refDHash(w, h, rgb), s"dHash mismatch for image $id")
+    }
+    // 56-bit contract: always non-negative.
+    assert(got.values.forall(_ >= 0L))
+  }
+
+  test("dHash is invariant to a uniform non-clamping brightness shift") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // All channels < 200, so +40 never clamps: hashes must be identical.
+    val w = 12; val h = 9
+    val rgb = Array.fill(w * h * 3)((rnd.nextInt(200)).toByte)
+    val shifted = rgb.map(b => ((b & 0xff) + 40).toByte)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaItem(0L, Multimodal.encodePng(w, h, rgb),
+        Multimodal.MediaMeta("image", w, h, 0L, "png")),
+      Multimodal.MediaItem(1L, Multimodal.encodePng(w, h, shifted),
+        Multimodal.MediaMeta("image", w, h, 0L, "png"))))
+    val hs = Multimodal.imageDHash(ds).collect().map(r => r.mediaId -> r.phash).toMap
+    assert(hs(0L) == hs(1L))
+  }
+
+  test("hammingPairs finds exactly the hamming-ball pairs (pigeonhole exactness)") {
+    import spark.implicits._
+    val base = 0x00ABCDEF12345678L & ((1L << 56) - 1)
+    def flip(v: Long, bits: Seq[Int]): Long = bits.foldLeft(v)((a, b) => a ^ (1L << b))
+    val rows = Seq(
+      0L -> base,
+      1L -> flip(base, Seq(3)), // hamming 1 from 0
+      2L -> flip(base, Seq(10, 20, 30, 40, 50, 55)), // hamming 6 from 0
+      3L -> flip(base, Seq(0, 8, 16, 24, 32, 40, 48)), // hamming 7: outside ball
+      4L -> (~base & ((1L << 56) - 1)) // far away
+    ).toDF("id", "simhash")
+    val pairs = graft.dedup.Dedup.hammingPairs(rows, 56, 6, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) == 1L)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) == 6L)
+    assert(!pairs.contains((0L, 3L)), "hamming 7 must be outside the ball")
+    assert(!pairs.contains((1L, 2L)), "hamming(1,2) = 7: outside the ball")
+    assert(!pairs.contains((0L, 4L)))
+    // Every reported pair's hamming is genuinely <= 6 and correct.
+    val byId = rows.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case ((a, b), d) =>
+      assert(java.lang.Long.bitCount(byId(a) ^ byId(b)).toLong == d && d <= 6L)
+    }
+  }
 }
