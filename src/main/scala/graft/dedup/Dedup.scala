@@ -1290,8 +1290,18 @@ object Dedup {
       }
       src.agg(aggs.head, aggs.tail: _*)
     }
-    val shA = rawShingles(dfA, textCol, n)
-    val shB = rawShingles(dfB, textCol, n)
+    // With the exact twin on, each side's shingle stream feeds TWO
+    // consumers (its sketch and the union groupBy) — materialize once
+    // (same eager-checkpoint discipline as minhashDuplicates). Sketch-only
+    // mode stays a pure single pass: at 100 TB there is nothing to share
+    // and a multiset-sized checkpoint would be the only corpus-sized
+    // artifact in the plan.
+    val shA =
+      if (withExact) rawShingles(dfA, textCol, n).localCheckpoint(true)
+      else rawShingles(dfA, textCol, n)
+    val shB =
+      if (withExact) rawShingles(dfB, textCol, n).localCheckpoint(true)
+      else rawShingles(dfB, textCol, n)
     val est = sketch(shA, "ma_").crossJoin(sketch(shB, "mb_"))
       .select(
         lit(numHashes.toLong).as("n_hashes"),
