@@ -97,6 +97,7 @@ object SparkEntry {
     "q_ivf_trained_topk" -> (PipelineQueries.ivfTrainedTopK _),
     "q_kmeans_train" -> (PipelineQueries.kmeansTrain _),
     "q_dup_spans" -> (PipelineQueries.dupSpans _),
+    "q_dedup_spans_rewrite" -> (PipelineQueries.dedupSpansRewrite _),
     "q_domain_quota" -> (TextQueries.domainQuota _),
     "q_lm_bigram" -> (TextQueries.lmBigram _),
     "q_audio_decode" -> (PipelineQueries.audioDecode _),
@@ -464,6 +465,7 @@ object SparkEntry {
     "q_ivf_trained_topk" -> PipelineQueries.ivfTrainedTopKOracle,
     "q_kmeans_train" -> PipelineQueries.kmeansTrainOracle,
     "q_dup_spans" -> PipelineQueries.dupSpansOracle,
+    "q_dedup_spans_rewrite" -> PipelineQueries.dedupSpansRewriteOracle,
     "q_domain_quota" -> TextQueries.domainQuotaOracle,
     "q_lm_bigram" -> TextQueries.lmBigramOracle,
     "q_audio_decode" -> PipelineQueries.audioDecodeOracle,

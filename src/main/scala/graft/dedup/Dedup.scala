@@ -718,6 +718,11 @@ object Dedup {
       maxHamming: Int,
       blocks: Int
   ): DataFrame = {
+    // The ≤63-bit contract is load-bearing, not documentation: a wider
+    // band would overflow (1L << width) - 1 in the band mask and silently
+    // drop pairs, so reject it here rather than return wrong answers.
+    require(bits >= 1 && bits <= 63,
+      s"hash width must be in [1, 63] (non-negative BIGINT), got $bits")
     require(bits % blocks == 0, s"blocks=$blocks must divide bits=$bits")
     require(maxHamming < blocks,
       s"pigeonhole needs maxHamming < blocks, got $maxHamming/$blocks")
@@ -1000,6 +1005,91 @@ object Dedup {
           .as("dup_ratio"))
   }
 
+  /** Duplicate-span REMOVAL — the rewrite [[duplicateSpans]] measures for
+    * (exact-substring dedup, Lee et al. 2022, arXiv:2107.06499: the
+    * published operation keeps ONE occurrence of each ~50-token repeated
+    * substring and excises the rest; reference scale-out practice swaps
+    * their single-machine suffix array for fingerprinted fixed-width
+    * windows, same as the detector). Keeper discipline matches the
+    * exact-dedup keep-list: for each duplicate fingerprint (window text
+    * in ≥ `minDocs` distinct docs) the FIRST-occurring document —
+    * min doc id — keeps its span; every other document gets the
+    * interval-union of its removable windows excised, and the text is
+    * re-stitched from the surviving tokens (single-space joined over the
+    * [[words]] tokenization, the same canonical form every shingle
+    * operator in this file already works over).
+    *
+    * Output per document (every input doc appears, untouched docs with
+    * n_removed = 0): (id, n_tokens, n_kept, n_removed, clean_text).
+    *
+    * Scale shape — same discipline as the detector: windows hash to
+    * 60-bit longs pre-shuffle; the keeper election is one fp-keyed
+    * aggregation reduced to (fp, keeper) before joining back; the
+    * interval union is a doc-keyed window (documents never interact
+    * after the flag join); the final excision is MAP-SIDE — the per-doc
+    * interval list (bounded by islands-per-doc, not corpus size) rides a
+    * doc-keyed join and an index-aware `filter` lambda drops covered
+    * tokens with no further shuffle. The token-filter is
+    * O(n_tokens · n_islands) per doc — doc-bounded, never corpus². */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8,
+      minDocs: Long = 2L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"), words(col(textCol)).as("wd"))
+      .localCheckpoint(true)
+    val spans = toks
+      .select(col("id"), explode(posShingles(col("wd"), w)).as("ps"))
+      .select(col("id"), col("ps.pos").as("pos"), hash60(col("ps.s")).as("fp"))
+      .localCheckpoint(true)
+    val keepers = spans
+      .select("id", "fp").distinct()
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df_docs"), min(col("id")).as("keeper"))
+      .filter(col("df_docs") >= minDocs)
+      .select("fp", "keeper")
+    // Removable = duplicate windows in NON-keeper docs only: the keeper
+    // keeps every occurrence of its fingerprints (including intra-doc
+    // repeats — df is distinct-doc, so a doc repeating itself is its own
+    // keeper and loses nothing here; intraDocDedup is the operator for
+    // that).
+    val removable = spans.join(keepers, Seq("fp"))
+      .filter(col("id") =!= col("keeper"))
+      .select("id", "pos")
+    val ord = Window.partitionBy("id").orderBy("pos")
+    val islands = removable
+      .withColumn(
+        "prev_end",
+        max(col("pos") + w)
+          .over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn(
+        "opens",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn(
+        "island",
+        sum(col("opens")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("id", "island")
+      .agg(min(col("pos")).as("s"), max(col("pos") + w).as("e"))
+    val ivs = islands.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    toks.join(ivs, Seq("id"), "left")
+      .withColumn(
+        "kept",
+        when(col("ivs").isNull, col("wd"))
+          .otherwise(expr(
+            "filter(wd, (tok, j) -> NOT exists(ivs, iv -> j >= iv.s AND j < iv.e))")))
+      .select(
+        col("id"),
+        size(col("wd")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("wd")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   // -------------------------------------------------------------------------
   // Incremental (batch-vs-corpus) dedup
   // -------------------------------------------------------------------------
@@ -1266,9 +1356,12 @@ object Dedup {
     *   - `jaccard_exact_micros` — the exact twin over the distinct
     *     shingle sets: union the tagged streams, one groupBy on the
     *     60-bit shingle key (max(flag) partial-aggs map-side), count
-    *     membership. One bounded shuffle of 8-byte keys; kept for
-    *     verification scale and small corpora — at 100 TB run the
-    *     sketch alone (`withExact = false`).
+    *     membership. One bounded shuffle of 8-byte keys, plus an eager
+    *     checkpoint of BOTH raw shingle multisets (corpus-sized) so the
+    *     streams feed sketch and union once each. OFF by default —
+    *     callers opt in (`withExact = true`) for verification scale and
+    *     small corpora; the default is the sketch-only 100 TB path with
+    *     no corpus-sized materialization anywhere.
     *
     * Micros are `round(1e6·x)` of ratios of exact integers — correctly
     * rounded IEEE division, engine-exact. Returns one row:
@@ -1280,7 +1373,7 @@ object Dedup {
       textCol: String,
       numHashes: Int = 32,
       n: Int = 3,
-      withExact: Boolean = true
+      withExact: Boolean = false
   ): DataFrame = {
     def sketch(src: DataFrame, pre: String) = {
       val aggs = (0 until numHashes).map { i =>

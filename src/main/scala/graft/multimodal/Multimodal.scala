@@ -548,9 +548,11 @@ object Multimodal {
             while (k < 16 && o < n) {
               // brightnessDelta: a uniform clamped shift of every channel
               // — the near-dup perturbation for the perceptual-hash tests
-              // (dHash is invariant to it except where the 255 clamp
-              // breaks uniformity). Delta 0 reproduces the original bytes.
-              val v = math.min((dg(k) & 0xff) + brightnessDelta, 255)
+              // (dHash is invariant to it except where a clamp breaks
+              // uniformity). Delta 0 reproduces the original bytes.
+              // Clamped at BOTH ends: a negative delta must floor at 0,
+              // not wrap through toByte (2 + (-4) is 0, never 254).
+              val v = math.max(0, math.min((dg(k) & 0xff) + brightnessDelta, 255))
               px(o) = v.toByte
               k += 1; o += 1
             }

@@ -421,6 +421,65 @@ object PipelineQueries {
        |LEFT JOIN isl_doc ON t.doc_id = isl_doc.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Duplicate-span REMOVAL over the documents table
+    * ([[graft.dedup.Dedup.removeDuplicateSpans]]): the rewrite
+    * [[dupSpans]] measures for — keeper (min doc id per duplicate
+    * fingerprint) keeps its span, every other doc has the interval-union
+    * of its removable 8-token windows excised and its text re-stitched
+    * from the surviving tokens. Exact string surgery, hash-checked. */
+  def dedupSpansRewrite(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup
+      .removeDuplicateSpans(documents(s, d), "doc_id", "text", SpanW, SpanMinDocs)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  def dedupSpansRewriteOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS wd
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    CAST('0x' || substr(md5(array_to_string(wd[i : i + $SpanW - 1], '_')), 1, 15) AS BIGINT) AS fp
+       |  FROM (SELECT doc_id, wd, unnest(range(1, greatest(len(wd) - $SpanW + 2, 1))) AS i FROM t)),
+       |flags AS (
+       |  SELECT fp, min(doc_id) AS keeper
+       |  FROM (SELECT DISTINCT doc_id, fp FROM sp)
+       |  GROUP BY fp HAVING count(*) >= $SpanMinDocs),
+       |dup AS (
+       |  SELECT sp.doc_id, sp.pos FROM sp JOIN flags USING (fp)
+       |  WHERE sp.doc_id <> flags.keeper),
+       |isl AS (
+       |  SELECT doc_id, island, min(pos) AS s, max(pos + $SpanW) AS e FROM (
+       |    SELECT doc_id, pos,
+       |      CAST(sum(opens) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+       |    FROM (
+       |      SELECT doc_id, pos,
+       |        CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS opens
+       |      FROM (
+       |        SELECT doc_id, pos,
+       |          max(pos + $SpanW) OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |        FROM dup)))
+       |  GROUP BY doc_id, island),
+       |toks AS (
+       |  SELECT doc_id, j - 1 AS tpos, wd[CAST(j AS INTEGER)] AS tok
+       |  FROM (SELECT doc_id, wd, unnest(range(1, len(wd) + 1)) AS j FROM t)),
+       |kept AS (
+       |  SELECT tk.doc_id, tk.tpos, tk.tok FROM toks tk
+       |  WHERE NOT EXISTS (SELECT 1 FROM isl
+       |    WHERE isl.doc_id = tk.doc_id AND tk.tpos >= isl.s AND tk.tpos < isl.e)),
+       |ka AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id AS doc_id, CAST(len(t.wd) AS BIGINT) AS n_tokens,
+       |  COALESCE(ka.n_kept, 0) AS n_kept,
+       |  CAST(len(t.wd) AS BIGINT) - COALESCE(ka.n_kept, 0) AS n_removed,
+       |  COALESCE(ka.clean_text, '') AS clean_text
+       |FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val KmeansIters = 3
 
   /** Trained k-means (integer Lloyd's, [[graft.similarity.Ivf.lloydInt]])
@@ -941,7 +1000,7 @@ object PipelineQueries {
     Dedup.corpusOverlap(
       docs.filter(col("doc_id") % DecontamMod =!= 0),
       docs.filter(col("doc_id") % DecontamMod === 0),
-      "text", OverlapHashes)
+      "text", OverlapHashes, withExact = true)
   }
 
   def corpusOverlapOracle: String = {

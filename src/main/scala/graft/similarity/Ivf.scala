@@ -845,6 +845,13 @@ object Ivf {
       nProbe: Int,
       k: Int
   ): DataFrame = {
+    // Argument checks hoisted ABOVE the coarse training: pqTrainOnMicros
+    // would eventually reject a bad m, but only after the full Lloyd
+    // training and corpus assignment have run — and subDim below divides
+    // before any downstream require fires at all.
+    require(m >= 1 && dims % m == 0,
+      s"m=$m must be >= 1 and divide dims=$dims")
+    require(nProbe >= 1 && k >= 1, s"need nProbe >= 1 and k >= 1, got $nProbe/$k")
     val subDim = dims / m
     val microsSql =
       "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
@@ -864,17 +871,16 @@ object Ivf {
       .join(broadcast(coarseCent), Seq("cell"))
       .select(col("vec_id"), expr("zip_with(qe, ce, (x, y) -> x - y)").as("qe"))
     val (pqCent, _, codes) = pqTrainOnMicros(resid, pqIds, dims, m, iters)
+    // Probe-cell selection in the same MAP-SIDE array-sort form as the
+    // rest of the family (probeCellsSql over the broadcast K-row array):
+    // identical (dist, cell)-ascending ranking and tie-break as the old
+    // crossJoin+window, with no |Q|×K expansion and no window shuffle.
     val probes = queries
       .select(col("vec_id").as("q_vec_id"), expr(microsSql).as("qe"))
-      .crossJoin(broadcast(coarseCent))
-      .withColumn("dist", expr(IntDistSql))
-      .withColumn(
-        "rn",
-        row_number().over(
-          Window.partitionBy("q_vec_id")
-            .orderBy(col("dist").asc, col("cell").asc)))
-      .filter(col("rn") <= nProbe)
-      .select("q_vec_id", "cell", "qe")
+      .crossJoin(broadcast(coarseArr))
+      .select(
+        col("q_vec_id"), col("qe"),
+        explode(expr(probeCellsSql(nProbe))).as("cell"))
     // Per-(query, probed cell) residual ADC table.
     val dtab = probes
       .join(broadcast(coarseCent), Seq("cell"))

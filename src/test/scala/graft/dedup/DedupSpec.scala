@@ -283,6 +283,50 @@ class DedupSpec extends SparkSuite {
     assert(got(2L) == ((0L, 0L, 0L)))
   }
 
+  test("removeDuplicateSpans: keeper keeps, others are excised by interval union") {
+    // w=4: docs 0 and 1 share the 6-token run "a b c d e f" -> three
+    // duplicate 4-windows. Keeper (min doc id) = 0 keeps everything;
+    // doc 1's windows at pos 2,3,4 union to [2, 8) -> "a b c d e f"
+    // excised, leaving "z1 z2 q1". Doc 2 shares nothing.
+    val docs = Seq(
+      (0L, "a b c d e f k1 l1"),
+      (1L, "z1 z2 a b c d e f q1"),
+      (2L, "m1 n1 o1 p1")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", w = 4, minDocs = 2L)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(got(0L) == ((8L, 8L, 0L, "a b c d e f k1 l1")))
+    assert(got(1L) == ((9L, 3L, 6L, "z1 z2 q1")))
+    assert(got(2L) == ((4L, 4L, 0L, "m1 n1 o1 p1")))
+  }
+
+  test("removeDuplicateSpans: rewritten corpus has zero removable span mass") {
+    // The defining invariant of the rewrite: after excision each
+    // duplicate fingerprint survives only in its keeper doc, so a
+    // re-scan by the DETECTOR finds nothing left to remove.
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"a1 a2 $shared b1 b2"),
+      (1L, s"c1 $shared d1 d2 d3"),
+      (2L, s"$shared e1 e2 e3 e4"),
+      (3L, "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 f11 f12")
+    ).toDF("doc_id", "text")
+    val clean = Dedup.removeDuplicateSpans(docs, "doc_id", "text", w = 8, minDocs = 2L)
+      .select(col("id").as("doc_id"), col("clean_text"))
+    val rescan = Dedup.duplicateSpans(clean, "doc_id", "clean_text", w = 8, minDocs = 2L)
+    val residual = rescan.agg(sum("dup_tokens")).collect().head.getLong(0)
+    assert(residual == 0L,
+      s"re-scan of the rewritten corpus must find zero duplicate-span mass, got $residual")
+    // Keeper (doc 0) is untouched.
+    val keeperText = clean.filter(col("doc_id") === 0L)
+      .collect().head.getAs[String]("clean_text")
+    assert(keeperText == s"a1 a2 $shared b1 b2")
+  }
+
   test("shingles guard: fewer words than n yields no shingles") {
     val tiny = Seq((0L, "only two")).toDF("doc_id", "text")
     val sh = Dedup.shingleRows(tiny, "doc_id", "text", 3)
@@ -456,8 +500,8 @@ class DedupSpec extends SparkSuite {
   }
 
   test("corpusOverlap: identical corpora estimate 1.0, exact twin agrees") {
-    val row = Dedup.corpusOverlap(docs, docs, "text", numHashes = 16)
-      .collect().head
+    val row = Dedup.corpusOverlap(docs, docs, "text", numHashes = 16,
+        withExact = true).collect().head
     assert(row.getAs[Long]("n_agree") == 16L)
     assert(row.getAs[Long]("jaccard_est_micros") == 1000000L)
     assert(row.getAs[Long]("jaccard_exact_micros") == 1000000L)
@@ -468,7 +512,8 @@ class DedupSpec extends SparkSuite {
   test("corpusOverlap: disjoint corpora are exactly 0; invariants hold") {
     val a = docs.filter(col("doc_id") <= 2) // all share doc 0's shingles
     val b = docs.filter(col("doc_id") === 4L)
-    val row = Dedup.corpusOverlap(a, b, "text", numHashes = 16).collect().head
+    val row = Dedup.corpusOverlap(a, b, "text", numHashes = 16,
+      withExact = true).collect().head
     assert(row.getAs[Long]("n_common") == 0L)
     assert(row.getAs[Long]("jaccard_exact_micros") == 0L)
     // With no shared shingles the per-hash mins can only collide on a
@@ -485,7 +530,8 @@ class DedupSpec extends SparkSuite {
     // 12 trigrams per doc, 9 shared).
     val a = docs.filter(col("doc_id") === 0L || col("doc_id") === 2L)
     val b = docs.filter(col("doc_id") === 1L)
-    val row = Dedup.corpusOverlap(a, b, "text", numHashes = 16).collect().head
+    val row = Dedup.corpusOverlap(a, b, "text", numHashes = 16,
+      withExact = true).collect().head
     assert(row.getAs[Long]("n_shingles_a") == 12L)
     assert(row.getAs[Long]("n_shingles_b") == 12L)
     assert(row.getAs[Long]("n_common") == 9L)
@@ -493,13 +539,14 @@ class DedupSpec extends SparkSuite {
     assert(row.getAs[Long]("jaccard_exact_micros") == 600000L)
   }
 
-  test("corpusOverlap: withExact=false is sketch-only and matches full") {
+  test("corpusOverlap: default is sketch-only and matches the exact-twin run") {
     val a = docs.filter(col("doc_id") <= 2)
     val b = docs.filter(col("doc_id") >= 1)
-    val sk = Dedup.corpusOverlap(a, b, "text", 16, withExact = false)
+    val sk = Dedup.corpusOverlap(a, b, "text", 16)
     assert(sk.columns.toSeq ==
       Seq("n_hashes", "n_agree", "jaccard_est_micros"))
-    val full = Dedup.corpusOverlap(a, b, "text", 16).collect().head
+    val full = Dedup.corpusOverlap(a, b, "text", 16, withExact = true)
+      .collect().head
     val skRow = sk.collect().head
     assert(skRow.getAs[Long]("n_agree") == full.getAs[Long]("n_agree"))
   }

@@ -497,6 +497,10 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TopKPerKey"),
       s"per-query ranking must run on the bounded heap:\n$p")
     assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    // Probe-cell selection is the map-side array-sort form shared with
+    // the rest of the family — the old |Q|×K crossJoin + row_number
+    // window must not reappear anywhere in the search subtree.
+    assert(!p.contains("Window"), s"no window in the probe subtree:\n$p")
   }
 
   test("unicode nfc: pruned two-column scan, expression in the projection") {
