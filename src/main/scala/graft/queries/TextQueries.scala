@@ -1347,6 +1347,182 @@ object TextQueries {
        |  CAST(sum(tid * (sp + 1)) AS BIGINT) AS checksum
        |FROM placed GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin
 
+  /** Every [[ImgEvery]]-th document carries one image in the interleaved
+    * packing fixture (deterministic from doc_id, so both engines derive
+    * the identical multimodal corpus from the text tables alone). */
+  val ImgEvery = 3
+
+  /** Token positions one image occupies in the packed stream — the fixed
+    * per-image budget of the MMC4/OBELICS interleaved format (a vision
+    * encoder emits a constant number of soft tokens per image). */
+  val ImageTokenCost = 4
+
+  /** Placeholder id filling an image's token slots: one past [[EosId]],
+    * so text ids, EOS and image slots occupy disjoint id ranges and one
+    * checksum pins the complete interleaved layout. */
+  val ImgId: Long = VocabSize.toLong + 1L
+
+  /** INTERLEAVED multimodal sequence packing — the MMC4/OBELICS
+    * assembly step (Zhu et al. 2023, arXiv:2304.06939; Laurençon et al.
+    * 2023, arXiv:2306.16527): documents mixing text and images are laid
+    * out as ONE contiguous per-language stream — per doc, the image's
+    * [[ImageTokenCost]] placeholder slots, then the text token ids, then
+    * EOS — and chunked into fixed [[TrainSeqLen]]-position training
+    * sequences, documents spanning boundaries GPT-style. Emitted per
+    * (lang, seq_id): position counts by kind, plus TWO exact integer
+    * checksums — Σ tid·(pos_in_seq+1) over every slot pins the full
+    * layout, Σ media_id·(pos_in_seq+1) over image slots pins WHICH image
+    * landed WHERE. With the image stream empty the layout degenerates to
+    * [[trainSequences]]' exactly (spec-pinned), which is the contract
+    * that makes this the multimodal face of the same packer rather than
+    * a second packer.
+    *
+    * Scale shape: identical to [[trainSequences]] — broadcast
+    * dictionary, hierarchical prefix sum over (lang, id-range) buckets
+    * for the offsets (never a lang-keyed window), doc-keyed placement
+    * join, (lang, seq)-keyed final agg with map-side partials. The image
+    * stream adds [[ImageTokenCost]] rows per image-bearing doc — media
+    * BYTES never enter the plan; images ride as (doc_id, media_id)
+    * references exactly like the multimodal operators' metadata
+    * discipline ([[graft.multimodal.Multimodal]]). */
+  def interleavedPack(s: SparkSession, d: String): DataFrame =
+    interleavedPackDocs(s, documents(s, d), withImages = true)
+
+  /** [[interleavedPack]]' core; `withImages = false` runs the identical
+    * plan over an empty image stream (the degeneracy spec's handle). */
+  private[graft] def interleavedPackDocs(
+      s: SparkSession, docs: DataFrame, withImages: Boolean): DataFrame = {
+    import s.implicits._
+    val tokAll = docs.select(
+      col("doc_id"), col("lang"),
+      posexplode_outer(
+        regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .as(Seq("pos", "tok")))
+      .localCheckpoint(true)
+    val islotsCol =
+      if (withImages)
+        when(col("doc_id") % ImgEvery === 0, lit(ImageTokenCost.toLong))
+          .otherwise(lit(0L))
+      else lit(0L)
+    val nDoc = tokAll.groupBy("doc_id", "lang")
+      .agg(count(col("tok")).as("n"))
+      .withColumn("islots", islotsCol)
+      .localCheckpoint(true)
+    val realTok = tokAll.filter(col("tok").isNotNull)
+    val top = realTok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(VocabSize)
+      .collect()
+    val vocab = top.zipWithIndex
+      .map { case (r, i) => (r.getAs[String]("tok"), i.toLong) }
+      .toSeq.toDF("tok", "tid")
+    val ids = realTok.join(broadcast(vocab), Seq("tok"), "left")
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("pos"),
+        coalesce(col("tid"), lit(-1L)).as("tid"))
+      .unionByName(nDoc.select(
+        col("doc_id"), col("n").as("pos"), lit(EosId).as("tid")))
+    // Same hierarchical (lang, id-range)-bucketed prefix sum as
+    // trainSequences, over the interleaved doc size n + 1 + islots.
+    val cum = graft.operators.PrefixSum.globalCumsum(
+      nDoc.withColumn("sz", col("n") + 1L + col("islots")),
+      bucket = format_string(
+        "%s%020d", col("lang"),
+        graft.operators.PrefixSum.adaptiveRangeBucket(
+          nDoc, col("doc_id"), TrainSeqBucketBits)),
+      order = Seq(col("lang"), col("doc_id")),
+      value = col("sz"),
+      out = "gcum")
+    val langTotals = nDoc.groupBy("lang")
+      .agg(sum(col("n") + 1L + col("islots")).as("t"))
+      .orderBy("lang").collect()
+    var accL = 0L
+    val langOffs = langTotals.map { r =>
+      val o = accL; accL += r.getLong(1); (r.getString(0), o)
+    }.toSeq
+    val offs = cum
+      .join(broadcast(langOffs.toDF("lang", "lang_off")), Seq("lang"))
+      .withColumn("off", col("gcum") - col("sz") - col("lang_off"))
+      .select("doc_id", "lang", "islots", "off")
+    // Text + EOS land AFTER the doc's image slots; image slots occupy
+    // [off, off + islots). `media` carries the image identity (media_id
+    // = doc_id in the deterministic fixture) only on image rows.
+    val textPlaced = ids
+      .join(offs, Seq("doc_id"))
+      .select(
+        col("lang"),
+        (col("off") + col("islots") + col("pos")).as("gpos"),
+        col("tid"), lit(0L).as("media"))
+    val imgPlaced = nDoc.filter(col("islots") > 0L)
+      .select(
+        col("doc_id"), col("lang"),
+        explode(sequence(lit(0L), col("islots") - 1L)).as("slot"))
+      .join(offs.select("doc_id", "off"), Seq("doc_id"))
+      .select(
+        col("lang"),
+        (col("off") + col("slot")).as("gpos"),
+        lit(ImgId).as("tid"), col("doc_id").as("media"))
+    textPlaced.unionByName(imgPlaced)
+      .withColumn("seq_id", expr(s"gpos div $TrainSeqLen"))
+      .withColumn("sp", expr(s"gpos % $TrainSeqLen"))
+      .groupBy("lang", "seq_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") =!= EosId && col("tid") =!= ImgId, 1L)
+          .otherwise(0L)).as("n_text_tokens"),
+        sum(when(col("tid") === ImgId, 1L).otherwise(0L)).as("n_image_slots"),
+        sum(when(col("tid") === EosId, 1L).otherwise(0L)).as("n_doc_ends"),
+        sum(col("tid") * (col("sp") + lit(1L))).as("checksum"),
+        sum(col("media") * (col("sp") + lit(1L))).as("media_checksum"))
+      .orderBy("lang", "seq_id")
+  }
+
+  def interleavedPackOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, regexp_extract_all(text, '$BpePattern') AS l
+       |  FROM documents),
+       |tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok FROM t),
+       |vocab AS (
+       |  SELECT tok, tid FROM (
+       |    SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) - 1 AS BIGINT) AS tid
+       |    FROM (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok))
+       |  WHERE tid < $VocabSize),
+       |base AS (
+       |  SELECT doc_id, lang, len(l) AS n,
+       |    CASE WHEN doc_id % $ImgEvery = 0 THEN $ImageTokenCost ELSE 0 END AS islots
+       |  FROM t),
+       |ids AS (
+       |  SELECT t2.doc_id, t2.pos, coalesce(v.tid, -1) AS tid
+       |  FROM tok t2 LEFT JOIN vocab v ON t2.tok = v.tok
+       |  UNION ALL
+       |  SELECT doc_id, n AS pos, $EosId AS tid FROM base),
+       |imgs AS (
+       |  SELECT doc_id, unnest(range(0, islots)) AS slot
+       |  FROM base WHERE islots > 0),
+       |offs AS (
+       |  SELECT doc_id, lang, islots,
+       |    coalesce(sum(n + 1 + islots) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM base),
+       |placed AS (
+       |  SELECT o.lang, (o.off + o.islots + i.pos) // $TrainSeqLen AS seq_id,
+       |    i.tid, (o.off + o.islots + i.pos) % $TrainSeqLen AS sp,
+       |    CAST(0 AS BIGINT) AS media
+       |  FROM ids i JOIN offs o ON i.doc_id = o.doc_id
+       |  UNION ALL
+       |  SELECT o.lang, (o.off + im.slot) // $TrainSeqLen,
+       |    $ImgId, (o.off + im.slot) % $TrainSeqLen, im.doc_id
+       |  FROM imgs im JOIN offs o ON im.doc_id = o.doc_id)
+       |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+       |  count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN tid <> $EosId AND tid <> $ImgId THEN 1 ELSE 0 END) AS BIGINT) AS n_text_tokens,
+       |  CAST(sum(CASE WHEN tid = $ImgId THEN 1 ELSE 0 END) AS BIGINT) AS n_image_slots,
+       |  CAST(sum(CASE WHEN tid = $EosId THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_ends,
+       |  CAST(sum(tid * (sp + 1)) AS BIGINT) AS checksum,
+       |  CAST(sum(media * (sp + 1)) AS BIGINT) AS media_checksum
+       |FROM placed GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin
+
   /** CCNet-style perplexity bucketing: per language, documents split
     * into head/middle/tail terciles of the unigram-LM mean NLL — the
     * standard quality-stratification step before per-bucket sampling

@@ -83,4 +83,44 @@ class TrainSequencesSpec extends SparkSuite {
     assert(got.nonEmpty)
     assert(got.map(_.toSeq).toSeq == ref.map(_.toSeq).toSeq)
   }
+
+  test("interleaved pack with no images degenerates to trainSequences exactly") {
+    // The contract that makes interleavedPack the multimodal face of
+    // the SAME packer: an empty image stream yields trainSequences'
+    // layout verbatim (shared columns equal row-for-row; the
+    // image-only columns read all-zero).
+    val base = graft.queries.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val noImg = TextQueries.interleavedPackDocs(spark, base, withImages = false)
+    val plain = TextQueries.trainSequencesDocs(spark, base)
+    assert(noImg.filter(
+      col("n_image_slots") =!= 0L || col("media_checksum") =!= 0L).count() == 0L)
+    val a = noImg.select("lang", "seq_id", "n_tokens", "n_doc_ends", "checksum")
+      .collect().map(_.toSeq).toSeq
+    val b = plain.select("lang", "seq_id", "n_tokens", "n_doc_ends", "checksum")
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("interleaved pack: image slots shift the stream by exactly ImageTokenCost per image") {
+    val base = graft.queries.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val got = TextQueries.interleavedPackDocs(spark, base, withImages = true)
+      .agg(
+        sum("n_tokens").as("total"),
+        sum("n_image_slots").as("slots"),
+        sum("n_doc_ends").as("ends"))
+      .collect().head
+    val nImgDocs = base
+      .filter(col("doc_id") % TextQueries.ImgEvery === 0).count()
+    val plainTotal = TextQueries.trainSequencesDocs(spark, base)
+      .agg(sum("n_tokens")).collect().head.getLong(0)
+    assert(got.getAs[Long]("slots") ==
+      nImgDocs * TextQueries.ImageTokenCost)
+    assert(got.getAs[Long]("total") ==
+      plainTotal + nImgDocs * TextQueries.ImageTokenCost)
+    assert(got.getAs[Long]("ends") == base.count())
+  }
 }
