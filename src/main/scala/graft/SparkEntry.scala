@@ -108,6 +108,7 @@ object SparkEntry {
     "q_stream_enrich" -> (StreamingQueries.streamStaticEnrich _),
     "q_audio_segments" -> (PipelineQueries.audioSegments _),
     "q_semantic_dedup" -> (PipelineQueries.semanticDedup _),
+    "q_semantic_decontam" -> (PipelineQueries.semanticDecontam _),
     "q_incremental_semantic" -> (PipelineQueries.semanticDedupIncrementalQ _),
     "q_cell_drift" -> (PipelineQueries.cellDrift _),
     "q_incremental_ngram" -> (PipelineQueries.ngramJaccardIncrementalQ _),
@@ -477,6 +478,7 @@ object SparkEntry {
     "q_stream_enrich" -> StreamingQueries.streamStaticEnrichOracle,
     "q_audio_segments" -> PipelineQueries.audioSegmentsOracle,
     "q_semantic_dedup" -> PipelineQueries.semanticDedupOracle,
+    "q_semantic_decontam" -> PipelineQueries.semanticDecontamOracle,
     "q_incremental_semantic" -> PipelineQueries.semanticDedupIncrementalOracle,
     "q_cell_drift" -> PipelineQueries.cellDriftOracle,
     "q_incremental_ngram" -> PipelineQueries.ngramJaccardIncrementalOracle,

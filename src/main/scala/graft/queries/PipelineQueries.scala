@@ -709,6 +709,68 @@ object PipelineQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Centroid ids for the semantic-decontamination split: (1..8)·37 —
+    * none ≡ 0 mod [[DecontamMod]] (13), so every centroid stays on the
+    * corpus side of the corpus/holdout split and the cell numbering
+    * resolves against the corpus alone. */
+  val SemDecontamCentroidIds: Seq[Long] = (1 to 8).map(_ * 37L)
+
+  /** Probe width for [[semanticDecontam]] — the corpus side reaches
+    * across one cell boundary, same width as the IVF search queries. */
+  val SemDecontamNProbe = 2
+
+  /** Semantic decontamination over the embeddings table
+    * ([[graft.similarity.Ivf.semanticContamination]]): the vec_id %
+    * [[DecontamMod]] == 0 slice plays the held-out benchmark (the same
+    * residue the shingle-level [[decontaminate]] fixture uses), the rest
+    * is the training corpus; corpus docs at cosine ≥
+    * [[SemDedupThreshold]] against any holdout doc inside probed shared
+    * cells are the drop list. */
+  def semanticDecontam(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    graft.similarity.Ivf
+      .semanticContamination(
+        emb.filter(col("vec_id") % DecontamMod =!= 0),
+        emb.filter(col("vec_id") % DecontamMod === 0),
+        SemDecontamCentroidIds, SemDedupThreshold, SemDecontamNProbe)
+      .orderBy("vec_id")
+  }
+
+  def semanticDecontamOracle: String = {
+    val ids = SemDecontamCentroidIds.mkString(", ")
+    s"""WITH c0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings WHERE vec_id % $DecontamMod <> 0),
+       |h0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings WHERE vec_id % $DecontamMod = 0),
+       |cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, emb AS cemb
+       |  FROM c0 WHERE vec_id IN ($ids)),
+       |probes AS (
+       |  SELECT vec_id, emb, cell, sqrt(list_dot_product(emb, emb)) AS nrm FROM (
+       |    SELECT a.vec_id, a.emb, c.cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_dot_product(a.emb, a.emb) - 2 * list_dot_product(a.emb, c.cemb) + list_dot_product(c.cemb, c.cemb) ASC,
+       |        c.cell ASC) AS rn
+       |    FROM c0 a CROSS JOIN cent c) WHERE rn <= $SemDecontamNProbe),
+       |asgh AS (
+       |  SELECT vec_id, emb, cell, sqrt(list_dot_product(emb, emb)) AS nrm FROM (
+       |    SELECT a.vec_id, a.emb, c.cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_dot_product(a.emb, a.emb) - 2 * list_dot_product(a.emb, c.cemb) + list_dot_product(c.cemb, c.cemb) ASC,
+       |        c.cell ASC) AS rn
+       |    FROM h0 a CROSS JOIN cent c) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT p.vec_id,
+       |    round(list_dot_product(p.emb, h.emb) / (p.nrm * h.nrm), 6) AS score
+       |  FROM probes p JOIN asgh h ON p.cell = h.cell)
+       |SELECT vec_id, count(*) AS n_holdout_hits, max(score) AS max_score
+       |FROM pairs WHERE score >= CAST($SemDedupThreshold AS DOUBLE)
+       |GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** IVF cell-occupancy drift ([[graft.similarity.Ivf.cellDrift]]):
     * the [[SemIncMod]] batch's embedding distribution vs the corpus the
     * cells were trained on — the retrain-trigger readout for every

@@ -276,6 +276,95 @@ object Ivf {
       .select(col("id_b").as("vec_id"), col("cell"), col("n_dups"), col("max_score"))
   }
 
+  /** SEMANTIC decontamination — the embedding face of
+    * [[graft.dedup.Dedup.contamination]]: shingle overlap catches
+    * VERBATIM eval leakage, but a paraphrased benchmark item shares no
+    * n-grams with its leaked twin while sitting at high embedding
+    * cosine. Flag every corpus document whose cosine against ANY holdout
+    * document reaches `threshold`, restricting the pair space to shared
+    * coarse cells ([[semanticDedup]]'s cell-blocked discipline): the
+    * corpus side probes its `nProbe` nearest cells (a probed corpus doc
+    * can reach a holdout doc assigned just across a cell boundary), the
+    * holdout side takes its single nearest cell. Returns the corpus
+    * drop list (vec_id, n_holdout_hits, max_score); each (corpus,
+    * holdout) pair arises at most once because the holdout doc owns
+    * exactly one cell. No same-id exclusion: the two sides are distinct
+    * datasets, so equal ids are distinct documents and must still be
+    * compared.
+    *
+    * With `nProbe` = K every corpus doc probes every cell, so the pair
+    * space is exactly corpus × holdout — equality with the brute-force
+    * broadcast join is spec-pinned (IvfSpec), the same candidate-
+    * superset trick the rest of the family uses.
+    *
+    * Scale shape: cell selection on BOTH sides is map-side (argmin /
+    * array-sort over the broadcast K-row centroid array — no |rows|×K
+    * expansion, no window); the holdout side is eval-suite sized (MBs
+    * against the corpus's TBs — same asymmetry as shingle
+    * decontamination), so its assigned frame broadcasts into the cell
+    * join and the corpus is read exactly once. */
+  def semanticContamination(
+      corpus: DataFrame,
+      holdout: DataFrame,
+      centroidIds: Seq[Long],
+      threshold: Double,
+      nProbe: Int
+  ): DataFrame = {
+    require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
+    Similarity.ensureFunctions(corpus)
+    val dot = Similarity.dotSql _
+    def prep(df: DataFrame) = df.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val c0 = prep(corpus)
+    val h0 = prep(holdout)
+    val cellOf = centroidIds.sorted.zipWithIndex
+      .map { case (cid, i) => (cid, i.toLong) }
+    val cellDf = {
+      val sp = corpus.sparkSession
+      import sp.implicits._
+      cellOf.toDF("vec_id", "cell")
+    }
+    val cent = c0
+      .join(broadcast(cellDf), Seq("vec_id"))
+      .select(col("cell"), col("emb").as("cemb"))
+    requireCentroidsResolve(c0, centroidIds)
+    val centArr = cent.agg(
+      collect_list(struct(col("cell"), col("cemb"))).as("cents"))
+    // The same three-term L2 the double family's oracles use
+    // (|a|² − 2ab + |c|² from the sequential fold dot), evaluated
+    // INSIDE the lambda per centroid — map-side twin of NearestCellSql
+    // for double frames.
+    val distSql =
+      s"${dot("emb", "emb")} - 2 * ${dot("emb", "c.cemb")} + ${dot("c.cemb", "c.cemb")}"
+    val structsSql =
+      s"transform(cents, c -> struct(($distSql) AS dist, c.cell AS cell))"
+    val probes = c0
+      .crossJoin(broadcast(centArr))
+      .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
+      .select(
+        col("vec_id"), col("emb"), col("nrm"),
+        explode(expr(
+          s"transform(slice(array_sort($structsSql), 1, $nProbe), p -> p.cell)"))
+          .as("cell"))
+    val hAsg = h0
+      .crossJoin(broadcast(centArr))
+      .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
+      .select(
+        col("vec_id").as("h_vec_id"), col("emb").as("h_emb"),
+        col("nrm").as("h_nrm"),
+        expr(s"array_min($structsSql).cell").as("cell"))
+    probes.join(broadcast(hAsg), Seq("cell"))
+      .withColumn(
+        "score",
+        round(expr(dot("emb", "h_emb")) / (col("nrm") * col("h_nrm")), 6))
+      .filter(col("score") >= threshold)
+      .groupBy("vec_id")
+      .agg(
+        count(lit(1)).as("n_holdout_hits"),
+        max(col("score")).as("max_score"))
+  }
+
   /** TRAINED k-means coarse quantizer as a fully ORACLE-CHECKABLE plan:
     * Lloyd's iterations in exact 64-bit integer arithmetic. The MLlib
     * [[build]] path is seed-dependent (k-means|| init, float math) and

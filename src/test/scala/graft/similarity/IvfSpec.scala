@@ -74,6 +74,39 @@ class IvfSpec extends SparkSuite {
     assert(ivf == exact)
   }
 
+  test("semantic decontamination probing all cells equals brute force") {
+    // nProbe = K makes the probed pair space exactly corpus × holdout,
+    // so the cell-blocked flags must equal the broadcast brute-force
+    // cosine-threshold join — the candidate-superset equality the whole
+    // IVF family pins.
+    val corpus = emb.filter(col("vec_id") % 13 =!= 0)
+    val holdout = emb.filter(col("vec_id") % 13 === 0)
+    val ids = (1 to 8).map(_ * 37L)
+    val thr = 0.35
+    val got = Ivf.semanticContamination(corpus, holdout, ids, thr, nProbe = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_holdout_hits"),
+        r.getAs[Double]("max_score"))))
+      .toMap
+    graft.functions.DotProduct.register(spark)
+    val c = corpus.select(col("vec_id").as("cid"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
+    val h = holdout.select(col("vec_id").as("hid"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("he"))
+    val brute = c.crossJoin(broadcast(h))
+      .withColumn("score", round(
+        expr("graft_dot(ce, he)") /
+          (expr("sqrt(graft_dot(ce, ce))") * expr("sqrt(graft_dot(he, he))")), 6))
+      .filter(col("score") >= thr)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), max("score").as("mx"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n"), r.getAs[Double]("mx"))))
+      .toMap
+    assert(got.nonEmpty, "fixture must produce at least one flagged doc")
+    assert(got == brute)
+  }
+
   test("semantic dedup drops exactly the higher-id near-duplicates") {
     import spark.implicits._
     // Two well-separated clusters; ids 1/2 duplicate id 0, id 11 duplicates
