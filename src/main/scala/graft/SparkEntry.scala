@@ -175,6 +175,7 @@ object SparkEntry {
     "q_token_bpe_512" -> (TextQueries.tokenBpe512 _),
     "q_train_sequences" -> (TextQueries.trainSequences _),
     "q_interleaved_pack" -> (TextQueries.interleavedPack _),
+    "q_shard_assign" -> (TextQueries.shardAssign _),
     "q_ccnet_buckets" -> (TextQueries.ccnetBuckets _)
   )
 
@@ -732,6 +733,7 @@ object SparkEntry {
     "q_token_bpe_512" -> TextQueries.tokenBpe512Oracle,
     "q_train_sequences" -> TextQueries.trainSequencesOracle,
     "q_interleaved_pack" -> TextQueries.interleavedPackOracle,
+    "q_shard_assign" -> TextQueries.shardAssignOracle,
     "q_ccnet_buckets" -> TextQueries.ccnetBucketsOracle,
     "q_dup_clusters" -> PipelineQueries.dupClustersOracle,
     "q_word_repetition" ->

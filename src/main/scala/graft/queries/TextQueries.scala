@@ -1317,8 +1317,11 @@ object TextQueries {
       .orderBy("lang", "seq_id")
   }
 
-  def trainSequencesOracle: String =
-    s"""WITH t AS (
+  /** The [[trainSequencesOracle]] CTE chain up to `placed` (lang,
+    * seq_id, tid, sp per stream position) — shared with the shard-
+    * assignment oracle so the two statements can never drift. */
+  private def trainSeqCtesSql: String =
+    s"""t AS (
        |  SELECT doc_id, lang, regexp_extract_all(text, '$BpePattern') AS l
        |  FROM documents),
        |tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok FROM t),
@@ -1340,12 +1343,52 @@ object TextQueries {
        |placed AS (
        |  SELECT o.lang, (o.off + i.pos) // $TrainSeqLen AS seq_id, i.tid,
        |    (o.off + i.pos) % $TrainSeqLen AS sp
-       |  FROM ids i JOIN offs o ON i.doc_id = o.doc_id)
+       |  FROM ids i JOIN offs o ON i.doc_id = o.doc_id)""".stripMargin
+
+  def trainSequencesOracle: String =
+    s"""WITH $trainSeqCtesSql
        |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
        |  count(*) AS n_tokens,
        |  CAST(sum(CASE WHEN tid = $EosId THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_ends,
        |  CAST(sum(tid * (sp + 1)) AS BIGINT) AS checksum
        |FROM placed GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin
+
+  /** Output shard count for [[shardAssign]]. */
+  val NumShards = 8
+
+  /** Seed naming the shard layout: a different seed is a different
+    * (reproducible) corpus shuffle. */
+  val ShardSeed = "graft-shard-v1"
+
+  /** Deterministic sharded training-output assignment
+    * ([[graft.operators.Sharding]]): the packed sequences of
+    * [[trainSequences]], seeded-hash shuffled and split into
+    * [[NumShards]] shards — the reproducible "write N shards" step that
+    * ends a training-data pipeline. One row per shard: item count, key
+    * range, and the exact integer order checksum pinning the complete
+    * within-shard sequence order. */
+  def shardAssign(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sharding.shardReadout(
+      trainSequencesDocs(s, documents(s, d)),
+      concat(col("lang"), lit(":"), col("seq_id").cast("string")),
+      NumShards, ShardSeed)
+
+  def shardAssignOracle: String =
+    s"""WITH $trainSeqCtesSql,
+       |packed AS (SELECT DISTINCT lang, seq_id FROM placed),
+       |keyed AS (
+       |  SELECT lang || ':' || CAST(seq_id AS VARCHAR) AS item,
+       |    CAST('0x' || substr(md5('$ShardSeed' || ':' || lang || ':' || CAST(seq_id AS VARCHAR)), 1, 15) AS BIGINT) AS skey
+       |  FROM packed),
+       |sh AS (SELECT item, skey, skey % $NumShards AS shard FROM keyed),
+       |rk AS (
+       |  SELECT shard, skey,
+       |    CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, item) AS BIGINT) AS rnk
+       |  FROM sh)
+       |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_items,
+       |  min(skey) AS min_key, max(skey) AS max_key,
+       |  CAST(sum((skey % 1000003) * rnk) AS BIGINT) AS order_checksum
+       |FROM rk GROUP BY shard ORDER BY shard""".stripMargin
 
   /** Every [[ImgEvery]]-th document carries one image in the interleaved
     * packing fixture (deterministic from doc_id, so both engines derive
