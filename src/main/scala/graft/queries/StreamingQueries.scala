@@ -445,6 +445,30 @@ object StreamingQueries {
     * streaming oracle. */
   def streamCellDriftOracle: String = PipelineQueries.cellDriftOracle
 
+  /** STREAMING quality gate — the ingest-time face of the C4/Gopher
+    * battery: arriving documents are scored by the SAME
+    * [[graft.textanalysis.TextAnalysis.gopherFilters]] + quality blend
+    * as the batch [[PipelineQueries.gopherFiltersQ]], as a STATELESS
+    * per-row map in append mode (no state store, no watermark — a row's
+    * verdict depends on that row alone, so the operator is trivially
+    * batching-invariant and the stream filters data BEFORE it lands in
+    * the corpus). Shares the batch oracle verbatim: the two faces can
+    * never drift. */
+  def streamQuality(s: SparkSession, d: String): DataFrame = {
+    val arrivals = StreamingOps.readDocuments(s, docsStreamDir(d))
+    val verdicts = graft.textanalysis.TextAnalysis
+      .gopherFilters(
+        arrivals, "doc_id", "text",
+        extra = Seq(graft.textanalysis.TextAnalysis.qualityScore(col("text"))
+          .as("quality")))
+      .withColumn("keep", col("pass_gopher") && col("quality") >= 0.7)
+    runToMemory(s, verdicts, OutputMode.Append(), "graft_stream_quality")
+      .orderBy("doc_id")
+  }
+
+  /** The batch battery oracle IS the streaming oracle. */
+  def streamQualityOracle: String = PipelineQueries.gopherFiltersOracle
+
   def streamDedupCorpusOracle: String =
     s"""WITH b AS (
        |  SELECT doc_id, md5(substr(text, 1, 50)) AS fingerprint

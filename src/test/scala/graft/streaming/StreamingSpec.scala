@@ -925,6 +925,57 @@ class StreamingSpec extends SparkSuite {
       fp("unique bravo") -> ((1L, 103L, "new"))))
   }
 
+  test("streaming quality gate equals the batch battery row-for-row across micro-batches") {
+    import spark.implicits._
+    // Stateless per-row map in append mode: two drop files → two
+    // micro-batches under maxFilesPerTrigger=1; the appended union must
+    // equal the batch gopherFilters verdicts verbatim (one doc passes
+    // the battery, one fails the word-count rule, one fails stopwords).
+    val pass = ((1 to 60).map(i => f"word$i%02d") ++
+      Seq("the", "and", "of", "to", "in")).mkString(" ")
+    val shortDoc = "too short"
+    val noStops = (1 to 60).map(i => f"xenon$i%02d").mkString(" ")
+    val d = java.nio.file.Files.createTempDirectory("docs_quality_drop")
+    val files = Seq(Seq((0L, pass), (1L, shortDoc)), Seq((2L, noStops)))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val stage = java.nio.file.Files.createTempDirectory("docs_qstage")
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(
+        part.toPath, d.resolve(f"docs_$i%03d.parquet"))
+    }
+    val probed = spark.read.parquet(d.toString).schema
+    val src = spark.readStream.schema(probed)
+      .option("maxFilesPerTrigger", "1").parquet(d.toString)
+    def battery(df: org.apache.spark.sql.DataFrame) =
+      graft.textanalysis.TextAnalysis
+        .gopherFilters(df, "doc_id", "text",
+          extra = Seq(graft.textanalysis.TextAnalysis
+            .qualityScore(col("text")).as("quality")))
+        .withColumn("keep", col("pass_gopher") && col("quality") >= 0.7)
+    val q = battery(src)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_quality_spec")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_quality").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_quality_spec")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val want = battery(spark.read.parquet(d.toString))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    val keeps = spark.table("stream_quality_spec")
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keeps == Map(0L -> true, 1L -> false, 2L -> false))
+  }
+
   test("readEmbeddings starts against an empty drop directory via the declared schema") {
     val d = java.nio.file.Files.createTempDirectory("emb_empty_drop")
     val stream = StreamingOps.readEmbeddings(spark, d.toString)
