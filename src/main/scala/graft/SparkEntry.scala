@@ -98,6 +98,8 @@ object SparkEntry {
     "q_kmeans_train" -> (PipelineQueries.kmeansTrain _),
     "q_dup_spans" -> (PipelineQueries.dupSpans _),
     "q_dedup_spans_rewrite" -> (PipelineQueries.dedupSpansRewrite _),
+    "q_incremental_spans" -> (PipelineQueries.incrementalSpans _),
+    "q_image_phash_inc" -> (PipelineQueries.imagePhashInc _),
     "q_domain_quota" -> (TextQueries.domainQuota _),
     "q_lm_bigram" -> (TextQueries.lmBigram _),
     "q_audio_decode" -> (PipelineQueries.audioDecode _),
@@ -470,6 +472,8 @@ object SparkEntry {
     "q_kmeans_train" -> PipelineQueries.kmeansTrainOracle,
     "q_dup_spans" -> PipelineQueries.dupSpansOracle,
     "q_dedup_spans_rewrite" -> PipelineQueries.dedupSpansRewriteOracle,
+    "q_incremental_spans" -> PipelineQueries.incrementalSpansOracle,
+    "q_image_phash_inc" -> PipelineQueries.imagePhashIncOracle,
     "q_domain_quota" -> TextQueries.domainQuotaOracle,
     "q_lm_bigram" -> TextQueries.lmBigramOracle,
     "q_audio_decode" -> PipelineQueries.audioDecodeOracle,

@@ -765,12 +765,37 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       blocks: Int = 4
+  ): DataFrame =
+    hammingPairsIncremental(
+      simhash(corpus, idCol, textCol), simhash(batch, idCol, textCol),
+      32, maxHamming, blocks)
+
+  /** Batch×corpus hamming-ball pair finder over ANY pair of
+    * (id, simhash) frames of ≤63-bit hashes — the incremental face of
+    * [[hammingPairs]], shared by [[simhashIncremental]] (32-bit text
+    * simhashes) and the image perceptual-hash ingest gate (56-bit
+    * dHashes). The band join crosses the two sides EXCLUSIVELY — never
+    * batch×batch, never corpus×corpus — and the pigeonhole argument is
+    * unchanged, so the pairs found are exactly the cross-side hamming
+    * ball. Corpus bands are computable once at ingest. Returns
+    * (id_a = batch id, id_b = corpus id, hamming ≤ maxHamming). */
+  def hammingPairsIncremental(
+      corpusSh: DataFrame,
+      batchSh: DataFrame,
+      bits: Int,
+      maxHamming: Int,
+      blocks: Int
   ): DataFrame = {
-    // No checkpoint here, unlike the SELF-join in simhashDuplicates: each
+    require(bits >= 1 && bits <= 63,
+      s"hash width must be in [1, 63] (non-negative BIGINT), got $bits")
+    require(bits % blocks == 0, s"blocks=$blocks must divide bits=$bits")
+    require(maxHamming < blocks,
+      s"pigeonhole needs maxHamming < blocks, got $maxHamming/$blocks")
+    // No checkpoint here, unlike the SELF-join in hammingPairs: each
     // banded frame feeds exactly one join side, so there is no shared
     // subtree to materialize — eager checkpoints would only add passes.
-    val cB = simhashBanded(simhash(corpus, idCol, textCol), 32, blocks)
-    val bB = simhashBanded(simhash(batch, idCol, textCol), 32, blocks)
+    val cB = simhashBanded(corpusSh, bits, blocks)
+    val bB = simhashBanded(batchSh, bits, blocks)
     bB.as("a")
       .join(cB.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
@@ -1059,6 +1084,20 @@ object Dedup {
     val removable = spans.join(keepers, Seq("fp"))
       .filter(col("id") =!= col("keeper"))
       .select("id", "pos")
+    exciseIntervals(toks, removable, w)
+  }
+
+  /** Shared excision tail of the span-removal family: interval-union the
+    * removable `(id, pos)` windows per doc (the gaps-and-islands window
+    * of [[duplicateSpans]]), then drop the covered tokens MAP-SIDE via a
+    * per-doc interval list and an index-aware `filter` lambda, and
+    * re-stitch `clean_text`. Doc-keyed shuffles only. */
+  private def exciseIntervals(
+      toks: DataFrame,
+      removable: DataFrame,
+      w: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ord = Window.partitionBy("id").orderBy("pos")
     val islands = removable
       .withColumn(
@@ -1088,6 +1127,45 @@ object Dedup {
         size(col("kept")).cast("long").as("n_kept"),
         (size(col("wd")) - size(col("kept"))).cast("long").as("n_removed"),
         array_join(col("kept"), " ").as("clean_text"))
+  }
+
+  /** Incremental span removal — the batch×corpus face of
+    * [[removeDuplicateSpans]], completing the incremental family for the
+    * span operators: the corpus is canonical (already deduplicated, keeps
+    * everything), and an ARRIVING batch document has every w-token window
+    * already present anywhere in the corpus excised before ingest. No
+    * batch×batch comparison and no minDocs election — presence in the
+    * corpus alone makes a window removable (the corpus side is the
+    * keeper by definition), mirroring [[incrementalExact]]'s verdict
+    * discipline. Returns the rewritten batch
+    * (id, n_tokens, n_kept, n_removed, clean_text).
+    *
+    * Scale shape: the corpus collapses to its DISTINCT window-fingerprint
+    * set before the join (map-side partial distinct of 8-byte keys —
+    * computable once at ingest and persistable, like the exact-dedup
+    * fingerprint set); the flag join is fp-keyed batch-sized; islands
+    * and stitching are the doc-keyed [[exciseIntervals]] tail over batch
+    * rows only. The corpus text is scanned once, the batch twice (spans
+    * + stitch, both from the checkpointed token frame). */
+  def removeDuplicateSpansIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8
+  ): DataFrame = {
+    val toks = batch.select(col(idCol).as("id"), words(col(textCol)).as("wd"))
+      .localCheckpoint(true)
+    val bSpans = toks
+      .select(col("id"), explode(posShingles(col("wd"), w)).as("ps"))
+      .select(col("id"), col("ps.pos").as("pos"), hash60(col("ps.s")).as("fp"))
+    val corpusFps = corpus
+      .select(words(col(textCol)).as("wd"))
+      .select(explode(posShingles(col("wd"), w)).as("ps"))
+      .select(hash60(col("ps.s")).as("fp"))
+      .distinct()
+    val removable = bSpans.join(corpusFps, Seq("fp")).select("id", "pos")
+    exciseIntervals(toks, removable, w)
   }
 
   // -------------------------------------------------------------------------

@@ -480,6 +480,68 @@ object PipelineQueries {
        |FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Incremental span removal over the documents table
+    * ([[graft.dedup.Dedup.removeDuplicateSpansIncremental]]): the
+    * doc_id % 3 == 0 slice plays the arriving batch (the same residue as
+    * the streaming ingest split), the rest the canonical corpus; every
+    * batch window already present in the corpus is excised before
+    * ingest. */
+  def incrementalSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.dedup.Dedup
+      .removeDuplicateSpansIncremental(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", SpanW)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  def incrementalSpansOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS wd
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    CAST('0x' || substr(md5(array_to_string(wd[i : i + $SpanW - 1], '_')), 1, 15) AS BIGINT) AS fp
+       |  FROM (SELECT doc_id, wd, unnest(range(1, greatest(len(wd) - $SpanW + 2, 1))) AS i FROM t)),
+       |cfp AS (SELECT DISTINCT fp FROM sp WHERE doc_id % 3 <> 0),
+       |dup AS (
+       |  SELECT sp.doc_id, sp.pos FROM sp JOIN cfp USING (fp)
+       |  WHERE sp.doc_id % 3 = 0),
+       |isl AS (
+       |  SELECT doc_id, island, min(pos) AS s, max(pos + $SpanW) AS e FROM (
+       |    SELECT doc_id, pos,
+       |      CAST(sum(opens) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+       |    FROM (
+       |      SELECT doc_id, pos,
+       |        CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS opens
+       |      FROM (
+       |        SELECT doc_id, pos,
+       |          max(pos + $SpanW) OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |        FROM dup)))
+       |  GROUP BY doc_id, island),
+       |tb AS (SELECT doc_id, wd FROM t WHERE doc_id % 3 = 0),
+       |toks AS (
+       |  SELECT doc_id, j - 1 AS tpos, wd[CAST(j AS INTEGER)] AS tok
+       |  FROM (SELECT doc_id, wd, unnest(range(1, len(wd) + 1)) AS j FROM tb)),
+       |kept AS (
+       |  SELECT tk.doc_id, tk.tpos, tk.tok FROM toks tk
+       |  WHERE NOT EXISTS (SELECT 1 FROM isl
+       |    WHERE isl.doc_id = tk.doc_id AND tk.tpos >= isl.s AND tk.tpos < isl.e)),
+       |ka AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT tb.doc_id AS doc_id, CAST(len(tb.wd) AS BIGINT) AS n_tokens,
+       |  COALESCE(ka.n_kept, 0) AS n_kept,
+       |  CAST(len(tb.wd) AS BIGINT) - COALESCE(ka.n_kept, 0) AS n_removed,
+       |  COALESCE(ka.clean_text, '') AS clean_text
+       |FROM tb LEFT JOIN ka ON tb.doc_id = ka.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val KmeansIters = 3
 
   /** Trained k-means (integer Lloyd's, [[graft.similarity.Ivf.lloydInt]])
@@ -2948,6 +3010,65 @@ object PipelineQueries {
        |SELECT a.id AS id_a, b.id AS id_b,
        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
        |FROM ph a JOIN ph b ON a.id < b.id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** INCREMENTAL image near-dup — the ingest gate of the image family
+    * ([[graft.dedup.Dedup.hammingPairsIncremental]], the batch×corpus
+    * face of the shared hamming engine): the corpus owns every original
+    * PNG; the doc_id % 3 == 0 slice arrives AGAIN as brightness-shifted
+    * re-uploads (the classic re-crawled-thumbnail shape) and each
+    * arrival is paired against corpus hashes only — never against other
+    * arrivals. Corpus dHashes are computable once at ingest; the per-
+    * delivery work is |batch| decodes + the banded cross join. */
+  def imagePhashInc(s: SparkSession, d: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    import s.implicits._
+    val docs = documents(s, d).select("doc_id", "text")
+    val corpusHashes = mm.imageDHash(
+        mm.syntheticPngCorpus(docs, "doc_id", "text"))
+      .toDF().filter(col("ok"))
+      .select(col("mediaId").as("id"), col("phash").as("simhash"))
+    val batchHashes = mm.imageDHash(
+        mm.syntheticPngCorpus(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+          brightnessDelta = 4)
+          .map(m => m.copy(mediaId = m.mediaId + PhashTwinOffset)))
+      .toDF().filter(col("ok"))
+      .select(col("mediaId").as("id"), col("phash").as("simhash"))
+    Dedup.hammingPairsIncremental(
+        corpusHashes, batchHashes, 56, PhashMaxHamming, PhashBlocks)
+      .orderBy("id_a", "id_b")
+  }
+
+  def imagePhashIncOracle: String = {
+    def off = "((((idx // 8) * h) // 8) * w + (((idx % 8) * w) // 8)) * 3"
+    s"""WITH chain AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+       |    [CAST('0x' || substr(md5(text || ':' || CAST(j // 16 AS VARCHAR)), 1 + 2 * (j % 16), 2) AS BIGINT)
+       |      for j in range(0, (8 + doc_id % 9) * (8 + doc_id % 7) * 3)] AS b
+       |  FROM documents),
+       |imgs AS (
+       |  SELECT doc_id AS id, w, h, b, 0 AS is_batch FROM chain
+       |  UNION ALL
+       |  SELECT doc_id + $PhashTwinOffset AS id, w, h,
+       |    list_transform(b, v -> least(v + 4, 255)) AS b, 1 AS is_batch
+       |  FROM chain WHERE doc_id % 3 = 0),
+       |g AS (
+       |  SELECT id, is_batch,
+       |    [299 * b[$off + 1] + 587 * b[$off + 2] + 114 * b[$off + 3]
+       |      for idx in range(0, 64)] AS gv
+       |  FROM imgs),
+       |ph AS (
+       |  SELECT id, is_batch, list_sum(
+       |    [CASE WHEN gv[(idx // 7) * 8 + (idx % 7) + 1] > gv[(idx // 7) * 8 + (idx % 7) + 2]
+       |       THEN (CAST(1 AS BIGINT) << idx) ELSE CAST(0 AS BIGINT) END
+       |     for idx in range(0, 56)]) AS phash
+       |  FROM g)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM ph a JOIN ph b ON a.is_batch = 1 AND b.is_batch = 0
        |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming
        |ORDER BY id_a, id_b""".stripMargin
   }

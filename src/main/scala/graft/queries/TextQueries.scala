@@ -1471,7 +1471,7 @@ object TextQueries {
     val cum = graft.operators.PrefixSum.globalCumsum(
       nDoc.withColumn("sz", col("n") + 1L + col("islots")),
       bucket = format_string(
-        "%s%020d", col("lang"),
+        "%s\u0001%020d", col("lang"),
         graft.operators.PrefixSum.adaptiveRangeBucket(
           nDoc, col("doc_id"), TrainSeqBucketBits)),
       order = Seq(col("lang"), col("doc_id")),

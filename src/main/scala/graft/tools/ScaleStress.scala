@@ -68,6 +68,28 @@ object ScaleStress {
     time("simhash values")(noop(Dedup.simhash(corpus, "doc_id", "text")))
     time("simhash near-dup e2e")(
       noop(Dedup.simhashDuplicates(corpus, "doc_id", "text", 3, 4)))
+    // Round-9: the IMAGE face of the hamming engine — real PNG decode +
+    // 56-bit dHash over the replicated corpus (per-replica texts give
+    // distinct md5 pixel chains) plus one brightness twin per image, so
+    // every image has exactly one planted near-dup. Decode + hash is
+    // per-image map work; the pair join's only shuffle key is
+    // (band, band-value) with ~uniform 8-bit band values — Σ bucket²
+    // grows with (n/256)² per band, so the curve bends gently above
+    // linear at these sizes and the decode must dominate.
+    time("image dhash + hamming pairs") {
+      val mm = graft.multimodal.Multimodal
+      import spark.implicits._
+      val docs = corpus.select("doc_id", "text")
+      val originals = mm.syntheticPngCorpus(docs, "doc_id", "text")
+      val twins = mm
+        .syntheticPngCorpus(docs, "doc_id", "text", brightnessDelta = 4)
+        .map(m => m.copy(mediaId = m.mediaId + 1000000000L))
+      val hashes = mm.imageDHash(originals.union(twins))
+        .toDF()
+        .filter(col("ok"))
+        .select(col("mediaId").as("id"), col("phash").as("simhash"))
+      noop(Dedup.hammingPairs(hashes, 56, 6, 7))
+    }
     // Round-4: df-capped blocked n-gram Jaccard — the cap bounds each
     // (block, shingle) posting self-join at df², so this must stay
     // near-linear in replicas even though every replica is a near-dup.
@@ -108,6 +130,13 @@ object ScaleStress {
     // (flag join + doc-keyed windows, no pair blowup).
     time("duplicate spans")(
       noop(Dedup.duplicateSpans(corpus, "doc_id", "text")))
+    // Round-9: the REWRITE companion — same fp-keyed flag join and
+    // doc-keyed interval union as the detector, plus keeper election
+    // (one more fp-keyed agg) and the map-side per-doc token filter;
+    // the increment over the detector is per-doc work, never cross-doc,
+    // so the curve must track "duplicate spans".
+    time("duplicate span removal")(
+      noop(Dedup.removeDuplicateSpans(corpus, "doc_id", "text")))
     // Round-8 tail: the Gopher repetition battery. Every shuffle key is
     // doc-scoped ((id, n, fp) counts, (id, n) islands, (id, line)
     // groups), so replicas never interact and cost must stay linear in
@@ -169,6 +198,18 @@ object ScaleStress {
     // Each pipeline must stay near-linear in corpus size.
     time("train sequences e2e")(
       noop(graft.queries.TextQueries.trainSequencesDocs(spark, corpus)))
+    // Round-9: the interleaved multimodal packer — same offsets/placement
+    // machinery plus ImageTokenCost reference rows per third doc; must
+    // track "train sequences e2e" with a small constant increment.
+    time("interleaved pack e2e")(
+      noop(graft.queries.TextQueries.interleavedPackDocs(
+        spark, corpus, withImages = true)))
+    // Round-9: seeded shard assignment of the corpus doc ids into 64
+    // shards — the bucketed prefix sum and the md5 keying are both
+    // linear; the N-row driver fold is constant.
+    time("shard assign (64 shards)")(
+      noop(graft.operators.Sharding.shardReadout(
+        corpus.select("doc_id"), col("doc_id"), 64, "stress-seed")))
     time("ccnet buckets e2e")(
       noop(graft.queries.TextQueries.ccnetBucketsFrom(
         graft.queries.TextQueries.lmScoreDocs(corpus)
@@ -252,6 +293,17 @@ object ScaleStress {
     time("semantic dedup (K per replica)") {
       noop(graft.similarity.Ivf.semanticDedup(
         replicatedEmb(withLabel = false), replicaSeeds, 0.35))
+    }
+    // Round-9: semantic decontamination at K∝N against a FIXED holdout
+    // (the realistic shape — the eval suite does not grow with the
+    // corpus). Cost = the two map-side assignment passes (linear in
+    // corpus) + cell-keyed pairs against the broadcast holdout
+    // (≤ |corpus ∩ cell| · |holdout ∩ cell| per probed cell).
+    time("semantic decontam (fixed holdout)") {
+      noop(graft.similarity.Ivf.semanticContamination(
+        replicatedEmb(withLabel = false),
+        embBase.filter(col("vec_id") % 13 === 0),
+        replicaSeeds, 0.35, nProbe = 2))
     }
     // Round-8: IVF-PQ search over the replicated corpus at a fixed query
     // count — the keyed one-plan training + narrow code rows against a

@@ -327,6 +327,54 @@ class DedupSpec extends SparkSuite {
     assert(keeperText == s"a1 a2 $shared b1 b2")
   }
 
+  test("removeDuplicateSpansIncremental: corpus-present windows excised, batch-only dups kept") {
+    // w=4: batch doc 10 repeats corpus doc 0's 6-token run -> excised.
+    // Batch docs 11 and 12 share a run found NOWHERE in the corpus: the
+    // batch×corpus discipline must leave BOTH intact (no batch×batch).
+    val corpus = Seq(
+      (0L, "a b c d e f k1 l1"),
+      (1L, "m1 n1 o1 p1 q1 r1")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "z1 z2 a b c d e f q1"),
+      (11L, "u1 u2 u3 u4 u5 v1"),
+      (12L, "w1 u1 u2 u3 u4 u5")
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .removeDuplicateSpansIncremental(corpus, batch, "doc_id", "text", w = 4)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(got.keySet == Set(10L, 11L, 12L), "corpus rows must not appear")
+    assert(got(10L) == ((6L, "z1 z2 q1")))
+    assert(got(11L) == ((0L, "u1 u2 u3 u4 u5 v1")))
+    assert(got(12L) == ((0L, "w1 u1 u2 u3 u4 u5")))
+  }
+
+  test("hammingPairsIncremental: cross-side pairs only, at any hash width") {
+    // 56-bit hashes (the image-dHash width): batch id 100 is within
+    // hamming 2 of corpus id 1; batch ids are also within hamming 0 of
+    // EACH OTHER but must produce no pair (batch×corpus only); corpus
+    // ids 1 and 2 are identical and must produce no pair either.
+    val corpus = Seq(
+      (1L, 0x00FFFFFFFFFFFFFL),
+      (2L, 0x00FFFFFFFFFFFFFL),
+      (3L, 0x0000000000000FFL)
+    ).toDF("id", "simhash")
+    val batch = Seq(
+      (100L, 0x00FFFFFFFFFFFFCL),
+      (101L, 0x00FFFFFFFFFFFFCL)
+    ).toDF("id", "simhash")
+    val got = Dedup
+      .hammingPairsIncremental(corpus, batch, 56, maxHamming = 2, blocks = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((100L, 1L, 2L), (100L, 2L, 2L),
+      (101L, 1L, 2L), (101L, 2L, 2L)))
+  }
+
   test("shingles guard: fewer words than n yields no shingles") {
     val tiny = Seq((0L, "only two")).toDF("doc_id", "text")
     val sh = Dedup.shingleRows(tiny, "doc_id", "text", 3)
