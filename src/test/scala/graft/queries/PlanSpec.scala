@@ -170,6 +170,65 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ExistingRDD"))
   }
 
+  test("span removal rewrite: keyed windows, map-side excision, checkpointed spans") {
+    val p = plan("q_dedup_spans_rewrite")
+    assert(p.contains("hashpartitioning(id"), s"expected id-keyed window:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"no operator may demand a single partition:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"toks/spans must be checkpointed, not re-exploded per consumer:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    // The excision itself is a map-side lambda over the per-doc interval
+    // list — it must appear as an expression, not as a join or explode.
+    assert(p.contains("filter(wd"),
+      s"token excision must be the index-aware filter lambda:\n$p")
+  }
+
+  test("incremental span removal: fp-keyed flag join, doc-keyed islands") {
+    val p = plan("q_incremental_spans")
+    assert(p.contains("hashpartitioning(id"), s"expected id-keyed window:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"no operator may demand a single partition:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("interleaved pack: checkpointed tokens, hierarchical offsets, no lang window") {
+    val p = plan("q_interleaved_pack")
+    assert(p.contains("ExistingRDD"), s"expected checkpointed tokens:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"tokenizing pass re-run from parquet:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"no operator may demand a single partition:\n$p")
+    assert(!p.contains("windowspecdefinition(lang#"),
+      s"per-doc offsets use a lang-keyed window:\n$p")
+  }
+
+  test("shard assignment: bucketed prefix-sum ranks, never a shard-keyed window") {
+    val p = plan("q_shard_assign")
+    // A shard-keyed window would sort |corpus|/N rows in one task per
+    // shard; the rank must come from the (shard, key-range)-bucketed
+    // prefix sum + the N-row broadcast offset join.
+    assert(!p.contains("windowspecdefinition(shard#"),
+      s"per-shard rank uses a shard-keyed window:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"no operator may demand a single partition:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("semantic decontamination: map-side cell selection, broadcast holdout") {
+    val p = plan("q_semantic_decontam")
+    // Cell selection on both sides is the broadcast-array form — no
+    // |rows|×K expansion, no per-row window rank.
+    assert(p.contains("array_min") || p.contains("array_sort"),
+      s"cell selection must be the map-side array form:\n$p")
+    assert(!p.contains("Window"), s"no window in the decontam plan:\n$p")
+    // The eval-suite-sized holdout broadcasts into the cell join; the
+    // corpus side must never be the build side of anything.
+    assert("BroadcastHashJoin \\[cell#".r.findFirstIn(p).isDefined,
+      s"holdout must broadcast into a cell equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
   test("kmeans training's output plan reads checkpoints, never a product") {
     // The assignment cross joins run EAGERLY inside lloydInt (each round
     // is localCheckpoint'ed), so the returned frame's plan shows only the
