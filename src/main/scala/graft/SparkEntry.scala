@@ -99,6 +99,7 @@ object SparkEntry {
     "q_dup_spans" -> (PipelineQueries.dupSpans _),
     "q_dedup_spans_rewrite" -> (PipelineQueries.dedupSpansRewrite _),
     "q_incremental_spans" -> (PipelineQueries.incrementalSpans _),
+    "q_clean_pack" -> (PipelineQueries.cleanPack _),
     "q_image_phash_inc" -> (PipelineQueries.imagePhashInc _),
     "q_domain_quota" -> (TextQueries.domainQuota _),
     "q_lm_bigram" -> (TextQueries.lmBigram _),
@@ -473,6 +474,7 @@ object SparkEntry {
     "q_dup_spans" -> PipelineQueries.dupSpansOracle,
     "q_dedup_spans_rewrite" -> PipelineQueries.dedupSpansRewriteOracle,
     "q_incremental_spans" -> PipelineQueries.incrementalSpansOracle,
+    "q_clean_pack" -> PipelineQueries.cleanPackOracle,
     "q_image_phash_inc" -> PipelineQueries.imagePhashIncOracle,
     "q_domain_quota" -> TextQueries.domainQuotaOracle,
     "q_lm_bigram" -> TextQueries.lmBigramOracle,

@@ -49,7 +49,7 @@ object Sharding {
     val ranked = PrefixSum.globalCumsum(
       keyed,
       bucket = format_string(
-        "%05d%020d", col("shard"),
+        "%05d\u0001%020d", col("shard"),
         PrefixSum.adaptiveRangeBucket(keyed, col("skey"), 12)),
       order = Seq(col("shard"), col("skey"), col("item")),
       value = lit(1L),

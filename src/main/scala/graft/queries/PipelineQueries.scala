@@ -433,8 +433,12 @@ object PipelineQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
-  def dedupSpansRewriteOracle: String =
-    s"""WITH t AS (
+  /** The span-rewrite CTE chain up to `ka` (doc_id → kept-token count +
+    * stitched `clean_text`) — shared by [[dedupSpansRewriteOracle]] and
+    * the clean→repack composition oracle so the excision arithmetic
+    * exists once on the oracle side. */
+  private def spanRewriteCtesSql: String =
+    s"""t AS (
        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS wd
        |  FROM documents),
        |sp AS (
@@ -472,13 +476,43 @@ object PipelineQueries {
        |ka AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
        |    string_agg(tok, ' ' ORDER BY tpos) AS clean_text
-       |  FROM kept GROUP BY doc_id)
+       |  FROM kept GROUP BY doc_id)""".stripMargin
+
+  def dedupSpansRewriteOracle: String =
+    s"""WITH $spanRewriteCtesSql
        |SELECT t.doc_id AS doc_id, CAST(len(t.wd) AS BIGINT) AS n_tokens,
        |  COALESCE(ka.n_kept, 0) AS n_kept,
        |  CAST(len(t.wd) AS BIGINT) - COALESCE(ka.n_kept, 0) AS n_removed,
        |  COALESCE(ka.clean_text, '') AS clean_text
        |FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** CLEAN → REPACK — the published dedup-then-train composition
+    * (exact-substring dedup feeding sequence assembly): the corpus is
+    * span-rewritten by [[graft.dedup.Dedup.removeDuplicateSpans]]
+    * (keeper-first excision, [[dedupSpansRewrite]]'s exact semantics),
+    * then the SURVIVING text is tokenized and packed into fixed-length
+    * training sequences by [[TextQueries.trainSequencesDocs]] — so
+    * removed spans shift every downstream sequence boundary, and the
+    * layout checksums certify the whole two-stage pipeline end to end.
+    * Scale shape = the two stages' own shapes composed; the stitched
+    * corpus flows between them as a doc-keyed frame, never collected. */
+  def cleanPack(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cleaned = graft.dedup.Dedup
+      .removeDuplicateSpans(docs, "doc_id", "text", SpanW, SpanMinDocs)
+      .select(col("id").as("doc_id"), col("clean_text").as("text"))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    TextQueries.trainSequencesDocs(s, cleaned)
+  }
+
+  def cleanPackOracle: String =
+    s"""WITH $spanRewriteCtesSql,
+       |cleaned AS (
+       |  SELECT d0.doc_id, d0.lang, COALESCE(ka.clean_text, '') AS text
+       |  FROM documents d0 LEFT JOIN ka ON d0.doc_id = ka.doc_id),
+       |${TextQueries.trainSeqCtesSql("cleaned")}
+       |${TextQueries.trainSeqSelectSql}""".stripMargin
 
   /** Incremental span removal over the documents table
     * ([[graft.dedup.Dedup.removeDuplicateSpansIncremental]]): the

@@ -1318,13 +1318,15 @@ object TextQueries {
   }
 
   /** The [[trainSequencesOracle]] CTE chain up to `placed` (lang,
-    * seq_id, tid, sp per stream position) — shared with the shard-
-    * assignment oracle so the two statements can never drift. */
-  private def trainSeqCtesSql: String =
-    s"""t AS (
+    * seq_id, tid, sp per stream position), parameterized on the source
+    * relation (any (doc_id, lang, text) shape) — shared with the shard-
+    * assignment and clean→repack oracles so the statements can never
+    * drift. CTE names are `td`-prefixed to compose with other chains. */
+  private[queries] def trainSeqCtesSql(src: String = "documents"): String =
+    s"""td AS (
        |  SELECT doc_id, lang, regexp_extract_all(text, '$BpePattern') AS l
-       |  FROM documents),
-       |tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok FROM t),
+       |  FROM $src),
+       |tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok FROM td),
        |vocab AS (
        |  SELECT tok, tid FROM (
        |    SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) - 1 AS BIGINT) AS tid
@@ -1334,24 +1336,28 @@ object TextQueries {
        |  SELECT t2.doc_id, t2.pos, coalesce(v.tid, -1) AS tid
        |  FROM tok t2 LEFT JOIN vocab v ON t2.tok = v.tok
        |  UNION ALL
-       |  SELECT doc_id, len(l) AS pos, $EosId AS tid FROM t),
+       |  SELECT doc_id, len(l) AS pos, $EosId AS tid FROM td),
        |offs AS (
        |  SELECT doc_id, lang,
        |    coalesce(sum(len(l) + 1) OVER (PARTITION BY lang ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-       |  FROM t),
+       |  FROM td),
        |placed AS (
        |  SELECT o.lang, (o.off + i.pos) // $TrainSeqLen AS seq_id, i.tid,
        |    (o.off + i.pos) % $TrainSeqLen AS sp
        |  FROM ids i JOIN offs o ON i.doc_id = o.doc_id)""".stripMargin
 
-  def trainSequencesOracle: String =
-    s"""WITH $trainSeqCtesSql
-       |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+  /** The shared final readout over `placed`. */
+  private[queries] def trainSeqSelectSql: String =
+    s"""SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
        |  count(*) AS n_tokens,
        |  CAST(sum(CASE WHEN tid = $EosId THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_ends,
        |  CAST(sum(tid * (sp + 1)) AS BIGINT) AS checksum
        |FROM placed GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin
+
+  def trainSequencesOracle: String =
+    s"""WITH ${trainSeqCtesSql()}
+       |$trainSeqSelectSql""".stripMargin
 
   /** Output shard count for [[shardAssign]]. */
   val NumShards = 8
@@ -1374,7 +1380,7 @@ object TextQueries {
       NumShards, ShardSeed)
 
   def shardAssignOracle: String =
-    s"""WITH $trainSeqCtesSql,
+    s"""WITH ${trainSeqCtesSql()},
        |packed AS (SELECT DISTINCT lang, seq_id FROM placed),
        |keyed AS (
        |  SELECT lang || ':' || CAST(seq_id AS VARCHAR) AS item,
