@@ -469,6 +469,77 @@ object StreamingQueries {
   /** The batch battery oracle IS the streaming oracle. */
   def streamQualityOracle: String = PipelineQueries.gopherFiltersOracle
 
+  /** Frozen-artifact literal shapes for [[streamDecontam]]. */
+  private case class CentLit(cell: Long, cemb: Seq[Double])
+  private case class HoldLit(
+      h_id: Long, cell: Long, h_emb: Seq[Double], h_nrm: Double)
+
+  /** STREAMING semantic decontamination — the third ingest gate (after
+    * [[streamQuality]] and [[streamDedupCorpus]]), and the streaming
+    * face of [[PipelineQueries.semanticDecontam]]: arriving corpus
+    * documents are flagged against the held-out benchmark at embedding
+    * cosine BEFORE they land. Fully STATELESS per-row append map — the
+    * two frozen artifacts ride the plan as literals, the deploy-time
+    * handoff a production gate does once: the K-row centroid table
+    * (same frozen-literal discipline as [[streamCellDrift]]) and the
+    * holdout's per-cell assignments (EVAL-SUITE sized — MBs against the
+    * corpus's TBs, which is the entire reason decontamination ships to
+    * executors rather than shuffling). Per arrival: probe nProbe cells
+    * map-side (the shared [[graft.similarity.Ivf.cellStructsDblSql]]
+    * arithmetic, so stream and batch can never drift), score only the
+    * same-cell holdout docs inside row-local higher-order functions,
+    * emit the flag row. No state store, no watermark, no shuffle —
+    * trivially batching-invariant; shares the batch oracle verbatim.
+    * (At a holdout too large for a literal, the same plan becomes a
+    * stream-static broadcast cell join — the operator's documented
+    * growth path.) */
+  def streamDecontam(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{DecontamMod, SemDecontamCentroidIds,
+      SemDedupThreshold, SemDecontamNProbe}
+    val ivf = graft.similarity.Ivf
+    val emb = Tables.embeddings(s, d)
+    val cent = ivf.fixedCentroidsDouble(
+      emb.filter(col("vec_id") % DecontamMod =!= 0), SemDecontamCentroidIds)
+      .localCheckpoint(true)
+    val centLits = cent.collect()
+      .map(r => CentLit(r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+    val holdLits = ivf.holdoutAssignments(
+        emb.filter(col("vec_id") % DecontamMod === 0), cent)
+      .collect()
+      .map(r => HoldLit(
+        r.getLong(0), r.getLong(1), r.getSeq[Double](2), r.getDouble(3)))
+      .toSeq
+    graft.functions.DotProduct.register(s)
+    val probedSql =
+      s"transform(slice(array_sort(${ivf.cellStructsDblSql("emb")}), " +
+        s"1, $SemDecontamNProbe), p -> p.cell)"
+    val verdicts = StreamingOps
+      .readEmbeddings(s, embeddingsStreamDir(d))
+      .filter(col("vec_id") % DecontamMod =!= 0)
+      .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(emb, emb))"))
+      .withColumn("cents", typedLit(centLits))
+      .withColumn("hold", typedLit(holdLits))
+      .withColumn("probed", expr(probedSql))
+      .withColumn(
+        "hits",
+        expr(
+          s"""filter(transform(filter(hold, h -> array_contains(probed, h.cell)),
+             |  h -> round(graft_dot(emb, h.h_emb) / (nrm * h.h_nrm), 6)),
+             |  sc -> sc >= CAST($SemDedupThreshold AS DOUBLE))""".stripMargin))
+      .filter(size(col("hits")) > 0)
+      .select(
+        col("vec_id"),
+        size(col("hits")).cast("long").as("n_holdout_hits"),
+        array_max(col("hits")).as("max_score"))
+    runToMemory(s, verdicts, OutputMode.Append(), "graft_stream_decontam")
+      .orderBy("vec_id")
+  }
+
+  /** The batch decontamination oracle IS the streaming oracle. */
+  def streamDecontamOracle: String = PipelineQueries.semanticDecontamOracle
+
   def streamDedupCorpusOracle: String =
     s"""WITH b AS (
        |  SELECT doc_id, md5(substr(text, 1, 50)) AS fingerprint

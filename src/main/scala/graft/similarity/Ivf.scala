@@ -303,6 +303,45 @@ object Ivf {
     * against the corpus's TBs — same asymmetry as shingle
     * decontamination), so its assigned frame broadcasts into the cell
     * join and the corpus is read exactly once. */
+  /** Double-prepped (vec_id, emb) view of an embeddings frame. */
+  private[graft] def prepDouble(df: DataFrame): DataFrame = df.select(
+    col("vec_id"),
+    expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+
+  /** Frozen (cell, cemb) centroid table for FIXED centroid ids resolved
+    * against the corpus (cells numbered by sorted id — the contract of
+    * the whole fixed-centroid family). This is the deploy-time artifact
+    * the streaming faces ship: train/choose once on the corpus, hand
+    * the K-row table to every downstream consumer. */
+  def fixedCentroidsDouble(
+      corpus: DataFrame, centroidIds: Seq[Long]): DataFrame = {
+    Similarity.ensureFunctions(corpus)
+    val c0 = prepDouble(corpus)
+    val cellOf = centroidIds.sorted.zipWithIndex
+      .map { case (cid, i) => (cid, i.toLong) }
+    val cellDf = {
+      val sp = corpus.sparkSession
+      import sp.implicits._
+      cellOf.toDF("vec_id", "cell")
+    }
+    requireCentroidsResolve(c0, centroidIds)
+    c0.join(broadcast(cellDf), Seq("vec_id"))
+      .select(col("cell"), col("emb").as("cemb"))
+  }
+
+  /** The map-side (dist, cell) struct array over a broadcast `cents`
+    * column in DOUBLE arithmetic — the same three-term L2 the double
+    * family's oracles use (|a|² − 2ab + |c|² from the sequential fold
+    * dot), evaluated INSIDE the lambda per centroid; the double twin of
+    * [[NearestCellSql]]. Shared by [[semanticContamination]] and the
+    * streaming decontamination gate so the two faces can never drift. */
+  private[graft] def cellStructsDblSql(embCol: String): String = {
+    val dot = Similarity.dotSql _
+    val distSql =
+      s"${dot(embCol, embCol)} - 2 * ${dot(embCol, "c.cemb")} + ${dot("c.cemb", "c.cemb")}"
+    s"transform(cents, c -> struct(($distSql) AS dist, c.cell AS cell))"
+  }
+
   def semanticContamination(
       corpus: DataFrame,
       holdout: DataFrame,
@@ -313,32 +352,12 @@ object Ivf {
     require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
     Similarity.ensureFunctions(corpus)
     val dot = Similarity.dotSql _
-    def prep(df: DataFrame) = df.select(
-      col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-    val c0 = prep(corpus)
-    val h0 = prep(holdout)
-    val cellOf = centroidIds.sorted.zipWithIndex
-      .map { case (cid, i) => (cid, i.toLong) }
-    val cellDf = {
-      val sp = corpus.sparkSession
-      import sp.implicits._
-      cellOf.toDF("vec_id", "cell")
-    }
-    val cent = c0
-      .join(broadcast(cellDf), Seq("vec_id"))
-      .select(col("cell"), col("emb").as("cemb"))
-    requireCentroidsResolve(c0, centroidIds)
+    val c0 = prepDouble(corpus)
+    val h0 = prepDouble(holdout)
+    val cent = fixedCentroidsDouble(corpus, centroidIds)
     val centArr = cent.agg(
       collect_list(struct(col("cell"), col("cemb"))).as("cents"))
-    // The same three-term L2 the double family's oracles use
-    // (|a|² − 2ab + |c|² from the sequential fold dot), evaluated
-    // INSIDE the lambda per centroid — map-side twin of NearestCellSql
-    // for double frames.
-    val distSql =
-      s"${dot("emb", "emb")} - 2 * ${dot("emb", "c.cemb")} + ${dot("c.cemb", "c.cemb")}"
-    val structsSql =
-      s"transform(cents, c -> struct(($distSql) AS dist, c.cell AS cell))"
+    val structsSql = cellStructsDblSql("emb")
     val probes = c0
       .crossJoin(broadcast(centArr))
       .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
@@ -363,6 +382,24 @@ object Ivf {
       .agg(
         count(lit(1)).as("n_holdout_hits"),
         max(col("score")).as("max_score"))
+  }
+
+  /** [[semanticContamination]]'s holdout-side single-cell assignment,
+    * exposed for the streaming gate's deploy-time collect: (h_vec_id,
+    * cell, h_emb, h_nrm) against the frozen centroid table. */
+  def holdoutAssignments(
+      holdout: DataFrame, cent: DataFrame): DataFrame = {
+    Similarity.ensureFunctions(holdout)
+    val dot = Similarity.dotSql _
+    val centArr = cent.agg(
+      collect_list(struct(col("cell"), col("cemb"))).as("cents"))
+    prepDouble(holdout)
+      .crossJoin(broadcast(centArr))
+      .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
+      .withColumn("cell", expr(s"array_min(${cellStructsDblSql("emb")}).cell"))
+      .select(
+        col("vec_id").as("h_vec_id"), col("cell"), col("emb").as("h_emb"),
+        col("nrm").as("h_nrm"))
   }
 
   /** TRAINED k-means coarse quantizer as a fully ORACLE-CHECKABLE plan:

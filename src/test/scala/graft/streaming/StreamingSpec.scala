@@ -976,6 +976,19 @@ class StreamingSpec extends SparkSuite {
     assert(keeps == Map(0L -> true, 1L -> false, 2L -> false))
   }
 
+  test("streaming decontamination gate equals the batch flags through the real runtime") {
+    // The stateless literal-artifact gate must reproduce the batch
+    // operator's flag set verbatim on the real fixture (same frozen
+    // centroids, same holdout assignments, same probe arithmetic).
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamDecontam(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.PipelineQueries.semanticDecontam(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty, "fixture must flag at least one arriving doc")
+    assert(got == want)
+  }
+
   test("readEmbeddings starts against an empty drop directory via the declared schema") {
     val d = java.nio.file.Files.createTempDirectory("emb_empty_drop")
     val stream = StreamingOps.readEmbeddings(spark, d.toString)
