@@ -100,6 +100,8 @@ object SparkEntry {
     "q_dedup_spans_rewrite" -> (PipelineQueries.dedupSpansRewrite _),
     "q_incremental_spans" -> (PipelineQueries.incrementalSpans _),
     "q_clean_pack" -> (PipelineQueries.cleanPack _),
+    "q_budget_select" -> (PipelineQueries.budgetSelect _),
+    "q_epoch_schedule" -> (TextQueries.epochSchedule _),
     "q_image_phash_inc" -> (PipelineQueries.imagePhashInc _),
     "q_domain_quota" -> (TextQueries.domainQuota _),
     "q_lm_bigram" -> (TextQueries.lmBigram _),
@@ -476,6 +478,8 @@ object SparkEntry {
     "q_dedup_spans_rewrite" -> PipelineQueries.dedupSpansRewriteOracle,
     "q_incremental_spans" -> PipelineQueries.incrementalSpansOracle,
     "q_clean_pack" -> PipelineQueries.cleanPackOracle,
+    "q_budget_select" -> PipelineQueries.budgetSelectOracle,
+    "q_epoch_schedule" -> TextQueries.epochScheduleOracle,
     "q_image_phash_inc" -> PipelineQueries.imagePhashIncOracle,
     "q_domain_quota" -> TextQueries.domainQuotaOracle,
     "q_lm_bigram" -> TextQueries.lmBigramOracle,

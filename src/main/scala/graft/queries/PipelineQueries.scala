@@ -487,6 +487,64 @@ object PipelineQueries {
        |FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** TOKEN-BUDGET data selection — "give me the best B tokens": rank the
+    * corpus by the quality blend (ties to the lower doc id), take the
+    * greedy quality-descending prefix until the running token total
+    * reaches the budget (here B = half the corpus's tokens, computed
+    * in-plan so the query bites identically at every scale factor; the
+    * budget-crossing document is included). The published
+    * data-selection shape (quality-ranked selection under a token
+    * budget, QuRating / DsDm-style) reduced to exact integers.
+    *
+    * Scale shape: the global quality-descending running total comes
+    * from [[graft.operators.PrefixSum.globalCumsum]] over quality-range
+    * buckets — NEVER a global ORDER BY window (one task would sort and
+    * sum the whole corpus); the budget is a 1-row broadcast; the keep
+    * flag is a map-side comparison. */
+  def budgetSelect(s: SparkSession, d: String): DataFrame = {
+    val scored = documents(s, d).select(
+        col("doc_id"),
+        graft.textanalysis.TextAnalysis.qualityScore(col("text")).as("quality"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("qm", round(col("quality") * 1e6, 0).cast("long"))
+      .localCheckpoint(true)
+    val ranked = graft.operators.PrefixSum.globalCumsum(
+      scored,
+      bucket = format_string(
+        "%020d",
+        graft.operators.PrefixSum.adaptiveRangeBucket(scored, -col("qm"), 12)),
+      order = Seq(col("qm").desc, col("doc_id").asc),
+      value = col("n_tokens"),
+      out = "cum_tokens")
+    val tot = scored.agg(expr("sum(n_tokens) div 2").as("budget"))
+    ranked
+      .crossJoin(broadcast(tot))
+      .select(
+        col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") - col("n_tokens") < col("budget")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  def budgetSelectOracle: String =
+    s"""WITH $qualityCtesSql,
+       |w AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |j AS (
+       |  SELECT q.doc_id, q.quality, w.n_tokens,
+       |    CAST(round(q.quality * 1000000, 0) AS BIGINT) AS qmm
+       |  FROM q JOIN w USING (doc_id)),
+       |t AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM w),
+       |r AS (
+       |  SELECT doc_id, quality, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY qmm DESC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM j)
+       |SELECT doc_id, quality, n_tokens, cum_tokens,
+       |  (cum_tokens - n_tokens < budget) AS keep
+       |FROM r CROSS JOIN t ORDER BY doc_id""".stripMargin
+
   /** CLEAN → REPACK — the published dedup-then-train composition
     * (exact-substring dedup feeding sequence assembly): the corpus is
     * span-rewritten by [[graft.dedup.Dedup.removeDuplicateSpans]]

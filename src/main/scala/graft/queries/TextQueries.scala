@@ -689,6 +689,86 @@ object TextQueries {
       |  round(CAST(s_micros AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight
       |FROM s, t ORDER BY source""".stripMargin
 
+  /** EPOCH-SCHEDULE materialization — the step that turns [[mixWeights]]'
+    * per-source target weights into an actual per-document repetition
+    * plan (LLaMA/DoReMi-style up/down-sampling with fractional epochs):
+    * a source whose target share u exceeds its natural share repeats its
+    * documents ⌊u⌋ times, plus one extra epoch for the deterministic
+    * frac(u)-fraction of documents selected by a seeded md5 residue —
+    * so the realized token mix converges to the target with NO
+    * randomness (re-running the pipeline anywhere reproduces the exact
+    * schedule, the same determinism contract as [[graft.operators.Sharding]]).
+    * Per source: the integer-micros upsample factor, document count,
+    * total emitted copies, and the extra-epoch count.
+    *
+    * Scale shape: the factor table is #sources rows (broadcast); the
+    * per-doc pass is one map (hash + compare) and a source-keyed
+    * partial-agg rollup — one corpus scan, no joins beyond the
+    * broadcast. */
+  def epochSchedule(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val per = docs
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(expr("n_chars div 4")).as("n_tokens"))
+      .withColumn(
+        "s_micros",
+        round(sqrt(col("n_tokens").cast("double")) * 1e6, 0).cast("long"))
+    val tot = per.agg(
+      sum("s_micros").as("tot_micros"), sum("n_tokens").as("tot_tokens"))
+    // Fixed left-assoc double chain — identical operation order in the
+    // oracle, so the rounded micros are bit-identical cross-engine.
+    val fac = per.crossJoin(broadcast(tot))
+      .withColumn(
+        "u_micros",
+        expr("CAST(round(CAST(s_micros AS DOUBLE) / CAST(tot_micros AS DOUBLE)" +
+          " * CAST(tot_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)" +
+          " * 1000000.0, 0) AS BIGINT)"))
+      .select("source", "u_micros")
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(fac), Seq("source"))
+      .withColumn(
+        "frac",
+        graft.dedup.Dedup.hash60(
+          concat(lit("epoch:"), col("doc_id").cast("string"))) % 1000000L)
+      .withColumn(
+        "extra",
+        when(col("frac") < col("u_micros") % 1000000L, 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(
+        max("u_micros").as("u_micros"),
+        count(lit(1)).as("n_docs"),
+        sum(expr("u_micros div 1000000") + col("extra")).as("n_emitted"),
+        sum(col("extra")).as("n_extra"))
+      .orderBy("source")
+  }
+
+  def epochScheduleOracle: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_chars // 4) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |s AS (SELECT *,
+      |  CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000, 0) AS BIGINT) AS s_micros
+      |  FROM per),
+      |t AS (SELECT CAST(sum(s_micros) AS BIGINT) AS tot_micros,
+      |  CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM s),
+      |f AS (SELECT source,
+      |  CAST(round(CAST(s_micros AS DOUBLE) / CAST(tot_micros AS DOUBLE)
+      |    * CAST(tot_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |    * 1000000.0, 0) AS BIGINT) AS u_micros
+      |  FROM s, t),
+      |r AS (SELECT d.source, f.u_micros,
+      |  CAST('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS frac
+      |  FROM documents d JOIN f USING (source))
+      |SELECT source, CAST(max(u_micros) AS BIGINT) AS u_micros,
+      |  count(*) AS n_docs,
+      |  CAST(sum(u_micros // 1000000
+      |    + CASE WHEN frac < u_micros % 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_emitted,
+      |  CAST(sum(CASE WHEN frac < u_micros % 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   /** Documents per length-grouped batch for [[lengthBatches]]. */
   val LengthBatchSize = 32L
 

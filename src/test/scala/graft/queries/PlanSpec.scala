@@ -215,6 +215,32 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"no product:\n$p")
   }
 
+  test("budget select: bucketed prefix-sum running total, never a global window") {
+    val p = plan("q_budget_select")
+    // A global quality-ordered cumsum window would sort and sum the
+    // whole corpus in one task; the running total must come from the
+    // BUCKET-partitioned prefix-sum window. (The scalar budget aggregate
+    // legitimately funnels ONE partial-agg row per task to one
+    // partition — that is a 1-row-per-task reduce, not a corpus sort.)
+    assert(p.contains("windowspecdefinition(__bucket"),
+      s"running total must be the bucket-partitioned window:\n$p")
+    assert(!"windowspecdefinition\\(qm#".r.findFirstIn(p).isDefined,
+      s"global quality-ordered window (single-task corpus sort):\n$p")
+    assert(p.contains("partial_sum"),
+      s"the budget aggregate must partial-agg map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row budget must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("epoch schedule: broadcast factor table, one corpus scan") {
+    val p = plan("q_epoch_schedule")
+    assert("BroadcastHashJoin \\[source#".r.findFirstIn(p).isDefined,
+      s"the #sources factor table must broadcast into the per-doc pass:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
   test("semantic decontamination: map-side cell selection, broadcast holdout") {
     val p = plan("q_semantic_decontam")
     // Cell selection on both sides is the broadcast-array form — no
