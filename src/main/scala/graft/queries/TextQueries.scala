@@ -705,8 +705,12 @@ object TextQueries {
     * per-doc pass is one map (hash + compare) and a source-keyed
     * partial-agg rollup — one corpus scan, no joins beyond the
     * broadcast. */
-  def epochSchedule(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+  def epochSchedule(s: SparkSession, d: String): DataFrame =
+    epochScheduleDocs(documents(s, d))
+
+  /** [[epochSchedule]]'s core over any (doc_id, source, n_chars) frame
+    * (exposed for ScaleStress). */
+  private[graft] def epochScheduleDocs(docs: DataFrame): DataFrame = {
     val per = docs
       .groupBy("source")
       .agg(

@@ -210,6 +210,33 @@ object ScaleStress {
     time("shard assign (64 shards)")(
       noop(graft.operators.Sharding.shardReadout(
         corpus.select("doc_id"), col("doc_id"), 64, "stress-seed")))
+    // Round-9: token-budget selection — one quality scan, the bucketed
+    // running total, a 1-row broadcast budget; linear by construction.
+    time("budget select e2e") {
+      val scored = corpus.select(
+          col("doc_id"),
+          graft.textanalysis.TextAnalysis.qualityScore(col("text")).as("quality"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        .withColumn("qm", round(col("quality") * 1e6, 0).cast("long"))
+        .localCheckpoint(true)
+      val ranked = graft.operators.PrefixSum.globalCumsum(
+        scored,
+        bucket = format_string(
+          "%020d",
+          graft.operators.PrefixSum.adaptiveRangeBucket(scored, -col("qm"), 12)),
+        order = Seq(col("qm").desc, col("doc_id").asc),
+        value = col("n_tokens"),
+        out = "cum_tokens")
+      val tot = scored.agg(expr("sum(n_tokens) div 2").as("budget"))
+      noop(ranked.crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          (col("cum_tokens") - col("n_tokens") < col("budget")).as("keep")))
+    }
+    // Round-9: epoch-schedule materialization — a #sources broadcast
+    // factor table and one map+rollup corpus pass; linear.
+    time("epoch schedule e2e")(
+      noop(graft.queries.TextQueries.epochScheduleDocs(
+        corpus.withColumn("n_chars", length(col("text")).cast("long")))))
     time("ccnet buckets e2e")(
       noop(graft.queries.TextQueries.ccnetBucketsFrom(
         graft.queries.TextQueries.lmScoreDocs(corpus)
