@@ -101,6 +101,7 @@ object SparkEntry {
     "q_incremental_spans" -> (PipelineQueries.incrementalSpans _),
     "q_clean_pack" -> (PipelineQueries.cleanPack _),
     "q_budget_select" -> (PipelineQueries.budgetSelect _),
+    "q_source_scorecard" -> (PipelineQueries.sourceScorecard _),
     "q_epoch_schedule" -> (TextQueries.epochSchedule _),
     "q_image_phash_inc" -> (PipelineQueries.imagePhashInc _),
     "q_domain_quota" -> (TextQueries.domainQuota _),
@@ -479,6 +480,7 @@ object SparkEntry {
     "q_incremental_spans" -> PipelineQueries.incrementalSpansOracle,
     "q_clean_pack" -> PipelineQueries.cleanPackOracle,
     "q_budget_select" -> PipelineQueries.budgetSelectOracle,
+    "q_source_scorecard" -> PipelineQueries.sourceScorecardOracle,
     "q_epoch_schedule" -> TextQueries.epochScheduleOracle,
     "q_image_phash_inc" -> PipelineQueries.imagePhashIncOracle,
     "q_domain_quota" -> TextQueries.domainQuotaOracle,

@@ -487,6 +487,98 @@ object PipelineQueries {
        |FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** PER-SOURCE data scorecard — the "data card" rollup a pipeline owner
+    * reads before deciding what to crawl more of: per source, document
+    * count, battery survivors ([[curationFunnel]]'s language-conditional
+    * stage-1 verdict — the stopword rule applies to English only, the
+    * same conditioning the funnel uses, composed from
+    * [[TextAnalysis.gopherFilters]] so the queries cannot drift; the
+    * unconditional battery kills the whole synthetic fixture on
+    * stopwords, which would leave this readout's keep branch dead),
+    * the keep rate, the exact-dup member count
+    * (non-keeper members of a [[TextQueries.dedupExact]] prefix-key
+    * group — the fixture's collision-bearing key) and the integer mean
+    * quality. All exact integers / deterministic rounding both engines.
+    *
+    * Scale shape: one battery scan (per-row rules), one
+    * fingerprint-keyed window for keeper election (key grows with the
+    * data), a doc-keyed join, and a #sources-keyed partial-agg rollup. */
+  def sourceScorecard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val battery = TextAnalysis.gopherFilters(
+        docs, "doc_id", "text",
+        extra = Seq(
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          col("lang")))
+      .withColumn(
+        "keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_bullet") && col("r_ellipsis") &&
+          col("r_alpha") && (col("lang") =!= "en" || col("r_stopword")) &&
+          col("quality") >= 0.7)
+      .select(
+        col("doc_id"), col("keep"),
+        round(col("quality") * 1e6, 0).cast("long").as("qm"))
+    val dupFlag = docs
+      .select(
+        col("doc_id"), col("source"),
+        md5(substring(col("text"), 1, 50)).as("dup_key"))
+      .withColumn(
+        "keeper", min(col("doc_id")).over(Window.partitionBy("dup_key")))
+      .select(
+        col("doc_id"), col("source"),
+        when(col("doc_id") > col("keeper"), 1L).otherwise(0L).as("is_dup"))
+    dupFlag.join(battery, Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(col("is_dup")).as("n_dup"),
+        sum(col("qm")).as("sum_qm"))
+      .select(
+        col("source"), col("n_docs"), col("n_keep"),
+        expr("CAST(round(CAST(n_keep AS DOUBLE) * 1000000 / CAST(n_docs AS DOUBLE), 0) AS BIGINT)")
+          .as("keep_rate_micros"),
+        col("n_dup"),
+        expr("sum_qm div n_docs").as("mean_quality_micros"))
+      .orderBy("source")
+  }
+
+  def sourceScorecardOracle: String =
+    s"""WITH $gopherBatteryCtesSql,
+       |k AS (
+       |  SELECT r.doc_id,
+       |    (r.r_word_count AND r.r_mean_word_len AND r.r_symbol_ratio
+       |      AND r.r_bullet AND r.r_ellipsis AND r.r_alpha
+       |      AND (dl.lang <> 'en' OR r.r_stopword)
+       |      AND q.quality >= 0.7) AS keep,
+       |    CAST(round(q.quality * 1000000, 0) AS BIGINT) AS qm
+       |  FROM r
+       |  JOIN q ON r.doc_id = q.doc_id
+       |  JOIN (SELECT doc_id, lang FROM documents) dl ON r.doc_id = dl.doc_id),
+       |f AS (
+       |  SELECT doc_id, source, md5(substr(text, 1, 50)) AS dup_key
+       |  FROM documents),
+       |dflag AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY dup_key)
+       |      THEN 1 ELSE 0 END AS is_dup
+       |  FROM f),
+       |j AS (SELECT d.source, d.is_dup, k.keep, k.qm
+       |  FROM dflag d JOIN k ON d.doc_id = k.doc_id),
+       |agg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |    CAST(sum(is_dup) AS BIGINT) AS n_dup,
+       |    CAST(sum(qm) AS BIGINT) AS sum_qm
+       |  FROM j GROUP BY source)
+       |SELECT source, n_docs, n_keep,
+       |  CAST(round(CAST(n_keep AS DOUBLE) * 1000000 / CAST(n_docs AS DOUBLE), 0) AS BIGINT) AS keep_rate_micros,
+       |  n_dup,
+       |  CAST(sum_qm // n_docs AS BIGINT) AS mean_quality_micros
+       |FROM agg ORDER BY source""".stripMargin
+
   /** TOKEN-BUDGET data selection — "give me the best B tokens": rank the
     * corpus by the quality blend (ties to the lower doc id), take the
     * greedy quality-descending prefix until the running token total
