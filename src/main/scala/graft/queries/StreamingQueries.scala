@@ -522,11 +522,23 @@ object StreamingQueries {
       .withColumn("cents", typedLit(centLits))
       .withColumn("hold", typedLit(holdLits))
       .withColumn("probed", expr(probedSql))
+      // Loop order is load-bearing, not style: `probed` must be the
+      // OUTER transform's argument (evaluated once per row) — the first
+      // cut filtered `hold` with `array_contains(probed, h.cell)`, and
+      // after CollapseProject inlined the `probed` alias into that
+      // per-element lambda, the whole 8-centroid sort re-ran for EVERY
+      // holdout element (measured 16.5 s vs 0.9 s per micro-batch on
+      // the sf0.1 fixture). Iterating probed outside and equi-matching
+      // h.cell = p inside visits the identical pair set (a holdout doc
+      // owns exactly one cell, so flatten introduces no duplicates) and
+      // keeps every row-invariant subtree out of the hot lambda.
       .withColumn(
         "hits",
         expr(
-          s"""filter(transform(filter(hold, h -> array_contains(probed, h.cell)),
-             |  h -> round(graft_dot(emb, h.h_emb) / (nrm * h.h_nrm), 6)),
+          s"""filter(
+             |  flatten(transform(probed, p ->
+             |    transform(filter(hold, h -> h.cell = p),
+             |      h -> round(graft_dot(emb, h.h_emb) / (nrm * h.h_nrm), 6)))),
              |  sc -> sc >= CAST($SemDedupThreshold AS DOUBLE))""".stripMargin))
       .filter(size(col("hits")) > 0)
       .select(
