@@ -494,18 +494,36 @@ object StreamingQueries {
     * stream-static broadcast cell join — the operator's documented
     * growth path.) */
   def streamDecontam(s: SparkSession, d: String): DataFrame = {
-    import PipelineQueries.{DecontamMod, SemDecontamCentroidIds,
-      SemDedupThreshold, SemDecontamNProbe}
+    import PipelineQueries.{DecontamMod, SemDecontamCentroidIds}
     val ivf = graft.similarity.Ivf
     val emb = Tables.embeddings(s, d)
     val cent = ivf.fixedCentroidsDouble(
       emb.filter(col("vec_id") % DecontamMod =!= 0), SemDecontamCentroidIds)
       .localCheckpoint(true)
+    val arrivals = StreamingOps
+      .readEmbeddings(s, embeddingsStreamDir(d))
+      .filter(col("vec_id") % DecontamMod =!= 0)
+    val verdicts = decontamGateStream(
+      arrivals, cent, emb.filter(col("vec_id") % DecontamMod === 0))
+    runToMemory(s, verdicts, OutputMode.Append(), "graft_stream_decontam")
+      .orderBy("vec_id")
+  }
+
+  /** [[streamDecontam]]'s gate over any arrivals frame (streaming or
+    * batch), frozen centroid table and holdout frame — exposed for
+    * ScaleStress. Collects the two deploy-time artifacts and returns
+    * the per-row verdict transform. */
+  private[graft] def decontamGateStream(
+      arrivals: DataFrame,
+      cent: DataFrame,
+      holdout: DataFrame): DataFrame = {
+    import PipelineQueries.{SemDedupThreshold, SemDecontamNProbe}
+    val ivf = graft.similarity.Ivf
+    val s = cent.sparkSession
     val centLits = cent.collect()
       .map(r => CentLit(r.getLong(0), r.getSeq[Double](1)))
       .toSeq
-    val holdLits = ivf.holdoutAssignments(
-        emb.filter(col("vec_id") % DecontamMod === 0), cent)
+    val holdLits = ivf.holdoutAssignments(holdout, cent)
       .collect()
       .map(r => HoldLit(
         r.getLong(0), r.getLong(1), r.getSeq[Double](2), r.getDouble(3)))
@@ -514,9 +532,7 @@ object StreamingQueries {
     val probedSql =
       s"transform(slice(array_sort(${ivf.cellStructsDblSql("emb")}), " +
         s"1, $SemDecontamNProbe), p -> p.cell)"
-    val verdicts = StreamingOps
-      .readEmbeddings(s, embeddingsStreamDir(d))
-      .filter(col("vec_id") % DecontamMod =!= 0)
+    arrivals
       .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", expr("sqrt(graft_dot(emb, emb))"))
       .withColumn("cents", typedLit(centLits))
@@ -545,8 +561,6 @@ object StreamingQueries {
         col("vec_id"),
         size(col("hits")).cast("long").as("n_holdout_hits"),
         array_max(col("hits")).as("max_score"))
-    runToMemory(s, verdicts, OutputMode.Append(), "graft_stream_decontam")
-      .orderBy("vec_id")
   }
 
   /** The batch decontamination oracle IS the streaming oracle. */

@@ -455,6 +455,39 @@ object ScaleStress {
     // lateness horizon, noop sink. Cost must track event count; state
     // stays bounded by the horizon because the watermark advances with
     // the replicated timeline.
+    // Round-9: the stateless semantic-decontamination ingest gate
+    // through the real streaming runtime — per-arrival cost must be
+    // flat (probe 8 literal centroids, score only same-cell holdout
+    // docs); the literal artifacts do NOT grow with the corpus. This
+    // curve exists because the first cut of the gate hid an 18× cost
+    // in exactly this stage shape (the CollapseProject lambda-inlining
+    // pitfall documented at the expression site).
+    time("stream decontam gate (stream)") {
+      val dir = java.nio.file.Files.createTempDirectory("stress_emb_drop")
+      (0 until replicas).foreach { r =>
+        embBase.select(
+          (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+          .coalesce(1).write.mode("append").parquet(dir.toString)
+      }
+      val cent = graft.similarity.Ivf.fixedCentroidsDouble(
+        embBase.filter(col("vec_id") % 13 =!= 0), (1 to 8).map(_ * 37L))
+        .localCheckpoint(true)
+      val arrivals = spark.readStream
+        .schema(spark.read.parquet(dir.toString).schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(dir.toString)
+        .filter(col("vec_id") % 13 =!= 0)
+      val q = graft.queries.StreamingQueries
+        .decontamGateStream(
+          arrivals, cent, embBase.filter(col("vec_id") % 13 === 0))
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("stress_gate_ckpt").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     time("gap sessions buffered (stream)") {
       val ev = graft.queries.Tables.events(spark, "/root/testdata/sf0.1")
       val bounds = ev.agg(
