@@ -137,6 +137,7 @@ object SparkEntry {
     "q_stream_dedup_corpus" -> (StreamingQueries.streamDedupCorpus _),
     "q_stream_quality" -> (StreamingQueries.streamQuality _),
     "q_stream_decontam" -> (StreamingQueries.streamDecontam _),
+    "q_stream_shard" -> (StreamingQueries.streamShard _),
     "q_stream_cell_drift" -> (StreamingQueries.streamCellDrift _),
     "q_quality_keeplist" -> (PipelineQueries.qualityKeeplist _),
     "q_curation_funnel" -> (PipelineQueries.curationFunnel _),
@@ -512,6 +513,7 @@ object SparkEntry {
     "q_stream_dedup_corpus" -> StreamingQueries.streamDedupCorpusOracle,
     "q_stream_quality" -> StreamingQueries.streamQualityOracle,
     "q_stream_decontam" -> StreamingQueries.streamDecontamOracle,
+    "q_stream_shard" -> StreamingQueries.streamShardOracle,
     "q_stream_cell_drift" -> StreamingQueries.streamCellDriftOracle,
     "q_quality_keeplist" -> PipelineQueries.qualityKeeplistOracle,
     "q_curation_funnel" -> PipelineQueries.curationFunnelOracle,

@@ -566,6 +566,36 @@ object StreamingQueries {
   /** The batch decontamination oracle IS the streaming oracle. */
   def streamDecontamOracle: String = PipelineQueries.semanticDecontamOracle
 
+  /** STREAMING shard router — the ingest-time face of
+    * [[graft.operators.Sharding]]: each arriving document is routed to
+    * its deterministic output shard by the same seeded 60-bit md5 key
+    * as the batch assignment (`key % N`), as a stateless per-row append
+    * map (a production sink fans the stream out to N shard files on
+    * exactly this column). Within-shard ORDER is deliberately absent
+    * here: position is a corpus-wide property ([[Sharding.assign]]'s
+    * prefix-sum rank), so the streaming face routes and the batch face
+    * orders — same key arithmetic, spec-shared by construction since
+    * both call [[graft.dedup.Dedup.hash60]] on the same seeded string.
+    * Emits (doc_id, skey, shard); oracle recomputes both from doc_id. */
+  def streamShard(s: SparkSession, d: String): DataFrame = {
+    import TextQueries.{NumShards, ShardSeed}
+    val arrivals = StreamingOps.readDocuments(s, docsStreamDir(d))
+    val routed = arrivals.select(
+      col("doc_id"),
+      graft.dedup.Dedup.hash60(
+        concat_ws(":", lit(ShardSeed), col("doc_id").cast("string")))
+        .as("skey"))
+      .withColumn("shard", col("skey") % NumShards)
+    runToMemory(s, routed, OutputMode.Append(), "graft_stream_shard")
+      .orderBy("doc_id")
+  }
+
+  def streamShardOracle: String =
+    s"""SELECT doc_id,
+       |  CAST('0x' || substr(md5('${TextQueries.ShardSeed}:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS skey,
+       |  CAST('0x' || substr(md5('${TextQueries.ShardSeed}:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % ${TextQueries.NumShards} AS shard
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   def streamDedupCorpusOracle: String =
     s"""WITH b AS (
        |  SELECT doc_id, md5(substr(text, 1, 50)) AS fingerprint

@@ -54,6 +54,21 @@ class ShardingSpec extends SparkSuite {
       s"only $moved/${a.size} items moved between seeds — keys are not seed-sensitive")
   }
 
+  test("ingest-router key arithmetic equals the batch assignment's shard") {
+    // The streaming shard router (StreamingQueries.streamShard) keys on
+    // hash60(seed:item) % N — exactly Sharding.assign's shard column.
+    import graft.dedup.Dedup
+    val viaAssign = Sharding.assign(items, col("k"), 8, "seed-a")
+      .select("item", "shard").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaRouter = items.select(
+        col("k").cast("string").as("item"),
+        (Dedup.hash60(concat_ws(":", lit("seed-a"), col("k").cast("string")))
+          % 8).as("shard"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaAssign == viaRouter)
+  }
+
   test("numShards = 1 degenerates to one globally shuffled shard") {
     val one = Sharding.shardReadout(items, col("k"), 1, "seed-a").collect()
     assert(one.length == 1 && one.head.getAs[Long]("n_items") == 400L)
