@@ -157,6 +157,36 @@ class AnnRecallSpec extends SparkSuite {
     }
   }
 
+  test("semantic decontamination flag recall at nProbe=2 stays above its floor") {
+    // The decontam gate is exact at nProbe=K (IvfSpec); this measures
+    // what the nProbe=2 DEPLOYED setting actually catches: flagged-doc
+    // recall vs the brute-force corpus×holdout threshold flags on the
+    // fixture split. A refactor that silently narrows the probed pair
+    // space fails here rather than in production.
+    graft.functions.DotProduct.register(spark)
+    val corpus = emb.filter(col("vec_id") % 13 =!= 0)
+    val holdout = emb.filter(col("vec_id") % 13 === 0)
+    val ids = (1 to 8).map(_ * 37L)
+    val thr = 0.35
+    val probed = Ivf.semanticContamination(corpus, holdout, ids, thr, nProbe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val c = corpus.select(col("vec_id").as("cid"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
+    val h = holdout.select(col("vec_id").as("hid"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("he"))
+    val brute = c.crossJoin(broadcast(h))
+      .withColumn("score", round(
+        expr("graft_dot(ce, he)") /
+          (expr("sqrt(graft_dot(ce, ce))") * expr("sqrt(graft_dot(he, he))")), 6))
+      .filter(col("score") >= thr)
+      .select("cid").distinct().collect().map(_.getLong(0)).toSet
+    assert(brute.nonEmpty)
+    val recall = probed.count(brute).toDouble / brute.size
+    info(f"decontam flag recall (nProbe=2/8) = $recall%.3f (${probed.size}/${brute.size})")
+    assert(probed.subsetOf(brute), "probed flags must be a subset of brute-force flags")
+    assert(recall >= 0.25, f"decontam flag recall collapsed: $recall%.3f")
+  }
+
   test("PQ with all-vector queries ranks every anchor (shape sanity)") {
     // Small m·K codebook on 500 vectors: every query must still get
     // exactly K ranked rows 1..K (ADC never loses candidates — every
