@@ -723,7 +723,10 @@ object TextQueries {
       sum("s_micros").as("tot_micros"), sum("n_tokens").as("tot_tokens"))
     // Fixed left-assoc double chain — identical operation order in the
     // oracle, so the rounded micros are bit-identical cross-engine.
-    val fac = per.crossJoin(broadcast(tot))
+    // A zero-token source has nothing to schedule and would divide to
+    // ±inf — excluded here (and in the oracle) rather than emitting a
+    // null factor row.
+    val fac = per.filter(col("n_tokens") > 0L).crossJoin(broadcast(tot))
       .withColumn(
         "u_micros",
         expr("CAST(round(CAST(s_micros AS DOUBLE) / CAST(tot_micros AS DOUBLE)" +
@@ -762,7 +765,7 @@ object TextQueries {
       |  CAST(round(CAST(s_micros AS DOUBLE) / CAST(tot_micros AS DOUBLE)
       |    * CAST(tot_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
       |    * 1000000.0, 0) AS BIGINT) AS u_micros
-      |  FROM s, t),
+      |  FROM s, t WHERE n_tokens > 0),
       |r AS (SELECT d.source, f.u_micros,
       |  CAST('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS frac
       |  FROM documents d JOIN f USING (source))
