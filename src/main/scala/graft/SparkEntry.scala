@@ -102,6 +102,7 @@ object SparkEntry {
     "q_clean_pack" -> (PipelineQueries.cleanPack _),
     "q_budget_select" -> (PipelineQueries.budgetSelect _),
     "q_source_scorecard" -> (PipelineQueries.sourceScorecard _),
+    "q_mix_select" -> (PipelineQueries.mixSelect _),
     "q_epoch_schedule" -> (TextQueries.epochSchedule _),
     "q_image_phash_inc" -> (PipelineQueries.imagePhashInc _),
     "q_domain_quota" -> (TextQueries.domainQuota _),
@@ -482,6 +483,7 @@ object SparkEntry {
     "q_clean_pack" -> PipelineQueries.cleanPackOracle,
     "q_budget_select" -> PipelineQueries.budgetSelectOracle,
     "q_source_scorecard" -> PipelineQueries.sourceScorecardOracle,
+    "q_mix_select" -> PipelineQueries.mixSelectOracle,
     "q_epoch_schedule" -> TextQueries.epochScheduleOracle,
     "q_image_phash_inc" -> PipelineQueries.imagePhashIncOracle,
     "q_domain_quota" -> TextQueries.domainQuotaOracle,

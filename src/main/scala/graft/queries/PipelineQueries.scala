@@ -637,6 +637,100 @@ object PipelineQueries {
        |  (cum_tokens - n_tokens < budget) AS keep
        |FROM r CROSS JOIN t ORDER BY doc_id""".stripMargin
 
+  /** MIX-AWARE data selection — [[budgetSelect]] generalized to the
+    * target mix: given an overall token budget B (half the corpus,
+    * in-plan), each source receives budget round(weight·B) at the
+    * [[TextQueries.mixWeights]] temperature-√ weights, and keeps its
+    * quality-descending prefix under that budget — the "build a B-token
+    * corpus AT the target source distribution" step that composes
+    * quality scoring, mix weighting and greedy selection into the
+    * actual corpus-construction decision. Token metric = n_chars div 4,
+    * the same estimate the weights are computed from, so budgets and
+    * masses are in one currency.
+    *
+    * Scale shape: per-source running totals via the hierarchical prefix
+    * sum over (source, quality-range) buckets — sources are COARSE keys
+    * (the §9 anti-pattern for a source-keyed window); per-source
+    * offsets and budgets are #sources-row driver folds / broadcasts. */
+  def mixSelect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = documents(s, d).select(
+        col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        expr("n_chars div 4").as("n_tokens"))
+      .withColumn("qm", round(col("quality") * 1e6, 0).cast("long"))
+      .localCheckpoint(true)
+    val per = scored.groupBy("source")
+      .agg(sum("n_tokens").as("src_tokens"))
+      .withColumn(
+        "s_micros",
+        round(sqrt(col("src_tokens").cast("double")) * 1e6, 0).cast("long"))
+    val tot = per.agg(
+      sum("s_micros").as("tot_micros"), sum("src_tokens").as("tot_tokens"))
+    val targets = per.crossJoin(broadcast(tot))
+      .withColumn(
+        "target_tokens",
+        expr("CAST(round(CAST(s_micros AS DOUBLE) / CAST(tot_micros AS DOUBLE)" +
+          " * CAST(tot_tokens div 2 AS DOUBLE), 0) AS BIGINT)"))
+      .select("source", "target_tokens")
+    val ranked = graft.operators.PrefixSum.globalCumsum(
+      scored,
+      bucket = format_string(
+        "%s\u0001%020d", col("source"),
+        graft.operators.PrefixSum.adaptiveRangeBucket(scored, -col("qm"), 12)),
+      order = Seq(col("source"), col("qm").desc, col("doc_id").asc),
+      value = col("n_tokens"),
+      out = "gcum")
+    val counts = scored.groupBy("source").agg(sum("n_tokens").as("t"))
+      .orderBy("source").collect()
+    var acc = 0L
+    val offs = counts.map { r =>
+      val o = acc; acc += r.getLong(1); (r.getString(0), o)
+    }.toSeq
+    ranked
+      .join(broadcast(offs.toDF("source", "src_off")), Seq("source"))
+      .withColumn("cum_src_tokens", col("gcum") - col("src_off"))
+      .join(broadcast(targets), Seq("source"))
+      .select(
+        col("doc_id"), col("source"), col("quality"), col("n_tokens"),
+        col("cum_src_tokens"), col("target_tokens"),
+        (col("cum_src_tokens") - col("n_tokens") < col("target_tokens"))
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
+  def mixSelectOracle: String =
+    s"""WITH $qualityCtesSql,
+       |w AS (
+       |  SELECT doc_id, source, CAST(n_chars // 4 AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |j AS (
+       |  SELECT w.doc_id, w.source, q.quality, w.n_tokens,
+       |    CAST(round(q.quality * 1000000, 0) AS BIGINT) AS qmm
+       |  FROM w JOIN q ON w.doc_id = q.doc_id),
+       |per AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+       |  FROM j GROUP BY source),
+       |sp AS (SELECT *,
+       |  CAST(round(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000, 0) AS BIGINT) AS s_micros
+       |  FROM per),
+       |t AS (SELECT CAST(sum(s_micros) AS BIGINT) AS tot_micros,
+       |  CAST(sum(src_tokens) AS BIGINT) AS tot_tokens FROM sp),
+       |tg AS (SELECT source,
+       |  CAST(round(CAST(s_micros AS DOUBLE) / CAST(tot_micros AS DOUBLE)
+       |    * CAST(tot_tokens // 2 AS DOUBLE), 0) AS BIGINT) AS target_tokens
+       |  FROM sp, t),
+       |r AS (
+       |  SELECT doc_id, source, quality, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY qmm DESC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_src_tokens
+       |  FROM j)
+       |SELECT r.doc_id, r.source, r.quality, r.n_tokens, r.cum_src_tokens,
+       |  tg.target_tokens,
+       |  (r.cum_src_tokens - r.n_tokens < tg.target_tokens) AS keep
+       |FROM r JOIN tg ON r.source = tg.source
+       |ORDER BY doc_id""".stripMargin
+
   /** CLEAN → REPACK — the published dedup-then-train composition
     * (exact-substring dedup feeding sequence assembly): the corpus is
     * span-rewritten by [[graft.dedup.Dedup.removeDuplicateSpans]]

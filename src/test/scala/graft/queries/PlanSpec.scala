@@ -233,6 +233,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"no product:\n$p")
   }
 
+  test("mix select: bucketed per-source running totals, never a source-keyed window") {
+    val p = plan("q_mix_select")
+    // Sources are coarse keys: a source-partitioned cumsum window would
+    // sort each source's whole doc population in one task.
+    assert(!p.contains("windowspecdefinition(source#"),
+      s"per-source running total uses a source-keyed window:\n$p")
+    assert(p.contains("windowspecdefinition(__bucket"),
+      s"running total must be the bucket-partitioned window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
   test("epoch schedule: broadcast factor table, one corpus scan") {
     val p = plan("q_epoch_schedule")
     assert("BroadcastHashJoin \\[source#".r.findFirstIn(p).isDefined,

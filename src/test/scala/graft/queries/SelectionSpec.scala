@@ -33,6 +33,37 @@ class SelectionSpec extends SparkSuite {
     assert(keptTokens >= budget && keptTokens < budget + maxKeptDoc)
   }
 
+  test("mix select keeps a per-source quality prefix under the mix-weighted budget") {
+    val rows = PipelineQueries.mixSelect(spark, d).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.size > 1)
+    var anyDropped = false
+    bySource.foreach { case (src, rs) =>
+      val kept = rs.filter(_.getAs[Boolean]("keep"))
+      val dropped = rs.filterNot(_.getAs[Boolean]("keep"))
+      if (dropped.nonEmpty) anyDropped = true
+      // Within a source, keeps form the (quality desc, doc_id) prefix.
+      if (kept.nonEmpty && dropped.nonEmpty) {
+        def key(r: org.apache.spark.sql.Row) =
+          (-math.round(r.getAs[Double]("quality") * 1e6),
+            r.getAs[Long]("doc_id"))
+        assert(Ordering[(Long, Long)].lt(kept.map(key).max, dropped.map(key).min),
+          s"$src: kept set is not a quality prefix")
+      }
+      // Budget rule: kept token mass reaches the source's target and
+      // overshoots by at most one document.
+      val target = rs.head.getAs[Long]("target_tokens")
+      val keptTokens = kept.map(_.getAs[Long]("n_tokens")).sum
+      if (kept.nonEmpty) {
+        val maxKept = kept.map(_.getAs[Long]("n_tokens")).max
+        assert(keptTokens < target + maxKept, s"$src overshoots its budget")
+      }
+      if (dropped.nonEmpty)
+        assert(keptTokens >= target, s"$src stopped before its budget with docs left")
+    }
+    assert(anyDropped, "the half-corpus mix budget must bite somewhere")
+  }
+
   test("epoch schedule: integer epochs plus a deterministic fractional remainder") {
     val rows = TextQueries.epochSchedule(spark, d).collect()
     assert(rows.nonEmpty)
