@@ -1047,6 +1047,16 @@ object Dedup {
     * Output per document (every input doc appears, untouched docs with
     * n_removed = 0): (id, n_tokens, n_kept, n_removed, clean_text).
     *
+    * Single-pass caveat (inherent to span excision, not this
+    * implementation): stitching the tokens AROUND an excised interval
+    * creates new w-windows at the junction, and those can in principle
+    * duplicate windows of other documents ("a b R S c d" minus "R S"
+    * becomes "a b c d", which may now equal a doc that said that all
+    * along) — so a re-scan is zero-residual when junctions don't
+    * collide (spec-pinned on the fixture), and a pipeline wanting a
+    * guarantee iterates detect→remove to fixpoint; each pass is this
+    * operator.
+    *
     * Scale shape — same discipline as the detector: windows hash to
     * 60-bit longs pre-shuffle; the keeper election is one fp-keyed
     * aggregation reduced to (fp, keeper) before joining back; the

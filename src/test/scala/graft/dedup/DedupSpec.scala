@@ -305,8 +305,10 @@ class DedupSpec extends SparkSuite {
   }
 
   test("removeDuplicateSpans: rewritten corpus has zero removable span mass") {
-    // The defining invariant of the rewrite: after excision each
-    // duplicate fingerprint survives only in its keeper doc, so a
+    // The rewrite's target invariant, holding whenever excision
+    // junctions don't collide into new cross-doc windows (they don't on
+    // this fixture; see the operator scaladoc's single-pass caveat):
+    // each duplicate fingerprint survives only in its keeper doc, so a
     // re-scan by the DETECTOR finds nothing left to remove.
     val shared = (1 to 10).map(i => s"s$i").mkString(" ")
     val docs = Seq(
