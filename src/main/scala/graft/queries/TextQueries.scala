@@ -1502,9 +1502,13 @@ object TextQueries {
     * assembly step (Zhu et al. 2023, arXiv:2304.06939; Laurençon et al.
     * 2023, arXiv:2306.16527): documents mixing text and images are laid
     * out as ONE contiguous per-language stream — per doc, the image's
-    * [[ImageTokenCost]] placeholder slots, then the text token ids, then
-    * EOS — and chunked into fixed [[TrainSeqLen]]-position training
-    * sequences, documents spanning boundaries GPT-style. Emitted per
+    * [[ImageTokenCost]] placeholder slots sit at a deterministic
+    * MID-DOCUMENT break (token offset doc_id % (n_tokens + 1), the
+    * fixture's stand-in for the crawler-recorded image anchor — truly
+    * interleaved, not a fixed prefix), text tokens after the break
+    * shift by the image budget, then EOS — and the stream is chunked
+    * into fixed [[TrainSeqLen]]-position training sequences, documents
+    * spanning boundaries GPT-style. Emitted per
     * (lang, seq_id): position counts by kind, plus TWO exact integer
     * checksums — Σ tid·(pos_in_seq+1) over every slot pins the full
     * layout, Σ media_id·(pos_in_seq+1) over image slots pins WHICH image
@@ -1543,6 +1547,12 @@ object TextQueries {
     val nDoc = tokAll.groupBy("doc_id", "lang")
       .agg(count(col("tok")).as("n"))
       .withColumn("islots", islotsCol)
+      // The image anchor: a deterministic mid-document token offset in
+      // [0, n] — pmod(doc_id, n+1) stands in for the crawler-recorded
+      // position (pmod, not %: hashed ids are negative and a negative
+      // anchor would place the image inside the PREVIOUS document).
+      // Tokens at pos >= pstar shift past the image budget.
+      .withColumn("pstar", pmod(col("doc_id"), col("n") + 1L))
       .localCheckpoint(true)
     val realTok = tokAll.filter(col("tok").isNotNull)
     val top = realTok.groupBy("tok").agg(count(lit(1)).as("cnt"))
@@ -1580,24 +1590,28 @@ object TextQueries {
     val offs = cum
       .join(broadcast(langOffs.toDF("lang", "lang_off")), Seq("lang"))
       .withColumn("off", col("gcum") - col("sz") - col("lang_off"))
-      .select("doc_id", "lang", "islots", "off")
-    // Text + EOS land AFTER the doc's image slots; image slots occupy
-    // [off, off + islots). `media` carries the image identity (media_id
-    // = doc_id in the deterministic fixture) only on image rows.
+      .select("doc_id", "lang", "islots", "pstar", "off")
+    // Text before the anchor stays put; text (and EOS, whose pos = n >=
+    // pstar always) at or past the anchor shifts by the image budget;
+    // image slots occupy [off + pstar, off + pstar + islots). `media`
+    // carries the image identity (media_id = doc_id in the
+    // deterministic fixture) only on image rows.
     val textPlaced = ids
       .join(offs, Seq("doc_id"))
       .select(
         col("lang"),
-        (col("off") + col("islots") + col("pos")).as("gpos"),
+        (col("off") + col("pos") +
+          when(col("pos") >= col("pstar"), col("islots")).otherwise(lit(0L)))
+          .as("gpos"),
         col("tid"), lit(0L).as("media"))
     val imgPlaced = nDoc.filter(col("islots") > 0L)
       .select(
         col("doc_id"), col("lang"),
         explode(sequence(lit(0L), col("islots") - 1L)).as("slot"))
-      .join(offs.select("doc_id", "off"), Seq("doc_id"))
+      .join(offs.select("doc_id", "pstar", "off"), Seq("doc_id"))
       .select(
         col("lang"),
-        (col("off") + col("slot")).as("gpos"),
+        (col("off") + col("pstar") + col("slot")).as("gpos"),
         lit(ImgId).as("tid"), col("doc_id").as("media"))
     textPlaced.unionByName(imgPlaced)
       .withColumn("seq_id", expr(s"gpos div $TrainSeqLen"))
@@ -1626,7 +1640,8 @@ object TextQueries {
        |  WHERE tid < $VocabSize),
        |base AS (
        |  SELECT doc_id, lang, len(l) AS n,
-       |    CASE WHEN doc_id % $ImgEvery = 0 THEN $ImageTokenCost ELSE 0 END AS islots
+       |    CASE WHEN doc_id % $ImgEvery = 0 THEN $ImageTokenCost ELSE 0 END AS islots,
+       |    ((doc_id % (len(l) + 1)) + (len(l) + 1)) % (len(l) + 1) AS pstar
        |  FROM t),
        |ids AS (
        |  SELECT t2.doc_id, t2.pos, coalesce(v.tid, -1) AS tid
@@ -1637,18 +1652,22 @@ object TextQueries {
        |  SELECT doc_id, unnest(range(0, islots)) AS slot
        |  FROM base WHERE islots > 0),
        |offs AS (
-       |  SELECT doc_id, lang, islots,
+       |  SELECT doc_id, lang, islots, pstar,
        |    coalesce(sum(n + 1 + islots) OVER (PARTITION BY lang ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
        |  FROM base),
        |placed AS (
-       |  SELECT o.lang, (o.off + o.islots + i.pos) // $TrainSeqLen AS seq_id,
-       |    i.tid, (o.off + o.islots + i.pos) % $TrainSeqLen AS sp,
+       |  SELECT o.lang,
+       |    (o.off + i.pos + CASE WHEN i.pos >= o.pstar THEN o.islots ELSE 0 END)
+       |      // $TrainSeqLen AS seq_id,
+       |    i.tid,
+       |    (o.off + i.pos + CASE WHEN i.pos >= o.pstar THEN o.islots ELSE 0 END)
+       |      % $TrainSeqLen AS sp,
        |    CAST(0 AS BIGINT) AS media
        |  FROM ids i JOIN offs o ON i.doc_id = o.doc_id
        |  UNION ALL
-       |  SELECT o.lang, (o.off + im.slot) // $TrainSeqLen,
-       |    $ImgId, (o.off + im.slot) % $TrainSeqLen, im.doc_id
+       |  SELECT o.lang, (o.off + o.pstar + im.slot) // $TrainSeqLen,
+       |    $ImgId, (o.off + o.pstar + im.slot) % $TrainSeqLen, im.doc_id
        |  FROM imgs im JOIN offs o ON im.doc_id = o.doc_id)
        |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
        |  count(*) AS n_tokens,

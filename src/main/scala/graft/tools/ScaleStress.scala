@@ -137,6 +137,25 @@ object ScaleStress {
     // so the curve must track "duplicate spans".
     time("duplicate span removal")(
       noop(Dedup.removeDuplicateSpans(corpus, "doc_id", "text")))
+    // Round-9 tail: the batch×corpus face — replica 0 plays the corpus
+    // (fixed), the remaining replicas the arriving batch (grows with
+    // the scale knob); the corpus collapses to its distinct fp set and
+    // everything else is batch-sized, so cost tracks the batch.
+    time("duplicate span removal (incremental)")(
+      noop(Dedup.removeDuplicateSpansIncremental(
+        corpus.filter(col("doc_id") < 10000000L),
+        corpus.filter(col("doc_id") >= 10000000L),
+        "doc_id", "text")))
+    // Round-9 tail: span removal composed with sequence packing — the
+    // dedup-then-train pipeline end to end; must track the sum of its
+    // two curved stages.
+    time("clean pack e2e") {
+      val cleaned = Dedup
+        .removeDuplicateSpans(corpus, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("clean_text").as("text"))
+        .join(corpus.select("doc_id", "lang"), Seq("doc_id"))
+      noop(graft.queries.TextQueries.trainSequencesDocs(spark, cleaned))
+    }
     // Round-8 tail: the Gopher repetition battery. Every shuffle key is
     // doc-scoped ((id, n, fp) counts, (id, n) islands, (id, line)
     // groups), so replicas never interact and cost must stay linear in
@@ -237,6 +256,54 @@ object ScaleStress {
     time("epoch schedule e2e")(
       noop(graft.queries.TextQueries.epochScheduleDocs(
         corpus.withColumn("n_chars", length(col("text")).cast("long")))))
+    // Round-9 tail: per-source budgets at the mix weights — budget
+    // select's machinery with (source, quality-range) buckets; the
+    // extra work over "budget select e2e" is a #sources fold.
+    time("mix select e2e") {
+      val d9 = corpus.withColumn("n_chars", length(col("text")).cast("long"))
+      val scored = d9.select(
+          col("doc_id"), col("source"),
+          graft.textanalysis.TextAnalysis.qualityScore(col("text")).as("quality"),
+          expr("n_chars div 4").as("n_tokens"))
+        .withColumn("qm", round(col("quality") * 1e6, 0).cast("long"))
+        .localCheckpoint(true)
+      val ranked = graft.operators.PrefixSum.globalCumsum(
+        scored,
+        bucket = format_string(
+          "%s\u0001%020d", col("source"),
+          graft.operators.PrefixSum.adaptiveRangeBucket(scored, -col("qm"), 12)),
+        order = Seq(col("source"), col("qm").desc, col("doc_id").asc),
+        value = col("n_tokens"),
+        out = "gcum")
+      noop(ranked)
+    }
+    // Round-9 tail: the per-source scorecard — one battery scan, one
+    // fingerprint-keyed keeper window, a #sources rollup; linear.
+    time("source scorecard e2e") {
+      import org.apache.spark.sql.expressions.Window
+      val battery = graft.textanalysis.TextAnalysis.gopherFilters(
+          corpus, "doc_id", "text",
+          extra = Seq(
+            graft.textanalysis.TextAnalysis.qualityScore(col("text")).as("quality"),
+            col("lang")))
+        .withColumn(
+          "keep",
+          col("r_word_count") && col("r_mean_word_len") &&
+            col("r_symbol_ratio") && col("r_bullet") && col("r_ellipsis") &&
+            col("r_alpha") && (col("lang") =!= "en" || col("r_stopword")) &&
+            col("quality") >= 0.7)
+        .select(col("doc_id"), col("keep"))
+      val dup = corpus
+        .select(col("doc_id"), col("source"),
+          md5(substring(col("text"), 1, 50)).as("dup_key"))
+        .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy("dup_key")))
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") > col("keeper"), 1L).otherwise(0L).as("is_dup"))
+      noop(dup.join(battery, Seq("doc_id")).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          sum(col("is_dup")).as("n_dup")))
+    }
     time("ccnet buckets e2e")(
       noop(graft.queries.TextQueries.ccnetBucketsFrom(
         graft.queries.TextQueries.lmScoreDocs(corpus)
