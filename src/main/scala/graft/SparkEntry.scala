@@ -186,6 +186,7 @@ object SparkEntry {
     "q_train_sequences" -> (TextQueries.trainSequences _),
     "q_interleaved_pack" -> (TextQueries.interleavedPack _),
     "q_shard_assign" -> (TextQueries.shardAssign _),
+    "q_passage_chunks" -> (TextQueries.passageChunks _),
     "q_ccnet_buckets" -> (TextQueries.ccnetBuckets _)
   )
 
@@ -754,6 +755,7 @@ object SparkEntry {
     "q_train_sequences" -> TextQueries.trainSequencesOracle,
     "q_interleaved_pack" -> TextQueries.interleavedPackOracle,
     "q_shard_assign" -> TextQueries.shardAssignOracle,
+    "q_passage_chunks" -> TextQueries.passageChunksOracle,
     "q_ccnet_buckets" -> TextQueries.ccnetBucketsOracle,
     "q_dup_clusters" -> PipelineQueries.dupClustersOracle,
     "q_word_repetition" ->

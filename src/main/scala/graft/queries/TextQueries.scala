@@ -776,6 +776,79 @@ object TextQueries {
       |  CAST(sum(CASE WHEN frac < u_micros % 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** Passage window length (tokens) for [[passageChunks]]. */
+  val PassageLen = 48
+
+  /** Passage stride — windows overlap by PassageLen − PassageStride
+    * tokens (the standard RAG-ingestion overlap so no answer span is
+    * split across a boundary without a window that contains it whole). */
+  val PassageStride = 32
+
+  /** RAG-style PASSAGE CHUNKING — fixed-length sliding token windows
+    * with stride over every document (the retrieval-ingestion
+    * counterpart of the reference's greedy transcript chunker, which
+    * packs variable segments; here windows are position-regular so
+    * retrieval offsets are reconstructible from (doc_id, window_id)
+    * alone). Window w covers token positions [w·stride, w·stride+len);
+    * the final window may be short; empty documents emit nothing.
+    * Output per (doc_id, window_id): start_tok, n_toks, and an exact
+    * integer content checksum Σ (hash60(tok) mod 1000003)·(local_pos+1).
+    *
+    * Scale shape: ONE tokenizing scan, and each token maps ITSELF to
+    * its ≤ ⌈len/stride⌉ covering windows map-side (the closed-form
+    * window range, no window table, no join), then a (doc, window)-
+    * keyed partial agg. Never a per-doc sort or corpus-wide window. */
+  def passageChunks(s: SparkSession, d: String): DataFrame = {
+    val P = PassageLen
+    val S = PassageStride
+    val toks = documents(s, d).select(
+      col("doc_id"),
+      posexplode(
+        regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .as(Seq("pos", "tok")))
+    toks
+      .select(
+        col("doc_id"), col("pos"),
+        (graft.dedup.Dedup.hash60(col("tok")) % 1000003L).as("h"),
+        explode(expr(
+          s"sequence(greatest(0, (pos - $P + $S) div $S), pos div $S)"))
+          .as("w"))
+      .groupBy("doc_id", "w")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(col("h") * (col("pos") - col("w") * S + lit(1L))).as("checksum"))
+      .select(
+        col("doc_id"), col("w").cast("long").as("window_id"),
+        (col("w") * S).cast("long").as("start_tok"),
+        col("n_toks"), col("checksum"))
+      .orderBy("doc_id", "window_id")
+  }
+
+  def passageChunksOracle: String = {
+    val P = PassageLen
+    val S = PassageStride
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '$BpePattern') AS l
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok
+       |  FROM t),
+       |h AS (
+       |  SELECT doc_id, pos,
+       |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1000003 AS h
+       |  FROM tok),
+       |tw AS (
+       |  SELECT doc_id, pos, h,
+       |    unnest(range(greatest(0, (pos - $P + $S) // $S), pos // $S + 1)) AS w
+       |  FROM h)
+       |SELECT doc_id, CAST(w AS BIGINT) AS window_id,
+       |  CAST(w * $S AS BIGINT) AS start_tok,
+       |  count(*) AS n_toks,
+       |  CAST(sum(h * (pos - w * $S + 1)) AS BIGINT) AS checksum
+       |FROM tw GROUP BY doc_id, w
+       |ORDER BY doc_id, window_id""".stripMargin
+  }
+
   /** Documents per length-grouped batch for [[lengthBatches]]. */
   val LengthBatchSize = 32L
 
