@@ -217,6 +217,27 @@ object ScaleStress {
     // Each pipeline must stay near-linear in corpus size.
     time("train sequences e2e")(
       noop(graft.queries.TextQueries.trainSequencesDocs(spark, corpus)))
+    // Round-9 tail: sliding passage chunking — one tokenizing scan +
+    // map-side closed-form window assignment + (doc, window) partial
+    // agg; strictly linear in token count.
+    time("passage chunks e2e") {
+      val P = graft.queries.TextQueries.PassageLen
+      val S = graft.queries.TextQueries.PassageStride
+      val toks = corpus.select(
+        col("doc_id"),
+        posexplode(regexp_extract_all(
+          col("text"), lit(graft.queries.TextQueries.BpePattern), lit(0)))
+          .as(Seq("pos", "tok")))
+      noop(toks
+        .select(col("doc_id"), col("pos"),
+          (Dedup.hash60(col("tok")) % 1000003L).as("h"),
+          explode(expr(
+            s"sequence(greatest(0, (pos - $P + $S) div $S), pos div $S)"))
+            .as("w"))
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(col("h") * (col("pos") - col("w") * S + lit(1L))).as("checksum")))
+    }
     // Round-9: the interleaved multimodal packer — same offsets/placement
     // machinery plus ImageTokenCost reference rows per third doc; must
     // track "train sequences e2e" with a small constant increment.
