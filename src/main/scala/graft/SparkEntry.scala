@@ -187,6 +187,7 @@ object SparkEntry {
     "q_interleaved_pack" -> (TextQueries.interleavedPack _),
     "q_shard_assign" -> (TextQueries.shardAssign _),
     "q_passage_chunks" -> (TextQueries.passageChunks _),
+    "q_bm25_passages" -> (TextQueries.bm25Passages _),
     "q_ccnet_buckets" -> (TextQueries.ccnetBuckets _)
   )
 
@@ -756,6 +757,7 @@ object SparkEntry {
     "q_interleaved_pack" -> TextQueries.interleavedPackOracle,
     "q_shard_assign" -> TextQueries.shardAssignOracle,
     "q_passage_chunks" -> TextQueries.passageChunksOracle,
+    "q_bm25_passages" -> TextQueries.bm25PassagesOracle,
     "q_ccnet_buckets" -> TextQueries.ccnetBucketsOracle,
     "q_dup_clusters" -> PipelineQueries.dupClustersOracle,
     "q_word_repetition" ->

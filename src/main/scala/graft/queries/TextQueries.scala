@@ -849,6 +849,94 @@ object TextQueries {
        |ORDER BY doc_id, window_id""".stripMargin
   }
 
+  /** PASSAGE-level BM25 — the RAG retrieval shape: queries retrieve
+    * top-k PASSAGES, not documents, so the answer span comes back with
+    * its surrounding window rather than a whole document. Composes
+    * [[passageChunks]]' sliding windows (each passage's text re-stitched
+    * from its sorted (pos, tok) pairs — per-window bounded, ≤
+    * [[PassageLen]] tokens) with the UNCHANGED [[bm25QueriesDf]] ranker;
+    * passage id = doc_id·10^6 + window_id (window counts are far below
+    * 10^6 at any document length this tokenizer produces). The same
+    * [[Bm25QueryFixture]] queries as the document-level ranker, so the
+    * two granularities are directly comparable.
+    *
+    * Scale shape: passage construction is the chunker's map-side window
+    * assignment + a (doc, window)-keyed bounded collect; the ranker's
+    * own scale story (broadcast query terms, df/tf partial aggs, heap
+    * top-k) is unchanged. */
+  def bm25Passages(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val P = PassageLen
+    val S = PassageStride
+    val toks = documents(s, d).select(
+      col("doc_id"),
+      posexplode(
+        regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .as(Seq("pos", "tok")))
+    val passages = toks
+      .select(
+        col("doc_id"), col("pos"), col("tok"),
+        explode(expr(
+          s"sequence(greatest(0, (pos - $P + $S) div $S), pos div $S)"))
+          .as("w"))
+      .groupBy("doc_id", "w")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("ts"))
+      .select(
+        (col("doc_id") * 1000000L + col("w")).as("doc_id"),
+        expr("array_join(transform(ts, t -> t.tok), ' ')").as("text"))
+    bm25QueriesDf(
+      s, passages, Bm25QueryFixture.toDF("query_id", "qtext"), RrfTopK)
+  }
+
+  def bm25PassagesOracle: String = {
+    val P = PassageLen
+    val S = PassageStride
+    val values = Bm25QueryFixture
+      .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    s"""WITH q(query_id, qtext) AS (VALUES $values),
+       |qt AS (SELECT DISTINCT query_id, word FROM (
+       |  SELECT query_id, unnest(string_split_regex(lower(qtext), '\\s+')) AS word
+       |  FROM q) WHERE word <> ''),
+       |t AS (SELECT doc_id, regexp_extract_all(text, '$BpePattern') AS l FROM documents),
+       |tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok FROM t),
+       |tw AS (
+       |  SELECT doc_id, pos, tok,
+       |    unnest(range(greatest(0, (pos - $P + $S) // $S), pos // $S + 1)) AS w
+       |  FROM tok),
+       |w2 AS (
+       |  -- BpePattern tokens carry an optional LEADING SPACE; the Spark
+       |  -- side re-splits the stitched passage text on whitespace, which
+       |  -- strips it — trim to the same word form.
+       |  SELECT doc_id * 1000000 + w AS doc_id, trim(lower(tok)) AS word
+       |  FROM tw WHERE trim(tok) <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM w2 GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+       |qw AS (SELECT doc_id, word FROM w2 WHERE word IN (SELECT word FROM qt)),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM qw GROUP BY 1, 2),
+       |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM qw GROUP BY 1),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(round(
+       |      ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (CAST(tf AS DOUBLE) * (CAST($BM25K1 AS DOUBLE) + 1))
+       |      / (tf + CAST($BM25K1 AS DOUBLE) * (1 - CAST($BM25B AS DOUBLE)
+       |         + CAST($BM25B AS DOUBLE) * CAST(dl.dl AS DOUBLE) / avgdl))
+       |      * 1e6, 0) AS BIGINT) AS term_micro
+       |  FROM tf JOIN df USING (word) JOIN qt USING (word)
+       |    JOIN dl USING (doc_id) CROSS JOIN stats),
+       |per AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(sum(term_micro) AS BIGINT) AS score_micro,
+       |    count(*) AS n_terms
+       |  FROM scored GROUP BY 1, 2)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
+       |  doc_id, score_micro, n_terms
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_micro DESC, doc_id ASC) AS rnk FROM per)
+       |WHERE rnk <= $RrfTopK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Documents per length-grouped batch for [[lengthBatches]]. */
   val LengthBatchSize = 32L
 

@@ -43,4 +43,21 @@ class PassageChunksSpec extends SparkSuite {
     }.sum
     assert(gotMass == wantMass)
   }
+
+  test("passage-level BM25 returns ranked windows that decode to real passages") {
+    val d = "/root/testdata/sf0.001"
+    val valid = TextQueries.passageChunks(spark, d)
+      .select("doc_id", "window_id").collect()
+      .map(r => r.getLong(0) * 1000000L + r.getLong(1)).toSet
+    val hits = TextQueries.bm25Passages(spark, d).collect()
+    assert(hits.nonEmpty)
+    hits.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val rnks = rows.map(_.getAs[Long]("rnk")).sorted.toSeq
+      assert(rnks == (1L to rnks.size))
+    }
+    hits.foreach { h =>
+      assert(valid(h.getAs[Long]("doc_id")),
+        s"retrieved passage ${h.getAs[Long]("doc_id")} does not exist")
+    }
+  }
 }
