@@ -252,6 +252,26 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"no product:\n$p")
   }
 
+  test("passage chunks: one scan, closed-form window map, no join anywhere") {
+    val p = plan("q_passage_chunks")
+    // Each token maps ITSELF to its covering windows — there must be no
+    // join (no window table) and no per-doc sort in the plan.
+    assert(!p.contains("Join"), s"window assignment must be joinless:\n$p")
+    assert(!p.contains("Window"), s"no window operator:\n$p")
+    assert(p.contains("partial"), s"(doc, window) agg must partial-agg map-side:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"exactly one tokenizing scan, got $scans:\n$p")
+  }
+
+  test("passage bm25: broadcast query terms, heap-ranked, no product") {
+    val p = plan("q_bm25_passages")
+    assert(p.contains("TopKPerKey"),
+      s"per-query ranking must run on the bounded heap:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    val bc = "BroadcastExchange".r.findAllIn(p).length
+    assert(bc >= 2, s"query terms and stats must broadcast, got $bc:\n$p")
+  }
+
   test("semantic decontamination: map-side cell selection, broadcast holdout") {
     val p = plan("q_semantic_decontam")
     // Cell selection on both sides is the broadcast-array form — no
