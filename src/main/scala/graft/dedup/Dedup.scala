@@ -1454,7 +1454,13 @@ object Dedup {
     * Micros are `round(1e6·x)` of ratios of exact integers — correctly
     * rounded IEEE division, engine-exact. Returns one row:
     * (n_hashes, n_agree, jaccard_est_micros[, n_shingles_a,
-    * n_shingles_b, n_common, n_union, jaccard_exact_micros]). */
+    * n_shingles_b, n_common, n_union, jaccard_exact_micros]).
+    *
+    * API note (round 9): `withExact` DEFAULTED to `true` before round 9;
+    * the default flipped to `false` (sketch-only, the 100 TB path), which
+    * also drops the five exact-twin columns from the default schema.
+    * Callers that relied on the old default must now pass
+    * `withExact = true` explicitly. */
   def corpusOverlap(
       dfA: DataFrame,
       dfB: DataFrame,

@@ -36,6 +36,13 @@ object Sharding {
       seed: String
   ): DataFrame = {
     require(numShards >= 1, s"need numShards >= 1, got $numShards")
+    // The cumsum bucket key zero-pads the shard to 5 digits so that the
+    // LEXICOGRAPHIC bucket order matches the numeric shard order the
+    // driver fold below assumes; past 99999 shards the two orders would
+    // silently diverge and within-shard ranks corrupt — fail loudly.
+    require(
+      numShards <= 99999,
+      s"numShards must fit the %05d bucket padding (<= 99999), got $numShards")
     val spark = df.sparkSession
     import spark.implicits._
     // Three consumers read the keyed frame (the cumsum's local windows,

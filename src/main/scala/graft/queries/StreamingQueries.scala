@@ -469,6 +469,11 @@ object StreamingQueries {
   /** The batch battery oracle IS the streaming oracle. */
   def streamQualityOracle: String = PipelineQueries.gopherFiltersOracle
 
+  /** Upper bound on holdout rows embedded as a plan literal by
+    * [[decontamGateStream]] — generous for any eval suite, far below
+    * anything corpus-shaped. */
+  private val MaxHoldoutLiteralRows = 100000
+
   /** Frozen-artifact literal shapes for [[streamDecontam]]. */
   private case class CentLit(cell: Long, cemb: Seq[Double])
   private case class HoldLit(
@@ -523,8 +528,17 @@ object StreamingQueries {
     val centLits = cent.collect()
       .map(r => CentLit(r.getLong(0), r.getSeq[Double](1)))
       .toSeq
-    val holdLits = ivf.holdoutAssignments(holdout, cent)
-      .collect()
+    val holdRows = ivf.holdoutAssignments(holdout, cent).collect()
+    // The holdout rides the plan as a literal — correct only while it is
+    // eval-suite sized. A corpus-sized frame passed by mistake would blow
+    // up driver memory and plan size; fail loudly and point at the
+    // documented growth path (the stream-static broadcast cell join).
+    require(
+      holdRows.length <= MaxHoldoutLiteralRows,
+      s"decontam holdout has ${holdRows.length} rows; the frozen-literal " +
+        s"gate is bounded at $MaxHoldoutLiteralRows — use a stream-static " +
+        "broadcast join on the cell column for larger holdouts")
+    val holdLits = holdRows
       .map(r => HoldLit(
         r.getLong(0), r.getLong(1), r.getSeq[Double](2), r.getDouble(3)))
       .toSeq

@@ -882,7 +882,16 @@ object TextQueries {
       .groupBy("doc_id", "w")
       .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("ts"))
       .select(
-        (col("doc_id") * 1000000L + col("w")).as("doc_id"),
+        // The encoding assumes < 10^6 windows per document (~32M tokens
+        // at this stride); enforce it IN the plan so a pathological
+        // document fails the job loudly instead of silently colliding
+        // passage ids across documents.
+        (col("doc_id") * 1000000L +
+          when(col("w") < 1000000L, col("w"))
+            .otherwise(raise_error(concat(
+              lit("bm25Passages: window_id overflows the doc_id*1e6 " +
+                "passage encoding for doc_id="), col("doc_id").cast("string")))
+              .cast("long"))).as("doc_id"),
         expr("array_join(transform(ts, t -> t.tok), ' ')").as("text"))
     bm25QueriesDf(
       s, passages, Bm25QueryFixture.toDF("query_id", "qtext"), RrfTopK)

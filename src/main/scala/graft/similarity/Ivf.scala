@@ -910,19 +910,18 @@ object Ivf {
     val subDim = dims / m
     val (coarseCent, coarseAsg) = lloydIntTrain(corpus, coarseIds, iters)
     val (pqCent, _, codes) = pqTrain(corpus, pqIds, dims, m, iters)
+    // Probe-cell selection in the same MAP-SIDE array-sort form as the
+    // rest of the family (probeCellsSql over the broadcast K-row array):
+    // identical (dist, cell)-ascending ranking and tie-break as the old
+    // crossJoin+window, with no |Q|×K expansion and no window shuffle.
+    val coarseArr = coarseCent.agg(
+      collect_list(struct(col("cell"), col("ce"))).as("cents"))
     val probes = queries.select(
         col("vec_id").as("q_vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
           .as("qe"))
-      .crossJoin(broadcast(coarseCent))
-      .withColumn("dist", expr(IntDistSql))
-      .withColumn(
-        "rn",
-        row_number().over(
-          Window.partitionBy("q_vec_id")
-            .orderBy(col("dist").asc, col("cell").asc)))
-      .filter(col("rn") <= nProbe)
-      .select("q_vec_id", "cell")
+      .crossJoin(broadcast(coarseArr))
+      .select(col("q_vec_id"), explode(expr(probeCellsSql(nProbe))).as("cell"))
     val cellPairs = coarseAsg
       .select("vec_id", "cell")
       .join(broadcast(probes), Seq("cell"))

@@ -619,6 +619,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), s"no window in the probe subtree:\n$p")
   }
 
+  test("non-residual ivf-pq probe: map-side probe ranking, no window, no product") {
+    val p = plan("q_ivf_pq_probe")
+    // Round 10 unified the last crossJoin+row_number probe ranking on the
+    // shared probeCellsSql array-sort form — pin it the same way as the
+    // residual path so the window cannot quietly come back.
+    assert(!p.contains("Window"), s"no window in the probe subtree:\n$p")
+    assert(p.contains("TopKPerKey"),
+      s"per-query ranking must run on the bounded heap:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
   test("unicode nfc: pruned two-column scan, expression in the projection") {
     val p = plan("q_unicode_nfc")
     assert(p.contains("nfc_normalize"),
