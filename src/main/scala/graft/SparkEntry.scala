@@ -182,6 +182,7 @@ object SparkEntry {
     "q_split_assign" -> (TextQueries.splitAssign _),
     "q_token_ids" -> (TextQueries.tokenIds _),
     "q_token_bpe_merges" -> (TextQueries.tokenBpeMerges _),
+    "q_token_decode" -> (TextQueries.tokenDecode _),
     "q_token_bpe_512" -> (TextQueries.tokenBpe512 _),
     "q_train_sequences" -> (TextQueries.trainSequences _),
     "q_interleaved_pack" -> (TextQueries.interleavedPack _),
@@ -752,6 +753,7 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_bpe_merges" -> TextQueries.tokenBpeMergesOracle,
+    "q_token_decode" -> TextQueries.tokenDecodeOracle,
     "q_token_bpe_512" -> TextQueries.tokenBpe512Oracle,
     "q_train_sequences" -> TextQueries.trainSequencesOracle,
     "q_interleaved_pack" -> TextQueries.interleavedPackOracle,

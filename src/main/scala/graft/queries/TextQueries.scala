@@ -480,6 +480,66 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BPE DECODE round-trip — ids → text against the same frozen
+    * [[graft.textanalysis.Bpe.MergesWordFull]] table the encode queries
+    * use, the inverse a user reaches for first when inspecting a packed
+    * shard. Per DISTINCT type, [[graft.textanalysis.Bpe
+    * .encodeIdsForTypes]] emits the id sequence (code points + merge
+    * ids) and [[graft.textanalysis.Bpe.decodeIdsForTypes]] inverts it
+    * using ONLY the ≤|merges|-row id table; per document the decoded
+    * tokens reassemble in position order. The oracle pins two things
+    * independently: the id-sequence SHAPE (n_ids == the subword count of
+    * the shared encode CTEs) and the decoded TEXT (== the pre-token
+    * concatenation — the round-trip identity over the pre-token
+    * alphabet; BpeDecodeSpec property-pins decode∘encode == id across
+    * all three frozen table sizes).
+    *
+    * Scale shape: encode+decode run once per distinct type (Zipf) and
+    * join back; reassembly is one doc-keyed agg. Nothing corpus-sized
+    * ever hits the driver; the id tables are broadcasts. */
+  def tokenDecode(s: SparkSession, d: String): DataFrame = {
+    import graft.textanalysis.Bpe
+    val merges = Bpe.MergesWordFull
+    val tok = documents(s, d).select(
+      col("doc_id"),
+      posexplode(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .as(Seq("pos", "tok")))
+    val decoded = Bpe.decodeIdsForTypes(
+      Bpe.encodeIdsForTypes(tok.select("tok").distinct(), "tok", merges),
+      "tok", merges)
+    tok.join(decoded, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(size(col("ids"))).cast("long").as("n_ids"),
+        graft.queries.EventQueries
+          .orderedStringAgg(col("pos"), col("dec"), "").as("decoded"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[tokenDecode]]: n_ids replays the shared
+    * 127-merge encode CTEs (the independent id-sequence-length check);
+    * `decoded` is the separator-stripped token re-concatenated in
+    * position order — what a CORRECT decode must reproduce from ids
+    * alone. */
+  def tokenDecodeOracle: String = {
+    import graft.textanalysis.Bpe
+    val (ctes, last) = Bpe.oracleEncodeCtesSql("types", Bpe.MergesWordFull)
+    val nSub = Bpe.oracleSubwordCountSql("enc")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '$BpePattern') AS l FROM documents),
+       |tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok FROM t),
+       |types AS (SELECT DISTINCT tok FROM tok),
+       |$ctes
+       |cnts AS (SELECT tok, $nSub AS n_sub, replace(enc, chr(31), '') AS dec FROM $last)
+       |SELECT doc_id,
+       | CAST(count(*) AS BIGINT) AS n_tokens,
+       | CAST(sum(n_sub) AS BIGINT) AS n_ids,
+       | string_agg(dec, '' ORDER BY pos) AS decoded
+       |FROM tok JOIN cnts USING (tok)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** M3 sentence explode via the portable (RE2-safe, no-lookbehind) split
     * pattern; ordered by (doc_id, sentence) for a deterministic total order
     * even when a document repeats a sentence. */

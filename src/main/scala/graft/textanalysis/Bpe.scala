@@ -1049,6 +1049,94 @@ object Bpe {
     }
   }
 
+  /** Base id for MERGED symbols — one above the Unicode code-point space
+    * (0x10FFFF), so a character's id (its code point) and a merge id can
+    * never collide. Production subword vocabularies are exactly this
+    * shape: a fixed base alphabet plus one id per learned merge. */
+  val MergeIdBase: Long = 0x110000L
+
+  /** (id, symbol) decode rows for the merged symbols of a table: merge i
+    * emits `a+b` under id `MergeIdBase + i`. Two different merges can
+    * emit the SAME string (("ab","c") and ("a","bc") both yield "abc");
+    * the FIRST index is the canonical id, so symbol→id stays a function
+    * and later duplicates never enter the decode table. */
+  def mergeIdRows(merges: Seq[(String, String)]): Seq[(Long, String)] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    merges.zipWithIndex.flatMap { case ((a, b), i) =>
+      if (seen.add(a + b)) Some((MergeIdBase + i, a + b)) else None
+    }
+  }
+
+  /** Encode each distinct type to its BPE id SEQUENCE — the ids a packed
+    * shard actually stores: [[encodeLocal]] produces the symbol sequence,
+    * single-unit symbols carry their code point, merged symbols their
+    * canonical merge id. Same distinct-type discipline as
+    * [[subwordCountsForTypes]] (encode once per type, join back); the
+    * merge tables ride as broadcasts. Returns (tokCol, ids). */
+  def encodeIdsForTypes(
+      types: DataFrame,
+      tokCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    require(isTrainingConsistent(merges),
+      "encodeIdsForTypes requires a training-consistent merge table")
+    val idx = merges.toIndexedSeq
+    val ranks = idx.zipWithIndex.toMap
+    require(ranks.size == idx.size,
+      "merge table contains duplicate pairs; see subwordCountsForTypes")
+    val symToId: Map[String, Long] =
+      mergeIdRows(merges).map { case (id, s) => (s, id) }.toMap
+    val spark = types.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((idx, ranks, symToId))
+    types.select(col(tokCol)).as[String]
+      .mapPartitions { it =>
+        val (m, r, sid) = bc.value
+        it.map { tok =>
+          val ids = encodeLocal(tok, m, r).map { s =>
+            if (s.length == 1) s.charAt(0).toLong
+            else sid.getOrElse(s, throw new IllegalStateException(
+              s"encoded symbol '$s' is neither a single unit nor a merge output"))
+          }
+          (tok, ids)
+        }
+      }
+      .toDF(tokCol, "ids")
+  }
+
+  /** Decode id sequences back to text using ONLY the ≤|merges|-row id
+    * table — the inverse of [[encodeIdsForTypes]], and the first thing a
+    * user does when inspecting a packed shard. Map-side per row, decode
+    * table broadcast; appends `dec` to the input frame. */
+  def decodeIdsForTypes(
+      encoded: DataFrame,
+      tokCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(mergeIdRows(merges).toMap)
+    encoded.select(col(tokCol), col("ids")).as[(String, Seq[Long])]
+      .mapPartitions { it =>
+        val tab = bc.value
+        it.map { case (tok, ids) => (tok, ids, decodeIds(ids, tab)) }
+      }
+      .toDF(tokCol, "ids", "dec")
+  }
+
+  /** One id sequence → its string: merged ids look up the decode table,
+    * everything else appends as a code point. */
+  def decodeIds(ids: Seq[Long], idToStr: Map[Long, String]): String = {
+    val sb = new java.lang.StringBuilder
+    ids.foreach { id =>
+      idToStr.get(id) match {
+        case Some(s) => sb.append(s)
+        case None    => sb.appendCodePoint(id.toInt)
+      }
+    }
+    sb.toString
+  }
+
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
   private def sepWrap(sym: String): String =
     s"chr(31)||${sqlLit(sym)}||chr(31)"
