@@ -138,6 +138,7 @@ object SparkEntry {
     "q_stream_dedup_corpus" -> (StreamingQueries.streamDedupCorpus _),
     "q_stream_quality" -> (StreamingQueries.streamQuality _),
     "q_stream_decontam" -> (StreamingQueries.streamDecontam _),
+    "q_stream_neardup" -> (StreamingQueries.streamNearDup _),
     "q_stream_shard" -> (StreamingQueries.streamShard _),
     "q_stream_cell_drift" -> (StreamingQueries.streamCellDrift _),
     "q_quality_keeplist" -> (PipelineQueries.qualityKeeplist _),
@@ -518,6 +519,7 @@ object SparkEntry {
     "q_stream_dedup_corpus" -> StreamingQueries.streamDedupCorpusOracle,
     "q_stream_quality" -> StreamingQueries.streamQualityOracle,
     "q_stream_decontam" -> StreamingQueries.streamDecontamOracle,
+    "q_stream_neardup" -> StreamingQueries.streamNearDupOracle,
     "q_stream_shard" -> StreamingQueries.streamShardOracle,
     "q_stream_cell_drift" -> StreamingQueries.streamCellDriftOracle,
     "q_quality_keeplist" -> PipelineQueries.qualityKeeplistOracle,

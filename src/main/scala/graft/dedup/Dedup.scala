@@ -190,6 +190,92 @@ object Dedup {
     jaccardVerifyTwoSided(bSh, cSh, cands, threshold)
   }
 
+  /** The (id, band, bh) banded-signature table of a corpus — the stored
+    * band-table ARTIFACT a continuous-ingest pipeline computes once and
+    * keeps: [[minhashIncremental]] joins fresh batch bands against it,
+    * and the streaming near-dup gate
+    * ([[graft.streaming.StreamingOps.nearDupGateStream]]) stream-static
+    * joins arrivals against it. Same shingles, signatures and band
+    * hashes as every batch operator. */
+  def bandTable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    bandedSignatures(
+      signatureOfShingles(shingleRows(df, idCol, textCol), numHashes),
+      bands, numHashes / bands)
+  }
+
+  /** The corpus SHINGLE-SET artifact in per-doc array form —
+    * (id, shingles sorted long array): what the ingest gate's row-local
+    * exact-Jaccard verify joins candidates against. Each array is one
+    * document's distinct 60-bit shingle hashes (bounded by doc length),
+    * so the artifact is corpus-row-sized, never corpus×corpus. */
+  def shingleSetTable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3
+  ): DataFrame =
+    shingleRows(df, idCol, textCol, n)
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("shingle"))).as("shingles"))
+
+  /** ROW-LOCAL MinHash banding of single documents — the stream face of
+    * [[bandedSignatures]]: shingle set, signatures and band hashes all
+    * computed as expressions over the row alone (no shuffle, no
+    * aggregation — an append-mode stream can run it statelessly),
+    * byte-identical to the batch arithmetic: same '_'-joined word
+    * 3-shingles, same [[hash60]] shingle keys, same md5-slice signature
+    * mins, same ':'-joined band digests. Returns one row per (doc,
+    * band): (id, shingles, band, bh) — `shingles` is the distinct
+    * 60-bit array carried along for the verify stage.
+    *
+    * The `shingles` alias is referenced by all `numHashes` signature
+    * lambdas plus the passthrough, so CollapseProject keeps it
+    * materialized per row (multi-referenced non-cheap expressions are
+    * not inlined — the round-9 lambda-inlining pitfall applies to
+    * SINGLE-reference aliases). */
+  def bandRowsLocal(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val withSh = df
+      .select(col(idCol).as("id"), words(col(textCol)).as("w"))
+      .select(
+        col("id"),
+        array_distinct(transform(shinglesOfWords(col("w")), s => hash60(s)))
+          .as("shingles"))
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(
+        col("shingles"),
+        sh => md5Slice60(concat(lit(s"${i / 2}:"), sh.cast("string")), i % 2)))
+        .as(s"sig_$i")
+    }
+    val withSig = withSh.select(col("id") +: col("shingles") +: sigCols: _*)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rows)
+        .flatMap(r => Seq(col(s"sig_${b * rows + r}").cast("string"), lit(":")))
+        .dropRight(1)
+      struct(lit(b).as("band"), md5(concat(cols: _*)).as("bh"))
+    }
+    withSig
+      .select(col("id"), col("shingles"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(
+        col("id"), col("shingles"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** Exact Jaccard verification of candidate pairs over a precomputed
     * distinct (id, shingle) set. The intersection count is computed ONLY
     * for candidate pairs — expand candidates with id_a's shingles, then

@@ -410,6 +410,40 @@ object StreamingQueries {
       .orderBy("fingerprint")
   }
 
+  /** STREAMING near-dup ingest gate ([[StreamingOps.nearDupGateStream]]
+    * through the real runtime) — the fourth and final cleaning stage of
+    * the ingest path (after [[streamQuality]], [[streamDedupCorpus]],
+    * [[streamDecontam]]): the [[PipelineQueries.MinhashIncMod]] batch
+    * residue arrives on the documents drop stream and is flagged
+    * against the FROZEN corpus MinHash artifacts (band table +
+    * shingle-set arrays, computed once at deploy from the static corpus
+    * split — exactly [[graft.dedup.Dedup.minhashIncremental]]'s
+    * batch-vs-corpus discipline as a stream face). Shares the batch
+    * oracle verbatim; StreamNearDupSpec pins stream == batch across
+    * micro-batches. */
+  def streamNearDup(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{
+      MinhashIncMod, MinhashHashes, MinhashBands, MinhashThreshold}
+    val docs = documents(s, d)
+    val corpus = docs.filter(col("doc_id") % MinhashIncMod =!= 0)
+    val cBands = graft.dedup.Dedup
+      .bandTable(corpus, "doc_id", "text", MinhashHashes, MinhashBands)
+      .localCheckpoint(true)
+    val cSets = graft.dedup.Dedup
+      .shingleSetTable(corpus, "doc_id", "text")
+      .localCheckpoint(true)
+    val arrivals = StreamingOps
+      .readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % MinhashIncMod === 0)
+    val verdicts = StreamingOps.nearDupGateStream(
+      arrivals, cBands, cSets, MinhashHashes, MinhashBands, MinhashThreshold)
+    runToMemory(s, verdicts, OutputMode.Append(), "graft_stream_neardup")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The batch incremental MinHash oracle IS the streaming oracle. */
+  def streamNearDupOracle: String = PipelineQueries.minhashIncrementalOracle
+
   /** STREAMING cell-occupancy drift ([[StreamingOps.cellOccupancyStream]]
     * through the real runtime): the [[PipelineQueries.SemIncMod]] batch
     * residue arrives on the embeddings drop stream, assigns map-side

@@ -261,6 +261,65 @@ object StreamingOps {
           .otherwise(lit("new"))
           .as("verdict"))
 
+  /** STREAMING MinHash NEAR-dup gate — the ingest-time face of
+    * [[graft.dedup.Dedup.minhashIncremental]] and the last cleaning
+    * stage the ingest path lacked (quality, exact-dedup and semantic
+    * decontamination already run at ingest): an arriving near-duplicate
+    * of a corpus document is flagged BEFORE it lands. Two frozen corpus
+    * artifacts enter as static frames — the deploy-time handoff a
+    * production pipeline stores at ingest: the (id, band, bh) band
+    * table ([[graft.dedup.Dedup.bandTable]]) and the per-doc
+    * shingle-set arrays ([[graft.dedup.Dedup.shingleSetTable]]).
+    *
+    * Per arrival: shingles, signatures and band hashes compute
+    * ROW-LOCAL ([[graft.dedup.Dedup.bandRowsLocal]] — byte-identical to
+    * the batch arithmetic, no shuffle, no aggregation); a stream-static
+    * join on (band, bh) yields candidate corpus partners;
+    * `dropDuplicates` collapses multi-band hits (state = one row per
+    * candidate PAIR — bounded by near-dup volume, not ingest volume);
+    * the exact-Jaccard verify is a second stream-static join to the
+    * shingle-set artifact plus a row-local array intersection.
+    * Batching-invariant: every verdict depends on one arrival row and
+    * the frozen artifacts alone.
+    *
+    * Scale shape: identical to the batch incremental operator — band
+    * buckets bound candidates (never corpus × arrivals), the verify
+    * touches candidate pairs only, and each shingle array is bounded by
+    * its document's length. Emits (id_a = arriving id, id_b = corpus
+    * id, jaccard ≥ threshold). */
+  def nearDupGateStream(
+      arrivals: DataFrame,
+      corpusBands: DataFrame,
+      corpusShingleSets: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double
+  ): DataFrame = {
+    val aBands = graft.dedup.Dedup
+      .bandRowsLocal(arrivals, "doc_id", "text", numHashes, bands)
+    val cands = aBands
+      .join(
+        corpusBands.select(col("id").as("id_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("id").as("id_a"), col("shingles"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(
+        corpusShingleSets.select(
+          col("id").as("id_b"), col("shingles").as("c_shingles")),
+        Seq("id_b"))
+      .withColumn(
+        "n_inter",
+        size(array_intersect(col("shingles"), col("c_shingles"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        round(col("n_inter") /
+          (size(col("shingles")).cast("long") +
+            size(col("c_shingles")).cast("long") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Stream-stream interval join (the attribution shape of
     * [[graft.queries.EventQueries.asofAttribution]] under continuous
     * ingestion): each click joins the same user's views from the

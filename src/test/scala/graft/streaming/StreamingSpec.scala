@@ -989,6 +989,74 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming near-dup gate equals the batch incremental operator on the real fixture") {
+    // The frozen-artifact gate (band table + shingle-set arrays) must
+    // reproduce Dedup.minhashIncremental's verified pair set verbatim —
+    // same shingles, signatures, band hashes and exact-Jaccard verify.
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamNearDup(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.PipelineQueries.minhashIncrementalQ(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty, "fixture must flag at least one arriving near-dup")
+    assert(got == want)
+  }
+
+  test("streaming near-dup gate is invariant to micro-batch boundaries") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // Corpus of two docs; arrivals split across two drop files (one
+    // near-dup of corpus doc 1, one unrelated, one too short to shingle).
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val corpus = Seq(
+      (100L, base + " juliet kilo"),
+      (101L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val cBands = Dedup.bandTable(corpus, "doc_id", "text", 8, 4)
+    val cSets = Dedup.shingleSetTable(corpus, "doc_id", "text")
+    val d = java.nio.file.Files.createTempDirectory("docs_neardup_drop")
+    val files = Seq(
+      Seq((200L, base + " juliet lima")),
+      Seq((201L, "totally unrelated words here nothing shared at all"),
+        (202L, "two words")))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val stage = java.nio.file.Files.createTempDirectory("docs_ndstage")
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(
+        part.toPath, d.resolve(f"docs_$i%03d.parquet"))
+    }
+    val probed = spark.read.parquet(d.toString).schema
+    def run(oneFilePerBatch: Boolean, name: String) = {
+      val reader = spark.readStream.schema(probed)
+      val src = (if (oneFilePerBatch) reader.option("maxFilesPerTrigger", "1")
+                 else reader).parquet(d.toString)
+      val q = StreamingOps.nearDupGateStream(src, cBands, cSets, 8, 4, 0.2)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val multi = run(oneFilePerBatch = true, "neardup_multi")
+    val single = run(oneFilePerBatch = false, "neardup_single")
+    assert(multi == single, "micro-batch boundaries changed the verdicts")
+    val want = Dedup.minhashIncremental(
+      corpus, spark.read.parquet(d.toString), "doc_id", "text", 8, 4, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(multi == want, "stream gate must equal the batch incremental")
+    assert(multi.map(_._1) == Set(200L),
+      "only the near-dup arrival should be flagged")
+  }
+
   test("readEmbeddings starts against an empty drop directory via the declared schema") {
     val d = java.nio.file.Files.createTempDirectory("emb_empty_drop")
     val stream = StreamingOps.readEmbeddings(spark, d.toString)
