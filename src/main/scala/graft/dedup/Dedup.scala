@@ -1255,13 +1255,115 @@ object Dedup {
     val bSpans = toks
       .select(col("id"), explode(posShingles(col("wd"), w)).as("ps"))
       .select(col("id"), col("ps.pos").as("pos"), hash60(col("ps.s")).as("fp"))
-    val corpusFps = corpus
-      .select(words(col(textCol)).as("wd"))
+    val corpusFps = spanFpSet(corpus, idCol, textCol, w)
+    val removable = bSpans.join(corpusFps, Seq("fp")).select("id", "pos")
+    exciseIntervals(toks, removable, w)
+  }
+
+  /** The corpus SPAN-FINGERPRINT artifact: the distinct 60-bit hashes of
+    * every w-word window — what [[removeDuplicateSpansIncremental]]
+    * excises against, and the third canonical artifact
+    * [[commitArtifacts]] folds batches into. */
+  def spanFpSet(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int
+  ): DataFrame =
+    df.select(words(col(textCol)).as("wd"))
       .select(explode(posShingles(col("wd"), w)).as("ps"))
       .select(hash60(col("ps.s")).as("fp"))
       .distinct()
-    val removable = bSpans.join(corpusFps, Seq("fp")).select("id", "pos")
-    exciseIntervals(toks, removable, w)
+
+  /** The artifact bundle of [[commitArtifacts]]: the corpus artifacts as
+    * a deploy would load them, the batch-side deltas, the cleaned
+    * accepted documents, and the committed (corpus ∪ delta) artifacts
+    * the NEXT delivery gates against. */
+  case class CommittedArtifacts(
+      corpusFingerprints: DataFrame,
+      corpusBands: DataFrame,
+      corpusSpanFps: DataFrame,
+      accepted: DataFrame,
+      deltaFingerprints: DataFrame,
+      deltaBands: DataFrame,
+      deltaSpanFps: DataFrame,
+      fingerprints: DataFrame,
+      bandTable: DataFrame,
+      spanFps: DataFrame)
+
+  /** CORPUS COMMIT / COMPACTION — close the ingest loop. Every
+    * incremental operator in this file treats the corpus artifacts as
+    * frozen; this is the missing last step that folds an ACCEPTED batch
+    * into updated artifacts, so the ingest story ends at "admitted",
+    * not "flagged". Gate → clean → commit:
+    *
+    *   1. GATE: [[incrementalExact]] classifies the batch against the
+    *      corpus fingerprint set; only `new` rows (first occurrence
+    *      anywhere) ingest.
+    *   2. CLEAN: [[removeDuplicateSpansIncremental]] excises every batch
+    *      window already present in the corpus — the committed document
+    *      is the cleaned one (lowercased kept words, the rewrite's
+    *      canonical form).
+    *   3. COMMIT: each canonical artifact gains its batch-sized delta —
+    *      distinct fingerprint set ∪= cleaned fingerprints, MinHash band
+    *      table ∪= cleaned band rows ([[bandTable]]), span fp set ∪=
+    *      cleaned span fps ([[spanFpSet]]).
+    *
+    * Scale shape: here the corpus artifacts are BUILT (checkpointed
+    * once); in production they are already-materialized tables, and
+    * every commit-time term is batch-sized — the distinct-unions are the
+    * compaction, a merge of a materialized set with a batch delta, never
+    * a corpus × batch join. CommitArtifactsSpec pins the defining law:
+    * each committed artifact equals the artifact recomputed FROM SCRATCH
+    * on corpus ∪ accepted. */
+  def commitArtifacts(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      w: Int
+  ): CommittedArtifacts = {
+    val fpc = graft.text.TextFunctions.fingerprintCol _
+    val corpusDocs = corpus
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .localCheckpoint(true)
+    val batchDocs = batch.select(col(idCol).as("id"), col(textCol).as("text"))
+    val verdicts = incrementalExact(corpusDocs, batchDocs, "id", "text")
+    val acceptedRaw = batchDocs
+      .join(verdicts.filter(col("verdict") === "new").select("id"), Seq("id"))
+    val accepted = removeDuplicateSpansIncremental(
+      corpusDocs, acceptedRaw, "id", "text", w)
+      .select(col("id"), col("clean_text").as("text"))
+      .localCheckpoint(true)
+    val corpusFps = corpusDocs
+      .select(fpc(col("text")).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val corpusBands =
+      bandTable(corpusDocs, "id", "text", numHashes, bands)
+        .localCheckpoint(true)
+    val corpusSpans =
+      spanFpSet(corpusDocs, "id", "text", w).localCheckpoint(true)
+    val deltaFps = accepted
+      .select(fpc(col("text")).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+      .distinct()
+    val deltaBands = bandTable(accepted, "id", "text", numHashes, bands)
+    val deltaSpans = spanFpSet(accepted, "id", "text", w)
+    CommittedArtifacts(
+      corpusFingerprints = corpusFps,
+      corpusBands = corpusBands,
+      corpusSpanFps = corpusSpans,
+      accepted = accepted,
+      deltaFingerprints = deltaFps,
+      deltaBands = deltaBands,
+      deltaSpanFps = deltaSpans,
+      fingerprints = corpusFps.unionByName(deltaFps).distinct(),
+      bandTable = corpusBands.unionByName(deltaBands),
+      spanFps = corpusSpans.unionByName(deltaSpans).distinct())
   }
 
   // -------------------------------------------------------------------------

@@ -820,6 +820,131 @@ object PipelineQueries {
        |FROM tb LEFT JOIN ka ON tb.doc_id = ka.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** CORPUS COMMIT readout ([[graft.dedup.Dedup.commitArtifacts]] over
+    * the [[IncrementalMod]] split): gate the arriving batch with the
+    * exact-dedup verdicts, span-clean the survivors against the corpus,
+    * fold the cleaned batch into the three canonical artifacts
+    * (fingerprint set, MinHash band table, span fp set), and report one
+    * row per artifact — deploy-time size, batch delta size, committed
+    * size. The counts pin gate, clean and commit cross-engine;
+    * CommitArtifactsSpec pins the set-level law (committed == from
+    * scratch on corpus ∪ accepted). */
+  def corpusCommit(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val a = graft.dedup.Dedup.commitArtifacts(
+      docs.filter(col("doc_id") % IncrementalMod =!= 0),
+      docs.filter(col("doc_id") % IncrementalMod === 0),
+      "doc_id", "text", MinhashHashes, MinhashBands, SpanW)
+    def row(name: String, c: DataFrame, del: DataFrame, com: DataFrame) =
+      c.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(del.agg(count(lit(1)).as("n_delta")))
+        .crossJoin(com.agg(count(lit(1)).as("n_committed")))
+        .select(
+          lit(name).as("artifact"),
+          col("n_corpus"), col("n_delta"), col("n_committed"))
+    row("fingerprint", a.corpusFingerprints, a.deltaFingerprints,
+        a.fingerprints)
+      .unionByName(
+        row("minhash_band", a.corpusBands, a.deltaBands, a.bandTable))
+      .unionByName(
+        row("span_fp", a.corpusSpanFps, a.deltaSpanFps, a.spanFps))
+      .orderBy("artifact")
+  }
+
+  /** DuckDB oracle for [[corpusCommit]]: the exact-dedup gate CTEs (the
+    * [[incrementalDedupOracle]] arithmetic), the span-rewrite CTEs over
+    * the gated batch (the [[incrementalSpansOracle]] arithmetic), then
+    * each artifact recomputed on the cleaned survivors and counted
+    * before/delta/after. */
+  def corpusCommitOracle: String = {
+    val M = IncrementalMod
+    val W = SpanW
+    s"""WITH fpt AS (
+       |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+       |  FROM documents),
+       |b AS (SELECT doc_id, fingerprint FROM fpt WHERE doc_id % $M = 0),
+       |seen AS (SELECT DISTINCT fingerprint FROM fpt WHERE doc_id % $M <> 0),
+       |firsts AS (SELECT fingerprint, min(doc_id) AS first_id FROM b GROUP BY fingerprint),
+       |acc AS (
+       |  SELECT b.doc_id FROM b
+       |  LEFT JOIN seen s ON b.fingerprint = s.fingerprint
+       |  JOIN firsts f ON b.fingerprint = f.fingerprint
+       |  WHERE s.fingerprint IS NULL AND b.doc_id = f.first_id),
+       |t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS wd FROM documents),
+       |sp AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    CAST('0x' || substr(md5(array_to_string(wd[i : i + $W - 1], '_')), 1, 15) AS BIGINT) AS fp
+       |  FROM (SELECT doc_id, wd, unnest(range(1, greatest(len(wd) - $W + 2, 1))) AS i FROM t)),
+       |cfp AS (SELECT DISTINCT fp FROM sp WHERE doc_id % $M <> 0),
+       |dup AS (
+       |  SELECT sp.doc_id, sp.pos FROM sp JOIN cfp USING (fp) JOIN acc USING (doc_id)),
+       |isl AS (
+       |  SELECT doc_id, island, min(pos) AS s, max(pos + $W) AS e FROM (
+       |    SELECT doc_id, pos,
+       |      CAST(sum(opens) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+       |    FROM (
+       |      SELECT doc_id, pos,
+       |        CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS opens
+       |      FROM (
+       |        SELECT doc_id, pos,
+       |          max(pos + $W) OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |        FROM dup)))
+       |  GROUP BY doc_id, island),
+       |tb AS (SELECT t.doc_id, t.wd FROM t JOIN acc USING (doc_id)),
+       |toks AS (
+       |  SELECT doc_id, j - 1 AS tpos, wd[CAST(j AS INTEGER)] AS tok
+       |  FROM (SELECT doc_id, wd, unnest(range(1, len(wd) + 1)) AS j FROM tb)),
+       |kept AS (
+       |  SELECT tk.doc_id, tk.tpos, tk.tok FROM toks tk
+       |  WHERE NOT EXISTS (SELECT 1 FROM isl
+       |    WHERE isl.doc_id = tk.doc_id AND tk.tpos >= isl.s AND tk.tpos < isl.e)),
+       |ka AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+       |  FROM kept GROUP BY doc_id),
+       |cleaned AS (
+       |  SELECT tb.doc_id, COALESCE(ka.clean_text, '') AS text
+       |  FROM tb LEFT JOIN ka ON tb.doc_id = ka.doc_id),
+       |afp AS (
+       |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+       |  FROM cleaned),
+       |cw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM cleaned),
+       |ashl AS (
+       |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS shingle FROM (
+       |    SELECT doc_id, unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]) AS s
+       |    FROM cw)),
+       |asig AS (SELECT doc_id, $sigColsSql FROM ashl GROUP BY doc_id),
+       |aband AS (
+       |  ${bandSelectsSql("asig")}),
+       |aspfp AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5(array_to_string(w[i : i + $W - 1], '_')), 1, 15) AS BIGINT) AS fp
+       |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - $W + 2, 1))) AS i FROM cw)),
+       |cshl AS (
+       |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS shingle FROM (
+       |    SELECT doc_id, unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]) AS s
+       |    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+       |      FROM documents WHERE doc_id % $M <> 0))),
+       |csig AS (SELECT doc_id, $sigColsSql FROM cshl GROUP BY doc_id),
+       |cband AS (
+       |  ${bandSelectsSql("csig")})
+       |SELECT 'fingerprint' AS artifact,
+       |  (SELECT count(*) FROM seen) AS n_corpus,
+       |  (SELECT count(*) FROM afp) AS n_delta,
+       |  (SELECT count(*) FROM (SELECT fingerprint FROM seen UNION SELECT fingerprint FROM afp)) AS n_committed
+       |UNION ALL
+       |SELECT 'minhash_band',
+       |  (SELECT count(*) FROM cband),
+       |  (SELECT count(*) FROM aband),
+       |  (SELECT count(*) FROM cband) + (SELECT count(*) FROM aband)
+       |UNION ALL
+       |SELECT 'span_fp',
+       |  (SELECT count(*) FROM cfp),
+       |  (SELECT count(*) FROM aspfp),
+       |  (SELECT count(*) FROM (SELECT fp FROM cfp UNION SELECT fp FROM aspfp))
+       |ORDER BY artifact""".stripMargin
+  }
+
   val KmeansIters = 3
 
   /** Trained k-means (integer Lloyd's, [[graft.similarity.Ivf.lloydInt]])

@@ -1,0 +1,78 @@
+package graft.dedup
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The defining law of corpus commit: each committed artifact equals the
+  * artifact recomputed FROM SCRATCH on corpus ∪ accepted — the
+  * incremental fold and the full rebuild can never drift. Plus: the loop
+  * actually closes (re-gating the accepted docs against the committed
+  * fingerprint set flags every one of them), and the fixture keeps every
+  * stage live. */
+class CommitArtifactsSpec extends SparkSuite {
+
+  private val Mod = 10
+  private lazy val docs =
+    graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+  private lazy val corpus = docs.filter(col("doc_id") % Mod =!= 0)
+  private lazy val batch = docs.filter(col("doc_id") % Mod === 0)
+  private lazy val arts =
+    Dedup.commitArtifacts(corpus, batch, "doc_id", "text", 8, 4, 8)
+
+  private def symDiff(a: DataFrame, b: DataFrame): Long =
+    a.exceptAll(b).count() + b.exceptAll(a).count()
+
+  test("committed artifacts == artifacts rebuilt from scratch on corpus ∪ accepted") {
+    val full = corpus
+      .select(col("doc_id").as("id"), col("text"))
+      .unionByName(arts.accepted)
+    val fpc = graft.text.TextFunctions.fingerprintCol _
+    assert(symDiff(
+      arts.fingerprints,
+      full.select(fpc(col("text")).as("fingerprint"))
+        .filter(col("fingerprint").isNotNull).distinct()) == 0,
+      "fingerprint set drifted from the full rebuild")
+    assert(symDiff(
+      arts.bandTable,
+      Dedup.bandTable(full, "id", "text", 8, 4)) == 0,
+      "band table drifted from the full rebuild")
+    assert(symDiff(
+      arts.spanFps,
+      Dedup.spanFpSet(full, "id", "text", 8)) == 0,
+      "span fp set drifted from the full rebuild")
+  }
+
+  test("the loop closes: every accepted doc re-gates as dup against the committed set") {
+    val fpc = graft.text.TextFunctions.fingerprintCol _
+    val acceptedFps = arts.accepted
+      .select(fpc(col("text")).as("fingerprint")).distinct()
+    assert(acceptedFps.exceptAll(arts.fingerprints).count() == 0,
+      "an accepted doc's fingerprint is missing from the committed set")
+  }
+
+  test("every stage is live on the fixture") {
+    assert(arts.accepted.count() > 0, "gate accepted nothing")
+    assert(arts.deltaFingerprints.count() > 0)
+    assert(arts.deltaBands.count() > 0)
+    assert(arts.deltaSpanFps.count() > 0)
+    // Committed sets actually grew.
+    assert(arts.fingerprints.count() > arts.corpusFingerprints.count())
+    assert(arts.spanFps.count() > arts.corpusSpanFps.count())
+  }
+
+  test("the gate rejects: a corpus duplicate and an intra-batch duplicate never commit") {
+    import spark.implicits._
+    val c = Seq((1L, "alpha bravo charlie delta echo foxtrot golf hotel india"))
+      .toDF("doc_id", "text")
+    val b = Seq(
+      (10L, "alpha bravo charlie delta echo foxtrot golf hotel india"), // dup_corpus
+      (11L, "fresh words never seen before in this tiny corpus at all"), // new
+      (12L, "fresh words never seen before in this tiny corpus at all")  // dup_batch
+    ).toDF("doc_id", "text")
+    val a = Dedup.commitArtifacts(c, b, "doc_id", "text", 8, 4, 8)
+    assert(a.accepted.select("id").as[Long].collect().toSeq == Seq(11L))
+    // The committed fingerprint set gains exactly one fingerprint.
+    assert(a.fingerprints.count() == a.corpusFingerprints.count() + 1)
+  }
+}
