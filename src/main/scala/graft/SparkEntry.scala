@@ -80,6 +80,8 @@ object SparkEntry {
     "q_minhash_signatures" -> (PipelineQueries.minhashSignatures _),
     "q_curation_verdict" -> (PipelineQueries.curationVerdict _),
     "q_media_features" -> (PipelineQueries.mediaFeatures _),
+    "q_imgtext_align" -> (PipelineQueries.imgtextAlign _),
+    "q_aligned_pack" -> (PipelineQueries.alignedPack _),
     "q_frame_decode" -> (PipelineQueries.frameDecode _),
     "q_image_decode" -> (PipelineQueries.imageDecode _),
     "q_image_phash" -> (PipelineQueries.imagePhash _),
@@ -460,6 +462,8 @@ object SparkEntry {
     "q_minhash_signatures" -> PipelineQueries.minhashSignaturesOracle,
     "q_curation_verdict" -> PipelineQueries.curationVerdictOracle,
     "q_media_features" -> PipelineQueries.mediaFeaturesOracle,
+    "q_imgtext_align" -> PipelineQueries.imgtextAlignOracle,
+    "q_aligned_pack" -> PipelineQueries.alignedPackOracle,
     "q_frame_decode" -> PipelineQueries.frameDecodeOracle,
     "q_image_decode" -> PipelineQueries.imageDecodeOracle,
     "q_image_phash" -> PipelineQueries.imagePhashOracle,

@@ -3596,6 +3596,110 @@ object PipelineQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Keep threshold (micros of cosine) for [[imgtextAlign]]: pairs whose
+    * image features positively correlate with the text projection keep
+    * their image; both branches are live at every fixture SF. */
+  val AlignMicrosThreshold = 0L
+
+  /** IMAGE-TEXT ALIGNMENT scoring — the CLIP-filter shape that decides
+    * which image-text pairs enter the interleaved multimodal pack: per
+    * document carrying an image (the [[TextQueries.ImgEvery]] residue,
+    * which is also [[graft.multimodal.Multimodal.mediaFromDocuments]]'s
+    * image kind), join the image FEATURE vector (the 16-bin byte
+    * histogram of [[graft.multimodal.Multimodal.extractFeatures]] — the
+    * deterministic stand-in for a real image encoder, per the stub-codec
+    * contract) with the text EMBEDDING projected to the same 16 dims
+    * (fixed 4-fold fold — the stand-in for a text-encoder projection
+    * head), integer-micros cosine, keep verdict at
+    * [[AlignMicrosThreshold]].
+    *
+    * Scale shape: feature extraction is per-row map work on the blob
+    * (the blob never shuffles — only the 16-double vector does); the
+    * join is doc-keyed; the score is row-local `graft_dot` arithmetic.
+    * No stage touches corpus × corpus. */
+  def imgtextAlign(s: SparkSession, d: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    graft.functions.DotProduct.register(s)
+    val ifeat = mm.extractFeatures(mm.mediaFromDocuments(s, d))
+      .toDF()
+      .filter(col("kind") === "image")
+      .select(
+        col("mediaId").as("doc_id"),
+        expr("transform(histogram, x -> CAST(x AS DOUBLE))").as("ih"))
+    // Fixed 64→16 projection: explicit left-to-right 4-term sums so the
+    // IEEE association is identical in both engines.
+    val tProj = (0 until 16).map { k =>
+      (1 to 4)
+        .map(j => expr(s"element_at(te, ${4 * k + j})"))
+        .reduce(_ + _)
+    }
+    val tfeat = embeddings(s, d)
+      .select(
+        col("vec_id").as("doc_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("te"))
+      .select(col("doc_id"), array(tProj: _*).as("tf"))
+    ifeat.join(tfeat, Seq("doc_id"))
+      .withColumn(
+        "align_micros",
+        expr("CAST(round(graft_dot(ih, tf) / (sqrt(graft_dot(ih, ih)) * sqrt(graft_dot(tf, tf))) * 1000000, 0) AS BIGINT)"))
+      .withColumn("keep", col("align_micros") >= AlignMicrosThreshold)
+      .select("doc_id", "align_micros", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Shared CTE chain ending in `align(doc_id, align_micros)` — used by
+    * [[imgtextAlignOracle]] AND [[alignedPackOracle]] so the two cannot
+    * drift. The histogram arithmetic is [[mediaFeaturesOracle]]'s
+    * (ord // 16 over ASCII text bytes). */
+  private def alignCtesSql: String = {
+    val histCols = (0 until 16)
+      .map(b => s"CAST(sum(CASE WHEN b = $b THEN 1 ELSE 0 END) AS DOUBLE)")
+      .mkString(", ")
+    val proj = (0 until 16)
+      .map(k => "(" + (1 to 4).map(j => s"te[${4 * k + j}]").mkString(" + ") + ")")
+      .mkString(", ")
+    s"""ach AS (
+       |  SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) // 16 AS b
+       |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+       |        FROM documents WHERE doc_id % ${TextQueries.ImgEvery} = 0)),
+       |ihist AS (
+       |  SELECT doc_id, [$histCols] AS ih FROM ach GROUP BY doc_id),
+       |tproj AS (
+       |  SELECT vec_id AS doc_id, [$proj] AS tf FROM (
+       |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS te
+       |    FROM embeddings)),
+       |align AS (
+       |  SELECT i.doc_id,
+       |    CAST(round(list_dot_product(ih, tf)
+       |      / (sqrt(list_dot_product(ih, ih)) * sqrt(list_dot_product(tf, tf)))
+       |      * 1000000, 0) AS BIGINT) AS align_micros
+       |  FROM ihist i JOIN tproj t ON i.doc_id = t.doc_id)""".stripMargin
+  }
+
+  def imgtextAlignOracle: String =
+    s"""WITH $alignCtesSql
+       |SELECT doc_id, align_micros,
+       |  align_micros >= $AlignMicrosThreshold AS keep
+       |FROM align ORDER BY doc_id""".stripMargin
+
+  /** ALIGNMENT-GATED interleaved pack — [[imgtextAlign]] feeding
+    * [[TextQueries.interleavedPackDocs]]: only documents whose
+    * image-text pair scores at or above [[AlignMicrosThreshold]] carry
+    * image slots; a misaligned pair packs as pure text (its tokens still
+    * pack — only the image is dropped). The no-images degenerate case is
+    * untouched (spec-pinned next to the unconditional pack's). */
+  def alignedPack(s: SparkSession, d: String): DataFrame =
+    TextQueries.interleavedPackDocs(
+      s, documents(s, d), withImages = true,
+      aligned =
+        Some(imgtextAlign(s, d).filter(col("keep")).select("doc_id")))
+
+  def alignedPackOracle: String =
+    TextQueries.interleavedPackOracleWith(
+      alignCtesSql + ",\n",
+      s"doc_id % ${TextQueries.ImgEvery} = 0 AND doc_id IN " +
+        s"(SELECT doc_id FROM align WHERE align_micros >= $AlignMicrosThreshold)")
+
   def qualityOracle: String =
     """WITH m AS (
       |  SELECT doc_id,

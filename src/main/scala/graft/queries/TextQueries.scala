@@ -1759,9 +1759,15 @@ object TextQueries {
     interleavedPackDocs(s, documents(s, d), withImages = true)
 
   /** [[interleavedPack]]' core; `withImages = false` runs the identical
-    * plan over an empty image stream (the degeneracy spec's handle). */
+    * plan over an empty image stream (the degeneracy spec's handle).
+    * `aligned`, when given, is the image-text ALIGNMENT keep set
+    * ([[PipelineQueries.imgtextAlign]]'s CLIP-filter verdicts): only
+    * documents in it carry image slots — a misaligned image-text pair
+    * packs as pure text. None preserves the unconditional round-9
+    * behavior bit-for-bit (the `al` flag constant-folds away). */
   private[graft] def interleavedPackDocs(
-      s: SparkSession, docs: DataFrame, withImages: Boolean): DataFrame = {
+      s: SparkSession, docs: DataFrame, withImages: Boolean,
+      aligned: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val tokAll = docs.select(
       col("doc_id"), col("lang"),
@@ -1771,12 +1777,20 @@ object TextQueries {
       .localCheckpoint(true)
     val islotsCol =
       if (withImages)
-        when(col("doc_id") % ImgEvery === 0, lit(ImageTokenCost.toLong))
+        when(col("doc_id") % ImgEvery === 0 && col("al") === 1L,
+          lit(ImageTokenCost.toLong))
           .otherwise(lit(0L))
       else lit(0L)
-    val nDoc = tokAll.groupBy("doc_id", "lang")
+    val nDocBase = tokAll.groupBy("doc_id", "lang")
       .agg(count(col("tok")).as("n"))
+    val nDoc = (aligned match {
+      case Some(a) =>
+        nDocBase.join(
+          a.select(col("doc_id"), lit(1L).as("al")), Seq("doc_id"), "left")
+      case None => nDocBase.withColumn("al", lit(1L))
+    })
       .withColumn("islots", islotsCol)
+      .drop("al")
       // The image anchor: a deterministic mid-document token offset in
       // [0, n] — pmod(doc_id, n+1) stands in for the crawler-recorded
       // position (pmod, not %: hashed ids are negative and a negative
@@ -1859,7 +1873,15 @@ object TextQueries {
   }
 
   def interleavedPackOracle: String =
-    s"""WITH t AS (
+    interleavedPackOracleWith("", s"doc_id % $ImgEvery = 0")
+
+  /** [[interleavedPackOracle]]'s builder, parameterized by extra leading
+    * CTEs and the image-slot condition — the aligned pack's oracle
+    * composes the alignment CTEs in front and tightens the condition,
+    * so the two pack oracles share every line of arithmetic. */
+  private[graft] def interleavedPackOracleWith(
+      extraCtes: String, imgCond: String): String =
+    s"""WITH ${extraCtes}t AS (
        |  SELECT doc_id, lang, regexp_extract_all(text, '$BpePattern') AS l
        |  FROM documents),
        |tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok FROM t),
@@ -1870,7 +1892,7 @@ object TextQueries {
        |  WHERE tid < $VocabSize),
        |base AS (
        |  SELECT doc_id, lang, len(l) AS n,
-       |    CASE WHEN doc_id % $ImgEvery = 0 THEN $ImageTokenCost ELSE 0 END AS islots,
+       |    CASE WHEN $imgCond THEN $ImageTokenCost ELSE 0 END AS islots,
        |    ((doc_id % (len(l) + 1)) + (len(l) + 1)) % (len(l) + 1) AS pstar
        |  FROM t),
        |ids AS (

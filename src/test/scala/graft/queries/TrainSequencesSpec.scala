@@ -103,6 +103,51 @@ class TrainSequencesSpec extends SparkSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("aligned pack: empty keep set degenerates to the no-images pack exactly") {
+    // The alignment gate's degenerate contract: if NO pair is aligned,
+    // the alignment-aware pack is the no-images pack bit-for-bit —
+    // wiring alignment in changed nothing about the degenerate case.
+    val base = graft.queries.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val emptyKeep = base.select("doc_id").limit(0)
+    val gatedOut = TextQueries
+      .interleavedPackDocs(spark, base, withImages = true,
+        aligned = Some(emptyKeep))
+      .collect().map(_.toSeq).toSeq
+    val noImg = TextQueries
+      .interleavedPackDocs(spark, base, withImages = false)
+      .collect().map(_.toSeq).toSeq
+    assert(gatedOut.nonEmpty && gatedOut == noImg)
+  }
+
+  test("aligned pack: only keep-verdict docs carry image slots; text always packs") {
+    val d = "/root/testdata/sf0.001"
+    val align = graft.queries.PipelineQueries.imgtextAlign(spark, d)
+    val nKeep = align.filter(col("keep")).count()
+    val nDrop = align.filter(!col("keep")).count()
+    assert(nKeep > 0 && nDrop > 0, "both verdict branches must be live")
+    val aligned = graft.queries.PipelineQueries.alignedPack(spark, d)
+    val full = TextQueries.interleavedPackDocs(
+      spark,
+      graft.queries.Tables.documents(spark, d)
+        .select(col("doc_id"), col("lang"), col("text")),
+      withImages = true)
+    val slotsAligned = aligned.agg(sum("n_image_slots")).collect().head.getLong(0)
+    val slotsFull = full.agg(sum("n_image_slots")).collect().head.getLong(0)
+    assert(slotsAligned == nKeep * TextQueries.ImageTokenCost,
+      "every kept pair (and only kept pairs) carries its image budget")
+    assert(slotsAligned < slotsFull, "the gate must actually drop images")
+    // Dropping an image never drops text: text token + EOS counts match
+    // the ungated pack's.
+    val textAligned = aligned
+      .agg(sum("n_text_tokens"), sum("n_doc_ends")).collect().head
+    val textFull = full
+      .agg(sum("n_text_tokens"), sum("n_doc_ends")).collect().head
+    assert(textAligned.getLong(0) == textFull.getLong(0))
+    assert(textAligned.getLong(1) == textFull.getLong(1))
+  }
+
   test("interleaved pack: image slots shift the stream by exactly ImageTokenCost per image") {
     val base = graft.queries.Tables
       .documents(spark, "/root/testdata/sf0.001")
