@@ -69,6 +69,7 @@ object SparkEntry {
     "q_incremental_dedup" -> (PipelineQueries.incrementalDedup _),
     "q_incremental_minhash" -> (PipelineQueries.minhashIncrementalQ _),
     "q_corpus_commit" -> (PipelineQueries.corpusCommit _),
+    "q_corpus_card" -> (PipelineQueries.corpusCard _),
     "q_incremental_simhash" -> (PipelineQueries.simhashIncrementalQ _),
     "q_sim_topk" -> (PipelineQueries.simTopK _),
     "q_sim_topk_lsh" -> (PipelineQueries.simTopKLsh _),
@@ -451,6 +452,7 @@ object SparkEntry {
     "q_incremental_dedup" -> PipelineQueries.incrementalDedupOracle,
     "q_incremental_minhash" -> PipelineQueries.minhashIncrementalOracle,
     "q_corpus_commit" -> PipelineQueries.corpusCommitOracle,
+    "q_corpus_card" -> PipelineQueries.corpusCardOracle,
     "q_incremental_simhash" -> PipelineQueries.simhashIncrementalOracle,
     "q_sim_topk" -> PipelineQueries.simTopKOracle,
     "q_sim_topk_lsh" -> PipelineQueries.simTopKLshOracle,

@@ -2040,6 +2040,25 @@ object PipelineQueries {
     * into ONE 1-row aggregate (partial-agg boolean sums) and a stack —
     * nothing new shuffles at corpus width. */
   def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    def surv(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"n_$c")
+    stagedVerdicts(s, d)
+      .agg(count(lit(1)).as("n_total"), surv("s1"), surv("s2"), surv("s3"),
+        surv("s4"))
+      .selectExpr(
+        """stack(5,
+          |  'total',      CAST(0 AS BIGINT), n_total,
+          |  'quality',    CAST(1 AS BIGINT), n_s1,
+          |  'repetition', CAST(2 AS BIGINT), n_s2,
+          |  'near_dedup', CAST(3 AS BIGINT), n_s3,
+          |  'decontam',   CAST(4 AS BIGINT), n_s4
+          |) AS (stage, stage_idx, n_surviving)""".stripMargin)
+      .orderBy("stage_idx")
+  }
+
+  /** The funnel's per-document cumulative stage verdicts (doc_id,
+    * s1…s4) — shared by [[curationFunnel]] and [[corpusCard]] so the two
+    * readouts can never disagree about survivorship. */
+  private[graft] def stagedVerdicts(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val flags = TextAnalysis
       .gopherFilters(docs, "doc_id", "text",
@@ -2079,35 +2098,16 @@ object PipelineQueries {
         "s4",
         col("s3") && col("doc_id") % DecontamMod =!= 0 &&
           col("contam").isNull)
-    def surv(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"n_$c")
-    staged
-      .agg(count(lit(1)).as("n_total"), surv("s1"), surv("s2"), surv("s3"),
-        surv("s4"))
-      .selectExpr(
-        """stack(5,
-          |  'total',      CAST(0 AS BIGINT), n_total,
-          |  'quality',    CAST(1 AS BIGINT), n_s1,
-          |  'repetition', CAST(2 AS BIGINT), n_s2,
-          |  'near_dedup', CAST(3 AS BIGINT), n_s3,
-          |  'decontam',   CAST(4 AS BIGINT), n_s4
-          |) AS (stage, stage_idx, n_surviving)""".stripMargin)
-      .orderBy("stage_idx")
+    staged.select("doc_id", "s1", "s2", "s3", "s4")
   }
 
-  def curationFunnelOracle: String =
-    s"""WITH RECURSIVE $minhashPairsCtes,
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM pairs
-       |  UNION
-       |  SELECT id_b AS src, id_a AS dst FROM pairs),
-       |reach AS (
-       |  SELECT src AS id, dst AS r FROM edges
-       |  UNION
-       |  SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
-       |cc AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
-       |$gopherBatteryCtesSql,
-       |$repetitionCtesSql,
-       |gv AS (
+  /** Shared funnel CTE chain ending in `staged(doc_id, s1…s4)` — the
+    * oracle twin of [[stagedVerdicts]], used by [[curationFunnelOracle]]
+    * AND [[corpusCardOracle]] so the two readouts share every line of
+    * survivorship arithmetic. Requires the minhash-pairs + cc,
+    * gopher-battery and repetition CTEs in front. */
+  private def funnelStagedCtesSql: String =
+    s"""gv AS (
        |  SELECT r.doc_id,
        |    (r.r_word_count AND r.r_mean_word_len AND r.r_symbol_ratio
        |      AND r.r_bullet AND r.r_ellipsis AND r.r_alpha
@@ -2134,7 +2134,22 @@ object PipelineQueries {
        |  JOIN gv ON dd.doc_id = gv.doc_id
        |  JOIN rv ON dd.doc_id = rv.doc_id
        |  LEFT JOIN dropped dr ON dd.doc_id = dr.doc_id
-       |  LEFT JOIN contam ct ON dd.doc_id = ct.doc_id)
+       |  LEFT JOIN contam ct ON dd.doc_id = ct.doc_id)""".stripMargin
+
+  def curationFunnelOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+       |cc AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+       |$gopherBatteryCtesSql,
+       |$repetitionCtesSql,
+       |$funnelStagedCtesSql
        |SELECT stage, stage_idx, n_surviving FROM (
        |  SELECT 'total' AS stage, CAST(0 AS BIGINT) AS stage_idx,
        |    CAST(count(*) AS BIGINT) AS n_surviving FROM staged
@@ -2147,6 +2162,104 @@ object PipelineQueries {
        |  UNION ALL SELECT 'decontam', CAST(4 AS BIGINT),
        |    CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) FROM staged)
        |ORDER BY stage_idx""".stripMargin
+
+  /** WHOLE-CORPUS DATA CARD — the one-row artifact a data lead actually
+    * reads, composed from the existing readouts over SHARED frames:
+    * corpus size (docs / langs / sources / chars / estimated tokens),
+    * the scorecard's integer mean quality rolled up corpus-wide, funnel
+    * survivorship (quality-gate and full-stack survivors from the SAME
+    * [[stagedVerdicts]] frame as q_curation_funnel), near-dup exposure
+    * (clusters and member docs from the memoized [[dupComponents]]), and
+    * tokenizer fertility at the [[TextQueries.FertilityMerges]] prefix.
+    * Every term is a partial-agg scan or a memo replay; the compose is
+    * crossJoins of 1-row aggregates. */
+  def corpusCard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_chars")).as("n_chars_total"),
+      sum(expr("n_chars div 4")).as("est_tokens"),
+      sum(round(TextAnalysis.qualityScore(col("text")) * 1e6, 0)
+        .cast("long")).as("sum_qm"))
+    val surv = stagedVerdicts(s, d).agg(
+      sum(when(col("s1"), 1L).otherwise(0L)).as("n_keep_quality"),
+      sum(when(col("s4"), 1L).otherwise(0L)).as("n_keep_final"))
+    val dups = dupComponents(s, d).agg(
+      countDistinct(col("component")).as("n_dup_clusters"),
+      count(lit(1)).as("n_dup_docs"))
+    val fert = TextQueries
+      .tokenBpeMergesDocs(
+        docs,
+        graft.textanalysis.Bpe.MergesWordFull
+          .take(TextQueries.FertilityMerges))
+      .agg(sum("n_tokens").as("ft"), sum("n_subwords").as("fs"))
+      .select(expr("(fs * 1000000) div ft").as("fertility_micros"))
+    base.crossJoin(surv).crossJoin(dups).crossJoin(fert)
+      .select(
+        col("n_docs"), col("n_langs"), col("n_sources"),
+        col("n_chars_total"), col("est_tokens"),
+        expr("sum_qm div n_docs").as("mean_quality_micros"),
+        col("n_keep_quality"), col("n_keep_final"),
+        col("n_dup_clusters"), col("n_dup_docs"),
+        col("fertility_micros"))
+  }
+
+  /** DuckDB oracle for [[corpusCard]]: the funnel's shared CTE chain
+    * ([[funnelStagedCtesSql]]) plus the fertility encode CTEs and the
+    * corpus-size/quality/dup rollups, composed in ONE statement. */
+  def corpusCardOracle: String = {
+    import graft.textanalysis.Bpe
+    val (fctes, flast) = Bpe.oracleEncodeCtesSql(
+      "fty", Bpe.MergesWordFull.take(TextQueries.FertilityMerges))
+    val nSub = Bpe.oracleSubwordCountSql("enc")
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+       |cc AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+       |$gopherBatteryCtesSql,
+       |$repetitionCtesSql,
+       |$funnelStagedCtesSql,
+       |ftok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextQueries.BpePattern}')) AS tok
+       |  FROM documents),
+       |fty AS (SELECT DISTINCT tok FROM ftok),
+       |$fctes
+       |fcnt AS (SELECT tok, $nSub AS n_sub FROM $flast),
+       |fert AS (
+       |  SELECT (CAST(sum(n_sub) AS BIGINT) * 1000000) // count(*) AS fertility_micros
+       |  FROM ftok JOIN fcnt USING (tok)),
+       |base AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+       |    CAST(sum(n_chars // 4) AS BIGINT) AS est_tokens
+       |  FROM documents),
+       |qmean AS (
+       |  SELECT CAST(sum(CAST(round(quality * 1000000, 0) AS BIGINT)) AS BIGINT)
+       |    // count(*) AS mean_quality_micros FROM q),
+       |dups AS (
+       |  SELECT CAST(count(DISTINCT component) AS BIGINT) AS n_dup_clusters,
+       |    CAST(count(*) AS BIGINT) AS n_dup_docs FROM cc),
+       |srv AS (
+       |  SELECT CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_quality,
+       |    CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_final
+       |  FROM staged)
+       |SELECT n_docs, n_langs, n_sources, n_chars_total, est_tokens,
+       |  CAST(mean_quality_micros AS BIGINT) AS mean_quality_micros,
+       |  n_keep_quality, n_keep_final,
+       |  n_dup_clusters, n_dup_docs,
+       |  CAST(fertility_micros AS BIGINT) AS fertility_micros
+       |FROM base, qmean, dups, srv, fert""".stripMargin
+  }
 
   /** The battery rules [[filterAttribution]] reports on: the seven
     * Gopher/C4 flags plus the quality-blend threshold. */
