@@ -143,6 +143,7 @@ object SparkEntry {
     "q_stream_quality" -> (StreamingQueries.streamQuality _),
     "q_stream_decontam" -> (StreamingQueries.streamDecontam _),
     "q_stream_neardup" -> (StreamingQueries.streamNearDup _),
+    "q_stream_align" -> (StreamingQueries.streamAlign _),
     "q_stream_shard" -> (StreamingQueries.streamShard _),
     "q_stream_cell_drift" -> (StreamingQueries.streamCellDrift _),
     "q_quality_keeplist" -> (PipelineQueries.qualityKeeplist _),
@@ -528,6 +529,7 @@ object SparkEntry {
     "q_stream_quality" -> StreamingQueries.streamQualityOracle,
     "q_stream_decontam" -> StreamingQueries.streamDecontamOracle,
     "q_stream_neardup" -> StreamingQueries.streamNearDupOracle,
+    "q_stream_align" -> StreamingQueries.streamAlignOracle,
     "q_stream_shard" -> StreamingQueries.streamShardOracle,
     "q_stream_cell_drift" -> StreamingQueries.streamCellDriftOracle,
     "q_quality_keeplist" -> PipelineQueries.qualityKeeplistOracle,

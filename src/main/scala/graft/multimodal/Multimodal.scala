@@ -793,10 +793,17 @@ object Multimodal {
     * (UTF-8 bytes as the "blob"), with plausible metadata. Real
     * deployments read `binaryFile` sources or parquet with a binary
     * column — the schema is identical. */
-  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaItem] =
+    mediaFromDocs(spark.read.parquet(s"$dir/documents.parquet"))
+
+  /** [[mediaFromDocuments]] over an arbitrary (doc_id, text, n_chars)
+    * frame — batch OR streaming (the mapping is a stateless per-row
+    * projection, so the ingest gates can fabricate arriving media items
+    * with identical metadata). */
+  def mediaFromDocs(docs: DataFrame): Dataset[MediaItem] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    spark.read
-      .parquet(s"$dir/documents.parquet")
+    docs
       .select(
         col("doc_id").as("mediaId"),
         encode(col("text"), "UTF-8").as("content"),

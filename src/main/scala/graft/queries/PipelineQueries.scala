@@ -3731,34 +3731,56 @@ object PipelineQueries {
     * join is doc-keyed; the score is row-local `graft_dot` arithmetic.
     * No stage touches corpus × corpus. */
   def imgtextAlign(s: SparkSession, d: String): DataFrame = {
-    val mm = graft.multimodal.Multimodal
     graft.functions.DotProduct.register(s)
-    val ifeat = mm.extractFeatures(mm.mediaFromDocuments(s, d))
+    alignScores(
+      imageFeatureFrame(
+        graft.multimodal.Multimodal.mediaFromDocuments(s, d)),
+      textProjection(embeddings(s, d)))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, ih) image-feature vectors of the image-kind items in a
+    * media frame — shared by the batch query and the streaming gate. */
+  private[graft] def imageFeatureFrame(
+      media: org.apache.spark.sql.Dataset[
+        graft.multimodal.Multimodal.MediaItem]): DataFrame =
+    graft.multimodal.Multimodal
+      .extractFeatures(media)
       .toDF()
       .filter(col("kind") === "image")
       .select(
         col("mediaId").as("doc_id"),
         expr("transform(histogram, x -> CAST(x AS DOUBLE))").as("ih"))
-    // Fixed 64→16 projection: explicit left-to-right 4-term sums so the
-    // IEEE association is identical in both engines.
+
+  /** (doc_id, tf) 16-dim projection of the embeddings table — the
+    * text-encoder-side artifact both alignment faces share. Fixed 64→16
+    * fold with explicit left-to-right 4-term sums so the IEEE
+    * association is identical in both engines. */
+  private[graft] def textProjection(emb: DataFrame): DataFrame = {
     val tProj = (0 until 16).map { k =>
       (1 to 4)
         .map(j => expr(s"element_at(te, ${4 * k + j})"))
         .reduce(_ + _)
     }
-    val tfeat = embeddings(s, d)
+    emb
       .select(
         col("vec_id").as("doc_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("te"))
       .select(col("doc_id"), array(tProj: _*).as("tf"))
+  }
+
+  /** Row-local alignment scoring over (doc_id, ih) ⋈ (doc_id, tf):
+    * integer-micros cosine + keep verdict. Works identically on a batch
+    * ifeat frame and a streaming one (pure equi-join + per-row
+    * expressions — append-mode safe). Callers register `graft_dot`. */
+  private[graft] def alignScores(
+      ifeat: DataFrame, tfeat: DataFrame): DataFrame =
     ifeat.join(tfeat, Seq("doc_id"))
       .withColumn(
         "align_micros",
         expr("CAST(round(graft_dot(ih, tf) / (sqrt(graft_dot(ih, ih)) * sqrt(graft_dot(tf, tf))) * 1000000, 0) AS BIGINT)"))
       .withColumn("keep", col("align_micros") >= AlignMicrosThreshold)
       .select("doc_id", "align_micros", "keep")
-      .orderBy("doc_id")
-  }
 
   /** Shared CTE chain ending in `align(doc_id, align_micros)` — used by
     * [[imgtextAlignOracle]] AND [[alignedPackOracle]] so the two cannot

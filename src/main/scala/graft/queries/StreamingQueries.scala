@@ -614,6 +614,35 @@ object StreamingQueries {
   /** The batch decontamination oracle IS the streaming oracle. */
   def streamDecontamOracle: String = PipelineQueries.semanticDecontamOracle
 
+  /** STREAMING image-text alignment gate — the fifth ingest gate, and
+    * the streaming face of [[PipelineQueries.imgtextAlign]]: arriving
+    * image-carrying documents are scored against the text-encoder
+    * projection BEFORE the pair enters the interleaved pack. Fully
+    * stateless: media-item fabrication and feature extraction are
+    * per-row map work on the arriving blob
+    * ([[graft.multimodal.Multimodal.mediaFromDocs]] +
+    * `extractFeatures` — the blob never shuffles), and the scoring is a
+    * stream-static equi-join to the frozen 16-dim text projection (the
+    * deploy-time encoder artifact, checkpointed once) plus row-local
+    * `graft_dot` arithmetic — all shared with the batch face via
+    * [[PipelineQueries.alignScores]], so the two cannot drift. Shares
+    * the batch oracle verbatim. */
+  def streamAlign(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val arrivals = StreamingOps.readDocuments(s, docsStreamDir(d))
+    val ifeat = PipelineQueries.imageFeatureFrame(
+      graft.multimodal.Multimodal.mediaFromDocs(arrivals))
+    val tfeat = PipelineQueries
+      .textProjection(Tables.embeddings(s, d))
+      .localCheckpoint(true)
+    val verdicts = PipelineQueries.alignScores(ifeat, tfeat)
+    runToMemory(s, verdicts, OutputMode.Append(), "graft_stream_align")
+      .orderBy("doc_id")
+  }
+
+  /** The batch alignment oracle IS the streaming oracle. */
+  def streamAlignOracle: String = PipelineQueries.imgtextAlignOracle
+
   /** STREAMING shard router — the ingest-time face of
     * [[graft.operators.Sharding]]: each arriving document is routed to
     * its deterministic output shard by the same seeded 60-bit md5 key

@@ -924,11 +924,17 @@ object TextQueries {
     * assignment + a (doc, window)-keyed bounded collect; the ranker's
     * own scale story (broadcast query terms, df/tf partial aggs, heap
     * top-k) is unchanged. */
-  def bm25Passages(s: SparkSession, d: String): DataFrame = {
+  def bm25Passages(s: SparkSession, d: String): DataFrame =
+    bm25PassagesDocs(s, documents(s, d))
+
+  /** [[bm25Passages]]' core over an arbitrary documents frame (exposed
+    * for the ScaleStress harness). */
+  private[graft] def bm25PassagesDocs(
+      s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val P = PassageLen
     val S = PassageStride
-    val toks = documents(s, d).select(
+    val toks = docs.select(
       col("doc_id"),
       posexplode(
         regexp_extract_all(col("text"), lit(BpePattern), lit(0)))

@@ -348,6 +348,55 @@ object ScaleStress {
         spark, corpus,
         graft.queries.TextQueries.Bm25QueryFixture.toDF("query_id", "qtext")))
     }
+    // Round-10: passage-LEVEL BM25 isolated (round-9 measured it only
+    // inside the full battery) — passage construction (map-side window
+    // assignment + (doc, window)-bounded collect) feeding the unchanged
+    // multi-query ranker; must track "bm25 query table" plus roughly the
+    // "passage chunks e2e" term.
+    time("bm25 passages e2e")(
+      noop(graft.queries.TextQueries.bm25PassagesDocs(spark, corpus)))
+    // Round-10: the near-dup ingest gate's batch face — row-local
+    // banding of the arriving residue joined to the frozen corpus band
+    // table + shingle-set verify. Candidates are band-bucket bounded
+    // exactly like the batch incremental operator; the per-row banding
+    // is map work, so the curve must stay near the minhash signature
+    // cost of the arriving slice.
+    time("neardup gate e2e") {
+      val arr = corpus.filter(col("doc_id") % 7 === 0)
+      val rest = corpus.filter(col("doc_id") % 7 =!= 0)
+      noop(graft.streaming.StreamingOps.nearDupGateStream(
+        arr,
+        Dedup.bandTable(rest, "doc_id", "text", 8, 4),
+        Dedup.shingleSetTable(rest, "doc_id", "text"),
+        8, 4, 0.2))
+    }
+    // Round-10: corpus commit — gate + span-clean + three artifact
+    // folds; every commit-time term is batch-sized, the corpus terms are
+    // the artifact builds (linear scans).
+    time("corpus commit e2e") {
+      val a = Dedup.commitArtifacts(
+        corpus.filter(col("doc_id") % 10 =!= 0),
+        corpus.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", 8, 4, 8)
+      noop(a.fingerprints); noop(a.bandTable); noop(a.spanFps)
+    }
+    // Round-10: BPE id encode + decode round trip — per-distinct-type
+    // map work + the doc-keyed reassembly agg; linear in token count.
+    time("token decode e2e") {
+      import graft.textanalysis.Bpe
+      val merges = Bpe.MergesWordFull
+      val tok = corpus.select(
+        col("doc_id"),
+        posexplode(regexp_extract_all(
+          col("text"), lit(graft.queries.TextQueries.BpePattern), lit(0)))
+          .as(Seq("pos", "tok")))
+      val decoded = Bpe.decodeIdsForTypes(
+        Bpe.encodeIdsForTypes(tok.select("tok").distinct(), "tok", merges),
+        "tok", merges)
+      noop(tok.join(decoded, Seq("tok"))
+        .groupBy("doc_id")
+        .agg(sum(size(col("ids"))).as("n_ids"), count(lit(1)).as("n_tokens")))
+    }
     // Round-7: the training-mix additions. mixWeights must stay linear
     // (one pruned scan into domain-keyed partial sums); lengthBatches
     // must stay linear with a bounded stitch (bucket-keyed prefix rank,

@@ -589,6 +589,32 @@ class DedupSpec extends SparkSuite {
     assert(row.getAs[Long]("jaccard_exact_micros") == 600000L)
   }
 
+  test("bandRowsLocal equals the batch band table row-for-row") {
+    // The stream face's row-local shingles/signatures/band hashes must be
+    // byte-identical to the batch arithmetic — compare the full (id,
+    // band, bh) sets on the fixture docs.
+    val local = Dedup.bandRowsLocal(docs, "doc_id", "text", 8, 4)
+      .select("id", "band", "bh")
+    val batch = Dedup.bandTable(docs, "doc_id", "text", 8, 4)
+    assert(local.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(local).count() == 0)
+  }
+
+  test("bandRowsLocal: the shingle array is materialized once per row") {
+    // The round-9 CollapseProject pitfall tripwire: if the optimizer ever
+    // inlines the `shingles` alias into the 8 signature lambdas, the
+    // array_distinct(transform(...)) subtree re-evaluates per signature —
+    // the plan would carry it 8+ times instead of once. Probed over the
+    // parquet fixture (a local relation constant-folds the whole subtree
+    // away and proves nothing).
+    val fdocs = graft.queries.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val p = Dedup.bandRowsLocal(fdocs, "doc_id", "text", 8, 4)
+      .queryExecution.executedPlan.toString
+    val n = "array_distinct".r.findAllIn(p).size
+    assert(n == 1, s"shingle subtree appears $n times in plan:\n${p.take(3000)}")
+  }
+
   test("corpusOverlap: default is sketch-only and matches the exact-twin run") {
     val a = docs.filter(col("doc_id") <= 2)
     val b = docs.filter(col("doc_id") >= 1)

@@ -1057,6 +1057,18 @@ class StreamingSpec extends SparkSuite {
       "only the near-dup arrival should be flagged")
   }
 
+  test("streaming alignment gate equals the batch scores through the real runtime") {
+    // The stateless blob-map + frozen-projection gate must reproduce the
+    // batch CLIP-filter verdicts verbatim (shared feature, projection
+    // and scoring code paths).
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamAlign(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.PipelineQueries.imgtextAlign(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("readEmbeddings starts against an empty drop directory via the declared schema") {
     val d = java.nio.file.Files.createTempDirectory("emb_empty_drop")
     val stream = StreamingOps.readEmbeddings(spark, d.toString)
