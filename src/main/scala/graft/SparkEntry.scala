@@ -189,6 +189,7 @@ object SparkEntry {
     "q_token_ids" -> (TextQueries.tokenIds _),
     "q_token_bpe_merges" -> (TextQueries.tokenBpeMerges _),
     "q_token_decode" -> (TextQueries.tokenDecode _),
+    "q_seq_decode" -> (TextQueries.seqDecode _),
     "q_token_bpe_512" -> (TextQueries.tokenBpe512 _),
     "q_train_sequences" -> (TextQueries.trainSequences _),
     "q_interleaved_pack" -> (TextQueries.interleavedPack _),
@@ -766,6 +767,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_bpe_merges" -> TextQueries.tokenBpeMergesOracle,
     "q_token_decode" -> TextQueries.tokenDecodeOracle,
+    "q_seq_decode" -> TextQueries.seqDecodeOracle,
     "q_token_bpe_512" -> TextQueries.tokenBpe512Oracle,
     "q_train_sequences" -> TextQueries.trainSequencesOracle,
     "q_interleaved_pack" -> TextQueries.interleavedPackOracle,

@@ -1551,6 +1551,22 @@ object TextQueries {
     * (exposed for ScaleStress). */
   private[graft] def trainSequencesDocs(
       s: SparkSession, docs: DataFrame): DataFrame = {
+    val (placed, _) = trainSeqPlacedDocs(s, docs)
+    placed
+      .groupBy("lang", "seq_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === EosId, 1L).otherwise(0L)).as("n_doc_ends"),
+        sum(col("tid") * (col("sp") + lit(1L))).as("checksum"))
+      .orderBy("lang", "seq_id")
+  }
+
+  /** The placed per-slot stream (lang, seq_id, sp, tid) plus the vocab
+    * dictionary — the shared core of [[trainSequencesDocs]] and its
+    * decode face [[seqDecode]], so layout and detokenization can never
+    * drift. */
+  private[graft] def trainSeqPlacedDocs(
+      s: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
     // ONE tokenizing pass: the naive formulation re-ran the regex scan
     // four times (vocab count, id encode, EOS counts, offsets) — at
@@ -1627,18 +1643,64 @@ object TextQueries {
     val offs = cum
       .join(broadcast(langOffs.toDF("lang", "lang_off")), Seq("lang"))
       .withColumn("off", col("gcum") - col("sz") - col("lang_off"))
-    ids.unionByName(eos)
+    val placed = ids.unionByName(eos)
       .join(offs.select("doc_id", "lang", "off"), Seq("doc_id"))
       .withColumn("gpos", col("off") + col("pos"))
       .withColumn("seq_id", expr(s"gpos div $TrainSeqLen"))
+      .withColumn("sp", expr(s"gpos % $TrainSeqLen"))
+      .select("lang", "seq_id", "sp", "tid")
+    (placed, vocab)
+  }
+
+  /** SEQUENCE DECODE — detokenize the packed shard: render each
+    * [[trainSequences]] sequence back to text through the inverted
+    * dictionary (unknown slots as `<unk>`, document boundaries as
+    * `<eos>`), the inspection step a user runs on packed output before
+    * trusting it. Shares [[trainSeqPlacedDocs]]' placed stream and
+    * vocab verbatim — layout and decode cannot drift. Scale shape: the
+    * dictionary join is a broadcast; the render is per-slot map work;
+    * the reassembly is one (lang, seq)-keyed agg over [[TrainSeqLen]]-
+    * bounded groups. */
+  def seqDecode(s: SparkSession, d: String): DataFrame =
+    seqDecodeDocs(s, documents(s, d))
+
+  /** [[seqDecode]]'s core over any (doc_id, lang, text) frame (exposed
+    * for the spec's synthetic `<unk>` fixture — the real fixture's
+    * vocabulary fits the dictionary entirely). */
+  private[graft] def seqDecodeDocs(
+      s: SparkSession, docs: DataFrame): DataFrame = {
+    val (placed, vocab) = trainSeqPlacedDocs(s, docs)
+    placed
+      .join(
+        broadcast(vocab.withColumnRenamed("tok", "vtok")), Seq("tid"), "left")
+      .withColumn(
+        "render",
+        when(col("tid") === lit(-1L), lit("<unk>"))
+          .when(col("tid") === lit(EosId), lit("<eos>"))
+          .otherwise(col("vtok")))
       .groupBy("lang", "seq_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        sum(when(col("tid") === EosId, 1L).otherwise(0L)).as("n_doc_ends"),
-        sum(col("tid") * (expr(s"gpos % $TrainSeqLen") + lit(1L)))
-          .as("checksum"))
+        sum(when(col("tid") === -1L, 1L).otherwise(0L)).as("n_unk"),
+        graft.queries.EventQueries
+          .orderedStringAgg(col("sp"), col("render"), " ").as("text"))
       .orderBy("lang", "seq_id")
   }
+
+  /** DuckDB oracle for [[seqDecode]]: the shared [[trainSeqCtesSql]]
+    * chain + the inverted-vocab render — the same CTEs that certify the
+    * layout certify its decode. */
+  def seqDecodeOracle: String =
+    s"""WITH ${trainSeqCtesSql()}
+       |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+       |  count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN p.tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       |  string_agg(
+       |    CASE WHEN p.tid = -1 THEN '<unk>'
+       |         WHEN p.tid = $EosId THEN '<eos>'
+       |         ELSE v.tok END, ' ' ORDER BY sp) AS text
+       |FROM placed p LEFT JOIN vocab v ON p.tid = v.tid
+       |GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin
 
   /** The [[trainSequencesOracle]] CTE chain up to `placed` (lang,
     * seq_id, tid, sp per stream position), parameterized on the source
