@@ -760,7 +760,8 @@ object Multimodal {
   def syntheticGifCorpus(
       df: DataFrame,
       idCol: String,
-      textCol: String
+      textCol: String,
+      brightnessDelta: Int = 0
   ): Dataset[MediaItem] = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long"), col(textCol))
@@ -778,7 +779,14 @@ object Multimodal {
             while (o < n) {
               val dg = md.digest((s"$text:$f:$c").getBytes("UTF-8"))
               var k = 0
-              while (k < 16 && o < n) { px(o) = dg(k); k += 1; o += 1 }
+              while (k < 16 && o < n) {
+                // brightnessDelta: uniform clamped shift — the same
+                // near-dup perturbation knob as syntheticPngCorpus's.
+                val v = math.max(
+                  0, math.min((dg(k) & 0xff) + brightnessDelta, 255))
+                px(o) = v.toByte
+                k += 1; o += 1
+              }
               c += 1
             }
             px
@@ -787,6 +795,73 @@ object Multimodal {
             MediaMeta("video", w, h, nf * 100L, "gif"))
         }
       }
+  }
+
+  /** Per-FRAME perceptual hash of multi-frame containers: the frame
+    * twin of [[imageDHash]], sharing its exact 8×8 nearest-neighbor
+    * grid, ITU-R 601 integer gray weights and 56-bit row-comparison
+    * fold, over [[gifFrames]]' real multi-frame decode. One row per
+    * sampled frame; undecodable blobs yield zero rows (audited via
+    * [[imageFeatures]]' ok=false path, same contract as gifFrames).
+    * Decode + hash are per-blob map work — the blob never shuffles,
+    * only (mediaId, frameIdx, 8-byte hash) rows do. */
+  case class FrameHash(mediaId: Long, frameIdx: Int, phash: Long)
+
+  def gifFrameHashes(
+      items: Dataset[MediaItem], stride: Int = 1): Dataset[FrameHash] = {
+    import items.sparkSession.implicits._
+    require(stride >= 1, s"need stride >= 1, got $stride")
+    items.flatMap { item =>
+      imageIoInit
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(item.content))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); Seq.empty }
+        else {
+          val reader = readers.next()
+          reader.setInput(iis)
+          try {
+            val n = reader.getNumImages(true)
+            (0 until n by stride).map { i =>
+              val img = reader.read(i)
+              val w = img.getWidth; val h = img.getHeight
+              val side = 8
+              val g = new Array[Long](side * side)
+              var ty = 0
+              while (ty < side) {
+                val sy = ty * h / side
+                var tx = 0
+                while (tx < side) {
+                  val p = img.getRGB(tx * w / side, sy)
+                  g(ty * side + tx) =
+                    299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+                      114L * (p & 0xff)
+                  tx += 1
+                }
+                ty += 1
+              }
+              var hash = 0L
+              var bit = 0
+              ty = 0
+              while (ty < side) {
+                var tx = 0
+                while (tx < side - 1) {
+                  if (g(ty * side + tx) > g(ty * side + tx + 1))
+                    hash |= 1L << bit
+                  bit += 1
+                  tx += 1
+                }
+                ty += 1
+              }
+              FrameHash(item.mediaId, i, hash)
+            }
+          } finally { reader.dispose(); iis.close() }
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => Seq.empty
+      }
+    }
   }
 
   /** Demo/test source: fabricate a binary corpus from the documents table

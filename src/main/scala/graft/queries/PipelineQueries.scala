@@ -3589,6 +3589,72 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** FRAME-level near-dup dedup — the VIDEO face of the perceptual-hash
+    * engine ([[graft.multimodal.Multimodal.gifFrameHashes]] +
+    * [[Dedup.hammingPairs]]): every frame of every synthetic animated
+    * GIF is REALLY decoded and dHashed (the exact grid/weights/fold of
+    * [[imagePhash]]'s still-image hash), the corpus carries a
+    * brightness-shifted twin per video (the re-encoded-upload shape),
+    * and frames pair through the same pigeonhole banding as text
+    * simhash and image dHash — ONE hamming engine across all three
+    * modalities. Frame id = media_id·10 + frame_idx (frame counts ≤ 5
+    * by the fixture's construction). Twin frames land at hamming 0
+    * except where the 255 clamp breaks shift-uniformity —
+    * deterministically, so the oracle computes the identical pair set
+    * straight from the md5 pixel chain with no codec. */
+  def framePhash(s: SparkSession, d: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    import s.implicits._
+    val docs = documents(s, d).select("doc_id", "text")
+    val originals = mm.syntheticGifCorpus(docs, "doc_id", "text")
+    val twins = mm
+      .syntheticGifCorpus(docs, "doc_id", "text", brightnessDelta = 4)
+      .map(m => m.copy(mediaId = m.mediaId + PhashTwinOffset))
+    val hashes = mm.gifFrameHashes(originals.union(twins))
+      .toDF()
+      .select(
+        (col("mediaId") * 10L + col("frameIdx")).as("id"),
+        col("phash").as("simhash"))
+    Dedup.hammingPairs(hashes, 56, PhashMaxHamming, PhashBlocks)
+      .orderBy("id_a", "id_b")
+  }
+
+  def framePhashOracle: String = {
+    // Grayscale frame: single channel, so the 8×8 grid offset has no ×3;
+    // gray weight sum 299+587+114 = 1000 per palette value.
+    def off = "(((idx // 8) * h) // 8) * w + (((idx % 8) * w) // 8)"
+    s"""WITH fr AS (
+       |  SELECT doc_id, text, 6 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+       |    unnest(range(0, 2 + doc_id % 4)) AS fi
+       |  FROM documents),
+       |chain AS (
+       |  SELECT doc_id, fi, w, h,
+       |    [CAST('0x' || substr(md5(text || ':' || CAST(fi AS VARCHAR) || ':' || CAST(j // 16 AS VARCHAR)), 1 + 2 * (j % 16), 2) AS BIGINT)
+       |      for j in range(0, w * h)] AS b
+       |  FROM fr),
+       |imgs AS (
+       |  SELECT doc_id * 10 + fi AS id, w, h, b FROM chain
+       |  UNION ALL
+       |  SELECT (doc_id + $PhashTwinOffset) * 10 + fi AS id, w, h,
+       |    list_transform(b, v -> least(v + 4, 255)) AS b
+       |  FROM chain),
+       |g AS (
+       |  SELECT id,
+       |    [1000 * b[$off + 1] for idx in range(0, 64)] AS gv
+       |  FROM imgs),
+       |ph AS (
+       |  SELECT id, list_sum(
+       |    [CASE WHEN gv[(idx // 7) * 8 + (idx % 7) + 1] > gv[(idx // 7) * 8 + (idx % 7) + 2]
+       |       THEN (CAST(1 AS BIGINT) << idx) ELSE CAST(0 AS BIGINT) END
+       |     for idx in range(0, 56)]) AS phash
+       |  FROM g)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM ph a JOIN ph b ON a.id < b.id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Resize target of the declared resize query (4×4 — small enough that
     * the oracle's per-pixel arithmetic stays a 16-element list op). */
   val ResizeSide = 4

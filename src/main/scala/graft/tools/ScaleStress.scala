@@ -90,6 +90,26 @@ object ScaleStress {
         .select(col("mediaId").as("id"), col("phash").as("simhash"))
       noop(Dedup.hammingPairs(hashes, 56, 6, 7))
     }
+    // Round-10: the VIDEO face of the hamming engine — real multi-frame
+    // GIF decode + per-frame dHash over the replicated corpus plus one
+    // brightness-twin per video. Same shape as the image stage: decode
+    // and hash are per-blob map work, the pair join keys on (band,
+    // band-value) only; per-frame rows multiply the hash count ~3.5×.
+    time("frame dhash + hamming pairs") {
+      val mm = graft.multimodal.Multimodal
+      import spark.implicits._
+      val docs = corpus.select("doc_id", "text")
+      val originals = mm.syntheticGifCorpus(docs, "doc_id", "text")
+      val twins = mm
+        .syntheticGifCorpus(docs, "doc_id", "text", brightnessDelta = 4)
+        .map(m => m.copy(mediaId = m.mediaId + 1000000000L))
+      val hashes = mm.gifFrameHashes(originals.union(twins))
+        .toDF()
+        .select(
+          (col("mediaId") * 10L + col("frameIdx")).as("id"),
+          col("phash").as("simhash"))
+      noop(Dedup.hammingPairs(hashes, 56, 6, 7))
+    }
     // Round-4: df-capped blocked n-gram Jaccard — the cap bounds each
     // (block, shingle) posting self-join at df², so this must stay
     // near-linear in replicas even though every replica is a near-dup.

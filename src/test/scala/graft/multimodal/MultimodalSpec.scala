@@ -304,6 +304,72 @@ class MultimodalSpec extends SparkSuite {
     assert(got.values.forall(_ >= 0L))
   }
 
+  /** Grayscale frame reference dHash — the single-channel twin of
+    * [[refDHash]] (palette GIF: R=G=B=v ⇒ gray weight 1000·v). */
+  private def refFrameDHash(w: Int, h: Int, px: Array[Byte]): Long = {
+    def gray(tx: Int, ty: Int): Long =
+      1000L * (px((ty * h / 8) * w + (tx * w / 8)) & 0xff)
+    var hash = 0L; var bit = 0
+    for (ty <- 0 until 8; tx <- 0 until 7) {
+      if (gray(tx, ty) > gray(tx + 1, ty)) hash |= 1L << bit
+      bit += 1
+    }
+    hash
+  }
+
+  test("gifFrameHashes matches the raw-pixel reference on every frame") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val items = (0L until 5L).map { id =>
+      val w = 6 + (id % 5).toInt; val h = 6 + (id % 3).toInt
+      val frames = (0 until 2 + (id % 3).toInt)
+        .map(_ => Array.fill(w * h)(rnd.nextInt(256).toByte))
+      (id, w, h, frames)
+    }
+    val ds = spark.createDataset(items.map { case (id, w, h, frames) =>
+      Multimodal.MediaItem(id, Multimodal.encodeAnimatedGif(w, h, frames),
+        Multimodal.MediaMeta("video", w, h, frames.size * 100L, "gif"))
+    })
+    val got = Multimodal.gifFrameHashes(ds).collect()
+      .map(r => (r.mediaId, r.frameIdx) -> r.phash).toMap
+    items.foreach { case (id, w, h, frames) =>
+      frames.zipWithIndex.foreach { case (px, fi) =>
+        assert(got((id, fi)) == refFrameDHash(w, h, px),
+          s"frame dHash mismatch for ($id, $fi)")
+      }
+    }
+    assert(got.size == items.map(_._4.size).sum)
+    assert(got.values.forall(_ >= 0L))
+  }
+
+  test("frame phash recovers nearly every planted brightness twin frame") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, d)
+    val nFrames = docs
+      .selectExpr("sum(2 + doc_id % 4)").collect().head.getLong(0)
+    val pairs = graft.queries.PipelineQueries.framePhash(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // Planted recall: each frame's brightness twin should pair with it
+    // at hamming ≈ 0 (the 255 clamp breaks a deterministic minority).
+    val twinPairs = pairs.count { case (a, b) =>
+      b == a + graft.queries.PipelineQueries.PhashTwinOffset * 10
+    }.toDouble
+    assert(twinPairs / nFrames > 0.8,
+      s"planted-twin recall ${twinPairs / nFrames} below floor " +
+        s"($twinPairs of $nFrames frames)")
+    // Tiny upsampled frames share forced-zero grid bits, so SOME
+    // cross-document coincidences at hamming <= 6 are genuine (the
+    // oracle computes the identical set); the planted signal must still
+    // dominate them.
+    def doc(x: Long): Long =
+      (x / 10) % graft.queries.PipelineQueries.PhashTwinOffset
+    val crossDoc = pairs.count { case (a, b) => doc(a) != doc(b) }
+    assert(twinPairs > crossDoc,
+      s"twin pairs $twinPairs must dominate cross-doc coincidences $crossDoc")
+  }
+
   test("dHash is invariant to a uniform non-clamping brightness shift") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
