@@ -87,6 +87,7 @@ object SparkEntry {
     "q_image_decode" -> (PipelineQueries.imageDecode _),
     "q_image_phash" -> (PipelineQueries.imagePhash _),
     "q_frame_phash" -> (PipelineQueries.framePhash _),
+    "q_frame_phash_inc" -> (PipelineQueries.framePhashInc _),
     "q_image_resize" -> (PipelineQueries.imageResize _),
     "q_dedup_keeplist" -> (PipelineQueries.dedupKeeplist _),
     "q_leakage_safe_split" -> (PipelineQueries.leakageSafeSplit _),
@@ -473,6 +474,7 @@ object SparkEntry {
     "q_image_decode" -> PipelineQueries.imageDecodeOracle,
     "q_image_phash" -> PipelineQueries.imagePhashOracle,
     "q_frame_phash" -> PipelineQueries.framePhashOracle,
+    "q_frame_phash_inc" -> PipelineQueries.framePhashIncOracle,
     "q_image_resize" -> PipelineQueries.imageResizeOracle,
     "q_tfidf_topk" -> TextQueries.tfidfTopTermsOracle(),
     "q_bm25" -> TextQueries.bm25Oracle(),

@@ -3655,6 +3655,70 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** INCREMENTAL frame near-dup — the ingest gate of the VIDEO family
+    * ([[graft.dedup.Dedup.hammingPairsIncremental]], the same
+    * batch×corpus face the image and text hashes use): the corpus owns
+    * every original GIF's frames; the doc_id % 3 == 0 slice arrives
+    * AGAIN as brightness-shifted re-encodes (the re-uploaded-clip
+    * shape) and each arriving frame pairs against corpus frame hashes
+    * only — never against other arrivals. Corpus frame hashes are
+    * computable once at ingest; per-delivery work is |batch| decodes +
+    * the banded cross join. */
+  def framePhashInc(s: SparkSession, d: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    import s.implicits._
+    val docs = documents(s, d).select("doc_id", "text")
+    def frameIds(items: org.apache.spark.sql.Dataset[mm.MediaItem]) =
+      mm.gifFrameHashes(items)
+        .toDF()
+        .select(
+          (col("mediaId") * 10L + col("frameIdx")).as("id"),
+          col("phash").as("simhash"))
+    val corpusHashes = frameIds(mm.syntheticGifCorpus(docs, "doc_id", "text"))
+    val batchHashes = frameIds(
+      mm.syntheticGifCorpus(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        brightnessDelta = 4)
+        .map(m => m.copy(mediaId = m.mediaId + PhashTwinOffset)))
+    Dedup.hammingPairsIncremental(
+        corpusHashes, batchHashes, 56, PhashMaxHamming, PhashBlocks)
+      .orderBy("id_a", "id_b")
+  }
+
+  def framePhashIncOracle: String = {
+    def off = "(((idx // 8) * h) // 8) * w + (((idx % 8) * w) // 8)"
+    s"""WITH fr AS (
+       |  SELECT doc_id, text, 6 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+       |    unnest(range(0, 2 + doc_id % 4)) AS fi
+       |  FROM documents),
+       |chain AS (
+       |  SELECT doc_id, fi, w, h,
+       |    [CAST('0x' || substr(md5(text || ':' || CAST(fi AS VARCHAR) || ':' || CAST(j // 16 AS VARCHAR)), 1 + 2 * (j % 16), 2) AS BIGINT)
+       |      for j in range(0, w * h)] AS b
+       |  FROM fr),
+       |imgs AS (
+       |  SELECT doc_id * 10 + fi AS id, w, h, b, 0 AS is_batch FROM chain
+       |  UNION ALL
+       |  SELECT (doc_id + $PhashTwinOffset) * 10 + fi AS id, w, h,
+       |    list_transform(b, v -> least(v + 4, 255)) AS b, 1 AS is_batch
+       |  FROM chain WHERE doc_id % 3 = 0),
+       |g AS (
+       |  SELECT id, is_batch,
+       |    [1000 * b[$off + 1] for idx in range(0, 64)] AS gv
+       |  FROM imgs),
+       |ph AS (
+       |  SELECT id, is_batch, list_sum(
+       |    [CASE WHEN gv[(idx // 7) * 8 + (idx % 7) + 1] > gv[(idx // 7) * 8 + (idx % 7) + 2]
+       |       THEN (CAST(1 AS BIGINT) << idx) ELSE CAST(0 AS BIGINT) END
+       |     for idx in range(0, 56)]) AS phash
+       |  FROM g)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM ph a JOIN ph b ON a.is_batch = 1 AND b.is_batch = 0
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Resize target of the declared resize query (4×4 — small enough that
     * the oracle's per-pixel arithmetic stays a 16-element list op). */
   val ResizeSide = 4
