@@ -825,9 +825,21 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** The (id, simhash, band, bv) banded SimHash table of a corpus — the
+    * stored ingest artifact the hamming family's streaming gate joins
+    * arrivals against ([[graft.streaming.StreamingOps.simhashGateStream]]),
+    * exactly as [[bandTable]] is for the MinHash family. */
+  def simhashBandTable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blocks: Int
+  ): DataFrame = simhashBanded(simhash(df, idCol, textCol), 32, blocks)
+
   /** (id, simhash, band, bv) rows: a `bits`-wide hash split into `blocks`
-    * pigeonhole bands. */
-  private def simhashBanded(sh: DataFrame, bits: Int, blocks: Int): DataFrame = {
+    * pigeonhole bands. Per-row map work (no shuffle, no aggregation), so
+    * the streaming gate bands arrivals with it statelessly. */
+  private[graft] def simhashBanded(sh: DataFrame, bits: Int, blocks: Int): DataFrame = {
     val width = bits / blocks
     val bandCols = (0 until blocks).map { b =>
       struct(lit(b).as("band"),

@@ -614,6 +614,34 @@ object StreamingQueries {
   /** The batch decontamination oracle IS the streaming oracle. */
   def streamDecontamOracle: String = PipelineQueries.semanticDecontamOracle
 
+  /** STREAMING SimHash near-dup gate ([[StreamingOps.simhashGateStream]]
+    * through the real runtime) — the hamming-family twin of
+    * [[streamNearDup]]: the [[PipelineQueries.SimhashIncMod]] batch
+    * residue arrives on the documents drop stream, simhashes and bands
+    * ROW-LOCAL, and pairs against the FROZEN corpus band table; the
+    * hamming verify is a pure per-row popcount (no second join —
+    * SimHash's edge over MinHash at ingest). Shares the batch
+    * incremental oracle verbatim; a spec pins stream == batch. */
+  def streamSimhash(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{SimhashIncMod, SimhashMaxHamming, SimhashBlocks}
+    val docs = documents(s, d)
+    val cBands = graft.dedup.Dedup
+      .simhashBandTable(
+        docs.filter(col("doc_id") % SimhashIncMod =!= 0),
+        "doc_id", "text", SimhashBlocks)
+      .localCheckpoint(true)
+    val arrivals = StreamingOps
+      .readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % SimhashIncMod === 0)
+    val verdicts = StreamingOps.simhashGateStream(
+      arrivals, cBands, SimhashMaxHamming, SimhashBlocks)
+    runToMemory(s, verdicts, OutputMode.Append(), "graft_stream_simhash")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The batch incremental SimHash oracle IS the streaming oracle. */
+  def streamSimhashOracle: String = PipelineQueries.simhashIncrementalOracle
+
   /** STREAMING image-text alignment gate — the fifth ingest gate, and
     * the streaming face of [[PipelineQueries.imgtextAlign]]: arriving
     * image-carrying documents are scored against the text-encoder

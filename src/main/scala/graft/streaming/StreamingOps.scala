@@ -320,6 +320,44 @@ object StreamingOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** STREAMING SimHash near-dup gate — the HAMMING family's face of
+    * [[nearDupGateStream]] (one gate pattern, two hash engines):
+    * arriving documents simhash ROW-LOCAL
+    * ([[graft.dedup.Dedup.simhashNoShuffle]] — the in-place 32-bit
+    * fold, no shuffle, byte-identical to the batch aggregation per
+    * DedupSpec's pinned equality) and band row-local; a stream-static
+    * join on (band, bv) against the stored corpus band table
+    * ([[graft.dedup.Dedup.simhashBandTable]]) yields candidates;
+    * `dropDuplicates` collapses multi-band hits (state bounded by
+    * candidate-pair volume); the verify is a pure row-local
+    * `bit_count(xor)` — no second join at all, which is SimHash's edge
+    * over MinHash at ingest. Emits (id_a = arriving id, id_b = corpus
+    * id, hamming ≤ maxHamming), the exact
+    * [[graft.dedup.Dedup.simhashIncremental]] cross-side pair set. */
+  def simhashGateStream(
+      arrivals: DataFrame,
+      corpusBands: DataFrame,
+      maxHamming: Int,
+      blocks: Int
+  ): DataFrame = {
+    val aB = graft.dedup.Dedup.simhashBanded(
+      graft.dedup.Dedup.simhashNoShuffle(arrivals, "doc_id", "text"),
+      32, blocks)
+    aB
+      .join(
+        corpusBands.select(
+          col("id").as("id_b"), col("simhash").as("sh_b"),
+          col("band"), col("bv")),
+        Seq("band", "bv"))
+      .select(
+        col("id").as("id_a"), col("simhash").as("sh_a"),
+        col("id_b"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Stream-stream interval join (the attribution shape of
     * [[graft.queries.EventQueries.asofAttribution]] under continuous
     * ingestion): each click joins the same user's views from the

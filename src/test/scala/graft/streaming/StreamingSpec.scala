@@ -1057,6 +1057,65 @@ class StreamingSpec extends SparkSuite {
       "only the near-dup arrival should be flagged")
   }
 
+  test("streaming simhash gate equals the batch incremental on the real fixture") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamSimhash(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.PipelineQueries.simhashIncrementalQ(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty, "fixture must flag at least one arriving near-dup")
+    assert(got == want)
+  }
+
+  test("streaming simhash gate is invariant to micro-batch boundaries") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val corpus = Seq(
+      (100L, base + " juliet kilo"),
+      (101L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val cBands = Dedup.simhashBandTable(corpus, "doc_id", "text", 4)
+    val d = java.nio.file.Files.createTempDirectory("docs_simhash_drop")
+    val files = Seq(
+      Seq((200L, base + " juliet lima")),
+      Seq((201L, "totally unrelated words here nothing shared at all")))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val stage = java.nio.file.Files.createTempDirectory("docs_shstage")
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(
+        part.toPath, d.resolve(f"docs_$i%03d.parquet"))
+    }
+    val probed = spark.read.parquet(d.toString).schema
+    def run(oneFilePerBatch: Boolean, name: String) = {
+      val reader = spark.readStream.schema(probed)
+      val src = (if (oneFilePerBatch) reader.option("maxFilesPerTrigger", "1")
+                 else reader).parquet(d.toString)
+      val q = StreamingOps.simhashGateStream(src, cBands, 3, 4)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val multi = run(oneFilePerBatch = true, "simhash_multi")
+    val single = run(oneFilePerBatch = false, "simhash_single")
+    assert(multi == single, "micro-batch boundaries changed the verdicts")
+    val want = Dedup.simhashIncremental(
+      corpus, spark.read.parquet(d.toString), "doc_id", "text", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(multi == want, "stream gate must equal the batch incremental")
+  }
+
   test("streaming alignment gate equals the batch scores through the real runtime") {
     // The stateless blob-map + frozen-projection gate must reproduce the
     // batch CLIP-filter verdicts verbatim (shared feature, projection
