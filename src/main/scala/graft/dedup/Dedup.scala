@@ -1559,6 +1559,50 @@ object Dedup {
     .select(col("id"), col("blk"), hash60(col("shingle_s")).as("shingle"))
     .distinct()
 
+  /** The df-capped (blk, shingle, id) POSTING artifact of a corpus —
+    * what the n-gram streaming gate
+    * ([[graft.streaming.StreamingOps.ngramGateStream]]) joins arrivals
+    * against: only postings whose (block, shingle) document frequency
+    * is ≤ `maxShingleDf` generate candidates (the standard hot-shingle
+    * cap — candidate RECALL only; the verify runs over full shingle
+    * sets via [[shingleSetTable]], exactly like the batch operators). */
+  def ngramPostingTable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: Column,
+      n: Int = 3,
+      maxShingleDf: Int = DefaultShingleDfCap
+  ): DataFrame =
+    ngramArtifacts(df, idCol, textCol, blockCol, n, maxShingleDf)._1
+
+  /** BOTH ingest artifacts of the n-gram gate from ONE checkpointed
+    * shingle pass — (df-capped posting table, per-doc shingle-set
+    * arrays). Building the sets from the same frame saves a second full
+    * corpus tokenize+hash scan (the dominant cost of the gate's
+    * deploy-time build; one blk per doc, so the per-doc sets equal
+    * [[shingleSetTable]]'s exactly). */
+  def ngramArtifacts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: Column,
+      n: Int = 3,
+      maxShingleDf: Int = DefaultShingleDfCap
+  ): (DataFrame, DataFrame) = {
+    val sh = ngramShingleRows(df, idCol, textCol, blockCol, n)
+      .localCheckpoint(true)
+    val rare = sh.groupBy("blk", "shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select("blk", "shingle")
+    val postings =
+      sh.join(rare, Seq("blk", "shingle")).select("blk", "shingle", "id")
+    val sets = sh.groupBy("id")
+      .agg(sort_array(collect_set(col("shingle"))).as("shingles"))
+    (postings, sets)
+  }
+
   /** Incremental df-capped n-gram Jaccard — the continuous-ingest
     * companion of [[ngramJaccardBlocked]], completing the incremental
     * family (exact, MinHash, SimHash, semantic, now n-gram): a NEW

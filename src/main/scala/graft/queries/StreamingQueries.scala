@@ -614,6 +614,41 @@ object StreamingQueries {
   /** The batch decontamination oracle IS the streaming oracle. */
   def streamDecontamOracle: String = PipelineQueries.semanticDecontamOracle
 
+  /** STREAMING n-gram Jaccard gate ([[StreamingOps.ngramGateStream]]
+    * through the real runtime) — the exact-candidate shingle gate next
+    * to [[streamNearDup]]'s probabilistic MinHash bands: the
+    * [[PipelineQueries.NgramIncMod]] batch residue arrives on the
+    * documents drop stream, shingles row-local, and pairs against the
+    * FROZEN df-capped posting artifact; the verify shares the
+    * full-shingle-set discipline. Shares the batch incremental oracle
+    * verbatim (the fixture's deliveries never exceed the df cap, where
+    * the two faces provably coincide — spec-pinned); a spec pins
+    * stream == batch. */
+  def streamNgram(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{NgramIncMod, NgramDfCap, JaccardThreshold}
+    val docs = documents(s, d)
+    val corpus = docs.filter(col("doc_id") % NgramIncMod =!= 0)
+    // One checkpointed shingle pass builds BOTH deploy-time artifacts;
+    // the artifacts themselves checkpoint too — a stream-static join
+    // re-executes its static side EVERY micro-batch otherwise (the same
+    // frozen-artifact discipline as the minhash gate's cBands/cSets).
+    val (p0, s0) = graft.dedup.Dedup
+      .ngramArtifacts(corpus, "doc_id", "text", col("lang"), 3, NgramDfCap)
+    val postings = p0.localCheckpoint(true)
+    val cSets = s0.localCheckpoint(true)
+    val arrivals = StreamingOps
+      .readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % NgramIncMod === 0)
+    val verdicts = StreamingOps.ngramGateStream(
+      arrivals, postings, cSets, col("lang"), JaccardThreshold)
+    runToMemory(s, verdicts, OutputMode.Append(), "graft_stream_ngram")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The batch incremental n-gram oracle IS the streaming oracle. */
+  def streamNgramOracle: String =
+    PipelineQueries.ngramJaccardIncrementalOracle
+
   /** STREAMING SimHash near-dup gate ([[StreamingOps.simhashGateStream]]
     * through the real runtime) — the hamming-family twin of
     * [[streamNearDup]]: the [[PipelineQueries.SimhashIncMod]] batch

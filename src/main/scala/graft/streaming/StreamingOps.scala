@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -303,6 +303,19 @@ object StreamingOps {
         Seq("band", "bh"))
       .select(col("id").as("id_a"), col("shingles"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    jaccardVerifyRowLocal(cands, corpusShingleSets, threshold)
+  }
+
+  /** Shared verify stage of the shingle-based ingest gates
+    * ([[nearDupGateStream]], [[ngramGateStream]]): candidate pairs
+    * carrying the arrival's distinct shingle array stream-static join
+    * the corpus shingle-set artifact and score exact Jaccard with a
+    * row-local array intersection. */
+  private def jaccardVerifyRowLocal(
+      cands: DataFrame,
+      corpusShingleSets: DataFrame,
+      threshold: Double
+  ): DataFrame =
     cands
       .join(
         corpusShingleSets.select(
@@ -318,6 +331,60 @@ object StreamingOps {
             size(col("c_shingles")).cast("long") - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+
+  /** STREAMING n-gram Jaccard gate — the EXACT-candidate face of the
+    * shingle gates (MinHash bands are probabilistic; rare-shingle
+    * postings are a recall guarantee: any pair sharing one under-cap
+    * shingle is a candidate). Arrivals shingle ROW-LOCAL; candidates
+    * come from a stream-static join of the arrival's shingles against
+    * the stored df-capped posting artifact
+    * ([[graft.dedup.Dedup.ngramPostingTable]]); the verify is the
+    * shared full-set row-local Jaccard — hot shingles excluded from
+    * candidate GENERATION still count toward the intersection, exactly
+    * like the batch operators.
+    *
+    * Semantics vs [[graft.dedup.Dedup.ngramJaccardIncremental]]: the
+    * batch face also df-caps the BATCH side of each delivery; an
+    * arrival-at-a-time stream has batch lists of size 1, so the stream
+    * face's candidate set is a SUPERSET of any batched delivery's
+    * (never smaller — the cap only ever drops candidates). On corpora
+    * where no delivery exceeds the cap the two faces coincide
+    * (spec-pinned on the fixture).
+    *
+    * Scale note: each exploded arrival shingle row carries the doc's
+    * shingle array through the posting join, so this gate shuffles
+    * O(shingles²) per arriving doc where the MinHash gate carries the
+    * array on 4 band rows only — [[nearDupGateStream]] is the
+    * preferred high-volume ingest gate; this one buys the exact-recall
+    * candidate semantics when the ingest rate affords it. */
+  def ngramGateStream(
+      arrivals: DataFrame,
+      corpusPostings: DataFrame,
+      corpusShingleSets: DataFrame,
+      blockCol: Column,
+      threshold: Double,
+      n: Int = 3
+  ): DataFrame = {
+    val aSh = arrivals
+      .select(
+        col("doc_id").as("id"), blockCol.as("blk"),
+        graft.dedup.Dedup.words(col("text")).as("w"))
+      .select(
+        col("id"), col("blk"),
+        array_distinct(transform(
+          graft.dedup.Dedup.shinglesOfWords(col("w"), n),
+          s => graft.dedup.Dedup.hash60(s))).as("shingles"))
+    val cands = aSh
+      .select(
+        col("id"), col("blk"), col("shingles"),
+        explode(col("shingles")).as("shingle"))
+      .join(
+        corpusPostings.select(
+          col("blk"), col("shingle"), col("id").as("id_b")),
+        Seq("blk", "shingle"))
+      .select(col("id").as("id_a"), col("shingles"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    jaccardVerifyRowLocal(cands, corpusShingleSets, threshold)
   }
 
   /** STREAMING SimHash near-dup gate — the HAMMING family's face of

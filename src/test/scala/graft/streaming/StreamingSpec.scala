@@ -1057,6 +1057,62 @@ class StreamingSpec extends SparkSuite {
       "only the near-dup arrival should be flagged")
   }
 
+  test("streaming ngram gate equals the batch incremental on the real fixture") {
+    // The exact-candidate shingle gate: on a fixture where no delivery
+    // exceeds the df cap, the stream face provably coincides with the
+    // batch face — pin both the equality and the cap precondition.
+    val d = "/root/testdata/sf0.001"
+    import graft.queries.PipelineQueries.{NgramIncMod, NgramDfCap}
+    val docs = graft.queries.Tables.documents(spark, d)
+    val maxBatchDf = graft.dedup.Dedup
+      .shingleRows(
+        docs.filter(col("doc_id") % NgramIncMod === 0), "doc_id", "text")
+      .groupBy("shingle").count()
+      .agg(org.apache.spark.sql.functions.max("count"))
+      .collect().head.getLong(0)
+    assert(maxBatchDf <= NgramDfCap,
+      "fixture precondition: the batch side must never exceed the cap")
+    val got = graft.queries.StreamingQueries.streamNgram(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.PipelineQueries
+      .ngramJaccardIncrementalQ(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty, "fixture must flag at least one arriving near-dup")
+    assert(got == want)
+  }
+
+  test("streaming ngram gate: hot shingles are capped from candidates but verified") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // A "hot" shingle shared by both corpus docs AND the arrival (cap 1
+    // excludes it from candidate generation) plus a rare shared shingle
+    // (generates the candidate). The verified Jaccard must count BOTH
+    // shared shingles — the cap affects recall, never the score.
+    val corpus = Seq(
+      (100L, "en", "hot shingle words alpha bravo charlie delta"),
+      (101L, "en", "hot shingle words echo foxtrot golf hotel"))
+      .toDF("doc_id", "lang", "text")
+    val arrival = Seq(
+      (200L, "en", "hot shingle words alpha bravo charlie kilo"))
+      .toDF("doc_id", "lang", "text")
+    val postings = Dedup.ngramPostingTable(
+      corpus, "doc_id", "text", col("lang"), 3, maxShingleDf = 1)
+    // 'hot_shingle_words' appears in both corpus docs -> df 2 > cap 1.
+    val sets = Dedup.shingleSetTable(corpus, "doc_id", "text")
+    val out = StreamingOps
+      .ngramGateStream(arrival, postings, sets, col("lang"), 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Candidate only vs doc 100 (rare shared shingles); its jaccard must
+    // include the hot shingle in the intersection.
+    assert(out.map(t => (t._1, t._2)).toSet == Set((200L, 100L)))
+    val batch = Dedup.ngramJaccardIncremental(
+      corpus, arrival, "doc_id", "text", col("lang"), 0.1,
+      n = 3, maxShingleDf = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSet == batch.toSet,
+      "single-arrival stream must equal the batch incremental verbatim")
+  }
+
   test("streaming simhash gate equals the batch incremental on the real fixture") {
     val d = "/root/testdata/sf0.001"
     val got = graft.queries.StreamingQueries.streamSimhash(spark, d)
