@@ -1349,6 +1349,21 @@ object Dedup {
       corpusDocs, acceptedRaw, "id", "text", w)
       .select(col("id"), col("clean_text").as("text"))
       .localCheckpoint(true)
+    // Id-disjointness is load-bearing, not hygiene: the gate dedups by
+    // CONTENT fingerprint only, so a batch doc reusing a corpus doc id
+    // with different text passes the gate, and the band-table union
+    // below would silently conflate two documents under one id —
+    // breaking the committed == rebuilt-from-scratch law and every
+    // id-keyed verify downstream. (Same-id same-text can't reach here:
+    // its fingerprint is dup_corpus and the gate rejects it.) The check
+    // is a batch-sized semi-join against the checkpointed corpus ids.
+    val idClashes = accepted
+      .join(corpusDocs.select("id"), Seq("id"), "left_semi")
+      .count()
+    require(idClashes == 0L,
+      s"commitArtifacts: $idClashes accepted batch id(s) already exist " +
+        "in the corpus with different content — ids must be disjoint " +
+        "(re-key the batch before committing)")
     val corpusFps = corpusDocs
       .select(fpc(col("text")).as("fingerprint"))
       .filter(col("fingerprint").isNotNull)

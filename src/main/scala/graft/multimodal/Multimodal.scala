@@ -716,35 +716,40 @@ object Multimodal {
     items.flatMap { item =>
       imageIoInit
       try {
+        // iis/reader lifecycle: setInput lives INSIDE the try whose
+        // finally disposes — if it throws, the outer NonFatal catch
+        // would otherwise swallow the error with both handles leaked.
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(item.content))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) { iis.close(); Seq.empty }
-        else {
-          val reader = readers.next()
-          reader.setInput(iis)
-          try {
-            val n = reader.getNumImages(true)
-            (0 until n by stride).map { i =>
-              val img = reader.read(i)
-              val w = img.getWidth; val h = img.getHeight
-              var sum = 0L; var sumSq = 0L
-              val row = new Array[Int](w)
-              var y = 0
-              while (y < h) {
-                img.getRGB(0, y, w, 1, row, 0, w)
-                var x = 0
-                while (x < w) {
-                  val v = row(x) & 0xff
-                  sum += v; sumSq += v.toLong * v
-                  x += 1
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Seq.empty
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              (0 until n by stride).map { i =>
+                val img = reader.read(i)
+                val w = img.getWidth; val h = img.getHeight
+                var sum = 0L; var sumSq = 0L
+                val row = new Array[Int](w)
+                var y = 0
+                while (y < h) {
+                  img.getRGB(0, y, w, 1, row, 0, w)
+                  var x = 0
+                  while (x < w) {
+                    val v = row(x) & 0xff
+                    sum += v; sumSq += v.toLong * v
+                    x += 1
+                  }
+                  y += 1
                 }
-                y += 1
+                FrameFeatures(item.mediaId, i, w, h, sum, sumSq)
               }
-              FrameFeatures(item.mediaId, i, w, h, sum, sumSq)
-            }
-          } finally { reader.dispose(); iis.close() }
-        }
+            } finally reader.dispose()
+          }
+        } finally iis.close()
       } catch {
         case scala.util.control.NonFatal(_) => Seq.empty
       }
@@ -814,50 +819,55 @@ object Multimodal {
     items.flatMap { item =>
       imageIoInit
       try {
+        // Same iis/reader lifecycle discipline as [[gifFrames]]:
+        // setInput inside the dispose-guarded try, iis closed by its
+        // own finally, so a throwing setInput can't leak either handle.
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(item.content))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) { iis.close(); Seq.empty }
-        else {
-          val reader = readers.next()
-          reader.setInput(iis)
-          try {
-            val n = reader.getNumImages(true)
-            (0 until n by stride).map { i =>
-              val img = reader.read(i)
-              val w = img.getWidth; val h = img.getHeight
-              val side = 8
-              val g = new Array[Long](side * side)
-              var ty = 0
-              while (ty < side) {
-                val sy = ty * h / side
-                var tx = 0
-                while (tx < side) {
-                  val p = img.getRGB(tx * w / side, sy)
-                  g(ty * side + tx) =
-                    299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
-                      114L * (p & 0xff)
-                  tx += 1
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Seq.empty
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              (0 until n by stride).map { i =>
+                val img = reader.read(i)
+                val w = img.getWidth; val h = img.getHeight
+                val side = 8
+                val g = new Array[Long](side * side)
+                var ty = 0
+                while (ty < side) {
+                  val sy = ty * h / side
+                  var tx = 0
+                  while (tx < side) {
+                    val p = img.getRGB(tx * w / side, sy)
+                    g(ty * side + tx) =
+                      299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+                        114L * (p & 0xff)
+                    tx += 1
+                  }
+                  ty += 1
                 }
-                ty += 1
-              }
-              var hash = 0L
-              var bit = 0
-              ty = 0
-              while (ty < side) {
-                var tx = 0
-                while (tx < side - 1) {
-                  if (g(ty * side + tx) > g(ty * side + tx + 1))
-                    hash |= 1L << bit
-                  bit += 1
-                  tx += 1
+                var hash = 0L
+                var bit = 0
+                ty = 0
+                while (ty < side) {
+                  var tx = 0
+                  while (tx < side - 1) {
+                    if (g(ty * side + tx) > g(ty * side + tx + 1))
+                      hash |= 1L << bit
+                    bit += 1
+                    tx += 1
+                  }
+                  ty += 1
                 }
-                ty += 1
+                FrameHash(item.mediaId, i, hash)
               }
-              FrameHash(item.mediaId, i, hash)
-            }
-          } finally { reader.dispose(); iis.close() }
-        }
+            } finally reader.dispose()
+          }
+        } finally iis.close()
       } catch {
         case scala.util.control.NonFatal(_) => Seq.empty
       }

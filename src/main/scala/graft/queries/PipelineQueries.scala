@@ -3602,6 +3602,26 @@ object PipelineQueries {
     * except where the 255 clamp breaks shift-uniformity —
     * deterministically, so the oracle computes the identical pair set
     * straight from the md5 pixel chain with no codec. */
+  /** (mediaId, frameIdx, phash) frame-hash rows → the (id, simhash)
+    * shape the hamming engine pairs, under the `media_id·10 + frame_idx`
+    * frame-id encoding. The encoding assumes < 10 frames per container
+    * (true of [[graft.multimodal.Multimodal.syntheticGifCorpus]]'s
+    * fixture, whose frame counts are 2–5), but `gifFrameHashes` decodes
+    * REAL frame counts — so the bound is enforced IN the plan: a
+    * ≥10-frame input fails the job loudly instead of silently colliding
+    * frame ids across videos (the bm25Passages window-id guard pattern,
+    * [[graft.queries.TextQueries]]). */
+  private[graft] def guardedFrameIds(frameHashes: DataFrame): DataFrame =
+    frameHashes.select(
+      (col("mediaId") * 10L +
+        when(col("frameIdx") < 10, col("frameIdx").cast("long"))
+          .otherwise(raise_error(concat(
+            lit("frame_idx overflows the media_id*10 frame-id encoding " +
+              "for media_id="), col("mediaId").cast("string"),
+            lit(" (>= 10 frames); widen the encoding or sample frames")))
+            .cast("long"))).as("id"),
+      col("phash").as("simhash"))
+
   def framePhash(s: SparkSession, d: String): DataFrame = {
     val mm = graft.multimodal.Multimodal
     import s.implicits._
@@ -3610,11 +3630,7 @@ object PipelineQueries {
     val twins = mm
       .syntheticGifCorpus(docs, "doc_id", "text", brightnessDelta = 4)
       .map(m => m.copy(mediaId = m.mediaId + PhashTwinOffset))
-    val hashes = mm.gifFrameHashes(originals.union(twins))
-      .toDF()
-      .select(
-        (col("mediaId") * 10L + col("frameIdx")).as("id"),
-        col("phash").as("simhash"))
+    val hashes = guardedFrameIds(mm.gifFrameHashes(originals.union(twins)).toDF())
     Dedup.hammingPairs(hashes, 56, PhashMaxHamming, PhashBlocks)
       .orderBy("id_a", "id_b")
   }
@@ -3669,11 +3685,7 @@ object PipelineQueries {
     import s.implicits._
     val docs = documents(s, d).select("doc_id", "text")
     def frameIds(items: org.apache.spark.sql.Dataset[mm.MediaItem]) =
-      mm.gifFrameHashes(items)
-        .toDF()
-        .select(
-          (col("mediaId") * 10L + col("frameIdx")).as("id"),
-          col("phash").as("simhash"))
+      guardedFrameIds(mm.gifFrameHashes(items).toDF())
     val corpusHashes = frameIds(mm.syntheticGifCorpus(docs, "doc_id", "text"))
     val batchHashes = frameIds(
       mm.syntheticGifCorpus(

@@ -276,11 +276,27 @@ object StreamingOps {
     * the batch arithmetic, no shuffle, no aggregation); a stream-static
     * join on (band, bh) yields candidate corpus partners;
     * `dropDuplicates` collapses multi-band hits (state = one row per
-    * candidate PAIR — bounded by near-dup volume, not ingest volume);
-    * the exact-Jaccard verify is a second stream-static join to the
-    * shingle-set artifact plus a row-local array intersection.
-    * Batching-invariant: every verdict depends on one arrival row and
-    * the frozen artifacts alone.
+    * candidate PAIR); the exact-Jaccard verify is a second
+    * stream-static join to the shingle-set artifact plus a row-local
+    * array intersection. Batching-invariant: every verdict depends on
+    * one arrival row and the frozen artifacts alone.
+    *
+    * RETENTION COST (applies to all three pair-dedup gates — this one,
+    * [[ngramGateStream]], [[simhashGateStream]]): the un-watermarked
+    * `dropDuplicates("id_a","id_b")` keeps one state row per candidate
+    * pair for the STREAM'S LIFETIME. That is far smaller than ingest
+    * volume (only banded collisions enter state), but on a long-running
+    * ingest it still grows monotonically and is never evicted. The
+    * multi-band collapse is per-micro-batch semantics anyway (all band
+    * rows of one arrival land in the same batch), so the cross-batch
+    * half of that state buys only suppression of REPEATED verdicts when
+    * the same doc id is re-delivered later — benign duplicates for an
+    * ingest gate. Deployments with re-delivery windows should bound the
+    * state by giving arrivals an event-time column and switching to
+    * `withWatermark + dropDuplicatesWithinWatermark` (the
+    * [[dedupKeysStream]] pattern, :143): state then evicts at the
+    * watermark and a far-apart re-delivery yields at most a duplicate
+    * verdict, never a wrong one.
     *
     * Scale shape: identical to the batch incremental operator — band
     * buckets bound candidates (never corpus × arrivals), the verify
@@ -356,7 +372,9 @@ object StreamingOps {
     * O(shingles²) per arriving doc where the MinHash gate carries the
     * array on 4 band rows only — [[nearDupGateStream]] is the
     * preferred high-volume ingest gate; this one buys the exact-recall
-    * candidate semantics when the ingest rate affords it. */
+    * candidate semantics when the ingest rate affords it.
+    * [[nearDupGateStream]]'s RETENTION COST note applies verbatim to
+    * this gate's pair-dedup state. */
   def ngramGateStream(
       arrivals: DataFrame,
       corpusPostings: DataFrame,
@@ -395,8 +413,10 @@ object StreamingOps {
     * DedupSpec's pinned equality) and band row-local; a stream-static
     * join on (band, bv) against the stored corpus band table
     * ([[graft.dedup.Dedup.simhashBandTable]]) yields candidates;
-    * `dropDuplicates` collapses multi-band hits (state bounded by
-    * candidate-pair volume); the verify is a pure row-local
+    * `dropDuplicates` collapses multi-band hits (one state row per
+    * candidate pair, kept for the stream's lifetime — see
+    * [[nearDupGateStream]]'s RETENTION COST note, which applies
+    * verbatim); the verify is a pure row-local
     * `bit_count(xor)` — no second join at all, which is SimHash's edge
     * over MinHash at ingest. Emits (id_a = arriving id, id_b = corpus
     * id, hamming ≤ maxHamming), the exact

@@ -1125,13 +1125,24 @@ object Bpe {
   }
 
   /** One id sequence → its string: merged ids look up the decode table,
-    * everything else appends as a code point. */
+    * everything else appends as a code point. The fallback range is
+    * validated explicitly: an id outside [0, MergeIdBase) that the table
+    * doesn't know is corrupt input, and without the check it would
+    * either throw an unexplained IllegalArgumentException (id in
+    * [MergeIdBase, Int.MaxValue]) or — worse — be TRUNCATED by toInt
+    * and silently decode to a wrong character (0x100000041 → 'A'). */
   def decodeIds(ids: Seq[Long], idToStr: Map[Long, String]): String = {
     val sb = new java.lang.StringBuilder
     ids.foreach { id =>
       idToStr.get(id) match {
         case Some(s) => sb.append(s)
-        case None    => sb.appendCodePoint(id.toInt)
+        case None =>
+          if (id < 0L || id >= MergeIdBase)
+            throw new IllegalStateException(
+              s"decodeIds: id $id is neither a known merge id nor a " +
+                s"code point in [0, $MergeIdBase) — corrupt sequence or " +
+                "wrong merge table")
+          sb.appendCodePoint(id.toInt)
       }
     }
     sb.toString

@@ -75,4 +75,28 @@ class CommitArtifactsSpec extends SparkSuite {
     // The committed fingerprint set gains exactly one fingerprint.
     assert(a.fingerprints.count() == a.corpusFingerprints.count() + 1)
   }
+
+  test("id reuse with different content is refused loudly, never conflated") {
+    import spark.implicits._
+    val c = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+      (2L, "juliet kilo lima mike november oscar papa quebec romeo"))
+      .toDF("doc_id", "text")
+    // Same id as a corpus doc, DIFFERENT text: the content gate passes it
+    // (fingerprints differ) — without the disjointness check the band
+    // union would conflate two documents under id 1.
+    val clash = Seq((1L, "totally different words that share nothing here"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.commitArtifacts(c, clash, "doc_id", "text", 8, 4, 8)
+    }
+    assert(ex.getMessage.contains("ids must be disjoint"), ex.getMessage)
+    // Same id SAME text never reaches the check: the gate rejects it as
+    // dup_corpus, so the commit is a clean no-op, not an error.
+    val sameText =
+      Seq((1L, "alpha bravo charlie delta echo foxtrot golf hotel india"))
+        .toDF("doc_id", "text")
+    val a = Dedup.commitArtifacts(c, sameText, "doc_id", "text", 8, 4, 8)
+    assert(a.accepted.count() == 0L)
+  }
 }

@@ -410,4 +410,36 @@ class MultimodalSpec extends SparkSuite {
       assert(java.lang.Long.bitCount(byId(a) ^ byId(b)).toLong == d && d <= 6L)
     }
   }
+
+  test("frame-id encoding guard raises loudly on a >=10-frame container") {
+    import spark.implicits._
+    val w = 6; val h = 6
+    def mkItems(nf: Int, id: Long) = {
+      val frames = (0 until nf).map { f =>
+        Array.tabulate(w * h)(i => ((i * 7 + f * 13) % 256).toByte)
+      }
+      Seq(Multimodal.MediaItem(id, Multimodal.encodeAnimatedGif(w, h, frames),
+        Multimodal.MediaMeta("video", w, h, nf * 100L, "gif"))).toDS()
+    }
+    // 9 frames: the encoding's last legal width — passes, 9 guarded ids.
+    val ok = graft.queries.PipelineQueries
+      .guardedFrameIds(Multimodal.gifFrameHashes(mkItems(9, 5L)).toDF())
+      .collect()
+    assert(ok.length == 9)
+    assert(ok.map(_.getLong(0)).sorted.toSeq == (50L to 58L))
+    // 12 frames: the guard must fail the job with the loud message, not
+    // silently collide frame ids across videos.
+    val ex = intercept[Exception] {
+      graft.queries.PipelineQueries
+        .guardedFrameIds(Multimodal.gifFrameHashes(mkItems(12, 5L)).toDF())
+        .collect()
+    }
+    val msgs = Iterator
+      .iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("frame_idx overflows"),
+      s"expected the frame-id guard message, got:\n$msgs")
+  }
 }

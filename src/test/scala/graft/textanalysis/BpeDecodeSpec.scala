@@ -75,4 +75,24 @@ class BpeDecodeSpec extends SparkSuite {
     assert(rows.find(_._2 == "abc").get._1 == Bpe.MergeIdBase + 1)
     assert(rows.size == 3)
   }
+
+  test("decodeIds rejects out-of-range fallback ids instead of mangling them") {
+    val tab = Bpe.mergeIdRows(Vector(("a", "b"))).toMap
+    // In-range: known merge id decodes via the table, a bare code point
+    // via the fallback.
+    assert(Bpe.decodeIds(Seq('x'.toLong, Bpe.MergeIdBase), tab) == "xab")
+    // Unknown id in the merge-id range: descriptive failure, not the
+    // JDK's bare IllegalArgumentException from appendCodePoint.
+    val exHigh = intercept[IllegalStateException] {
+      Bpe.decodeIds(Seq(Bpe.MergeIdBase + 99), tab)
+    }
+    assert(exHigh.getMessage.contains("neither a known merge id"))
+    // The truncation trap: 0x100000041 & 0xFFFFFFFF = 0x41 — without the
+    // range check this would silently decode as 'A'.
+    val exTrunc = intercept[IllegalStateException] {
+      Bpe.decodeIds(Seq(0x100000041L), tab)
+    }
+    assert(exTrunc.getMessage.contains("corrupt"))
+    intercept[IllegalStateException] { Bpe.decodeIds(Seq(-1L), tab) }
+  }
 }
