@@ -88,6 +88,8 @@ object SparkEntry {
     "q_image_phash" -> (PipelineQueries.imagePhash _),
     "q_frame_phash" -> (PipelineQueries.framePhash _),
     "q_frame_phash_inc" -> (PipelineQueries.framePhashInc _),
+    "q_audio_phash" -> (PipelineQueries.audioPhash _),
+    "q_audio_phash_inc" -> (PipelineQueries.audioPhashInc _),
     "q_image_resize" -> (PipelineQueries.imageResize _),
     "q_dedup_keeplist" -> (PipelineQueries.dedupKeeplist _),
     "q_leakage_safe_split" -> (PipelineQueries.leakageSafeSplit _),
@@ -477,6 +479,8 @@ object SparkEntry {
     "q_image_phash" -> PipelineQueries.imagePhashOracle,
     "q_frame_phash" -> PipelineQueries.framePhashOracle,
     "q_frame_phash_inc" -> PipelineQueries.framePhashIncOracle,
+    "q_audio_phash" -> PipelineQueries.audioPhashOracle,
+    "q_audio_phash_inc" -> PipelineQueries.audioPhashIncOracle,
     "q_image_resize" -> PipelineQueries.imageResizeOracle,
     "q_tfidf_topk" -> TextQueries.tfidfTopTermsOracle(),
     "q_bm25" -> TextQueries.bm25Oracle(),

@@ -436,6 +436,96 @@ object Multimodal {
     }
   }
 
+  case class AudioFingerprint(mediaId: Long, windowIdx: Int, fp: Long)
+
+  /** Per-WINDOW perceptual fingerprint of audio clips — the audio face
+    * of the hamming dedup engine, the exact analog of [[imageDHash]]'s
+    * grid fold: decode a WAV blob once (same PCM16-mono gate as
+    * [[segmentAudio]]), split the sample sequence into `nWindows` equal
+    * windows (boundary k·n/W, the frame/segment integer rule), fold each
+    * window into 57 equal sub-buckets of summed sample energy (Σ v²,
+    * exact Long — ≤ 2³⁰ per sample, so even hour-long 48 kHz windows
+    * stay far below overflow), and emit one bit per neighbor-bucket
+    * energy comparison — 56 bits, the same non-negative-BIGINT width as
+    * the image dHash, pairable by the SAME
+    * [[graft.dedup.Dedup.hammingPairs]] /
+    * [[graft.dedup.Dedup.hammingPairsIncremental]] engine.
+    *
+    * Why energy-ordering bits: a re-encoded / re-gained upload rescales
+    * amplitudes roughly uniformly, and Σv² comparisons are invariant to
+    * any uniform gain (both sides scale by gain²), so twins land within
+    * a few bits — while unrelated clips agree per bit with probability
+    * ~1/2. WINDOW-level (not clip-level) so a clip embedded in a longer
+    * recording still matches on its aligned windows.
+    *
+    * `nWindows ≤ 9` is enforced because downstream queries encode the
+    * window id as `media_id·10 + window_idx` (the frame-id encoding);
+    * flatMap shape: the blob never shuffles, only (id, windowIdx,
+    * 8-byte fp) rows; undecodable / non-PCM16-mono blobs contribute
+    * zero rows (audited via [[audioFeatures]]' ok=false path, the
+    * [[segmentAudio]] contract). */
+  def audioFingerprints(
+      items: Dataset[MediaItem], nWindows: Int): Dataset[AudioFingerprint] = {
+    import items.sparkSession.implicits._
+    require(nWindows >= 1 && nWindows <= 9,
+      s"need 1 <= nWindows <= 9 (media_id*10 window-id encoding), got $nWindows")
+    val buckets = 57
+    items.flatMap { item =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(item.content))
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        ais.close()
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getChannels != 1 ||
+          fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) Seq.empty
+        else {
+          val be = fmt.isBigEndian
+          val n = bytes.length / 2
+          def sample(j: Int): Int = {
+            val b0 = bytes(2 * j) & 0xff; val b1 = bytes(2 * j + 1) & 0xff
+            val raw = if (be) (b0 << 8) | b1 else (b1 << 8) | b0
+            if (raw >= 32768) raw - 65536 else raw
+          }
+          (0 until nWindows).flatMap { k =>
+            val lo = k.toLong * n / nWindows
+            val hi = (k + 1).toLong * n / nWindows
+            val wn = hi - lo
+            if (wn <= 0L) Seq.empty
+            else {
+              val e = new Array[Long](buckets)
+              var t = 0
+              while (t < buckets) {
+                val blo = lo + t.toLong * wn / buckets
+                val bhi = lo + (t + 1).toLong * wn / buckets
+                var sum = 0L
+                var j = blo.toInt
+                while (j < bhi) {
+                  val v = sample(j)
+                  sum += v.toLong * v
+                  j += 1
+                }
+                e(t) = sum
+                t += 1
+              }
+              var fp = 0L
+              var b = 0
+              while (b < buckets - 1) {
+                if (e(b) > e(b + 1)) fp |= 1L << b
+                b += 1
+              }
+              Seq(AudioFingerprint(item.mediaId, k, fp))
+            }
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => Seq.empty
+      }
+    }
+  }
+
   /** int16 mono samples → real WAV bytes (PCM16 little-endian), via the
     * JVM's own writer. WAV PCM is lossless, so `audioFeatures ∘ encodeWav`
     * recovers the input samples exactly — the property the synthetic
@@ -468,15 +558,23 @@ object Multimodal {
   def syntheticWavCorpus(
       df: DataFrame,
       idCol: String,
-      textCol: String
+      textCol: String,
+      amplitudeDelta: Int = 0,
+      extraSamples: Int = 0
   ): Dataset[MediaItem] = {
     import df.sparkSession.implicits._
+    require(extraSamples >= 0, s"need extraSamples >= 0, got $extraSamples")
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          val n = (64 + id % 65).toInt
+          // extraSamples lengthens every clip uniformly (the md5 chain
+          // just continues) — the stress harness uses it to test at
+          // realistic clip lengths, where every fingerprint bucket is
+          // populated; the oracle-checked queries keep the documented
+          // default n = 64 + id % 65.
+          val n = (64 + id % 65).toInt + extraSamples
           val rate = (8000 + (id % 4) * 4000).toInt
           val pcm = new Array[Short](n)
           var j = 0
@@ -485,7 +583,14 @@ object Multimodal {
             if (j % 8 == 0) dg = md.digest((text + ":" + (j / 8)).getBytes("UTF-8"))
             val k = 2 * (j % 8)
             val raw = (dg(k) & 0xff) | ((dg(k + 1) & 0xff) << 8)
-            pcm(j) = (if (raw >= 32768) raw - 65536 else raw).toShort
+            val v = if (raw >= 32768) raw - 65536 else raw
+            // amplitudeDelta: a uniform clamped shift of every sample —
+            // the audio near-dup perturbation knob, the WAV twin of
+            // syntheticPngCorpus's brightnessDelta. Clamped at BOTH
+            // int16 ends so the shift never wraps. Delta 0 reproduces
+            // the original samples.
+            pcm(j) = math.max(-32768,
+              math.min(v + amplitudeDelta, 32767)).toShort
             j += 1
           }
           MediaItem(id, encodeWav(rate, pcm),

@@ -3731,6 +3731,131 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Window count of the audio fingerprint queries (windows per clip;
+    * ≤ 9 by the media_id·10 + window_idx encoding) and the amplitude
+    * perturbation of the planted re-encoded twins. */
+  val AudioFpWindows = 2
+  val AudioFpDelta = 3
+
+  /** Shared md5-chain sample + fingerprint CTE prefix of the audio
+    * phash oracles: reconstruct the synthetic WAV samples (the
+    * `q_audio_decode` chain), apply the clamped amplitude shift to the
+    * twin/batch side, fold per-window 57-bucket energies, and emit the
+    * 56-bit neighbor-comparison fingerprint under `media_id·10 +
+    * window_idx` ids — the exact integer arithmetic of
+    * [[graft.multimodal.Multimodal.audioFingerprints]], no codec. */
+  private def audioFpOracleCtes(twinFilter: String): String =
+    s"""WITH sm AS (
+       |  SELECT doc_id, 64 + doc_id % 65 AS n,
+       |    [CASE WHEN v >= 32768 THEN v - 65536 ELSE v END FOR v IN
+       |      [CAST('0x' || substr(md5(text || ':' || CAST(j // 8 AS VARCHAR)), 1 + 4 * (j % 8), 2) AS BIGINT)
+       |       + 256 * CAST('0x' || substr(md5(text || ':' || CAST(j // 8 AS VARCHAR)), 3 + 4 * (j % 8), 2) AS BIGINT)
+       |       FOR j IN range(0, CAST(64 + doc_id % 65 AS BIGINT))]] AS s
+       |  FROM documents),
+       |au AS (
+       |  SELECT doc_id AS mid, n, s, 0 AS is_batch FROM sm
+       |  UNION ALL
+       |  SELECT doc_id + $PhashTwinOffset AS mid, n,
+       |    list_transform(s, x -> greatest(-32768, least(x + $AudioFpDelta, 32767))) AS s,
+       |    1 AS is_batch
+       |  FROM sm$twinFilter),
+       |w AS (
+       |  SELECT mid, is_batch, wi, s,
+       |    (wi * n) // $AudioFpWindows AS lo,
+       |    ((wi + 1) * n) // $AudioFpWindows - (wi * n) // $AudioFpWindows AS wn
+       |  FROM (SELECT mid, is_batch, n, s,
+       |          unnest(range(0, $AudioFpWindows)) AS wi FROM au)),
+       |e AS (
+       |  SELECT mid, is_batch, wi,
+       |    [coalesce(list_sum(list_transform(
+       |        s[lo + (t * wn) // 57 + 1 : lo + ((t + 1) * wn) // 57],
+       |        x -> x * x)), 0)
+       |     FOR t IN range(0, 57)] AS ev
+       |  FROM w WHERE wn > 0),
+       |fp AS (
+       |  SELECT mid * 10 + wi AS id, is_batch, list_sum(
+       |    [CASE WHEN ev[b + 1] > ev[b + 2] THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+       |     FOR b IN range(0, 56)]) AS fp
+       |  FROM e)""".stripMargin
+
+  /** AUDIO near-dup dedup via per-window energy fingerprints
+    * ([[graft.multimodal.Multimodal.audioFingerprints]] +
+    * [[Dedup.hammingPairs]]) — the audio face of the ONE hamming
+    * engine (text simhash, image dHash, video frame dHash, and now
+    * audio): the corpus is every synthetic WAV plus an
+    * amplitude-shifted twin (+[[AudioFpDelta]] per sample, clamped —
+    * the re-encoded-upload perturbation the energy-ordering
+    * fingerprint is designed to shrug off), REALLY decoded, folded to
+    * 56 bits per window, and paired through the same pigeonhole
+    * banding as every other modality. Twin windows land at hamming ≈ 0
+    * except where the int16 clamp or an energy near-tie flips a bit —
+    * deterministically, so the oracle computes the identical pair set
+    * from the md5 sample chain without any audio codec. */
+  def audioPhash(s: SparkSession, d: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    import s.implicits._
+    val docs = documents(s, d).select("doc_id", "text")
+    val originals = mm.syntheticWavCorpus(docs, "doc_id", "text")
+    val twins = mm
+      .syntheticWavCorpus(docs, "doc_id", "text",
+        amplitudeDelta = AudioFpDelta)
+      .map(m => m.copy(mediaId = m.mediaId + PhashTwinOffset))
+    val hashes = mm
+      .audioFingerprints(originals.union(twins), AudioFpWindows)
+      .toDF()
+      .select(
+        (col("mediaId") * 10L + col("windowIdx")).as("id"),
+        col("fp").as("simhash"))
+    Dedup.hammingPairs(hashes, 56, PhashMaxHamming, PhashBlocks)
+      .orderBy("id_a", "id_b")
+  }
+
+  def audioPhashOracle: String =
+    s"""${audioFpOracleCtes("")}
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.id < b.id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $PhashMaxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** INCREMENTAL audio near-dup — the ingest gate of the AUDIO family
+    * ([[graft.dedup.Dedup.hammingPairsIncremental]], the same
+    * batch×corpus face every other modality's hashes use): the corpus
+    * owns every original WAV's window fingerprints; the doc_id % 3 == 0
+    * slice arrives AGAIN as amplitude-shifted re-encodes (the
+    * re-uploaded-clip shape) and each arriving window pairs against
+    * corpus fingerprints only — never against other arrivals. Corpus
+    * fingerprints are computable once at ingest; per-delivery work is
+    * |batch| decodes + the banded cross join. */
+  def audioPhashInc(s: SparkSession, d: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    import s.implicits._
+    val docs = documents(s, d).select("doc_id", "text")
+    def windowIds(items: org.apache.spark.sql.Dataset[mm.MediaItem]) =
+      mm.audioFingerprints(items, AudioFpWindows)
+        .toDF()
+        .select(
+          (col("mediaId") * 10L + col("windowIdx")).as("id"),
+          col("fp").as("simhash"))
+    val corpusHashes = windowIds(mm.syntheticWavCorpus(docs, "doc_id", "text"))
+    val batchHashes = windowIds(
+      mm.syntheticWavCorpus(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        amplitudeDelta = AudioFpDelta)
+        .map(m => m.copy(mediaId = m.mediaId + PhashTwinOffset)))
+    Dedup.hammingPairsIncremental(
+        corpusHashes, batchHashes, 56, PhashMaxHamming, PhashBlocks)
+      .orderBy("id_a", "id_b")
+  }
+
+  def audioPhashIncOracle: String =
+    s"""${audioFpOracleCtes(" WHERE doc_id % 3 = 0")}
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.is_batch = 1 AND b.is_batch = 0
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $PhashMaxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Resize target of the declared resize query (4×4 — small enough that
     * the oracle's per-pixel arithmetic stays a 16-element list op). */
   val ResizeSide = 4

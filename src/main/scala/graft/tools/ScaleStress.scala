@@ -110,6 +110,36 @@ object ScaleStress {
           col("phash").as("simhash"))
       noop(Dedup.hammingPairs(hashes, 56, 6, 7))
     }
+    // Round-11: the AUDIO face of the hamming engine — real WAV decode +
+    // per-window 56-bit energy fingerprint over the replicated corpus
+    // plus one amplitude-twin per clip. Same shape again: decode and
+    // fingerprint are per-blob map work (the blob never shuffles), the
+    // pair join keys on (band, band-value) only; 2 windows per clip
+    // double the hash count.
+    time("audio fp + hamming pairs") {
+      val mm = graft.multimodal.Multimodal
+      import spark.implicits._
+      val docs = corpus.select("doc_id", "text")
+      // extraSamples pushes clips to ~2k samples so every one of the 57
+      // energy buckets per window is populated — all 56 bits content-
+      // live, the realistic regime. (The fixture's 64-sample clips
+      // leave most buckets empty; same-length windows would then share
+      // structural bits and the stage would measure a fixture artifact,
+      // not the engine.)
+      val originals =
+        mm.syntheticWavCorpus(docs, "doc_id", "text", extraSamples = 1936)
+      val twins = mm
+        .syntheticWavCorpus(docs, "doc_id", "text", amplitudeDelta = 3,
+          extraSamples = 1936)
+        .map(m => m.copy(mediaId = m.mediaId + 1000000000L))
+      val hashes = mm
+        .audioFingerprints(originals.union(twins), 2)
+        .toDF()
+        .select(
+          (col("mediaId") * 10L + col("windowIdx")).as("id"),
+          col("fp").as("simhash"))
+      noop(Dedup.hammingPairs(hashes, 56, 6, 7))
+    }
     // Round-4: df-capped blocked n-gram Jaccard — the cap bounds each
     // (block, shingle) posting self-join at df², so this must stay
     // near-linear in replicas even though every replica is a near-dup.

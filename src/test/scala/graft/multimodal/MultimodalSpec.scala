@@ -411,6 +411,59 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("audio fingerprint recovers every planted amplitude-twin window") {
+    val d = "/root/testdata/sf0.001"
+    val nDocs = graft.queries.Tables.documents(spark, d).count()
+    val P = graft.queries.PipelineQueries
+    val pairs = P.audioPhash(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Planted recall: EVERY window of every doc pairs with its
+    // amplitude-shifted twin window within the hamming ball (energy
+    // ordering shrugs off the uniform +3 shift)…
+    val twinPairs = pairs.filter { case (a, b, _) =>
+      b == a + P.PhashTwinOffset * 10
+    }
+    assert(twinPairs.length == P.AudioFpWindows * nDocs,
+      s"twin recall ${twinPairs.length} of ${P.AudioFpWindows * nDocs} windows")
+    // …and the overwhelming majority at hamming exactly 0 (the int16
+    // clamp / an energy near-tie flips a deterministic minority).
+    val h0 = twinPairs.count(_._3 == 0L).toDouble
+    assert(h0 / twinPairs.length > 0.9,
+      s"hamming-0 twin fraction ${h0 / twinPairs.length} below floor")
+    // NOTE on cross pairs: the fixture's 32–64-sample windows leave most
+    // of the 57 energy buckets empty, so many fingerprint bits are
+    // structural (determined by window length, not content) and
+    // same-length windows coincide within the ball — the audio analog of
+    // the tiny-frame "forced-zero grid bits" caveat above. The oracle
+    // computes the identical set; at real clip lengths every bucket is
+    // populated (see the full-bucket test below).
+  }
+
+  test("audio fingerprint is gain-invariant; full buckets make all bits content-live") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 2000 samples, 2 windows: every one of the 57 buckets per window
+    // holds >= 17 samples — no structural bits. |v| < 8000 so a 2x gain
+    // never clamps: energies scale uniformly by 4, every comparison is
+    // preserved, the fingerprint must be IDENTICAL.
+    val pcm = Array.fill(2000)((rnd.nextInt(16000) - 8000).toShort)
+    val doubled = pcm.map(v => (v * 2).toShort)
+    def item(id: Long, p: Array[Short]) =
+      Multimodal.MediaItem(id, Multimodal.encodeWav(16000, p),
+        Multimodal.MediaMeta("audio", 0, 0, p.length * 1000L / 16000, "wav"))
+    val fps = Multimodal
+      .audioFingerprints(Seq(item(1L, pcm), item(2L, doubled)).toDS(), 2)
+      .collect()
+      .map(f => (f.mediaId, f.windowIdx) -> f.fp)
+      .toMap
+    assert(fps.size == 4)
+    assert(fps((1L, 0)) == fps((2L, 0)), "gain doubling must not move window 0")
+    assert(fps((1L, 1)) == fps((2L, 1)), "gain doubling must not move window 1")
+    // Distinct random content => the two windows differ from each other.
+    assert(fps((1L, 0)) != fps((1L, 1)))
+  }
+
   test("frame-id encoding guard raises loudly on a >=10-frame container") {
     import spark.implicits._
     val w = 6; val h = 6
