@@ -88,6 +88,7 @@ object SparkEntry {
     "q_image_phash" -> (PipelineQueries.imagePhash _),
     "q_frame_phash" -> (PipelineQueries.framePhash _),
     "q_frame_phash_inc" -> (PipelineQueries.framePhashInc _),
+    "q_video_neardup" -> (PipelineQueries.videoNeardup _),
     "q_audio_phash" -> (PipelineQueries.audioPhash _),
     "q_audio_phash_inc" -> (PipelineQueries.audioPhashInc _),
     "q_image_resize" -> (PipelineQueries.imageResize _),
@@ -479,6 +480,7 @@ object SparkEntry {
     "q_image_phash" -> PipelineQueries.imagePhashOracle,
     "q_frame_phash" -> PipelineQueries.framePhashOracle,
     "q_frame_phash_inc" -> PipelineQueries.framePhashIncOracle,
+    "q_video_neardup" -> PipelineQueries.videoNeardupOracle,
     "q_audio_phash" -> PipelineQueries.audioPhashOracle,
     "q_audio_phash_inc" -> PipelineQueries.audioPhashIncOracle,
     "q_image_resize" -> PipelineQueries.imageResizeOracle,

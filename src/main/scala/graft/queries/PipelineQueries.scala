@@ -3731,6 +3731,117 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Matched-frame-fraction floor for a clip-pair near-dup verdict. */
+  val VideoNeardupFrac = 0.6
+
+  /** VIDEO-LEVEL near-dup verdicts — the clip-pair rollup of
+    * [[framePhash]]'s frame pairs, so a re-encoded upload is flagged
+    * ONCE as a video, not once per frame: decode the
+    * `media_id·10 + frame_idx` pair ids, drop intra-video frame
+    * matches, group by (video_a, video_b), and keep pairs where the
+    * fraction of video_a's frames with a match in video_b reaches
+    * [[VideoNeardupFrac]]. `n_aligned` (matches at the same frame
+    * index) is the offset-consistency signal — a true re-encode
+    * matches frame-for-frame, so n_aligned == n_pairs for the planted
+    * twins.
+    *
+    * Scale shape: the rollup input is the already-band-bounded pair
+    * set, the groupBy is pair-volume-sized, and the frame-count join
+    * is video-id-keyed — nothing here re-touches frames or blobs.
+    * Fractions use the floor-6-decimal discipline every cross-engine
+    * float column uses. */
+  def videoNeardup(s: SparkSession, d: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    import s.implicits._
+    val docs = documents(s, d).select("doc_id", "text")
+    val originals = mm.syntheticGifCorpus(docs, "doc_id", "text")
+    val twins = mm
+      .syntheticGifCorpus(docs, "doc_id", "text", brightnessDelta = 4)
+      .map(m => m.copy(mediaId = m.mediaId + PhashTwinOffset))
+    val hashes =
+      guardedFrameIds(mm.gifFrameHashes(originals.union(twins)).toDF())
+        .localCheckpoint(true)
+    val pairs = Dedup.hammingPairs(hashes, 56, PhashMaxHamming, PhashBlocks)
+    val nf = hashes
+      .select(expr("id div 10").as("v"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("n_frames"))
+    val roll = pairs
+      .select(
+        expr("id_a div 10").as("video_a"), expr("id_a % 10").as("fa"),
+        expr("id_b div 10").as("video_b"), expr("id_b % 10").as("fb"))
+      .filter(col("video_a") =!= col("video_b"))
+      .groupBy("video_a", "video_b")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("fa") === col("fb"), 1L).otherwise(0L)).as("n_aligned"),
+        countDistinct("fa").as("n_matched_a"))
+    roll
+      .join(nf.select(col("v").as("video_a"), col("n_frames").as("n_frames_a")),
+        Seq("video_a"))
+      .join(nf.select(col("v").as("video_b"), col("n_frames").as("n_frames_b")),
+        Seq("video_b"))
+      .withColumn("frac_a",
+        floor(col("n_matched_a") / col("n_frames_a") * 1000000L) / 1000000L)
+      .filter(col("frac_a") >= VideoNeardupFrac)
+      .select("video_a", "video_b", "n_frames_a", "n_frames_b",
+        "n_pairs", "n_aligned", "n_matched_a", "frac_a")
+      .orderBy("video_a", "video_b")
+  }
+
+  def videoNeardupOracle: String = {
+    def off = "(((idx // 8) * h) // 8) * w + (((idx % 8) * w) // 8)"
+    s"""WITH fr AS (
+       |  SELECT doc_id, text, 6 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+       |    unnest(range(0, 2 + doc_id % 4)) AS fi
+       |  FROM documents),
+       |chain AS (
+       |  SELECT doc_id, fi, w, h,
+       |    [CAST('0x' || substr(md5(text || ':' || CAST(fi AS VARCHAR) || ':' || CAST(j // 16 AS VARCHAR)), 1 + 2 * (j % 16), 2) AS BIGINT)
+       |      for j in range(0, w * h)] AS b
+       |  FROM fr),
+       |imgs AS (
+       |  SELECT doc_id * 10 + fi AS id, w, h, b FROM chain
+       |  UNION ALL
+       |  SELECT (doc_id + $PhashTwinOffset) * 10 + fi AS id, w, h,
+       |    list_transform(b, v -> least(v + 4, 255)) AS b
+       |  FROM chain),
+       |g AS (
+       |  SELECT id,
+       |    [1000 * b[$off + 1] for idx in range(0, 64)] AS gv
+       |  FROM imgs),
+       |ph AS (
+       |  SELECT id, list_sum(
+       |    [CASE WHEN gv[(idx // 7) * 8 + (idx % 7) + 1] > gv[(idx // 7) * 8 + (idx % 7) + 2]
+       |       THEN (CAST(1 AS BIGINT) << idx) ELSE CAST(0 AS BIGINT) END
+       |     for idx in range(0, 56)]) AS phash
+       |  FROM g),
+       |fpairs AS (
+       |  SELECT a.id // 10 AS video_a, a.id % 10 AS fa,
+       |         b.id // 10 AS video_b, b.id % 10 AS fb
+       |  FROM ph a JOIN ph b ON a.id < b.id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming
+       |    AND a.id // 10 <> b.id // 10),
+       |nf AS (SELECT id // 10 AS v, count(*) AS n FROM ph GROUP BY 1),
+       |roll AS (
+       |  SELECT video_a, video_b, count(*) AS n_pairs,
+       |    sum(CASE WHEN fa = fb THEN 1 ELSE 0 END) AS n_aligned,
+       |    count(DISTINCT fa) AS n_matched_a
+       |  FROM fpairs GROUP BY 1, 2)
+       |SELECT r.video_a, r.video_b,
+       |  CAST(na.n AS BIGINT) AS n_frames_a,
+       |  CAST(nb.n AS BIGINT) AS n_frames_b,
+       |  CAST(r.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(r.n_aligned AS BIGINT) AS n_aligned,
+       |  CAST(r.n_matched_a AS BIGINT) AS n_matched_a,
+       |  floor(CAST(r.n_matched_a AS DOUBLE) / na.n * 1000000) / 1000000 AS frac_a
+       |FROM roll r
+       |JOIN nf na ON r.video_a = na.v
+       |JOIN nf nb ON r.video_b = nb.v
+       |WHERE floor(CAST(r.n_matched_a AS DOUBLE) / na.n * 1000000) / 1000000 >= $VideoNeardupFrac
+       |ORDER BY video_a, video_b""".stripMargin
+  }
+
   /** Window count of the audio fingerprint queries (windows per clip;
     * ≤ 9 by the media_id·10 + window_idx encoding) and the amplitude
     * perturbation of the planted re-encoded twins. */

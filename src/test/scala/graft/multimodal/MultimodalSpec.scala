@@ -411,6 +411,29 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("video near-dup rollup flags each planted twin exactly once, nothing else") {
+    val d = "/root/testdata/sf0.001"
+    val P = graft.queries.PipelineQueries
+    val nDocs = graft.queries.Tables.documents(spark, d).count()
+    val rows = P.videoNeardup(spark, d).collect()
+    // The frame-level pair set carries hundreds of tiny-frame
+    // coincidental pairs (see the frame phash test above) — the CLIP
+    // rollup must collapse each brightness-twin video to ONE verdict and
+    // let no coincidence survive the matched-fraction floor.
+    assert(rows.length == nDocs,
+      s"expected exactly one verdict per planted twin pair, got ${rows.length}")
+    rows.foreach { r =>
+      val va = r.getLong(0); val vb = r.getLong(1)
+      assert(vb == va + P.PhashTwinOffset, s"non-twin verdict ($va, $vb)")
+      val nfA = r.getLong(2); val nfB = r.getLong(3)
+      val nPairs = r.getLong(4); val nAligned = r.getLong(5)
+      val nMatched = r.getLong(6); val frac = r.getDouble(7)
+      assert(nfA == nfB && nMatched == nfA, "twin must match every frame")
+      assert(nAligned == nPairs, "a re-encode matches frame-for-frame")
+      assert(frac == 1.0)
+    }
+  }
+
   test("audio fingerprint recovers every planted amplitude-twin window") {
     val d = "/root/testdata/sf0.001"
     val nDocs = graft.queries.Tables.documents(spark, d).count()
