@@ -1301,7 +1301,25 @@ object Dedup {
       deltaSpanFps: DataFrame,
       fingerprints: DataFrame,
       bandTable: DataFrame,
-      spanFps: DataFrame)
+      spanFps: DataFrame,
+      // Round-11 commit faces: every artifact a streaming gate consumes
+      // now compacts — the SimHash band table ([[simhashBandTable]],
+      // read by simhashGateStream), the df-capped n-gram posting
+      // artifact ([[ngramPostingTable]], read by ngramGateStream) with
+      // its FULL document-frequency sidecar, and the per-doc shingle-set
+      // table ([[shingleSetTable]], the verify side of both shingle
+      // gates).
+      corpusSimhashBands: DataFrame,
+      deltaSimhashBands: DataFrame,
+      simhashBands: DataFrame,
+      corpusNgramPostings: DataFrame,
+      corpusNgramDf: DataFrame,
+      deltaNgramRows: DataFrame,
+      ngramPostings: DataFrame,
+      ngramDf: DataFrame,
+      corpusShingleSets: DataFrame,
+      deltaShingleSets: DataFrame,
+      shingleSets: DataFrame)
 
   /** CORPUS COMMIT / COMPACTION — close the ingest loop. Every
     * incremental operator in this file treats the corpus artifacts as
@@ -1319,15 +1337,28 @@ object Dedup {
     *   3. COMMIT: each canonical artifact gains its batch-sized delta —
     *      distinct fingerprint set ∪= cleaned fingerprints, MinHash band
     *      table ∪= cleaned band rows ([[bandTable]]), span fp set ∪=
-    *      cleaned span fps ([[spanFpSet]]).
+    *      cleaned span fps ([[spanFpSet]]), SimHash band table ∪=
+    *      cleaned simhash band rows ([[simhashBandTable]]), shingle-set
+    *      table ∪= cleaned per-doc sets ([[shingleSetTable]]), and the
+    *      df-capped n-gram posting artifact re-compacts (below).
+    *
+    * The posting fold is the one artifact with GLOBAL state (the df
+    * cap), so the stored pair is (capped postings, FULL df sidecar):
+    * fold = merge the df tables by sum, then cap-filter the row union.
+    * Exact because df is monotone under ingest — a shingle over cap in
+    * the corpus has no stored rows and can never re-enter; one under
+    * cap has ALL its corpus rows stored, so the union sees every row of
+    * corpus ∪ accepted and the filter reproduces the from-scratch
+    * artifact.
     *
     * Scale shape: here the corpus artifacts are BUILT (checkpointed
     * once); in production they are already-materialized tables, and
-    * every commit-time term is batch-sized — the distinct-unions are the
-    * compaction, a merge of a materialized set with a batch delta, never
-    * a corpus × batch join. CommitArtifactsSpec pins the defining law:
-    * each committed artifact equals the artifact recomputed FROM SCRATCH
-    * on corpus ∪ accepted. */
+    * every commit-time term is batch-sized except the df merge (a
+    * batch-shingle-keyed upsert into a materialized table) — the
+    * distinct-unions are the compaction, a merge of a materialized set
+    * with a batch delta, never a corpus × batch join.
+    * CommitArtifactsSpec pins the defining law: each committed artifact
+    * equals the artifact recomputed FROM SCRATCH on corpus ∪ accepted. */
   def commitArtifacts(
       corpus: DataFrame,
       batch: DataFrame,
@@ -1335,7 +1366,11 @@ object Dedup {
       textCol: String,
       numHashes: Int,
       bands: Int,
-      w: Int
+      w: Int,
+      simhashBlocks: Int = 4,
+      ngramBlockCol: Column = lit(0L),
+      ngramN: Int = 3,
+      maxShingleDf: Int = DefaultShingleDfCap
   ): CommittedArtifacts = {
     val fpc = graft.text.TextFunctions.fingerprintCol _
     val corpusDocs = corpus
@@ -1380,6 +1415,55 @@ object Dedup {
       .distinct()
     val deltaBands = bandTable(accepted, "id", "text", numHashes, bands)
     val deltaSpans = spanFpSet(accepted, "id", "text", w)
+    // SimHash band table: per-row map work, so the fold is a bare union
+    // — ids are disjoint (the guard above), making the union exactly the
+    // rebuilt artifact.
+    val corpusSimBands =
+      simhashBandTable(corpusDocs, "id", "text", simhashBlocks)
+        .localCheckpoint(true)
+    val deltaSimBands = simhashBandTable(accepted, "id", "text", simhashBlocks)
+    // N-gram posting artifact: stored as (capped postings, FULL df
+    // sidecar); fold per the scaladoc. One checkpointed shingle pass per
+    // side feeds postings, df and the per-doc set table.
+    val corpusNgramRows =
+      ngramShingleRows(corpusDocs, "id", "text", ngramBlockCol, ngramN)
+        .localCheckpoint(true)
+    val corpusNgramDf = corpusNgramRows
+      .groupBy("blk", "shingle")
+      .agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    val corpusNgramPostings = corpusNgramRows
+      .join(
+        corpusNgramDf.filter(col("df") <= maxShingleDf)
+          .select("blk", "shingle"),
+        Seq("blk", "shingle"))
+      .select("blk", "shingle", "id")
+    val deltaNgramRows =
+      ngramShingleRows(accepted, "id", "text", ngramBlockCol, ngramN)
+        .localCheckpoint(true)
+    val deltaNgramDf = deltaNgramRows
+      .groupBy("blk", "shingle")
+      .agg(count(lit(1)).as("df"))
+    val committedNgramDf = corpusNgramDf
+      .unionByName(deltaNgramDf)
+      .groupBy("blk", "shingle")
+      .agg(sum(col("df")).as("df"))
+      .localCheckpoint(true)
+    val committedNgramPostings = corpusNgramPostings
+      .unionByName(deltaNgramRows.select("blk", "shingle", "id"))
+      .join(
+        committedNgramDf.filter(col("df") <= maxShingleDf)
+          .select("blk", "shingle"),
+        Seq("blk", "shingle"))
+      .select("blk", "shingle", "id")
+    // Per-doc shingle-set table (the verify side of both shingle gates):
+    // per-doc rows, disjoint ids — bare union, built from the SAME
+    // checkpointed shingle pass as the postings.
+    def setsOf(rows: DataFrame): DataFrame = rows
+      .groupBy("id")
+      .agg(sort_array(collect_set(col("shingle"))).as("shingles"))
+    val corpusSets = setsOf(corpusNgramRows)
+    val deltaSets = setsOf(deltaNgramRows)
     CommittedArtifacts(
       corpusFingerprints = corpusFps,
       corpusBands = corpusBands,
@@ -1390,7 +1474,18 @@ object Dedup {
       deltaSpanFps = deltaSpans,
       fingerprints = corpusFps.unionByName(deltaFps).distinct(),
       bandTable = corpusBands.unionByName(deltaBands),
-      spanFps = corpusSpans.unionByName(deltaSpans).distinct())
+      spanFps = corpusSpans.unionByName(deltaSpans).distinct(),
+      corpusSimhashBands = corpusSimBands,
+      deltaSimhashBands = deltaSimBands,
+      simhashBands = corpusSimBands.unionByName(deltaSimBands),
+      corpusNgramPostings = corpusNgramPostings,
+      corpusNgramDf = corpusNgramDf,
+      deltaNgramRows = deltaNgramRows,
+      ngramPostings = committedNgramPostings,
+      ngramDf = committedNgramDf,
+      corpusShingleSets = corpusSets,
+      deltaShingleSets = deltaSets,
+      shingleSets = corpusSets.unionByName(deltaSets))
   }
 
   // -------------------------------------------------------------------------

@@ -834,7 +834,8 @@ object PipelineQueries {
     val a = graft.dedup.Dedup.commitArtifacts(
       docs.filter(col("doc_id") % IncrementalMod =!= 0),
       docs.filter(col("doc_id") % IncrementalMod === 0),
-      "doc_id", "text", MinhashHashes, MinhashBands, SpanW)
+      "doc_id", "text", MinhashHashes, MinhashBands, SpanW,
+      simhashBlocks = SimhashBlocks)
     def row(name: String, c: DataFrame, del: DataFrame, com: DataFrame) =
       c.agg(count(lit(1)).as("n_corpus"))
         .crossJoin(del.agg(count(lit(1)).as("n_delta")))
@@ -848,6 +849,15 @@ object PipelineQueries {
         row("minhash_band", a.corpusBands, a.deltaBands, a.bandTable))
       .unionByName(
         row("span_fp", a.corpusSpanFps, a.deltaSpanFps, a.spanFps))
+      .unionByName(
+        row("simhash_band", a.corpusSimhashBands, a.deltaSimhashBands,
+          a.simhashBands))
+      .unionByName(
+        row("ngram_posting", a.corpusNgramPostings, a.deltaNgramRows,
+          a.ngramPostings))
+      .unionByName(
+        row("shingle_set", a.corpusShingleSets, a.deltaShingleSets,
+          a.shingleSets))
       .orderBy("artifact")
   }
 
@@ -927,7 +937,17 @@ object PipelineQueries {
        |      FROM documents WHERE doc_id % $M <> 0))),
        |csig AS (SELECT doc_id, $sigColsSql FROM cshl GROUP BY doc_id),
        |cband AS (
-       |  ${bandSelectsSql("csig")})
+       |  ${bandSelectsSql("csig")}),
+       |csimd AS (
+       |  SELECT doc_id FROM t
+       |  WHERE doc_id % $M <> 0 AND len(list_filter(wd, x -> x <> '')) > 0),
+       |asimd AS (
+       |  SELECT doc_id FROM cw WHERE len(list_filter(w, x -> x <> '')) > 0),
+       |cdf AS (SELECT shingle, count(*) AS df FROM cshl GROUP BY shingle),
+       |pall AS (
+       |  SELECT doc_id, shingle FROM cshl
+       |  UNION ALL SELECT doc_id, shingle FROM ashl),
+       |pdf AS (SELECT shingle, count(*) AS df FROM pall GROUP BY shingle)
        |SELECT 'fingerprint' AS artifact,
        |  (SELECT count(*) FROM seen) AS n_corpus,
        |  (SELECT count(*) FROM afp) AS n_delta,
@@ -942,6 +962,25 @@ object PipelineQueries {
        |  (SELECT count(*) FROM cfp),
        |  (SELECT count(*) FROM aspfp),
        |  (SELECT count(*) FROM (SELECT fp FROM cfp UNION SELECT fp FROM aspfp))
+       |UNION ALL
+       |SELECT 'simhash_band',
+       |  (SELECT count(*) * $SimhashBlocks FROM csimd),
+       |  (SELECT count(*) * $SimhashBlocks FROM asimd),
+       |  (SELECT count(*) * $SimhashBlocks FROM csimd)
+       |    + (SELECT count(*) * $SimhashBlocks FROM asimd)
+       |UNION ALL
+       |SELECT 'ngram_posting',
+       |  (SELECT count(*) FROM cshl JOIN cdf USING (shingle)
+       |     WHERE cdf.df <= ${graft.dedup.Dedup.DefaultShingleDfCap}),
+       |  (SELECT count(*) FROM ashl),
+       |  (SELECT count(*) FROM pall JOIN pdf USING (shingle)
+       |     WHERE pdf.df <= ${graft.dedup.Dedup.DefaultShingleDfCap})
+       |UNION ALL
+       |SELECT 'shingle_set',
+       |  (SELECT count(DISTINCT doc_id) FROM cshl),
+       |  (SELECT count(DISTINCT doc_id) FROM ashl),
+       |  (SELECT count(DISTINCT doc_id) FROM cshl)
+       |    + (SELECT count(DISTINCT doc_id) FROM ashl)
        |ORDER BY artifact""".stripMargin
   }
 
