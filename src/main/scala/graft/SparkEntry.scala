@@ -150,6 +150,7 @@ object SparkEntry {
     "q_stream_neardup" -> (StreamingQueries.streamNearDup _),
     "q_stream_align" -> (StreamingQueries.streamAlign _),
     "q_stream_simhash" -> (StreamingQueries.streamSimhash _),
+    "q_stream_commit" -> (StreamingQueries.streamCommit _),
     "q_stream_ngram" -> (StreamingQueries.streamNgram _),
     "q_stream_shard" -> (StreamingQueries.streamShard _),
     "q_stream_cell_drift" -> (StreamingQueries.streamCellDrift _),
@@ -544,6 +545,7 @@ object SparkEntry {
     "q_stream_neardup" -> StreamingQueries.streamNearDupOracle,
     "q_stream_align" -> StreamingQueries.streamAlignOracle,
     "q_stream_simhash" -> StreamingQueries.streamSimhashOracle,
+    "q_stream_commit" -> StreamingQueries.streamCommitOracle,
     "q_stream_ngram" -> StreamingQueries.streamNgramOracle,
     "q_stream_shard" -> StreamingQueries.streamShardOracle,
     "q_stream_cell_drift" -> StreamingQueries.streamCellDriftOracle,

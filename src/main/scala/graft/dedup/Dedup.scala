@@ -1200,7 +1200,7 @@ object Dedup {
     * of [[duplicateSpans]]), then drop the covered tokens MAP-SIDE via a
     * per-doc interval list and an index-aware `filter` lambda, and
     * re-stitch `clean_text`. Doc-keyed shuffles only. */
-  private def exciseIntervals(
+  private[dedup] def exciseIntervals(
       toks: DataFrame,
       removable: DataFrame,
       w: Int
@@ -1286,6 +1286,13 @@ object Dedup {
       .select(explode(posShingles(col("wd"), w)).as("ps"))
       .select(hash60(col("ps.s")).as("fp"))
       .distinct()
+
+  /** Per-doc sorted shingle-set arrays from distinct (id, blk, shingle)
+    * rows — the [[shingleSetTable]] shape built from an already-computed
+    * shingle pass (one blk per doc, so the arrays match it exactly). */
+  private[dedup] def shingleSetsOfRows(rows: DataFrame): DataFrame = rows
+    .groupBy("id")
+    .agg(sort_array(collect_set(col("shingle"))).as("shingles"))
 
   /** The artifact bundle of [[commitArtifacts]]: the corpus artifacts as
     * a deploy would load them, the batch-side deltas, the cleaned
@@ -1459,11 +1466,8 @@ object Dedup {
     // Per-doc shingle-set table (the verify side of both shingle gates):
     // per-doc rows, disjoint ids — bare union, built from the SAME
     // checkpointed shingle pass as the postings.
-    def setsOf(rows: DataFrame): DataFrame = rows
-      .groupBy("id")
-      .agg(sort_array(collect_set(col("shingle"))).as("shingles"))
-    val corpusSets = setsOf(corpusNgramRows)
-    val deltaSets = setsOf(deltaNgramRows)
+    val corpusSets = shingleSetsOfRows(corpusNgramRows)
+    val deltaSets = shingleSetsOfRows(deltaNgramRows)
     CommittedArtifacts(
       corpusFingerprints = corpusFps,
       corpusBands = corpusBands,
@@ -1655,7 +1659,7 @@ object Dedup {
   /** Distinct (id, blk, shingle) rows for the n-gram Jaccard family —
     * word n-grams hashed to 60-bit longs BEFORE any shuffle (the same
     * early-hash discipline as [[shingleRows]]). */
-  private def ngramShingleRows(
+  private[dedup] def ngramShingleRows(
       df: DataFrame,
       idCol: String,
       textCol: String,

@@ -736,6 +736,68 @@ object StreamingQueries {
        |  CAST('0x' || substr(md5('${TextQueries.ShardSeed}:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % ${TextQueries.NumShards} AS shard
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** STREAMING corpus commit ([[graft.dedup.StreamingCommit]] through
+    * the real runtime's `foreachBatch`) — the OUTBOUND end of the
+    * ingest stack as a stream: the [[PipelineQueries.IncrementalMod]]
+    * batch residue arrives on the documents drop stream; each
+    * micro-batch is gated against the committed fingerprint set,
+    * span-cleaned against the FROZEN corpus span fps, and folded into
+    * all seven committed artifacts with the exact
+    * [[graft.dedup.Dedup.commitArtifacts]] arithmetic (batch-id- and
+    * content-keyed replay safety; StreamingCommitSpec pins 1-batch ==
+    * N-batch and stream == one-shot batch). The readout is the same
+    * six-artifact count frame as `q_corpus_commit`, so the two faces
+    * share ONE oracle and can never drift. */
+  def streamCommit(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{
+      IncrementalMod, MinhashHashes, MinhashBands, SpanW, SimhashBlocks}
+    val docs = documents(s, d)
+    val committer = new graft.dedup.StreamingCommit(
+      docs.filter(col("doc_id") % IncrementalMod =!= 0),
+      "doc_id", "text", MinhashHashes, MinhashBands, SpanW,
+      simhashBlocks = SimhashBlocks)
+    val arrivals = StreamingOps
+      .readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % IncrementalMod === 0)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = arrivals.writeStream
+        .foreachBatch((b: DataFrame, id: Long) => committer.foldBatch(b, id))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    val c = committer.committed
+    def row(name: String, cor: DataFrame, del: DataFrame, com: DataFrame) =
+      cor.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(del.agg(count(lit(1)).as("n_delta")))
+        .crossJoin(com.agg(count(lit(1)).as("n_committed")))
+        .select(
+          lit(name).as("artifact"),
+          col("n_corpus"), col("n_delta"), col("n_committed"))
+    row("fingerprint", committer.corpusFingerprints,
+        c.deltaFingerprints, c.fingerprints)
+      .unionByName(
+        row("minhash_band", committer.corpusBands, c.deltaBands, c.bandTable))
+      .unionByName(
+        row("span_fp", committer.corpusSpanFps, c.deltaSpanFps, c.spanFps))
+      .unionByName(
+        row("simhash_band", committer.corpusSimhashBands,
+          c.deltaSimhashBands, c.simhashBands))
+      .unionByName(
+        row("ngram_posting", committer.corpusNgramPostings,
+          c.deltaNgramRows, c.ngramPostings))
+      .unionByName(
+        row("shingle_set", committer.corpusShingleSets,
+          c.deltaShingleSets, c.shingleSets))
+      .orderBy("artifact")
+  }
+
+  /** The batch commit oracle IS the streaming-commit oracle. */
+  def streamCommitOracle: String = PipelineQueries.corpusCommitOracle
+
   def streamDedupCorpusOracle: String =
     s"""WITH b AS (
        |  SELECT doc_id, md5(substr(text, 1, 50)) AS fingerprint
