@@ -798,6 +798,51 @@ object StreamingQueries {
   /** The batch commit oracle IS the streaming-commit oracle. */
   def streamCommitOracle: String = PipelineQueries.corpusCommitOracle
 
+  /** STREAMING media near-dup gate
+    * ([[StreamingOps.hammingGateStream]] through the real runtime) —
+    * the MEDIA face of the hamming gate family: the doc_id % 3 == 0
+    * slice re-arrives as brightness-shifted PNG re-uploads (the
+    * re-crawled-thumbnail shape), each arriving blob is fabricated,
+    * REALLY decoded and 56-bit dHashed ROW-LOCAL on the stream
+    * ([[graft.multimodal.Multimodal.syntheticPngCorpus]] +
+    * [[graft.multimodal.Multimodal.imageDHash]] are per-row map work —
+    * the blob never shuffles, only (id, 8-byte hash) rows), and banded
+    * candidates come from a stream-static join against the FROZEN
+    * corpus dHash band table computed once at deploy. The oracle IS the
+    * batch incremental image-phash oracle — stream and batch share one
+    * pair set by construction. */
+  def streamPhash(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{PhashTwinOffset, PhashMaxHamming, PhashBlocks}
+    val mm = graft.multimodal.Multimodal
+    import s.implicits._
+    val docs = documents(s, d).select("doc_id", "text")
+    val corpusHashes = mm
+      .imageDHash(mm.syntheticPngCorpus(docs, "doc_id", "text"))
+      .toDF().filter(col("ok"))
+      .select(col("mediaId").as("id"), col("phash").as("simhash"))
+    val cBands = graft.dedup.Dedup
+      .simhashBanded(corpusHashes, 56, PhashBlocks)
+      .localCheckpoint(true)
+    val arrivals = StreamingOps
+      .readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % 3 === 0)
+    val aHashes = mm
+      .imageDHash(
+        mm.syntheticPngCorpus(
+          arrivals.select("doc_id", "text"), "doc_id", "text",
+          brightnessDelta = 4)
+          .map(m => m.copy(mediaId = m.mediaId + PhashTwinOffset)))
+      .toDF().filter(col("ok"))
+      .select(col("mediaId").as("id"), col("phash").as("simhash"))
+    val verdicts = StreamingOps.hammingGateStream(
+      aHashes, cBands, 56, PhashMaxHamming, PhashBlocks)
+    runToMemory(s, verdicts, OutputMode.Append(), "graft_stream_phash")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The batch incremental image-phash oracle IS the streaming oracle. */
+  def streamPhashOracle: String = PipelineQueries.imagePhashIncOracle
+
   def streamDedupCorpusOracle: String =
     s"""WITH b AS (
        |  SELECT doc_id, md5(substr(text, 1, 50)) AS fingerprint

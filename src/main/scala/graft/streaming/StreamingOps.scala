@@ -426,10 +426,39 @@ object StreamingOps {
       corpusBands: DataFrame,
       maxHamming: Int,
       blocks: Int
-  ): DataFrame = {
-    val aB = graft.dedup.Dedup.simhashBanded(
+  ): DataFrame =
+    hammingGateStream(
       graft.dedup.Dedup.simhashNoShuffle(arrivals, "doc_id", "text"),
-      32, blocks)
+      corpusBands, 32, maxHamming, blocks)
+
+  /** STREAMING hamming-ball near-dup gate over ANY (id, simhash)
+    * arrival frame of ≤63-bit hashes — the stream face of
+    * [[graft.dedup.Dedup.hammingPairsIncremental]], and the ONE gate
+    * engine behind [[simhashGateStream]] (32-bit text simhashes) and
+    * the media ingest gate (56-bit image/frame dHashes, whose arriving
+    * blobs decode + hash ROW-LOCAL upstream — the blob never reaches
+    * this join). Arrival hashes band row-local ([[graft.dedup.Dedup
+    * .simhashBanded]] — per-row map work, append-safe); a stream-static
+    * join on (band, bv) against the stored corpus band table yields
+    * candidates; `dropDuplicates` collapses multi-band hits (one state
+    * row per candidate pair — [[nearDupGateStream]]'s RETENTION COST
+    * note applies verbatim); the verify is a pure row-local
+    * `bit_count(xor)`. Pigeonhole exactness is unchanged, so the emitted
+    * (id_a = arriving id, id_b = corpus id, hamming ≤ maxHamming) set is
+    * exactly the batch incremental's. */
+  def hammingGateStream(
+      arrivalHashes: DataFrame,
+      corpusBands: DataFrame,
+      bits: Int,
+      maxHamming: Int,
+      blocks: Int
+  ): DataFrame = {
+    require(bits >= 1 && bits <= 63,
+      s"hash width must be in [1, 63] (non-negative BIGINT), got $bits")
+    require(bits % blocks == 0, s"blocks=$blocks must divide bits=$bits")
+    require(maxHamming < blocks,
+      s"pigeonhole needs maxHamming < blocks, got $maxHamming/$blocks")
+    val aB = graft.dedup.Dedup.simhashBanded(arrivalHashes, bits, blocks)
     aB
       .join(
         corpusBands.select(

@@ -1240,4 +1240,87 @@ class StreamingSpec extends SparkSuite {
     assert(multi == single, "micro-batch boundaries changed the counts")
     assert(multi == Map(0L -> 3L, 1L -> 2L))
   }
+
+  test("streaming media phash gate equals the batch incremental on the real fixture") {
+    // Arriving blobs decode + dHash row-local; the banded stream-static
+    // join must reproduce Dedup.hammingPairsIncremental's pair set
+    // verbatim (same hashes, same pigeonhole bands, same verify).
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamPhash(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.PipelineQueries.imagePhashInc(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty, "fixture must flag at least one arriving re-upload")
+    assert(got == want)
+  }
+
+  test("streaming media phash gate is invariant to micro-batch boundaries") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    import graft.multimodal.Multimodal
+    // Corpus of three synthetic PNGs; arrivals split across two drop
+    // files (two brightness-shifted re-uploads, one unrelated doc).
+    val corpusDocs = Seq(
+      (100L, "alpha bravo charlie delta echo foxtrot"),
+      (101L, "golf hotel india juliet kilo lima"),
+      (102L, "mike november oscar papa quebec romeo"))
+      .toDF("doc_id", "text")
+    val corpusHashes = Multimodal
+      .imageDHash(Multimodal.syntheticPngCorpus(corpusDocs, "doc_id", "text"))
+      .toDF().filter(col("ok"))
+      .select(col("mediaId").as("id"), col("phash").as("simhash"))
+    val cBands = Dedup.simhashBanded(corpusHashes, 56, 7).localCheckpoint(true)
+    val d = java.nio.file.Files.createTempDirectory("docs_phash_drop")
+    // Re-uploads carry the SAME doc_id (the fabrication derives the same
+    // pixel chain) under a +1000 id offset applied after hashing below.
+    val files = Seq(
+      Seq((100L, "alpha bravo charlie delta echo foxtrot")),
+      Seq((102L, "mike november oscar papa quebec romeo"),
+        (900L, "totally unrelated content nothing shared")))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val stage = java.nio.file.Files.createTempDirectory("docs_phstage")
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(
+        part.toPath, d.resolve(f"docs_$i%03d.parquet"))
+    }
+    val probed = spark.read.parquet(d.toString).schema
+    def hashesOf(docs: org.apache.spark.sql.DataFrame) = Multimodal
+      .imageDHash(
+        Multimodal.syntheticPngCorpus(docs, "doc_id", "text",
+          brightnessDelta = 4)
+          .map(m => m.copy(mediaId = m.mediaId + 1000L)))
+      .toDF().filter(col("ok"))
+      .select(col("mediaId").as("id"), col("phash").as("simhash"))
+    def run(oneFilePerBatch: Boolean, name: String) = {
+      val reader = spark.readStream.schema(probed)
+      val src = (if (oneFilePerBatch) reader.option("maxFilesPerTrigger", "1")
+                 else reader).parquet(d.toString)
+      val q = StreamingOps.hammingGateStream(hashesOf(src), cBands, 56, 6, 7)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val multi = run(oneFilePerBatch = true, "phash_multi")
+    val single = run(oneFilePerBatch = false, "phash_single")
+    assert(multi == single, "micro-batch boundaries changed the verdicts")
+    val want = Dedup.hammingPairsIncremental(
+      corpusHashes, hashesOf(spark.read.parquet(d.toString)), 56, 6, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(multi == want, "stream gate must equal the batch incremental")
+    // Both re-uploads flagged against their corpus originals; the
+    // unrelated arrival must not pair with anything at hamming <= 6
+    // unless the batch face agrees (it computes the identical set).
+    assert(multi.map(_._1).intersect(Set(1100L, 1102L)) == Set(1100L, 1102L))
+  }
 }
