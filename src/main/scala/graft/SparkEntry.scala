@@ -152,6 +152,7 @@ object SparkEntry {
     "q_stream_simhash" -> (StreamingQueries.streamSimhash _),
     "q_stream_commit" -> (StreamingQueries.streamCommit _),
     "q_stream_phash" -> (StreamingQueries.streamPhash _),
+    "q_stream_attribution" -> (StreamingQueries.streamAttribution _),
     "q_stream_ngram" -> (StreamingQueries.streamNgram _),
     "q_stream_shard" -> (StreamingQueries.streamShard _),
     "q_stream_cell_drift" -> (StreamingQueries.streamCellDrift _),
@@ -548,6 +549,7 @@ object SparkEntry {
     "q_stream_simhash" -> StreamingQueries.streamSimhashOracle,
     "q_stream_commit" -> StreamingQueries.streamCommitOracle,
     "q_stream_phash" -> StreamingQueries.streamPhashOracle,
+    "q_stream_attribution" -> StreamingQueries.streamAttributionOracle,
     "q_stream_ngram" -> StreamingQueries.streamNgramOracle,
     "q_stream_shard" -> StreamingQueries.streamShardOracle,
     "q_stream_cell_drift" -> StreamingQueries.streamCellDriftOracle,

@@ -2302,7 +2302,7 @@ object PipelineQueries {
 
   /** The battery rules [[filterAttribution]] reports on: the seven
     * Gopher/C4 flags plus the quality-blend threshold. */
-  private val AttributionRules = Seq(
+  private[graft] val AttributionRules = Seq(
     "r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet",
     "r_ellipsis", "r_alpha", "r_stopword", "r_quality")
 
@@ -2358,6 +2358,112 @@ object PipelineQueries {
        |SELECT rule, n_fail, n_unique_fail, n_docs FROM (
        |$perRule
        |) ORDER BY rule""".stripMargin
+  }
+
+  /** DuckDB oracle of the streaming ingest ledger
+    * ([[graft.streaming.StreamingOps.ingestLedger]] /
+    * `q_stream_attribution`): per arriving doc (the
+    * [[IncrementalMod]] residue), the quality-battery verdict (the
+    * q_filter_attribution rule set) plus one flag per artifact gate —
+    * exact fingerprint vs the corpus fp set, 3-gram contamination vs
+    * the corpus's [[DecontamMod]] benchmark slice, MinHash band
+    * candidates + exact-Jaccard verify, SimHash banded hamming, and
+    * df-capped n-gram postings + exact-Jaccard verify — each rebuilt
+    * from the same shared CTEs the individual gate oracles use. */
+  def ingestLedgerOracle: String = {
+    val M = IncrementalMod
+    val width = 32 / SimhashBlocks
+    val mask = (1L << width) - 1
+    s"""WITH $gopherBatteryCtesSql,
+       |rq AS (
+       |  SELECT r.doc_id,
+       |    (r.r_word_count AND r.r_mean_word_len AND r.r_symbol_ratio
+       |      AND r.r_bullet AND r.r_ellipsis AND r.r_alpha AND r.r_stopword
+       |      AND q.quality >= 0.7) AS pass_quality
+       |  FROM r JOIN q ON r.doc_id = q.doc_id),
+       |seenf AS (
+       |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+       |  FROM documents WHERE doc_id % $M <> 0),
+       |exactf AS (
+       |  SELECT DISTINCT b.doc_id FROM (
+       |    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+       |    FROM documents WHERE doc_id % $M = 0) b
+       |  JOIN seenf USING (fingerprint)),
+       |$shinglesCte,
+       |bench AS (
+       |  SELECT DISTINCT shingle FROM sh
+       |  WHERE doc_id % $DecontamMod = 0 AND doc_id % $M <> 0),
+       |contamf AS (
+       |  SELECT DISTINCT doc_id FROM sh
+       |  WHERE doc_id % $M = 0 AND shingle IN (SELECT shingle FROM bench)),
+       |bsh10 AS (SELECT doc_id, shingle FROM sh WHERE doc_id % $M = 0),
+       |csh10 AS (SELECT doc_id, shingle FROM sh WHERE doc_id % $M <> 0),
+       |bsig10 AS (SELECT doc_id, $sigColsSql FROM bsh10 GROUP BY doc_id),
+       |csig10 AS (SELECT doc_id, $sigColsSql FROM csh10 GROUP BY doc_id),
+       |bband10 AS (
+       |  ${bandSelectsSql("bsig10")}),
+       |cband10 AS (
+       |  ${bandSelectsSql("csig10")}),
+       |mcand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bband10 a JOIN cband10 b ON a.band = b.band AND a.bh = b.bh),
+       |msizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+       |minter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |  FROM mcand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |ndf AS (
+       |  SELECT DISTINCT i.id_a AS doc_id
+       |  FROM minter i
+       |  JOIN msizes sa ON sa.doc_id = i.id_a
+       |  JOIN msizes sb ON sb.doc_id = i.id_b
+       |  WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= $MinhashThreshold),
+       |$simhashCte,
+       |sbnd AS (
+       |  SELECT doc_id, simhash, b AS band, (simhash >> (b * $width)) & $mask AS bv
+       |  FROM sim CROSS JOIN (SELECT unnest(range(0, $SimhashBlocks)) AS b)),
+       |sduf AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM sbnd a JOIN sbnd b ON a.band = b.band AND a.bv = b.bv
+       |  WHERE a.doc_id % $M = 0 AND b.doc_id % $M <> 0
+       |    AND bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming),
+       |cpost AS (
+       |  SELECT shingle, doc_id FROM csh10
+       |  WHERE shingle IN (
+       |    SELECT shingle FROM csh10 GROUP BY shingle HAVING count(*) <= $NgramDfCap)),
+       |ncand AS (
+       |  SELECT DISTINCT b.doc_id AS id_a, p.doc_id AS id_b
+       |  FROM bsh10 b JOIN cpost p ON b.shingle = p.shingle),
+       |ninter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |  FROM ncand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |ngf AS (
+       |  SELECT DISTINCT i.id_a AS doc_id
+       |  FROM ninter i
+       |  JOIN msizes sa ON sa.doc_id = i.id_a
+       |  JOIN msizes sb ON sb.doc_id = i.id_b
+       |  WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= $JaccardThreshold)
+       |SELECT d.doc_id,
+       |  rq.pass_quality,
+       |  (d.doc_id IN (SELECT doc_id FROM exactf)) AS dup_exact,
+       |  (d.doc_id IN (SELECT doc_id FROM contamf)) AS contaminated,
+       |  (d.doc_id IN (SELECT doc_id FROM ndf)) AS near_dup,
+       |  (d.doc_id IN (SELECT doc_id FROM sduf)) AS simhash_dup,
+       |  (d.doc_id IN (SELECT doc_id FROM ngf)) AS ngram_dup,
+       |  (rq.pass_quality
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM exactf)
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM contamf)
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM ndf)
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM sduf)
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM ngf)) AS admitted
+       |FROM documents d JOIN rq ON d.doc_id = rq.doc_id
+       |WHERE d.doc_id % $M = 0
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Gram widths the declared repetition query runs (the operator

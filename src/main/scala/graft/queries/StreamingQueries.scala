@@ -843,6 +843,74 @@ object StreamingQueries {
   /** The batch incremental image-phash oracle IS the streaming oracle. */
   def streamPhashOracle: String = PipelineQueries.imagePhashIncOracle
 
+  /** STREAMING FILTER ATTRIBUTION — the per-arrival ingest ledger
+    * ([[StreamingOps.ingestLedger]] through the real runtime's
+    * `foreachBatch`): every arriving document is scored against ALL
+    * doc-shaped ingest gates in ONE pass — the q_filter_attribution
+    * quality battery row-local, then exact-fingerprint / benchmark-
+    * contamination / MinHash / SimHash / n-gram verdicts against the
+    * FROZEN deploy-time artifacts — emitting one disposition row per
+    * arrival, so "why was this arrival rejected" is a row lookup, not a
+    * replay of the gate queries. Each flag column is computed BY the
+    * corresponding gate operator (shared engine, spec-pinned equal to
+    * the gates run individually on the same deliveries); rows depend
+    * only on the arrival + frozen artifacts, so the ledger is
+    * batching-invariant by construction. */
+  def streamAttribution(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{
+      IncrementalMod, MinhashHashes, MinhashBands, MinhashThreshold,
+      SimhashMaxHamming, SimhashBlocks, NgramDfCap, JaccardThreshold,
+      DecontamMod}
+    val docs = documents(s, d)
+    val corpus = docs.filter(col("doc_id") % IncrementalMod =!= 0)
+    val fps = corpus
+      .select(graft.text.TextFunctions.fingerprintCol(col("text"))
+        .as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+      .distinct().localCheckpoint(true)
+    val mBands = graft.dedup.Dedup
+      .bandTable(corpus, "doc_id", "text", MinhashHashes, MinhashBands)
+      .localCheckpoint(true)
+    val (p0, sets0) = graft.dedup.Dedup
+      .ngramArtifacts(corpus, "doc_id", "text", lit(0L), 3, NgramDfCap)
+    val postings = p0.localCheckpoint(true)
+    val sets = sets0.localCheckpoint(true)
+    val sBands = graft.dedup.Dedup
+      .simhashBandTable(corpus, "doc_id", "text", SimhashBlocks)
+      .localCheckpoint(true)
+    val bench = graft.dedup.Dedup
+      .shingleRows(
+        corpus.filter(col("doc_id") % DecontamMod === 0), "doc_id", "text")
+      .select("shingle").distinct().localCheckpoint(true)
+    val arrivals = StreamingOps
+      .readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % IncrementalMod === 0)
+    val acc =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    def score(b: DataFrame): DataFrame = StreamingOps.ingestLedger(
+      b.select("doc_id", "text"), fps, mBands, sets, sBands, postings,
+      bench, MinhashHashes, MinhashBands, MinhashThreshold,
+      SimhashMaxHamming, SimhashBlocks, lit(0L), JaccardThreshold)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = arrivals.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val scored = score(b).localCheckpoint(true)
+          acc.updateAndGet(p =>
+            if (p == null) scored else p.unionByName(scored))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    Option(acc.get).getOrElse(score(docs.limit(0))).orderBy("doc_id")
+  }
+
+  def streamAttributionOracle: String = PipelineQueries.ingestLedgerOracle
+
   def streamDedupCorpusOracle: String =
     s"""WITH b AS (
        |  SELECT doc_id, md5(substr(text, 1, 50)) AS fingerprint

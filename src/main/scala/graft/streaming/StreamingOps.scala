@@ -767,4 +767,95 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  /** ONE-PASS INGEST LEDGER — the per-arrival disposition across the
+    * doc-shaped ingest gates, so an operator can answer "why was this
+    * arrival rejected" without replaying the gate queries one by one.
+    * For each arriving document, one row:
+    * (doc_id, pass_quality, dup_exact, contaminated, near_dup,
+    * simhash_dup, ngram_dup, admitted), where `admitted` is the AND of
+    * surviving every gate.
+    *
+    * SHARED-ENGINE discipline: each flag column is the distinct id_a
+    * projection of the corresponding gate operator run on the same
+    * arrivals against the same frozen artifacts — [[nearDupGateStream]],
+    * [[simhashGateStream]], [[ngramGateStream]], the exact-fingerprint
+    * join and the benchmark shingle join — so the ledger's per-gate
+    * counts equal the individual gates' BY CONSTRUCTION (spec-pinned),
+    * and the quality column is the q_filter_attribution rule battery
+    * (Gopher flags + quality blend).
+    *
+    * This is a BATCH transform (pure DataFrame ops): the streaming face
+    * runs it per micro-batch via `foreachBatch` — each arrival's row
+    * depends only on the arrival and the frozen artifacts, so the
+    * ledger is trivially batching-invariant and the stream face equals
+    * this batch face on the same deliveries. Scale shape: one pass over
+    * the arrivals; every join is either banded (bounded candidates) or
+    * keyed on (fingerprint | shingle) against broadcast-sized gate
+    * artifacts; the assembly joins are doc-keyed. */
+  def ingestLedger(
+      arrivals: DataFrame,
+      corpusFps: DataFrame,
+      minhashBands: DataFrame,
+      shingleSets: DataFrame,
+      simhashBands: DataFrame,
+      ngramPostings: DataFrame,
+      benchShingles: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      minhashThreshold: Double,
+      simhashMaxHamming: Int,
+      simhashBlocks: Int,
+      ngramBlockCol: Column,
+      ngramThreshold: Double
+  ): DataFrame = {
+    val ta = graft.textanalysis.TextAnalysis
+    val docs = arrivals.localCheckpoint(true)
+    val quality = ta
+      .gopherFilters(docs, "doc_id", "text",
+        extra = Seq((ta.qualityScore(col("text")) >= 0.7).as("r_quality")))
+      .select(col("doc_id"),
+        graft.queries.PipelineQueries.AttributionRules
+          .map(col).reduce(_ && _).as("pass_quality"))
+    val fpc = graft.text.TextFunctions.fingerprintCol _
+    def flag(ids: DataFrame, name: String) =
+      ids.distinct().withColumn(name, lit(true))
+    val exactIds = flag(
+      docs.select(col("doc_id"), fpc(col("text")).as("fingerprint"))
+        .join(corpusFps, Seq("fingerprint"))
+        .select("doc_id"),
+      "dup_exact")
+    val contamIds = flag(
+      graft.dedup.Dedup.shingleRows(docs, "doc_id", "text")
+        .join(benchShingles, Seq("shingle"))
+        .select(col("id").as("doc_id")),
+      "contaminated")
+    val neardupIds = flag(
+      nearDupGateStream(docs, minhashBands, shingleSets,
+        numHashes, bands, minhashThreshold)
+        .select(col("id_a").as("doc_id")),
+      "near_dup")
+    val simhashIds = flag(
+      simhashGateStream(docs, simhashBands, simhashMaxHamming, simhashBlocks)
+        .select(col("id_a").as("doc_id")),
+      "simhash_dup")
+    val ngramIds = flag(
+      ngramGateStream(docs, ngramPostings, shingleSets,
+        ngramBlockCol, ngramThreshold)
+        .select(col("id_a").as("doc_id")),
+      "ngram_dup")
+    val flags =
+      Seq("dup_exact", "contaminated", "near_dup", "simhash_dup", "ngram_dup")
+    quality
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(contamIds, Seq("doc_id"), "left")
+      .join(neardupIds, Seq("doc_id"), "left")
+      .join(simhashIds, Seq("doc_id"), "left")
+      .join(ngramIds, Seq("doc_id"), "left")
+      .na.fill(false, flags)
+      .withColumn("admitted",
+        col("pass_quality") && flags.map(f => !col(f)).reduce(_ && _))
+      .select(col("doc_id") +: (("pass_quality" +: flags :+ "admitted")
+        .map(col)): _*)
+  }
 }

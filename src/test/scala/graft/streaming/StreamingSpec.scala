@@ -1323,4 +1323,82 @@ class StreamingSpec extends SparkSuite {
     // unless the batch face agrees (it computes the identical set).
     assert(multi.map(_._1).intersect(Set(1100L, 1102L)) == Set(1100L, 1102L))
   }
+
+  test("ingest ledger per-gate flags equal the batch incremental operators") {
+    import graft.dedup.Dedup
+    import graft.queries.PipelineQueries._
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, d)
+    val corpus = docs.filter(col("doc_id") % IncrementalMod =!= 0)
+    val batch = docs.filter(col("doc_id") % IncrementalMod === 0)
+      .localCheckpoint(true)
+    // The same frozen artifacts the streaming query builds.
+    val fps = corpus
+      .select(graft.text.TextFunctions.fingerprintCol(col("text"))
+        .as("fingerprint"))
+      .filter(col("fingerprint").isNotNull).distinct().localCheckpoint(true)
+    val mBands = Dedup
+      .bandTable(corpus, "doc_id", "text", MinhashHashes, MinhashBands)
+      .localCheckpoint(true)
+    val (p0, sets0) =
+      Dedup.ngramArtifacts(corpus, "doc_id", "text", lit(0L), 3, NgramDfCap)
+    val postings = p0.localCheckpoint(true)
+    val sets = sets0.localCheckpoint(true)
+    val sBands = Dedup
+      .simhashBandTable(corpus, "doc_id", "text", SimhashBlocks)
+      .localCheckpoint(true)
+    val benchDocs = corpus.filter(col("doc_id") % DecontamMod === 0)
+    val bench = Dedup.shingleRows(benchDocs, "doc_id", "text")
+      .select("shingle").distinct().localCheckpoint(true)
+    val ledger = StreamingOps.ingestLedger(
+      batch.select("doc_id", "text"), fps, mBands, sets, sBands, postings,
+      bench, MinhashHashes, MinhashBands, MinhashThreshold,
+      SimhashMaxHamming, SimhashBlocks, lit(0L), JaccardThreshold)
+      .collect()
+    def flagged(i: Int) =
+      ledger.filter(_.getBoolean(i)).map(_.getLong(0)).toSet
+    // Each flag column must equal the BATCH incremental operator's
+    // flagged-id set on the identical (corpus, delivery) split — the
+    // independent implementations, not the gate ops the ledger composes.
+    val exactIds = Dedup
+      .incrementalExact(corpus, batch, "doc_id", "text")
+      .filter(col("verdict") === "dup_corpus")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(flagged(2) == exactIds, "dup_exact vs incrementalExact")
+    val contamIds = Dedup
+      .contamination(batch, benchDocs, "doc_id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(flagged(3) == contamIds, "contaminated vs contamination")
+    val ndIds = Dedup
+      .minhashIncremental(corpus, batch, "doc_id", "text",
+        MinhashHashes, MinhashBands, MinhashThreshold)
+      .select("id_a").collect().map(_.getLong(0)).toSet
+    assert(flagged(4) == ndIds, "near_dup vs minhashIncremental")
+    val sdIds = Dedup
+      .simhashIncremental(corpus, batch, "doc_id", "text",
+        SimhashMaxHamming, SimhashBlocks)
+      .select("id_a").collect().map(_.getLong(0)).toSet
+    assert(flagged(5) == sdIds, "simhash_dup vs simhashIncremental")
+    // Two-sided-cap precondition (the ngram gate caps the corpus side
+    // only; equality needs the batch side under the cap too).
+    val maxBatchDf = Dedup.shingleRows(batch, "doc_id", "text")
+      .groupBy("shingle").count()
+      .agg(org.apache.spark.sql.functions.max("count"))
+      .collect().head.getLong(0)
+    assert(maxBatchDf <= NgramDfCap, "fixture precondition: batch under cap")
+    val ngIds = Dedup
+      .ngramJaccardIncremental(corpus, batch, "doc_id", "text", lit(0L),
+        JaccardThreshold, n = 3, maxShingleDf = NgramDfCap)
+      .select("id_a").collect().map(_.getLong(0)).toSet
+    assert(flagged(6) == ngIds, "ngram_dup vs ngramJaccardIncremental")
+    // The ledger is live on the fixture: the contamination, MinHash,
+    // SimHash and n-gram gates each flag at least one arrival. (No
+    // arrival is `admitted` here — every fixture doc is under Gopher's
+    // 50-word floor, so pass_quality is uniformly false; the quality
+    // column's arithmetic is pinned by the shared q_quality oracle.)
+    assert(flagged(3).nonEmpty && flagged(4).nonEmpty &&
+      flagged(5).nonEmpty && flagged(6).nonEmpty,
+      "expected every artifact gate to flag at least one arrival")
+    assert(ledger.length == batch.count())
+  }
 }
