@@ -60,6 +60,8 @@ object Bench {
       // interpretable.
       val memoHit =
         graft.queries.PipelineQueries.dupComponentsPrimed(spark, sfDir)
+      val shingleMemoHit =
+        graft.queries.PipelineQueries.docShingleRowsPrimed(spark, sfDir)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -68,8 +70,10 @@ object Bench {
           false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      val usedMemo = memoHit &&
-        graft.queries.PipelineQueries.CcMemoQueries.contains(name)
+      val usedMemo = (memoHit &&
+        graft.queries.PipelineQueries.CcMemoQueries.contains(name)) ||
+        (shingleMemoHit &&
+          graft.queries.PipelineQueries.ShingleMemoQueries.contains(name))
       // Isolation between queries: one query's persisted frames must not
       // tax the next (round-2 bench showed a leaked dedup cache slowing a
       // trivial DISTINCT 28×). clearCache drops CacheManager entries;

@@ -1659,7 +1659,7 @@ object Dedup {
   /** Distinct (id, blk, shingle) rows for the n-gram Jaccard family —
     * word n-grams hashed to 60-bit longs BEFORE any shuffle (the same
     * early-hash discipline as [[shingleRows]]). */
-  private[dedup] def ngramShingleRows(
+  private[graft] def ngramShingleRows(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -1706,6 +1706,18 @@ object Dedup {
   ): (DataFrame, DataFrame) = {
     val sh = ngramShingleRows(df, idCol, textCol, blockCol, n)
       .localCheckpoint(true)
+    ngramArtifactsFromRows(sh, maxShingleDf)
+  }
+
+  /** [[ngramArtifacts]] from an ALREADY-MATERIALIZED distinct
+    * (id, blk, shingle) frame — the face a memoized shingle pass feeds
+    * (the tokenize+hash explode is the dominant cost of the artifact
+    * build; consumers that share one materialized row table pay it
+    * once). The caller owns materialization. */
+  def ngramArtifactsFromRows(
+      sh: DataFrame,
+      maxShingleDf: Int = DefaultShingleDfCap
+  ): (DataFrame, DataFrame) = {
     val rare = sh.groupBy("blk", "shingle")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)

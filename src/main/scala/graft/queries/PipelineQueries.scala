@@ -1720,6 +1720,50 @@ object PipelineQueries {
     Set("q_dup_clusters", "q_dedup_keeplist", "q_leakage_safe_split",
       "q_quality_keeplist", "q_curation_funnel", "q_dup_histogram")
 
+  /** Memo for the full-table n-gram shingle pass, keyed by (session,
+    * dir) — the [[ccMemo]] discipline applied to the second shared
+    * prefix that grew two consumers in round 11: the distinct
+    * (id, blk = lang, shingle) row table over ALL documents is the
+    * dominant cost (tokenize + hash explode) of BOTH the n-gram gate's
+    * artifact build (`q_stream_ngram`, corpus = the NgramIncMod
+    * residue's complement, lang-blocked) and the ingest ledger's
+    * (`q_stream_attribution`, corpus = the IncrementalMod complement,
+    * single-block — a per-doc-constant blk projection keeps
+    * distinctness, so one table serves both). Same
+    * localCheckpoint-validity probe as [[dupComponents]]. */
+  private val shingleRowsMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def docShingleRows(s: SparkSession, d: String): DataFrame = {
+    val key = (s, d)
+    def build(): DataFrame = Dedup
+      .ngramShingleRows(documents(s, d), "doc_id", "text", col("lang"), 3)
+      .localCheckpoint(true)
+    shingleRowsMemo.get(key) match {
+      case Some(cached) =>
+        try { cached.limit(1).collect(); cached }
+        catch {
+          case _: org.apache.spark.SparkException =>
+            shingleRowsMemo.remove(key, cached)
+            shingleRowsMemo.getOrElseUpdate(key, build())
+        }
+      case None => shingleRowsMemo.getOrElseUpdate(key, build())
+    }
+  }
+
+  private[graft] def invalidateDocShingleRows(
+      s: SparkSession, d: String): Unit =
+    shingleRowsMemo.remove((s, d))
+
+  private[graft] def docShingleRowsPrimed(
+      s: SparkSession, d: String): Boolean =
+    shingleRowsMemo.contains((s, d))
+
+  /** The declared query names that resolve through [[shingleRowsMemo]]. */
+  private[graft] val ShingleMemoQueries: Set[String] =
+    Set("q_stream_ngram", "q_stream_attribution")
+
   /** Duplicate clusters: connected components over the minhash near-dup
     * pairs — iterative min-label propagation on the Spark side, a
     * recursive transitive-closure CTE on the DuckDB side; both converge

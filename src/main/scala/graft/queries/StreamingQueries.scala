@@ -626,14 +626,16 @@ object StreamingQueries {
     * stream == batch. */
   def streamNgram(s: SparkSession, d: String): DataFrame = {
     import PipelineQueries.{NgramIncMod, NgramDfCap, JaccardThreshold}
-    val docs = documents(s, d)
-    val corpus = docs.filter(col("doc_id") % NgramIncMod =!= 0)
-    // One checkpointed shingle pass builds BOTH deploy-time artifacts;
-    // the artifacts themselves checkpoint too — a stream-static join
-    // re-executes its static side EVERY micro-batch otherwise (the same
-    // frozen-artifact discipline as the minhash gate's cBands/cSets).
+    // The shingle pass (the dominant artifact-build cost) replays the
+    // (session, dir)-keyed memo shared with q_stream_attribution —
+    // disclosed in the bench record like the CC build's. The artifacts
+    // themselves checkpoint too: a stream-static join re-executes its
+    // static side EVERY micro-batch otherwise (the same frozen-artifact
+    // discipline as the minhash gate's cBands/cSets).
+    val corpusRows = PipelineQueries.docShingleRows(s, d)
+      .filter(col("id") % NgramIncMod =!= 0)
     val (p0, s0) = graft.dedup.Dedup
-      .ngramArtifacts(corpus, "doc_id", "text", col("lang"), 3, NgramDfCap)
+      .ngramArtifactsFromRows(corpusRows, NgramDfCap)
     val postings = p0.localCheckpoint(true)
     val cSets = s0.localCheckpoint(true)
     val arrivals = StreamingOps
@@ -871,16 +873,23 @@ object StreamingQueries {
     val mBands = graft.dedup.Dedup
       .bandTable(corpus, "doc_id", "text", MinhashHashes, MinhashBands)
       .localCheckpoint(true)
-    val (p0, sets0) = graft.dedup.Dedup
-      .ngramArtifacts(corpus, "doc_id", "text", lit(0L), 3, NgramDfCap)
+    // Shared memoized shingle pass (see docShingleRows): the ledger's
+    // corpus is single-block, and a per-doc-constant blk projection of
+    // the lang-blocked memo rows preserves distinctness exactly.
+    val allRows = PipelineQueries.docShingleRows(s, d)
+    val corpusRows = allRows
+      .filter(col("id") % IncrementalMod =!= 0)
+      .select(col("id"), lit(0L).as("blk"), col("shingle"))
+    val (p0, sets0) =
+      graft.dedup.Dedup.ngramArtifactsFromRows(corpusRows, NgramDfCap)
     val postings = p0.localCheckpoint(true)
     val sets = sets0.localCheckpoint(true)
     val sBands = graft.dedup.Dedup
       .simhashBandTable(corpus, "doc_id", "text", SimhashBlocks)
       .localCheckpoint(true)
-    val bench = graft.dedup.Dedup
-      .shingleRows(
-        corpus.filter(col("doc_id") % DecontamMod === 0), "doc_id", "text")
+    val bench = allRows
+      .filter(col("id") % DecontamMod === 0 &&
+        col("id") % IncrementalMod =!= 0)
       .select("shingle").distinct().localCheckpoint(true)
     val arrivals = StreamingOps
       .readDocuments(s, docsStreamDir(d))
