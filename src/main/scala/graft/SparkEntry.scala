@@ -69,6 +69,7 @@ object SparkEntry {
     "q_incremental_dedup" -> (PipelineQueries.incrementalDedup _),
     "q_incremental_minhash" -> (PipelineQueries.minhashIncrementalQ _),
     "q_corpus_commit" -> (PipelineQueries.corpusCommit _),
+    "q_corpus_diff" -> (PipelineQueries.corpusDiffQ _),
     "q_corpus_card" -> (PipelineQueries.corpusCard _),
     "q_incremental_simhash" -> (PipelineQueries.simhashIncrementalQ _),
     "q_sim_topk" -> (PipelineQueries.simTopK _),
@@ -91,6 +92,8 @@ object SparkEntry {
     "q_video_neardup" -> (PipelineQueries.videoNeardup _),
     "q_audio_phash" -> (PipelineQueries.audioPhash _),
     "q_audio_phash_inc" -> (PipelineQueries.audioPhashInc _),
+    "q_media_commit" -> (PipelineQueries.mediaCommit _),
+    "q_crossmodal_topk" -> (PipelineQueries.crossmodalTopK _),
     "q_image_resize" -> (PipelineQueries.imageResize _),
     "q_dedup_keeplist" -> (PipelineQueries.dedupKeeplist _),
     "q_leakage_safe_split" -> (PipelineQueries.leakageSafeSplit _),
@@ -152,6 +155,7 @@ object SparkEntry {
     "q_stream_simhash" -> (StreamingQueries.streamSimhash _),
     "q_stream_commit" -> (StreamingQueries.streamCommit _),
     "q_stream_phash" -> (StreamingQueries.streamPhash _),
+    "q_stream_audio" -> (StreamingQueries.streamAudio _),
     "q_stream_attribution" -> (StreamingQueries.streamAttribution _),
     "q_stream_ngram" -> (StreamingQueries.streamNgram _),
     "q_stream_shard" -> (StreamingQueries.streamShard _),
@@ -464,6 +468,7 @@ object SparkEntry {
     "q_incremental_dedup" -> PipelineQueries.incrementalDedupOracle,
     "q_incremental_minhash" -> PipelineQueries.minhashIncrementalOracle,
     "q_corpus_commit" -> PipelineQueries.corpusCommitOracle,
+    "q_corpus_diff" -> PipelineQueries.corpusDiffOracle,
     "q_corpus_card" -> PipelineQueries.corpusCardOracle,
     "q_incremental_simhash" -> PipelineQueries.simhashIncrementalOracle,
     "q_sim_topk" -> PipelineQueries.simTopKOracle,
@@ -486,6 +491,8 @@ object SparkEntry {
     "q_video_neardup" -> PipelineQueries.videoNeardupOracle,
     "q_audio_phash" -> PipelineQueries.audioPhashOracle,
     "q_audio_phash_inc" -> PipelineQueries.audioPhashIncOracle,
+    "q_media_commit" -> PipelineQueries.mediaCommitOracle,
+    "q_crossmodal_topk" -> PipelineQueries.crossmodalTopKOracle,
     "q_image_resize" -> PipelineQueries.imageResizeOracle,
     "q_tfidf_topk" -> TextQueries.tfidfTopTermsOracle(),
     "q_bm25" -> TextQueries.bm25Oracle(),
@@ -549,6 +556,7 @@ object SparkEntry {
     "q_stream_simhash" -> StreamingQueries.streamSimhashOracle,
     "q_stream_commit" -> StreamingQueries.streamCommitOracle,
     "q_stream_phash" -> StreamingQueries.streamPhashOracle,
+    "q_stream_audio" -> StreamingQueries.streamAudioOracle,
     "q_stream_attribution" -> StreamingQueries.streamAttributionOracle,
     "q_stream_ngram" -> StreamingQueries.streamNgramOracle,
     "q_stream_shard" -> StreamingQueries.streamShardOracle,

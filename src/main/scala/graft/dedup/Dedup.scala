@@ -905,6 +905,74 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** The artifact bundle of [[commitHashArtifacts]]: per-arrival gate
+    * verdicts and the committed (id, simhash) table the next delivery
+    * gates against. */
+  case class CommittedHashes(verdicts: DataFrame, committed: DataFrame)
+
+  /** COMMIT face of the perceptual-hash table — the media analog of
+    * [[commitArtifacts]], closing the loop for every (id, hash) artifact
+    * the hamming engine consumes (text simhash, image dHash, video frame
+    * hashes, audio window fingerprints are all this shape).
+    *
+    * Gate: an arrival is `dup_corpus` if any corpus hash lies within
+    * `maxHamming` ([[hammingPairsIncremental]], the ingest gate every
+    * modality already uses); otherwise `dup_batch` if any LOWER-id
+    * arrival lies within the radius (deterministic min-id keeper —
+    * chains collapse toward the earliest arrival, the near-dup analog of
+    * [[incrementalExact]]'s `dup_batch`; NOTE: unlike the exact case the
+    * lower-id neighbor may itself be `dup_corpus`, in which case the
+    * higher arrival is still suppressed — one pass, no graph peeling);
+    * otherwise `new`. Commit: the
+    * hash table gains exactly the `new` arrivals' rows — a bare union,
+    * exact because ids are disjoint (a batch-sized semi-join `require`,
+    * the same load-bearing guard as [[commitArtifacts]]').
+    *
+    * Scale shape: both verdict terms are band-bucketed pair joins
+    * (never corpus × batch, never batch²); the fold is a batch-sized
+    * delta appended to a materialized table. Re-gate closure holds by
+    * construction: re-delivering a committed batch matches its own
+    * committed hash at hamming 0 and gates `dup_corpus`. */
+  def commitHashArtifacts(
+      corpusHashes: DataFrame,
+      arrivals: DataFrame,
+      bits: Int,
+      maxHamming: Int,
+      blocks: Int
+  ): CommittedHashes = {
+    val corpus = corpusHashes.select("id", "simhash").localCheckpoint(true)
+    val batch = arrivals.select("id", "simhash").localCheckpoint(true)
+    val idClashes = batch
+      .join(corpus.select("id"), Seq("id"), "left_semi")
+      .count()
+    require(idClashes == 0L,
+      s"commitHashArtifacts: $idClashes arrival id(s) already exist in " +
+        "the corpus hash table — ids must be disjoint (re-key the batch " +
+        "before committing)")
+    val corpusDup = hammingPairsIncremental(
+        corpus, batch, bits, maxHamming, blocks)
+      .select(col("id_a").as("id")).distinct()
+      .withColumn("dup_corpus", lit(1))
+    // hammingPairs emits id_a < id_b pairs: the HIGHER id of a batch
+    // near-dup pair is the dup_batch side (min-id keeper).
+    val batchDup = hammingPairs(batch, bits, maxHamming, blocks)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("dup_batch", lit(1))
+    val verdicts = batch
+      .join(corpusDup, Seq("id"), "left")
+      .join(batchDup, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("simhash"),
+        when(col("dup_corpus") === 1, lit("dup_corpus"))
+          .when(col("dup_batch") === 1, lit("dup_batch"))
+          .otherwise(lit("new"))
+          .as("verdict"))
+    val committed = corpus.unionByName(
+      verdicts.filter(col("verdict") === "new").select("id", "simhash"))
+    CommittedHashes(verdicts, committed)
+  }
+
   // -------------------------------------------------------------------------
   // Benchmark decontamination
   // -------------------------------------------------------------------------
@@ -1490,6 +1558,43 @@ object Dedup {
       corpusShingleSets = corpusSets,
       deltaShingleSets = deltaSets,
       shingleSets = corpusSets.unionByName(deltaSets))
+  }
+
+  /** CORPUS VERSION DIFF — the dataset-release audit: given two corpus
+    * versions keyed by document id, classify every id as `added`
+    * (only in v2), `removed` (only in v1), `changed` (both, different
+    * content fingerprint) or `unchanged`. The question every dataset
+    * card and every retrain decision starts from ("what actually moved
+    * between v1 and v2?"), answered without ever comparing text.
+    *
+    * Scale shape: each side is reduced MAP-SIDE to (id, 128-bit content
+    * fingerprint) before the single id-keyed full outer join — document
+    * bodies never shuffle, and the join carries two narrow columns per
+    * side. At 100 TB both sides are one scan each; the output is
+    * id-sized, and the usual consumer aggregates it straight down to
+    * per-status counts (`groupBy(status)`), which AQE folds into the
+    * same stage. */
+  def corpusDiff(
+      v1: DataFrame,
+      v2: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val fp = graft.text.TextFunctions.fingerprintCol _
+    // Null text folds to a sentinel fingerprint so presence is decided
+    // by the JOIN, never by a null fp masquerading as a missing row.
+    def keyed(df: DataFrame, fpName: String) = df.select(
+      col(idCol).as("id"),
+      coalesce(fp(col(textCol)), lit("<null-text>")).as(fpName))
+    keyed(v1, "fp1")
+      .join(keyed(v2, "fp2"), Seq("id"), "full_outer")
+      .select(
+        col("id"),
+        when(col("fp1").isNull, lit("added"))
+          .when(col("fp2").isNull, lit("removed"))
+          .when(col("fp1") === col("fp2"), lit("unchanged"))
+          .otherwise(lit("changed"))
+          .as("status"))
   }
 
   // -------------------------------------------------------------------------

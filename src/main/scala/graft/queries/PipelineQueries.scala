@@ -1550,6 +1550,62 @@ object PipelineQueries {
     s"""WITH $minhashPairsCtes
        |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
 
+  /** Mod and id offset of the synthetic v2 used by [[corpusDiffQ]]:
+    * doc_id % 13 == 0 is dropped, % 13 == 5 is edited, % 13 == 7 gains a
+    * re-keyed copy at +[[DiffAddOffset]]. */
+  val DiffMod = 13
+  val DiffAddOffset = 10000000L
+
+  /** CORPUS VERSION DIFF readout ([[graft.dedup.Dedup.corpusDiff]]) —
+    * the dataset-release audit between two corpus versions: v1 is the
+    * documents table; v2 is a deterministic release-shaped mutation of
+    * it (a deletion slice, an edited slice, an added slice). One row per
+    * id with its added/removed/changed/unchanged status — what every
+    * retrain decision and dataset card diffs first. The operator
+    * compares content FINGERPRINTS across an id-keyed full outer join;
+    * document bodies never shuffle. */
+  def corpusDiffQ(s: SparkSession, d: String): DataFrame = {
+    val v1 = documents(s, d).select("doc_id", "text")
+    val v2 = v1
+      .filter(col("doc_id") % DiffMod =!= 0)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % DiffMod === 5, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(v1
+        .filter(col("doc_id") % DiffMod === 7)
+        .select(
+          (col("doc_id") + DiffAddOffset).as("doc_id"),
+          concat(col("text"), lit(" new")).as("text")))
+    graft.dedup.Dedup
+      .corpusDiff(v1, v2, "doc_id", "text")
+      .orderBy("id")
+  }
+
+  def corpusDiffOracle: String =
+    s"""WITH v2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $DiffMod = 5 THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % $DiffMod <> 0
+       |  UNION ALL
+       |  SELECT doc_id + $DiffAddOffset AS doc_id, text || ' new' AS text
+       |  FROM documents WHERE doc_id % $DiffMod = 7),
+       |k1 AS (
+       |  SELECT doc_id AS id,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp1
+       |  FROM documents),
+       |k2 AS (
+       |  SELECT doc_id AS id,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp2
+       |  FROM v2)
+       |SELECT coalesce(k1.id, k2.id) AS id,
+       |  CASE WHEN k1.id IS NULL THEN 'added'
+       |       WHEN k2.id IS NULL THEN 'removed'
+       |       WHEN fp1 = fp2 THEN 'unchanged'
+       |       ELSE 'changed' END AS status
+       |FROM k1 FULL OUTER JOIN k2 ON k1.id = k2.id
+       |ORDER BY id""".stripMargin
+
   /** Sketch width for [[corpusOverlap]] — 32 permutations puts the
     * estimator's std at ≈ √(J(1−J)/32) ≤ 0.09, a readout-grade error
     * bar; the oracle checks exact equality of the sketch itself, not
@@ -3778,6 +3834,99 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Arrival-id offsets of the media-commit fixture: re-encoded twins at
+    * +1·[[PhashTwinOffset]], fresh uploads at +2·, and a byte-identical
+    * re-upload of each fresh item at +4· (the planted `dup_batch`). */
+  val MediaCommitFresh1 = 2 * PhashTwinOffset
+  val MediaCommitFresh2 = 4 * PhashTwinOffset
+
+  /** COMMIT face of the media hash table
+    * ([[graft.dedup.Dedup.commitHashArtifacts]]) — the media analog of
+    * the text corpus commit, closing the last blank of the hash-table
+    * matrix row: the corpus owns every original PNG's dHash; one
+    * delivery arrives carrying (a) brightness-shifted re-encodes of the
+    * doc_id % 3 == 0 slice (expected `dup_corpus`), (b) genuinely new
+    * images (a different md5 pixel chain — expected `new`), and (c) a
+    * byte-identical second upload of each new image at a higher id
+    * (expected `dup_batch`, the min-id keeper). The committed table
+    * gains exactly the `new` rows; CommitHashSpec pins the committed ==
+    * corpus ∪ accepted law and re-gate closure. The oracle recomputes
+    * hashes and both verdict terms straight from the md5 pixel chain —
+    * no codec, no Spark arithmetic reused. */
+  def mediaCommit(s: SparkSession, d: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    import s.implicits._
+    val docs = documents(s, d).select("doc_id", "text")
+    def hashesOf(items: org.apache.spark.sql.Dataset[mm.MediaItem]) =
+      mm.imageDHash(items).toDF().filter(col("ok"))
+        .select(col("mediaId").as("id"), col("phash").as("simhash"))
+    val corpusHashes = hashesOf(mm.syntheticPngCorpus(docs, "doc_id", "text"))
+    val twins = mm
+      .syntheticPngCorpus(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        brightnessDelta = 4)
+      .map(m => m.copy(mediaId = m.mediaId + PhashTwinOffset))
+    val freshDocs = docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), concat(col("text"), lit(" f")).as("text"))
+    val fresh1 = mm.syntheticPngCorpus(freshDocs, "doc_id", "text")
+      .map(m => m.copy(mediaId = m.mediaId + MediaCommitFresh1))
+    val fresh2 = mm.syntheticPngCorpus(freshDocs, "doc_id", "text")
+      .map(m => m.copy(mediaId = m.mediaId + MediaCommitFresh2))
+    val arrivals = hashesOf(twins.union(fresh1).union(fresh2))
+    graft.dedup.Dedup
+      .commitHashArtifacts(
+        corpusHashes, arrivals, 56, PhashMaxHamming, PhashBlocks)
+      .verdicts
+      .select("id", "verdict")
+      .orderBy("id")
+  }
+
+  def mediaCommitOracle: String = {
+    def off = "((((idx // 8) * h) // 8) * w + (((idx % 8) * w) // 8)) * 3"
+    s"""WITH chain AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+       |    [CAST('0x' || substr(md5(text || ':' || CAST(j // 16 AS VARCHAR)), 1 + 2 * (j % 16), 2) AS BIGINT)
+       |      for j in range(0, (8 + doc_id % 9) * (8 + doc_id % 7) * 3)] AS b
+       |  FROM documents),
+       |fchain AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+       |    [CAST('0x' || substr(md5(text || ' f' || ':' || CAST(j // 16 AS VARCHAR)), 1 + 2 * (j % 16), 2) AS BIGINT)
+       |      for j in range(0, (8 + doc_id % 9) * (8 + doc_id % 7) * 3)] AS b
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |imgs AS (
+       |  SELECT doc_id AS id, w, h, b, 0 AS is_batch FROM chain
+       |  UNION ALL
+       |  SELECT doc_id + $PhashTwinOffset, w, h,
+       |    list_transform(b, v -> least(v + 4, 255)), 1
+       |  FROM chain WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $MediaCommitFresh1, w, h, b, 1 FROM fchain
+       |  UNION ALL
+       |  SELECT doc_id + $MediaCommitFresh2, w, h, b, 1 FROM fchain),
+       |g AS (
+       |  SELECT id, is_batch,
+       |    [299 * b[$off + 1] + 587 * b[$off + 2] + 114 * b[$off + 3]
+       |      for idx in range(0, 64)] AS gv
+       |  FROM imgs),
+       |ph AS (
+       |  SELECT id, is_batch, list_sum(
+       |    [CASE WHEN gv[(idx // 7) * 8 + (idx % 7) + 1] > gv[(idx // 7) * 8 + (idx % 7) + 2]
+       |       THEN (CAST(1 AS BIGINT) << idx) ELSE CAST(0 AS BIGINT) END
+       |     for idx in range(0, 56)]) AS phash
+       |  FROM g)
+       |SELECT a.id,
+       |  CASE WHEN EXISTS (SELECT 1 FROM ph c WHERE c.is_batch = 0
+       |         AND bit_count(xor(a.phash, c.phash)) <= $PhashMaxHamming)
+       |       THEN 'dup_corpus'
+       |       WHEN EXISTS (SELECT 1 FROM ph b2 WHERE b2.is_batch = 1
+       |         AND b2.id < a.id
+       |         AND bit_count(xor(a.phash, b2.phash)) <= $PhashMaxHamming)
+       |       THEN 'dup_batch'
+       |       ELSE 'new' END AS verdict
+       |FROM ph a WHERE a.is_batch = 1
+       |ORDER BY id""".stripMargin
+  }
+
   /** FRAME-level near-dup dedup — the VIDEO face of the perceptual-hash
     * engine ([[graft.multimodal.Multimodal.gifFrameHashes]] +
     * [[Dedup.hammingPairs]]): every frame of every synthetic animated
@@ -4353,7 +4502,12 @@ object PipelineQueries {
     * [[imgtextAlignOracle]] AND [[alignedPackOracle]] so the two cannot
     * drift. The histogram arithmetic is [[mediaFeaturesOracle]]'s
     * (ord // 16 over ASCII text bytes). */
-  private def alignCtesSql: String = {
+  /** Shared CTE pair `ihist(doc_id, ih)` / `tproj(doc_id, tf)` — the two
+    * projected feature frames every cross-modal oracle builds on
+    * ([[imgtextAlignOracle]], [[alignedPackOracle]],
+    * [[crossmodalTopKOracle]] all compose THIS string, so the feature
+    * arithmetic cannot drift between the alignment and retrieval faces). */
+  private def featureCtesSql: String = {
     val histCols = (0 until 16)
       .map(b => s"CAST(sum(CASE WHEN b = $b THEN 1 ELSE 0 END) AS DOUBLE)")
       .mkString(", ")
@@ -4369,7 +4523,11 @@ object PipelineQueries {
        |tproj AS (
        |  SELECT vec_id AS doc_id, [$proj] AS tf FROM (
        |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS te
-       |    FROM embeddings)),
+       |    FROM embeddings))""".stripMargin
+  }
+
+  private def alignCtesSql: String = {
+    s"""$featureCtesSql,
        |align AS (
        |  SELECT i.doc_id,
        |    CAST(round(list_dot_product(ih, tf)
@@ -4401,6 +4559,55 @@ object PipelineQueries {
       alignCtesSql + ",\n",
       s"doc_id % ${TextQueries.ImgEvery} = 0 AND doc_id IN " +
         s"(SELECT doc_id FROM align WHERE align_micros >= $AlignMicrosThreshold)")
+
+  /** Query count / k of the cross-modal retrieval face. */
+  val CrossModalQueries = 30
+  val CrossModalK = 5
+
+  /** CROSS-MODAL RETRIEVAL — text queries against an image index in the
+    * shared projected space ([[Similarity.crossTopK]]): the retrieval
+    * face of the alignment family (CLIP-style "find the images for this
+    * caption"), composing the SAME two feature frames the alignment
+    * score uses ([[imageFeatureFrame]] + [[textProjection]] — one
+    * projection, two consumers, so retrieval and alignment can never
+    * disagree about the space). For each of the first
+    * [[CrossModalQueries]] text embeddings: the [[CrossModalK]] nearest
+    * image-kind items by cosine, ranked through the bounded-heap top-k.
+    *
+    * Scale shape: feature extraction is per-row map work on the blob;
+    * the query frame broadcasts; arrays are projected away before
+    * ranking. This is the exact baseline — an image index that outgrows
+    * one scan routes the same projected vectors through the IVF family
+    * instead. */
+  def crossmodalTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val index = imageFeatureFrame(
+        graft.multimodal.Multimodal.mediaFromDocuments(s, d))
+      .select(col("doc_id").as("vec_id"), col("ih").as("emb"))
+    val queries = textProjection(embeddings(s, d))
+      .filter(col("doc_id") < CrossModalQueries)
+      .select(col("doc_id").as("vec_id"), col("tf").as("emb"))
+    graft.similarity.Similarity
+      .crossTopK(index, queries, CrossModalK)
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  def crossmodalTopKOracle: String =
+    s"""WITH $featureCtesSql,
+       |n AS (SELECT doc_id AS vec_id, ih AS emb,
+       |        sqrt(list_dot_product(ih, ih)) AS nrm FROM ihist),
+       |q AS (SELECT doc_id AS q_vec_id, tf AS q_emb,
+       |        sqrt(list_dot_product(tf, tf)) AS q_nrm
+       |      FROM tproj WHERE doc_id < $CrossModalQueries),
+       |scored AS (
+       |  SELECT q_vec_id, vec_id,
+       |    round(list_dot_product(emb, q_emb) / (nrm * q_nrm), 6) AS score
+       |  FROM n, q),
+       |r AS (SELECT q_vec_id, vec_id, score,
+       |        row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id ASC) AS rnk
+       |      FROM scored)
+       |SELECT q_vec_id, rnk, vec_id, score FROM r WHERE rnk <= $CrossModalK
+       |ORDER BY q_vec_id, rnk""".stripMargin
 
   def qualityOracle: String =
     """WITH m AS (

@@ -845,6 +845,54 @@ object StreamingQueries {
   /** The batch incremental image-phash oracle IS the streaming oracle. */
   def streamPhashOracle: String = PipelineQueries.imagePhashIncOracle
 
+  /** STREAMING audio near-dup gate — the AUDIO face of
+    * [[StreamingOps.hammingGateStream]], completing the gate family
+    * across every hashed modality (text SimHash, image dHash, audio
+    * window fingerprints — ONE gate engine): the doc_id % 3 == 0 slice
+    * re-arrives as amplitude-shifted WAV re-encodes (the re-uploaded-
+    * clip shape), each arriving clip is fabricated, REALLY decoded and
+    * window-fingerprinted ROW-LOCAL on the stream
+    * ([[graft.multimodal.Multimodal.audioFingerprints]] is per-row map
+    * work — the samples never shuffle, only (window id, 8-byte
+    * fingerprint) rows), and banded candidates come from a stream-static
+    * join against the FROZEN corpus fingerprint band table. The oracle
+    * IS the batch incremental audio-phash oracle — stream and batch
+    * share one pair set by construction. */
+  def streamAudio(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{
+      PhashTwinOffset, PhashMaxHamming, PhashBlocks, AudioFpWindows,
+      AudioFpDelta}
+    val mm = graft.multimodal.Multimodal
+    import s.implicits._
+    def windowIds(items: org.apache.spark.sql.Dataset[mm.MediaItem]) =
+      mm.audioFingerprints(items, AudioFpWindows)
+        .toDF()
+        .select(
+          (col("mediaId") * 10L + col("windowIdx")).as("id"),
+          col("fp").as("simhash"))
+    val docs = documents(s, d).select("doc_id", "text")
+    val cBands = graft.dedup.Dedup
+      .simhashBanded(
+        windowIds(mm.syntheticWavCorpus(docs, "doc_id", "text")),
+        56, PhashBlocks)
+      .localCheckpoint(true)
+    val arrivals = StreamingOps
+      .readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % 3 === 0)
+    val aHashes = windowIds(
+      mm.syntheticWavCorpus(
+        arrivals.select("doc_id", "text"), "doc_id", "text",
+        amplitudeDelta = AudioFpDelta)
+        .map(m => m.copy(mediaId = m.mediaId + PhashTwinOffset)))
+    val verdicts = StreamingOps.hammingGateStream(
+      aHashes, cBands, 56, PhashMaxHamming, PhashBlocks)
+    runToMemory(s, verdicts, OutputMode.Append(), "graft_stream_audio")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The batch incremental audio-phash oracle IS the streaming oracle. */
+  def streamAudioOracle: String = PipelineQueries.audioPhashIncOracle
+
   /** STREAMING FILTER ATTRIBUTION — the per-arrival ingest ledger
     * ([[StreamingOps.ingestLedger]] through the real runtime's
     * `foreachBatch`): every arriving document is scored against ALL

@@ -69,6 +69,40 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** CROSS-SPACE cosine top-k: every query vector against every index
+    * vector with NO self-exclusion — the retrieval face for two
+    * DIFFERENT id spaces projected into one embedding space (text
+    * queries against an image index, say), where a query's own paired
+    * item is a legitimate — indeed the desired — hit. Inputs are
+    * already-double `(vec_id, emb: array<double>)` frames (callers own
+    * the projection into the shared space); scoring and the bounded-heap
+    * rank are [[cosineTopK]]'s, verbatim.
+    *
+    * Scale shape: queries broadcast (retrieval query sets are small by
+    * definition); the index is never shuffled with its vectors — arrays
+    * are projected away before ranking, so the heap carries
+    * (q_vec_id, vec_id, score) triples only. This is the exact
+    * baseline; when the index outgrows a scan, the IVF family
+    * ([[graft.similarity.Ivf]]) is the route — the projection composes
+    * in front of either. */
+  def crossTopK(index: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    ensureFunctions(index)
+    val c = index.select(col("vec_id"), col("emb"))
+      .withColumn("nrm", expr(s"sqrt(${dotSql("emb", "emb")})"))
+    val q = queries.select(
+      col("vec_id").as("q_vec_id"), col("emb").as("q_emb"))
+      .withColumn("q_nrm", expr(s"sqrt(${dotSql("q_emb", "q_emb")})"))
+    // Broadcast nested-loop over the K-row query frame — the same join
+    // cosineTopK plans, minus the (here meaningless) self-exclusion
+    // predicate.
+    val scored = c
+      .crossJoin(broadcast(q))
+      .withColumn(
+        "score",
+        round(expr(dotSql("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    rankTopK(scored, k)
+  }
+
   /** Shared ranking tail of every top-k search: per-query bounded-heap
     * rank (identical total order to `row_number() OVER (PARTITION BY
     * q_vec_id ORDER BY score DESC, vec_id ASC)` — the SQL the oracles

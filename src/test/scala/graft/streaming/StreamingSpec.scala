@@ -1241,6 +1241,19 @@ class StreamingSpec extends SparkSuite {
     assert(multi == Map(0L -> 3L, 1L -> 2L))
   }
 
+  test("streaming audio gate equals the batch incremental on the real fixture") {
+    // Arriving WAVs decode + window-fingerprint row-local; the banded
+    // stream-static join must reproduce the audio family's batch
+    // incremental pair set verbatim — the gate engine is modality-blind.
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamAudio(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.PipelineQueries.audioPhashInc(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty, "fixture must flag at least one arriving re-encode")
+    assert(got == want)
+  }
+
   test("streaming media phash gate equals the batch incremental on the real fixture") {
     // Arriving blobs decode + dHash row-local; the banded stream-static
     // join must reproduce Dedup.hammingPairsIncremental's pair set
