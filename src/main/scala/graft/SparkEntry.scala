@@ -94,6 +94,7 @@ object SparkEntry {
     "q_audio_phash_inc" -> (PipelineQueries.audioPhashInc _),
     "q_media_commit" -> (PipelineQueries.mediaCommit _),
     "q_crossmodal_topk" -> (PipelineQueries.crossmodalTopK _),
+    "q_crossmodal_ivf" -> (PipelineQueries.crossmodalIvf _),
     "q_image_resize" -> (PipelineQueries.imageResize _),
     "q_dedup_keeplist" -> (PipelineQueries.dedupKeeplist _),
     "q_leakage_safe_split" -> (PipelineQueries.leakageSafeSplit _),
@@ -493,6 +494,7 @@ object SparkEntry {
     "q_audio_phash_inc" -> PipelineQueries.audioPhashIncOracle,
     "q_media_commit" -> PipelineQueries.mediaCommitOracle,
     "q_crossmodal_topk" -> PipelineQueries.crossmodalTopKOracle,
+    "q_crossmodal_ivf" -> PipelineQueries.crossmodalIvfOracle,
     "q_image_resize" -> PipelineQueries.imageResizeOracle,
     "q_tfidf_topk" -> TextQueries.tfidfTopTermsOracle(),
     "q_bm25" -> TextQueries.bm25Oracle(),

@@ -4609,6 +4609,76 @@ object PipelineQueries {
        |SELECT q_vec_id, rnk, vec_id, score FROM r WHERE rnk <= $CrossModalK
        |ORDER BY q_vec_id, rnk""".stripMargin
 
+  /** Fixed centroid ids of the cross-modal IVF index: image-kind doc
+    * ids (multiples of 3), spread across the id range — the same
+    * deterministic-centroid contract as [[IvfCentroidIds]]. */
+  val CrossModalCentroidIds: Seq[Long] = (0 until 8).map(_ * 21L)
+
+  /** Cross-modal probes wider than the intra-modal default: a text
+    * query projected into the image space lands less cleanly in the
+    * image-trained cells than an image would (the assignment geometry
+    * belongs to the index's modality), so the cell restriction costs
+    * more recall per probe and buys it back cheaply — 3 of 8 cells
+    * still scans <40% of the index. */
+  val CrossModalNProbe = 3
+
+  /** CROSS-MODAL retrieval, the SCALE path ([[graft.similarity.Ivf
+    * .fixedTopK]] with self-exclusion off): the same projected text
+    * queries over the same image index as [[crossmodalTopK]], but
+    * through IVF cells — the image index is scanned only in the
+    * query's nProbe nearest cells, the 100-TB route the exact baseline
+    * documents. CrossmodalRecallSpec pins recall@k against the exact
+    * face; the two queries share [[imageFeatureFrame]] and
+    * [[textProjection]] verbatim, so baseline and scale path search the
+    * identical space. */
+  def crossmodalIvf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val index = imageFeatureFrame(
+        graft.multimodal.Multimodal.mediaFromDocuments(s, d))
+      .select(col("doc_id").as("vec_id"), col("ih").as("embedding"))
+    val queries = textProjection(embeddings(s, d))
+      .filter(col("doc_id") < CrossModalQueries)
+      .select(col("doc_id").as("vec_id"), col("tf").as("embedding"))
+    graft.similarity.Ivf
+      .fixedTopK(index, queries, CrossModalCentroidIds, CrossModalNProbe,
+        CrossModalK, excludeSelf = false)
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  def crossmodalIvfOracle: String = {
+    val ids = CrossModalCentroidIds.mkString(", ")
+    s"""WITH $featureCtesSql,
+       |c0 AS (SELECT doc_id AS vec_id, ih AS emb FROM ihist),
+       |q0 AS (SELECT doc_id AS vec_id, tf AS emb FROM tproj
+       |       WHERE doc_id < $CrossModalQueries),
+       |cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, emb AS cemb
+       |  FROM c0 WHERE vec_id IN ($ids)),
+       |asg AS (
+       |  SELECT vec_id, emb, cell, sqrt(list_dot_product(emb, emb)) AS nrm FROM (
+       |    SELECT a.vec_id, a.emb, c.cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_dot_product(a.emb, a.emb) - 2 * list_dot_product(a.emb, c.cemb) + list_dot_product(c.cemb, c.cemb) ASC,
+       |        c.cell ASC) AS rn
+       |    FROM c0 a CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_vec_id, q_emb, cell, sqrt(list_dot_product(q_emb, q_emb)) AS q_nrm FROM (
+       |    SELECT a.vec_id AS q_vec_id, a.emb AS q_emb, c.cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_dot_product(a.emb, a.emb) - 2 * list_dot_product(a.emb, c.cemb) + list_dot_product(c.cemb, c.cemb) ASC,
+       |        c.cell ASC) AS rn
+       |    FROM q0 a CROSS JOIN cent c) WHERE rn <= $CrossModalNProbe),
+       |scored AS (
+       |  SELECT p.q_vec_id, s.vec_id,
+       |    round(list_dot_product(s.emb, p.q_emb) / (s.nrm * p.q_nrm), 6) AS score
+       |  FROM asg s JOIN probes p ON s.cell = p.cell)
+       |SELECT q_vec_id, CAST(rnk AS BIGINT) AS rnk, vec_id, score FROM (
+       |  SELECT q_vec_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $CrossModalK
+       |ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
   def qualityOracle: String =
     """WITH m AS (
       |  SELECT doc_id,

@@ -84,7 +84,12 @@ object Ivf {
       queries: DataFrame,
       centroidIds: Seq[Long],
       nProbe: Int,
-      k: Int
+      k: Int,
+      // False for cross-space retrieval (text queries over an image
+      // index): the id spaces are different modalities, so a numeric
+      // id collision is not a self-match and the query's own paired
+      // item is a legitimate hit.
+      excludeSelf: Boolean = true
   ): DataFrame = {
     Similarity.ensureFunctions(corpus)
     val dot = Similarity.dotSql _
@@ -127,12 +132,13 @@ object Ivf {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
       "q_vec_id", "q_emb", nProbe)
       .withColumn("q_nrm", expr(s"sqrt(${dot("q_emb", "q_emb")})"))
-    val scored = asg
-      .join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_vec_id"))
-      .withColumn(
-        "score",
-        round(expr(Similarity.dotSql("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    val joined = asg.join(broadcast(probes), Seq("cell"))
+    val scored =
+      (if (excludeSelf) joined.filter(col("vec_id") =!= col("q_vec_id"))
+       else joined)
+        .withColumn(
+          "score",
+          round(expr(Similarity.dotSql("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
     Similarity.rankTopK(scored, k)
   }
 
