@@ -140,6 +140,39 @@ object ScaleStress {
           col("fp").as("simhash"))
       noop(Dedup.hammingPairs(hashes, 56, 6, 7))
     }
+    // Round-11: CROSS-MODAL retrieval over a GROWING image index with a
+    // FIXED query set (the production shape: the index is the corpus,
+    // the queries are a bounded text batch). Both faces pay the same
+    // per-blob feature extraction (linear map work, the blob never
+    // shuffles); the exact face then scores |index|×|Q| pairs while the
+    // IVF face scores only the probed nProbe/nCells fraction of the
+    // index — at 100 TB the cell restriction is the difference between
+    // a full-corpus scan per query batch and a bounded one.
+    locally {
+      val pq = graft.queries.PipelineQueries
+      val mm = graft.multimodal.Multimodal
+      graft.functions.DotProduct.register(spark)
+      def index = pq
+        .imageFeatureFrame(mm.mediaFromDocs(corpus.select(
+          col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))))
+        .select(col("doc_id").as("vec_id"), col("ih").as("emb"))
+      // The FULL 500-row embeddings table as the query batch (the
+      // oracle-checked query caps at 30 for fixture determinism; the
+      // amortization claim below needs a production-sized batch).
+      def queries = pq
+        .textProjection(Tables.embeddings(spark, "/root/testdata/sf0.1"))
+        .select(col("doc_id").as("vec_id"), col("tf").as("emb"))
+      time("crossmodal exact topk e2e")(
+        noop(graft.similarity.Similarity
+          .crossTopK(index, queries, pq.CrossModalK)))
+      time("crossmodal ivf topk e2e")(
+        noop(graft.similarity.Ivf.fixedTopK(
+          index.withColumnRenamed("emb", "embedding"),
+          queries.withColumnRenamed("emb", "embedding"),
+          pq.CrossModalCentroidIds, pq.CrossModalNProbe, pq.CrossModalK,
+          excludeSelf = false)))
+    }
     // Round-4: df-capped blocked n-gram Jaccard — the cap bounds each
     // (block, shingle) posting self-join at df², so this must stay
     // near-linear in replicas even though every replica is a near-dup.
