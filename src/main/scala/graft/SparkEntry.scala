@@ -107,6 +107,7 @@ object SparkEntry {
     "q_stream_runs" -> (StreamingQueries.streamRuns _),
     "q_lang_centroid" -> (PipelineQueries.langCentroid _),
     "q_ivf_topk" -> (PipelineQueries.ivfTopK _),
+    "q_ann_recall" -> (PipelineQueries.annRecall _),
     "q_ivf_trained_topk" -> (PipelineQueries.ivfTrainedTopK _),
     "q_kmeans_train" -> (PipelineQueries.kmeansTrain _),
     "q_dup_spans" -> (PipelineQueries.dupSpans _),
@@ -513,6 +514,7 @@ object SparkEntry {
     "q_stream_join" -> StreamingQueries.streamJoinOracle,
     "q_lang_centroid" -> PipelineQueries.langCentroidOracle,
     "q_ivf_topk" -> PipelineQueries.ivfTopKOracle,
+    "q_ann_recall" -> PipelineQueries.annRecallOracle,
     "q_ivf_trained_topk" -> PipelineQueries.ivfTrainedTopKOracle,
     "q_kmeans_train" -> PipelineQueries.kmeansTrainOracle,
     "q_dup_spans" -> PipelineQueries.dupSpansOracle,

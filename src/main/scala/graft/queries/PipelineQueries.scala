@@ -368,6 +368,86 @@ object PipelineQueries {
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
 
+  /** ANN INDEX-HEALTH monitor: measured recall@K of the deployed IVF
+    * configuration against the exact scan, on a SAMPLED query set — the
+    * retrain trigger that complements the geometric drift monitor
+    * (q_cell_drift): drift says the centroids moved; recall says whether
+    * retrieval quality actually degraded. One row per sampled query:
+    * how many of its exact top-K the IVF path returned, and the
+    * exact-integer recall in micros (n_hit·10⁶/K — integer arithmetic
+    * so both engines agree bit-for-bit). Scale shape: the expensive
+    * exact ground truth runs over |Q| SAMPLED queries only (the
+    * monitor's cost knob — a small constant, not the corpus), one
+    * broadcast-NLJ corpus scan shared by all of them; the IVF side is
+    * the deployed index's own query path. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+    val exact = graft.similarity.Similarity
+      .cosineTopK(emb, queries, TopK)
+      .select(col("q_vec_id"), col("vec_id"))
+    val approx = graft.similarity.Ivf
+      .fixedTopK(emb, queries, IvfCentroidIds, IvfNProbe, TopK)
+      .select(col("q_vec_id"), col("vec_id"), lit(1).as("hit"))
+    exact
+      .join(approx, Seq("q_vec_id", "vec_id"), "left")
+      .groupBy("q_vec_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .withColumn(
+        "recall_micros",
+        expr(s"CAST(n_hit * 1000000 DIV $TopK AS BIGINT)"))
+      .orderBy("q_vec_id")
+  }
+
+  def annRecallOracle: String = {
+    val ids = IvfCentroidIds.mkString(", ")
+    s"""WITH c AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT *, sqrt(list_dot_product(emb, emb)) AS nrm FROM c),
+       |q AS (SELECT vec_id AS q_vec_id, emb AS q_emb, nrm AS q_nrm
+       |      FROM n WHERE vec_id < $NumQueries),
+       |ex AS (
+       |  SELECT q_vec_id, vec_id FROM (
+       |    SELECT q.q_vec_id, n.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_vec_id ORDER BY
+       |        round(list_dot_product(n.emb, q.q_emb) / (n.nrm * q.q_nrm), 6) DESC,
+       |        n.vec_id ASC) AS rnk
+       |    FROM n JOIN q ON n.vec_id <> q.q_vec_id)
+       |  WHERE rnk <= $TopK),
+       |cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, emb AS cemb
+       |  FROM c WHERE vec_id IN ($ids)),
+       |asg AS (
+       |  SELECT vec_id, emb, cell, sqrt(list_dot_product(emb, emb)) AS nrm FROM (
+       |    SELECT a.emb, a.vec_id, ct.cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_dot_product(a.emb, a.emb) - 2 * list_dot_product(a.emb, ct.cemb) + list_dot_product(ct.cemb, ct.cemb) ASC,
+       |        ct.cell ASC) AS rn
+       |    FROM c a CROSS JOIN cent ct) WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_vec_id, q_emb, cell, sqrt(list_dot_product(q_emb, q_emb)) AS q_nrm FROM (
+       |    SELECT a.vec_id AS q_vec_id, a.emb AS q_emb, ct.cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_dot_product(a.emb, a.emb) - 2 * list_dot_product(a.emb, ct.cemb) + list_dot_product(ct.cemb, ct.cemb) ASC,
+       |        ct.cell ASC) AS rn
+       |    FROM c a CROSS JOIN cent ct WHERE a.vec_id < $NumQueries) WHERE rn <= $IvfNProbe),
+       |iv AS (
+       |  SELECT q_vec_id, vec_id FROM (
+       |    SELECT s.vec_id, p.q_vec_id,
+       |      row_number() OVER (PARTITION BY p.q_vec_id ORDER BY
+       |        round(list_dot_product(s.emb, p.q_emb) / (s.nrm * p.q_nrm), 6) DESC,
+       |        s.vec_id ASC) AS rnk
+       |    FROM asg s JOIN probes p ON s.cell = p.cell AND s.vec_id <> p.q_vec_id)
+       |  WHERE rnk <= $TopK)
+       |SELECT ex.q_vec_id AS q_vec_id,
+       |  CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // $TopK AS BIGINT) AS recall_micros
+       |FROM ex LEFT JOIN iv ON ex.q_vec_id = iv.q_vec_id AND ex.vec_id = iv.vec_id
+       |GROUP BY ex.q_vec_id
+       |ORDER BY q_vec_id""".stripMargin
+  }
+
   val SpanW = 8
   val SpanMinDocs = 2L
 

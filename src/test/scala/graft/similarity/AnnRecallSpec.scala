@@ -187,6 +187,30 @@ class AnnRecallSpec extends SparkSuite {
     assert(recall >= 0.25, f"decontam flag recall collapsed: $recall%.3f")
   }
 
+  test("q_ann_recall monitor agrees with this harness's independent intersection") {
+    // The monitor (one join + agg inside Spark) and this harness (two
+    // collected maps intersected in Scala) compute recall independently;
+    // on the monitor's own params they must agree query-for-query.
+    import graft.queries.PipelineQueries
+    val d = "/root/testdata/sf0.001"
+    val mk = PipelineQueries.TopK
+    val mq = PipelineQueries.NumQueries
+    val mQueries = emb.filter(col("vec_id") < mq)
+    val ex = retrieved(Similarity.cosineTopK(emb, mQueries, mk))
+    val iv = retrieved(Ivf.fixedTopK(
+      emb, mQueries, PipelineQueries.IvfCentroidIds,
+      PipelineQueries.IvfNProbe, mk))
+    val expected = ex.map { case (q, s) =>
+      q -> s.count(iv.getOrElse(q, Set.empty)).toLong
+    }
+    val monitor = PipelineQueries.annRecall(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(monitor.keySet == ex.keySet, "monitor must report every sampled query")
+    assert(monitor == expected)
+    val mean = monitor.values.sum.toDouble / (monitor.size * mk)
+    info(f"monitor mean recall@$mk = $mean%.3f")
+  }
+
   test("PQ with all-vector queries ranks every anchor (shape sanity)") {
     // Small m·K codebook on 500 vectors: every query must still get
     // exactly K ranked rows 1..K (ADC never loses candidates — every
