@@ -148,6 +148,7 @@ object SparkEntry {
     "q_filter_attribution" -> (PipelineQueries.filterAttribution _),
     "q_contrastive_triplets" -> (PipelineQueries.contrastiveTriplets _),
     "q_incremental_pq" -> (PipelineQueries.ivfPqIncremental _),
+    "q_index_commit" -> (PipelineQueries.indexCommit _),
     "q_repetition_filters" -> (PipelineQueries.repetitionFiltersQ _),
     "q_stream_dedup_corpus" -> (StreamingQueries.streamDedupCorpus _),
     "q_stream_quality" -> (StreamingQueries.streamQuality _),
@@ -551,6 +552,7 @@ object SparkEntry {
     "q_filter_attribution" -> PipelineQueries.filterAttributionOracle,
     "q_contrastive_triplets" -> PipelineQueries.contrastiveTripletsOracle,
     "q_incremental_pq" -> PipelineQueries.ivfPqIncrementalOracle,
+    "q_index_commit" -> PipelineQueries.indexCommitOracle,
     "q_repetition_filters" -> PipelineQueries.repetitionFiltersOracle,
     "q_stream_dedup_corpus" -> StreamingQueries.streamDedupCorpusOracle,
     "q_stream_quality" -> StreamingQueries.streamQualityOracle,

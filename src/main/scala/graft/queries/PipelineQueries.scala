@@ -2803,7 +2803,12 @@ object PipelineQueries {
     * ranking. */
   private def pqOracleSql(
       corpusWhere: String, batchWhere: Option[String],
-      probeNProbe: Option[Int] = None): String = {
+      probeNProbe: Option[Int] = None,
+      // Replaces the default ADC top-k tail with a caller-supplied final
+      // statement over the training/encode CTEs (`encoded` is defined
+      // before it runs) — the commit face reads the postings themselves,
+      // not a search over them.
+      finalSelect: Option[String] = None): String = {
     val ids = IvfCentroidIds.mkString(", ")
     val subDim = EmbDims / PqM
     val dist =
@@ -2880,6 +2885,12 @@ object PipelineQueries {
         (0 until PqM).map(s => s"SELECT $s AS sub, vec_id, code FROM p${s}b")
       else Nil))
       .mkString(" UNION ALL ")
+    finalSelect.foreach { fs =>
+      sb.append(s""",
+         |encoded AS ($encUnion)
+         |$fs""".stripMargin)
+      return sb.toString
+    }
     val cbUnion = (0 until PqM)
       .map(s => s"SELECT $s AS sub, code, ce FROM p${s}c$PqIters")
       .mkString(" UNION ALL ")
@@ -3149,6 +3160,37 @@ object PipelineQueries {
   def ivfPqIncrementalOracle: String = pqOracleSql(
     s" WHERE vec_id % $SemIncMod <> $SemIncResidue",
     Some(s" WHERE vec_id % $SemIncMod = $SemIncResidue"))
+
+  /** COMMIT face of the ANN index
+    * ([[graft.similarity.Ivf.commitPqCodes]]): the vec_id % 9 == 8
+    * batch (same residue split as the incremental search — all codebook
+    * seeds stay corpus-side) encodes against the FROZEN deploy-time
+    * codebooks ([[graft.similarity.Ivf.pqArtifacts]]) and folds into
+    * the stored code postings as a bare union under an id-disjointness
+    * guard. The output IS the committed posting table — the artifact
+    * every ADC search scans — so the oracle recomputes training, both
+    * encodes and the fold end-to-end. Completes the ANN matrix row:
+    * build (q_ivf_pq), incremental search (q_incremental_pq), committed
+    * artifact (this), measured retrain trigger (q_ann_recall) and
+    * geometric trigger (q_cell_drift). */
+  def indexCommit(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val (cb, codes) = graft.similarity.Ivf.pqArtifacts(
+      emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue),
+      IvfCentroidIds, EmbDims, PqM, PqIters)
+    graft.similarity.Ivf
+      .commitPqCodes(
+        codes, cb,
+        emb.filter(col("vec_id") % SemIncMod === SemIncResidue),
+        EmbDims, PqM)
+      .orderBy("vec_id", "sub")
+  }
+
+  def indexCommitOracle: String = pqOracleSql(
+    s" WHERE vec_id % $SemIncMod <> $SemIncResidue",
+    Some(s" WHERE vec_id % $SemIncMod = $SemIncResidue"),
+    finalSelect =
+      Some("SELECT vec_id, sub, code FROM encoded ORDER BY vec_id, sub"))
 
   val HardNegNProbe = 2
 

@@ -712,6 +712,77 @@ object Ivf {
   ): DataFrame =
     pqPlan(corpus, Some(batch), queries, centroidIds, dims, m, iters, k)
 
+  /** Deploy-time PQ index artifacts: the FROZEN encode codebooks (the
+    * quantizer the final training assignment ranked against — what any
+    * frozen-codebook encode must reuse) and the corpus code postings
+    * `(vec_id, sub, code)`. These are the two stored tables a 100-TB
+    * ADC deployment serves from; [[commitPqCodes]] folds arrivals into
+    * the postings under the frozen codebooks. */
+  def pqArtifacts(
+      corpus: DataFrame,
+      centroidIds: Seq[Long],
+      dims: Int,
+      m: Int,
+      iters: Int
+  ): (DataFrame, DataFrame) = {
+    val (_, centPrev, codes) = pqTrain(corpus, centroidIds, dims, m, iters)
+    (centPrev, codes)
+  }
+
+  /** Frozen-codebook encode: a |vectors|×K broadcast assignment per
+    * subspace — per-vector map work, no training, no corpus scan.
+    * Extracted from [[pqPlan]]'s batch branch so the incremental search
+    * and the commit face share one encode. */
+  private[graft] def encodePq(
+      vectors: DataFrame,
+      codebooks: DataFrame,
+      dims: Int,
+      m: Int
+  ): DataFrame = {
+    val subDim = dims / m
+    val subStructs = (0 until m)
+      .map(s =>
+        s"struct(CAST($s AS INT) AS sub, slice(qe, ${s * subDim + 1}, $subDim) AS qe)")
+      .mkString(", ")
+    val qb = vectors.select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("qe"))
+      .select(col("vec_id"), expr(s"explode(array($subStructs))").as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.qe").as("qe"))
+    qb.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("dist", expr(IntDistSql))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("code"))).as("mn"))
+      .select(col("vec_id"), col("sub"), col("mn.code").as("code"))
+  }
+
+  /** COMMIT face of the PQ index: arrivals encode against the FROZEN
+    * codebooks (per-vector map work) and fold into the stored postings
+    * as a bare union — EXACT, because ids are disjoint (a loud
+    * `require`, batch-sized semi-join) and frozen-codebook encoding is
+    * per-vector deterministic, so committed == rebuilt-from-scratch on
+    * corpus ∪ accepted by construction and the fold is
+    * batching-invariant (IndexCommitSpec pins both). RETRAINING the
+    * codebooks is the separate, deliberate decision; [[cellDrift]] and
+    * the q_ann_recall monitor are its triggers. */
+  def commitPqCodes(
+      corpusCodes: DataFrame,
+      codebooks: DataFrame,
+      arrivals: DataFrame,
+      dims: Int,
+      m: Int
+  ): DataFrame = {
+    val clashes = arrivals.select("vec_id").distinct()
+      .join(corpusCodes.select("vec_id"), Seq("vec_id"), "left_semi")
+      .count()
+    require(clashes == 0L,
+      s"commitPqCodes: $clashes arrival vec_id(s) already exist in the " +
+        "stored postings — ids must be disjoint (re-key the batch " +
+        "before committing)")
+    corpusCodes.unionByName(encodePq(arrivals, codebooks, dims, m))
+  }
+
   /** PQ training + corpus encoding, shared by [[pqPlan]] and
     * [[ivfPqProbeTopK]]. Returns (final codebooks `(sub, code, ce)`,
     * pre-final-iteration codebooks — the quantizer the final assignment
@@ -820,30 +891,14 @@ object Ivf {
       k: Int
   ): DataFrame = {
     val subDim = dims / m
-    val subStructs = (0 until m)
-      .map(s =>
-        s"struct(CAST($s AS INT) AS sub, slice(qe, ${s * subDim + 1}, $subDim) AS qe)")
-      .mkString(", ")
     val (cent, centPrev, encodedTrain) =
       pqTrain(corpus, centroidIds, dims, m, iters)
     val encoded = batch match {
       case None => encodedTrain
       case Some(b) =>
-        // Frozen-codebook batch encode: |batch|×K broadcast assignment
-        // per subspace against centPrev — the incremental slice of the
+        // Frozen-codebook batch encode — the incremental slice of the
         // PQ build cost; corpus codes are untouched.
-        val qb = b.select(
-            col("vec_id"),
-            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
-              .as("qe"))
-          .select(col("vec_id"), expr(s"explode(array($subStructs))").as("sv"))
-          .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.qe").as("qe"))
-        val encB = qb.join(broadcast(centPrev), Seq("sub"))
-          .withColumn("dist", expr(IntDistSql))
-          .groupBy("vec_id", "sub")
-          .agg(min(struct(col("dist"), col("code"))).as("mn"))
-          .select(col("vec_id"), col("sub"), col("mn.code").as("code"))
-        encodedTrain.union(encB)
+        encodedTrain.union(encodePq(b, centPrev, dims, m))
     }
     val dtab = pqDistTable(queries, cent, subDim)
     val scored = encoded
