@@ -159,6 +159,7 @@ object SparkEntry {
     "q_stream_commit" -> (StreamingQueries.streamCommit _),
     "q_stream_phash" -> (StreamingQueries.streamPhash _),
     "q_stream_audio" -> (StreamingQueries.streamAudio _),
+    "q_stream_ann" -> (StreamingQueries.streamAnn _),
     "q_stream_attribution" -> (StreamingQueries.streamAttribution _),
     "q_stream_ngram" -> (StreamingQueries.streamNgram _),
     "q_stream_shard" -> (StreamingQueries.streamShard _),
@@ -563,6 +564,7 @@ object SparkEntry {
     "q_stream_commit" -> StreamingQueries.streamCommitOracle,
     "q_stream_phash" -> StreamingQueries.streamPhashOracle,
     "q_stream_audio" -> StreamingQueries.streamAudioOracle,
+    "q_stream_ann" -> StreamingQueries.streamAnnOracle,
     "q_stream_attribution" -> StreamingQueries.streamAttributionOracle,
     "q_stream_ngram" -> StreamingQueries.streamNgramOracle,
     "q_stream_shard" -> StreamingQueries.streamShardOracle,

@@ -968,6 +968,57 @@ object StreamingQueries {
 
   def streamAttributionOracle: String = PipelineQueries.ingestLedgerOracle
 
+  /** STREAMING ANN serving — the query-side face of the IVF index the
+    * commit face (q_index_commit) maintains: the deploy-time serving
+    * artifacts ([[graft.similarity.Ivf.fixedIndexArtifacts]] — the
+    * K-row centroid table and the corpus cell assignment) are
+    * checkpointed ONCE, and each arriving micro-batch of query vectors
+    * runs [[graft.similarity.Ivf.fixedSearch]]: probe its nProbe
+    * nearest cells row-parallel, score ONLY the probed inverted lists,
+    * rank top-k. Ranking is REQUEST-LOCAL — a query's top-k depends on
+    * its own row and the frozen index alone — so the fold across
+    * micro-batches is batching-invariant by construction, and the
+    * oracle IS the batch q_ivf_topk oracle (stream and batch serving
+    * share one result set). Per-arrival cost: |arrivals|×K probe map
+    * work + the probed nProbe/nCells fraction of the index — the index
+    * is never rescanned in full. */
+  def streamAnn(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{IvfCentroidIds, IvfNProbe, NumQueries, TopK}
+    val emb = Tables.embeddings(s, d)
+    val (cent0, asg0) =
+      graft.similarity.Ivf.fixedIndexArtifacts(emb, IvfCentroidIds)
+    val cent = cent0.localCheckpoint(true)
+    val asg = asg0.localCheckpoint(true)
+    def search(b: DataFrame): DataFrame = graft.similarity.Ivf
+      .fixedSearch(cent, asg, b, IvfNProbe, TopK)
+    val arrivals = StreamingOps
+      .readEmbeddings(s, embeddingsStreamDir(d))
+      .filter(col("vec_id") < NumQueries)
+      .select("vec_id", "embedding")
+    val acc =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = arrivals.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val r = search(b).localCheckpoint(true)
+          acc.updateAndGet(p => if (p == null) r else p.unionByName(r))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    Option(acc.get)
+      .getOrElse(search(emb.limit(0)))
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  /** The batch IVF search oracle IS the serving oracle. */
+  def streamAnnOracle: String = PipelineQueries.ivfTopKOracle
+
   def streamDedupCorpusOracle: String =
     s"""WITH b AS (
        |  SELECT doc_id, md5(substr(text, 1, 50)) AS fingerprint

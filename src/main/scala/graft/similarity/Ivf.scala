@@ -91,6 +91,20 @@ object Ivf {
       // item is a legitimate hit.
       excludeSelf: Boolean = true
   ): DataFrame = {
+    val (cent, asg) = fixedIndexArtifacts(corpus, centroidIds)
+    fixedSearch(cent, asg, queries, nProbe, k, excludeSelf)
+  }
+
+  /** Deploy-time IVF-Flat serving artifacts for a fixed-centroid index:
+    * the K-row (cell, cemb) centroid table and the (vec_id, emb, cell,
+    * nrm) corpus assignment — what a serving tier stores ONCE and every
+    * query batch probes ([[fixedSearch]] is the per-batch pass; the
+    * streaming serving face checkpoints these and runs the search per
+    * micro-batch). */
+  def fixedIndexArtifacts(
+      corpus: DataFrame,
+      centroidIds: Seq[Long]
+  ): (DataFrame, DataFrame) = {
     Similarity.ensureFunctions(corpus)
     val dot = Similarity.dotSql _
     val c0 = corpus.select(
@@ -111,22 +125,47 @@ object Ivf {
       .join(broadcast(cellDf), Seq("vec_id"))
       .select(col("cell"), col("emb").as("cemb"))
     requireCentroidsResolve(c0, centroidIds)
-    // L2 distance as |a|^2 - 2ab + |c|^2 from the shared fold-dot-product.
-    def nearestCells(src: DataFrame, idAs: String, embAs: String, keep: Int) =
-      src
-        .crossJoin(broadcast(cent))
-        .withColumn(
-          "dist",
-          expr(s"${dot("emb", "emb")} - 2 * ${dot("emb", "cemb")} + ${dot("cemb", "cemb")}"))
-        .withColumn(
-          "rn",
-          row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)))
-        .filter(col("rn") <= keep)
-        .select(col("vec_id").as(idAs), col("emb").as(embAs), col("cell"))
-    val asg = nearestCells(c0, "vec_id", "emb", 1)
+    val asg = nearestCellsIn(cent, c0, "vec_id", "emb", 1)
       .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
-    val probes = nearestCells(
+    (cent, asg)
+  }
+
+  // L2 distance as |a|^2 - 2ab + |c|^2 from the shared fold-dot-product.
+  private def nearestCellsIn(
+      cent: DataFrame, src: DataFrame,
+      idAs: String, embAs: String, keep: Int): DataFrame = {
+    val dot = Similarity.dotSql _
+    src
+      .crossJoin(broadcast(cent))
+      .withColumn(
+        "dist",
+        expr(s"${dot("emb", "emb")} - 2 * ${dot("emb", "cemb")} + ${dot("cemb", "cemb")}"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("rn") <= keep)
+      .select(col("vec_id").as(idAs), col("emb").as(embAs), col("cell"))
+  }
+
+  /** The query-side pass over prebuilt [[fixedIndexArtifacts]]: probe
+    * each query's nProbe nearest cells, score only the probed inverted
+    * lists, rank top-k. Per-batch work is |Q|×K probing + the probed
+    * fraction of the index — independent of how (or when) the index was
+    * built, which is what makes it the streaming serving face's
+    * per-micro-batch body. */
+  def fixedSearch(
+      cent: DataFrame,
+      asg: DataFrame,
+      queries: DataFrame,
+      nProbe: Int,
+      k: Int,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    Similarity.ensureFunctions(queries)
+    val dot = Similarity.dotSql _
+    val probes = nearestCellsIn(
+      cent,
       queries.select(
         col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),

@@ -1254,6 +1254,19 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming ANN serving equals the batch IVF search row-for-row") {
+    // Arriving query vectors search the frozen checkpointed index
+    // artifacts per micro-batch; ranking is request-local, so the
+    // accumulated result set must be the batch fixedTopK output exactly.
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamAnn(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.PipelineQueries.ivfTopK(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty, "fixture must rank at least one arriving query")
+    assert(got == want)
+  }
+
   test("streaming media phash gate equals the batch incremental on the real fixture") {
     // Arriving blobs decode + dHash row-local; the banded stream-static
     // join must reproduce Dedup.hammingPairsIncremental's pair set
