@@ -587,6 +587,27 @@ object ScaleStress {
         (0 until 8).map(_ * 37L), (0 until 8).map(_ * 37L),
         dims = 64, m = 4, iters = 2, nProbe = 2, k = 5))
     }
+    // Round-11: ANN SERVING per-delivery — the q_stream_ann cost model.
+    // The serving artifacts (centroid table + corpus cell assignment)
+    // build once at deploy time in their own timed stage; the
+    // per-delivery stage is ONLY the query pass a micro-batch pays —
+    // probe map work + the probed fraction of the index. With the K∝N
+    // seed discipline (replicaSeeds) cells stay bounded, so the probed
+    // fraction SHRINKS as the index grows and per-delivery cost must
+    // stay near-flat — the claim that makes streaming serving viable
+    // against a 100-TB index.
+    var annCent: DataFrame = null
+    var annAsg: DataFrame = null
+    time("ann serve: index build (K∝N)") {
+      val (cent, asg) = graft.similarity.Ivf.fixedIndexArtifacts(
+        replicatedEmb(withLabel = false), replicaSeeds)
+      annCent = cent.localCheckpoint(true)
+      annAsg = asg.localCheckpoint(true)
+    }
+    time("ann serve: per-delivery (500 queries)") {
+      noop(graft.similarity.Ivf.fixedSearch(
+        annCent, annAsg, embBase, nProbe = 2, k = 5))
+    }
     // Round-7: the memoized three-query family END-TO-END through one
     // shared CC build — the declared-surface shape (dupComponents memo →
     // clusters + keep-list + leakage split). The build is paid once
