@@ -161,6 +161,7 @@ object SparkEntry {
     "q_stream_audio" -> (StreamingQueries.streamAudio _),
     "q_stream_ann" -> (StreamingQueries.streamAnn _),
     "q_stream_attribution" -> (StreamingQueries.streamAttribution _),
+    "q_stream_video" -> (StreamingQueries.streamVideo _),
     "q_stream_ngram" -> (StreamingQueries.streamNgram _),
     "q_stream_shard" -> (StreamingQueries.streamShard _),
     "q_stream_cell_drift" -> (StreamingQueries.streamCellDrift _),
@@ -566,6 +567,7 @@ object SparkEntry {
     "q_stream_audio" -> StreamingQueries.streamAudioOracle,
     "q_stream_ann" -> StreamingQueries.streamAnnOracle,
     "q_stream_attribution" -> StreamingQueries.streamAttributionOracle,
+    "q_stream_video" -> StreamingQueries.streamVideoOracle,
     "q_stream_ngram" -> StreamingQueries.streamNgramOracle,
     "q_stream_shard" -> StreamingQueries.streamShardOracle,
     "q_stream_cell_drift" -> StreamingQueries.streamCellDriftOracle,

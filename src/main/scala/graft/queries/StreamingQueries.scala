@@ -893,6 +893,154 @@ object StreamingQueries {
   /** The batch incremental audio-phash oracle IS the streaming oracle. */
   def streamAudioOracle: String = PipelineQueries.audioPhashIncOracle
 
+  /** STREAMING video-level near-dup gate — the CLIP verdict at ingest:
+    * arriving video blobs decode + per-frame dHash ROW-LOCAL
+    * ([[graft.multimodal.Multimodal.gifFrameHashes]] is per-blob map
+    * work — the blob never shuffles, only (frame id, 8-byte hash)
+    * rows), banded frame candidates come from the SAME
+    * [[StreamingOps.hammingGateStream]] engine as the text/image/audio
+    * gates against the FROZEN corpus frame band table, and the frame
+    * pairs roll up PER MICRO-BATCH to one verdict per (arriving clip,
+    * corpus clip) with the batch rollup's matched-fraction floor and
+    * offset-consistency signal ([[PipelineQueries.videoNeardup]]'s
+    * arithmetic) — so a re-encoded upload is flagged ONCE at ingest,
+    * not once per frame. The rollup is ARRIVAL-LOCAL (all of a clip's
+    * frames travel in its one arriving row, so its pairs complete
+    * within its micro-batch), which is what makes the per-batch
+    * aggregation exact and the fold batching-invariant. */
+  def streamVideo(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{
+      PhashTwinOffset, PhashMaxHamming, PhashBlocks, VideoNeardupFrac}
+    val mm = graft.multimodal.Multimodal
+    import s.implicits._
+    def frameIds(items: org.apache.spark.sql.Dataset[mm.MediaItem]) =
+      PipelineQueries.guardedFrameIds(mm.gifFrameHashes(items).toDF())
+    val docs = documents(s, d).select("doc_id", "text")
+    val corpusHashes = frameIds(mm.syntheticGifCorpus(docs, "doc_id", "text"))
+      .localCheckpoint(true)
+    val cBands = graft.dedup.Dedup
+      .simhashBanded(corpusHashes, 56, PhashBlocks)
+      .localCheckpoint(true)
+    val nfCorpus = corpusHashes
+      .select(expr("id div 10").as("video_b"))
+      .groupBy("video_b")
+      .agg(count(lit(1)).as("n_frames_b"))
+      .localCheckpoint(true)
+    val arrivals = StreamingOps
+      .readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % 3 === 0)
+    def verdicts(b: DataFrame): DataFrame = {
+      val aHashes = frameIds(
+        mm.syntheticGifCorpus(
+          b.select("doc_id", "text"), "doc_id", "text",
+          brightnessDelta = 4)
+          .map(m => m.copy(mediaId = m.mediaId + PhashTwinOffset)))
+        .localCheckpoint(true)
+      val pairs = StreamingOps.hammingGateStream(
+        aHashes, cBands, 56, PhashMaxHamming, PhashBlocks)
+      val nfA = aHashes
+        .select(expr("id div 10").as("video_a"))
+        .groupBy("video_a")
+        .agg(count(lit(1)).as("n_frames_a"))
+      pairs
+        .select(
+          expr("id_a div 10").as("video_a"), expr("id_a % 10").as("fa"),
+          expr("id_b div 10").as("video_b"), expr("id_b % 10").as("fb"))
+        .filter(col("video_a") =!= col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("fa") === col("fb"), 1L).otherwise(0L))
+            .as("n_aligned"),
+          countDistinct("fa").as("n_matched_a"))
+        .join(nfA, Seq("video_a"))
+        .join(nfCorpus, Seq("video_b"))
+        .withColumn("frac_a",
+          floor(col("n_matched_a") / col("n_frames_a") * 1000000L)
+            / 1000000L)
+        .filter(col("frac_a") >= VideoNeardupFrac)
+        .select("video_a", "video_b", "n_frames_a", "n_frames_b",
+          "n_pairs", "n_aligned", "n_matched_a", "frac_a")
+    }
+    val acc =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = arrivals.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val r = verdicts(b).localCheckpoint(true)
+          acc.updateAndGet(p => if (p == null) r else p.unionByName(r))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    Option(acc.get)
+      .getOrElse(verdicts(docs.limit(0)))
+      .orderBy("video_a", "video_b")
+  }
+
+  /** The incremental frame-pair CTEs ([[PipelineQueries
+    * .framePhashIncOracle]]'s chain) composed with the clip rollup. */
+  def streamVideoOracle: String = {
+    import PipelineQueries.{PhashTwinOffset, PhashMaxHamming,
+      VideoNeardupFrac}
+    def off = "(((idx // 8) * h) // 8) * w + (((idx % 8) * w) // 8)"
+    s"""WITH fr AS (
+       |  SELECT doc_id, text, 6 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+       |    unnest(range(0, 2 + doc_id % 4)) AS fi
+       |  FROM documents),
+       |chain AS (
+       |  SELECT doc_id, fi, w, h,
+       |    [CAST('0x' || substr(md5(text || ':' || CAST(fi AS VARCHAR) || ':' || CAST(j // 16 AS VARCHAR)), 1 + 2 * (j % 16), 2) AS BIGINT)
+       |      for j in range(0, w * h)] AS b
+       |  FROM fr),
+       |imgs AS (
+       |  SELECT doc_id * 10 + fi AS id, w, h, b, 0 AS is_batch FROM chain
+       |  UNION ALL
+       |  SELECT (doc_id + $PhashTwinOffset) * 10 + fi AS id, w, h,
+       |    list_transform(b, v -> least(v + 4, 255)) AS b, 1 AS is_batch
+       |  FROM chain WHERE doc_id % 3 = 0),
+       |g AS (
+       |  SELECT id, is_batch,
+       |    [1000 * b[$off + 1] for idx in range(0, 64)] AS gv
+       |  FROM imgs),
+       |ph AS (
+       |  SELECT id, is_batch, list_sum(
+       |    [CASE WHEN gv[(idx // 7) * 8 + (idx % 7) + 1] > gv[(idx // 7) * 8 + (idx % 7) + 2]
+       |       THEN (CAST(1 AS BIGINT) << idx) ELSE CAST(0 AS BIGINT) END
+       |     for idx in range(0, 56)]) AS phash
+       |  FROM g),
+       |fpairs AS (
+       |  SELECT a.id // 10 AS video_a, a.id % 10 AS fa,
+       |         b.id // 10 AS video_b, b.id % 10 AS fb
+       |  FROM ph a JOIN ph b ON a.is_batch = 1 AND b.is_batch = 0
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming
+       |    AND a.id // 10 <> b.id // 10),
+       |nfa AS (SELECT id // 10 AS v, count(*) AS n FROM ph WHERE is_batch = 1 GROUP BY 1),
+       |nfb AS (SELECT id // 10 AS v, count(*) AS n FROM ph WHERE is_batch = 0 GROUP BY 1),
+       |roll AS (
+       |  SELECT video_a, video_b, count(*) AS n_pairs,
+       |    sum(CASE WHEN fa = fb THEN 1 ELSE 0 END) AS n_aligned,
+       |    count(DISTINCT fa) AS n_matched_a
+       |  FROM fpairs GROUP BY 1, 2)
+       |SELECT r.video_a, r.video_b,
+       |  CAST(na.n AS BIGINT) AS n_frames_a,
+       |  CAST(nb.n AS BIGINT) AS n_frames_b,
+       |  CAST(r.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(r.n_aligned AS BIGINT) AS n_aligned,
+       |  CAST(r.n_matched_a AS BIGINT) AS n_matched_a,
+       |  floor(CAST(r.n_matched_a AS DOUBLE) / na.n * 1000000) / 1000000 AS frac_a
+       |FROM roll r
+       |JOIN nfa na ON r.video_a = na.v
+       |JOIN nfb nb ON r.video_b = nb.v
+       |WHERE floor(CAST(r.n_matched_a AS DOUBLE) / na.n * 1000000) / 1000000 >= $VideoNeardupFrac
+       |ORDER BY video_a, video_b""".stripMargin
+  }
+
   /** STREAMING FILTER ATTRIBUTION — the per-arrival ingest ledger
     * ([[StreamingOps.ingestLedger]] through the real runtime's
     * `foreachBatch`): every arriving document is scored against ALL

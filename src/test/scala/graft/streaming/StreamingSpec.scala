@@ -1267,6 +1267,30 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming video gate flags each planted re-encode exactly once, frame-aligned") {
+    // The clip-level verdict at ingest: every arriving brightness twin
+    // must produce ONE verdict, against its own source video, fully
+    // frame-aligned — and nothing else survives the matched-fraction
+    // floor (the batch rollup's surgical-verdict property, on the
+    // incremental split).
+    val d = "/root/testdata/sf0.001"
+    import graft.queries.PipelineQueries.PhashTwinOffset
+    val out = graft.queries.StreamingQueries.streamVideo(spark, d).collect()
+    assert(out.nonEmpty, "fixture must flag arriving re-encodes")
+    val expected = spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("doc_id") % 3 === 0)
+      .select("doc_id").collect().map(_.getLong(0) + PhashTwinOffset).toSet
+    val byA = out.groupBy(_.getLong(0))
+    assert(byA.keySet == expected, "every planted re-encode flagged")
+    assert(byA.values.forall(_.length == 1), "one verdict per clip pair")
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - PhashTwinOffset,
+        "verdict must point at the clip's own source video")
+      assert(r.getDouble(7) == 1.0, "re-encode must match fully")
+      assert(r.getLong(5) == r.getLong(4), "matches must be frame-aligned")
+    }
+  }
+
   test("streaming media phash gate equals the batch incremental on the real fixture") {
     // Arriving blobs decode + dHash row-local; the banded stream-static
     // join must reproduce Dedup.hammingPairsIncremental's pair set
