@@ -70,6 +70,7 @@ object SparkEntry {
     "q_incremental_minhash" -> (PipelineQueries.minhashIncrementalQ _),
     "q_corpus_commit" -> (PipelineQueries.corpusCommit _),
     "q_corpus_diff" -> (PipelineQueries.corpusDiffQ _),
+    "q_corpus_retract" -> (PipelineQueries.corpusRetract _),
     "q_corpus_card" -> (PipelineQueries.corpusCard _),
     "q_incremental_simhash" -> (PipelineQueries.simhashIncrementalQ _),
     "q_sim_topk" -> (PipelineQueries.simTopK _),
@@ -474,6 +475,7 @@ object SparkEntry {
     "q_incremental_minhash" -> PipelineQueries.minhashIncrementalOracle,
     "q_corpus_commit" -> PipelineQueries.corpusCommitOracle,
     "q_corpus_diff" -> PipelineQueries.corpusDiffOracle,
+    "q_corpus_retract" -> PipelineQueries.corpusRetractOracle,
     "q_corpus_card" -> PipelineQueries.corpusCardOracle,
     "q_incremental_simhash" -> PipelineQueries.simhashIncrementalOracle,
     "q_sim_topk" -> PipelineQueries.simTopKOracle,

@@ -1560,6 +1560,203 @@ object Dedup {
       shingleSets = corpusSets.unionByName(deltaSets))
   }
 
+  /** The seven gate-consumed artifact tables as a deployment stores
+    * them — the retraction input shape ([[retractArtifacts]]); build
+    * one from a corpus with [[gateArtifactsOf]], or take the committed
+    * side of a [[CommittedArtifacts]]. */
+  case class GateArtifacts(
+      fingerprints: DataFrame,
+      bandTable: DataFrame,
+      spanFps: DataFrame,
+      simhashBands: DataFrame,
+      ngramPostings: DataFrame,
+      ngramDf: DataFrame,
+      shingleSets: DataFrame)
+
+  /** The stored artifact bundle of a corpus — the same builders
+    * [[commitArtifacts]] uses for its corpus side, packaged for
+    * [[retractArtifacts]] and its specs. One checkpointed shingle pass
+    * feeds postings, df sidecar and shingle sets. */
+  def gateArtifactsOf(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      w: Int,
+      simhashBlocks: Int = 4,
+      ngramBlockCol: Column = lit(0L),
+      ngramN: Int = 3,
+      maxShingleDf: Int = DefaultShingleDfCap
+  ): GateArtifacts = {
+    val fpc = graft.text.TextFunctions.fingerprintCol _
+    val docs = corpus
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .localCheckpoint(true)
+    val rows = ngramShingleRows(docs, "id", "text", ngramBlockCol, ngramN)
+      .localCheckpoint(true)
+    val dfT = rows
+      .groupBy("blk", "shingle")
+      .agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    GateArtifacts(
+      fingerprints = docs
+        .select(fpc(col("text")).as("fingerprint"))
+        .filter(col("fingerprint").isNotNull)
+        .distinct(),
+      bandTable = bandTable(docs, "id", "text", numHashes, bands),
+      spanFps = spanFpSet(docs, "id", "text", w),
+      simhashBands = simhashBandTable(docs, "id", "text", simhashBlocks),
+      ngramPostings = rows
+        .join(
+          dfT.filter(col("df") <= maxShingleDf).select("blk", "shingle"),
+          Seq("blk", "shingle"))
+        .select("blk", "shingle", "id"),
+      ngramDf = dfT,
+      shingleSets = shingleSetsOfRows(rows))
+  }
+
+  /** Retraction output: the seven artifact tables after the delete,
+    * plus the cap-crossing shingles whose postings were repaired. */
+  case class RetractedArtifacts(
+      fingerprints: DataFrame,
+      bandTable: DataFrame,
+      spanFps: DataFrame,
+      simhashBands: DataFrame,
+      ngramPostings: DataFrame,
+      ngramDf: DataFrame,
+      shingleSets: DataFrame,
+      repairedShingles: DataFrame)
+
+  /** CORPUS RETRACTION — the INVERSE of [[commitArtifacts]]: remove a
+    * set of documents (takedown / right-to-be-forgotten) from every
+    * stored gate artifact, EXACTLY — RetractSpec pins each retracted
+    * table equal to the artifact rebuilt from scratch on
+    * corpus \ deleted, and retract ∘ commit == identity on the
+    * commit's own accepted batch.
+    *
+    * Per artifact:
+    *   - band table, simhash bands, shingle sets: id-keyed rows — a
+    *     plain anti-join is the exact retraction.
+    *   - fingerprint set / span fp set: CONTENT-keyed sets, so a
+    *     deleted doc's entry leaves only if NO remaining document still
+    *     produces it. The retention check restricts the remaining
+    *     corpus's (map-side) fp stream to the broadcast deleted-fp set
+    *     before any distinct — the scan is one pass over the remaining
+    *     texts' fp/window columns, never corpus × corpus.
+    *   - df sidecar: decrement by the deleted docs' shingle counts
+    *     (exact — df is additive), dropping rows that reach zero.
+    *   - df-capped postings: id-keyed removal PLUS the repair that
+    *     makes deletion exact: a shingle OVER the cap before the delete
+    *     stored no rows, so if the decremented df falls back UNDER the
+    *     cap its remaining postings must be reconstructed — one
+    *     re-shingle pass over the remaining corpus, semi-joined to the
+    *     (batch-sized) crossing set, and skipped entirely when no
+    *     shingle crosses. This repair is the exact inverse of the
+    *     commit fold's cap-crossing drop.
+    *
+    * Scale shape: everything is id-keyed anti-joins, broadcast-
+    * restricted map-side scans, or batch-sized joins; the only
+    * corpus-sized pass beyond the artifact scans themselves is the
+    * crosser repair, which emits only crossing-shingle rows and runs
+    * only when the crossing set is non-empty. */
+  def retractArtifacts(
+      stored: GateArtifacts,
+      corpus: DataFrame,
+      deleteIds: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int,
+      ngramBlockCol: Column = lit(0L),
+      ngramN: Int = 3,
+      maxShingleDf: Int = DefaultShingleDfCap
+  ): RetractedArtifacts = {
+    val fpc = graft.text.TextFunctions.fingerprintCol _
+    val docs = corpus
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .localCheckpoint(true)
+    val del = deleteIds.select(col("id")).distinct().localCheckpoint(true)
+    val deleted = docs.join(del, Seq("id"), "left_semi").localCheckpoint(true)
+    val remaining = docs.join(del, Seq("id"), "left_anti")
+    // Id-keyed artifacts: the anti-join IS the exact retraction.
+    val bandsAfter = stored.bandTable.join(del, Seq("id"), "left_anti")
+    val simAfter = stored.simhashBands.join(del, Seq("id"), "left_anti")
+    val setsAfter = stored.shingleSets.join(del, Seq("id"), "left_anti")
+    // Fingerprint set: retain any deleted fp a remaining doc still has.
+    val deletedFps = deleted
+      .select(fpc(col("text")).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val retainedFps = remaining
+      .select(fpc(col("text")).as("fingerprint"))
+      .join(broadcast(deletedFps), Seq("fingerprint"), "left_semi")
+      .distinct()
+    val droppedFps =
+      deletedFps.join(retainedFps, Seq("fingerprint"), "left_anti")
+    val fpsAfter = stored.fingerprints
+      .join(broadcast(droppedFps), Seq("fingerprint"), "left_anti")
+    // Span fp set: the same retention discipline over window fps.
+    val deletedSpanFps =
+      spanFpSet(deleted, "id", "text", w).localCheckpoint(true)
+    val retainedSpanFps = spanFpRows(remaining, "text", w)
+      .join(broadcast(deletedSpanFps), Seq("fp"), "left_semi")
+      .distinct()
+    val droppedSpanFps =
+      deletedSpanFps.join(retainedSpanFps, Seq("fp"), "left_anti")
+    val spanAfter = stored.spanFps
+      .join(broadcast(droppedSpanFps), Seq("fp"), "left_anti")
+    // Df sidecar: additive, so the decrement is exact.
+    val deletedRows =
+      ngramShingleRows(deleted, "id", "text", ngramBlockCol, ngramN)
+    val deletedDf = deletedRows
+      .groupBy("blk", "shingle")
+      .agg(count(lit(1)).as("ddf"))
+    val dfJoined = stored.ngramDf
+      .join(deletedDf, Seq("blk", "shingle"), "left")
+      .select(
+        col("blk"), col("shingle"),
+        col("df").as("df_before"),
+        (col("df") - coalesce(col("ddf"), lit(0L))).as("df_after"))
+      .localCheckpoint(true)
+    val dfAfter = dfJoined
+      .filter(col("df_after") > 0)
+      .select(col("blk"), col("shingle"), col("df_after").as("df"))
+    // Postings: id-keyed removal + the cap-crosser repair.
+    val crossers = dfJoined
+      .filter(
+        col("df_before") > maxShingleDf &&
+          col("df_after") <= maxShingleDf && col("df_after") > 0)
+      .select("blk", "shingle")
+      .localCheckpoint(true)
+    val kept = stored.ngramPostings
+      .join(del, Seq("id"), "left_anti")
+      .select("blk", "shingle", "id")
+    val postingsAfter =
+      if (crossers.isEmpty) kept
+      else
+        kept.unionByName(
+          ngramShingleRows(remaining, "id", "text", ngramBlockCol, ngramN)
+            .join(broadcast(crossers), Seq("blk", "shingle"), "left_semi")
+            .select("blk", "shingle", "id"))
+    RetractedArtifacts(
+      fingerprints = fpsAfter,
+      bandTable = bandsAfter,
+      spanFps = spanAfter,
+      simhashBands = simAfter,
+      ngramPostings = postingsAfter,
+      ngramDf = dfAfter,
+      shingleSets = setsAfter,
+      repairedShingles = crossers)
+  }
+
+  /** Row-level (non-distinct) window fps — [[spanFpSet]] before its
+    * distinct, for broadcast-restricted retention scans. */
+  private def spanFpRows(df: DataFrame, textCol: String, w: Int): DataFrame =
+    df.select(words(col(textCol)).as("wd"))
+      .select(explode(posShingles(col("wd"), w)).as("ps"))
+      .select(hash60(col("ps.s")).as("fp"))
+
   /** CORPUS VERSION DIFF — the dataset-release audit: given two corpus
     * versions keyed by document id, classify every id as `added`
     * (only in v2), `removed` (only in v1), `changed` (both, different

@@ -1686,6 +1686,113 @@ object PipelineQueries {
        |FROM k1 FULL OUTER JOIN k2 ON k1.id = k2.id
        |ORDER BY id""".stripMargin
 
+  /** Delete-slice and df cap of the retraction query: doc_id % 7 == 3
+    * retracts (~14% of the corpus), and the posting cap runs at the
+    * shingle-gate family's [[NgramDfCap]]-like small value so the
+    * cap-crossing repair path is live at realistic dfs. */
+  val RetractMod = 7
+  val RetractResidue = 3
+  val RetractDfCap = 8
+
+  /** CORPUS RETRACTION readout
+    * ([[graft.dedup.Dedup.retractArtifacts]] — the takedown /
+    * right-to-be-forgotten inverse of the commit): retract the
+    * doc_id % 7 == 3 slice from all seven stored gate artifacts and
+    * report per-artifact (rows before, rows after). RetractSpec pins
+    * the row-level laws (each retracted table == rebuilt from scratch
+    * on corpus \ deleted; retract ∘ commit == identity; the
+    * cap-crossing posting repair); the oracle pins both counts by
+    * recomputing every artifact from `documents` and from
+    * `documents` minus the slice. */
+  def corpusRetract(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    val del = docs
+      .filter(col("doc_id") % RetractMod === RetractResidue)
+      .select(col("doc_id").as("id"))
+    val stored = graft.dedup.Dedup.gateArtifactsOf(
+      docs, "doc_id", "text", MinhashHashes, MinhashBands, SpanW,
+      SimhashBlocks, maxShingleDf = RetractDfCap)
+    val r = graft.dedup.Dedup.retractArtifacts(
+      stored, docs, del, "doc_id", "text", SpanW,
+      maxShingleDf = RetractDfCap)
+    def row(name: String, before: DataFrame, after: DataFrame) =
+      before
+        .agg(count(lit(1)).as("n_before"))
+        .crossJoin(after.agg(count(lit(1)).as("n_after")))
+        .select(lit(name).as("artifact"), col("n_before"), col("n_after"))
+    // 1-row × 1-row count composes — the commit readout's pattern.
+    row("fingerprint", stored.fingerprints, r.fingerprints)
+      .unionByName(row("minhash_band", stored.bandTable, r.bandTable))
+      .unionByName(row("ngram_df", stored.ngramDf, r.ngramDf))
+      .unionByName(row("ngram_posting", stored.ngramPostings, r.ngramPostings))
+      .unionByName(row("shingle_set", stored.shingleSets, r.shingleSets))
+      .unionByName(row("simhash_band", stored.simhashBands, r.simhashBands))
+      .unionByName(row("span_fp", stored.spanFps, r.spanFps))
+      .orderBy("artifact")
+  }
+
+  def corpusRetractOracle: String = {
+    val M = RetractMod
+    val R = RetractResidue
+    val W = SpanW
+    s"""WITH rem AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % $M <> $R),
+       |fpb AS (
+       |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+       |  FROM documents),
+       |fpa AS (
+       |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+       |  FROM rem),
+       |shb AS (
+       |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS shingle FROM (
+       |    SELECT doc_id, unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]) AS s
+       |    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents))),
+       |sha AS (
+       |  SELECT doc_id, shingle FROM shb WHERE doc_id % $M <> $R),
+       |dfb AS (SELECT shingle, count(*) AS df FROM shb GROUP BY 1),
+       |dfa AS (SELECT shingle, count(*) AS df FROM sha GROUP BY 1),
+       |spb AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5(array_to_string(w[i : i + $W - 1], '_')), 1, 15) AS BIGINT) AS fp
+       |  FROM (SELECT w, unnest(range(1, greatest(len(w) - $W + 2, 1))) AS i
+       |        FROM (SELECT string_split_regex(lower(text), '\\s+') AS w FROM documents))),
+       |spa AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5(array_to_string(w[i : i + $W - 1], '_')), 1, 15) AS BIGINT) AS fp
+       |  FROM (SELECT w, unnest(range(1, greatest(len(w) - $W + 2, 1))) AS i
+       |        FROM (SELECT string_split_regex(lower(text), '\\s+') AS w FROM rem))),
+       |simb AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) > 0),
+       |sima AS (SELECT doc_id FROM simb WHERE doc_id % $M <> $R)
+       |SELECT 'fingerprint' AS artifact,
+       |  CAST((SELECT count(*) FROM fpb) AS BIGINT) AS n_before,
+       |  CAST((SELECT count(*) FROM fpa) AS BIGINT) AS n_after
+       |UNION ALL
+       |SELECT 'minhash_band',
+       |  CAST((SELECT count(DISTINCT doc_id) * $MinhashBands FROM shb) AS BIGINT),
+       |  CAST((SELECT count(DISTINCT doc_id) * $MinhashBands FROM sha) AS BIGINT)
+       |UNION ALL
+       |SELECT 'ngram_df',
+       |  CAST((SELECT count(*) FROM dfb) AS BIGINT),
+       |  CAST((SELECT count(*) FROM dfa) AS BIGINT)
+       |UNION ALL
+       |SELECT 'ngram_posting',
+       |  CAST((SELECT count(*) FROM shb JOIN dfb USING (shingle) WHERE dfb.df <= $RetractDfCap) AS BIGINT),
+       |  CAST((SELECT count(*) FROM sha JOIN dfa USING (shingle) WHERE dfa.df <= $RetractDfCap) AS BIGINT)
+       |UNION ALL
+       |SELECT 'shingle_set',
+       |  CAST((SELECT count(DISTINCT doc_id) FROM shb) AS BIGINT),
+       |  CAST((SELECT count(DISTINCT doc_id) FROM sha) AS BIGINT)
+       |UNION ALL
+       |SELECT 'simhash_band',
+       |  CAST((SELECT count(*) * $SimhashBlocks FROM simb) AS BIGINT),
+       |  CAST((SELECT count(*) * $SimhashBlocks FROM sima) AS BIGINT)
+       |UNION ALL
+       |SELECT 'span_fp',
+       |  CAST((SELECT count(*) FROM spb) AS BIGINT),
+       |  CAST((SELECT count(*) FROM spa) AS BIGINT)
+       |ORDER BY artifact""".stripMargin
+  }
+
   /** Sketch width for [[corpusOverlap]] — 32 permutations puts the
     * estimator's std at ≈ √(J(1−J)/32) ≤ 0.09, a readout-grade error
     * bar; the oracle checks exact equality of the sketch itself, not
