@@ -608,6 +608,46 @@ object ScaleStress {
       noop(graft.similarity.Ivf.fixedSearch(
         annCent, annAsg, embBase, nProbe = 2, k = 5))
     }
+    // Round-11: CORPUS RETRACTION e2e — the takedown inverse of the
+    // commit, deleting ~14% of the replicated corpus from all seven
+    // stored artifacts. Cost must be the artifact-build scans plus
+    // id-keyed anti-joins and broadcast-restricted retention scans —
+    // linear in corpus, with the cap-crossing repair bounded by the
+    // crossing set.
+    var retractStored: Dedup.GateArtifacts = null
+    time("corpus retract e2e") {
+      val stored = Dedup.gateArtifactsOf(
+        corpus, "doc_id", "text", 8, 4, 8, maxShingleDf = 8)
+      retractStored = Dedup.GateArtifacts(
+        stored.fingerprints.localCheckpoint(true),
+        stored.bandTable.localCheckpoint(true),
+        stored.spanFps.localCheckpoint(true),
+        stored.simhashBands.localCheckpoint(true),
+        stored.ngramPostings.localCheckpoint(true),
+        stored.ngramDf.localCheckpoint(true),
+        stored.shingleSets.localCheckpoint(true))
+      val del = corpus.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id").as("id"))
+      val r = Dedup.retractArtifacts(
+        retractStored, corpus, del, "doc_id", "text", 8, maxShingleDf = 8)
+      noop(r.fingerprints); noop(r.bandTable); noop(r.spanFps)
+      noop(r.simhashBands); noop(r.ngramPostings); noop(r.ngramDf)
+      noop(r.shingleSets)
+    }
+    // The cost a deployment actually pays per takedown: the stored
+    // artifacts are READ (pre-checkpointed above), so the timed work is
+    // the anti-joins, the broadcast-restricted retention scans, the df
+    // decrement and the crosser repair — e2e minus this is the one-time
+    // artifact build.
+    time("corpus retract per-takedown") {
+      val del = corpus.filter(col("doc_id") % 7 === 5)
+        .select(col("doc_id").as("id"))
+      val r = Dedup.retractArtifacts(
+        retractStored, corpus, del, "doc_id", "text", 8, maxShingleDf = 8)
+      noop(r.fingerprints); noop(r.bandTable); noop(r.spanFps)
+      noop(r.simhashBands); noop(r.ngramPostings); noop(r.ngramDf)
+      noop(r.shingleSets)
+    }
     // Round-7: the memoized three-query family END-TO-END through one
     // shared CC build — the declared-surface shape (dupComponents memo →
     // clusters + keep-list + leakage split). The build is paid once
