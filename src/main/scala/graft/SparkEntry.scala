@@ -84,6 +84,7 @@ object SparkEntry {
     "q_curation_verdict" -> (PipelineQueries.curationVerdict _),
     "q_media_features" -> (PipelineQueries.mediaFeatures _),
     "q_imgtext_align" -> (PipelineQueries.imgtextAlign _),
+    "q_audiotext_align" -> (PipelineQueries.audiotextAlign _),
     "q_aligned_pack" -> (PipelineQueries.alignedPack _),
     "q_frame_decode" -> (PipelineQueries.frameDecode _),
     "q_image_decode" -> (PipelineQueries.imageDecode _),
@@ -94,6 +95,8 @@ object SparkEntry {
     "q_audio_phash" -> (PipelineQueries.audioPhash _),
     "q_audio_phash_inc" -> (PipelineQueries.audioPhashInc _),
     "q_media_commit" -> (PipelineQueries.mediaCommit _),
+    "q_media_retract" -> (PipelineQueries.mediaRetract _),
+    "q_index_retract" -> (PipelineQueries.indexRetract _),
     "q_crossmodal_topk" -> (PipelineQueries.crossmodalTopK _),
     "q_crossmodal_ivf" -> (PipelineQueries.crossmodalIvf _),
     "q_image_resize" -> (PipelineQueries.imageResize _),
@@ -489,6 +492,7 @@ object SparkEntry {
     "q_curation_verdict" -> PipelineQueries.curationVerdictOracle,
     "q_media_features" -> PipelineQueries.mediaFeaturesOracle,
     "q_imgtext_align" -> PipelineQueries.imgtextAlignOracle,
+    "q_audiotext_align" -> PipelineQueries.audiotextAlignOracle,
     "q_aligned_pack" -> PipelineQueries.alignedPackOracle,
     "q_frame_decode" -> PipelineQueries.frameDecodeOracle,
     "q_image_decode" -> PipelineQueries.imageDecodeOracle,
@@ -499,6 +503,8 @@ object SparkEntry {
     "q_audio_phash" -> PipelineQueries.audioPhashOracle,
     "q_audio_phash_inc" -> PipelineQueries.audioPhashIncOracle,
     "q_media_commit" -> PipelineQueries.mediaCommitOracle,
+    "q_media_retract" -> PipelineQueries.mediaRetractOracle,
+    "q_index_retract" -> PipelineQueries.indexRetractOracle,
     "q_crossmodal_topk" -> PipelineQueries.crossmodalTopKOracle,
     "q_crossmodal_ivf" -> PipelineQueries.crossmodalIvfOracle,
     "q_image_resize" -> PipelineQueries.imageResizeOracle,

@@ -973,6 +973,35 @@ object Dedup {
     CommittedHashes(verdicts, committed)
   }
 
+  /** RETRACTION of a perceptual-hash table — the takedown inverse of
+    * [[commitHashArtifacts]], for any media modality the hamming engine
+    * serves (image dHash, video frame hashes, audio window
+    * fingerprints). Unlike the text corpus's artifacts
+    * ([[retractArtifacts]]), the hash table carries NO content-keyed
+    * set, df sidecar, or cap-filtered projection — it is one id-keyed
+    * row per hashed unit — so the id anti-join IS the exact
+    * retraction: retracted == rebuilt-from-scratch on corpus \ deleted
+    * by construction, and retract ∘ commit == identity on the commit's
+    * own accepted batch (MediaRetractSpec pins both, plus the gate
+    * consequence: a twin of a retracted original re-gates as `new`).
+    * The hash FUNCTION has no trained state, so nothing here is a
+    * retrain decision — deletion is complete at the anti-join.
+    *
+    * For frame-level tables (video, audio windows), pass the CONTAINER
+    * ids through the same `media_id·10 + unit_idx` encoding the table
+    * itself uses — e.g. retracting clip 42 means deleting ids
+    * 420..429, which [[frameIdsOf]]-style expansion produces
+    * batch-side; this operator takes the already-encoded unit ids.
+    *
+    * Scale shape: one broadcastable anti-join on the (id, 8-byte hash)
+    * table; the blob store's deletion is the caller's side effect. */
+  def retractHashArtifacts(
+      corpusHashes: DataFrame,
+      deleteIds: DataFrame
+  ): DataFrame =
+    corpusHashes.join(
+      deleteIds.select("id").distinct(), Seq("id"), "left_anti")
+
   // -------------------------------------------------------------------------
   // Benchmark decontamination
   // -------------------------------------------------------------------------

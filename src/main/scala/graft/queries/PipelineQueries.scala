@@ -3299,6 +3299,44 @@ object PipelineQueries {
     finalSelect =
       Some("SELECT vec_id, sub, code FROM encoded ORDER BY vec_id, sub"))
 
+  /** ANN INDEX RETRACTION ([[graft.similarity.Ivf.retractPqCodes]]) —
+    * the takedown inverse of [[indexCommit]]: the committed posting
+    * table (codebooks trained on the vec_id % [[SemIncMod]] ≠
+    * [[SemIncResidue]] corpus, the residue batch folded in under the
+    * frozen codebooks) has its vec_id % [[RetractMod]] ==
+    * [[RetractResidue]] slice retracted. The output IS the retracted
+    * posting table — every code row an ADC search could still scan —
+    * so the oracle recomputes training, both encodes and the fold
+    * end-to-end and then drops the slice, pinning that deletion is
+    * EXACT row-for-row (per-vector frozen-codebook encoding means no
+    * other vector's rows move). The codebooks' trained state persists
+    * by design: refresh is the retrain decision, triggered by
+    * q_cell_drift / q_ann_recall, exactly as for the commit face. */
+  def indexRetract(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val (cb, codes) = graft.similarity.Ivf.pqArtifacts(
+      emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue),
+      IvfCentroidIds, EmbDims, PqM, PqIters)
+    val committed = graft.similarity.Ivf.commitPqCodes(
+      codes, cb,
+      emb.filter(col("vec_id") % SemIncMod === SemIncResidue),
+      EmbDims, PqM)
+    graft.similarity.Ivf
+      .retractPqCodes(
+        committed,
+        emb.filter(col("vec_id") % RetractMod === RetractResidue)
+          .select("vec_id"))
+      .orderBy("vec_id", "sub")
+  }
+
+  def indexRetractOracle: String = pqOracleSql(
+    s" WHERE vec_id % $SemIncMod <> $SemIncResidue",
+    Some(s" WHERE vec_id % $SemIncMod = $SemIncResidue"),
+    finalSelect = Some(
+      s"SELECT vec_id, sub, code FROM encoded " +
+        s"WHERE vec_id % $RetractMod <> $RetractResidue " +
+        "ORDER BY vec_id, sub"))
+
   val HardNegNProbe = 2
 
   /** CORPUS-SCALE hard-negative mining ([[graft.similarity.Ivf.hardNegatives]]):
@@ -4156,6 +4194,89 @@ object PipelineQueries {
        |ORDER BY id""".stripMargin
   }
 
+  /** MEDIA RETRACTION ([[graft.dedup.Dedup.retractHashArtifacts]]) —
+    * the takedown inverse of [[mediaCommit]]'s fold, read out through
+    * its GATE CONSEQUENCE: the doc_id % 3 == 0 originals are retracted
+    * from the corpus hash table, and the readout re-gates their
+    * brightness-shifted twins against the table before and after. One
+    * row per arriving twin with both verdicts: before the takedown the
+    * twin is (almost always) `dup_corpus` against its source; after,
+    * the source is gone and the twin re-gates `new` unless it
+    * coincidentally lands within hamming range of a SURVIVING image or
+    * of a lower-id fellow twin — both engines compute those residual
+    * matches exactly, so the flip set is oracle-checked, not assumed.
+    * MediaRetractSpec pins the table laws (retracted ==
+    * rebuilt-from-scratch on corpus \ deleted; retract ∘ commit ==
+    * identity on the commit's accepted batch); this query pins the
+    * operational consequence a takedown must have at the gate. */
+  def mediaRetract(s: SparkSession, d: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    import s.implicits._
+    val docs = documents(s, d).select("doc_id", "text")
+    def hashesOf(items: org.apache.spark.sql.Dataset[mm.MediaItem]) =
+      mm.imageDHash(items).toDF().filter(col("ok"))
+        .select(col("mediaId").as("id"), col("phash").as("simhash"))
+    val corpusHashes =
+      hashesOf(mm.syntheticPngCorpus(docs, "doc_id", "text"))
+    val retracted = graft.dedup.Dedup.retractHashArtifacts(
+      corpusHashes,
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id").as("id")))
+    val twins = hashesOf(mm
+      .syntheticPngCorpus(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        brightnessDelta = 4)
+      .map(m => m.copy(mediaId = m.mediaId + PhashTwinOffset)))
+    def verdictsVs(corpus: DataFrame, as: String) =
+      graft.dedup.Dedup
+        .commitHashArtifacts(corpus, twins, 56, PhashMaxHamming, PhashBlocks)
+        .verdicts
+        .select(col("id"), col("verdict").as(as))
+    verdictsVs(corpusHashes, "verdict_before")
+      .join(verdictsVs(retracted, "verdict_after"), Seq("id"))
+      .orderBy("id")
+  }
+
+  def mediaRetractOracle: String = {
+    def off = "((((idx // 8) * h) // 8) * w + (((idx % 8) * w) // 8)) * 3"
+    def verdict(corpusPred: String) =
+      s"""CASE WHEN EXISTS (SELECT 1 FROM ph c WHERE c.is_batch = 0
+         |         AND $corpusPred
+         |         AND bit_count(xor(a.phash, c.phash)) <= $PhashMaxHamming)
+         |       THEN 'dup_corpus'
+         |       WHEN EXISTS (SELECT 1 FROM ph b2 WHERE b2.is_batch = 1
+         |         AND b2.id < a.id
+         |         AND bit_count(xor(a.phash, b2.phash)) <= $PhashMaxHamming)
+         |       THEN 'dup_batch'
+         |       ELSE 'new' END""".stripMargin
+    s"""WITH chain AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+       |    [CAST('0x' || substr(md5(text || ':' || CAST(j // 16 AS VARCHAR)), 1 + 2 * (j % 16), 2) AS BIGINT)
+       |      for j in range(0, (8 + doc_id % 9) * (8 + doc_id % 7) * 3)] AS b
+       |  FROM documents),
+       |imgs AS (
+       |  SELECT doc_id AS id, w, h, b, 0 AS is_batch FROM chain
+       |  UNION ALL
+       |  SELECT doc_id + $PhashTwinOffset, w, h,
+       |    list_transform(b, v -> least(v + 4, 255)), 1
+       |  FROM chain WHERE doc_id % 3 = 0),
+       |g AS (
+       |  SELECT id, is_batch,
+       |    [299 * b[$off + 1] + 587 * b[$off + 2] + 114 * b[$off + 3]
+       |      for idx in range(0, 64)] AS gv
+       |  FROM imgs),
+       |ph AS (
+       |  SELECT id, is_batch, list_sum(
+       |    [CASE WHEN gv[(idx // 7) * 8 + (idx % 7) + 1] > gv[(idx // 7) * 8 + (idx % 7) + 2]
+       |       THEN (CAST(1 AS BIGINT) << idx) ELSE CAST(0 AS BIGINT) END
+       |     for idx in range(0, 56)]) AS phash
+       |  FROM g)
+       |SELECT a.id,
+       |  ${verdict("TRUE")} AS verdict_before,
+       |  ${verdict("c.id % 3 <> 0")} AS verdict_after
+       |FROM ph a WHERE a.is_batch = 1
+       |ORDER BY id""".stripMargin
+  }
+
   /** FRAME-level near-dup dedup — the VIDEO face of the perceptual-hash
     * engine ([[graft.multimodal.Multimodal.gifFrameHashes]] +
     * [[Dedup.hammingPairs]]): every frame of every synthetic animated
@@ -4422,14 +4543,21 @@ object PipelineQueries {
     * 56-bit neighbor-comparison fingerprint under `media_id·10 +
     * window_idx` ids — the exact integer arithmetic of
     * [[graft.multimodal.Multimodal.audioFingerprints]], no codec. */
-  private def audioFpOracleCtes(twinFilter: String): String =
-    s"""WITH sm AS (
+  /** `sm(doc_id, n, s)` — the synthetic-WAV sample chain (the
+    * `q_audio_decode` arithmetic) over an optionally filtered documents
+    * slice; shared by the audio phash oracles and the audio-text
+    * alignment oracle so the decode arithmetic cannot drift. */
+  private def wavSamplesCteSql(filter: String = ""): String =
+    s"""sm AS (
        |  SELECT doc_id, 64 + doc_id % 65 AS n,
        |    [CASE WHEN v >= 32768 THEN v - 65536 ELSE v END FOR v IN
        |      [CAST('0x' || substr(md5(text || ':' || CAST(j // 8 AS VARCHAR)), 1 + 4 * (j % 8), 2) AS BIGINT)
        |       + 256 * CAST('0x' || substr(md5(text || ':' || CAST(j // 8 AS VARCHAR)), 3 + 4 * (j % 8), 2) AS BIGINT)
        |       FOR j IN range(0, CAST(64 + doc_id % 65 AS BIGINT))]] AS s
-       |  FROM documents),
+       |  FROM documents$filter)""".stripMargin
+
+  private def audioFpOracleCtes(twinFilter: String): String =
+    s"""WITH ${wavSamplesCteSql()},
        |au AS (
        |  SELECT doc_id AS mid, n, s, 0 AS is_batch FROM sm
        |  UNION ALL
@@ -4736,12 +4864,22 @@ object PipelineQueries {
     * ([[imgtextAlignOracle]], [[alignedPackOracle]],
     * [[crossmodalTopKOracle]] all compose THIS string, so the feature
     * arithmetic cannot drift between the alignment and retrieval faces). */
+  /** `tproj(doc_id, tf)` — the 16-dim text-embedding projection CTE
+    * every cross-modal oracle joins against ([[featureCtesSql]]'s
+    * consumers plus the audio-text alignment oracle). */
+  private def tprojCteSql: String = {
+    val proj = (0 until 16)
+      .map(k => "(" + (1 to 4).map(j => s"te[${4 * k + j}]").mkString(" + ") + ")")
+      .mkString(", ")
+    s"""tproj AS (
+       |  SELECT vec_id AS doc_id, [$proj] AS tf FROM (
+       |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS te
+       |    FROM embeddings))""".stripMargin
+  }
+
   private def featureCtesSql: String = {
     val histCols = (0 until 16)
       .map(b => s"CAST(sum(CASE WHEN b = $b THEN 1 ELSE 0 END) AS DOUBLE)")
-      .mkString(", ")
-    val proj = (0 until 16)
-      .map(k => "(" + (1 to 4).map(j => s"te[${4 * k + j}]").mkString(" + ") + ")")
       .mkString(", ")
     s"""ach AS (
        |  SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) // 16 AS b
@@ -4749,10 +4887,7 @@ object PipelineQueries {
        |        FROM documents WHERE doc_id % ${TextQueries.ImgEvery} = 0)),
        |ihist AS (
        |  SELECT doc_id, [$histCols] AS ih FROM ach GROUP BY doc_id),
-       |tproj AS (
-       |  SELECT vec_id AS doc_id, [$proj] AS tf FROM (
-       |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS te
-       |    FROM embeddings))""".stripMargin
+       |$tprojCteSql""".stripMargin
   }
 
   private def alignCtesSql: String = {
@@ -4788,6 +4923,77 @@ object PipelineQueries {
       alignCtesSql + ",\n",
       s"doc_id % ${TextQueries.ImgEvery} = 0 AND doc_id IN " +
         s"(SELECT doc_id FROM align WHERE align_micros >= $AlignMicrosThreshold)")
+
+  /** Segment count of the audio-text alignment feature vector: 16 equal
+    * spans, matching the 16-dim text projection (every clip has
+    * n ≥ 64 samples, so all 16 segments are non-empty at every SF). */
+  val AudioAlignSegments = 16
+
+  /** AUDIO-TEXT ALIGNMENT scoring — the reference's own domain is audio
+    * with transcripts (`/root/reference/transcript-example.json`), and
+    * this is the CLAP-style filter that decides whether a clip and its
+    * transcript belong together before the pair enters training: per
+    * document carrying audio (the doc_id % 3 == 1 residue,
+    * [[graft.multimodal.Multimodal.mediaFromDocuments]]'s audio kind),
+    * REALLY decode the WAV once ([[graft.multimodal.Multimodal.segmentAudio]]'s
+    * PCM16-mono path), fold the samples into [[AudioAlignSegments]]
+    * equal spans of summed energy (Σv², exact Long — the audio-encoder
+    * stand-in, per the stub-codec contract), and score against the SAME
+    * 16-dim [[textProjection]] the image alignment and cross-modal
+    * retrieval faces share — one projected space across all modalities.
+    * Cosine over the energy profile is invariant to uniform gain
+    * (energies scale by gain², cosine is scale-free; spec-pinned with a
+    * non-clamping 2× twin), which is exactly the invariance an
+    * audio-alignment filter needs against re-encoded uploads.
+    *
+    * Scale shape: decode + energy fold is per-row flatMap work — the
+    * blob never shuffles, only 16 small rows per clip; the pivot is a
+    * clip-keyed groupBy; the score join is doc-keyed with row-local
+    * `graft_dot` arithmetic. No corpus × corpus stage. */
+  def audiotextAlign(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    alignScores(audioEnergyFrame(s, d), textProjection(embeddings(s, d)))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, ih) 16-dim audio energy vectors of the audio-kind docs —
+    * the audio-encoder-side artifact of the alignment family. */
+  private[graft] def audioEnergyFrame(
+      s: SparkSession, d: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    val docs = documents(s, d)
+      .filter(col("doc_id") % 3 === 1)
+      .select("doc_id", "text")
+    mm.segmentAudio(
+        mm.syntheticWavCorpus(docs, "doc_id", "text"), AudioAlignSegments)
+      .toDF()
+      .groupBy("mediaId")
+      .agg(sort_array(collect_list(struct(col("segmentIdx"), col("sumSq"))))
+        .as("segs"))
+      .select(
+        col("mediaId").as("doc_id"),
+        expr("transform(segs, x -> CAST(x.sumSq AS DOUBLE))").as("ih"))
+  }
+
+  def audiotextAlignOracle: String =
+    s"""WITH ${wavSamplesCteSql(" WHERE doc_id % 3 = 1")},
+       |aseg AS (
+       |  SELECT doc_id,
+       |    [CAST(list_sum(list_transform(
+       |        s[(k * n) // $AudioAlignSegments + 1 : ((k + 1) * n) // $AudioAlignSegments],
+       |        x -> x * x)) AS DOUBLE)
+       |     FOR k IN range(0, $AudioAlignSegments)] AS ih
+       |  FROM sm),
+       |$tprojCteSql,
+       |align AS (
+       |  SELECT a.doc_id,
+       |    CAST(round(list_dot_product(ih, tf)
+       |      / (sqrt(list_dot_product(ih, ih)) * sqrt(list_dot_product(tf, tf)))
+       |      * 1000000, 0) AS BIGINT) AS align_micros
+       |  FROM aseg a JOIN tproj t ON a.doc_id = t.doc_id)
+       |SELECT doc_id, align_micros,
+       |  align_micros >= $AlignMicrosThreshold AS keep
+       |FROM align ORDER BY doc_id""".stripMargin
 
   /** Query count / k of the cross-modal retrieval face. */
   val CrossModalQueries = 30

@@ -822,6 +822,31 @@ object Ivf {
     corpusCodes.unionByName(encodePq(arrivals, codebooks, dims, m))
   }
 
+  /** RETRACTION of the PQ code postings — the takedown inverse of
+    * [[commitPqCodes]]. The posting table is purely id-keyed ((vec_id,
+    * sub, code) rows; no content-keyed set, no df sidecar, no
+    * cap-filtered projection like the text corpus's artifacts), so the
+    * vec_id anti-join IS the exact retraction: retracted ==
+    * rebuilt-from-scratch on corpus \ deleted under the same frozen
+    * codebooks, because frozen-codebook encoding is per-vector
+    * deterministic — one vector's code rows never depend on another
+    * vector's presence (IndexRetractSpec pins the rebuild law and
+    * retract ∘ commit == identity). The CODEBOOKS keep their trained
+    * state: like every trained artifact here, refreshing them is the
+    * separate retrain decision ([[cellDrift]] / the q_ann_recall
+    * monitor are its triggers) — a deleted vector's influence on the
+    * quantizer persists until retrain, but its rows (and so any chance
+    * of it being SERVED) are gone at the anti-join.
+    *
+    * Scale shape: one broadcastable anti-join over the posting table;
+    * deletion of the stored raw vectors is the caller's side effect. */
+  def retractPqCodes(
+      corpusCodes: DataFrame,
+      deleteIds: DataFrame
+  ): DataFrame =
+    corpusCodes.join(
+      deleteIds.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+
   /** PQ training + corpus encoding, shared by [[pqPlan]] and
     * [[ivfPqProbeTopK]]. Returns (final codebooks `(sub, code, ce)`,
     * pre-final-iteration codebooks — the quantizer the final assignment
