@@ -175,6 +175,7 @@ object SparkEntry {
     "q_ivf_pq_probe" -> (PipelineQueries.ivfPqProbe _),
     "q_ivf_pq_residual" -> (PipelineQueries.ivfPqResidual _),
     "q_dup_histogram" -> (PipelineQueries.dupHistogram _),
+    "q_dup_downweight" -> (PipelineQueries.dupDownweight _),
     "q_token_fertility" -> (TextQueries.tokenFertility _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
@@ -217,6 +218,7 @@ object SparkEntry {
     "q_train_sequences" -> (TextQueries.trainSequences _),
     "q_interleaved_pack" -> (TextQueries.interleavedPack _),
     "q_shard_assign" -> (TextQueries.shardAssign _),
+    "q_release_manifest" -> (TextQueries.releaseManifest _),
     "q_passage_chunks" -> (TextQueries.passageChunks _),
     "q_bm25_passages" -> (TextQueries.bm25Passages _),
     "q_ccnet_buckets" -> (TextQueries.ccnetBuckets _)
@@ -585,6 +587,7 @@ object SparkEntry {
     "q_ivf_pq_probe" -> PipelineQueries.ivfPqProbeOracle,
     "q_ivf_pq_residual" -> PipelineQueries.ivfPqResidualOracle,
     "q_dup_histogram" -> PipelineQueries.dupHistogramOracle,
+    "q_dup_downweight" -> PipelineQueries.dupDownweightOracle,
     "q_token_fertility" -> TextQueries.tokenFertilityOracle,
     "q_stream_sliding" -> StreamingQueries.streamSlidingOracle,
     "q_stream_join_outer" -> StreamingQueries.streamJoinOuterOracle,
@@ -818,6 +821,7 @@ object SparkEntry {
     "q_train_sequences" -> TextQueries.trainSequencesOracle,
     "q_interleaved_pack" -> TextQueries.interleavedPackOracle,
     "q_shard_assign" -> TextQueries.shardAssignOracle,
+    "q_release_manifest" -> TextQueries.releaseManifestOracle,
     "q_passage_chunks" -> TextQueries.passageChunksOracle,
     "q_bm25_passages" -> TextQueries.bm25PassagesOracle,
     "q_ccnet_buckets" -> TextQueries.ccnetBucketsOracle,

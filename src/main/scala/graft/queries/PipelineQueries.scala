@@ -2110,6 +2110,63 @@ object PipelineQueries {
        |FROM csz GROUP BY cluster_size
        |ORDER BY cluster_size""".stripMargin
 
+  /** SOFT-DEDUP sampling weights — the alternative to hard keep-list
+    * dedup (q_dedup_keeplist drops all but one copy): keep EVERY copy
+    * but down-weight each near-duplicate cluster member to
+    * `round(1e6 / cluster_size)` micros, so a cluster contributes ~one
+    * document's worth of expected training mass regardless of how many
+    * times its content was crawled (the frequency-aware sampling used
+    * when duplicates carry signal — popularity, canonical-ness — that a
+    * hard drop would erase). One row per document: its component, the
+    * cluster size, and the exact-integer weight — the rounding is
+    * floor((2e6 + size) / (2·size)) in BOTH engines, so the readout is
+    * hash-exact with no float division anywhere.
+    *
+    * Composition: the memoized [[dupComponents]] frame (band join + CC,
+    * shared with the cluster/keep-list/split/histogram family) left-
+    * joined to the corpus so singletons weight exactly 1e6; sizes come
+    * from one component-keyed groupBy joined back — the
+    * [[dupHistogram]] shape, so at 100 TB the only new cost over the
+    * histogram is the id-keyed join back to docs. */
+  def dupDownweight(s: SparkSession, d: String): DataFrame = {
+    val cc = dupComponents(s, d)
+    val withComp = documents(s, d).select("doc_id")
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val sizes = withComp
+      .groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    withComp
+      .join(sizes, Seq("component"))
+      .select(
+        col("doc_id"), col("component"), col("cluster_size"),
+        expr("CAST((2000000 + cluster_size) DIV (2 * cluster_size) AS BIGINT)")
+          .as("weight_micros"))
+      .orderBy("doc_id")
+  }
+
+  def dupDownweightOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+       |cc AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+       |dcc AS (
+       |  SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+       |csz AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM dcc GROUP BY 1)
+       |SELECT dcc.doc_id, dcc.component, csz.cluster_size,
+       |  CAST((2000000 + csz.cluster_size) // (2 * csz.cluster_size) AS BIGINT) AS weight_micros
+       |FROM dcc JOIN csz USING (component)
+       |ORDER BY dcc.doc_id""".stripMargin
+
   /** QUALITY-AWARE near-dup keeper election: within each duplicate
     * cluster keep the highest-[[TextAnalysis.qualityScore]] document
     * (tie → min doc_id), not blindly the min id — the keeper policy real

@@ -1781,6 +1781,70 @@ object TextQueries {
        |  CAST(sum((skey % 1000003) * rnk) AS BIGINT) AS order_checksum
        |FROM rk GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Shard count / seed of the dataset-release manifest. */
+  val ReleaseShards = 8
+  val ReleaseSeed = "graft-release-v1"
+
+  /** DATASET-RELEASE MANIFEST — the integrity sidecar a 100-TB release
+    * writes next to its shards so any consumer can verify what they
+    * downloaded without re-reading the corpus twice: documents route to
+    * [[ReleaseShards]] shards by seeded content-free hash (the
+    * [[graft.operators.Sharding]] discipline — a different seed is a
+    * different reproducible layout), and each shard row carries its
+    * document count, whitespace-token count, character count, and an
+    * ORDER-INVARIANT content checksum: XOR of per-document
+    * `hash60(doc_id : content-fingerprint)` — id-salted so two equal-
+    * content documents cannot cancel, XOR-folded so the checksum is
+    * independent of scan/partition order (any engine, any parallelism,
+    * same manifest). Pairs with q_corpus_diff: the diff says WHAT moved
+    * between releases, the manifest proves WHICH shards are affected.
+    *
+    * Scale shape: everything before the aggregation is per-row map work
+    * (hash, length, token count — the text never shuffles, only four
+    * narrow columns); the single shuffle is the [[ReleaseShards]]-key
+    * groupBy with map-side partial aggregation. No window, no join. */
+  def releaseManifest(s: SparkSession, d: String): DataFrame =
+    releaseManifestOf(documents(s, d))
+
+  /** The manifest over any (doc_id, text) frame — exposed so the spec
+    * can pin order/partitioning invariance and shard-local content
+    * sensitivity directly. */
+  private[graft] def releaseManifestOf(docs: DataFrame): DataFrame = {
+    val fp = graft.text.TextFunctions.fingerprintCol _
+    docs
+      .select(
+        (graft.dedup.Dedup
+          .hash60(concat_ws(":", lit(ReleaseSeed), col("doc_id").cast("string")))
+          % ReleaseShards).as("shard"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("CAST(size(filter(split(text, '\\\\s+'), x -> length(x) > 0)) AS BIGINT)")
+          .as("n_tokens"),
+        graft.dedup.Dedup
+          .hash60(concat_ws(":", col("doc_id").cast("string"), fp(col("text"))))
+          .as("doc_checksum"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        expr("bit_xor(doc_checksum)").as("content_xor"))
+      .orderBy("shard")
+  }
+
+  def releaseManifestOracle: String =
+    s"""WITH m AS (
+       |  SELECT
+       |    CAST('0x' || substr(md5('$ReleaseSeed' || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $ReleaseShards AS shard,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))), 1, 15) AS BIGINT) AS doc_checksum
+       |  FROM documents)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  bit_xor(doc_checksum) AS content_xor
+       |FROM m GROUP BY shard ORDER BY shard""".stripMargin
+
   /** Every [[ImgEvery]]-th document carries one image in the interleaved
     * packing fixture (deterministic from doc_id, so both engines derive
     * the identical multimodal corpus from the text tables alone). */

@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset-release manifest ([[TextQueries.releaseManifestOf]]): the
+  * checksum must be invariant to scan order and partitioning (XOR
+  * fold), the totals must account for every document, and a content
+  * change must surface in exactly its own shard's checksum — the
+  * properties that make the manifest a usable integrity sidecar. */
+class ReleaseManifestSpec extends SparkSuite {
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "text")
+
+  private def rows(df: DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+
+  test("totals account for every document and every character") {
+    val m = TextQueries.releaseManifestOf(docs).localCheckpoint(true)
+    val nDocs = m.agg(sum("n_docs")).collect()(0).getLong(0)
+    val nChars = m.agg(sum("n_chars")).collect()(0).getLong(0)
+    assert(nDocs == docs.count())
+    assert(nChars ==
+      docs.agg(sum(length(col("text")).cast("long"))).collect()(0).getLong(0))
+    assert(m.count() == TextQueries.ReleaseShards.toLong,
+      "every shard must appear — the seeded hash spreads 500 docs over 8 shards")
+  }
+
+  test("the manifest is invariant to scan order and partitioning") {
+    val base = rows(TextQueries.releaseManifestOf(docs))
+    assert(rows(TextQueries.releaseManifestOf(docs.repartition(7))) == base)
+    assert(rows(TextQueries.releaseManifestOf(
+      docs.orderBy(col("doc_id").desc))) == base)
+  }
+
+  test("a content change surfaces in exactly its own shard's checksum") {
+    // Same-length single-char mutation: the victim's first char is a
+    // non-space non-'q' letter, replaced by 'q' — the fingerprint moves
+    // but n_docs, n_tokens and n_chars all stay put, so the diff
+    // isolates the XOR column.
+    val victim = docs
+      .filter(!substring(lower(col("text")), 1, 1).isin(" ", "q", "\t"))
+      .orderBy("doc_id").select("doc_id")
+      .limit(1).collect()(0).getLong(0)
+    val mutated = docs.select(
+      col("doc_id"),
+      when(col("doc_id") === victim,
+        concat(lit("q"), substring(col("text"), 2, 1000000)))
+        .otherwise(col("text")).as("text"))
+    val before = rows(TextQueries.releaseManifestOf(docs))
+    val after = rows(TextQueries.releaseManifestOf(mutated))
+    val changed = after.diff(before)
+    assert(changed.size == 1, s"exactly one shard row must change, got $changed")
+    val beforeChanged = before.diff(after)
+    assert(beforeChanged.size == 1 &&
+      beforeChanged.head._1 == changed.head._1,
+      "the changed row must be the victim's shard")
+    // Counts identical, only the checksum differs.
+    assert(beforeChanged.head.copy(_5 = 0L) == changed.head.copy(_5 = 0L))
+  }
+}
