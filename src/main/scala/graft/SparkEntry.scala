@@ -176,6 +176,7 @@ object SparkEntry {
     "q_ivf_pq_residual" -> (PipelineQueries.ivfPqResidual _),
     "q_dup_histogram" -> (PipelineQueries.dupHistogram _),
     "q_dup_downweight" -> (PipelineQueries.dupDownweight _),
+    "q_weighted_sample" -> (PipelineQueries.weightedSample _),
     "q_token_fertility" -> (TextQueries.tokenFertility _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
@@ -219,6 +220,8 @@ object SparkEntry {
     "q_interleaved_pack" -> (TextQueries.interleavedPack _),
     "q_shard_assign" -> (TextQueries.shardAssign _),
     "q_release_manifest" -> (TextQueries.releaseManifest _),
+    "q_manifest_commit" -> (TextQueries.manifestCommit _),
+    "q_manifest_retract" -> (TextQueries.manifestRetractQ _),
     "q_passage_chunks" -> (TextQueries.passageChunks _),
     "q_bm25_passages" -> (TextQueries.bm25Passages _),
     "q_ccnet_buckets" -> (TextQueries.ccnetBuckets _)
@@ -588,6 +591,7 @@ object SparkEntry {
     "q_ivf_pq_residual" -> PipelineQueries.ivfPqResidualOracle,
     "q_dup_histogram" -> PipelineQueries.dupHistogramOracle,
     "q_dup_downweight" -> PipelineQueries.dupDownweightOracle,
+    "q_weighted_sample" -> PipelineQueries.weightedSampleOracle,
     "q_token_fertility" -> TextQueries.tokenFertilityOracle,
     "q_stream_sliding" -> StreamingQueries.streamSlidingOracle,
     "q_stream_join_outer" -> StreamingQueries.streamJoinOuterOracle,
@@ -822,6 +826,8 @@ object SparkEntry {
     "q_interleaved_pack" -> TextQueries.interleavedPackOracle,
     "q_shard_assign" -> TextQueries.shardAssignOracle,
     "q_release_manifest" -> TextQueries.releaseManifestOracle,
+    "q_manifest_commit" -> TextQueries.manifestCommitOracle,
+    "q_manifest_retract" -> TextQueries.manifestRetractOracle,
     "q_passage_chunks" -> TextQueries.passageChunksOracle,
     "q_bm25_passages" -> TextQueries.bm25PassagesOracle,
     "q_ccnet_buckets" -> TextQueries.ccnetBucketsOracle,

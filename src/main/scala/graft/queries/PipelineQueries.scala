@@ -2167,6 +2167,59 @@ object PipelineQueries {
        |FROM dcc JOIN csz USING (component)
        |ORDER BY dcc.doc_id""".stripMargin
 
+  /** Seed naming the weighted-sample draw — a different seed is a
+    * different reproducible draw from the same weights. */
+  val WeightedSampleSeed = "graft-wsample-v1"
+
+  /** WEIGHTED SAMPLING under the soft-dedup weights — the consumer that
+    * closes [[dupDownweight]]'s loop: each document is kept iff
+    * `hash60(seed : doc_id) % 1e6 < weight_micros`, a deterministic
+    * per-row Bernoulli draw with keep probability exactly
+    * weight_micros/1e6 (the hash is uniform over [0, 2⁶⁰), and 2⁶⁰ mod
+    * 1e6 bias is < 2⁻⁴⁰ — negligible and IDENTICAL in both engines, so
+    * the draw is still hash-exact). Singletons (weight 1e6) are always
+    * kept; a size-k cluster retains each copy with probability ~1/k, so
+    * expected cluster mass is one document regardless of crawl
+    * frequency — soft dedup as an actual sampled corpus, not just a
+    * weight column. Reproducible: the draw depends only on (seed,
+    * doc_id, weights), never on partitioning or order.
+    *
+    * Scale shape: [[dupDownweight]]'s joins plus one map-side hash
+    * compare — no new shuffle. */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    dupDownweight(s, d)
+      .filter(
+        Dedup.hash60(concat_ws(":", lit(WeightedSampleSeed),
+          col("doc_id").cast("string"))) % 1000000L < col("weight_micros"))
+      .select("doc_id", "cluster_size", "weight_micros")
+      .orderBy("doc_id")
+
+  def weightedSampleOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+       |cc AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+       |dcc AS (
+       |  SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+       |csz AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM dcc GROUP BY 1),
+       |w AS (
+       |  SELECT dcc.doc_id, csz.cluster_size,
+       |    CAST((2000000 + csz.cluster_size) // (2 * csz.cluster_size) AS BIGINT) AS weight_micros
+       |  FROM dcc JOIN csz USING (component))
+       |SELECT doc_id, cluster_size, weight_micros
+       |FROM w
+       |WHERE CAST('0x' || substr(md5('$WeightedSampleSeed' || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 < weight_micros
+       |ORDER BY doc_id""".stripMargin
+
   /** QUALITY-AWARE near-dup keeper election: within each duplicate
     * cluster keep the highest-[[TextAnalysis.qualityScore]] document
     * (tie → min doc_id), not blindly the min id — the keeper policy real

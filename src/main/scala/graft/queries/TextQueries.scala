@@ -1831,19 +1831,95 @@ object TextQueries {
       .orderBy("shard")
   }
 
-  def releaseManifestOracle: String =
+  /** Fold a DELTA manifest into a stored one — the manifest's COMMIT
+    * face. Exact by algebra: every column is a per-shard sum (counts)
+    * or XOR (checksum), both associative and commutative, so
+    * fold(manifest(A), manifest(B)) == manifest(A ∪ B) for id-disjoint
+    * A, B — the committed == rebuilt-from-scratch law holds by
+    * construction and is pinned CROSS-ENGINE by q_manifest_commit
+    * (Spark folds, DuckDB rebuilds from scratch). A shard with no
+    * arrivals passes through untouched; a brand-new shard appears. */
+  private[graft] def manifestFold(
+      stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.unionByName(delta)
+      .groupBy("shard")
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        expr("bit_xor(content_xor)").as("content_xor"))
+
+  /** Retract a slice's manifest from the stored one — the takedown
+    * face, exact for the same algebraic reason: counts subtract and
+    * XOR is its own inverse (folding the deleted docs' checksums again
+    * removes them), so retract(manifest(A ∪ D), manifest(D)) ==
+    * manifest(A). Shards whose counts reach zero drop out. */
+  private[graft] def manifestRetract(
+      stored: DataFrame, deleted: DataFrame): DataFrame =
+    manifestFold(
+      stored,
+      deleted.select(
+        col("shard"),
+        (-col("n_docs")).as("n_docs"),
+        (-col("n_tokens")).as("n_tokens"),
+        (-col("n_chars")).as("n_chars"),
+        col("content_xor")))
+      .filter(col("n_docs") > 0)
+
+  /** Manifest COMMIT as an oracle-checked query: the stored manifest
+    * covers the doc_id % [[PipelineQueries.RetractMod]] ≠
+    * [[PipelineQueries.RetractResidue]] slice, the residue slice
+    * arrives as the delta, and the Spark side FOLDS while the oracle
+    * REBUILDS the whole-corpus manifest from scratch — the two agreeing
+    * hash-exactly IS the committed == rebuilt law, checked across
+    * engines. */
+  def manifestCommit(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val M = PipelineQueries.RetractMod
+    val R = PipelineQueries.RetractResidue
+    manifestFold(
+      releaseManifestOf(docs.filter(col("doc_id") % M =!= R)),
+      releaseManifestOf(docs.filter(col("doc_id") % M === R)))
+      .orderBy("shard")
+  }
+
+  def manifestCommitOracle: String = releaseManifestOracle
+
+  /** Manifest RETRACTION as an oracle-checked query: the inverse
+    * direction — the full-corpus manifest minus the residue slice's,
+    * against the oracle's from-scratch manifest of the remaining
+    * documents. */
+  def manifestRetractQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val M = PipelineQueries.RetractMod
+    val R = PipelineQueries.RetractResidue
+    manifestRetract(
+      releaseManifestOf(docs),
+      releaseManifestOf(docs.filter(col("doc_id") % M === R)))
+      .orderBy("shard")
+  }
+
+  def manifestRetractOracle: String = releaseManifestOracleWhere(
+    s" WHERE doc_id % ${PipelineQueries.RetractMod} <> ${PipelineQueries.RetractResidue}")
+
+  /** The from-scratch manifest SQL over an optionally filtered corpus —
+    * shared by the build, commit (fold == rebuilt) and retraction
+    * oracles so the manifest arithmetic cannot drift between faces. */
+  private def releaseManifestOracleWhere(filter: String): String =
     s"""WITH m AS (
        |  SELECT
        |    CAST('0x' || substr(md5('$ReleaseSeed' || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $ReleaseShards AS shard,
        |    CAST(length(text) AS BIGINT) AS n_chars,
        |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))), 1, 15) AS BIGINT) AS doc_checksum
-       |  FROM documents)
+       |  FROM documents$filter)
        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
        |  bit_xor(doc_checksum) AS content_xor
        |FROM m GROUP BY shard ORDER BY shard""".stripMargin
+
+  def releaseManifestOracle: String = releaseManifestOracleWhere("")
 
   /** Every [[ImgEvery]]-th document carries one image in the interleaved
     * packing fixture (deterministic from doc_id, so both engines derive

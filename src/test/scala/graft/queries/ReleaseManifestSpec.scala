@@ -39,6 +39,23 @@ class ReleaseManifestSpec extends SparkSuite {
       docs.orderBy(col("doc_id").desc))) == base)
   }
 
+  test("commit fold == rebuilt from scratch, and retract ∘ fold == identity") {
+    val a = docs.filter(col("doc_id") % 7 =!= 3)
+    val b = docs.filter(col("doc_id") % 7 === 3)
+    val mA = TextQueries.releaseManifestOf(a).localCheckpoint(true)
+    val mB = TextQueries.releaseManifestOf(b).localCheckpoint(true)
+    assert(rows(TextQueries.manifestFold(mA, mB))
+      == rows(TextQueries.releaseManifestOf(docs)))
+    assert(rows(TextQueries.manifestRetract(
+      TextQueries.manifestFold(mA, mB), mB)) == rows(mA))
+  }
+
+  test("an empty delta folds as a no-op") {
+    val m = TextQueries.releaseManifestOf(docs).localCheckpoint(true)
+    val empty = TextQueries.releaseManifestOf(docs.filter(lit(false)))
+    assert(rows(TextQueries.manifestFold(m, empty)) == rows(m))
+  }
+
   test("a content change surfaces in exactly its own shard's checksum") {
     // Same-length single-char mutation: the victim's first char is a
     // non-space non-'q' letter, replaced by 'q' — the fingerprint moves
