@@ -800,6 +800,45 @@ object StreamingQueries {
   /** The batch commit oracle IS the streaming-commit oracle. */
   def streamCommitOracle: String = PipelineQueries.corpusCommitOracle
 
+  /** STREAMING release manifest
+    * ([[TextQueries.ManifestCommitter]] through the real runtime's
+    * `foreachBatch`) — the manifest maintained AS the release is
+    * written, not recomputed after: the stored manifest starts from
+    * the already-released corpus slice, each arriving micro-batch's
+    * per-shard counts and XOR checksums fold in with
+    * [[TextQueries.manifestFold]]'s exact algebra (sums and XORs
+    * commute, so the result is independent of how arrivals were
+    * batched), and the readout is the whole-corpus manifest — the SAME
+    * oracle as q_release_manifest and q_manifest_commit, so the
+    * streaming, incremental and from-scratch faces can never drift.
+    * Per-delivery work is one batch-sized map pass plus an
+    * 8-key groupBy; the stored state is [[TextQueries.ReleaseShards]]
+    * rows. Replay-safe by batch id. */
+  def streamManifest(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{RetractMod, RetractResidue}
+    val docs = documents(s, d)
+    val committer = new TextQueries.ManifestCommitter(
+      TextQueries.releaseManifestOf(
+        docs.filter(col("doc_id") % RetractMod =!= RetractResidue)))
+    val arrivals = StreamingOps
+      .readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % RetractMod === RetractResidue)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = arrivals.writeStream
+        .foreachBatch((b: DataFrame, id: Long) => committer.foldBatch(b, id))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    committer.committed.orderBy("shard")
+  }
+
+  /** The from-scratch manifest oracle IS the streaming oracle. */
+  def streamManifestOracle: String = TextQueries.releaseManifestOracle
+
   /** STREAMING media near-dup gate
     * ([[StreamingOps.hammingGateStream]] through the real runtime) —
     * the MEDIA face of the hamming gate family: the doc_id % 3 == 0

@@ -1866,6 +1866,26 @@ object TextQueries {
         col("content_xor")))
       .filter(col("n_docs") > 0)
 
+  /** Streaming manifest state — the continuous face of
+    * [[manifestFold]]: each micro-batch's manifest folds into the
+    * stored one, replay-safe by batch id (a failure-recovery redelivery
+    * of the same micro-batch is a no-op). Content-level dedup is
+    * deliberately NOT here: a manifest is the integrity record of what
+    * WAS written to the release, so the dedup gates run upstream and
+    * whatever they admit is what the manifest must account for.
+    * Batching invariance is exact by the fold's algebra (sums and XORs
+    * commute and associate), spec-pinned through the real runtime. */
+  private[graft] class ManifestCommitter(initial: DataFrame) {
+    @volatile private var state: DataFrame = initial.localCheckpoint(true)
+    private val seen = scala.collection.mutable.HashSet.empty[Long]
+    def committed: DataFrame = state
+    def foldBatch(batchDocs: DataFrame, batchId: Long): Unit = synchronized {
+      if (!seen.add(batchId)) return
+      state = manifestFold(state, releaseManifestOf(batchDocs))
+        .localCheckpoint(true)
+    }
+  }
+
   /** Manifest COMMIT as an oracle-checked query: the stored manifest
     * covers the doc_id % [[PipelineQueries.RetractMod]] ≠
     * [[PipelineQueries.RetractResidue]] slice, the residue slice

@@ -56,6 +56,36 @@ class ReleaseManifestSpec extends SparkSuite {
     assert(rows(TextQueries.manifestFold(m, empty)) == rows(m))
   }
 
+  test("streaming committer: N-batch == 1-batch, any order; batch-id replay is a no-op") {
+    val base = docs.filter(col("doc_id") % 7 =!= 3)
+    val arrivals = docs.filter(col("doc_id") % 7 === 3)
+    val parts = (0 until 3).map(i =>
+      arrivals.filter(col("doc_id") % 3 === i).localCheckpoint(true))
+    def run(order: Seq[Int]) = {
+      val c = new TextQueries.ManifestCommitter(
+        TextQueries.releaseManifestOf(base))
+      order.zipWithIndex.foreach { case (p, id) =>
+        c.foldBatch(parts(p), id.toLong)
+      }
+      rows(c.committed)
+    }
+    val oneShot = {
+      val c = new TextQueries.ManifestCommitter(
+        TextQueries.releaseManifestOf(base))
+      c.foldBatch(arrivals, 0L)
+      rows(c.committed)
+    }
+    assert(run(Seq(0, 1, 2)) == oneShot)
+    assert(run(Seq(2, 0, 1)) == oneShot)
+    val c = new TextQueries.ManifestCommitter(
+      TextQueries.releaseManifestOf(base))
+    c.foldBatch(parts(0), 7L)
+    val once = rows(c.committed)
+    c.foldBatch(parts(1), 7L) // same batch id, different content: replay
+    assert(rows(c.committed) == once,
+      "a redelivered batch id must not double-count")
+  }
+
   test("a content change surfaces in exactly its own shard's checksum") {
     // Same-length single-char mutation: the victim's first char is a
     // non-space non-'q' letter, replaced by 'q' — the fingerprint moves
