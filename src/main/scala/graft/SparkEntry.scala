@@ -177,6 +177,7 @@ object SparkEntry {
     "q_ivf_pq_residual" -> (PipelineQueries.ivfPqResidual _),
     "q_dup_histogram" -> (PipelineQueries.dupHistogram _),
     "q_dup_downweight" -> (PipelineQueries.dupDownweight _),
+    "q_source_overlap" -> (PipelineQueries.sourceOverlap _),
     "q_weighted_sample" -> (PipelineQueries.weightedSample _),
     "q_token_fertility" -> (TextQueries.tokenFertility _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
@@ -593,6 +594,7 @@ object SparkEntry {
     "q_ivf_pq_residual" -> PipelineQueries.ivfPqResidualOracle,
     "q_dup_histogram" -> PipelineQueries.dupHistogramOracle,
     "q_dup_downweight" -> PipelineQueries.dupDownweightOracle,
+    "q_source_overlap" -> PipelineQueries.sourceOverlapOracle,
     "q_weighted_sample" -> PipelineQueries.weightedSampleOracle,
     "q_token_fertility" -> TextQueries.tokenFertilityOracle,
     "q_stream_sliding" -> StreamingQueries.streamSlidingOracle,

@@ -1961,7 +1961,8 @@ object PipelineQueries {
     * bench's memo-hit disclosure set. */
   private[graft] val CcMemoQueries: Set[String] =
     Set("q_dup_clusters", "q_dedup_keeplist", "q_leakage_safe_split",
-      "q_quality_keeplist", "q_curation_funnel", "q_dup_histogram")
+      "q_quality_keeplist", "q_curation_funnel", "q_dup_histogram",
+      "q_dup_downweight", "q_weighted_sample", "q_corpus_card")
 
   /** Memo for the full-table n-gram shingle pass, keyed by (session,
     * dir) — the [[ccMemo]] discipline applied to the second shared
@@ -2166,6 +2167,89 @@ object PipelineQueries {
        |  CAST((2000000 + csz.cluster_size) // (2 * csz.cluster_size) AS BIGINT) AS weight_micros
        |FROM dcc JOIN csz USING (component)
        |ORDER BY dcc.doc_id""".stripMargin
+
+  /** CROSS-SOURCE duplication matrix — the curation readout that says
+    * which ingest sources duplicate EACH OTHER (mirror sites, crawl
+    * overlap, syndication): one row per unordered source pair with (a)
+    * the number of content fingerprints present in both sources (exact
+    * cross-source duplication) and (b) the number of MinHash near-dup
+    * pairs crossing them. Drives source-level decisions the per-doc
+    * readouts can't: dropping a wholly-mirrored source, or routing one
+    * of an overlapping pair through stricter dedup.
+    *
+    * Scale shape: the exact half is a fingerprint-keyed self-join of
+    * the DISTINCT (fingerprint, source) projection — group sizes are
+    * bounded by the source count, never corpus-sized; the near-dup half
+    * reuses the banded pair engine (never all-pairs) plus two id-keyed
+    * joins to a narrow (id, source) frame; both roll up to at most
+    * sources² rows. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame =
+    sourceOverlapOf(documents(s, d))
+
+  /** The overlap matrix over any (doc_id, text, source) frame —
+    * exposed so the spec can plant a cross-source mirror. */
+  private[graft] def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    val fpc = graft.text.TextFunctions.fingerprintCol _
+    val fps = docs
+      .select(fpc(col("text")).as("fingerprint"), col("source"))
+      .distinct()
+      .localCheckpoint(true)
+    val exact = fps.select(col("fingerprint"), col("source").as("sa"))
+      .join(fps.select(col("fingerprint"), col("source").as("sb")),
+        Seq("fingerprint"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
+      .agg(count(lit(1)).as("n_exact_fps"))
+    val srcOf = docs.select(col("doc_id"), col("source"))
+    val nd = Dedup
+      .minhashDuplicates(docs, "doc_id", "text",
+        MinhashHashes, MinhashBands, MinhashThreshold)
+      .select("id_a", "id_b")
+      .join(srcOf.select(col("doc_id").as("id_a"), col("source").as("sa")),
+        Seq("id_a"))
+      .join(srcOf.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        Seq("id_b"))
+      .filter(col("sa") =!= col("sb"))
+      .select(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_neardup_pairs"))
+    exact.join(nd, Seq("source_a", "source_b"), "full_outer")
+      .select(
+        col("source_a"), col("source_b"),
+        coalesce(col("n_exact_fps"), lit(0L)).as("n_exact_fps"),
+        coalesce(col("n_neardup_pairs"), lit(0L)).as("n_neardup_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def sourceOverlapOracle: String =
+    s"""WITH $minhashPairsCtes,
+       |fps AS (
+       |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint, source
+       |  FROM documents),
+       |ex AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(count(*) AS BIGINT) AS n_exact_fps
+       |  FROM fps a JOIN fps b
+       |    ON a.fingerprint = b.fingerprint AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |nd AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b,
+       |    CAST(count(*) AS BIGINT) AS n_neardup_pairs
+       |  FROM pairs p
+       |  JOIN documents da ON p.id_a = da.doc_id
+       |  JOIN documents db ON p.id_b = db.doc_id
+       |  WHERE da.source <> db.source
+       |  GROUP BY 1, 2)
+       |SELECT coalesce(ex.source_a, nd.source_a) AS source_a,
+       |  coalesce(ex.source_b, nd.source_b) AS source_b,
+       |  CAST(coalesce(ex.n_exact_fps, 0) AS BIGINT) AS n_exact_fps,
+       |  CAST(coalesce(nd.n_neardup_pairs, 0) AS BIGINT) AS n_neardup_pairs
+       |FROM ex FULL OUTER JOIN nd
+       |  ON ex.source_a = nd.source_a AND ex.source_b = nd.source_b
+       |ORDER BY source_a, source_b""".stripMargin
 
   /** Seed naming the weighted-sample draw — a different seed is a
     * different reproducible draw from the same weights. */
