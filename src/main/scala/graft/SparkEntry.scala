@@ -97,6 +97,7 @@ object SparkEntry {
     "q_media_commit" -> (PipelineQueries.mediaCommit _),
     "q_media_retract" -> (PipelineQueries.mediaRetract _),
     "q_index_retract" -> (PipelineQueries.indexRetract _),
+    "q_pq_distortion" -> (PipelineQueries.pqDistortionQ _),
     "q_crossmodal_topk" -> (PipelineQueries.crossmodalTopK _),
     "q_crossmodal_ivf" -> (PipelineQueries.crossmodalIvf _),
     "q_image_resize" -> (PipelineQueries.imageResize _),
@@ -512,6 +513,7 @@ object SparkEntry {
     "q_media_commit" -> PipelineQueries.mediaCommitOracle,
     "q_media_retract" -> PipelineQueries.mediaRetractOracle,
     "q_index_retract" -> PipelineQueries.indexRetractOracle,
+    "q_pq_distortion" -> PipelineQueries.pqDistortionOracle,
     "q_crossmodal_topk" -> PipelineQueries.crossmodalTopKOracle,
     "q_crossmodal_ivf" -> PipelineQueries.crossmodalIvfOracle,
     "q_image_resize" -> PipelineQueries.imageResizeOracle,

@@ -3531,6 +3531,50 @@ object PipelineQueries {
         s"WHERE vec_id % $RetractMod <> $RetractResidue " +
         "ORDER BY vec_id, sub"))
 
+  /** PQ QUANTIZATION-DISTORTION monitor
+    * ([[graft.similarity.Ivf.pqDistortion]]) over the deployed index
+    * ([[graft.similarity.Ivf.pqArtifacts]] on the full corpus): per
+    * subspace, the exact integer squared error (micros²) between every
+    * stored code's codebook reconstruction and the vector it encodes —
+    * the quantizer-MSE leg of the index-health triad next to
+    * q_ann_recall (retrieval quality) and q_cell_drift (geometric
+    * drift). The reconstruction uses the PRE-final-iteration codebooks
+    * — the quantizer the stored assignment actually ranked against
+    * (the `centPrev` convention every frozen-codebook face shares) —
+    * so the measured error is the error the ADC search actually
+    * incurs. */
+  def pqDistortionQ(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val (cb, codes) = graft.similarity.Ivf.pqArtifacts(
+      emb, IvfCentroidIds, EmbDims, PqM, PqIters)
+    graft.similarity.Ivf
+      .pqDistortion(emb, cb, codes, EmbDims, PqM)
+      .orderBy("sub")
+  }
+
+  def pqDistortionOracle: String = {
+    val subDim = EmbDims / PqM
+    val recon = (0 until PqM)
+      .map(s =>
+        s"SELECT $s AS sub, a.vec_id, a.qe, c.ce FROM p${s}a$PqIters a " +
+          s"JOIN p${s}c${PqIters - 1} c ON a.code = c.code")
+      .mkString(" UNION ALL ")
+    pqOracleSql(
+      "", None,
+      finalSelect = Some(
+        s""",
+           |recon AS ($recon),
+           |derr AS (
+           |  SELECT sub, vec_id,
+           |    list_sum(list_transform(range(1, $subDim + 1),
+           |      i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS d
+           |  FROM recon)
+           |SELECT CAST(sub AS INTEGER) AS sub, count(*) AS n_vecs,
+           |  CAST(sum(d) AS BIGINT) AS sum_sqerr,
+           |  CAST(max(d) AS BIGINT) AS max_sqerr
+           |FROM derr GROUP BY sub ORDER BY sub""".stripMargin))
+  }
+
   val HardNegNProbe = 2
 
   /** CORPUS-SCALE hard-negative mining ([[graft.similarity.Ivf.hardNegatives]]):

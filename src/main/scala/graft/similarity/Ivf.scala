@@ -847,6 +847,50 @@ object Ivf {
     corpusCodes.join(
       deleteIds.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
 
+  /** PQ QUANTIZATION-DISTORTION monitor — the third leg of the index-
+    * health triad: [[cellDrift]] says the data moved geometrically, the
+    * recall monitor says retrieval quality degraded, and THIS says how
+    * much information the quantizer itself is losing — per subspace,
+    * the exact integer squared error between each stored code's
+    * reconstruction and the vector it stands for (micros², so the
+    * readout is hash-exact across engines with no float anywhere).
+    * Rising distortion on incoming commits is the earliest retrain
+    * signal of the three: it moves before recall does, because ADC
+    * ranking degrades only after errors get large RELATIVE to inter-
+    * vector distances.
+    *
+    * Scale shape: one corpus pass exploded to m sub-rows (narrow:
+    * subDim micros each), an id-keyed join to the stored codes, a
+    * broadcast join to the m×K codebook, then an m-key groupBy with
+    * map-side partial aggregation. No window, no corpus × corpus. */
+  def pqDistortion(
+      corpus: DataFrame,
+      codebooks: DataFrame,
+      codes: DataFrame,
+      dims: Int,
+      m: Int
+  ): DataFrame = {
+    val subDim = dims / m
+    val subStructs = (0 until m)
+      .map(s =>
+        s"struct(CAST($s AS INT) AS sub, slice(qe, ${s * subDim + 1}, $subDim) AS qe)")
+      .mkString(", ")
+    val qb = corpus.select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("qe"))
+      .select(col("vec_id"), expr(s"explode(array($subStructs))").as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.qe").as("qe"))
+    qb.join(codes, Seq("vec_id", "sub"))
+      .join(broadcast(codebooks), Seq("sub", "code"))
+      .withColumn("d", expr(IntDistSql))
+      .groupBy("sub")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("d")).as("sum_sqerr"),
+        max(col("d")).as("max_sqerr"))
+  }
+
   /** PQ training + corpus encoding, shared by [[pqPlan]] and
     * [[ivfPqProbeTopK]]. Returns (final codebooks `(sub, code, ce)`,
     * pre-final-iteration codebooks — the quantizer the final assignment
