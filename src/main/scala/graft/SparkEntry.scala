@@ -77,6 +77,7 @@ object SparkEntry {
     "q_sim_topk_lsh" -> (PipelineQueries.simTopKLsh _),
     "q_lang_id" -> (PipelineQueries.langId _),
     "q_quality_score" -> (PipelineQueries.qualityScore _),
+    "q_quality_sweep" -> (PipelineQueries.qualitySweep _),
     "q_rolling_fingerprint" -> (PipelineQueries.rollingFingerprint _),
     "q_unicode_nfc" -> (PipelineQueries.unicodeNfc _),
     "q_dedup_cosine" -> (PipelineQueries.cosineDuplicates _),
@@ -493,6 +494,7 @@ object SparkEntry {
     "q_sim_topk_lsh" -> PipelineQueries.simTopKLshOracle,
     "q_lang_id" -> PipelineQueries.langIdOracle,
     "q_quality_score" -> PipelineQueries.qualityOracle,
+    "q_quality_sweep" -> PipelineQueries.qualitySweepOracle,
     "q_rolling_fingerprint" -> PipelineQueries.rollingFingerprintOracle,
     "q_unicode_nfc" -> PipelineQueries.unicodeNfcOracle,
     "q_dedup_cosine" -> PipelineQueries.cosineDuplicatesOracle,

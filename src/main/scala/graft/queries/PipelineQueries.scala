@@ -1577,6 +1577,58 @@ object PipelineQueries {
         TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** QUALITY THRESHOLD SWEEP — the operating-point curve behind every
+    * "quality >= T" filter decision: one row per distinct quality level
+    * with the docs/tokens AT that level and the docs/tokens a filter
+    * set at that level would KEEP (cumulative from the top). This is
+    * what a pipeline owner reads before moving a threshold: the exact
+    * data cost of each candidate cut, in documents and training
+    * tokens, from one corpus pass.
+    *
+    * Scale shape: ONE scan computes (quality, n_words) per doc; the
+    * level histogram is a groupBy over the ~11 discrete blend values;
+    * the cumulative join is levels × levels on a ≤ dozen-row frame
+    * (deliberately a tiny nested-loop join rather than an
+    * unpartitioned window — the global-window ban holds even where it
+    * would be harmless). */
+  def qualitySweep(s: SparkSession, d: String): DataFrame = {
+    val scored = documents(s, d).select(
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"))
+    val levels = scored
+      .groupBy("quality")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"))
+      .localCheckpoint(true)
+    val cum = levels.select(col("quality"))
+      .join(
+        broadcast(levels.select(
+          col("quality").as("q2"), col("n_docs"), col("n_words"))),
+        col("q2") >= col("quality"))
+      .groupBy("quality")
+      .agg(
+        sum("n_docs").as("n_docs_kept"),
+        sum("n_words").as("n_tokens_kept"))
+    levels
+      .select(col("quality"), col("n_docs"), col("n_words").as("n_tokens"))
+      .join(cum, Seq("quality"))
+      .orderBy("quality")
+  }
+
+  def qualitySweepOracle: String =
+    s"""WITH $qualityCtesSql,
+       |w AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words
+       |  FROM documents),
+       |lv AS (
+       |  SELECT q.quality, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(w.n_words) AS BIGINT) AS n_tokens
+       |  FROM q JOIN w USING (doc_id) GROUP BY 1)
+       |SELECT a.quality, a.n_docs, a.n_tokens,
+       |  CAST((SELECT sum(b.n_docs) FROM lv b WHERE b.quality >= a.quality) AS BIGINT) AS n_docs_kept,
+       |  CAST((SELECT sum(b.n_tokens) FROM lv b WHERE b.quality >= a.quality) AS BIGINT) AS n_tokens_kept
+       |FROM lv a ORDER BY quality""".stripMargin
+
   // --- generated DuckDB oracle SQL ----------------------------------------
 
   /** Distinct word-3-gram shingles per doc, hashed to 60-bit longs (same
