@@ -31,7 +31,7 @@ class QualitySweepSpec extends SparkSuite {
       assert(sweep(i)._5 == above.map(_._3).sum,
         s"tokens_kept at ${sweep(i)._1} must equal the suffix sum")
     }
-    assert(sweep.map(_._4).toSeq == sweep.map(_._4).sorted.reverse,
+    assert(sweep.map(_._4).toSeq == sweep.map(_._4).sorted.reverse.toSeq,
       "raising the threshold can only shrink the kept set")
   }
 }
