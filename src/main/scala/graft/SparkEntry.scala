@@ -68,6 +68,8 @@ object SparkEntry {
     "q_curation_pipeline" -> (PipelineQueries.curationPipeline _),
     "q_incremental_dedup" -> (PipelineQueries.incrementalDedup _),
     "q_incremental_minhash" -> (PipelineQueries.minhashIncrementalQ _),
+    "q_incremental_clusters" -> (PipelineQueries.incrementalClusters _),
+    "q_jaccard_sweep" -> (PipelineQueries.jaccardSweep _),
     "q_corpus_commit" -> (PipelineQueries.corpusCommit _),
     "q_corpus_diff" -> (PipelineQueries.corpusDiffQ _),
     "q_corpus_retract" -> (PipelineQueries.corpusRetract _),
@@ -485,6 +487,8 @@ object SparkEntry {
     "q_curation_pipeline" -> PipelineQueries.curationPipelineOracle,
     "q_incremental_dedup" -> PipelineQueries.incrementalDedupOracle,
     "q_incremental_minhash" -> PipelineQueries.minhashIncrementalOracle,
+    "q_incremental_clusters" -> PipelineQueries.incrementalClustersOracle,
+    "q_jaccard_sweep" -> PipelineQueries.jaccardSweepOracle,
     "q_corpus_commit" -> PipelineQueries.corpusCommitOracle,
     "q_corpus_diff" -> PipelineQueries.corpusDiffOracle,
     "q_corpus_retract" -> PipelineQueries.corpusRetractOracle,

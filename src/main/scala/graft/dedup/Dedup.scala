@@ -190,6 +190,36 @@ object Dedup {
     jaccardVerifyTwoSided(bSh, cSh, cands, threshold)
   }
 
+  /** INCREMENTAL connected components — the clustering face of the
+    * ingest gate family: fold a delivery's new near-dup pairs (batch ×
+    * corpus from [[minhashIncremental]], batch × batch from
+    * [[minhashDuplicates]] over the batch alone) into the STORED
+    * component assignment without regenerating the corpus's pair set.
+    * The stored assignment is spanned exactly by its star edges
+    * (member → component root), so CC over (star edges ∪ new pairs)
+    * equals CC over (all old pairs ∪ new pairs) — and because banding
+    * and the exact-Jaccard verify are per-pair deterministic, the old ∪
+    * new pair union IS the from-scratch pair set of corpus ∪ batch.
+    * Both identities compose to the incremental law IncClustersSpec
+    * pins: incremental == rebuilt-from-scratch clustering (and
+    * q_incremental_clusters pins it cross-engine against the recursive
+    * transitive-closure oracle).
+    *
+    * Scale shape: the edge set is |dup members| star edges (far below
+    * the original pair count — a k-clique stored as k−1 edges) plus the
+    * batch-sized new pairs, and label propagation starts from an
+    * almost-converged labeling, so iterations touch only components the
+    * delivery actually merges. */
+  def incrementalComponents(
+      storedComponents: DataFrame,
+      newPairs: DataFrame
+  ): DataFrame =
+    connectedComponents(
+      storedComponents
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("id_a"), col("component").as("id_b"))
+        .unionByName(newPairs.select("id_a", "id_b")))
+
   /** The (id, band, bh) banded-signature table of a corpus — the stored
     * band-table ARTIFACT a continuous-ingest pipeline computes once and
     * keeps: [[minhashIncremental]] joins fresh batch bands against it,

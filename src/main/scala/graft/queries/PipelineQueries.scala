@@ -2080,6 +2080,78 @@ object PipelineQueries {
        |SELECT id, least(id, min(r)) AS component
        |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** INCREMENTAL near-dup clustering
+    * ([[graft.dedup.Dedup.incrementalComponents]]) — the clustering
+    * face of the incremental dedup family, closing the gap between
+    * q_incremental_minhash (which emits the delivery's new PAIRS) and
+    * q_dup_clusters (which recomputes components from scratch): the
+    * corpus's stored component assignment folds in the delivery's
+    * batch×corpus and batch×batch pairs through the star-edge identity,
+    * and the result must equal from-scratch clustering of corpus ∪
+    * batch — which is exactly what the oracle computes (the recursive
+    * transitive closure over ALL documents' pairs), so the incremental
+    * law is hash-checked cross-engine, not assumed. Same
+    * [[MinhashIncMod]] split as the pair-face query. */
+  def incrementalClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val corpus = docs.filter(col("doc_id") % MinhashIncMod =!= 0)
+    val batch = docs.filter(col("doc_id") % MinhashIncMod === 0)
+    val storedComponents = Dedup.connectedComponents(
+      Dedup.minhashDuplicates(corpus, "doc_id", "text",
+          MinhashHashes, MinhashBands, MinhashThreshold)
+        .select("id_a", "id_b"))
+    val newPairs = Dedup
+      .minhashIncremental(corpus, batch, "doc_id", "text",
+        MinhashHashes, MinhashBands, MinhashThreshold)
+      .select("id_a", "id_b")
+      .unionByName(Dedup
+        .minhashDuplicates(batch, "doc_id", "text",
+          MinhashHashes, MinhashBands, MinhashThreshold)
+        .select("id_a", "id_b"))
+    Dedup.incrementalComponents(storedComponents, newPairs).orderBy("id")
+  }
+
+  /** The from-scratch clustering oracle IS the incremental oracle. */
+  def incrementalClustersOracle: String = dupClustersOracle
+
+  /** MinHash-verify THRESHOLD SWEEP — the dedup knob's operating-point
+    * curve, the [[qualitySweep]] of the near-dup family: the verified
+    * pair jaccards bucket at 0.05 width, one row per live bucket with
+    * the pairs AT that level and the pairs a verify threshold set there
+    * would still flag (cumulative from the top). What a pipeline owner
+    * reads before raising [[MinhashThreshold]]: exactly how much dup
+    * mass each candidate threshold stops catching. Same tiny
+    * broadcast-NLJ cumulative as the quality sweep — no unpartitioned
+    * window. */
+  def jaccardSweep(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashDuplicates(documents(s, d), "doc_id", "text",
+      MinhashHashes, MinhashBands, MinhashThreshold)
+    val levels = pairs
+      .select((floor(col("jaccard") * 20).cast("double") / 20.0)
+        .as("jaccard_bucket"))
+      .groupBy("jaccard_bucket")
+      .agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint(true)
+    val cum = levels.select(col("jaccard_bucket"))
+      .join(
+        broadcast(levels.select(
+          col("jaccard_bucket").as("b2"), col("n_pairs"))),
+        col("b2") >= col("jaccard_bucket"))
+      .groupBy("jaccard_bucket")
+      .agg(sum("n_pairs").as("n_pairs_kept"))
+    levels.join(cum, Seq("jaccard_bucket")).orderBy("jaccard_bucket")
+  }
+
+  def jaccardSweepOracle: String =
+    s"""WITH $minhashPairsCtes,
+       |bk AS (SELECT floor(jaccard * 20) / 20 AS jaccard_bucket FROM pairs),
+       |lv AS (
+       |  SELECT jaccard_bucket, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM bk GROUP BY 1)
+       |SELECT a.jaccard_bucket, a.n_pairs,
+       |  CAST((SELECT sum(b.n_pairs) FROM lv b WHERE b.jaccard_bucket >= a.jaccard_bucket) AS BIGINT) AS n_pairs_kept
+       |FROM lv a ORDER BY jaccard_bucket""".stripMargin
+
   /** The end-to-end fuzzy-dedup verb a corpus pipeline actually runs:
     * near-dup pairs → components → keep min id per component → anti-join
     * the drop list off the corpus. The drop list grows with corpus dup
