@@ -220,6 +220,37 @@ object Dedup {
         .select(col("id").as("id_a"), col("component").as("id_b"))
         .unionByName(newPairs.select("id_a", "id_b")))
 
+  /** [[minhashIncremental]] against STORED corpus artifacts — the cost
+    * model a continuous-ingest deployment actually pays per delivery:
+    * the corpus band table ([[bandTable]]) and shingle-row table
+    * ([[shingleRows]], checkpointed) are deploy-time artifacts read as
+    * they stand, so the timed work is batch shingling + signatures, the
+    * band join against the stored table, and the two-sided exact
+    * verify. Identical pair semantics to [[minhashIncremental]] (same
+    * helpers), minus the per-delivery corpus re-scan — IncClustersSpec
+    * pins the agreement. */
+  def minhashIncrementalFromArtifacts(
+      corpusBands: DataFrame,
+      corpusShingleRows: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bSh = shingleRows(batch, idCol, textCol).localCheckpoint(true)
+    val bBand = bandedSignatures(signatureOfShingles(bSh, numHashes), bands, rows)
+    val cands = bBand.as("a")
+      .join(corpusBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    jaccardVerifyTwoSided(bSh, corpusShingleRows, cands, threshold)
+  }
+
   /** The (id, band, bh) banded-signature table of a corpus — the stored
     * band-table ARTIFACT a continuous-ingest pipeline computes once and
     * keeps: [[minhashIncremental]] joins fresh batch bands against it,

@@ -673,6 +673,140 @@ object ScaleStress {
       noop(graft.queries.PipelineQueries.leakageSafeSplitFrom(
         corpus.select("doc_id"),
         trioCc.withColumnRenamed("id", "doc_id"))))
+    // Untimed dependency guard: when SPARK_GRAFT_STRESS_ONLY filtered
+    // out the trio build, the CC frame is rebuilt here (outside any
+    // timed window) so the dependent stages below still run.
+    def trioCcOrBuild(): DataFrame = {
+      if (trioCc == null)
+        trioCc = Dedup.connectedComponents(
+          Dedup.minhashDuplicates(corpus, "doc_id", "text", 8, 4, 0.5)
+            .select("id_a", "id_b")).localCheckpoint(true)
+      trioCc
+    }
+    // Round-11b: SOFT-DEDUP weights + sample over the shared CC build —
+    // one component-keyed groupBy joined back to the corpus plus a
+    // map-side hash draw; the increment over the trio replays must be
+    // corpus-linear (no new pair generation, no window).
+    if (only.exists(sel => "r11b soft-dedup: weights + sample".contains(sel) ||
+        "r11b inc clusters: per-delivery fold".contains(sel)))
+      trioCcOrBuild()
+    time("r11b soft-dedup: weights + sample") {
+      val withComp = corpus.select("doc_id")
+        .join(trioCcOrBuild().withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      val sizes = withComp.groupBy("component")
+        .agg(count(lit(1)).as("cluster_size"))
+      val weights = withComp.join(sizes, Seq("component"))
+        .select(col("doc_id"),
+          expr("CAST((2000000 + cluster_size) DIV (2 * cluster_size) AS BIGINT)")
+            .as("weight_micros"))
+      noop(weights.filter(
+        Dedup.hash60(concat_ws(":", lit("graft-wsample-v1"),
+          col("doc_id").cast("string"))) % 1000000L < col("weight_micros")))
+    }
+    // Round-11b: INCREMENTAL CLUSTERING A/B — one fresh replica arrives.
+    // Rebuild regenerates the full (corpus ∪ batch) pair set and runs CC
+    // from cold; the fold generates only the delivery's pairs
+    // (batch×corpus banding + batch×batch) and folds them into the
+    // stored assignment's star edges. The fold's advantage must GROW
+    // with corpus size — that is the incremental claim.
+    time("r11b inc clusters: e2e rebuild") {
+      val batch = base.select(
+        (col("doc_id") + lit(replicas * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(" replicaX")).as("text"))
+      val all = corpus.select("doc_id", "text").unionByName(batch)
+      noop(Dedup.connectedComponents(
+        Dedup.minhashDuplicates(all, "doc_id", "text", 8, 4, 0.5)
+          .select("id_a", "id_b")))
+    }
+    // The deployment's split: band table + shingle rows are deploy-time
+    // stored artifacts (timed as the build half); the per-delivery half
+    // is ONLY what each arriving replica pays — batch banding, the join
+    // against the stored band table, the two-sided verify, and the CC
+    // fold from the stored assignment's star edges. The per-delivery
+    // cost must stay near-flat as the corpus grows (bounded band
+    // buckets), while the rebuild above grows with the corpus.
+    var incBands: DataFrame = null
+    var incShRows: DataFrame = null
+    time("r11b inc clusters: artifacts build") {
+      incBands = Dedup.bandTable(corpus, "doc_id", "text", 8, 4)
+        .localCheckpoint(true)
+      incShRows = Dedup.shingleRows(corpus, "doc_id", "text")
+        .localCheckpoint(true)
+    }
+    time("r11b inc clusters: per-delivery fold") {
+      val batch = base.select(
+        (col("doc_id") + lit(replicas * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(" replicaX")).as("text"))
+      val newPairs = Dedup
+        .minhashIncrementalFromArtifacts(
+          incBands, incShRows, batch, "doc_id", "text", 8, 4, 0.5)
+        .select("id_a", "id_b")
+        .unionByName(Dedup
+          .minhashDuplicates(batch, "doc_id", "text", 8, 4, 0.5)
+          .select("id_a", "id_b"))
+      noop(Dedup.incrementalComponents(trioCcOrBuild(), newPairs))
+    }
+    // Round-11b: RELEASE MANIFEST — one map-side pass (hash + length +
+    // token count per doc) into an 8-key groupBy with map-side partial
+    // aggregation; must be flat-per-row linear, the cheapest curve in
+    // the battery.
+    time("r11b release manifest") {
+      noop(graft.queries.TextQueries.releaseManifestOf(
+        corpus.select("doc_id", "text")))
+    }
+    // Round-11b: CROSS-SOURCE OVERLAP MATRIX — the banded pair engine
+    // plus two id-keyed source joins and a sources²-bounded rollup; the
+    // fingerprint half's self-join groups are bounded by the source
+    // count. Must track the minhash e2e curve, not exceed it.
+    time("r11b source overlap matrix") {
+      noop(graft.queries.PipelineQueries.sourceOverlapOf(corpus))
+    }
+    // Round-11b: AUDIO-TEXT ALIGNMENT — real WAV decode + 16-segment
+    // energy fold per clip (per-row flatMap; the blob never shuffles),
+    // one clip-keyed pivot, a doc-keyed join to the 16-dim text
+    // projection, row-local scoring. Decode-bound linear.
+    time("r11b audiotext align e2e") {
+      graft.functions.DotProduct.register(spark)
+      val mm = graft.multimodal.Multimodal
+      val aFeat = mm
+        .segmentAudio(
+          mm.syntheticWavCorpus(
+            corpus.select("doc_id", "text"), "doc_id", "text"), 16)
+        .toDF()
+        .groupBy("mediaId")
+        .agg(sort_array(collect_list(struct(col("segmentIdx"), col("sumSq"))))
+          .as("segs"))
+        .select(
+          col("mediaId").as("doc_id"),
+          expr("transform(segs, x -> CAST(x.sumSq AS DOUBLE))").as("ih"))
+      noop(graft.queries.PipelineQueries.alignScores(
+        aFeat,
+        graft.queries.PipelineQueries.textProjection(
+          replicatedEmb(withLabel = false)
+            .select(col("vec_id"), col("embedding")))))
+    }
+    // Round-11b: PQ DISTORTION MONITOR against a stored index — the
+    // index builds once (its own timed stage, the deploy-time cost);
+    // the monitor is the recurring pass: one corpus scan exploded to m
+    // narrow sub-rows, an id-keyed code join, a broadcast codebook
+    // join, an m-key groupBy. Must be flat-per-row linear like the
+    // manifest.
+    var pqMonCb: DataFrame = null
+    var pqMonCodes: DataFrame = null
+    time("r11b pq distortion: index build (K∝N)") {
+      val (cb, codes) = graft.similarity.Ivf.pqArtifacts(
+        replicatedEmb(withLabel = false), replicaSeeds,
+        dims = 64, m = 4, iters = 2)
+      pqMonCb = cb.localCheckpoint(true)
+      pqMonCodes = codes.localCheckpoint(true)
+    }
+    time("r11b pq distortion: monitor pass") {
+      noop(graft.similarity.Ivf.pqDistortion(
+        replicatedEmb(withLabel = false), pqMonCb, pqMonCodes,
+        dims = 64, m = 4))
+    }
     // Offset-stage A/B at FIXED sizes (does not scale with replicas):
     // the lang-keyed window sorts each language's doc rows in ONE task;
     // the hierarchical prefix sum spreads the same work over

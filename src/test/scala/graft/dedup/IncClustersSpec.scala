@@ -33,6 +33,24 @@ class IncClustersSpec extends SparkSuite {
       == comp(stored))
   }
 
+  test("artifact-driven incremental pairs == recomputing incremental pairs") {
+    import graft.queries.PipelineQueries._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % MinhashIncMod =!= 0)
+    val batch = docs.filter(col("doc_id") % MinhashIncMod === 0)
+    def pairs(df: DataFrame) = df.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stored = pairs(Dedup.minhashIncrementalFromArtifacts(
+      Dedup.bandTable(corpus, "doc_id", "text", MinhashHashes, MinhashBands),
+      Dedup.shingleRows(corpus, "doc_id", "text"),
+      batch, "doc_id", "text", MinhashHashes, MinhashBands, MinhashThreshold))
+    val recomputed = pairs(Dedup.minhashIncremental(
+      corpus, batch, "doc_id", "text",
+      MinhashHashes, MinhashBands, MinhashThreshold))
+    assert(stored == recomputed)
+  }
+
   test("real fixture: incremental == from-scratch clustering of corpus ∪ batch") {
     import graft.queries.PipelineQueries._
     val d = "/root/testdata/sf0.001"
