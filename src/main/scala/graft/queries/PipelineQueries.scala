@@ -4812,31 +4812,53 @@ object PipelineQueries {
       guardedFrameIds(mm.gifFrameHashes(originals.union(twins)).toDF())
         .localCheckpoint(true)
     val pairs = Dedup.hammingPairs(hashes, 56, PhashMaxHamming, PhashBlocks)
+    clipPairRollup(hashes, pairs, VideoNeardupFrac,
+      "video_a", "video_b", "n_frames_a", "n_frames_b")
+  }
+
+  /** The clip-pair rollup SHARED by the video and audio near-dup
+    * verdicts ([[videoNeardup]], [[audioNeardup]]): decode the
+    * `media_id·10 + part_idx` pair ids out of [[Dedup.hammingPairs]]
+    * output, drop intra-clip matches, count matched / index-aligned
+    * parts per (clip_a, clip_b) against per-clip part counts derived
+    * from the hash table itself, and keep pairs at or above the
+    * matched-fraction floor. The rollup input is the already
+    * band-bounded pair set, the groupBy is pair-volume-sized, and the
+    * count join is clip-id-keyed — nothing here re-touches parts or
+    * blobs. Fractions use the floor-6-decimal discipline every
+    * cross-engine float column uses. */
+  private def clipPairRollup(
+      hashes: DataFrame,
+      pairs: DataFrame,
+      frac: Double,
+      aCol: String,
+      bCol: String,
+      nACol: String,
+      nBCol: String): DataFrame = {
     val nf = hashes
       .select(expr("id div 10").as("v"))
       .groupBy("v")
-      .agg(count(lit(1)).as("n_frames"))
+      .agg(count(lit(1)).as("n_parts"))
     val roll = pairs
       .select(
-        expr("id_a div 10").as("video_a"), expr("id_a % 10").as("fa"),
-        expr("id_b div 10").as("video_b"), expr("id_b % 10").as("fb"))
-      .filter(col("video_a") =!= col("video_b"))
-      .groupBy("video_a", "video_b")
+        expr("id_a div 10").as("ma"), expr("id_a % 10").as("fa"),
+        expr("id_b div 10").as("mb"), expr("id_b % 10").as("fb"))
+      .filter(col("ma") =!= col("mb"))
+      .groupBy("ma", "mb")
       .agg(
         count(lit(1)).as("n_pairs"),
         sum(when(col("fa") === col("fb"), 1L).otherwise(0L)).as("n_aligned"),
         countDistinct("fa").as("n_matched_a"))
     roll
-      .join(nf.select(col("v").as("video_a"), col("n_frames").as("n_frames_a")),
-        Seq("video_a"))
-      .join(nf.select(col("v").as("video_b"), col("n_frames").as("n_frames_b")),
-        Seq("video_b"))
+      .join(nf.select(col("v").as("ma"), col("n_parts").as("na")), Seq("ma"))
+      .join(nf.select(col("v").as("mb"), col("n_parts").as("nb")), Seq("mb"))
       .withColumn("frac_a",
-        floor(col("n_matched_a") / col("n_frames_a") * 1000000L) / 1000000L)
-      .filter(col("frac_a") >= VideoNeardupFrac)
-      .select("video_a", "video_b", "n_frames_a", "n_frames_b",
-        "n_pairs", "n_aligned", "n_matched_a", "frac_a")
-      .orderBy("video_a", "video_b")
+        floor(col("n_matched_a") / col("na") * 1000000L) / 1000000L)
+      .filter(col("frac_a") >= frac)
+      .select(col("ma").as(aCol), col("mb").as(bCol),
+        col("na").as(nACol), col("nb").as(nBCol),
+        col("n_pairs"), col("n_aligned"), col("n_matched_a"), col("frac_a"))
+      .orderBy(aCol, bCol)
   }
 
   def videoNeardupOracle: String = {
@@ -5023,6 +5045,68 @@ object PipelineQueries {
        |FROM fp a JOIN fp b ON a.is_batch = 1 AND b.is_batch = 0
        |WHERE bit_count(xor(a.fp, b.fp)) <= $PhashMaxHamming
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Matched-window-fraction floor for a clip-pair audio verdict. */
+  val AudioNeardupFrac = 0.6
+
+  /** AUDIO-LEVEL (clip) near-dup verdicts — the clip-pair rollup of
+    * [[audioPhash]]'s window pairs through the SAME [[clipPairRollup]]
+    * arithmetic as the video verdict, so a re-encoded audio upload is
+    * flagged ONCE as a clip, not once per window: decode the
+    * `media_id·10 + window_idx` pair ids, drop intra-clip matches, and
+    * keep (clip_a, clip_b) pairs where the fraction of clip_a's windows
+    * with a match in clip_b reaches [[AudioNeardupFrac]]; `n_aligned`
+    * (matches at the same window index) is the offset-consistency
+    * signal — an amplitude-shifted re-encode matches window-for-window.
+    * Rollup cost rides the audio stress stage's curve: its input is the
+    * band-bounded pair set, so the added groupBy is pair-volume-sized. */
+  def audioNeardup(s: SparkSession, d: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    import s.implicits._
+    val docs = documents(s, d).select("doc_id", "text")
+    val originals = mm.syntheticWavCorpus(docs, "doc_id", "text")
+    val twins = mm
+      .syntheticWavCorpus(docs, "doc_id", "text",
+        amplitudeDelta = AudioFpDelta)
+      .map(m => m.copy(mediaId = m.mediaId + PhashTwinOffset))
+    val hashes = mm
+      .audioFingerprints(originals.union(twins), AudioFpWindows)
+      .toDF()
+      .select(
+        (col("mediaId") * 10L + col("windowIdx")).as("id"),
+        col("fp").as("simhash"))
+      .localCheckpoint(true)
+    val pairs = Dedup.hammingPairs(hashes, 56, PhashMaxHamming, PhashBlocks)
+    clipPairRollup(hashes, pairs, AudioNeardupFrac,
+      "clip_a", "clip_b", "n_windows_a", "n_windows_b")
+  }
+
+  def audioNeardupOracle: String =
+    s"""${audioFpOracleCtes("")},
+       |wpairs AS (
+       |  SELECT a.id // 10 AS clip_a, a.id % 10 AS fa,
+       |         b.id // 10 AS clip_b, b.id % 10 AS fb
+       |  FROM fp a JOIN fp b ON a.id < b.id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= $PhashMaxHamming
+       |    AND a.id // 10 <> b.id // 10),
+       |nw AS (SELECT id // 10 AS v, count(*) AS n FROM fp GROUP BY 1),
+       |roll AS (
+       |  SELECT clip_a, clip_b, count(*) AS n_pairs,
+       |    sum(CASE WHEN fa = fb THEN 1 ELSE 0 END) AS n_aligned,
+       |    count(DISTINCT fa) AS n_matched_a
+       |  FROM wpairs GROUP BY 1, 2)
+       |SELECT r.clip_a, r.clip_b,
+       |  CAST(na.n AS BIGINT) AS n_windows_a,
+       |  CAST(nb.n AS BIGINT) AS n_windows_b,
+       |  CAST(r.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(r.n_aligned AS BIGINT) AS n_aligned,
+       |  CAST(r.n_matched_a AS BIGINT) AS n_matched_a,
+       |  floor(CAST(r.n_matched_a AS DOUBLE) / na.n * 1000000) / 1000000 AS frac_a
+       |FROM roll r
+       |JOIN nw na ON r.clip_a = na.v
+       |JOIN nw nb ON r.clip_b = nb.v
+       |WHERE floor(CAST(r.n_matched_a AS DOUBLE) / na.n * 1000000) / 1000000 >= $AudioNeardupFrac
+       |ORDER BY clip_a, clip_b""".stripMargin
 
   /** Resize target of the declared resize query (4×4 — small enough that
     * the oracle's per-pixel arithmetic stays a 16-element list op). */

@@ -434,6 +434,29 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("audio clip rollup flags every planted amplitude twin at frac 1.0") {
+    val d = "/root/testdata/sf0.001"
+    val P = graft.queries.PipelineQueries
+    val ids = graft.queries.Tables.documents(spark, d)
+      .select("doc_id").collect().map(_.getLong(0))
+    val rows = P.audioNeardup(spark, d).collect()
+    val byPair = rows.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // Planted recall at the CLIP level: every doc's amplitude twin
+    // rolls up to a verdict with every window matched, window-aligned.
+    // (Unlike the video fixture, tiny same-length windows share
+    // structural bits — see the window-level test below — so structural
+    // coincidences CAN survive the floor here; the claim is recall and
+    // alignment of the planted twins, not surgical exclusivity.)
+    ids.foreach { id =>
+      val r = byPair.getOrElse((id, id + P.PhashTwinOffset),
+        fail(s"missing twin verdict for clip $id"))
+      assert(r.getLong(2) == P.AudioFpWindows.toLong)
+      assert(r.getLong(6) == r.getLong(2), "twin must match every window")
+      assert(r.getLong(5) >= r.getLong(2), "aligned window matches missing")
+      assert(r.getDouble(7) == 1.0)
+    }
+  }
+
   test("audio fingerprint recovers every planted amplitude-twin window") {
     val d = "/root/testdata/sf0.001"
     val nDocs = graft.queries.Tables.documents(spark, d).count()
