@@ -140,6 +140,7 @@ object SparkEntry {
     "q_semantic_dedup" -> (PipelineQueries.semanticDedup _),
     "q_semantic_decontam" -> (PipelineQueries.semanticDecontam _),
     "q_incremental_semantic" -> (PipelineQueries.semanticDedupIncrementalQ _),
+    "q_semantic_commit" -> (PipelineQueries.semanticCommit _),
     "q_cell_drift" -> (PipelineQueries.cellDrift _),
     "q_incremental_ngram" -> (PipelineQueries.ngramJaccardIncrementalQ _),
     // --- round-7 widening: mixing, batching, mining, sliding/outer stream ---
@@ -566,6 +567,7 @@ object SparkEntry {
     "q_semantic_dedup" -> PipelineQueries.semanticDedupOracle,
     "q_semantic_decontam" -> PipelineQueries.semanticDecontamOracle,
     "q_incremental_semantic" -> PipelineQueries.semanticDedupIncrementalOracle,
+    "q_semantic_commit" -> PipelineQueries.semanticCommitOracle,
     "q_cell_drift" -> PipelineQueries.cellDriftOracle,
     "q_incremental_ngram" -> PipelineQueries.ngramJaccardIncrementalOracle,
     "q_mix_weights" -> TextQueries.mixWeightsOracle,

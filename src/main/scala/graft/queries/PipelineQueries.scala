@@ -1293,6 +1293,46 @@ object PipelineQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** COMMIT face of the semantic family's stored artifact
+    * ([[graft.similarity.Ivf.commitCellAssignments]]): the vec_id % 9
+    * == 8 arrivals assign against the FROZEN corpus-trained centroid
+    * table (per-vector map work) and fold into the corpus's stored
+    * (vec_id, cell) assignment as a bare id-disjoint union. The emitted
+    * frame is the COMMITTED table itself, and the oracle REBUILDS it
+    * from scratch — one assignment pass over corpus ∪ arrivals — so the
+    * committed == rebuilt law is hash-checked cross-engine, the
+    * q_manifest_commit discipline. The artifact is what the incremental
+    * gate reads per delivery
+    * ([[graft.similarity.Ivf.semanticIncrementalFromArtifacts]], pinned
+    * == the recomputing gate in SemanticCommitSpec). */
+  def semanticCommit(s: SparkSession, d: String): DataFrame = {
+    val ivf = graft.similarity.Ivf
+    val emb = embeddings(s, d)
+    val corpus = emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue)
+    val arrivals = emb.filter(col("vec_id") % SemIncMod === SemIncResidue)
+    val cent = ivf.fixedCentroidsDouble(corpus, IvfCentroidIds)
+      .localCheckpoint(true)
+    val stored = ivf.assignCells(corpus, cent).localCheckpoint(true)
+    ivf.commitCellAssignments(stored, cent, arrivals).orderBy("vec_id")
+  }
+
+  def semanticCommitOracle: String = {
+    val ids = IvfCentroidIds.mkString(", ")
+    s"""WITH c0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, emb AS cemb
+       |  FROM c0 WHERE vec_id IN ($ids))
+       |SELECT vec_id, cell FROM (
+       |  SELECT a.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_dot_product(a.emb, a.emb) - 2 * list_dot_product(a.emb, c.cemb) + list_dot_product(c.cemb, c.cemb) ASC,
+       |      c.cell ASC) AS rn
+       |  FROM c0 a CROSS JOIN cent c) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Centroid ids for the semantic-decontamination split: (1..8)·37 —
     * none ≡ 0 mod [[DecontamMod]] (13), so every centroid stays on the
     * corpus side of the corpus/holdout split and the cell numbering

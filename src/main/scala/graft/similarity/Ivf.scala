@@ -321,6 +321,97 @@ object Ivf {
       .select(col("id_b").as("vec_id"), col("cell"), col("n_dups"), col("max_score"))
   }
 
+  /** Map-side single-cell assignment of `src` embeddings against a
+    * frozen (cell, cemb) centroid table: argmin over the broadcast
+    * K-row centroid ARRAY inside one `array_min` lambda — per-vector
+    * map work, no |rows|×K row expansion, no window — with the same
+    * three-term double L2 and (dist, cell) tie-break every face of the
+    * fixed-centroid family uses, so the result is row-for-row equal to
+    * [[semanticDedup]]'s window-ranked assignment (SemanticCommitSpec
+    * pins it). This is the per-arrival body of the semantic commit. */
+  def assignCells(src: DataFrame, cent: DataFrame): DataFrame = {
+    Similarity.ensureFunctions(src)
+    val centArr = cent.agg(
+      collect_list(struct(col("cell"), col("cemb"))).as("cents"))
+    prepDouble(src)
+      .crossJoin(broadcast(centArr))
+      .withColumn("cell", expr(s"array_min(${cellStructsDblSql("emb")}).cell"))
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** COMMIT face of the SEMANTIC family's stored artifact — the corpus
+    * cell-assignment table the incremental gate reads
+    * ([[semanticDedupIncremental]]'s scaladoc names it: "a real
+    * pipeline trains centroids once and stores the corpus's cell
+    * assignment at ingest, so only the batch assignment is fresh work
+    * per delivery"). Arrivals assign against the FROZEN centroid table
+    * ([[assignCells]] — per-vector map work, no training, no corpus
+    * scan) and fold into the stored (vec_id, cell) table as a bare
+    * union — EXACT, because ids are disjoint (a loud `require`,
+    * batch-sized semi-join) and frozen-centroid assignment is
+    * per-vector deterministic, so committed == rebuilt-from-scratch on
+    * corpus ∪ accepted by construction and the fold is
+    * batching-invariant (SemanticCommitSpec pins both; the q_semantic_commit
+    * oracle REBUILDS from scratch, so the law is hash-checked
+    * cross-engine). RETRAINING the centroids is the separate decision;
+    * [[cellDrift]] / the q_ann_recall monitor are its triggers — the
+    * same split as [[commitPqCodes]]' codebooks. */
+  def commitCellAssignments(
+      stored: DataFrame,
+      cent: DataFrame,
+      arrivals: DataFrame
+  ): DataFrame = {
+    val clashes = arrivals.select("vec_id").distinct()
+      .join(stored.select("vec_id"), Seq("vec_id"), "left_semi")
+      .count()
+    require(clashes == 0L,
+      s"commitCellAssignments: $clashes arrival vec_id(s) already exist " +
+        "in the stored assignment — ids must be disjoint (re-key the " +
+        "batch before committing)")
+    stored.select("vec_id", "cell").unionByName(assignCells(arrivals, cent))
+  }
+
+  /** The incremental SemDeDup gate driven by the COMMITTED artifacts —
+    * the deployment's per-delivery cost model, mirroring
+    * [[graft.dedup.Dedup.minhashIncrementalFromArtifacts]]: the corpus
+    * side joins its STORED cell assignment by vec_id (an id-keyed join;
+    * the |corpus|×K assignment pass is never re-paid), only the batch
+    * assigns fresh against the frozen centroid table. Row-for-row equal
+    * to [[semanticDedupIncremental]] on the same split
+    * (SemanticCommitSpec pins it), because the stored assignment is the
+    * same deterministic argmin the recompute would produce. */
+  def semanticIncrementalFromArtifacts(
+      corpus: DataFrame,
+      storedAsg: DataFrame,
+      batch: DataFrame,
+      cent: DataFrame,
+      threshold: Double
+  ): DataFrame = {
+    Similarity.ensureFunctions(corpus)
+    val dot = Similarity.dotSql _
+    val centArr = cent.agg(
+      collect_list(struct(col("cell"), col("cemb"))).as("cents"))
+    val c = prepDouble(corpus)
+      .join(storedAsg.select("vec_id", "cell"), Seq("vec_id"))
+      .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
+      .select(col("vec_id").as("id_c"), col("emb").as("emb_c"),
+        col("nrm").as("nrm_c"), col("cell"))
+    val b = prepDouble(batch)
+      .crossJoin(broadcast(centArr))
+      .withColumn("cell", expr(s"array_min(${cellStructsDblSql("emb")}).cell"))
+      .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
+      .select(col("vec_id").as("id_b"), col("emb").as("emb_b"),
+        col("nrm").as("nrm_b"), col("cell"))
+    b.join(c, Seq("cell"))
+      .withColumn(
+        "score",
+        round(expr(dot("emb_b", "emb_c")) / (col("nrm_b") * col("nrm_c")), 6))
+      .filter(col("score") >= threshold)
+      .groupBy(col("id_b"), col("cell"))
+      .agg(count(lit(1)).as("n_dups"), max(col("score")).as("max_score"))
+      .select(col("id_b").as("vec_id"), col("cell"), col("n_dups"), col("max_score"))
+  }
+
   /** SEMANTIC decontamination — the embedding face of
     * [[graft.dedup.Dedup.contamination]]: shingle overlap catches
     * VERBATIM eval leakage, but a paraphrased benchmark item shares no
