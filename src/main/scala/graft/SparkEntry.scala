@@ -141,6 +141,8 @@ object SparkEntry {
     "q_semantic_decontam" -> (PipelineQueries.semanticDecontam _),
     "q_incremental_semantic" -> (PipelineQueries.semanticDedupIncrementalQ _),
     "q_semantic_commit" -> (PipelineQueries.semanticCommit _),
+    "q_knn_graph" -> (PipelineQueries.knnGraph _),
+    "q_semantic_clusters" -> (PipelineQueries.semanticClusters _),
     "q_cell_drift" -> (PipelineQueries.cellDrift _),
     "q_incremental_ngram" -> (PipelineQueries.ngramJaccardIncrementalQ _),
     // --- round-7 widening: mixing, batching, mining, sliding/outer stream ---
@@ -568,6 +570,8 @@ object SparkEntry {
     "q_semantic_decontam" -> PipelineQueries.semanticDecontamOracle,
     "q_incremental_semantic" -> PipelineQueries.semanticDedupIncrementalOracle,
     "q_semantic_commit" -> PipelineQueries.semanticCommitOracle,
+    "q_knn_graph" -> PipelineQueries.knnGraphOracle,
+    "q_semantic_clusters" -> PipelineQueries.semanticClustersOracle,
     "q_cell_drift" -> PipelineQueries.cellDriftOracle,
     "q_incremental_ngram" -> PipelineQueries.ngramJaccardIncrementalOracle,
     "q_mix_weights" -> TextQueries.mixWeightsOracle,

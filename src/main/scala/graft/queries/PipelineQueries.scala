@@ -1333,6 +1333,97 @@ object PipelineQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Neighbors kept per vector in the kNN-graph family. */
+  val KnnGraphK = 4
+
+  /** MUTUAL kNN graph over the embeddings table
+    * ([[graft.similarity.Ivf.mutualKnnEdges]]): every vector queries the
+    * IVF index it lives in (nProbe cells probed map-side, candidates
+    * from a cell-keyed shuffle join — both sides are the corpus, so
+    * nothing broadcasts), keeps its [[KnnGraphK]] best, and an
+    * undirected edge survives iff BOTH endpoints keep each other — the
+    * symmetric sparsifier that graph-based corpus organization
+    * (cluster pruning, diversity selection) builds on, with hub degree
+    * capped at k by construction. */
+  def knnGraph(s: SparkSession, d: String): DataFrame =
+    graft.similarity.Ivf
+      .mutualKnnEdges(embeddings(s, d), IvfCentroidIds, IvfNProbe, KnnGraphK)
+      .orderBy("id_a", "id_b")
+
+  /** The probe/assign/score/rank CTEs of the whole-corpus kNN edge set
+    * — shared by the graph and clusters oracles. Yields `medges`
+    * (mutual (id_a, id_b, score), id_a < id_b). */
+  private def knnEdgesCtes: String = {
+    val ids = IvfCentroidIds.mkString(", ")
+    s"""c0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, emb AS cemb
+       |  FROM c0 WHERE vec_id IN ($ids)),
+       |asg AS (
+       |  SELECT vec_id, emb, cell, sqrt(list_dot_product(emb, emb)) AS nrm FROM (
+       |    SELECT a.vec_id, a.emb, c.cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_dot_product(a.emb, a.emb) - 2 * list_dot_product(a.emb, c.cemb) + list_dot_product(c.cemb, c.cemb) ASC,
+       |        c.cell ASC) AS rn
+       |    FROM c0 a CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_vec_id, q_emb, cell, sqrt(list_dot_product(q_emb, q_emb)) AS q_nrm FROM (
+       |    SELECT a.vec_id AS q_vec_id, a.emb AS q_emb, c.cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_dot_product(a.emb, a.emb) - 2 * list_dot_product(a.emb, c.cemb) + list_dot_product(c.cemb, c.cemb) ASC,
+       |        c.cell ASC) AS rn
+       |    FROM c0 a CROSS JOIN cent c) WHERE rn <= $IvfNProbe),
+       |scored AS (
+       |  SELECT p.q_vec_id, s.vec_id,
+       |    round(list_dot_product(s.emb, p.q_emb) / (s.nrm * p.q_nrm), 6) AS score
+       |  FROM asg s JOIN probes p ON s.cell = p.cell AND s.vec_id <> p.q_vec_id),
+       |e AS (
+       |  SELECT q_vec_id AS src, vec_id AS dst, score FROM (
+       |    SELECT q_vec_id, vec_id, score,
+       |      row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id ASC) AS rnk
+       |    FROM scored) WHERE rnk <= $KnnGraphK),
+       |medges AS (
+       |  SELECT e1.src AS id_a, e1.dst AS id_b, e1.score
+       |  FROM e e1 JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src
+       |  WHERE e1.src < e1.dst)""".stripMargin
+  }
+
+  def knnGraphOracle: String =
+    s"""WITH $knnEdgesCtes
+       |SELECT id_a, id_b, score FROM medges
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** EMBEDDING-SPACE clusters: connected components over the mutual
+    * kNN graph — the grouping step of SemDeDup-style cluster pruning
+    * and topic-balanced selection, through the SAME CC engine every
+    * text dedup face uses (min-label propagation with the size-gated
+    * driver fast path), so the graph family inherits its scale story.
+    * Emits (id, component) for every vector with at least one mutual
+    * edge; isolated vectors are their own trivial cluster and are
+    * omitted, exactly like the text dup-cluster face. */
+  def semanticClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+      graft.similarity.Ivf
+        .mutualKnnEdges(embeddings(s, d), IvfCentroidIds, IvfNProbe, KnnGraphK)
+        .select("id_a", "id_b"))
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
+  def semanticClustersOracle: String =
+    s"""WITH RECURSIVE $knnEdgesCtes,
+       |gedges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM medges
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM medges),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM gedges
+       |  UNION
+       |  SELECT re.id, g.dst AS r FROM reach re JOIN gedges g ON g.src = re.r)
+       |SELECT id AS vec_id, least(id, min(r)) AS component
+       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+
   /** Centroid ids for the semantic-decontamination split: (1..8)·37 —
     * none ≡ 0 mod [[DecontamMod]] (13), so every centroid stays on the
     * corpus side of the corpus/holdout split and the cell numbering

@@ -412,6 +412,80 @@ object Ivf {
       .select(col("id_b").as("vec_id"), col("cell"), col("n_dups"), col("max_score"))
   }
 
+  /** Directed IVF-blocked kNN edges over the whole corpus — every
+    * vector is a query over the index it lives in: each probes its
+    * `nProbe` nearest cells (map-side array-sort over the broadcast
+    * K-row centroid array, the family's uniform probe shape), candidates
+    * come from a CELL-KEYED join of the probe frame against the
+    * single-cell assignment — both sides corpus-sized, so the join
+    * SHUFFLES on cell rather than broadcasting (this is the one member
+    * of the fixed-centroid family whose query side IS the corpus;
+    * [[fixedSearch]]'s broadcast-probes shape would ship the corpus to
+    * every executor) — and each vector keeps its k best by the shared
+    * bounded-heap rank. Pair work is Σ_cell |corpus∩cell|·nProbe-probed
+    * neighbors, the SemDeDup Σ cell² discipline, never corpus².
+    * Output: (q_vec_id, rnk, vec_id, score). */
+  def knnEdges(
+      corpus: DataFrame,
+      centroidIds: Seq[Long],
+      nProbe: Int,
+      k: Int
+  ): DataFrame = {
+    require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
+    Similarity.ensureFunctions(corpus)
+    val dot = Similarity.dotSql _
+    val cent = fixedCentroidsDouble(corpus, centroidIds)
+    val centArr = cent.agg(
+      collect_list(struct(col("cell"), col("cemb"))).as("cents"))
+    val structsSql = cellStructsDblSql("emb")
+    val c0 = prepDouble(corpus)
+    val probes = c0
+      .crossJoin(broadcast(centArr))
+      .withColumn("q_nrm", expr(s"sqrt(${dot("emb", "emb")})"))
+      .select(
+        col("vec_id").as("q_vec_id"), col("emb").as("q_emb"), col("q_nrm"),
+        explode(expr(
+          s"transform(slice(array_sort($structsSql), 1, $nProbe), p -> p.cell)"))
+          .as("cell"))
+    val asg = c0
+      .crossJoin(broadcast(centArr))
+      .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
+      .withColumn("cell", expr(s"array_min($structsSql).cell"))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+    val scored = asg.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .withColumn(
+        "score",
+        round(expr(dot("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    Similarity.rankTopK(scored, k)
+  }
+
+  /** MUTUAL kNN graph — the edge set graph-based corpus organization
+    * (SemDeDup-style cluster pruning, diversity selection, stratified
+    * curation) builds on: an undirected edge (a, b) exists iff a is in
+    * b's top-k AND b is in a's top-k. The mutuality filter is the
+    * standard symmetric sparsifier — a hub vector that merely APPEARS
+    * in everyone's list does not fuse unrelated regions, because its
+    * own k slots cap its degree at k. One semi-join of the directed
+    * edge set against its own reversal (edge-volume-sized, ≤ |corpus|·k
+    * rows); the cosine score is exactly symmetric (the fold-dot and the
+    * nrm product commute), so either direction's score is THE edge
+    * score. Output: (id_a, id_b, score) with id_a < id_b. */
+  def mutualKnnEdges(
+      corpus: DataFrame,
+      centroidIds: Seq[Long],
+      nProbe: Int,
+      k: Int
+  ): DataFrame = {
+    val e = knnEdges(corpus, centroidIds, nProbe, k)
+      .select(col("q_vec_id").as("src"), col("vec_id").as("dst"), col("score"))
+      .localCheckpoint(true)
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    e.filter(col("src") < col("dst"))
+      .join(rev, Seq("src", "dst"), "left_semi")
+      .select(col("src").as("id_a"), col("dst").as("id_b"), col("score"))
+  }
+
   /** SEMANTIC decontamination — the embedding face of
     * [[graft.dedup.Dedup.contamination]]: shingle overlap catches
     * VERBATIM eval leakage, but a paraphrased benchmark item shares no

@@ -1,0 +1,68 @@
+package graft.similarity
+
+import graft.SparkSuite
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Mutual kNN graph ([[Ivf.mutualKnnEdges]]) and the embedding-space
+  * clusters built on it: with full probing the IVF-blocked graph must
+  * equal the brute-force mutual-kNN graph exactly (the family's
+  * candidate-superset law), hub degree is capped at k by construction,
+  * and the CC labels obey the min-id-per-component convention every
+  * other cluster face uses. */
+class KnnGraphSpec extends SparkSuite {
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private val centroidIds = (0 until 8).map(_ * 37L)
+  private val k = 4
+
+  test("nProbe = K: IVF-blocked mutual graph == brute-force mutual kNN") {
+    val blocked = Ivf
+      .mutualKnnEdges(emb, centroidIds, nProbe = 8, k = k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val directed = Similarity
+      .cosineTopK(emb, emb, k)
+      .select("q_vec_id", "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val brute = directed
+      .filter { case (a, b) => a < b && directed.contains((b, a)) }
+    assert(blocked == brute)
+    assert(brute.nonEmpty, "fixture must produce mutual edges")
+  }
+
+  test("hub degree is capped at k on both endpoints") {
+    val edges = Ivf
+      .mutualKnnEdges(emb, centroidIds, nProbe = 2, k = k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val degree = edges
+      .flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity)
+      .map { case (_, v) => v.size }
+    assert(degree.nonEmpty && degree.max <= k)
+  }
+
+  test("cluster labels are the component minimum and cover every edge endpoint") {
+    val edges = Ivf
+      .mutualKnnEdges(emb, centroidIds, nProbe = 2, k = k)
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
+    val comp = Dedup.connectedComponents(edges)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    edges.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(comp(a) == comp(b), s"edge ($a, $b) split across components")
+    }
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min,
+        s"component $label is not its members' min id")
+    }
+  }
+}
