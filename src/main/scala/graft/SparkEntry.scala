@@ -141,6 +141,7 @@ object SparkEntry {
     "q_semantic_decontam" -> (PipelineQueries.semanticDecontam _),
     "q_incremental_semantic" -> (PipelineQueries.semanticDedupIncrementalQ _),
     "q_semantic_commit" -> (PipelineQueries.semanticCommit _),
+    "q_quality_drift" -> (PipelineQueries.qualityDrift _),
     "q_knn_graph" -> (PipelineQueries.knnGraph _),
     "q_semantic_clusters" -> (PipelineQueries.semanticClusters _),
     "q_cell_drift" -> (PipelineQueries.cellDrift _),
@@ -164,6 +165,7 @@ object SparkEntry {
     "q_repetition_filters" -> (PipelineQueries.repetitionFiltersQ _),
     "q_stream_dedup_corpus" -> (StreamingQueries.streamDedupCorpus _),
     "q_stream_quality" -> (StreamingQueries.streamQuality _),
+    "q_stream_quality_drift" -> (StreamingQueries.streamQualityDrift _),
     "q_stream_decontam" -> (StreamingQueries.streamDecontam _),
     "q_stream_neardup" -> (StreamingQueries.streamNearDup _),
     "q_stream_align" -> (StreamingQueries.streamAlign _),
@@ -570,6 +572,7 @@ object SparkEntry {
     "q_semantic_decontam" -> PipelineQueries.semanticDecontamOracle,
     "q_incremental_semantic" -> PipelineQueries.semanticDedupIncrementalOracle,
     "q_semantic_commit" -> PipelineQueries.semanticCommitOracle,
+    "q_quality_drift" -> PipelineQueries.qualityDriftOracle,
     "q_knn_graph" -> PipelineQueries.knnGraphOracle,
     "q_semantic_clusters" -> PipelineQueries.semanticClustersOracle,
     "q_cell_drift" -> PipelineQueries.cellDriftOracle,
@@ -589,6 +592,7 @@ object SparkEntry {
     "q_repetition_filters" -> PipelineQueries.repetitionFiltersOracle,
     "q_stream_dedup_corpus" -> StreamingQueries.streamDedupCorpusOracle,
     "q_stream_quality" -> StreamingQueries.streamQualityOracle,
+    "q_stream_quality_drift" -> StreamingQueries.streamQualityDriftOracle,
     "q_stream_decontam" -> StreamingQueries.streamDecontamOracle,
     "q_stream_neardup" -> StreamingQueries.streamNearDupOracle,
     "q_stream_align" -> StreamingQueries.streamAlignOracle,

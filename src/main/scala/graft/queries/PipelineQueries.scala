@@ -1333,6 +1333,77 @@ object PipelineQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** QUALITY-DISTRIBUTION drift monitor — the text-quality member of
+    * the drift-monitor family (q_cell_drift watches embedding geometry,
+    * q_ann_recall retrieval quality, q_pq_distortion the quantizer;
+    * THIS watches whether arriving data's quality-score distribution
+    * still looks like the corpus the filters were tuned on): per
+    * discrete quality level, corpus and arrival counts, each side's
+    * level fraction in exact integer micros (`n·10⁶ div total` — no
+    * float anywhere, so both engines agree bit-for-bit), and the
+    * absolute per-level fraction delta. Σ delta_micros / 2 is the total
+    * variation distance — the drift statistic — computable by the
+    * consumer with one more integer sum; it is deliberately NOT a
+    * log-ratio PSI, because ln is not correctly-rounded-guaranteed
+    * across engines while integer division is.
+    *
+    * Scale shape: two corpus passes collapse immediately to ≤ a dozen
+    * level rows (the quality blend has finitely many values); totals
+    * are 1-row aggregates of THOSE histograms crossJoined back — the
+    * readout composes level-count-sized frames only. */
+  def qualityDrift(s: SparkSession, d: String): DataFrame = {
+    val scored = documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    qualityDriftReadout(
+      scored.filter(col("doc_id") % IncrementalMod =!= 0)
+        .groupBy("quality").agg(count(lit(1)).as("corpus_n")),
+      scored.filter(col("doc_id") % IncrementalMod === 0)
+        .groupBy("quality").agg(count(lit(1)).as("batch_n")))
+  }
+
+  /** The drift readout over a frozen corpus histogram and an arrival
+    * histogram — shared by the batch and streaming faces so the two can
+    * never drift (the streaming face folds arrivals into `batch_n` in
+    * complete mode, state bounded by the level count, then joins the
+    * SAME baseline). */
+  private[graft] def qualityDriftReadout(
+      ch: DataFrame, bh: DataFrame): DataFrame = {
+    val ct = ch.agg(sum(col("corpus_n")).as("corpus_total"))
+    val bt = bh.agg(sum(col("batch_n")).as("batch_total"))
+    ch.join(bh, Seq("quality"), "full_outer")
+      .na.fill(0L, Seq("corpus_n", "batch_n"))
+      .crossJoin(broadcast(ct))
+      .crossJoin(broadcast(bt))
+      .withColumn("corpus_frac_micros",
+        expr("corpus_n * 1000000 DIV corpus_total"))
+      .withColumn("batch_frac_micros",
+        expr("batch_n * 1000000 DIV batch_total"))
+      .withColumn("delta_micros",
+        abs(col("batch_frac_micros") - col("corpus_frac_micros")))
+      .select("quality", "corpus_n", "batch_n",
+        "corpus_frac_micros", "batch_frac_micros", "delta_micros")
+      .orderBy("quality")
+  }
+
+  def qualityDriftOracle: String =
+    s"""WITH $qualityCtesSql,
+       |ch AS (SELECT quality, count(*) AS n FROM q
+       |       WHERE doc_id % $IncrementalMod <> 0 GROUP BY 1),
+       |bh AS (SELECT quality, count(*) AS n FROM q
+       |       WHERE doc_id % $IncrementalMod = 0 GROUP BY 1),
+       |ct AS (SELECT sum(n) AS t FROM ch),
+       |bt AS (SELECT sum(n) AS t FROM bh)
+       |SELECT COALESCE(ch.quality, bh.quality) AS quality,
+       |  CAST(COALESCE(ch.n, 0) AS BIGINT) AS corpus_n,
+       |  CAST(COALESCE(bh.n, 0) AS BIGINT) AS batch_n,
+       |  CAST(COALESCE(ch.n, 0) * 1000000 // ct.t AS BIGINT) AS corpus_frac_micros,
+       |  CAST(COALESCE(bh.n, 0) * 1000000 // bt.t AS BIGINT) AS batch_frac_micros,
+       |  CAST(abs(COALESCE(ch.n, 0) * 1000000 // ct.t
+       |         - COALESCE(bh.n, 0) * 1000000 // bt.t) AS BIGINT) AS delta_micros
+       |FROM ch FULL OUTER JOIN bh ON ch.quality = bh.quality, ct, bt
+       |ORDER BY quality""".stripMargin
+
   /** Neighbors kept per vector in the kNN-graph family. */
   val KnnGraphK = 4
 

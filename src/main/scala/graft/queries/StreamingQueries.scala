@@ -503,6 +503,38 @@ object StreamingQueries {
   /** The batch battery oracle IS the streaming oracle. */
   def streamQualityOracle: String = PipelineQueries.gopherFiltersOracle
 
+  /** STREAMING quality-distribution drift — the ingest-time face of
+    * [[PipelineQueries.qualityDrift]]: arrivals score row-local (the
+    * same blend the batch face uses), fold into a per-level count in
+    * COMPLETE mode (state bounded by the ~dozen discrete quality
+    * levels, not the stream), and the final histogram feeds the SAME
+    * [[PipelineQueries.qualityDriftReadout]] against the FROZEN corpus
+    * baseline histogram — the deploy-time artifact a production monitor
+    * computes once. Counts fold additively, so the result is
+    * batching-invariant by construction; the batch oracle is shared
+    * verbatim. */
+  def streamQualityDrift(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.IncrementalMod
+    val ta = graft.textanalysis.TextAnalysis
+    val corpusHist = documents(s, d)
+      .filter(col("doc_id") % IncrementalMod =!= 0)
+      .select(ta.qualityScore(col("text")).as("quality"))
+      .groupBy("quality").agg(count(lit(1)).as("corpus_n"))
+      .localCheckpoint(true)
+    val arrivals = StreamingOps.readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % IncrementalMod === 0)
+      .select(ta.qualityScore(col("text")).as("quality"))
+    val bh = runToMemory(
+      s,
+      arrivals.groupBy("quality").agg(count(lit(1)).as("batch_n")),
+      OutputMode.Complete(), "graft_stream_quality_drift")
+    PipelineQueries.qualityDriftReadout(corpusHist, bh)
+  }
+
+  /** Same readout, same split — the batch drift oracle IS the streaming
+    * oracle. */
+  def streamQualityDriftOracle: String = PipelineQueries.qualityDriftOracle
+
   /** Upper bound on holdout rows embedded as a plan literal by
     * [[decontamGateStream]] — generous for any eval suite, far below
     * anything corpus-shaped. */
