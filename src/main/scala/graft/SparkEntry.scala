@@ -190,6 +190,7 @@ object SparkEntry {
     "q_source_overlap" -> (PipelineQueries.sourceOverlap _),
     "q_weighted_sample" -> (PipelineQueries.weightedSample _),
     "q_token_fertility" -> (TextQueries.tokenFertility _),
+    "q_fertility_drift" -> (TextQueries.fertilityDrift _),
     // --- round-2 widening: set ops, cube, vocab, sampling, BPE tokens ---
     "q_setop_funnel" -> (EventQueries.setopFunnel _),
     "q_skew_agg" -> (EventQueries.skewAgg _),
@@ -617,6 +618,7 @@ object SparkEntry {
     "q_source_overlap" -> PipelineQueries.sourceOverlapOracle,
     "q_weighted_sample" -> PipelineQueries.weightedSampleOracle,
     "q_token_fertility" -> TextQueries.tokenFertilityOracle,
+    "q_fertility_drift" -> TextQueries.fertilityDriftOracle,
     "q_stream_sliding" -> StreamingQueries.streamSlidingOracle,
     "q_stream_join_outer" -> StreamingQueries.streamJoinOuterOracle,
     "q_setop_funnel" ->

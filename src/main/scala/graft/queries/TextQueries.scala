@@ -278,6 +278,85 @@ object TextQueries {
        |ORDER BY d.lang""".stripMargin
   }
 
+  /** TOKENIZER-HEALTH drift monitor — the frozen-merge-table member of
+    * the drift family (quality drift watches the filter distribution,
+    * cell drift the embedding geometry; THIS watches whether the
+    * DEPLOYED tokenizer still fits arriving data): per language,
+    * fertility (subwords per token, exact integer micros) of the corpus
+    * the merges were trained on vs the arriving batch, encoded under
+    * the SAME frozen merge table. Rising batch fertility means arriving
+    * text fragments into more subwords than the corpus did — the
+    * measured retrain trigger for the tokenizer, next to the geometric
+    * and retrieval triggers the embedding artifacts have. A language
+    * absent from one side reads fertility 0 there (documented
+    * convention — absence IS maximal drift for routing purposes).
+    *
+    * Scale shape: ONE encode pass over distinct token types (the
+    * family's per-type discipline) joined back per doc, one lang-keyed
+    * groupBy with conditional sums — the split adds no second scan. */
+  def fertilityDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    tokenBpeMergesDocs(docs,
+        graft.textanalysis.Bpe.MergesWordFull.take(FertilityMerges))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("is_batch",
+        (col("doc_id") % PipelineQueries.IncrementalMod === 0).cast("long"))
+      .groupBy("lang")
+      .agg(
+        sum(when(col("is_batch") === 0L, col("n_tokens")).otherwise(0L))
+          .as("corpus_tokens"),
+        sum(when(col("is_batch") === 0L, col("n_subwords")).otherwise(0L))
+          .as("corpus_subwords"),
+        sum(when(col("is_batch") === 1L, col("n_tokens")).otherwise(0L))
+          .as("batch_tokens"),
+        sum(when(col("is_batch") === 1L, col("n_subwords")).otherwise(0L))
+          .as("batch_subwords"))
+      .withColumn("corpus_fertility_micros",
+        expr("coalesce(corpus_subwords * 1000000 div nullif(corpus_tokens, 0), 0)"))
+      .withColumn("batch_fertility_micros",
+        expr("coalesce(batch_subwords * 1000000 div nullif(batch_tokens, 0), 0)"))
+      .withColumn("drift_micros",
+        abs(col("batch_fertility_micros") - col("corpus_fertility_micros")))
+      .select("lang", "corpus_tokens", "batch_tokens",
+        "corpus_fertility_micros", "batch_fertility_micros", "drift_micros")
+      .orderBy("lang")
+  }
+
+  def fertilityDriftOracle: String = {
+    import graft.textanalysis.Bpe
+    val (ctes, last) = Bpe.oracleEncodeCtesSql(
+      "types", Bpe.MergesWordFull.take(FertilityMerges))
+    val nSub = Bpe.oracleSubwordCountSql("enc")
+    val mod = PipelineQueries.IncrementalMod
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '$BpePattern')) AS tok
+       |  FROM documents),
+       |types AS (SELECT DISTINCT tok FROM tok),
+       |$ctes
+       |cnts AS (SELECT tok, $nSub AS n_sub FROM $last),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_sub) AS BIGINT) AS n_subwords
+       |  FROM tok JOIN cnts USING (tok)
+       |  GROUP BY doc_id),
+       |agg AS (
+       |  SELECT d.lang,
+       |    CAST(sum(CASE WHEN d.doc_id % $mod <> 0 THEN p.n_tokens ELSE 0 END) AS BIGINT) AS corpus_tokens,
+       |    CAST(sum(CASE WHEN d.doc_id % $mod <> 0 THEN p.n_subwords ELSE 0 END) AS BIGINT) AS corpus_subwords,
+       |    CAST(sum(CASE WHEN d.doc_id % $mod = 0 THEN p.n_tokens ELSE 0 END) AS BIGINT) AS batch_tokens,
+       |    CAST(sum(CASE WHEN d.doc_id % $mod = 0 THEN p.n_subwords ELSE 0 END) AS BIGINT) AS batch_subwords
+       |  FROM perdoc p JOIN documents d USING (doc_id)
+       |  GROUP BY d.lang)
+       |SELECT lang, corpus_tokens, batch_tokens,
+       |  CAST(coalesce(corpus_subwords * 1000000 // nullif(corpus_tokens, 0), 0) AS BIGINT) AS corpus_fertility_micros,
+       |  CAST(coalesce(batch_subwords * 1000000 // nullif(batch_tokens, 0), 0) AS BIGINT) AS batch_fertility_micros,
+       |  CAST(abs(coalesce(batch_subwords * 1000000 // nullif(batch_tokens, 0), 0)
+       |         - coalesce(corpus_subwords * 1000000 // nullif(corpus_tokens, 0), 0)) AS BIGINT) AS drift_micros
+       |FROM agg
+       |ORDER BY lang""".stripMargin
+  }
+
   /** Production-scale BPE: the 512-merge frozen table
     * ([[graft.textanalysis.Bpe.Merges512Hex]]) over the high-entropy
     * md5-hex chunk stream (the 61-word fixture vocabulary saturates
