@@ -70,6 +70,7 @@ object SparkEntry {
     "q_incremental_minhash" -> (PipelineQueries.minhashIncrementalQ _),
     "q_incremental_clusters" -> (PipelineQueries.incrementalClusters _),
     "q_jaccard_sweep" -> (PipelineQueries.jaccardSweep _),
+    "q_lsh_planner" -> (PipelineQueries.lshPlanner _),
     "q_corpus_commit" -> (PipelineQueries.corpusCommit _),
     "q_corpus_diff" -> (PipelineQueries.corpusDiffQ _),
     "q_corpus_retract" -> (PipelineQueries.corpusRetract _),
@@ -496,6 +497,7 @@ object SparkEntry {
     "q_incremental_minhash" -> PipelineQueries.minhashIncrementalOracle,
     "q_incremental_clusters" -> PipelineQueries.incrementalClustersOracle,
     "q_jaccard_sweep" -> PipelineQueries.jaccardSweepOracle,
+    "q_lsh_planner" -> PipelineQueries.lshPlannerOracle,
     "q_corpus_commit" -> PipelineQueries.corpusCommitOracle,
     "q_corpus_diff" -> PipelineQueries.corpusDiffOracle,
     "q_corpus_retract" -> PipelineQueries.corpusRetractOracle,

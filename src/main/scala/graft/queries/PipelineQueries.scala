@@ -2354,6 +2354,112 @@ object PipelineQueries {
        |  CAST((SELECT sum(b.n_pairs) FROM lv b WHERE b.jaccard_bucket >= a.jaccard_bucket) AS BIGINT) AS n_pairs_kept
        |FROM lv a ORDER BY jaccard_bucket""".stripMargin
 
+  /** LSH BAND-PLANNER — the analytic companion of the measured
+    * [[jaccardSweep]]: for every (bands, rows-per-band) factorization of
+    * the [[MinhashHashes]] signature and every OBSERVED verified-pair
+    * jaccard level, the S-curve flag probability
+    * 1 − (1 − t^r)^b under the standard independence model — what an
+    * owner reads next to the sweep before re-banding the deployed
+    * config (more bands = higher recall on low-jaccard pairs = more
+    * verify work; the planner prices that trade against the corpus's
+    * MEASURED dup-mass histogram: exp_flagged_micros = n_pairs ×
+    * flag_prob is the expected candidate yield per config and level).
+    *
+    * All arithmetic is truncating FIXED-POINT micros (x·y div 10⁶ per
+    * multiplication, exponents ≤ [[MinhashHashes]]) — deliberately not
+    * float pow, whose cross-engine last-ulp is unpinned; the fixed-point
+    * error (≤ exponent ulps) is irrelevant at planner precision and the
+    * integers hash identically in both engines. Probabilities are
+    * evaluated at each bucket's LOWER bound; the measured pair set comes
+    * from the DEPLOYED config, so levels below its own S-curve knee are
+    * recall-limited — the documented caveat of every post-hoc sweep.
+    *
+    * Scale shape: the pair scan collapses to ≤ 20 bucket rows; configs ×
+    * levels is a ≤ 100-row broadcast NLJ — the planner itself is free. */
+  def lshPlanner(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val pairs = Dedup.minhashDuplicates(documents(s, d), "doc_id", "text",
+      MinhashHashes, MinhashBands, MinhashThreshold)
+    val levels = pairs
+      .select((floor(col("jaccard") * 20).cast("double") / 20.0)
+        .as("jaccard_bucket"))
+      .groupBy("jaccard_bucket")
+      .agg(count(lit(1)).as("n_pairs"))
+    val cfgs = (1 to MinhashHashes)
+      .filter(MinhashHashes % _ == 0)
+      .map(b => (b.toLong, (MinhashHashes / b).toLong))
+      .toDF("bands", "rows_per_band")
+    cfgs.crossJoin(broadcast(levels))
+      .withColumn("jaccard_micros",
+        expr("CAST(round(jaccard_bucket * 1000000, 0) AS BIGINT)"))
+      .withColumn("band_match_micros", expr(
+        """CASE WHEN rows_per_band > 1
+          |  THEN aggregate(sequence(2L, rows_per_band), jaccard_micros,
+          |    (acc, i) -> acc * jaccard_micros div 1000000)
+          |  ELSE jaccard_micros END""".stripMargin))
+      .withColumn("miss_micros", lit(1000000L) - col("band_match_micros"))
+      .withColumn("no_flag_micros", expr(
+        """CASE WHEN bands > 1
+          |  THEN aggregate(sequence(2L, bands), miss_micros,
+          |    (acc, i) -> acc * miss_micros div 1000000)
+          |  ELSE miss_micros END""".stripMargin))
+      .withColumn("flag_prob_micros", lit(1000000L) - col("no_flag_micros"))
+      .withColumn("exp_flagged_micros", col("n_pairs") * col("flag_prob_micros"))
+      .withColumn("is_deployed", col("bands") === MinhashBands.toLong)
+      .select("bands", "rows_per_band", "jaccard_bucket", "n_pairs",
+        "band_match_micros", "flag_prob_micros", "exp_flagged_micros",
+        "is_deployed")
+      .orderBy("bands", "jaccard_bucket")
+  }
+
+  def lshPlannerOracle: String = {
+    val cfgRows = (1 to MinhashHashes)
+      .filter(MinhashHashes % _ == 0)
+      .map(b => s"($b, ${MinhashHashes / b})")
+      .mkString(", ")
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |lv AS (
+       |  SELECT floor(jaccard * 20) / 20 AS jaccard_bucket,
+       |    CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM pairs GROUP BY 1),
+       |cfg(bands, rows_per_band) AS (VALUES $cfgRows),
+       |seed AS (
+       |  SELECT CAST(bands AS BIGINT) AS bands,
+       |    CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       |    jaccard_bucket, n_pairs,
+       |    CAST(round(jaccard_bucket * 1000000, 0) AS BIGINT) AS tm
+       |  FROM cfg, lv),
+       |p1(bands, rows_per_band, jaccard_bucket, n_pairs, tm, i, acc) AS (
+       |  SELECT bands, rows_per_band, jaccard_bucket, n_pairs, tm,
+       |    CAST(1 AS BIGINT), tm
+       |  FROM seed
+       |  UNION ALL
+       |  SELECT bands, rows_per_band, jaccard_bucket, n_pairs, tm,
+       |    i + 1, acc * tm // 1000000
+       |  FROM p1 WHERE i < rows_per_band),
+       |tr AS (
+       |  SELECT bands, rows_per_band, jaccard_bucket, n_pairs, tm,
+       |    acc AS band_match_micros, 1000000 - acc AS miss
+       |  FROM p1 WHERE i = rows_per_band),
+       |p2(bands, rows_per_band, jaccard_bucket, n_pairs, band_match_micros,
+       |   miss, i, acc) AS (
+       |  SELECT bands, rows_per_band, jaccard_bucket, n_pairs,
+       |    band_match_micros, miss, CAST(1 AS BIGINT), miss
+       |  FROM tr
+       |  UNION ALL
+       |  SELECT bands, rows_per_band, jaccard_bucket, n_pairs,
+       |    band_match_micros, miss, i + 1, acc * miss // 1000000
+       |  FROM p2 WHERE i < bands)
+       |SELECT bands, rows_per_band, jaccard_bucket, n_pairs,
+       |  band_match_micros,
+       |  CAST(1000000 - acc AS BIGINT) AS flag_prob_micros,
+       |  CAST(n_pairs * (1000000 - acc) AS BIGINT) AS exp_flagged_micros,
+       |  bands = $MinhashBands AS is_deployed
+       |FROM p2 WHERE i = bands
+       |ORDER BY bands, jaccard_bucket""".stripMargin
+  }
+
   /** The end-to-end fuzzy-dedup verb a corpus pipeline actually runs:
     * near-dup pairs → components → keep min id per component → anti-join
     * the drop list off the corpus. The drop list grows with corpus dup
