@@ -5239,12 +5239,15 @@ object PipelineQueries {
     * `q_audio_decode` arithmetic) over an optionally filtered documents
     * slice; shared by the audio phash oracles and the audio-text
     * alignment oracle so the decode arithmetic cannot drift. */
-  private def wavSamplesCteSql(filter: String = ""): String =
-    s"""sm AS (
+  private def wavSamplesCteSql(
+      filter: String = "",
+      textExpr: String = "text",
+      cteName: String = "sm"): String =
+    s"""$cteName AS (
        |  SELECT doc_id, 64 + doc_id % 65 AS n,
        |    [CASE WHEN v >= 32768 THEN v - 65536 ELSE v END FOR v IN
-       |      [CAST('0x' || substr(md5(text || ':' || CAST(j // 8 AS VARCHAR)), 1 + 4 * (j % 8), 2) AS BIGINT)
-       |       + 256 * CAST('0x' || substr(md5(text || ':' || CAST(j // 8 AS VARCHAR)), 3 + 4 * (j % 8), 2) AS BIGINT)
+       |      [CAST('0x' || substr(md5($textExpr || ':' || CAST(j // 8 AS VARCHAR)), 1 + 4 * (j % 8), 2) AS BIGINT)
+       |       + 256 * CAST('0x' || substr(md5($textExpr || ':' || CAST(j // 8 AS VARCHAR)), 3 + 4 * (j % 8), 2) AS BIGINT)
        |       FOR j IN range(0, CAST(64 + doc_id % 65 AS BIGINT))]] AS s
        |  FROM documents$filter)""".stripMargin
 
@@ -5257,7 +5260,14 @@ object PipelineQueries {
        |    list_transform(s, x -> greatest(-32768, least(x + $AudioFpDelta, 32767))) AS s,
        |    1 AS is_batch
        |  FROM sm$twinFilter),
-       |w AS (
+       |$audioFpFoldCtes""".stripMargin
+
+  /** The window/energy/fingerprint fold over an `au(mid, n, s,
+    * is_batch)` clip frame — ends in `fp(id, is_batch, fp)` under
+    * `mid·10 + window_idx` ids; shared by every audio-hash oracle so
+    * the fold arithmetic cannot drift. */
+  private def audioFpFoldCtes: String =
+    s"""w AS (
        |  SELECT mid, is_batch, wi, s,
        |    (wi * n) // $AudioFpWindows AS lo,
        |    ((wi + 1) * n) // $AudioFpWindows - (wi * n) // $AudioFpWindows AS wn
@@ -5353,6 +5363,75 @@ object PipelineQueries {
        |FROM fp a JOIN fp b ON a.is_batch = 1 AND b.is_batch = 0
        |WHERE bit_count(xor(a.fp, b.fp)) <= $PhashMaxHamming
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** COMMIT face of the AUDIO window-fingerprint table — the same
+    * generic [[graft.dedup.Dedup.commitHashArtifacts]] engine the image
+    * face (q_media_commit) exercises, applied to the audio modality's
+    * (id, 56-bit hash) frame, closing the matrix cell the round-10
+    * notes documented as "a column-select away": arriving clips are
+    * amplitude twins of every third corpus clip (→ `dup_corpus`), one
+    * batch of genuinely fresh clips (→ `new`), and a second identical
+    * fresh batch (→ `dup_batch` under the min-id keeper). The oracle
+    * recomputes decode, twin clamp, window energies, fingerprints and
+    * all three verdict classes from the md5 sample chain — no codec,
+    * the audio family's discipline. */
+  def audioCommit(s: SparkSession, d: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    import s.implicits._
+    val docs = documents(s, d).select("doc_id", "text")
+    def windowIds(items: org.apache.spark.sql.Dataset[mm.MediaItem]) =
+      mm.audioFingerprints(items, AudioFpWindows)
+        .toDF()
+        .select(
+          (col("mediaId") * 10L + col("windowIdx")).as("id"),
+          col("fp").as("simhash"))
+    val corpusHashes = windowIds(mm.syntheticWavCorpus(docs, "doc_id", "text"))
+    val twins = mm
+      .syntheticWavCorpus(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        amplitudeDelta = AudioFpDelta)
+      .map(m => m.copy(mediaId = m.mediaId + PhashTwinOffset))
+    val freshDocs = docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), concat(col("text"), lit(" f")).as("text"))
+    val fresh1 = mm.syntheticWavCorpus(freshDocs, "doc_id", "text")
+      .map(m => m.copy(mediaId = m.mediaId + MediaCommitFresh1))
+    val fresh2 = mm.syntheticWavCorpus(freshDocs, "doc_id", "text")
+      .map(m => m.copy(mediaId = m.mediaId + MediaCommitFresh2))
+    val arrivals = windowIds(twins.union(fresh1).union(fresh2))
+    Dedup
+      .commitHashArtifacts(
+        corpusHashes, arrivals, 56, PhashMaxHamming, PhashBlocks)
+      .verdicts
+      .select("id", "verdict")
+      .orderBy("id")
+  }
+
+  def audioCommitOracle: String =
+    s"""WITH ${wavSamplesCteSql()},
+       |${wavSamplesCteSql(" WHERE doc_id % 3 = 1", "text || ' f'", "smf")},
+       |au AS (
+       |  SELECT doc_id AS mid, n, s, 0 AS is_batch FROM sm
+       |  UNION ALL
+       |  SELECT doc_id + $PhashTwinOffset AS mid, n,
+       |    list_transform(s, x -> greatest(-32768, least(x + $AudioFpDelta, 32767))) AS s,
+       |    1 AS is_batch
+       |  FROM sm WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $MediaCommitFresh1 AS mid, n, s, 1 AS is_batch FROM smf
+       |  UNION ALL
+       |  SELECT doc_id + $MediaCommitFresh2 AS mid, n, s, 1 AS is_batch FROM smf),
+       |$audioFpFoldCtes
+       |SELECT a.id,
+       |  CASE WHEN EXISTS (SELECT 1 FROM fp c WHERE c.is_batch = 0
+       |         AND bit_count(xor(a.fp, c.fp)) <= $PhashMaxHamming)
+       |       THEN 'dup_corpus'
+       |       WHEN EXISTS (SELECT 1 FROM fp b2 WHERE b2.is_batch = 1
+       |         AND b2.id < a.id
+       |         AND bit_count(xor(a.fp, b2.fp)) <= $PhashMaxHamming)
+       |       THEN 'dup_batch'
+       |       ELSE 'new' END AS verdict
+       |FROM fp a WHERE a.is_batch = 1
+       |ORDER BY id""".stripMargin
 
   /** Matched-window-fraction floor for a clip-pair audio verdict. */
   val AudioNeardupFrac = 0.6
