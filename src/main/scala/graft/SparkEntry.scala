@@ -100,6 +100,7 @@ object SparkEntry {
     "q_audio_phash_inc" -> (PipelineQueries.audioPhashInc _),
     "q_audio_neardup" -> (PipelineQueries.audioNeardup _),
     "q_audio_commit" -> (PipelineQueries.audioCommit _),
+    "q_frame_commit" -> (PipelineQueries.frameCommit _),
     "q_media_commit" -> (PipelineQueries.mediaCommit _),
     "q_media_retract" -> (PipelineQueries.mediaRetract _),
     "q_index_retract" -> (PipelineQueries.indexRetract _),
@@ -528,6 +529,7 @@ object SparkEntry {
     "q_audio_phash_inc" -> PipelineQueries.audioPhashIncOracle,
     "q_audio_neardup" -> PipelineQueries.audioNeardupOracle,
     "q_audio_commit" -> PipelineQueries.audioCommitOracle,
+    "q_frame_commit" -> PipelineQueries.frameCommitOracle,
     "q_media_commit" -> PipelineQueries.mediaCommitOracle,
     "q_media_retract" -> PipelineQueries.mediaRetractOracle,
     "q_index_retract" -> PipelineQueries.indexRetractOracle,

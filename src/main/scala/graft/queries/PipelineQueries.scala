@@ -5089,6 +5089,96 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** COMMIT face of the VIDEO frame-hash table — the frame modality
+    * through the same generic [[graft.dedup.Dedup.commitHashArtifacts]]
+    * engine as the image (q_media_commit) and audio (q_audio_commit)
+    * faces, closing the last hash-modality commit cell: arriving clips
+    * are brightness twins of every third corpus video (their frames →
+    * `dup_corpus`), one genuinely fresh batch (→ `new`) and an
+    * identical second fresh batch (→ `dup_batch`); ids ride the guarded
+    * `media_id·10 + frame_idx` encoding, so the commit verdict is
+    * per-frame — the clip-level rollup of committed verdicts is
+    * [[videoNeardup]]'s job, deliberately kept separate. */
+  def frameCommit(s: SparkSession, d: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    import s.implicits._
+    val docs = documents(s, d).select("doc_id", "text")
+    def frameIds(items: org.apache.spark.sql.Dataset[mm.MediaItem]) =
+      guardedFrameIds(mm.gifFrameHashes(items).toDF())
+    val corpusHashes = frameIds(mm.syntheticGifCorpus(docs, "doc_id", "text"))
+    val twins = mm
+      .syntheticGifCorpus(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        brightnessDelta = 4)
+      .map(m => m.copy(mediaId = m.mediaId + PhashTwinOffset))
+    val freshDocs = docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), concat(col("text"), lit(" f")).as("text"))
+    val fresh1 = mm.syntheticGifCorpus(freshDocs, "doc_id", "text")
+      .map(m => m.copy(mediaId = m.mediaId + MediaCommitFresh1))
+    val fresh2 = mm.syntheticGifCorpus(freshDocs, "doc_id", "text")
+      .map(m => m.copy(mediaId = m.mediaId + MediaCommitFresh2))
+    val arrivals = frameIds(twins.union(fresh1).union(fresh2))
+    Dedup
+      .commitHashArtifacts(
+        corpusHashes, arrivals, 56, PhashMaxHamming, PhashBlocks)
+      .verdicts
+      .select("id", "verdict")
+      .orderBy("id")
+  }
+
+  def frameCommitOracle: String = {
+    def off = "(((idx // 8) * h) // 8) * w + (((idx % 8) * w) // 8)"
+    s"""WITH fr AS (
+       |  SELECT doc_id, text, 6 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+       |    unnest(range(0, 2 + doc_id % 4)) AS fi
+       |  FROM documents),
+       |chain AS (
+       |  SELECT doc_id, fi, w, h,
+       |    [CAST('0x' || substr(md5(text || ':' || CAST(fi AS VARCHAR) || ':' || CAST(j // 16 AS VARCHAR)), 1 + 2 * (j % 16), 2) AS BIGINT)
+       |      for j in range(0, w * h)] AS b
+       |  FROM fr),
+       |chainf AS (
+       |  SELECT doc_id, fi, w, h,
+       |    [CAST('0x' || substr(md5(text || ' f' || ':' || CAST(fi AS VARCHAR) || ':' || CAST(j // 16 AS VARCHAR)), 1 + 2 * (j % 16), 2) AS BIGINT)
+       |      for j in range(0, w * h)] AS b
+       |  FROM fr WHERE doc_id % 3 = 1),
+       |imgs AS (
+       |  SELECT doc_id * 10 + fi AS id, w, h, b, 0 AS is_batch FROM chain
+       |  UNION ALL
+       |  SELECT (doc_id + $PhashTwinOffset) * 10 + fi AS id, w, h,
+       |    list_transform(b, v -> least(v + 4, 255)) AS b, 1 AS is_batch
+       |  FROM chain WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT (doc_id + $MediaCommitFresh1) * 10 + fi AS id, w, h, b,
+       |    1 AS is_batch
+       |  FROM chainf
+       |  UNION ALL
+       |  SELECT (doc_id + $MediaCommitFresh2) * 10 + fi AS id, w, h, b,
+       |    1 AS is_batch
+       |  FROM chainf),
+       |g AS (
+       |  SELECT id, is_batch,
+       |    [1000 * b[$off + 1] for idx in range(0, 64)] AS gv
+       |  FROM imgs),
+       |ph AS (
+       |  SELECT id, is_batch, list_sum(
+       |    [CASE WHEN gv[(idx // 7) * 8 + (idx % 7) + 1] > gv[(idx // 7) * 8 + (idx % 7) + 2]
+       |       THEN (CAST(1 AS BIGINT) << idx) ELSE CAST(0 AS BIGINT) END
+       |     for idx in range(0, 56)]) AS phash
+       |  FROM g)
+       |SELECT a.id,
+       |  CASE WHEN EXISTS (SELECT 1 FROM ph c WHERE c.is_batch = 0
+       |         AND bit_count(xor(a.phash, c.phash)) <= $PhashMaxHamming)
+       |       THEN 'dup_corpus'
+       |       WHEN EXISTS (SELECT 1 FROM ph b2 WHERE b2.is_batch = 1
+       |         AND b2.id < a.id
+       |         AND bit_count(xor(a.phash, b2.phash)) <= $PhashMaxHamming)
+       |       THEN 'dup_batch'
+       |       ELSE 'new' END AS verdict
+       |FROM ph a WHERE a.is_batch = 1
+       |ORDER BY id""".stripMargin
+  }
+
   /** Matched-frame-fraction floor for a clip-pair near-dup verdict. */
   val VideoNeardupFrac = 0.6
 

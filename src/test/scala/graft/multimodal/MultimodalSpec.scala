@@ -474,6 +474,19 @@ class MultimodalSpec extends SparkSuite {
     assert(fresh2.nonEmpty && fresh2.forall(_._2 != "new"))
   }
 
+  test("frame commit gates twin frames as dup_corpus and re-uploads as duplicates") {
+    val d = "/root/testdata/sf0.001"
+    val P = graft.queries.PipelineQueries
+    val rows = P.frameCommit(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val twins = rows.filter { case (id, _) =>
+      id >= P.PhashTwinOffset * 10 && id < P.MediaCommitFresh1 * 10
+    }
+    assert(twins.nonEmpty && twins.forall(_._2 == "dup_corpus"))
+    val fresh2 = rows.filter(_._1 >= P.MediaCommitFresh2 * 10)
+    assert(fresh2.nonEmpty && fresh2.forall(_._2 != "new"))
+  }
+
   test("audio fingerprint recovers every planted amplitude-twin window") {
     val d = "/root/testdata/sf0.001"
     val nDocs = graft.queries.Tables.documents(spark, d).count()
