@@ -146,6 +146,7 @@ object SparkEntry {
     "q_semantic_commit" -> (PipelineQueries.semanticCommit _),
     "q_quality_drift" -> (PipelineQueries.qualityDrift _),
     "q_knn_graph" -> (PipelineQueries.knnGraph _),
+    "q_knn_graph_inc" -> (PipelineQueries.knnGraphInc _),
     "q_semantic_clusters" -> (PipelineQueries.semanticClusters _),
     "q_cell_drift" -> (PipelineQueries.cellDrift _),
     "q_incremental_ngram" -> (PipelineQueries.ngramJaccardIncrementalQ _),
@@ -581,6 +582,7 @@ object SparkEntry {
     "q_semantic_commit" -> PipelineQueries.semanticCommitOracle,
     "q_quality_drift" -> PipelineQueries.qualityDriftOracle,
     "q_knn_graph" -> PipelineQueries.knnGraphOracle,
+    "q_knn_graph_inc" -> PipelineQueries.knnGraphIncOracle,
     "q_semantic_clusters" -> PipelineQueries.semanticClustersOracle,
     "q_cell_drift" -> PipelineQueries.cellDriftOracle,
     "q_incremental_ngram" -> PipelineQueries.ngramJaccardIncrementalOracle,

@@ -1466,6 +1466,29 @@ object PipelineQueries {
        |SELECT id_a, id_b, score FROM medges
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** INCREMENTAL mutual-kNN graph
+    * ([[graft.similarity.Ivf.mutualKnnIncremental]]): the vec_id % 9 ==
+    * 8 arrivals fold into the corpus graph's stored artifacts —
+    * re-ranking only arrivals plus the corpus queries whose probe cells
+    * an arrival landed in — and the result must equal the from-scratch
+    * graph of corpus ∪ batch, which is EXACTLY what the oracle computes
+    * (the q_knn_graph oracle over all embeddings; the centroid ids all
+    * live on the corpus side of the split, so cell numbering resolves
+    * identically). The incremental law is hash-checked cross-engine,
+    * not assumed. */
+  def knnGraphInc(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    graft.similarity.Ivf
+      .mutualKnnIncremental(
+        emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue),
+        emb.filter(col("vec_id") % SemIncMod === SemIncResidue),
+        IvfCentroidIds, IvfNProbe, KnnGraphK)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** From-scratch IS the incremental oracle — the fold law. */
+  def knnGraphIncOracle: String = knnGraphOracle
+
   /** EMBEDDING-SPACE clusters: connected components over the mutual
     * kNN graph — the grouping step of SemDeDup-style cluster pruning
     * and topic-balanced selection, through the SAME CC engine every

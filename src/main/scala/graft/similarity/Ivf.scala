@@ -425,6 +425,46 @@ object Ivf {
     * bounded-heap rank. Pair work is Σ_cell |corpus∩cell|·nProbe-probed
     * neighbors, the SemDeDup Σ cell² discipline, never corpus².
     * Output: (q_vec_id, rnk, vec_id, score). */
+  /** The nProbe-cell probe frame of a prepped (vec_id, emb) source —
+    * map-side array-sort over the broadcast centroid array; one row per
+    * probed cell: (q_vec_id, q_emb, q_nrm, cell). */
+  private def knnProbeFrame(
+      src: DataFrame, centArr: DataFrame, nProbe: Int): DataFrame = {
+    val dot = Similarity.dotSql _
+    src
+      .crossJoin(broadcast(centArr))
+      .withColumn("q_nrm", expr(s"sqrt(${dot("emb", "emb")})"))
+      .select(
+        col("vec_id").as("q_vec_id"), col("emb").as("q_emb"), col("q_nrm"),
+        explode(expr(
+          s"transform(slice(array_sort(${cellStructsDblSql("emb")}), 1, $nProbe), p -> p.cell)"))
+          .as("cell"))
+  }
+
+  /** The single-cell candidate frame of a prepped source: (vec_id, emb,
+    * nrm, cell) under the map-side argmin. */
+  private def knnAsgFrame(src: DataFrame, centArr: DataFrame): DataFrame = {
+    val dot = Similarity.dotSql _
+    src
+      .crossJoin(broadcast(centArr))
+      .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
+      .withColumn("cell", expr(s"array_min(${cellStructsDblSql("emb")}).cell"))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+  }
+
+  /** Cell-keyed score + per-query bounded-heap rank shared by the batch
+    * and incremental graph builds. */
+  private def knnEdgesCore(
+      probes: DataFrame, asg: DataFrame, k: Int): DataFrame = {
+    val dot = Similarity.dotSql _
+    val scored = asg.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .withColumn(
+        "score",
+        round(expr(dot("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    Similarity.rankTopK(scored, k)
+  }
+
   def knnEdges(
       corpus: DataFrame,
       centroidIds: Seq[Long],
@@ -433,31 +473,12 @@ object Ivf {
   ): DataFrame = {
     require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
     Similarity.ensureFunctions(corpus)
-    val dot = Similarity.dotSql _
     val cent = fixedCentroidsDouble(corpus, centroidIds)
     val centArr = cent.agg(
       collect_list(struct(col("cell"), col("cemb"))).as("cents"))
-    val structsSql = cellStructsDblSql("emb")
     val c0 = prepDouble(corpus)
-    val probes = c0
-      .crossJoin(broadcast(centArr))
-      .withColumn("q_nrm", expr(s"sqrt(${dot("emb", "emb")})"))
-      .select(
-        col("vec_id").as("q_vec_id"), col("emb").as("q_emb"), col("q_nrm"),
-        explode(expr(
-          s"transform(slice(array_sort($structsSql), 1, $nProbe), p -> p.cell)"))
-          .as("cell"))
-    val asg = c0
-      .crossJoin(broadcast(centArr))
-      .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
-      .withColumn("cell", expr(s"array_min($structsSql).cell"))
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
-    val scored = asg.join(probes, Seq("cell"))
-      .filter(col("vec_id") =!= col("q_vec_id"))
-      .withColumn(
-        "score",
-        round(expr(dot("emb", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
-    Similarity.rankTopK(scored, k)
+    knnEdgesCore(knnProbeFrame(c0, centArr, nProbe),
+      knnAsgFrame(c0, centArr), k)
   }
 
   /** MUTUAL kNN graph — the edge set graph-based corpus organization
@@ -476,14 +497,72 @@ object Ivf {
       centroidIds: Seq[Long],
       nProbe: Int,
       k: Int
-  ): DataFrame = {
-    val e = knnEdges(corpus, centroidIds, nProbe, k)
+  ): DataFrame =
+    mutualize(knnEdges(corpus, centroidIds, nProbe, k))
+
+  /** Directed top-k edges → the undirected mutual graph (id_a < id_b). */
+  private def mutualize(edges: DataFrame): DataFrame = {
+    val e = edges
       .select(col("q_vec_id").as("src"), col("vec_id").as("dst"), col("score"))
       .localCheckpoint(true)
     val rev = e.select(col("dst").as("src"), col("src").as("dst"))
     e.filter(col("src") < col("dst"))
       .join(rev, Seq("src", "dst"), "left_semi")
       .select(col("src").as("id_a"), col("dst").as("id_b"), col("score"))
+  }
+
+  /** INCREMENTAL mutual-kNN graph maintenance — fold a delivery into
+    * the STORED graph artifacts without re-scoring the corpus: a
+    * corpus vector's top-k can change ONLY if an arrival lands in one
+    * of its probed cells (its candidate pool is exactly those cells'
+    * members, and arrivals only ADD candidates), so the delivery
+    * re-ranks just (a) the arrivals themselves and (b) the stored
+    * probe rows that hit an arrival cell — per-delivery work is the
+    * affected cells' populations, never the corpus. Unaffected
+    * queries' stored directed edges are kept verbatim; the mutual
+    * filter then runs over the folded directed set (mutuality can pair
+    * an affected query with an unaffected one, so it cannot be folded
+    * per-slice). Frozen-centroid assignment is per-vector
+    * deterministic, so folded == rebuilt-from-scratch on corpus ∪
+    * batch exactly — the q_knn_graph_inc oracle IS the from-scratch
+    * oracle, and IncKnnSpec pins the Spark-side law plus the
+    * affected-set bound.
+    *
+    * The stored artifacts (probe table, single-cell assignment,
+    * directed edge set) are the graph's deploy-time index — the same
+    * trio a production ANN-graph service persists. */
+  def mutualKnnIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      centroidIds: Seq[Long],
+      nProbe: Int,
+      k: Int
+  ): DataFrame = {
+    require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
+    Similarity.ensureFunctions(corpus)
+    val cent = fixedCentroidsDouble(corpus, centroidIds)
+    val centArr = cent.agg(
+      collect_list(struct(col("cell"), col("cemb"))).as("cents"))
+    val c0 = prepDouble(corpus)
+    val b0 = prepDouble(batch)
+    // Deploy-time artifacts: built once at index time, stored.
+    val corpusProbes = knnProbeFrame(c0, centArr, nProbe).localCheckpoint(true)
+    val corpusAsg = knnAsgFrame(c0, centArr).localCheckpoint(true)
+    val corpusEdges =
+      knnEdgesCore(corpusProbes, corpusAsg, k).localCheckpoint(true)
+    // Per-delivery work starts here.
+    val batchAsg = knnAsgFrame(b0, centArr).localCheckpoint(true)
+    val batchCells = batchAsg.select("cell").distinct()
+    val affectedIds = corpusProbes
+      .join(broadcast(batchCells), Seq("cell"), "left_semi")
+      .select("q_vec_id").distinct()
+    val recomputed = knnEdgesCore(
+      corpusProbes.join(affectedIds, Seq("q_vec_id"), "left_semi")
+        .unionByName(knnProbeFrame(b0, centArr, nProbe)),
+      corpusAsg.unionByName(batchAsg),
+      k)
+    val kept = corpusEdges.join(affectedIds, Seq("q_vec_id"), "left_anti")
+    mutualize(kept.unionByName(recomputed))
   }
 
   /** SEMANTIC decontamination — the embedding face of

@@ -47,6 +47,26 @@ class KnnGraphSpec extends SparkSuite {
     assert(degree.nonEmpty && degree.max <= k)
   }
 
+  test("incremental fold == from-scratch graph on corpus ∪ batch") {
+    val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+    val batch = emb.filter(col("vec_id") % 9 === 8)
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = edges(
+      Ivf.mutualKnnIncremental(corpus, batch, centroidIds, nProbe = 2, k = k))
+    val scratch = edges(Ivf.mutualKnnEdges(emb, centroidIds, nProbe = 2, k = k))
+    assert(inc == scratch)
+  }
+
+  test("an empty delivery folds as a no-op") {
+    val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = edges(Ivf.mutualKnnIncremental(
+      corpus, emb.filter(lit(false)), centroidIds, nProbe = 2, k = k))
+    assert(inc == edges(Ivf.mutualKnnEdges(corpus, centroidIds, nProbe = 2, k = k)))
+  }
+
   test("cluster labels are the component minimum and cover every edge endpoint") {
     val edges = Ivf
       .mutualKnnEdges(emb, centroidIds, nProbe = 2, k = k)
