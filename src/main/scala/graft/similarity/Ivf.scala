@@ -531,39 +531,66 @@ object Ivf {
     * The stored artifacts (probe table, single-cell assignment,
     * directed edge set) are the graph's deploy-time index — the same
     * trio a production ANN-graph service persists. */
+  /** The stored graph index [[mutualKnnFold]] maintains: the broadcast
+    * centroid array, the corpus probe table, the single-cell candidate
+    * assignment, and the directed top-k edge set — all checkpointed, the
+    * deploy-time trio-plus-one a production ANN-graph service persists. */
+  case class KnnIndex(
+      centArr: DataFrame,
+      probes: DataFrame,
+      asg: DataFrame,
+      edges: DataFrame,
+      nProbe: Int,
+      k: Int)
+
+  /** Deploy-time build of the stored kNN-graph artifacts. */
+  def knnIndexArtifacts(
+      corpus: DataFrame,
+      centroidIds: Seq[Long],
+      nProbe: Int,
+      k: Int
+  ): KnnIndex = {
+    require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
+    Similarity.ensureFunctions(corpus)
+    val cent = fixedCentroidsDouble(corpus, centroidIds)
+    val centArr = cent.agg(
+      collect_list(struct(col("cell"), col("cemb"))).as("cents"))
+      .localCheckpoint(true)
+    val c0 = prepDouble(corpus)
+    val probes = knnProbeFrame(c0, centArr, nProbe).localCheckpoint(true)
+    val asg = knnAsgFrame(c0, centArr).localCheckpoint(true)
+    val edges = knnEdgesCore(probes, asg, k).localCheckpoint(true)
+    KnnIndex(centArr, probes, asg, edges, nProbe, k)
+  }
+
+  /** The per-delivery fold over stored [[KnnIndex]] artifacts: re-rank
+    * only the arrivals and the stored probe rows that hit an arrival
+    * cell, keep everything else verbatim, re-mutualize. */
+  def mutualKnnFold(index: KnnIndex, batch: DataFrame): DataFrame = {
+    Similarity.ensureFunctions(batch)
+    val b0 = prepDouble(batch)
+    val batchAsg = knnAsgFrame(b0, index.centArr).localCheckpoint(true)
+    val batchCells = batchAsg.select("cell").distinct()
+    val affectedIds = index.probes
+      .join(broadcast(batchCells), Seq("cell"), "left_semi")
+      .select("q_vec_id").distinct()
+    val recomputed = knnEdgesCore(
+      index.probes.join(affectedIds, Seq("q_vec_id"), "left_semi")
+        .unionByName(knnProbeFrame(b0, index.centArr, index.nProbe)),
+      index.asg.unionByName(batchAsg),
+      index.k)
+    val kept = index.edges.join(affectedIds, Seq("q_vec_id"), "left_anti")
+    mutualize(kept.unionByName(recomputed))
+  }
+
   def mutualKnnIncremental(
       corpus: DataFrame,
       batch: DataFrame,
       centroidIds: Seq[Long],
       nProbe: Int,
       k: Int
-  ): DataFrame = {
-    require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
-    Similarity.ensureFunctions(corpus)
-    val cent = fixedCentroidsDouble(corpus, centroidIds)
-    val centArr = cent.agg(
-      collect_list(struct(col("cell"), col("cemb"))).as("cents"))
-    val c0 = prepDouble(corpus)
-    val b0 = prepDouble(batch)
-    // Deploy-time artifacts: built once at index time, stored.
-    val corpusProbes = knnProbeFrame(c0, centArr, nProbe).localCheckpoint(true)
-    val corpusAsg = knnAsgFrame(c0, centArr).localCheckpoint(true)
-    val corpusEdges =
-      knnEdgesCore(corpusProbes, corpusAsg, k).localCheckpoint(true)
-    // Per-delivery work starts here.
-    val batchAsg = knnAsgFrame(b0, centArr).localCheckpoint(true)
-    val batchCells = batchAsg.select("cell").distinct()
-    val affectedIds = corpusProbes
-      .join(broadcast(batchCells), Seq("cell"), "left_semi")
-      .select("q_vec_id").distinct()
-    val recomputed = knnEdgesCore(
-      corpusProbes.join(affectedIds, Seq("q_vec_id"), "left_semi")
-        .unionByName(knnProbeFrame(b0, centArr, nProbe)),
-      corpusAsg.unionByName(batchAsg),
-      k)
-    val kept = corpusEdges.join(affectedIds, Seq("q_vec_id"), "left_anti")
-    mutualize(kept.unionByName(recomputed))
-  }
+  ): DataFrame =
+    mutualKnnFold(knnIndexArtifacts(corpus, centroidIds, nProbe, k), batch)
 
   /** SEMANTIC decontamination — the embedding face of
     * [[graft.dedup.Dedup.contamination]]: shingle overlap catches

@@ -807,6 +807,47 @@ object ScaleStress {
         replicatedEmb(withLabel = false), pqMonCb, pqMonCodes,
         dims = 64, m = 4))
     }
+    // Round-11c: MUTUAL kNN GRAPH — from-scratch build (K∝N seeds keep
+    // cells bounded, so the cell-keyed score join stays near-linear),
+    // then the stored-artifact build and a FIXED-size per-delivery fold
+    // against the growing index: the fold re-ranks only the arrivals
+    // plus the probe rows their cells hit, so its cost must track the
+    // affected-cell population (≈ flat per delivery under K∝N), never
+    // the corpus.
+    time("r11c knn graph: from-scratch build") {
+      noop(graft.similarity.Ivf.mutualKnnEdges(
+        replicatedEmb(withLabel = false), replicaSeeds, 2, 4))
+    }
+    var knnIdx: graft.similarity.Ivf.KnnIndex = null
+    time("r11c knn graph: artifacts build") {
+      knnIdx = graft.similarity.Ivf.knnIndexArtifacts(
+        replicatedEmb(withLabel = false)
+          .filter(col("vec_id") % 9 =!= 8),
+        replicaSeeds.filter(_ % 9 != 8), 2, 4)
+    }
+    time("r11c knn graph: per-delivery fold") {
+      noop(graft.similarity.Ivf.mutualKnnFold(
+        knnIdx,
+        embBase.filter(col("vec_id") % 9 === 8)))
+    }
+    // Round-11c: SEMANTIC ASSIGNMENT COMMIT — the stored cell table's
+    // per-delivery cost model: a FIXED batch assigns map-side against
+    // the frozen centroids and bare-unions into the stored table,
+    // vs the full rebuild an artifact-less pipeline would pay.
+    var semCent: DataFrame = null
+    var semStored: DataFrame = null
+    time("r11c semantic commit: stored build") {
+      val all = replicatedEmb(withLabel = false)
+      semCent = graft.similarity.Ivf.fixedCentroidsDouble(all, replicaSeeds)
+        .localCheckpoint(true)
+      semStored = graft.similarity.Ivf
+        .assignCells(all.filter(col("vec_id") % 9 =!= 8), semCent)
+        .localCheckpoint(true)
+    }
+    time("r11c semantic commit: per-delivery") {
+      noop(graft.similarity.Ivf.commitCellAssignments(
+        semStored, semCent, embBase.filter(col("vec_id") % 9 === 8)))
+    }
     // Offset-stage A/B at FIXED sizes (does not scale with replicas):
     // the lang-keyed window sorts each language's doc rows in ONE task;
     // the hierarchical prefix sum spreads the same work over
