@@ -62,6 +62,8 @@ object Bench {
         graft.queries.PipelineQueries.dupComponentsPrimed(spark, sfDir)
       val shingleMemoHit =
         graft.queries.PipelineQueries.docShingleRowsPrimed(spark, sfDir)
+      val knnMemoHit =
+        graft.queries.PipelineQueries.knnEdgesPrimed(spark, sfDir)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -73,7 +75,9 @@ object Bench {
       val usedMemo = (memoHit &&
         graft.queries.PipelineQueries.CcMemoQueries.contains(name)) ||
         (shingleMemoHit &&
-          graft.queries.PipelineQueries.ShingleMemoQueries.contains(name))
+          graft.queries.PipelineQueries.ShingleMemoQueries.contains(name)) ||
+        (knnMemoHit &&
+          graft.queries.PipelineQueries.KnnMemoQueries.contains(name))
       // Isolation between queries: one query's persisted frames must not
       // tax the next (round-2 bench showed a leaked dedup cache slowing a
       // trivial DISTINCT 28×). clearCache drops CacheManager entries;

@@ -148,6 +148,7 @@ object SparkEntry {
     "q_knn_graph" -> (PipelineQueries.knnGraph _),
     "q_knn_graph_inc" -> (PipelineQueries.knnGraphInc _),
     "q_semantic_clusters" -> (PipelineQueries.semanticClusters _),
+    "q_semantic_keeplist" -> (PipelineQueries.semanticKeeplist _),
     "q_cell_drift" -> (PipelineQueries.cellDrift _),
     "q_incremental_ngram" -> (PipelineQueries.ngramJaccardIncrementalQ _),
     // --- round-7 widening: mixing, batching, mining, sliding/outer stream ---
@@ -584,6 +585,7 @@ object SparkEntry {
     "q_knn_graph" -> PipelineQueries.knnGraphOracle,
     "q_knn_graph_inc" -> PipelineQueries.knnGraphIncOracle,
     "q_semantic_clusters" -> PipelineQueries.semanticClustersOracle,
+    "q_semantic_keeplist" -> PipelineQueries.semanticKeeplistOracle,
     "q_cell_drift" -> PipelineQueries.cellDriftOracle,
     "q_incremental_ngram" -> PipelineQueries.ngramJaccardIncrementalOracle,
     "q_mix_weights" -> TextQueries.mixWeightsOracle,

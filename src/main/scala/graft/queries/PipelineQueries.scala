@@ -1417,9 +1417,40 @@ object PipelineQueries {
     * (cluster pruning, diversity selection) builds on, with hub degree
     * capped at k by construction. */
   def knnGraph(s: SparkSession, d: String): DataFrame =
-    graft.similarity.Ivf
+    mutualEdgesMemo(s, d).orderBy("id_a", "id_b")
+
+  /** Memo for the mutual-kNN edge set, keyed by (session, dir) — the
+    * [[ccMemo]] discipline applied to the graph family's shared prefix:
+    * the graph, the cluster, and the keep-list queries all read the
+    * SAME deterministic edge set, so one build serves all three
+    * (memo hits disclosed in the bench record like the CC build's). */
+  private val knnMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def mutualEdgesMemo(s: SparkSession, d: String): DataFrame = {
+    val key = (s, d)
+    def build(): DataFrame = graft.similarity.Ivf
       .mutualKnnEdges(embeddings(s, d), IvfCentroidIds, IvfNProbe, KnnGraphK)
-      .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    knnMemo.get(key) match {
+      case Some(cached) =>
+        try { cached.limit(1).collect(); cached }
+        catch {
+          case _: org.apache.spark.SparkException =>
+            knnMemo.remove(key, cached)
+            knnMemo.getOrElseUpdate(key, build())
+        }
+      case None => knnMemo.getOrElseUpdate(key, build())
+    }
+  }
+
+  private[graft] def knnEdgesPrimed(s: SparkSession, d: String): Boolean =
+    knnMemo.contains((s, d))
+
+  /** The declared query names that resolve through [[knnMemo]]. */
+  private[graft] val KnnMemoQueries: Set[String] =
+    Set("q_knn_graph", "q_semantic_clusters", "q_semantic_keeplist")
 
   /** The probe/assign/score/rank CTEs of the whole-corpus kNN edge set
     * — shared by the graph and clusters oracles. Yields `medges`
@@ -1498,12 +1529,44 @@ object PipelineQueries {
     * edge; isolated vectors are their own trivial cluster and are
     * omitted, exactly like the text dup-cluster face. */
   def semanticClusters(s: SparkSession, d: String): DataFrame =
-    Dedup.connectedComponents(
-      graft.similarity.Ivf
-        .mutualKnnEdges(embeddings(s, d), IvfCentroidIds, IvfNProbe, KnnGraphK)
-        .select("id_a", "id_b"))
+    Dedup.connectedComponents(mutualEdgesMemo(s, d).select("id_a", "id_b"))
       .withColumnRenamed("id", "vec_id")
       .orderBy("vec_id")
+
+  /** SEMDEDUP PRUNE — the keep-list the semantic clusters exist for:
+    * keep the min-id representative of every embedding-space cluster,
+    * drop the rest, exactly the text dedup keep-list's policy
+    * ([[dedupKeeplist]]) applied to the mutual-kNN components — and the
+    * same scale machinery: [[Dedup.applyDropList]]'s observed-count-
+    * sized Bloom filter passes definite keeps through map-side, so only
+    * Bloom-positive rows reach the exactness anti-join. */
+  def semanticKeeplist(s: SparkSession, d: String): DataFrame = {
+    val drops = Dedup
+      .connectedComponents(mutualEdgesMemo(s, d).select("id_a", "id_b"))
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("vec_id"))
+    Dedup
+      .applyDropList(embeddings(s, d).select("vec_id"), drops, "vec_id")
+      .orderBy("vec_id")
+  }
+
+  def semanticKeeplistOracle: String =
+    s"""WITH RECURSIVE $knnEdgesCtes,
+       |gedges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM medges
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM medges),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM gedges
+       |  UNION
+       |  SELECT re.id, g.dst AS r FROM reach re JOIN gedges g ON g.src = re.r),
+       |drops AS (
+       |  SELECT id FROM (
+       |    SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+       |  WHERE id <> component)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM drops)
+       |ORDER BY vec_id""".stripMargin
 
   def semanticClustersOracle: String =
     s"""WITH RECURSIVE $knnEdgesCtes,

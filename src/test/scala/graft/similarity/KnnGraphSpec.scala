@@ -67,6 +67,18 @@ class KnnGraphSpec extends SparkSuite {
     assert(inc == edges(Ivf.mutualKnnEdges(corpus, centroidIds, nProbe = 2, k = k)))
   }
 
+  test("semantic keep-list keeps exactly one representative per cluster plus isolates") {
+    val P = graft.queries.PipelineQueries
+    val d = "/root/testdata/sf0.001"
+    val kept = P.semanticKeeplist(spark, d).collect().map(_.getLong(0)).toSet
+    val comp = P.semanticClusters(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clustered = comp.map(_._1).toSet
+    val roots = comp.groupBy(_._2).map { case (_, m) => m.map(_._1).min }.toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (all -- clustered) ++ roots)
+  }
+
   test("cluster labels are the component minimum and cover every edge endpoint") {
     val edges = Ivf
       .mutualKnnEdges(emb, centroidIds, nProbe = 2, k = k)
