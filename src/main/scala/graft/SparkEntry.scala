@@ -180,6 +180,7 @@ object SparkEntry {
     "q_stream_phash" -> (StreamingQueries.streamPhash _),
     "q_stream_audio" -> (StreamingQueries.streamAudio _),
     "q_stream_ann" -> (StreamingQueries.streamAnn _),
+    "q_stream_index_commit" -> (StreamingQueries.streamIndexCommit _),
     "q_stream_attribution" -> (StreamingQueries.streamAttribution _),
     "q_stream_video" -> (StreamingQueries.streamVideo _),
     "q_stream_ngram" -> (StreamingQueries.streamNgram _),
@@ -613,6 +614,7 @@ object SparkEntry {
     "q_stream_phash" -> StreamingQueries.streamPhashOracle,
     "q_stream_audio" -> StreamingQueries.streamAudioOracle,
     "q_stream_ann" -> StreamingQueries.streamAnnOracle,
+    "q_stream_index_commit" -> StreamingQueries.streamIndexCommitOracle,
     "q_stream_attribution" -> StreamingQueries.streamAttributionOracle,
     "q_stream_video" -> StreamingQueries.streamVideoOracle,
     "q_stream_ngram" -> StreamingQueries.streamNgramOracle,

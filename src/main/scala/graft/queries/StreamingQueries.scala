@@ -1238,6 +1238,57 @@ object StreamingQueries {
   /** The batch IVF search oracle IS the serving oracle. */
   def streamAnnOracle: String = PipelineQueries.ivfTopKOracle
 
+  /** STREAMING ANN index commit — the ingest-side twin of the serving
+    * face ([[streamAnn]] answers queries against the frozen index; THIS
+    * keeps the index growing as gate-accepted vectors arrive): the
+    * deploy-time PQ artifacts ([[graft.similarity.Ivf.pqArtifacts]] —
+    * trained codebooks + corpus code postings) checkpoint once, then
+    * each arriving micro-batch encodes against the FROZEN codebooks and
+    * folds into the stored postings with the EXACT
+    * [[graft.similarity.Ivf.commitPqCodes]] arithmetic — per-vector
+    * deterministic, so the fold is batching-invariant by construction
+    * and the final committed table IS the batch q_index_commit output
+    * (one shared oracle). Replay-safe by batch id; codebook refresh
+    * stays the retrain decision the drift/recall monitors trigger. */
+  def streamIndexCommit(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{
+      SemIncMod, SemIncResidue, IvfCentroidIds, EmbDims, PqM, PqIters}
+    val emb = Tables.embeddings(s, d)
+    val (cb0, codes0) = graft.similarity.Ivf.pqArtifacts(
+      emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue),
+      IvfCentroidIds, EmbDims, PqM, PqIters)
+    val cb = cb0.localCheckpoint(true)
+    val committed = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      codes0.localCheckpoint(true))
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val arrivals = StreamingOps
+      .readEmbeddings(s, embeddingsStreamDir(d))
+      .filter(col("vec_id") % SemIncMod === SemIncResidue)
+      .select("vec_id", "embedding")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = arrivals.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (seen.add(id)) {
+            committed.updateAndGet(stored =>
+              graft.similarity.Ivf
+                .commitPqCodes(stored, cb, b, EmbDims, PqM)
+                .localCheckpoint(true))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    committed.get.orderBy("vec_id", "sub")
+  }
+
+  /** The batch index-commit oracle IS the streaming oracle. */
+  def streamIndexCommitOracle: String = PipelineQueries.indexCommitOracle
+
   def streamDedupCorpusOracle: String =
     s"""WITH b AS (
        |  SELECT doc_id, md5(substr(text, 1, 50)) AS fingerprint

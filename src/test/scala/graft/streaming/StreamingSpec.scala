@@ -1267,6 +1267,20 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming index commit equals the batch PQ commit row-for-row") {
+    // Arriving vectors encode against the frozen codebooks per
+    // micro-batch and fold into the stored postings; frozen-codebook
+    // encoding is per-vector deterministic, so the committed table must
+    // equal the one-shot batch commit exactly, whatever the batching.
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamIndexCommit(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.PipelineQueries.indexCommit(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("streaming video gate flags each planted re-encode exactly once, frame-aligned") {
     // The clip-level verdict at ingest: every arriving brightness twin
     // must produce ONE verdict, against its own source video, fully
