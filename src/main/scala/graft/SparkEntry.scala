@@ -181,6 +181,7 @@ object SparkEntry {
     "q_stream_audio" -> (StreamingQueries.streamAudio _),
     "q_stream_ann" -> (StreamingQueries.streamAnn _),
     "q_stream_index_commit" -> (StreamingQueries.streamIndexCommit _),
+    "q_stream_knn" -> (StreamingQueries.streamKnn _),
     "q_stream_attribution" -> (StreamingQueries.streamAttribution _),
     "q_stream_video" -> (StreamingQueries.streamVideo _),
     "q_stream_ngram" -> (StreamingQueries.streamNgram _),
@@ -615,6 +616,7 @@ object SparkEntry {
     "q_stream_audio" -> StreamingQueries.streamAudioOracle,
     "q_stream_ann" -> StreamingQueries.streamAnnOracle,
     "q_stream_index_commit" -> StreamingQueries.streamIndexCommitOracle,
+    "q_stream_knn" -> StreamingQueries.streamKnnOracle,
     "q_stream_attribution" -> StreamingQueries.streamAttributionOracle,
     "q_stream_video" -> StreamingQueries.streamVideoOracle,
     "q_stream_ngram" -> StreamingQueries.streamNgramOracle,

@@ -1289,6 +1289,50 @@ object StreamingQueries {
   /** The batch index-commit oracle IS the streaming oracle. */
   def streamIndexCommitOracle: String = PipelineQueries.indexCommitOracle
 
+  /** STREAMING kNN-graph maintenance — the mutual graph kept current AS
+    * vectors arrive: the deploy-time index artifacts
+    * ([[graft.similarity.Ivf.knnIndexArtifacts]]) checkpoint once, each
+    * micro-batch chains through [[graft.similarity.Ivf.knnIndexFold]]
+    * (re-rank only the arrivals plus the stored probe rows their cells
+    * hit; every artifact gains its batch-sized delta), and the final
+    * stored index encodes EXACTLY the from-scratch graph of corpus ∪
+    * all deliveries — the fold's induction law, so the oracle IS the
+    * q_knn_graph oracle and KnnGraphSpec pins the three-delivery chain
+    * directly. Replay-safe by batch id. */
+  def streamKnn(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{
+      SemIncMod, SemIncResidue, IvfCentroidIds, IvfNProbe, KnnGraphK}
+    val emb = Tables.embeddings(s, d)
+    val idx0 = graft.similarity.Ivf.knnIndexArtifacts(
+      emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue),
+      IvfCentroidIds, IvfNProbe, KnnGraphK)
+    val idx = new java.util.concurrent.atomic.AtomicReference(idx0)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val arrivals = StreamingOps
+      .readEmbeddings(s, embeddingsStreamDir(d))
+      .filter(col("vec_id") % SemIncMod === SemIncResidue)
+      .select("vec_id", "embedding")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = arrivals.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (seen.add(id)) {
+            idx.updateAndGet(i => graft.similarity.Ivf.knnIndexFold(i, b))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    graft.similarity.Ivf.mutualGraph(idx.get).orderBy("id_a", "id_b")
+  }
+
+  /** The from-scratch graph oracle IS the streaming oracle. */
+  def streamKnnOracle: String = PipelineQueries.knnGraphOracle
+
   def streamDedupCorpusOracle: String =
     s"""WITH b AS (
        |  SELECT doc_id, md5(substr(text, 1, 50)) AS fingerprint

@@ -563,12 +563,20 @@ object Ivf {
     KnnIndex(centArr, probes, asg, edges, nProbe, k)
   }
 
-  /** The per-delivery fold over stored [[KnnIndex]] artifacts: re-rank
-    * only the arrivals and the stored probe rows that hit an arrival
-    * cell, keep everything else verbatim, re-mutualize. */
-  def mutualKnnFold(index: KnnIndex, batch: DataFrame): DataFrame = {
+  /** The per-delivery fold over stored [[KnnIndex]] artifacts,
+    * returning the UPDATED index (probe table, assignment and directed
+    * edges each gain their batch-sized delta, checkpointed) so folds
+    * CHAIN: after folding b₁ the index is exactly the from-scratch
+    * index of corpus ∪ b₁, so folding b₂ next preserves the law by
+    * induction — the streaming face's correctness argument, pinned in
+    * KnnGraphSpec's three-delivery chain test. Re-ranks only the
+    * arrivals and the stored probe rows that hit an arrival cell;
+    * everything else is kept verbatim by id anti-join. */
+  def knnIndexFold(index: KnnIndex, batch: DataFrame): KnnIndex = {
     Similarity.ensureFunctions(batch)
     val b0 = prepDouble(batch)
+    val batchProbes =
+      knnProbeFrame(b0, index.centArr, index.nProbe).localCheckpoint(true)
     val batchAsg = knnAsgFrame(b0, index.centArr).localCheckpoint(true)
     val batchCells = batchAsg.select("cell").distinct()
     val affectedIds = index.probes
@@ -576,12 +584,25 @@ object Ivf {
       .select("q_vec_id").distinct()
     val recomputed = knnEdgesCore(
       index.probes.join(affectedIds, Seq("q_vec_id"), "left_semi")
-        .unionByName(knnProbeFrame(b0, index.centArr, index.nProbe)),
+        .unionByName(batchProbes),
       index.asg.unionByName(batchAsg),
       index.k)
     val kept = index.edges.join(affectedIds, Seq("q_vec_id"), "left_anti")
-    mutualize(kept.unionByName(recomputed))
+    KnnIndex(
+      index.centArr,
+      index.probes.unionByName(batchProbes).localCheckpoint(true),
+      index.asg.unionByName(batchAsg).localCheckpoint(true),
+      kept.unionByName(recomputed).localCheckpoint(true),
+      index.nProbe,
+      index.k)
   }
+
+  /** The mutual graph a stored [[KnnIndex]] currently encodes. */
+  def mutualGraph(index: KnnIndex): DataFrame = mutualize(index.edges)
+
+  /** One-delivery convenience: fold, then re-mutualize. */
+  def mutualKnnFold(index: KnnIndex, batch: DataFrame): DataFrame =
+    mutualGraph(knnIndexFold(index, batch))
 
   def mutualKnnIncremental(
       corpus: DataFrame,

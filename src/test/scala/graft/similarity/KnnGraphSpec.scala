@@ -58,6 +58,19 @@ class KnnGraphSpec extends SparkSuite {
     assert(inc == scratch)
   }
 
+  test("chained folds over three deliveries == from-scratch graph") {
+    val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+    val batch = emb.filter(col("vec_id") % 9 === 8)
+    val idx0 = Ivf.knnIndexArtifacts(corpus, centroidIds, nProbe = 2, k = k)
+    val folded = Seq(0, 1, 2)
+      .map(r => batch.filter(col("vec_id") % 3 === r))
+      .foldLeft(idx0)(Ivf.knnIndexFold)
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(edges(Ivf.mutualGraph(folded)) ==
+      edges(Ivf.mutualKnnEdges(emb, centroidIds, nProbe = 2, k = k)))
+  }
+
   test("an empty delivery folds as a no-op") {
     val corpus = emb.filter(col("vec_id") % 9 =!= 8)
     def edges(df: org.apache.spark.sql.DataFrame) =
