@@ -147,6 +147,7 @@ object SparkEntry {
     "q_quality_drift" -> (PipelineQueries.qualityDrift _),
     "q_knn_graph" -> (PipelineQueries.knnGraph _),
     "q_knn_graph_inc" -> (PipelineQueries.knnGraphInc _),
+    "q_knn_retract" -> (PipelineQueries.knnRetract _),
     "q_semantic_clusters" -> (PipelineQueries.semanticClusters _),
     "q_semantic_keeplist" -> (PipelineQueries.semanticKeeplist _),
     "q_cell_drift" -> (PipelineQueries.cellDrift _),
@@ -586,6 +587,7 @@ object SparkEntry {
     "q_quality_drift" -> PipelineQueries.qualityDriftOracle,
     "q_knn_graph" -> PipelineQueries.knnGraphOracle,
     "q_knn_graph_inc" -> PipelineQueries.knnGraphIncOracle,
+    "q_knn_retract" -> PipelineQueries.knnRetractOracle,
     "q_semantic_clusters" -> PipelineQueries.semanticClustersOracle,
     "q_semantic_keeplist" -> PipelineQueries.semanticKeeplistOracle,
     "q_cell_drift" -> PipelineQueries.cellDriftOracle,

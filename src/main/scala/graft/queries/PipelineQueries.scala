@@ -1453,13 +1453,16 @@ object PipelineQueries {
     Set("q_knn_graph", "q_semantic_clusters", "q_semantic_keeplist")
 
   /** The probe/assign/score/rank CTEs of the whole-corpus kNN edge set
-    * — shared by the graph and clusters oracles. Yields `medges`
-    * (mutual (id_a, id_b, score), id_a < id_b). */
-  private def knnEdgesCtes: String = {
+    * — shared by the graph, clusters, keep-list and retraction oracles.
+    * Yields `medges` (mutual (id_a, id_b, score), id_a < id_b) over the
+    * optionally filtered embeddings slice. */
+  private def knnEdgesCtes: String = knnEdgesCtesWhere("")
+
+  private def knnEdgesCtesWhere(filter: String): String = {
     val ids = IvfCentroidIds.mkString(", ")
     s"""c0 AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-       |  FROM embeddings),
+       |  FROM embeddings$filter),
        |cent AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, emb AS cemb
        |  FROM c0 WHERE vec_id IN ($ids)),
@@ -1519,6 +1522,35 @@ object PipelineQueries {
 
   /** From-scratch IS the incremental oracle — the fold law. */
   def knnGraphIncOracle: String = knnGraphOracle
+
+  /** Takedown split for the kNN-graph retraction: vec_id % 10 == 3 is a
+    * residue class containing NO [[IvfCentroidIds]] centroid, so the
+    * frozen quantizer survives the deletion. */
+  val KnnRetractMod = 10
+  val KnnRetractResidue = 3
+
+  /** kNN-graph RETRACTION ([[graft.similarity.Ivf.knnIndexRetract]]):
+    * the vec_id % 10 == 3 slice is taken down; affected queries are
+    * read off the stored edge table (a deleted vector in the top-k),
+    * re-ranked against the surviving assignment, everything else kept
+    * verbatim — and the result must equal the from-scratch graph of the
+    * survivors, which is exactly what the oracle computes. */
+  def knnRetract(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val ivf = graft.similarity.Ivf
+    val idx = ivf.knnIndexArtifacts(emb, IvfCentroidIds, IvfNProbe, KnnGraphK)
+    ivf.mutualGraph(ivf.knnIndexRetract(
+        idx,
+        emb.filter(col("vec_id") % KnnRetractMod === KnnRetractResidue)
+          .select("vec_id")))
+      .orderBy("id_a", "id_b")
+  }
+
+  def knnRetractOracle: String =
+    s"""WITH ${knnEdgesCtesWhere(
+           s" WHERE vec_id % $KnnRetractMod <> $KnnRetractResidue")}
+       |SELECT id_a, id_b, score FROM medges
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** EMBEDDING-SPACE clusters: connected components over the mutual
     * kNN graph — the grouping step of SemDeDup-style cluster pruning

@@ -600,6 +600,37 @@ object Ivf {
   /** The mutual graph a stored [[KnnIndex]] currently encodes. */
   def mutualGraph(index: KnnIndex): DataFrame = mutualize(index.edges)
 
+  /** RETRACTION of the kNN-graph index — the takedown inverse of
+    * [[knnIndexFold]]: deletion only REMOVES candidates, so a surviving
+    * query's top-k changes iff a deleted vector sits IN its stored
+    * top-k — the affected set is read straight off the stored EDGE
+    * table (an id-keyed semi-join; nothing geometric recomputes), those
+    * queries re-rank against the surviving assignment, and everything
+    * else is kept verbatim. retract ∘ fold == identity on the fold's
+    * own batch (an affected query re-ranks against exactly its
+    * pre-fold candidate pool), and retracted == rebuilt-from-scratch
+    * on corpus \ deleted — both pinned in KnnGraphSpec; the
+    * q_knn_retract oracle rebuilds from scratch, so the law is
+    * hash-checked cross-engine. Centroids persist: like every frozen
+    * quantizer here, refreshing them is the retrain decision. */
+  def knnIndexRetract(index: KnnIndex, deleteIds: DataFrame): KnnIndex = {
+    val del = deleteIds.select("vec_id").distinct().localCheckpoint(true)
+    val delQ = del.select(col("vec_id").as("q_vec_id"))
+    val probes = index.probes.join(delQ, Seq("q_vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val asg = index.asg.join(del, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val survivors = index.edges.join(delQ, Seq("q_vec_id"), "left_anti")
+    val affectedIds = survivors.join(del, Seq("vec_id"), "left_semi")
+      .select("q_vec_id").distinct()
+    val recomputed = knnEdgesCore(
+      probes.join(affectedIds, Seq("q_vec_id"), "left_semi"), asg, index.k)
+    val kept = survivors.join(affectedIds, Seq("q_vec_id"), "left_anti")
+    KnnIndex(index.centArr, probes, asg,
+      kept.unionByName(recomputed).localCheckpoint(true),
+      index.nProbe, index.k)
+  }
+
   /** One-delivery convenience: fold, then re-mutualize. */
   def mutualKnnFold(index: KnnIndex, batch: DataFrame): DataFrame =
     mutualGraph(knnIndexFold(index, batch))

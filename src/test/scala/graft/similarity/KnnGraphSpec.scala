@@ -71,6 +71,25 @@ class KnnGraphSpec extends SparkSuite {
       edges(Ivf.mutualKnnEdges(emb, centroidIds, nProbe = 2, k = k)))
   }
 
+  test("retraction == from-scratch graph on the survivors; retract ∘ fold == identity") {
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+    val batch = emb.filter(col("vec_id") % 9 === 8)
+    // Rebuild law: delete a slice from the full index.
+    val del = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    val full = Ivf.knnIndexArtifacts(emb, centroidIds, nProbe = 2, k = k)
+    assert(edges(Ivf.mutualGraph(Ivf.knnIndexRetract(full, del))) ==
+      edges(Ivf.mutualKnnEdges(
+        emb.filter(col("vec_id") % 10 =!= 3), centroidIds, nProbe = 2, k = k)))
+    // Inverse law: folding a batch then retracting its ids restores the
+    // stored graph exactly.
+    val idx0 = Ivf.knnIndexArtifacts(corpus, centroidIds, nProbe = 2, k = k)
+    val roundTrip = Ivf.knnIndexRetract(
+      Ivf.knnIndexFold(idx0, batch), batch.select("vec_id"))
+    assert(edges(Ivf.mutualGraph(roundTrip)) == edges(Ivf.mutualGraph(idx0)))
+  }
+
   test("an empty delivery folds as a no-op") {
     val corpus = emb.filter(col("vec_id") % 9 =!= 8)
     def edges(df: org.apache.spark.sql.DataFrame) =
