@@ -183,6 +183,7 @@ object SparkEntry {
     "q_stream_ann" -> (StreamingQueries.streamAnn _),
     "q_stream_index_commit" -> (StreamingQueries.streamIndexCommit _),
     "q_stream_knn" -> (StreamingQueries.streamKnn _),
+    "q_stream_semantic_commit" -> (StreamingQueries.streamSemanticCommit _),
     "q_stream_attribution" -> (StreamingQueries.streamAttribution _),
     "q_stream_video" -> (StreamingQueries.streamVideo _),
     "q_stream_ngram" -> (StreamingQueries.streamNgram _),
@@ -619,6 +620,7 @@ object SparkEntry {
     "q_stream_ann" -> StreamingQueries.streamAnnOracle,
     "q_stream_index_commit" -> StreamingQueries.streamIndexCommitOracle,
     "q_stream_knn" -> StreamingQueries.streamKnnOracle,
+    "q_stream_semantic_commit" -> StreamingQueries.streamSemanticCommitOracle,
     "q_stream_attribution" -> StreamingQueries.streamAttributionOracle,
     "q_stream_video" -> StreamingQueries.streamVideoOracle,
     "q_stream_ngram" -> StreamingQueries.streamNgramOracle,

@@ -1333,6 +1333,56 @@ object StreamingQueries {
   /** The from-scratch graph oracle IS the streaming oracle. */
   def streamKnnOracle: String = PipelineQueries.knnGraphOracle
 
+  /** STREAMING semantic-assignment commit — the ingest stream of the
+    * semantic family's stored artifact (the corpus cell table its
+    * incremental gate reads): the frozen centroid table checkpoints
+    * once at deploy; each arriving micro-batch assigns MAP-SIDE
+    * ([[graft.similarity.Ivf.assignCells]] — argmin in one lambda, no
+    * row expansion) and folds into the stored table with the exact
+    * [[graft.similarity.Ivf.commitCellAssignments]] arithmetic.
+    * Frozen-centroid assignment is per-vector deterministic, so the
+    * fold is batching-invariant by construction and the final committed
+    * table IS the batch q_semantic_commit output — one shared oracle.
+    * Replay-safe by batch id. */
+  def streamSemanticCommit(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{SemIncMod, SemIncResidue, IvfCentroidIds}
+    val emb = Tables.embeddings(s, d)
+    val corpus = emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue)
+    val cent = graft.similarity.Ivf
+      .fixedCentroidsDouble(corpus, IvfCentroidIds)
+      .localCheckpoint(true)
+    val committed = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      graft.similarity.Ivf.assignCells(corpus, cent).localCheckpoint(true))
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val arrivals = StreamingOps
+      .readEmbeddings(s, embeddingsStreamDir(d))
+      .filter(col("vec_id") % SemIncMod === SemIncResidue)
+      .select("vec_id", "embedding")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = arrivals.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (seen.add(id)) {
+            committed.updateAndGet(stored =>
+              graft.similarity.Ivf
+                .commitCellAssignments(stored, cent, b)
+                .localCheckpoint(true))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    committed.get.orderBy("vec_id")
+  }
+
+  /** The batch semantic-commit oracle IS the streaming oracle. */
+  def streamSemanticCommitOracle: String =
+    PipelineQueries.semanticCommitOracle
+
   def streamDedupCorpusOracle: String =
     s"""WITH b AS (
        |  SELECT doc_id, md5(substr(text, 1, 50)) AS fingerprint

@@ -1281,6 +1281,16 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming semantic commit equals the batch cell-table commit row-for-row") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamSemanticCommit(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.PipelineQueries.semanticCommit(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("streaming video gate flags each planted re-encode exactly once, frame-aligned") {
     // The clip-level verdict at ingest: every arriving brightness twin
     // must produce ONE verdict, against its own source video, fully
