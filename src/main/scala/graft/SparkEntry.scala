@@ -150,6 +150,7 @@ object SparkEntry {
     "q_knn_retract" -> (PipelineQueries.knnRetract _),
     "q_semantic_clusters" -> (PipelineQueries.semanticClusters _),
     "q_semantic_keeplist" -> (PipelineQueries.semanticKeeplist _),
+    "q_semantic_quality_keeplist" -> (PipelineQueries.semanticQualityKeeplist _),
     "q_cell_drift" -> (PipelineQueries.cellDrift _),
     "q_incremental_ngram" -> (PipelineQueries.ngramJaccardIncrementalQ _),
     // --- round-7 widening: mixing, batching, mining, sliding/outer stream ---
@@ -591,6 +592,7 @@ object SparkEntry {
     "q_knn_retract" -> PipelineQueries.knnRetractOracle,
     "q_semantic_clusters" -> PipelineQueries.semanticClustersOracle,
     "q_semantic_keeplist" -> PipelineQueries.semanticKeeplistOracle,
+    "q_semantic_quality_keeplist" -> PipelineQueries.semanticQualityKeeplistOracle,
     "q_cell_drift" -> PipelineQueries.cellDriftOracle,
     "q_incremental_ngram" -> PipelineQueries.ngramJaccardIncrementalOracle,
     "q_mix_weights" -> TextQueries.mixWeightsOracle,

@@ -1450,7 +1450,8 @@ object PipelineQueries {
 
   /** The declared query names that resolve through [[knnMemo]]. */
   private[graft] val KnnMemoQueries: Set[String] =
-    Set("q_knn_graph", "q_semantic_clusters", "q_semantic_keeplist")
+    Set("q_knn_graph", "q_semantic_clusters", "q_semantic_keeplist",
+      "q_semantic_quality_keeplist")
 
   /** The probe/assign/score/rank CTEs of the whole-corpus kNN edge set
     * — shared by the graph, clusters, keep-list and retraction oracles.
@@ -1522,6 +1523,68 @@ object PipelineQueries {
 
   /** From-scratch IS the incremental oracle — the fold law. */
   def knnGraphIncOracle: String = knnGraphOracle
+
+  /** QUALITY-AWARE semantic keeper — [[qualityKeeplist]]'s policy
+    * applied to the embedding-space clusters: within every mutual-kNN
+    * component keep the HIGHEST-quality member (ties to the lowest id),
+    * not blindly the lowest id — the policy SemDeDup deployments
+    * actually want, since the cluster representative becomes training
+    * data. One row per vector with its component, the text quality
+    * score of the document it embeds (vec_id == doc_id by the fixture's
+    * contract, the same join q_lang_centroid rides), the elected
+    * keeper and the keep verdict. The component-keyed window is
+    * cluster-bounded — never unpartitioned. */
+  def semanticQualityKeeplist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = documents(s, d).select(
+      col("doc_id").as("vec_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val cc = Dedup
+      .connectedComponents(mutualEdgesMemo(s, d).select("id_a", "id_b"))
+      .withColumnRenamed("id", "vec_id")
+    embeddings(s, d).select("vec_id")
+      .join(q, Seq("vec_id"))
+      .join(cc, Seq("vec_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("vec_id")))
+      .withColumn(
+        "keeper_id",
+        min(struct((-col("quality")).as("nq"), col("vec_id").as("id")))
+          .over(Window.partitionBy("component"))
+          .getField("id"))
+      .select(
+        col("vec_id"), col("component"), col("quality"), col("keeper_id"),
+        (col("vec_id") === col("keeper_id")).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  def semanticQualityKeeplistOracle: String =
+    s"""WITH RECURSIVE $knnEdgesCtes,
+       |gedges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM medges
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM medges),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM gedges
+       |  UNION
+       |  SELECT re.id, g.dst AS r FROM reach re JOIN gedges g ON g.src = re.r),
+       |cc AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+       |$qualityCtesSql,
+       |j AS (
+       |  SELECT e.vec_id, COALESCE(cc.component, e.vec_id) AS component,
+       |    q.quality
+       |  FROM embeddings e
+       |  LEFT JOIN cc ON e.vec_id = cc.id
+       |  JOIN q ON e.vec_id = q.doc_id),
+       |k AS (
+       |  SELECT component, vec_id AS keeper_id FROM (
+       |    SELECT component, vec_id,
+       |      row_number() OVER (PARTITION BY component
+       |        ORDER BY quality DESC, vec_id ASC) AS rn
+       |    FROM j) WHERE rn = 1)
+       |SELECT j.vec_id, j.component, j.quality, k.keeper_id,
+       |  j.vec_id = k.keeper_id AS keep
+       |FROM j JOIN k ON j.component = k.component
+       |ORDER BY j.vec_id""".stripMargin
 
   /** Takedown split for the kNN-graph retraction: vec_id % 10 == 3 is a
     * residue class containing NO [[IvfCentroidIds]] centroid, so the

@@ -111,6 +111,20 @@ class KnnGraphSpec extends SparkSuite {
     assert(kept == (all -- clustered) ++ roots)
   }
 
+  test("quality keeper elects the best-quality member of every cluster") {
+    val P = graft.queries.PipelineQueries
+    val d = "/root/testdata/sf0.001"
+    val rows = P.semanticQualityKeeplist(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val keeper = members.map(m => (-m._3, m._1)).min._2
+      assert(members.forall(_._4 == keeper), "keeper column inconsistent")
+      members.foreach(m => assert(m._5 == (m._1 == keeper)))
+    }
+  }
+
   test("cluster labels are the component minimum and cover every edge endpoint") {
     val edges = Ivf
       .mutualKnnEdges(emb, centroidIds, nProbe = 2, k = k)
