@@ -151,6 +151,7 @@ object SparkEntry {
     "q_semantic_clusters" -> (PipelineQueries.semanticClusters _),
     "q_semantic_keeplist" -> (PipelineQueries.semanticKeeplist _),
     "q_semantic_quality_keeplist" -> (PipelineQueries.semanticQualityKeeplist _),
+    "q_graph_stats" -> (PipelineQueries.graphStats _),
     "q_cell_drift" -> (PipelineQueries.cellDrift _),
     "q_incremental_ngram" -> (PipelineQueries.ngramJaccardIncrementalQ _),
     // --- round-7 widening: mixing, batching, mining, sliding/outer stream ---
@@ -593,6 +594,7 @@ object SparkEntry {
     "q_semantic_clusters" -> PipelineQueries.semanticClustersOracle,
     "q_semantic_keeplist" -> PipelineQueries.semanticKeeplistOracle,
     "q_semantic_quality_keeplist" -> PipelineQueries.semanticQualityKeeplistOracle,
+    "q_graph_stats" -> PipelineQueries.graphStatsOracle,
     "q_cell_drift" -> PipelineQueries.cellDriftOracle,
     "q_incremental_ngram" -> PipelineQueries.ngramJaccardIncrementalOracle,
     "q_mix_weights" -> TextQueries.mixWeightsOracle,

@@ -1451,7 +1451,7 @@ object PipelineQueries {
   /** The declared query names that resolve through [[knnMemo]]. */
   private[graft] val KnnMemoQueries: Set[String] =
     Set("q_knn_graph", "q_semantic_clusters", "q_semantic_keeplist",
-      "q_semantic_quality_keeplist")
+      "q_semantic_quality_keeplist", "q_graph_stats")
 
   /** The probe/assign/score/rank CTEs of the whole-corpus kNN edge set
     * — shared by the graph, clusters, keep-list and retraction oracles.
@@ -1523,6 +1523,56 @@ object PipelineQueries {
 
   /** From-scratch IS the incremental oracle — the fold law. */
   def knnGraphIncOracle: String = knnGraphOracle
+
+  /** GRAPH-HEALTH readout — the observability face of the mutual-kNN
+    * graph, paralleling [[dupHistogram]] for text clusters: the DEGREE
+    * histogram (how many vectors carry k mutual edges — a left-shifted
+    * distribution means nProbe/k are too tight, a right-saturated one
+    * means the space is over-connected) and the COMPONENT-SIZE
+    * histogram (how big the clusters the prune step will collapse are —
+    * the number an owner checks before trusting q_semantic_keeplist's
+    * drop rate). Both collapse the edge set to ≤ k distinct degree rows
+    * and ≤ \|components\| size rows immediately; cost rides the
+    * memoized edge build. */
+  def graphStats(s: SparkSession, d: String): DataFrame = {
+    val e = mutualEdgesMemo(s, d)
+    val deg = e
+      .select(explode(array(col("id_a"), col("id_b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .select(lit("degree").as("stat"), col("k"), col("n"))
+    val cs = Dedup
+      .connectedComponents(e.select("id_a", "id_b"))
+      .groupBy("component").agg(count(lit(1)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .select(lit("component_size").as("stat"), col("k"), col("n"))
+    deg.unionByName(cs).orderBy("stat", "k")
+  }
+
+  def graphStatsOracle: String =
+    s"""WITH RECURSIVE $knnEdgesCtes,
+       |gedges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM medges
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM medges),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM gedges
+       |  UNION
+       |  SELECT re.id, g.dst AS r FROM reach re JOIN gedges g ON g.src = re.r),
+       |cc AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+       |deg AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT v, CAST(count(*) AS BIGINT) AS k FROM (
+       |      SELECT id_a AS v FROM medges UNION ALL SELECT id_b FROM medges)
+       |    GROUP BY v) GROUP BY k),
+       |cs AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT component, CAST(count(*) AS BIGINT) AS k FROM cc
+       |    GROUP BY component) GROUP BY k)
+       |SELECT 'degree' AS stat, k, n FROM deg
+       |UNION ALL
+       |SELECT 'component_size' AS stat, k, n FROM cs
+       |ORDER BY stat, k""".stripMargin
 
   /** QUALITY-AWARE semantic keeper — [[qualityKeeplist]]'s policy
     * applied to the embedding-space clusters: within every mutual-kNN

@@ -111,6 +111,22 @@ class KnnGraphSpec extends SparkSuite {
     assert(kept == (all -- clustered) ++ roots)
   }
 
+  test("graph stats conserve edge and vector mass") {
+    val P = graft.queries.PipelineQueries
+    val d = "/root/testdata/sf0.001"
+    val rows = P.graphStats(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val deg = rows.filter(_._1 == "degree")
+    val cs = rows.filter(_._1 == "component_size")
+    val edges = P.knnGraph(spark, d).count()
+    // Handshake: sum of k·n over the degree histogram == 2·|edges|.
+    assert(deg.map(r => r._2 * r._3).sum == 2 * edges)
+    // Component sizes cover exactly the clustered vectors.
+    val clustered = P.semanticClusters(spark, d).count()
+    assert(cs.map(r => r._2 * r._3).sum == clustered)
+    assert(cs.forall(_._2 >= 2), "a component needs at least one edge")
+  }
+
   test("quality keeper elects the best-quality member of every cluster") {
     val P = graft.queries.PipelineQueries
     val d = "/root/testdata/sf0.001"
