@@ -630,6 +630,44 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"no product:\n$p")
   }
 
+  test("knn graph: map-side probe/assign, bounded-heap rank, no window, no product") {
+    // The declared query replays the memoized checkpointed edge frame,
+    // so probe the BUILD's plan directly on the parquet fixture.
+    val p = graft.similarity.Ivf
+      .knnEdges(
+        graft.queries.Tables.embeddings(spark, d),
+        (0 until 8).map(_ * 37L), 2, 4)
+      .queryExecution.executedPlan.toString
+    // Probe selection and cell assignment are the map-side array forms
+    // shared with the rest of the fixed-centroid family.
+    assert(p.contains("array_min") && p.contains("array_sort"),
+      s"assignment must be the array-argmin / array-sort form:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere in the graph build:\n$p")
+    assert(p.contains("TopKPerKey"),
+      s"per-query ranking must run on the bounded heap:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("semantic commit: map-side argmin assignment, no vec_id shuffle, no window") {
+    val p = plan("q_semantic_commit")
+    assert(p.contains("array_min"),
+      s"assignment must be the array-argmin form:\n$p")
+    assert(!p.contains("Window"), s"no window in the commit fold:\n$p")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"the fold must not shuffle on vec_id:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("quality drift: histograms collapse before the readout, no window, no product") {
+    val p = plan("q_quality_drift")
+    assert(!p.contains("Window"), s"no window in the drift readout:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    // The readout's totals ride 1-row broadcast joins over the level
+    // histograms — partial aggregation must appear under the level key.
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"level histogram must partial-aggregate:\n$p")
+  }
+
   test("unicode nfc: pruned two-column scan, expression in the projection") {
     val p = plan("q_unicode_nfc")
     assert(p.contains("nfc_normalize"),
