@@ -144,6 +144,7 @@ object SparkEntry {
     "q_semantic_decontam" -> (PipelineQueries.semanticDecontam _),
     "q_incremental_semantic" -> (PipelineQueries.semanticDedupIncrementalQ _),
     "q_semantic_commit" -> (PipelineQueries.semanticCommit _),
+    "q_semantic_retract" -> (PipelineQueries.semanticRetract _),
     "q_quality_drift" -> (PipelineQueries.qualityDrift _),
     "q_knn_graph" -> (PipelineQueries.knnGraph _),
     "q_knn_graph_inc" -> (PipelineQueries.knnGraphInc _),
@@ -587,6 +588,7 @@ object SparkEntry {
     "q_semantic_decontam" -> PipelineQueries.semanticDecontamOracle,
     "q_incremental_semantic" -> PipelineQueries.semanticDedupIncrementalOracle,
     "q_semantic_commit" -> PipelineQueries.semanticCommitOracle,
+    "q_semantic_retract" -> PipelineQueries.semanticRetractOracle,
     "q_quality_drift" -> PipelineQueries.qualityDriftOracle,
     "q_knn_graph" -> PipelineQueries.knnGraphOracle,
     "q_knn_graph_inc" -> PipelineQueries.knnGraphIncOracle,

@@ -1524,6 +1524,45 @@ object PipelineQueries {
   /** From-scratch IS the incremental oracle — the fold law. */
   def knnGraphIncOracle: String = knnGraphOracle
 
+  /** SEMANTIC assignment RETRACTION
+    * ([[graft.similarity.Ivf.retractCellAssignments]]): the stored cell
+    * table built on the whole corpus has its vec_id % 10 == 3 slice
+    * taken down (a residue class holding no centroid, so the frozen
+    * quantizer survives); the emitted frame is the retracted table and
+    * the oracle REBUILDS it from scratch on the survivors — retracted
+    * == rebuilt hash-checked cross-engine, the id-keyed-artifact twin
+    * of q_index_retract. */
+  def semanticRetract(s: SparkSession, d: String): DataFrame = {
+    val ivf = graft.similarity.Ivf
+    val emb = embeddings(s, d)
+    val cent = ivf.fixedCentroidsDouble(emb, IvfCentroidIds)
+      .localCheckpoint(true)
+    val stored = ivf.assignCells(emb, cent)
+    ivf.retractCellAssignments(
+        stored,
+        emb.filter(col("vec_id") % KnnRetractMod === KnnRetractResidue)
+          .select("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  def semanticRetractOracle: String = {
+    val ids = IvfCentroidIds.mkString(", ")
+    s"""WITH c0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, emb AS cemb
+       |  FROM c0 WHERE vec_id IN ($ids))
+       |SELECT vec_id, cell FROM (
+       |  SELECT a.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_dot_product(a.emb, a.emb) - 2 * list_dot_product(a.emb, c.cemb) + list_dot_product(c.cemb, c.cemb) ASC,
+       |      c.cell ASC) AS rn
+       |  FROM c0 a CROSS JOIN cent c
+       |  WHERE a.vec_id % $KnnRetractMod <> $KnnRetractResidue) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** GRAPH-HEALTH readout — the observability face of the mutual-kNN
     * graph, paralleling [[dupHistogram]] for text clusters: the DEGREE
     * histogram (how many vectors carry k mutual edges — a left-shifted

@@ -371,6 +371,23 @@ object Ivf {
     stored.select("vec_id", "cell").unionByName(assignCells(arrivals, cent))
   }
 
+  /** RETRACTION of the semantic cell-assignment table — the takedown
+    * inverse of [[commitCellAssignments]]. The stored table is purely
+    * id-keyed (one (vec_id, cell) row per vector; no content-keyed set,
+    * no sidecar), so the vec_id anti-join IS the exact retraction:
+    * retracted == rebuilt-from-scratch on corpus \ deleted under the
+    * same frozen centroids, because assignment is per-vector
+    * deterministic — one vector's row never depends on another's
+    * presence. Centroids keep their trained state (retrain decision,
+    * as everywhere). SemanticCommitSpec pins the rebuild law and
+    * retract ∘ commit == identity. */
+  def retractCellAssignments(
+      stored: DataFrame,
+      deleteIds: DataFrame
+  ): DataFrame =
+    stored.join(deleteIds.select("vec_id").distinct(), Seq("vec_id"),
+      "left_anti")
+
   /** The incremental SemDeDup gate driven by the COMMITTED artifacts —
     * the deployment's per-delivery cost model, mirroring
     * [[graft.dedup.Dedup.minhashIncrementalFromArtifacts]]: the corpus

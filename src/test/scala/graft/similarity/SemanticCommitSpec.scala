@@ -65,6 +65,17 @@ class SemanticCommitSpec extends SparkSuite {
     assert(committed == rows(stored))
   }
 
+  test("retraction == rebuilt on survivors; retract ∘ commit == identity") {
+    val del = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    val full = Ivf.assignCells(emb, cent).localCheckpoint(true)
+    assert(rows(Ivf.retractCellAssignments(full, del)) ==
+      rows(Ivf.assignCells(emb.filter(col("vec_id") % 10 =!= 3), cent)))
+    val roundTrip = Ivf.retractCellAssignments(
+      Ivf.commitCellAssignments(stored, cent, batch),
+      batch.select("vec_id"))
+    assert(rows(roundTrip) == rows(stored))
+  }
+
   test("artifact-driven gate == the recomputing incremental gate row-for-row") {
     val threshold = 0.35
     val fromArtifacts = Ivf
