@@ -848,6 +848,21 @@ object ScaleStress {
       noop(graft.similarity.Ivf.commitCellAssignments(
         semStored, semCent, embBase.filter(col("vec_id") % 9 === 8)))
     }
+    // Round-11c: the DRIFT MONITORS are single-scan aggregations — the
+    // quality face collapses to ~a dozen level rows, the fertility face
+    // to per-distinct-type encode work + a lang-keyed groupBy. Both
+    // must stay flat-per-row linear like the manifest.
+    time("r11c quality drift monitor") {
+      val scored = corpus.select(
+        col("doc_id"),
+        graft.textanalysis.TextAnalysis.qualityScore(col("text"))
+          .as("quality"))
+      noop(graft.queries.PipelineQueries.qualityDriftReadout(
+        scored.filter(col("doc_id") % 10 =!= 0)
+          .groupBy("quality").agg(count(lit(1)).as("corpus_n")),
+        scored.filter(col("doc_id") % 10 === 0)
+          .groupBy("quality").agg(count(lit(1)).as("batch_n"))))
+    }
     // Offset-stage A/B at FIXED sizes (does not scale with replicas):
     // the lang-keyed window sorts each language's doc rows in ONE task;
     // the hierarchical prefix sum spreads the same work over
