@@ -175,6 +175,7 @@ object SparkEntry {
     "q_stream_dedup_corpus" -> (StreamingQueries.streamDedupCorpus _),
     "q_stream_quality" -> (StreamingQueries.streamQuality _),
     "q_stream_quality_drift" -> (StreamingQueries.streamQualityDrift _),
+    "q_stream_fertility_drift" -> (StreamingQueries.streamFertilityDrift _),
     "q_stream_decontam" -> (StreamingQueries.streamDecontam _),
     "q_stream_neardup" -> (StreamingQueries.streamNearDup _),
     "q_stream_align" -> (StreamingQueries.streamAlign _),
@@ -615,6 +616,7 @@ object SparkEntry {
     "q_stream_dedup_corpus" -> StreamingQueries.streamDedupCorpusOracle,
     "q_stream_quality" -> StreamingQueries.streamQualityOracle,
     "q_stream_quality_drift" -> StreamingQueries.streamQualityDriftOracle,
+    "q_stream_fertility_drift" -> StreamingQueries.streamFertilityDriftOracle,
     "q_stream_decontam" -> StreamingQueries.streamDecontamOracle,
     "q_stream_neardup" -> StreamingQueries.streamNearDupOracle,
     "q_stream_align" -> StreamingQueries.streamAlignOracle,

@@ -1383,6 +1383,78 @@ object StreamingQueries {
   def streamSemanticCommitOracle: String =
     PipelineQueries.semanticCommitOracle
 
+  /** STREAMING tokenizer-health drift — [[TextQueries.fertilityDrift]]
+    * at ingest: each arriving micro-batch encodes under the SAME frozen
+    * BPE merge table (per-distinct-type work, batch-local) and folds
+    * its per-language (token, subword) sums into the stored arrival
+    * histogram — sums add, so the fold is batching-invariant by
+    * construction and state is one row per language; the readout joins
+    * the FROZEN corpus-side histogram with the exact arithmetic of the
+    * batch face, whose oracle is shared verbatim. */
+  def streamFertilityDrift(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.IncrementalMod
+    val merges = graft.textanalysis.Bpe.MergesWordFull
+      .take(TextQueries.FertilityMerges)
+    def perLang(df: DataFrame, tCol: String, sCol: String) =
+      TextQueries.tokenBpeMergesDocs(df, merges)
+        .join(df.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(sum(col("n_tokens")).as(tCol), sum(col("n_subwords")).as(sCol))
+    val corpusHist = perLang(
+      documents(s, d).filter(col("doc_id") % IncrementalMod =!= 0),
+      "corpus_tokens", "corpus_subwords").localCheckpoint(true)
+    val acc =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val arrivals = StreamingOps
+      .readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % IncrementalMod === 0)
+      .select("doc_id", "text", "lang")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = arrivals.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (seen.add(id)) {
+            val bh = perLang(b, "batch_tokens", "batch_subwords")
+            acc.updateAndGet { p =>
+              val folded =
+                if (p == null) bh
+                else p.unionByName(bh).groupBy("lang").agg(
+                  sum(col("batch_tokens")).as("batch_tokens"),
+                  sum(col("batch_subwords")).as("batch_subwords"))
+              folded.localCheckpoint(true)
+            }
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    val batchHist = Option(acc.get).getOrElse(
+      corpusHist.select(
+        col("lang"),
+        lit(0L).as("batch_tokens"), lit(0L).as("batch_subwords"))
+        .limit(0))
+    corpusHist.join(batchHist, Seq("lang"), "full_outer")
+      .na.fill(0L, Seq("corpus_tokens", "corpus_subwords",
+        "batch_tokens", "batch_subwords"))
+      .withColumn("corpus_fertility_micros",
+        expr("coalesce(corpus_subwords * 1000000 div nullif(corpus_tokens, 0), 0)"))
+      .withColumn("batch_fertility_micros",
+        expr("coalesce(batch_subwords * 1000000 div nullif(batch_tokens, 0), 0)"))
+      .withColumn("drift_micros",
+        abs(col("batch_fertility_micros") - col("corpus_fertility_micros")))
+      .select("lang", "corpus_tokens", "batch_tokens",
+        "corpus_fertility_micros", "batch_fertility_micros", "drift_micros")
+      .orderBy("lang")
+  }
+
+  /** The batch fertility-drift oracle IS the streaming oracle. */
+  def streamFertilityDriftOracle: String = TextQueries.fertilityDriftOracle
+
   def streamDedupCorpusOracle: String =
     s"""WITH b AS (
        |  SELECT doc_id, md5(substr(text, 1, 50)) AS fingerprint

@@ -1291,6 +1291,16 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming fertility drift equals the batch monitor row-for-row") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamFertilityDrift(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.TextQueries.fertilityDrift(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("streaming video gate flags each planted re-encode exactly once, frame-aligned") {
     // The clip-level verdict at ingest: every arriving brightness twin
     // must produce ONE verdict, against its own source video, fully
