@@ -65,6 +65,9 @@ object SparkEntry {
     "q_corpus_overlap" -> (PipelineQueries.corpusOverlap _),
     "q_intradoc_dedup" -> (PipelineQueries.intraDocDedup _),
     "q_boilerplate" -> (PipelineQueries.boilerplateQ _),
+    "q_sentence_dedup" -> (PipelineQueries.sentenceDedupQ _),
+    "q_ngram_novelty" -> (PipelineQueries.ngramNovelty _),
+    "q_hamming_sweep" -> (PipelineQueries.hammingSweep _),
     "q_curation_pipeline" -> (PipelineQueries.curationPipeline _),
     "q_incremental_dedup" -> (PipelineQueries.incrementalDedup _),
     "q_incremental_minhash" -> (PipelineQueries.minhashIncrementalQ _),
@@ -153,6 +156,8 @@ object SparkEntry {
     "q_semantic_keeplist" -> (PipelineQueries.semanticKeeplist _),
     "q_semantic_quality_keeplist" -> (PipelineQueries.semanticQualityKeeplist _),
     "q_graph_stats" -> (PipelineQueries.graphStats _),
+    "q_graph_pagerank" -> (PipelineQueries.graphPagerank _),
+    "q_graph_drift" -> (PipelineQueries.graphDrift _),
     "q_cell_drift" -> (PipelineQueries.cellDrift _),
     "q_incremental_ngram" -> (PipelineQueries.ngramJaccardIncrementalQ _),
     // --- round-7 widening: mixing, batching, mining, sliding/outer stream ---
@@ -504,6 +509,9 @@ object SparkEntry {
     "q_corpus_overlap" -> PipelineQueries.corpusOverlapOracle,
     "q_intradoc_dedup" -> PipelineQueries.intraDocDedupOracle,
     "q_boilerplate" -> PipelineQueries.boilerplateOracle,
+    "q_sentence_dedup" -> PipelineQueries.sentenceDedupOracle,
+    "q_ngram_novelty" -> PipelineQueries.ngramNoveltyOracle,
+    "q_hamming_sweep" -> PipelineQueries.hammingSweepOracle,
     "q_curation_pipeline" -> PipelineQueries.curationPipelineOracle,
     "q_incremental_dedup" -> PipelineQueries.incrementalDedupOracle,
     "q_incremental_minhash" -> PipelineQueries.minhashIncrementalOracle,
@@ -598,6 +606,8 @@ object SparkEntry {
     "q_semantic_keeplist" -> PipelineQueries.semanticKeeplistOracle,
     "q_semantic_quality_keeplist" -> PipelineQueries.semanticQualityKeeplistOracle,
     "q_graph_stats" -> PipelineQueries.graphStatsOracle,
+    "q_graph_pagerank" -> PipelineQueries.graphPagerankOracle,
+    "q_graph_drift" -> PipelineQueries.graphDriftOracle,
     "q_cell_drift" -> PipelineQueries.cellDriftOracle,
     "q_incremental_ngram" -> PipelineQueries.ngramJaccardIncrementalOracle,
     "q_mix_weights" -> TextQueries.mixWeightsOracle,

@@ -1150,6 +1150,94 @@ object Dedup {
           ". ")).as("clean_md5"))
   }
 
+  /** CROSS-document sentence dedup, keep-FIRST policy (the CCNet-style
+    * corpus-wide paragraph dedup, at sentence granularity): every
+    * sentence instance in the corpus is kept iff it is the globally
+    * first occurrence of that sentence — ordered by (doc id, position) —
+    * so exactly one copy of every repeated sentence survives anywhere
+    * in the corpus. The complement of [[boilerplate]]'s policy (which
+    * flags ALL copies of high-df sentences): here later copies drop and
+    * the first stays, the semantics a training corpus wants when the
+    * repeated sentence is content, not chrome.
+    *
+    * Returns per-doc (id, n_sentences, n_kept, clean_md5) — the same
+    * narrow digest as [[intraDocSentenceDedup]] (kept sentences joined
+    * ". " in position order, md5'd), so the output never carries
+    * document bodies.
+    *
+    * Scale shape: sentences hash to 60-bit longs before the global
+    * keeper election, so the corpus-wide shuffle carries (8-byte hash,
+    * id, pos) rows; the election is one groupBy(hash).min(struct) —
+    * map-side combinable — joined back on the hash. Hot sentences
+    * (classic boilerplate) concentrate on single keys exactly like hot
+    * fingerprints in exact dedup; the min-struct aggregate is
+    * associative, so AQE/partial aggregation absorbs the skew. */
+  def crossDocSentenceDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitRegex: String = graft.text.TextFunctions.PortableSentenceSplit
+  ): DataFrame = {
+    val sent = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), splitRegex)).as(Seq("pos", "raw")))
+      .select(col("id"), col("pos"), trim(col("raw")).as("sentence"))
+      .filter(length(col("sentence")) > 0)
+      .withColumn("sh", hash60(col("sentence")))
+    val keepers = sent
+      .groupBy("sh")
+      .agg(min(struct(col("id"), col("pos"))).as("keeper"))
+      .select(col("sh"),
+        col("keeper.id").as("keep_id"), col("keeper.pos").as("keep_pos"))
+    sent
+      .join(keepers, Seq("sh"))
+      .withColumn("kept",
+        col("id") === col("keep_id") && col("pos") === col("keep_pos"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("pos"), col("sentence"))))),
+            x => x.getField("sentence")),
+          ". ")).as("clean_md5"))
+  }
+
+  /** Per-document N-GRAM NOVELTY against a frozen corpus: for every
+    * batch document, (distinct word-n-gram shingle count, how many of
+    * those shingles exist anywhere in the corpus, and the unseen
+    * fraction in exact integer micros). Low novelty on a document no
+    * near-dup pair flags means it is a paraphrase mosaic of corpus
+    * content — the signal pairwise Jaccard thresholds structurally
+    * miss. Documents too short to shingle (< n words) emit no row.
+    *
+    * Scale shape: one hash join of batch (8-byte shingle, id) rows
+    * against the corpus's DISTINCT shingle set — the decontamination
+    * gate's shuffle; in production the corpus side is the stored
+    * shingle-set artifact the commit family maintains. */
+  def ngramNovelty(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3
+  ): DataFrame = {
+    val batchSh = shingleRows(batch, idCol, textCol, n)
+    val corpusSh = shingleRows(corpus, idCol, textCol, n)
+      .select("shingle").distinct()
+      .withColumn("seen", lit(1L))
+    batchSh
+      .join(corpusSh, Seq("shingle"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+      .withColumn("novelty_micros",
+        expr("(n_shingles - n_seen) * 1000000 DIV n_shingles"))
+  }
+
   /** Cross-document boilerplate detection (the ACROSS-docs line dedup of
     * RefinedWeb-style cleaning, at sentence granularity): a sentence
     * occurring in ≥ `minDocs` distinct documents is boilerplate (headers,

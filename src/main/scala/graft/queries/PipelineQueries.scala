@@ -196,6 +196,39 @@ object PipelineQueries {
        |FROM s LEFT JOIN flagged f ON s.sh = f.sh
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** CROSS-document sentence dedup, keep-first
+    * ([[Dedup.crossDocSentenceDedup]]): the planted [[Footer]] sentences
+    * repeat in every document, so exactly one document (the lowest id)
+    * keeps each — the CCNet-style corpus-wide dedup policy, the
+    * complement of [[boilerplateQ]]'s flag-all-copies. Any naturally
+    * repeated fixture sentences dedup the same way. */
+  def sentenceDedupQ(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .crossDocSentenceDedup(
+        documents(s, d).withColumn("text", concat(col("text"), lit(Footer))),
+        "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  def sentenceDedupOracle: String =
+    s"""WITH s0 AS (
+       |  SELECT doc_id, string_split_regex(text || '$Footer', '[.!?]+\\s+') AS arr
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, i - 1 AS pos, trim(arr[i]) AS sentence,
+       |    CAST('0x' || substr(md5(trim(arr[i])),1,15) AS BIGINT) AS sh
+       |  FROM s0, LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i) r
+       |  WHERE length(trim(arr[i])) > 0),
+       |k AS (
+       |  SELECT *, row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
+       |  FROM s)
+       |SELECT doc_id, count(*) AS n_sentences,
+       |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(coalesce(
+       |    string_agg(CASE WHEN rn = 1 THEN sentence END, '. ' ORDER BY pos),
+       |    '')) AS clean_md5
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Batch = doc_id % IncrementalMod == 0 arriving against the corpus of
     * everything else. */
   val IncrementalMod = 10
@@ -1459,40 +1492,46 @@ object PipelineQueries {
     * optionally filtered embeddings slice. */
   private def knnEdgesCtes: String = knnEdgesCtesWhere("")
 
-  private def knnEdgesCtesWhere(filter: String): String = {
+  private def knnEdgesCtesWhere(filter: String): String =
+    knnEdgesCtesPrefixed("", filter)
+
+  /** [[knnEdgesCtesWhere]] with every CTE name prefixed, so two edge
+    * builds (e.g. the drift monitor's baseline + current graphs) can
+    * coexist in one WITH clause without name collisions. */
+  private def knnEdgesCtesPrefixed(p: String, filter: String): String = {
     val ids = IvfCentroidIds.mkString(", ")
-    s"""c0 AS (
+    s"""${p}c0 AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings$filter),
-       |cent AS (
+       |${p}cent AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, emb AS cemb
-       |  FROM c0 WHERE vec_id IN ($ids)),
-       |asg AS (
+       |  FROM ${p}c0 WHERE vec_id IN ($ids)),
+       |${p}asg AS (
        |  SELECT vec_id, emb, cell, sqrt(list_dot_product(emb, emb)) AS nrm FROM (
        |    SELECT a.vec_id, a.emb, c.cell,
        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
        |        list_dot_product(a.emb, a.emb) - 2 * list_dot_product(a.emb, c.cemb) + list_dot_product(c.cemb, c.cemb) ASC,
        |        c.cell ASC) AS rn
-       |    FROM c0 a CROSS JOIN cent c) WHERE rn = 1),
-       |probes AS (
+       |    FROM ${p}c0 a CROSS JOIN ${p}cent c) WHERE rn = 1),
+       |${p}probes AS (
        |  SELECT q_vec_id, q_emb, cell, sqrt(list_dot_product(q_emb, q_emb)) AS q_nrm FROM (
        |    SELECT a.vec_id AS q_vec_id, a.emb AS q_emb, c.cell,
        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
        |        list_dot_product(a.emb, a.emb) - 2 * list_dot_product(a.emb, c.cemb) + list_dot_product(c.cemb, c.cemb) ASC,
        |        c.cell ASC) AS rn
-       |    FROM c0 a CROSS JOIN cent c) WHERE rn <= $IvfNProbe),
-       |scored AS (
+       |    FROM ${p}c0 a CROSS JOIN ${p}cent c) WHERE rn <= $IvfNProbe),
+       |${p}scored AS (
        |  SELECT p.q_vec_id, s.vec_id,
        |    round(list_dot_product(s.emb, p.q_emb) / (s.nrm * p.q_nrm), 6) AS score
-       |  FROM asg s JOIN probes p ON s.cell = p.cell AND s.vec_id <> p.q_vec_id),
-       |e AS (
+       |  FROM ${p}asg s JOIN ${p}probes p ON s.cell = p.cell AND s.vec_id <> p.q_vec_id),
+       |${p}e AS (
        |  SELECT q_vec_id AS src, vec_id AS dst, score FROM (
        |    SELECT q_vec_id, vec_id, score,
        |      row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id ASC) AS rnk
-       |    FROM scored) WHERE rnk <= $KnnGraphK),
-       |medges AS (
+       |    FROM ${p}scored) WHERE rnk <= $KnnGraphK),
+       |${p}medges AS (
        |  SELECT e1.src AS id_a, e1.dst AS id_b, e1.score
-       |  FROM e e1 JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src
+       |  FROM ${p}e e1 JOIN ${p}e e2 ON e1.src = e2.dst AND e1.dst = e2.src
        |  WHERE e1.src < e1.dst)""".stripMargin
   }
 
@@ -1703,6 +1742,156 @@ object PipelineQueries {
            s" WHERE vec_id % $KnnRetractMod <> $KnnRetractResidue")}
        |SELECT id_a, id_b, score FROM medges
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Power-iteration count / damping (85/100) / teleport mass for the
+    * graph-centrality readout. All arithmetic is exact BIGINT micros:
+    * contrib(u) = rank(u) DIV deg(u); rank'(v) = teleport +
+    * (85 · Σ inflow) DIV 100 — both engines truncate identically, so
+    * the fixed iteration count is hash-checkable cross-engine (float
+    * PageRank never is). */
+  val PagerankIters = 5
+  val PagerankTeleportMicros = 150000L
+
+  /** GRAPH CENTRALITY over the mutual-kNN graph — fixed-point PageRank
+    * in exact integer micros, [[PagerankIters]] synchronous iterations
+    * over the memoized edge set: the importance score
+    * diversity-weighted data selection ranks cluster members by (a
+    * hub of near-duplicate paraphrases outranks its satellites, an
+    * isolated vector holds exactly the teleport mass). Dangling mass
+    * is deliberately dropped, not redistributed — the recurrence is
+    * pinned, not the stochastic-matrix limit, which is what makes it
+    * oracle-checkable.
+    *
+    * Scale shape: each iteration is two vertex-keyed shuffles
+    * (contrib = rank DIV deg per source, then an inflow sum per
+    * destination) over (id, long) rows — the standard vertex-centric
+    * plan; the edge and degree tables build once (checkpointed via the
+    * shared memo) and the rank frame stays |V| rows throughout. Hub
+    * degree is capped at k by the mutual-graph construction, so no
+    * skew salting is needed. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val e = mutualEdgesMemo(s, d).select("id_a", "id_b")
+    val dir = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val verts = embeddings(s, d).select(col("vec_id").as("v"))
+    var rank = verts.withColumn("r", lit(1000000L))
+    for (_ <- 1 to PagerankIters) {
+      val contrib = rank
+        .join(deg, rank("v") === deg("src"))
+        .select(col("src"), expr("r DIV deg").as("c"))
+      val inflow = dir
+        .join(contrib, Seq("src"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      rank = verts
+        .join(inflow, verts("v") === inflow("dst"), "left")
+        .select(
+          col("v"),
+          expr(s"CAST($PagerankTeleportMicros" +
+            s" + (85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100 AS BIGINT)")
+            .as("r"))
+    }
+    rank.select(col("v").as("vec_id"), col("r").as("rank_micros"))
+      .orderBy("vec_id")
+  }
+
+  def graphPagerankOracle: String = {
+    val iters = (1 to PagerankIters).map { i =>
+      s"""r$i AS (
+         |  SELECT verts.v,
+         |    CAST($PagerankTeleportMicros
+         |      + (85 * COALESCE(inf.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM verts LEFT JOIN (
+         |    SELECT dir.dst AS v, sum(cc.c) AS s
+         |    FROM dir JOIN (
+         |      SELECT r${i - 1}.v, r${i - 1}.r // deg.deg AS c
+         |      FROM r${i - 1} JOIN deg ON deg.v = r${i - 1}.v) cc
+         |      ON cc.v = dir.src
+         |    GROUP BY 1) inf ON inf.v = verts.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnEdgesCtes,
+       |dir AS (
+       |  SELECT id_a AS src, id_b AS dst FROM medges
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM medges),
+       |deg AS (SELECT src AS v, count(*) AS deg FROM dir GROUP BY 1),
+       |verts AS (SELECT vec_id AS v FROM embeddings),
+       |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM verts),
+       |$iters
+       |SELECT v AS vec_id, r AS rank_micros FROM r$PagerankIters
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** GRAPH-DRIFT monitor — the kNN graph's entry in the drift-monitor
+    * row (next to cell drift's geometric signal and ann recall's
+    * retrieval one): the DEGREE distribution of the deployed baseline
+    * graph (built on the corpus slice, the artifact q_knn_graph_inc
+    * folds into) against the graph after the arrivals fold, as an
+    * exact total-variation readout in integer micros — the same
+    * deliberately-not-PSI arithmetic as [[qualityDrift]]. A mass shift
+    * toward low degrees means arrivals are landing in sparse space
+    * (index getting stale); toward k means they pile into existing
+    * clusters. Both histograms collapse to ≤ k rows immediately; the
+    * baseline build is the monitor's deploy-time artifact, measured
+    * in-window here. */
+  def graphDrift(s: SparkSession, d: String): DataFrame = {
+    val ivf = graft.similarity.Ivf
+    val emb = embeddings(s, d)
+    val base = ivf.mutualKnnEdges(
+      emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue),
+      IvfCentroidIds, IvfNProbe, KnnGraphK)
+    val cur = mutualEdgesMemo(s, d)
+    def degHist(edges: DataFrame): DataFrame = edges
+      .select(explode(array(col("id_a"), col("id_b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val b = degHist(base).select(col("k"), col("n").as("base_n"))
+    val c = degHist(cur).select(col("k"), col("n").as("cur_n"))
+    b.join(c, Seq("k"), "full_outer")
+      .na.fill(0L, Seq("base_n", "cur_n"))
+      .crossJoin(broadcast(
+        b.agg(sum("base_n").as("base_total"))
+          .crossJoin(c.agg(sum("cur_n").as("cur_total")))))
+      .withColumn("base_frac_micros",
+        expr("base_n * 1000000 DIV base_total"))
+      .withColumn("cur_frac_micros",
+        expr("cur_n * 1000000 DIV cur_total"))
+      .withColumn("delta_micros",
+        abs(col("cur_frac_micros") - col("base_frac_micros")))
+      .select("k", "base_n", "cur_n",
+        "base_frac_micros", "cur_frac_micros", "delta_micros")
+      .orderBy("k")
+  }
+
+  def graphDriftOracle: String =
+    s"""WITH ${knnEdgesCtesPrefixed("bl_",
+           s" WHERE vec_id % $SemIncMod <> $SemIncResidue")},
+       |${knnEdgesCtes},
+       |bh AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT v, count(*) AS k FROM (
+       |      SELECT id_a AS v FROM bl_medges
+       |      UNION ALL SELECT id_b FROM bl_medges)
+       |    GROUP BY v) GROUP BY k),
+       |ch AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT v, count(*) AS k FROM (
+       |      SELECT id_a AS v FROM medges
+       |      UNION ALL SELECT id_b FROM medges)
+       |    GROUP BY v) GROUP BY k),
+       |bt AS (SELECT sum(n) AS t FROM bh),
+       |ct AS (SELECT sum(n) AS t FROM ch)
+       |SELECT COALESCE(bh.k, ch.k) AS k,
+       |  CAST(COALESCE(bh.n, 0) AS BIGINT) AS base_n,
+       |  CAST(COALESCE(ch.n, 0) AS BIGINT) AS cur_n,
+       |  CAST(COALESCE(bh.n, 0) * 1000000 // bt.t AS BIGINT) AS base_frac_micros,
+       |  CAST(COALESCE(ch.n, 0) * 1000000 // ct.t AS BIGINT) AS cur_frac_micros,
+       |  CAST(abs(COALESCE(ch.n, 0) * 1000000 // ct.t
+       |         - COALESCE(bh.n, 0) * 1000000 // bt.t) AS BIGINT) AS delta_micros
+       |FROM bh FULL OUTER JOIN ch ON bh.k = ch.k, bt, ct
+       |ORDER BY k""".stripMargin
 
   /** EMBEDDING-SPACE clusters: connected components over the mutual
     * kNN graph — the grouping step of SemDeDup-style cluster pruning
@@ -4644,6 +4833,44 @@ object PipelineQueries {
        |WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= $JaccardThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** N-GRAM NOVELTY — the memorization/contamination-adjacent per-doc
+    * score an eval-set builder reads before trusting a held-out split:
+    * for every arriving document (doc_id % [[NgramIncMod]] == 0), the
+    * fraction of its distinct word-3-gram shingles NEVER seen in the
+    * frozen corpus (everything else), in exact integer micros. A
+    * low-novelty "new" document is a paraphrase mosaic of the corpus
+    * even when no single near-dup pair fires — the signal n-gram
+    * Jaccard's pairwise threshold misses by construction.
+    *
+    * Scale shape: one hash join of the batch's (8-byte shingle, id)
+    * rows against the corpus's DISTINCT shingle set — the same
+    * shuffle the decontamination gate pays; the corpus set is the
+    * deploy-time artifact the commit family already maintains (the
+    * shingle-set table), so in production this reads a stored table.
+    * Documents too short to shingle (< 3 words) emit no rows in both
+    * engines, which also keeps the micros division nonzero. */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup
+      .ngramNovelty(
+        docs.filter(col("doc_id") % NgramIncMod =!= 0),
+        docs.filter(col("doc_id") % NgramIncMod === 0),
+        "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  def ngramNoveltyOracle: String =
+    s"""WITH $ngramShlCte,
+       |bsh AS (SELECT doc_id, shingle FROM shl WHERE doc_id % $NgramIncMod = 0),
+       |seen AS (SELECT DISTINCT shingle FROM shl WHERE doc_id % $NgramIncMod <> 0)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN s.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       |  CAST((count(*) - sum(CASE WHEN s.shingle IS NOT NULL THEN 1 ELSE 0 END))
+       |    * 1000000 // count(*) AS BIGINT) AS novelty_micros
+       |FROM bsh b LEFT JOIN seen s ON b.shingle = s.shingle
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private def topKOracle(bucketJoin: Boolean): String = {
     val bucketSql = Similarity.lshBucketSql(
       "embedding", Dims, LshBits, (c, i) => s"$c[$i]")
@@ -4980,6 +5207,79 @@ object PipelineQueries {
        |FROM ph a JOIN ph b ON a.id < b.id
        |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** HAMMING THRESHOLD SWEEP — the measured knob-tuning face of the
+    * perceptual-hash family, next to [[lshPlanner]]'s analytic one for
+    * MinHash banding: candidate-pair yield of the image dHash table at
+    * every hamming cutoff 0..[[PhashMaxHamming]] (exact count at the
+    * cutoff plus the cumulative pairs a gate set there would flag).
+    * The owner reads this before moving the gate's threshold — the
+    * planted twins pile up at hamming 0-2, coincidental collisions
+    * appear as the tail, and the knee between them is the right
+    * cutoff. The pair set is the SAME banded generation every hamming
+    * face uses (pigeonhole-complete to [[PhashMaxHamming]], never
+    * all-pairs); the sweep itself collapses to ≤ 7 histogram rows
+    * joined to a 7-row threshold literal. */
+  def hammingSweep(s: SparkSession, d: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    import s.implicits._
+    val docs = documents(s, d).select("doc_id", "text")
+    val originals = mm.syntheticPngCorpus(docs, "doc_id", "text")
+    val twins = mm
+      .syntheticPngCorpus(docs, "doc_id", "text", brightnessDelta = 4)
+      .map(m => m.copy(mediaId = m.mediaId + PhashTwinOffset))
+    val hashes = mm.imageDHash(originals.union(twins))
+      .toDF()
+      .filter(col("ok"))
+      .select(col("mediaId").as("id"), col("phash").as("simhash"))
+    val hist = Dedup.hammingPairs(hashes, 56, PhashMaxHamming, PhashBlocks)
+      .groupBy("hamming").agg(count(lit(1)).as("n_at"))
+    s.range(0, PhashMaxHamming + 1).toDF("threshold")
+      .join(broadcast(hist), col("hamming") <= col("threshold"), "left")
+      .groupBy("threshold")
+      .agg(
+        coalesce(sum(when(col("hamming") === col("threshold"), col("n_at"))),
+          lit(0L)).as("n_at_threshold"),
+        coalesce(sum(col("n_at")), lit(0L)).as("n_pairs_le"))
+      .orderBy("threshold")
+  }
+
+  def hammingSweepOracle: String = {
+    def off = "((((idx // 8) * h) // 8) * w + (((idx % 8) * w) // 8)) * 3"
+    s"""WITH chain AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+       |    [CAST('0x' || substr(md5(text || ':' || CAST(j // 16 AS VARCHAR)), 1 + 2 * (j % 16), 2) AS BIGINT)
+       |      for j in range(0, (8 + doc_id % 9) * (8 + doc_id % 7) * 3)] AS b
+       |  FROM documents),
+       |imgs AS (
+       |  SELECT doc_id AS id, w, h, b FROM chain
+       |  UNION ALL
+       |  SELECT doc_id + $PhashTwinOffset AS id, w, h,
+       |    list_transform(b, v -> least(v + 4, 255)) AS b
+       |  FROM chain),
+       |g AS (
+       |  SELECT id,
+       |    [299 * b[$off + 1] + 587 * b[$off + 2] + 114 * b[$off + 3]
+       |      for idx in range(0, 64)] AS gv
+       |  FROM imgs),
+       |ph AS (
+       |  SELECT id, list_sum(
+       |    [CASE WHEN gv[(idx // 7) * 8 + (idx % 7) + 1] > gv[(idx // 7) * 8 + (idx % 7) + 2]
+       |       THEN (CAST(1 AS BIGINT) << idx) ELSE CAST(0 AS BIGINT) END
+       |     for idx in range(0, 56)]) AS phash
+       |  FROM g),
+       |pairs AS (
+       |  SELECT bit_count(xor(a.phash, b.phash)) AS hamming
+       |  FROM ph a JOIN ph b ON a.id < b.id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming),
+       |th AS (SELECT unnest(range(0, ${PhashMaxHamming + 1})) AS threshold)
+       |SELECT th.threshold,
+       |  CAST(coalesce(sum(CASE WHEN p.hamming = th.threshold THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_at_threshold,
+       |  CAST(count(p.hamming) AS BIGINT) AS n_pairs_le
+       |FROM th LEFT JOIN pairs p ON p.hamming <= th.threshold
+       |GROUP BY th.threshold
+       |ORDER BY threshold""".stripMargin
   }
 
   /** INCREMENTAL image near-dup — the ingest gate of the image family

@@ -615,6 +615,70 @@ class DedupSpec extends SparkSuite {
     assert(n == 1, s"shingle subtree appears $n times in plan:\n${p.take(3000)}")
   }
 
+  test("crossDocSentenceDedup: keep-first leaves exactly one copy corpus-wide") {
+    val sd = Seq(
+      (1L, "alpha beta. gamma delta. alpha beta"),
+      (2L, "alpha beta. unique two"),
+      (3L, "gamma delta. epsilon zeta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossDocSentenceDedup(sd, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_sentences"), r.getAs[Long]("n_kept"))).toMap
+    // doc 1 keeps "alpha beta"(pos 0) + "gamma delta"; its pos-2 repeat drops
+    assert(out(1L) == (3L, 2L))
+    // doc 2's "alpha beta" lost to doc 1; "unique two" is first
+    assert(out(2L) == (2L, 1L))
+    // doc 3's "gamma delta" lost to doc 1; "epsilon zeta" is first
+    assert(out(3L) == (2L, 1L))
+    // total kept == number of distinct sentences in the corpus
+    assert(out.values.map(_._2).sum == 4L)
+  }
+
+  test("crossDocSentenceDedup: clean digest is the kept text in position order") {
+    val sd = Seq(
+      (1L, "alpha beta. gamma delta"),
+      (2L, "alpha beta. omega psi")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossDocSentenceDedup(sd, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("clean_md5"))
+      .toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == md5hex("alpha beta. gamma delta"))
+    assert(got(2L) == md5hex("omega psi"))
+  }
+
+  test("crossDocSentenceDedup: a fully-duplicated later doc keeps nothing") {
+    val sd = Seq(
+      (1L, "alpha beta. gamma delta"),
+      (2L, "alpha beta. gamma delta")
+    ).toDF("doc_id", "text")
+    val row = Dedup.crossDocSentenceDedup(sd, "doc_id", "text")
+      .filter(col("id") === 2L).collect().head
+    assert(row.getAs[Long]("n_kept") == 0L)
+    // empty kept set digests as md5("") in both engines
+    assert(row.getAs[String]("clean_md5") ==
+      "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  test("ngramNovelty: exact copy scores 0, disjoint text scores 1e6") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog today"),
+      (21L, "completely unrelated database engine words appear here instead now"),
+      (22L, "xx yy") // < 3 words: no shingles, no row
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("novelty_micros")).toMap
+    assert(out(20L) == 0L)
+    assert(out(21L) == 1000000L)
+    assert(!out.contains(22L))
+  }
+
   test("corpusOverlap: default is sketch-only and matches the exact-twin run") {
     val a = docs.filter(col("doc_id") <= 2)
     val b = docs.filter(col("doc_id") >= 1)

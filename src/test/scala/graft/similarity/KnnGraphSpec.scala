@@ -141,6 +141,45 @@ class KnnGraphSpec extends SparkSuite {
     }
   }
 
+  test("pagerank: isolated vectors hold exactly the teleport mass, hubs more") {
+    val P = graft.queries.PipelineQueries
+    val d = "/root/testdata/sf0.001"
+    val ranks = P.graphPagerank(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val connected = Ivf
+      .mutualKnnEdges(emb, centroidIds, nProbe = 2, k = k)
+      .select(explode(array(col("id_a"), col("id_b"))).as("v"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(ranks.size == emb.count())
+    // every rank carries at least the teleport mass
+    assert(ranks.values.forall(_ >= P.PagerankTeleportMicros))
+    // an isolated vector holds EXACTLY the teleport mass
+    val isolated = ranks.keySet -- connected
+    assert(isolated.nonEmpty, "fixture should have isolated vectors")
+    isolated.foreach(v =>
+      assert(ranks(v) == P.PagerankTeleportMicros, s"isolated $v drifted"))
+    // connectivity moves mass: some connected vector outranks teleport
+    assert(connected.exists(v => ranks(v) > P.PagerankTeleportMicros))
+  }
+
+  test("graph drift: readout arithmetic is exact and mass-consistent") {
+    val P = graft.queries.PipelineQueries
+    val rows = P.graphDrift(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k") >= 1 && r.getAs[Long]("k") <= k)
+      assert(r.getAs[Long]("delta_micros") ==
+        math.abs(r.getAs[Long]("cur_frac_micros") -
+          r.getAs[Long]("base_frac_micros")))
+    }
+    // truncating fracs sum to at most 1e6 and within k of it
+    Seq("base_frac_micros", "cur_frac_micros").foreach { c =>
+      val s = rows.map(_.getAs[Long](c)).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length,
+        s"$c sums to $s")
+    }
+  }
+
   test("cluster labels are the component minimum and cover every edge endpoint") {
     val edges = Ivf
       .mutualKnnEdges(emb, centroidIds, nProbe = 2, k = k)
