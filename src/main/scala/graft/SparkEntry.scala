@@ -157,6 +157,7 @@ object SparkEntry {
     "q_semantic_quality_keeplist" -> (PipelineQueries.semanticQualityKeeplist _),
     "q_graph_stats" -> (PipelineQueries.graphStats _),
     "q_graph_pagerank" -> (PipelineQueries.graphPagerank _),
+    "q_embedding_quality" -> (PipelineQueries.embeddingQuality _),
     "q_graph_drift" -> (PipelineQueries.graphDrift _),
     "q_cell_drift" -> (PipelineQueries.cellDrift _),
     "q_incremental_ngram" -> (PipelineQueries.ngramJaccardIncrementalQ _),
@@ -196,6 +197,7 @@ object SparkEntry {
     "q_stream_attribution" -> (StreamingQueries.streamAttribution _),
     "q_stream_video" -> (StreamingQueries.streamVideo _),
     "q_stream_ngram" -> (StreamingQueries.streamNgram _),
+    "q_stream_novelty" -> (StreamingQueries.streamNovelty _),
     "q_stream_shard" -> (StreamingQueries.streamShard _),
     "q_stream_cell_drift" -> (StreamingQueries.streamCellDrift _),
     "q_quality_keeplist" -> (PipelineQueries.qualityKeeplist _),
@@ -607,6 +609,7 @@ object SparkEntry {
     "q_semantic_quality_keeplist" -> PipelineQueries.semanticQualityKeeplistOracle,
     "q_graph_stats" -> PipelineQueries.graphStatsOracle,
     "q_graph_pagerank" -> PipelineQueries.graphPagerankOracle,
+    "q_embedding_quality" -> PipelineQueries.embeddingQualityOracle,
     "q_graph_drift" -> PipelineQueries.graphDriftOracle,
     "q_cell_drift" -> PipelineQueries.cellDriftOracle,
     "q_incremental_ngram" -> PipelineQueries.ngramJaccardIncrementalOracle,
@@ -642,6 +645,7 @@ object SparkEntry {
     "q_stream_attribution" -> StreamingQueries.streamAttributionOracle,
     "q_stream_video" -> StreamingQueries.streamVideoOracle,
     "q_stream_ngram" -> StreamingQueries.streamNgramOracle,
+    "q_stream_novelty" -> StreamingQueries.streamNoveltyOracle,
     "q_stream_shard" -> StreamingQueries.streamShardOracle,
     "q_stream_cell_drift" -> StreamingQueries.streamCellDriftOracle,
     "q_quality_keeplist" -> PipelineQueries.qualityKeeplistOracle,

@@ -1223,20 +1223,29 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 3
-  ): DataFrame = {
-    val batchSh = shingleRows(batch, idCol, textCol, n)
-    val corpusSh = shingleRows(corpus, idCol, textCol, n)
-      .select("shingle").distinct()
-      .withColumn("seen", lit(1L))
-    batchSh
-      .join(corpusSh, Seq("shingle"), "left")
+  ): DataFrame =
+    ngramNoveltyFromRows(
+      shingleRows(corpus, idCol, textCol, n).select("shingle").distinct(),
+      shingleRows(batch, idCol, textCol, n))
+
+  /** [[ngramNovelty]] over pre-built shingle tables: `corpusShingles` is
+    * the DISTINCT corpus shingle set (the stored deploy-time artifact),
+    * `batchRows` the batch's (id, shingle) rows. The per-doc aggregation
+    * is batch-row-local, which is what makes the streaming face's
+    * per-micro-batch fold exact. */
+  def ngramNoveltyFromRows(
+      corpusShingles: DataFrame,
+      batchRows: DataFrame
+  ): DataFrame =
+    batchRows
+      .join(corpusShingles.withColumn("seen", lit(1L)),
+        Seq("shingle"), "left")
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_shingles"),
         sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
       .withColumn("novelty_micros",
         expr("(n_shingles - n_seen) * 1000000 DIV n_shingles"))
-  }
 
   /** Cross-document boilerplate detection (the ACROSS-docs line dedup of
     * RefinedWeb-style cleaning, at sentence granularity): a sentence

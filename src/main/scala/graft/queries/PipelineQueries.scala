@@ -1484,7 +1484,8 @@ object PipelineQueries {
   /** The declared query names that resolve through [[knnMemo]]. */
   private[graft] val KnnMemoQueries: Set[String] =
     Set("q_knn_graph", "q_semantic_clusters", "q_semantic_keeplist",
-      "q_semantic_quality_keeplist", "q_graph_stats")
+      "q_semantic_quality_keeplist", "q_graph_stats", "q_graph_pagerank",
+      "q_graph_drift")
 
   /** The probe/assign/score/rank CTEs of the whole-corpus kNN edge set
     * — shared by the graph, clusters, keep-list and retraction oracles.
@@ -1601,6 +1602,91 @@ object PipelineQueries {
        |  WHERE a.vec_id % $KnnRetractMod <> $KnnRetractResidue) WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
   }
+
+  /** Planted broken-row ids for the embedding-quality battery (far above
+    * any fixture vec_id). */
+  val EmbBadZeroId = 9000001L
+  val EmbBadDimId = 9000002L
+  val EmbBadNanId = 9000003L
+
+  /** EMBEDDING-QUALITY battery — the quality gate of the embeddings
+    * table, closing the one input modality without one (text has the
+    * Gopher battery, media have decode `ok` flags): per vector, its
+    * dimension count, NaN flag, zero-vector flag and L2 norm in exact
+    * integer micros, with a CASE verdict (bad_dim / nan / zero / pass).
+    * A broken encoder ships exactly these three failure shapes —
+    * truncated rows, NaN blowups, all-zero fallbacks — and each is
+    * planted deterministically so the battery's every branch is
+    * oracle-exercised. The norm is the SAME sequential-fold double dot
+    * product every similarity face uses (graft_dot == DuckDB
+    * list_dot_product bit-for-bit), so the gate adds no new
+    * cross-engine arithmetic. Row-local map work; nothing shuffles. */
+  def embeddingQuality(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val planted = s.sql(
+      s"""SELECT CAST($EmbBadZeroId AS BIGINT) AS vec_id,
+         |  transform(sequence(1, $Dims), x -> CAST(0.0 AS FLOAT)) AS embedding
+         |UNION ALL
+         |SELECT CAST($EmbBadDimId AS BIGINT),
+         |  transform(sequence(1, ${Dims / 2}), x -> CAST(0.5 AS FLOAT))
+         |UNION ALL
+         |SELECT CAST($EmbBadNanId AS BIGINT),
+         |  transform(sequence(1, $Dims),
+         |    x -> CASE WHEN x = 1 THEN CAST('NaN' AS FLOAT)
+         |         ELSE CAST(0.5 AS FLOAT) END)""".stripMargin)
+    embeddings(s, d).select("vec_id", "embedding")
+      .unionByName(planted)
+      .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("n_dims", size(col("embedding")).cast("long"))
+      .withColumn("has_nan", expr("exists(emb, x -> isnan(x))"))
+      .withColumn("norm_micros", expr(
+        "CASE WHEN exists(emb, x -> isnan(x)) THEN NULL " +
+          "ELSE CAST(round(sqrt(graft_dot(emb, emb)) * 1000000, 0) AS BIGINT) END"))
+      .withColumn("is_zero",
+        coalesce(col("norm_micros") === 0L, lit(false)))
+      .withColumn("verdict", expr(
+        s"""CASE WHEN n_dims <> $Dims THEN 'bad_dim'
+           |     WHEN has_nan THEN 'nan'
+           |     WHEN norm_micros = 0 THEN 'zero'
+           |     ELSE 'pass' END""".stripMargin))
+      .select("vec_id", "n_dims", "has_nan", "is_zero",
+        "norm_micros", "verdict")
+      .orderBy("vec_id")
+  }
+
+  def embeddingQualityOracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT CAST($EmbBadZeroId AS BIGINT),
+       |    CAST([0.0 for x in range($Dims)] AS FLOAT[])
+       |  UNION ALL
+       |  SELECT CAST($EmbBadDimId AS BIGINT),
+       |    CAST([0.5 for x in range(${Dims / 2})] AS FLOAT[])
+       |  UNION ALL
+       |  SELECT CAST($EmbBadNanId AS BIGINT),
+       |    CAST([CASE WHEN x = 0 THEN CAST('nan' AS FLOAT)
+       |           ELSE CAST(0.5 AS FLOAT) END for x in range($Dims)] AS FLOAT[])),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM base),
+       |f AS (
+       |  SELECT vec_id,
+       |    CAST(len(embedding) AS BIGINT) AS n_dims,
+       |    len(list_filter(emb, x -> isnan(x))) > 0 AS has_nan,
+       |    CASE WHEN len(list_filter(emb, x -> isnan(x))) > 0 THEN NULL
+       |         ELSE CAST(round(sqrt(list_dot_product(emb, emb)) * 1000000, 0) AS BIGINT)
+       |    END AS norm_micros
+       |  FROM e)
+       |SELECT vec_id, n_dims, has_nan,
+       |  coalesce(norm_micros = 0, false) AS is_zero,
+       |  norm_micros,
+       |  CASE WHEN n_dims <> $Dims THEN 'bad_dim'
+       |       WHEN has_nan THEN 'nan'
+       |       WHEN norm_micros = 0 THEN 'zero'
+       |       ELSE 'pass' END AS verdict
+       |FROM f ORDER BY vec_id""".stripMargin
 
   /** GRAPH-HEALTH readout — the observability face of the mutual-kNN
     * graph, paralleling [[dupHistogram]] for text clusters: the DEGREE
@@ -2719,7 +2805,8 @@ object PipelineQueries {
 
   /** The declared query names that resolve through [[shingleRowsMemo]]. */
   private[graft] val ShingleMemoQueries: Set[String] =
-    Set("q_stream_ngram", "q_stream_attribution")
+    Set("q_stream_ngram", "q_stream_attribution", "q_ngram_novelty",
+      "q_stream_novelty")
 
   /** Duplicate clusters: connected components over the minhash near-dup
     * pairs — iterative min-label propagation on the Spark side, a
@@ -4850,12 +4937,15 @@ object PipelineQueries {
     * Documents too short to shingle (< 3 words) emit no rows in both
     * engines, which also keeps the micros division nonzero. */
   def ngramNovelty(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    // Rides the (session, dir)-keyed shingle memo (the blk column is
+    // doc-constant, so projecting it away preserves distinctness) —
+    // the third consumer of the shared pass, hits disclosed in bench.
+    val rows = docShingleRows(s, d).select("id", "shingle")
     Dedup
-      .ngramNovelty(
-        docs.filter(col("doc_id") % NgramIncMod =!= 0),
-        docs.filter(col("doc_id") % NgramIncMod === 0),
-        "doc_id", "text")
+      .ngramNoveltyFromRows(
+        rows.filter(col("id") % NgramIncMod =!= 0)
+          .select("shingle").distinct(),
+        rows.filter(col("id") % NgramIncMod === 0))
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
   }

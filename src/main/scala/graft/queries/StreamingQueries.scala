@@ -683,6 +683,54 @@ object StreamingQueries {
   def streamNgramOracle: String =
     PipelineQueries.ngramJaccardIncrementalOracle
 
+  /** STREAMING novelty scoring — the ingest face of q_ngram_novelty:
+    * each arriving document shingles ROW-LOCAL inside its micro-batch,
+    * left-joins the FROZEN corpus distinct-shingle artifact (the
+    * checkpointed table the commit family maintains in production) and
+    * rolls up to its one (n_shingles, n_seen, novelty_micros) row. The
+    * rollup is ARRIVAL-LOCAL — all of a document's shingles travel in
+    * its one arriving row — so the per-micro-batch aggregation is exact
+    * and the fold batching-invariant; the oracle IS the batch
+    * q_ngram_novelty oracle. Corpus side rides the shared shingle memo. */
+  def streamNovelty(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.NgramIncMod
+    val corpusSet = PipelineQueries.docShingleRows(s, d)
+      .filter(col("id") % NgramIncMod =!= 0)
+      .select("shingle").distinct()
+      .localCheckpoint(true)
+    val arrivals = StreamingOps
+      .readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % NgramIncMod === 0)
+    val acc =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    def score(b: DataFrame): DataFrame = graft.dedup.Dedup
+      .ngramNoveltyFromRows(
+        corpusSet,
+        graft.dedup.Dedup.shingleRows(b, "doc_id", "text"))
+      .withColumnRenamed("id", "doc_id")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = arrivals.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val scored = score(b).localCheckpoint(true)
+          acc.updateAndGet(p =>
+            if (p == null) scored else p.unionByName(scored))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    Option(acc.get)
+      .getOrElse(score(documents(s, d).limit(0)))
+      .orderBy("doc_id")
+  }
+
+  /** The batch novelty oracle IS the streaming oracle. */
+  def streamNoveltyOracle: String = PipelineQueries.ngramNoveltyOracle
+
   /** STREAMING SimHash near-dup gate ([[StreamingOps.simhashGateStream]]
     * through the real runtime) — the hamming-family twin of
     * [[streamNearDup]]: the [[PipelineQueries.SimhashIncMod]] batch

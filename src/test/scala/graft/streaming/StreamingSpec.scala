@@ -1081,6 +1081,16 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming novelty scoring equals the batch novelty row-for-row") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamNovelty(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.PipelineQueries.ngramNovelty(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty, "fixture must score at least one arrival")
+    assert(got == want)
+  }
+
   test("streaming ngram gate: hot shingles are capped from candidates but verified") {
     import spark.implicits._
     import graft.dedup.Dedup
