@@ -41,6 +41,8 @@ object SparkEntry {
     "q_dedup_exact" -> (TextQueries.dedupExact _),
     "q_lang_stats" -> (TextQueries.langStats _),
     "q_sentence_explode" -> (TextQueries.sentenceExplode _),
+    "q_fim_transform" -> (TextQueries.fimTransform _),
+    "q_dialogue_pairs" -> (EventQueries.dialoguePairs _),
     // --- event/transcript operators (SURVEY §2.3, §2.5) ---
     "q_distinct_actors" -> (EventQueries.distinctActors _),
     "q_span" -> (EventQueries.span _),
@@ -381,6 +383,8 @@ object SparkEntry {
         | SELECT doc_id, unnest(string_split_regex(text || '. tail one. tail two! done?', '[.!?]+\s+')) AS s
         | FROM documents)
         |WHERE length(trim(s)) > 0 ORDER BY doc_id, sentence""".stripMargin,
+    "q_fim_transform" -> TextQueries.fimTransformOracle,
+    "q_dialogue_pairs" -> EventQueries.dialoguePairsOracle,
     "q_distinct_actors" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
     "q_span" ->

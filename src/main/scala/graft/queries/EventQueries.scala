@@ -784,4 +784,61 @@ object EventQueries {
       )
       .orderBy("model")
   }
+
+  /** Context turns carried into each SFT pair. */
+  val DialogueContextTurns = 3
+
+  /** SFT DIALOGUE-PAIR construction — the step that turns the
+    * reference's transcript domain (speaker-attributed, time-ordered
+    * segments; `/root/reference/transcript-example.json`) into
+    * (context, response) training pairs: events bucket into
+    * conversations (epoch hour — the deterministic conversation key the
+    * fixture supports), order within a conversation by (ts, event_id),
+    * and every turn pairs with the digest of its ≤ [[DialogueContextTurns]]
+    * preceding turns. Turns without context are dropped (a pair needs
+    * both sides). Output carries md5 digests, never concatenated
+    * context bodies — the narrow-output discipline of the dedup faces.
+    *
+    * Scale shape: one conversation-keyed window (bounded frame, keyed
+    * partition — conversations are hours, so no partition outgrows its
+    * hour) over rows that carry only the short utterance rendering;
+    * no global order, no unbounded frame. */
+  def dialoguePairs(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("conv_id",
+        (unix_millis(col("ts")) / lit(3600000L)).cast("long"))
+      .withColumn("utt",
+        concat(col("event_type"), lit(":"),
+          cents(col("value")).cast("string")))
+    val wCtx = Window.partitionBy("conv_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-DialogueContextTurns, -1)
+    ev
+      .withColumn("context", collect_list(col("utt")).over(wCtx))
+      .select(
+        col("conv_id"), col("event_id"), col("user_id").as("speaker"),
+        col("utt").as("response"),
+        size(col("context")).cast("long").as("n_context"),
+        md5(array_join(col("context"), " | ")).as("context_md5"))
+      .filter(col("n_context") > 0)
+      .orderBy("conv_id", "event_id")
+  }
+
+  def dialoguePairsOracle: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, ts,
+       |    CAST(floor(epoch_ms(ts)/3600000) AS BIGINT) AS conv_id,
+       |    event_type || ':' ||
+       |      CAST(CAST(round(value*100,0) AS BIGINT) AS VARCHAR) AS utt
+       |  FROM events),
+       |c AS (
+       |  SELECT conv_id, event_id, user_id AS speaker, utt AS response,
+       |    CAST(count(utt) OVER w AS BIGINT) AS n_context,
+       |    md5(coalesce(string_agg(utt, ' | ') OVER w, '')) AS context_md5
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id
+       |    ROWS BETWEEN $DialogueContextTurns PRECEDING AND 1 PRECEDING))
+       |SELECT conv_id, event_id, speaker, response, n_context, context_md5
+       |FROM c WHERE n_context > 0
+       |ORDER BY conv_id, event_id""".stripMargin
 }

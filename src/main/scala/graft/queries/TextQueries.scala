@@ -2393,4 +2393,49 @@ object TextQueries {
       .filter(length(trim(col("sentence"))) > 0)
       .select(col("doc_id"), trim(col("sentence")).as("sentence"))
       .orderBy("doc_id", "sentence")
+
+  /** FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022,
+    * arXiv:2207.14255 — the standard augmentation for code/infilling
+    * models): each document splits at the deterministic character
+    * thirds (n DIV 3, 2n DIV 3) into prefix/middle/suffix and is
+    * re-rendered PSM-order as `<PRE>prefix<SUF>suffix<MID>middle`.
+    * Output carries the three exact span lengths and the md5 of the
+    * rendered sequence, never the bodies. Pure per-row map work —
+    * character arithmetic is identical across engines because both
+    * `length` and `substring` count code points. */
+  def fimTransform(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("n", length(col("text")).cast("long"))
+      .withColumn("m_start", expr("n DIV 3"))
+      .withColumn("m_end", expr("(2 * n) DIV 3"))
+      .select(
+        col("doc_id"),
+        col("m_start").as("n_prefix"),
+        (col("m_end") - col("m_start")).as("n_middle"),
+        (col("n") - col("m_end")).as("n_suffix"),
+        md5(concat(
+          lit("<PRE>"),
+          expr("substring(text, 1, CAST(m_start AS INT))"),
+          lit("<SUF>"),
+          expr("substring(text, CAST(m_end AS INT) + 1, CAST(n - m_end AS INT))"),
+          lit("<MID>"),
+          expr("substring(text, CAST(m_start AS INT) + 1, CAST(m_end - m_start AS INT))")))
+          .as("fim_md5"))
+      .orderBy("doc_id")
+
+  def fimTransformOracle: String =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    CAST(length(text) AS BIGINT) AS n,
+      |    CAST(length(text) // 3 AS BIGINT) AS m_start,
+      |    CAST((2 * length(text)) // 3 AS BIGINT) AS m_end
+      |  FROM documents)
+      |SELECT doc_id,
+      |  m_start AS n_prefix,
+      |  m_end - m_start AS n_middle,
+      |  n - m_end AS n_suffix,
+      |  md5('<PRE>' || substr(text, 1, m_start)
+      |    || '<SUF>' || substr(text, m_end + 1, n - m_end)
+      |    || '<MID>' || substr(text, m_start + 1, m_end - m_start)) AS fim_md5
+      |FROM f ORDER BY doc_id""".stripMargin
 }
