@@ -68,6 +68,9 @@ object SparkEntry {
     "q_intradoc_dedup" -> (PipelineQueries.intraDocDedup _),
     "q_boilerplate" -> (PipelineQueries.boilerplateQ _),
     "q_sentence_dedup" -> (PipelineQueries.sentenceDedupQ _),
+    "q_sentence_dedup_inc" -> (PipelineQueries.sentenceDedupIncQ _),
+    "q_sentence_commit" -> (PipelineQueries.sentenceCommit _),
+    "q_stream_sentence" -> (StreamingQueries.streamSentence _),
     "q_ngram_novelty" -> (PipelineQueries.ngramNovelty _),
     "q_hamming_sweep" -> (PipelineQueries.hammingSweep _),
     "q_curation_pipeline" -> (PipelineQueries.curationPipeline _),
@@ -516,6 +519,9 @@ object SparkEntry {
     "q_intradoc_dedup" -> PipelineQueries.intraDocDedupOracle,
     "q_boilerplate" -> PipelineQueries.boilerplateOracle,
     "q_sentence_dedup" -> PipelineQueries.sentenceDedupOracle,
+    "q_sentence_dedup_inc" -> PipelineQueries.sentenceDedupIncOracle,
+    "q_sentence_commit" -> PipelineQueries.sentenceCommitOracle,
+    "q_stream_sentence" -> StreamingQueries.streamSentenceOracle,
     "q_ngram_novelty" -> PipelineQueries.ngramNoveltyOracle,
     "q_hamming_sweep" -> PipelineQueries.hammingSweepOracle,
     "q_curation_pipeline" -> PipelineQueries.curationPipelineOracle,

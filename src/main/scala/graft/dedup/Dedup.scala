@@ -1172,18 +1172,28 @@ object Dedup {
     * (classic boilerplate) concentrate on single keys exactly like hot
     * fingerprints in exact dedup; the min-struct aggregate is
     * associative, so AQE/partial aggregation absorbs the skew. */
+  /** Shared sentence-instance rows of every cross-doc sentence face:
+    * (id, pos, sentence, sh) — positioned, trimmed, non-empty, 60-bit
+    * hashed. */
+  private def sentenceRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitRegex: String
+  ): DataFrame = df
+    .select(col(idCol).as("id"),
+      posexplode(split(col(textCol), splitRegex)).as(Seq("pos", "raw")))
+    .select(col("id"), col("pos"), trim(col("raw")).as("sentence"))
+    .filter(length(col("sentence")) > 0)
+    .withColumn("sh", hash60(col("sentence")))
+
   def crossDocSentenceDedup(
       df: DataFrame,
       idCol: String,
       textCol: String,
       splitRegex: String = graft.text.TextFunctions.PortableSentenceSplit
   ): DataFrame = {
-    val sent = df
-      .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), splitRegex)).as(Seq("pos", "raw")))
-      .select(col("id"), col("pos"), trim(col("raw")).as("sentence"))
-      .filter(length(col("sentence")) > 0)
-      .withColumn("sh", hash60(col("sentence")))
+    val sent = sentenceRows(df, idCol, textCol, splitRegex)
     val keepers = sent
       .groupBy("sh")
       .agg(min(struct(col("id"), col("pos"))).as("keeper"))
@@ -1203,6 +1213,104 @@ object Dedup {
               when(col("kept"), struct(col("pos"), col("sentence"))))),
             x => x.getField("sentence")),
           ". ")).as("clean_md5"))
+  }
+
+  /** The DISTINCT sentence-hash set of a corpus — the stored deploy-time
+    * artifact the incremental/streaming sentence gates read and the
+    * commit face folds. */
+  def sentenceHashSet(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitRegex: String = graft.text.TextFunctions.PortableSentenceSplit
+  ): DataFrame =
+    sentenceRows(df, idCol, textCol, splitRegex).select("sh").distinct()
+
+  /** INCREMENTAL cross-doc sentence dedup — the ingest-gate face of
+    * [[crossDocSentenceDedup]]: arriving documents clean against the
+    * FROZEN corpus sentence-hash set (an arriving sentence drops iff
+    * the corpus already has it, or an earlier position of the SAME
+    * arriving document does — arrivals never see each other, the
+    * standard gate semantics that keeps the fold batching-invariant).
+    * Same per-doc narrow digest output as the batch face. */
+  def sentenceDedupIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitRegex: String = graft.text.TextFunctions.PortableSentenceSplit
+  ): DataFrame =
+    sentenceCleanAgainstSet(
+      sentenceRows(corpus, idCol, textCol, splitRegex)
+        .select("sh").distinct(),
+      batch, idCol, textCol, splitRegex)
+
+  /** [[sentenceDedupIncremental]] against a PRE-BUILT corpus hash set
+    * (the stored deploy-time artifact) — the form the streaming gate
+    * folds per micro-batch. The per-doc rollup is arrival-local: all of
+    * a document's sentences travel in its one row. */
+  def sentenceCleanAgainstSet(
+      corpusHashes: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitRegex: String = graft.text.TextFunctions.PortableSentenceSplit
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id", "sh")
+    sentenceRows(batch, idCol, textCol, splitRegex)
+      .withColumn("first_pos", min(col("pos")).over(w))
+      .join(corpusHashes.withColumn("in_corpus", lit(true)),
+        Seq("sh"), "left")
+      .withColumn("kept",
+        col("in_corpus").isNull && col("pos") === col("first_pos"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("pos"), col("sentence"))))),
+            x => x.getField("sentence")),
+          ". ")).as("clean_md5"))
+  }
+
+  /** COMMIT face of the sentence-hash artifact: the set the incremental
+    * gate reads grows by exactly the arrivals' kept sentences. The fold
+    * is a distinct union, EXACT against rebuild-from-scratch because a
+    * kept sentence is by definition absent from the corpus set and the
+    * union dedups sentences shared between arriving documents. Returns
+    * the committed hash set; [[commitSentenceReadout]] gives the 1-row
+    * count readout the oracle checks. */
+  def committedSentenceHashes(
+      corpusHashes: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitRegex: String = graft.text.TextFunctions.PortableSentenceSplit
+  ): DataFrame =
+    corpusHashes
+      .unionByName(
+        sentenceRows(batch, idCol, textCol, splitRegex)
+          .join(corpusHashes.withColumn("in_corpus", lit(true)),
+            Seq("sh"), "left")
+          .filter(col("in_corpus").isNull)
+          .select("sh"))
+      .distinct()
+
+  /** 1-row (n_corpus, n_new, n_committed) readout of
+    * [[committedSentenceHashes]] — counts crossJoined 1×1, the commit
+    * family's readout shape. */
+  def commitSentenceReadout(
+      corpusHashes: DataFrame,
+      committed: DataFrame
+  ): DataFrame = {
+    val a = corpusHashes.agg(count(lit(1)).as("n_corpus"))
+    val b = committed.agg(count(lit(1)).as("n_committed"))
+    a.crossJoin(b)
+      .withColumn("n_new", col("n_committed") - col("n_corpus"))
+      .select("n_corpus", "n_new", "n_committed")
   }
 
   /** Per-document N-GRAM NOVELTY against a frozen corpus: for every

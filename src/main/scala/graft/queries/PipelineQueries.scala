@@ -168,7 +168,8 @@ object PipelineQueries {
 
   /** Planted footer: appended to every document so the boilerplate
     * detector always has corpus-wide repeated sentences to flag. */
-  private val Footer = ". generated by example corp. all rights reserved?"
+  private[graft] val Footer =
+    ". generated by example corp. all rights reserved?"
 
   def boilerplateQ(s: SparkSession, d: String): DataFrame =
     Dedup
@@ -210,15 +211,20 @@ object PipelineQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
-  def sentenceDedupOracle: String =
-    s"""WITH s0 AS (
+  /** Shared sentence-row CTE of the cross-doc sentence oracles:
+    * `s` = (doc_id, pos, sentence, sh) with the planted [[Footer]]. */
+  private def sentenceCteSql: String =
+    s"""s0 AS (
        |  SELECT doc_id, string_split_regex(text || '$Footer', '[.!?]+\\s+') AS arr
        |  FROM documents),
        |s AS (
        |  SELECT doc_id, i - 1 AS pos, trim(arr[i]) AS sentence,
        |    CAST('0x' || substr(md5(trim(arr[i])),1,15) AS BIGINT) AS sh
        |  FROM s0, LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i) r
-       |  WHERE length(trim(arr[i])) > 0),
+       |  WHERE length(trim(arr[i])) > 0)""".stripMargin
+
+  def sentenceDedupOracle: String =
+    s"""WITH $sentenceCteSql,
        |k AS (
        |  SELECT *, row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
        |  FROM s)
@@ -228,6 +234,67 @@ object PipelineQueries {
        |    string_agg(CASE WHEN rn = 1 THEN sentence END, '. ' ORDER BY pos),
        |    '')) AS clean_md5
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** INCREMENTAL sentence dedup ([[Dedup.sentenceDedupIncremental]]):
+    * the doc_id % [[IncrementalMod]] == 0 slice arrives against the
+    * frozen corpus sentence-hash set of everything else; the planted
+    * [[Footer]] guarantees every arrival has corpus-duplicated
+    * sentences to drop. */
+  def sentenceDedupIncQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("text", concat(col("text"), lit(Footer)))
+    Dedup
+      .sentenceDedupIncremental(
+        docs.filter(col("doc_id") % IncrementalMod =!= 0),
+        docs.filter(col("doc_id") % IncrementalMod === 0),
+        "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  def sentenceDedupIncOracle: String =
+    s"""WITH $sentenceCteSql,
+       |cs AS (SELECT DISTINCT sh FROM s WHERE doc_id % $IncrementalMod <> 0),
+       |b AS (
+       |  SELECT *, min(pos) OVER (PARTITION BY doc_id, sh) AS first_pos
+       |  FROM s WHERE doc_id % $IncrementalMod = 0),
+       |k AS (
+       |  SELECT b.doc_id, b.pos, b.sentence,
+       |    (cs.sh IS NULL AND b.pos = b.first_pos) AS kept
+       |  FROM b LEFT JOIN cs ON b.sh = cs.sh)
+       |SELECT doc_id, count(*) AS n_sentences,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(coalesce(
+       |    string_agg(CASE WHEN kept THEN sentence END, '. ' ORDER BY pos),
+       |    '')) AS clean_md5
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** COMMIT face of the sentence-hash artifact
+    * ([[Dedup.committedSentenceHashes]]): the gate's corpus set grows
+    * by exactly the arrivals' kept sentences; readout is the 1-row
+    * count compose, and the set-equality law (committed == distinct
+    * hashes of corpus ∪ batch) is spec-pinned. */
+  def sentenceCommit(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("text", concat(col("text"), lit(Footer)))
+    val corpusSet = Dedup
+      .sentenceHashSet(
+        docs.filter(col("doc_id") % IncrementalMod =!= 0), "doc_id", "text")
+      .localCheckpoint(true)
+    val committed = Dedup.committedSentenceHashes(
+      corpusSet,
+      docs.filter(col("doc_id") % IncrementalMod === 0), "doc_id", "text")
+    Dedup.commitSentenceReadout(corpusSet, committed)
+  }
+
+  def sentenceCommitOracle: String =
+    s"""WITH $sentenceCteSql,
+       |cs AS (SELECT DISTINCT sh FROM s WHERE doc_id % $IncrementalMod <> 0),
+       |com AS (SELECT DISTINCT sh FROM s)
+       |SELECT
+       |  (SELECT count(*) FROM cs) AS n_corpus,
+       |  (SELECT count(*) FROM com) - (SELECT count(*) FROM cs) AS n_new,
+       |  (SELECT count(*) FROM com) AS n_committed""".stripMargin
 
   /** Batch = doc_id % IncrementalMod == 0 arriving against the corpus of
     * everything else. */

@@ -731,6 +731,54 @@ object StreamingQueries {
   /** The batch novelty oracle IS the streaming oracle. */
   def streamNoveltyOracle: String = PipelineQueries.ngramNoveltyOracle
 
+  /** STREAMING sentence-clean gate — the ingest face of the cross-doc
+    * sentence dedup (CCNet's corpus-wide paragraph dedup at the door):
+    * each arriving document splits/hashes ROW-LOCAL, left-joins the
+    * FROZEN corpus sentence-hash artifact and rolls up to its one
+    * (n_sentences, n_kept, clean_md5) row. Arrival-local rollup (all of
+    * a document's sentences travel in its one arriving row) ⇒ the
+    * per-micro-batch fold is exact and batching-invariant; the oracle
+    * IS the batch incremental oracle. */
+  def streamSentence(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.IncrementalMod
+    val docs = documents(s, d)
+      .withColumn("text", concat(col("text"), lit(PipelineQueries.Footer)))
+    val corpusSet = graft.dedup.Dedup
+      .sentenceHashSet(
+        docs.filter(col("doc_id") % IncrementalMod =!= 0), "doc_id", "text")
+      .localCheckpoint(true)
+    val arrivals = StreamingOps
+      .readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % IncrementalMod === 0)
+      .withColumn("text", concat(col("text"), lit(PipelineQueries.Footer)))
+    val acc =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    def score(b: DataFrame): DataFrame = graft.dedup.Dedup
+      .sentenceCleanAgainstSet(corpusSet, b, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = arrivals.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val scored = score(b).localCheckpoint(true)
+          acc.updateAndGet(p =>
+            if (p == null) scored else p.unionByName(scored))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    Option(acc.get)
+      .getOrElse(score(docs.limit(0)))
+      .orderBy("doc_id")
+  }
+
+  /** The batch incremental sentence oracle IS the streaming oracle. */
+  def streamSentenceOracle: String = PipelineQueries.sentenceDedupIncOracle
+
   /** STREAMING SimHash near-dup gate ([[StreamingOps.simhashGateStream]]
     * through the real runtime) — the hamming-family twin of
     * [[streamNearDup]]: the [[PipelineQueries.SimhashIncMod]] batch

@@ -662,6 +662,49 @@ class DedupSpec extends SparkSuite {
       "d41d8cd98f00b204e9800998ecf8427e")
   }
 
+  test("sentenceDedupIncremental: gate semantics — corpus blocks, arrivals don't see each other") {
+    val corpus = Seq((1L, "alpha beta. gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      // drops the corpus dup, keeps its own new sentence
+      (10L, "alpha beta. fresh one"),
+      // shares 'fresh one' with doc 10 — BOTH keep it (gate semantics)
+      (11L, "fresh one. another new"),
+      // intra-doc repeat: only the first position survives
+      (12L, "twin twin sent. twin twin sent")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sentenceDedupIncremental(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_sentences"), r.getAs[Long]("n_kept"))).toMap
+    assert(out(10L) == (2L, 1L))
+    assert(out(11L) == (2L, 2L))
+    assert(out(12L) == (2L, 1L))
+  }
+
+  test("committedSentenceHashes == rebuilt-from-scratch on corpus ∪ batch") {
+    val corpus = Seq(
+      (1L, "alpha beta. gamma delta"),
+      (2L, "epsilon zeta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta. fresh one"),
+      (11L, "fresh one. another new")).toDF("doc_id", "text")
+    val corpusSet = Dedup.sentenceHashSet(corpus, "doc_id", "text")
+    val committed = Dedup
+      .committedSentenceHashes(corpusSet, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val rebuilt = Dedup
+      .sentenceHashSet(corpus.unionByName(batch), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(committed == rebuilt)
+    // readout arithmetic agrees with the set sizes
+    val r = Dedup.commitSentenceReadout(
+      corpusSet,
+      Dedup.committedSentenceHashes(corpusSet, batch, "doc_id", "text"))
+      .collect().head
+    assert(r.getAs[Long]("n_committed") == rebuilt.size)
+    assert(r.getAs[Long]("n_corpus") + r.getAs[Long]("n_new") ==
+      r.getAs[Long]("n_committed"))
+  }
+
   test("ngramNovelty: exact copy scores 0, disjoint text scores 1e6") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today")

@@ -1081,6 +1081,18 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming sentence-clean gate equals the batch incremental row-for-row") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamSentence(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.PipelineQueries.sentenceDedupIncQ(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+    // the planted footer guarantees every arrival dropped something
+    assert(got.forall(r => r(2).asInstanceOf[Long] < r(1).asInstanceOf[Long]))
+  }
+
   test("streaming novelty scoring equals the batch novelty row-for-row") {
     val d = "/root/testdata/sf0.001"
     val got = graft.queries.StreamingQueries.streamNovelty(spark, d)
