@@ -70,6 +70,8 @@ object SparkEntry {
     "q_sentence_dedup" -> (PipelineQueries.sentenceDedupQ _),
     "q_sentence_dedup_inc" -> (PipelineQueries.sentenceDedupIncQ _),
     "q_sentence_commit" -> (PipelineQueries.sentenceCommit _),
+    "q_sentence_retract" -> (PipelineQueries.sentenceRetract _),
+    "q_pagerank_keeplist" -> (PipelineQueries.pagerankKeeplist _),
     "q_stream_sentence" -> (StreamingQueries.streamSentence _),
     "q_ngram_novelty" -> (PipelineQueries.ngramNovelty _),
     "q_hamming_sweep" -> (PipelineQueries.hammingSweep _),
@@ -521,6 +523,8 @@ object SparkEntry {
     "q_sentence_dedup" -> PipelineQueries.sentenceDedupOracle,
     "q_sentence_dedup_inc" -> PipelineQueries.sentenceDedupIncOracle,
     "q_sentence_commit" -> PipelineQueries.sentenceCommitOracle,
+    "q_sentence_retract" -> PipelineQueries.sentenceRetractOracle,
+    "q_pagerank_keeplist" -> PipelineQueries.pagerankKeeplistOracle,
     "q_stream_sentence" -> StreamingQueries.streamSentenceOracle,
     "q_ngram_novelty" -> PipelineQueries.ngramNoveltyOracle,
     "q_hamming_sweep" -> PipelineQueries.hammingSweepOracle,

@@ -1313,6 +1313,33 @@ object Dedup {
       .select("n_corpus", "n_new", "n_committed")
   }
 
+  /** RETRACTION (takedown) of the sentence-hash artifact — the commit
+    * face's inverse, with the content-keyed subtlety every shared-
+    * content set has (the fingerprint/span-fp sets in
+    * [[retractArtifacts]]): a hash leaves the set iff NO surviving
+    * document still produces it. The retention scan is deleted-set
+    * bounded — the survivors' sentence stream semi-joins the deleted
+    * documents' hash set BEFORE any distinct, so the rescan reduces to
+    * rows that could possibly matter, never a full re-aggregation.
+    * `deletedIds` carries one `idCol` column. */
+  def retractSentenceHashes(
+      committed: DataFrame,
+      docs: DataFrame,
+      deletedIds: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitRegex: String = graft.text.TextFunctions.PortableSentenceSplit
+  ): DataFrame = {
+    val deleted = docs.join(deletedIds, Seq(idCol), "semi")
+    val survivors = docs.join(deletedIds, Seq(idCol), "anti")
+    val delSet = sentenceHashSet(deleted, idCol, textCol, splitRegex)
+    val retained = sentenceRows(survivors, idCol, textCol, splitRegex)
+      .join(delSet, Seq("sh"), "semi")
+      .select("sh").distinct()
+    val toRemove = delSet.join(retained, Seq("sh"), "anti")
+    committed.join(toRemove, Seq("sh"), "anti")
+  }
+
   /** Per-document N-GRAM NOVELTY against a frozen corpus: for every
     * batch document, (distinct word-n-gram shingle count, how many of
     * those shingles exist anywhere in the corpus, and the unseen

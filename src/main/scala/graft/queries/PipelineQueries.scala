@@ -296,6 +296,33 @@ object PipelineQueries {
        |  (SELECT count(*) FROM com) - (SELECT count(*) FROM cs) AS n_new,
        |  (SELECT count(*) FROM com) AS n_committed""".stripMargin
 
+  /** SENTENCE-artifact RETRACTION ([[Dedup.retractSentenceHashes]]):
+    * the committed sentence-hash set (all documents) has its
+    * doc_id % 10 == 3 slice taken down; a hash survives iff a remaining
+    * document still produces it (the planted [[Footer]] sentences
+    * always do — the content-keyed retention case exercised on every
+    * run). Emits the retracted SET itself, and the oracle REBUILDS it
+    * from scratch on the survivors — retracted == rebuilt hash-checked
+    * cross-engine, the content-keyed twin of q_semantic_retract. */
+  def sentenceRetract(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("text", concat(col("text"), lit(Footer)))
+    val committed = Dedup.sentenceHashSet(docs, "doc_id", "text")
+    Dedup
+      .retractSentenceHashes(
+        committed, docs,
+        docs.filter(col("doc_id") % KnnRetractMod === KnnRetractResidue)
+          .select("doc_id"),
+        "doc_id", "text")
+      .orderBy("sh")
+  }
+
+  def sentenceRetractOracle: String =
+    s"""WITH $sentenceCteSql
+       |SELECT DISTINCT sh FROM s
+       |WHERE doc_id % $KnnRetractMod <> $KnnRetractResidue
+       |ORDER BY sh""".stripMargin
+
   /** Batch = doc_id % IncrementalMod == 0 arriving against the corpus of
     * everything else. */
   val IncrementalMod = 10
@@ -1552,7 +1579,7 @@ object PipelineQueries {
   private[graft] val KnnMemoQueries: Set[String] =
     Set("q_knn_graph", "q_semantic_clusters", "q_semantic_keeplist",
       "q_semantic_quality_keeplist", "q_graph_stats", "q_graph_pagerank",
-      "q_graph_drift")
+      "q_graph_drift", "q_pagerank_keeplist")
 
   /** The probe/assign/score/rank CTEs of the whole-corpus kNN edge set
     * — shared by the graph, clusters, keep-list and retraction oracles.
@@ -1922,7 +1949,12 @@ object PipelineQueries {
     * shared memo) and the rank frame stays |V| rows throughout. Hub
     * degree is capped at k by the mutual-graph construction, so no
     * skew salting is needed. */
-  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+  def graphPagerank(s: SparkSession, d: String): DataFrame =
+    pagerankFrame(s, d).orderBy("vec_id")
+
+  /** The unordered (vec_id, rank_micros) frame of [[graphPagerank]] —
+    * shared with the rank-weighted keep-list. */
+  private def pagerankFrame(s: SparkSession, d: String): DataFrame = {
     val e = mutualEdgesMemo(s, d).select("id_a", "id_b")
     val dir = e.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -1947,7 +1979,81 @@ object PipelineQueries {
             .as("r"))
     }
     rank.select(col("v").as("vec_id"), col("r").as("rank_micros"))
+  }
+
+  /** RANK-WEIGHTED semantic keeper — [[semanticQualityKeeplist]]'s
+    * policy with graph CENTRALITY as the score: within every mutual-kNN
+    * component keep the highest-PageRank member (ties to lowest id) —
+    * the "keep the hub, drop the satellites" representative selection
+    * for paraphrase clusters, where the most-connected member is the
+    * canonical phrasing. Both inputs (rank frame, components) ride the
+    * memoized edge build; the election window is component-keyed. */
+  def pagerankKeeplist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = Dedup
+      .connectedComponents(mutualEdgesMemo(s, d).select("id_a", "id_b"))
+      .withColumnRenamed("id", "vec_id")
+    pagerankFrame(s, d)
+      .join(cc, Seq("vec_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("vec_id")))
+      .withColumn(
+        "keeper_id",
+        min(struct((-col("rank_micros")).as("nr"), col("vec_id").as("id")))
+          .over(Window.partitionBy("component"))
+          .getField("id"))
+      .select(
+        col("vec_id"), col("component"), col("rank_micros"),
+        col("keeper_id"),
+        (col("vec_id") === col("keeper_id")).as("keep"))
       .orderBy("vec_id")
+  }
+
+  def pagerankKeeplistOracle: String = {
+    val iters = (1 to PagerankIters).map { i =>
+      s"""r$i AS (
+         |  SELECT verts.v,
+         |    CAST($PagerankTeleportMicros
+         |      + (85 * COALESCE(inf.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM verts LEFT JOIN (
+         |    SELECT dir.dst AS v, sum(cc2.c) AS s
+         |    FROM dir JOIN (
+         |      SELECT r${i - 1}.v, r${i - 1}.r // deg.deg AS c
+         |      FROM r${i - 1} JOIN deg ON deg.v = r${i - 1}.v) cc2
+         |      ON cc2.v = dir.src
+         |    GROUP BY 1) inf ON inf.v = verts.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $knnEdgesCtes,
+       |dir AS (
+       |  SELECT id_a AS src, id_b AS dst FROM medges
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM medges),
+       |deg AS (SELECT src AS v, count(*) AS deg FROM dir GROUP BY 1),
+       |verts AS (SELECT vec_id AS v FROM embeddings),
+       |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM verts),
+       |$iters,
+       |gedges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM medges
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM medges),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM gedges
+       |  UNION
+       |  SELECT re.id, g.dst AS r FROM reach re JOIN gedges g ON g.src = re.r),
+       |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+       |j AS (
+       |  SELECT rr.v AS vec_id, COALESCE(comp.component, rr.v) AS component,
+       |    rr.r AS rank_micros
+       |  FROM r$PagerankIters rr LEFT JOIN comp ON rr.v = comp.id),
+       |k AS (
+       |  SELECT component, vec_id AS keeper_id FROM (
+       |    SELECT component, vec_id,
+       |      row_number() OVER (PARTITION BY component
+       |        ORDER BY rank_micros DESC, vec_id ASC) AS rn
+       |    FROM j) WHERE rn = 1)
+       |SELECT j.vec_id, j.component, j.rank_micros, k.keeper_id,
+       |  j.vec_id = k.keeper_id AS keep
+       |FROM j JOIN k ON j.component = k.component
+       |ORDER BY j.vec_id""".stripMargin
   }
 
   def graphPagerankOracle: String = {

@@ -705,6 +705,24 @@ class DedupSpec extends SparkSuite {
       r.getAs[Long]("n_committed"))
   }
 
+  test("retractSentenceHashes == rebuilt-on-survivors; shared sentences retained") {
+    val all = Seq(
+      (1L, "alpha beta. shared line"),
+      (2L, "shared line. gamma delta"), // deleted; 'shared line' survives via doc 1
+      (3L, "unique gone")               // deleted; its hash must leave
+    ).toDF("doc_id", "text")
+    val committed = Dedup.sentenceHashSet(all, "doc_id", "text")
+    val deleted = Seq(2L, 3L).toDF("doc_id")
+    val retracted = Dedup
+      .retractSentenceHashes(committed, all, deleted, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val rebuilt = Dedup
+      .sentenceHashSet(all.filter(col("doc_id") === 1L), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(retracted == rebuilt)
+    assert(rebuilt.size == 2) // 'alpha beta' + retained 'shared line'
+  }
+
   test("ngramNovelty: exact copy scores 0, disjoint text scores 1e6") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today")

@@ -162,6 +162,22 @@ class KnnGraphSpec extends SparkSuite {
     assert(connected.exists(v => ranks(v) > P.PagerankTeleportMicros))
   }
 
+  test("pagerank keeper elects the highest-rank member of every cluster") {
+    val P = graft.queries.PipelineQueries
+    val rows = P.pagerankKeeplist(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val keeper = members.map(m => (-m._3, m._1)).min._2
+      assert(members.forall(_._4 == keeper), "keeper column inconsistent")
+      members.foreach(m => assert(m._5 == (m._1 == keeper)))
+    }
+    // exactly one keeper per component; isolates keep themselves
+    val keptPerComp = rows.groupBy(_._2).map { case (_, ms) => ms.count(_._5) }
+    assert(keptPerComp.forall(_ == 1))
+  }
+
   test("graph drift: readout arithmetic is exact and mass-consistent") {
     val P = graft.queries.PipelineQueries
     val rows = P.graphDrift(spark, "/root/testdata/sf0.001").collect()
