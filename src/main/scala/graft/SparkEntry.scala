@@ -73,6 +73,7 @@ object SparkEntry {
     "q_sentence_retract" -> (PipelineQueries.sentenceRetract _),
     "q_pagerank_keeplist" -> (PipelineQueries.pagerankKeeplist _),
     "q_stream_sentence" -> (StreamingQueries.streamSentence _),
+    "q_stream_dialogue" -> (StreamingQueries.streamDialogue _),
     "q_ngram_novelty" -> (PipelineQueries.ngramNovelty _),
     "q_hamming_sweep" -> (PipelineQueries.hammingSweep _),
     "q_curation_pipeline" -> (PipelineQueries.curationPipeline _),
@@ -526,6 +527,7 @@ object SparkEntry {
     "q_sentence_retract" -> PipelineQueries.sentenceRetractOracle,
     "q_pagerank_keeplist" -> PipelineQueries.pagerankKeeplistOracle,
     "q_stream_sentence" -> StreamingQueries.streamSentenceOracle,
+    "q_stream_dialogue" -> StreamingQueries.streamDialogueOracle,
     "q_ngram_novelty" -> PipelineQueries.ngramNoveltyOracle,
     "q_hamming_sweep" -> PipelineQueries.hammingSweepOracle,
     "q_curation_pipeline" -> PipelineQueries.curationPipelineOracle,

@@ -1954,14 +1954,24 @@ object PipelineQueries {
 
   /** The unordered (vec_id, rank_micros) frame of [[graphPagerank]] —
     * shared with the rank-weighted keep-list. */
-  private def pagerankFrame(s: SparkSession, d: String): DataFrame = {
-    val e = mutualEdgesMemo(s, d).select("id_a", "id_b")
-    val dir = e.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+  private def pagerankFrame(s: SparkSession, d: String): DataFrame =
+    pagerankOverEdges(
+      mutualEdgesMemo(s, d).select("id_a", "id_b"),
+      embeddings(s, d).select(col("vec_id").as("v")))
+
+  /** The fixed-point power-iteration recurrence over an arbitrary
+    * undirected edge set and vertex frame (one `v` column) — exposed
+    * for the ScaleStress harness. */
+  private[graft] def pagerankOverEdges(
+      edges: DataFrame,
+      verts: DataFrame
+  ): DataFrame = {
+    val dir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(
+        edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    val verts = embeddings(s, d).select(col("vec_id").as("v"))
     var rank = verts.withColumn("r", lit(1000000L))
     for (_ <- 1 to PagerankIters) {
       val contrib = rank

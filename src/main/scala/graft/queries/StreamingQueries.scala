@@ -779,6 +779,23 @@ object StreamingQueries {
   /** The batch incremental sentence oracle IS the streaming oracle. */
   def streamSentenceOracle: String = PipelineQueries.sentenceDedupIncOracle
 
+  /** STREAMING SFT dialogue pairs ([[StreamingOps.dialoguePairsStream]]
+    * through the real runtime): conversation-keyed rolling-buffer state
+    * builds the same (context digest, response) pairs the batch
+    * window does, across micro-batch boundaries; oracle IS the batch
+    * q_dialogue_pairs oracle, and a spec pins stream == batch. */
+  def streamDialogue(s: SparkSession, d: String): DataFrame = {
+    val pairs = StreamingOps.dialoguePairsStream(
+      s, StreamingOps.readEvents(s, eventsStreamDir(d)),
+      graft.queries.EventQueries.DialogueContextTurns)
+    runToMemory(s, pairs.toDF(), OutputMode.Append(), "graft_stream_dialogue")
+      .orderBy("conv_id", "event_id")
+  }
+
+  /** The batch dialogue-pair oracle IS the streaming oracle. */
+  def streamDialogueOracle: String =
+    graft.queries.EventQueries.dialoguePairsOracle
+
   /** STREAMING SimHash near-dup gate ([[StreamingOps.simhashGateStream]]
     * through the real runtime) — the hamming-family twin of
     * [[streamNearDup]]: the [[PipelineQueries.SimhashIncMod]] batch

@@ -768,6 +768,63 @@ object StreamingOps {
       }
   }
 
+  case class ConvState(buffer: Seq[String], lastMs: Long, lastId: Long)
+  case class DialoguePair(
+      conv_id: Long, event_id: Long, speaker: Long, response: String,
+      n_context: Long, context_md5: String)
+
+  /** STREAMING SFT dialogue-pair construction — the stateful twin of
+    * the batch pair builder: keyed by conversation, the state is the
+    * rolling buffer of the last `contextTurns` utterances, and every
+    * arriving turn with a non-empty buffer emits one
+    * (response, context-digest) pair. Same hard precondition as
+    * [[gapSessions]]/[[runDetection]] (a per-conversation time-ordered
+    * source ACROSS micro-batches — a regression could belong inside an
+    * already-emitted pair's context, which append mode cannot retract,
+    * so it fails loudly); within a batch, rows sort here. State is
+    * bounded: `contextTurns` short strings per live conversation. */
+  def dialoguePairsStream(
+      spark: SparkSession,
+      events: DataFrame,
+      contextTurns: Int
+  ): Dataset[DialoguePair] = {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    events
+      .select(
+        (unix_millis(col("ts")) / lit(3600000L)).cast("long").as("conv_id"),
+        col("event_id"), col("user_id"), col("ts"),
+        concat(col("event_type"), lit(":"),
+          round(col("value") * 100, 0).cast("long").cast("string")).as("utt"))
+      .as[(Long, Long, Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ConvState, DialoguePair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (convId, rows, state) =>
+          val sorted = rows.toSeq.sortBy(r => (r._4.getTime, r._2))
+          var st = state.getOption
+            .getOrElse(ConvState(Seq.empty, Long.MinValue, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[DialoguePair]
+          for ((_, eventId, userId, ts, utt) <- sorted) {
+            val ms = ts.getTime
+            if (ms < st.lastMs || (ms == st.lastMs && eventId < st.lastId))
+              throw new IllegalStateException(
+                s"dialoguePairsStream requires a per-conversation " +
+                  s"time-ordered source across micro-batches: conv $convId " +
+                  s"got ($ms, $eventId) after (${st.lastMs}, ${st.lastId}).")
+            if (st.buffer.nonEmpty)
+              out += DialoguePair(convId, eventId, userId, utt,
+                st.buffer.length.toLong, md5hex(st.buffer.mkString(" | ")))
+            st = ConvState(
+              (st.buffer :+ utt).takeRight(contextTurns), ms, eventId)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** ONE-PASS INGEST LEDGER — the per-arrival disposition across the
     * doc-shaped ingest gates, so an operator can answer "why was this
     * arrival rejected" without replaying the gate queries one by one.

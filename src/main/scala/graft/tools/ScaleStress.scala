@@ -863,6 +863,63 @@ object ScaleStress {
         scored.filter(col("doc_id") % 10 === 0)
           .groupBy("quality").agg(count(lit(1)).as("batch_n"))))
     }
+    // Round-11d: PAGERANK over the mutual graph — [[PagerankIters]]
+    // synchronous iterations, each two vertex-keyed shuffles over
+    // (id, long) rows; with K∝N cells the edge build dominates and the
+    // iterations must stay flat-per-vertex linear.
+    time("r11d pagerank: edges + 5 iters") {
+      val emb = replicatedEmb(withLabel = false)
+      val edges = graft.similarity.Ivf
+        .mutualKnnEdges(emb, replicaSeeds, 2, 4)
+        .select("id_a", "id_b")
+      noop(graft.queries.PipelineQueries.pagerankOverEdges(
+        edges, emb.select(col("vec_id").as("v"))))
+    }
+    // Round-11d: CROSS-DOC SENTENCE DEDUP — the corpus-wide keep-first
+    // election: sentence explode (linear), one groupBy(sh) min-struct
+    // (map-side combinable; the planted-footer hot keys are absorbed by
+    // partial aggregation) and a hash join back. Must grow linearly in
+    // sentence count.
+    time("r11d sentence dedup e2e") {
+      noop(Dedup.crossDocSentenceDedup(
+        corpus.select(col("doc_id"),
+          concat(col("text"),
+            lit(". generated by example corp. all rights reserved?"))
+            .as("text")),
+        "doc_id", "text"))
+    }
+    // Round-11d: the SENTENCE GATE's artifact-vs-delivery split — the
+    // corpus hash set builds once (deploy-time), the per-delivery clean
+    // of a FIXED batch must stay flat as the corpus grows (one
+    // hash-keyed semi-ish join against the stored set).
+    var sentSet: DataFrame = null
+    time("r11d sentence gate: artifact build") {
+      sentSet = Dedup
+        .sentenceHashSet(
+          corpus.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .localCheckpoint(true)
+    }
+    time("r11d sentence gate: per-delivery clean") {
+      noop(Dedup.sentenceCleanAgainstSet(
+        sentSet, base.filter(col("doc_id") % 10 === 0), "doc_id", "text"))
+    }
+    // Round-11d: NGRAM NOVELTY — one shingle-keyed hash join of the
+    // fixed batch against the growing corpus set, doc-keyed rollup;
+    // per-delivery cost must track the batch, not the corpus.
+    var novSet: DataFrame = null
+    time("r11d novelty: corpus set build") {
+      novSet = Dedup
+        .shingleRows(
+          corpus.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .select("shingle").distinct()
+        .localCheckpoint(true)
+    }
+    time("r11d novelty: per-delivery score") {
+      noop(Dedup.ngramNoveltyFromRows(
+        novSet,
+        Dedup.shingleRows(
+          base.filter(col("doc_id") % 10 === 0), "doc_id", "text")))
+    }
     // Offset-stage A/B at FIXED sizes (does not scale with replicas):
     // the lang-keyed window sorts each language's doc rows in ONE task;
     // the hierarchical prefix sum spreads the same work over

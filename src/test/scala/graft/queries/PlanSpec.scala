@@ -693,4 +693,51 @@ class PlanSpec extends SparkSuite {
       s"battery + quality must be ONE scan, not a self-join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("pagerank: vertex-keyed joins only — no window, no product") {
+    val p = plan("q_graph_pagerank")
+    // Synchronous power iteration is joins + partial aggs; a Window or a
+    // product anywhere means the recurrence degenerated to per-vertex
+    // global state.
+    assert(!p.contains("Window"), s"no window in the iteration:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sentence dedup: keeper election is a keyed agg + hash join, no window") {
+    val p = plan("q_sentence_dedup")
+    // The global keep-first election must be groupBy(sh).min(struct) —
+    // map-side combinable — joined back on the hash, never a corpus-wide
+    // window over sentence hashes.
+    assert(!p.contains("Window"), s"no window in the election:\n$p")
+    assert(p.contains("hashpartitioning(sh"),
+      s"the election must shuffle on the 8-byte sentence hash:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("ngram novelty: one shingle-keyed join, doc-keyed agg, no window, no product") {
+    val p = plan("q_ngram_novelty")
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dialogue pairs: the only window is conversation-keyed") {
+    val p = plan("q_dialogue_pairs")
+    assert(p.contains("Window"), "the context frame is a window")
+    // every window spec must partition by conv_id — an unpartitioned
+    // one would serialize the whole transcript through one task
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("conv_id")),
+      s"window must be conv_id-keyed, got specs $specs:\n$p")
+  }
+
+  test("embedding quality: pure per-row battery — no join, no hash shuffle") {
+    val p = plan("q_embedding_quality")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"))
+    assert(!p.contains("hashpartitioning"),
+      s"row-local battery must not shuffle (range sort only):\n$p")
+  }
 }
