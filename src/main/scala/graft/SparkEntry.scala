@@ -74,6 +74,8 @@ object SparkEntry {
     "q_pagerank_keeplist" -> (PipelineQueries.pagerankKeeplist _),
     "q_stream_sentence" -> (StreamingQueries.streamSentence _),
     "q_stream_dialogue" -> (StreamingQueries.streamDialogue _),
+    "q_stream_embedding_quality" ->
+      (StreamingQueries.streamEmbeddingQuality _),
     "q_ngram_novelty" -> (PipelineQueries.ngramNovelty _),
     "q_hamming_sweep" -> (PipelineQueries.hammingSweep _),
     "q_curation_pipeline" -> (PipelineQueries.curationPipeline _),
@@ -528,6 +530,8 @@ object SparkEntry {
     "q_pagerank_keeplist" -> PipelineQueries.pagerankKeeplistOracle,
     "q_stream_sentence" -> StreamingQueries.streamSentenceOracle,
     "q_stream_dialogue" -> StreamingQueries.streamDialogueOracle,
+    "q_stream_embedding_quality" ->
+      StreamingQueries.streamEmbeddingQualityOracle,
     "q_ngram_novelty" -> PipelineQueries.ngramNoveltyOracle,
     "q_hamming_sweep" -> PipelineQueries.hammingSweepOracle,
     "q_curation_pipeline" -> PipelineQueries.curationPipelineOracle,

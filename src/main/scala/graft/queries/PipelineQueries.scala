@@ -1728,8 +1728,16 @@ object PipelineQueries {
          |  transform(sequence(1, $Dims),
          |    x -> CASE WHEN x = 1 THEN CAST('NaN' AS FLOAT)
          |         ELSE CAST(0.5 AS FLOAT) END)""".stripMargin)
-    embeddings(s, d).select("vec_id", "embedding")
-      .unionByName(planted)
+    embeddingBattery(embeddings(s, d).select("vec_id", "embedding")
+        .unionByName(planted))
+      .orderBy("vec_id")
+  }
+
+  /** The row-local battery core over any (vec_id, embedding) frame —
+    * shared by the batch face and the streaming ingest gate (the
+    * caller registers `graft_dot`). */
+  private[graft] def embeddingBattery(df: DataFrame): DataFrame =
+    df
       .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("n_dims", size(col("embedding")).cast("long"))
       .withColumn("has_nan", expr("exists(emb, x -> isnan(x))"))
@@ -1745,8 +1753,6 @@ object PipelineQueries {
            |     ELSE 'pass' END""".stripMargin))
       .select("vec_id", "n_dims", "has_nan", "is_zero",
         "norm_micros", "verdict")
-      .orderBy("vec_id")
-  }
 
   def embeddingQualityOracle: String =
     s"""WITH base AS (

@@ -796,6 +796,44 @@ object StreamingQueries {
   def streamDialogueOracle: String =
     graft.queries.EventQueries.dialoguePairsOracle
 
+  /** STREAMING embedding-quality gate — the vector ingest stack's first
+    * stage (gate → index commit → serve): arriving vectors run the
+    * row-local [[PipelineQueries.embeddingBattery]] (dim / NaN / zero /
+    * norm verdict) with no state and no shuffle, the
+    * q_stream_quality shape on the embeddings stream. The oracle is the
+    * batch battery over the real table (the planted broken rows stay on
+    * the batch face, where every verdict branch is oracle-exercised). */
+  def streamEmbeddingQuality(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val gated = PipelineQueries.embeddingBattery(
+      StreamingOps.readEmbeddings(s, embeddingsStreamDir(d))
+        .select("vec_id", "embedding"))
+    runToMemory(s, gated, OutputMode.Append(), "graft_stream_embq")
+      .orderBy("vec_id")
+  }
+
+  def streamEmbeddingQualityOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |f AS (
+       |  SELECT vec_id,
+       |    CAST(len(embedding) AS BIGINT) AS n_dims,
+       |    len(list_filter(emb, x -> isnan(x))) > 0 AS has_nan,
+       |    CASE WHEN len(list_filter(emb, x -> isnan(x))) > 0 THEN NULL
+       |         ELSE CAST(round(sqrt(list_dot_product(emb, emb)) * 1000000, 0) AS BIGINT)
+       |    END AS norm_micros
+       |  FROM e)
+       |SELECT vec_id, n_dims, has_nan,
+       |  coalesce(norm_micros = 0, false) AS is_zero,
+       |  norm_micros,
+       |  CASE WHEN n_dims <> ${PipelineQueries.Dims} THEN 'bad_dim'
+       |       WHEN has_nan THEN 'nan'
+       |       WHEN norm_micros = 0 THEN 'zero'
+       |       ELSE 'pass' END AS verdict
+       |FROM f ORDER BY vec_id""".stripMargin
+
   /** STREAMING SimHash near-dup gate ([[StreamingOps.simhashGateStream]]
     * through the real runtime) — the hamming-family twin of
     * [[streamNearDup]]: the [[PipelineQueries.SimhashIncMod]] batch
