@@ -43,6 +43,7 @@ object SparkEntry {
     "q_sentence_explode" -> (TextQueries.sentenceExplode _),
     "q_fim_transform" -> (TextQueries.fimTransform _),
     "q_dialogue_pairs" -> (EventQueries.dialoguePairs _),
+    "q_sft_pack" -> (EventQueries.sftPack _),
     // --- event/transcript operators (SURVEY §2.3, §2.5) ---
     "q_distinct_actors" -> (EventQueries.distinctActors _),
     "q_span" -> (EventQueries.span _),
@@ -393,6 +394,7 @@ object SparkEntry {
         |WHERE length(trim(s)) > 0 ORDER BY doc_id, sentence""".stripMargin,
     "q_fim_transform" -> TextQueries.fimTransformOracle,
     "q_dialogue_pairs" -> EventQueries.dialoguePairsOracle,
+    "q_sft_pack" -> EventQueries.sftPackOracle,
     "q_distinct_actors" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
     "q_span" ->

@@ -824,6 +824,92 @@ object EventQueries {
       .orderBy("conv_id", "event_id")
   }
 
+  /** Token budget per packed SFT sequence — small against the fixture's
+    * short utterances so the pack actually produces multiple bins. */
+  val SftPackBudget = 64L
+
+  /** SFT PACK WITH LOSS-MASK OFFSETS — the step after
+    * [[dialoguePairs]]: pack each conversation's (context, response)
+    * pairs into fixed-token-budget training sequences and emit, per
+    * pair, its bin and the EXACT token offsets of the span the loss is
+    * computed on (`train_from`/`train_to` bracket the response; the
+    * context tokens before them are masked out) — the metadata an SFT
+    * trainer needs to pack multi-turn data without leaking loss onto
+    * prompts. Same prefix-sum relaxation as [[TextQueries.packDocs]]
+    * (bin = cum-before DIV budget; a straddler may overflow its bin),
+    * keyed by conversation so the cumulative window never goes global.
+    * Token counts are the chars/4 estimator on the utterance rendering;
+    * separators are deliberately uncounted (documented, exact). */
+  def sftPack(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("conv_id",
+        (unix_millis(col("ts")) / lit(3600000L)).cast("long"))
+      .withColumn("utt",
+        concat(col("event_type"), lit(":"),
+          cents(col("value")).cast("string")))
+      .withColumn("tok",
+        greatest(lit(1L), floor(length(col("utt")) / 4).cast("long")))
+    val wCtx = Window.partitionBy("conv_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-DialogueContextTurns, -1)
+    val pairs = ev
+      .withColumn("n_ctx_tokens",
+        coalesce(sum(col("tok")).over(wCtx), lit(0L)))
+      .withColumn("n_context", count(lit(1)).over(wCtx))
+      .filter(col("n_context") > 0)
+      .withColumn("n_seq", col("n_ctx_tokens") + col("tok"))
+    val wCum = Window.partitionBy("conv_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    pairs
+      .withColumn("cum_before", coalesce(sum(col("n_seq")).over(wCum), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $SftPackBudget"))
+      .withColumn("seq_off",
+        expr(s"cum_before - (cum_before div $SftPackBudget) * $SftPackBudget"))
+      .select(
+        col("conv_id"), col("event_id"),
+        col("n_ctx_tokens"), col("tok").as("n_resp_tokens"),
+        col("bin"), col("seq_off"),
+        (col("seq_off") + col("n_ctx_tokens")).as("train_from"),
+        (col("seq_off") + col("n_ctx_tokens") + col("tok")).as("train_to"))
+      .orderBy("conv_id", "event_id")
+  }
+
+  def sftPackOracle: String =
+    s"""WITH e AS (
+       |  SELECT event_id, ts,
+       |    CAST(floor(epoch_ms(ts)/3600000) AS BIGINT) AS conv_id,
+       |    event_type || ':' ||
+       |      CAST(CAST(round(value*100,0) AS BIGINT) AS VARCHAR) AS utt
+       |  FROM events),
+       |t AS (
+       |  SELECT *, CAST(greatest(1, length(utt) // 4) AS BIGINT) AS tok
+       |  FROM e),
+       |p AS (
+       |  SELECT conv_id, event_id, ts, tok,
+       |    CAST(coalesce(sum(tok) OVER w, 0) AS BIGINT) AS n_ctx_tokens,
+       |    count(tok) OVER w AS n_context
+       |  FROM t
+       |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id
+       |    ROWS BETWEEN $DialogueContextTurns PRECEDING AND 1 PRECEDING)),
+       |q AS (SELECT *, n_ctx_tokens + tok AS n_seq FROM p WHERE n_context > 0),
+       |c AS (
+       |  SELECT conv_id, event_id, n_ctx_tokens, tok,
+       |    CAST(coalesce(sum(n_seq) OVER (PARTITION BY conv_id
+       |      ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM q)
+       |SELECT conv_id, event_id, n_ctx_tokens, tok AS n_resp_tokens,
+       |  cum_before // $SftPackBudget AS bin,
+       |  cum_before - (cum_before // $SftPackBudget) * $SftPackBudget AS seq_off,
+       |  cum_before - (cum_before // $SftPackBudget) * $SftPackBudget
+       |    + n_ctx_tokens AS train_from,
+       |  cum_before - (cum_before // $SftPackBudget) * $SftPackBudget
+       |    + n_ctx_tokens + tok AS train_to
+       |FROM c ORDER BY conv_id, event_id""".stripMargin
+
   def dialoguePairsOracle: String =
     s"""WITH e AS (
        |  SELECT event_id, user_id, ts,

@@ -47,6 +47,27 @@ class PairsFimSpec extends SparkSuite {
     assert(r.getAs[String]("context_md5") == md5hex(ev.head))
   }
 
+  test("SFT pack: mask offsets bracket exactly the response, bins advance monotonically") {
+    val rows = EventQueries.sftPack(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("train_to") - r.getAs[Long]("train_from") ==
+        r.getAs[Long]("n_resp_tokens"))
+      assert(r.getAs[Long]("train_from") - r.getAs[Long]("seq_off") ==
+        r.getAs[Long]("n_ctx_tokens"))
+      assert(r.getAs[Long]("seq_off") >= 0 &&
+        r.getAs[Long]("seq_off") < EventQueries.SftPackBudget)
+    }
+    // bins never decrease within a conversation (pairs are packed in order)
+    rows.groupBy(_.getAs[Long]("conv_id")).foreach { case (_, rs) =>
+      val bins = rs.sortBy(_.getAs[Long]("event_id")).map(_.getAs[Long]("bin"))
+      assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
+    }
+    // one pair count law shared with the dialogue builder
+    assert(rows.length ==
+      EventQueries.dialoguePairs(spark, d).count())
+  }
+
   test("FIM thirds partition every document exactly") {
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), length(col("text")).cast("long").as("n"))
