@@ -44,6 +44,7 @@ object SparkEntry {
     "q_fim_transform" -> (TextQueries.fimTransform _),
     "q_dialogue_pairs" -> (EventQueries.dialoguePairs _),
     "q_sft_pack" -> (EventQueries.sftPack _),
+    "q_split_audit" -> (PipelineQueries.splitAudit _),
     // --- event/transcript operators (SURVEY §2.3, §2.5) ---
     "q_distinct_actors" -> (EventQueries.distinctActors _),
     "q_span" -> (EventQueries.span _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "q_pagerank_keeplist" -> (PipelineQueries.pagerankKeeplist _),
     "q_stream_sentence" -> (StreamingQueries.streamSentence _),
     "q_stream_dialogue" -> (StreamingQueries.streamDialogue _),
+    "q_stream_sft_pack" -> (StreamingQueries.streamSftPack _),
     "q_stream_embedding_quality" ->
       (StreamingQueries.streamEmbeddingQuality _),
     "q_ngram_novelty" -> (PipelineQueries.ngramNovelty _),
@@ -395,6 +397,7 @@ object SparkEntry {
     "q_fim_transform" -> TextQueries.fimTransformOracle,
     "q_dialogue_pairs" -> EventQueries.dialoguePairsOracle,
     "q_sft_pack" -> EventQueries.sftPackOracle,
+    "q_split_audit" -> PipelineQueries.splitAuditOracle,
     "q_distinct_actors" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
     "q_span" ->
@@ -532,6 +535,7 @@ object SparkEntry {
     "q_pagerank_keeplist" -> PipelineQueries.pagerankKeeplistOracle,
     "q_stream_sentence" -> StreamingQueries.streamSentenceOracle,
     "q_stream_dialogue" -> StreamingQueries.streamDialogueOracle,
+    "q_stream_sft_pack" -> StreamingQueries.streamSftPackOracle,
     "q_stream_embedding_quality" ->
       StreamingQueries.streamEmbeddingQualityOracle,
     "q_ngram_novelty" -> PipelineQueries.ngramNoveltyOracle,

@@ -2950,7 +2950,8 @@ object PipelineQueries {
   private[graft] val CcMemoQueries: Set[String] =
     Set("q_dup_clusters", "q_dedup_keeplist", "q_leakage_safe_split",
       "q_quality_keeplist", "q_curation_funnel", "q_dup_histogram",
-      "q_dup_downweight", "q_weighted_sample", "q_corpus_card")
+      "q_dup_downweight", "q_weighted_sample", "q_corpus_card",
+      "q_split_audit")
 
   /** Memo for the full-table n-gram shingle pass, keyed by (session,
     * dir) — the [[ccMemo]] discipline applied to the second shared
@@ -3590,6 +3591,59 @@ object PipelineQueries {
        |  CAST('0x' || substr(md5('gsplit:' || CAST(group_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS h
        |  FROM g)
        |ORDER BY doc_id""".stripMargin
+
+  /** SPLIT-LEAKAGE AUDIT — the MEASURED face of [[leakageSafeSplit]]'s
+    * by-construction guarantee: every verified near-dup pair joined to
+    * both endpoints' split assignments and counted by
+    * (split_a, split_b). A leakage-safe split shows only diagonal rows
+    * (both endpoints of every pair in one split — they share a
+    * component, components route atomically); any off-diagonal row is a
+    * train→eval contamination channel. This is the audit an eval owner
+    * runs on a split they did NOT build — the guarantee verified from
+    * the data, not trusted from the code. Pairs and components both
+    * ride existing machinery; the audit itself collapses to ≤9 rows. */
+  def splitAudit(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashDuplicates(documents(s, d), "doc_id", "text",
+      MinhashHashes, MinhashBands, MinhashThreshold)
+      .select("id_a", "id_b")
+    val split = leakageSafeSplit(s, d).select("doc_id", "split")
+    pairs
+      .join(split.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "split_a"), Seq("id_a"))
+      .join(split.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "split_b"), Seq("id_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+  }
+
+  def splitAuditOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+       |cc AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+       |g AS (
+       |  SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |    CAST('0x' || substr(md5('gsplit:' || CAST(group_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS h
+       |    FROM g))
+       |SELECT sa.split AS split_a, sb.split AS split_b,
+       |  count(*) AS n_pairs
+       |FROM pairs p
+       |JOIN sp sa ON p.id_a = sa.doc_id
+       |JOIN sp sb ON p.id_b = sb.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY split_a, split_b""".stripMargin
 
   /** Contrastive hard-negative mining ([[Similarity.hardNegatives]]):
     * per query vector, the top-k nearest CROSS-LABEL corpus vectors —

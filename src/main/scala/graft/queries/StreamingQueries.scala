@@ -796,6 +796,25 @@ object StreamingQueries {
   def streamDialogueOracle: String =
     graft.queries.EventQueries.dialoguePairsOracle
 
+  /** STREAMING SFT pack ([[StreamingOps.sftPackStream]]): pairs AND
+    * their loss-mask pack offsets in one stateful pass at ingest — the
+    * conversation state carries the rolling context buffer plus the
+    * running token cursor, advanced only for emitted pairs (the batch
+    * face's filtered prefix sum), so any micro-batch split lands on the
+    * batch arithmetic. Oracle IS the batch q_sft_pack oracle. */
+  def streamSftPack(s: SparkSession, d: String): DataFrame = {
+    val E = graft.queries.EventQueries
+    val packed = StreamingOps.sftPackStream(
+      s, StreamingOps.readEvents(s, eventsStreamDir(d)),
+      E.DialogueContextTurns, E.SftPackBudget)
+    runToMemory(s, packed.toDF(), OutputMode.Append(), "graft_stream_sftpack")
+      .orderBy("conv_id", "event_id")
+  }
+
+  /** The batch SFT-pack oracle IS the streaming oracle. */
+  def streamSftPackOracle: String =
+    graft.queries.EventQueries.sftPackOracle
+
   /** STREAMING embedding-quality gate — the vector ingest stack's first
     * stage (gate → index commit → serve): arriving vectors run the
     * row-local [[PipelineQueries.embeddingBattery]] (dim / NaN / zero /

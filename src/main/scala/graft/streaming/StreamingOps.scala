@@ -825,6 +825,69 @@ object StreamingOps {
       }
   }
 
+  case class PackState(
+      buffer: Seq[String], cumBefore: Long, lastMs: Long, lastId: Long)
+  case class SftPackRow(
+      conv_id: Long, event_id: Long, n_ctx_tokens: Long,
+      n_resp_tokens: Long, bin: Long, seq_off: Long,
+      train_from: Long, train_to: Long)
+
+  /** STREAMING SFT pack — [[dialoguePairsStream]]'s state extended with
+    * the conversation's running token cursor, so pairs AND their
+    * loss-mask pack offsets emit in ONE stateful pass at ingest. The
+    * cursor advances only for emitted pairs (turns with context),
+    * exactly the batch face's filtered prefix sum, so the fold lands on
+    * the batch arithmetic across any micro-batch split. Same
+    * time-ordered-source precondition and bounded state (context
+    * buffer + one cursor per live conversation). */
+  def sftPackStream(
+      spark: SparkSession,
+      events: DataFrame,
+      contextTurns: Int,
+      budget: Long
+  ): Dataset[SftPackRow] = {
+    import spark.implicits._
+    def tok(s: String): Long = math.max(1L, s.length / 4L)
+    events
+      .select(
+        (unix_millis(col("ts")) / lit(3600000L)).cast("long").as("conv_id"),
+        col("event_id"), col("ts"),
+        concat(col("event_type"), lit(":"),
+          round(col("value") * 100, 0).cast("long").cast("string")).as("utt"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PackState, SftPackRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (convId, rows, state) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+          var st = state.getOption
+            .getOrElse(PackState(Seq.empty, 0L, Long.MinValue, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SftPackRow]
+          for ((_, eventId, ts, utt) <- sorted) {
+            val ms = ts.getTime
+            if (ms < st.lastMs || (ms == st.lastMs && eventId < st.lastId))
+              throw new IllegalStateException(
+                s"sftPackStream requires a per-conversation time-ordered " +
+                  s"source across micro-batches: conv $convId got " +
+                  s"($ms, $eventId) after (${st.lastMs}, ${st.lastId}).")
+            var cum = st.cumBefore
+            if (st.buffer.nonEmpty) {
+              val nCtx = st.buffer.map(tok).sum
+              val nResp = tok(utt)
+              val bin = cum / budget
+              val off = cum - bin * budget
+              out += SftPackRow(convId, eventId, nCtx, nResp, bin, off,
+                off + nCtx, off + nCtx + nResp)
+              cum += nCtx + nResp
+            }
+            st = PackState(
+              (st.buffer :+ utt).takeRight(contextTurns), cum, ms, eventId)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** ONE-PASS INGEST LEDGER — the per-arrival disposition across the
     * doc-shaped ingest gates, so an operator can answer "why was this
     * arrival rejected" without replaying the gate queries one by one.

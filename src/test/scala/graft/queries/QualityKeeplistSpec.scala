@@ -6,6 +6,16 @@ import org.apache.spark.sql.functions._
 /** Election invariants of the quality-aware near-dup keeper. */
 class QualityKeeplistSpec extends SparkSuite {
 
+  test("split audit: every near-dup pair lands inside one split (no leakage)") {
+    val rows = graft.queries.PipelineQueries
+      .splitAudit(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty, "fixture must have near-dup pairs to audit")
+    rows.foreach { r =>
+      assert(r.getAs[String]("split_a") == r.getAs[String]("split_b"),
+        s"cross-split pair channel: $r")
+    }
+  }
+
   private lazy val rows =
     PipelineQueries.qualityKeeplist(spark, "/root/testdata/sf0.001")
 

@@ -1081,6 +1081,16 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming SFT pack equals the batch pack row-for-row") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamSftPack(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.EventQueries.sftPack(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("streaming dialogue pairs equal the batch window row-for-row") {
     val d = "/root/testdata/sf0.001"
     val got = graft.queries.StreamingQueries.streamDialogue(spark, d)
