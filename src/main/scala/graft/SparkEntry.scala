@@ -45,6 +45,7 @@ object SparkEntry {
     "q_dialogue_pairs" -> (EventQueries.dialoguePairs _),
     "q_sft_pack" -> (EventQueries.sftPack _),
     "q_split_audit" -> (PipelineQueries.splitAudit _),
+    "q_dedup_explain" -> (PipelineQueries.dedupExplain _),
     // --- event/transcript operators (SURVEY §2.3, §2.5) ---
     "q_distinct_actors" -> (EventQueries.distinctActors _),
     "q_span" -> (EventQueries.span _),
@@ -162,6 +163,8 @@ object SparkEntry {
     "q_semantic_commit" -> (PipelineQueries.semanticCommit _),
     "q_semantic_retract" -> (PipelineQueries.semanticRetract _),
     "q_quality_drift" -> (PipelineQueries.qualityDrift _),
+    "q_source_drift" -> (PipelineQueries.sourceDrift _),
+    "q_stream_source_drift" -> (StreamingQueries.streamSourceDrift _),
     "q_knn_graph" -> (PipelineQueries.knnGraph _),
     "q_knn_graph_inc" -> (PipelineQueries.knnGraphInc _),
     "q_knn_retract" -> (PipelineQueries.knnRetract _),
@@ -398,6 +401,7 @@ object SparkEntry {
     "q_dialogue_pairs" -> EventQueries.dialoguePairsOracle,
     "q_sft_pack" -> EventQueries.sftPackOracle,
     "q_split_audit" -> PipelineQueries.splitAuditOracle,
+    "q_dedup_explain" -> PipelineQueries.dedupExplainOracle,
     "q_distinct_actors" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
     "q_span" ->
@@ -627,6 +631,8 @@ object SparkEntry {
     "q_semantic_commit" -> PipelineQueries.semanticCommitOracle,
     "q_semantic_retract" -> PipelineQueries.semanticRetractOracle,
     "q_quality_drift" -> PipelineQueries.qualityDriftOracle,
+    "q_source_drift" -> PipelineQueries.sourceDriftOracle,
+    "q_stream_source_drift" -> StreamingQueries.streamSourceDriftOracle,
     "q_knn_graph" -> PipelineQueries.knnGraphOracle,
     "q_knn_graph_inc" -> PipelineQueries.knnGraphIncOracle,
     "q_knn_retract" -> PipelineQueries.knnRetractOracle,

@@ -430,6 +430,52 @@ object Dedup {
     jaccardVerifyShingles(sh, cands, threshold)
   }
 
+  /** NEAR-DUP PAIR EXPLANATION — the debugging face of
+    * [[minhashDuplicates]]: for every verified pair, WHY it was
+    * flagged — how many LSH bands collided (the recall channel), the
+    * exact shingle intersection and both set sizes (the verified
+    * evidence), and the Jaccard. The row an operator reads before
+    * disputing a takedown or re-tuning the banding; same candidate
+    * generation and verify joins as the dedup face, so explanation and
+    * verdict can never disagree. */
+  def minhashExplain(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = shingleRows(df, idCol, textCol).localCheckpoint(true)
+    val banded = bandedSignatures(
+        signatureOfShingles(sh, numHashes), bands, numHashes / bands)
+      .select("id", "band", "bh")
+    val bandHits = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val inter = bandHits.select("id_a", "id_b")
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    bandHits
+      .join(inter, Seq("id_a", "id_b"))
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("size_a") + col("size_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_bands", "n_inter", "size_a", "size_b",
+        "jaccard")
+  }
+
   // -------------------------------------------------------------------------
   // Duplicate clustering (connected components)
   // -------------------------------------------------------------------------

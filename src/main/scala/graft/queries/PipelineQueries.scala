@@ -1495,10 +1495,10 @@ object PipelineQueries {
     * complete mode, state bounded by the level count, then joins the
     * SAME baseline). */
   private[graft] def qualityDriftReadout(
-      ch: DataFrame, bh: DataFrame): DataFrame = {
+      ch: DataFrame, bh: DataFrame, key: String = "quality"): DataFrame = {
     val ct = ch.agg(sum(col("corpus_n")).as("corpus_total"))
     val bt = bh.agg(sum(col("batch_n")).as("batch_total"))
-    ch.join(bh, Seq("quality"), "full_outer")
+    ch.join(bh, Seq(key), "full_outer")
       .na.fill(0L, Seq("corpus_n", "batch_n"))
       .crossJoin(broadcast(ct))
       .crossJoin(broadcast(bt))
@@ -1508,10 +1508,45 @@ object PipelineQueries {
         expr("batch_n * 1000000 DIV batch_total"))
       .withColumn("delta_micros",
         abs(col("batch_frac_micros") - col("corpus_frac_micros")))
-      .select("quality", "corpus_n", "batch_n",
+      .select(key, "corpus_n", "batch_n",
         "corpus_frac_micros", "batch_frac_micros", "delta_micros")
-      .orderBy("quality")
+      .orderBy(key)
   }
+
+  /** SOURCE-MIX drift monitor — the ingest-ops face of the drift
+    * family: the corpus's per-`source` document distribution against
+    * the arriving batch's, in the same exact integer-micros
+    * total-variation readout as [[qualityDrift]] (shared helper — the
+    * two readouts cannot drift). A crawler gone rogue, a feed gone
+    * silent, or a new source appearing all surface as mass moving in
+    * this table before any content-level monitor fires. Histograms
+    * collapse to ≤ |sources| rows immediately. */
+  def sourceDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "source")
+    qualityDriftReadout(
+      docs.filter(col("doc_id") % IncrementalMod =!= 0)
+        .groupBy("source").agg(count(lit(1)).as("corpus_n")),
+      docs.filter(col("doc_id") % IncrementalMod === 0)
+        .groupBy("source").agg(count(lit(1)).as("batch_n")),
+      "source")
+  }
+
+  def sourceDriftOracle: String =
+    s"""WITH ch AS (SELECT source, count(*) AS n FROM documents
+       |       WHERE doc_id % $IncrementalMod <> 0 GROUP BY 1),
+       |bh AS (SELECT source, count(*) AS n FROM documents
+       |       WHERE doc_id % $IncrementalMod = 0 GROUP BY 1),
+       |ct AS (SELECT sum(n) AS t FROM ch),
+       |bt AS (SELECT sum(n) AS t FROM bh)
+       |SELECT COALESCE(ch.source, bh.source) AS source,
+       |  CAST(COALESCE(ch.n, 0) AS BIGINT) AS corpus_n,
+       |  CAST(COALESCE(bh.n, 0) AS BIGINT) AS batch_n,
+       |  CAST(COALESCE(ch.n, 0) * 1000000 // ct.t AS BIGINT) AS corpus_frac_micros,
+       |  CAST(COALESCE(bh.n, 0) * 1000000 // bt.t AS BIGINT) AS batch_frac_micros,
+       |  CAST(abs(COALESCE(bh.n, 0) * 1000000 // bt.t
+       |         - COALESCE(ch.n, 0) * 1000000 // ct.t) AS BIGINT) AS delta_micros
+       |FROM ch FULL OUTER JOIN bh ON ch.source = bh.source, ct, bt
+       |ORDER BY source""".stripMargin
 
   def qualityDriftOracle: String =
     s"""WITH $qualityCtesSql,
@@ -2617,6 +2652,37 @@ object PipelineQueries {
   def minhashOracle: String =
     s"""WITH $minhashPairsCtes
        |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  /** NEAR-DUP EXPLANATION ([[Dedup.minhashExplain]]): per verified
+    * pair, the band-collision count, exact shingle intersection, both
+    * set sizes and the Jaccard — the row an operator reads before
+    * disputing a takedown or re-tuning the banding. Shares the dedup
+    * face's candidate generation and verify joins, so explanation and
+    * verdict can never disagree. */
+  def dedupExplain(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashExplain(documents(s, d), "doc_id", "text",
+        MinhashHashes, MinhashBands, MinhashThreshold)
+      .orderBy("id_a", "id_b")
+
+  def dedupExplainOracle: String =
+    s"""WITH $minhashPairsCtes,
+       |bandhits AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS n_bands
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.id_a, p.id_b, h.n_bands,
+       |  CAST(i.n_inter AS BIGINT) AS n_inter,
+       |  CAST(sa.set_size AS BIGINT) AS size_a,
+       |  CAST(sb.set_size AS BIGINT) AS size_b,
+       |  p.jaccard
+       |FROM pairs p
+       |JOIN bandhits h ON p.id_a = h.id_a AND p.id_b = h.id_b
+       |JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+       |JOIN sizes sa ON sa.doc_id = p.id_a
+       |JOIN sizes sb ON sb.doc_id = p.id_b
+       |ORDER BY p.id_a, p.id_b""".stripMargin
 
   /** Mod and id offset of the synthetic v2 used by [[corpusDiffQ]]:
     * doc_id % 13 == 0 is dropped, % 13 == 5 is edited, % 13 == 7 gains a

@@ -535,6 +535,27 @@ object StreamingQueries {
     * oracle. */
   def streamQualityDriftOracle: String = PipelineQueries.qualityDriftOracle
 
+  /** STREAMING source-mix drift — [[streamQualityDrift]]'s shape on the
+    * `source` column: arrivals fold per-source counts in complete mode
+    * (state bounded by the source count) into the same shared readout
+    * against the frozen corpus baseline. */
+  def streamSourceDrift(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.IncrementalMod
+    val corpusHist = documents(s, d)
+      .filter(col("doc_id") % IncrementalMod =!= 0)
+      .groupBy("source").agg(count(lit(1)).as("corpus_n"))
+      .localCheckpoint(true)
+    val arrivals = StreamingOps.readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % IncrementalMod === 0)
+    val bh = runToMemory(
+      s,
+      arrivals.groupBy("source").agg(count(lit(1)).as("batch_n")),
+      OutputMode.Complete(), "graft_stream_source_drift")
+    PipelineQueries.qualityDriftReadout(corpusHist, bh, "source")
+  }
+
+  def streamSourceDriftOracle: String = PipelineQueries.sourceDriftOracle
+
   /** Upper bound on holdout rows embedded as a plan literal by
     * [[decontamGateStream]] — generous for any eval suite, far below
     * anything corpus-shaped. */
