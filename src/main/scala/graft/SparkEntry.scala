@@ -76,6 +76,8 @@ object SparkEntry {
     "q_sentence_retract" -> (PipelineQueries.sentenceRetract _),
     "q_pagerank_keeplist" -> (PipelineQueries.pagerankKeeplist _),
     "q_stream_sentence" -> (StreamingQueries.streamSentence _),
+    "q_stream_sentence_commit" ->
+      (StreamingQueries.streamSentenceCommit _),
     "q_stream_dialogue" -> (StreamingQueries.streamDialogue _),
     "q_stream_sft_pack" -> (StreamingQueries.streamSftPack _),
     "q_stream_embedding_quality" ->
@@ -538,6 +540,8 @@ object SparkEntry {
     "q_sentence_retract" -> PipelineQueries.sentenceRetractOracle,
     "q_pagerank_keeplist" -> PipelineQueries.pagerankKeeplistOracle,
     "q_stream_sentence" -> StreamingQueries.streamSentenceOracle,
+    "q_stream_sentence_commit" ->
+      StreamingQueries.streamSentenceCommitOracle,
     "q_stream_dialogue" -> StreamingQueries.streamDialogueOracle,
     "q_stream_sft_pack" -> StreamingQueries.streamSftPackOracle,
     "q_stream_embedding_quality" ->

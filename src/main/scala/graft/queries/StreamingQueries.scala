@@ -800,6 +800,53 @@ object StreamingQueries {
   /** The batch incremental sentence oracle IS the streaming oracle. */
   def streamSentenceOracle: String = PipelineQueries.sentenceDedupIncOracle
 
+  /** STREAMING sentence-hash COMMIT — the artifact-side twin of
+    * [[streamSentence]]: each micro-batch's kept sentence hashes fold
+    * into the checkpointed committed set via the exact
+    * [[graft.dedup.Dedup.committedSentenceHashes]] arithmetic, and the
+    * folds CHAIN (each batch gates against the EVOLVING set). The fold
+    * is batching-invariant because set union is associative and a
+    * sentence already committed can never re-enter — after N deliveries
+    * the set equals distinct hashes of corpus ∪ all arrivals, exactly
+    * the batch commit's law. Emits the shared 1-row count readout;
+    * oracle IS the batch q_sentence_commit oracle. */
+  def streamSentenceCommit(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.IncrementalMod
+    val D = graft.dedup.Dedup
+    val docs = documents(s, d)
+      .withColumn("text", concat(col("text"), lit(PipelineQueries.Footer)))
+    val corpusSet = D
+      .sentenceHashSet(
+        docs.filter(col("doc_id") % IncrementalMod =!= 0), "doc_id", "text")
+      .localCheckpoint(true)
+    val committed =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame](corpusSet)
+    val arrivals = StreamingOps
+      .readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % IncrementalMod === 0)
+      .withColumn("text", concat(col("text"), lit(PipelineQueries.Footer)))
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = arrivals.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          committed.updateAndGet(cur =>
+            D.committedSentenceHashes(cur, b, "doc_id", "text")
+              .localCheckpoint(true))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    D.commitSentenceReadout(corpusSet, committed.get)
+  }
+
+  /** The batch sentence-commit oracle IS the streaming oracle. */
+  def streamSentenceCommitOracle: String =
+    PipelineQueries.sentenceCommitOracle
+
   /** STREAMING SFT dialogue pairs ([[StreamingOps.dialoguePairsStream]]
     * through the real runtime): conversation-keyed rolling-buffer state
     * builds the same (context digest, response) pairs the batch

@@ -1081,6 +1081,17 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming sentence commit equals the batch commit readout") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries
+      .streamSentenceCommit(spark, d).collect().map(_.toSeq).toSeq
+    val want = graft.queries.PipelineQueries
+      .sentenceCommit(spark, d).collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(got.head(2).asInstanceOf[Long] > got.head(0).asInstanceOf[Long],
+      "arrivals must commit new sentences on the fixture")
+  }
+
   test("streaming SFT pack equals the batch pack row-for-row") {
     val d = "/root/testdata/sf0.001"
     val got = graft.queries.StreamingQueries.streamSftPack(spark, d)
