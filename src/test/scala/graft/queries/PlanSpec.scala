@@ -733,6 +733,31 @@ class PlanSpec extends SparkSuite {
       s"window must be conv_id-keyed, got specs $specs:\n$p")
   }
 
+  test("split audit: pair and split sides join keyed, no product") {
+    val p = plan("q_split_audit")
+    assert(!p.contains("CartesianProduct"))
+    // the readout collapses to <=9 rows before ordering
+    assert(p.contains("hashpartitioning"), "the pair join is keyed")
+  }
+
+  test("source drift: histograms collapse before the 1-row compose") {
+    val p = plan("q_source_drift")
+    // The full-outer of the two histogram frames is histogram-sized
+    // (≤ |sources| rows/side) — the corpus never reaches a join; what
+    // must not appear is a window or a row-level product.
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+    // corpus scans feed straight into partial aggregation
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("dedup explain: banded candidate join keyed on (band, bh), no product") {
+    val p = plan("q_dedup_explain")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"))
+  }
+
   test("embedding quality: pure per-row battery — no join, no hash shuffle") {
     val p = plan("q_embedding_quality")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
