@@ -46,6 +46,8 @@ object SparkEntry {
     "q_sft_pack" -> (EventQueries.sftPack _),
     "q_split_audit" -> (PipelineQueries.splitAudit _),
     "q_dedup_explain" -> (PipelineQueries.dedupExplain _),
+    "q_lang_consistency" -> (PipelineQueries.langConsistency _),
+    "q_canary_scan" -> (PipelineQueries.canaryScan _),
     // --- event/transcript operators (SURVEY §2.3, §2.5) ---
     "q_distinct_actors" -> (EventQueries.distinctActors _),
     "q_span" -> (EventQueries.span _),
@@ -404,6 +406,8 @@ object SparkEntry {
     "q_sft_pack" -> EventQueries.sftPackOracle,
     "q_split_audit" -> PipelineQueries.splitAuditOracle,
     "q_dedup_explain" -> PipelineQueries.dedupExplainOracle,
+    "q_lang_consistency" -> PipelineQueries.langConsistencyOracle,
+    "q_canary_scan" -> PipelineQueries.canaryScanOracle,
     "q_distinct_actors" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
     "q_span" ->

@@ -5371,6 +5371,124 @@ object PipelineQueries {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** LANGUAGE-CONSISTENCY check — the code-switching/mislabel detector:
+    * per document, how many of its sentences the stopword language-ID
+    * assigns a language OTHER than the document's label, in exact
+    * integer micros. A high off-lang fraction means either a mislabeled
+    * document (route to relabel) or genuine code-switching (route to a
+    * multilingual bucket) — either way the doc should not train under
+    * its current label. Same sentence split and the SAME langId battery
+    * as q_lang_id, applied per sentence then rolled up doc-keyed. */
+  def langConsistency(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextFunctions
+    val sents = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), TextFunctions.PortableSentenceSplit))
+          .as("raw"))
+      .select(col("doc_id"), col("lang"), trim(col("raw")).as("sentence"))
+      .filter(length(col("sentence")) > 0)
+    TextAnalysis.langId(sents, "sentence")
+      .groupBy("doc_id", "lang")
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        sum(when(col("predicted") =!= col("lang"), 1L).otherwise(0L))
+          .as("n_off_lang"))
+      .withColumn("off_lang_micros",
+        expr("n_off_lang * 1000000 DIV n_sentences"))
+      .select("doc_id", "lang", "n_sentences", "n_off_lang",
+        "off_lang_micros")
+      .orderBy("doc_id")
+  }
+
+  def langConsistencyOracle: String = {
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val scoreCols = langs
+      .map { l =>
+        val pat = TextAnalysis.stopwordPattern(l)
+        s"CAST(len(regexp_extract_all(lower(sentence), '$pat')) AS BIGINT) AS s_$l"
+      }
+      .mkString(",\n  ")
+    val caseChain = langs.init
+      .map { l =>
+        val conds =
+          langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }
+      .mkString("\n    ")
+    s"""WITH s0 AS (
+       |  SELECT doc_id, lang, string_split_regex(text, '[.!?]+\\s+') AS arr
+       |  FROM documents),
+       |sent AS (
+       |  SELECT doc_id, lang, trim(x) AS sentence
+       |  FROM (SELECT doc_id, lang, unnest(arr) AS x FROM s0)
+       |  WHERE length(trim(x)) > 0),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |  $scoreCols
+       |  FROM sent),
+       |p AS (
+       |  SELECT doc_id, lang,
+       |    CASE $caseChain ELSE '${langs.last}' END AS predicted
+       |  FROM scored)
+       |SELECT doc_id, lang, count(*) AS n_sentences,
+       |  CAST(sum(CASE WHEN predicted <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_off_lang,
+       |  CAST(sum(CASE WHEN predicted <> lang THEN 1 ELSE 0 END)
+       |    * 1000000 // count(*) AS BIGINT) AS off_lang_micros
+       |FROM p GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+  }
+
+  /** Canary planting parameters: every doc_id % 17 == 3 document gets
+    * one of the three canary literals appended, chosen by doc_id % 3 —
+    * the deterministic stand-in for a secret string that leaked into a
+    * crawl. */
+  val CanaryMod = 17L
+  val CanaryResidue = 3L
+  val Canaries: Seq[String] =
+    Seq("canary-4e1cbe06", "canary-77ab21f0", "canary-d60b9ad4")
+
+  /** MEMORIZATION-CANARY SCAN — the governance face every training
+    * corpus needs before AND after a run: exact substring scan of the
+    * corpus against the registered canary table (the planted secrets
+    * whose verbatim regurgitation measures memorization, Carlini et
+    * al.'s secret-sharer methodology). One hit row per (document,
+    * canary). The canary table is tiny and broadcast — the scan is one
+    * corpus pass of per-row contains(); nothing shuffles but hits. */
+  def canaryScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+      .withColumn("text",
+        when(col("doc_id") % CanaryMod === CanaryResidue,
+          concat(col("text"), lit(" "),
+            element_at(
+              array(Canaries.map(lit): _*),
+              (col("doc_id") % 3 + 1).cast("int"))))
+          .otherwise(col("text")))
+    val canaries = Canaries.toDF("canary")
+    docs
+      .crossJoin(broadcast(canaries))
+      .filter(col("text").contains(col("canary")))
+      .select("doc_id", "canary")
+      .orderBy("doc_id", "canary")
+  }
+
+  def canaryScanOracle: String = {
+    val canaryRows = Canaries
+      .map(c => s"SELECT '$c' AS canary")
+      .mkString(" UNION ALL ")
+    val canaryArr = Canaries.map(c => s"'$c'").mkString(", ")
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $CanaryMod = $CanaryResidue
+       |      THEN text || ' ' || ([$canaryArr])[CAST(doc_id % 3 AS INTEGER) + 1]
+       |      ELSE text END AS text
+       |  FROM documents),
+       |c AS ($canaryRows)
+       |SELECT doc_id, canary
+       |FROM planted, c
+       |WHERE contains(text, canary)
+       |ORDER BY doc_id, canary""".stripMargin
+  }
+
   /** Multimodal feature extraction as a checkable query: the typed
     * `mapPartitions` path ([[Multimodal.extractFeatures]]) over the
     * documents-as-blobs corpus. Every output is a pure function of the
