@@ -48,6 +48,7 @@ object SparkEntry {
     "q_dedup_explain" -> (PipelineQueries.dedupExplain _),
     "q_lang_consistency" -> (PipelineQueries.langConsistency _),
     "q_canary_scan" -> (PipelineQueries.canaryScan _),
+    "q_stream_canary" -> (StreamingQueries.streamCanary _),
     // --- event/transcript operators (SURVEY §2.3, §2.5) ---
     "q_distinct_actors" -> (EventQueries.distinctActors _),
     "q_span" -> (EventQueries.span _),
@@ -408,6 +409,7 @@ object SparkEntry {
     "q_dedup_explain" -> PipelineQueries.dedupExplainOracle,
     "q_lang_consistency" -> PipelineQueries.langConsistencyOracle,
     "q_canary_scan" -> PipelineQueries.canaryScanOracle,
+    "q_stream_canary" -> StreamingQueries.streamCanaryOracle,
     "q_distinct_actors" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
     "q_span" ->

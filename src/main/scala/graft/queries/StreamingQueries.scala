@@ -847,6 +847,36 @@ object StreamingQueries {
   def streamSentenceCommitOracle: String =
     PipelineQueries.sentenceCommitOracle
 
+  /** STREAMING canary gate — the scan a training pipeline runs at the
+    * DOOR, not just over the resting corpus: arriving documents
+    * substring-scan against the broadcast canary table row-local
+    * (stateless append map, the q_stream_quality shape), so a leaked
+    * secret is caught before it lands. Same planting as the batch
+    * face; oracle IS the batch q_canary_scan oracle. */
+  def streamCanary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val P = PipelineQueries
+    val arrivals = StreamingOps
+      .readDocuments(s, docsStreamDir(d))
+      .withColumn("text",
+        when(col("doc_id") % P.CanaryMod === P.CanaryResidue,
+          concat(col("text"), lit(" "),
+            element_at(
+              array(P.Canaries.map(lit): _*),
+              (col("doc_id") % 3 + 1).cast("int"))))
+          .otherwise(col("text")))
+    val canaries = broadcast(P.Canaries.toDF("canary"))
+    val hits = arrivals
+      .crossJoin(canaries)
+      .filter(col("text").contains(col("canary")))
+      .select("doc_id", "canary")
+    runToMemory(s, hits, OutputMode.Append(), "graft_stream_canary")
+      .orderBy("doc_id", "canary")
+  }
+
+  /** The batch canary oracle IS the streaming oracle. */
+  def streamCanaryOracle: String = PipelineQueries.canaryScanOracle
+
   /** STREAMING SFT dialogue pairs ([[StreamingOps.dialoguePairsStream]]
     * through the real runtime): conversation-keyed rolling-buffer state
     * builds the same (context digest, response) pairs the batch
