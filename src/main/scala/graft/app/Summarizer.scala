@@ -36,8 +36,9 @@ object Summarizer {
     val raw = Preprocess.loadTranscript(spark, inputPath)
     // Reported segment count is POST-limit, like the reference's
     // `segments[:limit]` then `len(segments)` (main.py:130-135, :253).
+    val rawCount = raw.count() // one job; both consumers below share it
     val nSegments = cfg.prep.limitSegments
-      .fold(raw.count())(l => math.min(raw.count(), l.toLong))
+      .fold(rawCount)(l => math.min(rawCount, l.toLong))
 
     // Three consumers below (chunking, duration, speakers) — cache the
     // preprocessed transcript instead of re-running load+fold per action.
@@ -231,13 +232,16 @@ object Main {
         )
       )
       val out = Summarizer.summarizePath(spark, input, cfg)
+      // --quiet suppresses the console block only; file sinks still write
+      // (/root/reference/main.py:370-379,470).
+      val quiet = opts.contains("quiet") || opts.contains("q")
       opts.get("save-chunks").foreach(p => Summarizer.saveChunks(out.processedChunks, p))
       opts.get("report").foreach(p => Summarizer.saveReport(out.result, p))
       opts.get("output") match {
         case Some(p) => Summarizer.saveSummary(out.result.summary, p)
-        case None    => println(out.result.summary)
+        case None    => if (!quiet) println(out.result.summary)
       }
-      println(
+      if (!quiet) println(
         f"\n[graft] segments=${out.result.segments} chunks=${out.result.chunks} " +
           f"tokens=${out.result.tokensUsed} cost=$$${out.result.cost}%.4f " +
           f"time=${out.result.processingTimeSec}%.1fs")

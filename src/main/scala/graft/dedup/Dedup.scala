@@ -127,13 +127,22 @@ object Dedup {
     // per side (ReuseExchange is not guaranteed to fire across a join).
     val banded = bandedSignatures(signatures, bands, rowsPerBand)
       .localCheckpoint(true)
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    bandHitCounts(banded).select("id_a", "id_b")
   }
+
+  /** Per-pair LSH band collision counts over (id, band, bh) rows:
+    * (id_a, id_b, n_bands) with id_a < id_b. The ONE candidate-generation
+    * join shared by [[lshCandidates]] (which projects the pair set) and
+    * [[minhashExplain]] (which keeps n_bands as the recall-channel
+    * readout) — a banding tuning change lands on both by construction.
+    * Self-join key is the band bucket only; never doc×doc. */
+  private def bandHitCounts(banded: DataFrame): DataFrame =
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
 
   /** (id, band, bh) rows of a signature frame: each signature is split
     * into `bands` bands whose values are md5 digests of the ':'-joined
@@ -359,26 +368,38 @@ object Dedup {
       shB: DataFrame,
       candidates: DataFrame,
       threshold: Double
-  ): DataFrame = {
-    val sizesA = shA.groupBy("id").agg(count(lit(1)).as("size_a"))
-      .withColumnRenamed("id", "id_a")
-    val sizesB = shB.groupBy("id").agg(count(lit(1)).as("size_b"))
-      .withColumnRenamed("id", "id_b")
-    val inter = candidates
+  ): DataFrame =
+    intersectionCounts(shA, shB, candidates.select("id_a", "id_b"))
+      .join(setSizes(shA, "id_a", "size_a"), Seq("id_a"))
+      .join(setSizes(shB, "id_b", "size_b"), Seq("id_b"))
+      .withColumn("jaccard", jaccardRounded)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Exact shingle intersection counts for CANDIDATE pairs only —
+    * expand with id_a's shingles, hash-join on (id_b, shingle). One
+    * definition shared by the verify ([[jaccardVerifyTwoSided]]) and the
+    * explanation ([[minhashExplain]]) faces. */
+  private def intersectionCounts(
+      shA: DataFrame,
+      shB: DataFrame,
+      pairs: DataFrame
+  ): DataFrame =
+    pairs
       .join(shA.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
       .join(shB.select(col("id").as("id_b"), col("shingle")),
         Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizesA, Seq("id_a"))
-      .join(sizesB, Seq("id_b"))
-      .withColumn(
-        "jaccard",
-        round(col("n_inter") / (col("size_a") + col("size_b") - col("n_inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
+
+  private def setSizes(sh: DataFrame, idAlias: String, sizeAlias: String) =
+    sh.groupBy("id").agg(count(lit(1)).as(sizeAlias))
+      .withColumnRenamed("id", idAlias)
+
+  /** The ONE jaccard round-then-filter rendering (6 decimals, cross-
+    * engine-stable) over (n_inter, size_a, size_b) columns. */
+  private def jaccardRounded: Column =
+    round(col("n_inter") / (col("size_a") + col("size_b") - col("n_inter")), 6)
 
   def jaccardVerify(
       df: DataFrame,
@@ -435,9 +456,12 @@ object Dedup {
     * flagged — how many LSH bands collided (the recall channel), the
     * exact shingle intersection and both set sizes (the verified
     * evidence), and the Jaccard. The row an operator reads before
-    * disputing a takedown or re-tuning the banding; same candidate
-    * generation and verify joins as the dedup face, so explanation and
-    * verdict can never disagree. */
+    * disputing a takedown or re-tuning the banding. SHARED CODE, not
+    * parallel construction: candidates come from [[bandHitCounts]] and
+    * the evidence from [[intersectionCounts]]/[[setSizes]]/
+    * [[jaccardRounded]] — the same helpers [[lshCandidates]] and
+    * [[jaccardVerifyTwoSided]] are built from, so explanation and
+    * verdict cannot drift under a tuning change. */
   def minhashExplain(
       df: DataFrame,
       idCol: String,
@@ -450,27 +474,14 @@ object Dedup {
     val sh = shingleRows(df, idCol, textCol).localCheckpoint(true)
     val banded = bandedSignatures(
         signatureOfShingles(sh, numHashes), bands, numHashes / bands)
-      .select("id", "band", "bh")
-    val bandHits = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_bands"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
-    val inter = bandHits.select("id_a", "id_b")
-      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingle")),
-        Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      .localCheckpoint(true)
+    val bandHits = bandHitCounts(banded)
     bandHits
-      .join(inter, Seq("id_a", "id_b"))
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
-      .withColumn("jaccard",
-        round(col("n_inter") / (col("size_a") + col("size_b") - col("n_inter")), 6))
+      .join(intersectionCounts(sh, sh, bandHits.select("id_a", "id_b")),
+        Seq("id_a", "id_b"))
+      .join(setSizes(sh, "id_a", "size_a"), Seq("id_a"))
+      .join(setSizes(sh, "id_b", "size_b"), Seq("id_b"))
+      .withColumn("jaccard", jaccardRounded)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_bands", "n_inter", "size_a", "size_b",
         "jaccard")

@@ -37,6 +37,49 @@ object EventQueries {
     * `epoch_ms`), immune to ns-vs-us truncation drift of double epochs. */
   private def epochMs(c: Column): Column = unix_millis(c)
 
+  /** ONE home for the SFT-dialogue expressions shared by the batch faces
+    * ([[dialoguePairs]], [[sftPack]]) and the stateful streaming twins
+    * ([[graft.streaming.StreamingOps.dialoguePairsStream]] /
+    * [[graft.streaming.StreamingOps.sftPackStream]]) — batch/stream
+    * parity is structural, not merely spec-enforced: an edit to the
+    * rendering, bucketing, or token estimate lands on every face. */
+  object Sft extends Serializable {
+
+    /** Conversation key: exact integer FLOOR of the ms epoch over the
+      * hour. `pmod` rebases the remainder to [0, h) so the integral
+      * `div` of the exact multiple equals mathematical floor for ALL
+      * signs — matching the oracle's `floor(epoch_ms(ts)/3600000)`
+      * without the pre-1970 truncation drift of `/`+cast (double
+      * division truncates toward zero) and without double arithmetic
+      * anywhere (exact over the whole long range). */
+    def convId(ts: Column): Column = {
+      val ms = unix_millis(ts)
+      val h = lit(3600000L)
+      call_function("div", ms - pmod(ms, h), h)
+    }
+
+    /** Utterance rendering: event_type ':' exact integer cents. */
+    def utt(eventType: Column, value: Column): Column =
+      concat(eventType, lit(":"), Tables.cents(value).cast("string"))
+
+    /** chars/4 token estimate (min 1) on the utterance rendering —
+      * deliberately the plain `length` estimator the oracle mirrors
+      * (`greatest(1, length(utt) // 4)`), not the codepoint-aware
+      * [[graft.text.TextFunctions.estimateTokensCol]]. */
+    def tok(uttCol: Column): Column =
+      greatest(lit(1L), floor(length(uttCol) / 4).cast("long"))
+
+    /** JVM twin of [[tok]] for the stateful streaming fold — utterances
+      * here are ASCII renderings, so String.length == character count. */
+    def tokJvm(s: String): Long = math.max(1L, s.length / 4L)
+
+    /** JVM md5 hex digest — the stateful twin of Spark's `md5` column
+      * function for context-digest parity. */
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** A4: distinct actors (speakers), sorted. */
   def distinctActors(s: SparkSession, d: String): DataFrame =
     events(s, d).select("event_type").distinct().orderBy("event_type")
@@ -805,11 +848,8 @@ object EventQueries {
     * no global order, no unbounded frame. */
   def dialoguePairs(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
-      .withColumn("conv_id",
-        (unix_millis(col("ts")) / lit(3600000L)).cast("long"))
-      .withColumn("utt",
-        concat(col("event_type"), lit(":"),
-          cents(col("value")).cast("string")))
+      .withColumn("conv_id", Sft.convId(col("ts")))
+      .withColumn("utt", Sft.utt(col("event_type"), col("value")))
     val wCtx = Window.partitionBy("conv_id")
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-DialogueContextTurns, -1)
@@ -842,13 +882,9 @@ object EventQueries {
     * separators are deliberately uncounted (documented, exact). */
   def sftPack(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
-      .withColumn("conv_id",
-        (unix_millis(col("ts")) / lit(3600000L)).cast("long"))
-      .withColumn("utt",
-        concat(col("event_type"), lit(":"),
-          cents(col("value")).cast("string")))
-      .withColumn("tok",
-        greatest(lit(1L), floor(length(col("utt")) / 4).cast("long")))
+      .withColumn("conv_id", Sft.convId(col("ts")))
+      .withColumn("utt", Sft.utt(col("event_type"), col("value")))
+      .withColumn("tok", Sft.tok(col("utt")))
     val wCtx = Window.partitionBy("conv_id")
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-DialogueContextTurns, -1)

@@ -781,28 +781,43 @@ object StreamingOps {
     * [[gapSessions]]/[[runDetection]] (a per-conversation time-ordered
     * source ACROSS micro-batches — a regression could belong inside an
     * already-emitted pair's context, which append mode cannot retract,
-    * so it fails loudly); within a batch, rows sort here. State is
-    * bounded: `contextTurns` short strings per live conversation. */
+    * so it fails loudly); within a batch, rows sort here.
+    *
+    * State size: `contextTurns` short strings per conversation — but
+    * conv_id is an epoch-HOUR bucket, so with the default NoTimeout a
+    * long-running stream accretes one (tiny) entry per elapsed hour
+    * forever. `stateTtl` opts into ProcessingTimeTimeout retirement: a
+    * conversation idle longer than the TTL drops its state, bounding
+    * the store at (live hours × context). The trade is explicit — a
+    * post-retirement arrival for that hour RESTARTS its context (its
+    * first `contextTurns` pairs see a shorter context than the batch
+    * face would give), so set the TTL above the deployment's max
+    * arrival disorder; the default None keeps exact batch parity and
+    * is what the oracle-checked faces use. */
   def dialoguePairsStream(
       spark: SparkSession,
       events: DataFrame,
-      contextTurns: Int
+      contextTurns: Int,
+      stateTtl: Option[String] = None
   ): Dataset[DialoguePair] = {
     import spark.implicits._
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val EQ = graft.queries.EventQueries.Sft
     events
       .select(
-        (unix_millis(col("ts")) / lit(3600000L)).cast("long").as("conv_id"),
+        EQ.convId(col("ts")).as("conv_id"),
         col("event_id"), col("user_id"), col("ts"),
-        concat(col("event_type"), lit(":"),
-          round(col("value") * 100, 0).cast("long").cast("string")).as("utt"))
+        EQ.utt(col("event_type"), col("value")).as("utt"))
       .as[(Long, Long, Long, java.sql.Timestamp, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[ConvState, DialoguePair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append,
+        stateTtl.fold(GroupStateTimeout.NoTimeout)(_ =>
+          GroupStateTimeout.ProcessingTimeTimeout)) {
         (convId, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           val sorted = rows.toSeq.sortBy(r => (r._4.getTime, r._2))
           var st = state.getOption
             .getOrElse(ConvState(Seq.empty, Long.MinValue, Long.MinValue))
@@ -816,12 +831,14 @@ object StreamingOps {
                   s"got ($ms, $eventId) after (${st.lastMs}, ${st.lastId}).")
             if (st.buffer.nonEmpty)
               out += DialoguePair(convId, eventId, userId, utt,
-                st.buffer.length.toLong, md5hex(st.buffer.mkString(" | ")))
+                st.buffer.length.toLong, EQ.md5hex(st.buffer.mkString(" | ")))
             st = ConvState(
               (st.buffer :+ utt).takeRight(contextTurns), ms, eventId)
           }
           state.update(st)
+          stateTtl.foreach(state.setTimeoutDuration)
           out.iterator
+          }
       }
   }
 
@@ -838,27 +855,35 @@ object StreamingOps {
     * cursor advances only for emitted pairs (turns with context),
     * exactly the batch face's filtered prefix sum, so the fold lands on
     * the batch arithmetic across any micro-batch split. Same
-    * time-ordered-source precondition and bounded state (context
-    * buffer + one cursor per live conversation). */
+    * time-ordered-source precondition; same hour-bucket state-lifetime
+    * caveat and opt-in `stateTtl` retirement as [[dialoguePairsStream]]
+    * (here a retired conversation also resets its pack cursor — the
+    * TTL must exceed max arrival disorder). */
   def sftPackStream(
       spark: SparkSession,
       events: DataFrame,
       contextTurns: Int,
-      budget: Long
+      budget: Long,
+      stateTtl: Option[String] = None
   ): Dataset[SftPackRow] = {
     import spark.implicits._
-    def tok(s: String): Long = math.max(1L, s.length / 4L)
+    val EQ = graft.queries.EventQueries.Sft
     events
       .select(
-        (unix_millis(col("ts")) / lit(3600000L)).cast("long").as("conv_id"),
+        EQ.convId(col("ts")).as("conv_id"),
         col("event_id"), col("ts"),
-        concat(col("event_type"), lit(":"),
-          round(col("value") * 100, 0).cast("long").cast("string")).as("utt"))
+        EQ.utt(col("event_type"), col("value")).as("utt"))
       .as[(Long, Long, java.sql.Timestamp, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[PackState, SftPackRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append,
+        stateTtl.fold(GroupStateTimeout.NoTimeout)(_ =>
+          GroupStateTimeout.ProcessingTimeTimeout)) {
         (convId, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
           var st = state.getOption
             .getOrElse(PackState(Seq.empty, 0L, Long.MinValue, Long.MinValue))
@@ -872,8 +897,8 @@ object StreamingOps {
                   s"($ms, $eventId) after (${st.lastMs}, ${st.lastId}).")
             var cum = st.cumBefore
             if (st.buffer.nonEmpty) {
-              val nCtx = st.buffer.map(tok).sum
-              val nResp = tok(utt)
+              val nCtx = st.buffer.map(EQ.tokJvm).sum
+              val nResp = EQ.tokJvm(utt)
               val bin = cum / budget
               val off = cum - bin * budget
               out += SftPackRow(convId, eventId, nCtx, nResp, bin, off,
@@ -884,7 +909,9 @@ object StreamingOps {
               (st.buffer :+ utt).takeRight(contextTurns), cum, ms, eventId)
           }
           state.update(st)
+          stateTtl.foreach(state.setTimeoutDuration)
           out.iterator
+          }
       }
   }
 

@@ -70,7 +70,10 @@ class LlmClientContractSpec extends AnyFunSuite {
       val body = readBody(ex)
       assert(ex.getRequestURI.getPath == "/v1/messages")
       assert(ex.getRequestHeaders.getFirst("x-api-key") == "k2")
-      assert(ex.getRequestHeaders.getFirst("anthropic-version") == "2023-06-01")
+      // Assert against the config default, not a second string literal —
+      // the version value lives in exactly one place (LlmConfig).
+      assert(ex.getRequestHeaders.getFirst("anthropic-version") ==
+        LlmConfig().anthropicVersion)
       // System prompt as top-level field (the reference bug this adapter fixes).
       assert(body.contains(""""system":"sys prompt""""))
       assert(!body.contains(""""role":"system""""))
