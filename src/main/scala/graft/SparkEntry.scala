@@ -78,6 +78,7 @@ object SparkEntry {
     "q_sentence_commit" -> (PipelineQueries.sentenceCommit _),
     "q_sentence_retract" -> (PipelineQueries.sentenceRetract _),
     "q_pagerank_keeplist" -> (PipelineQueries.pagerankKeeplist _),
+    "q_pagerank_residual" -> (PipelineQueries.pagerankResidual _),
     "q_stream_sentence" -> (StreamingQueries.streamSentence _),
     "q_stream_sentence_commit" ->
       (StreamingQueries.streamSentenceCommit _),
@@ -545,6 +546,7 @@ object SparkEntry {
     "q_sentence_commit" -> PipelineQueries.sentenceCommitOracle,
     "q_sentence_retract" -> PipelineQueries.sentenceRetractOracle,
     "q_pagerank_keeplist" -> PipelineQueries.pagerankKeeplistOracle,
+    "q_pagerank_residual" -> PipelineQueries.pagerankResidualOracle,
     "q_stream_sentence" -> StreamingQueries.streamSentenceOracle,
     "q_stream_sentence_commit" ->
       StreamingQueries.streamSentenceCommitOracle,

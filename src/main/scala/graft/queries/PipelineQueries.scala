@@ -2007,29 +2007,91 @@ object PipelineQueries {
       edges: DataFrame,
       verts: DataFrame
   ): DataFrame = {
+    val (dir, deg) = pagerankDirDeg(edges)
+    var rank = verts.withColumn("r", lit(1000000L))
+    for (_ <- 1 to PagerankIters)
+      rank = pagerankStep(rank, dir, deg, verts)
+    rank.select(col("v").as("vec_id"), col("r").as("rank_micros"))
+  }
+
+  /** The (directed-edge, out-degree) tables of the undirected edge set,
+    * checkpointed once — shared by the rank and residual faces. */
+  private def pagerankDirDeg(edges: DataFrame): (DataFrame, DataFrame) = {
     val dir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(
         edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    var rank = verts.withColumn("r", lit(1000000L))
-    for (_ <- 1 to PagerankIters) {
-      val contrib = rank
-        .join(deg, rank("v") === deg("src"))
-        .select(col("src"), expr("r DIV deg").as("c"))
-      val inflow = dir
-        .join(contrib, Seq("src"))
-        .groupBy("dst").agg(sum(col("c")).as("s"))
-      rank = verts
-        .join(inflow, verts("v") === inflow("dst"), "left")
+    (dir, deg)
+  }
+
+  /** ONE synchronous power-iteration step of the pinned exact-integer
+    * recurrence — the single definition both [[pagerankOverEdges]] and
+    * [[pagerankResidualOverEdges]] iterate, so the monitored residual is
+    * BY CONSTRUCTION the residual of the recurrence the rank face runs. */
+  private def pagerankStep(
+      rank: DataFrame,
+      dir: DataFrame,
+      deg: DataFrame,
+      verts: DataFrame
+  ): DataFrame = {
+    val contrib = rank
+      .join(deg, rank("v") === deg("src"))
+      .select(col("src"), expr("r DIV deg").as("c"))
+    val inflow = dir
+      .join(contrib, Seq("src"))
+      .groupBy("dst").agg(sum(col("c")).as("s"))
+    verts
+      .join(inflow, verts("v") === inflow("dst"), "left")
+      .select(
+        col("v"),
+        expr(s"CAST($PagerankTeleportMicros" +
+          s" + (85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100 AS BIGINT)")
+          .as("r"))
+  }
+
+  /** PAGERANK CONVERGENCE READOUT — the monitor VERDICT.md round 11
+    * asked for: the pinned [[PagerankIters]]-deep unrolling is a frozen
+    * artifact like every trained table, and this is its drift row. One
+    * row per iteration of the EXACT recurrence (same [[pagerankStep]]),
+    * in exact integer micros: the L1 residual Σ|r_i − r_{i−1}|, the max
+    * per-vertex delta, and how many vertices still moved — so an
+    * operator can see whether the fixed depth converged on THEIR graph
+    * (n_changed ≈ 0 ⟹ deeper unrolling would be a no-op) before
+    * trusting the rank-weighted keep-list.
+    *
+    * Scale shape: each iteration checkpoints its |V|-row rank frame
+    * (the residual join needs r_{i−1} AND r_i — without the checkpoint
+    * the lazy 2-reference plan re-runs the whole prefix per iteration),
+    * and each readout row is one vertex-keyed join + partial agg. */
+  def pagerankResidual(s: SparkSession, d: String): DataFrame =
+    pagerankResidualOverEdges(
+      mutualEdgesMemo(s, d).select("id_a", "id_b"),
+      embeddings(s, d).select(col("vec_id").as("v")))
+
+  private[graft] def pagerankResidualOverEdges(
+      edges: DataFrame,
+      verts: DataFrame
+  ): DataFrame = {
+    val (dir, deg) = pagerankDirDeg(edges)
+    var rank = verts.withColumn("r", lit(1000000L)).localCheckpoint(true)
+    val rows = (1 to PagerankIters).map { i =>
+      val next = pagerankStep(rank, dir, deg, verts).localCheckpoint(true)
+      val delta = rank.select(col("v"), col("r").as("r_prev"))
+        .join(next.select(col("v"), col("r").as("r_next")), Seq("v"))
+        .select((col("r_next") - col("r_prev")).as("d"))
+      rank = next
+      delta.agg(
+        sum(abs(col("d"))).as("l1_residual_micros"),
+        max(abs(col("d"))).as("max_delta_micros"),
+        sum(when(col("d") =!= 0L, 1L).otherwise(0L)).as("n_changed"))
         .select(
-          col("v"),
-          expr(s"CAST($PagerankTeleportMicros" +
-            s" + (85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100 AS BIGINT)")
-            .as("r"))
+          lit(i.toLong).as("iter"),
+          col("l1_residual_micros"), col("max_delta_micros"),
+          col("n_changed"))
     }
-    rank.select(col("v").as("vec_id"), col("r").as("rank_micros"))
+    rows.reduce(_ unionByName _).orderBy("iter")
   }
 
   /** RANK-WEIGHTED semantic keeper — [[semanticQualityKeeplist]]'s
@@ -2132,6 +2194,42 @@ object PipelineQueries {
        |$iters
        |SELECT v AS vec_id, r AS rank_micros FROM r$PagerankIters
        |ORDER BY vec_id""".stripMargin
+  }
+
+  def pagerankResidualOracle: String = {
+    val iters = (1 to PagerankIters).map { i =>
+      s"""r$i AS (
+         |  SELECT verts.v,
+         |    CAST($PagerankTeleportMicros
+         |      + (85 * COALESCE(inf.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM verts LEFT JOIN (
+         |    SELECT dir.dst AS v, sum(cc.c) AS s
+         |    FROM dir JOIN (
+         |      SELECT r${i - 1}.v, r${i - 1}.r // deg.deg AS c
+         |      FROM r${i - 1} JOIN deg ON deg.v = r${i - 1}.v) cc
+         |      ON cc.v = dir.src
+         |    GROUP BY 1) inf ON inf.v = verts.v)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to PagerankIters).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS iter,
+         |  CAST(sum(abs(r$i.r - r${i - 1}.r)) AS BIGINT) AS l1_residual_micros,
+         |  CAST(max(abs(r$i.r - r${i - 1}.r)) AS BIGINT) AS max_delta_micros,
+         |  CAST(sum(CASE WHEN r$i.r <> r${i - 1}.r THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_changed
+         |FROM r$i JOIN r${i - 1} ON r$i.v = r${i - 1}.v""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $knnEdgesCtes,
+       |dir AS (
+       |  SELECT id_a AS src, id_b AS dst FROM medges
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM medges),
+       |deg AS (SELECT src AS v, count(*) AS deg FROM dir GROUP BY 1),
+       |verts AS (SELECT vec_id AS v FROM embeddings),
+       |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM verts),
+       |$iters
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY iter""".stripMargin
   }
 
   /** GRAPH-DRIFT monitor — the kNN graph's entry in the drift-monitor
