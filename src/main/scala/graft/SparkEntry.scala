@@ -209,6 +209,7 @@ object SparkEntry {
     "q_stream_align" -> (StreamingQueries.streamAlign _),
     "q_stream_simhash" -> (StreamingQueries.streamSimhash _),
     "q_stream_commit" -> (StreamingQueries.streamCommit _),
+    "q_stream_retract" -> (StreamingQueries.streamRetract _),
     "q_stream_manifest" -> (StreamingQueries.streamManifest _),
     "q_stream_phash" -> (StreamingQueries.streamPhash _),
     "q_stream_audio" -> (StreamingQueries.streamAudio _),
@@ -679,6 +680,7 @@ object SparkEntry {
     "q_stream_align" -> StreamingQueries.streamAlignOracle,
     "q_stream_simhash" -> StreamingQueries.streamSimhashOracle,
     "q_stream_commit" -> StreamingQueries.streamCommitOracle,
+    "q_stream_retract" -> StreamingQueries.streamRetractOracle,
     "q_stream_manifest" -> StreamingQueries.streamManifestOracle,
     "q_stream_phash" -> StreamingQueries.streamPhashOracle,
     "q_stream_audio" -> StreamingQueries.streamAudioOracle,

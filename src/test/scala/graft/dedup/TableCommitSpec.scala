@@ -1,0 +1,159 @@
+package graft.dedup
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The laws of the TABLE-BACKED commit/retract store ([[TableCommit]]):
+  *
+  *   - stream == batch: one folded delivery reads back EXACTLY the
+  *     one-shot [[Dedup.commitArtifacts]] artifacts (same ids, same
+  *     rows) — which also pins it equal to the in-memory
+  *     [[StreamingCommit]] twin, spec'd to the same frame;
+  *   - batching invariance: any split of the same deliveries commits
+  *     the same id-free artifacts, id-carrying ones equal up to kept id;
+  *   - replay safety: by batch id and by content;
+  *   - retraction: streamed takedowns read back EXACTLY
+  *     [[Dedup.retractArtifacts]] (== rebuilt from scratch on
+  *     corpus \ deleted, RetractSpec's law), and retract ∘ commit ==
+  *     identity on all seven artifact tables.
+  */
+class TableCommitSpec extends SparkSuite {
+
+  private val Mod = 10
+  private lazy val docs =
+    graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+  private lazy val corpus = docs.filter(col("doc_id") % Mod =!= 0)
+  private lazy val batchAll = docs
+    .filter(col("doc_id") % Mod === 0)
+    .select(col("doc_id").as("id"), col("text"))
+    .localCheckpoint(true)
+
+  private def mk(cap: Int = Dedup.DefaultShingleDfCap) =
+    new TableCommit(
+      spark,
+      java.nio.file.Files.createTempDirectory("graft_tc_spec_").toString,
+      8, 4, 8, maxShingleDf = cap)
+      .deploy(corpus, "doc_id", "text")
+
+  private def symDiff(a: DataFrame, b: DataFrame): Long =
+    a.exceptAll(b).count() + b.exceptAll(a).count()
+
+  private def assertSame(store: TableCommit, a: Dedup.CommittedArtifacts): Unit = {
+    assert(symDiff(store.committedFingerprints, a.fingerprints) == 0,
+      "fingerprints")
+    assert(symDiff(store.committedBands, a.bandTable) == 0, "minhash bands")
+    assert(symDiff(store.committedSpanFps, a.spanFps) == 0, "span fps")
+    assert(symDiff(store.committedSimhashBands, a.simhashBands) == 0,
+      "simhash bands")
+    assert(symDiff(store.committedNgramPostings, a.ngramPostings) == 0,
+      "ngram postings")
+    assert(symDiff(store.committedNgramDf, a.ngramDf) == 0, "ngram df")
+    assert(symDiff(store.committedShingleSets, a.shingleSets) == 0,
+      "shingle sets")
+    assert(symDiff(store.accepted, a.accepted) == 0, "accepted docs")
+  }
+
+  test("one folded delivery reads back the one-shot batch commit, row for row") {
+    val store = mk()
+    store.foldBatch(batchAll, 0L)
+    val a = Dedup.commitArtifacts(
+      corpus, batchAll.select(col("id").as("doc_id"), col("text")),
+      "doc_id", "text", 8, 4, 8)
+    assertSame(store, a)
+  }
+
+  test("1-batch == 3-batch stored artifacts (id-free exact; id-carrying by count)") {
+    val one = mk()
+    one.foldBatch(batchAll, 0L)
+    val three = mk()
+    three.foldBatch(batchAll.filter(col("id") % 3 === 2), 0L)
+    three.foldBatch(batchAll.filter(col("id") % 3 === 0), 1L)
+    three.foldBatch(batchAll.filter(col("id") % 3 === 1), 2L)
+    assert(symDiff(one.committedFingerprints, three.committedFingerprints) == 0)
+    assert(symDiff(one.committedSpanFps, three.committedSpanFps) == 0)
+    assert(symDiff(one.committedNgramDf, three.committedNgramDf) == 0)
+    def dropId(df: DataFrame) = df.drop("id")
+    assert(symDiff(dropId(one.committedBands), dropId(three.committedBands)) == 0)
+    assert(symDiff(dropId(one.committedSimhashBands),
+      dropId(three.committedSimhashBands)) == 0)
+    assert(symDiff(dropId(one.committedNgramPostings),
+      dropId(three.committedNgramPostings)) == 0)
+    assert(symDiff(dropId(one.committedShingleSets),
+      dropId(three.committedShingleSets)) == 0)
+    assert(one.accepted.count() == three.accepted.count())
+  }
+
+  test("replay is a no-op: by batch id and by content") {
+    val store = mk()
+    val half = batchAll.filter(expr("(id div 10) % 2 = 0"))
+    store.foldBatch(half, 0L)
+    def counts() = Seq(
+      store.committedFingerprints.count(), store.committedBands.count(),
+      store.committedSpanFps.count(), store.committedSimhashBands.count(),
+      store.committedNgramPostings.count(), store.committedShingleSets.count(),
+      store.accepted.count())
+    val c0 = counts()
+    store.foldBatch(half, 0L) // same batch id: skipped
+    assert(counts() == c0, "batch-id replay changed state")
+    store.foldBatch(half, 7L) // content replay: gate rejects all
+    assert(counts() == c0, "content replay changed state")
+    store.foldBatch(batchAll.filter(expr("(id div 10) % 2 = 1")), 8L)
+    assert(store.accepted.count() > c0.last)
+  }
+
+  test("streamed takedowns read back Dedup.retractArtifacts, row for row") {
+    val cap = 8
+    val store = new TableCommit(
+      spark,
+      java.nio.file.Files.createTempDirectory("graft_tc_ret_").toString,
+      8, 4, 8, maxShingleDf = cap)
+      .deploy(docs.select("doc_id", "text"), "doc_id", "text")
+    import spark.implicits._
+    val delIds = docs.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id").as("id")).localCheckpoint(true)
+    // Two deliveries, deliberately split, plus a content replay.
+    store.retractBatch(delIds.filter(col("id") % 2 === 0), 0L)
+    store.retractBatch(delIds.filter(col("id") % 2 === 1), 1L)
+    store.retractBatch(delIds.filter(col("id") % 2 === 0), 2L) // replayed content
+    val stored = Dedup.gateArtifactsOf(
+      docs.select("doc_id", "text"), "doc_id", "text", 8, 4, 8,
+      maxShingleDf = cap)
+    val r = Dedup.retractArtifacts(
+      stored, docs.select("doc_id", "text"), delIds, "doc_id", "text", 8,
+      maxShingleDf = cap)
+    assert(symDiff(store.committedFingerprints, r.fingerprints) == 0,
+      "fingerprints")
+    assert(symDiff(store.committedBands, r.bandTable) == 0, "minhash bands")
+    assert(symDiff(store.committedSpanFps, r.spanFps) == 0, "span fps")
+    assert(symDiff(store.committedSimhashBands, r.simhashBands) == 0,
+      "simhash bands")
+    assert(symDiff(store.committedNgramPostings, r.ngramPostings) == 0,
+      "ngram postings")
+    assert(symDiff(store.committedNgramDf, r.ngramDf) == 0, "ngram df")
+    assert(symDiff(store.committedShingleSets, r.shingleSets) == 0,
+      "shingle sets")
+  }
+
+  test("retract ∘ commit == identity on the seven artifact tables") {
+    val before = mk()
+    val after = mk()
+    after.foldBatch(batchAll, 0L)
+    after.retractBatch(after.accepted.select("id"), 1L)
+    assert(symDiff(after.committedFingerprints,
+      before.committedFingerprints) == 0, "fingerprints")
+    assert(symDiff(after.committedBands, before.committedBands) == 0,
+      "minhash bands")
+    assert(symDiff(after.committedSpanFps, before.committedSpanFps) == 0,
+      "span fps")
+    assert(symDiff(after.committedSimhashBands,
+      before.committedSimhashBands) == 0, "simhash bands")
+    assert(symDiff(after.committedNgramPostings,
+      before.committedNgramPostings) == 0, "ngram postings")
+    assert(symDiff(after.committedNgramDf, before.committedNgramDf) == 0,
+      "ngram df")
+    assert(symDiff(after.committedShingleSets,
+      before.committedShingleSets) == 0, "shingle sets")
+    assert(after.accepted.count() == 0L, "accepted after full takedown")
+  }
+}
