@@ -920,6 +920,39 @@ object ScaleStress {
         Dedup.shingleRows(
           base.filter(col("doc_id") % 10 === 0), "doc_id", "text")))
     }
+    // Round-12: TABLE-BACKED COMMIT/RETRACT — the deploy writes the
+    // corpus-layer artifact tables once (timed; corpus-proportional BY
+    // DESIGN — it is the deploy, not the delivery). The per-delivery
+    // fold of a FIXED batch is batch-sized delta appends plus
+    // Bloom-prefiltered, partition-pruned gate reads, so it must stay
+    // FLAT as the corpus grows — the r11 in-memory fold re-checkpointed
+    // the full committed state per delivery (corpus-proportional),
+    // which is exactly the curve this stage exists to disprove. The
+    // retract delivery is delete-sized signed-decrement appends plus
+    // one pruned docs read — same flatness requirement.
+    if (only.forall(sel =>
+        "r12 table commit: deploy per-delivery fold retract".contains(sel))) {
+      val tcBatch = base
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id"), col("text"))
+        .localCheckpoint(true)
+      var tcStore: graft.dedup.TableCommit = null
+      time("r12 table commit: deploy") {
+        tcStore = new graft.dedup.TableCommit(
+          spark,
+          java.nio.file.Files.createTempDirectory("graft_stress_tc_")
+            .toString,
+          8, 4, 8)
+          .deploy(corpus.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      }
+      time("r12 table commit: per-delivery fold") {
+        tcStore.foldBatch(tcBatch, 0L)
+      }
+      time("r12 table commit: per-delivery retract") {
+        tcStore.retractBatch(tcBatch.select("id"), 1L)
+      }
+    }
+
     // Offset-stage A/B at FIXED sizes (does not scale with replicas):
     // the lang-keyed window sorts each language's doc rows in ONE task;
     // the hierarchical prefix sum spreads the same work over
