@@ -801,15 +801,16 @@ object StreamingQueries {
   def streamSentenceOracle: String = PipelineQueries.sentenceDedupIncOracle
 
   /** STREAMING sentence-hash COMMIT — the artifact-side twin of
-    * [[streamSentence]]: each micro-batch's kept sentence hashes fold
-    * into the checkpointed committed set via the exact
-    * [[graft.dedup.Dedup.committedSentenceHashes]] arithmetic, and the
-    * folds CHAIN (each batch gates against the EVOLVING set). The fold
-    * is batching-invariant because set union is associative and a
-    * sentence already committed can never re-enter — after N deliveries
-    * the set equals distinct hashes of corpus ∪ all arrivals, exactly
-    * the batch commit's law. Emits the shared 1-row count readout;
-    * oracle IS the batch q_sentence_commit oracle. */
+    * [[streamSentence]], TABLE-BACKED (VERDICT r11's chained-fold
+    * shape): the corpus sentence-hash set writes once as a hash-
+    * partitioned table; each micro-batch's NOVEL hashes append after a
+    * Bloom-prefiltered, partition-pruned gate against the stored set —
+    * set union is associative and an appended hash can never re-enter,
+    * so after N deliveries the table equals distinct hashes of corpus ∪
+    * all arrivals, exactly [[graft.dedup.Dedup.committedSentenceHashes]]'
+    * law with the per-delivery full-set re-checkpoint gone. Emits the
+    * shared 1-row count readout; oracle IS the batch q_sentence_commit
+    * oracle. */
   def streamSentenceCommit(s: SparkSession, d: String): DataFrame = {
     import PipelineQueries.IncrementalMod
     val D = graft.dedup.Dedup
@@ -819,8 +820,15 @@ object StreamingQueries {
       .sentenceHashSet(
         docs.filter(col("doc_id") % IncrementalMod =!= 0), "doc_id", "text")
       .localCheckpoint(true)
-    val committed =
-      new java.util.concurrent.atomic.AtomicReference[DataFrame](corpusSet)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sent_store_").toString
+    val parts = 16
+    def partOf(c: org.apache.spark.sql.Column) = pmod(hash(c), lit(parts))
+    corpusSet.withColumn("part", partOf(col("sh")))
+      .coalesce(4).write.mode("overwrite").partitionBy("part").parquet(dir)
+    val shBloom = corpusSet.stat.bloomFilter(
+      "sh", math.max(1L, corpusSet.count()), 0.01)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val arrivals = StreamingOps
       .readDocuments(s, docsStreamDir(d))
       .filter(col("doc_id") % IncrementalMod === 0)
@@ -830,17 +838,41 @@ object StreamingQueries {
     s.conf.set(key, StreamShufflePartitions)
     try {
       val q = arrivals.writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          committed.updateAndGet(cur =>
-            D.committedSentenceHashes(cur, b, "doc_id", "text")
-              .localCheckpoint(true))
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (seen.add(id)) {
+            import s.implicits._
+            val bSh = D.sentenceHashSet(b, "doc_id", "text")
+              .localCheckpoint(true)
+            val hashes = bSh.as[Long].collect()
+            val cand = hashes.filter(shBloom.mightContainLong)
+            val novel =
+              if (cand.isEmpty) bSh
+              else {
+                val candDf = cand.toSeq.toDF("sh")
+                  .withColumn("part", partOf(col("sh")))
+                  .localCheckpoint(true)
+                val cParts =
+                  candDf.select("part").distinct().as[Int].collect().toSeq
+                val present = s.read.parquet(dir)
+                  .filter(col("part").isin(cParts: _*))
+                  .join(broadcast(candDf.select("sh")), Seq("sh"),
+                    "left_semi")
+                  .select("sh")
+                bSh.join(broadcast(present), Seq("sh"), "left_anti")
+                  .localCheckpoint(true)
+              }
+            novel.withColumn("part", partOf(col("sh")))
+              .coalesce(4).write.mode("append").partitionBy("part")
+              .parquet(dir)
+            novel.as[Long].collect().foreach(shBloom.putLong)
+          }
           ()
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally s.conf.set(key, prev)
-    D.commitSentenceReadout(corpusSet, committed.get)
+    D.commitSentenceReadout(corpusSet, s.read.parquet(dir).select("sh"))
   }
 
   /** The batch sentence-commit oracle IS the streaming oracle. */
@@ -1600,8 +1632,22 @@ object StreamingQueries {
       emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue),
       IvfCentroidIds, EmbDims, PqM, PqIters)
     val cb = cb0.localCheckpoint(true)
-    val committed = new java.util.concurrent.atomic.AtomicReference[DataFrame](
-      codes0.localCheckpoint(true))
+    // TABLE-BACKED postings (VERDICT r11's chained-fold shape): the
+    // deploy writes the corpus codes once; each delivery appends its
+    // batch-sized encodings — frozen-codebook encoding is per-vector
+    // deterministic, so append IS the exact commitPqCodes fold, minus
+    // the per-delivery full-table re-checkpoint. The id-disjointness
+    // law verifies against a driver Bloom (no false negatives) with a
+    // partition-pruned exact check for the Bloom hits only.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_store_").toString
+    val parts = 16
+    def partOf(c: org.apache.spark.sql.Column) = pmod(hash(c), lit(parts))
+    codes0.withColumn("part", partOf(col("vec_id")))
+      .coalesce(4).write.mode("overwrite").partitionBy("part").parquet(dir)
+    val ids0 = codes0.select("vec_id").distinct().localCheckpoint(true)
+    val idBloom = ids0.stat.bloomFilter(
+      "vec_id", math.max(1L, ids0.count()), 0.01)
     val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val arrivals = StreamingOps
       .readEmbeddings(s, embeddingsStreamDir(d))
@@ -1614,10 +1660,33 @@ object StreamingQueries {
       val q = arrivals.writeStream
         .foreachBatch { (b: DataFrame, id: Long) =>
           if (seen.add(id)) {
-            committed.updateAndGet(stored =>
-              graft.similarity.Ivf
-                .commitPqCodes(stored, cb, b, EmbDims, PqM)
-                .localCheckpoint(true))
+            import s.implicits._
+            val bb = b.localCheckpoint(true)
+            val bIds = bb.select("vec_id").distinct().as[Long].collect()
+            val cand = bIds.filter(idBloom.mightContainLong)
+            val clashes =
+              if (cand.isEmpty) 0L
+              else {
+                val candDf = cand.toSeq.toDF("vec_id")
+                  .withColumn("part", partOf(col("vec_id")))
+                  .localCheckpoint(true)
+                val cParts =
+                  candDf.select("part").distinct().as[Int].collect().toSeq
+                s.read.parquet(dir)
+                  .filter(col("part").isin(cParts: _*))
+                  .select("vec_id")
+                  .join(broadcast(candDf.select("vec_id")),
+                    Seq("vec_id"), "left_semi")
+                  .count()
+              }
+            require(clashes == 0L,
+              s"streamIndexCommit: $clashes arrival vec_id(s) already " +
+                "stored — ids must be disjoint")
+            graft.similarity.Ivf.encodePq(bb, cb, EmbDims, PqM)
+              .withColumn("part", partOf(col("vec_id")))
+              .coalesce(4).write.mode("append").partitionBy("part")
+              .parquet(dir)
+            bIds.foreach(idBloom.putLong)
           }
           ()
         }
@@ -1625,31 +1694,35 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
     } finally s.conf.set(key, prev)
-    committed.get.orderBy("vec_id", "sub")
+    s.read.parquet(dir).drop("part").orderBy("vec_id", "sub")
   }
 
   /** The batch index-commit oracle IS the streaming oracle. */
   def streamIndexCommitOracle: String = PipelineQueries.indexCommitOracle
 
   /** STREAMING kNN-graph maintenance — the mutual graph kept current AS
-    * vectors arrive: the deploy-time index artifacts
-    * ([[graft.similarity.Ivf.knnIndexArtifacts]]) checkpoint once, each
-    * micro-batch chains through [[graft.similarity.Ivf.knnIndexFold]]
-    * (re-rank only the arrivals plus the stored probe rows their cells
-    * hit; every artifact gains its batch-sized delta), and the final
-    * stored index encodes EXACTLY the from-scratch graph of corpus ∪
-    * all deliveries — the fold's induction law, so the oracle IS the
-    * q_knn_graph oracle and KnnGraphSpec pins the three-delivery chain
-    * directly. Replay-safe by batch id. */
+    * vectors arrive, over the TABLE-BACKED index store
+    * ([[graft.similarity.KnnStore]] — the deploy writes the probe /
+    * assignment / versioned-edge tables once; each micro-batch appends
+    * batch-sized deltas and re-ranks affected queries via the top-k
+    * merge law, never copying the stored tables — replacing the
+    * in-memory [[graft.similarity.Ivf.knnIndexFold]] chain whose
+    * per-delivery full-table re-checkpoint VERDICT r11 flagged; that
+    * fold stays as the verification twin). The final stored graph
+    * encodes EXACTLY the from-scratch graph of corpus ∪ all deliveries
+    * (KnnStoreSpec pins the chain), so the oracle IS the q_knn_graph
+    * oracle. Replay-safe by batch id. */
   def streamKnn(s: SparkSession, d: String): DataFrame = {
     import PipelineQueries.{
       SemIncMod, SemIncResidue, IvfCentroidIds, IvfNProbe, KnnGraphK}
     val emb = Tables.embeddings(s, d)
-    val idx0 = graft.similarity.Ivf.knnIndexArtifacts(
-      emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue),
-      IvfCentroidIds, IvfNProbe, KnnGraphK)
-    val idx = new java.util.concurrent.atomic.AtomicReference(idx0)
-    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val store = new graft.similarity.KnnStore(
+      s,
+      java.nio.file.Files.createTempDirectory("graft_knn_store_").toString,
+      IvfNProbe, KnnGraphK)
+      .deploy(
+        emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue),
+        IvfCentroidIds)
     val arrivals = StreamingOps
       .readEmbeddings(s, embeddingsStreamDir(d))
       .filter(col("vec_id") % SemIncMod === SemIncResidue)
@@ -1659,17 +1732,12 @@ object StreamingQueries {
     s.conf.set(key, StreamShufflePartitions)
     try {
       val q = arrivals.writeStream
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          if (seen.add(id)) {
-            idx.updateAndGet(i => graft.similarity.Ivf.knnIndexFold(i, b))
-          }
-          ()
-        }
+        .foreachBatch((b: DataFrame, id: Long) => store.foldBatch(b, id))
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally s.conf.set(key, prev)
-    graft.similarity.Ivf.mutualGraph(idx.get).orderBy("id_a", "id_b")
+    store.mutualGraph.orderBy("id_a", "id_b")
   }
 
   /** The from-scratch graph oracle IS the streaming oracle. */

@@ -445,7 +445,7 @@ object Ivf {
   /** The nProbe-cell probe frame of a prepped (vec_id, emb) source —
     * map-side array-sort over the broadcast centroid array; one row per
     * probed cell: (q_vec_id, q_emb, q_nrm, cell). */
-  private def knnProbeFrame(
+  private[similarity] def knnProbeFrame(
       src: DataFrame, centArr: DataFrame, nProbe: Int): DataFrame = {
     val dot = Similarity.dotSql _
     src
@@ -460,7 +460,7 @@ object Ivf {
 
   /** The single-cell candidate frame of a prepped source: (vec_id, emb,
     * nrm, cell) under the map-side argmin. */
-  private def knnAsgFrame(src: DataFrame, centArr: DataFrame): DataFrame = {
+  private[similarity] def knnAsgFrame(src: DataFrame, centArr: DataFrame): DataFrame = {
     val dot = Similarity.dotSql _
     src
       .crossJoin(broadcast(centArr))
@@ -471,7 +471,7 @@ object Ivf {
 
   /** Cell-keyed score + per-query bounded-heap rank shared by the batch
     * and incremental graph builds. */
-  private def knnEdgesCore(
+  private[similarity] def knnEdgesCore(
       probes: DataFrame, asg: DataFrame, k: Int): DataFrame = {
     val dot = Similarity.dotSql _
     val scored = asg.join(probes, Seq("cell"))
@@ -518,7 +518,7 @@ object Ivf {
     mutualize(knnEdges(corpus, centroidIds, nProbe, k))
 
   /** Directed top-k edges → the undirected mutual graph (id_a < id_b). */
-  private def mutualize(edges: DataFrame): DataFrame = {
+  private[similarity] def mutualize(edges: DataFrame): DataFrame = {
     val e = edges
       .select(col("q_vec_id").as("src"), col("vec_id").as("dst"), col("score"))
       .localCheckpoint(true)

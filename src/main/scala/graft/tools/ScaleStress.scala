@@ -830,6 +830,26 @@ object ScaleStress {
         knnIdx,
         embBase.filter(col("vec_id") % 9 === 8)))
     }
+    // Round-12: the TABLE-BACKED index store's fold, with the fold call
+    // ISOLATED (r11's near-flat curve for the in-memory fold held only
+    // because fixed overhead dominated — its per-delivery full-table
+    // unionByName+localCheckpoint copy is corpus-proportional work this
+    // store does not do; here a growing corpus may only grow the
+    // affected-cell candidate join, bounded by K∝N cells).
+    var knnStore: graft.similarity.KnnStore = null
+    time("r12 knn store: deploy") {
+      knnStore = new graft.similarity.KnnStore(
+        spark,
+        java.nio.file.Files.createTempDirectory("graft_stress_knn_")
+          .toString,
+        nProbe = 2, k = 4)
+        .deploy(
+          replicatedEmb(withLabel = false).filter(col("vec_id") % 9 =!= 8),
+          replicaSeeds.filter(_ % 9 != 8))
+    }
+    time("r12 knn store: per-delivery fold") {
+      knnStore.foldBatch(embBase.filter(col("vec_id") % 9 === 8), 0L)
+    }
     // Round-11c: SEMANTIC ASSIGNMENT COMMIT — the stored cell table's
     // per-delivery cost model: a FIXED batch assigns map-side against
     // the frozen centroids and bare-unions into the stored table,
