@@ -432,4 +432,72 @@ class TableCommit(
     ngramPostings = committedNgramPostings,
     ngramDf = committedNgramDf,
     shingleSets = committedShingleSets)
+
+  /** COMPACTION — the deliberate corpus-scale lifecycle op the
+    * delta-append design defers to: fold every delta layer and
+    * tombstone into a fresh corpus baseline, so read amplification
+    * (delta rows, tombstone anti-joins, multiset aggregation) resets to
+    * zero. Semantically a NO-OP on the committed faces (spec-pinned
+    * row-for-row): signed multisets compact to one summed row per
+    * surviving key — PRESERVING the count, so later retractions still
+    * decrement exactly — id-keyed tables compact to their tombstone-
+    * surviving rows, and the raw ingest ledger compacts to its distinct
+    * rows but is never dropped (replay/takedown safety survives
+    * compaction). A deployment runs this on the maintenance schedule
+    * (the ratio of delta to corpus rows is the trigger), never per
+    * delivery. */
+  def compact(): Unit = synchronized {
+    val fp = readAll("fp", fpSchema)
+      .groupBy("fingerprint", "part").agg(sum(col("w")).as("w"))
+      .filter(col("w") > 0)
+      .select("fingerprint", "w", "part")
+      .localCheckpoint(true)
+    val span = readAll("span", spanSchema)
+      .groupBy("fp", "part").agg(sum(col("w")).as("w"))
+      .filter(col("w") > 0)
+      .select("fp", "w", "part")
+      .localCheckpoint(true)
+    val ndf = readAll("ngramdf", dfSchema)
+      .groupBy("blk", "shingle").agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+      .localCheckpoint(true)
+    val docs = antiTomb(readAll("docs", docSchema))
+      .select("id", "text", "part").localCheckpoint(true)
+    val bands = antiTomb(readAll("bands", bandSchema))
+      .select("id", "band", "bh").localCheckpoint(true)
+    val sim = antiTomb(readAll("simhash", simSchema))
+      .select("id", "simhash", "band", "bv").localCheckpoint(true)
+    val posts = antiTomb(readAll("postings", postSchema))
+      .select("blk", "shingle", "id").localCheckpoint(true)
+    val sets = antiTomb(readAll("sets", setSchema))
+      .select("id", "shingles").localCheckpoint(true)
+    val ledger = readOr("ledger/delta", ledgerSchema)
+      .select("fingerprint", "part").distinct().localCheckpoint(true)
+    def drop(rel: String): Unit = {
+      val root = java.nio.file.Paths.get(p(rel))
+      if (java.nio.file.Files.exists(root)) {
+        val it = java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator()
+        while (it.hasNext) java.nio.file.Files.delete(it.next())
+      }
+    }
+    writeLayer(fp, "fp/corpus", partitioned = true, SaveMode.Overwrite)
+    writeLayer(span, "span/corpus", partitioned = true, SaveMode.Overwrite)
+    writeLayer(ndf, "ngramdf/corpus", partitioned = false,
+      SaveMode.Overwrite)
+    writeLayer(docs, "docs/corpus", partitioned = true, SaveMode.Overwrite)
+    writeLayer(bands, "bands/corpus", partitioned = false,
+      SaveMode.Overwrite)
+    writeLayer(sim, "simhash/corpus", partitioned = false,
+      SaveMode.Overwrite)
+    writeLayer(posts, "postings/corpus", partitioned = false,
+      SaveMode.Overwrite)
+    writeLayer(sets, "sets/corpus", partitioned = false, SaveMode.Overwrite)
+    writeLayer(ledger, "ledger/delta", partitioned = true,
+      SaveMode.Overwrite)
+    Seq("fp/delta", "span/delta", "ngramdf/delta", "docs/delta",
+      "bands/delta", "simhash/delta", "postings/delta", "sets/delta",
+      "tomb/delta").foreach(drop)
+  }
 }

@@ -135,6 +135,45 @@ class TableCommitSpec extends SparkSuite {
       "shingle sets")
   }
 
+  test("compaction is a committed-face no-op and resets the delta layers") {
+    def faces(s: TableCommit) = Seq(
+      s.committedFingerprints, s.committedBands, s.committedSpanFps,
+      s.committedSimhashBands, s.committedNgramPostings,
+      s.committedNgramDf, s.committedShingleSets)
+    val half1 = batchAll.filter(expr("(id div 10) % 2 = 0"))
+    val half2 = batchAll.filter(expr("(id div 10) % 2 = 1"))
+    val plain = mk()
+    val compacted = mk()
+    for (s <- Seq(plain, compacted)) {
+      s.foldBatch(half1, 0L)
+      s.retractBatch(half1.select("id").filter(col("id") % 5 === 0), 1L)
+    }
+    compacted.compact()
+    // No-op on every committed face, mid-history.
+    faces(plain).zip(faces(compacted)).zipWithIndex.foreach {
+      case ((a, b), i) => assert(symDiff(a, b) == 0, s"face $i after compact")
+    }
+    // Delta layers reset; the accepted face is now relative to the new
+    // baseline.
+    assert(compacted.deltaFingerprints.count() == 0)
+    assert(compacted.deltaBands.count() == 0)
+    assert(compacted.accepted.count() == 0)
+    // Replay/takedown safety SURVIVES compaction: re-delivered
+    // pre-compaction content (including the retracted docs' raw text)
+    // is still rejected by the compacted ledger.
+    val c0 = compacted.committedFingerprints.count()
+    compacted.foldBatch(half1, 2L)
+    assert(compacted.committedFingerprints.count() == c0,
+      "content replay after compaction changed state")
+    // And the NEXT fold lands on the uncompacted twin exactly.
+    plain.foldBatch(half2, 3L)
+    compacted.foldBatch(half2, 3L)
+    faces(plain).zip(faces(compacted)).zipWithIndex.foreach {
+      case ((a, b), i) =>
+        assert(symDiff(a, b) == 0, s"face $i after post-compaction fold")
+    }
+  }
+
   test("retract ∘ commit == identity on the seven artifact tables") {
     val before = mk()
     val after = mk()
