@@ -64,6 +64,8 @@ object Bench {
         graft.queries.PipelineQueries.docShingleRowsPrimed(spark, sfDir)
       val knnMemoHit =
         graft.queries.PipelineQueries.knnEdgesPrimed(spark, sfDir)
+      val commitMemoHit =
+        graft.dedup.TableCommit.corpusPrimed(spark, s"$sfDir#commit-corpus")
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -77,7 +79,9 @@ object Bench {
         (shingleMemoHit &&
           graft.queries.PipelineQueries.ShingleMemoQueries.contains(name)) ||
         (knnMemoHit &&
-          graft.queries.PipelineQueries.KnnMemoQueries.contains(name))
+          graft.queries.PipelineQueries.KnnMemoQueries.contains(name)) ||
+        (commitMemoHit &&
+          graft.queries.StreamingQueries.CommitMemoQueries.contains(name))
       // Isolation between queries: one query's persisted frames must not
       // tax the next (round-2 bench showed a leaked dedup cache slowing a
       // trivial DISTINCT 28×). clearCache drops CacheManager entries;

@@ -210,6 +210,7 @@ object SparkEntry {
     "q_stream_simhash" -> (StreamingQueries.streamSimhash _),
     "q_stream_commit" -> (StreamingQueries.streamCommit _),
     "q_stream_retract" -> (StreamingQueries.streamRetract _),
+    "q_stream_lifecycle" -> (StreamingQueries.streamLifecycle _),
     "q_stream_manifest" -> (StreamingQueries.streamManifest _),
     "q_stream_phash" -> (StreamingQueries.streamPhash _),
     "q_stream_audio" -> (StreamingQueries.streamAudio _),
@@ -681,6 +682,7 @@ object SparkEntry {
     "q_stream_simhash" -> StreamingQueries.streamSimhashOracle,
     "q_stream_commit" -> StreamingQueries.streamCommitOracle,
     "q_stream_retract" -> StreamingQueries.streamRetractOracle,
+    "q_stream_lifecycle" -> StreamingQueries.streamLifecycleOracle,
     "q_stream_manifest" -> StreamingQueries.streamManifestOracle,
     "q_stream_phash" -> StreamingQueries.streamPhashOracle,
     "q_stream_audio" -> StreamingQueries.streamAudioOracle,

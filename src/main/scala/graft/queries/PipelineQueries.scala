@@ -2945,6 +2945,136 @@ object PipelineQueries {
        |ORDER BY artifact""".stripMargin
   }
 
+  /** DuckDB oracle for the interleaved commit+takedown lifecycle stream
+    * (`q_stream_lifecycle`): the [[corpusCommitOracle]] CTE chain (gate
+    * + span-clean) unchanged, then every artifact recomputed over the
+    * SURVIVORS — the gated-and-cleaned accepted docs minus the
+    * [[RetractMod]] takedown slice. Rebuild-on-survivors equals
+    * commit-then-retract exactly: the store's content-keyed sets are
+    * signed multisets (a retracted doc's −1 cancels exactly its +1;
+    * anything shared with corpus or a survivor stays), and id-keyed
+    * tables are tombstoned. The composition is batching-deterministic
+    * on the fixture because the commit slice has no duplicate-content
+    * docs (checked at both SFs) — with in-slice dup content, WHICH
+    * member the gate keeps (and hence whether the takedown residue
+    * hits it) would depend on the micro-batch split. */
+  def streamLifecycleOracle: String = {
+    val M = IncrementalMod
+    val W = SpanW
+    val R = RetractMod
+    val RR = RetractResidue
+    val Cap = graft.dedup.Dedup.DefaultShingleDfCap
+    s"""WITH fpt AS (
+       |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+       |  FROM documents),
+       |b AS (SELECT doc_id, fingerprint FROM fpt WHERE doc_id % $M = 0),
+       |seen AS (SELECT DISTINCT fingerprint FROM fpt WHERE doc_id % $M <> 0),
+       |firsts AS (SELECT fingerprint, min(doc_id) AS first_id FROM b GROUP BY fingerprint),
+       |acc AS (
+       |  SELECT b.doc_id FROM b
+       |  LEFT JOIN seen s ON b.fingerprint = s.fingerprint
+       |  JOIN firsts f ON b.fingerprint = f.fingerprint
+       |  WHERE s.fingerprint IS NULL AND b.doc_id = f.first_id),
+       |t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS wd FROM documents),
+       |sp AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    CAST('0x' || substr(md5(array_to_string(wd[i : i + $W - 1], '_')), 1, 15) AS BIGINT) AS fp
+       |  FROM (SELECT doc_id, wd, unnest(range(1, greatest(len(wd) - $W + 2, 1))) AS i FROM t)),
+       |cfp AS (SELECT DISTINCT fp FROM sp WHERE doc_id % $M <> 0),
+       |dup AS (
+       |  SELECT sp.doc_id, sp.pos FROM sp JOIN cfp USING (fp) JOIN acc USING (doc_id)),
+       |isl AS (
+       |  SELECT doc_id, island, min(pos) AS s, max(pos + $W) AS e FROM (
+       |    SELECT doc_id, pos,
+       |      CAST(sum(opens) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+       |    FROM (
+       |      SELECT doc_id, pos,
+       |        CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS opens
+       |      FROM (
+       |        SELECT doc_id, pos,
+       |          max(pos + $W) OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |        FROM dup)))
+       |  GROUP BY doc_id, island),
+       |tb AS (SELECT t.doc_id, t.wd FROM t JOIN acc USING (doc_id)),
+       |toks AS (
+       |  SELECT doc_id, j - 1 AS tpos, wd[CAST(j AS INTEGER)] AS tok
+       |  FROM (SELECT doc_id, wd, unnest(range(1, len(wd) + 1)) AS j FROM tb)),
+       |kept AS (
+       |  SELECT tk.doc_id, tk.tpos, tk.tok FROM toks tk
+       |  WHERE NOT EXISTS (SELECT 1 FROM isl
+       |    WHERE isl.doc_id = tk.doc_id AND tk.tpos >= isl.s AND tk.tpos < isl.e)),
+       |ka AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+       |  FROM kept GROUP BY doc_id),
+       |surv AS (
+       |  SELECT tb.doc_id, COALESCE(ka.clean_text, '') AS text
+       |  FROM tb LEFT JOIN ka ON tb.doc_id = ka.doc_id
+       |  WHERE tb.doc_id % $R <> $RR),
+       |afp AS (
+       |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+       |  FROM surv),
+       |cw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM surv),
+       |ashl AS (
+       |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS shingle FROM (
+       |    SELECT doc_id, unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]) AS s
+       |    FROM cw)),
+       |asig AS (SELECT doc_id, $sigColsSql FROM ashl GROUP BY doc_id),
+       |aband AS (
+       |  ${bandSelectsSql("asig")}),
+       |aspfp AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5(array_to_string(w[i : i + $W - 1], '_')), 1, 15) AS BIGINT) AS fp
+       |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - $W + 2, 1))) AS i FROM cw)),
+       |cshl AS (
+       |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS shingle FROM (
+       |    SELECT doc_id, unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]) AS s
+       |    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+       |      FROM documents WHERE doc_id % $M <> 0))),
+       |csig AS (SELECT doc_id, $sigColsSql FROM cshl GROUP BY doc_id),
+       |cband AS (
+       |  ${bandSelectsSql("csig")}),
+       |csimd AS (
+       |  SELECT doc_id FROM t
+       |  WHERE doc_id % $M <> 0 AND len(list_filter(wd, x -> x <> '')) > 0),
+       |asimd AS (
+       |  SELECT doc_id FROM cw WHERE len(list_filter(w, x -> x <> '')) > 0),
+       |cdf AS (SELECT shingle, count(*) AS df FROM cshl GROUP BY shingle),
+       |pall AS (
+       |  SELECT doc_id, shingle FROM cshl
+       |  UNION ALL SELECT doc_id, shingle FROM ashl),
+       |pdf AS (SELECT shingle, count(*) AS df FROM pall GROUP BY shingle)
+       |SELECT 'fingerprint' AS artifact,
+       |  (SELECT count(*) FROM seen) AS n_corpus,
+       |  (SELECT count(*) FROM (SELECT fingerprint FROM seen UNION SELECT fingerprint FROM afp)) AS n_committed
+       |UNION ALL
+       |SELECT 'minhash_band',
+       |  (SELECT count(*) FROM cband),
+       |  (SELECT count(*) FROM cband) + (SELECT count(*) FROM aband)
+       |UNION ALL
+       |SELECT 'ngram_df',
+       |  (SELECT count(*) FROM cdf),
+       |  (SELECT count(*) FROM pdf)
+       |UNION ALL
+       |SELECT 'ngram_posting',
+       |  (SELECT count(*) FROM cshl JOIN cdf USING (shingle) WHERE cdf.df <= $Cap),
+       |  (SELECT count(*) FROM pall JOIN pdf USING (shingle) WHERE pdf.df <= $Cap)
+       |UNION ALL
+       |SELECT 'shingle_set',
+       |  (SELECT count(DISTINCT doc_id) FROM cshl),
+       |  (SELECT count(DISTINCT doc_id) FROM cshl) + (SELECT count(DISTINCT doc_id) FROM ashl)
+       |UNION ALL
+       |SELECT 'simhash_band',
+       |  (SELECT count(*) * $SimhashBlocks FROM csimd),
+       |  (SELECT count(*) * $SimhashBlocks FROM csimd)
+       |    + (SELECT count(*) * $SimhashBlocks FROM asimd)
+       |UNION ALL
+       |SELECT 'span_fp',
+       |  (SELECT count(*) FROM cfp),
+       |  (SELECT count(*) FROM (SELECT fp FROM cfp UNION SELECT fp FROM aspfp))
+       |ORDER BY artifact""".stripMargin
+  }
+
   /** Sketch width for [[corpusOverlap]] — 32 permutations puts the
     * estimator's std at ≈ √(J(1−J)/32) ≤ 0.09, a readout-grade error
     * bar; the oracle checks exact equality of the sketch itself, not

@@ -76,6 +76,14 @@ object StreamingQueries {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The declared query names that resolve through the
+    * [[graft.dedup.TableCommit.sharedDeploy]] corpus-layer memo —
+    * whichever runs first pays the deploy, the other reuses the
+    * immutable tables (disclosed per-run like the CC/shingle/knn
+    * memos). */
+  private[graft] val CommitMemoQueries: Set[String] =
+    Set("q_stream_commit", "q_stream_lifecycle")
+
   /** Start `stream` against a memory sink, drain all available input, and
     * return the sink table. AvailableNow processes everything then stops —
     * the batch-job face of the streaming runtime.
@@ -862,7 +870,7 @@ object StreamingQueries {
                   .localCheckpoint(true)
               }
             novel.withColumn("part", partOf(col("sh")))
-              .coalesce(4).write.mode("append").partitionBy("part")
+              .coalesce(1).write.mode("append").partitionBy("part")
               .parquet(dir)
             novel.as[Long].collect().foreach(shBloom.putLong)
           }
@@ -1089,13 +1097,10 @@ object StreamingQueries {
     import PipelineQueries.{
       IncrementalMod, MinhashHashes, MinhashBands, SpanW, SimhashBlocks}
     val docs = documents(s, d)
-    val store = new graft.dedup.TableCommit(
-      s,
-      java.nio.file.Files.createTempDirectory("graft_commit_store_")
-        .toString,
+    val store = graft.dedup.TableCommit.sharedDeploy(
+      s, s"$d#commit-corpus",
+      docs.filter(col("doc_id") % IncrementalMod =!= 0), "doc_id", "text",
       MinhashHashes, MinhashBands, SpanW, simhashBlocks = SimhashBlocks)
-      .deploy(
-        docs.filter(col("doc_id") % IncrementalMod =!= 0), "doc_id", "text")
     val arrivals = StreamingOps
       .readDocuments(s, docsStreamDir(d))
       .filter(col("doc_id") % IncrementalMod === 0)
@@ -1205,6 +1210,72 @@ object StreamingQueries {
 
   /** The batch retraction oracle IS the streaming-retraction oracle. */
   def streamRetractOracle: String = PipelineQueries.corpusRetractOracle
+
+  /** INTERLEAVED lifecycle stream — commits AND takedowns on ONE live
+    * stream, the shape a production ingest actually runs: each arriving
+    * micro-batch first folds through the full gate/clean/commit
+    * ([[graft.dedup.TableCommit.foldBatch]]), then the batch's
+    * [[PipelineQueries.RetractMod]] takedown residue retracts
+    * ([[graft.dedup.TableCommit.retractBatch]]) — both against the SAME
+    * stored artifact tables, so the next delivery gates against a set
+    * that already reflects this delivery's takedowns. The oracle
+    * rebuilds every artifact from scratch on the SURVIVORS, which
+    * equals commit-then-retract exactly because the store's
+    * content-keyed sets are signed multisets (scaladoc on
+    * [[PipelineQueries.streamLifecycleOracle]] covers the
+    * batching-determinism caveat). Readout: per-artifact
+    * (n_corpus, n_committed). */
+  def streamLifecycle(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{
+      IncrementalMod, RetractMod, RetractResidue,
+      MinhashHashes, MinhashBands, SpanW, SimhashBlocks}
+    val docs = documents(s, d)
+    val store = graft.dedup.TableCommit.sharedDeploy(
+      s, s"$d#commit-corpus",
+      docs.filter(col("doc_id") % IncrementalMod =!= 0), "doc_id", "text",
+      MinhashHashes, MinhashBands, SpanW, simhashBlocks = SimhashBlocks)
+    val arrivals = StreamingOps
+      .readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % IncrementalMod === 0)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = arrivals.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val bb = b.localCheckpoint(true)
+          store.foldBatch(
+            bb.select(col("doc_id").as("id"), col("text")), id)
+          store.retractBatch(
+            bb.filter(col("doc_id") % RetractMod === RetractResidue)
+              .select(col("doc_id").as("id")), id)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    def row(name: String, cor: DataFrame, com: DataFrame) =
+      cor.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(com.agg(count(lit(1)).as("n_committed")))
+        .select(lit(name).as("artifact"), col("n_corpus"),
+          col("n_committed"))
+    row("fingerprint", store.corpusFingerprints, store.committedFingerprints)
+      .unionByName(row("minhash_band", store.corpusBands,
+        store.committedBands))
+      .unionByName(row("ngram_df", store.corpusNgramDf,
+        store.committedNgramDf))
+      .unionByName(row("ngram_posting", store.corpusNgramPostings,
+        store.committedNgramPostings))
+      .unionByName(row("shingle_set", store.corpusShingleSets,
+        store.committedShingleSets))
+      .unionByName(row("simhash_band", store.corpusSimhashBands,
+        store.committedSimhashBands))
+      .unionByName(row("span_fp", store.corpusSpanFps,
+        store.committedSpanFps))
+      .orderBy("artifact")
+  }
+
+  def streamLifecycleOracle: String = PipelineQueries.streamLifecycleOracle
 
   /** STREAMING release manifest
     * ([[TextQueries.ManifestCommitter]] through the real runtime's
@@ -1684,7 +1755,7 @@ object StreamingQueries {
                 "stored — ids must be disjoint")
             graft.similarity.Ivf.encodePq(bb, cb, EmbDims, PqM)
               .withColumn("part", partOf(col("vec_id")))
-              .coalesce(4).write.mode("append").partitionBy("part")
+              .coalesce(1).write.mode("append").partitionBy("part")
               .parquet(dir)
             bIds.foreach(idBloom.putLong)
           }

@@ -147,11 +147,11 @@ class KnnStore(
     bEdges.unionByName(merged)
       .withColumn("ver", lit(ver))
       .withColumn("part", partOf(col("q_vec_id")))
-      .coalesce(4)
+      .coalesce(1)
       .write.mode(SaveMode.Append).partitionBy("part").parquet(p("edges"))
-    bProbes.coalesce(4).write.mode(SaveMode.Append).partitionBy("cell")
+    bProbes.coalesce(1).write.mode(SaveMode.Append).partitionBy("cell")
       .parquet(p("probes"))
-    bAsg.coalesce(4).write.mode(SaveMode.Append).partitionBy("cell")
+    bAsg.coalesce(1).write.mode(SaveMode.Append).partitionBy("cell")
       .parquet(p("asg"))
   }
 
