@@ -160,4 +160,21 @@ class KnnStore(
 
   /** The mutual graph the store currently encodes. */
   def mutualGraph: DataFrame = Ivf.mutualize(directedEdges)
+
+  /** COMPACTION — the versioned edge table's deliberate corpus-scale
+    * maintenance op: rewrite it keeping only each query's CURRENT rows
+    * (ver resets to 0), so the read-time max-ver window stops paying
+    * for superseded versions. Probe/assignment tables are append-only
+    * (arrivals never supersede rows), so only edges compact. A
+    * committed-face no-op, spec-pinned, and later folds land on an
+    * uncompacted twin exactly. */
+  def compact(): Unit = synchronized {
+    val cur = directedEdges.localCheckpoint(true)
+    cur
+      .withColumn("ver", lit(0L))
+      .withColumn("part", partOf(col("q_vec_id")))
+      .repartition(parts, col("part"))
+      .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(p("edges"))
+    ver = 0L
+  }
 }

@@ -54,6 +54,22 @@ class KnnStoreSpec extends SparkSuite {
       twin.edges.select("q_vec_id", "vec_id", "score")))
   }
 
+  test("edge compaction is a graph no-op and later folds land on the twin") {
+    val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+    val batch = emb.filter(col("vec_id") % 9 === 8)
+    val plain = mk(corpus)
+    val compacted = mk(corpus)
+    for (s <- Seq(plain, compacted))
+      s.foldBatch(batch.filter(col("vec_id") % 3 === 0), 0L)
+    compacted.compact()
+    assert(edges(compacted.mutualGraph) == edges(plain.mutualGraph))
+    for (s <- Seq(plain, compacted))
+      s.foldBatch(batch.filter(col("vec_id") % 3 =!= 0), 1L)
+    assert(edges(compacted.mutualGraph) == edges(plain.mutualGraph))
+    assert(edges(plain.mutualGraph) ==
+      edges(Ivf.mutualKnnEdges(emb, centroidIds, nProbe = 2, k = k)))
+  }
+
   test("replayed batch id and empty delivery are no-ops") {
     val corpus = emb.filter(col("vec_id") % 9 =!= 8)
     val batch = emb.filter(col("vec_id") % 9 === 8)
