@@ -174,6 +174,26 @@ class TableCommit(
   }
   private[dedup] def blooms = (fpBloom, idBloom, spanBloomBc)
 
+  /** Rebuild the driver-held gate Blooms from the STORED tables — the
+    * crash-recovery path ([[TableCommit.reopen]]). The fp Bloom seeds
+    * from every add row plus the ledger (a retracted fp's stale bit is
+    * a false positive only — the exact verify still decides), the id
+    * Bloom from all doc ids plus tombstones (no id reuse), the span
+    * Bloom from the frozen corpus span table. */
+  private[dedup] def rebuildBlooms(): TableCommit = {
+    val fpRowsAll = readAll("fp", fpSchema).select("fingerprint")
+      .unionByName(readOr("ledger/delta", ledgerSchema).select("fingerprint"))
+    fpBloom = fpRowsAll.stat.bloomFilter(
+      "fingerprint", math.max(1L, fpRowsAll.count()), 0.01)
+    val idRows = readAll("docs", docSchema).select("id")
+      .unionByName(readOr("tomb/delta", tombSchema).select("id"))
+    idBloom = idRows.stat.bloomFilter("id", math.max(1L, idRows.count()), 0.01)
+    val spanT = readOr("span/corpus", spanSchema)
+    spanBloomBc = spark.sparkContext.broadcast(
+      spanT.stat.bloomFilter("fp", math.max(1L, spanT.count()), 0.01))
+    this
+  }
+
   /** One-time corpus load: write every corpus-layer table and build the
     * gate Blooms. A production deployment runs this once (or inherits
     * the tables from the batch pipeline); per-delivery cost never
@@ -550,6 +570,30 @@ object TableCommit {
   private def deser(bytes: Array[Byte]) =
     org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(bytes))
+
+  /** CRASH RECOVERY: reopen a store over existing tables — a NEW
+    * process resumes folding exactly where the crashed one stopped.
+    * Everything semantic lives in the tables; the only driver-held
+    * state is rebuilt (gate Blooms, from one scan each) or DELIBERATELY
+    * lost: the seen-batch-id set is per-process, so replay protection
+    * after a crash rests on the CONTENT layer alone — which is the
+    * stronger guarantee the class doc names (a re-delivered document is
+    * a content-keyed no-op regardless of its batch id), and exactly why
+    * that layer exists. Spec-pinned: fold → crash (drop the instance) →
+    * reopen → re-deliver pre-crash content under fresh batch ids → fold
+    * new batches lands on a never-crashed twin row-for-row. */
+  def reopen(
+      spark: SparkSession,
+      base: String,
+      numHashes: Int,
+      bands: Int,
+      w: Int,
+      simhashBlocks: Int = 4,
+      maxShingleDf: Int = Dedup.DefaultShingleDfCap,
+      corpusRoot: Option[String] = None): TableCommit =
+    new TableCommit(spark, base, numHashes, bands, w,
+      simhashBlocks = simhashBlocks, maxShingleDf = maxShingleDf,
+      corpusRoot = corpusRoot).rebuildBlooms()
 
   /** A store whose IMMUTABLE corpus layer is the memoized deploy for
     * `(session, key)` — the ccMemo/knnMemo discipline applied to the

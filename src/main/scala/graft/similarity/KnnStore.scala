@@ -81,6 +81,9 @@ class KnnStore(
     centArr = cent
       .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
       .localCheckpoint(true)
+    // Persist the frozen quantizer next to the index tables so a crash
+    // recovery ([[KnnStore.reopen]]) restores the complete store.
+    centArr.write.mode(SaveMode.Overwrite).parquet(p("cent"))
     val c0 = Ivf.prepDouble(corpus)
     val probes = Ivf.knnProbeFrame(c0, centArr, nProbe)
       .withColumn("cell", col("cell").cast("long"))
@@ -161,6 +164,12 @@ class KnnStore(
   /** The mutual graph the store currently encodes. */
   def mutualGraph: DataFrame = Ivf.mutualize(directedEdges)
 
+  private[similarity] def restore(): KnnStore = {
+    centArr = spark.read.parquet(p("cent")).localCheckpoint(true)
+    ver = readEdges.agg(max(col("ver"))).head().getLong(0)
+    this
+  }
+
   /** COMPACTION — the versioned edge table's deliberate corpus-scale
     * maintenance op: rewrite it keeping only each query's CURRENT rows
     * (ver resets to 0), so the read-time max-ver window stops paying
@@ -177,4 +186,21 @@ class KnnStore(
       .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(p("edges"))
     ver = 0L
   }
+}
+
+object KnnStore {
+  /** CRASH RECOVERY: reopen a store over existing index tables — the
+    * persisted quantizer reloads and the version counter resumes from
+    * the stored edge maximum; the seen-batch-id set is per-process
+    * (re-deliver under fresh ids only after external dedup, or accept
+    * the idempotence that id-disjoint folds give). Spec-pinned: fold →
+    * drop the instance → reopen → fold more lands on a never-crashed
+    * twin exactly. */
+  def reopen(
+      spark: SparkSession,
+      base: String,
+      nProbe: Int,
+      k: Int,
+      parts: Int = 16): KnnStore =
+    new KnnStore(spark, base, nProbe, k, parts).restore()
 }

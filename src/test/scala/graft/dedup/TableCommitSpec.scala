@@ -174,6 +174,46 @@ class TableCommitSpec extends SparkSuite {
     }
   }
 
+  test("crash recovery: reopen resumes folding on the stored tables exactly") {
+    val half1 = batchAll.filter(expr("(id div 10) % 2 = 0"))
+    val half2 = batchAll.filter(expr("(id div 10) % 2 = 1"))
+    val plain = mk()
+    val crashBase = java.nio.file.Files
+      .createTempDirectory("graft_tc_crash_").toString
+    val before = new TableCommit(spark, crashBase, 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    plain.foldBatch(half1, 0L)
+    before.foldBatch(half1, 0L)
+    // "Crash": drop the instance; all driver state (Blooms, batch-id
+    // set) is gone. Reopen over the same tables.
+    val reopened = TableCommit.reopen(spark, crashBase, 8, 4, 8)
+    // Replay protection after a crash is CONTENT-keyed (the stronger
+    // layer): the pre-crash delivery re-arrives under a FRESH batch id
+    // and must still be a no-op.
+    val c0 = reopened.committedFingerprints.count()
+    reopened.foldBatch(half1, 99L)
+    assert(reopened.committedFingerprints.count() == c0,
+      "pre-crash content re-accepted after reopen")
+    // And new work lands on the never-crashed twin row-for-row.
+    plain.foldBatch(half2, 1L)
+    reopened.foldBatch(half2, 1L)
+    assert(symDiff(reopened.committedFingerprints,
+      plain.committedFingerprints) == 0, "fingerprints")
+    assert(symDiff(reopened.committedBands, plain.committedBands) == 0,
+      "bands")
+    assert(symDiff(reopened.committedSpanFps, plain.committedSpanFps) == 0,
+      "span fps")
+    assert(symDiff(reopened.committedNgramPostings,
+      plain.committedNgramPostings) == 0, "postings")
+    assert(symDiff(reopened.accepted, plain.accepted) == 0, "accepted")
+    // Takedown after recovery is exact too.
+    val del = reopened.accepted.select("id").filter(col("id") % 3 === 0)
+    plain.retractBatch(del, 2L)
+    reopened.retractBatch(del, 2L)
+    assert(symDiff(reopened.committedFingerprints,
+      plain.committedFingerprints) == 0, "fingerprints after retract")
+  }
+
   test("retract ∘ commit == identity on the seven artifact tables") {
     val before = mk()
     val after = mk()

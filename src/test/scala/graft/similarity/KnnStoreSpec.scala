@@ -70,6 +70,24 @@ class KnnStoreSpec extends SparkSuite {
       edges(Ivf.mutualKnnEdges(emb, centroidIds, nProbe = 2, k = k)))
   }
 
+  test("crash recovery: reopen resumes folding on the stored index exactly") {
+    val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+    val batch = emb.filter(col("vec_id") % 9 === 8)
+    val plain = mk(corpus)
+    val crashBase = java.nio.file.Files
+      .createTempDirectory("graft_knn_crash_").toString
+    val before = new KnnStore(spark, crashBase, nProbe = 2, k = k)
+      .deploy(corpus, centroidIds)
+    plain.foldBatch(batch.filter(col("vec_id") % 3 === 0), 0L)
+    before.foldBatch(batch.filter(col("vec_id") % 3 === 0), 0L)
+    val reopened = KnnStore.reopen(spark, crashBase, nProbe = 2, k = k)
+    plain.foldBatch(batch.filter(col("vec_id") % 3 =!= 0), 1L)
+    reopened.foldBatch(batch.filter(col("vec_id") % 3 =!= 0), 1L)
+    assert(edges(reopened.mutualGraph) == edges(plain.mutualGraph))
+    assert(edges(reopened.mutualGraph) ==
+      edges(Ivf.mutualKnnEdges(emb, centroidIds, nProbe = 2, k = k)))
+  }
+
   test("replayed batch id and empty delivery are no-ops") {
     val corpus = emb.filter(col("vec_id") % 9 =!= 8)
     val batch = emb.filter(col("vec_id") % 9 === 8)
