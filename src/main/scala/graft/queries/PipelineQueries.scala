@@ -1073,10 +1073,15 @@ object PipelineQueries {
     * the gated batch (the [[incrementalSpansOracle]] arithmetic), then
     * each artifact recomputed on the cleaned survivors and counted
     * before/delta/after. */
-  def corpusCommitOracle: String = {
+  /** The gate + span-clean CTE chain (fpt…ka) shared VERBATIM by
+    * [[corpusCommitOracle]] and [[streamLifecycleOracle]] — one
+    * definition, so the lifecycle oracle's gate can never drift from
+    * the commit oracle's. Ends before the accepted-doc projection
+    * (`cleaned` for the commit face; the lifecycle filters survivors). */
+  private def commitGateCtesSql: String = {
     val M = IncrementalMod
     val W = SpanW
-    s"""WITH fpt AS (
+    s"""fpt AS (
        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
        |  FROM documents),
        |b AS (SELECT doc_id, fingerprint FROM fpt WHERE doc_id % $M = 0),
@@ -1119,14 +1124,19 @@ object PipelineQueries {
        |    WHERE isl.doc_id = tk.doc_id AND tk.tpos >= isl.s AND tk.tpos < isl.e)),
        |ka AS (
        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text
-       |  FROM kept GROUP BY doc_id),
-       |cleaned AS (
-       |  SELECT tb.doc_id, COALESCE(ka.clean_text, '') AS text
-       |  FROM tb LEFT JOIN ka ON tb.doc_id = ka.doc_id),
-       |afp AS (
+       |  FROM kept GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The artifact-recompute CTEs (afp…pdf) over an accepted-docs CTE
+    * named `src` — the second block [[corpusCommitOracle]] and
+    * [[streamLifecycleOracle]] share verbatim. */
+  private def commitArtifactCtesSql(src: String): String = {
+    val M = IncrementalMod
+    val W = SpanW
+    s"""afp AS (
        |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
-       |  FROM cleaned),
-       |cw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM cleaned),
+       |  FROM $src),
+       |cw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM $src),
        |ashl AS (
        |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS shingle FROM (
        |    SELECT doc_id, unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]) AS s
@@ -1154,7 +1164,15 @@ object PipelineQueries {
        |pall AS (
        |  SELECT doc_id, shingle FROM cshl
        |  UNION ALL SELECT doc_id, shingle FROM ashl),
-       |pdf AS (SELECT shingle, count(*) AS df FROM pall GROUP BY shingle)
+       |pdf AS (SELECT shingle, count(*) AS df FROM pall GROUP BY shingle)""".stripMargin
+  }
+
+  def corpusCommitOracle: String = {
+    s"""WITH $commitGateCtesSql,
+       |cleaned AS (
+       |  SELECT tb.doc_id, COALESCE(ka.clean_text, '') AS text
+       |  FROM tb LEFT JOIN ka ON tb.doc_id = ka.doc_id),
+       |${commitArtifactCtesSql("cleaned")}
        |SELECT 'fingerprint' AS artifact,
        |  (SELECT count(*) FROM seen) AS n_corpus,
        |  (SELECT count(*) FROM afp) AS n_delta,
@@ -2959,91 +2977,15 @@ object PipelineQueries {
     * member the gate keeps (and hence whether the takedown residue
     * hits it) would depend on the micro-batch split. */
   def streamLifecycleOracle: String = {
-    val M = IncrementalMod
-    val W = SpanW
     val R = RetractMod
     val RR = RetractResidue
     val Cap = graft.dedup.Dedup.DefaultShingleDfCap
-    s"""WITH fpt AS (
-       |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
-       |  FROM documents),
-       |b AS (SELECT doc_id, fingerprint FROM fpt WHERE doc_id % $M = 0),
-       |seen AS (SELECT DISTINCT fingerprint FROM fpt WHERE doc_id % $M <> 0),
-       |firsts AS (SELECT fingerprint, min(doc_id) AS first_id FROM b GROUP BY fingerprint),
-       |acc AS (
-       |  SELECT b.doc_id FROM b
-       |  LEFT JOIN seen s ON b.fingerprint = s.fingerprint
-       |  JOIN firsts f ON b.fingerprint = f.fingerprint
-       |  WHERE s.fingerprint IS NULL AND b.doc_id = f.first_id),
-       |t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS wd FROM documents),
-       |sp AS (
-       |  SELECT doc_id, i - 1 AS pos,
-       |    CAST('0x' || substr(md5(array_to_string(wd[i : i + $W - 1], '_')), 1, 15) AS BIGINT) AS fp
-       |  FROM (SELECT doc_id, wd, unnest(range(1, greatest(len(wd) - $W + 2, 1))) AS i FROM t)),
-       |cfp AS (SELECT DISTINCT fp FROM sp WHERE doc_id % $M <> 0),
-       |dup AS (
-       |  SELECT sp.doc_id, sp.pos FROM sp JOIN cfp USING (fp) JOIN acc USING (doc_id)),
-       |isl AS (
-       |  SELECT doc_id, island, min(pos) AS s, max(pos + $W) AS e FROM (
-       |    SELECT doc_id, pos,
-       |      CAST(sum(opens) OVER (PARTITION BY doc_id ORDER BY pos
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
-       |    FROM (
-       |      SELECT doc_id, pos,
-       |        CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS opens
-       |      FROM (
-       |        SELECT doc_id, pos,
-       |          max(pos + $W) OVER (PARTITION BY doc_id ORDER BY pos
-       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-       |        FROM dup)))
-       |  GROUP BY doc_id, island),
-       |tb AS (SELECT t.doc_id, t.wd FROM t JOIN acc USING (doc_id)),
-       |toks AS (
-       |  SELECT doc_id, j - 1 AS tpos, wd[CAST(j AS INTEGER)] AS tok
-       |  FROM (SELECT doc_id, wd, unnest(range(1, len(wd) + 1)) AS j FROM tb)),
-       |kept AS (
-       |  SELECT tk.doc_id, tk.tpos, tk.tok FROM toks tk
-       |  WHERE NOT EXISTS (SELECT 1 FROM isl
-       |    WHERE isl.doc_id = tk.doc_id AND tk.tpos >= isl.s AND tk.tpos < isl.e)),
-       |ka AS (
-       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text
-       |  FROM kept GROUP BY doc_id),
+    s"""WITH $commitGateCtesSql,
        |surv AS (
        |  SELECT tb.doc_id, COALESCE(ka.clean_text, '') AS text
        |  FROM tb LEFT JOIN ka ON tb.doc_id = ka.doc_id
        |  WHERE tb.doc_id % $R <> $RR),
-       |afp AS (
-       |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
-       |  FROM surv),
-       |cw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM surv),
-       |ashl AS (
-       |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS shingle FROM (
-       |    SELECT doc_id, unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]) AS s
-       |    FROM cw)),
-       |asig AS (SELECT doc_id, $sigColsSql FROM ashl GROUP BY doc_id),
-       |aband AS (
-       |  ${bandSelectsSql("asig")}),
-       |aspfp AS (
-       |  SELECT DISTINCT CAST('0x' || substr(md5(array_to_string(w[i : i + $W - 1], '_')), 1, 15) AS BIGINT) AS fp
-       |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - $W + 2, 1))) AS i FROM cw)),
-       |cshl AS (
-       |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s),1,15) AS BIGINT) AS shingle FROM (
-       |    SELECT doc_id, unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w)-1)]) AS s
-       |    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
-       |      FROM documents WHERE doc_id % $M <> 0))),
-       |csig AS (SELECT doc_id, $sigColsSql FROM cshl GROUP BY doc_id),
-       |cband AS (
-       |  ${bandSelectsSql("csig")}),
-       |csimd AS (
-       |  SELECT doc_id FROM t
-       |  WHERE doc_id % $M <> 0 AND len(list_filter(wd, x -> x <> '')) > 0),
-       |asimd AS (
-       |  SELECT doc_id FROM cw WHERE len(list_filter(w, x -> x <> '')) > 0),
-       |cdf AS (SELECT shingle, count(*) AS df FROM cshl GROUP BY shingle),
-       |pall AS (
-       |  SELECT doc_id, shingle FROM cshl
-       |  UNION ALL SELECT doc_id, shingle FROM ashl),
-       |pdf AS (SELECT shingle, count(*) AS df FROM pall GROUP BY shingle)
+       |${commitArtifactCtesSql("surv")}
        |SELECT 'fingerprint' AS artifact,
        |  (SELECT count(*) FROM seen) AS n_corpus,
        |  (SELECT count(*) FROM (SELECT fingerprint FROM seen UNION SELECT fingerprint FROM afp)) AS n_committed
