@@ -793,7 +793,13 @@ object StreamingOps {
     * first `contextTurns` pairs see a shorter context than the batch
     * face would give), so set the TTL above the deployment's max
     * arrival disorder; the default None keeps exact batch parity and
-    * is what the oracle-checked faces use. */
+    * is what the oracle-checked faces use. Operational note: with
+    * processing-time timers registered the engine schedules NO-DATA
+    * micro-batches indefinitely to evaluate them — a deployment either
+    * accepts those housekeeping batches or disables
+    * `spark.sql.streaming.noDataMicroBatches.enabled`, in which case
+    * retirement is evaluated on data batches only (the TTL is
+    * best-effort housekeeping either way, never a semantic event). */
   def dialoguePairsStream(
       spark: SparkSession,
       events: DataFrame,

@@ -1538,4 +1538,49 @@ class StreamingSpec extends SparkSuite {
       "expected every artifact gate to flag at least one arrival")
     assert(ledger.length == batch.count())
   }
+
+  test("stateTtl retirement mode leaves the dialogue/pack output unchanged within the TTL") {
+    // The opt-in ProcessingTimeTimeout branch (round-12 ADVICE): with a
+    // TTL far above the run's wall-clock no conversation retires, so
+    // the output must equal the default NoTimeout path row-for-row —
+    // exercising the timeout registration and the hasTimedOut removal
+    // plumbing without depending on processing-time wall-clock.
+    // Processing-time timers make the engine schedule no-data batches
+    // forever (lastExecutionRequiresAnotherBatch stays true), so both
+    // processAllAvailable and AvailableNow spin — disable no-data
+    // batches for this test: timeout evaluation then happens on data
+    // batches only, which is all the TTL contract promises anyway
+    // (retirement is best-effort housekeeping, not a semantic event).
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = spark.conf.get(ndKey)
+    spark.conf.set(ndKey, "false")
+    def drainNow(df: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = df.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
+    val E = graft.queries.EventQueries
+    try {
+    def rows(ttl: Option[String], name: String) = drainNow(
+      StreamingOps.dialoguePairsStream(
+        spark, StreamingOps.readEvents(spark, streamDir),
+        E.DialogueContextTurns, stateTtl = ttl).toDF,
+      name).collect().map(_.toString).sorted.toSeq
+    assert(rows(Some("2 hours"), "dlg_ttl") == rows(None, "dlg_plain"))
+    def packRows(ttl: Option[String], name: String) = drainNow(
+      StreamingOps.sftPackStream(
+        spark, StreamingOps.readEvents(spark, streamDir),
+        E.DialogueContextTurns, E.SftPackBudget, stateTtl = ttl).toDF,
+      name).collect().map(_.toString).sorted.toSeq
+    assert(packRows(Some("2 hours"), "pack_ttl") ==
+      packRows(None, "pack_plain"))
+    } finally spark.conf.set(ndKey, ndPrev)
+  }
 }
