@@ -461,7 +461,7 @@ object SparkEntry {
         | string_agg(props, ' | ' ORDER BY event_id) AS merged_props
         |FROM runs GROUP BY user_id, run_seq ORDER BY user_id, run_seq""".stripMargin,
     "q_interval_agg" ->
-      """SELECT CAST(floor(epoch_ms(ts)/3600000) AS BIGINT) AS hour_id,
+      s"""SELECT ${EventQueries.HourBucketSql} AS hour_id,
         | count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents,
         | string_agg(event_type, ',' ORDER BY event_id) AS types_seq
@@ -502,9 +502,9 @@ object SparkEntry {
         |SELECT doc_id, n_tok, CAST(floor((cum_tok - n_tok)/500) AS BIGINT) AS chunk_id
         |FROM c ORDER BY doc_id""".stripMargin,
     "q_mock_summarize" ->
-      """SELECT chunk_id,
+      s"""SELECT chunk_id,
         | 'SUMMARY[' || chunk_id || ']: events=' || n_events || ', speakers=' || speakers AS summary
-        |FROM (SELECT CAST(floor(epoch_ms(ts)/3600000) AS BIGINT) AS chunk_id,
+        |FROM (SELECT ${EventQueries.HourBucketSql} AS chunk_id,
         |  count(*) AS n_events,
         |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS speakers
         | FROM events GROUP BY 1)

@@ -37,6 +37,25 @@ object EventQueries {
     * `epoch_ms`), immune to ns-vs-us truncation drift of double epochs. */
   private def epochMs(c: Column): Column = unix_millis(c)
 
+  /** Exact integer FLOOR division of a long column by bucket width `h`
+    * — `pmod` rebases the remainder to [0, h) so the integral `div` of
+    * the exact multiple equals mathematical floor for ALL signs, with
+    * no double arithmetic anywhere (`floor(x/h)` routes through a
+    * double and is exact only below 2^53). ONE home for every
+    * hour-bucket face; [[floorDivSql]] is the oracle twin. */
+  private[graft] def floorDiv(x: Column, h: Long): Column =
+    call_function("div", x - pmod(x, lit(h)), lit(h))
+
+  /** The DuckDB twin of [[floorDiv]]: integer `//` truncates toward
+    * zero there, so the same remainder rebase recovers floor exactly
+    * over the whole BIGINT range. */
+  private[graft] def floorDivSql(x: String, h: Long): String =
+    s"CAST((($x) - ((($x) % $h) + $h) % $h) // $h AS BIGINT)"
+
+  /** The epoch-hour bucket every conv/hour-keyed oracle shares. */
+  private[graft] val HourBucketSql: String =
+    floorDivSql("epoch_ms(ts)", 3600000L)
+
   /** ONE home for the SFT-dialogue expressions shared by the batch faces
     * ([[dialoguePairs]], [[sftPack]]) and the stateful streaming twins
     * ([[graft.streaming.StreamingOps.dialoguePairsStream]] /
@@ -46,17 +65,10 @@ object EventQueries {
   object Sft extends Serializable {
 
     /** Conversation key: exact integer FLOOR of the ms epoch over the
-      * hour. `pmod` rebases the remainder to [0, h) so the integral
-      * `div` of the exact multiple equals mathematical floor for ALL
-      * signs — matching the oracle's `floor(epoch_ms(ts)/3600000)`
-      * without the pre-1970 truncation drift of `/`+cast (double
-      * division truncates toward zero) and without double arithmetic
-      * anywhere (exact over the whole long range). */
-    def convId(ts: Column): Column = {
-      val ms = unix_millis(ts)
-      val h = lit(3600000L)
-      call_function("div", ms - pmod(ms, h), h)
-    }
+      * hour ([[floorDiv]]); the oracle twin is [[floorDivSql]] over
+      * `epoch_ms(ts)` — BOTH engines now stay in integers end-to-end
+      * (no 2^53 double ceiling, no pre-1970 truncation drift). */
+    def convId(ts: Column): Column = floorDiv(unix_millis(ts), 3600000L)
 
     /** Utterance rendering: event_type ':' exact integer cents. */
     def utt(eventType: Column, value: Column): Column =
@@ -188,10 +200,7 @@ object EventQueries {
     * of raw timestamps keeps the oracle hash precision-safe. */
   def intervalAgg(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .withColumn(
-        "hour_id",
-        floor(epochMs(col("ts")) / lit(3600000L)).cast("long")
-      )
+      .withColumn("hour_id", floorDiv(epochMs(col("ts")), 3600000L))
       .groupBy("hour_id")
       .agg(
         count(lit(1)).as("n_events"),
@@ -219,8 +228,8 @@ object EventQueries {
       )
     val hours = ev
       .agg(
-        floor(min(col("start_ms")) / lit(3600000L)).cast("long").as("h0"),
-        floor(max(col("start_ms")) / lit(3600000L)).cast("long").as("h1")
+        floorDiv(min(col("start_ms")), 3600000L).as("h0"),
+        floorDiv(max(col("start_ms")), 3600000L).as("h1")
       )
       .select(explode(sequence(col("h0"), col("h1"))).as("hour_id"))
       .withColumn("hs", col("hour_id") * 3600000L)
@@ -328,10 +337,7 @@ object EventQueries {
     * (/root/reference/llm_executor.py:411-432). */
   def mockSummarize(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .withColumn(
-        "chunk_id",
-        floor(epochMs(col("ts")) / lit(3600000L)).cast("long")
-      )
+      .withColumn("chunk_id", floorDiv(epochMs(col("ts")), 3600000L))
       .groupBy("chunk_id")
       .agg(
         count(lit(1)).as("n_events"),
@@ -915,7 +921,7 @@ object EventQueries {
   def sftPackOracle: String =
     s"""WITH e AS (
        |  SELECT event_id, ts,
-       |    CAST(floor(epoch_ms(ts)/3600000) AS BIGINT) AS conv_id,
+       |    $HourBucketSql AS conv_id,
        |    event_type || ':' ||
        |      CAST(CAST(round(value*100,0) AS BIGINT) AS VARCHAR) AS utt
        |  FROM events),
@@ -949,7 +955,7 @@ object EventQueries {
   def dialoguePairsOracle: String =
     s"""WITH e AS (
        |  SELECT event_id, user_id, ts,
-       |    CAST(floor(epoch_ms(ts)/3600000) AS BIGINT) AS conv_id,
+       |    $HourBucketSql AS conv_id,
        |    event_type || ':' ||
        |      CAST(CAST(round(value*100,0) AS BIGINT) AS VARCHAR) AS utt
        |  FROM events),

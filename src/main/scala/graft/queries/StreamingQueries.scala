@@ -130,7 +130,10 @@ object StreamingQueries {
       StreamingOps.readEvents(s, eventsStreamDir(d)))
     runToMemory(s, agg, OutputMode.Complete(), "graft_stream_hourly")
       .select(
-        (unix_millis(col("window_start")) / lit(3600000L)).cast("long")
+        // window() starts are exact hour multiples, so the exact
+        // integer floorDiv is a plain division here.
+        graft.queries.EventQueries
+          .floorDiv(unix_millis(col("window_start")), 3600000L)
           .as("hour_id"),
         col("event_type"),
         col("n_events"),
@@ -139,7 +142,7 @@ object StreamingQueries {
   }
 
   def streamHourlyOracle: String =
-    """SELECT CAST(floor(epoch_ms(ts)/3600000) AS BIGINT) AS hour_id,
+    s"""SELECT ${graft.queries.EventQueries.HourBucketSql} AS hour_id,
       | event_type, count(*) AS n_events,
       | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM events GROUP BY 1, 2 ORDER BY hour_id, event_type""".stripMargin
