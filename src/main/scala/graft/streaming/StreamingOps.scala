@@ -21,6 +21,40 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  /** The stateful streams' operational knobs, surfaced as ONE config so
+    * the no-data-micro-batch choice is an operator decision next to the
+    * TTL instead of a scaladoc footnote:
+    *
+    *   - `stateTtl` — opt-in ProcessingTimeTimeout retirement for the
+    *     conv-keyed state stores ([[dialoguePairsStream]] /
+    *     [[sftPackStream]]); `None` (default) keeps exact batch parity.
+    *   - `noDataMicroBatches` — whether the engine may schedule NO-DATA
+    *     micro-batches (`spark.sql.streaming.noDataMicroBatches.enabled`).
+    *     With processing-time timers registered (a set `stateTtl`) the
+    *     engine schedules them INDEFINITELY to evaluate the timers, so a
+    *     TTL'd deployment either accepts those housekeeping batches
+    *     (timely retirement, `true`) or disables them (`false` —
+    *     retirement is then evaluated on data batches only, which is all
+    *     the TTL contract promises: best-effort housekeeping, never a
+    *     semantic event). The default `true` is Spark's own.
+    *
+    * The flag is session-wide in Spark, so [[withStreamConfig]] scopes it
+    * set-run-restore around one stream rather than leaking it. */
+  case class StreamConfig(
+      stateTtl: Option[String] = None,
+      noDataMicroBatches: Boolean = true)
+
+  /** Run `body` with `cfg`'s no-data-micro-batch choice applied,
+    * restoring the session's previous setting afterwards. */
+  def withStreamConfig[A](spark: SparkSession, cfg: StreamConfig)(
+      body: StreamConfig => A): A = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, cfg.noDataMicroBatches.toString)
+    try body(cfg)
+    finally spark.conf.set(key, prev)
+  }
+
   /** The long-`ts` raw events layout: what the spec/stress harnesses write
     * when synthesizing drop-directory files (ts as epoch-long, rebuilt to
     * a timestamp by the writer's own `timestamp_micros` call). Kept as the
@@ -793,11 +827,12 @@ object StreamingOps {
     * first `contextTurns` pairs see a shorter context than the batch
     * face would give), so set the TTL above the deployment's max
     * arrival disorder; the default None keeps exact batch parity and
-    * is what the oracle-checked faces use. Operational note: with
-    * processing-time timers registered the engine schedules NO-DATA
-    * micro-batches indefinitely to evaluate them — a deployment either
-    * accepts those housekeeping batches or disables
-    * `spark.sql.streaming.noDataMicroBatches.enabled`, in which case
+    * is what the oracle-checked faces use. The companion no-data-
+    * micro-batch decision is a [[StreamConfig]] knob (see its doc):
+    * with processing-time timers registered the engine schedules
+    * NO-DATA micro-batches indefinitely to evaluate them — a
+    * deployment either accepts those housekeeping batches or sets
+    * `StreamConfig(noDataMicroBatches = false)`, in which case
     * retirement is evaluated on data batches only (the TTL is
     * best-effort housekeeping either way, never a semantic event). */
   def dialoguePairsStream(

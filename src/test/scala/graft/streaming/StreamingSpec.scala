@@ -1547,13 +1547,15 @@ class StreamingSpec extends SparkSuite {
     // plumbing without depending on processing-time wall-clock.
     // Processing-time timers make the engine schedule no-data batches
     // forever (lastExecutionRequiresAnotherBatch stays true), so both
-    // processAllAvailable and AvailableNow spin — disable no-data
-    // batches for this test: timeout evaluation then happens on data
-    // batches only, which is all the TTL contract promises anyway
-    // (retirement is best-effort housekeeping, not a semantic event).
+    // processAllAvailable and AvailableNow spin — the TTL'd runs here
+    // use StreamConfig(noDataMicroBatches = false): timeout evaluation
+    // then happens on data batches only, which is all the TTL contract
+    // promises anyway (retirement is best-effort housekeeping, not a
+    // semantic event). The plain runs keep the default-true setting, so
+    // BOTH knob positions are exercised — and withStreamConfig must
+    // restore the session flag either way.
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val ndPrev = spark.conf.get(ndKey)
-    spark.conf.set(ndKey, "false")
+    val ndBefore = spark.conf.get(ndKey)
     def drainNow(df: org.apache.spark.sql.DataFrame, name: String) = {
       val q = df.writeStream
         .outputMode("append")
@@ -1567,20 +1569,29 @@ class StreamingSpec extends SparkSuite {
       spark.table(name)
     }
     val E = graft.queries.EventQueries
-    try {
-    def rows(ttl: Option[String], name: String) = drainNow(
-      StreamingOps.dialoguePairsStream(
-        spark, StreamingOps.readEvents(spark, streamDir),
-        E.DialogueContextTurns, stateTtl = ttl).toDF,
-      name).collect().map(_.toString).sorted.toSeq
+    def cfgOf(ttl: Option[String]) = StreamingOps.StreamConfig(
+      stateTtl = ttl, noDataMicroBatches = ttl.isEmpty)
+    def rows(ttl: Option[String], name: String) =
+      StreamingOps.withStreamConfig(spark, cfgOf(ttl)) { cfg =>
+        drainNow(
+          StreamingOps.dialoguePairsStream(
+            spark, StreamingOps.readEvents(spark, streamDir),
+            E.DialogueContextTurns, stateTtl = cfg.stateTtl).toDF,
+          name).collect().map(_.toString).sorted.toSeq
+      }
     assert(rows(Some("2 hours"), "dlg_ttl") == rows(None, "dlg_plain"))
-    def packRows(ttl: Option[String], name: String) = drainNow(
-      StreamingOps.sftPackStream(
-        spark, StreamingOps.readEvents(spark, streamDir),
-        E.DialogueContextTurns, E.SftPackBudget, stateTtl = ttl).toDF,
-      name).collect().map(_.toString).sorted.toSeq
+    def packRows(ttl: Option[String], name: String) =
+      StreamingOps.withStreamConfig(spark, cfgOf(ttl)) { cfg =>
+        drainNow(
+          StreamingOps.sftPackStream(
+            spark, StreamingOps.readEvents(spark, streamDir),
+            E.DialogueContextTurns, E.SftPackBudget,
+            stateTtl = cfg.stateTtl).toDF,
+          name).collect().map(_.toString).sorted.toSeq
+      }
     assert(packRows(Some("2 hours"), "pack_ttl") ==
       packRows(None, "pack_plain"))
-    } finally spark.conf.set(ndKey, ndPrev)
+    assert(spark.conf.get(ndKey) == ndBefore,
+      "withStreamConfig must restore the session flag")
   }
 }
