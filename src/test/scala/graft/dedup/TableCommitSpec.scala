@@ -214,6 +214,136 @@ class TableCommitSpec extends SparkSuite {
       plain.committedFingerprints) == 0, "fingerprints after retract")
   }
 
+  test("mid-op crashes are atomic: unmarked folds/retracts leave no trace and replay heals") {
+    // The round-12 ADVICE scenario: the old per-table appends could
+    // commit a retraction's tombstone without its decrements (replay
+    // then a permanent no-op — state never heals) or a fold's ledger
+    // without its bands. Now every fold/retract is delta-writes →
+    // ONE marker rename, so a crash before the marker leaves the
+    // operation entirely invisible and re-delivery lands exactly.
+    val half1 = batchAll.filter(expr("(id div 10) % 2 = 0"))
+    val half2 = batchAll.filter(expr("(id div 10) % 2 = 1"))
+    val plain = mk()
+    val crashBase = java.nio.file.Files
+      .createTempDirectory("graft_tc_midcrash_").toString
+    val victim = new TableCommit(spark, crashBase, 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    plain.foldBatch(half1, 0L)
+    // Crash INSIDE the fold, after all 9 delta writes, before the marker.
+    victim.crashAt = Some("fold-before-marker")
+    intercept[IllegalStateException](victim.foldBatch(half1, 0L))
+    val reopened1 = TableCommit.reopen(spark, crashBase, 8, 4, 8)
+    assert(reopened1.accepted.count() == 0,
+      "unmarked fold visible after crash")
+    // Re-delivery of the crashed content folds cleanly (content gate
+    // never saw it) and lands on the never-crashed twin.
+    reopened1.foldBatch(half1, 1L)
+    assert(symDiff(reopened1.committedFingerprints,
+      plain.committedFingerprints) == 0, "fingerprints after fold replay")
+    assert(symDiff(reopened1.accepted, plain.accepted) == 0,
+      "accepted after fold replay")
+    // Crash INSIDE a retract, after tombstone + decrements, before the
+    // marker: tombstone and decrements stay invisible TOGETHER.
+    val del = plain.accepted.select("id").filter(col("id") % 3 === 0)
+      .localCheckpoint(true)
+    reopened1.crashAt = Some("retract-before-marker")
+    intercept[IllegalStateException](reopened1.retractBatch(del, 2L))
+    val reopened2 = TableCommit.reopen(spark, crashBase, 8, 4, 8)
+    assert(symDiff(reopened2.committedFingerprints,
+      plain.committedFingerprints) == 0,
+      "crashed retract leaked partial state")
+    // Replay of the retraction heals completely.
+    plain.retractBatch(del, 2L)
+    reopened2.retractBatch(del, 99L)
+    assert(symDiff(reopened2.committedFingerprints,
+      plain.committedFingerprints) == 0, "fingerprints after retract replay")
+    assert(symDiff(reopened2.committedNgramDf,
+      plain.committedNgramDf) == 0, "ngram df after retract replay")
+    reopened2.foldBatch(half2, 3L)
+    plain.foldBatch(half2, 3L)
+    assert(symDiff(reopened2.committedFingerprints,
+      plain.committedFingerprints) == 0, "post-recovery fold")
+  }
+
+  test("a crash on either side of the compaction marker reopens to one consistent generation") {
+    def faces(s: TableCommit) = Seq(
+      s.committedFingerprints, s.committedBands, s.committedSpanFps,
+      s.committedSimhashBands, s.committedNgramPostings,
+      s.committedNgramDf, s.committedShingleSets)
+    val half1 = batchAll.filter(expr("(id div 10) % 2 = 0"))
+    val half2 = batchAll.filter(expr("(id div 10) % 2 = 1"))
+    def prep(tag: String) = {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_tc_cc_$tag").toString
+      val s = new TableCommit(spark, base, 8, 4, 8)
+        .deploy(corpus, "doc_id", "text")
+      s.foldBatch(half1, 0L)
+      s.retractBatch(half1.select("id").filter(col("id") % 5 === 0), 1L)
+      (base, s)
+    }
+    val (_, plain) = prep("plain")
+    // Crash BEFORE the generation marker: the old generation (corpus +
+    // deltas) is fully intact; the half-written new dirs are garbage.
+    val (b1, v1) = prep("pre")
+    v1.crashAt = Some("compact-before-marker")
+    intercept[IllegalStateException](v1.compact())
+    val r1 = TableCommit.reopen(spark, b1, 8, 4, 8)
+    faces(plain).zip(faces(r1)).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(symDiff(a, b) == 0, s"face $i after pre-marker crash") }
+    // The signed multisets survived intact: a later retraction still
+    // decrements exactly (the double-count VERDICT r12 flagged would
+    // break this).
+    val del2 = r1.accepted.select("id")
+    r1.retractBatch(del2, 7L)
+    plain.retractBatch(del2, 7L)
+    faces(plain).zip(faces(r1)).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(symDiff(a, b) == 0, s"face $i retract after pre-marker crash") }
+    // Crash AFTER the marker (before GC/driver refresh): the new
+    // generation is complete and committed; old dirs are mere garbage.
+    val (b2, v2) = prep("post")
+    v2.crashAt = Some("compact-after-marker")
+    intercept[IllegalStateException](v2.compact())
+    val r2 = TableCommit.reopen(spark, b2, 8, 4, 8)
+    faces(plain).zip(faces(r2)).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(symDiff(a, b) == 0, s"face $i after post-marker crash") }
+    assert(r2.accepted.count() == 0, "compacted gen must have empty deltas")
+    r2.foldBatch(half2, 8L)
+    plain.foldBatch(half2, 8L)
+    faces(plain).zip(faces(r2)).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(symDiff(a, b) == 0, s"face $i fold after post-marker crash") }
+  }
+
+  test("the auto-compaction trigger fires on the thresholds and is a committed-face no-op") {
+    def faces(s: TableCommit) = Seq(
+      s.committedFingerprints, s.committedBands, s.committedSpanFps,
+      s.committedSimhashBands, s.committedNgramPostings,
+      s.committedNgramDf, s.committedShingleSets)
+    val plain = mk()
+    // File-count threshold low enough that a few folds cross it.
+    val auto = new TableCommit(
+      spark,
+      java.nio.file.Files.createTempDirectory("graft_tc_auto_").toString,
+      8, 4, 8, autoCompact = true, compactDeltaRatio = 1e9,
+      compactMaxDeltaFiles = 10L)
+      .deploy(corpus, "doc_id", "text")
+    for ((r, i) <- Seq(2, 0, 1).zipWithIndex) {
+      val b = batchAll.filter(col("id") % 3 === r)
+      plain.foldBatch(b, i.toLong)
+      auto.foldBatch(b, i.toLong)
+    }
+    val (_, _, files, _, genNow) = auto.maintenanceStats
+    assert(genNow > 0, "trigger never fired")
+    assert(files <= 10L, "trigger left the file count above the bound")
+    faces(plain).zip(faces(auto)).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(symDiff(a, b) == 0, s"face $i under auto-compaction") }
+    // Takedowns still exact across the trigger-fired compactions.
+    val del = batchAll.select("id").filter(col("id") % 2 === 0)
+    plain.retractBatch(del, 9L)
+    auto.retractBatch(del, 9L)
+    faces(plain).zip(faces(auto)).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(symDiff(a, b) == 0, s"face $i retract under auto-compaction") }
+  }
+
   test("retract ∘ commit == identity on the seven artifact tables") {
     val before = mk()
     val after = mk()
