@@ -38,7 +38,7 @@ class KnnStoreSpec extends SparkSuite {
     val batch = emb.filter(col("vec_id") % 9 === 8)
     val store = mk(corpus)
     Seq(0, 1, 2).foreach(r =>
-      store.foldBatch(batch.filter(col("vec_id") % 3 === r), r.toLong))
+      store.foldBatch(batch.filter(expr(s"(vec_id div 9) % 3 = $r")), r.toLong))
     assert(edges(store.mutualGraph) ==
       edges(Ivf.mutualKnnEdges(emb, centroidIds, nProbe = 2, k = k)))
   }
@@ -60,11 +60,11 @@ class KnnStoreSpec extends SparkSuite {
     val plain = mk(corpus)
     val compacted = mk(corpus)
     for (s <- Seq(plain, compacted))
-      s.foldBatch(batch.filter(col("vec_id") % 3 === 0), 0L)
+      s.foldBatch(batch.filter(expr("(vec_id div 9) % 3 = 0")), 0L)
     compacted.compact()
     assert(edges(compacted.mutualGraph) == edges(plain.mutualGraph))
     for (s <- Seq(plain, compacted))
-      s.foldBatch(batch.filter(col("vec_id") % 3 =!= 0), 1L)
+      s.foldBatch(batch.filter(expr("(vec_id div 9) % 3 <> 0")), 1L)
     assert(edges(compacted.mutualGraph) == edges(plain.mutualGraph))
     assert(edges(plain.mutualGraph) ==
       edges(Ivf.mutualKnnEdges(emb, centroidIds, nProbe = 2, k = k)))
@@ -78,14 +78,186 @@ class KnnStoreSpec extends SparkSuite {
       .createTempDirectory("graft_knn_crash_").toString
     val before = new KnnStore(spark, crashBase, nProbe = 2, k = k)
       .deploy(corpus, centroidIds)
-    plain.foldBatch(batch.filter(col("vec_id") % 3 === 0), 0L)
-    before.foldBatch(batch.filter(col("vec_id") % 3 === 0), 0L)
+    plain.foldBatch(batch.filter(expr("(vec_id div 9) % 3 = 0")), 0L)
+    before.foldBatch(batch.filter(expr("(vec_id div 9) % 3 = 0")), 0L)
     val reopened = KnnStore.reopen(spark, crashBase, nProbe = 2, k = k)
-    plain.foldBatch(batch.filter(col("vec_id") % 3 =!= 0), 1L)
-    reopened.foldBatch(batch.filter(col("vec_id") % 3 =!= 0), 1L)
+    plain.foldBatch(batch.filter(expr("(vec_id div 9) % 3 <> 0")), 1L)
+    reopened.foldBatch(batch.filter(expr("(vec_id div 9) % 3 <> 0")), 1L)
     assert(edges(reopened.mutualGraph) == edges(plain.mutualGraph))
     assert(edges(reopened.mutualGraph) ==
       edges(Ivf.mutualKnnEdges(emb, centroidIds, nProbe = 2, k = k)))
+  }
+
+  test("vector takedown: fold/retract interleavings read back the from-scratch graph of the survivors") {
+    // The merge law does NOT invert — removing a vector can ADMIT
+    // candidates ranked below it — so the store re-scores affected
+    // queries. Pinned three ways: against the from-scratch build on
+    // the survivors, against the in-memory fold∘retract twin chain,
+    // and with a later fold landing on both.
+    val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+    val batch = emb.filter(col("vec_id") % 9 === 8)
+    val f1 = batch.filter(expr("(vec_id div 9) % 3 = 0"))
+    val f2 = batch.filter(expr("(vec_id div 9) % 3 <> 0") &&
+      col("vec_id") % 10 =!= 3)
+    val del = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    val store = mk(corpus)
+    store.foldBatch(f1, 0L)
+    store.retractBatch(del, 1L)
+    store.foldBatch(f2, 2L)
+    val survivors = corpus.unionByName(f1)
+      .filter(col("vec_id") % 10 =!= 3)
+      .unionByName(f2)
+    assert(edges(store.mutualGraph) ==
+      edges(Ivf.mutualKnnEdges(survivors, centroidIds, nProbe = 2, k = k)),
+      "store vs from-scratch on survivors")
+    val twin = Ivf.knnIndexFold(
+      Ivf.knnIndexRetract(
+        Ivf.knnIndexFold(
+          Ivf.knnIndexArtifacts(corpus, centroidIds, nProbe = 2, k = k),
+          f1),
+        del),
+      f2)
+    assert(edges(store.directedEdges) ==
+      edges(twin.edges.select("q_vec_id", "vec_id", "score")),
+      "store vs in-memory fold∘retract∘fold twin")
+  }
+
+  test("takedown replays and never-stored ids are no-ops; tombstoned arrivals are rejected") {
+    val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+    val batch = emb.filter(col("vec_id") % 9 === 8)
+    val del = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    val store = mk(corpus)
+    store.foldBatch(batch.filter(col("vec_id") % 10 =!= 3), 0L)
+    store.retractBatch(del, 1L)
+    val before = edges(store.mutualGraph)
+    store.retractBatch(del, 1L) // replayed batch id: skipped outright
+    store.retractBatch(del, 2L) // content replay: every id tombstoned
+    import spark.implicits._
+    store.retractBatch(Seq(99999991L, 99999992L).toDF("vec_id"), 3L)
+    assert(edges(store.mutualGraph) == before)
+    // Retraction is permanent: a tombstoned id may not re-arrive.
+    intercept[IllegalArgumentException](
+      store.foldBatch(emb.filter(col("vec_id") % 10 === 3).limit(1), 4L))
+  }
+
+  test("mid-op crashes are atomic: unmarked folds/retracts leave no trace and replay heals") {
+    val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+    val batch = emb.filter(col("vec_id") % 9 === 8)
+    val del = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    val plain = mk(corpus)
+    val crashBase = java.nio.file.Files
+      .createTempDirectory("graft_knn_midcrash_").toString
+    val victim = new KnnStore(spark, crashBase, nProbe = 2, k = k)
+      .deploy(corpus, centroidIds)
+    // Crash inside a fold, after the three delta writes, before the marker.
+    victim.crashAt = Some("fold-before-marker")
+    intercept[IllegalStateException](victim.foldBatch(batch, 0L))
+    val r1 = KnnStore.reopen(spark, crashBase, nProbe = 2, k = k)
+    assert(edges(r1.mutualGraph) == edges(plain.mutualGraph),
+      "unmarked fold visible after crash")
+    r1.foldBatch(batch, 1L) // re-delivery lands exactly
+    plain.foldBatch(batch, 1L)
+    assert(edges(r1.directedEdges) == edges(plain.directedEdges),
+      "fold replay after crash")
+    // Crash inside a retract: tombstone and re-scored edges stay
+    // invisible TOGETHER (a visible tombstone without the re-score
+    // would erase rows the re-score was meant to replace).
+    r1.crashAt = Some("retract-before-marker")
+    intercept[IllegalStateException](r1.retractBatch(del, 2L))
+    val r2 = KnnStore.reopen(spark, crashBase, nProbe = 2, k = k)
+    assert(edges(r2.directedEdges) == edges(plain.directedEdges),
+      "crashed retract leaked partial state")
+    r2.retractBatch(del, 3L)
+    plain.retractBatch(del, 3L)
+    assert(edges(r2.directedEdges) == edges(plain.directedEdges),
+      "retract replay after crash")
+    assert(edges(r2.mutualGraph) ==
+      edges(Ivf.mutualKnnEdges(
+        emb.filter(col("vec_id") % 10 =!= 3), centroidIds,
+        nProbe = 2, k = k)),
+      "post-recovery graph vs from-scratch survivors")
+  }
+
+  test("a crash on either side of the compaction marker reopens to one consistent generation") {
+    val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+    val batch = emb.filter(col("vec_id") % 9 === 8)
+    val del = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    def prep(tag: String) = {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_knn_cc_$tag").toString
+      val s = new KnnStore(spark, base, nProbe = 2, k = k)
+        .deploy(corpus, centroidIds)
+      s.foldBatch(batch.filter(col("vec_id") % 10 =!= 3), 0L)
+      s.retractBatch(del, 1L)
+      (base, s)
+    }
+    val (_, plain) = prep("plain")
+    val (b1, v1) = prep("pre")
+    v1.crashAt = Some("compact-before-marker")
+    intercept[IllegalStateException](v1.compact())
+    val r1 = KnnStore.reopen(spark, b1, nProbe = 2, k = k)
+    assert(edges(r1.directedEdges) == edges(plain.directedEdges),
+      "pre-marker crash must leave the old generation intact")
+    val (b2, v2) = prep("post")
+    v2.crashAt = Some("compact-after-marker")
+    intercept[IllegalStateException](v2.compact())
+    val r2 = KnnStore.reopen(spark, b2, nProbe = 2, k = k)
+    assert(edges(r2.directedEdges) == edges(plain.directedEdges),
+      "post-marker crash must expose the complete new generation")
+    val more = batch.filter(col("vec_id") % 10 === 7)
+    for (s <- Seq(plain, r1, r2)) s.foldBatch(more, 9L)
+    assert(edges(r1.directedEdges) == edges(plain.directedEdges))
+    assert(edges(r2.directedEdges) == edges(plain.directedEdges))
+  }
+
+  test("the auto-compaction trigger bounds the version count and is a graph no-op") {
+    val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+    val batch = emb.filter(col("vec_id") % 9 === 8)
+    val plain = mk(corpus)
+    val auto = new KnnStore(
+      spark,
+      java.nio.file.Files.createTempDirectory("graft_knn_auto_").toString,
+      nProbe = 2, k = k, autoCompact = true, compactMaxVersions = 2L)
+      .deploy(corpus, centroidIds)
+    for ((r, i) <- Seq(0, 1, 2).zipWithIndex) {
+      val b = batch.filter(expr(s"(vec_id div 9) % 3 = $r"))
+      plain.foldBatch(b, i.toLong)
+      auto.foldBatch(b, i.toLong)
+    }
+    val (verNow, _, _, genNow) = auto.maintenanceStats
+    assert(genNow > 0, "trigger never fired")
+    assert(verNow < 2L || auto.maintenanceStats._4 > 0,
+      "version count not reset by the trigger")
+    assert(edges(auto.directedEdges) == edges(plain.directedEdges))
+    val del = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    plain.retractBatch(del, 9L)
+    auto.retractBatch(del, 9L)
+    assert(edges(auto.directedEdges) == edges(plain.directedEdges),
+      "takedown across trigger-fired compactions")
+  }
+
+  test("reopen validates the stored geometry and guards the edgeless store") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_knn_geom_").toString
+    new KnnStore(spark, base, nProbe = 2, k = k)
+      .deploy(emb.filter(col("vec_id") % 9 =!= 8), centroidIds)
+    // A silently different `parts` would mis-prune every stored
+    // partition — reopen must fail loudly instead.
+    intercept[IllegalArgumentException](
+      KnnStore.reopen(spark, base, nProbe = 2, k = k, parts = 8))
+    intercept[IllegalArgumentException](
+      KnnStore.reopen(spark, base, nProbe = 3, k = k))
+    // An edgeless store (one-vector corpus: no candidate pairs) must
+    // reopen without the null-max NPE and accept a first fold.
+    val base1 = java.nio.file.Files
+      .createTempDirectory("graft_knn_edgeless_").toString
+    val one = emb.filter(col("vec_id") === 0L)
+    new KnnStore(spark, base1, nProbe = 1, k = k).deploy(one, Seq(0L))
+    val r = KnnStore.reopen(spark, base1, nProbe = 1, k = k)
+    assert(r.directedEdges.count() == 0L)
+    r.foldBatch(emb.filter(col("vec_id") === 1L), 0L)
+    assert(r.directedEdges.count() == 2L,
+      "two vectors give one directed edge each way")
   }
 
   test("replayed batch id and empty delivery are no-ops") {
