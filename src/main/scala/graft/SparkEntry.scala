@@ -174,6 +174,7 @@ object SparkEntry {
     "q_knn_graph" -> (PipelineQueries.knnGraph _),
     "q_knn_graph_inc" -> (PipelineQueries.knnGraphInc _),
     "q_knn_retract" -> (PipelineQueries.knnRetract _),
+    "q_stream_knn_retract" -> (StreamingQueries.streamKnnRetract _),
     "q_semantic_clusters" -> (PipelineQueries.semanticClusters _),
     "q_semantic_keeplist" -> (PipelineQueries.semanticKeeplist _),
     "q_semantic_quality_keeplist" -> (PipelineQueries.semanticQualityKeeplist _),
@@ -650,6 +651,7 @@ object SparkEntry {
     "q_knn_graph" -> PipelineQueries.knnGraphOracle,
     "q_knn_graph_inc" -> PipelineQueries.knnGraphIncOracle,
     "q_knn_retract" -> PipelineQueries.knnRetractOracle,
+    "q_stream_knn_retract" -> StreamingQueries.streamKnnRetractOracle,
     "q_semantic_clusters" -> PipelineQueries.semanticClustersOracle,
     "q_semantic_keeplist" -> PipelineQueries.semanticKeeplistOracle,
     "q_semantic_quality_keeplist" -> PipelineQueries.semanticQualityKeeplistOracle,

@@ -1817,6 +1817,49 @@ object StreamingQueries {
   /** The from-scratch graph oracle IS the streaming oracle. */
   def streamKnnOracle: String = PipelineQueries.knnGraphOracle
 
+  /** STREAMING kNN-graph VECTOR TAKEDOWN — the retraction face of
+    * [[streamKnn]] on the TABLE-BACKED store
+    * ([[graft.similarity.KnnStore.retractBatch]]): takedown deliveries
+    * arrive on a live stream and each fold tombstones its ids and
+    * RE-SCORES the affected surviving queries against their probed
+    * cells' surviving members — the top-k merge law does not invert
+    * (removing a vector can ADMIT candidates ranked below it), so this
+    * is the genuinely asymmetric face the r12 verdict named, now
+    * durable: the in-memory [[graft.similarity.Ivf.knnIndexRetract]]
+    * (q_knn_retract) stays as the verification twin and the oracle is
+    * SHARED — the stored graph after streamed takedowns equals the
+    * from-scratch mutual graph of the survivors. Replay-safe by batch
+    * id and by content (tombstoned ids are no-ops). */
+  def streamKnnRetract(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{
+      IvfCentroidIds, IvfNProbe, KnnGraphK, KnnRetractMod, KnnRetractResidue}
+    val emb = Tables.embeddings(s, d)
+    val store = new graft.similarity.KnnStore(
+      s,
+      java.nio.file.Files.createTempDirectory("graft_knn_ret_store_")
+        .toString,
+      IvfNProbe, KnnGraphK)
+      .deploy(emb, IvfCentroidIds)
+    val takedowns = StreamingOps
+      .readEmbeddings(s, embeddingsStreamDir(d))
+      .filter(col("vec_id") % KnnRetractMod === KnnRetractResidue)
+      .select("vec_id")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = takedowns.writeStream
+        .foreachBatch((b: DataFrame, id: Long) => store.retractBatch(b, id))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    store.mutualGraph.orderBy("id_a", "id_b")
+  }
+
+  /** The batch kNN-retraction oracle IS the streaming oracle. */
+  def streamKnnRetractOracle: String = PipelineQueries.knnRetractOracle
+
   /** STREAMING semantic-assignment commit — the ingest stream of the
     * semantic family's stored artifact (the corpus cell table its
     * incremental gate reads): the frozen centroid table checkpoints
