@@ -140,80 +140,14 @@ class TableCommit(
 
   private val cRoot = corpusRoot.getOrElse(base)
 
-  // ---- Hadoop-FS plumbing (works on any scheme the session knows) ----
-  @transient private lazy val hconf = spark.sessionState.newHadoopConf()
-  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
-  private def fsOf(s: String) = hp(s).getFileSystem(hconf)
-  private def pathExists(s: String): Boolean = fsOf(s).exists(hp(s))
-  private def deleteDir(s: String): Unit = {
-    val fs = fsOf(s)
-    if (fs.exists(hp(s))) fs.delete(hp(s), true)
-  }
-  /** (bytes, parquet-file count) under a path — driver-side metadata. */
-  private def duOf(s: String): (Long, Long) = {
-    val fs = fsOf(s)
-    if (!fs.exists(hp(s))) (0L, 0L)
-    else {
-      var bytes = 0L; var files = 0L
-      val it = fs.listFiles(hp(s), true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) {
-          bytes += f.getLen; files += 1
-        }
-      }
-      (bytes, files)
-    }
-  }
-  /** Atomic marker commit: write content to a `.tmp` sibling, rename to
-    * the final name (same-directory rename — atomic on POSIX/HDFS). */
-  private def commitMarker(dir: String, name: String, content: String): Unit = {
-    val fs = fsOf(dir)
-    fs.mkdirs(hp(dir))
-    val tmp = hp(s"$dir/$name.tmp")
-    val out = fs.create(tmp, true)
-    out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    if (!fs.rename(tmp, hp(s"$dir/$name")))
-      throw new java.io.IOException(s"marker rename failed: $dir/$name")
-  }
-  private def listMarkers(dir: String): Seq[(String, String)] = {
-    val fs = fsOf(dir)
-    if (!fs.exists(hp(dir))) Seq.empty
-    else
-      fs.listStatus(hp(dir)).toSeq
-        .map(_.getPath)
-        .filter(_.getName.endsWith(".commit"))
-        .sortBy(_.getName)
-        .map { p =>
-          val in = fs.open(p)
-          val content =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          (p.getName.stripSuffix(".commit"), content)
-        }
-  }
+  // ---- journal (two-phase commit discipline: graft.StoreJournal) ----
+  private val journal = new graft.StoreJournal(spark, base)
 
-  // ---- generation / batch-journal state -------------------------------
-  private def gensDir(root: String) = s"$root/_gens"
-  private def batchesDir = s"$base/_batches/g$gen"
-  private def resolveGen(root: String): Int = {
-    val gens = listMarkers(gensDir(root)).map(_._1.stripPrefix("g-").toInt)
-    if (gens.isEmpty) 0 else gens.max
-  }
-  /** Current generation of the per-instance layers. */
-  private var gen: Int = resolveGen(base)
   /** The shared corpus layer is immutable (compaction is banned on
     * sharing stores), so its generation is pinned at deploy time. */
-  private def corpusGen: Int = if (corpusRoot.isDefined) 0 else gen
-  /** Marked (committed) folds of the current generation, in marker
-    * order, with the table names each wrote. */
-  private val committed =
-    scala.collection.mutable.ArrayBuffer.empty[(String, Set[String])]
+  private def corpusGen: Int = if (corpusRoot.isDefined) 0 else journal.gen
 
   private def corpusPath(t: String) = s"$cRoot/$t/corpus-g$corpusGen"
-  private def batchPath(t: String, uuid: String) =
-    s"$base/$t/delta-g$gen/b_$uuid"
   private def span0Path = s"$cRoot/span0"
 
   // ---- maintenance counters (driver-side FS metadata only) ------------
@@ -223,9 +157,9 @@ class TableCommit(
   private def tables = Seq("docs", "fp", "span", "bands", "simhash",
     "ngramdf", "postings", "sets", "ledger", "tomb")
   private def refreshCorpusBytes(): Unit =
-    corpusBytes = tables.map(t => duOf(corpusPath(t))._1).sum
+    corpusBytes = tables.map(t => journal.du(corpusPath(t))._1).sum
   private def chargeDelta(uuid: String, wrote: Set[String]): Unit = {
-    val dus = wrote.toSeq.map(t => duOf(batchPath(t, uuid)))
+    val dus = wrote.toSeq.map(t => journal.du(journal.batchPath(t, uuid)))
     deltaBytes += dus.map(_._1).sum
     deltaFiles += dus.map(_._2).sum
   }
@@ -254,20 +188,10 @@ class TableCommit(
     .add("id", LongType).add("shingles", ArrayType(LongType))
   private val tombSchema = new StructType().add("id", LongType)
 
-  private def emptyOf(schema: StructType): DataFrame =
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-
   private def readOr(path: String, schema: StructType): DataFrame =
-    if (pathExists(path)) spark.read.schema(schema).parquet(path)
-    else emptyOf(schema)
-
-  /** The marked (journal-committed) delta batches of one table. */
-  private def readDelta(t: String, schema: StructType): DataFrame = {
-    val paths = committed.collect { case (u, ts) if ts(t) => batchPath(t, u) }
-    if (paths.isEmpty) emptyOf(schema)
-    else spark.read.schema(schema).parquet(paths.toSeq: _*)
-  }
+    journal.readOr(path, schema)
+  private def readDelta(t: String, schema: StructType): DataFrame =
+    journal.readDelta(t, schema)
 
   /** Both layers of a table (current-generation corpus + marked deltas). */
   private def readAll(t: String, schema: StructType): DataFrame =
@@ -289,7 +213,7 @@ class TableCommit(
     * the file count stays one per table per fold). Invisible to reads
     * until the fold's marker commits. */
   private def writeBatch(df: DataFrame, t: String, uuid: String): Unit =
-    df.coalesce(1).write.mode("overwrite").parquet(batchPath(t, uuid))
+    journal.writeBatch(df, t, uuid)
 
   // ---- per-doc artifact builders (shared by deploy and the folds) ----
   private def fpRows(docs: DataFrame, sign: Long): DataFrame = docs
@@ -350,14 +274,10 @@ class TableCommit(
     * compacted span layer, so the span-clean baseline stays the
     * deploy-time one across any compact/crash history. */
   private[dedup] def rebuild(): TableCommit = {
-    gen = resolveGen(base)
-    committed.clear()
-    committed ++= listMarkers(batchesDir).map { case (u, c) =>
-      (u, c.split("\n").filter(_.nonEmpty).toSet)
-    }
+    journal.reload()
     refreshCorpusBytes()
     deltaBytes = 0L; deltaFiles = 0L
-    committed.foreach { case (u, ts) => chargeDelta(u, ts) }
+    journal.committed.foreach { case (u, ts) => chargeDelta(u, ts) }
     val fpRowsAll = readAll("fp", fpSchema).select("fingerprint")
       .unionByName(readAll("ledger", ledgerSchema).select("fingerprint"))
     fpBloom = fpRowsAll.stat.bloomFilter(
@@ -398,8 +318,7 @@ class TableCommit(
       partitioned = false, 0)
     writeCorpus(Dedup.shingleSetsOfRows(rows), "sets",
       partitioned = false, 0)
-    commitMarker(gensDir(cRoot), "g-00000.commit", "deploy")
-    gen = 0
+    journal.markDeploy()
     refreshCorpusBytes()
     // Gate Blooms built from the READ-BACK stored tables (columnar
     // scans; counts are parquet-metadata-fast). No distinct anywhere —
@@ -485,7 +404,7 @@ class TableCommit(
       .localCheckpoint(true)
     // COMMIT — batch-sized delta writes into this fold's private batch
     // dirs, then the one atomic marker.
-    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val uuid = journal.newUuid()
     writeBatch(accepted.withColumn("part", partOf(col("id"))),
       "docs", uuid)
     writeBatch(
@@ -505,8 +424,7 @@ class TableCommit(
     val wrote = Set("docs", "ledger", "fp", "span", "bands", "simhash",
       "ngramdf", "postings", "sets")
     crashPoint("fold-before-marker")
-    commitMarker(batchesDir, s"$uuid.commit", wrote.mkString("\n"))
-    committed += ((uuid, wrote))
+    journal.markBatch(uuid, wrote)
     chargeDelta(uuid, wrote)
     // Grow the gate Blooms: committed (cleaned) fps, raw-ledger fps, ids.
     accepted.select(fpc(col("text")).as("f")).filter(col("f").isNotNull)
@@ -576,7 +494,7 @@ class TableCommit(
       .select("id", "text")
       .localCheckpoint(true)
     if (deleted.isEmpty) return
-    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val uuid = journal.newUuid()
     writeBatch(deleted.select("id"), "tomb", uuid)
     writeBatch(fpRows(deleted, -1L), "fp", uuid)
     writeBatch(spanRows(deleted, -1L), "span", uuid)
@@ -586,8 +504,7 @@ class TableCommit(
     // re-delivered taken-down content stays rejected.
     val wrote = Set("tomb", "fp", "span", "ngramdf")
     crashPoint("retract-before-marker")
-    commitMarker(batchesDir, s"$uuid.commit", wrote.mkString("\n"))
-    committed += ((uuid, wrote))
+    journal.markBatch(uuid, wrote)
     chargeDelta(uuid, wrote)
     maybeAutoCompact()
   }
@@ -676,7 +593,8 @@ class TableCommit(
     * (corpus bytes, delta bytes, delta files, committed folds since
     * the last compaction, current generation). */
   def maintenanceStats: (Long, Long, Long, Int, Int) =
-    (corpusBytes, deltaBytes, deltaFiles, committed.size, gen)
+    (corpusBytes, deltaBytes, deltaFiles, journal.committed.size,
+      journal.gen)
 
   private def maybeAutoCompact(): Unit =
     if (autoCompact && corpusRoot.isEmpty &&
@@ -703,7 +621,7 @@ class TableCommit(
     require(corpusRoot.isEmpty,
       "compact() rewrites the corpus layer — not allowed on a store " +
         "sharing a memoized deploy (other stores read it)")
-    val g2 = gen + 1
+    val g2 = journal.gen + 1
     val fp = readAll("fp", fpSchema)
       .groupBy("fingerprint", "part").agg(sum(col("w")).as("w"))
       .filter(col("w") > 0)
@@ -740,22 +658,21 @@ class TableCommit(
     writeCorpus(sets, "sets", partitioned = false, g2)
     writeCorpus(ledger, "ledger", partitioned = true, g2)
     crashPoint("compact-before-marker")
-    commitMarker(gensDir(base), f"g-$g2%05d.commit", "compact")
+    journal.markGeneration(g2)
     crashPoint("compact-after-marker")
     // The new generation is committed; everything below is driver-state
     // refresh plus best-effort GC of the now-unreferenced old dirs (a
     // crash in here leaves garbage, never corruption — reads are
     // generation-scoped).
-    val gOld = gen
-    gen = g2
-    committed.clear()
+    val gOld = journal.gen
+    journal.advance(g2)
     refreshCorpusBytes()
     deltaBytes = 0L; deltaFiles = 0L
     tables.foreach { t =>
-      deleteDir(s"$cRoot/$t/corpus-g$gOld")
-      deleteDir(s"$base/$t/delta-g$gOld")
+      journal.delete(s"$cRoot/$t/corpus-g$gOld")
+      journal.delete(s"$base/$t/delta-g$gOld")
     }
-    deleteDir(s"$base/_batches/g$gOld")
+    journal.gcBatches(gOld)
   }
 }
 

@@ -101,68 +101,11 @@ class KnnStore(
   private def partOf(c: org.apache.spark.sql.Column) =
     pmod(hash(c), lit(parts))
 
-  // ---- Hadoop-FS plumbing / journal (TableCommit's discipline) --------
-  @transient private lazy val hconf = spark.sessionState.newHadoopConf()
-  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
-  private def fsOf(s: String) = hp(s).getFileSystem(hconf)
-  private def pathExists(s: String): Boolean = fsOf(s).exists(hp(s))
-  private def deleteDir(s: String): Unit = {
-    val fs = fsOf(s)
-    if (fs.exists(hp(s))) fs.delete(hp(s), true)
-  }
-  private def duFiles(s: String): Long = {
-    val fs = fsOf(s)
-    if (!fs.exists(hp(s))) 0L
-    else {
-      var files = 0L
-      val it = fs.listFiles(hp(s), true)
-      while (it.hasNext)
-        if (it.next().getPath.getName.endsWith(".parquet")) files += 1
-      files
-    }
-  }
-  private def commitMarker(dir: String, name: String, content: String): Unit = {
-    val fs = fsOf(dir)
-    fs.mkdirs(hp(dir))
-    val tmp = hp(s"$dir/$name.tmp")
-    val out = fs.create(tmp, true)
-    out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    if (!fs.rename(tmp, hp(s"$dir/$name")))
-      throw new java.io.IOException(s"marker rename failed: $dir/$name")
-  }
-  private def listMarkers(dir: String): Seq[(String, String)] = {
-    val fs = fsOf(dir)
-    if (!fs.exists(hp(dir))) Seq.empty
-    else
-      fs.listStatus(hp(dir)).toSeq
-        .map(_.getPath)
-        .filter(_.getName.endsWith(".commit"))
-        .sortBy(_.getName)
-        .map { q =>
-          val in = fs.open(q)
-          val content =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          (q.getName.stripSuffix(".commit"), content)
-        }
-  }
-
-  private def gensDir = s"$base/_gens"
-  private def batchesDir = s"$base/_batches/g$gen"
-  private def resolveGen(): Int = {
-    val gens = listMarkers(gensDir).map(_._1.stripPrefix("g-").toInt)
-    if (gens.isEmpty) 0 else gens.max
-  }
-  private var gen: Int = resolveGen()
-  private val committed =
-    scala.collection.mutable.ArrayBuffer.empty[(String, Set[String])]
+  // ---- journal (two-phase commit discipline: graft.StoreJournal) ----
+  private val journal = new graft.StoreJournal(spark, base)
   private var deltaFiles: Long = 0L
 
-  private def corpusPath(t: String) = s"$base/$t/corpus-g$gen"
-  private def batchPath(t: String, uuid: String) =
-    s"$base/$t/delta-g$gen/b_$uuid"
-
+  private def corpusPath(t: String) = s"$base/$t/corpus-g${journal.gen}"
   /** Crash-injection hook for the recovery specs (see
     * [[graft.dedup.TableCommit]]): "fold-before-marker",
     * "retract-before-marker", "compact-before-marker",
@@ -184,25 +127,19 @@ class KnnStore(
     .add("score", DoubleType).add("ver", LongType).add("part", IntegerType)
   private val tombSchema = new StructType().add("vec_id", LongType)
 
-  private def emptyOf(schema: StructType): DataFrame =
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  private def emptyOf(schema: StructType): DataFrame = journal.emptyOf(schema)
 
   private def readOr(path: String, schema: StructType): DataFrame =
-    if (pathExists(path)) spark.read.schema(schema).parquet(path)
-    else emptyOf(schema)
+    journal.readOr(path, schema)
 
-  private def readDelta(t: String, schema: StructType): DataFrame = {
-    val paths = committed.collect { case (u, ts) if ts(t) => batchPath(t, u) }
-    if (paths.isEmpty) emptyOf(schema)
-    else spark.read.schema(schema).parquet(paths.toSeq: _*)
-  }
+  private def readDelta(t: String, schema: StructType): DataFrame =
+    journal.readDelta(t, schema)
 
   private def readAll(t: String, schema: StructType): DataFrame =
     readOr(corpusPath(t), schema).unionByName(readDelta(t, schema))
 
   private def writeBatch(df: DataFrame, t: String, uuid: String): Unit =
-    df.coalesce(1).write.mode("overwrite").parquet(batchPath(t, uuid))
+    journal.writeBatch(df, t, uuid)
 
   private def tomb: DataFrame = readDelta("tomb", tombSchema)
 
@@ -268,8 +205,7 @@ class KnnStore(
       .coalesce(4)
       .write.mode("overwrite").partitionBy("part")
       .parquet(corpusPath("edges"))
-    commitMarker(gensDir, "g-00000.commit", "deploy")
-    gen = 0
+    journal.markDeploy()
     this
   }
 
@@ -324,7 +260,7 @@ class KnnStore(
     val merged = Similarity
       .rankTopK(oldTopK.unionByName(newCand), k)
       .select("q_vec_id", "vec_id", "score")
-    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val uuid = journal.newUuid()
     writeBatch(
       bEdges.unionByName(merged)
         .withColumn("ver", lit(ver))
@@ -334,8 +270,7 @@ class KnnStore(
     writeBatch(bAsg, "asg", uuid)
     val wrote = Set("edges", "probes", "asg")
     crashPoint("fold-before-marker")
-    commitMarker(batchesDir, s"$uuid.commit", wrote.mkString("\n"))
-    committed += ((uuid, wrote))
+    journal.markBatch(uuid, wrote)
     deltaFiles += wrote.size
     maybeAutoCompact()
   }
@@ -379,7 +314,7 @@ class KnnStore(
             .join(broadcast(fresh), Seq("vec_id"), "left_anti"),
           k).select("q_vec_id", "vec_id", "score")
       }
-    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val uuid = journal.newUuid()
     writeBatch(fresh.select("vec_id"), "tomb", uuid)
     writeBatch(
       rescored
@@ -388,8 +323,7 @@ class KnnStore(
       "edges", uuid)
     val wrote = Set("tomb", "edges")
     crashPoint("retract-before-marker")
-    commitMarker(batchesDir, s"$uuid.commit", wrote.mkString("\n"))
-    committed += ((uuid, wrote))
+    journal.markBatch(uuid, wrote)
     deltaFiles += wrote.size
     maybeAutoCompact()
   }
@@ -403,7 +337,7 @@ class KnnStore(
   /** Maintenance readout: (version count, delta files, committed ops
     * since the last compaction, current generation). */
   def maintenanceStats: (Long, Long, Int, Int) =
-    (ver, deltaFiles, committed.size, gen)
+    (ver, deltaFiles, journal.committed.size, journal.gen)
 
   private def maybeAutoCompact(): Unit =
     if (autoCompact &&
@@ -411,7 +345,7 @@ class KnnStore(
       compact()
 
   private[similarity] def restore(): KnnStore = {
-    require(pathExists(p("meta")),
+    require(journal.exists(p("meta")),
       s"KnnStore.reopen: no store at $base (missing meta)")
     val m = spark.read.parquet(p("meta")).head()
     val (sN, sK, sP) = (m.getAs[Int]("nProbe"), m.getAs[Int]("k"),
@@ -421,12 +355,8 @@ class KnnStore(
         s"!= requested (nProbe=$nProbe, k=$k, parts=$parts) — a mismatched " +
         "parts would silently mis-prune every stored partition")
     centArr = spark.read.parquet(p("cent")).localCheckpoint(true)
-    gen = resolveGen()
-    committed.clear()
-    committed ++= listMarkers(batchesDir).map { case (u, c) =>
-      (u, c.split("\n").filter(_.nonEmpty).toSet)
-    }
-    deltaFiles = committed.iterator.map(_._2.size.toLong).sum
+    journal.reload()
+    deltaFiles = journal.committed.iterator.map(_._2.size.toLong).sum
     // Guard the empty-edges case (deploy over a corpus producing no
     // edges): max(ver) is null there, not a row to getLong.
     val mx = readEdgesRaw.agg(max(col("ver"))).head()
@@ -443,7 +373,7 @@ class KnnStore(
     * the single generation-marker rename exactly like
     * [[graft.dedup.TableCommit.compact]]. */
   def compact(): Unit = synchronized {
-    val g2 = gen + 1
+    val g2 = journal.gen + 1
     val cur = directedEdges.localCheckpoint(true)
     val probesAll = readProbes.localCheckpoint(true)
     val asgAll = readAsg.localCheckpoint(true)
@@ -460,18 +390,17 @@ class KnnStore(
       .write.mode("overwrite").partitionBy("part")
       .parquet(s"$base/edges/corpus-g$g2")
     crashPoint("compact-before-marker")
-    commitMarker(gensDir, f"g-$g2%05d.commit", "compact")
+    journal.markGeneration(g2)
     crashPoint("compact-after-marker")
-    val gOld = gen
-    gen = g2
+    val gOld = journal.gen
+    journal.advance(g2)
     ver = 0L
-    committed.clear()
     deltaFiles = 0L
     Seq("probes", "asg", "edges", "tomb").foreach { t =>
-      deleteDir(s"$base/$t/corpus-g$gOld")
-      deleteDir(s"$base/$t/delta-g$gOld")
+      journal.delete(s"$base/$t/corpus-g$gOld")
+      journal.delete(s"$base/$t/delta-g$gOld")
     }
-    deleteDir(s"$base/_batches/g$gOld")
+    journal.gcBatches(gOld)
   }
 }
 
