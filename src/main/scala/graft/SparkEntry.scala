@@ -217,6 +217,7 @@ object SparkEntry {
     "q_stream_audio" -> (StreamingQueries.streamAudio _),
     "q_stream_ann" -> (StreamingQueries.streamAnn _),
     "q_stream_index_commit" -> (StreamingQueries.streamIndexCommit _),
+    "q_stream_index_retract" -> (StreamingQueries.streamIndexRetract _),
     "q_stream_knn" -> (StreamingQueries.streamKnn _),
     "q_stream_semantic_commit" -> (StreamingQueries.streamSemanticCommit _),
     "q_stream_attribution" -> (StreamingQueries.streamAttribution _),
@@ -690,6 +691,7 @@ object SparkEntry {
     "q_stream_audio" -> StreamingQueries.streamAudioOracle,
     "q_stream_ann" -> StreamingQueries.streamAnnOracle,
     "q_stream_index_commit" -> StreamingQueries.streamIndexCommitOracle,
+    "q_stream_index_retract" -> StreamingQueries.streamIndexRetractOracle,
     "q_stream_knn" -> StreamingQueries.streamKnnOracle,
     "q_stream_semantic_commit" -> StreamingQueries.streamSemanticCommitOracle,
     "q_stream_attribution" -> StreamingQueries.streamAttributionOracle,

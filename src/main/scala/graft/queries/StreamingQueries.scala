@@ -1699,30 +1699,71 @@ object StreamingQueries {
     * (one shared oracle). Replay-safe by batch id; codebook refresh
     * stays the retrain decision the drift/recall monitors trigger. */
   def streamIndexCommit(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{SemIncMod, SemIncResidue}
+    val store = deployedPqStore(s, d)
+    val arrivals = StreamingOps
+      .readEmbeddings(s, embeddingsStreamDir(d))
+      .filter(col("vec_id") % SemIncMod === SemIncResidue)
+      .select("vec_id", "embedding")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = arrivals.writeStream
+        .foreachBatch((b: DataFrame, id: Long) => store.foldBatch(b, id))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    store.postings.orderBy("vec_id", "sub")
+  }
+
+  /** The deploy every PQ-store stream face shares: codebooks trained on
+    * the vec_id % SemIncMod ≠ SemIncResidue corpus, corpus codes as the
+    * generation-0 posting baseline
+    * ([[graft.similarity.PqStore.deploy]]). */
+  private def deployedPqStore(
+      s: SparkSession, d: String): graft.similarity.PqStore = {
     import PipelineQueries.{
       SemIncMod, SemIncResidue, IvfCentroidIds, EmbDims, PqM, PqIters}
     val emb = Tables.embeddings(s, d)
-    val (cb0, codes0) = graft.similarity.Ivf.pqArtifacts(
+    val (cb, codes) = graft.similarity.Ivf.pqArtifacts(
       emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue),
       IvfCentroidIds, EmbDims, PqM, PqIters)
-    val cb = cb0.localCheckpoint(true)
-    // TABLE-BACKED postings (VERDICT r11's chained-fold shape): the
-    // deploy writes the corpus codes once; each delivery appends its
-    // batch-sized encodings — frozen-codebook encoding is per-vector
-    // deterministic, so append IS the exact commitPqCodes fold, minus
-    // the per-delivery full-table re-checkpoint. The id-disjointness
-    // law verifies against a driver Bloom (no false negatives) with a
-    // partition-pruned exact check for the Bloom hits only.
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_pq_store_").toString
-    val parts = 16
-    def partOf(c: org.apache.spark.sql.Column) = pmod(hash(c), lit(parts))
-    codes0.withColumn("part", partOf(col("vec_id")))
-      .coalesce(4).write.mode("overwrite").partitionBy("part").parquet(dir)
-    val ids0 = codes0.select("vec_id").distinct().localCheckpoint(true)
-    val idBloom = ids0.stat.bloomFilter(
-      "vec_id", math.max(1L, ids0.count()), 0.01)
-    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    new graft.similarity.PqStore(
+      s,
+      java.nio.file.Files.createTempDirectory("graft_pq_store_").toString,
+      EmbDims, PqM)
+      .deploy(codes, cb)
+  }
+
+  /** The batch index-commit oracle IS the streaming oracle. */
+  def streamIndexCommitOracle: String = PipelineQueries.indexCommitOracle
+
+  /** STREAMING ANN-index TAKEDOWN — the retraction face of
+    * [[streamIndexCommit]] on the TABLE-BACKED posting store
+    * ([[graft.similarity.PqStore.retractBatch]]): one live stream
+    * carries BOTH lifecycles — each micro-batch's gate-accepted
+    * arrivals fold in under the frozen codebooks, then its takedown
+    * residue (vec_id % [[PipelineQueries.RetractMod]] ==
+    * [[PipelineQueries.RetractResidue]]) tombstones, and the resting
+    * corpus's own takedown slice retracts before the stream starts
+    * (the pre-release takedown shape). The posting table is purely
+    * id-keyed, so the tombstone anti-join is EXACT retraction; the
+    * in-memory [[graft.similarity.Ivf.retractPqCodes]]
+    * (q_index_retract) stays the verification twin and the oracle is
+    * SHARED. Replay-safe by batch id and by content. */
+  def streamIndexRetract(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{
+      SemIncMod, SemIncResidue, RetractMod, RetractResidue}
+    val emb = Tables.embeddings(s, d)
+    val store = deployedPqStore(s, d)
+    // Resting-corpus takedown before the ingest stream starts.
+    store.retractBatch(
+      emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue &&
+        col("vec_id") % RetractMod === RetractResidue)
+        .select("vec_id"),
+      -1L)
     val arrivals = StreamingOps
       .readEmbeddings(s, embeddingsStreamDir(d))
       .filter(col("vec_id") % SemIncMod === SemIncResidue)
@@ -1733,46 +1774,22 @@ object StreamingQueries {
     try {
       val q = arrivals.writeStream
         .foreachBatch { (b: DataFrame, id: Long) =>
-          if (seen.add(id)) {
-            import s.implicits._
-            val bb = b.localCheckpoint(true)
-            val bIds = bb.select("vec_id").distinct().as[Long].collect()
-            val cand = bIds.filter(idBloom.mightContainLong)
-            val clashes =
-              if (cand.isEmpty) 0L
-              else {
-                val candDf = cand.toSeq.toDF("vec_id")
-                  .withColumn("part", partOf(col("vec_id")))
-                  .localCheckpoint(true)
-                val cParts =
-                  candDf.select("part").distinct().as[Int].collect().toSeq
-                s.read.parquet(dir)
-                  .filter(col("part").isin(cParts: _*))
-                  .select("vec_id")
-                  .join(broadcast(candDf.select("vec_id")),
-                    Seq("vec_id"), "left_semi")
-                  .count()
-              }
-            require(clashes == 0L,
-              s"streamIndexCommit: $clashes arrival vec_id(s) already " +
-                "stored — ids must be disjoint")
-            graft.similarity.Ivf.encodePq(bb, cb, EmbDims, PqM)
-              .withColumn("part", partOf(col("vec_id")))
-              .coalesce(1).write.mode("append").partitionBy("part")
-              .parquet(dir)
-            bIds.foreach(idBloom.putLong)
-          }
-          ()
+          val bb = b.localCheckpoint(true)
+          store.foldBatch(bb, id)
+          store.retractBatch(
+            bb.filter(col("vec_id") % RetractMod === RetractResidue)
+              .select("vec_id"),
+            1000000L + id)
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally s.conf.set(key, prev)
-    s.read.parquet(dir).drop("part").orderBy("vec_id", "sub")
+    store.postings.orderBy("vec_id", "sub")
   }
 
-  /** The batch index-commit oracle IS the streaming oracle. */
-  def streamIndexCommitOracle: String = PipelineQueries.indexCommitOracle
+  /** The batch index-retraction oracle IS the streaming oracle. */
+  def streamIndexRetractOracle: String = PipelineQueries.indexRetractOracle
 
   /** STREAMING kNN-graph maintenance — the mutual graph kept current AS
     * vectors arrive, over the TABLE-BACKED index store

@@ -1,0 +1,250 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** TABLE-BACKED PQ posting store — the production shape of the PQ
+  * index's commit/retract faces ([[Ivf.commitPqCodes]] /
+  * [[Ivf.retractPqCodes]] stay as the in-memory verification twins):
+  * the code postings live in a hash-partitioned parquet baseline,
+  * each arriving delivery encodes against the FROZEN codebooks
+  * (per-vector map work) and appends its batch-sized rows, and a
+  * takedown appends the ids to ONE tombstone table — the posting table
+  * is purely id-keyed ((vec_id, sub, code) rows; no content-keyed set,
+  * no df sidecar), so the read-time tombstone anti-join IS the exact
+  * retraction: retracted == rebuilt-from-scratch on corpus \ deleted
+  * under the same frozen codebooks, because frozen-codebook encoding
+  * is per-vector deterministic. The codebooks keep their trained
+  * state (refresh is the retrain decision the drift/recall monitors
+  * trigger).
+  *
+  * Id-disjointness (no re-commit of stored OR tombstoned ids) verifies
+  * against a driver Bloom with a partition-pruned exact check for the
+  * Bloom hits only — the [[graft.dedup.TableCommit]] gate shape.
+  * Durability is the shared [[graft.StoreJournal]] discipline: per-op
+  * batch dirs committed by one atomic marker rename; [[compact]]
+  * rewrites the postings as a fresh generation (tombstones applied)
+  * committed by one generation-marker rename; crash anywhere reopens
+  * to a consistent state. `autoCompact` watches the delta:corpus byte
+  * ratio and the delta file count. */
+class PqStore(
+    spark: SparkSession,
+    base: String,
+    dims: Int,
+    m: Int,
+    parts: Int = 16,
+    autoCompact: Boolean = false,
+    compactDeltaRatio: Double = 0.5,
+    compactMaxDeltaFiles: Long = 512L) {
+
+  import spark.implicits._
+
+  private val journal = new graft.StoreJournal(spark, base)
+  private def p(rel: String) = s"$base/$rel"
+  private def corpusPath(t: String) = s"$base/$t/corpus-g${journal.gen}"
+  private def partOf(c: org.apache.spark.sql.Column) =
+    pmod(hash(c), lit(parts))
+
+  private val codeSchema = new StructType()
+    .add("vec_id", LongType).add("sub", IntegerType)
+    .add("code", LongType).add("part", IntegerType)
+  private val tombSchema = new StructType().add("vec_id", LongType)
+
+  private var codebooks: DataFrame = _
+  private var idBloom: org.apache.spark.util.sketch.BloomFilter = _
+  private val seenFolds = scala.collection.mutable.HashSet.empty[Long]
+  private val seenRetracts = scala.collection.mutable.HashSet.empty[Long]
+  private var corpusBytes: Long = 0L
+  private var deltaBytes: Long = 0L
+  private var deltaFiles: Long = 0L
+
+  /** Crash-injection hook (see [[graft.dedup.TableCommit]]). */
+  private[similarity] var crashAt: Option[String] = None
+  private def crashPoint(name: String): Unit =
+    if (crashAt.contains(name))
+      throw new IllegalStateException(s"injected crash at $name")
+
+  private def readDelta(t: String) = journal.readDelta(t, schemaOf(t))
+  private def readAll(t: String) =
+    journal.readOr(corpusPath(t), schemaOf(t)).unionByName(readDelta(t))
+  private def schemaOf(t: String) =
+    if (t == "tomb") tombSchema else codeSchema
+  private def tomb: DataFrame = readDelta("tomb")
+
+  private def chargeDelta(uuid: String, wrote: Set[String]): Unit = {
+    val dus = wrote.toSeq.map(t => journal.du(journal.batchPath(t, uuid)))
+    deltaBytes += dus.map(_._1).sum
+    deltaFiles += dus.map(_._2).sum
+  }
+
+  /** Deploy the trained artifacts: frozen codebooks + the corpus code
+    * postings, committed as generation 0. */
+  def deploy(corpusCodes: DataFrame, cb: DataFrame): PqStore = {
+    codebooks = cb.localCheckpoint(true)
+    codebooks.write.mode("overwrite").parquet(p("cb"))
+    Seq((dims, m, parts)).toDF("dims", "m", "parts")
+      .coalesce(1).write.mode("overwrite").parquet(p("meta"))
+    corpusCodes
+      .withColumn("part", partOf(col("vec_id")))
+      .repartition(parts, col("part"))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(corpusPath("codes"))
+    journal.markDeploy()
+    corpusBytes = journal.du(corpusPath("codes"))._1
+    val ids = journal.readOr(corpusPath("codes"), codeSchema)
+      .select("vec_id").distinct()
+    idBloom = ids.stat.bloomFilter("vec_id", math.max(1L, ids.count()), 0.01)
+    this
+  }
+
+  /** Fold one delivery of (vec_id, embedding) arrivals: gate on id
+    * disjointness (stored ∪ tombstoned; Bloom + pruned exact verify),
+    * encode against the frozen codebooks, append — frozen-codebook
+    * encoding is per-vector deterministic, so append IS the exact
+    * [[Ivf.commitPqCodes]] fold. Replay-safe by batch id; ATOMIC. */
+  def foldBatch(arrivals: DataFrame, batchId: Long): Unit = synchronized {
+    if (!seenFolds.add(batchId)) return
+    val bb = arrivals.select("vec_id", "embedding").localCheckpoint(true)
+    if (bb.isEmpty) return
+    val bIds = bb.select("vec_id").distinct().as[Long].collect()
+    val cand = bIds.filter(idBloom.mightContainLong)
+    val clashes =
+      if (cand.isEmpty) 0L
+      else {
+        val candDf = cand.toSeq.toDF("vec_id")
+          .withColumn("part", partOf(col("vec_id")))
+          .localCheckpoint(true)
+        val cParts = candDf.select("part").distinct().as[Int].collect().toSeq
+        readAll("codes")
+          .filter(col("part").isin(cParts: _*))
+          .select("vec_id")
+          .unionByName(tomb.select("vec_id"))
+          .join(broadcast(candDf.select("vec_id")), Seq("vec_id"),
+            "left_semi")
+          .count()
+      }
+    require(clashes == 0L,
+      s"PqStore: $clashes arrival vec_id(s) already stored or tombstoned " +
+        "— ids must be disjoint")
+    val uuid = journal.newUuid()
+    journal.writeBatch(
+      Ivf.encodePq(bb, codebooks, dims, m)
+        .withColumn("part", partOf(col("vec_id"))),
+      "codes", uuid)
+    val wrote = Set("codes")
+    crashPoint("fold-before-marker")
+    journal.markBatch(uuid, wrote)
+    chargeDelta(uuid, wrote)
+    bIds.foreach(idBloom.putLong)
+    maybeAutoCompact()
+  }
+
+  /** Fold one takedown delivery (a `vec_id` frame): tombstone the
+    * stored ids — the anti-join IS the retraction for a purely
+    * id-keyed table. Replay-safe by batch id and by content; ATOMIC. */
+  def retractBatch(deleteIds: DataFrame, batchId: Long): Unit = synchronized {
+    if (!seenRetracts.add(batchId)) return
+    val del = deleteIds.select(col("vec_id")).distinct()
+      .withColumn("part", partOf(col("vec_id")))
+      .localCheckpoint(true)
+    val dParts = del.select("part").distinct().as[Int].collect().toSeq
+    val fresh = del.select("vec_id")
+      .join(tomb, Seq("vec_id"), "left_anti")
+      .join(readAll("codes").filter(col("part").isin(dParts: _*))
+          .select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      .localCheckpoint(true)
+    if (fresh.isEmpty) return
+    val uuid = journal.newUuid()
+    journal.writeBatch(fresh, "tomb", uuid)
+    val wrote = Set("tomb")
+    crashPoint("retract-before-marker")
+    journal.markBatch(uuid, wrote)
+    chargeDelta(uuid, wrote)
+    maybeAutoCompact()
+  }
+
+  /** The posting rows an ADC search could still scan. */
+  def postings: DataFrame = readAll("codes")
+    .join(tomb, Seq("vec_id"), "left_anti")
+    .select("vec_id", "sub", "code")
+
+  /** Maintenance readout: (corpus bytes, delta bytes, delta files,
+    * committed ops since the last compaction, current generation). */
+  def maintenanceStats: (Long, Long, Long, Int, Int) =
+    (corpusBytes, deltaBytes, deltaFiles, journal.committed.size,
+      journal.gen)
+
+  private def maybeAutoCompact(): Unit =
+    if (autoCompact &&
+        (deltaBytes > compactDeltaRatio * math.max(1L, corpusBytes) ||
+          deltaFiles > compactMaxDeltaFiles)) compact()
+
+  private[similarity] def restore(): PqStore = {
+    require(journal.exists(p("meta")),
+      s"PqStore.reopen: no store at $base (missing meta)")
+    val mt = spark.read.parquet(p("meta")).head()
+    val (sd, sm, sp) = (mt.getAs[Int]("dims"), mt.getAs[Int]("m"),
+      mt.getAs[Int]("parts"))
+    require(sd == dims && sm == m && sp == parts,
+      s"PqStore.reopen: stored geometry (dims=$sd, m=$sm, parts=$sp) != " +
+        s"requested (dims=$dims, m=$m, parts=$parts)")
+    codebooks = spark.read.parquet(p("cb")).localCheckpoint(true)
+    journal.reload()
+    corpusBytes = journal.du(corpusPath("codes"))._1
+    deltaBytes = 0L; deltaFiles = 0L
+    journal.committed.foreach { case (u, ts) => chargeDelta(u, ts) }
+    val ids = readAll("codes").select("vec_id")
+      .unionByName(tomb.select("vec_id")).distinct()
+    idBloom = ids.stat.bloomFilter("vec_id", math.max(1L, ids.count()), 0.01)
+    this
+  }
+
+  /** Fold the marked deltas and tombstones into a fresh generation of
+    * the posting baseline — a committed-face no-op, crash-atomic via
+    * the generation marker. */
+  def compact(): Unit = synchronized {
+    val g2 = journal.gen + 1
+    val survivors = postings
+      .withColumn("part", partOf(col("vec_id")))
+      .localCheckpoint(true)
+    survivors
+      .repartition(parts, col("part"))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(s"$base/codes/corpus-g$g2")
+    crashPoint("compact-before-marker")
+    journal.markGeneration(g2)
+    crashPoint("compact-after-marker")
+    val gOld = journal.gen
+    journal.advance(g2)
+    corpusBytes = journal.du(corpusPath("codes"))._1
+    deltaBytes = 0L; deltaFiles = 0L
+    Seq("codes", "tomb").foreach { t =>
+      journal.delete(s"$base/$t/corpus-g$gOld")
+      journal.delete(s"$base/$t/delta-g$gOld")
+    }
+    journal.gcBatches(gOld)
+  }
+}
+
+object PqStore {
+  /** CRASH RECOVERY: reopen over existing tables — codebooks reload,
+    * the stored geometry validates, the journal scopes reads to the
+    * committed generation + marked ops, the id Bloom rebuilds from the
+    * stored ids ∪ tombstones. */
+  def reopen(
+      spark: SparkSession,
+      base: String,
+      dims: Int,
+      m: Int,
+      parts: Int = 16,
+      autoCompact: Boolean = false,
+      compactDeltaRatio: Double = 0.5,
+      compactMaxDeltaFiles: Long = 512L): PqStore = {
+    val s = new PqStore(spark, base, dims, m, parts,
+      autoCompact = autoCompact, compactDeltaRatio = compactDeltaRatio,
+      compactMaxDeltaFiles = compactMaxDeltaFiles)
+    s.restore()
+  }
+}

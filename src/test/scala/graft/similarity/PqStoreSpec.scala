@@ -1,0 +1,138 @@
+package graft.similarity
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The laws of the TABLE-BACKED PQ posting store ([[PqStore]]): chained
+  * folds read back exactly [[Ivf.commitPqCodes]] on the union (frozen-
+  * codebook encoding is per-vector deterministic), takedowns read back
+  * exactly [[Ivf.retractPqCodes]] (purely id-keyed table: the tombstone
+  * anti-join IS the retraction), replay safety, journal crash
+  * atomicity, and trigger-fired compaction == manual == no-op. */
+class PqStoreSpec extends SparkSuite {
+
+  private val Dims = 64
+  private val M = 4
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private val centroidIds = (0 until 8).map(_ * 37L)
+  private lazy val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+  private lazy val batch = emb.filter(col("vec_id") % 9 === 8)
+    .select("vec_id", "embedding").localCheckpoint(true)
+
+  private lazy val artifacts = {
+    val (cb, codes) = Ivf.pqArtifacts(corpus, centroidIds, Dims, M, 2)
+    (cb.localCheckpoint(true), codes.localCheckpoint(true))
+  }
+
+  private def mk(autoCompact: Boolean = false,
+      maxFiles: Long = 512L): PqStore = {
+    val (cb, codes) = artifacts
+    new PqStore(
+      spark,
+      java.nio.file.Files.createTempDirectory("graft_pq_spec_").toString,
+      Dims, M, autoCompact = autoCompact, compactDeltaRatio = 1e9,
+      compactMaxDeltaFiles = maxFiles)
+      .deploy(codes, cb)
+  }
+
+  private def symDiff(a: DataFrame, b: DataFrame): Long =
+    a.exceptAll(b).count() + b.exceptAll(a).count()
+
+  private def split(r: Int): DataFrame =
+    batch.filter(expr(s"(vec_id div 9) % 3 = $r"))
+
+  test("chained folds read back the one-shot commitPqCodes, row for row") {
+    val (cb, codes) = artifacts
+    val store = mk()
+    Seq(0, 1, 2).foreach(r => store.foldBatch(split(r), r.toLong))
+    store.foldBatch(split(0), 0L) // batch-id replay: skipped
+    assert(symDiff(store.postings,
+      Ivf.commitPqCodes(codes, cb, batch, Dims, M)) == 0)
+  }
+
+  test("takedowns read back retractPqCodes; replays and bogus ids are no-ops") {
+    val (cb, codes) = artifacts
+    val store = mk()
+    store.foldBatch(batch, 0L)
+    val del = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    store.retractBatch(del, 1L)
+    store.retractBatch(del, 1L) // batch-id replay
+    store.retractBatch(del, 2L) // content replay
+    import spark.implicits._
+    store.retractBatch(Seq(99999991L).toDF("vec_id"), 3L) // never stored
+    assert(symDiff(store.postings,
+      Ivf.retractPqCodes(
+        Ivf.commitPqCodes(codes, cb, batch, Dims, M), del)) == 0)
+    // Retracted ids may not be recommitted.
+    intercept[IllegalArgumentException](
+      store.foldBatch(emb.filter(col("vec_id") % 10 === 3)
+        .select("vec_id", "embedding").limit(1), 4L))
+  }
+
+  test("mid-op crashes are atomic and reopen resumes exactly") {
+    val (cb, codes) = artifacts
+    val plain = mk()
+    val crashBase = java.nio.file.Files
+      .createTempDirectory("graft_pq_crash_").toString
+    val victim = new PqStore(spark, crashBase, Dims, M).deploy(codes, cb)
+    victim.crashAt = Some("fold-before-marker")
+    intercept[IllegalStateException](victim.foldBatch(batch, 0L))
+    val r1 = PqStore.reopen(spark, crashBase, Dims, M)
+    assert(symDiff(r1.postings, plain.postings) == 0,
+      "unmarked fold visible after crash")
+    r1.foldBatch(batch, 1L)
+    plain.foldBatch(batch, 1L)
+    assert(symDiff(r1.postings, plain.postings) == 0, "fold replay")
+    val del = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    r1.crashAt = Some("retract-before-marker")
+    intercept[IllegalStateException](r1.retractBatch(del, 2L))
+    val r2 = PqStore.reopen(spark, crashBase, Dims, M)
+    assert(symDiff(r2.postings, plain.postings) == 0,
+      "crashed retract leaked state")
+    r2.retractBatch(del, 3L)
+    plain.retractBatch(del, 3L)
+    assert(symDiff(r2.postings, plain.postings) == 0, "retract replay")
+    // Geometry validation fails loudly.
+    intercept[IllegalArgumentException](
+      PqStore.reopen(spark, crashBase, Dims, M, parts = 8))
+  }
+
+  test("a crash on either side of the compaction marker reopens consistently; trigger == manual == no-op") {
+    val (cb, codes) = artifacts
+    val del = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    def prep(tag: String) = {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_pq_cc_$tag").toString
+      val s = new PqStore(spark, base, Dims, M).deploy(codes, cb)
+      s.foldBatch(batch, 0L)
+      s.retractBatch(del, 1L)
+      (base, s)
+    }
+    val (_, plain) = prep("plain")
+    val (b1, v1) = prep("pre")
+    v1.crashAt = Some("compact-before-marker")
+    intercept[IllegalStateException](v1.compact())
+    val r1 = PqStore.reopen(spark, b1, Dims, M)
+    assert(symDiff(r1.postings, plain.postings) == 0, "pre-marker crash")
+    val (b2, v2) = prep("post")
+    v2.crashAt = Some("compact-after-marker")
+    intercept[IllegalStateException](v2.compact())
+    val r2 = PqStore.reopen(spark, b2, Dims, M)
+    assert(symDiff(r2.postings, plain.postings) == 0, "post-marker crash")
+    // Trigger-fired compaction (file bound crossed per fold) lands on
+    // the no-compact twin.
+    val auto = mk(autoCompact = true, maxFiles = 0L)
+    Seq(0, 1, 2).foreach(r => auto.foldBatch(split(r), 10L + r))
+    val noComp = mk()
+    Seq(0, 1, 2).foreach(r => noComp.foldBatch(split(r), 10L + r))
+    assert(auto.maintenanceStats._5 > 0, "trigger never fired")
+    assert(symDiff(auto.postings, noComp.postings) == 0,
+      "trigger-fired compaction changed the committed face")
+    auto.retractBatch(del, 20L)
+    noComp.retractBatch(del, 20L)
+    assert(symDiff(auto.postings, noComp.postings) == 0,
+      "takedown across trigger-fired compactions")
+  }
+}
