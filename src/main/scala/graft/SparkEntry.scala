@@ -82,6 +82,8 @@ object SparkEntry {
     "q_stream_sentence" -> (StreamingQueries.streamSentence _),
     "q_stream_sentence_commit" ->
       (StreamingQueries.streamSentenceCommit _),
+    "q_stream_sentence_retract" ->
+      (StreamingQueries.streamSentenceRetract _),
     "q_stream_dialogue" -> (StreamingQueries.streamDialogue _),
     "q_stream_sft_pack" -> (StreamingQueries.streamSftPack _),
     "q_stream_embedding_quality" ->
@@ -554,6 +556,8 @@ object SparkEntry {
     "q_stream_sentence" -> StreamingQueries.streamSentenceOracle,
     "q_stream_sentence_commit" ->
       StreamingQueries.streamSentenceCommitOracle,
+    "q_stream_sentence_retract" ->
+      StreamingQueries.streamSentenceRetractOracle,
     "q_stream_dialogue" -> StreamingQueries.streamDialogueOracle,
     "q_stream_sft_pack" -> StreamingQueries.streamSftPackOracle,
     "q_stream_embedding_quality" ->

@@ -1232,7 +1232,7 @@ object Dedup {
   /** Shared sentence-instance rows of every cross-doc sentence face:
     * (id, pos, sentence, sh) — positioned, trimmed, non-empty, 60-bit
     * hashed. */
-  private def sentenceRows(
+  private[dedup] def sentenceRows(
       df: DataFrame,
       idCol: String,
       textCol: String,

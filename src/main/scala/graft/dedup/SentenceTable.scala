@@ -1,0 +1,263 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** TABLE-BACKED cross-doc sentence-hash store — the production shape of
+  * the sentence commit/retract faces ([[Dedup.committedSentenceHashes]]
+  * / [[Dedup.retractSentenceHashes]] stay as the in-memory verification
+  * twins): the committed sentence-hash set lives as a SIGNED MULTISET
+  * at per-(doc, hash) grain — a commit appends one +1 row per distinct
+  * (document, sentence hash), a takedown appends the matching −1 rows,
+  * and the set face at read time is `sum(w) > 0`. The multiset makes
+  * retraction exact WITHOUT the batch face's corpus-wide retention
+  * scan: a hash leaves the set exactly when its LAST remaining
+  * document's −1 lands (the planted-footer retention case — a hash
+  * shared by many documents survives any subset's takedown — falls out
+  * of the arithmetic). The committed documents persist alongside
+  * (id-keyed, tombstoned on takedown) so a takedown delivery carrying
+  * only ids can regenerate the exact −1 rows from the stored text.
+  *
+  * Id-disjointness (no re-commit of stored OR tombstoned doc ids — a
+  * double-committed document would double its +1 rows and break the
+  * decrement symmetry) verifies against a driver Bloom with a
+  * partition-pruned exact check for the Bloom hits only. Durability is
+  * the shared [[graft.StoreJournal]] discipline: per-op batch dirs
+  * committed by one atomic marker rename; [[compact]] folds the marked
+  * deltas and tombstones into a fresh generation — summed multiset
+  * rows PRESERVE the per-hash count, so later takedowns still
+  * decrement exactly — committed by one generation-marker rename.
+  * `autoCompact` watches the delta:corpus byte ratio and delta file
+  * count. */
+class SentenceTable(
+    spark: SparkSession,
+    base: String,
+    parts: Int = 16,
+    splitRegex: String = graft.text.TextFunctions.PortableSentenceSplit,
+    autoCompact: Boolean = false,
+    compactDeltaRatio: Double = 0.5,
+    compactMaxDeltaFiles: Long = 512L) {
+
+  import spark.implicits._
+
+  private val journal = new graft.StoreJournal(spark, base)
+  private def corpusPath(t: String) = s"$base/$t/corpus-g${journal.gen}"
+  private def partOf(c: org.apache.spark.sql.Column) =
+    pmod(hash(c), lit(parts))
+
+  private val docSchema = new StructType()
+    .add("id", LongType).add("text", StringType).add("part", IntegerType)
+  private val shSchema = new StructType()
+    .add("sh", LongType).add("w", LongType).add("part", IntegerType)
+  private val tombSchema = new StructType().add("id", LongType)
+
+  private var idBloom: org.apache.spark.util.sketch.BloomFilter = _
+  private val seenFolds = scala.collection.mutable.HashSet.empty[Long]
+  private val seenRetracts = scala.collection.mutable.HashSet.empty[Long]
+  private var corpusBytes: Long = 0L
+  private var deltaBytes: Long = 0L
+  private var deltaFiles: Long = 0L
+
+  /** Crash-injection hook (see [[TableCommit]]). */
+  private[dedup] var crashAt: Option[String] = None
+  private def crashPoint(name: String): Unit =
+    if (crashAt.contains(name))
+      throw new IllegalStateException(s"injected crash at $name")
+
+  private def schemaOf(t: String) = t match {
+    case "docs" => docSchema
+    case "sh" => shSchema
+    case "tomb" => tombSchema
+  }
+  private def readDelta(t: String) = journal.readDelta(t, schemaOf(t))
+  private def readAll(t: String) =
+    journal.readOr(corpusPath(t), schemaOf(t)).unionByName(readDelta(t))
+  private def tomb: DataFrame = readDelta("tomb")
+
+  private def chargeDelta(uuid: String, wrote: Set[String]): Unit = {
+    val dus = wrote.toSeq.map(t => journal.du(journal.batchPath(t, uuid)))
+    deltaBytes += dus.map(_._1).sum
+    deltaFiles += dus.map(_._2).sum
+  }
+
+  /** One ±`sign` row per distinct (document, sentence hash) — the
+    * multiset grain at which retraction is exact. */
+  private def shRows(docs: DataFrame, sign: Long): DataFrame =
+    Dedup.sentenceRows(docs, "id", "text", splitRegex)
+      .select("id", "sh").distinct()
+      .select(col("sh"), lit(sign).as("w"), partOf(col("sh")).as("part"))
+
+  def deploy(corpus: DataFrame, idCol: String, textCol: String): SentenceTable = {
+    val docs = corpus
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .localCheckpoint(true)
+    docs.withColumn("part", partOf(col("id")))
+      .repartition(parts, col("part"))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(corpusPath("docs"))
+    shRows(docs, 1L)
+      .repartition(parts, col("part"))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(corpusPath("sh"))
+    journal.markDeploy()
+    corpusBytes = Seq("docs", "sh").map(t => journal.du(corpusPath(t))._1).sum
+    idBloom = docs.stat.bloomFilter("id", math.max(1L, docs.count()), 0.01)
+    this
+  }
+
+  /** Fold one delivery of (id, text) documents: the id gate drops
+    * arrivals whose id is already stored or tombstoned (the document id
+    * IS the content key here — re-delivered documents are id-keyed
+    * no-ops, and tombstoned ids may not be recommitted; a
+    * double-committed id would double its +1 rows and break the
+    * decrement symmetry), then the per-(doc, hash) +1 rows append.
+    * Replay-safe by batch id and by id; ATOMIC. */
+  def foldBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+    if (!seenFolds.add(batchId)) return
+    val raw = batch.select(col("id"), col("text")).localCheckpoint(true)
+    if (raw.isEmpty) return
+    val rawIds = raw.select("id").distinct().as[Long].collect()
+    val cand = rawIds.filter(idBloom.mightContainLong)
+    val bb =
+      if (cand.isEmpty) raw
+      else {
+        val candDf = cand.toSeq.toDF("id")
+          .withColumn("part", partOf(col("id"))).localCheckpoint(true)
+        val cParts = candDf.select("part").distinct().as[Int].collect().toSeq
+        val present = readAll("docs")
+          .filter(col("part").isin(cParts: _*)).select("id")
+          .unionByName(tomb.select("id"))
+          .join(broadcast(candDf.select("id")), Seq("id"), "left_semi")
+          .distinct()
+        raw.join(broadcast(present), Seq("id"), "left_anti")
+          .localCheckpoint(true)
+      }
+    if (bb.isEmpty) return
+    val bIds = bb.select("id").distinct().as[Long].collect()
+    val uuid = journal.newUuid()
+    journal.writeBatch(bb.withColumn("part", partOf(col("id"))),
+      "docs", uuid)
+    journal.writeBatch(shRows(bb, 1L), "sh", uuid)
+    val wrote = Set("docs", "sh")
+    crashPoint("fold-before-marker")
+    journal.markBatch(uuid, wrote)
+    chargeDelta(uuid, wrote)
+    bIds.foreach(idBloom.putLong)
+    maybeAutoCompact()
+  }
+
+  /** Fold one takedown delivery (an `id` frame): tombstone the stored
+    * ids and append the −1 rows regenerated from the stored texts.
+    * Replay-safe by batch id and by content; ATOMIC — tombstone and
+    * decrements become visible together. */
+  def retractBatch(deleteIds: DataFrame, batchId: Long): Unit = synchronized {
+    if (!seenRetracts.add(batchId)) return
+    val del = deleteIds.select(col("id")).distinct()
+      .join(tomb, Seq("id"), "left_anti")
+      .withColumn("part", partOf(col("id")))
+      .localCheckpoint(true)
+    if (del.isEmpty) return
+    val dParts = del.select("part").distinct().as[Int].collect().toSeq
+    val deleted = readAll("docs")
+      .filter(col("part").isin(dParts: _*))
+      .join(broadcast(del.select("id")), Seq("id"), "left_semi")
+      .select("id", "text")
+      .localCheckpoint(true)
+    if (deleted.isEmpty) return
+    val uuid = journal.newUuid()
+    journal.writeBatch(deleted.select("id"), "tomb", uuid)
+    journal.writeBatch(shRows(deleted, -1L), "sh", uuid)
+    val wrote = Set("tomb", "sh")
+    crashPoint("retract-before-marker")
+    journal.markBatch(uuid, wrote)
+    chargeDelta(uuid, wrote)
+    maybeAutoCompact()
+  }
+
+  /** The committed sentence-hash set: `sum(w) > 0`. */
+  def presentHashes: DataFrame = readAll("sh")
+    .groupBy("sh").agg(sum(col("w")).as("n"))
+    .filter(col("n") > 0)
+    .select("sh")
+
+  /** The baseline (deploy until first compaction) distinct hash set —
+    * the readouts' n_corpus face. */
+  def corpusHashes: DataFrame =
+    journal.readOr(corpusPath("sh"), shSchema).select("sh").distinct()
+
+  /** Maintenance readout: (corpus bytes, delta bytes, delta files,
+    * committed ops since the last compaction, current generation). */
+  def maintenanceStats: (Long, Long, Long, Int, Int) =
+    (corpusBytes, deltaBytes, deltaFiles, journal.committed.size,
+      journal.gen)
+
+  private def maybeAutoCompact(): Unit =
+    if (autoCompact &&
+        (deltaBytes > compactDeltaRatio * math.max(1L, corpusBytes) ||
+          deltaFiles > compactMaxDeltaFiles)) compact()
+
+  /** Fold the marked deltas and tombstones into a fresh generation —
+    * multiset rows compact to one summed row per surviving hash
+    * (count-preserving), docs to their tombstone survivors; a
+    * committed-face no-op, crash-atomic via the generation marker. */
+  def compact(): Unit = synchronized {
+    val g2 = journal.gen + 1
+    val sh = readAll("sh")
+      .groupBy("sh", "part").agg(sum(col("w")).as("w"))
+      .filter(col("w") > 0)
+      .select("sh", "w", "part")
+      .localCheckpoint(true)
+    val docs = readAll("docs").join(tomb, Seq("id"), "left_anti")
+      .select("id", "text", "part")
+      .localCheckpoint(true)
+    sh.repartition(parts, col("part"))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(s"$base/sh/corpus-g$g2")
+    docs.repartition(parts, col("part"))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(s"$base/docs/corpus-g$g2")
+    crashPoint("compact-before-marker")
+    journal.markGeneration(g2)
+    crashPoint("compact-after-marker")
+    val gOld = journal.gen
+    journal.advance(g2)
+    corpusBytes = Seq("docs", "sh").map(t => journal.du(corpusPath(t))._1).sum
+    deltaBytes = 0L; deltaFiles = 0L
+    Seq("docs", "sh", "tomb").foreach { t =>
+      journal.delete(s"$base/$t/corpus-g$gOld")
+      journal.delete(s"$base/$t/delta-g$gOld")
+    }
+    journal.gcBatches(gOld)
+  }
+
+  private[dedup] def restore(): SentenceTable = {
+    journal.reload()
+    corpusBytes = Seq("docs", "sh").map(t => journal.du(corpusPath(t))._1).sum
+    deltaBytes = 0L; deltaFiles = 0L
+    journal.committed.foreach { case (u, ts) => chargeDelta(u, ts) }
+    val ids = readAll("docs").select("id")
+      .unionByName(tomb.select("id")).distinct()
+    idBloom = ids.stat.bloomFilter("id", math.max(1L, ids.count()), 0.01)
+    this
+  }
+}
+
+object SentenceTable {
+  /** CRASH RECOVERY: reopen over the stored tables — the journal scopes
+    * reads to the committed generation + marked ops; the id Bloom
+    * rebuilds from stored ids ∪ tombstones; replay protection after a
+    * crash is the id gate (a re-delivered document is an id-keyed
+    * no-op regardless of its batch id). */
+  def reopen(
+      spark: SparkSession,
+      base: String,
+      parts: Int = 16,
+      splitRegex: String = graft.text.TextFunctions.PortableSentenceSplit,
+      autoCompact: Boolean = false,
+      compactDeltaRatio: Double = 0.5,
+      compactMaxDeltaFiles: Long = 512L): SentenceTable =
+    new SentenceTable(spark, base, parts, splitRegex,
+      autoCompact = autoCompact, compactDeltaRatio = compactDeltaRatio,
+      compactMaxDeltaFiles = compactMaxDeltaFiles).restore()
+}

@@ -824,22 +824,13 @@ object StreamingQueries {
     * oracle. */
   def streamSentenceCommit(s: SparkSession, d: String): DataFrame = {
     import PipelineQueries.IncrementalMod
-    val D = graft.dedup.Dedup
     val docs = documents(s, d)
       .withColumn("text", concat(col("text"), lit(PipelineQueries.Footer)))
-    val corpusSet = D
-      .sentenceHashSet(
-        docs.filter(col("doc_id") % IncrementalMod =!= 0), "doc_id", "text")
-      .localCheckpoint(true)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_sent_store_").toString
-    val parts = 16
-    def partOf(c: org.apache.spark.sql.Column) = pmod(hash(c), lit(parts))
-    corpusSet.withColumn("part", partOf(col("sh")))
-      .coalesce(4).write.mode("overwrite").partitionBy("part").parquet(dir)
-    val shBloom = corpusSet.stat.bloomFilter(
-      "sh", math.max(1L, corpusSet.count()), 0.01)
-    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val store = new graft.dedup.SentenceTable(
+      s,
+      java.nio.file.Files.createTempDirectory("graft_sent_store_").toString)
+      .deploy(docs.filter(col("doc_id") % IncrementalMod =!= 0),
+        "doc_id", "text")
     val arrivals = StreamingOps
       .readDocuments(s, docsStreamDir(d))
       .filter(col("doc_id") % IncrementalMod === 0)
@@ -850,45 +841,63 @@ object StreamingQueries {
     try {
       val q = arrivals.writeStream
         .foreachBatch { (b: DataFrame, id: Long) =>
-          if (seen.add(id)) {
-            import s.implicits._
-            val bSh = D.sentenceHashSet(b, "doc_id", "text")
-              .localCheckpoint(true)
-            val hashes = bSh.as[Long].collect()
-            val cand = hashes.filter(shBloom.mightContainLong)
-            val novel =
-              if (cand.isEmpty) bSh
-              else {
-                val candDf = cand.toSeq.toDF("sh")
-                  .withColumn("part", partOf(col("sh")))
-                  .localCheckpoint(true)
-                val cParts =
-                  candDf.select("part").distinct().as[Int].collect().toSeq
-                val present = s.read.parquet(dir)
-                  .filter(col("part").isin(cParts: _*))
-                  .join(broadcast(candDf.select("sh")), Seq("sh"),
-                    "left_semi")
-                  .select("sh")
-                bSh.join(broadcast(present), Seq("sh"), "left_anti")
-                  .localCheckpoint(true)
-              }
-            novel.withColumn("part", partOf(col("sh")))
-              .coalesce(1).write.mode("append").partitionBy("part")
-              .parquet(dir)
-            novel.as[Long].collect().foreach(shBloom.putLong)
-          }
-          ()
+          store.foldBatch(b.select(col("doc_id").as("id"), col("text")), id)
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally s.conf.set(key, prev)
-    D.commitSentenceReadout(corpusSet, s.read.parquet(dir).select("sh"))
+    graft.dedup.Dedup
+      .commitSentenceReadout(store.corpusHashes, store.presentHashes)
   }
 
   /** The batch sentence-commit oracle IS the streaming oracle. */
   def streamSentenceCommitOracle: String =
     PipelineQueries.sentenceCommitOracle
+
+  /** STREAMING sentence-hash TAKEDOWN — the retraction face of
+    * [[streamSentenceCommit]] on the TABLE-BACKED multiset store
+    * ([[graft.dedup.SentenceTable.retractBatch]]): the whole corpus
+    * deploys as per-(doc, hash) +1 rows, takedown deliveries stream in
+    * carrying only doc ids, and each fold tombstones the ids and
+    * appends the −1 rows regenerated from the STORED texts — a hash
+    * leaves the committed set exactly when its last remaining
+    * document's decrement lands, so the planted-footer retention case
+    * (a hash shared by every document survives any subset's takedown)
+    * falls out of the signed-multiset arithmetic with NO corpus
+    * retention scan, the exact scan [[Dedup.retractSentenceHashes]]
+    * (q_sentence_retract, the verification twin) must pay per
+    * takedown. The oracle is SHARED: the committed set after streamed
+    * takedowns equals the rebuilt-from-scratch hash set of the
+    * survivors. Replay-safe by batch id and by content. */
+  def streamSentenceRetract(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{KnnRetractMod, KnnRetractResidue}
+    val docs = documents(s, d)
+      .withColumn("text", concat(col("text"), lit(PipelineQueries.Footer)))
+    val store = new graft.dedup.SentenceTable(
+      s,
+      java.nio.file.Files.createTempDirectory("graft_sent_ret_").toString)
+      .deploy(docs, "doc_id", "text")
+    val takedowns = StreamingOps
+      .readDocuments(s, docsStreamDir(d))
+      .filter(col("doc_id") % KnnRetractMod === KnnRetractResidue)
+      .select(col("doc_id").as("id"))
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = takedowns.writeStream
+        .foreachBatch((b: DataFrame, id: Long) => store.retractBatch(b, id))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    store.presentHashes.orderBy("sh")
+  }
+
+  /** The batch sentence-retraction oracle IS the streaming oracle. */
+  def streamSentenceRetractOracle: String =
+    PipelineQueries.sentenceRetractOracle
 
   /** STREAMING canary gate — the scan a training pipeline runs at the
     * DOOR, not just over the resting corpus: arriving documents
