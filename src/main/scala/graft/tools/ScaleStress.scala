@@ -973,6 +973,98 @@ object ScaleStress {
       }
     }
 
+    // Round-13: the FOLD-COUNT AXIS — the r12 curves varied CORPUS size
+    // but timed delivery #1 only; the cost that actually compounds in a
+    // long-running ingest is per-DELIVERY-INDEX: the Nth fold's gate
+    // reads union N−1 marked delta batches (TableCommit) or pay the
+    // max-ver window over every edge version ever written (KnnStore).
+    // This stage runs N consecutive micro-batch deliveries (commits
+    // with a takedown every 8th) at FIXED corpus, TWICE — trigger OFF
+    // (the raw growth curve) and trigger ON (autoCompact on the
+    // delta-file bound) — and prints per-delivery wall time by index
+    // block plus the delta-file/generation readout. Done-criterion from
+    // the r12 verdict: the trigger-ON curve stays bounded (flat or
+    // sawtooth) across compactions while file count respects the bound.
+    def blockReport(tag: String, secs: Array[Double]): Unit = {
+      val n = secs.length
+      def mean(a: Int, b: Int) =
+        secs.slice(a, b).sum / math.max(1, b - a)
+      println(f"[stress] $tag%-44s d1 ${secs.head}%5.2f  " +
+        f"d${n / 4} ${secs(n / 4 - 1)}%5.2f  d${n / 2} ${secs(n / 2 - 1)}%5.2f  " +
+        f"d$n ${secs(n - 1)}%5.2f | block means " +
+        f"${mean(0, n / 4)}%5.2f ${mean(n / 4, n / 2)}%5.2f " +
+        f"${mean(n / 2, 3 * n / 4)}%5.2f ${mean(3 * n / 4, n)}%5.2f s")
+    }
+    if (only.forall(sel =>
+        "r13 fold-count axis: table commit knn store".contains(sel))) {
+      val deliveries = 64
+      val tcCorpus = corpus.filter(col("doc_id") % 10 =!= 0)
+      def tcSlice(i: Int) = base
+        .filter(col("doc_id") % 10 === 0 &&
+          pmod(expr("doc_id div 10"), lit(deliveries)) === i)
+        .select(col("doc_id").as("id"), col("text"))
+      for (trigger <- Seq(false, true)) {
+        val tag = if (trigger) "trigger ON " else "trigger OFF"
+        var store: graft.dedup.TableCommit = null
+        time(s"r13 fold-count tc deploy   [$tag]") {
+          store = new graft.dedup.TableCommit(
+            spark,
+            java.nio.file.Files
+              .createTempDirectory("graft_stress_tcn_").toString,
+            8, 4, 8, autoCompact = trigger, compactDeltaRatio = 1e9,
+            compactMaxDeltaFiles = 64L)
+            .deploy(tcCorpus, "doc_id", "text")
+        }
+        val secs = (0 until deliveries).map { i =>
+          val t0 = System.nanoTime()
+          if (i % 8 == 7) store.retractBatch(tcSlice(i - 3).select("id"),
+            10000L + i)
+          else store.foldBatch(tcSlice(i), i.toLong)
+          (System.nanoTime() - t0) / 1e9
+        }.toArray
+        blockReport(s"r13 fold-count tc per-delivery [$tag]", secs)
+        val (cb, db, df, ops, gen) = store.maintenanceStats
+        println(f"[stress] r13 fold-count tc state  [$tag] corpus " +
+          f"${cb / 1e6}%8.1f MB, delta ${db / 1e6}%6.1f MB, $df%4d files, " +
+          f"$ops%3d ops since compact, gen $gen%2d")
+      }
+      // KnnStore: same axis over the cell-partitioned index — here the
+      // no-trigger cost driver is the max-ver window paying for every
+      // superseded version (r12 verdict finding #3).
+      val embAll = spark.read
+        .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      // Seeds must live in the corpus slice (vec_id % 9 != 8).
+      val knnSeeds = (0 until 20).map(_ * 37L).filter(_ % 9 != 8).take(16)
+      def knnSlice(i: Int) = embAll
+        .filter(col("vec_id") % 9 === 8 &&
+          pmod(expr("vec_id div 9"), lit(deliveries)) === i)
+        .select("vec_id", "embedding")
+      for (trigger <- Seq(false, true)) {
+        val tag = if (trigger) "trigger ON " else "trigger OFF"
+        var store: graft.similarity.KnnStore = null
+        time(s"r13 fold-count knn deploy  [$tag]") {
+          store = new graft.similarity.KnnStore(
+            spark,
+            java.nio.file.Files
+              .createTempDirectory("graft_stress_knnn_").toString,
+            nProbe = 2, k = 4, autoCompact = trigger,
+            compactMaxVersions = 16L, compactMaxDeltaFiles = 48L)
+            .deploy(embAll.filter(col("vec_id") % 9 =!= 8), knnSeeds)
+        }
+        val secs = (0 until deliveries).map { i =>
+          val t0 = System.nanoTime()
+          if (i % 8 == 7)
+            store.retractBatch(knnSlice(i - 3).select("vec_id"), 10000L + i)
+          else store.foldBatch(knnSlice(i), i.toLong)
+          (System.nanoTime() - t0) / 1e9
+        }.toArray
+        blockReport(s"r13 fold-count knn per-delivery [$tag]", secs)
+        val (ver, df, ops, gen) = store.maintenanceStats
+        println(f"[stress] r13 fold-count knn state [$tag] ver $ver%3d, " +
+          f"$df%4d delta files, $ops%3d ops since compact, gen $gen%2d")
+      }
+    }
+
     // Offset-stage A/B at FIXED sizes (does not scale with replicas):
     // the lang-keyed window sorts each language's doc rows in ONE task;
     // the hierarchical prefix sum spreads the same work over
