@@ -997,7 +997,8 @@ object ScaleStress {
     }
     if (only.forall(sel =>
         "r13 fold-count axis: table commit knn store".contains(sel))) {
-      val deliveries = 64
+      val deliveries =
+        sys.env.getOrElse("SPARK_GRAFT_FOLD_DELIVERIES", "64").toInt
       val tcCorpus = corpus.filter(col("doc_id") % 10 =!= 0)
       def tcSlice(i: Int) = base
         .filter(col("doc_id") % 10 === 0 &&
@@ -1200,7 +1201,7 @@ object ScaleStress {
           .option("maxFilesPerTrigger", "2")
           .parquet(dir.toString))
       val q = graft.streaming.StreamingOps
-        .gapSessionsBuffered(spark, stream).toDF
+        .gapSessionsBuffered(spark, stream).toDF()
         .writeStream.outputMode("append").format("noop")
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("stress_ckpt").toString)
