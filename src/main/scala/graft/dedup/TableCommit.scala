@@ -589,6 +589,13 @@ class TableCommit(
     ngramDf = committedNgramDf,
     shingleSets = committedShingleSets)
 
+  /** The gate's pruned fingerprint read, exposed for the plan-shape
+    * spec: the corpus layer must show PartitionFilters (hive `part=`
+    * dirs prune under the user-specified schema), the batch-sized
+    * deltas take the same predicate as a data filter. */
+  private[graft] def prunedFpRead(candParts: Seq[Int]): DataFrame =
+    readAll("fp", fpSchema).filter(col("part").isin(candParts: _*))
+
   /** Maintenance readout for the stress harness and the trigger:
     * (corpus bytes, delta bytes, delta files, committed folds since
     * the last compaction, current generation). */

@@ -334,6 +334,11 @@ class KnnStore(
   /** The mutual graph the store currently encodes. */
   def mutualGraph: DataFrame = Ivf.mutualize(directedEdges)
 
+  /** The fold's cell-pruned assignment read, exposed for the
+    * plan-shape spec (the baseline must show PartitionFilters). */
+  private[graft] def prunedAsgRead(cells: Seq[Long]): DataFrame =
+    readAsg.filter(col("cell").isin(cells: _*))
+
   /** Maintenance readout: (version count, delta files, committed ops
     * since the last compaction, current generation). */
   def maintenanceStats: (Long, Long, Int, Int) =
