@@ -46,9 +46,12 @@ import org.apache.spark.sql.types._
   * whose candidates are ALL gone keeps its stale version on disk, and
   * the read-time tombstone anti-join erases exactly those rows —
   * consistent by the same argument (surviving old members would have
-  * been re-scored). The affected-query discovery reads the current
-  * edge set once per takedown delivery — takedowns are rare events and
-  * the scan is edge-volume-bounded (≤ |V|·k rows), disclosed.
+  * been re-scored). The affected-query discovery is ONE broadcast
+  * semi-join of the delete list against the raw edge table (no
+  * corpus-wide max-ver window): the candidate set is a superset of the
+  * truly affected queries — one whose hits are all in superseded
+  * versions gets harmlessly re-scored to its unchanged top-k — and the
+  * superset is bounded by the deleted vectors' appearance count.
   *
   * DURABILITY mirrors [[graft.dedup.TableCommit]]'s journal: each
   * fold/retract writes its per-table deltas to private `b_<uuid>` dirs
@@ -290,10 +293,16 @@ class KnnStore(
       .localCheckpoint(true)
     if (fresh.isEmpty) return
     ver += 1
-    // Affected = surviving queries whose CURRENT top-k holds a deleted
-    // vector (one edge-volume-bounded scan per takedown delivery).
-    val cur = currentEdges(readEdgesRaw).localCheckpoint(true)
-    val affIds = cur
+    // Affected candidates: ANY stored version holds a deleted vector —
+    // one broadcast semi-join over the raw edge table instead of the
+    // corpus-wide max-ver window the exact "current top-k holds it"
+    // test would pay. The set is a SUPERSET of the truly affected
+    // queries: one whose hits are all in superseded versions gets
+    // harmlessly re-scored to its unchanged top-k (the re-score IS the
+    // from-scratch answer for that query), appended under the new
+    // version — reads are identical, only delete-proportional extra
+    // work is spent. Spec-pinned by the interleaving laws.
+    val affIds = readEdgesRaw
       .join(broadcast(fresh), Seq("vec_id"), "left_semi")
       .select("q_vec_id").distinct()
       .join(broadcast(fresh.select(col("vec_id").as("q_vec_id"))),
