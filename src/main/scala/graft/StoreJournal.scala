@@ -166,4 +166,46 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
     * until the op's marker commits. */
   def writeBatch(df: DataFrame, t: String, uuid: String): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(batchPath(t, uuid))
+
+  private def listChildDirs(path: String): Seq[String] = {
+    val fs = fsOf(path)
+    if (!fs.exists(hp(path))) Seq.empty
+    else fs.listStatus(hp(path)).toSeq
+      .filter(_.isDirectory).map(_.getPath.toString)
+  }
+
+  /** VACUUM — best-effort GC of journal garbage under `tables`:
+    * unmarked batch dirs of the current generation (crashed mid-op
+    * residue — their markers never committed, so reads never see them)
+    * and every layer dir of a non-current generation (crashed- or
+    * pre-GC-compaction residue). Never touches marked state of the
+    * current generation, so it is a committed-face no-op by
+    * construction (spec-pinned). Returns the number of directories
+    * removed. Run it on the maintenance schedule alongside
+    * compaction. */
+  def vacuum(tables: Seq[String]): Long = {
+    var removed = 0L
+    val live = committed.map(_._1).toSet
+    val genSuffix = s"-g$gen"
+    for (t <- tables) {
+      for (d <- listChildDirs(s"$base/$t")) {
+        val name = d.substring(d.lastIndexOf('/') + 1)
+        val isLayer = name.startsWith("corpus-g") || name.startsWith("delta-g")
+        if (isLayer && !name.endsWith(genSuffix)) {
+          delete(d); removed += 1
+        }
+      }
+      for (d <- listChildDirs(s"$base/$t/delta$genSuffix")) {
+        val name = d.substring(d.lastIndexOf('/') + 1)
+        if (name.startsWith("b_") && !live.contains(name.stripPrefix("b_"))) {
+          delete(d); removed += 1
+        }
+      }
+    }
+    for (d <- listChildDirs(s"$base/_batches")) {
+      val name = d.substring(d.lastIndexOf('/') + 1)
+      if (name != s"g$gen") { delete(d); removed += 1 }
+    }
+    removed
+  }
 }

@@ -192,6 +192,11 @@ class SentenceTable(
     (corpusBytes, deltaBytes, deltaFiles, journal.committed.size,
       journal.gen)
 
+  /** GC of journal garbage — [[graft.StoreJournal.vacuum]]. */
+  def vacuum(): Long = synchronized {
+    journal.vacuum(Seq("docs", "sh", "tomb"))
+  }
+
   private def maybeAutoCompact(): Unit =
     if (autoCompact &&
         (deltaBytes > compactDeltaRatio * math.max(1L, corpusBytes) ||

@@ -589,6 +589,11 @@ class TableCommit(
     ngramDf = committedNgramDf,
     shingleSets = committedShingleSets)
 
+  /** GC of journal garbage (crashed-op batch dirs, superseded
+    * generations) — [[graft.StoreJournal.vacuum]]; committed-face
+    * no-op, returns directories removed. */
+  def vacuum(): Long = synchronized { journal.vacuum(tables) }
+
   /** The gate's pruned fingerprint read, exposed for the plan-shape
     * spec: the corpus layer must show PartitionFilters (hive `part=`
     * dirs prune under the user-specified schema), the batch-sized

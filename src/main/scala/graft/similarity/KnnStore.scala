@@ -113,7 +113,7 @@ class KnnStore(
     * [[graft.dedup.TableCommit]]): "fold-before-marker",
     * "retract-before-marker", "compact-before-marker",
     * "compact-after-marker". */
-  private[similarity] var crashAt: Option[String] = None
+  private[graft] var crashAt: Option[String] = None
   private def crashPoint(name: String): Unit =
     if (crashAt.contains(name))
       throw new IllegalStateException(s"injected crash at $name")
@@ -342,6 +342,13 @@ class KnnStore(
 
   /** The mutual graph the store currently encodes. */
   def mutualGraph: DataFrame = Ivf.mutualize(directedEdges)
+
+  /** GC of journal garbage (crashed-op batch dirs, superseded
+    * generations) — [[graft.StoreJournal.vacuum]]; committed-face
+    * no-op, returns directories removed. */
+  def vacuum(): Long = synchronized {
+    journal.vacuum(Seq("probes", "asg", "edges", "tomb"))
+  }
 
   /** The fold's cell-pruned assignment read, exposed for the
     * plan-shape spec (the baseline must show PartitionFilters). */

@@ -176,6 +176,9 @@ class PqStore(
     (corpusBytes, deltaBytes, deltaFiles, journal.committed.size,
       journal.gen)
 
+  /** GC of journal garbage — [[graft.StoreJournal.vacuum]]. */
+  def vacuum(): Long = synchronized { journal.vacuum(Seq("codes", "tomb")) }
+
   private def maybeAutoCompact(): Unit =
     if (autoCompact &&
         (deltaBytes > compactDeltaRatio * math.max(1L, corpusBytes) ||

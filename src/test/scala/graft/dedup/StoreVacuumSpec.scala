@@ -1,0 +1,89 @@
+package graft.dedup
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[graft.StoreJournal.vacuum]] laws: crashed-op residue (unmarked
+  * batch dirs) and crashed-compaction residue (half-written next
+  * generations) are removable garbage — vacuum deletes them and ONLY
+  * them, leaving every committed face row-for-row unchanged and the
+  * store fully operational. */
+class StoreVacuumSpec extends SparkSuite {
+
+  private lazy val docs = graft.queries.Tables
+    .documents(spark, "/root/testdata/sf0.001")
+  private lazy val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+  private lazy val batch = docs.filter(col("doc_id") % 10 === 0)
+    .select(col("doc_id").as("id"), col("text")).localCheckpoint(true)
+
+  private def symDiff(a: DataFrame, b: DataFrame): Long =
+    a.exceptAll(b).count() + b.exceptAll(a).count()
+
+  test("vacuum removes crashed-op and crashed-compaction residue, committed faces unchanged") {
+    val half1 = batch.filter(expr("(id div 10) % 2 = 0"))
+    val half2 = batch.filter(expr("(id div 10) % 2 = 1"))
+    val plain = new TableCommit(
+      spark,
+      java.nio.file.Files.createTempDirectory("graft_vac_plain_").toString,
+      8, 4, 8).deploy(corpus, "doc_id", "text")
+    val store = new TableCommit(
+      spark,
+      java.nio.file.Files.createTempDirectory("graft_vac_").toString,
+      8, 4, 8).deploy(corpus, "doc_id", "text")
+    plain.foldBatch(half1, 0L)
+    store.foldBatch(half1, 0L)
+    // Residue 1: a crashed fold's unmarked batch dirs.
+    store.crashAt = Some("fold-before-marker")
+    intercept[IllegalStateException](store.foldBatch(half2, 1L))
+    store.crashAt = None
+    // Residue 2: a crashed compaction's half-written next generation.
+    store.crashAt = Some("compact-before-marker")
+    intercept[IllegalStateException](store.compact())
+    store.crashAt = None
+    val removed = store.vacuum()
+    assert(removed > 0, "expected crash residue to be collected")
+    assert(store.vacuum() == 0L, "second vacuum must find nothing")
+    // Committed faces unchanged and the store still folds exactly.
+    assert(symDiff(store.committedFingerprints,
+      plain.committedFingerprints) == 0, "fingerprints after vacuum")
+    store.foldBatch(half2, 2L)
+    plain.foldBatch(half2, 2L)
+    assert(symDiff(store.committedFingerprints,
+      plain.committedFingerprints) == 0, "fold after vacuum")
+    // And a real compaction after vacuum lands cleanly (the garbage
+    // next-gen dirs are gone, the overwrite semantics never relied on
+    // them).
+    store.compact()
+    assert(symDiff(store.committedFingerprints,
+      plain.committedFingerprints) == 0, "compact after vacuum")
+    // A superseded generation left by compaction GC is already gone;
+    // vacuum confirms nothing is left behind.
+    assert(store.vacuum() == 0L)
+  }
+
+  test("KnnStore vacuum collects crash residue and leaves the graph intact") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroidIds = (0 until 8).map(_ * 37L)
+    val corpusE = emb.filter(col("vec_id") % 9 =!= 8)
+    val batchE = emb.filter(col("vec_id") % 9 === 8)
+    def edges(d: DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val store = new graft.similarity.KnnStore(
+      spark,
+      java.nio.file.Files.createTempDirectory("graft_vac_knn_").toString,
+      nProbe = 2, k = 4).deploy(corpusE, centroidIds)
+    store.foldBatch(batchE.filter(expr("(vec_id div 9) % 3 = 0")), 0L)
+    val before = edges(store.mutualGraph)
+    store.crashAt = Some("fold-before-marker")
+    intercept[IllegalStateException](
+      store.foldBatch(batchE.filter(expr("(vec_id div 9) % 3 = 1")), 1L))
+    store.crashAt = None
+    assert(store.vacuum() > 0L)
+    assert(edges(store.mutualGraph) == before, "graph changed by vacuum")
+    store.foldBatch(batchE.filter(expr("(vec_id div 9) % 3 = 1")), 2L)
+    assert(edges(store.mutualGraph) !=
+      before, "post-vacuum fold must land")
+  }
+}
