@@ -124,9 +124,7 @@ class TableCommit(
       * deltas/tombstones/ledger stay per-instance — independent stores
       * over one deploy. */
     corpusRoot: Option[String] = None,
-    /** Self-compact on the thresholds below after a fold/retract.
-      * No-op on a store sharing a memoized deploy (other stores read
-      * its corpus layer). */
+    /** Self-compact on the thresholds below after a fold/retract. */
     autoCompact: Boolean = false,
     /** Compact when delta bytes exceed this fraction of corpus bytes. */
     compactDeltaRatio: Double = 0.5,
@@ -143,11 +141,16 @@ class TableCommit(
   // ---- journal (two-phase commit discipline: graft.StoreJournal) ----
   private val journal = new graft.StoreJournal(spark, base)
 
-  /** The shared corpus layer is immutable (compaction is banned on
-    * sharing stores), so its generation is pinned at deploy time. */
+  /** The shared corpus layer is IMMUTABLE (a sharing store never
+    * rewrites it), so its generation is pinned at deploy time; a
+    * sharing store's compactions fold its deltas into an OWN baseline
+    * under ITS base at its own generation instead. */
   private def corpusGen: Int = if (corpusRoot.isDefined) 0 else journal.gen
 
   private def corpusPath(t: String) = s"$cRoot/$t/corpus-g$corpusGen"
+  /** The sharing store's own compacted baseline (shared stores only —
+    * for a plain store this path IS the corpus path). */
+  private def ownPath(t: String) = s"$base/$t/corpus-g${journal.gen}"
   private def span0Path = s"$cRoot/span0"
 
   // ---- maintenance counters (driver-side FS metadata only) ------------
@@ -156,8 +159,11 @@ class TableCommit(
   private var deltaFiles: Long = 0L
   private def tables = Seq("docs", "fp", "span", "bands", "simhash",
     "ngramdf", "postings", "sets", "ledger", "tomb")
-  private def refreshCorpusBytes(): Unit =
+  private def refreshCorpusBytes(): Unit = {
     corpusBytes = tables.map(t => journal.du(corpusPath(t))._1).sum
+    if (corpusRoot.isDefined)
+      corpusBytes += tables.map(t => journal.du(ownPath(t))._1).sum
+  }
   private def chargeDelta(uuid: String, wrote: Set[String]): Unit = {
     val dus = wrote.toSeq.map(t => journal.du(journal.batchPath(t, uuid)))
     deltaBytes += dus.map(_._1).sum
@@ -193,15 +199,23 @@ class TableCommit(
   private def readDelta(t: String, schema: StructType): DataFrame =
     journal.readDelta(t, schema)
 
-  /** Both layers of a table (current-generation corpus + marked deltas). */
-  private def readAll(t: String, schema: StructType): DataFrame =
-    readOr(corpusPath(t), schema).unionByName(readDelta(t, schema))
+  /** All layers of a table: baseline corpus (+ the sharing store's own
+    * compacted baseline) + marked deltas. */
+  private def readAll(t: String, schema: StructType): DataFrame = {
+    val baseline =
+      if (corpusRoot.isDefined)
+        readOr(corpusPath(t), schema)
+          .unionByName(readOr(ownPath(t), schema))
+      else readOr(corpusPath(t), schema)
+    baseline.unionByName(readDelta(t, schema))
+  }
 
-  /** Corpus-layer write: one shuffle onto the part key so each
-    * partition dir gets exactly one file. */
+  /** Corpus/baseline-layer write: one shuffle onto the part key so
+    * each partition dir gets exactly one file. */
   private def writeCorpus(
-      df: DataFrame, t: String, partitioned: Boolean, g: Int): Unit = {
-    val dst = s"$cRoot/$t/corpus-g$g"
+      df: DataFrame, t: String, partitioned: Boolean, g: Int,
+      root: String = cRoot): Unit = {
+    val dst = s"$root/$t/corpus-g$g"
     val shaped =
       if (partitioned) df.repartition(parts, col("part")) else df
     val wtr = shaped.write.mode("overwrite")
@@ -261,7 +275,9 @@ class TableCommit(
       id: org.apache.spark.util.sketch.BloomFilter,
       span: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter]): TableCommit = {
-    fpBloom = fp; idBloom = id; spanBloomBc = span; this
+    fpBloom = fp; idBloom = id; spanBloomBc = span
+    refreshCorpusBytes()
+    this
   }
   private[dedup] def blooms = (fpBloom, idBloom, spanBloomBc)
 
@@ -283,7 +299,7 @@ class TableCommit(
     fpBloom = fpRowsAll.stat.bloomFilter(
       "fingerprint", math.max(1L, fpRowsAll.count()), 0.01)
     val idRows = readAll("docs", docSchema).select("id")
-      .unionByName(readDelta("tomb", tombSchema).select("id"))
+      .unionByName(tomb.select("id"))
     idBloom = idRows.stat.bloomFilter("id", math.max(1L, idRows.count()), 0.01)
     val spanT = readOr(span0Path, span0Schema)
     spanBloomBc = spark.sparkContext.broadcast(
@@ -390,7 +406,7 @@ class TableCommit(
         val iParts = candI.select("part").distinct().as[Int].collect().toSeq
         readAll("docs", docSchema).filter(col("part").isin(iParts: _*))
           .select("id")
-          .unionByName(readDelta("tomb", tombSchema).select("id"))
+          .unionByName(tomb.select("id"))
           .join(broadcast(candI.select("id")), Seq("id"), "left_semi")
           .count()
       }
@@ -481,7 +497,7 @@ class TableCommit(
     if (!seenRetracts.add(batchId)) return
     val del = deleteIds.select(col("id")).distinct().localCheckpoint(true)
     val fresh = del
-      .join(readDelta("tomb", tombSchema), Seq("id"), "left_anti")
+      .join(tomb, Seq("id"), "left_anti")
       .withColumn("part", partOf(col("id")))
       .localCheckpoint(true)
     if (fresh.isEmpty) return
@@ -516,7 +532,14 @@ class TableCommit(
     .filter(col("n") > 0)
     .select(key.map(col): _*)
 
-  private def tomb: DataFrame = readDelta("tomb", tombSchema)
+  private def tomb: DataFrame = {
+    val d = readDelta("tomb", tombSchema)
+    // Tombstones PERSIST across a sharing store's compactions (they
+    // target rows in the immutable shared corpus).
+    if (corpusRoot.isDefined)
+      readOr(ownPath("tomb"), tombSchema).unionByName(d)
+    else d
+  }
 
   private def antiTomb(df: DataFrame): DataFrame =
     df.join(tomb, Seq("id"), "left_anti")
@@ -541,8 +564,14 @@ class TableCommit(
       .select("blk", "shingle", "id")
   def committedShingleSets: DataFrame =
     antiTomb(readAll("sets", setSchema)).select("id", "shingles")
-  def accepted: DataFrame =
-    antiTomb(readDelta("docs", docSchema)).select("id", "text")
+  def accepted: DataFrame = {
+    val d = readDelta("docs", docSchema)
+    val all =
+      if (corpusRoot.isDefined)
+        readOr(ownPath("docs"), docSchema).unionByName(d)
+      else d
+    antiTomb(all).select("id", "text")
+  }
 
   // Baseline-layer faces — the readouts' n_corpus column (the current
   // generation's corpus layer: the deploy until the first compaction).
@@ -609,7 +638,7 @@ class TableCommit(
       journal.gen)
 
   private def maybeAutoCompact(): Unit =
-    if (autoCompact && corpusRoot.isEmpty &&
+    if (autoCompact &&
         (deltaBytes > compactDeltaRatio * math.max(1L, corpusBytes) ||
           deltaFiles > compactMaxDeltaFiles)) compact()
 
@@ -630,9 +659,10 @@ class TableCommit(
     * generation (see class doc). Runs on the maintenance thresholds
     * (`autoCompact`) or an explicit call, never per delivery. */
   def compact(): Unit = synchronized {
-    require(corpusRoot.isEmpty,
-      "compact() rewrites the corpus layer — not allowed on a store " +
-        "sharing a memoized deploy (other stores read it)")
+    if (corpusRoot.isEmpty) compactPlain() else compactShared()
+  }
+
+  private def compactPlain(): Unit = {
     val g2 = journal.gen + 1
     val fp = readAll("fp", fpSchema)
       .groupBy("fingerprint", "part").agg(sum(col("w")).as("w"))
@@ -682,6 +712,75 @@ class TableCommit(
     deltaBytes = 0L; deltaFiles = 0L
     tables.foreach { t =>
       journal.delete(s"$cRoot/$t/corpus-g$gOld")
+      journal.delete(s"$base/$t/delta-g$gOld")
+    }
+    journal.gcBatches(gOld)
+  }
+
+  /** A SHARING store's compaction: the memoized corpus layer is
+    * immutable (other stores read it), so the marked deltas fold into
+    * the store's OWN baseline under its base instead — same journal
+    * discipline, one generation marker, crash-atomic. Two semantic
+    * twists the shared shape forces: the signed multisets keep their
+    * NET rows under `!= 0` (a net-negative row cancels a +1 in the
+    * immutable corpus — the `> 0` filter would resurrect retracted
+    * content), and the tombstones PERSIST as their own compacted
+    * baseline (they target corpus rows no compaction may rewrite);
+    * only the store's own id-keyed rows drop physically. Committed
+    * faces are unchanged row-for-row (spec-pinned), and read
+    * amplification (delta unions, file count) resets exactly like the
+    * plain compaction. */
+  private def compactShared(): Unit = {
+    val g2 = journal.gen + 1
+    def ownAndDelta(t: String, schema: StructType) =
+      readOr(ownPath(t), schema).unionByName(readDelta(t, schema))
+    val fp = ownAndDelta("fp", fpSchema)
+      .groupBy("fingerprint", "part").agg(sum(col("w")).as("w"))
+      .filter(col("w") =!= 0)
+      .select("fingerprint", "w", "part")
+      .localCheckpoint(true)
+    val span = ownAndDelta("span", spanSchema)
+      .groupBy("fp", "part").agg(sum(col("w")).as("w"))
+      .filter(col("w") =!= 0)
+      .select("fp", "w", "part")
+      .localCheckpoint(true)
+    val ndf = ownAndDelta("ngramdf", dfSchema)
+      .groupBy("blk", "shingle").agg(sum(col("df")).as("df"))
+      .filter(col("df") =!= 0)
+      .localCheckpoint(true)
+    val tombAll = tomb.distinct().localCheckpoint(true)
+    def survivors(df: DataFrame) = df.join(tombAll, Seq("id"), "left_anti")
+    val docs = survivors(ownAndDelta("docs", docSchema))
+      .select("id", "text", "part").localCheckpoint(true)
+    val bandsT = survivors(ownAndDelta("bands", bandSchema))
+      .select("id", "band", "bh").localCheckpoint(true)
+    val sim = survivors(ownAndDelta("simhash", simSchema))
+      .select("id", "simhash", "band", "bv").localCheckpoint(true)
+    val posts = survivors(ownAndDelta("postings", postSchema))
+      .select("blk", "shingle", "id").localCheckpoint(true)
+    val sets = survivors(ownAndDelta("sets", setSchema))
+      .select("id", "shingles").localCheckpoint(true)
+    val ledger = ownAndDelta("ledger", ledgerSchema)
+      .select("fingerprint", "part").distinct().localCheckpoint(true)
+    writeCorpus(fp, "fp", partitioned = true, g2, base)
+    writeCorpus(span, "span", partitioned = true, g2, base)
+    writeCorpus(ndf, "ngramdf", partitioned = false, g2, base)
+    writeCorpus(docs, "docs", partitioned = true, g2, base)
+    writeCorpus(bandsT, "bands", partitioned = false, g2, base)
+    writeCorpus(sim, "simhash", partitioned = false, g2, base)
+    writeCorpus(posts, "postings", partitioned = false, g2, base)
+    writeCorpus(sets, "sets", partitioned = false, g2, base)
+    writeCorpus(ledger, "ledger", partitioned = true, g2, base)
+    writeCorpus(tombAll, "tomb", partitioned = false, g2, base)
+    crashPoint("compact-before-marker")
+    journal.markGeneration(g2)
+    crashPoint("compact-after-marker")
+    val gOld = journal.gen
+    journal.advance(g2)
+    refreshCorpusBytes()
+    deltaBytes = 0L; deltaFiles = 0L
+    tables.foreach { t =>
+      journal.delete(s"$base/$t/corpus-g$gOld")
       journal.delete(s"$base/$t/delta-g$gOld")
     }
     journal.gcBatches(gOld)
@@ -765,7 +864,10 @@ object TableCommit {
       bands: Int,
       w: Int,
       simhashBlocks: Int = 4,
-      maxShingleDf: Int = Dedup.DefaultShingleDfCap): TableCommit = {
+      maxShingleDf: Int = Dedup.DefaultShingleDfCap,
+      autoCompact: Boolean = false,
+      compactDeltaRatio: Double = 0.5,
+      compactMaxDeltaFiles: Long = 512L): TableCommit = {
     val layer = memo.computeIfAbsent((spark, key), _ => {
       val root = java.nio.file.Files
         .createTempDirectory("graft_corpus_layer_").toString
@@ -779,7 +881,9 @@ object TableCommit {
       spark,
       java.nio.file.Files.createTempDirectory("graft_store_").toString,
       numHashes, bands, w, simhashBlocks = simhashBlocks,
-      maxShingleDf = maxShingleDf, corpusRoot = Some(layer.root))
+      maxShingleDf = maxShingleDf, corpusRoot = Some(layer.root),
+      autoCompact = autoCompact, compactDeltaRatio = compactDeltaRatio,
+      compactMaxDeltaFiles = compactMaxDeltaFiles)
       .initBlooms(deser(layer.fpBloom), deser(layer.idBloom),
         layer.spanBloom)
   }

@@ -355,6 +355,66 @@ class TableCommitSpec extends SparkSuite {
       assert(symDiff(a, b) == 0, s"face $i retract under auto-compaction") }
   }
 
+  test("a sharing store compacts its deltas into an own baseline; faces unchanged") {
+    // The shared corpus layer is immutable, so compactShared folds the
+    // marked deltas into an OWN per-instance baseline instead: signed
+    // multisets keep NET != 0 rows (a net-negative row cancels a +1 in
+    // the immutable corpus) and tombstones persist as their own
+    // baseline. Pinned against a never-compacted twin over the SAME
+    // shared deploy, through interleaved folds, corpus-doc takedowns
+    // and a second compaction carrying net-negative rows.
+    def faces(s: TableCommit) = Seq(
+      s.committedFingerprints, s.committedBands, s.committedSpanFps,
+      s.committedSimhashBands, s.committedNgramPostings,
+      s.committedNgramDf, s.committedShingleSets, s.accepted)
+    def check(a: TableCommit, b: TableCommit, tag: String): Unit =
+      faces(a).zip(faces(b)).zipWithIndex.foreach { case ((x, y), i) =>
+        assert(symDiff(x, y) == 0, s"face $i $tag") }
+    val key = s"spec-shared-${java.util.UUID.randomUUID()}"
+    def mk() = TableCommit.sharedDeploy(
+      spark, key, corpus, "doc_id", "text", 8, 4, 8)
+    val plain = mk()
+    val compacted = mk()
+    val half1 = batchAll.filter(expr("(id div 10) % 2 = 0"))
+    val half2 = batchAll.filter(expr("(id div 10) % 2 = 1"))
+    for (s <- Seq(plain, compacted)) {
+      s.foldBatch(half1, 0L)
+      s.retractBatch(
+        half1.select("id").filter(expr("(id div 20) % 2 = 0")), 1L)
+    }
+    compacted.compact()
+    check(plain, compacted, "after own-layer compact")
+    assert(compacted.deltaFingerprints.count() == 0,
+      "delta layers must reset")
+    assert(compacted.maintenanceStats._5 > 0, "generation must advance")
+    // Content replay still rejected (the ledger moved into the own
+    // baseline).
+    val c0 = compacted.committedFingerprints.count()
+    compacted.foldBatch(half1, 2L)
+    assert(compacted.committedFingerprints.count() == c0,
+      "content replay after own-layer compact changed state")
+    // Corpus-doc takedown AFTER compaction: the decrements target +1
+    // rows living in the IMMUTABLE shared corpus, so the next
+    // compaction must retain them as net-negative own rows — the > 0
+    // filter would resurrect this content.
+    val delCorpus = corpus.filter(col("doc_id") % 9 === 1)
+      .select(col("doc_id").as("id")).localCheckpoint(true)
+    plain.retractBatch(delCorpus, 3L)
+    compacted.retractBatch(delCorpus, 3L)
+    check(plain, compacted, "corpus takedown")
+    compacted.compact() // second compaction carries net-negative rows
+    check(plain, compacted, "after second compact")
+    for (s <- Seq(plain, compacted)) s.foldBatch(half2, 4L)
+    check(plain, compacted, "fold after second compact")
+    // Tombstoned corpus ids stay un-recommittable across compactions.
+    val clash = intercept[IllegalArgumentException](
+      compacted.foldBatch(
+        corpus.filter(col("doc_id") % 9 === 1)
+          .select(col("doc_id").as("id"),
+            concat(col("text"), lit(" fresh")).as("text")).limit(1), 5L))
+    assert(clash.getMessage.contains("tombstoned"))
+  }
+
   test("retract ∘ commit == identity on the seven artifact tables") {
     val before = mk()
     val after = mk()
