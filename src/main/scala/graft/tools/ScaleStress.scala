@@ -1064,6 +1064,74 @@ object ScaleStress {
         println(f"[stress] r13 fold-count knn state [$tag] ver $ver%3d, " +
           f"$df%4d delta files, $ops%3d ops since compact, gen $gen%2d")
       }
+      // PqStore: append-only postings + tombstones — the no-trigger
+      // cost drivers are delta file count and the gate's multi-path
+      // delta union.
+      val (pqCb, pqCodes) = graft.similarity.Ivf.pqArtifacts(
+        embAll.filter(col("vec_id") % 9 =!= 8), knnSeeds,
+        dims = 64, m = 4, iters = 2)
+      val (pqCbC, pqCodesC) =
+        (pqCb.localCheckpoint(true), pqCodes.localCheckpoint(true))
+      def pqSlice(i: Int) = embAll
+        .filter(col("vec_id") % 9 === 8 &&
+          pmod(expr("vec_id div 9"), lit(deliveries)) === i)
+        .select("vec_id", "embedding")
+      for (trigger <- Seq(false, true)) {
+        val tag = if (trigger) "trigger ON " else "trigger OFF"
+        var store: graft.similarity.PqStore = null
+        time(s"r13 fold-count pq deploy   [$tag]") {
+          store = new graft.similarity.PqStore(
+            spark,
+            java.nio.file.Files
+              .createTempDirectory("graft_stress_pqn_").toString,
+            dims = 64, m = 4, autoCompact = trigger,
+            compactDeltaRatio = 1e9, compactMaxDeltaFiles = 24L)
+            .deploy(pqCodesC, pqCbC)
+        }
+        val secs = (0 until deliveries).map { i =>
+          val t0 = System.nanoTime()
+          if (i % 8 == 7)
+            store.retractBatch(pqSlice(i - 3).select("vec_id"), 10000L + i)
+          else store.foldBatch(pqSlice(i), i.toLong)
+          (System.nanoTime() - t0) / 1e9
+        }.toArray
+        blockReport(s"r13 fold-count pq per-delivery [$tag]", secs)
+        val (_, _, df, ops, gen) = store.maintenanceStats
+        println(f"[stress] r13 fold-count pq state  [$tag] $df%4d delta " +
+          f"files, $ops%3d ops since compact, gen $gen%2d")
+      }
+      // SentenceTable: signed-multiset hash rows + stored docs — the
+      // no-trigger cost drivers are the multiset aggregation width and
+      // the delta file count.
+      def sentSlice(i: Int) = base
+        .filter(col("doc_id") % 10 === 0 &&
+          pmod(expr("doc_id div 10"), lit(deliveries)) === i)
+        .select(col("doc_id").as("id"), col("text"))
+      for (trigger <- Seq(false, true)) {
+        val tag = if (trigger) "trigger ON " else "trigger OFF"
+        var store: graft.dedup.SentenceTable = null
+        time(s"r13 fold-count sent deploy [$tag]") {
+          store = new graft.dedup.SentenceTable(
+            spark,
+            java.nio.file.Files
+              .createTempDirectory("graft_stress_sentn_").toString,
+            autoCompact = trigger, compactDeltaRatio = 1e9,
+            compactMaxDeltaFiles = 24L)
+            .deploy(corpus.filter(col("doc_id") % 10 =!= 0),
+              "doc_id", "text")
+        }
+        val secs = (0 until deliveries).map { i =>
+          val t0 = System.nanoTime()
+          if (i % 8 == 7)
+            store.retractBatch(sentSlice(i - 3).select("id"), 10000L + i)
+          else store.foldBatch(sentSlice(i), i.toLong)
+          (System.nanoTime() - t0) / 1e9
+        }.toArray
+        blockReport(s"r13 fold-count sent per-delivery [$tag]", secs)
+        val (_, _, df, ops, gen) = store.maintenanceStats
+        println(f"[stress] r13 fold-count sent state [$tag] $df%4d delta " +
+          f"files, $ops%3d ops since compact, gen $gen%2d")
+      }
     }
 
     // Offset-stage A/B at FIXED sizes (does not scale with replicas):
