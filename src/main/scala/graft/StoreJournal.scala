@@ -11,19 +11,35 @@ import org.apache.spark.sql.types.StructType
   *   - every fold/retract writes its per-table deltas to private
   *     `<table>/delta-g<gen>/b_<uuid>` dirs and COMMITS them with one
   *     atomic marker rename (`_batches/g<gen>/<uuid>.commit`, content =
-  *     the table names written); reads union ONLY marked batches, so a
-  *     crash mid-op leaves invisible garbage and replay heals;
+  *     the op kind + delivery id on the first line, then the table
+  *     names written); reads union ONLY marked batches, so a crash
+  *     mid-op leaves invisible garbage and replay heals;
   *   - a compaction writes a fresh GENERATION of baseline dirs and
   *     commits it with one atomic `_gens/g-<N>.commit` marker rename;
   *     reads are generation-scoped, so a crash on either side of the
   *     marker exposes exactly one complete generation.
+  *
+  * DELIVERY-ID REPLAY PROTECTION IS DURABLE: each batch marker records
+  * its `(op kind, delivery id)`, and a compaction serializes the full
+  * seen-id sets (range-compressed — monotonic streaming epochs collapse
+  * to one range) into the generation marker, so [[reload]] rebuilds the
+  * seen sets across BOTH crash recovery and compaction. A re-delivered
+  * epoch after a crash (marker committed, sink checkpoint lost) is
+  * skipped by id, not just healed by content. Ids noted for no-op
+  * deliveries (empty/fully-deduped batches, which write no marker) are
+  * in-memory only — their replay re-runs the gate and no-ops again.
   *
   * Markers rename-commit via the filesystem's atomic same-directory
   * rename (local POSIX and HDFS; an object store without atomic rename
   * needs a manifest service instead — documented limit). All path
   * probing goes through the session's Hadoop `FileSystem`, never
   * `java.nio`, so non-local base URIs resolve instead of silently
-  * reading empty frames. */
+  * reading empty frames.
+  *
+  * The journal also owns the maintenance bookkeeping every store
+  * repeated: the delta byte/file counters behind the auto-compaction
+  * triggers ([[chargeDelta]], reset by [[advance]]) and the
+  * crash-injection hook the recovery specs drive ([[crashPoint]]). */
 private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
 
   @transient private lazy val hconf = spark.sessionState.newHadoopConf()
@@ -62,8 +78,8 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
     fs.mkdirs(hp(dir))
     val tmp = hp(s"$dir/$name.tmp")
     val out = fs.create(tmp, true)
-    out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     if (!fs.rename(tmp, hp(s"$dir/$name")))
       throw new java.io.IOException(s"marker rename failed: $dir/$name")
   }
@@ -90,22 +106,80 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
 
   /** Current committed generation of the store at `base`. */
   var gen: Int = 0
-  /** Marked (committed) ops of the current generation, in marker order,
-    * with the table names each wrote. */
+  /** Marked (committed) ops of the current generation with the table
+    * names each wrote (set-like consumers only — marker listing order
+    * is uuid-lexicographic after a reload, not delivery order). */
   val committed =
     scala.collection.mutable.ArrayBuffer.empty[(String, Set[String])]
+
+  /** Durable delivery-id replay sets, one per op kind. */
+  private val seenOps = scala.collection.mutable.Map(
+    "fold" -> scala.collection.mutable.TreeSet.empty[Long],
+    "retract" -> scala.collection.mutable.TreeSet.empty[Long])
+
+  def seen(kind: String, id: Long): Boolean = seenOps(kind).contains(id)
+
+  /** Note a delivery id WITHOUT a marker — the no-op-delivery case
+    * (empty or fully-deduplicated batch). In-memory only: a post-crash
+    * replay of a no-op re-runs the gate and no-ops again. */
+  def noteSeen(kind: String, id: Long): Unit = seenOps(kind) += id
+
+  // Range-compress a sorted id set: "0-63,70,72-80".
+  private def ranges(s: scala.collection.SortedSet[Long]): String = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var run: Option[(Long, Long)] = None
+    for (v <- s) run match {
+      case Some((a, b)) if v == b + 1 => run = Some((a, v))
+      case Some((a, b)) =>
+        out += (if (a == b) s"$a" else s"$a-$b"); run = Some((v, v))
+      case None => run = Some((v, v))
+    }
+    run.foreach { case (a, b) => out += (if (a == b) s"$a" else s"$a-$b") }
+    out.mkString(",")
+  }
+
+  private def parseRanges(s: String, into: scala.collection.mutable.TreeSet[Long]): Unit =
+    s.split(",").filter(_.nonEmpty).foreach { r =>
+      r.split("-") match {
+        case Array(a, b) => (a.toLong to b.toLong).foreach(into += _)
+        case Array(a) => into += a.toLong
+      }
+    }
+
+  private def serializeSeen: String =
+    seenOps.toSeq.sortBy(_._1)
+      .map { case (k, s) => s"seen:$k:${ranges(s)}" }.mkString("\n")
 
   reload()
 
   /** Re-resolve the journal from the filesystem — the reopen path (and
-    * the constructor): current generation = max committed gen marker,
-    * committed ops = that generation's batch markers. */
+    * the constructor): current generation = max committed gen marker;
+    * committed ops = that generation's batch markers; seen delivery ids
+    * = the generation marker's serialized sets plus the batch markers'
+    * op lines. */
   def reload(): this.type = {
-    val gens = listMarkers(gensDir).map(_._1.stripPrefix("g-").toInt)
-    gen = if (gens.isEmpty) 0 else gens.max
+    val gens = listMarkers(gensDir)
+    gen =
+      if (gens.isEmpty) 0
+      else gens.map(_._1.stripPrefix("g-").toInt).max
+    seenOps.values.foreach(_.clear())
+    gens.find(_._1.stripPrefix("g-").toInt == gen).foreach { case (_, c) =>
+      c.split("\n").foreach { line =>
+        if (line.startsWith("seen:")) {
+          val Array(_, kind, rs) = line.split(":", 3)
+          seenOps.get(kind).foreach(parseRanges(rs, _))
+        }
+      }
+    }
     committed.clear()
-    committed ++= listMarkers(batchesDir).map { case (u, c) =>
-      (u, c.split("\n").filter(_.nonEmpty).toSet)
+    listMarkers(batchesDir).foreach { case (u, c) =>
+      val lines = c.split("\n").filter(_.nonEmpty)
+      val (opLines, tableLines) = lines.partition(_.startsWith("op:"))
+      opLines.foreach { line =>
+        val Array(_, kind, id) = line.split(":", 3)
+        seenOps.get(kind).foreach(_ += id.toLong)
+      }
+      committed += ((u, tableLines.toSet))
     }
     this
   }
@@ -120,10 +194,15 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
   def deltaPaths(t: String): Seq[String] =
     committed.collect { case (u, ts) if ts(t) => batchPath(t, u) }.toSeq
 
-  /** Commit one fold/retract: atomic marker rename, then track it. */
-  def markBatch(uuid: String, tables: Set[String]): Unit = {
-    commitMarker(batchesDir, s"$uuid.commit", tables.mkString("\n"))
+  /** Commit one fold/retract: atomic marker rename (recording the
+    * delivery id durably), then track it and charge the maintenance
+    * counters. */
+  def markBatch(uuid: String, tables: Set[String], kind: String, id: Long): Unit = {
+    commitMarker(batchesDir, s"$uuid.commit",
+      s"op:$kind:$id\n" + tables.mkString("\n"))
     committed += ((uuid, tables))
+    seenOps(kind) += id
+    chargeDelta(uuid, tables)
   }
 
   /** Commit generation 0 — the deploy. */
@@ -132,20 +211,25 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
     gen = 0
   }
 
-  /** Commit generation `g2` — the compaction's atomic point. Driver
-    * state does NOT advance here (the caller may crash-inject between
-    * marker and advance); call [[advance]] after. */
+  /** Commit generation `g2` — the compaction's atomic point. The
+    * marker carries the serialized seen-id sets, so delivery-id replay
+    * protection survives the compaction (whose GC eventually drops the
+    * old generation's batch markers). Driver state does NOT advance
+    * here (the caller may crash-inject between marker and advance);
+    * call [[advance]] after. */
   def markGeneration(g2: Int): Unit =
-    commitMarker(gensDir, f"g-$g2%05d.commit", "compact")
+    commitMarker(gensDir, f"g-$g2%05d.commit", "compact\n" + serializeSeen)
 
-  /** Flip the driver journal to generation `g2`. */
+  /** Flip the driver journal to generation `g2`: the delta layer is
+    * folded in, so the batch list and the delta charge counters reset
+    * (the seen-id sets persist — they are baselined in the generation
+    * marker). */
   def advance(g2: Int): Unit = {
     gen = g2
     committed.clear()
+    deltaBytes = 0L
+    deltaFiles = 0L
   }
-
-  /** Best-effort GC of a superseded generation's batch markers. */
-  def gcBatches(gOld: Int): Unit = delete(s"$base/_batches/g$gOld")
 
   def emptyOf(schema: StructType): DataFrame =
     spark.createDataFrame(
@@ -167,6 +251,35 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
   def writeBatch(df: DataFrame, t: String, uuid: String): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(batchPath(t, uuid))
 
+  // ---- maintenance bookkeeping (shared by all stores) -----------------
+  /** Marked delta bytes / parquet files of the current generation —
+    * the auto-compaction triggers' inputs. Driver-side FS metadata. */
+  var deltaBytes: Long = 0L
+  var deltaFiles: Long = 0L
+
+  private def chargeDelta(uuid: String, wrote: Set[String]): Unit = {
+    val dus = wrote.toSeq.map(t => du(batchPath(t, uuid)))
+    deltaBytes += dus.map(_._1).sum
+    deltaFiles += dus.map(_._2).sum
+  }
+
+  /** Re-charge the counters from the marked batches — the reopen path. */
+  def rechargeDeltas(): Unit = {
+    deltaBytes = 0L
+    deltaFiles = 0L
+    committed.foreach { case (u, ts) => chargeDelta(u, ts) }
+  }
+
+  /** Crash-injection hook for the recovery specs: the named point
+    * throws after its phase completes, BEFORE the marker commits or any
+    * driver state mutates — simulating process death there. Points:
+    * "fold-before-marker", "retract-before-marker",
+    * "compact-before-marker", "compact-after-marker". */
+  var crashAt: Option[String] = None
+  def crashPoint(name: String): Unit =
+    if (crashAt.contains(name))
+      throw new IllegalStateException(s"injected crash at $name")
+
   private def listChildDirs(path: String): Seq[String] = {
     val fs = fsOf(path)
     if (!fs.exists(hp(path))) Seq.empty
@@ -176,13 +289,15 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
 
   /** VACUUM — best-effort GC of journal garbage under `tables`:
     * unmarked batch dirs of the current generation (crashed mid-op
-    * residue — their markers never committed, so reads never see them)
-    * and every layer dir of a non-current generation (crashed- or
-    * pre-GC-compaction residue). Never touches marked state of the
-    * current generation, so it is a committed-face no-op by
-    * construction (spec-pinned). Returns the number of directories
-    * removed. Run it on the maintenance schedule alongside
-    * compaction. */
+    * residue — their markers never committed, so reads never see them),
+    * every layer dir of a non-current generation (a superseded
+    * generation after a compaction, or crashed-compaction residue), and
+    * the superseded generations' batch markers (their delivery ids are
+    * baselined in the current generation marker). Never touches marked
+    * state of the current generation, so it is a committed-face no-op
+    * by construction (spec-pinned). Compaction itself deletes NOTHING —
+    * lazy frames handed out before it stay valid until the maintenance
+    * schedule runs this. Returns the number of directories removed. */
   def vacuum(tables: Seq[String]): Long = {
     var removed = 0L
     val live = committed.map(_._1).toSet

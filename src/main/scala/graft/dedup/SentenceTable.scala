@@ -24,10 +24,17 @@ import org.apache.spark.sql.types._
   * decrement symmetry) verifies against a driver Bloom with a
   * partition-pruned exact check for the Bloom hits only. Durability is
   * the shared [[graft.StoreJournal]] discipline: per-op batch dirs
-  * committed by one atomic marker rename; [[compact]] folds the marked
-  * deltas and tombstones into a fresh generation — summed multiset
-  * rows PRESERVE the per-hash count, so later takedowns still
-  * decrement exactly — committed by one generation-marker rename.
+  * committed by one atomic marker rename (recording the delivery id
+  * durably — recorded only on SUCCESS, so a failed delivery retries
+  * under the same id); [[compact]] folds the marked deltas and
+  * tombstones into a fresh generation — summed multiset rows PRESERVE
+  * the per-hash count, so later takedowns still decrement exactly, and
+  * the tombstones persist as their own compacted baseline so a
+  * tombstoned id's re-delivery stays a no-op (no resurrection) —
+  * committed by one generation-marker rename that also baselines the
+  * seen-id sets. Compaction deletes nothing — superseded generations
+  * are [[vacuum]]'s to collect. The deploy-time geometry (parts,
+  * splitRegex) persists and [[SentenceTable.reopen]] validates it.
   * `autoCompact` watches the delta:corpus byte ratio and delta file
   * count. */
 class SentenceTable(
@@ -53,17 +60,13 @@ class SentenceTable(
   private val tombSchema = new StructType().add("id", LongType)
 
   private var idBloom: org.apache.spark.util.sketch.BloomFilter = _
-  private val seenFolds = scala.collection.mutable.HashSet.empty[Long]
-  private val seenRetracts = scala.collection.mutable.HashSet.empty[Long]
   private var corpusBytes: Long = 0L
-  private var deltaBytes: Long = 0L
-  private var deltaFiles: Long = 0L
 
-  /** Crash-injection hook (see [[TableCommit]]). */
-  private[dedup] var crashAt: Option[String] = None
-  private def crashPoint(name: String): Unit =
-    if (crashAt.contains(name))
-      throw new IllegalStateException(s"injected crash at $name")
+  /** Crash-injection hook — see [[graft.StoreJournal.crashPoint]]. */
+  private[dedup] def crashAt: Option[String] = journal.crashAt
+  private[dedup] def crashAt_=(v: Option[String]): Unit =
+    journal.crashAt = v
+  private def crashPoint(name: String): Unit = journal.crashPoint(name)
 
   private def schemaOf(t: String) = t match {
     case "docs" => docSchema
@@ -73,12 +76,35 @@ class SentenceTable(
   private def readDelta(t: String) = journal.readDelta(t, schemaOf(t))
   private def readAll(t: String) =
     journal.readOr(corpusPath(t), schemaOf(t)).unionByName(readDelta(t))
-  private def tomb: DataFrame = readDelta("tomb")
+  private def tomb: DataFrame =
+    // Tombstones persist across compactions as their own compacted
+    // baseline — without it, the first compaction would let a
+    // tombstoned id re-commit and resurrect its deleted hashes.
+    journal.readOr(corpusPath("tomb"), tombSchema)
+      .unionByName(readDelta("tomb"))
 
-  private def chargeDelta(uuid: String, wrote: Set[String]): Unit = {
-    val dus = wrote.toSeq.map(t => journal.du(journal.batchPath(t, uuid)))
-    deltaBytes += dus.map(_._1).sum
-    deltaFiles += dus.map(_._2).sum
+  /** The deploy-time geometry persisted for [[SentenceTable.reopen]]
+    * validation: a mismatched `parts` would mis-prune every gate and
+    * takedown read (a takedown would silently no-op), and a different
+    * `splitRegex` would regenerate takedown decrements that no longer
+    * cancel the deploy-time +1 rows. */
+  private def metaPath = s"$base/meta"
+  private def writeMeta(): Unit = {
+    import spark.implicits._
+    Seq((parts, splitRegex)).toDF("parts", "splitRegex")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath)
+  }
+  private def validateMeta(): Unit = {
+    require(journal.exists(metaPath),
+      s"SentenceTable.reopen: no store at $base (missing meta)")
+    val mt = spark.read.parquet(metaPath).head()
+    val (sp, sr) = (mt.getAs[Int]("parts"), mt.getAs[String]("splitRegex"))
+    require(sp == parts && sr == splitRegex,
+      s"SentenceTable.reopen: stored geometry (parts=$sp, " +
+        s"splitRegex=$sr) != requested (parts=$parts, " +
+        s"splitRegex=$splitRegex) — a mismatched parts would mis-prune " +
+        "every pruned read; a different splitRegex would break " +
+        "decrement symmetry")
   }
 
   /** One ±`sign` row per distinct (document, sentence hash) — the
@@ -92,6 +118,7 @@ class SentenceTable(
     val docs = corpus
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .localCheckpoint(true)
+    writeMeta()
     docs.withColumn("part", partOf(col("id")))
       .repartition(parts, col("part"))
       .write.mode("overwrite").partitionBy("part")
@@ -114,9 +141,9 @@ class SentenceTable(
     * decrement symmetry), then the per-(doc, hash) +1 rows append.
     * Replay-safe by batch id and by id; ATOMIC. */
   def foldBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
-    if (!seenFolds.add(batchId)) return
+    if (journal.seen("fold", batchId)) return
     val raw = batch.select(col("id"), col("text")).localCheckpoint(true)
-    if (raw.isEmpty) return
+    if (raw.isEmpty) { journal.noteSeen("fold", batchId); return }
     val rawIds = raw.select("id").distinct().as[Long].collect()
     val cand = rawIds.filter(idBloom.mightContainLong)
     val bb =
@@ -133,7 +160,7 @@ class SentenceTable(
         raw.join(broadcast(present), Seq("id"), "left_anti")
           .localCheckpoint(true)
       }
-    if (bb.isEmpty) return
+    if (bb.isEmpty) { journal.noteSeen("fold", batchId); return }
     val bIds = bb.select("id").distinct().as[Long].collect()
     val uuid = journal.newUuid()
     journal.writeBatch(bb.withColumn("part", partOf(col("id"))),
@@ -141,8 +168,7 @@ class SentenceTable(
     journal.writeBatch(shRows(bb, 1L), "sh", uuid)
     val wrote = Set("docs", "sh")
     crashPoint("fold-before-marker")
-    journal.markBatch(uuid, wrote)
-    chargeDelta(uuid, wrote)
+    journal.markBatch(uuid, wrote, "fold", batchId)
     bIds.foreach(idBloom.putLong)
     maybeAutoCompact()
   }
@@ -152,26 +178,25 @@ class SentenceTable(
     * Replay-safe by batch id and by content; ATOMIC — tombstone and
     * decrements become visible together. */
   def retractBatch(deleteIds: DataFrame, batchId: Long): Unit = synchronized {
-    if (!seenRetracts.add(batchId)) return
+    if (journal.seen("retract", batchId)) return
     val del = deleteIds.select(col("id")).distinct()
       .join(tomb, Seq("id"), "left_anti")
       .withColumn("part", partOf(col("id")))
       .localCheckpoint(true)
-    if (del.isEmpty) return
+    if (del.isEmpty) { journal.noteSeen("retract", batchId); return }
     val dParts = del.select("part").distinct().as[Int].collect().toSeq
     val deleted = readAll("docs")
       .filter(col("part").isin(dParts: _*))
       .join(broadcast(del.select("id")), Seq("id"), "left_semi")
       .select("id", "text")
       .localCheckpoint(true)
-    if (deleted.isEmpty) return
+    if (deleted.isEmpty) { journal.noteSeen("retract", batchId); return }
     val uuid = journal.newUuid()
     journal.writeBatch(deleted.select("id"), "tomb", uuid)
     journal.writeBatch(shRows(deleted, -1L), "sh", uuid)
     val wrote = Set("tomb", "sh")
     crashPoint("retract-before-marker")
-    journal.markBatch(uuid, wrote)
-    chargeDelta(uuid, wrote)
+    journal.markBatch(uuid, wrote, "retract", batchId)
     maybeAutoCompact()
   }
 
@@ -189,8 +214,8 @@ class SentenceTable(
   /** Maintenance readout: (corpus bytes, delta bytes, delta files,
     * committed ops since the last compaction, current generation). */
   def maintenanceStats: (Long, Long, Long, Int, Int) =
-    (corpusBytes, deltaBytes, deltaFiles, journal.committed.size,
-      journal.gen)
+    (corpusBytes, journal.deltaBytes, journal.deltaFiles,
+      journal.committed.size, journal.gen)
 
   /** GC of journal garbage — [[graft.StoreJournal.vacuum]]. */
   def vacuum(): Long = synchronized {
@@ -199,8 +224,8 @@ class SentenceTable(
 
   private def maybeAutoCompact(): Unit =
     if (autoCompact &&
-        (deltaBytes > compactDeltaRatio * math.max(1L, corpusBytes) ||
-          deltaFiles > compactMaxDeltaFiles)) compact()
+        (journal.deltaBytes > compactDeltaRatio * math.max(1L, corpusBytes) ||
+          journal.deltaFiles > compactMaxDeltaFiles)) compact()
 
   /** Fold the marked deltas and tombstones into a fresh generation —
     * multiset rows compact to one summed row per surviving hash
@@ -216,31 +241,32 @@ class SentenceTable(
     val docs = readAll("docs").join(tomb, Seq("id"), "left_anti")
       .select("id", "text", "part")
       .localCheckpoint(true)
+    // Tombstones survive as their own compacted baseline — the
+    // no-id-reuse law must outlive the physical drop of the tombstoned
+    // rows (a re-committed id would resurrect its deleted hashes).
+    val tombAll = tomb.distinct().localCheckpoint(true)
     sh.repartition(parts, col("part"))
       .write.mode("overwrite").partitionBy("part")
       .parquet(s"$base/sh/corpus-g$g2")
     docs.repartition(parts, col("part"))
       .write.mode("overwrite").partitionBy("part")
       .parquet(s"$base/docs/corpus-g$g2")
+    tombAll.coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/tomb/corpus-g$g2")
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")
-    val gOld = journal.gen
+    // Superseded generation dirs are left for [[vacuum]] — lazy frames
+    // handed out before the compaction keep resolving.
     journal.advance(g2)
     corpusBytes = Seq("docs", "sh").map(t => journal.du(corpusPath(t))._1).sum
-    deltaBytes = 0L; deltaFiles = 0L
-    Seq("docs", "sh", "tomb").foreach { t =>
-      journal.delete(s"$base/$t/corpus-g$gOld")
-      journal.delete(s"$base/$t/delta-g$gOld")
-    }
-    journal.gcBatches(gOld)
   }
 
   private[dedup] def restore(): SentenceTable = {
     journal.reload()
+    validateMeta()
     corpusBytes = Seq("docs", "sh").map(t => journal.du(corpusPath(t))._1).sum
-    deltaBytes = 0L; deltaFiles = 0L
-    journal.committed.foreach { case (u, ts) => chargeDelta(u, ts) }
+    journal.rechargeDeltas()
     val ids = readAll("docs").select("id")
       .unionByName(tomb.select("id")).distinct()
     idBloom = ids.stat.bloomFilter("id", math.max(1L, ids.count()), 0.01)

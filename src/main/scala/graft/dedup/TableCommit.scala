@@ -51,12 +51,17 @@ import org.apache.spark.sql.types._
   *   - Each fold/retract writes its (up to 9) per-table deltas to
   *     private `b_<uuid>` directories and then commits them with ONE
   *     atomic rename of a marker file (`_batches/g<gen>/<uuid>.commit`,
-  *     content = the table names written). Reads union ONLY marked
-  *     batches, so a crash mid-fold leaves invisible garbage and
-  *     re-delivery folds cleanly — replay protection and
-  *     crash-atomicity from the same mechanism (round-12 ADVICE: the
-  *     old per-table appends could commit a retraction's tombstone
-  *     without its decrements, leaving state that replay never heals).
+  *     content = the op kind + delivery id, then the table names
+  *     written). Reads union ONLY marked batches, so a crash mid-fold
+  *     leaves invisible garbage and re-delivery folds cleanly — replay
+  *     protection and crash-atomicity from the same mechanism
+  *     (round-12 ADVICE: the old per-table appends could commit a
+  *     retraction's tombstone without its decrements, leaving state
+  *     that replay never heals). Delivery-id replay protection is
+  *     DURABLE (the marker records the id; compaction baselines the
+  *     sets into the generation marker) and the id is recorded only on
+  *     SUCCESS — a delivery that fails mid-fold retries under the same
+  *     id instead of being silently swallowed.
   *   - [[compact]] folds the marked deltas and tombstones into a fresh
   *     GENERATION of corpus layers (`<table>/corpus-g<N+1>`) and
   *     commits the whole generation with ONE atomic rename of a
@@ -66,9 +71,14 @@ import org.apache.spark.sql.types._
   *     unreferenced garbage), and a crash after it leaves a complete
   *     new generation (the old dirs are unreferenced garbage). The
   *     non-atomic overwrite-then-delete window VERDICT r12 named is
-  *     gone. Markers rename-commit via the filesystem's atomic
-  *     same-directory rename (local POSIX and HDFS; an object store
-  *     without atomic rename needs a manifest service instead —
+  *     gone. Compaction DELETES NOTHING: lazy frames handed out before
+  *     it keep resolving against the old generation, and [[vacuum]]
+  *     collects superseded generations on the maintenance schedule.
+  *     Tombstones persist across compactions as their own compacted
+  *     baseline, so the no-id-reuse law outlives the physical drop of
+  *     the tombstoned rows. Markers rename-commit via the filesystem's
+  *     atomic same-directory rename (local POSIX and HDFS; an object
+  *     store without atomic rename needs a manifest service instead —
   *     documented limit).
   *   - All path probing and listing goes through the session's Hadoop
   *     `FileSystem` (never `java.nio`), so a non-local base URI
@@ -153,21 +163,15 @@ class TableCommit(
   private def ownPath(t: String) = s"$base/$t/corpus-g${journal.gen}"
   private def span0Path = s"$cRoot/span0"
 
-  // ---- maintenance counters (driver-side FS metadata only) ------------
+  // ---- maintenance counters (driver-side FS metadata only; the delta
+  // charge counters live on the journal — shared store plumbing) -------
   private var corpusBytes: Long = 0L
-  private var deltaBytes: Long = 0L
-  private var deltaFiles: Long = 0L
   private def tables = Seq("docs", "fp", "span", "bands", "simhash",
     "ngramdf", "postings", "sets", "ledger", "tomb")
   private def refreshCorpusBytes(): Unit = {
     corpusBytes = tables.map(t => journal.du(corpusPath(t))._1).sum
     if (corpusRoot.isDefined)
       corpusBytes += tables.map(t => journal.du(ownPath(t))._1).sum
-  }
-  private def chargeDelta(uuid: String, wrote: Set[String]): Unit = {
-    val dus = wrote.toSeq.map(t => journal.du(journal.batchPath(t, uuid)))
-    deltaBytes += dus.map(_._1).sum
-    deltaFiles += dus.map(_._2).sum
   }
 
   // ---- schemas (for reading a layer that has no rows yet) ------------
@@ -253,22 +257,17 @@ class TableCommit(
     .agg((lit(sign) * count(lit(1))).as("df"))
 
   // ---- driver-held state ---------------------------------------------
-  private val seenCommits = scala.collection.mutable.HashSet.empty[Long]
-  private val seenRetracts = scala.collection.mutable.HashSet.empty[Long]
   private var fpBloom: org.apache.spark.util.sketch.BloomFilter = _
   private var idBloom: org.apache.spark.util.sketch.BloomFilter = _
   private var spanBloomBc: org.apache.spark.broadcast.Broadcast[
     org.apache.spark.util.sketch.BloomFilter] = _
 
-  /** Crash-injection hook for the recovery specs: the named point
-    * throws after its phase completes, BEFORE any driver state mutates
-    * — simulating process death there. Points: "fold-before-marker",
-    * "retract-before-marker", "compact-before-marker",
-    * "compact-after-marker". */
-  private[dedup] var crashAt: Option[String] = None
-  private def crashPoint(name: String): Unit =
-    if (crashAt.contains(name))
-      throw new IllegalStateException(s"injected crash at $name")
+  /** Crash-injection hook for the recovery specs — see
+    * [[graft.StoreJournal.crashPoint]]. */
+  private[dedup] def crashAt: Option[String] = journal.crashAt
+  private[dedup] def crashAt_=(v: Option[String]): Unit =
+    journal.crashAt = v
+  private def crashPoint(name: String): Unit = journal.crashPoint(name)
 
   private[dedup] def initBlooms(
       fp: org.apache.spark.util.sketch.BloomFilter,
@@ -291,9 +290,9 @@ class TableCommit(
     * deploy-time one across any compact/crash history. */
   private[dedup] def rebuild(): TableCommit = {
     journal.reload()
+    validateMeta()
     refreshCorpusBytes()
-    deltaBytes = 0L; deltaFiles = 0L
-    journal.committed.foreach { case (u, ts) => chargeDelta(u, ts) }
+    journal.rechargeDeltas()
     val fpRowsAll = readAll("fp", fpSchema).select("fingerprint")
       .unionByName(readAll("ledger", ledgerSchema).select("fingerprint"))
     fpBloom = fpRowsAll.stat.bloomFilter(
@@ -312,10 +311,46 @@ class TableCommit(
     * marker, and build the gate Blooms. A production deployment runs
     * this once (or inherits the tables from the batch pipeline);
     * per-delivery cost never includes it. */
+  /** The deploy-time geometry persisted next to the tables so
+    * [[TableCommit.reopen]] can VALIDATE the requested parameters: a
+    * silently different `parts` would mis-prune every partition-pruned
+    * gate and takedown read (the takedown would no-op instead of
+    * deleting), and different hash geometry (numHashes/bands/w/
+    * simhashBlocks/ngramN) would break every artifact's fold/decrement
+    * symmetry. `maxShingleDf` is stored for information but NOT
+    * validated — the cap is applied at read time against the summed df
+    * sidecar, so it is a legitimate reopen-time knob. `ngramBlockCol`
+    * is a Column and cannot be persisted; a reopen must pass the same
+    * expression (documented, like the batch faces). */
+  private def metaPath = s"$cRoot/meta"
+  private def writeMeta(): Unit = {
+    import spark.implicits._
+    Seq((numHashes, bands, w, simhashBlocks, ngramN, parts, maxShingleDf))
+      .toDF("numHashes", "bands", "w", "simhashBlocks", "ngramN", "parts",
+        "maxShingleDf")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath)
+  }
+  private def validateMeta(): Unit = {
+    require(journal.exists(metaPath),
+      s"TableCommit.reopen: no store at $cRoot (missing meta)")
+    val mt = spark.read.parquet(metaPath).head()
+    val stored = (mt.getAs[Int]("numHashes"), mt.getAs[Int]("bands"),
+      mt.getAs[Int]("w"), mt.getAs[Int]("simhashBlocks"),
+      mt.getAs[Int]("ngramN"), mt.getAs[Int]("parts"))
+    val requested = (numHashes, bands, w, simhashBlocks, ngramN, parts)
+    require(stored == requested,
+      s"TableCommit.reopen: stored geometry (numHashes, bands, w, " +
+        s"simhashBlocks, ngramN, parts) = $stored != requested " +
+        s"$requested — a mismatched parts would silently mis-prune " +
+        "every partition-pruned read; mismatched hash geometry would " +
+        "break fold/decrement symmetry")
+  }
+
   def deploy(corpus: DataFrame, idCol: String, textCol: String): TableCommit = {
     val docs = corpus
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .localCheckpoint(true)
+    writeMeta()
     writeCorpus(docs.withColumn("part", partOf(col("id"))),
       "docs", partitioned = true, 0)
     writeCorpus(fpRows(docs, 1L), "fp", partitioned = true, 0)
@@ -352,13 +387,17 @@ class TableCommit(
 
   // ---- the commit fold ------------------------------------------------
   /** Fold one gate-accepted delivery into the stored artifacts.
-    * Thread-safe; replay-safe by batch id and by content; ATOMIC — the
-    * per-table delta writes are invisible until the single marker
-    * rename commits them, so a crash anywhere inside leaves no trace
-    * and re-delivery folds cleanly. Every job in here is batch-sized or
-    * a Bloom/partition-pruned store read. */
+    * Thread-safe; replay-safe by batch id (DURABLY — the marker records
+    * it, so a re-delivered epoch after a crash is skipped by id) and by
+    * content; ATOMIC — the per-table delta writes are invisible until
+    * the single marker rename commits them, so a crash anywhere inside
+    * leaves no trace and re-delivery folds cleanly. The batch id is
+    * recorded only on SUCCESS: a delivery that fails mid-fold (task
+    * failure, id-clash violation) stays unrecorded, so a retry under
+    * the same id re-runs instead of being silently swallowed. Every job
+    * in here is batch-sized or a Bloom/partition-pruned store read. */
   def foldBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
-    if (!seenCommits.add(batchId)) return
+    if (journal.seen("fold", batchId)) return
     val bf = batch
       .select(col("id"), col("text"))
       .withColumn("fingerprint", fpc(col("text")))
@@ -394,7 +433,7 @@ class TableCommit(
       .filter(col("id") === col("mn"))
       .select("id", "text", "fingerprint")
       .localCheckpoint(true)
-    if (acceptedRaw.isEmpty) return
+    if (acceptedRaw.isEmpty) { journal.noteSeen("fold", batchId); return }
     // Id-disjointness law (includes tombstoned ids: no id reuse).
     val batchIds = acceptedRaw.select("id").distinct().as[Long].collect()
     val candIds = batchIds.filter(idBloom.mightContainLong)
@@ -440,8 +479,7 @@ class TableCommit(
     val wrote = Set("docs", "ledger", "fp", "span", "bands", "simhash",
       "ngramdf", "postings", "sets")
     crashPoint("fold-before-marker")
-    journal.markBatch(uuid, wrote)
-    chargeDelta(uuid, wrote)
+    journal.markBatch(uuid, wrote, "fold", batchId)
     // Grow the gate Blooms: committed (cleaned) fps, raw-ledger fps, ids.
     accepted.select(fpc(col("text")).as("f")).filter(col("f").isNotNull)
       .distinct().as[String].collect().foreach(fpBloom.putString)
@@ -494,13 +532,13 @@ class TableCommit(
     * Per-delivery work is delete-sized plus one partition-pruned docs
     * read. */
   def retractBatch(deleteIds: DataFrame, batchId: Long): Unit = synchronized {
-    if (!seenRetracts.add(batchId)) return
+    if (journal.seen("retract", batchId)) return
     val del = deleteIds.select(col("id")).distinct().localCheckpoint(true)
     val fresh = del
       .join(tomb, Seq("id"), "left_anti")
       .withColumn("part", partOf(col("id")))
       .localCheckpoint(true)
-    if (fresh.isEmpty) return
+    if (fresh.isEmpty) { journal.noteSeen("retract", batchId); return }
     val iParts = fresh.select("part").distinct().as[Int].collect().toSeq
     // The stored texts of the deleted docs — the exact rows whose
     // artifact contributions must be inverted.
@@ -509,7 +547,7 @@ class TableCommit(
       .join(broadcast(fresh.select("id")), Seq("id"), "left_semi")
       .select("id", "text")
       .localCheckpoint(true)
-    if (deleted.isEmpty) return
+    if (deleted.isEmpty) { journal.noteSeen("retract", batchId); return }
     val uuid = journal.newUuid()
     writeBatch(deleted.select("id"), "tomb", uuid)
     writeBatch(fpRows(deleted, -1L), "fp", uuid)
@@ -520,8 +558,7 @@ class TableCommit(
     // re-delivered taken-down content stays rejected.
     val wrote = Set("tomb", "fp", "span", "ngramdf")
     crashPoint("retract-before-marker")
-    journal.markBatch(uuid, wrote)
-    chargeDelta(uuid, wrote)
+    journal.markBatch(uuid, wrote, "retract", batchId)
     maybeAutoCompact()
   }
 
@@ -532,14 +569,15 @@ class TableCommit(
     .filter(col("n") > 0)
     .select(key.map(col): _*)
 
-  private def tomb: DataFrame = {
-    val d = readDelta("tomb", tombSchema)
-    // Tombstones PERSIST across a sharing store's compactions (they
-    // target rows in the immutable shared corpus).
-    if (corpusRoot.isDefined)
-      readOr(ownPath("tomb"), tombSchema).unionByName(d)
-    else d
-  }
+  private def tomb: DataFrame =
+    // Tombstones PERSIST across EVERY compaction as their own compacted
+    // baseline: a sharing store's target rows in the immutable shared
+    // corpus, and for a plain store the no-id-reuse law ("retracted ids
+    // may not be recommitted") must survive the physical drop of the
+    // tombstoned rows — without the baseline, the first compaction
+    // would silently re-admit a retracted id. Delete-sized.
+    readOr(ownPath("tomb"), tombSchema)
+      .unionByName(readDelta("tomb", tombSchema))
 
   private def antiTomb(df: DataFrame): DataFrame =
     df.join(tomb, Seq("id"), "left_anti")
@@ -634,13 +672,13 @@ class TableCommit(
     * (corpus bytes, delta bytes, delta files, committed folds since
     * the last compaction, current generation). */
   def maintenanceStats: (Long, Long, Long, Int, Int) =
-    (corpusBytes, deltaBytes, deltaFiles, journal.committed.size,
-      journal.gen)
+    (corpusBytes, journal.deltaBytes, journal.deltaFiles,
+      journal.committed.size, journal.gen)
 
   private def maybeAutoCompact(): Unit =
     if (autoCompact &&
-        (deltaBytes > compactDeltaRatio * math.max(1L, corpusBytes) ||
-          deltaFiles > compactMaxDeltaFiles)) compact()
+        (journal.deltaBytes > compactDeltaRatio * math.max(1L, corpusBytes) ||
+          journal.deltaFiles > compactMaxDeltaFiles)) compact()
 
   /** COMPACTION — the deliberate corpus-scale lifecycle op the
     * delta-append design defers to: fold every marked delta and
@@ -650,14 +688,18 @@ class TableCommit(
     * on the committed faces (spec-pinned row-for-row): signed multisets
     * compact to one summed row per surviving key — PRESERVING the
     * count, so later retractions still decrement exactly — id-keyed
-    * tables compact to their tombstone-surviving rows, and the raw
-    * ingest ledger compacts to its distinct rows but is never dropped
-    * (replay/takedown safety survives compaction). The frozen `span0`
-    * gate baseline is NEVER touched. CRASH-ATOMIC: the new generation
-    * becomes visible only with the single `_gens` marker rename; a
-    * crash on either side of it leaves one complete, consistent
-    * generation (see class doc). Runs on the maintenance thresholds
-    * (`autoCompact`) or an explicit call, never per delivery. */
+    * tables compact to their tombstone-surviving rows, the tombstones
+    * THEMSELVES persist as a compacted baseline (the no-id-reuse law
+    * outlives the physical drop), and the raw ingest ledger compacts
+    * to its distinct rows but is never dropped (replay/takedown safety
+    * survives compaction). The frozen `span0` gate baseline is NEVER
+    * touched. CRASH-ATOMIC: the new generation becomes visible only
+    * with the single `_gens` marker rename; a crash on either side of
+    * it leaves one complete, consistent generation (see class doc).
+    * Deletes NOTHING — superseded generations are [[vacuum]]'s to
+    * collect, so lazy frames handed out before the compaction keep
+    * resolving. Runs on the maintenance thresholds (`autoCompact`) or
+    * an explicit call, never per delivery. */
   def compact(): Unit = synchronized {
     if (corpusRoot.isEmpty) compactPlain() else compactShared()
   }
@@ -690,6 +732,11 @@ class TableCommit(
       .select("id", "shingles").localCheckpoint(true)
     val ledger = readAll("ledger", ledgerSchema)
       .select("fingerprint", "part").distinct().localCheckpoint(true)
+    // Tombstones survive as their own compacted baseline (delete-sized)
+    // — the no-id-reuse law must outlive the physical drop of the
+    // tombstoned rows, else the first compaction silently re-admits a
+    // retracted id.
+    val tombAll = tomb.distinct().localCheckpoint(true)
     writeCorpus(fp, "fp", partitioned = true, g2)
     writeCorpus(span, "span", partitioned = true, g2)
     writeCorpus(ndf, "ngramdf", partitioned = false, g2)
@@ -699,22 +746,18 @@ class TableCommit(
     writeCorpus(posts, "postings", partitioned = false, g2)
     writeCorpus(sets, "sets", partitioned = false, g2)
     writeCorpus(ledger, "ledger", partitioned = true, g2)
+    writeCorpus(tombAll, "tomb", partitioned = false, g2)
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")
-    // The new generation is committed; everything below is driver-state
-    // refresh plus best-effort GC of the now-unreferenced old dirs (a
-    // crash in here leaves garbage, never corruption — reads are
-    // generation-scoped).
-    val gOld = journal.gen
+    // The new generation is committed; the driver state flips to it.
+    // The superseded generation's dirs are left in place DELIBERATELY:
+    // lazy DataFrames handed out before the compaction keep resolving
+    // (reads are generation-scoped, so they see the old, complete
+    // state), and [[vacuum]] collects the garbage on the maintenance
+    // schedule.
     journal.advance(g2)
     refreshCorpusBytes()
-    deltaBytes = 0L; deltaFiles = 0L
-    tables.foreach { t =>
-      journal.delete(s"$cRoot/$t/corpus-g$gOld")
-      journal.delete(s"$base/$t/delta-g$gOld")
-    }
-    journal.gcBatches(gOld)
   }
 
   /** A SHARING store's compaction: the memoized corpus layer is
@@ -775,15 +818,10 @@ class TableCommit(
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")
-    val gOld = journal.gen
+    // Superseded own-generation dirs are left for [[vacuum]] — lazy
+    // frames handed out before the compaction keep resolving.
     journal.advance(g2)
     refreshCorpusBytes()
-    deltaBytes = 0L; deltaFiles = 0L
-    tables.foreach { t =>
-      journal.delete(s"$base/$t/corpus-g$gOld")
-      journal.delete(s"$base/$t/delta-g$gOld")
-    }
-    journal.gcBatches(gOld)
   }
 }
 
@@ -817,16 +855,20 @@ object TableCommit {
     * scopes reads to complete, atomically-committed state, so a crash
     * ANYWHERE — mid-fold, mid-retract, either side of a compaction
     * marker — reopens to the pre-op or post-op state, never a torn one.
-    * Everything semantic lives in the tables; the only driver-held
-    * state is rebuilt (journal + gate Blooms, from one scan each) or
-    * DELIBERATELY lost: the seen-batch-id set is per-process, so replay
-    * protection after a crash rests on the CONTENT layer alone — which
-    * is the stronger guarantee the class doc names (a re-delivered
-    * document is a content-keyed no-op regardless of its batch id), and
-    * exactly why that layer exists. Spec-pinned: fold → crash (drop the
-    * instance, or inject one mid-op) → reopen → re-deliver pre-crash
-    * content under fresh batch ids → fold new batches lands on a
-    * never-crashed twin row-for-row. */
+    * Everything semantic lives in the tables; the driver-held state is
+    * rebuilt from them: journal + gate Blooms from one scan each, and
+    * the seen-delivery-id sets from the batch markers (each records its
+    * op kind + delivery id) plus the generation marker (a compaction
+    * baselines the sets there) — so a re-delivered epoch after a crash
+    * is skipped BY ID, with the content gate as the second, stronger
+    * layer beneath it (a re-delivered document is a content-keyed no-op
+    * regardless of its batch id). Ids of no-op deliveries (which write
+    * no marker) are the one in-memory-only piece — their replay re-runs
+    * the gate and no-ops again. The requested geometry VALIDATES
+    * against the persisted deploy-time meta. Spec-pinned: fold → crash
+    * (drop the instance, or inject one mid-op) → reopen → re-deliver
+    * pre-crash content under fresh batch ids → fold new batches lands
+    * on a never-crashed twin row-for-row. */
   def reopen(
       spark: SparkSession,
       base: String,
@@ -834,13 +876,16 @@ object TableCommit {
       bands: Int,
       w: Int,
       simhashBlocks: Int = 4,
+      ngramN: Int = 3,
       maxShingleDf: Int = Dedup.DefaultShingleDfCap,
+      parts: Int = 16,
       corpusRoot: Option[String] = None,
       autoCompact: Boolean = false,
       compactDeltaRatio: Double = 0.5,
       compactMaxDeltaFiles: Long = 512L): TableCommit =
     new TableCommit(spark, base, numHashes, bands, w,
-      simhashBlocks = simhashBlocks, maxShingleDf = maxShingleDf,
+      simhashBlocks = simhashBlocks, ngramN = ngramN,
+      maxShingleDf = maxShingleDf, parts = parts,
       corpusRoot = corpusRoot, autoCompact = autoCompact,
       compactDeltaRatio = compactDeltaRatio,
       compactMaxDeltaFiles = compactMaxDeltaFiles).rebuild()

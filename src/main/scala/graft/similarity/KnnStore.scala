@@ -58,13 +58,24 @@ import org.apache.spark.sql.types._
   * committed by ONE atomic marker rename (a crash mid-op leaves
   * invisible garbage; re-delivery lands exactly), and [[compact]]
   * rewrites probes/assignment/edges as a fresh GENERATION — tombstones
-  * applied, superseded edge versions dropped, `ver` reset — committed
-  * by a single `_gens` marker rename, so a crash on either side of it
-  * reopens to one consistent generation. All path probing goes through
-  * the session's Hadoop `FileSystem`. The frozen quantizer AND the
-  * store's geometry (`nProbe`, `k`, `parts`) persist at deploy;
-  * [[KnnStore.reopen]] validates the geometry instead of silently
-  * degrading partition pruning under a mismatched `parts`.
+  * applied to the rows but PERSISTED as their own compacted baseline
+  * (the no-id-reuse law outlives the physical drop), superseded edge
+  * versions dropped, `ver` reset — committed by a single `_gens`
+  * marker rename, so a crash on either side of it reopens to one
+  * consistent generation. Compaction deletes nothing (superseded
+  * generations are [[vacuum]]'s to collect — lazy frames handed out
+  * before it keep resolving). Delivery-id replay protection is
+  * DURABLE: markers record the op kind + delivery id, compaction
+  * baselines the sets into the generation marker, and the id is
+  * recorded only on SUCCESS, so a failed delivery retries under the
+  * same id. Arrivals are gated on id disjointness BOTH ways —
+  * tombstoned ids (retraction is permanent) and already-stored ids (a
+  * silent double-insert would hand one neighbor two of the k slots)
+  * fail loudly. All path probing goes through the session's Hadoop
+  * `FileSystem`. The frozen quantizer AND the store's geometry
+  * (`nProbe`, `k`, `parts`) persist at deploy; [[KnnStore.reopen]]
+  * validates the geometry instead of silently degrading partition
+  * pruning under a mismatched `parts`.
   *
   * AUTOMATIC COMPACTION: the costs that compound across deliveries are
   * the superseded edge versions (every `currentEdges` read pays a
@@ -97,8 +108,6 @@ class KnnStore(
 
   private var centArr: DataFrame = _
   private var ver: Long = 0L
-  private val seenFolds = scala.collection.mutable.HashSet.empty[Long]
-  private val seenRetracts = scala.collection.mutable.HashSet.empty[Long]
 
   private def p(rel: String) = s"$base/$rel"
   private def partOf(c: org.apache.spark.sql.Column) =
@@ -106,17 +115,14 @@ class KnnStore(
 
   // ---- journal (two-phase commit discipline: graft.StoreJournal) ----
   private val journal = new graft.StoreJournal(spark, base)
-  private var deltaFiles: Long = 0L
 
   private def corpusPath(t: String) = s"$base/$t/corpus-g${journal.gen}"
-  /** Crash-injection hook for the recovery specs (see
-    * [[graft.dedup.TableCommit]]): "fold-before-marker",
-    * "retract-before-marker", "compact-before-marker",
-    * "compact-after-marker". */
-  private[graft] var crashAt: Option[String] = None
-  private def crashPoint(name: String): Unit =
-    if (crashAt.contains(name))
-      throw new IllegalStateException(s"injected crash at $name")
+  /** Crash-injection hook for the recovery specs — see
+    * [[graft.StoreJournal.crashPoint]]. */
+  private[graft] def crashAt: Option[String] = journal.crashAt
+  private[graft] def crashAt_=(v: Option[String]): Unit =
+    journal.crashAt = v
+  private def crashPoint(name: String): Unit = journal.crashPoint(name)
 
   // ---- schemas ---------------------------------------------------------
   private val probeSchema = new StructType()
@@ -144,7 +150,13 @@ class KnnStore(
   private def writeBatch(df: DataFrame, t: String, uuid: String): Unit =
     journal.writeBatch(df, t, uuid)
 
-  private def tomb: DataFrame = readDelta("tomb", tombSchema)
+  private def tomb: DataFrame =
+    // Tombstones persist across compactions as their own compacted
+    // baseline — the no-id-reuse law ("retracted ids may not
+    // re-arrive") must outlive the physical drop of the tombstoned
+    // rows. Delete-sized.
+    readOr(corpusPath("tomb"), tombSchema)
+      .unionByName(readDelta("tomb", tombSchema))
 
   /** Stored probe rows of SURVIVING queries. */
   private def readProbes: DataFrame = readAll("probes", probeSchema)
@@ -213,26 +225,47 @@ class KnnStore(
   }
 
   /** Fold one delivery of (vec_id, embedding) arrivals. Replay-safe by
-    * batch id; ATOMIC (delta writes commit with one marker rename);
-    * every job is batch-sized or a partition-pruned read. */
+    * batch id (DURABLY — the marker records it, so a re-delivered
+    * epoch after a crash is skipped by id; recorded only on SUCCESS, so
+    * a failed delivery retries under the same id instead of being
+    * silently swallowed); ATOMIC (delta writes commit with one marker
+    * rename); every job is batch-sized or a partition-pruned read. */
   def foldBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
-    if (!seenFolds.add(batchId)) return
+    if (journal.seen("fold", batchId)) return
     Similarity.ensureFunctions(batch)
     val b0 = Ivf.prepDouble(batch).localCheckpoint(true)
-    if (b0.isEmpty) return
+    if (b0.isEmpty) { journal.noteSeen("fold", batchId); return }
     // Tombstoned ids may not re-arrive — retraction is permanent, the
     // same no-id-reuse law as the commit store.
     val clashes = b0.join(broadcast(tomb), Seq("vec_id"), "left_semi").count()
     require(clashes == 0L,
       s"KnnStore: $clashes arrival vec_id(s) are tombstoned — retracted " +
         "ids may not be recommitted")
-    ver += 1
     val bProbes = Ivf.knnProbeFrame(b0, centArr, nProbe)
       .withColumn("cell", col("cell").cast("long"))
       .localCheckpoint(true)
     val bAsg = Ivf.knnAsgFrame(b0, centArr)
       .withColumn("cell", col("cell").cast("long"))
       .localCheckpoint(true)
+    val arrivalCells = bAsg.select("cell").distinct().as[Long].collect().toSeq
+    // STORED ids may not re-arrive either: a silent duplicate insert
+    // would hand the same neighbor two of the k slots in every later
+    // top-k merge — corruption, not healing. The check is exact for a
+    // re-delivered (id, embedding) pair because the frozen quantizer
+    // assigns it the same cell, so pruning the stored assignment to the
+    // arrival cells cannot miss it (an id re-used with a DIFFERENT
+    // embedding is upstream corruption no id-keyed store can detect
+    // cheaply — documented limit; exact-epoch redelivery is already
+    // skipped by the durable batch id above).
+    val storedClashes = readAll("asg", asgSchema)
+      .filter(col("cell").isin(arrivalCells: _*))
+      .select("vec_id")
+      .join(broadcast(b0.select("vec_id")), Seq("vec_id"), "left_semi")
+      .count()
+    require(storedClashes == 0L,
+      s"KnnStore: $storedClashes arrival vec_id(s) already stored — ids " +
+        "must be disjoint (re-key the batch before committing)")
+    ver += 1
     // (2) batch queries rank against the stored members of their probed
     // cells (pruned read) plus the batch itself.
     val probeCells = bProbes.select("cell").distinct().as[Long].collect().toSeq
@@ -241,7 +274,6 @@ class KnnStore(
       readAsg.filter(col("cell").isin(probeCells: _*)).unionByName(bAsg),
       k).select("q_vec_id", "vec_id", "score")
     // (3) affected stored queries: probe rows in an ARRIVAL cell.
-    val arrivalCells = bAsg.select("cell").distinct().as[Long].collect().toSeq
     val affProbes = readProbes
       .filter(col("cell").isin(arrivalCells: _*))
       .localCheckpoint(true)
@@ -273,8 +305,7 @@ class KnnStore(
     writeBatch(bAsg, "asg", uuid)
     val wrote = Set("edges", "probes", "asg")
     crashPoint("fold-before-marker")
-    journal.markBatch(uuid, wrote)
-    deltaFiles += wrote.size
+    journal.markBatch(uuid, wrote, "fold", batchId)
     maybeAutoCompact()
   }
 
@@ -285,13 +316,13 @@ class KnnStore(
     * content (already-tombstoned or never-stored ids are no-ops);
     * ATOMIC like the fold. */
   def retractBatch(deleteIds: DataFrame, batchId: Long): Unit = synchronized {
-    if (!seenRetracts.add(batchId)) return
+    if (journal.seen("retract", batchId)) return
     val del = deleteIds.select(col("vec_id")).distinct().localCheckpoint(true)
     val fresh = del.join(tomb, Seq("vec_id"), "left_anti")
       .join(readAll("asg", asgSchema).select("vec_id"), Seq("vec_id"),
         "left_semi")
       .localCheckpoint(true)
-    if (fresh.isEmpty) return
+    if (fresh.isEmpty) { journal.noteSeen("retract", batchId); return }
     ver += 1
     // Affected candidates: ANY stored version holds a deleted vector —
     // one broadcast semi-join over the raw edge table instead of the
@@ -332,8 +363,7 @@ class KnnStore(
       "edges", uuid)
     val wrote = Set("tomb", "edges")
     crashPoint("retract-before-marker")
-    journal.markBatch(uuid, wrote)
-    deltaFiles += wrote.size
+    journal.markBatch(uuid, wrote, "retract", batchId)
     maybeAutoCompact()
   }
 
@@ -358,11 +388,12 @@ class KnnStore(
   /** Maintenance readout: (version count, delta files, committed ops
     * since the last compaction, current generation). */
   def maintenanceStats: (Long, Long, Int, Int) =
-    (ver, deltaFiles, journal.committed.size, journal.gen)
+    (ver, journal.deltaFiles, journal.committed.size, journal.gen)
 
   private def maybeAutoCompact(): Unit =
     if (autoCompact &&
-        (ver >= compactMaxVersions || deltaFiles > compactMaxDeltaFiles))
+        (ver >= compactMaxVersions ||
+          journal.deltaFiles > compactMaxDeltaFiles))
       compact()
 
   private[similarity] def restore(): KnnStore = {
@@ -377,7 +408,7 @@ class KnnStore(
         "parts would silently mis-prune every stored partition")
     centArr = spark.read.parquet(p("cent")).localCheckpoint(true)
     journal.reload()
-    deltaFiles = journal.committed.iterator.map(_._2.size.toLong).sum
+    journal.rechargeDeltas()
     // Guard the empty-edges case (deploy over a corpus producing no
     // edges): max(ver) is null there, not a row to getLong.
     val mx = readEdgesRaw.agg(max(col("ver"))).head()
@@ -385,19 +416,24 @@ class KnnStore(
     this
   }
 
-  /** COMPACTION — rewrite the three growing tables as a fresh
-    * generation: edges keep only each surviving query's CURRENT rows
-    * (`ver` resets to 0), probes/assignment drop their tombstoned rows
-    * and fold their deltas back into the cell-partitioned baseline, and
-    * the applied tombstones drop. A committed-face no-op (spec-pinned;
-    * later folds land on an uncompacted twin exactly), CRASH-ATOMIC via
-    * the single generation-marker rename exactly like
-    * [[graft.dedup.TableCommit.compact]]. */
+  /** COMPACTION — rewrite the growing tables as a fresh generation:
+    * edges keep only each surviving query's CURRENT rows (`ver` resets
+    * to 0), probes/assignment drop their tombstoned rows and fold their
+    * deltas back into the cell-partitioned baseline, and the applied
+    * tombstones persist as their own compacted baseline (delete-sized —
+    * the no-id-reuse law must outlive the physical drop of the
+    * tombstoned rows). A committed-face no-op (spec-pinned; later folds
+    * land on an uncompacted twin exactly), CRASH-ATOMIC via the single
+    * generation-marker rename exactly like
+    * [[graft.dedup.TableCommit.compact]]. Superseded generation dirs
+    * are left for [[vacuum]] — lazy frames handed out before the
+    * compaction keep resolving. */
   def compact(): Unit = synchronized {
     val g2 = journal.gen + 1
     val cur = directedEdges.localCheckpoint(true)
     val probesAll = readProbes.localCheckpoint(true)
     val asgAll = readAsg.localCheckpoint(true)
+    val tombAll = tomb.distinct().localCheckpoint(true)
     probesAll.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$base/probes/corpus-g$g2")
@@ -410,18 +446,13 @@ class KnnStore(
       .repartition(parts, col("part"))
       .write.mode("overwrite").partitionBy("part")
       .parquet(s"$base/edges/corpus-g$g2")
+    tombAll.coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/tomb/corpus-g$g2")
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")
-    val gOld = journal.gen
     journal.advance(g2)
     ver = 0L
-    deltaFiles = 0L
-    Seq("probes", "asg", "edges", "tomb").foreach { t =>
-      journal.delete(s"$base/$t/corpus-g$gOld")
-      journal.delete(s"$base/$t/delta-g$gOld")
-    }
-    journal.gcBatches(gOld)
   }
 }
 

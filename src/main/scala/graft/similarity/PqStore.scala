@@ -23,11 +23,17 @@ import org.apache.spark.sql.types._
   * against a driver Bloom with a partition-pruned exact check for the
   * Bloom hits only — the [[graft.dedup.TableCommit]] gate shape.
   * Durability is the shared [[graft.StoreJournal]] discipline: per-op
-  * batch dirs committed by one atomic marker rename; [[compact]]
-  * rewrites the postings as a fresh generation (tombstones applied)
-  * committed by one generation-marker rename; crash anywhere reopens
-  * to a consistent state. `autoCompact` watches the delta:corpus byte
-  * ratio and the delta file count. */
+  * batch dirs committed by one atomic marker rename (recording the
+  * delivery id durably — recorded only on SUCCESS, so a failed
+  * delivery retries under the same id); [[compact]] rewrites the
+  * postings as a fresh generation with the tombstones applied to the
+  * rows but PERSISTED as their own compacted baseline (the
+  * no-id-reuse law outlives the physical drop), committed by one
+  * generation-marker rename that also baselines the seen-id sets;
+  * crash anywhere reopens to a consistent state. Compaction deletes
+  * nothing — superseded generations are [[vacuum]]'s to collect, so
+  * lazy frames handed out before it keep resolving. `autoCompact`
+  * watches the delta:corpus byte ratio and the delta file count. */
 class PqStore(
     spark: SparkSession,
     base: String,
@@ -53,30 +59,25 @@ class PqStore(
 
   private var codebooks: DataFrame = _
   private var idBloom: org.apache.spark.util.sketch.BloomFilter = _
-  private val seenFolds = scala.collection.mutable.HashSet.empty[Long]
-  private val seenRetracts = scala.collection.mutable.HashSet.empty[Long]
   private var corpusBytes: Long = 0L
-  private var deltaBytes: Long = 0L
-  private var deltaFiles: Long = 0L
 
-  /** Crash-injection hook (see [[graft.dedup.TableCommit]]). */
-  private[similarity] var crashAt: Option[String] = None
-  private def crashPoint(name: String): Unit =
-    if (crashAt.contains(name))
-      throw new IllegalStateException(s"injected crash at $name")
+  /** Crash-injection hook — see [[graft.StoreJournal.crashPoint]]. */
+  private[similarity] def crashAt: Option[String] = journal.crashAt
+  private[similarity] def crashAt_=(v: Option[String]): Unit =
+    journal.crashAt = v
+  private def crashPoint(name: String): Unit = journal.crashPoint(name)
 
   private def readDelta(t: String) = journal.readDelta(t, schemaOf(t))
   private def readAll(t: String) =
     journal.readOr(corpusPath(t), schemaOf(t)).unionByName(readDelta(t))
   private def schemaOf(t: String) =
     if (t == "tomb") tombSchema else codeSchema
-  private def tomb: DataFrame = readDelta("tomb")
-
-  private def chargeDelta(uuid: String, wrote: Set[String]): Unit = {
-    val dus = wrote.toSeq.map(t => journal.du(journal.batchPath(t, uuid)))
-    deltaBytes += dus.map(_._1).sum
-    deltaFiles += dus.map(_._2).sum
-  }
+  private def tomb: DataFrame =
+    // Tombstones persist across compactions as their own compacted
+    // baseline — the no-id-reuse law must outlive the physical drop of
+    // the tombstoned rows. Delete-sized.
+    journal.readOr(corpusPath("tomb"), tombSchema)
+      .unionByName(readDelta("tomb"))
 
   /** Deploy the trained artifacts: frozen codebooks + the corpus code
     * postings, committed as generation 0. */
@@ -104,9 +105,9 @@ class PqStore(
     * encoding is per-vector deterministic, so append IS the exact
     * [[Ivf.commitPqCodes]] fold. Replay-safe by batch id; ATOMIC. */
   def foldBatch(arrivals: DataFrame, batchId: Long): Unit = synchronized {
-    if (!seenFolds.add(batchId)) return
+    if (journal.seen("fold", batchId)) return
     val bb = arrivals.select("vec_id", "embedding").localCheckpoint(true)
-    if (bb.isEmpty) return
+    if (bb.isEmpty) { journal.noteSeen("fold", batchId); return }
     val bIds = bb.select("vec_id").distinct().as[Long].collect()
     val cand = bIds.filter(idBloom.mightContainLong)
     val clashes =
@@ -134,8 +135,7 @@ class PqStore(
       "codes", uuid)
     val wrote = Set("codes")
     crashPoint("fold-before-marker")
-    journal.markBatch(uuid, wrote)
-    chargeDelta(uuid, wrote)
+    journal.markBatch(uuid, wrote, "fold", batchId)
     bIds.foreach(idBloom.putLong)
     maybeAutoCompact()
   }
@@ -144,7 +144,7 @@ class PqStore(
     * stored ids — the anti-join IS the retraction for a purely
     * id-keyed table. Replay-safe by batch id and by content; ATOMIC. */
   def retractBatch(deleteIds: DataFrame, batchId: Long): Unit = synchronized {
-    if (!seenRetracts.add(batchId)) return
+    if (journal.seen("retract", batchId)) return
     val del = deleteIds.select(col("vec_id")).distinct()
       .withColumn("part", partOf(col("vec_id")))
       .localCheckpoint(true)
@@ -155,13 +155,12 @@ class PqStore(
           .select("vec_id"),
         Seq("vec_id"), "left_semi")
       .localCheckpoint(true)
-    if (fresh.isEmpty) return
+    if (fresh.isEmpty) { journal.noteSeen("retract", batchId); return }
     val uuid = journal.newUuid()
     journal.writeBatch(fresh, "tomb", uuid)
     val wrote = Set("tomb")
     crashPoint("retract-before-marker")
-    journal.markBatch(uuid, wrote)
-    chargeDelta(uuid, wrote)
+    journal.markBatch(uuid, wrote, "retract", batchId)
     maybeAutoCompact()
   }
 
@@ -173,16 +172,16 @@ class PqStore(
   /** Maintenance readout: (corpus bytes, delta bytes, delta files,
     * committed ops since the last compaction, current generation). */
   def maintenanceStats: (Long, Long, Long, Int, Int) =
-    (corpusBytes, deltaBytes, deltaFiles, journal.committed.size,
-      journal.gen)
+    (corpusBytes, journal.deltaBytes, journal.deltaFiles,
+      journal.committed.size, journal.gen)
 
   /** GC of journal garbage — [[graft.StoreJournal.vacuum]]. */
   def vacuum(): Long = synchronized { journal.vacuum(Seq("codes", "tomb")) }
 
   private def maybeAutoCompact(): Unit =
     if (autoCompact &&
-        (deltaBytes > compactDeltaRatio * math.max(1L, corpusBytes) ||
-          deltaFiles > compactMaxDeltaFiles)) compact()
+        (journal.deltaBytes > compactDeltaRatio * math.max(1L, corpusBytes) ||
+          journal.deltaFiles > compactMaxDeltaFiles)) compact()
 
   private[similarity] def restore(): PqStore = {
     require(journal.exists(p("meta")),
@@ -196,8 +195,7 @@ class PqStore(
     codebooks = spark.read.parquet(p("cb")).localCheckpoint(true)
     journal.reload()
     corpusBytes = journal.du(corpusPath("codes"))._1
-    deltaBytes = 0L; deltaFiles = 0L
-    journal.committed.foreach { case (u, ts) => chargeDelta(u, ts) }
+    journal.rechargeDeltas()
     val ids = readAll("codes").select("vec_id")
       .unionByName(tomb.select("vec_id")).distinct()
     idBloom = ids.stat.bloomFilter("vec_id", math.max(1L, ids.count()), 0.01)
@@ -212,22 +210,23 @@ class PqStore(
     val survivors = postings
       .withColumn("part", partOf(col("vec_id")))
       .localCheckpoint(true)
+    // Tombstones survive as their own compacted baseline — the
+    // no-id-reuse law must outlive the physical drop of the tombstoned
+    // rows. Delete-sized.
+    val tombAll = tomb.distinct().localCheckpoint(true)
     survivors
       .repartition(parts, col("part"))
       .write.mode("overwrite").partitionBy("part")
       .parquet(s"$base/codes/corpus-g$g2")
+    tombAll.coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/tomb/corpus-g$g2")
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")
-    val gOld = journal.gen
+    // Superseded generation dirs are left for [[vacuum]] — lazy frames
+    // handed out before the compaction keep resolving.
     journal.advance(g2)
     corpusBytes = journal.du(corpusPath("codes"))._1
-    deltaBytes = 0L; deltaFiles = 0L
-    Seq("codes", "tomb").foreach { t =>
-      journal.delete(s"$base/$t/corpus-g$gOld")
-      journal.delete(s"$base/$t/delta-g$gOld")
-    }
-    journal.gcBatches(gOld)
   }
 }
 

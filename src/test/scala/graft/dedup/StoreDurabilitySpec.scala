@@ -1,0 +1,212 @@
+package graft.dedup
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The round-13 hardening laws of the table-backed store family, the
+  * ones a crash/compaction history must not erode:
+  *
+  *   - FAILED DELIVERIES RETRY under the SAME batch id: the id is
+  *     recorded only after the marker commits, so a fold that dies
+  *     mid-op is not silently swallowed on its retry (the old
+  *     add-to-seen-first shape dropped the delivery forever).
+  *   - BATCH-ID REPLAY PROTECTION IS DURABLE: markers record the op
+  *     kind + delivery id and a compaction baselines the sets into the
+  *     generation marker, so a re-delivered epoch after a crash is
+  *     skipped BY ID — pinned with different content under a replayed
+  *     id, which only the id layer can stop.
+  *   - TOMBSTONES SURVIVE COMPACTION: the no-id-reuse law
+  *     ("retracted ids may not be recommitted") holds across
+  *     compact + reopen — without the tombstone baseline the first
+  *     compaction would silently re-admit retracted ids.
+  *   - REOPEN VALIDATES GEOMETRY: a mismatched `parts` (or
+  *     `splitRegex`) fails loudly instead of silently mis-pruning
+  *     every partition-pruned gate and takedown read. */
+class StoreDurabilitySpec extends SparkSuite {
+
+  private lazy val docs = graft.queries.Tables
+    .documents(spark, "/root/testdata/sf0.001")
+  private lazy val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+  private lazy val batch = docs.filter(col("doc_id") % 10 === 0)
+    .select(col("doc_id").as("id"), col("text")).localCheckpoint(true)
+  private lazy val half1 = batch.filter(expr("(id div 10) % 2 = 0"))
+    .localCheckpoint(true)
+  private lazy val half2 = batch.filter(expr("(id div 10) % 2 = 1"))
+    .localCheckpoint(true)
+
+  private def symDiff(a: DataFrame, b: DataFrame): Long =
+    a.exceptAll(b).count() + b.exceptAll(a).count()
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("a failed fold retries under the SAME batch id (TableCommit + KnnStore)") {
+    val plain = new TableCommit(spark, tmp("graft_retry_p_"), 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    val store = new TableCommit(spark, tmp("graft_retry_"), 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    store.crashAt = Some("fold-before-marker")
+    intercept[IllegalStateException](store.foldBatch(half1, 0L))
+    store.crashAt = None
+    store.foldBatch(half1, 0L) // retry of the FAILED delivery, same id
+    plain.foldBatch(half1, 0L)
+    assert(symDiff(store.committedFingerprints,
+      plain.committedFingerprints) == 0,
+      "retry under the failed delivery's id must fold, not be swallowed")
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpusE = emb.filter(col("vec_id") % 9 =!= 8)
+    val batchE = emb.filter(col("vec_id") % 9 === 8)
+    val kPlain = new graft.similarity.KnnStore(
+      spark, tmp("graft_kretry_p_"), nProbe = 2, k = 4)
+      .deploy(corpusE, (0 until 8).map(_ * 37L))
+    val kStore = new graft.similarity.KnnStore(
+      spark, tmp("graft_kretry_"), nProbe = 2, k = 4)
+      .deploy(corpusE, (0 until 8).map(_ * 37L))
+    kStore.crashAt = Some("fold-before-marker")
+    intercept[IllegalStateException](kStore.foldBatch(batchE, 0L))
+    kStore.crashAt = None
+    kStore.foldBatch(batchE, 0L)
+    kPlain.foldBatch(batchE, 0L)
+    assert(symDiff(kStore.directedEdges, kPlain.directedEdges) == 0,
+      "KnnStore retry under the failed delivery's id must fold")
+  }
+
+  test("batch-id replay protection survives reopen AND compaction (different content, replayed id)") {
+    val base = tmp("graft_durid_")
+    val store = new TableCommit(spark, base, 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    store.foldBatch(half1, 0L)
+    // Reopen: the marker recorded (fold, 0), so a replayed epoch 0
+    // carrying DIFFERENT content — which the content gate would have
+    // accepted — is skipped by id.
+    val r1 = TableCommit.reopen(spark, base, 8, 4, 8)
+    r1.foldBatch(half2, 0L)
+    val twin = new TableCommit(spark, tmp("graft_durid_t_"), 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    twin.foldBatch(half1, 0L)
+    assert(symDiff(r1.committedFingerprints,
+      twin.committedFingerprints) == 0,
+      "replayed id with fresh content must be skipped BY ID after reopen")
+    // ... and the same delivery under a fresh id lands.
+    r1.foldBatch(half2, 1L)
+    twin.foldBatch(half2, 1L)
+    assert(symDiff(r1.committedFingerprints,
+      twin.committedFingerprints) == 0)
+    // Compaction baselines the seen sets into the generation marker:
+    // after compact + reopen the replayed ids are STILL skipped, even
+    // though the old generation's batch markers are vacuumable garbage.
+    r1.compact()
+    assert(r1.vacuum() > 0L, "superseded generation left for vacuum")
+    val r3 = TableCommit.reopen(spark, base, 8, 4, 8)
+    val fresh = half2
+      .select((col("id") + 10000000L).as("id"),
+        concat(col("text"), lit(" graft novel suffix")).as("text"))
+      .localCheckpoint(true)
+    val fpBefore = r3.committedFingerprints.count()
+    r3.foldBatch(fresh, 1L) // fold id 1 was baselined at compaction
+    assert(r3.committedFingerprints.count() == fpBefore,
+      "fold ids baselined at compaction must stay skipped after reopen")
+    r3.foldBatch(fresh, 5L) // the same delivery under a fresh id lands
+    assert(r3.committedFingerprints.count() > fpBefore)
+  }
+
+  test("tombstones survive compaction + reopen: retracted ids may not be recommitted (all four stores)") {
+    import spark.implicits._
+    // TableCommit: retract, compact, reopen — a NEW text under the
+    // retracted id must fail the id gate loudly.
+    val base = tmp("graft_tombc_")
+    val store = new TableCommit(spark, base, 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    store.foldBatch(half1, 0L)
+    val delId = store.accepted.select("id").as[Long].head()
+    store.retractBatch(Seq(delId).toDF("id"), 1L)
+    store.compact()
+    val r = TableCommit.reopen(spark, base, 8, 4, 8)
+    intercept[IllegalArgumentException](
+      r.foldBatch(Seq((delId, "entirely novel text after takedown"))
+        .toDF("id", "text"), 2L))
+
+    // PqStore: same law through its Bloom + pruned exact gate.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (cb, codes) = graft.similarity.Ivf.pqArtifacts(
+      emb.filter(col("vec_id") % 9 =!= 8), (0 until 8).map(_ * 37L), 64, 4, 2)
+    val pqBase = tmp("graft_tombpq_")
+    val pq = new graft.similarity.PqStore(spark, pqBase, 64, 4)
+      .deploy(codes, cb)
+    val vecDel = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    pq.retractBatch(vecDel, 0L)
+    pq.compact()
+    val pqR = graft.similarity.PqStore.reopen(spark, pqBase, 64, 4)
+    intercept[IllegalArgumentException](
+      pqR.foldBatch(emb.filter(col("vec_id") % 10 === 3)
+        .select("vec_id", "embedding").limit(1), 1L))
+
+    // KnnStore: tombstoned arrival still rejected after compact+reopen.
+    val knnBase = tmp("graft_tombknn_")
+    val knn = new graft.similarity.KnnStore(spark, knnBase, nProbe = 2, k = 4)
+      .deploy(emb.filter(col("vec_id") % 9 =!= 8), (0 until 8).map(_ * 37L))
+    knn.retractBatch(vecDel, 0L)
+    knn.compact()
+    val knnR = graft.similarity.KnnStore.reopen(spark, knnBase,
+      nProbe = 2, k = 4)
+    intercept[IllegalArgumentException](
+      knnR.foldBatch(emb.filter(col("vec_id") % 10 === 3).limit(1), 1L))
+
+    // SentenceTable: a tombstoned id's re-delivery is an id-keyed
+    // NO-OP (its documented gate) — the deleted hashes must NOT
+    // resurrect after compact + reopen.
+    val stBase = tmp("graft_tombst_")
+    val st = new SentenceTable(spark, stBase)
+      .deploy(corpus, "doc_id", "text")
+    val stDel = corpus.select(col("doc_id").as("id")).limit(2)
+      .localCheckpoint(true)
+    st.retractBatch(stDel, 0L)
+    st.compact()
+    val stR = SentenceTable.reopen(spark, stBase)
+    val beforeHashes = stR.presentHashes.count()
+    stR.foldBatch(
+      corpus.select(col("doc_id").as("id"), col("text"))
+        .join(stDel, Seq("id"), "left_semi"), 1L)
+    assert(stR.presentHashes.count() == beforeHashes,
+      "tombstoned doc re-delivery resurrected hashes after compaction")
+  }
+
+  test("KnnStore rejects already-STORED arrival ids loudly (silent double-insert is corruption)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpusE = emb.filter(col("vec_id") % 9 =!= 8)
+    val batchE = emb.filter(col("vec_id") % 9 === 8)
+    val store = new graft.similarity.KnnStore(
+      spark, tmp("graft_knndup_"), nProbe = 2, k = 4)
+      .deploy(corpusE, (0 until 8).map(_ * 37L))
+    store.foldBatch(batchE, 0L)
+    // A corpus id under a NEW batch id: before the gate this silently
+    // double-inserted (two of the k slots for one neighbor).
+    intercept[IllegalArgumentException](
+      store.foldBatch(corpusE.limit(1), 1L))
+    // A folded-delivery id re-sent under a NEW batch id: same law.
+    intercept[IllegalArgumentException](
+      store.foldBatch(batchE.limit(1), 2L))
+  }
+
+  test("reopen validates the stored geometry (TableCommit parts; SentenceTable parts + splitRegex)") {
+    val base = tmp("graft_geom_tc_")
+    new TableCommit(spark, base, 8, 4, 8).deploy(corpus, "doc_id", "text")
+    intercept[IllegalArgumentException](
+      TableCommit.reopen(spark, base, 8, 4, 8, parts = 8))
+    intercept[IllegalArgumentException](
+      TableCommit.reopen(spark, base, 8, 4, 12))
+    intercept[IllegalArgumentException](
+      TableCommit.reopen(spark, tmp("graft_geom_empty_"), 8, 4, 8))
+
+    val stBase = tmp("graft_geom_st_")
+    new SentenceTable(spark, stBase).deploy(corpus, "doc_id", "text")
+    intercept[IllegalArgumentException](
+      SentenceTable.reopen(spark, stBase, parts = 8))
+    intercept[IllegalArgumentException](
+      SentenceTable.reopen(spark, stBase, splitRegex = "X"))
+    // The matching geometry reopens and serves.
+    assert(SentenceTable.reopen(spark, stBase).presentHashes.count() > 0)
+  }
+}

@@ -53,13 +53,20 @@ class StoreVacuumSpec extends SparkSuite {
       plain.committedFingerprints) == 0, "fold after vacuum")
     // And a real compaction after vacuum lands cleanly (the garbage
     // next-gen dirs are gone, the overwrite semantics never relied on
-    // them).
+    // them). Lazy frames handed out BEFORE the compaction must keep
+    // resolving — compaction defers all GC to vacuum.
+    val preCompact = store.committedFingerprints
     store.compact()
     assert(symDiff(store.committedFingerprints,
       plain.committedFingerprints) == 0, "compact after vacuum")
-    // A superseded generation left by compaction GC is already gone;
-    // vacuum confirms nothing is left behind.
-    assert(store.vacuum() == 0L)
+    assert(symDiff(preCompact, plain.committedFingerprints) == 0,
+      "pre-compaction lazy frame must still resolve (deferred GC)")
+    // The superseded generation is vacuum's to collect — compaction
+    // deleted nothing.
+    assert(store.vacuum() > 0L, "superseded generation left for vacuum")
+    assert(store.vacuum() == 0L, "second vacuum must find nothing")
+    assert(symDiff(store.committedFingerprints,
+      plain.committedFingerprints) == 0, "faces after post-compact vacuum")
   }
 
   test("KnnStore vacuum collects crash residue and leaves the graph intact") {

@@ -204,7 +204,10 @@ class KnnStoreSpec extends SparkSuite {
     val r2 = KnnStore.reopen(spark, b2, nProbe = 2, k = k)
     assert(edges(r2.directedEdges) == edges(plain.directedEdges),
       "post-marker crash must expose the complete new generation")
+    // Genuinely NOVEL ids (the batch's own ids are already stored, and
+    // the %10==3 ones tombstoned — the stored-id gate rejects both).
     val more = batch.filter(col("vec_id") % 10 === 7)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
     for (s <- Seq(plain, r1, r2)) s.foldBatch(more, 9L)
     assert(edges(r1.directedEdges) == edges(plain.directedEdges))
     assert(edges(r2.directedEdges) == edges(plain.directedEdges))
