@@ -36,6 +36,18 @@ import org.apache.spark.sql.types.StructType
   * `java.nio`, so non-local base URIs resolve instead of silently
   * reading empty frames.
   *
+  * CONCURRENCY MODEL: one writer process per store (the stores'
+  * fold/retract/compact are `synchronized` within it). Two processes
+  * folding into one base are NOT coordinated: their gates race on
+  * driver-held Blooms and could both admit the same content, and two
+  * compactions targeting the same next generation race on the `_gens`
+  * marker (HDFS fails the second rename loudly; a POSIX rename
+  * REPLACES, last-writer-wins — and the generation dirs themselves
+  * would interleave either way). A multi-writer deployment needs a
+  * coordination service in front — the Delta/Iceberg commit-service
+  * shape; out of scope here by design, and the single-writer
+  * assumption is therefore part of the store contract.
+  *
   * The journal also owns the maintenance bookkeeping every store
   * repeated: the delta byte/file counters behind the auto-compaction
   * triggers ([[chargeDelta]], reset by [[advance]]) and the

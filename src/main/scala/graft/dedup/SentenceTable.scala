@@ -119,14 +119,15 @@ class SentenceTable(
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .localCheckpoint(true)
     writeMeta()
-    docs.withColumn("part", partOf(col("id")))
-      .repartition(parts, col("part"))
-      .write.mode("overwrite").partitionBy("part")
-      .parquet(corpusPath("docs"))
-    shRows(docs, 1L)
-      .repartition(parts, col("part"))
-      .write.mode("overwrite").partitionBy("part")
-      .parquet(corpusPath("sh"))
+    graft.Par.all(
+      () => docs.withColumn("part", partOf(col("id")))
+        .repartition(parts, col("part"))
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(corpusPath("docs")),
+      () => shRows(docs, 1L)
+        .repartition(parts, col("part"))
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(corpusPath("sh")))
     journal.markDeploy()
     corpusBytes = Seq("docs", "sh").map(t => journal.du(corpusPath(t))._1).sum
     idBloom = docs.stat.bloomFilter("id", math.max(1L, docs.count()), 0.01)
@@ -163,9 +164,10 @@ class SentenceTable(
     if (bb.isEmpty) { journal.noteSeen("fold", batchId); return }
     val bIds = bb.select("id").distinct().as[Long].collect()
     val uuid = journal.newUuid()
-    journal.writeBatch(bb.withColumn("part", partOf(col("id"))),
-      "docs", uuid)
-    journal.writeBatch(shRows(bb, 1L), "sh", uuid)
+    graft.Par.all(
+      () => journal.writeBatch(bb.withColumn("part", partOf(col("id"))),
+        "docs", uuid),
+      () => journal.writeBatch(shRows(bb, 1L), "sh", uuid))
     val wrote = Set("docs", "sh")
     crashPoint("fold-before-marker")
     journal.markBatch(uuid, wrote, "fold", batchId)
@@ -192,8 +194,9 @@ class SentenceTable(
       .localCheckpoint(true)
     if (deleted.isEmpty) { journal.noteSeen("retract", batchId); return }
     val uuid = journal.newUuid()
-    journal.writeBatch(deleted.select("id"), "tomb", uuid)
-    journal.writeBatch(shRows(deleted, -1L), "sh", uuid)
+    graft.Par.all(
+      () => journal.writeBatch(deleted.select("id"), "tomb", uuid),
+      () => journal.writeBatch(shRows(deleted, -1L), "sh", uuid))
     val wrote = Set("tomb", "sh")
     crashPoint("retract-before-marker")
     journal.markBatch(uuid, wrote, "retract", batchId)
@@ -233,26 +236,28 @@ class SentenceTable(
     * committed-face no-op, crash-atomic via the generation marker. */
   def compact(): Unit = synchronized {
     val g2 = journal.gen + 1
+    // Single-consumer frames write directly into the fresh generation
+    // (reads stay on the current one), three independent writes
+    // concurrently (graft.Par).
     val sh = readAll("sh")
       .groupBy("sh", "part").agg(sum(col("w")).as("w"))
       .filter(col("w") > 0)
       .select("sh", "w", "part")
-      .localCheckpoint(true)
     val docs = readAll("docs").join(tomb, Seq("id"), "left_anti")
       .select("id", "text", "part")
-      .localCheckpoint(true)
     // Tombstones survive as their own compacted baseline — the
     // no-id-reuse law must outlive the physical drop of the tombstoned
     // rows (a re-committed id would resurrect its deleted hashes).
-    val tombAll = tomb.distinct().localCheckpoint(true)
-    sh.repartition(parts, col("part"))
-      .write.mode("overwrite").partitionBy("part")
-      .parquet(s"$base/sh/corpus-g$g2")
-    docs.repartition(parts, col("part"))
-      .write.mode("overwrite").partitionBy("part")
-      .parquet(s"$base/docs/corpus-g$g2")
-    tombAll.coalesce(1).write.mode("overwrite")
-      .parquet(s"$base/tomb/corpus-g$g2")
+    val tombAll = tomb.distinct()
+    graft.Par.all(
+      () => sh.repartition(parts, col("part"))
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(s"$base/sh/corpus-g$g2"),
+      () => docs.repartition(parts, col("part"))
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(s"$base/docs/corpus-g$g2"),
+      () => tombAll.coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/tomb/corpus-g$g2"))
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")

@@ -351,37 +351,55 @@ class TableCommit(
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .localCheckpoint(true)
     writeMeta()
-    writeCorpus(docs.withColumn("part", partOf(col("id"))),
-      "docs", partitioned = true, 0)
-    writeCorpus(fpRows(docs, 1L), "fp", partitioned = true, 0)
     val span = spanRows(docs, 1L)
-    writeCorpus(span, "span", partitioned = true, 0)
-    span.select("fp", "part").distinct()
-      .repartition(parts, col("part"))
-      .write.mode("overwrite").partitionBy("part").parquet(span0Path)
-    writeCorpus(Dedup.bandTable(docs, "id", "text", numHashes, bands),
-      "bands", partitioned = false, 0)
-    writeCorpus(Dedup.simhashBandTable(docs, "id", "text", simhashBlocks),
-      "simhash", partitioned = false, 0)
     val rows = ngramRows(docs).localCheckpoint(true)
-    writeCorpus(dfRows(rows, 1L), "ngramdf", partitioned = false, 0)
-    writeCorpus(rows.select("blk", "shingle", "id"), "postings",
-      partitioned = false, 0)
-    writeCorpus(Dedup.shingleSetsOfRows(rows), "sets",
-      partitioned = false, 0)
+    // The nine corpus-layer writes share no dependency once docs and
+    // the shingle rows are checkpointed — submit them concurrently
+    // (graft.Par): sequential, each is one small job leaving most of
+    // the cluster idle plus a full scheduler round-trip in series.
+    graft.Par.all(
+      () => writeCorpus(docs.withColumn("part", partOf(col("id"))),
+        "docs", partitioned = true, 0),
+      () => writeCorpus(fpRows(docs, 1L), "fp", partitioned = true, 0),
+      () => writeCorpus(span, "span", partitioned = true, 0),
+      () => span.select("fp", "part").distinct()
+        .repartition(parts, col("part"))
+        .write.mode("overwrite").partitionBy("part").parquet(span0Path),
+      () => writeCorpus(Dedup.bandTable(docs, "id", "text", numHashes, bands),
+        "bands", partitioned = false, 0),
+      () => writeCorpus(
+        Dedup.simhashBandTable(docs, "id", "text", simhashBlocks),
+        "simhash", partitioned = false, 0),
+      () => writeCorpus(dfRows(rows, 1L), "ngramdf", partitioned = false, 0),
+      () => writeCorpus(rows.select("blk", "shingle", "id"), "postings",
+        partitioned = false, 0),
+      () => writeCorpus(Dedup.shingleSetsOfRows(rows), "sets",
+        partitioned = false, 0))
     journal.markDeploy()
     refreshCorpusBytes()
     // Gate Blooms built from the READ-BACK stored tables (columnar
     // scans; counts are parquet-metadata-fast). No distinct anywhere —
     // duplicate inserts only re-set bits, and the row count is a safe
-    // over-estimate of the distinct count for sizing.
-    val fpT = readOr(corpusPath("fp"), fpSchema)
-    fpBloom = fpT.stat.bloomFilter(
-      "fingerprint", math.max(1L, fpT.count()), 0.01)
-    idBloom = docs.stat.bloomFilter("id", math.max(1L, docs.count()), 0.01)
-    val spanT = readOr(span0Path, span0Schema)
-    spanBloomBc = spark.sparkContext.broadcast(
-      spanT.stat.bloomFilter("fp", math.max(1L, spanT.count()), 0.01))
+    // over-estimate of the distinct count for sizing. Independent
+    // scans — concurrent like the writes.
+    var fpB: org.apache.spark.util.sketch.BloomFilter = null
+    var idB: org.apache.spark.util.sketch.BloomFilter = null
+    var spB: org.apache.spark.util.sketch.BloomFilter = null
+    graft.Par.all(
+      () => {
+        val fpT = readOr(corpusPath("fp"), fpSchema)
+        fpB = fpT.stat.bloomFilter(
+          "fingerprint", math.max(1L, fpT.count()), 0.01)
+      },
+      () => idB =
+        docs.stat.bloomFilter("id", math.max(1L, docs.count()), 0.01),
+      () => {
+        val spanT = readOr(span0Path, span0Schema)
+        spB = spanT.stat.bloomFilter("fp", math.max(1L, spanT.count()), 0.01)
+      })
+    fpBloom = fpB
+    idBloom = idB
+    spanBloomBc = spark.sparkContext.broadcast(spB)
     this
   }
 
@@ -460,22 +478,28 @@ class TableCommit(
     // COMMIT — batch-sized delta writes into this fold's private batch
     // dirs, then the one atomic marker.
     val uuid = journal.newUuid()
-    writeBatch(accepted.withColumn("part", partOf(col("id"))),
-      "docs", uuid)
-    writeBatch(
-      acceptedRaw.select(col("fingerprint"),
-        partOf(col("fingerprint")).as("part")),
-      "ledger", uuid)
-    writeBatch(fpRows(accepted, 1L), "fp", uuid)
-    writeBatch(spanRows(accepted, 1L), "span", uuid)
-    writeBatch(Dedup.bandTable(accepted, "id", "text", numHashes, bands),
-      "bands", uuid)
-    writeBatch(Dedup.simhashBandTable(accepted, "id", "text", simhashBlocks),
-      "simhash", uuid)
     val rows = ngramRows(accepted).localCheckpoint(true)
-    writeBatch(dfRows(rows, 1L), "ngramdf", uuid)
-    writeBatch(rows.select("blk", "shingle", "id"), "postings", uuid)
-    writeBatch(Dedup.shingleSetsOfRows(rows), "sets", uuid)
+    // Nine batch-sized delta writes with no mutual dependency —
+    // concurrent (graft.Par); the marker rename below still happens
+    // strictly after ALL of them.
+    graft.Par.all(
+      () => writeBatch(accepted.withColumn("part", partOf(col("id"))),
+        "docs", uuid),
+      () => writeBatch(
+        acceptedRaw.select(col("fingerprint"),
+          partOf(col("fingerprint")).as("part")),
+        "ledger", uuid),
+      () => writeBatch(fpRows(accepted, 1L), "fp", uuid),
+      () => writeBatch(spanRows(accepted, 1L), "span", uuid),
+      () => writeBatch(
+        Dedup.bandTable(accepted, "id", "text", numHashes, bands),
+        "bands", uuid),
+      () => writeBatch(
+        Dedup.simhashBandTable(accepted, "id", "text", simhashBlocks),
+        "simhash", uuid),
+      () => writeBatch(dfRows(rows, 1L), "ngramdf", uuid),
+      () => writeBatch(rows.select("blk", "shingle", "id"), "postings", uuid),
+      () => writeBatch(Dedup.shingleSetsOfRows(rows), "sets", uuid))
     val wrote = Set("docs", "ledger", "fp", "span", "bands", "simhash",
       "ngramdf", "postings", "sets")
     crashPoint("fold-before-marker")
@@ -549,10 +573,11 @@ class TableCommit(
       .localCheckpoint(true)
     if (deleted.isEmpty) { journal.noteSeen("retract", batchId); return }
     val uuid = journal.newUuid()
-    writeBatch(deleted.select("id"), "tomb", uuid)
-    writeBatch(fpRows(deleted, -1L), "fp", uuid)
-    writeBatch(spanRows(deleted, -1L), "span", uuid)
-    writeBatch(dfRows(ngramRows(deleted), -1L), "ngramdf", uuid)
+    graft.Par.all(
+      () => writeBatch(deleted.select("id"), "tomb", uuid),
+      () => writeBatch(fpRows(deleted, -1L), "fp", uuid),
+      () => writeBatch(spanRows(deleted, -1L), "span", uuid),
+      () => writeBatch(dfRows(ngramRows(deleted), -1L), "ngramdf", uuid))
     // Bands / simhash / sets / postings / accepted: the tombstone
     // anti-join IS the retraction. The ledger keeps the raw fps —
     // re-delivered taken-down content stays rejected.
@@ -602,6 +627,14 @@ class TableCommit(
       .select("blk", "shingle", "id")
   def committedShingleSets: DataFrame =
     antiTomb(readAll("sets", setSchema)).select("id", "shingles")
+  /** The stream-accepted documents — the rows this store's folds
+    * added on top of its corpus layer. For a SHARING store (the
+    * streaming queries' shape) the face is stable across compactions:
+    * own baseline + deltas, anti-tombstoned. For a PLAIN store the
+    * face means "accepted since the last compaction" — compactPlain
+    * merges the folded docs into the corpus layer, where deploy-time
+    * and folded rows are indistinguishable by design (the committed
+    * faces, not this readout, are the compaction-invariant surface). */
   def accepted: DataFrame = {
     val d = readDelta("docs", docSchema)
     val all =
@@ -706,47 +739,50 @@ class TableCommit(
 
   private def compactPlain(): Unit = {
     val g2 = journal.gen + 1
+    // Each compacted frame feeds exactly ONE write into the fresh
+    // generation's dirs (reads stay on the current generation — no
+    // self-overwrite), so no checkpoint: the write IS the single
+    // evaluation, and the ten independent writes run concurrently
+    // (graft.Par) — the marker rename still follows all of them.
     val fp = readAll("fp", fpSchema)
       .groupBy("fingerprint", "part").agg(sum(col("w")).as("w"))
       .filter(col("w") > 0)
       .select("fingerprint", "w", "part")
-      .localCheckpoint(true)
     val span = readAll("span", spanSchema)
       .groupBy("fp", "part").agg(sum(col("w")).as("w"))
       .filter(col("w") > 0)
       .select("fp", "w", "part")
-      .localCheckpoint(true)
     val ndf = readAll("ngramdf", dfSchema)
       .groupBy("blk", "shingle").agg(sum(col("df")).as("df"))
       .filter(col("df") > 0)
-      .localCheckpoint(true)
     val docs = antiTomb(readAll("docs", docSchema))
-      .select("id", "text", "part").localCheckpoint(true)
+      .select("id", "text", "part")
     val bandsT = antiTomb(readAll("bands", bandSchema))
-      .select("id", "band", "bh").localCheckpoint(true)
+      .select("id", "band", "bh")
     val sim = antiTomb(readAll("simhash", simSchema))
-      .select("id", "simhash", "band", "bv").localCheckpoint(true)
+      .select("id", "simhash", "band", "bv")
     val posts = antiTomb(readAll("postings", postSchema))
-      .select("blk", "shingle", "id").localCheckpoint(true)
+      .select("blk", "shingle", "id")
     val sets = antiTomb(readAll("sets", setSchema))
-      .select("id", "shingles").localCheckpoint(true)
+      .select("id", "shingles")
     val ledger = readAll("ledger", ledgerSchema)
-      .select("fingerprint", "part").distinct().localCheckpoint(true)
+      .select("fingerprint", "part").distinct()
     // Tombstones survive as their own compacted baseline (delete-sized)
     // — the no-id-reuse law must outlive the physical drop of the
     // tombstoned rows, else the first compaction silently re-admits a
     // retracted id.
     val tombAll = tomb.distinct().localCheckpoint(true)
-    writeCorpus(fp, "fp", partitioned = true, g2)
-    writeCorpus(span, "span", partitioned = true, g2)
-    writeCorpus(ndf, "ngramdf", partitioned = false, g2)
-    writeCorpus(docs, "docs", partitioned = true, g2)
-    writeCorpus(bandsT, "bands", partitioned = false, g2)
-    writeCorpus(sim, "simhash", partitioned = false, g2)
-    writeCorpus(posts, "postings", partitioned = false, g2)
-    writeCorpus(sets, "sets", partitioned = false, g2)
-    writeCorpus(ledger, "ledger", partitioned = true, g2)
-    writeCorpus(tombAll, "tomb", partitioned = false, g2)
+    graft.Par.all(
+      () => writeCorpus(fp, "fp", partitioned = true, g2),
+      () => writeCorpus(span, "span", partitioned = true, g2),
+      () => writeCorpus(ndf, "ngramdf", partitioned = false, g2),
+      () => writeCorpus(docs, "docs", partitioned = true, g2),
+      () => writeCorpus(bandsT, "bands", partitioned = false, g2),
+      () => writeCorpus(sim, "simhash", partitioned = false, g2),
+      () => writeCorpus(posts, "postings", partitioned = false, g2),
+      () => writeCorpus(sets, "sets", partitioned = false, g2),
+      () => writeCorpus(ledger, "ledger", partitioned = true, g2),
+      () => writeCorpus(tombAll, "tomb", partitioned = false, g2))
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")
@@ -777,44 +813,45 @@ class TableCommit(
     val g2 = journal.gen + 1
     def ownAndDelta(t: String, schema: StructType) =
       readOr(ownPath(t), schema).unionByName(readDelta(t, schema))
+    // Single-consumer frames write directly (no checkpoint — the write
+    // is the one evaluation; reads stay on the current generation);
+    // the ten independent writes run concurrently (graft.Par).
     val fp = ownAndDelta("fp", fpSchema)
       .groupBy("fingerprint", "part").agg(sum(col("w")).as("w"))
       .filter(col("w") =!= 0)
       .select("fingerprint", "w", "part")
-      .localCheckpoint(true)
     val span = ownAndDelta("span", spanSchema)
       .groupBy("fp", "part").agg(sum(col("w")).as("w"))
       .filter(col("w") =!= 0)
       .select("fp", "w", "part")
-      .localCheckpoint(true)
     val ndf = ownAndDelta("ngramdf", dfSchema)
       .groupBy("blk", "shingle").agg(sum(col("df")).as("df"))
       .filter(col("df") =!= 0)
-      .localCheckpoint(true)
     val tombAll = tomb.distinct().localCheckpoint(true)
     def survivors(df: DataFrame) = df.join(tombAll, Seq("id"), "left_anti")
     val docs = survivors(ownAndDelta("docs", docSchema))
-      .select("id", "text", "part").localCheckpoint(true)
+      .select("id", "text", "part")
     val bandsT = survivors(ownAndDelta("bands", bandSchema))
-      .select("id", "band", "bh").localCheckpoint(true)
+      .select("id", "band", "bh")
     val sim = survivors(ownAndDelta("simhash", simSchema))
-      .select("id", "simhash", "band", "bv").localCheckpoint(true)
+      .select("id", "simhash", "band", "bv")
     val posts = survivors(ownAndDelta("postings", postSchema))
-      .select("blk", "shingle", "id").localCheckpoint(true)
+      .select("blk", "shingle", "id")
     val sets = survivors(ownAndDelta("sets", setSchema))
-      .select("id", "shingles").localCheckpoint(true)
+      .select("id", "shingles")
     val ledger = ownAndDelta("ledger", ledgerSchema)
-      .select("fingerprint", "part").distinct().localCheckpoint(true)
-    writeCorpus(fp, "fp", partitioned = true, g2, base)
-    writeCorpus(span, "span", partitioned = true, g2, base)
-    writeCorpus(ndf, "ngramdf", partitioned = false, g2, base)
-    writeCorpus(docs, "docs", partitioned = true, g2, base)
-    writeCorpus(bandsT, "bands", partitioned = false, g2, base)
-    writeCorpus(sim, "simhash", partitioned = false, g2, base)
-    writeCorpus(posts, "postings", partitioned = false, g2, base)
-    writeCorpus(sets, "sets", partitioned = false, g2, base)
-    writeCorpus(ledger, "ledger", partitioned = true, g2, base)
-    writeCorpus(tombAll, "tomb", partitioned = false, g2, base)
+      .select("fingerprint", "part").distinct()
+    graft.Par.all(
+      () => writeCorpus(fp, "fp", partitioned = true, g2, base),
+      () => writeCorpus(span, "span", partitioned = true, g2, base),
+      () => writeCorpus(ndf, "ngramdf", partitioned = false, g2, base),
+      () => writeCorpus(docs, "docs", partitioned = true, g2, base),
+      () => writeCorpus(bandsT, "bands", partitioned = false, g2, base),
+      () => writeCorpus(sim, "simhash", partitioned = false, g2, base),
+      () => writeCorpus(posts, "postings", partitioned = false, g2, base),
+      () => writeCorpus(sets, "sets", partitioned = false, g2, base),
+      () => writeCorpus(ledger, "ledger", partitioned = true, g2, base),
+      () => writeCorpus(tombAll, "tomb", partitioned = false, g2, base))
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")

@@ -209,17 +209,20 @@ class KnnStore(
     val asg = Ivf.knnAsgFrame(c0, centArr)
       .withColumn("cell", col("cell").cast("long"))
       .localCheckpoint(true)
-    probes.write.mode("overwrite").partitionBy("cell")
-      .parquet(corpusPath("probes"))
-    asg.write.mode("overwrite").partitionBy("cell")
-      .parquet(corpusPath("asg"))
-    Ivf.knnEdgesCore(probes, asg, k)
-      .select("q_vec_id", "vec_id", "score")
-      .withColumn("ver", lit(0L))
-      .withColumn("part", partOf(col("q_vec_id")))
-      .coalesce(4)
-      .write.mode("overwrite").partitionBy("part")
-      .parquet(corpusPath("edges"))
+    // Three independent writes off the checkpointed probe/assignment
+    // frames — concurrent (graft.Par); the deploy marker follows all.
+    graft.Par.all(
+      () => probes.write.mode("overwrite").partitionBy("cell")
+        .parquet(corpusPath("probes")),
+      () => asg.write.mode("overwrite").partitionBy("cell")
+        .parquet(corpusPath("asg")),
+      () => Ivf.knnEdgesCore(probes, asg, k)
+        .select("q_vec_id", "vec_id", "score")
+        .withColumn("ver", lit(0L))
+        .withColumn("part", partOf(col("q_vec_id")))
+        .coalesce(4)
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(corpusPath("edges")))
     journal.markDeploy()
     this
   }
@@ -296,13 +299,14 @@ class KnnStore(
       .rankTopK(oldTopK.unionByName(newCand), k)
       .select("q_vec_id", "vec_id", "score")
     val uuid = journal.newUuid()
-    writeBatch(
-      bEdges.unionByName(merged)
-        .withColumn("ver", lit(ver))
-        .withColumn("part", partOf(col("q_vec_id"))),
-      "edges", uuid)
-    writeBatch(bProbes, "probes", uuid)
-    writeBatch(bAsg, "asg", uuid)
+    graft.Par.all(
+      () => writeBatch(
+        bEdges.unionByName(merged)
+          .withColumn("ver", lit(ver))
+          .withColumn("part", partOf(col("q_vec_id"))),
+        "edges", uuid),
+      () => writeBatch(bProbes, "probes", uuid),
+      () => writeBatch(bAsg, "asg", uuid))
     val wrote = Set("edges", "probes", "asg")
     crashPoint("fold-before-marker")
     journal.markBatch(uuid, wrote, "fold", batchId)
@@ -355,12 +359,13 @@ class KnnStore(
           k).select("q_vec_id", "vec_id", "score")
       }
     val uuid = journal.newUuid()
-    writeBatch(fresh.select("vec_id"), "tomb", uuid)
-    writeBatch(
-      rescored
-        .withColumn("ver", lit(ver))
-        .withColumn("part", partOf(col("q_vec_id"))),
-      "edges", uuid)
+    graft.Par.all(
+      () => writeBatch(fresh.select("vec_id"), "tomb", uuid),
+      () => writeBatch(
+        rescored
+          .withColumn("ver", lit(ver))
+          .withColumn("part", partOf(col("q_vec_id"))),
+        "edges", uuid))
     val wrote = Set("tomb", "edges")
     crashPoint("retract-before-marker")
     journal.markBatch(uuid, wrote, "retract", batchId)
@@ -430,24 +435,28 @@ class KnnStore(
     * compaction keep resolving. */
   def compact(): Unit = synchronized {
     val g2 = journal.gen + 1
-    val cur = directedEdges.localCheckpoint(true)
-    val probesAll = readProbes.localCheckpoint(true)
-    val asgAll = readAsg.localCheckpoint(true)
-    val tombAll = tomb.distinct().localCheckpoint(true)
-    probesAll.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$base/probes/corpus-g$g2")
-    asgAll.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$base/asg/corpus-g$g2")
-    cur
-      .withColumn("ver", lit(0L))
-      .withColumn("part", partOf(col("q_vec_id")))
-      .repartition(parts, col("part"))
-      .write.mode("overwrite").partitionBy("part")
-      .parquet(s"$base/edges/corpus-g$g2")
-    tombAll.coalesce(1).write.mode("overwrite")
-      .parquet(s"$base/tomb/corpus-g$g2")
+    // Single-consumer frames write directly into the fresh generation
+    // (reads stay on the current one — no self-overwrite, no
+    // checkpoint), four independent writes concurrently (graft.Par).
+    val cur = directedEdges
+    val probesAll = readProbes
+    val asgAll = readAsg
+    val tombAll = tomb.distinct()
+    graft.Par.all(
+      () => probesAll.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$base/probes/corpus-g$g2"),
+      () => asgAll.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$base/asg/corpus-g$g2"),
+      () => cur
+        .withColumn("ver", lit(0L))
+        .withColumn("part", partOf(col("q_vec_id")))
+        .repartition(parts, col("part"))
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(s"$base/edges/corpus-g$g2"),
+      () => tombAll.coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/tomb/corpus-g$g2"))
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")

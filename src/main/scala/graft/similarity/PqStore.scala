@@ -83,14 +83,15 @@ class PqStore(
     * postings, committed as generation 0. */
   def deploy(corpusCodes: DataFrame, cb: DataFrame): PqStore = {
     codebooks = cb.localCheckpoint(true)
-    codebooks.write.mode("overwrite").parquet(p("cb"))
-    Seq((dims, m, parts)).toDF("dims", "m", "parts")
-      .coalesce(1).write.mode("overwrite").parquet(p("meta"))
-    corpusCodes
-      .withColumn("part", partOf(col("vec_id")))
-      .repartition(parts, col("part"))
-      .write.mode("overwrite").partitionBy("part")
-      .parquet(corpusPath("codes"))
+    graft.Par.all(
+      () => codebooks.write.mode("overwrite").parquet(p("cb")),
+      () => Seq((dims, m, parts)).toDF("dims", "m", "parts")
+        .coalesce(1).write.mode("overwrite").parquet(p("meta")),
+      () => corpusCodes
+        .withColumn("part", partOf(col("vec_id")))
+        .repartition(parts, col("part"))
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(corpusPath("codes")))
     journal.markDeploy()
     corpusBytes = journal.du(corpusPath("codes"))._1
     val ids = journal.readOr(corpusPath("codes"), codeSchema)
@@ -207,19 +208,19 @@ class PqStore(
     * the generation marker. */
   def compact(): Unit = synchronized {
     val g2 = journal.gen + 1
-    val survivors = postings
-      .withColumn("part", partOf(col("vec_id")))
-      .localCheckpoint(true)
-    // Tombstones survive as their own compacted baseline — the
-    // no-id-reuse law must outlive the physical drop of the tombstoned
-    // rows. Delete-sized.
-    val tombAll = tomb.distinct().localCheckpoint(true)
-    survivors
-      .repartition(parts, col("part"))
-      .write.mode("overwrite").partitionBy("part")
-      .parquet(s"$base/codes/corpus-g$g2")
-    tombAll.coalesce(1).write.mode("overwrite")
-      .parquet(s"$base/tomb/corpus-g$g2")
+    // Single-consumer frames write directly into the fresh generation
+    // (reads stay on the current one); tombstones survive as their own
+    // compacted baseline — the no-id-reuse law must outlive the
+    // physical drop of the tombstoned rows. Delete-sized.
+    val survivors = postings.withColumn("part", partOf(col("vec_id")))
+    val tombAll = tomb.distinct()
+    graft.Par.all(
+      () => survivors
+        .repartition(parts, col("part"))
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(s"$base/codes/corpus-g$g2"),
+      () => tombAll.coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/tomb/corpus-g$g2"))
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")
