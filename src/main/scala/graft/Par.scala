@@ -10,37 +10,52 @@ package graft
   * the jobs concurrently — the standard multi-job pattern
   * (SparkSession and SparkContext are thread-safe for job submission).
   *
-  * Semantics preserved for the journal discipline: [[all]] AWAITS
-  * every task before returning, so the caller's atomic marker rename
-  * still happens strictly after all delta/baseline writes; a failed
-  * task's siblings are awaited too (their output is unmarked garbage,
-  * invisible to reads and vacuumable), then the first failure is
-  * rethrown. The pool is cached + daemon — nested use cannot deadlock
-  * on pool starvation and idle threads die with the process. */
+  * Semantics preserved for the journal discipline: [[all]] is an
+  * UNINTERRUPTIBLE BARRIER — it returns only after every task has
+  * finished (success or failure), catching ALL task throwables and
+  * re-asserting the caller's interrupt flag afterwards. That matters
+  * for the deterministic-path writers (deploy/compact target
+  * `corpus-g<N>` dirs): if the barrier could be broken by an interrupt
+  * while siblings were still writing, a retried compaction would race
+  * its own stale tasks on the same destination dirs. A failed task's
+  * siblings complete too; their output is unmarked garbage, invisible
+  * to reads and vacuumable. The pool is cached + daemon — nested use
+  * cannot deadlock on pool starvation and idle threads die with the
+  * process. */
 private[graft] object Par {
 
-  private lazy val ec: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newCachedThreadPool(
-        new java.util.concurrent.ThreadFactory {
-          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
-          def newThread(r: Runnable): Thread = {
-            val t = new Thread(r, s"graft-par-${n.getAndIncrement()}")
-            t.setDaemon(true)
-            t
-          }
-        }))
+  private lazy val pool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-par-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      })
 
-  /** Run the tasks concurrently; await ALL (success or failure); throw
-    * the first failure after the barrier. One task runs inline. */
+  /** Run the tasks concurrently; await ALL (uninterruptibly, success
+    * or failure); rethrow the first failure after the barrier. One
+    * task runs inline. */
   def all(tasks: (() => Unit)*): Unit = {
     if (tasks.lengthCompare(2) < 0) { tasks.foreach(_()); return }
-    val fs = tasks.map { t =>
-      scala.concurrent.Future(scala.util.Try(t()))(ec)
+    val futs = tasks.map { t =>
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        def call(): Option[Throwable] =
+          try { t(); None } catch { case e: Throwable => Some(e) }
+      })
     }
-    val results = fs.map(f =>
-      scala.concurrent.Await.result(
-        f, scala.concurrent.duration.Duration.Inf))
-    results.collectFirst { case scala.util.Failure(e) => throw e }
+    var interrupted = false
+    val errs = futs.map { f =>
+      var r: Option[Throwable] = None
+      var done = false
+      while (!done)
+        try { r = f.get(); done = true }
+        catch { case _: InterruptedException => interrupted = true }
+      r
+    }
+    if (interrupted) Thread.currentThread().interrupt()
+    errs.flatten.headOption.foreach(e => throw e)
   }
 }

@@ -21,13 +21,22 @@ import org.apache.spark.sql.types.StructType
   *
   * DELIVERY-ID REPLAY PROTECTION IS DURABLE: each batch marker records
   * its `(op kind, delivery id)`, and a compaction serializes the full
-  * seen-id sets (range-compressed — monotonic streaming epochs collapse
-  * to one range) into the generation marker, so [[reload]] rebuilds the
-  * seen sets across BOTH crash recovery and compaction. A re-delivered
-  * epoch after a crash (marker committed, sink checkpoint lost) is
-  * skipped by id, not just healed by content. Ids noted for no-op
-  * deliveries (empty/fully-deduped batches, which write no marker) are
-  * in-memory only — their replay re-runs the gate and no-ops again.
+  * seen-id sets into the generation marker, so [[reload]] rebuilds the
+  * seen sets across BOTH crash recovery and compaction. The sets are
+  * RANGE-COMPRESSED end to end — on disk ("0..63,70") and in memory (an
+  * interval map, O(log #ranges) per op) — so monotonic streaming epochs
+  * cost one range regardless of lifetime delivery count. A re-delivered
+  * epoch after a crash is skipped by id, not just healed by content.
+  * Ids noted for no-op deliveries (empty/fully-deduplicated batches,
+  * which write no marker) are in-memory only — their replay re-runs the
+  * gate and no-ops again.
+  *
+  * GC MODEL: a compaction deletes nothing itself; [[gcAged]] (run by
+  * the stores right after a successful compaction) retains exactly ONE
+  * superseded generation — so lazy frames handed out before the LAST
+  * compaction keep resolving — and deletes anything older. [[vacuum]]
+  * is the aggressive manual sweep: crash residue, every superseded
+  * generation including the retained one, and stale generation markers.
   *
   * Markers rename-commit via the filesystem's atomic same-directory
   * rename (local POSIX and HDFS; an object store without atomic rename
@@ -50,7 +59,7 @@ import org.apache.spark.sql.types.StructType
   *
   * The journal also owns the maintenance bookkeeping every store
   * repeated: the delta byte/file counters behind the auto-compaction
-  * triggers ([[chargeDelta]], reset by [[advance]]) and the
+  * triggers ([[markBatch]] charges them; [[advance]] resets) and the
   * crash-injection hook the recovery specs drive ([[crashPoint]]). */
 private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
 
@@ -96,7 +105,14 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
       throw new java.io.IOException(s"marker rename failed: $dir/$name")
   }
 
-  private def listMarkers(dir: String): Seq[(String, String)] = {
+  private def readMarker(path: org.apache.hadoop.fs.Path): String = {
+    val in = fsOf(path.toString).open(path)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Marker names (without `.commit`), content NOT read. */
+  private def listMarkerNames(dir: String): Seq[(String, org.apache.hadoop.fs.Path)] = {
     val fs = fsOf(dir)
     if (!fs.exists(hp(dir))) Seq.empty
     else
@@ -104,13 +120,7 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
         .map(_.getPath)
         .filter(_.getName.endsWith(".commit"))
         .sortBy(_.getName)
-        .map { q =>
-          val in = fs.open(q)
-          val content =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          (q.getName.stripSuffix(".commit"), content)
-        }
+        .map(q => (q.getName.stripSuffix(".commit"), q))
   }
 
   private def gensDir = s"$base/_gens"
@@ -124,59 +134,87 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
   val committed =
     scala.collection.mutable.ArrayBuffer.empty[(String, Set[String])]
 
+  /** An interval set over Long ids: contains/add in O(log #ranges),
+    * adjacent and overlapping ranges merge — the in-memory twin of the
+    * on-disk range serialization, so a store that has folded ten
+    * million monotonic epochs holds ONE entry, not ten million. */
+  private final class RangeSet {
+    // start -> end, both inclusive; entries disjoint and non-adjacent.
+    private val m = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+    def contains(v: Long): Boolean = {
+      val e = m.floorEntry(v)
+      e != null && v <= e.getValue
+    }
+    def add(a0: Long, b0: Long): Unit = {
+      var lo = a0; var hi = b0
+      val left = m.floorEntry(lo)
+      if (left != null && left.getValue >= lo - 1 && lo != Long.MinValue) {
+        lo = left.getKey; hi = math.max(hi, left.getValue)
+      } else if (left != null && left.getValue >= lo) {
+        lo = left.getKey; hi = math.max(hi, left.getValue)
+      }
+      var e = m.ceilingEntry(lo)
+      while (e != null && (hi == Long.MaxValue || e.getKey <= hi + 1)) {
+        hi = math.max(hi, e.getValue)
+        m.remove(e.getKey)
+        e = m.ceilingEntry(lo)
+      }
+      m.put(lo, hi)
+    }
+    def add(v: Long): Unit = add(v, v)
+    def clear(): Unit = m.clear()
+    def ranges: Seq[(Long, Long)] = {
+      val b = Seq.newBuilder[(Long, Long)]
+      m.forEach((k, v) => b += ((k.longValue, v.longValue)))
+      b.result()
+    }
+  }
+
   /** Durable delivery-id replay sets, one per op kind. */
   private val seenOps = scala.collection.mutable.Map(
-    "fold" -> scala.collection.mutable.TreeSet.empty[Long],
-    "retract" -> scala.collection.mutable.TreeSet.empty[Long])
+    "fold" -> new RangeSet,
+    "retract" -> new RangeSet)
 
   def seen(kind: String, id: Long): Boolean = seenOps(kind).contains(id)
 
   /** Note a delivery id WITHOUT a marker — the no-op-delivery case
     * (empty or fully-deduplicated batch). In-memory only: a post-crash
     * replay of a no-op re-runs the gate and no-ops again. */
-  def noteSeen(kind: String, id: Long): Unit = seenOps(kind) += id
+  def noteSeen(kind: String, id: Long): Unit = seenOps(kind).add(id)
 
-  // Range-compress a sorted id set: "0-63,70,72-80".
-  private def ranges(s: scala.collection.SortedSet[Long]): String = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var run: Option[(Long, Long)] = None
-    for (v <- s) run match {
-      case Some((a, b)) if v == b + 1 => run = Some((a, v))
-      case Some((a, b)) =>
-        out += (if (a == b) s"$a" else s"$a-$b"); run = Some((v, v))
-      case None => run = Some((v, v))
-    }
-    run.foreach { case (a, b) => out += (if (a == b) s"$a" else s"$a-$b") }
-    out.mkString(",")
-  }
-
-  private def parseRanges(s: String, into: scala.collection.mutable.TreeSet[Long]): Unit =
-    s.split(",").filter(_.nonEmpty).foreach { r =>
-      r.split("-") match {
-        case Array(a, b) => (a.toLong to b.toLong).foreach(into += _)
-        case Array(a) => into += a.toLong
-      }
-    }
-
+  // Range serialization uses ".." so NEGATIVE ids stay parseable
+  // ("-5..-3,-1,0..63"); a delivery id is any Long the caller chooses.
   private def serializeSeen: String =
     seenOps.toSeq.sortBy(_._1)
-      .map { case (k, s) => s"seen:$k:${ranges(s)}" }.mkString("\n")
+      .map { case (k, s) =>
+        val rs = s.ranges
+          .map { case (a, b) => if (a == b) s"$a" else s"$a..$b" }
+          .mkString(",")
+        s"seen:$k:$rs"
+      }
+      .mkString("\n")
+
+  private def parseRanges(s: String, into: RangeSet): Unit =
+    s.split(",").filter(_.nonEmpty).foreach { r =>
+      val i = r.indexOf("..", 1) // from 1: a leading '-' is a sign
+      if (i < 0) into.add(r.toLong)
+      else into.add(r.substring(0, i).toLong, r.substring(i + 2).toLong)
+    }
 
   reload()
 
   /** Re-resolve the journal from the filesystem — the reopen path (and
     * the constructor): current generation = max committed gen marker;
     * committed ops = that generation's batch markers; seen delivery ids
-    * = the generation marker's serialized sets plus the batch markers'
-    * op lines. */
+    * = the CURRENT generation marker's serialized sets (older markers'
+    * contents are never read) plus the batch markers' op lines. */
   def reload(): this.type = {
-    val gens = listMarkers(gensDir)
-    gen =
-      if (gens.isEmpty) 0
-      else gens.map(_._1.stripPrefix("g-").toInt).max
+    val gens = listMarkerNames(gensDir)
+    val genOf = (n: String) => n.stripPrefix("g-").toInt
+    gen = if (gens.isEmpty) 0 else gens.map(g => genOf(g._1)).max
     seenOps.values.foreach(_.clear())
-    gens.find(_._1.stripPrefix("g-").toInt == gen).foreach { case (_, c) =>
-      c.split("\n").foreach { line =>
+    gens.find(g => genOf(g._1) == gen).foreach { case (_, p) =>
+      readMarker(p).split("\n").foreach { line =>
         if (line.startsWith("seen:")) {
           val Array(_, kind, rs) = line.split(":", 3)
           seenOps.get(kind).foreach(parseRanges(rs, _))
@@ -184,12 +222,12 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
       }
     }
     committed.clear()
-    listMarkers(batchesDir).foreach { case (u, c) =>
-      val lines = c.split("\n").filter(_.nonEmpty)
+    listMarkerNames(batchesDir).foreach { case (u, p) =>
+      val lines = readMarker(p).split("\n").filter(_.nonEmpty)
       val (opLines, tableLines) = lines.partition(_.startsWith("op:"))
       opLines.foreach { line =>
         val Array(_, kind, id) = line.split(":", 3)
-        seenOps.get(kind).foreach(_ += id.toLong)
+        seenOps.get(kind).foreach(_.add(id.toLong))
       }
       committed += ((u, tableLines.toSet))
     }
@@ -213,7 +251,7 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
     commitMarker(batchesDir, s"$uuid.commit",
       s"op:$kind:$id\n" + tables.mkString("\n"))
     committed += ((uuid, tables))
-    seenOps(kind) += id
+    seenOps(kind).add(id)
     chargeDelta(uuid, tables)
   }
 
@@ -241,6 +279,29 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
     committed.clear()
     deltaBytes = 0L
     deltaFiles = 0L
+  }
+
+  /** Post-compaction GC with ONE-generation retention: deletes layer
+    * dirs, batch-marker dirs and generation markers older than
+    * `gen - 1`, keeping the current generation and its immediate
+    * predecessor — so lazy frames handed out before the LAST compaction
+    * keep resolving, while a long-running auto-compacting store leaks
+    * at most one superseded corpus copy instead of one per compaction.
+    * The stores run this right after every successful compaction;
+    * [[vacuum]] remains the aggressive manual sweep. */
+  def gcAged(tables: Seq[String]): Unit = {
+    val keep = Set(s"-g$gen", s"-g${gen - 1}")
+    for (t <- tables; d <- listChildDirs(s"$base/$t")) {
+      val name = d.substring(d.lastIndexOf('/') + 1)
+      val isLayer = name.startsWith("corpus-g") || name.startsWith("delta-g")
+      if (isLayer && !keep.exists(name.endsWith)) delete(d)
+    }
+    for (d <- listChildDirs(s"$base/_batches")) {
+      val name = d.substring(d.lastIndexOf('/') + 1)
+      if (name != s"g$gen" && name != s"g${gen - 1}") delete(d)
+    }
+    for ((n, p) <- listMarkerNames(gensDir))
+      if (n.stripPrefix("g-").toInt < gen - 1) delete(p.toString)
   }
 
   def emptyOf(schema: StructType): DataFrame =
@@ -299,17 +360,16 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
       .filter(_.isDirectory).map(_.getPath.toString)
   }
 
-  /** VACUUM — best-effort GC of journal garbage under `tables`:
-    * unmarked batch dirs of the current generation (crashed mid-op
-    * residue — their markers never committed, so reads never see them),
-    * every layer dir of a non-current generation (a superseded
-    * generation after a compaction, or crashed-compaction residue), and
-    * the superseded generations' batch markers (their delivery ids are
-    * baselined in the current generation marker). Never touches marked
-    * state of the current generation, so it is a committed-face no-op
-    * by construction (spec-pinned). Compaction itself deletes NOTHING —
-    * lazy frames handed out before it stay valid until the maintenance
-    * schedule runs this. Returns the number of directories removed. */
+  /** VACUUM — the aggressive manual sweep of journal garbage under
+    * `tables`: unmarked batch dirs of the current generation (crashed
+    * mid-op residue — their markers never committed, so reads never see
+    * them), every layer dir of a non-current generation (including the
+    * one [[gcAged]] retains — frames handed out before the last
+    * compaction die here), superseded `_batches` dirs, and stale
+    * generation markers (their seen-id sets are baselined in the
+    * current one). Never touches marked state of the current
+    * generation, so it is a committed-face no-op by construction
+    * (spec-pinned). Returns the number of entries removed. */
   def vacuum(tables: Seq[String]): Long = {
     var removed = 0L
     val live = committed.map(_._1).toSet
@@ -333,6 +393,8 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
       val name = d.substring(d.lastIndexOf('/') + 1)
       if (name != s"g$gen") { delete(d); removed += 1 }
     }
+    for ((n, p) <- listMarkerNames(gensDir))
+      if (n.stripPrefix("g-").toInt != gen) { delete(p.toString); removed += 1 }
     removed
   }
 }

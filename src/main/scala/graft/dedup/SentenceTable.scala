@@ -32,8 +32,9 @@ import org.apache.spark.sql.types._
   * the tombstones persist as their own compacted baseline so a
   * tombstoned id's re-delivery stays a no-op (no resurrection) —
   * committed by one generation-marker rename that also baselines the
-  * seen-id sets. Compaction deletes nothing — superseded generations
-  * are [[vacuum]]'s to collect. The deploy-time geometry (parts,
+  * seen-id sets. Compaction GCs with one-generation retention
+  * ([[graft.StoreJournal.gcAged]]; [[vacuum]] is the aggressive
+  * manual sweep). The deploy-time geometry (parts,
   * splitRegex) persists and [[SentenceTable.reopen]] validates it.
   * `autoCompact` watches the delta:corpus byte ratio and delta file
   * count. */
@@ -261,10 +262,10 @@ class SentenceTable(
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")
-    // Superseded generation dirs are left for [[vacuum]] — lazy frames
-    // handed out before the compaction keep resolving.
+    // One-generation retention GC (see graft.StoreJournal.gcAged).
     journal.advance(g2)
     corpusBytes = Seq("docs", "sh").map(t => journal.du(corpusPath(t))._1).sum
+    journal.gcAged(Seq("docs", "sh", "tomb"))
   }
 
   private[dedup] def restore(): SentenceTable = {

@@ -71,9 +71,12 @@ import org.apache.spark.sql.types._
   *     unreferenced garbage), and a crash after it leaves a complete
   *     new generation (the old dirs are unreferenced garbage). The
   *     non-atomic overwrite-then-delete window VERDICT r12 named is
-  *     gone. Compaction DELETES NOTHING: lazy frames handed out before
-  *     it keep resolving against the old generation, and [[vacuum]]
-  *     collects superseded generations on the maintenance schedule.
+  *     gone. Compaction GCs with ONE-generation retention
+  *     ([[graft.StoreJournal.gcAged]]): lazy frames handed out before
+  *     the LAST compaction keep resolving against the retained
+  *     predecessor, anything older is deleted — a long-running
+  *     auto-compacting store's footprint is bounded at one superseded
+  *     corpus copy, and [[vacuum]] remains the aggressive manual sweep.
   *     Tombstones persist across compactions as their own compacted
   *     baseline, so the no-id-reuse law outlives the physical drop of
   *     the tombstoned rows. Markers rename-commit via the filesystem's
@@ -306,11 +309,6 @@ class TableCommit(
     this
   }
 
-  /** One-time corpus load: write every corpus-layer table (generation
-    * 0) plus the frozen `span0` gate baseline, commit the generation
-    * marker, and build the gate Blooms. A production deployment runs
-    * this once (or inherits the tables from the batch pipeline);
-    * per-delivery cost never includes it. */
   /** The deploy-time geometry persisted next to the tables so
     * [[TableCommit.reopen]] can VALIDATE the requested parameters: a
     * silently different `parts` would mis-prune every partition-pruned
@@ -346,6 +344,11 @@ class TableCommit(
         "break fold/decrement symmetry")
   }
 
+  /** One-time corpus load: write every corpus-layer table (generation
+    * 0) plus the frozen `span0` gate baseline and the geometry meta,
+    * commit the generation marker, and build the gate Blooms. A
+    * production deployment runs this once (or inherits the tables from
+    * the batch pipeline); per-delivery cost never includes it. */
   def deploy(corpus: DataFrame, idCol: String, textCol: String): TableCommit = {
     val docs = corpus
       .select(col(idCol).as("id"), col(textCol).as("text"))
@@ -729,10 +732,11 @@ class TableCommit(
     * touched. CRASH-ATOMIC: the new generation becomes visible only
     * with the single `_gens` marker rename; a crash on either side of
     * it leaves one complete, consistent generation (see class doc).
-    * Deletes NOTHING — superseded generations are [[vacuum]]'s to
-    * collect, so lazy frames handed out before the compaction keep
-    * resolving. Runs on the maintenance thresholds (`autoCompact`) or
-    * an explicit call, never per delivery. */
+    * GCs with one-generation retention ([[graft.StoreJournal.gcAged]])
+    * — lazy frames handed out before this compaction keep resolving,
+    * older generations are deleted, footprint stays bounded. Runs on
+    * the maintenance thresholds (`autoCompact`) or an explicit call,
+    * never per delivery. */
   def compact(): Unit = synchronized {
     if (corpusRoot.isEmpty) compactPlain() else compactShared()
   }
@@ -744,6 +748,14 @@ class TableCommit(
     // self-overwrite), so no checkpoint: the write IS the single
     // evaluation, and the ten independent writes run concurrently
     // (graft.Par) — the marker rename still follows all of them.
+    // Tombstones survive as their own compacted baseline (delete-sized)
+    // — the no-id-reuse law must outlive the physical drop of the
+    // tombstoned rows, else the first compaction silently re-admits a
+    // retracted id. Checkpointed once: five survivor frames anti-join
+    // it (reading the raw tomb union five times would multiply the
+    // delete-layer I/O with takedown volume).
+    val tombAll = tomb.distinct().localCheckpoint(true)
+    def surv(df: DataFrame) = df.join(tombAll, Seq("id"), "left_anti")
     val fp = readAll("fp", fpSchema)
       .groupBy("fingerprint", "part").agg(sum(col("w")).as("w"))
       .filter(col("w") > 0)
@@ -755,23 +767,18 @@ class TableCommit(
     val ndf = readAll("ngramdf", dfSchema)
       .groupBy("blk", "shingle").agg(sum(col("df")).as("df"))
       .filter(col("df") > 0)
-    val docs = antiTomb(readAll("docs", docSchema))
+    val docs = surv(readAll("docs", docSchema))
       .select("id", "text", "part")
-    val bandsT = antiTomb(readAll("bands", bandSchema))
+    val bandsT = surv(readAll("bands", bandSchema))
       .select("id", "band", "bh")
-    val sim = antiTomb(readAll("simhash", simSchema))
+    val sim = surv(readAll("simhash", simSchema))
       .select("id", "simhash", "band", "bv")
-    val posts = antiTomb(readAll("postings", postSchema))
+    val posts = surv(readAll("postings", postSchema))
       .select("blk", "shingle", "id")
-    val sets = antiTomb(readAll("sets", setSchema))
+    val sets = surv(readAll("sets", setSchema))
       .select("id", "shingles")
     val ledger = readAll("ledger", ledgerSchema)
       .select("fingerprint", "part").distinct()
-    // Tombstones survive as their own compacted baseline (delete-sized)
-    // — the no-id-reuse law must outlive the physical drop of the
-    // tombstoned rows, else the first compaction silently re-admits a
-    // retracted id.
-    val tombAll = tomb.distinct().localCheckpoint(true)
     graft.Par.all(
       () => writeCorpus(fp, "fp", partitioned = true, g2),
       () => writeCorpus(span, "span", partitioned = true, g2),
@@ -787,13 +794,14 @@ class TableCommit(
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")
     // The new generation is committed; the driver state flips to it.
-    // The superseded generation's dirs are left in place DELIBERATELY:
-    // lazy DataFrames handed out before the compaction keep resolving
-    // (reads are generation-scoped, so they see the old, complete
-    // state), and [[vacuum]] collects the garbage on the maintenance
-    // schedule.
+    // GC runs with ONE-generation retention (gcAged): lazy frames
+    // handed out before THIS compaction keep resolving against the
+    // retained predecessor, while anything older is deleted — bounding
+    // a long-running auto-compacting store's footprint at one
+    // superseded corpus copy. [[vacuum]] remains the aggressive sweep.
     journal.advance(g2)
     refreshCorpusBytes()
+    journal.gcAged(tables)
   }
 
   /** A SHARING store's compaction: the memoized corpus layer is
@@ -855,10 +863,10 @@ class TableCommit(
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")
-    // Superseded own-generation dirs are left for [[vacuum]] — lazy
-    // frames handed out before the compaction keep resolving.
+    // One-generation retention GC, as in compactPlain.
     journal.advance(g2)
     refreshCorpusBytes()
+    journal.gcAged(tables)
   }
 }
 

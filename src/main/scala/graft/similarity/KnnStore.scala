@@ -62,9 +62,10 @@ import org.apache.spark.sql.types._
   * (the no-id-reuse law outlives the physical drop), superseded edge
   * versions dropped, `ver` reset — committed by a single `_gens`
   * marker rename, so a crash on either side of it reopens to one
-  * consistent generation. Compaction deletes nothing (superseded
-  * generations are [[vacuum]]'s to collect — lazy frames handed out
-  * before it keep resolving). Delivery-id replay protection is
+  * consistent generation. Compaction GCs with one-generation retention
+  * ([[graft.StoreJournal.gcAged]] — lazy frames handed out before the
+  * last compaction keep resolving; [[vacuum]] is the aggressive
+  * manual sweep). Delivery-id replay protection is
   * DURABLE: markers record the op kind + delivery id, compaction
   * baselines the sets into the generation marker, and the id is
   * recorded only on SUCCESS, so a failed delivery retries under the
@@ -460,8 +461,10 @@ class KnnStore(
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")
+    // One-generation retention GC (see graft.StoreJournal.gcAged).
     journal.advance(g2)
     ver = 0L
+    journal.gcAged(Seq("probes", "asg", "edges", "tomb"))
   }
 }
 

@@ -30,10 +30,11 @@ import org.apache.spark.sql.types._
   * rows but PERSISTED as their own compacted baseline (the
   * no-id-reuse law outlives the physical drop), committed by one
   * generation-marker rename that also baselines the seen-id sets;
-  * crash anywhere reopens to a consistent state. Compaction deletes
-  * nothing — superseded generations are [[vacuum]]'s to collect, so
-  * lazy frames handed out before it keep resolving. `autoCompact`
-  * watches the delta:corpus byte ratio and the delta file count. */
+  * crash anywhere reopens to a consistent state. Compaction GCs with
+  * one-generation retention ([[graft.StoreJournal.gcAged]] — lazy
+  * frames handed out before the last compaction keep resolving;
+  * [[vacuum]] is the aggressive manual sweep). `autoCompact` watches
+  * the delta:corpus byte ratio and the delta file count. */
 class PqStore(
     spark: SparkSession,
     base: String,
@@ -224,10 +225,10 @@ class PqStore(
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")
-    // Superseded generation dirs are left for [[vacuum]] — lazy frames
-    // handed out before the compaction keep resolving.
+    // One-generation retention GC (see graft.StoreJournal.gcAged).
     journal.advance(g2)
     corpusBytes = journal.du(corpusPath("codes"))._1
+    journal.gcAged(Seq("codes", "tomb"))
   }
 }
 

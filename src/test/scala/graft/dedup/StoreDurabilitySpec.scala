@@ -190,6 +190,50 @@ class StoreDurabilitySpec extends SparkSuite {
       store.foldBatch(batchE.limit(1), 2L))
   }
 
+  test("negative delivery ids round-trip the range serialization across compact + reopen") {
+    // Delivery ids are caller-chosen Longs — nothing forbids negatives,
+    // and the range format must keep them parseable ("-5..-4"), else
+    // the first compaction poisons every later reopen.
+    val base = tmp("graft_negid_")
+    val store = new SentenceTable(spark, base).deploy(corpus, "doc_id", "text")
+    store.foldBatch(half1, -5L)
+    store.foldBatch(half2, -4L) // contiguous: serializes as one range
+    store.compact()
+    val r = SentenceTable.reopen(spark, base) // parses the baselined sets
+    val before = r.presentHashes.count()
+    val fresh = half1
+      .select((col("id") + 20000000L).as("id"),
+        concat(col("text"), lit(" negid novel")).as("text"))
+    r.foldBatch(fresh, -5L) // replayed negative id, fresh content
+    assert(r.presentHashes.count() == before,
+      "replayed negative delivery id must stay skipped after reopen")
+    r.foldBatch(fresh, 1L)
+    assert(r.presentHashes.count() > before)
+  }
+
+  test("auto-compacting stores GC aged generations (one-generation retention)") {
+    val base = tmp("graft_gc_")
+    val store = new TableCommit(spark, base, 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    store.foldBatch(half1, 0L)
+    store.compact() // gen 1: retains gen 0
+    store.foldBatch(half2, 1L)
+    store.compact() // gen 2: retains gen 1, DELETES gen 0
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/fp/corpus-g0")),
+      "generation 0 must be GC'd after the second compaction")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/fp/corpus-g1")),
+      "the immediate predecessor generation must be retained")
+    // A frame handed out before the LAST compaction still resolves.
+    val twin = new TableCommit(spark, tmp("graft_gc_t_"), 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    twin.foldBatch(half1, 0L)
+    twin.foldBatch(half2, 1L)
+    assert(symDiff(store.committedFingerprints,
+      twin.committedFingerprints) == 0)
+  }
+
   test("reopen validates the stored geometry (TableCommit parts; SentenceTable parts + splitRegex)") {
     val base = tmp("graft_geom_tc_")
     new TableCommit(spark, base, 8, 4, 8).deploy(corpus, "doc_id", "text")
