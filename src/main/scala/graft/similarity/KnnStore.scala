@@ -72,7 +72,10 @@ import org.apache.spark.sql.types._
   * same id. Arrivals are gated on id disjointness BOTH ways —
   * tombstoned ids (retraction is permanent) and already-stored ids (a
   * silent double-insert would hand one neighbor two of the k slots)
-  * fail loudly. All path probing goes through the session's Hadoop
+  * fail loudly — behind a driver Bloom over stored ∪ tombstoned ids
+  * (no false negatives), so the common all-novel delivery pays no
+  * store read for the gate. All path probing goes through the
+  * session's Hadoop
   * `FileSystem`. The frozen quantizer AND the store's geometry
   * (`nProbe`, `k`, `parts`) persist at deploy; [[KnnStore.reopen]]
   * validates the geometry instead of silently degrading partition
@@ -109,6 +112,12 @@ class KnnStore(
 
   private var centArr: DataFrame = _
   private var ver: Long = 0L
+  /** Driver Bloom over stored ∪ tombstoned vec_ids — the id-clash
+    * gate's prefilter (the TableCommit/PqStore shape): Bloom-negative
+    * arrivals are novel with NO false negatives, so the common
+    * all-novel delivery skips the pruned exact verify entirely;
+    * only Bloom hits pay the cell-pruned id read. */
+  private var idBloom: org.apache.spark.util.sketch.BloomFilter = _
 
   private def p(rel: String) = s"$base/$rel"
   private def partOf(c: org.apache.spark.sql.Column) =
@@ -225,6 +234,8 @@ class KnnStore(
         .write.mode("overwrite").partitionBy("part")
         .parquet(corpusPath("edges")))
     journal.markDeploy()
+    idBloom = asg.stat.bloomFilter(
+      "vec_id", math.max(1L, asg.count()), 0.01)
     this
   }
 
@@ -239,12 +250,6 @@ class KnnStore(
     Similarity.ensureFunctions(batch)
     val b0 = Ivf.prepDouble(batch).localCheckpoint(true)
     if (b0.isEmpty) { journal.noteSeen("fold", batchId); return }
-    // Tombstoned ids may not re-arrive — retraction is permanent, the
-    // same no-id-reuse law as the commit store.
-    val clashes = b0.join(broadcast(tomb), Seq("vec_id"), "left_semi").count()
-    require(clashes == 0L,
-      s"KnnStore: $clashes arrival vec_id(s) are tombstoned — retracted " +
-        "ids may not be recommitted")
     val bProbes = Ivf.knnProbeFrame(b0, centArr, nProbe)
       .withColumn("cell", col("cell").cast("long"))
       .localCheckpoint(true)
@@ -252,23 +257,40 @@ class KnnStore(
       .withColumn("cell", col("cell").cast("long"))
       .localCheckpoint(true)
     val arrivalCells = bAsg.select("cell").distinct().as[Long].collect().toSeq
-    // STORED ids may not re-arrive either: a silent duplicate insert
-    // would hand the same neighbor two of the k slots in every later
-    // top-k merge — corruption, not healing. The check is exact for a
+    // ID-CLASH GATE, Bloom-prefiltered: neither TOMBSTONED ids
+    // (retraction is permanent) nor STORED ids (a silent duplicate
+    // insert would hand the same neighbor two of the k slots in every
+    // later top-k merge — corruption, not healing) may re-arrive. The
+    // driver Bloom holds stored ∪ tombstoned ids with no false
+    // negatives, so the common all-novel delivery pays NO store read
+    // here; only Bloom hits reach the delta-sized tombstone check and
+    // the cell-pruned exact verify. The stored check is exact for a
     // re-delivered (id, embedding) pair because the frozen quantizer
-    // assigns it the same cell, so pruning the stored assignment to the
-    // arrival cells cannot miss it (an id re-used with a DIFFERENT
+    // assigns it the same cell (an id re-used with a DIFFERENT
     // embedding is upstream corruption no id-keyed store can detect
     // cheaply — documented limit; exact-epoch redelivery is already
     // skipped by the durable batch id above).
-    val storedClashes = readAll("asg", asgSchema)
-      .filter(col("cell").isin(arrivalCells: _*))
-      .select("vec_id")
-      .join(broadcast(b0.select("vec_id")), Seq("vec_id"), "left_semi")
-      .count()
-    require(storedClashes == 0L,
-      s"KnnStore: $storedClashes arrival vec_id(s) already stored — ids " +
-        "must be disjoint (re-key the batch before committing)")
+    val bIds = bAsg.select("vec_id").distinct().as[Long].collect()
+    val candIds = bIds.filter(idBloom.mightContainLong)
+    if (candIds.nonEmpty) {
+      val candDf = candIds.toSeq.toDF("vec_id").localCheckpoint(true)
+      val tombClash = tomb
+        .join(broadcast(candDf), Seq("vec_id"), "left_semi").count()
+      require(tombClash == 0L,
+        s"KnnStore: $tombClash arrival vec_id(s) are tombstoned — " +
+          "retracted ids may not be recommitted")
+      val candCells = bAsg
+        .join(broadcast(candDf), Seq("vec_id"), "left_semi")
+        .select("cell").distinct().as[Long].collect().toSeq
+      val storedClashes = readAll("asg", asgSchema)
+        .filter(col("cell").isin(candCells: _*))
+        .select("vec_id")
+        .join(broadcast(candDf), Seq("vec_id"), "left_semi")
+        .count()
+      require(storedClashes == 0L,
+        s"KnnStore: $storedClashes arrival vec_id(s) already stored — " +
+          "ids must be disjoint (re-key the batch before committing)")
+    }
     ver += 1
     // (2) batch queries rank against the stored members of their probed
     // cells (pruned read) plus the batch itself.
@@ -311,6 +333,7 @@ class KnnStore(
     val wrote = Set("edges", "probes", "asg")
     crashPoint("fold-before-marker")
     journal.markBatch(uuid, wrote, "fold", batchId)
+    bIds.foreach(idBloom.putLong)
     maybeAutoCompact()
   }
 
@@ -415,6 +438,12 @@ class KnnStore(
     centArr = spark.read.parquet(p("cent")).localCheckpoint(true)
     journal.reload()
     journal.rechargeDeltas()
+    // The gate Bloom rebuilds from stored ∪ tombstoned ids (compaction
+    // drops tombstoned rows physically, but the tomb baseline keeps
+    // their ids — no id reuse across any compact/crash history).
+    val ids = readAll("asg", asgSchema).select("vec_id")
+      .unionByName(tomb.select("vec_id")).distinct()
+    idBloom = ids.stat.bloomFilter("vec_id", math.max(1L, ids.count()), 0.01)
     // Guard the empty-edges case (deploy over a corpus producing no
     // edges): max(ver) is null there, not a row to getLong.
     val mx = readEdgesRaw.agg(max(col("ver"))).head()
