@@ -27,9 +27,15 @@ import org.apache.spark.sql.types.StructType
   * interval map, O(log #ranges) per op) — so monotonic streaming epochs
   * cost one range regardless of lifetime delivery count. A re-delivered
   * epoch after a crash is skipped by id, not just healed by content.
-  * Ids noted for no-op deliveries (empty/fully-deduplicated batches,
-  * which write no marker) are in-memory only — their replay re-runs the
-  * gate and no-ops again.
+  * No-op FOLD ids (empty/fully-deduplicated batches) are in-memory
+  * only — a fold's id/content gate is monotone (once an id is stored
+  * or tombstoned it stays so), so a post-crash replay re-runs the gate
+  * and no-ops again. No-op RETRACT ids write a durable tables-free
+  * marker ([[markNoop]]): a retract that no-opped because its ids were
+  * not yet stored is NOT replay-idempotent by content — re-delivered
+  * after a crash once a later fold HAS stored those ids, it would
+  * delete them — so only the durable id keeps the replayed run equal
+  * to the no-crash run.
   *
   * GC MODEL: a compaction deletes nothing itself; [[gcAged]] (run by
   * the stores right after a successful compaction) retains exactly ONE
@@ -128,6 +134,13 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
 
   /** Current committed generation of the store at `base`. */
   var gen: Int = 0
+  /** Whether ANY generation marker has committed — the deploy's own
+    * atomic point. A reopen must require this: deploy writes meta (and
+    * corpus layers) BEFORE the generation-0 marker, so a deploy that
+    * crashed mid-way leaves meta with no committed generation, and a
+    * reopen gated on meta alone would silently serve an empty store
+    * (round-13 ADVICE). */
+  var deployed: Boolean = false
   /** Marked (committed) ops of the current generation with the table
     * names each wrote (set-like consumers only — marker listing order
     * is uuid-lexicographic after a reload, not delivery order). */
@@ -177,10 +190,25 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
 
   def seen(kind: String, id: Long): Boolean = seenOps(kind).contains(id)
 
-  /** Note a delivery id WITHOUT a marker — the no-op-delivery case
-    * (empty or fully-deduplicated batch). In-memory only: a post-crash
-    * replay of a no-op re-runs the gate and no-ops again. */
+  /** Note a no-op FOLD delivery id WITHOUT a marker — in-memory only,
+    * safe because the fold gate is monotone (a stored/tombstoned id
+    * stays so), so a post-crash replay re-runs the gate and no-ops
+    * again. Retract no-ops must use [[markNoop]] instead (see the
+    * class doc — their replay is not content-idempotent). */
   def noteSeen(kind: String, id: Long): Unit = seenOps(kind).add(id)
+
+  /** Durably note a no-op delivery id: one tables-free marker commits
+    * atomically, so the id survives crash and reload. The retract
+    * no-op path — a retract whose ids were not yet stored would, if
+    * replayed after a crash once a later fold HAS stored those ids,
+    * delete them; the durable id is the only gate that keeps the
+    * replayed run equal to the no-crash run. */
+  def markNoop(kind: String, id: Long): Unit = {
+    val uuid = newUuid()
+    commitMarker(batchesDir, s"$uuid.commit", s"op:$kind:$id")
+    committed += ((uuid, Set.empty))
+    seenOps(kind).add(id)
+  }
 
   // Range serialization uses ".." so NEGATIVE ids stay parseable
   // ("-5..-3,-1,0..63"); a delivery id is any Long the caller chooses.
@@ -211,6 +239,7 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
   def reload(): this.type = {
     val gens = listMarkerNames(gensDir)
     val genOf = (n: String) => n.stripPrefix("g-").toInt
+    deployed = gens.nonEmpty
     gen = if (gens.isEmpty) 0 else gens.map(g => genOf(g._1)).max
     seenOps.values.foreach(_.clear())
     gens.find(g => genOf(g._1) == gen).foreach { case (_, p) =>
@@ -259,6 +288,7 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
   def markDeploy(): Unit = {
     commitMarker(gensDir, "g-00000.commit", "deploy")
     gen = 0
+    deployed = true
   }
 
   /** Commit generation `g2` — the compaction's atomic point. The

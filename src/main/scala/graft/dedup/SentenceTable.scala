@@ -186,14 +186,14 @@ class SentenceTable(
       .join(tomb, Seq("id"), "left_anti")
       .withColumn("part", partOf(col("id")))
       .localCheckpoint(true)
-    if (del.isEmpty) { journal.noteSeen("retract", batchId); return }
+    if (del.isEmpty) { journal.markNoop("retract", batchId); return }
     val dParts = del.select("part").distinct().as[Int].collect().toSeq
     val deleted = readAll("docs")
       .filter(col("part").isin(dParts: _*))
       .join(broadcast(del.select("id")), Seq("id"), "left_semi")
       .select("id", "text")
       .localCheckpoint(true)
-    if (deleted.isEmpty) { journal.noteSeen("retract", batchId); return }
+    if (deleted.isEmpty) { journal.markNoop("retract", batchId); return }
     val uuid = journal.newUuid()
     graft.Par.all(
       () => journal.writeBatch(deleted.select("id"), "tomb", uuid),
@@ -271,6 +271,10 @@ class SentenceTable(
   private[dedup] def restore(): SentenceTable = {
     journal.reload()
     validateMeta()
+    require(journal.deployed,
+      s"SentenceTable.reopen: store at $base has meta but no committed " +
+        "generation marker (deploy crashed before its atomic point) — " +
+        "refusing to serve a partially-deployed store")
     corpusBytes = Seq("docs", "sh").map(t => journal.du(corpusPath(t))._1).sum
     journal.rechargeDeltas()
     val ids = readAll("docs").select("id")

@@ -294,6 +294,10 @@ class TableCommit(
   private[dedup] def rebuild(): TableCommit = {
     journal.reload()
     validateMeta()
+    require(journal.deployed,
+      s"TableCommit.reopen: store at $cRoot has meta but no committed " +
+        "generation marker (deploy crashed before its atomic point) — " +
+        "refusing to serve a partially-deployed store")
     refreshCorpusBytes()
     journal.rechargeDeltas()
     val fpRowsAll = readAll("fp", fpSchema).select("fingerprint")
@@ -565,7 +569,7 @@ class TableCommit(
       .join(tomb, Seq("id"), "left_anti")
       .withColumn("part", partOf(col("id")))
       .localCheckpoint(true)
-    if (fresh.isEmpty) { journal.noteSeen("retract", batchId); return }
+    if (fresh.isEmpty) { journal.markNoop("retract", batchId); return }
     val iParts = fresh.select("part").distinct().as[Int].collect().toSeq
     // The stored texts of the deleted docs — the exact rows whose
     // artifact contributions must be inverted.
@@ -574,7 +578,7 @@ class TableCommit(
       .join(broadcast(fresh.select("id")), Seq("id"), "left_semi")
       .select("id", "text")
       .localCheckpoint(true)
-    if (deleted.isEmpty) { journal.noteSeen("retract", batchId); return }
+    if (deleted.isEmpty) { journal.markNoop("retract", batchId); return }
     val uuid = journal.newUuid()
     graft.Par.all(
       () => writeBatch(deleted.select("id"), "tomb", uuid),

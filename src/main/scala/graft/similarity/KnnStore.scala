@@ -115,8 +115,8 @@ class KnnStore(
   /** Driver Bloom over stored ∪ tombstoned vec_ids — the id-clash
     * gate's prefilter (the TableCommit/PqStore shape): Bloom-negative
     * arrivals are novel with NO false negatives, so the common
-    * all-novel delivery skips the pruned exact verify entirely;
-    * only Bloom hits pay the cell-pruned id read. */
+    * all-novel delivery skips the exact verify entirely; only Bloom
+    * hits pay the content-independent id-column read. */
   private var idBloom: org.apache.spark.util.sketch.BloomFilter = _
 
   private def p(rel: String) = s"$base/$rel"
@@ -264,12 +264,14 @@ class KnnStore(
     // driver Bloom holds stored ∪ tombstoned ids with no false
     // negatives, so the common all-novel delivery pays NO store read
     // here; only Bloom hits reach the delta-sized tombstone check and
-    // the cell-pruned exact verify. The stored check is exact for a
-    // re-delivered (id, embedding) pair because the frozen quantizer
-    // assigns it the same cell (an id re-used with a DIFFERENT
-    // embedding is upstream corruption no id-keyed store can detect
-    // cheaply — documented limit; exact-epoch redelivery is already
-    // skipped by the durable batch id above).
+    // the exact verify. The stored verify scans the FULL asg vec_id
+    // column (single-column columnar scan, Bloom-gated to the rare
+    // clash-suspect path) rather than pruning by the batch's OWN cell
+    // assignment: an id gate must be content-independent — a stored id
+    // re-delivered with a different embedding lands in a different
+    // cell, which is exactly the corruption the gate exists to stop
+    // (round-13 ADVICE; the sibling stores' partOf(id) prune has the
+    // same content-independence).
     val bIds = bAsg.select("vec_id").distinct().as[Long].collect()
     val candIds = bIds.filter(idBloom.mightContainLong)
     if (candIds.nonEmpty) {
@@ -279,11 +281,7 @@ class KnnStore(
       require(tombClash == 0L,
         s"KnnStore: $tombClash arrival vec_id(s) are tombstoned — " +
           "retracted ids may not be recommitted")
-      val candCells = bAsg
-        .join(broadcast(candDf), Seq("vec_id"), "left_semi")
-        .select("cell").distinct().as[Long].collect().toSeq
       val storedClashes = readAll("asg", asgSchema)
-        .filter(col("cell").isin(candCells: _*))
         .select("vec_id")
         .join(broadcast(candDf), Seq("vec_id"), "left_semi")
         .count()
@@ -350,7 +348,7 @@ class KnnStore(
       .join(readAll("asg", asgSchema).select("vec_id"), Seq("vec_id"),
         "left_semi")
       .localCheckpoint(true)
-    if (fresh.isEmpty) { journal.noteSeen("retract", batchId); return }
+    if (fresh.isEmpty) { journal.markNoop("retract", batchId); return }
     ver += 1
     // Affected candidates: ANY stored version holds a deleted vector —
     // one broadcast semi-join over the raw edge table instead of the
@@ -437,6 +435,10 @@ class KnnStore(
         "parts would silently mis-prune every stored partition")
     centArr = spark.read.parquet(p("cent")).localCheckpoint(true)
     journal.reload()
+    require(journal.deployed,
+      s"KnnStore.reopen: store at $base has meta but no committed " +
+        "generation marker (deploy crashed before its atomic point) — " +
+        "refusing to serve a partially-deployed store")
     journal.rechargeDeltas()
     // The gate Bloom rebuilds from stored ∪ tombstoned ids (compaction
     // drops tombstoned rows physically, but the tomb baseline keeps
@@ -504,11 +506,12 @@ object KnnStore {
     * generation + marked ops (so a crash mid-fold/mid-retract/
     * mid-compact reopens to a consistent state), and the version
     * counter resumes from the stored edge maximum (0 on an edgeless
-    * store). The seen-batch-id sets are per-process (re-deliver under
-    * fresh ids only after external dedup, or accept the idempotence
-    * that id-disjoint folds give). Spec-pinned: fold → drop the
-    * instance → reopen → fold more lands on a never-crashed twin
-    * exactly. */
+    * store). The seen-batch-id sets are DURABLE — batch markers record
+    * the op kind + delivery id, generation markers baseline the sets,
+    * and [[graft.StoreJournal.reload]] rebuilds them — so a
+    * re-delivered epoch after a crash is skipped by id. Spec-pinned:
+    * fold → drop the instance → reopen → fold more lands on a
+    * never-crashed twin exactly. */
   def reopen(
       spark: SparkSession,
       base: String,

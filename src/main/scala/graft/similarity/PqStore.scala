@@ -157,7 +157,7 @@ class PqStore(
           .select("vec_id"),
         Seq("vec_id"), "left_semi")
       .localCheckpoint(true)
-    if (fresh.isEmpty) { journal.noteSeen("retract", batchId); return }
+    if (fresh.isEmpty) { journal.markNoop("retract", batchId); return }
     val uuid = journal.newUuid()
     journal.writeBatch(fresh, "tomb", uuid)
     val wrote = Set("tomb")
@@ -196,6 +196,10 @@ class PqStore(
         s"requested (dims=$dims, m=$m, parts=$parts)")
     codebooks = spark.read.parquet(p("cb")).localCheckpoint(true)
     journal.reload()
+    require(journal.deployed,
+      s"PqStore.reopen: store at $base has meta but no committed " +
+        "generation marker (deploy crashed before its atomic point) — " +
+        "refusing to serve a partially-deployed store")
     corpusBytes = journal.du(corpusPath("codes"))._1
     journal.rechargeDeltas()
     val ids = readAll("codes").select("vec_id")

@@ -988,15 +988,19 @@ object ScaleStress {
     def blockReport(tag: String, secs: Array[Double]): Unit = {
       val n = secs.length
       if (n == 0) { println(f"[stress] $tag%-44s (no deliveries)"); return }
-      // Clamp the quartile probes so a smoke run with
-      // SPARK_GRAFT_FOLD_DELIVERIES < 4 still reports instead of
-      // throwing away the measurements on an index bound.
-      def at(i: Int) = secs(math.min(n - 1, math.max(0, i)))
-      def mean(a: Int, b: Int) =
-        secs.slice(a, b).sum / math.max(1, b - a)
+      if (n < 4) {
+        // A smoke run with SPARK_GRAFT_FOLD_DELIVERIES < 4 has no
+        // quartiles: print the raw per-delivery times instead of
+        // clamped duplicate probes and empty-slice means that read as
+        // measured zeros (round-13 ADVICE).
+        val raw = secs.map(s => f"$s%5.2f").mkString(" ")
+        println(f"[stress] $tag%-44s raw (n=$n) $raw s")
+        return
+      }
+      def mean(a: Int, b: Int) = secs.slice(a, b).sum / (b - a)
       println(f"[stress] $tag%-44s d1 ${secs.head}%5.2f  " +
-        f"d${math.max(1, n / 4)} ${at(n / 4 - 1)}%5.2f  " +
-        f"d${math.max(1, n / 2)} ${at(n / 2 - 1)}%5.2f  " +
+        f"d${n / 4} ${secs(n / 4 - 1)}%5.2f  " +
+        f"d${n / 2} ${secs(n / 2 - 1)}%5.2f  " +
         f"d$n ${secs(n - 1)}%5.2f | block means " +
         f"${mean(0, n / 4)}%5.2f ${mean(n / 4, n / 2)}%5.2f " +
         f"${mean(n / 2, 3 * n / 4)}%5.2f ${mean(3 * n / 4, n)}%5.2f s")

@@ -253,4 +253,78 @@ class StoreDurabilitySpec extends SparkSuite {
     // The matching geometry reopens and serves.
     assert(SentenceTable.reopen(spark, stBase).presentHashes.count() > 0)
   }
+
+  test("retract no-op ids are DURABLE: a replayed pre-fold retract must not delete later-folded docs") {
+    // The round-13 ADVICE divergence: a retract that no-ops because its
+    // ids were NOT yet stored, re-delivered after a crash once a later
+    // fold HAS stored those ids, would delete them — final state would
+    // diverge from the no-crash run. The tables-free no-op marker makes
+    // the replay skip BY ID across the reopen.
+    val ids = half1.select("id").localCheckpoint(true)
+    val base = tmp("graft_noopr_tc_")
+    val store = new TableCommit(spark, base, 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    store.retractBatch(ids, 7L) // no-op: nothing stored under these ids
+    val r = TableCommit.reopen(spark, base, 8, 4, 8) // "crash" + recover
+    r.foldBatch(half1, 0L)
+    val n = r.committedFingerprints.count()
+    r.retractBatch(ids, 7L) // the replayed pre-fold retract
+    assert(r.committedFingerprints.count() == n,
+      "replayed retract id must be skipped durably, not re-run its gate " +
+        "against the NOW-stored ids")
+
+    val stBase = tmp("graft_noopr_st_")
+    val st = new SentenceTable(spark, stBase)
+      .deploy(corpus, "doc_id", "text")
+    st.retractBatch(ids, 7L)
+    val sr = SentenceTable.reopen(spark, stBase)
+    sr.foldBatch(half1, 0L)
+    val hn = sr.presentHashes.count()
+    sr.retractBatch(ids, 7L)
+    assert(sr.presentHashes.count() == hn,
+      "SentenceTable replayed pre-fold retract must stay a no-op")
+  }
+
+  test("reopen refuses a store whose deploy crashed before the generation marker") {
+    // Deploy writes meta and corpus layers BEFORE the g-00000 marker; a
+    // deploy that died in between leaves meta with no committed
+    // generation. A reopen gated on meta alone would silently serve an
+    // EMPTY store — it must fail loudly instead (round-13 ADVICE).
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    def dropGens(base: String): Unit =
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/_gens"), true)
+
+    val tcBase = tmp("graft_half_tc_")
+    new TableCommit(spark, tcBase, 8, 4, 8).deploy(corpus, "doc_id", "text")
+    dropGens(tcBase)
+    val e1 = intercept[IllegalArgumentException](
+      TableCommit.reopen(spark, tcBase, 8, 4, 8))
+    assert(e1.getMessage.contains("no committed generation"))
+
+    val stBase = tmp("graft_half_st_")
+    new SentenceTable(spark, stBase).deploy(corpus, "doc_id", "text")
+    dropGens(stBase)
+    assert(intercept[IllegalArgumentException](
+      SentenceTable.reopen(spark, stBase))
+      .getMessage.contains("no committed generation"))
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val kBase = tmp("graft_half_knn_")
+    new graft.similarity.KnnStore(spark, kBase, nProbe = 2, k = 4)
+      .deploy(emb, (0 until 8).map(_ * 37L))
+    dropGens(kBase)
+    assert(intercept[IllegalArgumentException](
+      graft.similarity.KnnStore.reopen(spark, kBase, nProbe = 2, k = 4))
+      .getMessage.contains("no committed generation"))
+
+    val (cb, codes) = graft.similarity.Ivf.pqArtifacts(
+      emb, (0 until 8).map(_ * 37L), 64, 4, 2)
+    val pqBase = tmp("graft_half_pq_")
+    new graft.similarity.PqStore(spark, pqBase, 64, 4).deploy(codes, cb)
+    dropGens(pqBase)
+    assert(intercept[IllegalArgumentException](
+      graft.similarity.PqStore.reopen(spark, pqBase, 64, 4))
+      .getMessage.contains("no committed generation"))
+  }
 }

@@ -273,4 +273,31 @@ class KnnStoreSpec extends SparkSuite {
     store.foldBatch(emb.filter(lit(false)), 1L) // empty delivery
     assert(edges(store.mutualGraph) == before)
   }
+
+  test("the stored-id clash gate is CONTENT-INDEPENDENT: a stored id with a different embedding fails loudly") {
+    // The round-13 ADVICE hole: pruning the exact verify to the cells
+    // the CURRENT batch's embeddings assign to let an already-stored
+    // vec_id re-delivered with a DIFFERENT embedding land in a
+    // different cell and silently double-insert — exactly the
+    // corruption the gate exists to stop. The verify now reads the full
+    // asg id column (Bloom-gated), so the clash fails regardless of
+    // which cell the corrupt embedding assigns to.
+    val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+    val store = mk(corpus)
+    // A stored id carrying ANOTHER stored vector's embedding — chosen
+    // from a different centroid's seed so the two assign to different
+    // cells with near-certainty.
+    val corrupt = corpus.filter(col("vec_id") === centroidIds.last)
+      .select(lit(1L).as("vec_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException](
+      store.foldBatch(corrupt, 5L))
+    assert(e.getMessage.contains("already stored"))
+    // The failed delivery's id was NOT consumed: the same id retries
+    // with clean content and lands.
+    val clean = emb.filter(col("vec_id") % 9 === 8)
+    store.foldBatch(clean, 5L)
+    val plain = mk(corpus)
+    plain.foldBatch(clean, 5L)
+    assert(edges(store.directedEdges) == edges(plain.directedEdges))
+  }
 }
