@@ -78,6 +78,7 @@ object SparkEntry {
     "q_sentence_commit" -> (PipelineQueries.sentenceCommit _),
     "q_sentence_retract" -> (PipelineQueries.sentenceRetract _),
     "q_pagerank_keeplist" -> (PipelineQueries.pagerankKeeplist _),
+    "q_pagerank_incremental" -> (PipelineQueries.pagerankIncremental _),
     "q_pagerank_residual" -> (PipelineQueries.pagerankResidual _),
     "q_stream_sentence" -> (StreamingQueries.streamSentence _),
     "q_stream_sentence_commit" ->
@@ -219,8 +220,12 @@ object SparkEntry {
     "q_stream_audio" -> (StreamingQueries.streamAudio _),
     "q_stream_ann" -> (StreamingQueries.streamAnn _),
     "q_stream_index_commit" -> (StreamingQueries.streamIndexCommit _),
+    "q_stream_index_compact" -> (StreamingQueries.streamIndexCompact _),
+    "q_stream_index_refresh" -> (StreamingQueries.streamIndexRefresh _),
     "q_stream_index_retract" -> (StreamingQueries.streamIndexRetract _),
     "q_stream_knn" -> (StreamingQueries.streamKnn _),
+    "q_stream_knn_compact" -> (StreamingQueries.streamKnnCompact _),
+    "q_stream_knn_refresh" -> (StreamingQueries.streamKnnRefresh _),
     "q_stream_semantic_commit" -> (StreamingQueries.streamSemanticCommit _),
     "q_stream_attribution" -> (StreamingQueries.streamAttribution _),
     "q_stream_video" -> (StreamingQueries.streamVideo _),
@@ -552,6 +557,7 @@ object SparkEntry {
     "q_sentence_commit" -> PipelineQueries.sentenceCommitOracle,
     "q_sentence_retract" -> PipelineQueries.sentenceRetractOracle,
     "q_pagerank_keeplist" -> PipelineQueries.pagerankKeeplistOracle,
+    "q_pagerank_incremental" -> PipelineQueries.pagerankIncrementalOracle,
     "q_pagerank_residual" -> PipelineQueries.pagerankResidualOracle,
     "q_stream_sentence" -> StreamingQueries.streamSentenceOracle,
     "q_stream_sentence_commit" ->
@@ -695,8 +701,12 @@ object SparkEntry {
     "q_stream_audio" -> StreamingQueries.streamAudioOracle,
     "q_stream_ann" -> StreamingQueries.streamAnnOracle,
     "q_stream_index_commit" -> StreamingQueries.streamIndexCommitOracle,
+    "q_stream_index_compact" -> StreamingQueries.streamIndexCompactOracle,
+    "q_stream_index_refresh" -> StreamingQueries.streamIndexRefreshOracle,
     "q_stream_index_retract" -> StreamingQueries.streamIndexRetractOracle,
     "q_stream_knn" -> StreamingQueries.streamKnnOracle,
+    "q_stream_knn_compact" -> StreamingQueries.streamKnnCompactOracle,
+    "q_stream_knn_refresh" -> StreamingQueries.streamKnnRefreshOracle,
     "q_stream_semantic_commit" -> StreamingQueries.streamSemanticCommitOracle,
     "q_stream_attribution" -> StreamingQueries.streamAttributionOracle,
     "q_stream_video" -> StreamingQueries.streamVideoOracle,

@@ -221,9 +221,10 @@ class SentenceTable(
     (corpusBytes, journal.deltaBytes, journal.deltaFiles,
       journal.committed.size, journal.gen)
 
-  /** GC of journal garbage — [[graft.StoreJournal.vacuum]]. */
-  def vacuum(): Long = synchronized {
-    journal.vacuum(Seq("docs", "sh", "tomb"))
+  /** GC of journal garbage — [[graft.StoreJournal.vacuum]];
+    * `retainMs` age-gates the sweep of superseded generations. */
+  def vacuum(retainMs: Long = 0L): Long = synchronized {
+    journal.vacuum(Seq("docs", "sh", "tomb"), retainMs)
   }
 
   private def maybeAutoCompact(): Unit =
@@ -236,6 +237,7 @@ class SentenceTable(
     * (count-preserving), docs to their tombstone survivors; a
     * committed-face no-op, crash-atomic via the generation marker. */
   def compact(): Unit = synchronized {
+    journal.checkLease() // fence stale writers before the deterministic-dir writes
     val g2 = journal.gen + 1
     // Single-consumer frames write directly into the fresh generation
     // (reads stay on the current one), three independent writes

@@ -699,7 +699,8 @@ class TableCommit(
   /** GC of journal garbage (crashed-op batch dirs, superseded
     * generations) — [[graft.StoreJournal.vacuum]]; committed-face
     * no-op, returns directories removed. */
-  def vacuum(): Long = synchronized { journal.vacuum(tables) }
+  def vacuum(retainMs: Long = 0L): Long =
+    synchronized { journal.vacuum(tables, retainMs) }
 
   /** The gate's pruned fingerprint read, exposed for the plan-shape
     * spec: the corpus layer must show PartitionFilters (hive `part=`
@@ -742,6 +743,7 @@ class TableCommit(
     * the maintenance thresholds (`autoCompact`) or an explicit call,
     * never per delivery. */
   def compact(): Unit = synchronized {
+    journal.checkLease() // fence stale writers before the deterministic-dir writes
     if (corpusRoot.isEmpty) compactPlain() else compactShared()
   }
 

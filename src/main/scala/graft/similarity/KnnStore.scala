@@ -208,8 +208,10 @@ class KnnStore(
     // Persist the frozen quantizer AND the store geometry next to the
     // index tables so crash recovery restores the complete store and
     // can VALIDATE the reopen parameters (a silently different `parts`
-    // would mis-prune every stored partition).
-    centArr.write.mode("overwrite").parquet(p("cent"))
+    // would mis-prune every stored partition). The quantizer is
+    // GENERATION-SCOPED like every index table — [[refresh]] swaps a
+    // retrained one in under the same atomic generation marker.
+    centArr.write.mode("overwrite").parquet(corpusPath("cent"))
     Seq((nProbe, k, parts)).toDF("nProbe", "k", "parts")
       .coalesce(1).write.mode("overwrite").parquet(p("meta"))
     val c0 = Ivf.prepDouble(corpus)
@@ -403,8 +405,8 @@ class KnnStore(
   /** GC of journal garbage (crashed-op batch dirs, superseded
     * generations) — [[graft.StoreJournal.vacuum]]; committed-face
     * no-op, returns directories removed. */
-  def vacuum(): Long = synchronized {
-    journal.vacuum(Seq("probes", "asg", "edges", "tomb"))
+  def vacuum(retainMs: Long = 0L): Long = synchronized {
+    journal.vacuum(Seq("probes", "asg", "edges", "tomb", "cent"), retainMs)
   }
 
   /** The fold's cell-pruned assignment read, exposed for the
@@ -433,12 +435,14 @@ class KnnStore(
       s"KnnStore.reopen: stored geometry (nProbe=$sN, k=$sK, parts=$sP) " +
         s"!= requested (nProbe=$nProbe, k=$k, parts=$parts) — a mismatched " +
         "parts would silently mis-prune every stored partition")
-    centArr = spark.read.parquet(p("cent")).localCheckpoint(true)
     journal.reload()
     require(journal.deployed,
       s"KnnStore.reopen: store at $base has meta but no committed " +
         "generation marker (deploy crashed before its atomic point) — " +
         "refusing to serve a partially-deployed store")
+    // The quantizer of the COMMITTED generation — a crash on either
+    // side of a refresh's marker reopens artifacts and tables in step.
+    centArr = spark.read.parquet(corpusPath("cent")).localCheckpoint(true)
     journal.rechargeDeltas()
     // The gate Bloom rebuilds from stored ∪ tombstoned ids (compaction
     // drops tombstoned rows physically, but the tomb baseline keeps
@@ -466,6 +470,7 @@ class KnnStore(
     * are left for [[vacuum]] — lazy frames handed out before the
     * compaction keep resolving. */
   def compact(): Unit = synchronized {
+    journal.checkLease() // fence stale writers before the deterministic-dir writes
     val g2 = journal.gen + 1
     // Single-consumer frames write directly into the fresh generation
     // (reads stay on the current one — no self-overwrite, no
@@ -488,14 +493,82 @@ class KnnStore(
         .write.mode("overwrite").partitionBy("part")
         .parquet(s"$base/edges/corpus-g$g2"),
       () => tombAll.coalesce(1).write.mode("overwrite")
-        .parquet(s"$base/tomb/corpus-g$g2"))
+        .parquet(s"$base/tomb/corpus-g$g2"),
+      // The quantizer is generation-scoped: carry the CURRENT one
+      // forward (K rows — metadata-sized) so the new generation is
+      // self-contained and a refresh's swap stays one marker rename.
+      () => centArr.write.mode("overwrite")
+        .parquet(s"$base/cent/corpus-g$g2"))
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")
     // One-generation retention GC (see graft.StoreJournal.gcAged).
     journal.advance(g2)
     ver = 0L
-    journal.gcAged(Seq("probes", "asg", "edges", "tomb"))
+    journal.gcAged(Seq("probes", "asg", "edges", "tomb", "cent"))
+  }
+
+  /** TRAINED-ARTIFACT REFRESH — the retrain-and-swap face the drift
+    * monitors (q_cell_drift / q_ann_recall / q_graph_drift) exist to
+    * trigger, closing the round-13 VERDICT's "decaying index" gap: the
+    * quantizer re-resolves over the SURVIVING stored vectors (the
+    * store holds its own embeddings, so the retrain is self-contained),
+    * every probe/assignment/edge row re-derives under the new geometry,
+    * and the whole swap commits as generation N+1 under ONE atomic
+    * marker rename — a crash on either side reopens to a consistent
+    * (artifact, tables) pair, exactly the compaction guarantee. Cost is
+    * a full index rebuild over survivors (retraining IS a rebuild —
+    * that is why it is a deliberate, monitor-triggered decision);
+    * tombstones and the durable seen-id sets carry forward, so the
+    * no-id-reuse and replay laws outlive the retrain. The refreshed
+    * committed face equals a from-scratch [[deploy]] of the survivors
+    * under `newCentroidIds` (spec-pinned). */
+  def refresh(newCentroidIds: Seq[Long]): Unit = synchronized {
+    journal.checkLease()
+    require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
+    val g2 = journal.gen + 1
+    // The survivors' prepped frame from the stored assignment — emb is
+    // already double, so prepDouble inside fixedCentroidsDouble is an
+    // identity cast and cell numbering resolves exactly as at deploy.
+    val c0 = readAsg.select("vec_id", "emb").localCheckpoint(true)
+    Similarity.ensureFunctions(c0)
+    val cent2 = Ivf.fixedCentroidsDouble(
+      c0.select(col("vec_id"), col("emb").as("embedding")), newCentroidIds)
+    val centArr2 = cent2
+      .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
+      .localCheckpoint(true)
+    val probes2 = Ivf.knnProbeFrame(c0, centArr2, nProbe)
+      .withColumn("cell", col("cell").cast("long"))
+      .localCheckpoint(true)
+    val asg2 = Ivf.knnAsgFrame(c0, centArr2)
+      .withColumn("cell", col("cell").cast("long"))
+      .localCheckpoint(true)
+    val tombAll = tomb.distinct()
+    graft.Par.all(
+      () => probes2.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$base/probes/corpus-g$g2"),
+      () => asg2.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$base/asg/corpus-g$g2"),
+      () => Ivf.knnEdgesCore(probes2, asg2, k)
+        .select("q_vec_id", "vec_id", "score")
+        .withColumn("ver", lit(0L))
+        .withColumn("part", partOf(col("q_vec_id")))
+        .coalesce(4)
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(s"$base/edges/corpus-g$g2"),
+      () => tombAll.coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/tomb/corpus-g$g2"),
+      () => centArr2.write.mode("overwrite")
+        .parquet(s"$base/cent/corpus-g$g2"))
+    crashPoint("refresh-before-marker")
+    journal.markGeneration(g2)
+    crashPoint("refresh-after-marker")
+    journal.advance(g2)
+    ver = 0L
+    centArr = centArr2
+    journal.gcAged(Seq("probes", "asg", "edges", "tomb", "cent"))
   }
 }
 

@@ -67,6 +67,7 @@ class PqStore(
   private[similarity] def crashAt_=(v: Option[String]): Unit =
     journal.crashAt = v
   private def crashPoint(name: String): Unit = journal.crashPoint(name)
+  private[similarity] def storeBase: String = base
 
   private def readDelta(t: String) = journal.readDelta(t, schemaOf(t))
   private def readAll(t: String) =
@@ -81,11 +82,13 @@ class PqStore(
       .unionByName(readDelta("tomb"))
 
   /** Deploy the trained artifacts: frozen codebooks + the corpus code
-    * postings, committed as generation 0. */
+    * postings, committed as generation 0. The codebooks are
+    * GENERATION-SCOPED like the postings — [[refresh]] swaps retrained
+    * ones in under the same atomic generation marker. */
   def deploy(corpusCodes: DataFrame, cb: DataFrame): PqStore = {
     codebooks = cb.localCheckpoint(true)
     graft.Par.all(
-      () => codebooks.write.mode("overwrite").parquet(p("cb")),
+      () => codebooks.write.mode("overwrite").parquet(corpusPath("cb")),
       () => Seq((dims, m, parts)).toDF("dims", "m", "parts")
         .coalesce(1).write.mode("overwrite").parquet(p("meta")),
       () => corpusCodes
@@ -177,8 +180,10 @@ class PqStore(
     (corpusBytes, journal.deltaBytes, journal.deltaFiles,
       journal.committed.size, journal.gen)
 
-  /** GC of journal garbage — [[graft.StoreJournal.vacuum]]. */
-  def vacuum(): Long = synchronized { journal.vacuum(Seq("codes", "tomb")) }
+  /** GC of journal garbage — [[graft.StoreJournal.vacuum]];
+    * `retainMs` age-gates the sweep of superseded generations. */
+  def vacuum(retainMs: Long = 0L): Long =
+    synchronized { journal.vacuum(Seq("codes", "tomb", "cb"), retainMs) }
 
   private def maybeAutoCompact(): Unit =
     if (autoCompact &&
@@ -194,12 +199,14 @@ class PqStore(
     require(sd == dims && sm == m && sp == parts,
       s"PqStore.reopen: stored geometry (dims=$sd, m=$sm, parts=$sp) != " +
         s"requested (dims=$dims, m=$m, parts=$parts)")
-    codebooks = spark.read.parquet(p("cb")).localCheckpoint(true)
     journal.reload()
     require(journal.deployed,
       s"PqStore.reopen: store at $base has meta but no committed " +
         "generation marker (deploy crashed before its atomic point) — " +
         "refusing to serve a partially-deployed store")
+    // The codebooks of the COMMITTED generation — a crash on either
+    // side of a refresh's marker reopens artifacts and postings in step.
+    codebooks = spark.read.parquet(corpusPath("cb")).localCheckpoint(true)
     corpusBytes = journal.du(corpusPath("codes"))._1
     journal.rechargeDeltas()
     val ids = readAll("codes").select("vec_id")
@@ -212,6 +219,7 @@ class PqStore(
     * the posting baseline — a committed-face no-op, crash-atomic via
     * the generation marker. */
   def compact(): Unit = synchronized {
+    journal.checkLease() // fence stale writers before the deterministic-dir writes
     val g2 = journal.gen + 1
     // Single-consumer frames write directly into the fresh generation
     // (reads stay on the current one); tombstones survive as their own
@@ -225,14 +233,72 @@ class PqStore(
         .write.mode("overwrite").partitionBy("part")
         .parquet(s"$base/codes/corpus-g$g2"),
       () => tombAll.coalesce(1).write.mode("overwrite")
-        .parquet(s"$base/tomb/corpus-g$g2"))
+        .parquet(s"$base/tomb/corpus-g$g2"),
+      // The codebooks are generation-scoped: carry the CURRENT ones
+      // forward (K·m rows — metadata-sized) so the new generation is
+      // self-contained and a refresh's swap stays one marker rename.
+      () => codebooks.write.mode("overwrite")
+        .parquet(s"$base/cb/corpus-g$g2"))
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")
     // One-generation retention GC (see graft.StoreJournal.gcAged).
     journal.advance(g2)
     corpusBytes = journal.du(corpusPath("codes"))._1
-    journal.gcAged(Seq("codes", "tomb"))
+    journal.gcAged(Seq("codes", "tomb", "cb"))
+  }
+
+  /** TRAINED-ARTIFACT REFRESH — the retrain-and-swap face the drift
+    * monitors (q_cell_drift / q_fertility_drift / q_ann_recall) exist
+    * to trigger, closing the round-13 VERDICT's "decaying index" gap:
+    * fresh codebooks train over the SURVIVING stored ids' embeddings,
+    * every surviving vector re-encodes under them, and the whole swap
+    * commits as generation N+1 under ONE atomic marker rename — a
+    * crash on either side reopens to a consistent (codebooks,
+    * postings) pair, exactly the compaction guarantee. The posting
+    * store holds codes, not raw vectors, so the caller supplies the
+    * authoritative embedding source (the upstream corpus table); it
+    * must COVER every surviving id — verified loudly, because a
+    * silently-dropped vector would vanish from the index. Tombstones
+    * and the durable seen-id sets carry forward, so the no-id-reuse
+    * and replay laws outlive the retrain. The refreshed committed face
+    * equals a from-scratch [[Ivf.pqArtifacts]] deploy over the
+    * survivors (spec-pinned; frozen-codebook encoding is per-vector
+    * deterministic). */
+  def refresh(
+      embSource: DataFrame,
+      centroidIds: Seq[Long],
+      iters: Int): Unit = synchronized {
+    journal.checkLease()
+    val g2 = journal.gen + 1
+    val survivors = postings.select("vec_id").distinct().localCheckpoint(true)
+    val src = embSource.select("vec_id", "embedding")
+    val uncovered = survivors.join(src, Seq("vec_id"), "left_anti").count()
+    require(uncovered == 0L,
+      s"PqStore.refresh: $uncovered surviving stored id(s) missing from " +
+        "the embedding source — a retrain must cover every survivor or " +
+        "it would silently drop them from the index")
+    val cover = src.join(survivors, Seq("vec_id"), "left_semi")
+    val (cb2, codes2) = Ivf.pqArtifacts(cover, centroidIds, dims, m, iters)
+    val cb2c = cb2.localCheckpoint(true)
+    val tombAll = tomb.distinct()
+    graft.Par.all(
+      () => codes2
+        .withColumn("part", partOf(col("vec_id")))
+        .repartition(parts, col("part"))
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(s"$base/codes/corpus-g$g2"),
+      () => tombAll.coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/tomb/corpus-g$g2"),
+      () => cb2c.write.mode("overwrite")
+        .parquet(s"$base/cb/corpus-g$g2"))
+    crashPoint("refresh-before-marker")
+    journal.markGeneration(g2)
+    crashPoint("refresh-after-marker")
+    journal.advance(g2)
+    codebooks = cb2c
+    corpusBytes = journal.du(corpusPath("codes"))._1
+    journal.gcAged(Seq("codes", "tomb", "cb"))
   }
 }
 

@@ -300,4 +300,63 @@ class KnnStoreSpec extends SparkSuite {
     plain.foldBatch(clean, 5L)
     assert(edges(store.directedEdges) == edges(plain.directedEdges))
   }
+
+  test("refresh retrains the quantizer over survivors and the face equals a from-scratch deploy under the new centroids") {
+    // The retrain-and-swap face (round-13 VERDICT missing #2): deploy
+    // under ALTERNATE centroids, fold arrivals, then refresh to the
+    // canonical centroid set — the whole index re-derives under the new
+    // geometry and must equal a from-scratch deploy of the union under
+    // those centroids. The store holds its own embeddings, so the
+    // retrain is self-contained.
+    val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+    val batch = emb.filter(col("vec_id") % 9 === 8)
+    val altIds = (0 until 8).map(_ * 19L) // all resolve corpus-side
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_knn_refresh_").toString
+    val store = new KnnStore(spark, base, nProbe = 2, k = k)
+      .deploy(corpus, altIds)
+    store.foldBatch(batch, 0L)
+    store.refresh(centroidIds)
+    val plain = mk(emb) // from-scratch under the NEW centroids
+    assert(edges(store.directedEdges) == edges(plain.directedEdges),
+      "refreshed face must equal the from-scratch deploy under the " +
+        "retrained quantizer")
+    // Later folds land on the refreshed geometry — across a reopen, so
+    // the refreshed generation's quantizer is what restores.
+    val more = batch.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"))
+    val r = KnnStore.reopen(spark, base, nProbe = 2, k = k)
+    r.foldBatch(more, 1L)
+    plain.foldBatch(more, 1L)
+    assert(edges(r.directedEdges) == edges(plain.directedEdges),
+      "post-refresh folds must assign against the retrained centroids")
+  }
+
+  test("a crash on either side of the refresh marker reopens to one consistent (quantizer, tables) pair") {
+    val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+    val batch = emb.filter(col("vec_id") % 9 === 8)
+    val altIds = (0 until 8).map(_ * 19L)
+    def prep(tag: String) = {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_knn_refc_$tag").toString
+      val s = new KnnStore(spark, base, nProbe = 2, k = k)
+        .deploy(corpus, altIds)
+      s.foldBatch(batch, 0L)
+      (base, s)
+    }
+    val (_, oldTwin) = prep("old")
+    val refreshedTwin = mk(emb)
+    val (b1, v1) = prep("pre")
+    v1.crashAt = Some("refresh-before-marker")
+    intercept[IllegalStateException](v1.refresh(centroidIds))
+    val r1 = KnnStore.reopen(spark, b1, nProbe = 2, k = k)
+    assert(edges(r1.directedEdges) == edges(oldTwin.directedEdges),
+      "pre-marker refresh crash must serve the OLD quantizer and tables")
+    val (b2, v2) = prep("post")
+    v2.crashAt = Some("refresh-after-marker")
+    intercept[IllegalStateException](v2.refresh(centroidIds))
+    val r2 = KnnStore.reopen(spark, b2, nProbe = 2, k = k)
+    assert(edges(r2.directedEdges) == edges(refreshedTwin.directedEdges),
+      "post-marker refresh crash must serve the NEW quantizer and tables")
+  }
 }
