@@ -1144,6 +1144,51 @@ object ScaleStress {
       }
     }
 
+    // Round-14: the REFRESH axis — retrain-and-swap cost in context.
+    // A refresh re-derives the full index over the survivors
+    // (retraining IS a rebuild — that is why it is the deliberate,
+    // monitor-triggered decision), so its wall time should track the
+    // DEPLOY's, not the per-delivery fold's; the value of the face is
+    // the one-marker atomic swap, not a cheaper rebuild. This stage
+    // prints deploy / one-fold / refresh side by side for the two
+    // stores with trained artifacts so the ratio is measured, not
+    // assumed.
+    if (only.forall(sel => "r14 refresh axis: knn pq".contains(sel))) {
+      val embAll = spark.read
+        .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val corpusE = embAll.filter(col("vec_id") % 9 =!= 8)
+      val batchE = embAll.filter(col("vec_id") % 9 === 8)
+        .select("vec_id", "embedding")
+      val seeds = (0 until 20).map(_ * 37L).filter(_ % 9 != 8).take(16)
+      val altSeeds = (0 until 30).map(_ * 19L).filter(_ % 9 != 8).take(16)
+      var kst: graft.similarity.KnnStore = null
+      time("r14 refresh knn deploy (alt quantizer)") {
+        kst = new graft.similarity.KnnStore(
+          spark,
+          java.nio.file.Files
+            .createTempDirectory("graft_stress_kref_").toString,
+          nProbe = 2, k = 4)
+          .deploy(corpusE, altSeeds)
+      }
+      time("r14 refresh knn one fold") { kst.foldBatch(batchE, 0L) }
+      time("r14 refresh knn REFRESH to canonical") { kst.refresh(seeds) }
+      var pst: graft.similarity.PqStore = null
+      time("r14 refresh pq train+deploy") {
+        val (cb, codes) = graft.similarity.Ivf.pqArtifacts(
+          corpusE, seeds, dims = 64, m = 4, iters = 2)
+        pst = new graft.similarity.PqStore(
+          spark,
+          java.nio.file.Files
+            .createTempDirectory("graft_stress_pref_").toString,
+          dims = 64, m = 4)
+          .deploy(codes, cb)
+      }
+      time("r14 refresh pq one fold") { pst.foldBatch(batchE, 0L) }
+      time("r14 refresh pq REFRESH (retrain on survivors)") {
+        pst.refresh(embAll, seeds, 2)
+      }
+    }
+
     // Offset-stage A/B at FIXED sizes (does not scale with replicas):
     // the lang-keyed window sorts each language's doc rows in ONE task;
     // the hierarchical prefix sum spreads the same work over
