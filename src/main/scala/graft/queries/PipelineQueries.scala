@@ -1632,7 +1632,7 @@ object PipelineQueries {
   private[graft] val KnnMemoQueries: Set[String] =
     Set("q_knn_graph", "q_semantic_clusters", "q_semantic_keeplist",
       "q_semantic_quality_keeplist", "q_graph_stats", "q_graph_pagerank",
-      "q_graph_drift", "q_pagerank_keeplist")
+      "q_graph_drift", "q_pagerank_keeplist", "q_pagerank_incremental")
 
   /** The probe/assign/score/rank CTEs of the whole-corpus kNN edge set
     * — shared by the graph, clusters, keep-list and retraction oracles.
