@@ -214,13 +214,8 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
     * replayed after a crash once a later fold HAS stored those ids,
     * delete them; the durable id is the only gate that keeps the
     * replayed run equal to the no-crash run. */
-  def markNoop(kind: String, id: Long): Unit = {
-    checkLease()
-    val uuid = newUuid()
-    commitMarker(batchesDir, s"$uuid.commit", s"op:$kind:$id")
-    committed += ((uuid, Set.empty))
-    seenOps(kind).add(id)
-  }
+  def markNoop(kind: String, id: Long): Unit =
+    markBatch(newUuid(), Set.empty, kind, id)
 
   // Range serialization uses ".." so NEGATIVE ids stay parseable
   // ("-5..-3,-1,0..63"); a delivery id is any Long the caller chooses.

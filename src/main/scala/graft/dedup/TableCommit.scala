@@ -150,6 +150,8 @@ class TableCommit(
   private def partOf(c: Column): Column = pmod(hash(c), lit(parts))
 
   private val cRoot = corpusRoot.getOrElse(base)
+  private[dedup] def storeBase: String = base
+  private[dedup] def sharedRoot: Option[String] = corpusRoot
 
   // ---- journal (two-phase commit discipline: graft.StoreJournal) ----
   private val journal = new graft.StoreJournal(spark, base)
@@ -294,7 +296,13 @@ class TableCommit(
   private[dedup] def rebuild(): TableCommit = {
     journal.reload()
     validateMeta()
-    require(journal.deployed,
+    // A SHARED store's deploy marker lives at the layer root (its own
+    // base holds only deltas/_batches and may legitimately have no
+    // generation marker until its first compaction) — gate on the root
+    // that actually ran the deploy.
+    val sharedDeployed = corpusRoot.exists(r =>
+      journal.exists(s"$r/_gens/g-00000.commit"))
+    require(journal.deployed || sharedDeployed,
       s"TableCommit.reopen: store at $cRoot has meta but no committed " +
         "generation marker (deploy crashed before its atomic point) — " +
         "refusing to serve a partially-deployed store")

@@ -2278,19 +2278,7 @@ object PipelineQueries {
   }
 
   def pagerankKeeplistOracle: String = {
-    val iters = (1 to PagerankIters).map { i =>
-      s"""r$i AS (
-         |  SELECT verts.v,
-         |    CAST($PagerankTeleportMicros
-         |      + (85 * COALESCE(inf.s, 0)) // 100 AS BIGINT) AS r
-         |  FROM verts LEFT JOIN (
-         |    SELECT dir.dst AS v, sum(cc2.c) AS s
-         |    FROM dir JOIN (
-         |      SELECT r${i - 1}.v, r${i - 1}.r // deg.deg AS c
-         |      FROM r${i - 1} JOIN deg ON deg.v = r${i - 1}.v) cc2
-         |      ON cc2.v = dir.src
-         |    GROUP BY 1) inf ON inf.v = verts.v)""".stripMargin
-    }.mkString(",\n")
+    val iters = pagerankIterCtes("r", PagerankIters, "dir", "deg", "verts")
     s"""WITH RECURSIVE $knnEdgesCtes,
        |dir AS (
        |  SELECT id_a AS src, id_b AS dst FROM medges
@@ -2326,19 +2314,7 @@ object PipelineQueries {
   }
 
   def graphPagerankOracle: String = {
-    val iters = (1 to PagerankIters).map { i =>
-      s"""r$i AS (
-         |  SELECT verts.v,
-         |    CAST($PagerankTeleportMicros
-         |      + (85 * COALESCE(inf.s, 0)) // 100 AS BIGINT) AS r
-         |  FROM verts LEFT JOIN (
-         |    SELECT dir.dst AS v, sum(cc.c) AS s
-         |    FROM dir JOIN (
-         |      SELECT r${i - 1}.v, r${i - 1}.r // deg.deg AS c
-         |      FROM r${i - 1} JOIN deg ON deg.v = r${i - 1}.v) cc
-         |      ON cc.v = dir.src
-         |    GROUP BY 1) inf ON inf.v = verts.v)""".stripMargin
-    }.mkString(",\n")
+    val iters = pagerankIterCtes("r", PagerankIters, "dir", "deg", "verts")
     s"""WITH $knnEdgesCtes,
        |dir AS (
        |  SELECT id_a AS src, id_b AS dst FROM medges
@@ -2353,19 +2329,7 @@ object PipelineQueries {
   }
 
   def pagerankResidualOracle: String = {
-    val iters = (1 to PagerankIters).map { i =>
-      s"""r$i AS (
-         |  SELECT verts.v,
-         |    CAST($PagerankTeleportMicros
-         |      + (85 * COALESCE(inf.s, 0)) // 100 AS BIGINT) AS r
-         |  FROM verts LEFT JOIN (
-         |    SELECT dir.dst AS v, sum(cc.c) AS s
-         |    FROM dir JOIN (
-         |      SELECT r${i - 1}.v, r${i - 1}.r // deg.deg AS c
-         |      FROM r${i - 1} JOIN deg ON deg.v = r${i - 1}.v) cc
-         |      ON cc.v = dir.src
-         |    GROUP BY 1) inf ON inf.v = verts.v)""".stripMargin
-    }.mkString(",\n")
+    val iters = pagerankIterCtes("r", PagerankIters, "dir", "deg", "verts")
     val rows = (1 to PagerankIters).map { i =>
       s"""SELECT CAST($i AS BIGINT) AS iter,
          |  CAST(sum(abs(r$i.r - r${i - 1}.r)) AS BIGINT) AS l1_residual_micros,

@@ -471,37 +471,52 @@ class KnnStore(
     * compaction keep resolving. */
   def compact(): Unit = synchronized {
     journal.checkLease() // fence stale writers before the deterministic-dir writes
-    val g2 = journal.gen + 1
     // Single-consumer frames write directly into the fresh generation
     // (reads stay on the current one — no self-overwrite, no
-    // checkpoint), four independent writes concurrently (graft.Par).
-    val cur = directedEdges
-    val probesAll = readProbes
-    val asgAll = readAsg
-    val tombAll = tomb.distinct()
-    graft.Par.all(
-      () => probesAll.repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$base/probes/corpus-g$g2"),
-      () => asgAll.repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$base/asg/corpus-g$g2"),
-      () => cur
+    // checkpoint). The quantizer carries forward UNCHANGED (K rows —
+    // metadata-sized) so the new generation is self-contained.
+    swapGeneration(
+      "compact",
+      probesG = readProbes,
+      asgG = readAsg,
+      edgesG = directedEdges
         .withColumn("ver", lit(0L))
         .withColumn("part", partOf(col("q_vec_id")))
-        .repartition(parts, col("part"))
-        .write.mode("overwrite").partitionBy("part")
+        .repartition(parts, col("part")),
+      tombG = tomb.distinct(),
+      centG = centArr)
+  }
+
+  /** Write (probes, asg, edges, tomb, quantizer) as generation
+    * `gen + 1` — five independent concurrent writes (graft.Par) — and
+    * commit the swap with ONE atomic marker rename: the shared
+    * epilogue of [[compact]] (artifact carried forward) and
+    * [[refresh]] (artifact retrained); `tag` names the crash points.
+    * The edges frame must already carry (ver, part). */
+  private def swapGeneration(
+      tag: String,
+      probesG: DataFrame,
+      asgG: DataFrame,
+      edgesG: DataFrame,
+      tombG: DataFrame,
+      centG: DataFrame): Unit = {
+    val g2 = journal.gen + 1
+    graft.Par.all(
+      () => probesG.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$base/probes/corpus-g$g2"),
+      () => asgG.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$base/asg/corpus-g$g2"),
+      () => edgesG.write.mode("overwrite").partitionBy("part")
         .parquet(s"$base/edges/corpus-g$g2"),
-      () => tombAll.coalesce(1).write.mode("overwrite")
+      () => tombG.coalesce(1).write.mode("overwrite")
         .parquet(s"$base/tomb/corpus-g$g2"),
-      // The quantizer is generation-scoped: carry the CURRENT one
-      // forward (K rows — metadata-sized) so the new generation is
-      // self-contained and a refresh's swap stays one marker rename.
-      () => centArr.write.mode("overwrite")
+      () => centG.write.mode("overwrite")
         .parquet(s"$base/cent/corpus-g$g2"))
-    crashPoint("compact-before-marker")
+    crashPoint(s"$tag-before-marker")
     journal.markGeneration(g2)
-    crashPoint("compact-after-marker")
+    crashPoint(s"$tag-after-marker")
     // One-generation retention GC (see graft.StoreJournal.gcAged).
     journal.advance(g2)
     ver = 0L
@@ -526,7 +541,6 @@ class KnnStore(
   def refresh(newCentroidIds: Seq[Long]): Unit = synchronized {
     journal.checkLease()
     require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
-    val g2 = journal.gen + 1
     // The survivors' prepped frame from the stored assignment — emb is
     // already double, so prepDouble inside fixedCentroidsDouble is an
     // identity cast and cell numbering resolves exactly as at deploy.
@@ -543,32 +557,18 @@ class KnnStore(
     val asg2 = Ivf.knnAsgFrame(c0, centArr2)
       .withColumn("cell", col("cell").cast("long"))
       .localCheckpoint(true)
-    val tombAll = tomb.distinct()
-    graft.Par.all(
-      () => probes2.repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$base/probes/corpus-g$g2"),
-      () => asg2.repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$base/asg/corpus-g$g2"),
-      () => Ivf.knnEdgesCore(probes2, asg2, k)
+    swapGeneration(
+      "refresh",
+      probesG = probes2,
+      asgG = asg2,
+      edgesG = Ivf.knnEdgesCore(probes2, asg2, k)
         .select("q_vec_id", "vec_id", "score")
         .withColumn("ver", lit(0L))
         .withColumn("part", partOf(col("q_vec_id")))
-        .coalesce(4)
-        .write.mode("overwrite").partitionBy("part")
-        .parquet(s"$base/edges/corpus-g$g2"),
-      () => tombAll.coalesce(1).write.mode("overwrite")
-        .parquet(s"$base/tomb/corpus-g$g2"),
-      () => centArr2.write.mode("overwrite")
-        .parquet(s"$base/cent/corpus-g$g2"))
-    crashPoint("refresh-before-marker")
-    journal.markGeneration(g2)
-    crashPoint("refresh-after-marker")
-    journal.advance(g2)
-    ver = 0L
+        .coalesce(4),
+      tombG = tomb.distinct(),
+      centG = centArr2)
     centArr = centArr2
-    journal.gcAged(Seq("probes", "asg", "edges", "tomb", "cent"))
   }
 }
 

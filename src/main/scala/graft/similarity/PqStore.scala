@@ -220,28 +220,42 @@ class PqStore(
     * the generation marker. */
   def compact(): Unit = synchronized {
     journal.checkLease() // fence stale writers before the deterministic-dir writes
-    val g2 = journal.gen + 1
     // Single-consumer frames write directly into the fresh generation
     // (reads stay on the current one); tombstones survive as their own
     // compacted baseline — the no-id-reuse law must outlive the
-    // physical drop of the tombstoned rows. Delete-sized.
-    val survivors = postings.withColumn("part", partOf(col("vec_id")))
-    val tombAll = tomb.distinct()
+    // physical drop of the tombstoned rows. The codebooks carry
+    // forward UNCHANGED (K·m rows — metadata-sized) so the new
+    // generation is self-contained.
+    swapGeneration(
+      "compact",
+      codesG = postings.withColumn("part", partOf(col("vec_id"))),
+      tombG = tomb.distinct(),
+      cbG = codebooks)
+  }
+
+  /** Write (codes, tomb, codebooks) as generation `gen + 1` — three
+    * independent concurrent writes (graft.Par) — and commit the swap
+    * with ONE atomic marker rename: the shared epilogue of [[compact]]
+    * (codebooks carried forward) and [[refresh]] (codebooks
+    * retrained); `tag` names the crash points. */
+  private def swapGeneration(
+      tag: String,
+      codesG: DataFrame,
+      tombG: DataFrame,
+      cbG: DataFrame): Unit = {
+    val g2 = journal.gen + 1
     graft.Par.all(
-      () => survivors
+      () => codesG
         .repartition(parts, col("part"))
         .write.mode("overwrite").partitionBy("part")
         .parquet(s"$base/codes/corpus-g$g2"),
-      () => tombAll.coalesce(1).write.mode("overwrite")
+      () => tombG.coalesce(1).write.mode("overwrite")
         .parquet(s"$base/tomb/corpus-g$g2"),
-      // The codebooks are generation-scoped: carry the CURRENT ones
-      // forward (K·m rows — metadata-sized) so the new generation is
-      // self-contained and a refresh's swap stays one marker rename.
-      () => codebooks.write.mode("overwrite")
+      () => cbG.write.mode("overwrite")
         .parquet(s"$base/cb/corpus-g$g2"))
-    crashPoint("compact-before-marker")
+    crashPoint(s"$tag-before-marker")
     journal.markGeneration(g2)
-    crashPoint("compact-after-marker")
+    crashPoint(s"$tag-after-marker")
     // One-generation retention GC (see graft.StoreJournal.gcAged).
     journal.advance(g2)
     corpusBytes = journal.du(corpusPath("codes"))._1
@@ -270,7 +284,6 @@ class PqStore(
       centroidIds: Seq[Long],
       iters: Int): Unit = synchronized {
     journal.checkLease()
-    val g2 = journal.gen + 1
     val survivors = postings.select("vec_id").distinct().localCheckpoint(true)
     val src = embSource.select("vec_id", "embedding")
     val uncovered = survivors.join(src, Seq("vec_id"), "left_anti").count()
@@ -281,24 +294,12 @@ class PqStore(
     val cover = src.join(survivors, Seq("vec_id"), "left_semi")
     val (cb2, codes2) = Ivf.pqArtifacts(cover, centroidIds, dims, m, iters)
     val cb2c = cb2.localCheckpoint(true)
-    val tombAll = tomb.distinct()
-    graft.Par.all(
-      () => codes2
-        .withColumn("part", partOf(col("vec_id")))
-        .repartition(parts, col("part"))
-        .write.mode("overwrite").partitionBy("part")
-        .parquet(s"$base/codes/corpus-g$g2"),
-      () => tombAll.coalesce(1).write.mode("overwrite")
-        .parquet(s"$base/tomb/corpus-g$g2"),
-      () => cb2c.write.mode("overwrite")
-        .parquet(s"$base/cb/corpus-g$g2"))
-    crashPoint("refresh-before-marker")
-    journal.markGeneration(g2)
-    crashPoint("refresh-after-marker")
-    journal.advance(g2)
+    swapGeneration(
+      "refresh",
+      codesG = codes2.withColumn("part", partOf(col("vec_id"))),
+      tombG = tomb.distinct(),
+      cbG = cb2c)
     codebooks = cb2c
-    corpusBytes = journal.du(corpusPath("codes"))._1
-    journal.gcAged(Seq("codes", "tomb", "cb"))
   }
 }
 

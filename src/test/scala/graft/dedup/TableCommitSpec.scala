@@ -355,6 +355,28 @@ class TableCommitSpec extends SparkSuite {
       assert(symDiff(a, b) == 0, s"face $i retract under auto-compaction") }
   }
 
+  test("a sharing store REOPENS without its own generation marker (the deploy marker lives at the layer root)") {
+    // Round-14 review regression: the new deployed-generation reopen
+    // gate must accept a shared store whose own base holds only deltas
+    // and batch markers — its g-00000 marker was written at the SHARED
+    // layer root by the memo's deploy, and gating on the instance base
+    // alone would reject every healthy shared store that has not yet
+    // compacted.
+    val key = s"spec-shared-reopen-${java.util.UUID.randomUUID()}"
+    val s = TableCommit.sharedDeploy(
+      spark, key, corpus, "doc_id", "text", 8, 4, 8)
+    val half1 = batchAll.filter(expr("(id div 10) % 2 = 0"))
+    s.foldBatch(half1, 0L)
+    val r = TableCommit.reopen(
+      spark, s.storeBase, 8, 4, 8, corpusRoot = s.sharedRoot)
+    assert(symDiff(r.committedFingerprints, s.committedFingerprints) == 0,
+      "shared-store reopen must serve the same committed face")
+    // And the reopened instance keeps folding (it holds the lease now).
+    r.foldBatch(batchAll.filter(expr("(id div 10) % 2 = 1")), 1L)
+    assert(r.committedFingerprints.count() >
+      s.committedFingerprints.count())
+  }
+
   test("a sharing store compacts its deltas into an own baseline; faces unchanged") {
     // The shared corpus layer is immutable, so compactShared folds the
     // marked deltas into an OWN per-instance baseline instead: signed
