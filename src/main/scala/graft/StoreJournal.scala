@@ -373,6 +373,24 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
     deltaFiles = 0L
   }
 
+  /** genNum → generation-marker commit mtime, ascending; generation
+    * g's SUPERSESSION instant is the mtime of the smallest committed
+    * gen > g — the filesystem's own record, shared by [[gcAged]] and
+    * [[vacuum]]'s retention gates. */
+  private def genMarkerMtimes: Seq[(Int, Long)] =
+    listMarkerNames(gensDir).map { case (n, p) =>
+      (n.stripPrefix("g-").toInt,
+        fsOf(p.toString).getFileStatus(p).getModificationTime)
+    }.sortBy(_._1)
+
+  /** Whether generation `g`'s remains may be deleted under a
+    * `retainMs` window: superseded (g != gen) AND the superseding
+    * marker is at least that old. An orphan with NO successor marker
+    * (a crashed compaction's unreferenced dirs) is always sweepable. */
+  private def sweepable(
+      g: Int, mtimes: Seq[(Int, Long)], cutoff: Long): Boolean =
+    g != gen && mtimes.find(_._1 > g).forall(_._2 <= cutoff)
+
   /** Post-compaction GC with ONE-generation retention: deletes layer
     * dirs, batch-marker dirs and generation markers older than
     * `gen - 1`, keeping the current generation and its immediate
@@ -380,21 +398,37 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
     * keep resolving, while a long-running auto-compacting store leaks
     * at most one superseded corpus copy instead of one per compaction.
     * The stores run this right after every successful compaction;
-    * [[vacuum]] remains the aggressive manual sweep. */
-  def gcAged(tables: Seq[String]): Unit = {
+    * [[vacuum]] remains the aggressive manual sweep.
+    *
+    * `retainMs` adds the same age gate as [[vacuum]]'s: under frequent
+    * AUTO-compaction, "two generations old" can be seconds old, and an
+    * age-blind sweep would kill a long-lived reader the retained
+    * vacuum was designed to protect — so a generation outside the
+    * count-based keep set still survives until it has been superseded
+    * for at least the window. */
+  def gcAged(tables: Seq[String], retainMs: Long = 0L): Unit = {
     checkLease()
     val keep = Set(s"-g$gen", s"-g${gen - 1}")
+    val mtimes = genMarkerMtimes
+    val cutoff = System.currentTimeMillis() - retainMs
+    def aged(g: Int): Boolean = sweepable(g, mtimes, cutoff)
+    def genOfLayer(name: String): Int =
+      name.substring(name.lastIndexOf("-g") + 2).toInt
     for (t <- tables; d <- listChildDirs(s"$base/$t")) {
       val name = d.substring(d.lastIndexOf('/') + 1)
       val isLayer = name.startsWith("corpus-g") || name.startsWith("delta-g")
-      if (isLayer && !keep.exists(name.endsWith)) delete(d)
+      if (isLayer && !keep.exists(name.endsWith) && aged(genOfLayer(name)))
+        delete(d)
     }
     for (d <- listChildDirs(s"$base/_batches")) {
       val name = d.substring(d.lastIndexOf('/') + 1)
-      if (name != s"g$gen" && name != s"g${gen - 1}") delete(d)
+      if (name != s"g$gen" && name != s"g${gen - 1}" &&
+          aged(name.stripPrefix("g").toInt)) delete(d)
     }
-    for ((n, p) <- listMarkerNames(gensDir))
-      if (n.stripPrefix("g-").toInt < gen - 1) delete(p.toString)
+    for ((n, p) <- listMarkerNames(gensDir)) {
+      val g = n.stripPrefix("g-").toInt
+      if (g < gen - 1 && aged(g)) delete(p.toString)
+    }
   }
 
   def emptyOf(schema: StructType): DataFrame =
@@ -477,24 +511,16 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
     var removed = 0L
     val live = committed.map(_._1).toSet
     val genSuffix = s"-g$gen"
-    // genNum -> marker commit mtime; generation g's supersession
-    // instant is the mtime of the SMALLEST committed gen > g.
-    val markerMtimes = listMarkerNames(gensDir).map { case (n, p) =>
-      (n.stripPrefix("g-").toInt,
-        fsOf(p.toString).getFileStatus(p).getModificationTime)
-    }.sortBy(_._1)
+    val mtimes = genMarkerMtimes
     val cutoff = System.currentTimeMillis() - retainMs
-    def sweepable(g: Int): Boolean =
-      g != gen && markerMtimes
-        .find(_._1 > g)
-        .forall(_._2 <= cutoff) // no successor marker ⇒ orphan: sweep
+    def aged(g: Int): Boolean = sweepable(g, mtimes, cutoff)
     def genOfLayer(name: String): Int =
       name.substring(name.lastIndexOf("-g") + 2).toInt
     for (t <- tables) {
       for (d <- listChildDirs(s"$base/$t")) {
         val name = d.substring(d.lastIndexOf('/') + 1)
         val isLayer = name.startsWith("corpus-g") || name.startsWith("delta-g")
-        if (isLayer && !name.endsWith(genSuffix) && sweepable(genOfLayer(name))) {
+        if (isLayer && !name.endsWith(genSuffix) && aged(genOfLayer(name))) {
           delete(d); removed += 1
         }
       }
@@ -507,13 +533,13 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
     }
     for (d <- listChildDirs(s"$base/_batches")) {
       val name = d.substring(d.lastIndexOf('/') + 1)
-      if (name != s"g$gen" && sweepable(name.stripPrefix("g").toInt)) {
+      if (name != s"g$gen" && aged(name.stripPrefix("g").toInt)) {
         delete(d); removed += 1
       }
     }
     for ((n, p) <- listMarkerNames(gensDir)) {
       val g = n.stripPrefix("g-").toInt
-      if (g != gen && sweepable(g)) { delete(p.toString); removed += 1 }
+      if (g != gen && aged(g)) { delete(p.toString); removed += 1 }
     }
     removed
   }

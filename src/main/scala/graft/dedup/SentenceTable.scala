@@ -45,7 +45,10 @@ class SentenceTable(
     splitRegex: String = graft.text.TextFunctions.PortableSentenceSplit,
     autoCompact: Boolean = false,
     compactDeltaRatio: Double = 0.5,
-    compactMaxDeltaFiles: Long = 512L) {
+    compactMaxDeltaFiles: Long = 512L,
+    /** Post-compaction GC retention window — see
+      * [[graft.StoreJournal.gcAged]]. */
+    gcRetainMs: Long = 0L) {
 
   import spark.implicits._
 
@@ -267,7 +270,7 @@ class SentenceTable(
     // One-generation retention GC (see graft.StoreJournal.gcAged).
     journal.advance(g2)
     corpusBytes = Seq("docs", "sh").map(t => journal.du(corpusPath(t))._1).sum
-    journal.gcAged(Seq("docs", "sh", "tomb"))
+    journal.gcAged(Seq("docs", "sh", "tomb"), gcRetainMs)
   }
 
   private[dedup] def restore(): SentenceTable = {
@@ -299,8 +302,10 @@ object SentenceTable {
       splitRegex: String = graft.text.TextFunctions.PortableSentenceSplit,
       autoCompact: Boolean = false,
       compactDeltaRatio: Double = 0.5,
-      compactMaxDeltaFiles: Long = 512L): SentenceTable =
+      compactMaxDeltaFiles: Long = 512L,
+      gcRetainMs: Long = 0L): SentenceTable =
     new SentenceTable(spark, base, parts, splitRegex,
       autoCompact = autoCompact, compactDeltaRatio = compactDeltaRatio,
-      compactMaxDeltaFiles = compactMaxDeltaFiles).restore()
+      compactMaxDeltaFiles = compactMaxDeltaFiles,
+      gcRetainMs = gcRetainMs).restore()
 }

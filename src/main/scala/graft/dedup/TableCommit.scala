@@ -142,7 +142,10 @@ class TableCommit(
     /** Compact when delta bytes exceed this fraction of corpus bytes. */
     compactDeltaRatio: Double = 0.5,
     /** Compact when the marked delta layers hold more files than this. */
-    compactMaxDeltaFiles: Long = 512L) {
+    compactMaxDeltaFiles: Long = 512L,
+    /** Post-compaction GC retention window — see
+      * [[graft.StoreJournal.gcAged]]. */
+    gcRetainMs: Long = 0L) {
 
   import spark.implicits._
 
@@ -815,7 +818,7 @@ class TableCommit(
     // superseded corpus copy. [[vacuum]] remains the aggressive sweep.
     journal.advance(g2)
     refreshCorpusBytes()
-    journal.gcAged(tables)
+    journal.gcAged(tables, gcRetainMs)
   }
 
   /** A SHARING store's compaction: the memoized corpus layer is
@@ -880,7 +883,7 @@ class TableCommit(
     // One-generation retention GC, as in compactPlain.
     journal.advance(g2)
     refreshCorpusBytes()
-    journal.gcAged(tables)
+    journal.gcAged(tables, gcRetainMs)
   }
 }
 
@@ -941,13 +944,15 @@ object TableCommit {
       corpusRoot: Option[String] = None,
       autoCompact: Boolean = false,
       compactDeltaRatio: Double = 0.5,
-      compactMaxDeltaFiles: Long = 512L): TableCommit =
+      compactMaxDeltaFiles: Long = 512L,
+      gcRetainMs: Long = 0L): TableCommit =
     new TableCommit(spark, base, numHashes, bands, w,
       simhashBlocks = simhashBlocks, ngramN = ngramN,
       maxShingleDf = maxShingleDf, parts = parts,
       corpusRoot = corpusRoot, autoCompact = autoCompact,
       compactDeltaRatio = compactDeltaRatio,
-      compactMaxDeltaFiles = compactMaxDeltaFiles).rebuild()
+      compactMaxDeltaFiles = compactMaxDeltaFiles,
+      gcRetainMs = gcRetainMs).rebuild()
 
   /** A store whose IMMUTABLE corpus layer is the memoized deploy for
     * `(session, key)` — the ccMemo/knnMemo discipline applied to the
@@ -971,7 +976,8 @@ object TableCommit {
       maxShingleDf: Int = Dedup.DefaultShingleDfCap,
       autoCompact: Boolean = false,
       compactDeltaRatio: Double = 0.5,
-      compactMaxDeltaFiles: Long = 512L): TableCommit = {
+      compactMaxDeltaFiles: Long = 512L,
+      gcRetainMs: Long = 0L): TableCommit = {
     val layer = memo.computeIfAbsent((spark, key), _ => {
       val root = java.nio.file.Files
         .createTempDirectory("graft_corpus_layer_").toString
@@ -987,7 +993,8 @@ object TableCommit {
       numHashes, bands, w, simhashBlocks = simhashBlocks,
       maxShingleDf = maxShingleDf, corpusRoot = Some(layer.root),
       autoCompact = autoCompact, compactDeltaRatio = compactDeltaRatio,
-      compactMaxDeltaFiles = compactMaxDeltaFiles)
+      compactMaxDeltaFiles = compactMaxDeltaFiles,
+      gcRetainMs = gcRetainMs)
       .initBlooms(deser(layer.fpBloom), deser(layer.idBloom),
         layer.spanBloom)
   }

@@ -106,7 +106,14 @@ class KnnStore(
     /** Compact when the edge table holds this many versions. */
     compactMaxVersions: Long = 32L,
     /** Compact when the marked delta layers hold more files than this. */
-    compactMaxDeltaFiles: Long = 512L) {
+    compactMaxDeltaFiles: Long = 512L,
+    /** Post-compaction GC retention window: a generation outside the
+      * one-generation keep set still survives until it has been
+      * SUPERSEDED at least this long — under frequent auto-compaction
+      * "two generations old" can be seconds old, and an age-blind
+      * sweep would kill the long-lived readers [[vacuum]]'s window
+      * protects. */
+    gcRetainMs: Long = 0L) {
 
   import spark.implicits._
 
@@ -520,7 +527,7 @@ class KnnStore(
     // One-generation retention GC (see graft.StoreJournal.gcAged).
     journal.advance(g2)
     ver = 0L
-    journal.gcAged(Seq("probes", "asg", "edges", "tomb", "cent"))
+    journal.gcAged(Seq("probes", "asg", "edges", "tomb", "cent"), gcRetainMs)
   }
 
   /** TRAINED-ARTIFACT REFRESH — the retrain-and-swap face the drift
@@ -593,8 +600,10 @@ object KnnStore {
       parts: Int = 16,
       autoCompact: Boolean = false,
       compactMaxVersions: Long = 32L,
-      compactMaxDeltaFiles: Long = 512L): KnnStore =
+      compactMaxDeltaFiles: Long = 512L,
+      gcRetainMs: Long = 0L): KnnStore =
     new KnnStore(spark, base, nProbe, k, parts, autoCompact = autoCompact,
       compactMaxVersions = compactMaxVersions,
-      compactMaxDeltaFiles = compactMaxDeltaFiles).restore()
+      compactMaxDeltaFiles = compactMaxDeltaFiles,
+      gcRetainMs = gcRetainMs).restore()
 }

@@ -43,7 +43,10 @@ class PqStore(
     parts: Int = 16,
     autoCompact: Boolean = false,
     compactDeltaRatio: Double = 0.5,
-    compactMaxDeltaFiles: Long = 512L) {
+    compactMaxDeltaFiles: Long = 512L,
+    /** Post-compaction GC retention window — see
+      * [[graft.StoreJournal.gcAged]]. */
+    gcRetainMs: Long = 0L) {
 
   import spark.implicits._
 
@@ -259,7 +262,7 @@ class PqStore(
     // One-generation retention GC (see graft.StoreJournal.gcAged).
     journal.advance(g2)
     corpusBytes = journal.du(corpusPath("codes"))._1
-    journal.gcAged(Seq("codes", "tomb", "cb"))
+    journal.gcAged(Seq("codes", "tomb", "cb"), gcRetainMs)
   }
 
   /** TRAINED-ARTIFACT REFRESH — the retrain-and-swap face the drift
@@ -316,10 +319,12 @@ object PqStore {
       parts: Int = 16,
       autoCompact: Boolean = false,
       compactDeltaRatio: Double = 0.5,
-      compactMaxDeltaFiles: Long = 512L): PqStore = {
+      compactMaxDeltaFiles: Long = 512L,
+      gcRetainMs: Long = 0L): PqStore = {
     val s = new PqStore(spark, base, dims, m, parts,
       autoCompact = autoCompact, compactDeltaRatio = compactDeltaRatio,
-      compactMaxDeltaFiles = compactMaxDeltaFiles)
+      compactMaxDeltaFiles = compactMaxDeltaFiles,
+      gcRetainMs = gcRetainMs)
     s.restore()
   }
 }

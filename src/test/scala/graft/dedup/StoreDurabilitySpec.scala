@@ -387,4 +387,32 @@ class StoreDurabilitySpec extends SparkSuite {
       "the default immediate sweep still collects it")
     assert(!g0)
   }
+
+  test("retention-aged gcAged: generations outside the keep set survive the post-compaction GC until aged") {
+    // Under frequent AUTO-compaction, "two generations old" can be
+    // seconds old — an age-blind gcAged would kill exactly the
+    // long-lived readers the retained vacuum protects. With a
+    // retention window, the post-compaction sweep keeps every
+    // generation superseded more recently than the window.
+    val base = tmp("graft_retgc_")
+    val store = new TableCommit(spark, base, 8, 4, 8,
+      gcRetainMs = 3600L * 1000L)
+      .deploy(corpus, "doc_id", "text")
+    store.foldBatch(half1, 0L)
+    store.compact() // generation 1
+    store.foldBatch(half2, 1L)
+    store.compact() // generation 2 — age-blind GC would delete gen 0
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/fp/corpus-g0")),
+      "a generation superseded seconds ago must survive the retained " +
+        "post-compaction GC even outside the one-generation keep set")
+    // The committed face is unaffected by what GC keeps.
+    val twin = new TableCommit(spark, tmp("graft_retgc_t_"), 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    twin.foldBatch(half1, 0L)
+    twin.foldBatch(half2, 1L)
+    assert(symDiff(store.committedFingerprints,
+      twin.committedFingerprints) == 0)
+  }
 }
