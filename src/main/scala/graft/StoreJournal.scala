@@ -331,6 +331,34 @@ private[graft] final class StoreJournal(spark: SparkSession, val base: String) {
   def deltaPaths(t: String): Seq[String] =
     committed.collect { case (u, ts) if ts(t) => batchPath(t, u) }.toSeq
 
+  // ---- time travel (generation-scoped snapshot reads) ----------------
+  /** The committed delta dirs of table `t` AS OF generation `g` — read
+    * from that generation's own batch-marker dir, so a SUPERSEDED
+    * generation (retained by [[gcAged]]'s count/retention rules or an
+    * un-vacuumed window) is ADDRESSABLE, not just accidentally
+    * resolvable: `baseline(g) + marked deltas(g)` is the exact state
+    * the store served at the end of generation `g` — which is also
+    * what generation `g+1`'s baseline folded in. Immutable for
+    * `g < gen`; for the current generation it is the live face. */
+  def deltaPathsAt(t: String, g: Int): Seq[String] = {
+    val dir = s"$base/_batches/g$g"
+    listMarkerNames(dir).flatMap { case (u, p) =>
+      val lines = readMarker(p).split("\n").filter(_.nonEmpty)
+      if (lines.contains(t)) Some(s"$base/$t/delta-g$g/b_$u") else None
+    }
+  }
+
+  /** `baseline(g) + marked deltas(g)` of one table — the snapshot
+    * read. `corpusDir` is the store's baseline dir for generation `g`
+    * (layout is store-specific). */
+  def readAllAt(corpusDir: String, t: String, g: Int,
+      schema: StructType): DataFrame = {
+    val deltas = deltaPathsAt(t, g)
+    val baseDf = readOr(corpusDir, schema)
+    if (deltas.isEmpty) baseDf
+    else baseDf.unionByName(spark.read.schema(schema).parquet(deltas: _*))
+  }
+
   /** Commit one fold/retract: atomic marker rename (recording the
     * delivery id durably), then track it and charge the maintenance
     * counters. */

@@ -627,6 +627,29 @@ class TableCommit(
 
   def committedFingerprints: DataFrame =
     present(readAll("fp", fpSchema), Seq("fingerprint"))
+
+  /** TIME TRAVEL — the committed fingerprint set AS OF the end of
+    * generation `g` (Delta's `versionAsOf` shape over the journal's
+    * generations): `baseline(g) + g's marked deltas` is exactly the
+    * live face at `g`'s last commit, immutable once superseded. This
+    * is the read face that makes the retention windows (`gcRetainMs`,
+    * `vacuum(retainMs)`) USEFUL rather than incidental — a reader can
+    * pin a superseded generation for as long as it stays retained, and
+    * an aged-out generation fails loudly instead of serving an empty
+    * frame. Plain stores only: a sharing store's baseline lives in the
+    * immutable shared layer and is not generation-addressable. */
+  def committedFingerprintsAt(g: Int): DataFrame = {
+    require(corpusRoot.isEmpty,
+      "TableCommit.committedFingerprintsAt: time travel is not " +
+        "supported on a sharing store (its baseline lives in the " +
+        "shared layer)")
+    val dir = s"$base/fp/corpus-g$g"
+    require(journal.exists(dir),
+      s"TableCommit.committedFingerprintsAt($g): generation $g is not " +
+        "retained (GC'd or vacuumed) — raise gcRetainMs / vacuum " +
+        "retainMs to pin it")
+    present(journal.readAllAt(dir, "fp", g, fpSchema), Seq("fingerprint"))
+  }
   def committedSpanFps: DataFrame =
     present(readAll("span", spanSchema), Seq("fp"))
   def committedBands: DataFrame =

@@ -190,14 +190,17 @@ class KnnStore(
     * surviving old member always got a re-scored version at that
     * member's retraction (see class doc), so the anti-join only ever
     * deletes rows of queries whose candidates are entirely gone. */
-  private def currentEdges(edges: DataFrame): DataFrame = {
+  private def currentEdges(edges: DataFrame): DataFrame =
+    currentEdgesOver(edges, tomb)
+
+  private def currentEdgesOver(edges: DataFrame, tombAt: DataFrame): DataFrame = {
     val w = Window.partitionBy("q_vec_id")
     edges
       .withColumn("mx", max(col("ver")).over(w))
       .filter(col("ver") === col("mx"))
-      .join(tomb.select(col("vec_id").as("q_vec_id")), Seq("q_vec_id"),
+      .join(tombAt.select(col("vec_id").as("q_vec_id")), Seq("q_vec_id"),
         "left_anti")
-      .join(tomb, Seq("vec_id"), "left_anti")
+      .join(tombAt, Seq("vec_id"), "left_anti")
       // A using-columns join reorders the key first — re-fix the shape.
       .select("q_vec_id", "vec_id", "score")
   }
@@ -405,6 +408,25 @@ class KnnStore(
 
   /** The directed edge set the store currently encodes. */
   def directedEdges: DataFrame = currentEdges(readEdgesRaw)
+
+  /** TIME TRAVEL — the directed edge set AS OF the end of generation
+    * `g` (Delta's `versionAsOf` shape over the journal's generations):
+    * `baseline(g) + g's marked edge deltas`, with `g`'s own tombstones
+    * applied, is exactly the live face at `g`'s last commit — immutable
+    * once superseded, and exactly what generation `g+1`'s baseline
+    * folded in. The read face that makes the retention windows
+    * (`gcRetainMs`, `vacuum(retainMs)`) useful: a reader pins a
+    * superseded generation for as long as it stays retained, and an
+    * aged-out one fails loudly instead of serving an empty frame. */
+  def directedEdgesAt(g: Int): DataFrame = {
+    val edgesDir = s"$base/edges/corpus-g$g"
+    require(journal.exists(edgesDir),
+      s"KnnStore.directedEdgesAt($g): generation $g is not retained " +
+        "(GC'd or vacuumed) — raise gcRetainMs / vacuum retainMs to pin it")
+    def at(t: String, schema: StructType) =
+      journal.readAllAt(s"$base/$t/corpus-g$g", t, g, schema)
+    currentEdgesOver(at("edges", edgeSchema), at("tomb", tombSchema))
+  }
 
   /** The mutual graph the store currently encodes. */
   def mutualGraph: DataFrame = Ivf.mutualize(directedEdges)

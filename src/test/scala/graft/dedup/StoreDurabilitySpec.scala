@@ -415,4 +415,28 @@ class StoreDurabilitySpec extends SparkSuite {
     assert(symDiff(store.committedFingerprints,
       twin.committedFingerprints) == 0)
   }
+
+  test("time travel: committedFingerprintsAt pins a superseded generation (retract included); sharing stores refuse") {
+    val base = tmp("graft_tt_tc_")
+    val store = new TableCommit(spark, base, 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    store.foldBatch(half1, 0L)
+    store.retractBatch(
+      half1.select("id").filter(expr("(id div 20) % 2 = 0")), 1L)
+    val f0 = store.committedFingerprints.localCheckpoint(true)
+    store.compact() // generation 1
+    store.foldBatch(half2, 2L)
+    assert(symDiff(store.committedFingerprintsAt(0), f0) == 0,
+      "the end-of-generation-0 face (fold AND retract) must pin exactly")
+    assert(symDiff(store.committedFingerprintsAt(1),
+      store.committedFingerprints) == 0,
+      "the current generation's snapshot is the live face")
+    // A sharing store's baseline is not generation-addressable.
+    val shared = TableCommit.sharedDeploy(
+      spark, s"spec-tt-${java.util.UUID.randomUUID()}", corpus,
+      "doc_id", "text", 8, 4, 8)
+    assert(intercept[IllegalArgumentException](
+      shared.committedFingerprintsAt(0))
+      .getMessage.contains("sharing store"))
+  }
 }

@@ -301,6 +301,28 @@ class KnnStoreSpec extends SparkSuite {
     assert(edges(store.directedEdges) == edges(plain.directedEdges))
   }
 
+  test("time travel: directedEdgesAt pins a superseded generation's exact face until GC ages it out") {
+    val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+    val batch = emb.filter(col("vec_id") % 9 === 8)
+    val store = mk(corpus)
+    store.foldBatch(batch, 0L)
+    val f0 = edges(store.directedEdges) // end-of-generation-0 face
+    store.compact() // generation 1
+    val more = batch.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"))
+    store.foldBatch(more, 1L)
+    val f1 = edges(store.directedEdges)
+    assert(edges(store.directedEdgesAt(0)) == f0,
+      "the superseded generation must read back its exact face")
+    assert(edges(store.directedEdgesAt(1)) == f1,
+      "the current generation's snapshot is the live face")
+    store.compact() // generation 2: default GC drops generation 0
+    assert(intercept[IllegalArgumentException](store.directedEdgesAt(0))
+      .getMessage.contains("not retained"))
+    assert(edges(store.directedEdgesAt(1)) == f1,
+      "the retained predecessor stays addressable")
+  }
+
   test("refresh retrains the quantizer over survivors and the face equals a from-scratch deploy under the new centroids") {
     // The retrain-and-swap face (round-13 VERDICT missing #2): deploy
     // under ALTERNATE centroids, fold arrivals, then refresh to the
