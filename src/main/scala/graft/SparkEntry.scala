@@ -70,6 +70,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (PipelineQueries.dedupSimhash _),
     "q_ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
     "q_decontaminate" -> (PipelineQueries.decontaminate _),
+    "q_dsir_weights" -> (PipelineQueries.dsirWeights _),
     "q_corpus_overlap" -> (PipelineQueries.corpusOverlap _),
     "q_intradoc_dedup" -> (PipelineQueries.intraDocDedup _),
     "q_boilerplate" -> (PipelineQueries.boilerplateQ _),
@@ -549,6 +550,7 @@ object SparkEntry {
     "q_dedup_simhash" -> PipelineQueries.simhashPairsOracle,
     "q_ngram_jaccard" -> PipelineQueries.ngramJaccardOracle,
     "q_decontaminate" -> PipelineQueries.decontaminateOracle,
+    "q_dsir_weights" -> PipelineQueries.dsirWeightsOracle,
     "q_corpus_overlap" -> PipelineQueries.corpusOverlapOracle,
     "q_intradoc_dedup" -> PipelineQueries.intraDocDedupOracle,
     "q_boilerplate" -> PipelineQueries.boilerplateOracle,

@@ -1161,6 +1161,58 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // Targeted data selection (importance weights)
+  // -------------------------------------------------------------------------
+
+  /** DSIR-style IMPORTANCE WEIGHTS for targeted data selection (the
+    * hashed-n-gram importance-resampling recipe of Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling" —
+    * public): score every RAW document by how much its hashed n-gram
+    * features look like a small TARGET set, using document-frequency
+    * multinomials over the same hashed shingle space the dedup family
+    * uses. The ratio is pinned in EXACT integers — per feature,
+    * `weight = (df_target + 1) · 10^6 DIV (df_raw + 1)` (the smoothed
+    * likelihood ratio, DIV-truncated at micro precision — the same
+    * exact-integer discipline as the PageRank recurrence) and a
+    * document's score is the exact BIGINT sum of its distinct
+    * features' weights — so the whole face is hash-checkable
+    * cross-engine, which a float log-ratio never is. Resampling is
+    * then one seeded weighted draw over `score_micros` (the
+    * weighted-sample face).
+    *
+    * Scale shape: two df aggregations (the target side is
+    * eval-suite-sized; the raw side is ONE corpus-wide shingle-keyed
+    * partial agg) and one shingle-keyed join of corpus features
+    * against the weight table — the BM25 two-scan discipline; the
+    * corpus is never self-joined and the target df table broadcasts.
+    *
+    * Returns (id, n_features, score_micros). */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3
+  ): DataFrame = {
+    val rawSh = shingleRows(raw, idCol, textCol, n)
+    val tgtDf = shingleRows(target, idCol, textCol, n)
+      .groupBy("shingle").agg(count(lit(1)).as("dft"))
+    val rawDf = rawSh.groupBy("shingle").agg(count(lit(1)).as("dfr"))
+    val weights = rawDf
+      .join(broadcast(tgtDf), Seq("shingle"), "left")
+      .select(
+        col("shingle"),
+        expr("((coalesce(dft, CAST(0 AS BIGINT)) + 1) * 1000000) DIV (dfr + 1)")
+          .as("wgt"))
+    rawSh
+      .join(weights, Seq("shingle"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_features"),
+        sum(col("wgt")).as("score_micros"))
+  }
+
+  // -------------------------------------------------------------------------
   // Intra-document repetition removal
   // -------------------------------------------------------------------------
 

@@ -56,6 +56,9 @@ object PipelineQueries {
   /** Modulus partitioning documents into held-out "benchmark" docs
     * (doc_id % DecontamMod == 0) vs the training corpus (the rest). */
   val DecontamMod = 13
+  /** doc_id % DsirMod == 0 plays the TARGET set of the DSIR face;
+    * the rest is the raw corpus being scored. */
+  val DsirMod = 11
 
   def decontaminate(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
@@ -69,6 +72,43 @@ object PipelineQueries {
         col("n_hits").cast("long").as("n_hits"), col("contamination"))
       .orderBy("doc_id")
   }
+
+  /** TARGETED DATA SELECTION — DSIR-style importance weights
+    * ([[graft.dedup.Dedup.dsirWeights]]): the doc_id % [[DsirMod]] == 0
+    * slice plays the small TARGET set, the rest is the raw corpus
+    * being scored; each raw document's score is the exact-integer
+    * smoothed df-likelihood-ratio sum over its hashed 3-gram features.
+    * The oracle recomputes the dfs, the DIV-truncated weights, and the
+    * per-doc sums end-to-end — integer arithmetic makes the importance
+    * score hash-checkable cross-engine, unlike a float log-ratio. The
+    * realization of the weights is the seeded weighted-sample face. */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.dedup.Dedup
+      .dsirWeights(
+        docs.filter(col("doc_id") % DsirMod =!= 0),
+        docs.filter(col("doc_id") % DsirMod === 0),
+        "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .select(col("doc_id"), col("n_features"), col("score_micros"))
+      .orderBy("doc_id")
+  }
+
+  def dsirWeightsOracle: String =
+    s"""WITH $shinglesCte,
+       |raw_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % $DsirMod != 0),
+       |tgt_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % $DsirMod = 0),
+       |dfr AS (SELECT shingle, count(*) AS dfr FROM raw_sh GROUP BY 1),
+       |dft AS (SELECT shingle, count(*) AS dft FROM tgt_sh GROUP BY 1),
+       |w AS (
+       |  SELECT r.shingle,
+       |    ((COALESCE(t.dft, 0) + 1) * 1000000) // (r.dfr + 1) AS wgt
+       |  FROM dfr r LEFT JOIN dft t ON r.shingle = t.shingle)
+       |SELECT rs.doc_id, count(*) AS n_features,
+       |  CAST(sum(w.wgt) AS BIGINT) AS score_micros
+       |FROM raw_sh rs JOIN w ON rs.shingle = w.shingle
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
 
   /** Planted duplicate tail: guarantees every document exercises the
     * removal path (synthetic texts may otherwise have no repeats). */
@@ -2039,7 +2079,7 @@ object PipelineQueries {
 
   /** The (directed-edge, out-degree) tables of the undirected edge set,
     * checkpointed once — shared by the rank and residual faces. */
-  private def pagerankDirDeg(edges: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def pagerankDirDeg(edges: DataFrame): (DataFrame, DataFrame) = {
     val dir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(
         edges.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -2053,7 +2093,7 @@ object PipelineQueries {
     * recurrence — the single definition both [[pagerankOverEdges]] and
     * [[pagerankResidualOverEdges]] iterate, so the monitored residual is
     * BY CONSTRUCTION the residual of the recurrence the rank face runs. */
-  private def pagerankStep(
+  private[graft] def pagerankStep(
       rank: DataFrame,
       dir: DataFrame,
       deg: DataFrame,

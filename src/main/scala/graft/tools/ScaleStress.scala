@@ -1189,6 +1189,93 @@ object ScaleStress {
       }
     }
 
+    // Round-14: INCREMENTAL PAGERANK in context — the warm-start +
+    // exact-frontier delta-push vs the cold rebuild on one synthetic
+    // graph (ring + hash chords over the corpus row count; the old
+    // graph is the 95% prefix, the delta adds the last 5%). At 100 TB
+    // the warm base is the STORED rank table (already paid before the
+    // delta arrives), so the number that matters is the incremental
+    // phase's cost relative to the cold rebuild.
+    if (only.forall(sel =>
+        "r14 incremental pagerank axis".contains(sel))) {
+      import graft.queries.PipelineQueries
+      val n = corpus.count()
+      val verts = spark.range(n).select(col("id").as("v"))
+      val edgesAll = spark.range(n)
+        .select(col("id").as("id_a"),
+          pmod(col("id") * 7L + 3L, lit(n)).as("id_b"))
+        .unionByName(spark.range(n)
+          .select(col("id").as("id_a"), pmod(col("id") + 1L, lit(n)).as("id_b")))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .distinct()
+        .localCheckpoint(true)
+      val cut = (n * 95L) / 100L
+      val edgesOld = edgesAll
+        .filter(col("id_a") < cut && col("id_b") < cut)
+        .localCheckpoint(true)
+      val vertsOld = verts.filter(col("v") < cut)
+      println(s"[stress] r14 incremental pagerank graph |V|=$n |E|=" +
+        s"${edgesAll.count()} (old cut at $cut)")
+      time("r14 incremental pagerank COLD full rebuild (5 iters)")(
+        noop(PipelineQueries.pagerankOverEdges(edgesAll, verts)))
+      time("r14 incremental pagerank warm base (old graph, 5 iters)")(
+        noop(PipelineQueries.pagerankOverEdges(edgesOld, vertsOld)))
+      time("r14 incremental pagerank warm + 1 full + 2 frontier steps")(
+        noop(PipelineQueries.pagerankIncrementalOverEdges(
+          edgesOld, vertsOld, edgesAll, verts)))
+      // FRONTIER CONTRACTION — the structural question: the frontier
+      // prune skips only provably-unchanged vertices, so its win
+      // depends on how far the delta's influence cone spreads per
+      // step. Two graphs, same |V| and delta: the CHORDAL one above
+      // (id → id·7+3 mod n — expander-like long-range edges, any
+      // delta's cone covers the graph in ~2 hops, the frontier
+      // honestly cannot contract) vs a LOCAL one (id → id+1, id+2 —
+      // the mutual-kNN shape: neighbors are near, the cone crawls).
+      // q_pagerank_residual is the per-graph monitor that tells an
+      // operator which regime their graph is in. Measured, not
+      // assumed.
+      val eLocal1 = spark.range(n - 1)
+        .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+      val eLocal2 = spark.range(n - 2)
+        .select(col("id").as("id_a"), (col("id") + 2L).as("id_b"))
+      val edgesLocal = eLocal1.unionByName(eLocal2).localCheckpoint(true)
+      val edgesLocalOld = edgesLocal
+        .filter(col("id_a") < cut && col("id_b") < cut)
+        .localCheckpoint(true)
+      for ((tag, eAll, eOld) <- Seq(
+          ("chordal", edgesAll, edgesOld),
+          ("local  ", edgesLocal, edgesLocalOld));
+          warmDepth <- Seq(5, 25)) {
+        val (dirF, degF) = PipelineQueries.pagerankDirDeg(
+          eAll.select("id_a", "id_b"))
+        val (dirO, degO) = PipelineQueries.pagerankDirDeg(
+          eOld.select("id_a", "id_b"))
+        var r = vertsOld.withColumn("r", lit(1000000L)).localCheckpoint(true)
+        for (_ <- 1 to warmDepth)
+          r = PipelineQueries.pagerankStep(r, dirO, degO, vertsOld)
+            .localCheckpoint(true)
+        var cur = verts
+          .join(r.select(col("v"), col("r").as("wr")), Seq("v"), "left")
+          .select(col("v"), coalesce(col("wr"), lit(1000000L)).as("r"))
+          .localCheckpoint(true)
+        val sizes = (1 to 3).map { _ =>
+          val nxt = PipelineQueries.pagerankStep(cur, dirF, degF, verts)
+            .localCheckpoint(true)
+          val changed = cur.select(col("v"), col("r").as("rp"))
+            .join(nxt, Seq("v"))
+            .filter(col("r") =!= col("rp"))
+            .count()
+          cur = nxt
+          changed
+        }
+        println(f"[stress] r14 incremental pagerank frontier " +
+          f"[$tag, warm depth $warmDepth%2d]: ${sizes.mkString(" -> ")} " +
+          f"changed of $n verts")
+      }
+    }
+
     // Offset-stage A/B at FIXED sizes (does not scale with replicas):
     // the lang-keyed window sorts each language's doc rows in ONE task;
     // the hierarchical prefix sum spreads the same work over
