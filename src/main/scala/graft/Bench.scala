@@ -52,7 +52,29 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    // MEMO LIFECYCLE (round-14 VERDICT #2): the (session, dir)-keyed
+    // memos hold localCheckpoint blocks via strong references, so the
+    // per-query clearCache/GC below never reclaims them — across a
+    // 264-query run they tax every query scheduled after their build.
+    // Bench owns the run order, so it releases each memo family right
+    // AFTER its last consumer runs (outside the timed window). A release
+    // with consumers remaining would only force a rebuild (correctness
+    // is unaffected) — the declared consumer sets below are the same
+    // ones the memo-hit disclosure uses.
+    val selectedNames = selected.map(_._1)
+    val memoFamilies: Seq[(Int, () => Unit)] = Seq[(Set[String], () => Unit)](
+      (graft.queries.PipelineQueries.CcMemoQueries,
+        () => graft.queries.PipelineQueries.releaseDupComponents(spark, sfDir)),
+      (graft.queries.PipelineQueries.ShingleMemoQueries,
+        () => graft.queries.PipelineQueries.releaseDocShingleRows(spark, sfDir)),
+      (graft.queries.PipelineQueries.KnnMemoQueries,
+        () => graft.queries.PipelineQueries.releaseMutualEdgesMemo(spark, sfDir)),
+      (graft.queries.StreamingQueries.CommitMemoQueries,
+        () => graft.dedup.TableCommit.releaseSharedDeploy(
+          spark, s"$sfDir#commit-corpus")))
+      .map { case (qs, f) => (selectedNames.lastIndexWhere(qs.contains), f) }
+      .filter(_._1 >= 0)
+    val results = selected.zipWithIndex.map { case ((name, fn), qIdx) =>
       // Memo disclosure: the three dup-components-sharing queries are
       // run-order dependent — whichever runs first pays the minhash+CC
       // build, the others replay the memoized frame. Record which ones
@@ -87,7 +109,11 @@ object Bench {
       // trivial DISTINCT 28×). clearCache drops CacheManager entries;
       // System.gc() lets the ContextCleaner reclaim now-unreferenced
       // localCheckpoint blocks immediately instead of at the next
-      // periodic-GC tick. Both run OUTSIDE the timed window.
+      // periodic-GC tick. Both run OUTSIDE the timed window, as does the
+      // memo-family release after each family's LAST consumer.
+      memoFamilies.foreach { case (lastIdx, release) =>
+        if (lastIdx == qIdx) release()
+      }
       spark.catalog.clearCache()
       System.gc()
       (name, elapsed, ok, usedMemo)

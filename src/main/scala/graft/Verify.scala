@@ -20,13 +20,33 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Deterministic (sorted) order, so the memo-lifecycle releases below
+    // can key off each family's LAST consumer exactly like Bench does —
+    // the 264-query dump runs in one JVM, and the memos' checkpoint
+    // blocks would otherwise accumulate for the whole run.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val selectedNames = selected.map(_._1)
+    val memoFamilies: Seq[(Int, () => Unit)] = Seq[(Set[String], () => Unit)](
+      (graft.queries.PipelineQueries.CcMemoQueries,
+        () => graft.queries.PipelineQueries.releaseDupComponents(spark, sfDir)),
+      (graft.queries.PipelineQueries.ShingleMemoQueries,
+        () => graft.queries.PipelineQueries.releaseDocShingleRows(spark, sfDir)),
+      (graft.queries.PipelineQueries.KnnMemoQueries,
+        () => graft.queries.PipelineQueries.releaseMutualEdgesMemo(spark, sfDir)),
+      (graft.queries.StreamingQueries.CommitMemoQueries,
+        () => graft.dedup.TableCommit.releaseSharedDeploy(
+          spark, s"$sfDir#commit-corpus")))
+      .map { case (qs, f) => (selectedNames.lastIndexWhere(qs.contains), f) }
+      .filter(_._1 >= 0)
+    selected.zipWithIndex.foreach { case ((name, fn), qIdx) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      memoFamilies.foreach { case (lastIdx, release) =>
+        if (lastIdx == qIdx) release()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

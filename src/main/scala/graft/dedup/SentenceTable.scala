@@ -48,11 +48,17 @@ class SentenceTable(
     compactMaxDeltaFiles: Long = 512L,
     /** Post-compaction GC retention window — see
       * [[graft.StoreJournal.gcAged]]. */
-    gcRetainMs: Long = 0L) {
+    gcRetainMs: Long = 0L,
+    /** Read-only open: never touches the writer lease; state-changing
+      * faces fail loudly. See [[graft.StoreJournal]]. */
+    readOnly: Boolean = false,
+    /** Polite-takeover window — see [[graft.StoreJournal]]. */
+    takeoverAfterMs: Long = 0L) {
 
   import spark.implicits._
 
-  private val journal = new graft.StoreJournal(spark, base)
+  private val journal =
+    new graft.StoreJournal(spark, base, readOnly, takeoverAfterMs)
   private def corpusPath(t: String) = s"$base/$t/corpus-g${journal.gen}"
   private def partOf(c: org.apache.spark.sql.Column) =
     pmod(hash(c), lit(parts))
@@ -119,22 +125,27 @@ class SentenceTable(
       .select(col("sh"), lit(sign).as("w"), partOf(col("sh")).as("part"))
 
   def deploy(corpus: DataFrame, idCol: String, textCol: String): SentenceTable = {
+    journal.requireWritable()
     val docs = corpus
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .localCheckpoint(true)
     writeMeta()
+    // Generation dirs write under writer-scoped staging names and
+    // publish (lease-checked renames) right before the marker.
     graft.Par.all(
       () => docs.withColumn("part", partOf(col("id")))
         .repartition(parts, col("part"))
         .write.mode("overwrite").partitionBy("part")
-        .parquet(corpusPath("docs")),
+        .parquet(journal.staged(corpusPath("docs"))),
       () => shRows(docs, 1L)
         .repartition(parts, col("part"))
         .write.mode("overwrite").partitionBy("part")
-        .parquet(corpusPath("sh")))
+        .parquet(journal.staged(corpusPath("sh"))))
+    journal.publishStaged(Seq("docs", "sh").map(corpusPath))
     journal.markDeploy()
     corpusBytes = Seq("docs", "sh").map(t => journal.du(corpusPath(t))._1).sum
     idBloom = docs.stat.bloomFilter("id", math.max(1L, docs.count()), 0.01)
+    graft.Ckpt.release(docs) // tables are on disk; blocks are dead
     this
   }
 
@@ -148,7 +159,9 @@ class SentenceTable(
   def foldBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
     if (journal.seen("fold", batchId)) return
     val raw = batch.select(col("id"), col("text")).localCheckpoint(true)
-    if (raw.isEmpty) { journal.noteSeen("fold", batchId); return }
+    if (raw.isEmpty) {
+      journal.noteSeen("fold", batchId); graft.Ckpt.release(raw); return
+    }
     val rawIds = raw.select("id").distinct().as[Long].collect()
     val cand = rawIds.filter(idBloom.mightContainLong)
     val bb =
@@ -162,10 +175,14 @@ class SentenceTable(
           .unionByName(tomb.select("id"))
           .join(broadcast(candDf.select("id")), Seq("id"), "left_semi")
           .distinct()
-        raw.join(broadcast(present), Seq("id"), "left_anti")
+        val kept = raw.join(broadcast(present), Seq("id"), "left_anti")
           .localCheckpoint(true)
+        graft.Ckpt.release(candDf, raw) // kept is its own checkpoint now
+        kept
       }
-    if (bb.isEmpty) { journal.noteSeen("fold", batchId); return }
+    if (bb.isEmpty) {
+      journal.noteSeen("fold", batchId); graft.Ckpt.release(bb); return
+    }
     val bIds = bb.select("id").distinct().as[Long].collect()
     val uuid = journal.newUuid()
     graft.Par.all(
@@ -176,6 +193,7 @@ class SentenceTable(
     crashPoint("fold-before-marker")
     journal.markBatch(uuid, wrote, "fold", batchId)
     bIds.foreach(idBloom.putLong)
+    graft.Ckpt.release(bb) // committed — blocks are dead
     maybeAutoCompact()
   }
 
@@ -189,14 +207,19 @@ class SentenceTable(
       .join(tomb, Seq("id"), "left_anti")
       .withColumn("part", partOf(col("id")))
       .localCheckpoint(true)
-    if (del.isEmpty) { journal.markNoop("retract", batchId); return }
+    if (del.isEmpty) {
+      journal.markNoop("retract", batchId); graft.Ckpt.release(del); return
+    }
     val dParts = del.select("part").distinct().as[Int].collect().toSeq
     val deleted = readAll("docs")
       .filter(col("part").isin(dParts: _*))
       .join(broadcast(del.select("id")), Seq("id"), "left_semi")
       .select("id", "text")
       .localCheckpoint(true)
-    if (deleted.isEmpty) { journal.markNoop("retract", batchId); return }
+    if (deleted.isEmpty) {
+      journal.markNoop("retract", batchId)
+      graft.Ckpt.release(del, deleted); return
+    }
     val uuid = journal.newUuid()
     graft.Par.all(
       () => journal.writeBatch(deleted.select("id"), "tomb", uuid),
@@ -204,6 +227,7 @@ class SentenceTable(
     val wrote = Set("tomb", "sh")
     crashPoint("retract-before-marker")
     journal.markBatch(uuid, wrote, "retract", batchId)
+    graft.Ckpt.release(del, deleted)
     maybeAutoCompact()
   }
 
@@ -212,6 +236,26 @@ class SentenceTable(
     .groupBy("sh").agg(sum(col("w")).as("n"))
     .filter(col("n") > 0)
     .select("sh")
+
+  /** TIME TRAVEL — the committed sentence-hash set AS OF the end of
+    * generation `g` (the
+    * [[graft.dedup.TableCommit.committedFingerprintsAt]] shape over
+    * this store's journal): `baseline(g) + g's marked ±1 deltas`
+    * summed under `> 0` is exactly the multiset face at `g`'s last
+    * commit — including any retraction's −1 rows committed within `g`
+    * — immutable once superseded. An aged-out generation fails loudly
+    * instead of serving an empty frame (round-14 VERDICT missing #3). */
+  def presentHashesAt(g: Int): DataFrame = {
+    val dir = s"$base/sh/corpus-g$g"
+    require(journal.exists(dir),
+      s"SentenceTable.presentHashesAt($g): generation $g is not " +
+        "retained (GC'd or vacuumed) — raise gcRetainMs / vacuum " +
+        "retainMs to pin it")
+    journal.readAllAt(dir, "sh", g, shSchema)
+      .groupBy("sh").agg(sum(col("w")).as("n"))
+      .filter(col("n") > 0)
+      .select("sh")
+  }
 
   /** The baseline (deploy until first compaction) distinct hash set —
     * the readouts' n_corpus face. */
@@ -255,15 +299,18 @@ class SentenceTable(
     // no-id-reuse law must outlive the physical drop of the tombstoned
     // rows (a re-committed id would resurrect its deleted hashes).
     val tombAll = tomb.distinct()
+    def dst(t: String) = s"$base/$t/corpus-g$g2"
     graft.Par.all(
       () => sh.repartition(parts, col("part"))
         .write.mode("overwrite").partitionBy("part")
-        .parquet(s"$base/sh/corpus-g$g2"),
+        .parquet(journal.staged(dst("sh"))),
       () => docs.repartition(parts, col("part"))
         .write.mode("overwrite").partitionBy("part")
-        .parquet(s"$base/docs/corpus-g$g2"),
+        .parquet(journal.staged(dst("docs"))),
       () => tombAll.coalesce(1).write.mode("overwrite")
-        .parquet(s"$base/tomb/corpus-g$g2"))
+        .parquet(journal.staged(dst("tomb"))))
+    crashPoint("compact-before-publish")
+    journal.publishStaged(Seq("sh", "docs", "tomb").map(dst))
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")
@@ -303,9 +350,12 @@ object SentenceTable {
       autoCompact: Boolean = false,
       compactDeltaRatio: Double = 0.5,
       compactMaxDeltaFiles: Long = 512L,
-      gcRetainMs: Long = 0L): SentenceTable =
+      gcRetainMs: Long = 0L,
+      readOnly: Boolean = false,
+      takeoverAfterMs: Long = 0L): SentenceTable =
     new SentenceTable(spark, base, parts, splitRegex,
       autoCompact = autoCompact, compactDeltaRatio = compactDeltaRatio,
       compactMaxDeltaFiles = compactMaxDeltaFiles,
-      gcRetainMs = gcRetainMs).restore()
+      gcRetainMs = gcRetainMs, readOnly = readOnly,
+      takeoverAfterMs = takeoverAfterMs).restore()
 }

@@ -145,7 +145,12 @@ class TableCommit(
     compactMaxDeltaFiles: Long = 512L,
     /** Post-compaction GC retention window — see
       * [[graft.StoreJournal.gcAged]]. */
-    gcRetainMs: Long = 0L) {
+    gcRetainMs: Long = 0L,
+    /** Read-only open: never touches the writer lease; state-changing
+      * faces fail loudly. See [[graft.StoreJournal]]. */
+    readOnly: Boolean = false,
+    /** Polite-takeover window — see [[graft.StoreJournal]]. */
+    takeoverAfterMs: Long = 0L) {
 
   import spark.implicits._
 
@@ -157,7 +162,8 @@ class TableCommit(
   private[dedup] def sharedRoot: Option[String] = corpusRoot
 
   // ---- journal (two-phase commit discipline: graft.StoreJournal) ----
-  private val journal = new graft.StoreJournal(spark, base)
+  private val journal =
+    new graft.StoreJournal(spark, base, readOnly, takeoverAfterMs)
 
   /** The shared corpus layer is IMMUTABLE (a sharing store never
     * rewrites it), so its generation is pinned at deploy time; a
@@ -223,15 +229,22 @@ class TableCommit(
   }
 
   /** Corpus/baseline-layer write: one shuffle onto the part key so
-    * each partition dir gets exactly one file. */
+    * each partition dir gets exactly one file. Writes under the
+    * journal's writer-scoped STAGING name; the caller publishes all of
+    * a generation's dirs with ONE lease-checked
+    * [[graft.StoreJournal.publishStaged]] right before the marker, so
+    * a stale writer's in-flight generation never shadows the current
+    * lease holder's. Returns the FINAL (published) path. */
   private def writeCorpus(
       df: DataFrame, t: String, partitioned: Boolean, g: Int,
-      root: String = cRoot): Unit = {
+      root: String = cRoot): String = {
     val dst = s"$root/$t/corpus-g$g"
     val shaped =
       if (partitioned) df.repartition(parts, col("part")) else df
     val wtr = shaped.write.mode("overwrite")
-    (if (partitioned) wtr.partitionBy("part") else wtr).parquet(dst)
+    (if (partitioned) wtr.partitionBy("part") else wtr)
+      .parquet(journal.staged(dst))
+    dst
   }
 
   /** Per-fold delta write: ONE plain parquet file (`part` stays a data
@@ -365,6 +378,7 @@ class TableCommit(
     * production deployment runs this once (or inherits the tables from
     * the batch pipeline); per-delivery cost never includes it. */
   def deploy(corpus: DataFrame, idCol: String, textCol: String): TableCommit = {
+    journal.requireWritable()
     val docs = corpus
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .localCheckpoint(true)
@@ -375,6 +389,8 @@ class TableCommit(
     // the shingle rows are checkpointed — submit them concurrently
     // (graft.Par): sequential, each is one small job leaving most of
     // the cluster idle plus a full scheduler round-trip in series.
+    // All land in writer-scoped staging dirs, published together
+    // (lease-checked renames) right before the deploy marker.
     graft.Par.all(
       () => writeCorpus(docs.withColumn("part", partOf(col("id"))),
         "docs", partitioned = true, 0),
@@ -382,7 +398,8 @@ class TableCommit(
       () => writeCorpus(span, "span", partitioned = true, 0),
       () => span.select("fp", "part").distinct()
         .repartition(parts, col("part"))
-        .write.mode("overwrite").partitionBy("part").parquet(span0Path),
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(journal.staged(span0Path)),
       () => writeCorpus(Dedup.bandTable(docs, "id", "text", numHashes, bands),
         "bands", partitioned = false, 0),
       () => writeCorpus(
@@ -393,6 +410,9 @@ class TableCommit(
         partitioned = false, 0),
       () => writeCorpus(Dedup.shingleSetsOfRows(rows), "sets",
         partitioned = false, 0))
+    journal.publishStaged(
+      Seq("docs", "fp", "span", "bands", "simhash", "ngramdf",
+        "postings", "sets").map(t => s"$cRoot/$t/corpus-g0") :+ span0Path)
     journal.markDeploy()
     refreshCorpusBytes()
     // Gate Blooms built from the READ-BACK stored tables (columnar
@@ -418,6 +438,9 @@ class TableCommit(
     fpBloom = fpB
     idBloom = idB
     spanBloomBc = spark.sparkContext.broadcast(spB)
+    // Tables and Blooms are built — the deploy-time checkpoint blocks
+    // (full corpus docs + shingle rows) are dead; release them now.
+    graft.Ckpt.release(docs, rows)
     this
   }
 
@@ -442,12 +465,14 @@ class TableCommit(
     // GATE — content-keyed, Bloom-prefiltered exact verify.
     val batchFps = bf.select("fingerprint").distinct().as[String].collect()
     val candFps = batchFps.filter(fpBloom.mightContainString)
+    var candRel: DataFrame = null // released once acceptedRaw materializes
     val novel =
       if (candFps.isEmpty) bf
       else {
         val cand = candFps.toSeq.toDF("fingerprint")
           .withColumn("part", partOf(col("fingerprint")))
           .localCheckpoint(true)
+        candRel = cand
         val candParts = cand.select("part").distinct().as[Int].collect().toSeq
         def pruned(t: String, schema: StructType) =
           readAll(t, schema).filter(col("part").isin(candParts: _*))
@@ -469,7 +494,11 @@ class TableCommit(
       .filter(col("id") === col("mn"))
       .select("id", "text", "fingerprint")
       .localCheckpoint(true)
-    if (acceptedRaw.isEmpty) { journal.noteSeen("fold", batchId); return }
+    graft.Ckpt.release(candRel)
+    if (acceptedRaw.isEmpty) {
+      journal.noteSeen("fold", batchId)
+      graft.Ckpt.release(bf, acceptedRaw); return
+    }
     // Id-disjointness law (includes tombstoned ids: no id reuse).
     val batchIds = acceptedRaw.select("id").distinct().as[Long].collect()
     val candIds = batchIds.filter(idBloom.mightContainLong)
@@ -479,11 +508,13 @@ class TableCommit(
         val candI = candIds.toSeq.toDF("id")
           .withColumn("part", partOf(col("id"))).localCheckpoint(true)
         val iParts = candI.select("part").distinct().as[Int].collect().toSeq
-        readAll("docs", docSchema).filter(col("part").isin(iParts: _*))
+        val n = readAll("docs", docSchema).filter(col("part").isin(iParts: _*))
           .select("id")
           .unionByName(tomb.select("id"))
           .join(broadcast(candI.select("id")), Seq("id"), "left_semi")
           .count()
+        graft.Ckpt.release(candI)
+        n
       }
     require(idClashes == 0L,
       s"TableCommit: $idClashes accepted id(s) already committed or " +
@@ -491,8 +522,9 @@ class TableCommit(
     // CLEAN — span-excise against the FROZEN span0 set: Bloom per-row
     // (batch-sized mapPartitions), then a partition-pruned exact
     // verify of the hits only.
+    // (cleanAgainstCorpusSpans returns an eager checkpoint and releases
+    // its internal token/hit frames itself.)
     val accepted = cleanAgainstCorpusSpans(acceptedRaw.select("id", "text"))
-      .localCheckpoint(true)
     // COMMIT — batch-sized delta writes into this fold's private batch
     // dirs, then the one atomic marker.
     val uuid = journal.newUuid()
@@ -527,6 +559,10 @@ class TableCommit(
       .distinct().as[String].collect().foreach(fpBloom.putString)
     batchFps.foreach(fpBloom.putString)
     batchIds.foreach(idBloom.putLong)
+    // The delivery is committed and the Blooms grown — release the
+    // fold's checkpoint blocks NOW (GC + ContextCleaner lag across a
+    // long stream is real executor-memory pressure; round-14 VERDICT).
+    graft.Ckpt.release(bf, acceptedRaw, accepted, rows)
     maybeAutoCompact()
   }
 
@@ -559,8 +595,13 @@ class TableCommit(
         hits.join(broadcast(present), Seq("fp"), "left_semi")
           .select("id", "pos")
       }
-    Dedup.exciseIntervals(toks, removable, w)
+    val cleaned = Dedup.exciseIntervals(toks, removable, w)
       .select(col("id"), col("clean_text").as("text"))
+      .localCheckpoint(true)
+    // The cleaned frame is its own checkpoint now — the token and
+    // Bloom-hit frames it was derived from are dead.
+    graft.Ckpt.release(toks, hits)
+    cleaned
   }
 
   // ---- the retract fold -----------------------------------------------
@@ -580,7 +621,10 @@ class TableCommit(
       .join(tomb, Seq("id"), "left_anti")
       .withColumn("part", partOf(col("id")))
       .localCheckpoint(true)
-    if (fresh.isEmpty) { journal.markNoop("retract", batchId); return }
+    if (fresh.isEmpty) {
+      journal.markNoop("retract", batchId)
+      graft.Ckpt.release(del, fresh); return
+    }
     val iParts = fresh.select("part").distinct().as[Int].collect().toSeq
     // The stored texts of the deleted docs — the exact rows whose
     // artifact contributions must be inverted.
@@ -589,7 +633,10 @@ class TableCommit(
       .join(broadcast(fresh.select("id")), Seq("id"), "left_semi")
       .select("id", "text")
       .localCheckpoint(true)
-    if (deleted.isEmpty) { journal.markNoop("retract", batchId); return }
+    if (deleted.isEmpty) {
+      journal.markNoop("retract", batchId)
+      graft.Ckpt.release(del, fresh, deleted); return
+    }
     val uuid = journal.newUuid()
     graft.Par.all(
       () => writeBatch(deleted.select("id"), "tomb", uuid),
@@ -602,6 +649,7 @@ class TableCommit(
     val wrote = Set("tomb", "fp", "span", "ngramdf")
     crashPoint("retract-before-marker")
     journal.markBatch(uuid, wrote, "retract", batchId)
+    graft.Ckpt.release(del, fresh, deleted)
     maybeAutoCompact()
   }
 
@@ -830,6 +878,8 @@ class TableCommit(
       () => writeCorpus(sets, "sets", partitioned = false, g2),
       () => writeCorpus(ledger, "ledger", partitioned = true, g2),
       () => writeCorpus(tombAll, "tomb", partitioned = false, g2))
+    crashPoint("compact-before-publish")
+    journal.publishStaged(tables.map(t => s"$cRoot/$t/corpus-g$g2"))
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")
@@ -842,6 +892,7 @@ class TableCommit(
     journal.advance(g2)
     refreshCorpusBytes()
     journal.gcAged(tables, gcRetainMs)
+    graft.Ckpt.release(tombAll)
   }
 
   /** A SHARING store's compaction: the memoized corpus layer is
@@ -900,6 +951,8 @@ class TableCommit(
       () => writeCorpus(sets, "sets", partitioned = false, g2, base),
       () => writeCorpus(ledger, "ledger", partitioned = true, g2, base),
       () => writeCorpus(tombAll, "tomb", partitioned = false, g2, base))
+    crashPoint("compact-before-publish")
+    journal.publishStaged(tables.map(t => s"$base/$t/corpus-g$g2"))
     crashPoint("compact-before-marker")
     journal.markGeneration(g2)
     crashPoint("compact-after-marker")
@@ -907,6 +960,7 @@ class TableCommit(
     journal.advance(g2)
     refreshCorpusBytes()
     journal.gcAged(tables, gcRetainMs)
+    graft.Ckpt.release(tombAll)
   }
 }
 
@@ -924,6 +978,27 @@ object TableCommit {
 
   private[graft] def corpusPrimed(s: SparkSession, key: String): Boolean =
     memo.containsKey((s, key))
+
+  /** Release the memoized shared deploy for (session, key): evict the
+    * layer, destroy its span-Bloom broadcast, and delete the corpus
+    * temp dir — the memo-lifecycle hook (round-14 VERDICT #2). Safe
+    * only once no [[sharedDeploy]] consumer of this key will run again
+    * this session (stores already handed out keep their own Bloom
+    * copies but read the DELETED corpus dirs lazily — they must be
+    * done too); a later call just redeploys. */
+  private[graft] def releaseSharedDeploy(
+      s: SparkSession, key: String): Unit = {
+    val layer = memo.remove((s, key))
+    if (layer != null) {
+      try layer.spanBloom.destroy()
+      catch { case scala.util.control.NonFatal(_) => () }
+      try {
+        val p = new org.apache.hadoop.fs.Path(layer.root)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   private def ser(b: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -968,14 +1043,17 @@ object TableCommit {
       autoCompact: Boolean = false,
       compactDeltaRatio: Double = 0.5,
       compactMaxDeltaFiles: Long = 512L,
-      gcRetainMs: Long = 0L): TableCommit =
+      gcRetainMs: Long = 0L,
+      readOnly: Boolean = false,
+      takeoverAfterMs: Long = 0L): TableCommit =
     new TableCommit(spark, base, numHashes, bands, w,
       simhashBlocks = simhashBlocks, ngramN = ngramN,
       maxShingleDf = maxShingleDf, parts = parts,
       corpusRoot = corpusRoot, autoCompact = autoCompact,
       compactDeltaRatio = compactDeltaRatio,
       compactMaxDeltaFiles = compactMaxDeltaFiles,
-      gcRetainMs = gcRetainMs).rebuild()
+      gcRetainMs = gcRetainMs, readOnly = readOnly,
+      takeoverAfterMs = takeoverAfterMs).rebuild()
 
   /** A store whose IMMUTABLE corpus layer is the memoized deploy for
     * `(session, key)` — the ccMemo/knnMemo discipline applied to the

@@ -113,7 +113,15 @@ class KnnStore(
       * "two generations old" can be seconds old, and an age-blind
       * sweep would kill the long-lived readers [[vacuum]]'s window
       * protects. */
-    gcRetainMs: Long = 0L) {
+    gcRetainMs: Long = 0L,
+    /** Read-only open: never touches the writer lease (reads don't
+      * fence the active writer); every state-changing face fails
+      * loudly. See [[graft.StoreJournal]]. */
+    readOnly: Boolean = false,
+    /** Polite-takeover window — refuse the lease while the incumbent's
+      * heartbeat is fresher than this; 0 forces. See
+      * [[graft.StoreJournal]]. */
+    takeoverAfterMs: Long = 0L) {
 
   import spark.implicits._
 
@@ -131,7 +139,8 @@ class KnnStore(
     pmod(hash(c), lit(parts))
 
   // ---- journal (two-phase commit discipline: graft.StoreJournal) ----
-  private val journal = new graft.StoreJournal(spark, base)
+  private val journal =
+    new graft.StoreJournal(spark, base, readOnly, takeoverAfterMs)
 
   private def corpusPath(t: String) = s"$base/$t/corpus-g${journal.gen}"
   /** Crash-injection hook for the recovery specs — see
@@ -220,8 +229,11 @@ class KnnStore(
     // can VALIDATE the reopen parameters (a silently different `parts`
     // would mis-prune every stored partition). The quantizer is
     // GENERATION-SCOPED like every index table — [[refresh]] swaps a
-    // retrained one in under the same atomic generation marker.
-    centArr.write.mode("overwrite").parquet(corpusPath("cent"))
+    // retrained one in under the same atomic generation marker. All
+    // generation dirs write under writer-scoped STAGING names and
+    // publish (lease-checked renames) right before the marker.
+    centArr.write.mode("overwrite")
+      .parquet(journal.staged(corpusPath("cent")))
     Seq((nProbe, k, parts)).toDF("nProbe", "k", "parts")
       .coalesce(1).write.mode("overwrite").parquet(p("meta"))
     val c0 = Ivf.prepDouble(corpus)
@@ -235,19 +247,22 @@ class KnnStore(
     // frames — concurrent (graft.Par); the deploy marker follows all.
     graft.Par.all(
       () => probes.write.mode("overwrite").partitionBy("cell")
-        .parquet(corpusPath("probes")),
+        .parquet(journal.staged(corpusPath("probes"))),
       () => asg.write.mode("overwrite").partitionBy("cell")
-        .parquet(corpusPath("asg")),
+        .parquet(journal.staged(corpusPath("asg"))),
       () => Ivf.knnEdgesCore(probes, asg, k)
         .select("q_vec_id", "vec_id", "score")
         .withColumn("ver", lit(0L))
         .withColumn("part", partOf(col("q_vec_id")))
         .coalesce(4)
         .write.mode("overwrite").partitionBy("part")
-        .parquet(corpusPath("edges")))
+        .parquet(journal.staged(corpusPath("edges"))))
+    journal.publishStaged(
+      Seq("cent", "probes", "asg", "edges").map(corpusPath))
     journal.markDeploy()
     idBloom = asg.stat.bloomFilter(
       "vec_id", math.max(1L, asg.count()), 0.01)
+    graft.Ckpt.release(probes, asg) // tables are on disk; blocks are dead
     this
   }
 
@@ -261,7 +276,9 @@ class KnnStore(
     if (journal.seen("fold", batchId)) return
     Similarity.ensureFunctions(batch)
     val b0 = Ivf.prepDouble(batch).localCheckpoint(true)
-    if (b0.isEmpty) { journal.noteSeen("fold", batchId); return }
+    if (b0.isEmpty) {
+      journal.noteSeen("fold", batchId); graft.Ckpt.release(b0); return
+    }
     val bProbes = Ivf.knnProbeFrame(b0, centArr, nProbe)
       .withColumn("cell", col("cell").cast("long"))
       .localCheckpoint(true)
@@ -283,7 +300,15 @@ class KnnStore(
     // re-delivered with a different embedding lands in a different
     // cell, which is exactly the corruption the gate exists to stop
     // (round-13 ADVICE; the sibling stores' partOf(id) prune has the
-    // same content-independence).
+    // same content-independence). Residual cost (round-14 ADVICE): with
+    // the ~1% Bloom false-positive rate, about one delivery in a
+    // hundred pays this corpus-wide single-column read. The fix would
+    // be a second physical partition level on asg (cell × hash(vec_id))
+    // so the verify prunes by id-partition — rejected for now: it
+    // multiplies the directory/file count by `parts` on the store's
+    // largest table (hurting every cell-pruned scan at 100 TB) to
+    // speed a 1%-frequency delete-sized read. Revisit if the measured
+    // fold p99 says otherwise.
     val bIds = bAsg.select("vec_id").distinct().as[Long].collect()
     val candIds = bIds.filter(idBloom.mightContainLong)
     if (candIds.nonEmpty) {
@@ -300,6 +325,7 @@ class KnnStore(
       require(storedClashes == 0L,
         s"KnnStore: $storedClashes arrival vec_id(s) already stored — " +
           "ids must be disjoint (re-key the batch before committing)")
+      graft.Ckpt.release(candDf)
     }
     ver += 1
     // (2) batch queries rank against the stored members of their probed
@@ -344,6 +370,11 @@ class KnnStore(
     crashPoint("fold-before-marker")
     journal.markBatch(uuid, wrote, "fold", batchId)
     bIds.foreach(idBloom.putLong)
+    // The delivery is committed — release its checkpoint blocks NOW
+    // instead of leaving them to GC + ContextCleaner lag: across a
+    // 64-delivery stream the unreclaimed blocks are exactly the
+    // shared-JVM pressure the round-14 bench record showed.
+    graft.Ckpt.release(b0, bProbes, bAsg, affProbes, newCand, affIds)
     maybeAutoCompact()
   }
 
@@ -360,7 +391,10 @@ class KnnStore(
       .join(readAll("asg", asgSchema).select("vec_id"), Seq("vec_id"),
         "left_semi")
       .localCheckpoint(true)
-    if (fresh.isEmpty) { journal.markNoop("retract", batchId); return }
+    if (fresh.isEmpty) {
+      journal.markNoop("retract", batchId)
+      graft.Ckpt.release(del, fresh); return
+    }
     ver += 1
     // Affected candidates: ANY stored version holds a deleted vector —
     // one broadcast semi-join over the raw edge table instead of the
@@ -403,6 +437,7 @@ class KnnStore(
     val wrote = Set("tomb", "edges")
     crashPoint("retract-before-marker")
     journal.markBatch(uuid, wrote, "retract", batchId)
+    graft.Ckpt.release(del, fresh, affIds, affProbes)
     maybeAutoCompact()
   }
 
@@ -471,6 +506,11 @@ class KnnStore(
         "refusing to serve a partially-deployed store")
     // The quantizer of the COMMITTED generation — a crash on either
     // side of a refresh's marker reopens artifacts and tables in step.
+    // LAYOUT NOTE (intentional break, round-14): the quantizer moved
+    // from a fixed path to generation-scoped `cent/corpus-g<N>` when
+    // refresh() made it a swappable artifact; stores deployed by a
+    // pre-refresh code revision (fixed `cent` path) are not reopenable
+    // and must be redeployed — no production store predates the layout.
     centArr = spark.read.parquet(corpusPath("cent")).localCheckpoint(true)
     journal.rechargeDeltas()
     // The gate Bloom rebuilds from stored ∪ tombstoned ids (compaction
@@ -530,19 +570,23 @@ class KnnStore(
       tombG: DataFrame,
       centG: DataFrame): Unit = {
     val g2 = journal.gen + 1
+    def dst(t: String) = s"$base/$t/corpus-g$g2"
     graft.Par.all(
       () => probesG.repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$base/probes/corpus-g$g2"),
+        .parquet(journal.staged(dst("probes"))),
       () => asgG.repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$base/asg/corpus-g$g2"),
+        .parquet(journal.staged(dst("asg"))),
       () => edgesG.write.mode("overwrite").partitionBy("part")
-        .parquet(s"$base/edges/corpus-g$g2"),
+        .parquet(journal.staged(dst("edges"))),
       () => tombG.coalesce(1).write.mode("overwrite")
-        .parquet(s"$base/tomb/corpus-g$g2"),
+        .parquet(journal.staged(dst("tomb"))),
       () => centG.write.mode("overwrite")
-        .parquet(s"$base/cent/corpus-g$g2"))
+        .parquet(journal.staged(dst("cent"))))
+    crashPoint(s"$tag-before-publish")
+    journal.publishStaged(
+      Seq("probes", "asg", "edges", "tomb", "cent").map(dst))
     crashPoint(s"$tag-before-marker")
     journal.markGeneration(g2)
     crashPoint(s"$tag-after-marker")
@@ -566,7 +610,18 @@ class KnnStore(
     * tombstones and the durable seen-id sets carry forward, so the
     * no-id-reuse and replay laws outlive the retrain. The refreshed
     * committed face equals a from-scratch [[deploy]] of the survivors
-    * under `newCentroidIds` (spec-pinned). */
+    * under `newCentroidIds` (spec-pinned).
+    *
+    * AT 100 TB (design note, SURVEY §9): the production variant is
+    * CELL-SCOPED — retrain only the cells `q_cell_drift` flags, carry
+    * every un-drifted cell's probes/assignment/edges forward
+    * unchanged into the new generation, and re-derive edges only for
+    * queries whose probe set touches a retrained cell. Same atomic
+    * generation swap; the exact-equality law weakens to per-cell (the
+    * carried cells equal the old generation by identity, the
+    * retrained ones equal a from-scratch build of their members). The
+    * full rebuild below stays the reference face the partial one
+    * verifies against. */
   def refresh(newCentroidIds: Seq[Long]): Unit = synchronized {
     journal.checkLease()
     require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
@@ -597,6 +652,13 @@ class KnnStore(
         .coalesce(4),
       tombG = tomb.distinct(),
       centG = centArr2)
+    // The generation marker committed — the rebuild inputs' checkpoint
+    // blocks (survivor frame + re-derived probe/assignment) are dead,
+    // as is the SUPERSEDED quantizer; release them now (round-14
+    // VERDICT #2) instead of holding |survivors|-sized blocks for the
+    // session lifetime.
+    graft.Ckpt.release(c0, probes2, asg2)
+    if (centArr ne centArr2) graft.Ckpt.release(centArr)
     centArr = centArr2
   }
 }
@@ -623,9 +685,12 @@ object KnnStore {
       autoCompact: Boolean = false,
       compactMaxVersions: Long = 32L,
       compactMaxDeltaFiles: Long = 512L,
-      gcRetainMs: Long = 0L): KnnStore =
+      gcRetainMs: Long = 0L,
+      readOnly: Boolean = false,
+      takeoverAfterMs: Long = 0L): KnnStore =
     new KnnStore(spark, base, nProbe, k, parts, autoCompact = autoCompact,
       compactMaxVersions = compactMaxVersions,
       compactMaxDeltaFiles = compactMaxDeltaFiles,
-      gcRetainMs = gcRetainMs).restore()
+      gcRetainMs = gcRetainMs, readOnly = readOnly,
+      takeoverAfterMs = takeoverAfterMs).restore()
 }

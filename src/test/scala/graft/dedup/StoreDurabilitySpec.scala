@@ -416,6 +416,111 @@ class StoreDurabilitySpec extends SparkSuite {
       twin.committedFingerprints) == 0)
   }
 
+  test("read-only open never touches the writer lease; its state-changing faces fail loudly") {
+    // Round-14 ADVICE: a monitoring / inspection / spec-verification
+    // reopen must not fence the active writer. readOnly = true skips
+    // the lease entirely and poisons every commit path.
+    val base = tmp("graft_ro_")
+    val w = new TableCommit(spark, base, 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    w.foldBatch(half1, 0L)
+    val ro = TableCommit.reopen(spark, base, 8, 4, 8, readOnly = true)
+    assert(ro.committedFingerprints.count() > 0, "read-only reads serve")
+    // The ACTIVE writer keeps committing — the read-only open did not
+    // steal its lease.
+    w.foldBatch(half2, 1L)
+    w.retractBatch(half1.select("id").limit(1), 2L)
+    // The read-only handle cannot write, compact, or vacuum.
+    intercept[UnsupportedOperationException](ro.foldBatch(half2, 3L))
+    intercept[UnsupportedOperationException](ro.compact())
+    intercept[UnsupportedOperationException](ro.vacuum())
+    intercept[UnsupportedOperationException](
+      ro.retractBatch(half1.select("id"), 4L))
+    // ... and the writer's face is exactly a sole-writer twin's.
+    val twin = new TableCommit(spark, tmp("graft_ro_t_"), 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    twin.foldBatch(half1, 0L)
+    twin.foldBatch(half2, 1L)
+    twin.retractBatch(half1.select("id").limit(1), 2L)
+    assert(symDiff(w.committedFingerprints,
+      twin.committedFingerprints) == 0,
+      "a read-only open must not perturb the active writer's commits")
+  }
+
+  test("polite takeover refuses a fresh-heartbeat lease; the forced path still takes over") {
+    // Every successful checkLease heartbeats the lease file's mtime, so
+    // an operator can pass takeoverAfterMs to refuse stealing from a
+    // demonstrably-live writer — while the default (0) stays the forced
+    // opening-IS-the-claim takeover (round-14 VERDICT missing #5).
+    val base = tmp("graft_hb_")
+    val a = new TableCommit(spark, base, 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    a.foldBatch(half1, 0L) // marker commit → checkLease → heartbeat
+    val e = intercept[java.util.ConcurrentModificationException](
+      TableCommit.reopen(spark, base, 8, 4, 8,
+        takeoverAfterMs = 3600L * 1000L))
+    assert(e.getMessage.contains("polite"))
+    // The refused attempt left the incumbent untouched.
+    a.foldBatch(half2, 1L)
+    val twin = new TableCommit(spark, tmp("graft_hb_t_"), 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    twin.foldBatch(half1, 0L)
+    twin.foldBatch(half2, 1L)
+    assert(symDiff(a.committedFingerprints,
+      twin.committedFingerprints) == 0)
+    // The forced path (default) still takes over and fences a.
+    val b = TableCommit.reopen(spark, base, 8, 4, 8)
+    intercept[java.util.ConcurrentModificationException](
+      a.retractBatch(half1.select("id"), 2L))
+    assert(b.committedFingerprints.count() > 0)
+  }
+
+  test("writer-scoped staging: a stale writer's in-flight compact output never shadows the thief's committed generation") {
+    // Round-14 VERDICT missing #5 / ADVICE: pre-staging, a stale
+    // writer's compact wrote DIRECTLY into corpus-g<N> — in the window
+    // between its entry lease check and its fenced marker it could
+    // clobber the thief's generation of the SAME number, even a
+    // committed one. Generation writes now land in writer-scoped
+    // staging dirs and publish (lease-checked renames) at the marker
+    // point, so the stale writer's bytes never reach the shared names.
+    val base = tmp("graft_stage_")
+    val a = new TableCommit(spark, base, 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    a.foldBatch(half1, 0L)
+    // a's compact gets PAST its entry lease check and writes its full
+    // generation-1 output (staged), then "crashes" before publishing —
+    // the in-flight stale-writer state the old layout left pointed at
+    // corpus-g1 itself.
+    a.crashAt = Some("compact-before-publish")
+    intercept[IllegalStateException](a.compact())
+    a.crashAt = None
+    // a's staged generation-1 dirs exist — and are NOT corpus-g1.
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val fpDir = new org.apache.hadoop.fs.Path(s"$base/fp")
+    def stagedResidue = fs.listStatus(fpDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("corpus-g1.w"))
+    assert(stagedResidue.nonEmpty,
+      "the stale writer's in-flight output should sit in staging dirs")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/fp/corpus-g1")),
+      "nothing may land under the deterministic name before publish")
+    // The thief opens, folds, and commits ITS generation 1; the stale
+    // writer's RETRY is fenced at entry.
+    val b = TableCommit.reopen(spark, base, 8, 4, 8)
+    intercept[java.util.ConcurrentModificationException](a.compact())
+    b.foldBatch(half2, 1L)
+    b.compact() // commits b's corpus-g1; its gcAged sweeps a's residue
+    val twin = new TableCommit(spark, tmp("graft_stage_t_"), 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    twin.foldBatch(half1, 0L)
+    twin.foldBatch(half2, 1L)
+    assert(symDiff(b.committedFingerprints,
+      twin.committedFingerprints) == 0,
+      "the thief's committed generation must be exactly a sole-writer twin")
+    assert(stagedResidue.isEmpty,
+      "the post-compaction GC must sweep unpublished staging residue")
+  }
+
   test("time travel: committedFingerprintsAt pins a superseded generation (retract included); sharing stores refuse") {
     val base = tmp("graft_tt_tc_")
     val store = new TableCommit(spark, base, 8, 4, 8)

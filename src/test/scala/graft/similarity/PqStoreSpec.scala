@@ -189,4 +189,25 @@ class PqStoreSpec extends SparkSuite {
     assert(symDiff(r2.postings, codes2) == 0,
       "post-marker refresh crash must serve the NEW (codebooks, postings)")
   }
+
+  test("time travel: postingsAt pins a superseded generation (retract included); aged-out fails loudly") {
+    // The takedown-audit read face (round-14 VERDICT missing #3): what
+    // did the index serve at the end of generation g — including a
+    // retraction committed WITHIN g — must pin exactly for as long as
+    // the generation is retained, and fail loudly once it is not.
+    val store = mk()
+    store.foldBatch(split(0), 0L)
+    store.retractBatch(
+      emb.filter(col("vec_id") % 10 === 3).select("vec_id"), 1L)
+    val f0 = store.postings.localCheckpoint(true) // end-of-gen-0 face
+    store.compact() // generation 1 — gcAged retains generation 0
+    store.foldBatch(split(1), 2L)
+    assert(symDiff(store.postingsAt(0), f0) == 0,
+      "the end-of-generation-0 face (fold AND retract) must pin exactly")
+    assert(symDiff(store.postingsAt(1), store.postings) == 0,
+      "the current generation's snapshot is the live face")
+    store.vacuum() // immediate sweep ages generation 0 out
+    assert(intercept[IllegalArgumentException](store.postingsAt(0))
+      .getMessage.contains("not retained"))
+  }
 }
