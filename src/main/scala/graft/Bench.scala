@@ -116,7 +116,12 @@ object Bench {
       }
       spark.catalog.clearCache()
       System.gc()
-      (name, elapsed, ok, usedMemo)
+      // Post-GC used heap — the session-accumulation signal the memo/
+      // checkpoint lifecycle exists to flatten: if blocks leak, this
+      // ratchets with query index instead of staying flat.
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      (name, elapsed, ok, usedMemo, heapMb)
     }
     // Budget check (sf0.1 only — the budgets were calibrated there). A
     // query missing from the budgets file is NOT a breach (new queries
@@ -135,14 +140,14 @@ object Bench {
             java.nio.file.Paths.get(budgetsPath)), "UTF-8"))
       else Map.empty
     val breaches = results.collect {
-      case (k, v, true, _) if budgets.get(k).exists(v > _) =>
+      case (k, v, true, _, _) if budgets.get(k).exists(v > _) =>
         System.err.println(
           f"[bench] BUDGET BREACH: $k took $v%.2f s, budget ${budgets(k)}%.2f s")
         (k, v, budgets(k))
     }
     val unbudgeted =
       if (budgets.isEmpty) Seq.empty
-      else results.collect { case (k, _, _, _) if !budgets.contains(k) => k }
+      else results.collect { case (k, _, _, _, _) if !budgets.contains(k) => k }
     if (unbudgeted.nonEmpty)
       System.err.println(
         s"[bench] no budget for: ${unbudgeted.mkString(", ")} — " +
@@ -150,21 +155,35 @@ object Bench {
     // Failed queries are excluded from the per-query map AND the total,
     // and listed explicitly — a fail-fast timing must not read as a fast
     // success, and the map's values always sum to `value`.
-    val qs = results.collect { case (k, v, true, _) => "\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, true, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // Queries whose timed window replayed the memoized dup-components
     // frame (built by an earlier query in this run) — their numbers are
     // not standalone costs; budget re-baselines must keep the run order.
-    val memoHits = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
+    val memoHits = results.collect { case (k, _, _, true, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val breachJson = breaches
       .map { case (k, v, b) => "\"" + k + "\":{\"sec\":" + v + ",\"budget\":" + b + "}" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true, _) => v }.sum
+    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    // Post-GC heap per run third, as (median, max) — the flatness
+    // evidence for the memo/checkpoint lifecycle: a LEAK ratchets the
+    // MEDIAN across thirds (every query sits on the accumulated base),
+    // while a family-local spike (streaming state stores awaiting their
+    // maintenance-interval unload) moves only the max.
+    val heaps = results.map(_._5)
+    def med(xs: Seq[Long]): Long =
+      if (xs.isEmpty) 0L else xs.sorted.apply(xs.size / 2)
+    val heapThirds =
+      if (heaps.isEmpty) Seq.fill(3)((0L, 0L))
+      else heaps.grouped(math.max(1, (heaps.size + 2) / 3)).toSeq
+        .map(t => (med(t), t.max)).padTo(3, (0L, 0L)).take(3)
+    val heapJson = heapThirds
+      .map { case (m, x) => s"[$m,$x]" }.mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"breaches":$breachJson,"memo_hits":$memoHits,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"breaches":$breachJson,"memo_hits":$memoHits,"heap_highwater_mb_thirds":$heapJson,"sf":"$sfDir"}"""
     println(fullJson)
     // The driver's stdout capture keeps only a ~2000-char tail, which
     // truncates the per-query map once the surface passes ~50 queries —
@@ -183,7 +202,7 @@ object Bench {
     // Compact headline LAST: short enough to survive a tail-truncated
     // stdout capture whole (the full line above lost 33 of 97 query keys
     // to truncation in round 3's driver capture).
-    val worst5 = results.collect { case (k, v, true, _) => (k, v) }
+    val worst5 = results.collect { case (k, v, true, _, _) => (k, v) }
       .sortBy(-_._2).take(5)
       // math.rint + Double.toString, NOT printf %.3f: printf is
       // locale-sensitive (comma decimals under de_DE etc.) and would
@@ -194,7 +213,7 @@ object Bench {
     // Distinct metric name: a consumer keying on "total" must never see two
     // records per run (the full line above is the "total" contract; this
     // headline is the truncation-proof summary).
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":$nOk,"worst5":$worst5,"failed":$failed,"n_breaches":${breaches.size},"memo_hits":$memoHits,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":$nOk,"worst5":$worst5,"failed":$failed,"n_breaches":${breaches.size},"heap_highwater_mb_thirds":$heapJson,"memo_hits":$memoHits,"sf":"$sfDir"}""")
     spark.stop()
     if (breaches.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_ENFORCE").contains("1"))
       sys.exit(2)

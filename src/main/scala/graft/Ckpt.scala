@@ -24,7 +24,10 @@ object Ckpt {
   /** Unpersist the checkpoint blocks behind each frame (non-blocking).
     * No-op for frames that are not checkpoint/RDD-backed — safe to call
     * on anything, so callers never need to track which branch
-    * checkpointed. */
+    * checkpointed. Spark logs one WARN per release ("was locally
+    * checkpointed, its lineage has been truncated…") from
+    * `RDD.unpersist` itself — expected; it is the unrecoverability
+    * heads-up for exactly the discipline this object documents. */
   def release(dfs: DataFrame*): Unit = dfs.foreach { df =>
     if (df != null) df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>

@@ -227,6 +227,8 @@ object SparkEntry {
     "q_stream_knn" -> (StreamingQueries.streamKnn _),
     "q_stream_knn_compact" -> (StreamingQueries.streamKnnCompact _),
     "q_stream_knn_refresh" -> (StreamingQueries.streamKnnRefresh _),
+    "q_stream_knn_refresh_cells" ->
+      (StreamingQueries.streamKnnRefreshCells _),
     "q_stream_semantic_commit" -> (StreamingQueries.streamSemanticCommit _),
     "q_stream_attribution" -> (StreamingQueries.streamAttribution _),
     "q_stream_video" -> (StreamingQueries.streamVideo _),
@@ -709,6 +711,8 @@ object SparkEntry {
     "q_stream_knn" -> StreamingQueries.streamKnnOracle,
     "q_stream_knn_compact" -> StreamingQueries.streamKnnCompactOracle,
     "q_stream_knn_refresh" -> StreamingQueries.streamKnnRefreshOracle,
+    "q_stream_knn_refresh_cells" ->
+      StreamingQueries.streamKnnRefreshCellsOracle,
     "q_stream_semantic_commit" -> StreamingQueries.streamSemanticCommitOracle,
     "q_stream_attribution" -> StreamingQueries.streamAttributionOracle,
     "q_stream_video" -> StreamingQueries.streamVideoOracle,

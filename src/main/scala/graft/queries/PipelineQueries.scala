@@ -1697,8 +1697,17 @@ object PipelineQueries {
   /** [[knnEdgesCtesWhere]] with every CTE name prefixed, so two edge
     * builds (e.g. the drift monitor's baseline + current graphs) can
     * coexist in one WITH clause without name collisions. */
-  private def knnEdgesCtesPrefixed(p: String, filter: String): String = {
-    val ids = IvfCentroidIds.mkString(", ")
+  private def knnEdgesCtesPrefixed(p: String, filter: String): String =
+    knnEdgesCtesPrefixedIds(p, filter, IvfCentroidIds)
+
+  /** [[knnEdgesCtesPrefixed]] under an EXPLICIT centroid-id set — the
+    * partial-refresh oracle builds the mixed (kept ∪ retrained) set
+    * with it. Cell numbering is by sorted id, a pure relabeling of the
+    * store's in-place numbering: edges are label-free, so the faces
+    * compare exactly. */
+  private def knnEdgesCtesPrefixedIds(
+      p: String, filter: String, centroidIds: Seq[Long]): String = {
+    val ids = centroidIds.mkString(", ")
     s"""${p}c0 AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings$filter),
@@ -1736,6 +1745,30 @@ object PipelineQueries {
 
   def knnGraphOracle: String =
     s"""WITH $knnEdgesCtes
+       |SELECT id_a, id_b, score FROM medges
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** The cell-scoped partial refresh's retrain set
+    * (q_stream_knn_refresh_cells): cells 2 and 5 of the canonical
+    * deploy re-point to surviving stored vectors 19 and 41 — the
+    * store applies it via [[graft.similarity.KnnStore.refreshCells]];
+    * the oracle recomputes from scratch under the equivalent MIXED
+    * centroid-id set. */
+  val KnnRefreshCellsReplacements: Map[Long, Long] =
+    Map(2L -> 19L, 5L -> 41L)
+
+  /** The mixed centroid-id set the partial refresh converges to:
+    * the canonical sorted ids with the retrained cells' ids swapped. */
+  val KnnRefreshCellsMixedIds: Seq[Long] = IvfCentroidIds.sorted
+    .zipWithIndex
+    .map { case (id, i) =>
+      KnnRefreshCellsReplacements.getOrElse(i.toLong, id)
+    }
+
+  /** The from-scratch mutual-graph oracle under an explicit centroid
+    * set — shared by the partial-refresh face. */
+  def knnGraphOracleForIds(centroidIds: Seq[Long]): String =
+    s"""WITH ${knnEdgesCtesPrefixedIds("", "", centroidIds)}
        |SELECT id_a, id_b, score FROM medges
        |ORDER BY id_a, id_b""".stripMargin
 

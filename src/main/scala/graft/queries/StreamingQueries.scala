@@ -1261,6 +1261,7 @@ object StreamingQueries {
           store.retractBatch(
             bb.filter(col("doc_id") % RetractMod === RetractResidue)
               .select(col("doc_id").as("id")), id)
+          graft.Ckpt.release(bb) // both ops committed — blocks are dead
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -1779,6 +1780,7 @@ object StreamingQueries {
             store.foldBatch(
               bb.filter(pmod(expr("vec_id div 9"), lit(3)) === r),
               id * 3 + r)
+          graft.Ckpt.release(bb) // all three deliveries committed
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -1869,6 +1871,7 @@ object StreamingQueries {
             bb.filter(col("vec_id") % RetractMod === RetractResidue)
               .select("vec_id"),
             1000000L + id)
+          graft.Ckpt.release(bb) // both ops committed — blocks are dead
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -1962,6 +1965,7 @@ object StreamingQueries {
             store.foldBatch(
               bb.filter(pmod(expr("vec_id div 9"), lit(3)) === r),
               id * 3 + r)
+          graft.Ckpt.release(bb) // all three deliveries committed
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -2022,6 +2026,59 @@ object StreamingQueries {
 
   /** The from-scratch graph oracle under the POST-REFRESH centroids. */
   def streamKnnRefreshOracle: String = PipelineQueries.knnGraphOracle
+
+  /** STREAMING kNN-graph CELL-SCOPED PARTIAL RETRAIN
+    * ([[graft.similarity.KnnStore.refreshCells]]) — the 100 TB refresh
+    * shape, oracle-checked end-to-end: the index deploys under the
+    * canonical centroids, the arrival stream folds in, and then ONLY
+    * the drift-flagged cells retrain
+    * ([[PipelineQueries.KnnRefreshCellsReplacements]]: cells 2 and 5
+    * re-point to surviving stored vectors) — un-drifted centroids,
+    * and every query the change provably cannot touch, CARRY FORWARD
+    * (same probed cells + same membership ⟹ same deterministic
+    * top-k); only the affected queries re-score. The committed face
+    * must equal DuckDB's from-scratch build under the equivalent
+    * MIXED centroid set — so the carry-forward proof is hash-checked
+    * cross-engine, not just spec-pinned. Fails loudly if the
+    * replacement affected no queries (a vacuous run proves nothing). */
+  def streamKnnRefreshCells(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{
+      SemIncMod, SemIncResidue, IvfCentroidIds, IvfNProbe, KnnGraphK,
+      KnnRefreshCellsReplacements}
+    val emb = Tables.embeddings(s, d)
+    val store = new graft.similarity.KnnStore(
+      s,
+      java.nio.file.Files.createTempDirectory("graft_knn_refc_").toString,
+      IvfNProbe, KnnGraphK)
+      .deploy(
+        emb.filter(col("vec_id") % SemIncMod =!= SemIncResidue),
+        IvfCentroidIds)
+    val arrivals = StreamingOps
+      .readEmbeddings(s, embeddingsStreamDir(d))
+      .filter(col("vec_id") % SemIncMod === SemIncResidue)
+      .select("vec_id", "embedding")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = arrivals.writeStream
+        .foreachBatch((b: DataFrame, id: Long) => store.foldBatch(b, id))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    val (nAffected, nMovedCells) =
+      store.refreshCells(KnnRefreshCellsReplacements)
+    require(nAffected > 0 && nMovedCells > 0,
+      "q_stream_knn_refresh_cells: the partial retrain moved no members " +
+        "or re-scored no queries — the fixture should exercise both paths")
+    store.mutualGraph.orderBy("id_a", "id_b")
+  }
+
+  /** From-scratch oracle under the MIXED (kept ∪ retrained) set. */
+  def streamKnnRefreshCellsOracle: String =
+    PipelineQueries.knnGraphOracleForIds(
+      PipelineQueries.KnnRefreshCellsMixedIds)
 
   /** STREAMING kNN-graph VECTOR TAKEDOWN — the retraction face of
     * [[streamKnn]] on the TABLE-BACKED store

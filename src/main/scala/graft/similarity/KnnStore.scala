@@ -661,6 +661,126 @@ class KnnStore(
     if (centArr ne centArr2) graft.Ckpt.release(centArr)
     centArr = centArr2
   }
+
+  /** CELL-SCOPED PARTIAL REFRESH — the 100 TB retrain shape the full
+    * [[refresh]] scaladoc sketches, implemented: only the cells the
+    * drift monitor (q_cell_drift) flags get a new centroid
+    * (`replacements`: cell → the surviving stored vec_id whose
+    * embedding becomes that cell's centroid — in production the
+    * member-mean's nearest stored vector), every other centroid
+    * carries forward verbatim, and the EDGE RE-DERIVATION — the
+    * expensive score join — runs only for the queries the change can
+    * actually touch:
+    *
+    *   - the assignment/probe tables recompute corpus-wide (map-only
+    *     work against the K broadcast centroids: at 100 TB this is a
+    *     scan, not a shuffle — un-drifted distances are unchanged, so
+    *     a production variant can further prune to |D| distance
+    *     updates per vector);
+    *   - a query is AFFECTED iff its probe SET changed (any centroid
+    *     move can reorder the nProbe-nearest list — detected exactly,
+    *     per query, by symmetric difference) or a probed cell's
+    *     MEMBERSHIP changed (a vector moved in or out — membership
+    *     deltas are computed exactly from old vs new assignment);
+    *   - every UNAFFECTED query's current top-k rows carry forward
+    *     BY VALUE into the new generation (same probed cells, same
+    *     members ⟹ same candidates ⟹ same deterministic top-k — the
+    *     carry is provably exact, not approximate);
+    *   - the swap commits as generation N+1 under the same one-marker
+    *     rename as [[refresh]]/[[compact]] — crash on either side
+    *     reopens to a consistent (quantizer, tables) pair.
+    *
+    * The committed face equals a from-scratch [[deploy]] of the
+    * survivors under the MIXED centroid set (kept ∪ replaced) —
+    * spec-pinned AND oracle-checked end-to-end
+    * (q_stream_knn_refresh_cells hash-compares the post-partial-
+    * refresh graph against DuckDB's from-scratch build under the
+    * mixed centroids). Returns (affected queries re-scored, cells
+    * with membership change) for the monitor's readout. */
+  def refreshCells(replacements: Map[Long, Long]): (Long, Long) =
+    synchronized {
+      journal.checkLease()
+      require(replacements.nonEmpty,
+        "refreshCells: empty replacement set — nothing to retrain")
+      import spark.implicits._
+      val c0 = readAsg.select("vec_id", "emb").localCheckpoint(true)
+      Similarity.ensureFunctions(c0)
+      // Current centroids, unpacked driver-side (K rows).
+      val oldCents: Seq[(Long, Seq[Double])] = centArr
+        .select(explode(col("cents")).as("c"))
+        .select(col("c.cell").as("cell"), col("c.cemb").as("cemb"))
+        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      val unknown = replacements.keySet -- oldCents.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"refreshCells: unknown cell(s) ${unknown.mkString(", ")}")
+      // Replacement centroids must be SURVIVING stored vectors — the
+      // retrain is self-contained like the full refresh's.
+      val wantIds = replacements.values.toSeq.distinct
+      val newEmbs: Map[Long, Seq[Double]] = c0
+        .filter(col("vec_id").isin(wantIds: _*))
+        .as[(Long, Seq[Double])].collect().toMap
+      val missing = wantIds.filterNot(newEmbs.contains)
+      require(missing.isEmpty,
+        s"refreshCells: replacement centroid id(s) ${missing.mkString(", ")} " +
+          "are not surviving stored vectors")
+      val centArr2 = oldCents
+        .map { case (cell, cemb) =>
+          (cell, replacements.get(cell).map(newEmbs).getOrElse(cemb))
+        }
+        .toDF("cell", "cemb")
+        .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
+        .localCheckpoint(true)
+      val probes2 = Ivf.knnProbeFrame(c0, centArr2, nProbe)
+        .withColumn("cell", col("cell").cast("long"))
+        .localCheckpoint(true)
+      val asg2 = Ivf.knnAsgFrame(c0, centArr2)
+        .withColumn("cell", col("cell").cast("long"))
+        .localCheckpoint(true)
+      // Cells whose membership changed (≤ K values — driver-sized).
+      val movedCells: Seq[Long] = readAsg
+        .select(col("vec_id"), col("cell").as("oc"))
+        .join(asg2.select(col("vec_id"), col("cell").as("nc")), Seq("vec_id"))
+        .filter(col("oc") =!= col("nc"))
+        .select(explode(array(col("oc"), col("nc"))).as("cell"))
+        .distinct().as[Long].collect().toSeq
+      // Queries whose probe set changed — exact symmetric difference.
+      val oldP = readProbes.select(col("q_vec_id"), col("cell"))
+      val newP = probes2.select(col("q_vec_id"), col("cell"))
+      val changedProbeQs = oldP.withColumn("o", lit(1))
+        .join(newP.withColumn("n", lit(1)), Seq("q_vec_id", "cell"),
+          "full_outer")
+        .filter(col("o").isNull || col("n").isNull)
+        .select("q_vec_id")
+      val affected = changedProbeQs
+        .unionByName(
+          if (movedCells.isEmpty) changedProbeQs.limit(0)
+          else newP.filter(col("cell").isin(movedCells: _*))
+            .select("q_vec_id"))
+        .distinct()
+        .localCheckpoint(true)
+      val nAffected = affected.count()
+      val carried = currentEdges(readEdgesRaw)
+        .join(broadcast(affected), Seq("q_vec_id"), "left_anti")
+        .select("q_vec_id", "vec_id", "score")
+      val rescored = Ivf.knnEdgesCore(
+        probes2.join(broadcast(affected), Seq("q_vec_id"), "left_semi")
+          .select(probes2.columns.map(col): _*),
+        asg2, k).select("q_vec_id", "vec_id", "score")
+      swapGeneration(
+        "refresh",
+        probesG = probes2,
+        asgG = asg2,
+        edgesG = carried.unionByName(rescored)
+          .withColumn("ver", lit(0L))
+          .withColumn("part", partOf(col("q_vec_id")))
+          .repartition(parts, col("part")),
+        tombG = tomb.distinct(),
+        centG = centArr2)
+      graft.Ckpt.release(c0, probes2, asg2, affected)
+      if (centArr ne centArr2) graft.Ckpt.release(centArr)
+      centArr = centArr2
+      (nAffected, movedCells.size.toLong)
+    }
 }
 
 object KnnStore {

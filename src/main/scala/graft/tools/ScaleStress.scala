@@ -1258,6 +1258,55 @@ object ScaleStress {
       }
     }
 
+    // Round-15: PARTIAL vs FULL refresh — the crossover the §9 design
+    // note argues: refreshCells re-derives edges only for provably
+    // affected queries (probe-set or membership change), so its cost
+    // should track the AFFECTED fraction, not the corpus, while the
+    // full refresh() tracks the deploy. Two identically-prepared
+    // stores, one op each.
+    // Cell count matters: at the oracle queries' K=8, moving 2 centroids
+    // perturbs nearly every query's top-nProbe ranking (measured: 2000
+    // of 2000 affected — the uniform-drift regime where partial
+    // HONESTLY degrades to full + bookkeeping, as §9 argues). The
+    // locality the partial path exists for appears at production cell
+    // counts — 64 cells here — where 2 drifted cells touch only the
+    // queries probing them.
+    if (only.forall(sel =>
+        "r15 partial refresh: knn cells full".contains(sel))) {
+      val embAll = spark.read
+        .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      // Multiples of 27 are ≡ 0 (mod 9) — all corpus-side of the split.
+      val canonIds = (0 until 64).map(_ * 27L)
+      def prepped(tag: String): graft.similarity.KnnStore = {
+        var st: graft.similarity.KnnStore = null
+        time(s"r15 partial-refresh deploy+fold [$tag]") {
+          st = new graft.similarity.KnnStore(
+            spark,
+            java.nio.file.Files
+              .createTempDirectory(s"graft_stress_pref_$tag").toString,
+            nProbe = 2, k = 4)
+            .deploy(embAll.filter(col("vec_id") % 9 =!= 8), canonIds)
+          st.foldBatch(
+            embAll.filter(col("vec_id") % 9 === 8)
+              .select("vec_id", "embedding"), 0L)
+        }
+        st
+      }
+      val full = prepped("full")
+      time("r15 partial-refresh FULL refresh (64/64 cells)") {
+        full.refresh((0 until 64).map(_ * 27L + 9L))
+      }
+      val part = prepped("cells")
+      var counts = (0L, 0L)
+      time("r15 partial-refresh refreshCells (2/64 cells)") {
+        counts = part.refreshCells(Map(5L -> 500L, 40L -> 700L))
+      }
+      val nQueries = part.directedEdges.select("q_vec_id").distinct().count()
+      println(f"[stress] r15 partial-refresh affected ${counts._1}%d of " +
+        f"$nQueries%d queries, ${counts._2}%d cells with membership " +
+        "change — partial cost should track the affected fraction")
+    }
+
     // Round-14: the REFRESH axis — retrain-and-swap cost in context.
     // A refresh re-derives the full index over the survivors
     // (retraining IS a rebuild — that is why it is the deliberate,

@@ -381,4 +381,44 @@ class KnnStoreSpec extends SparkSuite {
     assert(edges(r2.directedEdges) == edges(refreshedTwin.directedEdges),
       "post-marker refresh crash must serve the NEW quantizer and tables")
   }
+
+  test("cell-scoped partial refresh equals a from-scratch deploy under the MIXED centroid set; later folds land exactly") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+    val batch = emb.filter(col("vec_id") % 9 === 8)
+    val store = mk(corpus)
+    store.foldBatch(batch, 0L)
+    // Tombstones in the mix: the carried AND re-scored paths must both
+    // respect them. (No centroid id and neither replacement id is ≡ 3
+    // mod 10, so the quantizer stays resolvable.)
+    store.retractBatch(emb.filter(col("vec_id") % 10 === 3)
+      .select("vec_id"), 1L)
+    // Retrain cells 2 (centroid 74) and 5 (centroid 185) to surviving
+    // stored vectors 19 and 41; every other cell carries forward.
+    val (nAffected, nMovedCells) =
+      store.refreshCells(Map(2L -> 19L, 5L -> 41L))
+    assert(nAffected > 0 && nMovedCells > 0,
+      "the fixture replacement should move members and affect queries " +
+        "— a vacuous run proves nothing")
+    // The committed face == a from-scratch deploy of the SURVIVORS
+    // under the mixed centroid set (cell renumbering in the twin is a
+    // pure relabeling — edges are label-free).
+    val mixedIds = Seq(0L, 37L, 19L, 111L, 148L, 41L, 222L, 259L)
+    val survivors = emb.filter(col("vec_id") % 10 =!= 3)
+    val twin = new KnnStore(
+      spark,
+      java.nio.file.Files.createTempDirectory("graft_knn_mixed_").toString,
+      nProbe = 2, k = k)
+      .deploy(survivors, mixedIds)
+    assert(edges(store.directedEdges) == edges(twin.directedEdges),
+      "partial refresh must equal the from-scratch mixed-quantizer build")
+    // Later folds land on the mixed-geometry twin too (re-keyed copies
+    // of the tombstoned vectors — fresh ids, stored embeddings).
+    val rekeyed = emb.filter(col("vec_id") % 10 === 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    store.foldBatch(rekeyed, 2L)
+    twin.foldBatch(rekeyed, 2L)
+    assert(edges(store.directedEdges) == edges(twin.directedEdges),
+      "post-partial-refresh folds must land on the mixed-geometry twin")
+  }
 }
