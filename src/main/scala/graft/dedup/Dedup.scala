@@ -597,6 +597,11 @@ object Dedup {
         .filter(col("component") < col("old"))
         .limit(1)
         .count()
+      // The convergence probe was round N-1's last reader — release its
+      // checkpoint blocks NOW instead of pinning one |V|-row frame per
+      // round until GC (the final round's frame is the returned face and
+      // is never released here).
+      graft.Ckpt.release(labels)
       labels = next
       converged = changed == 0
       iter += 1
@@ -682,6 +687,10 @@ object Dedup {
       val changed =
         next.join(edges, Seq("u", "v"), "leftanti").limit(1).count() +
           edges.join(next, Seq("u", "v"), "leftanti").limit(1).count()
+      // Round N-1's edge set and the intermediate large-star frame are
+      // dead once the convergence probe ran — release now (the final
+      // round's frame backs the returned labels and stays).
+      graft.Ckpt.release(edges, large)
       edges = next
       converged = changed == 0
       iter += 1
