@@ -210,4 +210,29 @@ class PqStoreSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException](store.postingsAt(0))
       .getMessage.contains("not retained"))
   }
+
+  test("the audit flow: a READ-ONLY reopen serves time travel without fencing the writer") {
+    // The takedown-audit shape end-to-end: the auditor opens the store
+    // read-only (never touching the writer lease) and reads the exact
+    // end-of-generation face, while the active writer keeps folding.
+    val writer = mk()
+    writer.foldBatch(split(0), 0L)
+    val f0 = writer.postings.localCheckpoint(true) // end-of-gen-0 face
+    writer.compact() // generation 1 — generation 0 retained
+    writer.foldBatch(split(1), 1L)
+    // The auditor's journal snapshot resolves at open time — it sees
+    // everything committed so far, including the post-compaction fold.
+    val auditor = PqStore.reopen(
+      spark, writer.storeBase, Dims, M, readOnly = true)
+    assert(symDiff(auditor.postingsAt(0), f0) == 0,
+      "the read-only snapshot must pin the end-of-generation-0 face")
+    assert(symDiff(auditor.postings, writer.postings) == 0,
+      "the read-only live face equals the writer's committed face")
+    // The writer was NOT fenced by the audit — it keeps committing.
+    writer.foldBatch(split(2), 2L)
+    // The auditor cannot mutate anything.
+    intercept[UnsupportedOperationException](
+      auditor.retractBatch(split(1).select("vec_id"), 9L))
+    intercept[UnsupportedOperationException](auditor.vacuum())
+  }
 }
