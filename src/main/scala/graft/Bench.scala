@@ -59,21 +59,13 @@ object Bench {
     // Bench owns the run order, so it releases each memo family right
     // AFTER its last consumer runs (outside the timed window). A release
     // with consumers remaining would only force a rebuild (correctness
-    // is unaffected) — the declared consumer sets below are the same
-    // ones the memo-hit disclosure uses.
+    // is unaffected). The family table lives in SparkEntry — one
+    // definition for Bench AND Verify.
     val selectedNames = selected.map(_._1)
-    val memoFamilies: Seq[(Int, () => Unit)] = Seq[(Set[String], () => Unit)](
-      (graft.queries.PipelineQueries.CcMemoQueries,
-        () => graft.queries.PipelineQueries.releaseDupComponents(spark, sfDir)),
-      (graft.queries.PipelineQueries.ShingleMemoQueries,
-        () => graft.queries.PipelineQueries.releaseDocShingleRows(spark, sfDir)),
-      (graft.queries.PipelineQueries.KnnMemoQueries,
-        () => graft.queries.PipelineQueries.releaseMutualEdgesMemo(spark, sfDir)),
-      (graft.queries.StreamingQueries.CommitMemoQueries,
-        () => graft.dedup.TableCommit.releaseSharedDeploy(
-          spark, s"$sfDir#commit-corpus")))
-      .map { case (qs, f) => (selectedNames.lastIndexWhere(qs.contains), f) }
-      .filter(_._1 >= 0)
+    val memoFamilies: Seq[(Int, () => Unit)] =
+      SparkEntry.memoFamilies(spark, sfDir)
+        .map { case (qs, f) => (selectedNames.lastIndexWhere(qs.contains), f) }
+        .filter(_._1 >= 0)
     val results = selected.zipWithIndex.map { case ((name, fn), qIdx) =>
       // Memo disclosure: the three dup-components-sharing queries are
       // run-order dependent — whichever runs first pays the minhash+CC

@@ -346,7 +346,14 @@ private[graft] final class StoreJournal(
           s"$holder, this writer is $writerId — another writer opened " +
           "this store (single-writer contract); refusing to commit. " +
           "Reopen the store to take over as the sole writer.")
-    // Heartbeat: mtime-only touch (setTimes, no data write).
+    // Heartbeat: mtime-only touch (setTimes, no data write). CAVEAT:
+    // some FileSystem implementations (notably object-store connectors)
+    // inherit Hadoop's no-op setTimes — there the heartbeat is inert and
+    // a polite takeover measures age-since-ACQUISITION, not liveness.
+    // That is inside the journal's already-documented support envelope:
+    // object stores without atomic rename can't host the markers either
+    // (class doc) — on such stores use a coordination service, or
+    // forced takeover with operational discipline.
     try fs.setTimes(p, System.currentTimeMillis(), -1L)
     catch { case _: java.io.IOException => () } // liveness signal is best-effort
   }

@@ -27,18 +27,10 @@ object Verify {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val selectedNames = selected.map(_._1)
-    val memoFamilies: Seq[(Int, () => Unit)] = Seq[(Set[String], () => Unit)](
-      (graft.queries.PipelineQueries.CcMemoQueries,
-        () => graft.queries.PipelineQueries.releaseDupComponents(spark, sfDir)),
-      (graft.queries.PipelineQueries.ShingleMemoQueries,
-        () => graft.queries.PipelineQueries.releaseDocShingleRows(spark, sfDir)),
-      (graft.queries.PipelineQueries.KnnMemoQueries,
-        () => graft.queries.PipelineQueries.releaseMutualEdgesMemo(spark, sfDir)),
-      (graft.queries.StreamingQueries.CommitMemoQueries,
-        () => graft.dedup.TableCommit.releaseSharedDeploy(
-          spark, s"$sfDir#commit-corpus")))
-      .map { case (qs, f) => (selectedNames.lastIndexWhere(qs.contains), f) }
-      .filter(_._1 >= 0)
+    val memoFamilies: Seq[(Int, () => Unit)] =
+      SparkEntry.memoFamilies(spark, sfDir)
+        .map { case (qs, f) => (selectedNames.lastIndexWhere(qs.contains), f) }
+        .filter(_._1 >= 0)
     selected.zipWithIndex.foreach { case ((name, fn), qIdx) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

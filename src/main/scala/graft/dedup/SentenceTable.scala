@@ -102,7 +102,8 @@ class SentenceTable(
   private def writeMeta(): Unit = {
     import spark.implicits._
     Seq((parts, splitRegex)).toDF("parts", "splitRegex")
-      .coalesce(1).write.mode("overwrite").parquet(metaPath)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(journal.staged(metaPath))
   }
   private def validateMeta(): Unit = {
     require(journal.exists(metaPath),
@@ -141,7 +142,8 @@ class SentenceTable(
         .repartition(parts, col("part"))
         .write.mode("overwrite").partitionBy("part")
         .parquet(journal.staged(corpusPath("sh"))))
-    journal.publishStaged(Seq("docs", "sh").map(corpusPath))
+    journal.publishStaged(
+      Seq("docs", "sh").map(corpusPath) :+ metaPath)
     journal.markDeploy()
     corpusBytes = Seq("docs", "sh").map(t => journal.du(corpusPath(t))._1).sum
     idBloom = docs.stat.bloomFilter("id", math.max(1L, docs.count()), 0.01)

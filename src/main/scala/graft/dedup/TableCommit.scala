@@ -234,17 +234,16 @@ class TableCommit(
     * a generation's dirs with ONE lease-checked
     * [[graft.StoreJournal.publishStaged]] right before the marker, so
     * a stale writer's in-flight generation never shadows the current
-    * lease holder's. Returns the FINAL (published) path. */
+    * lease holder's. */
   private def writeCorpus(
       df: DataFrame, t: String, partitioned: Boolean, g: Int,
-      root: String = cRoot): String = {
+      root: String = cRoot): Unit = {
     val dst = s"$root/$t/corpus-g$g"
     val shaped =
       if (partitioned) df.repartition(parts, col("part")) else df
     val wtr = shaped.write.mode("overwrite")
     (if (partitioned) wtr.partitionBy("part") else wtr)
       .parquet(journal.staged(dst))
-    dst
   }
 
   /** Per-fold delta write: ONE plain parquet file (`part` stays a data
@@ -354,7 +353,8 @@ class TableCommit(
     Seq((numHashes, bands, w, simhashBlocks, ngramN, parts, maxShingleDf))
       .toDF("numHashes", "bands", "w", "simhashBlocks", "ngramN", "parts",
         "maxShingleDf")
-      .coalesce(1).write.mode("overwrite").parquet(metaPath)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(journal.staged(metaPath))
   }
   private def validateMeta(): Unit = {
     require(journal.exists(metaPath),
@@ -412,7 +412,8 @@ class TableCommit(
         partitioned = false, 0))
     journal.publishStaged(
       Seq("docs", "fp", "span", "bands", "simhash", "ngramdf",
-        "postings", "sets").map(t => s"$cRoot/$t/corpus-g0") :+ span0Path)
+        "postings", "sets").map(t => s"$cRoot/$t/corpus-g0")
+        :+ span0Path :+ metaPath)
     journal.markDeploy()
     refreshCorpusBytes()
     // Gate Blooms built from the READ-BACK stored tables (columnar
@@ -980,17 +981,23 @@ object TableCommit {
     memo.containsKey((s, key))
 
   /** Release the memoized shared deploy for (session, key): evict the
-    * layer, destroy its span-Bloom broadcast, and delete the corpus
+    * layer, unpersist its span-Bloom broadcast, and delete the corpus
     * temp dir — the memo-lifecycle hook (round-14 VERDICT #2). Safe
-    * only once no [[sharedDeploy]] consumer of this key will run again
-    * this session (stores already handed out keep their own Bloom
-    * copies but read the DELETED corpus dirs lazily — they must be
-    * done too); a later call just redeploys. */
+    * only once every store handed out under this key is DONE: the
+    * fp/id Blooms are per-store deserialized copies, but the span
+    * Bloom broadcast and the corpus parquet dirs are SHARED — a
+    * retained handle would re-broadcast the span Bloom on its next
+    * fold (unpersist, not destroy, exactly so that is a slow path
+    * rather than a crash) but its corpus-layer reads would hit
+    * deleted dirs. A later [[sharedDeploy]] call just redeploys. Any
+    * NEW query that adopts sharedDeploy under a bench-released key
+    * must also join [[graft.queries.StreamingQueries.CommitMemoQueries]]
+    * so the release point moves after it. */
   private[graft] def releaseSharedDeploy(
       s: SparkSession, key: String): Unit = {
     val layer = memo.remove((s, key))
     if (layer != null) {
-      try layer.spanBloom.destroy()
+      try layer.spanBloom.unpersist(blocking = false)
       catch { case scala.util.control.NonFatal(_) => () }
       try {
         val p = new org.apache.hadoop.fs.Path(layer.root)

@@ -218,6 +218,7 @@ class KnnStore(
       corpus: DataFrame,
       centroidIds: Seq[Long]
   ): KnnStore = {
+    journal.requireWritable()
     require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
     Similarity.ensureFunctions(corpus)
     val cent = Ivf.fixedCentroidsDouble(corpus, centroidIds)
@@ -234,8 +235,11 @@ class KnnStore(
     // publish (lease-checked renames) right before the marker.
     centArr.write.mode("overwrite")
       .parquet(journal.staged(corpusPath("cent")))
+    // meta stages too: a fenced writer redeploying with DIFFERENT
+    // geometry must not clobber the live store's validation record.
     Seq((nProbe, k, parts)).toDF("nProbe", "k", "parts")
-      .coalesce(1).write.mode("overwrite").parquet(p("meta"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(journal.staged(p("meta")))
     val c0 = Ivf.prepDouble(corpus)
     val probes = Ivf.knnProbeFrame(c0, centArr, nProbe)
       .withColumn("cell", col("cell").cast("long"))
@@ -258,7 +262,7 @@ class KnnStore(
         .write.mode("overwrite").partitionBy("part")
         .parquet(journal.staged(corpusPath("edges"))))
     journal.publishStaged(
-      Seq("cent", "probes", "asg", "edges").map(corpusPath))
+      Seq("cent", "probes", "asg", "edges").map(corpusPath) :+ p("meta"))
     journal.markDeploy()
     idBloom = asg.stat.bloomFilter(
       "vec_id", math.max(1L, asg.count()), 0.01)

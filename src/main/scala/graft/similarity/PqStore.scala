@@ -103,13 +103,15 @@ class PqStore(
       () => codebooks.write.mode("overwrite")
         .parquet(journal.staged(corpusPath("cb"))),
       () => Seq((dims, m, parts)).toDF("dims", "m", "parts")
-        .coalesce(1).write.mode("overwrite").parquet(p("meta")),
+        .coalesce(1).write.mode("overwrite")
+        .parquet(journal.staged(p("meta"))),
       () => corpusCodes
         .withColumn("part", partOf(col("vec_id")))
         .repartition(parts, col("part"))
         .write.mode("overwrite").partitionBy("part")
         .parquet(journal.staged(corpusPath("codes"))))
-    journal.publishStaged(Seq("cb", "codes").map(corpusPath))
+    journal.publishStaged(
+      Seq("cb", "codes").map(corpusPath) :+ p("meta"))
     journal.markDeploy()
     corpusBytes = journal.du(corpusPath("codes"))._1
     val ids = journal.readOr(corpusPath("codes"), codeSchema)
