@@ -287,18 +287,25 @@ private[graft] final class StoreJournal(
     // below applies here too).
     if (takeoverAfterMs > 0L) {
       val dst0 = hp(s"$leaseDir/owner")
-      if (fs.exists(dst0)) {
-        val holder = readMarker(dst0)
-        val age =
-          System.currentTimeMillis() - fs.getFileStatus(dst0).getModificationTime
-        if (holder != writerId && age < takeoverAfterMs)
-          throw new java.util.ConcurrentModificationException(
-            s"StoreJournal writer lease for $base is held by $holder " +
-              s"with a ${age}ms-old heartbeat (< takeoverAfterMs=" +
-              s"$takeoverAfterMs) — the holder looks alive; refusing " +
-              "the polite takeover. Reopen with takeoverAfterMs=0 to " +
-              "force (fencing still protects committed state).")
-      }
+      // The exists → getFileStatus/readMarker pair has a TOCTOU window:
+      // an incumbent re-swinging the lease file in between raises
+      // FileNotFoundException here, which is just "contended acquire" —
+      // proceed to the atomic claim below (round-15 ADVICE; fencing
+      // protects committed state either way).
+      try {
+        if (fs.exists(dst0)) {
+          val holder = readMarker(dst0)
+          val age =
+            System.currentTimeMillis() - fs.getFileStatus(dst0).getModificationTime
+          if (holder != writerId && age < takeoverAfterMs)
+            throw new java.util.ConcurrentModificationException(
+              s"StoreJournal writer lease for $base is held by $holder " +
+                s"with a ${age}ms-old heartbeat (< takeoverAfterMs=" +
+                s"$takeoverAfterMs) — the holder looks alive; refusing " +
+                "the polite takeover. Reopen with takeoverAfterMs=0 to " +
+                "force (fencing still protects committed state).")
+        }
+      } catch { case _: java.io.FileNotFoundException => () }
     }
     val tmp = hp(s"$leaseDir/owner.$writerId.tmp")
     val out = fs.create(tmp, true)
@@ -354,8 +361,11 @@ private[graft] final class StoreJournal(
     // object stores without atomic rename can't host the markers either
     // (class doc) — on such stores use a coordination service, or
     // forced takeover with operational discipline.
+    // NonFatal, not just IOException: a connector whose setTimes throws
+    // UnsupportedOperationException must degrade to an inert heartbeat,
+    // not crash every commit (round-15 ADVICE).
     try fs.setTimes(p, System.currentTimeMillis(), -1L)
-    catch { case _: java.io.IOException => () } // liveness signal is best-effort
+    catch { case scala.util.control.NonFatal(_) => () } // best-effort liveness
   }
 
   // ---- writer-scoped staging (deterministic generation dirs) ---------
@@ -368,12 +378,18 @@ private[graft] final class StoreJournal(
   def staged(dir: String): String = s"$dir.w${writerId.take(8)}"
 
   /** Publish staged generation dirs into their deterministic names:
-    * ONE lease check, then one (delete +) same-directory rename per
-    * dir — the writes themselves already happened under the staged
-    * names, so the lease-exposed window shrinks from the whole
-    * generation write to these renames. An existing destination is
-    * crash residue of a previous attempt at the SAME generation
-    * (markers gate visibility), deleted before the rename. */
+    * ONE lease check, then per dir a RENAME-ASIDE swap (round-15
+    * ADVICE — the old delete-before-rename left a window where a crash
+    * dropped a non-marker-gated artifact like meta with no copy left):
+    * an existing destination — crash residue of a previous attempt at
+    * the SAME generation (markers gate layer visibility), or the live
+    * previous copy of a non-generation artifact — first renames to a
+    * writer-scoped trash name, then the staged dir renames into place,
+    * then the trash drops. A crash inside the window now leaves the
+    * old copy under `<dst>.t<hex8>` (operator-restorable; the sweeps
+    * collect it as residue otherwise) instead of nothing. The writes
+    * themselves already happened under the staged names, so the
+    * lease-exposed window stays the renames only. */
   def publishStaged(dirs: Seq[String]): Unit = {
     checkLease()
     for (d <- dirs) {
@@ -383,20 +399,28 @@ private[graft] final class StoreJournal(
         throw new java.io.IOException(
           s"publishStaged: staged dir missing: ${staged(d)}")
       val dst = hp(d)
-      if (fs.exists(dst)) fs.delete(dst, true)
+      val trash = hp(s"$d.t${writerId.take(8)}")
+      if (fs.exists(trash)) fs.delete(trash, true)
+      if (fs.exists(dst) && !fs.rename(dst, trash))
+        throw new java.io.IOException(
+          s"publishStaged: rename-aside failed: $d")
       if (!fs.rename(src, dst))
         throw new java.io.IOException(s"publishStaged: rename failed: $d")
+      if (fs.exists(trash)) fs.delete(trash, true)
     }
   }
 
-  /** `corpus-g<N>.w<hex8>` / `delta-g<N>.w<hex8>` — an unpublished
-    * staging dir. Always sweepable garbage when a sweep sees one: the
-    * lease holder publishes (renames) before its marker inside one
-    * synchronized op, so no committed state ever lives under a staged
-    * name. */
-  private def isStagedName(name: String): Boolean =
-    StagedRe.findFirstIn(name).isDefined
+  /** `<dir>.w<hex8>` — an unpublished writer-scoped staging dir — or
+    * `<dir>.t<hex8>` — a publish's rename-aside trash. Always sweepable
+    * garbage when a sweep sees one: the lease holder publishes
+    * (renames) before its marker inside one synchronized op and drops
+    * its trash right after, so no committed state ever lives under
+    * either suffix. */
+  private def isResidueName(name: String): Boolean =
+    StagedRe.findFirstIn(name).isDefined ||
+      TrashRe.findFirstIn(name).isDefined
   private val StagedRe = "\\.w[0-9a-f]{8}$".r
+  private val TrashRe = "\\.t[0-9a-f]{8}$".r
 
   reload()
   if (!readOnly) acquireLease()
@@ -565,10 +589,11 @@ private[graft] final class StoreJournal(
     for (t <- tables; d <- listChildDirs(s"$base/$t")) {
       val name = d.substring(d.lastIndexOf('/') + 1)
       val isLayer = name.startsWith("corpus-g") || name.startsWith("delta-g")
-      if (isLayer && isStagedName(name)) delete(d) // unpublished staging residue
+      if (isLayer && isResidueName(name)) delete(d) // staging/trash residue
       else if (isLayer && !keep.exists(name.endsWith) && aged(genOfLayer(name)))
         delete(d)
     }
+    sweepBaseResidue()
     for (d <- listChildDirs(s"$base/_batches")) {
       val name = d.substring(d.lastIndexOf('/') + 1)
       if (name != s"g$gen" && name != s"g${gen - 1}" &&
@@ -631,6 +656,22 @@ private[graft] final class StoreJournal(
     if (crashAt.contains(name))
       throw new IllegalStateException(s"injected crash at $name")
 
+  /** Sweep staged/trash residue of NON-GENERATION artifacts at the
+    * store's top level — `meta.w<hex8>`, `span0.w<hex8>`, `<x>.t<hex8>`
+    * left by a crashed or fenced deploy/publish (round-15 ADVICE: the
+    * layer-dir sweeps never matched them, so they accumulated on disk
+    * forever). Live artifacts never carry either suffix (the lease
+    * holder publishes before its marker inside one synchronized op),
+    * so any suffixed top-level entry is garbage by construction. */
+  private def sweepBaseResidue(): Long = {
+    var removed = 0L
+    for (d <- listChildDirs(base)) {
+      val name = d.substring(d.lastIndexOf('/') + 1)
+      if (isResidueName(name)) { delete(d); removed += 1 }
+    }
+    removed
+  }
+
   private def listChildDirs(path: String): Seq[String] = {
     val fs = fsOf(path)
     if (!fs.exists(hp(path))) Seq.empty
@@ -667,12 +708,13 @@ private[graft] final class StoreJournal(
     def aged(g: Int): Boolean = sweepable(g, mtimes, cutoff)
     def genOfLayer(name: String): Int =
       name.substring(name.lastIndexOf("-g") + 2).toInt
+    removed += sweepBaseResidue()
     for (t <- tables) {
       for (d <- listChildDirs(s"$base/$t")) {
         val name = d.substring(d.lastIndexOf('/') + 1)
         val isLayer = name.startsWith("corpus-g") || name.startsWith("delta-g")
-        if (isLayer && isStagedName(name)) {
-          delete(d); removed += 1 // unpublished staging residue
+        if (isLayer && isResidueName(name)) {
+          delete(d); removed += 1 // staging/trash residue
         } else if (isLayer && !name.endsWith(genSuffix) && aged(genOfLayer(name))) {
           delete(d); removed += 1
         }

@@ -69,6 +69,29 @@ class StoreVacuumSpec extends SparkSuite {
       plain.committedFingerprints) == 0, "faces after post-compact vacuum")
   }
 
+  test("sweeps collect staged/trash residue of NON-generation artifacts (meta.w*, *.t*)") {
+    // A crashed or fenced deploy leaves `meta.w<hex8>` / `span0.w<hex8>`
+    // at the store's TOP level, and a crashed publish leaves
+    // `<dst>.t<hex8>` — none match the layer-dir patterns the sweeps
+    // used to key on, so they accumulated forever (round-15 ADVICE).
+    val base = java.nio.file.Files.createTempDirectory("graft_vac_res_")
+    val store = new TableCommit(spark, base.toString, 8, 4, 8)
+      .deploy(corpus, "doc_id", "text")
+    val before = store.committedFingerprints.count()
+    for (n <- Seq("meta.wdeadbeef", "span0.w01234567", "meta.t89abcdef")) {
+      val d = base.resolve(n)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.writeString(d.resolve("junk.parquet"), "x")
+    }
+    assert(store.vacuum() == 3L, "exactly the three residue dirs")
+    for (n <- Seq("meta.wdeadbeef", "span0.w01234567", "meta.t89abcdef"))
+      assert(!java.nio.file.Files.exists(base.resolve(n)), s"$n not swept")
+    assert(java.nio.file.Files.exists(base.resolve("meta")),
+      "live meta must survive the residue sweep")
+    assert(store.committedFingerprints.count() == before,
+      "committed face unchanged by the residue sweep")
+  }
+
   test("KnnStore vacuum collects crash residue and leaves the graph intact") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
