@@ -107,6 +107,16 @@ object Bench {
         if (lastIdx == qIdx) release()
       }
       spark.catalog.clearCache()
+      // Streaming state-store providers are unloaded only by their
+      // periodic maintenance task, so each q_stream_* query's loaded
+      // providers linger as heap highwater long after the query
+      // finishes (round-15 driver record: last-third max 929 MB vs
+      // 455 first-third). Unload them NOW, the way memo families are
+      // evicted — StateStore.get restarts maintenance lazily, so the
+      // next streaming query is unaffected. No-op (one map check) for
+      // non-streaming queries; never let the unload fail the bench.
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
       System.gc()
       // Post-GC used heap — the session-accumulation signal the memo/
       // checkpoint lifecycle exists to flatten: if blocks leak, this
@@ -174,8 +184,15 @@ object Bench {
         .map(t => (med(t), t.max)).padTo(3, (0L, 0L)).take(3)
     val heapJson = heapThirds
       .map { case (m, x) => s"[$m,$x]" }.mkString("[", ",", "]")
+    // LEAK CANARY (round-15 VERDICT #5): the Ckpt/memo release
+    // discipline is call-site manual — one future query that forgets
+    // its release point re-creates the round-14 accumulation record.
+    // Count the RDDs still persisted after the whole run's releases
+    // and GC settled; the per-round bench JSON pins it ≈0, so a leak
+    // shows up as a number, not as mysterious slowdowns a round later.
+    val liveRdds = Ckpt.settledPersistentCount(spark.sparkContext)
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"breaches":$breachJson,"memo_hits":$memoHits,"heap_highwater_mb_thirds":$heapJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"breaches":$breachJson,"memo_hits":$memoHits,"heap_highwater_mb_thirds":$heapJson,"live_persisted_rdds":$liveRdds,"sf":"$sfDir"}"""
     println(fullJson)
     // The driver's stdout capture keeps only a ~2000-char tail, which
     // truncates the per-query map once the surface passes ~50 queries —
@@ -205,7 +222,7 @@ object Bench {
     // Distinct metric name: a consumer keying on "total" must never see two
     // records per run (the full line above is the "total" contract; this
     // headline is the truncation-proof summary).
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":$nOk,"worst5":$worst5,"failed":$failed,"n_breaches":${breaches.size},"heap_highwater_mb_thirds":$heapJson,"memo_hits":$memoHits,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":$nOk,"worst5":$worst5,"failed":$failed,"n_breaches":${breaches.size},"heap_highwater_mb_thirds":$heapJson,"live_persisted_rdds":$liveRdds,"memo_hits":$memoHits,"sf":"$sfDir"}""")
     spark.stop()
     if (breaches.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_ENFORCE").contains("1"))
       sys.exit(2)

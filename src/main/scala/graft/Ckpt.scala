@@ -35,4 +35,29 @@ object Ckpt {
       case _ => ()
     }
   }
+
+  /** LEAK CANARY — the count of RDDs still registered as persisted
+    * once GC + the async ContextCleaner have settled. The release
+    * discipline this object documents is call-site manual; nothing
+    * structural stops a future query from leaking a localCheckpoint
+    * frame for the session lifetime (the round-14 bench record's
+    * mechanism). This counter makes the discipline CHECKABLE: Bench
+    * emits it in the per-round JSON (pinned ≈0), and CkptCanarySpec
+    * fails if a store/query sequence leaves blocks behind. Unreferenced
+    * frames that were never explicitly released need the cleaner to
+    * notice their GC first, so the count is polled until stable or
+    * `deadlineMs` passes — a true leak (strongly-referenced blocks)
+    * never drops, which is exactly the signal. */
+  def settledPersistentCount(
+      sc: org.apache.spark.SparkContext,
+      deadlineMs: Long = 15000L): Int = {
+    val t0 = System.currentTimeMillis()
+    var n = sc.getPersistentRDDs.size
+    while (n > 0 && System.currentTimeMillis() - t0 < deadlineMs) {
+      System.gc() // enqueue unreachable RDD weak refs for the cleaner
+      Thread.sleep(250L)
+      n = sc.getPersistentRDDs.size
+    }
+    n
+  }
 }

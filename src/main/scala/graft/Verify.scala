@@ -40,6 +40,11 @@ object Verify {
       memoFamilies.foreach { case (lastIdx, release) =>
         if (lastIdx == qIdx) release()
       }
+      // Same streaming state-store unload as Bench: the providers'
+      // maintenance-interval lifecycle otherwise holds each q_stream_*
+      // query's state in heap for the rest of the 265-query dump.
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
