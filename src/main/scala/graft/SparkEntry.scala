@@ -243,6 +243,8 @@ object SparkEntry {
     "q_stream_index_commit" -> (StreamingQueries.streamIndexCommit _),
     "q_stream_index_compact" -> (StreamingQueries.streamIndexCompact _),
     "q_stream_index_refresh" -> (StreamingQueries.streamIndexRefresh _),
+    "q_stream_index_refresh_subs" ->
+      (StreamingQueries.streamIndexRefreshSubs _),
     "q_stream_index_retract" -> (StreamingQueries.streamIndexRetract _),
     "q_stream_knn" -> (StreamingQueries.streamKnn _),
     "q_stream_knn_compact" -> (StreamingQueries.streamKnnCompact _),
@@ -727,6 +729,8 @@ object SparkEntry {
     "q_stream_index_commit" -> StreamingQueries.streamIndexCommitOracle,
     "q_stream_index_compact" -> StreamingQueries.streamIndexCompactOracle,
     "q_stream_index_refresh" -> StreamingQueries.streamIndexRefreshOracle,
+    "q_stream_index_refresh_subs" ->
+      StreamingQueries.streamIndexRefreshSubsOracle,
     "q_stream_index_retract" -> StreamingQueries.streamIndexRetractOracle,
     "q_stream_knn" -> StreamingQueries.streamKnnOracle,
     "q_stream_knn_compact" -> StreamingQueries.streamKnnCompactOracle,

@@ -4791,7 +4791,14 @@ object PipelineQueries {
       // statement over the training/encode CTEs (`encoded` is defined
       // before it runs) — the commit face reads the postings themselves,
       // not a search over them.
-      finalSelect: Option[String] = None): String = {
+      finalSelect: Option[String] = None,
+      // Subspaces whose chain trains on the SURVIVOR set (`retrainWhere`)
+      // instead of the corpus, with NO frozen-codebook batch encode —
+      // the subspace-scoped partial-refresh face
+      // ([[graft.similarity.PqStore.refreshSubspaces]]). Empty = the
+      // classic all-corpus-trained generator, byte-identical output.
+      retrainSubs: Set[Int] = Set.empty,
+      retrainWhere: String = ""): String = {
     val ids = IvfCentroidIds.mkString(", ")
     val subDim = EmbDims / PqM
     val dist =
@@ -4814,12 +4821,25 @@ object PipelineQueries {
            |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
            |  FROM embeddings$bw)""".stripMargin)
     }
+    if (retrainSubs.nonEmpty) {
+      // The survivor training set of the RETRAINED subspaces' chains.
+      sb.append(
+        s""",
+           |sq AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+           |  FROM embeddings$retrainWhere)""".stripMargin)
+    }
     for (s <- 0 until PqM) {
+      // A retrained subspace's whole chain — seeds, Lloyd iterations,
+      // final assignment — runs over the survivor set; a kept one over
+      // the corpus exactly as before.
+      val trainSrc = if (retrainSubs(s)) "sq" else "q"
       sb.append(
         s""",
            |p${s}q AS (
            |  SELECT vec_id, list_slice(qe, ${s * subDim + 1}, ${(s + 1) * subDim}) AS qe
-           |  FROM q),
+           |  FROM $trainSrc),
            |p${s}c0 AS (
            |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, qe AS ce
            |  FROM p${s}q WHERE vec_id IN ($ids))""".stripMargin)
@@ -4848,7 +4868,9 @@ object PipelineQueries {
     // FINAL training assignment ranked with (the `centPrev` convention
     // of the Spark plan), never the post-update one.
     if (batchWhere.isDefined) {
-      for (s <- 0 until PqM) {
+      // Retrained subspaces never batch-encode — their survivor-trained
+      // chain already covers every vector.
+      for (s <- 0 until PqM if !retrainSubs(s)) {
         sb.append(
           s""",
              |p${s}bq AS (
@@ -4865,7 +4887,8 @@ object PipelineQueries {
     val encUnion = ((0 until PqM)
       .map(s => s"SELECT $s AS sub, vec_id, code FROM p${s}a$PqIters") ++
       (if (batchWhere.isDefined)
-        (0 until PqM).map(s => s"SELECT $s AS sub, vec_id, code FROM p${s}b")
+        (0 until PqM).filterNot(retrainSubs)
+          .map(s => s"SELECT $s AS sub, vec_id, code FROM p${s}b")
       else Nil))
       .mkString(" UNION ALL ")
     finalSelect.foreach { fs =>
@@ -5223,6 +5246,26 @@ object PipelineQueries {
     "", None,
     finalSelect =
       Some("SELECT vec_id, sub, code FROM encoded ORDER BY vec_id, sub"))
+
+  /** The subspaces q_stream_index_refresh_subs retrains — the set a
+    * per-`sub` distortion monitor (q_pq_distortion) would flag. */
+  val PqRefreshSubs: Seq[Int] = Seq(1, 3)
+
+  /** Oracle of the SUBSPACE-SCOPED partially-refreshed index
+    * ([[graft.similarity.PqStore.refreshSubspaces]]): the KEPT
+    * subspaces (0, 2) recompute the classic chain — corpus-trained
+    * codebooks, corpus codes, frozen-codebook batch encode — while the
+    * RETRAINED subspaces (1, 3) recompute a survivor-trained chain
+    * over the full final table with no batch encode. Hash-matching the
+    * store pins BOTH halves cross-engine: the carry is bit-exact and
+    * the partial retrain equals a from-scratch survivor build. */
+  def indexRefreshSubsOracle: String = pqOracleSql(
+    s" WHERE vec_id % $SemIncMod <> $SemIncResidue",
+    Some(s" WHERE vec_id % $SemIncMod = $SemIncResidue"),
+    finalSelect =
+      Some("SELECT vec_id, sub, code FROM encoded ORDER BY vec_id, sub"),
+    retrainSubs = PqRefreshSubs.toSet,
+    retrainWhere = "")
 
   /** PQ QUANTIZATION-DISTORTION monitor
     * ([[graft.similarity.Ivf.pqDistortion]]) over the deployed index

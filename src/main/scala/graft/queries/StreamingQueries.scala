@@ -1831,6 +1831,45 @@ object StreamingQueries {
 
   def streamIndexRefreshOracle: String = PipelineQueries.indexRefreshOracle
 
+  /** STREAMING ANN-index SUBSPACE-SCOPED PARTIAL RETRAIN
+    * ([[graft.similarity.PqStore.refreshSubspaces]]) — the PQ analogue
+    * of q_stream_knn_refresh_cells, oracle-checked end-to-end: the
+    * store deploys on corpus-trained codebooks, the arrival stream
+    * folds in under them, and then ONLY the distortion-flagged
+    * subspaces ([[PipelineQueries.PqRefreshSubs]]) retrain over the
+    * survivors and re-encode; the kept subspaces' codebooks and code
+    * rows carry forward BY VALUE (one vector's rows in subspace s
+    * depend only on its own slice and codebook s — the carry is
+    * provably exact). The committed face must equal DuckDB's
+    * recomputation of the MIXED chains (kept: corpus-train +
+    * frozen-encode; retrained: survivor-train), so both the carry and
+    * the partial retrain are hash-checked cross-engine. */
+  def streamIndexRefreshSubs(s: SparkSession, d: String): DataFrame = {
+    import PipelineQueries.{
+      SemIncMod, SemIncResidue, IvfCentroidIds, PqIters, PqRefreshSubs}
+    val store = deployedPqStore(s, d)
+    val arrivals = StreamingOps
+      .readEmbeddings(s, embeddingsStreamDir(d))
+      .filter(col("vec_id") % SemIncMod === SemIncResidue)
+      .select("vec_id", "embedding")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = arrivals.writeStream
+        .foreachBatch((b: DataFrame, id: Long) => store.foldBatch(b, id))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    store.refreshSubspaces(
+      Tables.embeddings(s, d), PqRefreshSubs, IvfCentroidIds, PqIters)
+    store.postings.orderBy("vec_id", "sub")
+  }
+
+  def streamIndexRefreshSubsOracle: String =
+    PipelineQueries.indexRefreshSubsOracle
+
   /** STREAMING ANN-index TAKEDOWN — the retraction face of
     * [[streamIndexCommit]] on the TABLE-BACKED posting store
     * ([[graft.similarity.PqStore.retractBatch]]): one live stream

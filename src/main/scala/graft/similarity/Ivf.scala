@@ -1108,6 +1108,30 @@ object Ivf {
     (centPrev, codes)
   }
 
+  /** SUBSPACE-SCOPED [[pqArtifacts]] — the partial-retrain face
+    * ([[graft.similarity.PqStore.refreshSubspaces]]): codebooks train
+    * and vectors encode for ONLY the subspaces in `subs`, at
+    * |subs|/m of the full build's cost (the subspace explode prunes
+    * every other slice before any training work reaches an executor).
+    * The PQ subspace chains are INDEPENDENT by construction — each
+    * trains on its own `dims/m`-wide slice, keyed by `sub` — so the
+    * restricted run equals the full [[pqArtifacts]] filtered to
+    * `subs`, row for row (PqStoreSpec pins it). Returns (codebooks,
+    * codes) restricted to `subs`; seeding/numbering identical to the
+    * full build. */
+  private[graft] def pqArtifactsForSubs(
+      corpus: DataFrame,
+      centroidIds: Seq[Long],
+      dims: Int,
+      m: Int,
+      iters: Int,
+      subs: Seq[Int]
+  ): (DataFrame, DataFrame) = {
+    val (_, centPrev, codes) =
+      pqTrain(corpus, centroidIds, dims, m, iters, Some(subs))
+    (centPrev, codes)
+  }
+
   /** Frozen-codebook encode: a |vectors|×K broadcast assignment per
     * subspace — per-vector map work, no training, no corpus scan.
     * Extracted from [[pqPlan]]'s batch branch so the incremental search
@@ -1241,14 +1265,15 @@ object Ivf {
       centroidIds: Seq[Long],
       dims: Int,
       m: Int,
-      iters: Int
+      iters: Int,
+      subs: Option[Seq[Int]] = None
   ): (DataFrame, DataFrame, DataFrame) =
     pqTrainOnMicros(
       corpus.select(
         col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
           .as("qe")),
-      centroidIds, dims, m, iters)
+      centroidIds, dims, m, iters, subs)
 
   /** [[pqTrain]]'s core over an already-micros `(vec_id, qe)` frame —
     * exposed separately so [[ivfPqResidualTopK]] can train codebooks on
@@ -1258,19 +1283,28 @@ object Ivf {
       centroidIds: Seq[Long],
       dims: Int,
       m: Int,
-      iters: Int
+      iters: Int,
+      // Restrict training/encode to these subspaces (the partial-refresh
+      // face); None = all m. The subspace chains are keyed-independent
+      // (the `sub` join key below), so the restricted run equals the
+      // full run filtered to these subs — PqStoreSpec pins it.
+      subsArg: Option[Seq[Int]] = None
   ): (DataFrame, DataFrame, DataFrame) = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     require(iters >= 1, s"pqTopK needs at least one training iteration, got $iters")
+    val subs = subsArg.getOrElse(0 until m).sorted
+    require(subs.nonEmpty && subs.forall(s => s >= 0 && s < m),
+      s"subspace restriction $subs out of range [0, $m)")
     val subDim = dims / m
     val spark = qm.sparkSession
     import spark.implicits._
-    // ALL m subspace trainings run as ONE keyed plan — the subspace is
-    // just another grouping key. (An earlier form ran m separate
-    // lloydIntTrain pipelines: m× the corpus scans and checkpoint jobs
-    // for identical math; the join on `sub` below keeps the subspaces'
-    // Lloyd iterations exactly as independent as separate runs.)
-    val subStructs = (0 until m)
+    // ALL requested subspace trainings run as ONE keyed plan — the
+    // subspace is just another grouping key. (An earlier form ran m
+    // separate lloydIntTrain pipelines: m× the corpus scans and
+    // checkpoint jobs for identical math; the join on `sub` below keeps
+    // the subspaces' Lloyd iterations exactly as independent as
+    // separate runs.)
+    val subStructs = subs
       .map(s =>
         s"struct(CAST($s AS INT) AS sub, slice(qe, ${s * subDim + 1}, $subDim) AS qe)")
       .mkString(", ")
@@ -1288,10 +1322,11 @@ object Ivf {
     // Same missing-seed guard as requireCentroidsResolve, on the m×K
     // codebook frame the join just built.
     val resolved = cent.count()
-    require(resolved == m.toLong * centroidIds.size,
-      s"IVF-PQ: ${m.toLong * centroidIds.size - resolved} of " +
-        s"${m * centroidIds.size} (sub, seed) codebook rows are missing " +
-        "from the corpus; code numbering would diverge from the oracle")
+    require(resolved == subs.size.toLong * centroidIds.size,
+      s"IVF-PQ: ${subs.size.toLong * centroidIds.size - resolved} of " +
+        s"${subs.size * centroidIds.size} (sub, seed) codebook rows are " +
+        "missing from the corpus; code numbering would diverge from the " +
+        "oracle")
     var asg: DataFrame = null
     // The codebook the FINAL training assignment ranked against (the
     // value of `cent` entering the last iteration) — batch vectors must

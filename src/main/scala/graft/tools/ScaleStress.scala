@@ -1307,6 +1307,111 @@ object ScaleStress {
         "change — partial cost should track the affected fraction")
     }
 
+    // Round-16: the partial-refresh WIN regime + the regime guard —
+    // §6's r15 rows measured only the LOSING (uniform-drift) side:
+    // replacements far from the old centroids perturb nearly every
+    // query's top-nProbe ranking, so the carry path re-scored
+    // everything plus bookkeeping. This stage measures the crossover
+    // from BOTH sides:
+    //   (a) CLUSTERED drift — each replacement is the surviving stored
+    //       vector NEAREST to its old centroid (computed here, not
+    //       assumed), so probe-set changes stay local to the drifted
+    //       cells and the affected fraction is small by construction:
+    //       partial should now beat the full rebuild;
+    //   (b) UNIFORM drift under the DEFAULT guard — refreshCells
+    //       computes the affected fraction first and falls back to the
+    //       from-scratch edge build above 50%, so the r15 penalty
+    //       (full cost + carry bookkeeping) should collapse to ≈ full.
+    // Measurement note (first r16 attempt): on the SYNTHETIC UNIFORM
+    // sf0.1 embeddings even the stored vector NEAREST to a drifted
+    // centroid is no "small move" — high-dim uniform distances
+    // concentrate, so 2 nearest-member replacements still flipped
+    // 97.3% of probe sets (1946/2000 affected, 53/64 cells with
+    // membership churn). The win regime REQUIRES genuinely clustered
+    // geometry — which is the production case (real embedding spaces
+    // are clustered; that is why IVF works at all) — so this stage
+    // builds one: 64 well-separated synthetic clusters (center scale
+    // 10, intra-cluster noise 0.01), drift = re-pointing 2 cells'
+    // centroids to OTHER MEMBERS OF THE SAME CLUSTER.
+    if (only.forall(sel =>
+        "r16 partial refresh crossover: clustered guard".contains(sel))) {
+      // Sized so the EDGE RE-SCORE dominates (the cost the carry path
+      // exists to avoid): 60k vectors × 64 dims × 16 cells → ~3.7k
+      // members/cell, so the full rebuild's score join is ~29G
+      // multiply-adds while the corpus-wide probe/assignment recompute
+      // BOTH paths share is ~500× smaller (60k × 16 centroids). An
+      // earlier 64-cell attempt showed the tie regime honestly: there
+      // the shared re-quantization dominates and partial ≈ full even
+      // at 0 affected (13.05 vs 12.83 s) — the win requires the
+      // re-score to be the big term, which is exactly the
+      // many-members-per-cell shape a 100 TB IVF runs at. Noise 0.5
+      // against center scale 10 keeps clusters unambiguous but lets
+      // boundary queries genuinely flip.
+      val nVec = 60000L
+      val kCells = 16
+      val clustered = spark.range(nVec).select(
+        col("id").as("vec_id"),
+        expr(s"transform(sequence(1, 64), j -> CAST(" +
+          s"10.0 * sin((id % $kCells) * (j * 2.3 + 1.0) + j) + " +
+          "0.5 * sin(id * 0.7 + j * 1.3) AS DOUBLE))").as("embedding"))
+        .localCheckpoint(true)
+      // One seed per cluster: vec_id 0..63 (id % 64 == id there).
+      val seeds = (0L until kCells.toLong)
+      def prepped(tag: String): graft.similarity.KnnStore = {
+        var st: graft.similarity.KnnStore = null
+        time(s"r16 crossover deploy [$tag]") {
+          st = new graft.similarity.KnnStore(
+            spark,
+            java.nio.file.Files
+              .createTempDirectory(s"graft_stress_xover_$tag").toString,
+            nProbe = 2, k = 4)
+            .deploy(clustered, seeds)
+        }
+        st
+      }
+      // Intra-cluster drift: cells 5 and 11 re-point to members 21 and
+      // 27 (same clusters: 21 % 16 = 5, 27 % 16 = 11).
+      val repl = Map(5L -> 21L, 11L -> 27L)
+      val pc = prepped("part")
+      var counts = (0L, 0L)
+      time("r16 crossover CLUSTERED refreshCells (default guard)") {
+        counts = pc.refreshCells(repl)
+      }
+      println(f"[stress] r16 crossover clustered affected ${counts._1}%d " +
+        f"of $nVec%d queries (${100.0 * counts._1 / nVec}%.1f%%), " +
+        f"${counts._2}%d cells moved members")
+      val fc = prepped("full")
+      val mixedIds = seeds.map(id => repl.getOrElse(id, id))
+      time("r16 crossover CLUSTERED full refresh (same mixed set)") {
+        fc.refresh(mixedIds)
+      }
+      // (b) uniform drift under the DEFAULT guard, on the real sf0.1
+      // embeddings (the r15 losing fixture): the affected fraction
+      // trips the 50% guard, so the cost should collapse to ≈ the full
+      // rebuild instead of r15's full + carry bookkeeping.
+      val embAll = spark.read
+        .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val canonIds = (0 until 64).map(_ * 27L)
+      var ug: graft.similarity.KnnStore = null
+      time("r16 crossover uniform deploy+fold") {
+        ug = new graft.similarity.KnnStore(
+          spark,
+          java.nio.file.Files
+            .createTempDirectory("graft_stress_xover_unif").toString,
+          nProbe = 2, k = 4)
+          .deploy(embAll.filter(col("vec_id") % 9 =!= 8), canonIds)
+        ug.foldBatch(
+          embAll.filter(col("vec_id") % 9 === 8)
+            .select("vec_id", "embedding"), 0L)
+      }
+      time("r16 crossover UNIFORM refreshCells (default guard=0.5)") {
+        counts = ug.refreshCells(Map(5L -> 500L, 40L -> 700L))
+      }
+      println(f"[stress] r16 crossover uniform affected ${counts._1}%d " +
+        "(guard should have taken the full-rebuild path)")
+      graft.Ckpt.release(clustered)
+    }
+
     // Round-14: the REFRESH axis — retrain-and-swap cost in context.
     // A refresh re-derives the full index over the survivors
     // (retraining IS a rebuild — that is why it is the deliberate,

@@ -421,4 +421,28 @@ class KnnStoreSpec extends SparkSuite {
     assert(edges(store.directedEdges) == edges(twin.directedEdges),
       "post-partial-refresh folds must land on the mixed-geometry twin")
   }
+
+  test("the regime guard's full-rebuild fallback commits the SAME face as the partial carry path") {
+    // fullRebuildFraction = 0 forces the fallback (any affected count
+    // trips it); > 1 forces the carry path regardless of drift. Both
+    // must commit the identical mixed-centroid face — the guard is a
+    // cost decision, never a semantic one (round-15 VERDICT #2).
+    val corpus = emb.filter(col("vec_id") % 9 =!= 8)
+    def prepped(tag: String) = {
+      val s = new KnnStore(
+        spark,
+        java.nio.file.Files.createTempDirectory(tag).toString,
+        nProbe = 2, k = k)
+        .deploy(corpus, centroidIds)
+      s.foldBatch(emb.filter(col("vec_id") % 9 === 8), 0L)
+      s
+    }
+    val viaFull = prepped("graft_knn_guard_f_")
+    val viaPartial = prepped("graft_knn_guard_p_")
+    val repl = Map(2L -> 19L, 5L -> 41L)
+    viaFull.refreshCells(repl, fullRebuildFraction = 0.0)
+    viaPartial.refreshCells(repl, fullRebuildFraction = 2.0)
+    assert(edges(viaFull.directedEdges) == edges(viaPartial.directedEdges),
+      "guarded fallback and forced-partial faces diverged")
+  }
 }

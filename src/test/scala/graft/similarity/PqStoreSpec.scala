@@ -165,6 +165,55 @@ class PqStoreSpec extends SparkSuite {
       .getMessage.contains("missing from the embedding source"))
   }
 
+  test("subspace-scoped partial refresh carries kept subs by value and equals the mixed from-scratch build") {
+    // The PQ analogue of KnnStore.refreshCells (round-15 VERDICT #3):
+    // only subspaces 1 and 3 retrain over the survivors; 0 and 2 carry
+    // their codebooks AND code rows forward verbatim. The subspace
+    // chains are independent, so the expected face composes from two
+    // from-scratch builds: the retrained subs of a survivor-trained
+    // full build, plus the pre-refresh postings of the kept subs.
+    val retrained = Seq(1, 3)
+    val store = mk()
+    store.foldBatch(batch, 0L)
+    val del = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    store.retractBatch(del, 1L)
+    val preKept = store.postings.filter(!col("sub").isin(1, 3))
+      .localCheckpoint(true)
+    store.refreshSubspaces(emb, retrained, centroidIds, 2)
+    val survivors = emb.filter(col("vec_id") % 10 =!= 3)
+    // Law 1: the restricted trainer == the full trainer filtered.
+    val (cbFull, codesFull) =
+      Ivf.pqArtifacts(survivors, centroidIds, Dims, M, 2)
+    val (cbSub, codesSub) =
+      Ivf.pqArtifactsForSubs(survivors, centroidIds, Dims, M, 2, retrained)
+    assert(symDiff(cbSub, cbFull.filter(col("sub").isin(1, 3))) == 0,
+      "subspace-restricted codebooks must equal the full train filtered")
+    assert(symDiff(codesSub, codesFull.filter(col("sub").isin(1, 3))) == 0,
+      "subspace-restricted codes must equal the full train filtered")
+    // Law 2: the committed face is exactly carry ∪ retrain.
+    assert(symDiff(store.postings,
+      preKept.unionByName(codesSub)) == 0,
+      "partial-refresh face must be kept-subs carry ∪ retrained-subs build")
+    // Law 3: later folds encode under the MIXED codebooks, across a
+    // reopen — pinned against a twin deployed directly on the mixed
+    // artifacts.
+    val (cbCorpus, _) = artifacts
+    val cbMixed = cbCorpus.filter(!col("sub").isin(1, 3))
+      .unionByName(cbFull.filter(col("sub").isin(1, 3)))
+    val twin = new PqStore(
+      spark,
+      java.nio.file.Files.createTempDirectory("graft_pq_mixed_").toString,
+      Dims, M).deploy(
+      preKept.unionByName(codesSub).select("vec_id", "sub", "code"),
+      cbMixed)
+    val more = batch.withColumn("vec_id", col("vec_id") + 1000000L)
+    val r = PqStore.reopen(spark, store.storeBase, Dims, M)
+    r.foldBatch(more, 2L)
+    twin.foldBatch(more, 2L)
+    assert(symDiff(r.postings, twin.postings) == 0,
+      "post-partial-refresh folds must encode under the mixed codebooks")
+  }
+
   test("a crash on either side of the refresh marker reopens to one consistent (codebooks, postings) pair") {
     val del = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
     def prep(): PqStore = {
