@@ -108,7 +108,7 @@ class SentenceTable(
   private def validateMeta(): Unit = {
     require(journal.exists(metaPath),
       s"SentenceTable.reopen: no store at $base (missing meta)")
-    val mt = spark.read.parquet(metaPath).head()
+    val mt = spark.read.parquet(journal.resolve(metaPath)).head()
     val (sp, sr) = (mt.getAs[Int]("parts"), mt.getAs[String]("splitRegex"))
     require(sp == parts && sr == splitRegex,
       s"SentenceTable.reopen: stored geometry (parts=$sp, " +
@@ -249,7 +249,7 @@ class SentenceTable(
     * instead of serving an empty frame (round-14 VERDICT missing #3). */
   def presentHashesAt(g: Int): DataFrame = {
     val dir = s"$base/sh/corpus-g$g"
-    require(journal.exists(dir),
+    require(journal.existsAt(dir, g),
       s"SentenceTable.presentHashesAt($g): generation $g is not " +
         "retained (GC'd or vacuumed) — raise gcRetainMs / vacuum " +
         "retainMs to pin it")

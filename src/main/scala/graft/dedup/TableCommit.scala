@@ -164,6 +164,9 @@ class TableCommit(
   // ---- journal (two-phase commit discipline: graft.StoreJournal) ----
   private val journal =
     new graft.StoreJournal(spark, base, readOnly, takeoverAfterMs)
+  // A sharing store's shared-layer reads resolve through the OWNER's
+  // manifest in caslog mode (no-op under the rename protocol).
+  corpusRoot.foreach(journal.registerForeignRoot)
 
   /** The shared corpus layer is IMMUTABLE (a sharing store never
     * rewrites it), so its generation is pinned at deploy time; a
@@ -359,7 +362,7 @@ class TableCommit(
   private def validateMeta(): Unit = {
     require(journal.exists(metaPath),
       s"TableCommit.reopen: no store at $cRoot (missing meta)")
-    val mt = spark.read.parquet(metaPath).head()
+    val mt = spark.read.parquet(journal.resolve(metaPath)).head()
     val stored = (mt.getAs[Int]("numHashes"), mt.getAs[Int]("bands"),
       mt.getAs[Int]("w"), mt.getAs[Int]("simhashBlocks"),
       mt.getAs[Int]("ngramN"), mt.getAs[Int]("parts"))
@@ -693,7 +696,7 @@ class TableCommit(
         "supported on a sharing store (its baseline lives in the " +
         "shared layer)")
     val dir = s"$base/fp/corpus-g$g"
-    require(journal.exists(dir),
+    require(journal.existsAt(dir, g),
       s"TableCommit.committedFingerprintsAt($g): generation $g is not " +
         "retained (GC'd or vacuumed) — raise gcRetainMs / vacuum " +
         "retainMs to pin it")
