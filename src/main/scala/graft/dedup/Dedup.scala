@@ -22,6 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** A NARROW source spread to the session's core count before a heavy
+    * per-row pass (round-16, guide §2.5 "input skew: fix at the source
+    * or repartition immediately after the read"): the fixture corpus is
+    * one single-row-group parquet file, so every scan is ONE partition
+    * and the md5/shingle/signature map work of a whole corpus runs on
+    * one core no matter how many the session has. The exchange carries
+    * the raw (id, text)-shaped rows — trivial next to the per-row
+    * digests it unlocks. Deterministically keyed by the first column
+    * (the id in every builder here; guide §2.5 warns off rand-derived
+    * keys under retries). Skipped when the input is already at least
+    * core-parallel: a production many-file scan must not pay a second
+    * exchange (nor be coalesced down). Streaming frames pass through —
+    * the gates own their arrival spreading. */
+  private[graft] def spreadNarrow(df: DataFrame): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p)
+        df.repartition(p, col(df.columns.head))
+      else df
+    }
+
   /** Words of a lowercased text, split on whitespace runs. */
   def words(text: Column): Column =
     split(lower(text), "\\s+")
@@ -58,9 +80,19 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int = 3
+      n: Int = 3,
+      // Fan the heavy per-row pass out to the session's core count (see
+      // [[spreadNarrow]]). Callers on BATCH-SIZED inputs (per-delivery
+      // folds, delta sides) pass false: spreading a few hundred rows
+      // buys no parallel win and pays an exchange + a task fan-out per
+      // call (round-16 measurement: ~0.3 s per fold across the commit
+      // stream's deliveries).
+      spread: Boolean = true
   ): DataFrame =
-    df.select(col(idCol).as("id"), words(col(textCol)).as("w"))
+    (if (spread) spreadNarrow(
+      df.select(col(idCol).as("id"), col(textCol).as("text")))
+    else df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), words(col("text")).as("w"))
       .select(col("id"), explode(shinglesOfWords(col("w"), n)).as("shingle_s"))
       .select(col("id"), hash60(col("shingle_s")).as("shingle"))
       .distinct()
@@ -108,9 +140,11 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int
+      numHashes: Int,
+      spread: Boolean = true
   ): DataFrame =
-    signatureOfShingles(shingleRows(df, idCol, textCol), numHashes)
+    signatureOfShingles(
+      shingleRows(df, idCol, textCol, spread = spread), numHashes)
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand =
     * numHashes), bucket-join on (band index, band hash). The self-join is
@@ -184,7 +218,8 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val bSh = shingleRows(batch, idCol, textCol).localCheckpoint(true)
+    val bSh = shingleRows(batch, idCol, textCol, spread = false)
+      .localCheckpoint(true)
     val cSh = shingleRows(corpus, idCol, textCol).localCheckpoint(true)
     val bBand = bandedSignatures(signatureOfShingles(bSh, numHashes), bands, rows)
     val cBand = bandedSignatures(signatureOfShingles(cSh, numHashes), bands, rows)
@@ -250,7 +285,8 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val bSh = shingleRows(batch, idCol, textCol).localCheckpoint(true)
+    val bSh = shingleRows(batch, idCol, textCol, spread = false)
+      .localCheckpoint(true)
     val bBand = bandedSignatures(signatureOfShingles(bSh, numHashes), bands, rows)
     val cands = bBand.as("a")
       .join(corpusBands.as("b"),
@@ -272,11 +308,13 @@ object Dedup {
       idCol: String,
       textCol: String,
       numHashes: Int,
-      bands: Int
+      bands: Int,
+      spread: Boolean = true
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     bandedSignatures(
-      signatureOfShingles(shingleRows(df, idCol, textCol), numHashes),
+      signatureOfShingles(
+        shingleRows(df, idCol, textCol, spread = spread), numHashes),
       bands, numHashes / bands)
   }
 
@@ -845,10 +883,13 @@ object Dedup {
     * partial aggregation reduces each doc to one 32-column row map-side,
     * so the shuffle carries |docs| compact rows instead of
     * |words|×32 exploded ones. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = df.select(
-      col(idCol).as("id"),
-      explode(words(col(textCol))).as("word"))
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      spread: Boolean = true): DataFrame = {
+    val src = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val w = (if (spread) spreadNarrow(src) else src)
+      .select(
+        col("id"),
+        explode(words(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .withColumn("hv", hash32(col("word")))
     val bitAggs = (0 until 32).map { j =>
@@ -942,14 +983,20 @@ object Dedup {
     val banded = simhashBanded(sh, bits, blocks).localCheckpoint(true)
     val a = banded.as("a")
     val b = banded.as("b")
+    // Hamming-filter BEFORE the distinct's exchange (round-16, guide
+    // §2.3): a band is bits/blocks wide, so random hashes collide on a
+    // band at ~2^-(bits/blocks) and the candidate set is orders of
+    // magnitude larger than the hamming ball (measured at sf0.1:
+    // 98 MB of candidate pairs crossing the dedup exchange on the
+    // video-frame face before this reorder). The filter commutes with
+    // the dedup because hamming is a pure function of the pair — a
+    // pair's every band collision carries the same two hashes.
     a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   /** The (id, simhash, band, bv) banded SimHash table of a corpus — the
@@ -960,8 +1007,9 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      blocks: Int
-  ): DataFrame = simhashBanded(simhash(df, idCol, textCol), 32, blocks)
+      blocks: Int,
+      spread: Boolean = true
+  ): DataFrame = simhashBanded(simhash(df, idCol, textCol, spread), 32, blocks)
 
   /** (id, simhash, band, bv) rows: a `bits`-wide hash split into `blocks`
     * pigeonhole bands. Per-row map work (no shuffle, no aggregation), so
@@ -992,7 +1040,8 @@ object Dedup {
       blocks: Int = 4
   ): DataFrame =
     hammingPairsIncremental(
-      simhash(corpus, idCol, textCol), simhash(batch, idCol, textCol),
+      simhash(corpus, idCol, textCol),
+      simhash(batch, idCol, textCol, spread = false),
       32, maxHamming, blocks)
 
   /** Batch×corpus hamming-ball pair finder over ANY pair of
@@ -1021,15 +1070,18 @@ object Dedup {
     // subtree to materialize — eager checkpoints would only add passes.
     val cB = simhashBanded(corpusSh, bits, blocks)
     val bB = simhashBanded(batchSh, bits, blocks)
+    // Same filter-before-dedup-exchange reorder as [[hammingPairs]]
+    // (round-16, guide §2.3): the random band-collision candidate set
+    // dwarfs the hamming ball, and hamming is pair-determined, so
+    // filtering first shrinks the distinct's exchange to the true
+    // near-dup pairs without changing a row.
     bB.as("a")
       .join(cB.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   /** The artifact bundle of [[commitHashArtifacts]]: per-arrival gate
@@ -1479,7 +1531,7 @@ object Dedup {
   ): DataFrame =
     ngramNoveltyFromRows(
       shingleRows(corpus, idCol, textCol, n).select("shingle").distinct(),
-      shingleRows(batch, idCol, textCol, n))
+      shingleRows(batch, idCol, textCol, n, spread = false))
 
   /** [[ngramNovelty]] over pre-built shingle tables: `corpusShingles` is
     * the DISTINCT corpus shingle set (the stored deploy-time artifact),
@@ -1789,11 +1841,16 @@ object Dedup {
       idCol: String,
       textCol: String,
       w: Int
-  ): DataFrame =
-    df.select(words(col(textCol)).as("wd"))
+      ,
+      spread: Boolean = true
+  ): DataFrame = {
+    val src = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    (if (spread) spreadNarrow(src) else src)
+      .select(words(col("text")).as("wd"))
       .select(explode(posShingles(col("wd"), w)).as("ps"))
       .select(hash60(col("ps.s")).as("fp"))
       .distinct()
+  }
 
   /** Per-doc sorted shingle-set arrays from distinct (id, blk, shingle)
     * rows — the [[shingleSetTable]] shape built from an already-computed
@@ -1892,70 +1949,100 @@ object Dedup {
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .localCheckpoint(true)
     val batchDocs = batch.select(col(idCol).as("id"), col(textCol).as("text"))
-    val verdicts = incrementalExact(corpusDocs, batchDocs, "id", "text")
-    val acceptedRaw = batchDocs
-      .join(verdicts.filter(col("verdict") === "new").select("id"), Seq("id"))
-    val accepted = removeDuplicateSpansIncremental(
-      corpusDocs, acceptedRaw, "id", "text", w)
-      .select(col("id"), col("clean_text").as("text"))
-      .localCheckpoint(true)
-    // Id-disjointness is load-bearing, not hygiene: the gate dedups by
-    // CONTENT fingerprint only, so a batch doc reusing a corpus doc id
-    // with different text passes the gate, and the band-table union
-    // below would silently conflate two documents under one id —
-    // breaking the committed == rebuilt-from-scratch law and every
-    // id-keyed verify downstream. (Same-id same-text can't reach here:
-    // its fingerprint is dup_corpus and the gate rejects it.) The check
-    // is a batch-sized semi-join against the checkpointed corpus ids.
-    val idClashes = accepted
-      .join(corpusDocs.select("id"), Seq("id"), "left_semi")
-      .count()
-    require(idClashes == 0L,
-      s"commitArtifacts: $idClashes accepted batch id(s) already exist " +
-        "in the corpus with different content — ids must be disjoint " +
-        "(re-key the batch before committing)")
-    val corpusFps = corpusDocs
-      .select(fpc(col("text")).as("fingerprint"))
-      .filter(col("fingerprint").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
-    val corpusBands =
-      bandTable(corpusDocs, "id", "text", numHashes, bands)
-        .localCheckpoint(true)
-    val corpusSpans =
-      spanFpSet(corpusDocs, "id", "text", w).localCheckpoint(true)
+    // The five corpus-artifact materializations and the batch
+    // gate→clean chain depend only on the ALREADY-materialized
+    // corpusDocs — running them sequentially serialized six independent
+    // Spark jobs (round-16 measurement: 74 serial jobs, wall 11.3 s vs
+    // 0.5 s of ideal 32-core task time for the whole query). Submit
+    // them concurrently (graft.Par — guide §2.6 "overlap independent
+    // jobs"); each thunk materializes exactly what the sequential code
+    // did, so results are unchanged and every later consumer reads
+    // checkpointed blocks as before.
+    var accepted: DataFrame = null
+    var deltaNgramRows: DataFrame = null
+    var corpusFps: DataFrame = null
+    var corpusBands: DataFrame = null
+    var corpusSpans: DataFrame = null
+    var corpusSimBands: DataFrame = null
+    var corpusNgramRows: DataFrame = null
+    var corpusNgramDf: DataFrame = null
+    graft.Par.all(
+      () => {
+        val verdicts = incrementalExact(corpusDocs, batchDocs, "id", "text")
+        val acceptedRaw = batchDocs
+          .join(verdicts.filter(col("verdict") === "new").select("id"),
+            Seq("id"))
+        val acc = removeDuplicateSpansIncremental(
+          corpusDocs, acceptedRaw, "id", "text", w)
+          .select(col("id"), col("clean_text").as("text"))
+          .localCheckpoint(true)
+        // Id-disjointness is load-bearing, not hygiene: the gate dedups
+        // by CONTENT fingerprint only, so a batch doc reusing a corpus
+        // doc id with different text passes the gate, and the
+        // band-table union below would silently conflate two documents
+        // under one id — breaking the committed == rebuilt-from-scratch
+        // law and every id-keyed verify downstream. (Same-id same-text
+        // can't reach here: its fingerprint is dup_corpus and the gate
+        // rejects it.) The check is a batch-sized semi-join against the
+        // checkpointed corpus ids. Thrown inside the Par barrier, it
+        // still fails the whole call loudly (Par rethrows).
+        val idClashes = acc
+          .join(corpusDocs.select("id"), Seq("id"), "left_semi")
+          .count()
+        require(idClashes == 0L,
+          s"commitArtifacts: $idClashes accepted batch id(s) already " +
+            "exist in the corpus with different content — ids must be " +
+            "disjoint (re-key the batch before committing)")
+        accepted = acc
+        deltaNgramRows =
+          ngramShingleRows(acc, "id", "text", ngramBlockCol, ngramN,
+            spread = false)
+            .localCheckpoint(true)
+      },
+      () => corpusFps = corpusDocs
+        .select(fpc(col("text")).as("fingerprint"))
+        .filter(col("fingerprint").isNotNull)
+        .distinct()
+        .localCheckpoint(true),
+      () => corpusBands =
+        bandTable(corpusDocs, "id", "text", numHashes, bands)
+          .localCheckpoint(true),
+      () => corpusSpans =
+        spanFpSet(corpusDocs, "id", "text", w).localCheckpoint(true),
+      // SimHash band table: per-row map work, so the fold is a bare
+      // union — ids are disjoint (the guard above), making the union
+      // exactly the rebuilt artifact.
+      () => corpusSimBands =
+        simhashBandTable(corpusDocs, "id", "text", simhashBlocks)
+          .localCheckpoint(true),
+      // N-gram posting artifact: stored as (capped postings, FULL df
+      // sidecar); fold per the scaladoc. One checkpointed shingle pass
+      // per side feeds postings, df and the per-doc set table.
+      () => {
+        val rows =
+          ngramShingleRows(corpusDocs, "id", "text", ngramBlockCol, ngramN)
+            .localCheckpoint(true)
+        corpusNgramRows = rows
+        corpusNgramDf = rows
+          .groupBy("blk", "shingle")
+          .agg(count(lit(1)).as("df"))
+          .localCheckpoint(true)
+      })
     val deltaFps = accepted
       .select(fpc(col("text")).as("fingerprint"))
       .filter(col("fingerprint").isNotNull)
       .distinct()
-    val deltaBands = bandTable(accepted, "id", "text", numHashes, bands)
-    val deltaSpans = spanFpSet(accepted, "id", "text", w)
-    // SimHash band table: per-row map work, so the fold is a bare union
-    // — ids are disjoint (the guard above), making the union exactly the
-    // rebuilt artifact.
-    val corpusSimBands =
-      simhashBandTable(corpusDocs, "id", "text", simhashBlocks)
-        .localCheckpoint(true)
-    val deltaSimBands = simhashBandTable(accepted, "id", "text", simhashBlocks)
-    // N-gram posting artifact: stored as (capped postings, FULL df
-    // sidecar); fold per the scaladoc. One checkpointed shingle pass per
-    // side feeds postings, df and the per-doc set table.
-    val corpusNgramRows =
-      ngramShingleRows(corpusDocs, "id", "text", ngramBlockCol, ngramN)
-        .localCheckpoint(true)
-    val corpusNgramDf = corpusNgramRows
-      .groupBy("blk", "shingle")
-      .agg(count(lit(1)).as("df"))
-      .localCheckpoint(true)
+    val deltaBands =
+      bandTable(accepted, "id", "text", numHashes, bands, spread = false)
+    val deltaSpans = spanFpSet(accepted, "id", "text", w, spread = false)
+    val deltaSimBands =
+      simhashBandTable(accepted, "id", "text", simhashBlocks, spread = false)
     val corpusNgramPostings = corpusNgramRows
       .join(
         corpusNgramDf.filter(col("df") <= maxShingleDf)
           .select("blk", "shingle"),
         Seq("blk", "shingle"))
       .select("blk", "shingle", "id")
-    val deltaNgramRows =
-      ngramShingleRows(accepted, "id", "text", ngramBlockCol, ngramN)
-        .localCheckpoint(true)
     val deltaNgramDf = deltaNgramRows
       .groupBy("blk", "shingle")
       .agg(count(lit(1)).as("df"))
@@ -2138,7 +2225,8 @@ object Dedup {
       .join(broadcast(droppedFps), Seq("fingerprint"), "left_anti")
     // Span fp set: the same retention discipline over window fps.
     val deletedSpanFps =
-      spanFpSet(deleted, "id", "text", w).localCheckpoint(true)
+      spanFpSet(deleted, "id", "text", w, spread = false)
+        .localCheckpoint(true)
     val retainedSpanFps = spanFpRows(remaining, "text", w)
       .join(broadcast(deletedSpanFps), Seq("fp"), "left_semi")
       .distinct()
@@ -2406,14 +2494,19 @@ object Dedup {
       idCol: String,
       textCol: String,
       blockCol: Column,
-      n: Int
-  ): DataFrame = df
-    .select(col(idCol).as("id"), blockCol.as("blk"),
-      words(col(textCol)).as("w"))
-    .select(col("id"), col("blk"),
-      explode(shinglesOfWords(col("w"), n)).as("shingle_s"))
-    .select(col("id"), col("blk"), hash60(col("shingle_s")).as("shingle"))
-    .distinct()
+      n: Int,
+      spread: Boolean = true
+  ): DataFrame = {
+    val src = df.select(col(idCol).as("id"), blockCol.as("blk"),
+      col(textCol).as("text"))
+    (if (spread) spreadNarrow(src) else src)
+      .select(col("id"), col("blk"),
+        words(col("text")).as("w"))
+      .select(col("id"), col("blk"),
+        explode(shinglesOfWords(col("w"), n)).as("shingle_s"))
+      .select(col("id"), col("blk"), hash60(col("shingle_s")).as("shingle"))
+      .distinct()
+  }
 
   /** The df-capped (blk, shingle, id) POSTING artifact of a corpus —
     * what the n-gram streaming gate
@@ -2531,7 +2624,14 @@ object Dedup {
       textCol: String,
       n: Int
   ): DataFrame =
-    df.select(words(col(textCol)).as("w"))
+    // spreadNarrow BEFORE the projection (keyed on the caller's first
+    // column — the doc id for every current caller): the downstream
+    // sketch is a partial aggregation computing numHashes md5s per
+    // shingle, and without the spread that entire pass runs on the one
+    // partition a single-file scan produces (measured: 8.5 s of
+    // single-task time in q_corpus_overlap at sf0.1).
+    spreadNarrow(df)
+      .select(words(col(textCol)).as("w"))
       .select(explode(shinglesOfWords(col("w"), n)).as("shingle_s"))
       .select(hash60(col("shingle_s")).as("shingle"))
 

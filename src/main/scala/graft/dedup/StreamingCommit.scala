@@ -193,14 +193,17 @@ class StreamingCommit(
       .filter(col("fingerprint").isNotNull)
       .distinct()
       .localCheckpoint(true)
-    val dBands = Dedup.bandTable(accepted, "id", "text", numHashes, bands)
+    val dBands = Dedup.bandTable(
+      accepted, "id", "text", numHashes, bands, spread = false)
       .localCheckpoint(true)
-    val dSpans = Dedup.spanFpSet(accepted, "id", "text", w)
+    val dSpans = Dedup.spanFpSet(accepted, "id", "text", w, spread = false)
       .localCheckpoint(true)
-    val dSim = Dedup.simhashBandTable(accepted, "id", "text", simhashBlocks)
+    val dSim = Dedup.simhashBandTable(
+      accepted, "id", "text", simhashBlocks, spread = false)
       .localCheckpoint(true)
     val dNgramRows = Dedup
-      .ngramShingleRows(accepted, "id", "text", ngramBlockCol, ngramN)
+      .ngramShingleRows(accepted, "id", "text", ngramBlockCol, ngramN,
+        spread = false)
       .localCheckpoint(true)
     val dNgramDf = dNgramRows
       .groupBy("blk", "shingle")

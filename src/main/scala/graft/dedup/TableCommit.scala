@@ -272,8 +272,10 @@ class TableCommit(
     .distinct()
     .select(col("fp"), lit(sign).as("w"), partOf(col("fp")).as("part"))
 
-  private def ngramRows(docs: DataFrame): DataFrame =
-    Dedup.ngramShingleRows(docs, "id", "text", ngramBlockCol, ngramN)
+  private def ngramRows(
+      docs: DataFrame, spread: Boolean = true): DataFrame =
+    Dedup.ngramShingleRows(docs, "id", "text", ngramBlockCol, ngramN,
+      spread = spread)
 
   private def dfRows(rows: DataFrame, sign: Long): DataFrame = rows
     .groupBy("blk", "shingle")
@@ -532,7 +534,7 @@ class TableCommit(
     // COMMIT — batch-sized delta writes into this fold's private batch
     // dirs, then the one atomic marker.
     val uuid = journal.newUuid()
-    val rows = ngramRows(accepted).localCheckpoint(true)
+    val rows = ngramRows(accepted, spread = false).localCheckpoint(true)
     // Nine batch-sized delta writes with no mutual dependency —
     // concurrent (graft.Par); the marker rename below still happens
     // strictly after ALL of them.
@@ -646,7 +648,7 @@ class TableCommit(
       () => writeBatch(deleted.select("id"), "tomb", uuid),
       () => writeBatch(fpRows(deleted, -1L), "fp", uuid),
       () => writeBatch(spanRows(deleted, -1L), "span", uuid),
-      () => writeBatch(dfRows(ngramRows(deleted), -1L), "ngramdf", uuid))
+      () => writeBatch(dfRows(ngramRows(deleted, spread = false), -1L), "ngramdf", uuid))
     // Bands / simhash / sets / postings / accepted: the tombstone
     // anti-join IS the retraction. The ledger keeps the raw fps —
     // re-delivered taken-down content stays rejected.

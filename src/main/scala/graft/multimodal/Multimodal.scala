@@ -270,13 +270,50 @@ object Multimodal {
     * (sum of squares, max amplitude, sign-change count), so the row is
     * bit-deterministic on any JVM and reproducible by any engine that
     * can see the same samples. */
+  /** The JVM's WAV `AudioFileReader` resolved ONCE (the public SPI —
+    * the same provider `AudioSystem.getAudioInputStream` would pick).
+    * AudioSystem re-walks a SYNCHRONIZED provider registry on every
+    * call, which serializes concurrent decode tasks: once the encode
+    * spread landed (round 16), 32-way audio decode stages showed ~10×
+    * executorRunTime inflation from exactly that lock. Caching the
+    * provider removes the registry walk; the decode path itself — the
+    * provider's reader — is unchanged, and [[openWav]] falls back to
+    * AudioSystem if no SPI provider accepts a probe WAV. */
+  private lazy val wavReader
+      : Option[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val probe = encodeWav(8000, Array[Short](0, 1, 2, 3))
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala
+      .find { r =>
+        try {
+          r.getAudioInputStream(
+            new java.io.ByteArrayInputStream(probe)).close()
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      }
+  }
+
+  /** Open WAV bytes through the cached provider (lock-free hot path);
+    * throws exactly like `AudioSystem.getAudioInputStream` on non-audio
+    * input, so every caller's ok=false/zero-rows contract is intact. */
+  private def openWav(
+      bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
+    wavReader match {
+      case Some(r) =>
+        r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      case None =>
+        javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+    }
+
   def audioFeatures(items: Dataset[MediaItem]): Dataset[AudioFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { item =>
         try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(item.content))
+          val ais = openWav(item.content)
           val fmt = ais.getFormat
           val bytes = ais.readAllBytes()
           ais.close()
@@ -394,8 +431,7 @@ object Multimodal {
     require(nSegments >= 1, s"need nSegments >= 1, got $nSegments")
     items.flatMap { item =>
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(item.content))
+        val ais = openWav(item.content)
         val fmt = ais.getFormat
         val bytes = ais.readAllBytes()
         ais.close()
@@ -472,8 +508,7 @@ object Multimodal {
     val buckets = 57
     items.flatMap { item =>
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(item.content))
+        val ais = openWav(item.content)
         val fmt = ais.getFormat
         val bytes = ais.readAllBytes()
         ais.close()
@@ -530,6 +565,21 @@ object Multimodal {
     * JVM's own writer. WAV PCM is lossless, so `audioFeatures ∘ encodeWav`
     * recovers the input samples exactly — the property the synthetic
     * corpus oracle relies on. */
+  /** The JVM's WAVE `AudioFileWriter` resolved ONCE — the writer-side
+    * twin of [[wavReader]]: `AudioSystem.write` re-walks the same
+    * synchronized provider registry per call, serializing 32 concurrent
+    * encode tasks. The bytes written are the provider's own, identical
+    * to what AudioSystem.write produces. */
+  private lazy val wavWriter
+      : Option[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.WAVE))
+  }
+
   def encodeWav(sampleRate: Int, pcm: Array[Short]): Array[Byte] = {
     val data = new Array[Byte](pcm.length * 2)
     var i = 0
@@ -543,8 +593,11 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, pcm.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    wavWriter match {
+      case Some(w) => w.write(ais, wave, bos)
+      case None => javax.sound.sampled.AudioSystem.write(ais, wave, bos)
+    }
     bos.toByteArray
   }
 
@@ -555,6 +608,29 @@ object Multimodal {
     * any engine can recompute the exact sample sequence. WAV PCM being
     * lossless makes the REAL decode path oracle-checkable end-to-end
     * (`q_audio_decode`). */
+  /** (id, text) source rows spread to the session's core count before a
+    * synthetic ENCODE pass (round-16, guide §2.5 "input skew: fix at the
+    * source or repartition immediately after the read"): the codec work
+    * per row dwarfs the shuffle of a (long, string) pair by orders of
+    * magnitude, and the documents scan these corpora derive from is a
+    * single small parquet file — one partition — so without the spread
+    * the whole corpus encodes ON ONE CORE (measured at sf0.1: a 12 s
+    * single-task encode stage inside the video stream gate). Keyed by
+    * id (deterministic under retries — guide §2.5 warns off rand-keyed
+    * repartitions); skipped when the incoming plan is already at least
+    * that parallel (a production many-file scan must not be coalesced
+    * DOWN by a fixture-shaped helper). Streaming frames can't probe
+    * their partition count, but a micro-batch is file-grained — the
+    * skew this exists to fix — so they always spread. */
+  private def spreadForEncode(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sel = df.select(col(idCol).cast("long").as("__sid"), col(textCol))
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (sel.isStreaming) sel.repartition(p, col("__sid"))
+    else if (sel.rdd.getNumPartitions < p) sel.repartition(p, col("__sid"))
+    else sel
+  }
+
   def syntheticWavCorpus(
       df: DataFrame,
       idCol: String,
@@ -564,7 +640,7 @@ object Multimodal {
   ): Dataset[MediaItem] = {
     import df.sparkSession.implicits._
     require(extraSamples >= 0, s"need extraSamples >= 0, got $extraSamples")
-    df.select(col(idCol).cast("long"), col(textCol))
+    spreadForEncode(df, idCol, textCol)
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -637,7 +713,7 @@ object Multimodal {
       brightnessDelta: Int = 0
   ): Dataset[MediaItem] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
+    spreadForEncode(df, idCol, textCol)
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -874,7 +950,7 @@ object Multimodal {
       brightnessDelta: Int = 0
   ): Dataset[MediaItem] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
+    spreadForEncode(df, idCol, textCol)
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

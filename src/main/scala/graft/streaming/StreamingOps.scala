@@ -346,7 +346,8 @@ object StreamingOps {
       threshold: Double
   ): DataFrame = {
     val aBands = graft.dedup.Dedup
-      .bandRowsLocal(arrivals, "doc_id", "text", numHashes, bands)
+      .bandRowsLocal(spreadArrivals(arrivals), "doc_id", "text",
+        numHashes, bands)
     val cands = aBands
       .join(
         corpusBands.select(col("id").as("id_b"), col("band"), col("bh")),
@@ -354,6 +355,38 @@ object StreamingOps {
       .select(col("id").as("id_a"), col("shingles"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     jaccardVerifyRowLocal(cands, corpusShingleSets, threshold)
+  }
+
+  /** Arrival micro-batches are FILE-grained — a one-file drop scans as
+    * ONE partition, so a gate's per-row heavy lifting (minhash
+    * signatures, shingle hashing) runs on one core no matter how many
+    * the session has (measured at sf0.1: a 12 s single-task shingle
+    * stage inside the n-gram gate). Spread arrivals to the session's
+    * core count BEFORE that work (round-16, guide §2.5): the exchange
+    * carries (doc_id, text) rows — trivial next to the per-row compute
+    * it unlocks — and the key is the deterministic doc_id (guide §2.5
+    * warns off rand-derived keys under retries). */
+  private def spreadArrivals(arrivals: DataFrame): DataFrame =
+    arrivals.repartition(
+      arrivals.sparkSession.sparkContext.defaultParallelism,
+      col("doc_id"))
+
+  /** Optimizer barrier: a typed identity map (object round trip). Two
+    * rules conspire against an expensive aliased array that feeds an
+    * `explode`: InferFiltersFromGenerate adds `size(arr) > 0 AND
+    * isnotnull(arr)` at the Generate, and predicate pushdown substitutes
+    * the alias while pushing that filter below the spread repartition —
+    * so the WHOLE shingle/signature expression re-evaluates per row on
+    * the unspread single-task side, twice (observed in the executed
+    * n-gram gate micro-batch plan; the round-9 lambda-inlining lesson,
+    * now in filter-pushdown clothing). Filters cannot push through an
+    * object round trip, so the expensive projection below stays put,
+    * evaluated once, after the spread. Costs one serialize/deserialize
+    * of the projected rows — trivial next to what it prevents. */
+  private def pushdownBarrier(df: DataFrame): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(df.schema)
+    df.map(identity)
   }
 
   /** Shared verify stage of the shingle-based ingest gates
@@ -417,7 +450,7 @@ object StreamingOps {
       threshold: Double,
       n: Int = 3
   ): DataFrame = {
-    val aSh = arrivals
+    val aSh = pushdownBarrier(spreadArrivals(arrivals)
       .select(
         col("doc_id").as("id"), blockCol.as("blk"),
         graft.dedup.Dedup.words(col("text")).as("w"))
@@ -425,7 +458,7 @@ object StreamingOps {
         col("id"), col("blk"),
         array_distinct(transform(
           graft.dedup.Dedup.shinglesOfWords(col("w"), n),
-          s => graft.dedup.Dedup.hash60(s))).as("shingles"))
+          s => graft.dedup.Dedup.hash60(s))).as("shingles")))
     val cands = aSh
       .select(
         col("id"), col("blk"), col("shingles"),
@@ -493,6 +526,13 @@ object StreamingOps {
     require(maxHamming < blocks,
       s"pigeonhole needs maxHamming < blocks, got $maxHamming/$blocks")
     val aB = graft.dedup.Dedup.simhashBanded(arrivalHashes, bits, blocks)
+    // Hamming-filter BEFORE the dedup's exchange (round-16, guide §2.3
+    // — same reorder as the batch engines in [[graft.dedup.Dedup]]):
+    // random band collisions make the candidate set orders of magnitude
+    // larger than the hamming ball (measured 98 MB crossing this
+    // exchange per micro-batch on the video face at sf0.1), and hamming
+    // is a pure function of the (id_a, id_b) pair, so the filter
+    // commutes with the per-pair dedup row for row.
     aB
       .join(
         corpusBands.select(
@@ -500,12 +540,10 @@ object StreamingOps {
           col("band"), col("bv")),
         Seq("band", "bv"))
       .select(
-        col("id").as("id_a"), col("simhash").as("sh_a"),
-        col("id_b"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+        col("id").as("id_a"), col("id_b"),
+        expr("bit_count(simhash ^ sh_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   /** Stream-stream interval join (the attribution shape of

@@ -97,7 +97,11 @@ object Repetition {
 
     // One text scan: chars, lines array, words array — materialized once
     // for the line branch, the gram branch, and the final stats join.
-    val base = df
+    // Spread before the split-heavy projection (round-16, guide §2.5;
+    // see [[Dedup.spreadNarrow]]) — the checkpoint then also holds
+    // core-count partitions, so every downstream branch's map side is
+    // parallel instead of inheriting the single-file scan's one.
+    val base = Dedup.spreadNarrow(df)
       .select(
         col(idCol).as("id"),
         length(col(textCol)).cast("long").as("n_chars"),

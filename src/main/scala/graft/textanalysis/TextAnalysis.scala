@@ -83,8 +83,12 @@ object TextAnalysis {
     * caller composing the battery with other signals gets one corpus scan
     * instead of a doc-keyed join of two. */
   def gopherFilters(
-      df: DataFrame, idCol: String, textCol: String,
+      df0: DataFrame, idCol: String, textCol: String,
       extra: Seq[Column] = Nil): DataFrame = {
+    // Regex-heavy per-row battery over what is typically a one-partition
+    // single-file scan — spread to the session's core count first
+    // (round-16, guide §2.5; see [[graft.dedup.Dedup.spreadNarrow]]).
+    val df = graft.dedup.Dedup.spreadNarrow(df0)
     val t = col(textCol)
     val words = split(trim(t), "\\s+")
     val lines = split(t, "\n")

@@ -40,6 +40,10 @@ object ProfileQueries {
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_PROFILE_STAGES=1 additionally prints a per-stage table
+    // (name, tasks, task seconds, shuffle read/write MB) for each query —
+    // the attribution view that names the offending exchange.
+    val perStage = sys.env.get("SPARK_GRAFT_PROFILE_STAGES").contains("1")
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
@@ -48,8 +52,18 @@ object ProfileQueries {
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        if (perStage) {
+          val si = s.stageInfo
+          val m = si.taskMetrics
+          val rd = if (m == null) 0L else m.shuffleReadMetrics.totalBytesRead
+          val wr = if (m == null) 0L else m.shuffleWriteMetrics.bytesWritten
+          val rt = if (m == null) 0L else m.executorRunTime
+          if (rd + wr > 4L * 1024 * 1024 || rt > 2000L)
+            println(f"    stage ${si.stageId}%5d ${si.numTasks}%4dt ${rt / 1e3}%7.1fs rd=${rd / 1048576.0}%8.2fMB wr=${wr / 1048576.0}%8.2fMB  ${si.name.takeWhile(_ != '\n').take(90)}")
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = t.taskMetrics
