@@ -456,6 +456,13 @@ object Dedup {
     * permutations; the digest stage dominates MinHash at corpus scale, so
     * this is a direct 2× on the dominant term. */
   private def signatureOfShingles(sh: DataFrame, numHashes: Int): DataFrame = {
+    // NOTE (round-16): an explicit shared-digest projection (compute the
+    // (numHashes+1)/2 md5s once per row, slice twice, aggregate plain
+    // mins) was tried here and MEASURED SLOWER (q_minhash family +2-3×
+    // task time at sf0.1): the separate projection materializes the hex
+    // strings per row and blocks aggregate fusion, while the in-place
+    // form below already dedupes the paired digests through codegen
+    // subexpression elimination. Kept in its original shape on purpose.
     val sigAggs = (0 until numHashes).map { i =>
       min(md5Slice60(
         concat(lit(s"${i / 2}:"), col("shingle").cast("string")), i % 2))
@@ -2682,6 +2689,9 @@ object Dedup {
       withExact: Boolean = false
   ): DataFrame = {
     def sketch(src: DataFrame, pre: String) = {
+      // Same note as [[signatureOfShingles]]: the in-place per-aggregate
+      // digest form measured FASTER than an explicit shared-digest
+      // projection (codegen CSE already pairs the i/2 digests).
       val aggs = (0 until numHashes).map { i =>
         min(md5Slice60(
           concat(lit(s"${i / 2}:"), col("shingle").cast("string")), i % 2))

@@ -413,7 +413,7 @@ object Ivf {
       .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
       .select(col("vec_id").as("id_c"), col("emb").as("emb_c"),
         col("nrm").as("nrm_c"), col("cell"))
-    val b = prepDouble(batch)
+    val b = prepDouble(batch, spread = false)
       .crossJoin(broadcast(centArr))
       .withColumn("cell", expr(s"array_min(${cellStructsDblSql("emb")}).cell"))
       .withColumn("nrm", expr(s"sqrt(${dot("emb", "emb")})"))
@@ -591,7 +591,7 @@ object Ivf {
     * everything else is kept verbatim by id anti-join. */
   def knnIndexFold(index: KnnIndex, batch: DataFrame): KnnIndex = {
     Similarity.ensureFunctions(batch)
-    val b0 = prepDouble(batch)
+    val b0 = prepDouble(batch, spread = false)
     val batchProbes =
       knnProbeFrame(b0, index.centArr, index.nProbe).localCheckpoint(true)
     val batchAsg = knnAsgFrame(b0, index.centArr).localCheckpoint(true)
@@ -689,9 +689,28 @@ object Ivf {
     * decontamination), so its assigned frame broadcasts into the cell
     * join and the corpus is read exactly once. */
   /** Double-prepped (vec_id, emb) view of an embeddings frame. */
-  private[graft] def prepDouble(df: DataFrame): DataFrame = df.select(
-    col("vec_id"),
-    expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+  /** (vec_id, double emb) projection of an embeddings frame, spread to
+    * the session's core count when the source is narrower (round-16,
+    * guide §2.5 — the fixture embeddings table is one parquet row
+    * group, so every scan is ONE partition and the per-vector dot
+    * products against K centroids that every IVF/kNN/PQ face computes
+    * ran on one core of 32). Same guard discipline as
+    * [[graft.dedup.Dedup.spreadNarrow]]: deterministic vec_id key, no-op
+    * for already-parallel inputs and for streaming frames; batch-sized
+    * store folds pass spread=false — fanning a delivery of a few
+    * hundred vectors out is pure exchange overhead. */
+  private[graft] def prepDouble(
+      df: DataFrame, spread: Boolean = true): DataFrame = {
+    val sel = df.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    if (!spread || sel.isStreaming) sel
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (sel.rdd.getNumPartitions < p) sel.repartition(p, col("vec_id"))
+      else sel
+    }
+  }
 
   /** Frozen (cell, cemb) centroid table for FIXED centroid ids resolved
     * against the corpus (cells numbered by sorted id — the contract of

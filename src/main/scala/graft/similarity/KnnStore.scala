@@ -279,7 +279,7 @@ class KnnStore(
   def foldBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
     if (journal.seen("fold", batchId)) return
     Similarity.ensureFunctions(batch)
-    val b0 = Ivf.prepDouble(batch).localCheckpoint(true)
+    val b0 = Ivf.prepDouble(batch, spread = false).localCheckpoint(true)
     if (b0.isEmpty) {
       journal.noteSeen("fold", batchId); graft.Ckpt.release(b0); return
     }

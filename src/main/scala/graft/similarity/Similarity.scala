@@ -53,9 +53,13 @@ object Similarity {
     * so the heap/shuffle carries (q_vec_id, vec_id, score) triples only. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     ensureFunctions(corpus)
-    val c = corpus.select(
-      col("vec_id"),
-      expr(toDoubleSql("embedding")).as("emb"))
+    // The corpus side of the broadcast nested loop carries |corpus| ×
+    // |queries| dot products — spread it to core count first (round-16,
+    // guide §2.5: the fixture embeddings file is one row group, so the
+    // whole scoring pass otherwise runs on one task). Guarded like
+    // graft.dedup.Dedup.spreadNarrow; the broadcast queries side is
+    // untouched.
+    val c = graft.similarity.Ivf.prepDouble(corpus)
       .withColumn("nrm", expr(s"sqrt(${dotSql("emb", "emb")})"))
     val q = queries.select(
       col("vec_id").as("q_vec_id"),
@@ -85,9 +89,23 @@ object Similarity {
     * baseline; when the index outgrows a scan, the IVF family
     * ([[graft.similarity.Ivf]]) is the route — the projection composes
     * in front of either. */
+  /** Spread a corpus-side frame to the session's core count before a
+    * broadcast nested-loop scoring pass (round-16, guide §2.5 — the
+    * fixture embeddings parquet is one row group, so the corpus side of
+    * every brute-force cosine otherwise scores on ONE task). Same guard
+    * discipline as [[graft.dedup.Dedup.spreadNarrow]]: keyed on vec_id,
+    * no-op when already at least core-parallel or streaming. */
+  private def spreadCorpus(df: DataFrame): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p) df.repartition(p, col("vec_id"))
+      else df
+    }
+
   def crossTopK(index: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     ensureFunctions(index)
-    val c = index.select(col("vec_id"), col("emb"))
+    val c = spreadCorpus(index.select(col("vec_id"), col("emb")))
       .withColumn("nrm", expr(s"sqrt(${dotSql("emb", "emb")})"))
     val q = queries.select(
       col("vec_id").as("q_vec_id"), col("emb").as("q_emb"))
@@ -133,10 +151,10 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int)
       : DataFrame = {
     ensureFunctions(corpus)
-    val c = corpus.select(
+    val c = spreadCorpus(corpus.select(
       col("vec_id"),
       col("label"),
-      expr(toDoubleSql("embedding")).as("emb"))
+      expr(toDoubleSql("embedding")).as("emb")))
       .withColumn("nrm", expr(s"sqrt(${dotSql("emb", "emb")})"))
     val q = queries.select(
       col("vec_id").as("q_vec_id"),
@@ -185,7 +203,7 @@ object Similarity {
         .withColumn(qAs, expr(quantizeQ8Sql("emb")))
         .withColumn(nrmAs, expr(s"sqrt(${dotSql(qAs, qAs)})"))
         .drop("emb")
-    val c = prep(corpus, "vec_id", "q", "nrm")
+    val c = prep(spreadCorpus(corpus), "vec_id", "q", "nrm")
     val q = prep(queries, "q_vec_id", "qq", "q_nrm")
     val scored = c
       .join(broadcast(q), col("vec_id") =!= col("q_vec_id"))
@@ -237,10 +255,10 @@ object Similarity {
   ): DataFrame = {
     ensureFunctions(corpus)
     val bucket = lshBucketSql("embedding", dims, nBits)
-    val v = corpus.select(
+    val v = spreadCorpus(corpus.select(
       col("vec_id"),
       expr(toDoubleSql("embedding")).as("emb"),
-      expr(bucket).as("bucket"))
+      expr(bucket).as("bucket")))
       .withColumn("nrm", expr(s"sqrt(${dotSql("emb", "emb")})"))
     val a = v.select(col("vec_id").as("id_a"), col("emb").as("emb_a"),
       col("nrm").as("nrm_a"), col("bucket"))
@@ -268,10 +286,10 @@ object Similarity {
   ): DataFrame = {
     ensureFunctions(corpus)
     val bucket = lshBucketSql("embedding", dims, nBits)
-    val c = corpus.select(
+    val c = spreadCorpus(corpus.select(
       col("vec_id"),
       expr(toDoubleSql("embedding")).as("emb"),
-      expr(bucket).as("bucket"))
+      expr(bucket).as("bucket")))
       .withColumn("nrm", expr(s"sqrt(${dotSql("emb", "emb")})"))
     val q = queries.select(
       col("vec_id").as("q_vec_id"),
@@ -312,9 +330,9 @@ object Similarity {
   ): DataFrame = {
     require(candidates >= k, s"candidates $candidates < k $k")
     ensureFunctions(corpus)
-    val c = corpus.select(
+    val c = spreadCorpus(corpus.select(
       col("vec_id"),
-      expr(toDoubleSql("embedding")).as("emb"))
+      expr(toDoubleSql("embedding")).as("emb")))
     val cp = c
       .withColumn("p_emb", slice(col("emb"), 1, prefixDims))
       .withColumn("p_nrm", expr(s"sqrt(${dotSql("p_emb", "p_emb")})"))

@@ -5,48 +5,24 @@ object Md5Bench {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    def time[A](label: String)(f: => A): A = {
+    def slice60(c: org.apache.spark.sql.Column, part: Int) =
+      conv(substring(md5(c), 1 + 15 * part, 15), 16, 10).cast("long")
+    def run(parts: Int, n: Long): (Double, Long) = {
+      val df = spark.range(0, n, 1, parts)
+        .select(col("id").cast("string").as("shingle"))
+      val aggs = (0 until 32).map { i =>
+        min(slice60(concat(lit(s"${i / 2}:"), col("shingle")), i % 2)).as(s"m$i")
+      }
       val t0 = System.nanoTime()
-      val r = f
-      println(f"[t] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
+      df.agg(aggs.head, aggs.tail: _*).collect()
+      (((System.nanoTime() - t0) / 1e9), n)
     }
-    import graft.dedup.Dedup
-    import graft.queries.PipelineQueries._
-    val d = "/root/testdata/sf0.1"
-    val docs0 = spark.read.parquet(s"$d/documents.parquet")
-      .filter(col("doc_id") % 7 =!= 0)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_md5b_").toString
-    val docs = time("docs ckpt")(docs0
-      .select(col("doc_id").as("id"), col("text")).localCheckpoint(true))
-    val rows = time("ngramRows ckpt")(
-      Dedup.ngramShingleRows(docs, "id", "text", lit(0L), 3)
-        .localCheckpoint(true))
-    def w(label: String, df: org.apache.spark.sql.DataFrame): Unit =
-      time(label)(df.write.mode("overwrite").parquet(s"$tmp/$label"))
-    w("w_docs", docs.withColumn("part", pmod(col("id"), lit(16))))
-    w("w_bands", Dedup.bandTable(docs, "id", "text", MinhashHashes, MinhashBands))
-    w("w_simhash", Dedup.simhashBandTable(docs, "id", "text", SimhashBlocks))
-    w("w_postings", rows.select("blk", "shingle", "id"))
-    w("w_sets", rows.groupBy("id").agg(sort_array(collect_set(col("shingle"))).as("shingles")))
-    // now the same five CONCURRENTLY
-    time("par 5 writes") {
-      graft.Par.all(
-        () => docs.withColumn("part", pmod(col("id"), lit(16)))
-          .write.mode("overwrite").parquet(s"$tmp/p_docs"),
-        () => Dedup.bandTable(docs, "id", "text", MinhashHashes, MinhashBands)
-          .write.mode("overwrite").parquet(s"$tmp/p_bands"),
-        () => Dedup.simhashBandTable(docs, "id", "text", SimhashBlocks)
-          .write.mode("overwrite").parquet(s"$tmp/p_simhash"),
-        () => rows.select("blk", "shingle", "id")
-          .write.mode("overwrite").parquet(s"$tmp/p_postings"),
-        () => rows.groupBy("id").agg(sort_array(collect_set(col("shingle"))).as("shingles"))
-          .write.mode("overwrite").parquet(s"$tmp/p_sets"))
+    run(4, 100000) // warm codegen
+    for (p <- Seq(1, 8, 32, 32)) {
+      val (t, n) = run(p, 1000000L)
+      println(f"[sketch] parts=$p%2d  ${t}%6.2f s  (${n / t / 1e6}%5.2f M rows/s)")
     }
     spark.stop()
   }
