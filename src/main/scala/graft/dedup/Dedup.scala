@@ -1973,7 +1973,26 @@ object Dedup {
     var corpusSimBands: DataFrame = null
     var corpusNgramRows: DataFrame = null
     var corpusNgramDf: DataFrame = null
-    graft.Par.all(
+    // On a loud failure (the id-clash require below, or any thunk
+    // error), the SIBLING thunks still complete inside Par's barrier —
+    // their eager checkpoints would be left persisted with no consumer
+    // and no release point (round-16 ADVICE: a persisted-RDD leak on
+    // the failure path the old sequential order didn't have). Release
+    // whatever materialized before rethrowing; the success path is
+    // unchanged.
+    def releaseAllOnFailure[A](body: => A): A =
+      try body
+      catch {
+        case t: Throwable =>
+          Seq(accepted, deltaNgramRows, corpusFps, corpusBands,
+            corpusSpans, corpusSimBands, corpusNgramRows, corpusNgramDf,
+            corpusDocs)
+            .filter(_ != null).foreach(f =>
+              try graft.Ckpt.release(f)
+              catch { case scala.util.control.NonFatal(_) => () })
+          throw t
+      }
+    releaseAllOnFailure(graft.Par.all(
       () => {
         val verdicts = incrementalExact(corpusDocs, batchDocs, "id", "text")
         val acceptedRaw = batchDocs
@@ -2034,7 +2053,7 @@ object Dedup {
           .groupBy("blk", "shingle")
           .agg(count(lit(1)).as("df"))
           .localCheckpoint(true)
-      })
+      }))
     val deltaFps = accepted
       .select(fpc(col("text")).as("fingerprint"))
       .filter(col("fingerprint").isNotNull)

@@ -296,13 +296,23 @@ object Multimodal {
   }
 
   /** Open WAV bytes through the cached provider (lock-free hot path);
-    * throws exactly like `AudioSystem.getAudioInputStream` on non-audio
-    * input, so every caller's ok=false/zero-rows contract is intact. */
+    * behaves exactly like `AudioSystem.getAudioInputStream` on EVERY
+    * input: when the cached provider rejects a particular stream (a WAV
+    * variant only another registered provider decodes — IEEE-float,
+    * WAVE_EXTENSIBLE), fall back to the full AudioSystem walk before
+    * propagating, so the fast path never silently reclassifies a
+    * decodable input as ok=false (round-16 ADVICE). The lock is paid
+    * only on the rare fallback, never on the PCM16 hot path. */
   private def openWav(
       bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
     wavReader match {
       case Some(r) =>
-        r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+        }
       case None =>
         javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
@@ -573,11 +583,23 @@ object Multimodal {
   private lazy val wavWriter
       : Option[javax.sound.sampled.spi.AudioFileWriter] = {
     import scala.jdk.CollectionConverters._
+    // Select against a PCM16 PROBE STREAM, not just the WAVE file type:
+    // more than one JDK writer claims Type.WAVE (WaveFileWriter and
+    // WaveFloatFileWriter), and type-only selection depends on
+    // ServiceLoader enumeration order — on a classpath where a non-PCM
+    // WAVE writer enumerates first, every PCM encode would throw
+    // (round-16 ADVICE). The stream-aware overload picks exactly the
+    // writer AudioSystem.write would use for these streams.
+    val probeFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val probe = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](8)), probeFmt, 4L)
     java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
       .asScala
-      .find(_.isFileTypeSupported(
-        javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .find(w =>
+        try w.isFileTypeSupported(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, probe)
+        catch { case scala.util.control.NonFatal(_) => false })
   }
 
   def encodeWav(sampleRate: Int, pcm: Array[Short]): Array[Byte] = {
@@ -590,12 +612,21 @@ object Multimodal {
     }
     val fmt = new javax.sound.sampled.AudioFormat(
       sampleRate.toFloat, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
+    def ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, pcm.length.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
     val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val bos = new java.io.ByteArrayOutputStream()
     wavWriter match {
-      case Some(w) => w.write(ais, wave, bos)
+      case Some(w) =>
+        // Belt over the probe-selection braces: if the cached writer
+        // rejects THIS stream, redo through AudioSystem (fresh streams —
+        // the failed attempt may have consumed/partially written).
+        try w.write(ais, wave, bos)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            bos.reset()
+            javax.sound.sampled.AudioSystem.write(ais, wave, bos)
+        }
       case None => javax.sound.sampled.AudioSystem.write(ais, wave, bos)
     }
     bos.toByteArray

@@ -329,11 +329,19 @@ object Ivf {
     * fixed-centroid family uses, so the result is row-for-row equal to
     * [[semanticDedup]]'s window-ranked assignment (SemanticCommitSpec
     * pins it). This is the per-arrival body of the semantic commit. */
-  def assignCells(src: DataFrame, cent: DataFrame): DataFrame = {
+  def assignCells(
+      src: DataFrame, cent: DataFrame,
+      // Corpus-sized callers keep the guarded core-count spread; the
+      // per-delivery fold ([[commitCellAssignments]]) passes false — a
+      // batch of arrivals gains nothing from a fan-out and pays an
+      // exchange per delivery (the round-16 spread=false fold
+      // discipline; this call site was missed then and PlanSpec's
+      // no-vec_id-shuffle fold pin caught it).
+      spread: Boolean = true): DataFrame = {
     Similarity.ensureFunctions(src)
     val centArr = cent.agg(
       collect_list(struct(col("cell"), col("cemb"))).as("cents"))
-    prepDouble(src)
+    prepDouble(src, spread = spread)
       .crossJoin(broadcast(centArr))
       .withColumn("cell", expr(s"array_min(${cellStructsDblSql("emb")}).cell"))
       .select(col("vec_id"), col("cell"))
@@ -368,7 +376,8 @@ object Ivf {
       s"commitCellAssignments: $clashes arrival vec_id(s) already exist " +
         "in the stored assignment — ids must be disjoint (re-key the " +
         "batch before committing)")
-    stored.select("vec_id", "cell").unionByName(assignCells(arrivals, cent))
+    stored.select("vec_id", "cell")
+      .unionByName(assignCells(arrivals, cent, spread = false))
   }
 
   /** RETRACTION of the semantic cell-assignment table — the takedown

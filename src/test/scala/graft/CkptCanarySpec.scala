@@ -54,14 +54,15 @@ class CkptCanarySpec extends SparkSuite {
     // surfaces, verified by replaying the same mini-session under
     // `java`/`sbt runMain`, where everything settles to zero):
     //
-    // 1. The sbt test run shares ONE forked JVM across every suite, and
-    //    other suites legitimately leave (session, dir)-keyed memo
-    //    checkpoints behind — their release points are Bench/Verify
-    //    run-order hooks, not suite teardowns. So the canary pins the
-    //    DELTA this mini-session adds, not the absolute count (RDD ids
-    //    are never reused, so the id-set difference is exact). Bench's
-    //    live_persisted_rdds field keeps the absolute contract — there
-    //    the whole session is bench-owned.
+    // 1. (round 17) The suite now runs in its OWN forked JVM
+    //    (build.sbt's Test/testGrouping): in the shared fork the
+    //    measurement was suite-order-dependent — other suites'
+    //    (session, dir)-keyed memo checkpoints are released by
+    //    Bench/Verify run-order hooks, not suite teardowns, and the
+    //    round-16 delta-based deflake still failed under the driver's
+    //    ordering. Isolation makes the delta below equal the absolute
+    //    count, deterministically. The delta form is kept anyway
+    //    (defense in depth if the grouping is ever lost).
     //
     // 2. In the ScalaTest-forked JVM, the FIRST eagerly-localCheckpointed
     //    RDD of the whole session never becomes cleaner-collectable
@@ -73,8 +74,8 @@ class CkptCanarySpec extends SparkSuite {
     //    and the effect does not reproduce outside the test framework's
     //    fork, so it is a harness artifact, not an engine leak. The
     //    sacrificial checkpoint below pays that one-time pin BEFORE the
-    //    baseline snapshot so the canary's delta is framework-clean even
-    //    when this suite happens to run first.
+    //    baseline snapshot — in the isolated JVM this suite always runs
+    //    first, so the pin would otherwise always land on the canary.
     val sacrificial = spark.range(16L).toDF("x").localCheckpoint(true)
     assert(sacrificial.count() == 16L)
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet

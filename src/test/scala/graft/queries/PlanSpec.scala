@@ -34,14 +34,36 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
-  test("cosine top-k broadcasts queries and never shuffles the corpus") {
+  test("cosine top-k broadcasts queries; the corpus' only shuffle is the guarded spread") {
     val p = plan("q_sim_topk")
     assert(p.contains("BroadcastNestedLoopJoin"))
-    // The only exchanges are for the per-query window rank + final order,
-    // downstream of scoring — the corpus rows are scored in the scan stage.
+    // Guarded-spread contract (round 16): below the scoring join, the ONLY
+    // vec_id exchange permitted is the deterministic REPARTITION_BY_NUM
+    // core-count spread of the one-row-group fixture scan. No OPERATOR may
+    // demand a vec_id shuffle (ENSURE_REQUIREMENTS) — that would mean the
+    // corpus is being hash-shuffled for a join/agg, the round-1 contract.
     val idx = p.indexOf("BroadcastNestedLoopJoin")
     val below = p.substring(idx)
-    assert(!below.contains("Exchange hashpartitioning(vec_id"))
+    val demanded = below.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(vec_id") &&
+        !l.contains("REPARTITION_BY_NUM")).toSeq
+    assert(demanded.isEmpty,
+      s"only the guarded spread may exchange the corpus:\n${demanded.mkString("\n")}\nplan:\n$p")
+    // …and the spread is GUARDED: an already-core-parallel corpus passes
+    // through with NO exchange below the join at all (a production
+    // many-file scan must never pay a second exchange).
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .localCheckpoint(true)
+    try {
+      val pre = graft.similarity.Similarity
+        .cosineTopK(emb, emb.limit(5), 3)
+        .queryExecution.executedPlan.toString
+      val preBelow = pre.substring(pre.indexOf("BroadcastNestedLoopJoin"))
+      assert(!preBelow.contains("Exchange hashpartitioning(vec_id"),
+        s"spread must be a no-op on a core-parallel corpus:\n$pre")
+    } finally graft.Ckpt.release(emb)
   }
 
   test("semi/anti joins stay joins (no subquery materialization)") {
@@ -574,32 +596,59 @@ class PlanSpec extends SparkSuite {
       s"post-join scoring rows must be the narrow (vec_id, q_vec_id, d):\n$p")
   }
 
-  test("corpus overlap: the sketch path has NO hash shuffle at all") {
+  test("corpus overlap: the sketch path demands no hash shuffle") {
     // min over a multiset == min over its set: the bottom-1 sketch needs
     // neither distinct nor groupBy — each corpus must collapse map-side
-    // to H longs (partial 1-row agg, Exchange SinglePartition only).
+    // to H longs (partial 1-row agg, Exchange SinglePartition only). The
+    // one exchange ALLOWED is the guarded REPARTITION_BY_NUM core-count
+    // spread of the one-row-group fixture scan (round 16): no OPERATOR
+    // may demand a hash partitioning (ENSURE_REQUIREMENTS).
     val docs = spark.read.parquet(s"$d/documents.parquet")
     val p = graft.dedup.Dedup
       .corpusOverlap(docs, docs, "text", numHashes = 8, withExact = false)
       .queryExecution.executedPlan.toString
-    assert(!p.contains("hashpartitioning"),
-      s"sketch-only overlap must not hash-shuffle anything:\n$p")
+    val demanded = p.linesIterator.filter(l =>
+      l.contains("hashpartitioning") && !l.contains("REPARTITION_BY_NUM")).toSeq
+    assert(demanded.isEmpty,
+      s"sketch-only overlap must not DEMAND a hash shuffle:\n${demanded.mkString("\n")}\nplan:\n$p")
     assert(!p.contains("CartesianProduct"))
-    // The full query's only hash shuffle is the exact twin's 8-byte
-    // shingle-key groupBy.
+    // The spread is guarded: an already-core-parallel corpus passes
+    // through with no hash exchange at all.
+    import org.apache.spark.sql.functions.col
+    val wide = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .localCheckpoint(true)
+    try {
+      val pre = graft.dedup.Dedup
+        .corpusOverlap(wide, wide, "text", numHashes = 8, withExact = false)
+        .queryExecution.executedPlan.toString
+      assert(!pre.contains("hashpartitioning"),
+        s"spread must be a no-op on a core-parallel corpus:\n$pre")
+    } finally graft.Ckpt.release(wide)
+    // The full query's only DEMANDED hash shuffle is the exact twin's
+    // 8-byte shingle-key groupBy; anything else must be the guarded spread.
     val full = plan("q_corpus_overlap")
+    val fullDemanded = full.linesIterator.filter(l =>
+      l.contains("hashpartitioning") && !l.contains("REPARTITION_BY_NUM") &&
+        !l.contains("hashpartitioning(shingle#")).toSeq
     assert("hashpartitioning\\(shingle#".r.findAllIn(full).nonEmpty &&
-      !"hashpartitioning\\((?!shingle#)".r.findAllIn(full).exists(_ => true),
-      s"full overlap may shuffle only on the shingle key:\n$full")
+      fullDemanded.isEmpty,
+      s"full overlap may demand only the shingle-key shuffle:\n${fullDemanded.mkString("\n")}\nplan:\n$full")
   }
 
-  test("cell drift: assignment is map-side array-argmin — no vec_id shuffle, no window") {
+  test("cell drift: assignment is map-side array-argmin — no demanded vec_id shuffle, no window") {
     val p = plan("q_cell_drift")
     // Training is checkpointed out of this plan; the readout itself must
     // assign via the broadcast centroid ARRAY (no |corpus|×K row blowup,
     // no groupBy(vec_id) regroup) and shuffle only on the ≤K cell key.
-    assert(!p.contains("hashpartitioning(vec_id"),
-      s"cell assignment must not shuffle on vec_id:\n$p")
+    // The guarded REPARTITION_BY_NUM core-count spread of the
+    // one-row-group fixture scan (round 16) is the one vec_id exchange
+    // allowed; no OPERATOR may demand one (ENSURE_REQUIREMENTS).
+    val demanded = p.linesIterator.filter(l =>
+      l.contains("hashpartitioning(vec_id") &&
+        !l.contains("REPARTITION_BY_NUM")).toSeq
+    assert(demanded.isEmpty,
+      s"cell assignment must not DEMAND a vec_id shuffle:\n${demanded.mkString("\n")}\nplan:\n$p")
     assert(!p.contains("Window"), s"no window in the drift readout:\n$p")
     assert(p.contains("array_min"),
       s"assignment must be the array-argmin form:\n$p")
