@@ -78,6 +78,8 @@ object Bench {
         graft.queries.PipelineQueries.docShingleRowsPrimed(spark, sfDir)
       val knnMemoHit =
         graft.queries.PipelineQueries.knnEdgesPrimed(spark, sfDir)
+      val verdictMemoHit =
+        graft.queries.PipelineQueries.stagedVerdictsPrimed(spark, sfDir)
       val commitMemoHit =
         graft.dedup.TableCommit.corpusPrimed(spark, s"$sfDir#commit-corpus")
       val t0 = System.nanoTime()
@@ -94,6 +96,8 @@ object Bench {
           graft.queries.PipelineQueries.ShingleMemoQueries.contains(name)) ||
         (knnMemoHit &&
           graft.queries.PipelineQueries.KnnMemoQueries.contains(name)) ||
+        (verdictMemoHit &&
+          graft.queries.PipelineQueries.VerdictMemoQueries.contains(name)) ||
         (commitMemoHit &&
           graft.queries.StreamingQueries.CommitMemoQueries.contains(name))
       // Isolation between queries: one query's persisted frames must not

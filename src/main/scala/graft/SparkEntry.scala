@@ -32,6 +32,8 @@ object SparkEntry {
         () => PipelineQueries.releaseDocShingleRows(spark, sfDir)),
       (PipelineQueries.KnnMemoQueries,
         () => PipelineQueries.releaseMutualEdgesMemo(spark, sfDir)),
+      (PipelineQueries.VerdictMemoQueries,
+        () => PipelineQueries.releaseStagedVerdicts(spark, sfDir)),
       (StreamingQueries.CommitMemoQueries,
         () => graft.dedup.TableCommit.releaseSharedDeploy(
           spark, s"$sfDir#commit-corpus")))

@@ -39,10 +39,59 @@ object Dedup {
     if (df.isStreaming) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < p)
+      if (inputWidth(df).exists(_ < p))
         df.repartition(p, col(df.columns.head))
       else df
     }
+
+  /** The partition width of a NARROW-CHAIN input, probed WITHOUT
+    * executing anything — the guard behind every spread helper
+    * ([[spreadNarrow]], `Similarity.spreadCorpus`, `Ivf.prepDouble`,
+    * `Multimodal.spreadForEncode`). `None` means "do not spread".
+    *
+    * Round-16 guarded on `df.rdd.getNumPartitions`, which has two
+    * costs (round-16 VERDICT #9 / ADVICE): with AQE enabled,
+    * `Dataset.rdd` on a SHUFFLE-BEARING frame finalizes the adaptive
+    * plan and EXECUTES the upstream stages just to read a partition
+    * count (the real query then re-plans and re-runs them — latent at
+    * the current call sites, a 2× input bug for any public-API caller
+    * handing in a derived frame); and even on a safe plan it pays a
+    * second physical planning of the subtree on every builder entry.
+    *
+    * This probe instead walks the ANALYZED logical plan:
+    *   - a chain of projections/filters/generates over checkpoint
+    *     leaves (`LogicalRDD` — the post-first-builder common case)
+    *     reads the width straight off the leaf RDDs, zero planning;
+    *   - a chain over file-scan/local leaves falls back to the `.rdd`
+    *     probe, which is pure planning there (no exchange → AQE has
+    *     nothing to execute);
+    *   - anything else (a join, aggregate, window, repartition … in the
+    *     lineage) returns `None`: probing would execute work, and a
+    *     shuffle-derived frame already carries the session's shuffle
+    *     parallelism — a second exchange would be pure overhead at
+    *     scale. */
+  private[graft] def inputWidth(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def narrow(p: LogicalPlan): Boolean = p match {
+      case _: Project | _: Filter | _: Generate | _: SubqueryAlias |
+          _: Union =>
+        p.children.forall(narrow)
+      case _: LogicalRDD | _: LogicalRelation | _: LocalRelation |
+          _: OneRowRelation =>
+        true
+      case _ => false
+    }
+    val plan = df.queryExecution.analyzed
+    if (!narrow(plan)) None
+    else {
+      val leaves = plan.collectLeaves()
+      if (leaves.nonEmpty && leaves.forall(_.isInstanceOf[LogicalRDD]))
+        Some(leaves.collect { case l: LogicalRDD => l.rdd.getNumPartitions }.sum)
+      else Some(df.rdd.getNumPartitions)
+    }
+  }
 
   /** Words of a lowercased text, split on whitespace runs. */
   def words(text: Column): Column =
@@ -2235,12 +2284,38 @@ object Dedup {
     val bandsAfter = stored.bandTable.join(del, Seq("id"), "left_anti")
     val simAfter = stored.simhashBands.join(del, Seq("id"), "left_anti")
     val setsAfter = stored.shingleSets.join(del, Seq("id"), "left_anti")
-    // Fingerprint set: retain any deleted fp a remaining doc still has.
-    val deletedFps = deleted
-      .select(fpc(col("text")).as("fingerprint"))
-      .filter(col("fingerprint").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
+    // The three delete-side materializations below (content fps, span
+    // fps, df decrement join) depend only on the checkpointed `deleted`
+    // frame — submit them concurrently (round 17, guide §2.6: they were
+    // three serial delete-sized jobs in the retraction's critical path).
+    var deletedFps: DataFrame = null
+    var deletedSpanFps: DataFrame = null
+    var dfJoined: DataFrame = null
+    graft.Par.all(
+      // Fingerprint set: retain any deleted fp a remaining doc still has.
+      () => deletedFps = deleted
+        .select(fpc(col("text")).as("fingerprint"))
+        .filter(col("fingerprint").isNotNull)
+        .distinct()
+        .localCheckpoint(true),
+      // Span fp set: the same retention discipline over window fps.
+      () => deletedSpanFps =
+        spanFpSet(deleted, "id", "text", w, spread = false)
+          .localCheckpoint(true),
+      // Df sidecar: additive, so the decrement is exact.
+      () => {
+        val deletedDf =
+          ngramShingleRows(deleted, "id", "text", ngramBlockCol, ngramN)
+            .groupBy("blk", "shingle")
+            .agg(count(lit(1)).as("ddf"))
+        dfJoined = stored.ngramDf
+          .join(deletedDf, Seq("blk", "shingle"), "left")
+          .select(
+            col("blk"), col("shingle"),
+            col("df").as("df_before"),
+            (col("df") - coalesce(col("ddf"), lit(0L))).as("df_after"))
+          .localCheckpoint(true)
+      })
     val retainedFps = remaining
       .select(fpc(col("text")).as("fingerprint"))
       .join(broadcast(deletedFps), Seq("fingerprint"), "left_semi")
@@ -2249,10 +2324,6 @@ object Dedup {
       deletedFps.join(retainedFps, Seq("fingerprint"), "left_anti")
     val fpsAfter = stored.fingerprints
       .join(broadcast(droppedFps), Seq("fingerprint"), "left_anti")
-    // Span fp set: the same retention discipline over window fps.
-    val deletedSpanFps =
-      spanFpSet(deleted, "id", "text", w, spread = false)
-        .localCheckpoint(true)
     val retainedSpanFps = spanFpRows(remaining, "text", w)
       .join(broadcast(deletedSpanFps), Seq("fp"), "left_semi")
       .distinct()
@@ -2260,19 +2331,6 @@ object Dedup {
       deletedSpanFps.join(retainedSpanFps, Seq("fp"), "left_anti")
     val spanAfter = stored.spanFps
       .join(broadcast(droppedSpanFps), Seq("fp"), "left_anti")
-    // Df sidecar: additive, so the decrement is exact.
-    val deletedRows =
-      ngramShingleRows(deleted, "id", "text", ngramBlockCol, ngramN)
-    val deletedDf = deletedRows
-      .groupBy("blk", "shingle")
-      .agg(count(lit(1)).as("ddf"))
-    val dfJoined = stored.ngramDf
-      .join(deletedDf, Seq("blk", "shingle"), "left")
-      .select(
-        col("blk"), col("shingle"),
-        col("df").as("df_before"),
-        (col("df") - coalesce(col("ddf"), lit(0L))).as("df_after"))
-      .localCheckpoint(true)
     val dfAfter = dfJoined
       .filter(col("df_after") > 0)
       .select(col("blk"), col("shingle"), col("df_after").as("df"))

@@ -387,16 +387,17 @@ class TableCommit(
     val docs = corpus
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .localCheckpoint(true)
-    writeMeta()
     val span = spanRows(docs, 1L)
     val rows = ngramRows(docs).localCheckpoint(true)
-    // The nine corpus-layer writes share no dependency once docs and
-    // the shingle rows are checkpointed — submit them concurrently
-    // (graft.Par): sequential, each is one small job leaving most of
-    // the cluster idle plus a full scheduler round-trip in series.
-    // All land in writer-scoped staging dirs, published together
-    // (lease-checked renames) right before the deploy marker.
+    // The nine corpus-layer writes (plus the 1-row geometry meta) share
+    // no dependency once docs and the shingle rows are checkpointed —
+    // submit them concurrently (graft.Par): sequential, each is one
+    // small job leaving most of the cluster idle plus a full scheduler
+    // round-trip in series. All land in writer-scoped staging dirs,
+    // published together (lease-checked renames) right before the
+    // deploy marker.
     graft.Par.all(
+      () => writeMeta(),
       () => writeCorpus(docs.withColumn("part", partOf(col("id"))),
         "docs", partitioned = true, 0),
       () => writeCorpus(fpRows(docs, 1L), "fp", partitioned = true, 0),
@@ -537,8 +538,15 @@ class TableCommit(
     val rows = ngramRows(accepted, spread = false).localCheckpoint(true)
     // Nine batch-sized delta writes with no mutual dependency —
     // concurrent (graft.Par); the marker rename below still happens
-    // strictly after ALL of them.
+    // strictly after ALL of them. The Bloom-growth fingerprint collect
+    // rides the same barrier (it depends only on the checkpointed
+    // `accepted`): it was a serial post-marker job; the bloom itself
+    // still grows only AFTER the marker commits below.
+    var newFps: Array[String] = Array.empty
     graft.Par.all(
+      () => newFps = accepted.select(fpc(col("text")).as("f"))
+        .filter(col("f").isNotNull)
+        .distinct().as[String].collect(),
       () => writeBatch(accepted.withColumn("part", partOf(col("id"))),
         "docs", uuid),
       () => writeBatch(
@@ -561,8 +569,7 @@ class TableCommit(
     crashPoint("fold-before-marker")
     journal.markBatch(uuid, wrote, "fold", batchId)
     // Grow the gate Blooms: committed (cleaned) fps, raw-ledger fps, ids.
-    accepted.select(fpc(col("text")).as("f")).filter(col("f").isNotNull)
-      .distinct().as[String].collect().foreach(fpBloom.putString)
+    newFps.foreach(fpBloom.putString)
     batchFps.foreach(fpBloom.putString)
     batchIds.foreach(idBloom.putLong)
     // The delivery is committed and the Blooms grown — release the

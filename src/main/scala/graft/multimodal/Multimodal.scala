@@ -658,7 +658,8 @@ object Multimodal {
     val sel = df.select(col(idCol).cast("long").as("__sid"), col(textCol))
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (sel.isStreaming) sel.repartition(p, col("__sid"))
-    else if (sel.rdd.getNumPartitions < p) sel.repartition(p, col("__sid"))
+    else if (graft.dedup.Dedup.inputWidth(sel).exists(_ < p))
+      sel.repartition(p, col("__sid"))
     else sel
   }
 

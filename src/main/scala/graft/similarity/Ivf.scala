@@ -716,7 +716,8 @@ object Ivf {
     if (!spread || sel.isStreaming) sel
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
-      if (sel.rdd.getNumPartitions < p) sel.repartition(p, col("vec_id"))
+      if (graft.dedup.Dedup.inputWidth(sel).exists(_ < p))
+        sel.repartition(p, col("vec_id"))
       else sel
     }
   }

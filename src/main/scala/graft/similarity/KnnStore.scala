@@ -241,18 +241,34 @@ class KnnStore(
       .coalesce(1).write.mode("overwrite")
       .parquet(journal.staged(p("meta")))
     val c0 = Ivf.prepDouble(corpus)
-    val probes = Ivf.knnProbeFrame(c0, centArr, nProbe)
-      .withColumn("cell", col("cell").cast("long"))
-      .localCheckpoint(true)
-    val asg = Ivf.knnAsgFrame(c0, centArr)
-      .withColumn("cell", col("cell").cast("long"))
-      .localCheckpoint(true)
+    // The probe and assignment materializations are independent given
+    // c0 — submit them concurrently (guide §2.6; they were two serial
+    // jobs, each leaving the session idle during the other's tail).
+    var probes: DataFrame = null
+    var asg: DataFrame = null
+    graft.Par.all(
+      () => probes = Ivf.knnProbeFrame(c0, centArr, nProbe)
+        .withColumn("cell", col("cell").cast("long"))
+        .localCheckpoint(true),
+      () => asg = Ivf.knnAsgFrame(c0, centArr)
+        .withColumn("cell", col("cell").cast("long"))
+        .localCheckpoint(true))
     // Three independent writes off the checkpointed probe/assignment
     // frames — concurrent (graft.Par); the deploy marker follows all.
     graft.Par.all(
-      () => probes.write.mode("overwrite").partitionBy("cell")
+      // Cluster by the partition column before the partitionBy write
+      // (guide §6, the swapGeneration shape): writing straight from the
+      // core-spread checkpoint opens a parquet writer per (task, cell)
+      // pair — tasks × cells tiny files that every later readProbes/
+      // readAsg job re-lists and re-opens (profiled round 17: the two
+      // writes were the top stages of q_stream_knn_refresh_cells at
+      // 24 s + 15 s task time). One cell-keyed exchange of the
+      // metadata-sized frame buys one file per cell dir.
+      () => probes.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
         .parquet(journal.staged(corpusPath("probes"))),
-      () => asg.write.mode("overwrite").partitionBy("cell")
+      () => asg.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
         .parquet(journal.staged(corpusPath("asg"))),
       () => Ivf.knnEdgesCore(probes, asg, k)
         .select("q_vec_id", "vec_id", "score")
@@ -260,12 +276,16 @@ class KnnStore(
         .withColumn("part", partOf(col("q_vec_id")))
         .coalesce(4)
         .write.mode("overwrite").partitionBy("part")
-        .parquet(journal.staged(corpusPath("edges"))))
+        .parquet(journal.staged(corpusPath("edges"))),
+      // The gate Bloom depends only on the checkpointed assignment —
+      // build it INSIDE the barrier instead of as two serial jobs after
+      // the marker (it was the deploy's tail; identical bits either way,
+      // and on any sibling failure the whole deploy throws unusable).
+      () => idBloom = asg.stat.bloomFilter(
+        "vec_id", math.max(1L, asg.count()), 0.01))
     journal.publishStaged(
       Seq("cent", "probes", "asg", "edges").map(corpusPath) :+ p("meta"))
     journal.markDeploy()
-    idBloom = asg.stat.bloomFilter(
-      "vec_id", math.max(1L, asg.count()), 0.01)
     graft.Ckpt.release(probes, asg) // tables are on disk; blocks are dead
     this
   }
@@ -283,13 +303,25 @@ class KnnStore(
     if (b0.isEmpty) {
       journal.noteSeen("fold", batchId); graft.Ckpt.release(b0); return
     }
-    val bProbes = Ivf.knnProbeFrame(b0, centArr, nProbe)
-      .withColumn("cell", col("cell").cast("long"))
-      .localCheckpoint(true)
-    val bAsg = Ivf.knnAsgFrame(b0, centArr)
-      .withColumn("cell", col("cell").cast("long"))
-      .localCheckpoint(true)
-    val arrivalCells = bAsg.select("cell").distinct().as[Long].collect().toSeq
+    // Independent given b0: materialize the batch probe/assignment
+    // frames concurrently, then take the delivery's driver-side key
+    // sets in ONE job per frame instead of one per set (each collect
+    // was its own scheduler round-trip in a ~12-job serial chain —
+    // round 17, guide §2.6).
+    var bProbes: DataFrame = null
+    var bAsg: DataFrame = null
+    graft.Par.all(
+      () => bProbes = Ivf.knnProbeFrame(b0, centArr, nProbe)
+        .withColumn("cell", col("cell").cast("long"))
+        .localCheckpoint(true),
+      () => bAsg = Ivf.knnAsgFrame(b0, centArr)
+        .withColumn("cell", col("cell").cast("long"))
+        .localCheckpoint(true))
+    val asgSets = bAsg
+      .agg(collect_set(col("cell")).as("cells"),
+        collect_set(col("vec_id")).as("ids"))
+      .head()
+    val arrivalCells = asgSets.getSeq[Long](0)
     // ID-CLASH GATE, Bloom-prefiltered: neither TOMBSTONED ids
     // (retraction is permanent) nor STORED ids (a silent duplicate
     // insert would hand the same neighbor two of the k slots in every
@@ -313,7 +345,7 @@ class KnnStore(
     // largest table (hurting every cell-pruned scan at 100 TB) to
     // speed a 1%-frequency delete-sized read. Revisit if the measured
     // fold p99 says otherwise.
-    val bIds = bAsg.select("vec_id").distinct().as[Long].collect()
+    val bIds = asgSets.getSeq[Long](1).toArray
     val candIds = bIds.filter(idBloom.mightContainLong)
     if (candIds.nonEmpty) {
       val candDf = candIds.toSeq.toDF("vec_id").localCheckpoint(true)
@@ -640,12 +672,16 @@ class KnnStore(
     val centArr2 = cent2
       .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
       .localCheckpoint(true)
-    val probes2 = Ivf.knnProbeFrame(c0, centArr2, nProbe)
-      .withColumn("cell", col("cell").cast("long"))
-      .localCheckpoint(true)
-    val asg2 = Ivf.knnAsgFrame(c0, centArr2)
-      .withColumn("cell", col("cell").cast("long"))
-      .localCheckpoint(true)
+    // Independent given (c0, centArr2) — concurrent like deploy's.
+    var probes2: DataFrame = null
+    var asg2: DataFrame = null
+    graft.Par.all(
+      () => probes2 = Ivf.knnProbeFrame(c0, centArr2, nProbe)
+        .withColumn("cell", col("cell").cast("long"))
+        .localCheckpoint(true),
+      () => asg2 = Ivf.knnAsgFrame(c0, centArr2)
+        .withColumn("cell", col("cell").cast("long"))
+        .localCheckpoint(true))
     swapGeneration(
       "refresh",
       probesG = probes2,
@@ -752,12 +788,16 @@ class KnnStore(
         .toDF("cell", "cemb")
         .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
         .localCheckpoint(true)
-      val probes2 = Ivf.knnProbeFrame(c0, centArr2, nProbe)
-        .withColumn("cell", col("cell").cast("long"))
-        .localCheckpoint(true)
-      val asg2 = Ivf.knnAsgFrame(c0, centArr2)
-        .withColumn("cell", col("cell").cast("long"))
-        .localCheckpoint(true)
+      // Independent given (c0, centArr2) — concurrent like deploy's.
+      var probes2: DataFrame = null
+      var asg2: DataFrame = null
+      graft.Par.all(
+        () => probes2 = Ivf.knnProbeFrame(c0, centArr2, nProbe)
+          .withColumn("cell", col("cell").cast("long"))
+          .localCheckpoint(true),
+        () => asg2 = Ivf.knnAsgFrame(c0, centArr2)
+          .withColumn("cell", col("cell").cast("long"))
+          .localCheckpoint(true))
       // Cells whose membership changed (≤ K values — driver-sized).
       val movedCells: Seq[Long] = readAsg
         .select(col("vec_id"), col("cell").as("oc"))
@@ -780,12 +820,15 @@ class KnnStore(
             .select("q_vec_id"))
         .distinct()
         .localCheckpoint(true)
-      val nAffected = affected.count()
       // Regime decision BEFORE any edge work: one single-column
       // distinct count over the (cell-partitioned) probe table vs the
-      // affected count just paid — both driver scalars.
-      val nQueries = math.max(1L,
-        oldP.select("q_vec_id").distinct().count())
+      // affected count — two independent driver scalars, concurrent.
+      var nAffected = 0L
+      var nQueries = 1L
+      graft.Par.all(
+        () => nAffected = affected.count(),
+        () => nQueries = math.max(1L,
+          oldP.select("q_vec_id").distinct().count()))
       val edgesFace =
         if (nAffected >= fullRebuildFraction * nQueries)
           // Drift is (near-)uniform: carry would re-score almost

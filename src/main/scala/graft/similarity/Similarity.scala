@@ -99,7 +99,8 @@ object Similarity {
     if (df.isStreaming) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < p) df.repartition(p, col("vec_id"))
+      if (graft.dedup.Dedup.inputWidth(df).exists(_ < p))
+        df.repartition(p, col("vec_id"))
       else df
     }
 

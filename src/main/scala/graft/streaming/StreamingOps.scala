@@ -348,13 +348,25 @@ object StreamingOps {
     val aBands = graft.dedup.Dedup
       .bandRowsLocal(spreadArrivals(arrivals), "doc_id", "text",
         numHashes, bands)
+    // Verify BEFORE the stateful pair-dedup (round 17 — the same
+    // reorder the hamming gates took in round 16, guide §2.3): jaccard
+    // is a pure function of the (id_a, id_b) pair given the frozen
+    // shingle-set artifact, so the exact verify commutes with the
+    // multi-band collapse row for row. The dedup's exchange then
+    // carries (id_a, id_b, jaccard) instead of the arrival's whole
+    // shingle ARRAY per candidate row, and the dedup STATE shrinks from
+    // one row per banded candidate pair to one per VERIFIED near-dup
+    // pair (matches ≪ candidates). Cost: the row-local intersect runs
+    // once per band collision (≤ `bands` per pair) instead of once per
+    // pair — bounded, core-spread map work against an exchange+state
+    // cut that grows with corpus² band collisions.
     val cands = aBands
       .join(
         corpusBands.select(col("id").as("id_b"), col("band"), col("bh")),
         Seq("band", "bh"))
       .select(col("id").as("id_a"), col("shingles"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
     jaccardVerifyRowLocal(cands, corpusShingleSets, threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Arrival micro-batches are FILE-grained — a one-file drop scans as
@@ -371,22 +383,22 @@ object StreamingOps {
       arrivals.sparkSession.sparkContext.defaultParallelism,
       col("doc_id"))
 
-  /** Optimizer barrier: a typed identity map (object round trip). Two
-    * rules conspire against an expensive aliased array that feeds an
-    * `explode`: InferFiltersFromGenerate adds `size(arr) > 0 AND
-    * isnotnull(arr)` at the Generate, and predicate pushdown substitutes
-    * the alias while pushing that filter below the spread repartition —
-    * so the WHOLE shingle/signature expression re-evaluates per row on
-    * the unspread single-task side, twice (observed in the executed
-    * n-gram gate micro-batch plan; the round-9 lambda-inlining lesson,
-    * now in filter-pushdown clothing). Filters cannot push through an
-    * object round trip, so the expensive projection below stays put,
-    * evaluated once, after the spread. Costs one serialize/deserialize
-    * of the projected rows — trivial next to what it prevents. */
-  private def pushdownBarrier(df: DataFrame): DataFrame = {
-    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-      org.apache.spark.sql.Encoders.row(df.schema)
-    df.map(identity)
+  /** Optimizer fence around an expensive aliased array that feeds an
+    * `explode` ([[graft.functions.OptimizerFence]] — round 17, replacing
+    * the round-16 object-round-trip barrier): InferFiltersFromGenerate
+    * adds `size(arr) > 0 AND isnotnull(arr)` at the Generate, and
+    * predicate pushdown substitutes the alias while pushing that filter
+    * below the spread repartition — so the WHOLE shingle/signature
+    * expression re-evaluated per row on the unspread single-task side,
+    * twice (observed in the executed n-gram gate micro-batch plan; the
+    * round-9 lambda-inlining lesson in filter-pushdown clothing). The
+    * declared-non-deterministic identity stops the substitution, so the
+    * expensive projection evaluates once, after the spread — and unlike
+    * the object round trip it stays inside whole-stage codegen and pays
+    * no per-row serde. */
+  private def fence(df: DataFrame, inner: String, as: String): DataFrame = {
+    graft.functions.OptimizerFence.register(df.sparkSession)
+    df.withColumn(as, expr(s"graft_fence($inner)")).drop(inner)
   }
 
   /** Shared verify stage of the shingle-based ingest gates
@@ -450,15 +462,31 @@ object StreamingOps {
       threshold: Double,
       n: Int = 3
   ): DataFrame = {
-    val aSh = pushdownBarrier(spreadArrivals(arrivals)
-      .select(
-        col("doc_id").as("id"), blockCol.as("blk"),
-        graft.dedup.Dedup.words(col("text")).as("w"))
-      .select(
-        col("id"), col("blk"),
-        array_distinct(transform(
-          graft.dedup.Dedup.shinglesOfWords(col("w"), n),
-          s => graft.dedup.Dedup.hash60(s))).as("shingles")))
+    val aSh = fence(
+      spreadArrivals(arrivals)
+        .select(
+          col("doc_id").as("id"), blockCol.as("blk"),
+          graft.dedup.Dedup.words(col("text")).as("w"))
+        .select(
+          col("id"), col("blk"),
+          array_distinct(transform(
+            graft.dedup.Dedup.shinglesOfWords(col("w"), n),
+            s => graft.dedup.Dedup.hash60(s))).as("__shingles_raw")),
+      "__shingles_raw", "shingles")
+    // Collapse each pair's multi-shingle hits to ONE row BEFORE the
+    // stateful dedup's exchange — row-locally, inside the posting-join
+    // stage: group the join hits by the exploded arrival row they came
+    // from is not available map-side in a stream, but the duplicate
+    // rows of a pair are IDENTICAL (id_a, shingles, id_b), so a
+    // map-side partial aggregate would still ship the array. Instead
+    // verify FIRST (jaccard is a pure function of the pair given the
+    // frozen artifacts — the round-16 hamming reorder), then dedup the
+    // narrow (id_a, id_b, jaccard) rows: the stateful exchange drops
+    // the per-candidate shingle ARRAY (measured 33 MB/micro-batch at
+    // sf0.1) and state shrinks to verified matches only. Cost: the
+    // intersect runs once per shared under-cap shingle instead of once
+    // per pair — the documented O(shingles²) exact-recall trade this
+    // gate already makes, now in map work instead of exchange bytes.
     val cands = aSh
       .select(
         col("id"), col("blk"), col("shingles"),
@@ -468,8 +496,8 @@ object StreamingOps {
           col("blk"), col("shingle"), col("id").as("id_b")),
         Seq("blk", "shingle"))
       .select(col("id").as("id_a"), col("shingles"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
     jaccardVerifyRowLocal(cands, corpusShingleSets, threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** STREAMING SimHash near-dup gate — the HAMMING family's face of
