@@ -505,19 +505,24 @@ object Dedup {
     * permutations; the digest stage dominates MinHash at corpus scale, so
     * this is a direct 2× on the dominant term. */
   private def signatureOfShingles(sh: DataFrame, numHashes: Int): DataFrame = {
-    // NOTE (round-16): an explicit shared-digest projection (compute the
-    // (numHashes+1)/2 md5s once per row, slice twice, aggregate plain
-    // mins) was tried here and MEASURED SLOWER (q_minhash family +2-3×
-    // task time at sf0.1): the separate projection materializes the hex
-    // strings per row and blocks aggregate fusion, while the in-place
-    // form below already dedupes the paired digests through codegen
-    // subexpression elimination. Kept in its original shape on purpose.
-    val sigAggs = (0 until numHashes).map { i =>
-      min(md5Slice60(
-        concat(lit(s"${i / 2}:"), col("shingle").cast("string")), i % 2))
-        .as(s"sig_$i")
-    }
-    sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+    // ROUND-17: all numHashes slots now come from ONE typed imperative
+    // aggregate ([[graft.functions.MinhashSigAgg]] — bit-identical slot
+    // values, same partial/merge shape, spec-pinned equality) instead of
+    // numHashes separate `min(md5Slice60(concat(seed, shingle), part))`
+    // aggregates: the expression form paid a 32-char hex-string
+    // materialization + substring + base-16 re-parse per (row, digest),
+    // where the native update takes each 16-byte digest straight to two
+    // longs. (Round-16 context, kept for the record: a PROJECTION-level
+    // shared-digest rewrite was tried and measured SLOWER — hex strings
+    // materialized per row and aggregate fusion lost; the aggregate-level
+    // rewrite is the form that wins.)
+    graft.functions.MinhashSigAgg.register(sh.sparkSession)
+    sh.groupBy("id")
+      .agg(expr(s"graft_minhash_sig(shingle, $numHashes)").as("__sig"))
+      .select(
+        col("id") +:
+          (0 until numHashes)
+            .map(i => element_at(col("__sig"), i + 1).as(s"sig_$i")): _*)
   }
 
   /** Full MinHash-LSH near-dup pipeline: signature → banded candidates →
@@ -2766,15 +2771,13 @@ object Dedup {
       withExact: Boolean = false
   ): DataFrame = {
     def sketch(src: DataFrame, pre: String) = {
-      // Same note as [[signatureOfShingles]]: the in-place per-aggregate
-      // digest form measured FASTER than an explicit shared-digest
-      // projection (codegen CSE already pairs the i/2 digests).
-      val aggs = (0 until numHashes).map { i =>
-        min(md5Slice60(
-          concat(lit(s"${i / 2}:"), col("shingle").cast("string")), i % 2))
-          .as(s"$pre$i")
-      }
-      src.agg(aggs.head, aggs.tail: _*)
+      // Round-17: the one-buffer imperative aggregate, same rewrite as
+      // [[signatureOfShingles]] (bit-identical slots; min over a multiset
+      // == min over its set, so the RAW stream feeds it unchanged).
+      graft.functions.MinhashSigAgg.register(src.sparkSession)
+      src.agg(expr(s"graft_minhash_sig(shingle, $numHashes)").as("__sig"))
+        .select((0 until numHashes)
+          .map(i => element_at(col("__sig"), i + 1).as(s"$pre$i")): _*)
     }
     // With the exact twin on, each side's shingle stream feeds TWO
     // consumers (its sketch and the union groupBy) — materialize once

@@ -4327,10 +4327,20 @@ object PipelineQueries {
           col("r_symbol_ratio") && col("r_bullet") && col("r_ellipsis") &&
           col("r_alpha") && (col("lang") =!= "en" || col("r_stopword")) &&
           col("quality") >= 0.7).as("pass_q"))
-    val rep = graft.textanalysis.Repetition
-      .repetitionFilters(docs, "doc_id", "text", RepTopNs, RepDupNs)
-      .select(col("id").as("doc_id"), col("pass_repetition"))
-    val drops = dupComponents(s, d)
+    // The repetition battery checkpoints its gram table EAGERLY inside
+    // repetitionFilters, and dupComponents eagerly builds the minhash +
+    // CC memo — two independent multi-job chains that ran back to back
+    // on the verdicts' critical path (round 17, guide §2.6). Submit
+    // them concurrently; each produces exactly the frame the serial
+    // code did.
+    var rep: DataFrame = null
+    var cc: DataFrame = null
+    graft.Par.all(
+      () => rep = graft.textanalysis.Repetition
+        .repetitionFilters(docs, "doc_id", "text", RepTopNs, RepDupNs)
+        .select(col("id").as("doc_id"), col("pass_repetition")),
+      () => cc = dupComponents(s, d))
+    val drops = cc
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
       .withColumn("dropped", lit(1))
