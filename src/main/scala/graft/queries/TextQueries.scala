@@ -2076,12 +2076,24 @@ object TextQueries {
       s: SparkSession, docs: DataFrame, withImages: Boolean,
       aligned: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    val tokAll = docs.select(
-      col("doc_id"), col("lang"),
-      posexplode_outer(
-        regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
-        .as(Seq("pos", "tok")))
-      .localCheckpoint(true)
+    // The tokenizing checkpoint and the alignment keep-set (when given —
+    // the whole image synth + decode + score pipeline of
+    // q_aligned_pack) are independent; materialize them concurrently
+    // (round 17, guide §2.6: they were the two serial eager prefixes of
+    // a query whose wall is ~2× its 32-core task time). The checkpointed
+    // keep set replaces the inline subtree in nDoc's plan — same rows,
+    // one materialization, released right after nDoc (its only consumer)
+    // is checkpointed.
+    var tokAll: DataFrame = null
+    var alignedCkpt: Option[DataFrame] = None
+    graft.Par.all(
+      () => tokAll = docs.select(
+        col("doc_id"), col("lang"),
+        posexplode_outer(
+          regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .as(Seq("pos", "tok")))
+        .localCheckpoint(true),
+      () => alignedCkpt = aligned.map(_.localCheckpoint(true)))
     val islotsCol =
       if (withImages)
         when(col("doc_id") % ImgEvery === 0 && col("al") === 1L,
@@ -2090,7 +2102,7 @@ object TextQueries {
       else lit(0L)
     val nDocBase = tokAll.groupBy("doc_id", "lang")
       .agg(count(col("tok")).as("n"))
-    val nDoc = (aligned match {
+    val nDoc = (alignedCkpt match {
       case Some(a) =>
         nDocBase.join(
           a.select(col("doc_id"), lit(1L).as("al")), Seq("doc_id"), "left")
@@ -2105,6 +2117,8 @@ object TextQueries {
       // Tokens at pos >= pstar shift past the image budget.
       .withColumn("pstar", pmod(col("doc_id"), col("n") + 1L))
       .localCheckpoint(true)
+    // nDoc was the keep set's only consumer — blocks are dead now.
+    alignedCkpt.foreach(graft.Ckpt.release(_))
     val realTok = tokAll.filter(col("tok").isNotNull)
     val top = realTok.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok").asc)

@@ -308,29 +308,34 @@ object StreamingOps {
     * Per arrival: shingles, signatures and band hashes compute
     * ROW-LOCAL ([[graft.dedup.Dedup.bandRowsLocal]] — byte-identical to
     * the batch arithmetic, no shuffle, no aggregation); a stream-static
-    * join on (band, bh) yields candidate corpus partners;
-    * `dropDuplicates` collapses multi-band hits (state = one row per
-    * candidate PAIR); the exact-Jaccard verify is a second
-    * stream-static join to the shingle-set artifact plus a row-local
-    * array intersection. Batching-invariant: every verdict depends on
-    * one arrival row and the frozen artifacts alone.
+    * join on (band, bh) yields candidate corpus partners; the
+    * exact-Jaccard verify (a second stream-static join to the
+    * shingle-set artifact plus a row-local array intersection) runs
+    * BEFORE `dropDuplicates` collapses multi-band hits — jaccard is a
+    * pure function of the pair given the frozen artifacts, so the two
+    * commute row for row (round 17), the dedup's exchange carries only
+    * (id_a, id_b, jaccard), and state holds one row per VERIFIED
+    * near-dup pair (matches ≪ banded candidates). Batching-invariant:
+    * every verdict depends on one arrival row and the frozen artifacts
+    * alone.
     *
     * RETENTION COST (applies to all three pair-dedup gates — this one,
     * [[ngramGateStream]], [[simhashGateStream]]): the un-watermarked
-    * `dropDuplicates("id_a","id_b")` keeps one state row per candidate
-    * pair for the STREAM'S LIFETIME. That is far smaller than ingest
-    * volume (only banded collisions enter state), but on a long-running
-    * ingest it still grows monotonically and is never evicted. The
-    * multi-band collapse is per-micro-batch semantics anyway (all band
-    * rows of one arrival land in the same batch), so the cross-batch
-    * half of that state buys only suppression of REPEATED verdicts when
-    * the same doc id is re-delivered later — benign duplicates for an
-    * ingest gate. Deployments with re-delivery windows should bound the
-    * state by giving arrivals an event-time column and switching to
-    * `withWatermark + dropDuplicatesWithinWatermark` (the
-    * [[dedupKeysStream]] pattern, :143): state then evicts at the
-    * watermark and a far-apart re-delivery yields at most a duplicate
-    * verdict, never a wrong one.
+    * `dropDuplicates("id_a","id_b")` keeps one state row per EMITTED
+    * pair for the STREAM'S LIFETIME (post-verify here and in
+    * [[ngramGateStream]]; post-hamming-filter in the hamming gates —
+    * far smaller than the candidate set either way, but on a
+    * long-running ingest it still grows monotonically and is never
+    * evicted). The multi-hit collapse is per-micro-batch semantics
+    * anyway (all band rows of one arrival land in the same batch), so
+    * the cross-batch half of that state buys only suppression of
+    * REPEATED verdicts when the same doc id is re-delivered later —
+    * benign duplicates for an ingest gate. Deployments with re-delivery
+    * windows should bound the state by giving arrivals an event-time
+    * column and switching to `withWatermark +
+    * dropDuplicatesWithinWatermark` (the [[dedupKeysStream]] pattern,
+    * :143): state then evicts at the watermark and a far-apart
+    * re-delivery yields at most a duplicate verdict, never a wrong one.
     *
     * Scale shape: identical to the batch incremental operator — band
     * buckets bound candidates (never corpus × arrivals), the verify
@@ -571,7 +576,13 @@ object StreamingOps {
         col("id").as("id_a"), col("id_b"),
         expr("bit_count(simhash ^ sh_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+      // Pair-keyed dedup, not distinct() over the triple (round-16
+      // ADVICE): hamming is pair-determined, so the emitted rows are
+      // identical, but the state key stays (id_a, id_b) — cross-batch
+      // re-emission of a re-delivered pair stays suppressed even if the
+      // content (and thus hamming) changed, and the state row is
+      // narrower. [[nearDupGateStream]]'s RETENTION COST note applies.
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Stream-stream interval join (the attribution shape of
