@@ -26,7 +26,26 @@ object AdhocPlan {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // Synthetic 2M-row (id, shingle) frame for the minhash micro-bench:
+    // 20k groups × 100 shingles, deterministic values.
+    def synthShingles = spark.range(2000000L)
+      .selectExpr("id % 20000 AS id",
+        "CAST(conv(substring(md5(cast(id as string)), 1, 15), 16, 10) AS BIGINT) AS shingle")
+    def oldForm(sh: org.apache.spark.sql.DataFrame, h: Int) = {
+      val aggs = (0 until h).map { i =>
+        min(expr(
+          s"CAST(conv(substring(md5(concat('${i / 2}:', cast(shingle as string))), ${1 + 15 * (i % 2)}, 15), 16, 10) AS BIGINT)"))
+          .as(s"sig_$i")
+      }
+      sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    }
+    def newForm(sh: org.apache.spark.sql.DataFrame, h: Int) = {
+      graft.functions.MinhashSigAgg.register(spark)
+      sh.groupBy("id").agg(expr(s"graft_minhash_sig(shingle, $h)").as("sig"))
+    }
     val frame = args(0) match {
+      case "minhashAggOld" => oldForm(synthShingles, 32)
+      case "minhashAggNew" => newForm(synthShingles, 32)
       case "ngramRows" =>
         graft.dedup.Dedup.ngramShingleRows(
           docs.select(col("doc_id").as("id"), col("text")),
